@@ -1,0 +1,353 @@
+"""Jelly stream decoder: delimited protobuf frames → term-tuple statements.
+
+Mirror of :mod:`pyjelly_ray.jelly.encode`.  Behavioural parity targets in the
+reference: /root/reference/pyjelly/parse/decode.py:162-447 (row dispatch,
+lookup resolution, repeated-term reuse) and parse/ioutils.py:14-115
+(delimitedness sniffing, options peeking).  Implementation is original and
+works directly on wire bytes.
+
+Events yielded by :meth:`StreamDecoder.decode_frame`:
+
+    ("triple", (s, p, o))
+    ("quad", (s, p, o, g))
+    ("graph_start", g) / ("graph_end", None)   # physical GRAPHS
+    ("namespace", (name, iri_term))
+
+Use :func:`decode_flat` to get a plain statement iterator with GRAPHS
+flattened to quads (as the reference's flat parsing mode does,
+/root/reference/pyjelly/integrations/rdflib/parse.py:218-257).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator
+
+from ..terms import (
+    DEFAULT_GRAPH,
+    KIND_BNODE,
+    KIND_IRI,
+    KIND_LITERAL,
+    KIND_QUOTED,
+)
+from .lookup import DecoderLookup
+from .options import (
+    PHYSICAL_GRAPHS,
+    PHYSICAL_QUADS,
+    JellyConformanceError,
+    LookupPreset,
+    StreamOptions,
+)
+from .wire import iter_fields, read_varint
+
+_ROW_OPTIONS = 1
+_ROW_TRIPLE = 2
+_ROW_QUAD = 3
+_ROW_GRAPH_START = 4
+_ROW_GRAPH_END = 5
+_ROW_NAMESPACE = 6
+_ROW_NAME = 9
+_ROW_PREFIX = 10
+_ROW_DATATYPE = 11
+
+
+def delimited_hint(header: bytes) -> bool:
+    """Sniff delimitedness from the first 3 bytes (protocol truth table).
+
+    Same decision procedure as reference parse/ioutils.py:14-54.
+    """
+    magic = 0x0A
+    return len(header) >= 3 and (
+        header[0] != magic or (header[1] == magic and header[2] != magic)
+    )
+
+
+def split_delimited_frames(data: bytes) -> Iterator[tuple[int, int]]:
+    """Yield (start, end) spans of frame payloads in a delimited stream."""
+    pos = 0
+    n = len(data)
+    while pos < n:
+        length, pos = read_varint(data, pos)
+        yield pos, pos + length
+        pos += length
+
+
+def _parse_options_row(data: bytes, start: int, end: int, delimited: bool) -> StreamOptions:
+    name = ""
+    physical = 0
+    logical = 0
+    generalized = False
+    rdf_star = False
+    max_names = max_prefixes = max_datatypes = 0
+    version = 0
+    for field, _, value, _ in iter_fields(data, start, end):
+        if field == 1:
+            s, e = value
+            name = data[s:e].decode("utf-8")
+        elif field == 2:
+            physical = value
+        elif field == 3:
+            generalized = bool(value)
+        elif field == 4:
+            rdf_star = bool(value)
+        elif field == 9:
+            max_names = value
+        elif field == 10:
+            max_prefixes = value
+        elif field == 11:
+            max_datatypes = value
+        elif field == 14:
+            logical = value
+        elif field == 15:
+            version = value
+    return StreamOptions(
+        physical_type=physical,
+        logical_type=logical,
+        lookup_preset=LookupPreset(
+            max_names=max_names,
+            max_prefixes=max_prefixes,
+            max_datatypes=max_datatypes,
+        ),
+        stream_name=name,
+        generalized_statements=generalized,
+        rdf_star=rdf_star,
+        namespace_declarations=version >= 2,
+        delimited=delimited,
+    )
+
+
+class StreamDecoder:
+    """Sequential decoder for ONE Jelly stream (state per input file)."""
+
+    def __init__(self, options: StreamOptions) -> None:
+        self.options = options
+        lp = options.lookup_preset
+        self.names = DecoderLookup(lp.max_names)
+        self.prefixes = DecoderLookup(lp.max_prefixes)
+        self.datatypes = DecoderLookup(lp.max_datatypes)
+        self._repeat: list[tuple | None] = [None, None, None, None]
+
+    # -- term decoding -------------------------------------------------------
+
+    def _decode_iri(self, data: bytes, start: int, end: int) -> tuple:
+        prefix_id = name_id = 0
+        for field, _, value, _ in iter_fields(data, start, end):
+            if field == 1:
+                prefix_id = value
+            elif field == 2:
+                name_id = value
+        name = self.names.name_ref(name_id)
+        prefix = self.prefixes.prefix_ref(prefix_id)
+        return (KIND_IRI, prefix + name, None, None)
+
+    def _decode_literal(self, data: bytes, start: int, end: int) -> tuple:
+        lex = ""
+        lang = None
+        datatype = None
+        dt_id = None
+        for field, _, value, _ in iter_fields(data, start, end):
+            if field == 1:
+                s, e = value
+                lex = data[s:e].decode("utf-8")
+            elif field == 2:
+                s, e = value
+                lang = data[s:e].decode("utf-8")
+                dt_id = None
+            elif field == 3:
+                dt_id = value
+                lang = None
+        if lang is None and dt_id is not None and self.datatypes.max_size:
+            datatype = self.datatypes.datatype_ref(dt_id)
+        return (KIND_LITERAL, lex, lang or None, datatype)
+
+    def _decode_quoted(self, data: bytes, start: int, end: int) -> tuple:
+        slots: list[tuple | None] = [None, None, None]
+        for field, _, value, _ in iter_fields(data, start, end):
+            slot, term = self._decode_slot_field(field, data, value)
+            if slot > 2:
+                raise JellyConformanceError("graph slot inside quoted triple")
+            slots[slot] = term
+        if any(t is None for t in slots):
+            raise JellyConformanceError("repeated terms not allowed in quoted triples")
+        return (KIND_QUOTED, tuple(slots), None, None)
+
+    def _decode_slot_field(self, field: int, data: bytes, value) -> tuple[int, tuple]:
+        """Map a statement field number to (slot_index, decoded term)."""
+        slot, offset = divmod(field - 1, 4)
+        if slot < 3:  # s/p/o slots: iri/bnode/literal/quoted
+            if offset == 0:
+                s, e = value
+                return slot, self._decode_iri(data, s, e)
+            if offset == 1:
+                s, e = value
+                return slot, (KIND_BNODE, data[s:e].decode("utf-8"), None, None)
+            if offset == 2:
+                s, e = value
+                return slot, self._decode_literal(data, s, e)
+            s, e = value
+            return slot, self._decode_quoted(data, s, e)
+        # graph slot (fields 13-16): iri/bnode/default/literal
+        if offset == 0:
+            s, e = value
+            return 3, self._decode_iri(data, s, e)
+        if offset == 1:
+            s, e = value
+            return 3, (KIND_BNODE, data[s:e].decode("utf-8"), None, None)
+        if offset == 2:
+            return 3, DEFAULT_GRAPH
+        s, e = value
+        return 3, self._decode_literal(data, s, e)
+
+    def _decode_graph_term(self, data: bytes, start: int, end: int) -> tuple:
+        """RdfGraphStart: fields 1-4 = iri/bnode/default/literal."""
+        for field, _, value, _ in iter_fields(data, start, end):
+            if field == 1:
+                s, e = value
+                return self._decode_iri(data, s, e)
+            if field == 2:
+                s, e = value
+                return (KIND_BNODE, data[s:e].decode("utf-8"), None, None)
+            if field == 3:
+                return DEFAULT_GRAPH
+            if field == 4:
+                s, e = value
+                return self._decode_literal(data, s, e)
+        return DEFAULT_GRAPH
+
+    # -- statements ----------------------------------------------------------
+
+    def _decode_statement(self, data: bytes, start: int, end: int, n_slots: int):
+        present = [False] * 4
+        repeat = self._repeat
+        for field, _, value, _ in iter_fields(data, start, end):
+            slot, term = self._decode_slot_field(field, data, value)
+            repeat[slot] = term
+            present[slot] = True
+        terms = []
+        for i in range(n_slots):
+            t = repeat[i]
+            if t is None:
+                raise JellyConformanceError(f"missing repeated term in slot {i}")
+            terms.append(t)
+        return tuple(terms)
+
+    def decode_frame(self, data: bytes, start: int = 0, end: int | None = None):
+        """Yield decoded events for one frame's payload bytes."""
+        for field, wtype, value, _ in iter_fields(data, start, end):
+            if field != 1 or wtype != 2:
+                continue  # skip frame metadata (field 15) and unknowns
+            rs, re_ = value
+            for rfield, _, rvalue, _ in iter_fields(data, rs, re_):
+                if rfield == _ROW_TRIPLE:
+                    s, e = rvalue
+                    yield ("triple", self._decode_statement(data, s, e, 3))
+                elif rfield == _ROW_QUAD:
+                    s, e = rvalue
+                    yield ("quad", self._decode_statement(data, s, e, 4))
+                elif rfield == _ROW_NAME:
+                    s, e = rvalue
+                    idx, val = _parse_entry(data, s, e)
+                    self.names.assign(idx, val)
+                elif rfield == _ROW_PREFIX:
+                    s, e = rvalue
+                    idx, val = _parse_entry(data, s, e)
+                    self.prefixes.assign(idx, val)
+                elif rfield == _ROW_DATATYPE:
+                    s, e = rvalue
+                    idx, val = _parse_entry(data, s, e)
+                    self.datatypes.assign(idx, val)
+                elif rfield == _ROW_GRAPH_START:
+                    s, e = rvalue
+                    yield ("graph_start", self._decode_graph_term(data, s, e))
+                elif rfield == _ROW_GRAPH_END:
+                    yield ("graph_end", None)
+                elif rfield == _ROW_NAMESPACE:
+                    s, e = rvalue
+                    yield ("namespace", self._decode_namespace(data, s, e))
+                elif rfield == _ROW_OPTIONS:
+                    pass  # already validated at open
+
+    def _decode_namespace(self, data: bytes, start: int, end: int):
+        name = ""
+        iri_term = None
+        for field, _, value, _ in iter_fields(data, start, end):
+            if field == 1:
+                s, e = value
+                name = data[s:e].decode("utf-8")
+            elif field == 2:
+                s, e = value
+                iri_term = self._decode_iri(data, s, e)
+        return (name, iri_term)
+
+
+def parse_options(data: bytes) -> tuple[StreamOptions, list[tuple[int, int]]]:
+    """Sniff delimitedness, locate frames, parse the options row.
+
+    Returns (options, list of (start, end) frame payload spans).
+    Non-delimited input = exactly one frame spanning the whole buffer.
+    """
+    delimited = delimited_hint(data[:3])
+    if delimited:
+        spans = list(split_delimited_frames(data))
+    else:
+        spans = [(0, len(data))]
+    for fs, fe in spans:
+        for field, wtype, value, _ in iter_fields(data, fs, fe):
+            if field == 1 and wtype == 2:
+                rs, re_ = value
+                for rfield, _, rvalue, _ in iter_fields(data, rs, re_):
+                    if rfield == _ROW_OPTIONS:
+                        s, e = rvalue
+                        return _parse_options_row(data, s, e, delimited), spans
+                    break  # first row is not options: no options in stream
+                break
+    raise JellyConformanceError("no stream options row found")
+
+
+def _parse_entry(data: bytes, start: int, end: int) -> tuple[int, str]:
+    idx = 0
+    val = ""
+    for field, _, value, _ in iter_fields(data, start, end):
+        if field == 1:
+            idx = value
+        elif field == 2:
+            s, e = value
+            val = data[s:e].decode("utf-8")
+    return idx, val
+
+
+def decode_flat(data: bytes) -> Iterator[tuple]:
+    """Decode a whole Jelly byte buffer to statement tuples.
+
+    Triples yield 3-tuples, quads 4-tuples.  Physical GRAPHS streams are
+    flattened to 4-tuples using the enclosing graph marker (reference flat
+    parsing mode).  Namespace rows are skipped (use StreamDecoder directly
+    for them).
+    """
+    options, spans = parse_options(data)
+    dec = StreamDecoder(options)
+    graphs = options.physical_type == PHYSICAL_GRAPHS
+    current_graph: tuple | None = None
+    for fs, fe in spans:
+        for kind, payload in dec.decode_frame(data, fs, fe):
+            if kind == "triple":
+                if graphs:
+                    if current_graph is None:
+                        raise JellyConformanceError("triple outside graph bounds")
+                    yield (*payload, current_graph)
+                else:
+                    yield payload
+            elif kind == "quad":
+                yield payload
+            elif kind == "graph_start":
+                current_graph = payload
+            elif kind == "graph_end":
+                current_graph = None
+
+
+__all__ = [
+    "StreamDecoder",
+    "delimited_hint",
+    "parse_options",
+    "decode_flat",
+    "split_delimited_frames",
+]
