@@ -1,0 +1,165 @@
+"""End-to-end KG pipeline tests: extract → link → dedup → Jelly shards.
+
+The written shards are parsed back with BOTH our decoder and reference
+pyjelly; the statement set must equal the closed-form expected set (after
+linking), and the per-row content_sha256 invariant must hold at every stage.
+"""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import json
+import os
+
+import pyarrow as pa
+import pytest
+
+from pyjelly_ray.pipelines import corpus as corpus_mod
+from pyjelly_ray.pipelines.corpus import corpus_table, expected_triples, generate_rows
+from pyjelly_ray.pipelines.kg import build_kg, extract_triples, link_triples
+from pyjelly_ray.stages.dedup import dedup_exact
+from pyjelly_ray.stages.extract import ONT, reference_extract
+from pyjelly_ray.stages.link import EXTERN_PREFIX
+
+SEED = 7
+N_FILES = 300
+
+
+@pytest.fixture(scope="module")
+def corpus_path(tmp_path_factory):
+    d = tmp_path_factory.mktemp("corpus")
+    p = str(d / "corpus.parquet")
+    corpus_mod.write_corpus_parquet(p, seed=SEED, n_files=N_FILES)
+    return p
+
+
+def _link_expected(exp: set[tuple], symbols: dict[str, str]) -> set[tuple]:
+    out = set()
+    for s, p, o in exp:
+        if o.startswith("unlinked:"):
+            name = o[9:]
+            hit = symbols.get(name) or symbols.get(name.rsplit(".", 1)[-1])
+            o = hit if hit is not None else EXTERN_PREFIX + name
+        out.add((s, p, o))
+    return out
+
+
+def _expected_linked() -> set[tuple]:
+    """Closed-form expected triples after deterministic linking + dedup."""
+    from pyjelly_ray.stages.extract import RDF_TYPE
+
+    exp = expected_triples(SEED, N_FILES)
+    symbols: dict[str, str] = {}
+    for s, p, o in exp:
+        if p == RDF_TYPE:
+            tail = s.rsplit("/", 1)[-1]
+            if o == ONT + "Module":
+                name = tail
+            else:
+                name = tail.rsplit(".", 1)[-1]
+            if name not in symbols or s < symbols[name]:
+                symbols[name] = s
+    return _link_expected(exp, symbols)
+
+
+def test_extract_link_dedup(ray_session, corpus_path):
+    import ray
+
+    corpus = ray.data.read_parquet(corpus_path)
+    triples = extract_triples(corpus)
+    linked = link_triples(triples)
+    deduped = dedup_exact(linked).materialize()
+
+    got = set()
+    shas = {}
+    for b in deduped.iter_batches(batch_format="pyarrow"):
+        for s, p, o, repo, path, sha in zip(
+            b.column("s_value").to_pylist(),
+            b.column("p_value").to_pylist(),
+            b.column("o_value").to_pylist(),
+            b.column("repo").to_pylist(),
+            b.column("path").to_pylist(),
+            b.column("content_sha256").to_pylist(),
+        ):
+            got.add((s, p, o))
+            shas[(repo, path)] = sha
+
+    assert got == _expected_linked()
+    # dedup: no duplicate statements at all
+    assert deduped.count() == len(got)
+    # sha invariant: the carried hash equals sha256 of the source content
+    by_key = {(r["repo"], r["path"]): r["content"] for r in generate_rows(SEED, N_FILES)}
+    for (repo, path), sha in shas.items():
+        assert hashlib.sha256(by_key[(repo, path)].encode()).hexdigest() == sha
+
+
+def test_full_pipeline_jelly_roundtrip(ray_session, corpus_path, tmp_path, pyjelly_reference):
+    out_dir = str(tmp_path / "kg")
+    manifests = build_kg(corpus_path, out_dir, n_shards=4).materialize()
+    rows = manifests.take_all()
+    assert all(r["status"] == "written" for r in rows)
+    files = sorted(glob.glob(os.path.join(out_dir, "part-*.jelly")))
+    assert files
+
+    # parse back with our decoder
+    from pyjelly_ray.jelly import decode_flat
+
+    got = set()
+    n_total = 0
+    for fp in files:
+        data = open(fp, "rb").read()
+        for stmt in decode_flat(data):
+            got.add((stmt[0][1], stmt[1][1], stmt[2][1]))
+            n_total += 1
+    assert got == _expected_linked()
+    assert n_total == len(got)  # global dedup held across shards
+    assert n_total == sum(r["n_statements"] for r in rows)
+
+    # parse back with reference pyjelly (cross-implementation check)
+    import io
+    import sys
+
+    sys.path.insert(0, "/root/reference")
+    from pyjelly.integrations.generic.generic_sink import GenericStatementSink
+
+    ref_got = set()
+    for fp in files:
+        sink = GenericStatementSink()
+        sink.parse(io.BytesIO(open(fp, "rb").read()))
+        for st in sink.store:
+            ref_got.add((st.s._iri, st.p._iri, st.o._iri))
+    assert ref_got == _expected_linked()
+
+
+def test_resume_skips_unchanged_shards(ray_session, corpus_path, tmp_path):
+    out_dir = str(tmp_path / "kg2")
+    first = build_kg(corpus_path, out_dir, n_shards=4).materialize()
+    assert all(r["status"] == "written" for r in first.take_all())
+    mtimes = {f: os.path.getmtime(f) for f in glob.glob(os.path.join(out_dir, "part-*.jelly"))}
+    second = build_kg(corpus_path, out_dir, n_shards=4).materialize()
+    assert all(r["status"] == "skipped" for r in second.take_all())
+    for f, m in mtimes.items():
+        assert os.path.getmtime(f) == m  # files untouched on resume
+
+
+def test_pipeline_pr_vs_reference_extractor(ray_session, corpus_path):
+    """P/R ≥ 0.95 gate vs the independent single-process extractor."""
+    import ray
+
+    corpus = ray.data.read_parquet(corpus_path)
+    triples = extract_triples(corpus)
+    got = set()
+    for b in triples.iter_batches(batch_format="pyarrow"):
+        got.update(
+            zip(
+                b.column("s_value").to_pylist(),
+                b.column("p_value").to_pylist(),
+                b.column("o_value").to_pylist(),
+            )
+        )
+    ref = reference_extract(list(generate_rows(SEED, N_FILES)))
+    tp = len(got & ref)
+    precision = tp / len(got)
+    recall = tp / len(ref)
+    assert precision >= 0.95 and recall >= 0.95
