@@ -1,44 +1,47 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+- ``entry()``: flagship KG-construction pipeline on a deterministic
+  synthesized corpus (the north-rule input shape) at smoke scale.
+- ``queries()``: one callable per implemented operator/pipeline
+  (SURVEY.md §2 + training-data operators), each over ``sf_dir`` tables.
+- ``oracle_sql()``: DuckDB equivalents with matching column names.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ``ray.init`` / ``ray.shutdown``.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: corpus → extract → link → dedup; returns the triple Dataset."""
+    from pyjelly_ray.pipelines.corpus import write_corpus_parquet
+    from pyjelly_ray.pipelines.kg import extract_triples, link_triples, read_corpus
+    from pyjelly_ray.stages.dedup import dedup_exact
+
+    corpus_path = "/tmp/pyjelly_ray_entry_corpus.parquet"
+    if not os.path.exists(corpus_path):
+        write_corpus_parquet(corpus_path, seed=7, n_files=300)
+    corpus = read_corpus(corpus_path)
+    triples = extract_triples(corpus)
+    linked = link_triples(triples)
+    return dedup_exact(linked)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from pyjelly_ray.pipelines.relational import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from pyjelly_ray.pipelines.relational import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

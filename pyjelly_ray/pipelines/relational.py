@@ -1,0 +1,627 @@
+"""Relational + training-data queries over the driver's parquet tables.
+
+Every public ``q_*`` function takes ``sf_dir`` and returns a Dataset /
+pyarrow Table; ``ORACLE_SQL`` holds the DuckDB-equivalent SQL with IDENTICAL
+output column names (the driver compares by name + value hash).
+
+Ray Data idioms used throughout (SURVEY.md §2.5):
+- column-pruned ``read_parquet``
+- partial-aggregate combiner (``stages.agg.grouped_agg``) before every
+  group-by — shuffle volume is |groups|, not |rows|
+- broadcast joins for small sides (``stages.joins``), ``Dataset.join`` hash
+  shuffle only for big⋈big (lineitem ⋈ orders)
+- per-batch local top-k before global sort+limit
+
+Float determinism: money sums round to 2, ratios to 6, cosine sims to 4 —
+both here and in the SQL; embeddings cast to DOUBLE in SQL to match numpy.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..stages.agg import grouped_agg
+from ..stages.joins import broadcast_join, broadcast_semi
+from ..stages.text import LanguageID, quality_scores, token_stats
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray
+
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# --------------------------------------------------------------------------
+# TPC-H-flavoured relational pipelines
+# --------------------------------------------------------------------------
+
+
+def q1_pricing_summary(sf_dir: str):
+    """Filter → derived column → 6-group aggregate (classic Q1 shape)."""
+    li = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    cutoff = pa.scalar(np.datetime64("1998-09-02", "us"))
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.less_equal(b.column("l_shipdate"), cutoff))
+        disc_price = pc.multiply(
+            b.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), b.column("l_discount"))
+        )
+        return b.append_column("disc_price", disc_price)
+
+    ds = li.map_batches(prep, batch_format="pyarrow")
+    return grouped_agg(
+        ds,
+        ["l_returnflag", "l_linestatus"],
+        [
+            ("sum_qty", "l_quantity", "sum"),
+            ("sum_base_price", "l_extendedprice", "sum"),
+            ("sum_disc_price", "disc_price", "sum"),
+            ("avg_qty", "l_quantity", "mean"),
+            ("avg_price", "l_extendedprice", "mean"),
+            ("avg_disc", "l_discount", "mean"),
+            ("count_order", "l_quantity", "count"),
+        ],
+        round_to=2,
+    )
+
+
+def q3_top_orders(sf_dir: str):
+    """BUILDING-segment revenue top-10: semi-filter + hash join + topk."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    building = cust.filter(lambda r: r["c_mktsegment"] == "BUILDING")
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    orders = broadcast_semi(orders, building, left_key="o_custkey", right_key="c_custkey")
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+    cutoff = pa.scalar(np.datetime64("1998-03-15", "us"))
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater(b.column("l_shipdate"), cutoff))
+        rev = pc.multiply(
+            b.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), b.column("l_discount"))
+        )
+        return pa.table({"l_orderkey": b.column("l_orderkey"), "rev": rev})
+
+    li = li.map_batches(prep, batch_format="pyarrow")
+    # big ⋈ big: Ray hash shuffle join (scale path; partitions sized by data)
+    joined = li.join(
+        orders, join_type="inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",)
+    )
+    agg = grouped_agg(joined, ["l_orderkey"], [("revenue", "rev", "sum")], round_to=2)
+    return agg.sort(["revenue", "l_orderkey"], descending=[True, False]).limit(10)
+
+
+def q5_nation_revenue(sf_dir: str):
+    """Per-nation customer revenue: 3 broadcast dims + 1 hash join."""
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    cust = broadcast_join(nation_ds := cust, nation, left_key="c_nationkey", right_key="n_nationkey", columns=["n_name"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    orders = broadcast_join(orders, cust, left_key="o_custkey", right_key="c_custkey", columns=["n_name"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            b.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), b.column("l_discount"))
+        )
+        return pa.table({"l_orderkey": b.column("l_orderkey"), "rev": rev})
+
+    li = li.map_batches(prep, batch_format="pyarrow")
+    joined = li.join(
+        orders, join_type="inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",)
+    )
+    return grouped_agg(joined, ["n_name"], [("revenue", "rev", "sum")], round_to=2)
+
+
+def q_top_parts(sf_dir: str):
+    """Group-by part, broadcast part names, global top-10 by quantity."""
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+    agg = grouped_agg(li, ["l_partkey"], [("sum_qty", "l_quantity", "sum")], round_to=2)
+    part = _read(sf_dir, "part", ["p_partkey", "p_name"])
+    joined = broadcast_join(agg, part, left_key="l_partkey", right_key="p_partkey", columns=["p_name"])
+    return joined.sort(["sum_qty", "l_partkey"], descending=[True, False]).limit(10)
+
+
+def q_mktsegment_stats(sf_dir: str):
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    joined = broadcast_join(orders, cust, left_key="o_custkey", right_key="c_custkey", columns=["c_mktsegment"])
+    return grouped_agg(
+        joined,
+        ["c_mktsegment"],
+        [
+            ("n_orders", "o_totalprice", "count"),
+            ("sum_totalprice", "o_totalprice", "sum"),
+            ("avg_totalprice", "o_totalprice", "mean"),
+        ],
+        round_to=2,
+    )
+
+
+def q_high_value_orders(sf_dir: str):
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"])
+    filtered = orders.map_batches(
+        lambda b: b.filter(pc.greater(b.column("o_totalprice"), 400000.0)),
+        batch_format="pyarrow",
+    )
+    return filtered.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(100)
+
+
+def q_order_status(sf_dir: str):
+    """count + count-distinct per status (two-phase distinct)."""
+    orders = _read(sf_dir, "orders", ["o_orderstatus", "o_custkey"])
+    counts = grouped_agg(orders, ["o_orderstatus"], [("n_orders", "o_custkey", "count")])
+    distinct_pairs = grouped_agg(
+        orders, ["o_orderstatus", "o_custkey"], [("one", "o_custkey", "count")]
+    )
+    ncust = grouped_agg(distinct_pairs, ["o_orderstatus"], [("n_customers", "one", "count")])
+    left = _to_table(counts).select(["o_orderstatus", "n_orders"])
+    right = _to_table(ncust).select(["o_orderstatus", "n_customers"])
+    return left.join(right, keys=["o_orderstatus"])
+
+
+def q_events_by_type(sf_dir: str):
+    ev = _read(sf_dir, "events", ["event_type", "value", "user_id"])
+    base = grouped_agg(
+        ev,
+        ["event_type"],
+        [
+            ("n_events", "value", "count"),
+            ("sum_value", "value", "sum"),
+            ("avg_value", "value", "mean"),
+        ],
+        round_to=2,
+    )
+    pairs = grouped_agg(ev, ["event_type", "user_id"], [("one", "value", "count")])
+    nuser = grouped_agg(pairs, ["event_type"], [("n_users", "one", "count")])
+    return _to_table(base).join(_to_table(nuser).select(["event_type", "n_users"]), keys=["event_type"])
+
+
+def q_events_hourly(sf_dir: str):
+    ev = _read(sf_dir, "events", ["ts", "value"])
+
+    def hour(b: pa.Table) -> pa.Table:
+        key = pc.strftime(b.column("ts"), format="%Y-%m-%d %H:00:00")
+        return pa.table({"hour": key, "value": b.column("value")})
+
+    ds = ev.map_batches(hour, batch_format="pyarrow")
+    return grouped_agg(
+        ds, ["hour"], [("n_events", "value", "count"), ("sum_value", "value", "sum")], round_to=2
+    )
+
+
+def q_nation_customers(sf_dir: str):
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"])
+    region = _read(sf_dir, "region", ["r_regionkey", "r_name"])
+    j1 = broadcast_join(cust, nation, left_key="c_nationkey", right_key="n_nationkey", columns=["n_name", "n_regionkey"])
+    j2 = broadcast_join(j1, region, left_key="n_regionkey", right_key="r_regionkey", columns=["r_name"])
+    return grouped_agg(j2, ["r_name", "n_name"], [("n_customers", "c_custkey", "count")])
+
+
+def q_part_type_stats(sf_dir: str):
+    part = _read(sf_dir, "part", ["p_type", "p_retailprice"])
+    return grouped_agg(
+        part,
+        ["p_type"],
+        [
+            ("n_parts", "p_retailprice", "count"),
+            ("avg_retail", "p_retailprice", "mean"),
+            ("max_retail", "p_retailprice", "max"),
+        ],
+        round_to=2,
+    )
+
+
+# --------------------------------------------------------------------------
+# documents / text analysis
+# --------------------------------------------------------------------------
+
+
+def q_doc_token_stats(sf_dir: str):
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    stats = docs.map_batches(token_stats, batch_format="pyarrow")
+    return grouped_agg(
+        stats,
+        ["lang"],
+        [
+            ("n_docs", "n_tokens", "count"),
+            ("sum_tokens", "n_tokens", "sum"),
+            ("avg_tokens", "n_tokens", "mean"),
+            ("avg_chars", "n_chars", "mean"),
+        ],
+        round_to=6,
+    )
+
+
+def q_doc_quality(sf_dir: str):
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    scored = docs.map_batches(quality_scores, batch_format="pyarrow")
+    return grouped_agg(
+        scored,
+        ["lang"],
+        [
+            ("avg_stopword_ratio", "stopword_ratio", "mean"),
+            ("avg_token_len", "mean_token_len", "mean"),
+            ("n_docs", "stopword_ratio", "count"),
+        ],
+        round_to=6,
+    )
+
+
+def q_doc_dedup_stats(sf_dir: str):
+    """Exact dedup bookkeeping: docs vs distinct texts per lang."""
+    import hashlib
+
+    docs = _read(sf_dir, "documents", ["text", "lang"])
+
+    def h(b: pa.Table) -> pa.Table:
+        hs = [hashlib.sha256(t.encode()).hexdigest() for t in b.column("text").to_pylist()]
+        return pa.table({"lang": b.column("lang"), "h": pa.array(hs, pa.string())})
+
+    hashed = docs.map_batches(h, batch_format="pyarrow")
+    n_docs = grouped_agg(hashed, ["lang"], [("n_docs", "h", "count")])
+    distinct = grouped_agg(hashed, ["lang", "h"], [("one", "h", "count")])
+    n_uniq = grouped_agg(distinct, ["lang"], [("n_unique", "one", "count")])
+    return _to_table(n_docs).join(_to_table(n_uniq).select(["lang", "n_unique"]), keys=["lang"])
+
+
+def q_lang_id(sf_dir: str):
+    """Heuristic language-ID distribution (marker-vocabulary argmax)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    pred = docs.map_batches(LanguageID, batch_format="pyarrow", concurrency=(1, 4))
+    return grouped_agg(pred, ["pred_lang"], [("n_docs", "doc_id", "count")])
+
+
+def q_doc_fingerprints(sf_dir: str):
+    import hashlib
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fp(b: pa.Table) -> pa.Table:
+        hs = [hashlib.sha256(t.encode()).hexdigest() for t in b.column("text").to_pylist()]
+        return pa.table({"doc_id": b.column("doc_id"), "fp_sha256": pa.array(hs, pa.string())})
+
+    return docs.map_batches(fp, batch_format="pyarrow")
+
+
+def q_doc_mentions(sf_dir: str):
+    """Extraction fan-out: distinct words (len ≥ 6) per doc."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def mentions(b: pa.Table) -> pa.Table:
+        out_id, out_word = [], []
+        for d, t in zip(b.column("doc_id").to_pylist(), b.column("text").to_pylist()):
+            seen = set()
+            for w in (t or "").split(" "):
+                if len(w) >= 6 and w not in seen:
+                    seen.add(w)
+                    out_id.append(d)
+                    out_word.append(w)
+        return pa.table(
+            {"doc_id": pa.array(out_id, pa.int64()), "word": pa.array(out_word, pa.string())}
+        )
+
+    return docs.map_batches(mentions, batch_format="pyarrow")
+
+
+def q_kg_jelly_roundtrip(sf_dir: str):
+    """documents → mention triples → Jelly bytes → decode → count.
+
+    Full format round-trip inside the query; the count is SQL-checkable.
+    """
+    from ..jelly import StreamOptions, decode_flat, encode_flat
+    from ..stages.extract import ONT
+
+    mentions = q_doc_mentions(sf_dir)
+
+    def to_jelly_and_back(b: pa.Table) -> pa.Table:
+        stmts = [
+            (
+                (1, f"https://codekg.dev/doc/{d}", None, None),
+                (1, ONT + "mentions", None, None),
+                (3, w, None, None),
+            )
+            for d, w in zip(b.column("doc_id").to_pylist(), b.column("word").to_pylist())
+        ]
+        data = b"".join(encode_flat(iter(stmts), StreamOptions()))
+        n = sum(1 for _ in decode_flat(data))
+        return pa.table({"p_value": pa.array([ONT + "mentions"]), "n": pa.array([n], pa.int64())})
+
+    per_block = mentions.map_batches(to_jelly_and_back, batch_format="pyarrow")
+    return grouped_agg(per_block, ["p_value"], [("n_statements", "n", "sum")])
+
+
+# --------------------------------------------------------------------------
+# embeddings / similarity search
+# --------------------------------------------------------------------------
+
+
+def _query_vec(sf_dir: str) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    idx = t.column("vec_id").to_pylist().index(0)
+    return np.asarray(t.column("embedding")[idx].as_py(), dtype=np.float64)
+
+
+def q_embedding_sim_range(sf_dir: str):
+    """Range search: all vectors with cosine ≥ 0.15 vs vec 0 (rounded 4)."""
+    from ..stages.ann import cosine_threshold
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q = _query_vec(sf_dir)
+    return cosine_threshold(emb, q, 0.15, round_to=4)
+
+
+def q_embedding_topk(sf_dir: str):
+    from ..stages.ann import cosine_topk
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return cosine_topk(emb, _query_vec(sf_dir), k=10, round_to=4)
+
+
+def q_embedding_label_stats(sf_dir: str):
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+
+    def norms(b: pa.Table) -> pa.Table:
+        m = np.asarray(b.column("embedding").to_pylist(), dtype=np.float64)
+        n = np.round(np.linalg.norm(m, axis=1), 4)
+        return pa.table({"label": b.column("label"), "norm": pa.array(n, pa.float64())})
+
+    ds = emb.map_batches(norms, batch_format="pyarrow")
+    return grouped_agg(
+        ds, ["label"], [("n_vecs", "norm", "count"), ("avg_norm", "norm", "mean")], round_to=4
+    )
+
+
+def q_embedding_ivf_topk(sf_dir: str):
+    from ..stages.ann import ivf_assign, ivf_centroids, ivf_topk
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cents = ivf_centroids(emb, 16)
+    assigned = ivf_assign(emb, cents)
+    return ivf_topk(assigned, cents, _query_vec(sf_dir), k=10, nprobe=8, round_to=4)
+
+
+def q_embedding_dup_pairs(sf_dir: str):
+    from ..stages.ann import embedding_dup_pairs
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return embedding_dup_pairs(emb, tau=0.8)
+
+
+def q_minhash_pairs(sf_dir: str):
+    from ..stages.sim import minhash_dup_pairs
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_dup_pairs(docs, threshold=0.5)
+
+
+def q_simhash_pairs(sf_dir: str):
+    from ..stages.sim import simhash_dup_pairs
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return simhash_dup_pairs(docs, max_hamming=8)
+
+
+def q_multimodal_features(sf_dir: str):
+    """Multimodal plumbing: synth media table → actor-pool decode stub."""
+    import ray
+
+    from ..stages.multimodal import ImageDecodeStub, synth_media_table
+
+    media = ray.data.from_arrow(synth_media_table(128))
+    feats = media.map_batches(
+        ImageDecodeStub, batch_format="pyarrow", batch_size=32, concurrency=2
+    )
+
+    def summarize(b: pa.Table) -> pa.Table:
+        dims = pc.list_value_length(b.column("features"))
+        return pa.table({"media_id": b.column("media_id"), "n_features": pc.cast(dims, pa.int64())})
+
+    return feats.map_batches(summarize, batch_format="pyarrow")
+
+
+def _to_table(ds) -> pa.Table:
+    batches = list(ds.iter_batches(batch_format="pyarrow"))
+    if not batches:
+        return pa.table({})
+    return pa.concat_tables(batches, promote_options="default")
+
+
+# --------------------------------------------------------------------------
+# oracle SQL (column names must match the Ray outputs exactly)
+# --------------------------------------------------------------------------
+
+ORACLE_SQL: dict[str, str] = {
+    "q1_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(avg(l_quantity), 2) AS avg_qty,
+               round(avg(l_extendedprice), 2) AS avg_price,
+               round(avg(l_discount), 2) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "q3_top_orders": """
+        SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        WHERE c_mktsegment = 'BUILDING' AND l_shipdate > TIMESTAMP '1998-03-15'
+        GROUP BY l_orderkey
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """,
+    "q5_nation_revenue": """
+        SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation ON n_nationkey = c_nationkey
+        GROUP BY n_name
+    """,
+    "q_top_parts": """
+        SELECT l_partkey, round(sum(l_quantity), 2) AS sum_qty, p_name
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        GROUP BY l_partkey, p_name
+        ORDER BY sum_qty DESC, l_partkey
+        LIMIT 10
+    """,
+    "q_mktsegment_stats": """
+        SELECT c_mktsegment,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS sum_totalprice,
+               round(avg(o_totalprice), 2) AS avg_totalprice
+        FROM orders JOIN customer ON c_custkey = o_custkey
+        GROUP BY c_mktsegment
+    """,
+    "q_high_value_orders": """
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+        FROM orders WHERE o_totalprice > 400000
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 100
+    """,
+    "q_order_status": """
+        SELECT o_orderstatus, count(*) AS n_orders,
+               count(DISTINCT o_custkey) AS n_customers
+        FROM orders GROUP BY o_orderstatus
+    """,
+    "q_events_by_type": """
+        SELECT event_type, count(*) AS n_events,
+               round(sum(value), 2) AS sum_value,
+               round(avg(value), 2) AS avg_value,
+               count(DISTINCT user_id) AS n_users
+        FROM events GROUP BY event_type
+    """,
+    "q_events_hourly": """
+        SELECT strftime(ts, '%Y-%m-%d %H:00:00') AS hour,
+               count(*) AS n_events, round(sum(value), 2) AS sum_value
+        FROM events GROUP BY 1
+    """,
+    "q_nation_customers": """
+        SELECT r_name, n_name, count(*) AS n_customers
+        FROM customer
+        JOIN nation ON n_nationkey = c_nationkey
+        JOIN region ON r_regionkey = n_regionkey
+        GROUP BY r_name, n_name
+    """,
+    "q_part_type_stats": """
+        SELECT p_type, count(*) AS n_parts,
+               round(avg(p_retailprice), 2) AS avg_retail,
+               round(max(p_retailprice), 2) AS max_retail
+        FROM part GROUP BY p_type
+    """,
+    "q_doc_token_stats": """
+        SELECT lang, count(*) AS n_docs,
+               sum(len(string_split(text, ' '))) AS sum_tokens,
+               round(avg(len(string_split(text, ' '))), 6) AS avg_tokens,
+               round(avg(length(text)), 6) AS avg_chars
+        FROM documents GROUP BY lang
+    """,
+    "q_doc_quality": """
+        WITH perdoc AS (
+            SELECT lang,
+                   round(len(list_filter(string_split(text, ' '),
+                                         w -> w IN ('the', 'a'))) * 1.0
+                         / len(string_split(text, ' ')), 6) AS sr,
+                   round(list_aggregate(list_transform(string_split(text, ' '),
+                                                       w -> length(w)), 'avg'), 6) AS mtl
+            FROM documents)
+        SELECT lang, round(avg(sr), 6) AS avg_stopword_ratio,
+               round(avg(mtl), 6) AS avg_token_len, count(*) AS n_docs
+        FROM perdoc GROUP BY lang
+    """,
+    "q_doc_dedup_stats": """
+        SELECT lang, count(*) AS n_docs, count(DISTINCT text) AS n_unique
+        FROM documents GROUP BY lang
+    """,
+    "q_lang_id": """
+        WITH scored AS (
+            SELECT doc_id,
+                   len(list_filter(string_split(text,' '), w -> w IN ('der','die','und'))) AS s_de,
+                   len(list_filter(string_split(text,' '), w -> w IN ('and','of','the'))) AS s_en,
+                   len(list_filter(string_split(text,' '), w -> w IN ('de','el','la'))) AS s_es
+            FROM documents)
+        SELECT pred_lang, count(*) AS n_docs FROM (
+            SELECT CASE
+                WHEN s_de >= s_en AND s_de >= s_es AND s_de > 0 THEN 'de'
+                WHEN s_en >= s_es AND s_en > 0 THEN 'en'
+                WHEN s_es > 0 THEN 'es'
+                ELSE 'unk' END AS pred_lang
+            FROM scored)
+        GROUP BY pred_lang
+    """,
+    "q_doc_fingerprints": """
+        SELECT doc_id, sha256(text) AS fp_sha256 FROM documents
+    """,
+    "q_doc_mentions": """
+        SELECT doc_id, word FROM (
+            SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word
+            FROM documents)
+        WHERE length(word) >= 6
+    """,
+    "q_kg_jelly_roundtrip": """
+        SELECT 'https://codekg.dev/ont#mentions' AS p_value,
+               count(*) AS n_statements
+        FROM (
+            SELECT doc_id, word FROM (
+                SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word
+                FROM documents)
+            WHERE length(word) >= 6)
+    """,
+    "q_embedding_sim_range": """
+        SELECT * FROM (
+            SELECT vec_id,
+                   round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                         (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 4) AS sim
+            FROM embeddings)
+        WHERE sim >= 0.15
+    """,
+    "q_embedding_label_stats": """
+        SELECT label, count(*) AS n_vecs,
+               round(avg(round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                                     CAST(embedding AS DOUBLE[]))), 4)), 4) AS avg_norm
+        FROM embeddings GROUP BY label
+    """,
+}
+
+#: queries with no SQL equivalent (driver records rows-only check)
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_top_orders": q3_top_orders,
+    "q5_nation_revenue": q5_nation_revenue,
+    "q_top_parts": q_top_parts,
+    "q_mktsegment_stats": q_mktsegment_stats,
+    "q_high_value_orders": q_high_value_orders,
+    "q_order_status": q_order_status,
+    "q_events_by_type": q_events_by_type,
+    "q_events_hourly": q_events_hourly,
+    "q_nation_customers": q_nation_customers,
+    "q_part_type_stats": q_part_type_stats,
+    "q_doc_token_stats": q_doc_token_stats,
+    "q_doc_quality": q_doc_quality,
+    "q_doc_dedup_stats": q_doc_dedup_stats,
+    "q_lang_id": q_lang_id,
+    "q_doc_fingerprints": q_doc_fingerprints,
+    "q_doc_mentions": q_doc_mentions,
+    "q_kg_jelly_roundtrip": q_kg_jelly_roundtrip,
+    "q_embedding_sim_range": q_embedding_sim_range,
+    "q_embedding_topk": q_embedding_topk,
+    "q_embedding_label_stats": q_embedding_label_stats,
+    "q_embedding_ivf_topk": q_embedding_ivf_topk,
+    "q_embedding_dup_pairs": q_embedding_dup_pairs,
+    "q_minhash_pairs": q_minhash_pairs,
+    "q_simhash_pairs": q_simhash_pairs,
+    "q_multimodal_features": q_multimodal_features,
+}

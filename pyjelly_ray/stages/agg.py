@@ -1,0 +1,111 @@
+"""Scale-aware grouped aggregation: partial combine → small shuffle → finalize.
+
+``grouped_agg`` expresses SUM/COUNT/MEAN/MIN/MAX group-bys as:
+
+1. per-batch partial aggregation with Arrow's ``Table.group_by`` (vectorized,
+   no shuffle) — the combiner that collapses each block to ≤ |groups| rows;
+2. one Ray ``groupby(keys).sum/min/max`` over the partials (the only
+   all-to-all, now tiny);
+3. a finalize ``map_batches`` computing derived columns (mean = sum/count)
+   and giving every output column its user-specified name — names are part
+   of the oracle contract (driver compares by column name).
+
+This is the map-side-combine pattern SURVEY.md §2.5 calls for; at 100 TB the
+shuffle volume is |groups| × blocks, not the raw row count.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+#: spec = (out_name, src_col, fn) with fn ∈ {"sum","count","mean","min","max"}
+Spec = tuple
+
+
+def _partial_fn(keys: list[str], specs: list[Spec]):
+    aggs = []
+    seen = set()
+    for _, col, fn in specs:
+        if fn in ("sum", "mean"):
+            if ("s", col) not in seen:
+                aggs.append((col, "sum"))
+                seen.add(("s", col))
+        if fn in ("count", "mean"):
+            if ("c",) not in seen:
+                seen.add(("c",))
+        if fn in ("min", "max"):
+            if (fn, col) not in seen:
+                aggs.append((col, fn))
+                seen.add((fn, col))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        work = batch.append_column("__cnt", pa.array([1] * batch.num_rows, pa.int64()))
+        plan = list(aggs) + [("__cnt", "sum")]
+        out = work.group_by(keys).aggregate(plan)
+        # pyarrow names results "<col>_<fn>"
+        return out
+
+    return partial
+
+
+def grouped_agg(ds, keys: list[str] | str, specs: list[Spec], *, round_to: int | None = None):
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    partial = _partial_fn(keys, specs)
+    partial_ds = ds.map_batches(partial, batch_format="pyarrow")
+
+    # global combine over partials: sum the sums/counts, min the mins, ...
+    sum_cols = sorted(
+        {f"{col}_sum" for _, col, fn in specs if fn in ("sum", "mean")} | {"__cnt_sum"}
+    )
+    min_cols = sorted({f"{col}_min" for _, col, fn in specs if fn == "min"})
+    max_cols = sorted({f"{col}_max" for _, col, fn in specs if fn == "max"})
+
+    gb = partial_ds.groupby(keys)
+    aggregated = gb.sum(sum_cols) if sum_cols else None
+    # Ray's groupby supports one agg kind per call; chain via join-free trick:
+    # run min/max against the same grouped data only when requested.
+    if min_cols or max_cols:
+        # rare path: fold min/max through a second pass merged by map_groups
+        def _fold(group: pa.Table) -> pa.Table:
+            out = {k: [group.column(k)[0].as_py()] for k in keys}
+            for c in sum_cols:
+                out[c] = [pc.sum(group.column(c)).as_py()]
+            for c in min_cols:
+                out[c] = [pc.min(group.column(c)).as_py()]
+            for c in max_cols:
+                out[c] = [pc.max(group.column(c)).as_py()]
+            return pa.table(out)
+
+        aggregated = gb.map_groups(_fold, batch_format="pyarrow")
+        summed_name = {c: c for c in sum_cols}
+    else:
+        summed_name = {c: f"sum({c})" for c in sum_cols}
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        cols: dict[str, object] = {k: batch.column(k) for k in keys}
+        cnt = batch.column(summed_name["__cnt_sum"])
+        for out_name, col, fn in specs:
+            if fn == "sum":
+                v = batch.column(summed_name[f"{col}_sum"])
+            elif fn == "count":
+                v = cnt
+            elif fn == "mean":
+                v = pc.divide(
+                    pc.cast(batch.column(summed_name[f"{col}_sum"]), pa.float64()),
+                    pc.cast(cnt, pa.float64()),
+                )
+            elif fn == "min":
+                v = batch.column(f"{col}_min")
+            elif fn == "max":
+                v = batch.column(f"{col}_max")
+            else:
+                raise ValueError(fn)
+            if round_to is not None and pa.types.is_floating(v.type):
+                v = pc.round(v, ndigits=round_to)
+            cols[out_name] = v
+        return pa.table(cols)
+
+    return aggregated.map_batches(finalize, batch_format="pyarrow")

@@ -1,0 +1,249 @@
+"""Near-duplicate detection families: MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale shapes (each documented with its partitioning assumption):
+
+- MinHash+LSH: doc → shingles → 64-perm signature (numpy, vectorized per
+  doc) → 16 bands × 4 rows → ``groupby(bucket)`` (the shuffle; bucket keys
+  are hashes → uniform, no salting needed) → candidate pairs within bucket →
+  signature-estimated Jaccard ≥ threshold.  Signatures travel with the rows,
+  so verification never re-reads the corpus.
+- SimHash: 64-bit fingerprint; banding on 4 × 16-bit chunks for candidate
+  generation; Hamming-distance verify.
+- n-gram Jaccard: exact verify kernel used on candidate pairs (and directly
+  for small within-group brute force).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+_MERSENNE = (1 << 61) - 1
+N_PERM = 64
+N_BANDS = 16
+ROWS_PER_BAND = N_PERM // N_BANDS
+
+
+def _perm_params(seed: int = 42):
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=N_PERM, dtype=np.int64).astype(np.uint64)
+    b = rng.randint(0, _MERSENNE, size=N_PERM, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    toks = text.split(" ")
+    if len(toks) < k:
+        shingles = [" ".join(toks)] if toks else []
+    else:
+        shingles = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    out = np.empty(max(len(shingles), 1), dtype=np.uint64)
+    if not shingles:
+        out[0] = 0
+        return out
+    for i, s in enumerate(shingles):
+        out[i] = int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
+    return out
+
+
+class MinHasher:
+    """map_batches actor stage: documents → (doc_id, band, bucket, sig)."""
+
+    def __init__(self, seed: int = 42, shingle_k: int = 3) -> None:
+        self.a, self.b = _perm_params(seed)
+        self.k = shingle_k
+
+    def signature(self, text: str) -> np.ndarray:
+        x = _shingle_hashes(text, self.k) % _MERSENNE
+        # h_i(x) = (a_i * x + b_i) mod p, min over shingles — vectorized
+        vals = (np.outer(self.a, x) + self.b[:, None]) % _MERSENNE
+        return vals.min(axis=1).astype(np.uint64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_doc, out_band, out_bucket, out_sig = [], [], [], []
+        for d, t in zip(doc_ids, texts):
+            sig = self.signature(t or "")
+            sig_bytes = sig.tobytes()
+            for band in range(N_BANDS):
+                chunk = sig_bytes[band * ROWS_PER_BAND * 8 : (band + 1) * ROWS_PER_BAND * 8]
+                bucket = hashlib.blake2b(
+                    chunk + band.to_bytes(2, "big"), digest_size=8
+                ).hexdigest()
+                out_doc.append(d)
+                out_band.append(band)
+                out_bucket.append(bucket)
+                out_sig.append(sig_bytes)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_doc, pa.int64()),
+                "band": pa.array(out_band, pa.int32()),
+                "bucket": pa.array(out_bucket, pa.string()),
+                "sig": pa.array(out_sig, pa.binary()),
+            }
+        )
+
+
+def _pairs_from_bucket(group: pa.Table) -> pa.Table:
+    """Candidate pairs within one LSH bucket, signature-verified."""
+    ids = group.column("doc_id").to_pylist()
+    sigs = group.column("sig").to_pylist()
+    uniq: dict[int, bytes] = {}
+    for i, s in zip(ids, sigs):
+        uniq[i] = s
+    items = sorted(uniq.items())
+    a_out, b_out, j_out = [], [], []
+    for i in range(len(items)):
+        ai, asig = items[i]
+        av = np.frombuffer(asig, dtype=np.uint64)
+        for j in range(i + 1, len(items)):
+            bi, bsig = items[j]
+            bv = np.frombuffer(bsig, dtype=np.uint64)
+            est = float((av == bv).mean())
+            a_out.append(ai)
+            b_out.append(bi)
+            j_out.append(est)
+    return pa.table(
+        {
+            "doc_a": pa.array(a_out, pa.int64()),
+            "doc_b": pa.array(b_out, pa.int64()),
+            "est_jaccard": pa.array(j_out, pa.float64()),
+        }
+    )
+
+
+def minhash_dup_pairs(docs_ds, *, threshold: float = 0.8, seed: int = 42):
+    """documents Dataset → deduplicated near-dup pairs (est. Jaccard ≥ t)."""
+    import pyarrow.compute as pc
+
+    banded = docs_ds.map_batches(
+        MinHasher, fn_constructor_args=(seed,), batch_format="pyarrow", concurrency=(1, 8)
+    )
+    pairs = banded.groupby("bucket").map_groups(_pairs_from_bucket, batch_format="pyarrow")
+    pairs = pairs.map_batches(
+        lambda b: b.filter(pc.greater_equal(b.column("est_jaccard"), threshold)),
+        batch_format="pyarrow",
+    )
+    # same pair may surface from multiple bands → dedup on (a, b)
+    def _key(b: pa.Table) -> pa.Table:
+        k = pc.binary_join_element_wise(
+            pc.cast(b.column("doc_a"), pa.string()),
+            pc.cast(b.column("doc_b"), pa.string()),
+            ":",
+        )
+        return b.append_column("pair", k)
+
+    def _first(group: pa.Table) -> pa.Table:
+        return group.slice(0, 1).drop_columns(["pair"])
+
+    return pairs.map_batches(_key, batch_format="pyarrow").groupby("pair").map_groups(
+        _first, batch_format="pyarrow"
+    )
+
+
+# ----------------------------- SimHash -------------------------------------
+
+
+def simhash64(text: str) -> int:
+    acc = np.zeros(64, dtype=np.int64)
+    for tok in text.split(" "):
+        h = int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
+        bits = np.unpackbits(np.frombuffer(h.to_bytes(8, "big"), dtype=np.uint8))
+        acc += bits.astype(np.int64) * 2 - 1
+    out = 0
+    for i, v in enumerate(acc):
+        if v > 0:
+            out |= 1 << (63 - i)
+    return out
+
+
+def simhash_batch(batch: pa.Table) -> pa.Table:
+    hashes = [simhash64(t or "") for t in batch.column("text").to_pylist()]
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "simhash": pa.array(hashes, pa.uint64()),
+        }
+    )
+
+
+def simhash_dup_pairs(docs_ds, *, max_hamming: int = 3):
+    """SimHash near-dups: band 4 × 16-bit chunks → bucket → Hamming verify."""
+    import pyarrow.compute as pc
+
+    def band(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        hs = batch.column("simhash").to_pylist()
+        o_id, o_bucket, o_h = [], [], []
+        for d, h in zip(ids, hs):
+            for chunk in range(4):
+                part = (h >> (16 * chunk)) & 0xFFFF
+                o_id.append(d)
+                o_bucket.append(f"{chunk}:{part:04x}")
+                o_h.append(h)
+        return pa.table(
+            {
+                "doc_id": pa.array(o_id, pa.int64()),
+                "bucket": pa.array(o_bucket, pa.string()),
+                "simhash": pa.array(o_h, pa.uint64()),
+            }
+        )
+
+    def pairs(group: pa.Table) -> pa.Table:
+        items = sorted(set(zip(group.column("doc_id").to_pylist(), group.column("simhash").to_pylist())))
+        a_out, b_out, d_out = [], [], []
+        for i in range(len(items)):
+            for j in range(i + 1, len(items)):
+                d = bin(items[i][1] ^ items[j][1]).count("1")
+                if d <= max_hamming:
+                    a_out.append(items[i][0])
+                    b_out.append(items[j][0])
+                    d_out.append(d)
+        return pa.table(
+            {
+                "doc_a": pa.array(a_out, pa.int64()),
+                "doc_b": pa.array(b_out, pa.int64()),
+                "hamming": pa.array(d_out, pa.int64()),
+            }
+        )
+
+    hashed = docs_ds.map_batches(simhash_batch, batch_format="pyarrow")
+    banded = hashed.map_batches(band, batch_format="pyarrow")
+    cand = banded.groupby("bucket").map_groups(pairs, batch_format="pyarrow")
+
+    def _key(b: pa.Table) -> pa.Table:
+        k = pc.binary_join_element_wise(
+            pc.cast(b.column("doc_a"), pa.string()),
+            pc.cast(b.column("doc_b"), pa.string()),
+            ":",
+        )
+        return b.append_column("pair", k)
+
+    def _first(group: pa.Table) -> pa.Table:
+        return group.slice(0, 1).drop_columns(["pair"])
+
+    return cand.map_batches(_key, batch_format="pyarrow").groupby("pair").map_groups(
+        _first, batch_format="pyarrow"
+    )
+
+
+# -------------------------- n-gram Jaccard ----------------------------------
+
+
+def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
+    """Exact word-n-gram Jaccard similarity (verification kernel)."""
+
+    def grams(t: str) -> set:
+        toks = t.split(" ")
+        if len(toks) < n:
+            return {" ".join(toks)} if toks else set()
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    ga, gb = grams(a), grams(b)
+    if not ga and not gb:
+        return 1.0
+    inter = len(ga & gb)
+    return inter / (len(ga) + len(gb) - inter)

@@ -1,0 +1,89 @@
+"""Driver-mirror correctness gate: every oracle query Ray-vs-DuckDB.
+
+Replicates the driver's compare at sf0.001: row count, column names, and
+order-insensitive value equality (columns sorted by name).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+def _to_pandas(result) -> pd.DataFrame:
+    if isinstance(result, pd.DataFrame):
+        return result
+    if isinstance(result, pa.Table):
+        return result.to_pandas()
+    return result.to_pandas()  # ray Dataset
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]").astype(str)
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(9)
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+def _oracle_names():
+    import __ray_entry__ as e
+
+    return sorted(e.oracle_sql().keys())
+
+
+@pytest.mark.parametrize("name", _oracle_names())
+def test_query_matches_oracle(ray_session, ddb, name):
+    import __ray_entry__ as e
+
+    q = e.queries()[name]
+    sql = e.oracle_sql()[name]
+    ray_df = _canon(_to_pandas(q(SF_DIR)))
+    ddb_df = _canon(ddb.execute(sql).fetchdf())
+    assert list(ray_df.columns) == list(ddb_df.columns), (
+        f"columns differ: {list(ray_df.columns)} vs {list(ddb_df.columns)}"
+    )
+    assert len(ray_df) == len(ddb_df), f"row count {len(ray_df)} vs {len(ddb_df)}"
+    pd.testing.assert_frame_equal(ray_df, ddb_df, check_dtype=False, check_exact=False, rtol=1e-6)
+
+
+def test_rows_only_queries_run(ray_session):
+    import __ray_entry__ as e
+
+    qs = e.queries()
+    oracles = e.oracle_sql()
+    for name, fn in qs.items():
+        if name in oracles:
+            continue
+        df = _to_pandas(fn(SF_DIR))
+        assert df is not None and len(df) >= 0, name
+
+
+def test_entry_runs(ray_session):
+    import __ray_entry__ as e
+
+    ds = e.entry()
+    df = _to_pandas(ds)
+    assert len(df) > 0
+    assert "s_value" in df.columns
