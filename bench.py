@@ -1,0 +1,214 @@
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+   "num_cpus": N, "kg": {...}}
+
+Modes:
+  python bench.py            # full bench at $RAY_GRAFT_CPUS (default 32)
+  python bench.py --scaling  # same KG job at 8 vs 32 CPUs in fresh
+                             # processes; prints throughputs + efficiency
+
+The headline metric is end-to-end KG-construct wall time (corpus →
+extract → link → dedup → Jelly shards) plus per-query wall times for the
+representative operator pipelines. Codec-only serialize/parse throughput is
+also measured (single core, bytes/s).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+#: corpus size per sf directory (deterministic synthesized code corpus)
+_CORPUS_FILES = {"sf0.001": 300, "sf0.01": 3000, "sf0.1": 30000}
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_nation_revenue",
+    "q_top_parts",
+    "q_mktsegment_stats",
+    "q_events_by_type",
+    "q_doc_token_stats",
+    "q_doc_quality",
+    "q_minhash_pairs",
+    "q_simhash_pairs",
+    "q_embedding_topk",
+    "q_embedding_sim_range",
+    "q_kg_jelly_roundtrip",
+]
+
+
+def _sf_tag(sf_dir: str) -> str:
+    return os.path.basename(os.path.normpath(sf_dir))
+
+
+def _corpus_path(sf_dir: str, n_files: int | None = None) -> str:
+    tag = _sf_tag(sf_dir)
+    n = n_files or _CORPUS_FILES.get(tag, 3000)
+    path = f"/tmp/pyjelly_ray_corpus_{tag}_{n}.parquet"
+    if not os.path.exists(path):
+        from pyjelly_ray.pipelines.corpus import write_corpus_parquet
+
+        write_corpus_parquet(path, seed=7, n_files=n)
+    return path
+
+
+def _consume(ds) -> int:
+    n = 0
+    for b in ds.iter_batches(batch_format="pyarrow"):
+        n += b.num_rows
+    return n
+
+
+def run_kg(sf_dir: str, out_root: str = "/tmp/pyjelly_ray_bench_kg",
+           n_files: int | None = None) -> dict:
+    """End-to-end KG construct; returns wall, rows, triples/sec."""
+    from pyjelly_ray.pipelines.kg import build_kg
+
+    corpus = _corpus_path(sf_dir, n_files)
+    out_dir = os.path.join(out_root, _sf_tag(sf_dir))
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    manifests = build_kg(corpus, out_dir, n_shards=32)
+    rows = manifests.take_all()
+    wall = time.perf_counter() - t0
+    n_stmts = sum(r["n_statements"] for r in rows)
+    n_bytes = sum(r["n_bytes"] for r in rows)
+    return {
+        "wall_sec": round(wall, 3),
+        "n_statements": n_stmts,
+        "n_bytes": n_bytes,
+        "triples_per_sec": round(n_stmts / wall, 1),
+        "n_shards": len(rows),
+    }
+
+
+def run_codec_micro(n: int = 200_000) -> dict:
+    """Single-core codec throughput (serialize + parse), statements/s."""
+    from pyjelly_ray import terms as T
+    from pyjelly_ray.jelly import StreamOptions, decode_flat, encode_flat
+
+    stmts = []
+    ex = "https://codekg.dev/sym/org0001/repo0001/"
+    for i in range(n):
+        stmts.append(
+            (
+                T.iri(f"{ex}pkg{i % 97}.mod_{i % 1009}"),
+                T.iri("https://codekg.dev/ont#calls"),
+                T.iri(f"{ex}pkg{i % 89}.fn_{i % 997}"),
+            )
+        )
+    t0 = time.perf_counter()
+    data = b"".join(encode_flat(iter(stmts), StreamOptions()))
+    t_ser = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    count = sum(1 for _ in decode_flat(data))
+    t_de = time.perf_counter() - t0
+    assert count == n
+    return {
+        "serialize_stmts_per_sec": round(n / t_ser, 1),
+        "parse_stmts_per_sec": round(n / t_de, 1),
+        "serialize_mb_per_sec": round(len(data) / t_ser / 1e6, 2),
+        "parse_mb_per_sec": round(len(data) / t_de / 1e6, 2),
+        "bytes_per_stmt": round(len(data) / n, 2),
+    }
+
+
+def run_queries(sf_dir: str) -> dict:
+    from pyjelly_ray.pipelines.relational import QUERIES
+
+    out = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        _consume(QUERIES[name](sf_dir))
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def bench_once(num_cpus: int, *, kg_only: bool = False, n_files: int | None = None) -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+    try:
+        kg = run_kg(SF_DIR, n_files=n_files)
+        result = {"kg": kg, "num_cpus": num_cpus}
+        if not kg_only:
+            result["queries"] = run_queries(SF_DIR)
+            result["codec"] = run_codec_micro()
+        return result
+    finally:
+        ray.shutdown()
+
+
+def main() -> None:
+    if "--scaling" in sys.argv:
+        # two fresh processes at different parallelism on the SAME input —
+        # sandbox stand-in for N vs 4N nodes (north rule scaling criterion).
+        # A larger corpus is used so the job is compute-bound and per-task
+        # fixed costs don't dominate (they wouldn't at 100 TB either).
+        scaling_files = int(os.environ.get("GRAFT_SCALING_FILES", "120000"))
+        _corpus_path(SF_DIR, scaling_files)  # generate once before timing
+        results = {}
+        for cpus in (8, 32):
+            cmd = [
+                sys.executable, __file__, "--kg-only",
+                f"--cpus={cpus}", f"--files={scaling_files}",
+            ]
+            out = subprocess.run(cmd, capture_output=True, text=True, check=True)
+            line = out.stdout.strip().splitlines()[-1]
+            results[cpus] = json.loads(line)
+        t8 = results[8]["kg"]["triples_per_sec"]
+        t32 = results[32]["kg"]["triples_per_sec"]
+        eff = (t32 / t8) / 4
+        print(
+            json.dumps(
+                {
+                    "metric": "kg_construct_scaling",
+                    "value": round(eff, 3),
+                    "unit": "efficiency(T32/T8/4)",
+                    "sf": _sf_tag(SF_DIR),
+                    "throughput_8cpu": t8,
+                    "throughput_32cpu": t32,
+                    "wall_8cpu": results[8]["kg"]["wall_sec"],
+                    "wall_32cpu": results[32]["kg"]["wall_sec"],
+                }
+            )
+        )
+        return
+
+    cpus = NUM_CPUS
+    kg_only = "--kg-only" in sys.argv
+    n_files = None
+    for a in sys.argv:
+        if a.startswith("--cpus="):
+            cpus = int(a.split("=")[1])
+        elif a.startswith("--files="):
+            n_files = int(a.split("=")[1])
+    r = bench_once(cpus, kg_only=kg_only, n_files=n_files)
+    payload = {
+        "metric": "kg_construct_e2e_wall",
+        "value": r["kg"]["wall_sec"],
+        "unit": "sec",
+        "queries": r.get("queries", {}),
+        "sf": _sf_tag(SF_DIR),
+        "num_cpus": cpus,
+        "kg": r["kg"],
+    }
+    if "codec" in r:
+        payload["codec"] = r["codec"]
+    print(json.dumps(payload))
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    main()

@@ -37,34 +37,38 @@ def rows_to_terms(batch: pa.Table):
     """Yield statement term-tuples from a flattened statement table."""
     names = batch.column_names
     has_g = "g_kind" in names
-    cols = [
-        batch.column("s_kind").to_pylist(),
-        batch.column("s_value").to_pylist(),
-        batch.column("p_kind").to_pylist(),
-        batch.column("p_value").to_pylist(),
-        batch.column("o_kind").to_pylist(),
-        batch.column("o_value").to_pylist(),
-        batch.column("o_lex").to_pylist() if "o_lex" in names else [None] * batch.num_rows,
-        batch.column("o_lang").to_pylist() if "o_lang" in names else [None] * batch.num_rows,
-        batch.column("o_dt").to_pylist() if "o_dt" in names else [None] * batch.num_rows,
-    ]
+    n = batch.num_rows
+    none_col = [None] * n
+
+    def col(name):
+        return batch.column(name).to_pylist() if name in names else none_col
+
     if has_g:
-        g_kinds = batch.column("g_kind").to_pylist()
-        g_vals = batch.column("g_value").to_pylist()
-    for i in range(batch.num_rows):
-        s = (cols[0][i], cols[1][i], None, None)
-        p = (cols[2][i], cols[3][i], None, None)
-        o_kind = cols[4][i]
-        if o_kind == KIND_LITERAL:
-            o = (KIND_LITERAL, cols[6][i] or "", cols[7][i], cols[8][i])
-        else:
-            o = (o_kind, cols[5][i], None, None)
-        if has_g:
-            gk = g_kinds[i]
-            g = (KIND_DEFAULT, None, None, None) if gk == KIND_DEFAULT else (gk, g_vals[i], None, None)
-            yield (s, p, o, g)
-        else:
-            yield (s, p, o)
+        rows = zip(
+            col("s_kind"), col("s_value"), col("p_kind"), col("p_value"),
+            col("o_kind"), col("o_value"), col("o_lex"), col("o_lang"), col("o_dt"),
+            col("g_kind"), col("g_value"),
+        )
+        for sk, sv, pk, pv, ok, ov, olex, olang, odt, gk, gv in rows:
+            o = (
+                (KIND_LITERAL, olex or "", olang, odt)
+                if ok == KIND_LITERAL
+                else (ok, ov, None, None)
+            )
+            g = (KIND_DEFAULT, None, None, None) if gk == KIND_DEFAULT else (gk, gv, None, None)
+            yield ((sk, sv, None, None), (pk, pv, None, None), o, g)
+    else:
+        rows = zip(
+            col("s_kind"), col("s_value"), col("p_kind"), col("p_value"),
+            col("o_kind"), col("o_value"), col("o_lex"), col("o_lang"), col("o_dt"),
+        )
+        for sk, sv, pk, pv, ok, ov, olex, olang, odt in rows:
+            o = (
+                (KIND_LITERAL, olex or "", olang, odt)
+                if ok == KIND_LITERAL
+                else (ok, ov, None, None)
+            )
+            yield ((sk, sv, None, None), (pk, pv, None, None), o)
 
 
 def _write_stream(path: str, statements, options: StreamOptions) -> tuple[int, int]:
@@ -157,14 +161,42 @@ class ShardJellyWriter:
         return pa.Table.from_pylist([manifest])
 
 
-def add_shard_column(n_shards: int, hot_split: int = 8):
-    """Returns a map_batches fn assigning ``shard = hash(repo) % n_shards``.
+def collect_repo_counts(triples_ds) -> dict[str, int]:
+    """Per-repo statement counts: per-batch combine + driver fold (no shuffle)."""
 
-    Skew guard: repos whose bucket would exceed its fair share get salted by
-    path hash across ``hot_split`` sub-buckets (appended beyond n_shards) —
-    deterministic, no coordination needed.
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["repo"]).aggregate([("repo", "count")])
+        return g.select(["repo", "repo_count"])
+
+    out: dict[str, int] = {}
+    small = triples_ds.map_batches(partial, batch_format="pyarrow")
+    for b in small.iter_batches(batch_format="pyarrow"):
+        for r, c in zip(b.column("repo").to_pylist(), b.column("repo_count").to_pylist()):
+            out[r] = out.get(r, 0) + c
+    return out
+
+
+def hot_repo_splits(repo_counts: dict[str, int], n_shards: int) -> dict[str, int]:
+    """Salting plan: repos above 2× a fair shard share get split by path.
+
+    Returns repo → number of sub-shards (≥ 2 only for hot repos).
     """
+    total = sum(repo_counts.values()) or 1
+    fair = max(total / max(n_shards, 1), 1.0)
+    plan: dict[str, int] = {}
+    for repo, cnt in repo_counts.items():
+        if cnt > 2 * fair:
+            plan[repo] = min(max(int(cnt / fair), 2), n_shards)
+    return plan
+
+
+def add_shard_column(n_shards: int, hot_plan: dict[str, int] | None = None):
+    """map_batches fn assigning ``shard = hash(repo) % n_shards``; hot repos
+    are salted by path hash across their planned sub-shard count
+    (deterministic: same plan → same bytes)."""
     import hashlib as _hl
+
+    hot_plan = hot_plan or {}
 
     def _assign(batch: pa.Table) -> pa.Table:
         repos = batch.column("repo").to_pylist()
@@ -172,12 +204,10 @@ def add_shard_column(n_shards: int, hot_split: int = 8):
         shards = []
         for r, p in zip(repos, paths):
             h = int.from_bytes(_hl.blake2b(r.encode(), digest_size=4).digest(), "big")
-            if h % 4 == 0 and hot_split > 1:
-                # statically split every 4th repo-bucket by path (cheap
-                # stand-in for a frequency-based hot detector; keeps bytes
-                # deterministic without a global count pass)
+            splits = hot_plan.get(r)
+            if splits:
                 ph = int.from_bytes(_hl.blake2b(p.encode(), digest_size=4).digest(), "big")
-                shards.append(n_shards + (h + ph) % (n_shards * (hot_split - 1)))
+                shards.append(n_shards + (h % n_shards) * 64 + ph % splits)
             else:
                 shards.append(h % n_shards)
         if "shard" in batch.column_names:
@@ -187,12 +217,17 @@ def add_shard_column(n_shards: int, hot_split: int = 8):
     return _assign
 
 
-def write_kg_shards(ds, out_dir: str, n_shards: int = 16, options: StreamOptions | None = None):
+def write_kg_shards(ds, out_dir: str, n_shards: int = 16,
+                    options: StreamOptions | None = None,
+                    repo_counts: dict[str, int] | None = None):
     """KG sink: bucket by repo hash → per-shard sorted sequential encode.
 
-    Returns the manifest Dataset (one row per shard).
+    ``repo_counts`` (from :func:`collect_repo_counts`) enables hot-repo
+    salting; omitted → plain hash bucketing.  Returns the manifest Dataset
+    (one row per shard).
     """
-    ds = ds.map_batches(add_shard_column(n_shards), batch_format="pyarrow")
+    hot_plan = hot_repo_splits(repo_counts, n_shards) if repo_counts else None
+    ds = ds.map_batches(add_shard_column(n_shards, hot_plan), batch_format="pyarrow")
     writer = ShardJellyWriter(out_dir, options)
 
     def write_shard(group: pa.Table) -> pa.Table:

@@ -43,23 +43,48 @@ def build_symbol_dict_batch(batch: pa.Table) -> pa.Table:
     return pa.table({"name": pa.array(names, pa.string()), "iri": pa.array(iris, pa.string())})
 
 
-def collect_symbol_dict(triples_ds) -> dict[str, str]:
-    """Distributed build of the canonical symbol dictionary (small result).
+def _batch_min_by_name(batch: pa.Table) -> pa.Table:
+    """Local combine: min(iri) per name within one batch (pre-shuffle shrink)."""
+    if batch.num_rows == 0:
+        return batch
+    g = batch.group_by(["name"]).aggregate([("iri", "min")])
+    return g.select(["name", "iri_min"]).rename_columns(["name", "iri"])
 
-    candidates → groupby(name).min(iri): deterministic canonical pick.
-    The aggregated result is small (distinct symbol names), so pulling it to
-    the driver is fine; it is then broadcast with ``ray.put``.
+
+def collect_symbol_dict(triples_ds) -> dict[str, str]:
+    """Build the canonical symbol dictionary (the broadcast small side).
+
+    Candidates are combined per batch (min per name), then the ≤|symbols|
+    rows stream to the driver where the global min-merge happens — a fold,
+    not a shuffle.  The dict must fit in memory regardless (it is broadcast
+    to every linker actor), so the driver merge adds no new scale limit.
     """
-    agg = (
-        triples_ds.map_batches(build_symbol_dict_batch, batch_format="pyarrow")
-        .groupby("name")
-        .min("iri")
+    small = triples_ds.map_batches(build_symbol_dict_batch, batch_format="pyarrow").map_batches(
+        _batch_min_by_name, batch_format="pyarrow"
     )
     out: dict[str, str] = {}
-    for batch in agg.iter_batches(batch_format="pyarrow"):
-        for name, iri in zip(batch.column("name").to_pylist(), batch.column("min(iri)").to_pylist()):
-            out[name] = iri
+    for batch in small.iter_batches(batch_format="pyarrow"):
+        for name, iri in zip(batch.column("name").to_pylist(), batch.column("iri").to_pylist()):
+            prev = out.get(name)
+            if prev is None or iri < prev:
+                out[name] = iri
     return out
+
+
+def _link_batch(symbols: dict[str, str], batch: pa.Table) -> pa.Table:
+    o_value = batch.column("o_value")
+    mask = pc.starts_with(o_value, "unlinked:")
+    if pc.sum(mask).as_py() in (0, None):
+        return batch
+    values = o_value.to_pylist()
+    flags = mask.to_pylist()
+    for i, (v, f) in enumerate(zip(values, flags)):
+        if f:
+            name = v[9:]
+            hit = symbols.get(name) or symbols.get(name.rsplit(".", 1)[-1])
+            values[i] = hit if hit is not None else EXTERN_PREFIX + name
+    idx = batch.schema.get_field_index("o_value")
+    return batch.set_column(idx, "o_value", pa.array(values, pa.string()))
 
 
 class SymbolLinker:
@@ -80,17 +105,21 @@ class SymbolLinker:
         self.symbols: dict[str, str] = symbols
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        o_value = batch.column("o_value")
-        mask = pc.starts_with(o_value, "unlinked:")
-        if pc.sum(mask).as_py() in (0, None):
-            return batch
-        symbols = self.symbols
-        values = o_value.to_pylist()
-        flags = mask.to_pylist()
-        for i, (v, f) in enumerate(zip(values, flags)):
-            if f:
-                name = v[9:]
-                hit = symbols.get(name) or symbols.get(name.rsplit(".", 1)[-1])
-                values[i] = hit if hit is not None else EXTERN_PREFIX + name
-        idx = batch.schema.get_field_index("o_value")
-        return batch.set_column(idx, "o_value", pa.array(values, pa.string()))
+        return _link_batch(self.symbols, batch)
+
+
+def make_linker_task(sym_ref):
+    """Task-based linker: no actor startup; the dict ref is resolved from
+    the object store per task (zero-copy plasma read, cached per node).
+
+    Preferred over the actor pool when the dict is read-only — fully elastic
+    and adds no pool warm-up to the critical path.
+    """
+
+    import ray
+
+    def link(batch: pa.Table) -> pa.Table:
+        symbols = ray.get(sym_ref)
+        return _link_batch(symbols, batch)
+
+    return link
