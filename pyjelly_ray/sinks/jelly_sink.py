@@ -228,6 +228,9 @@ def write_kg_shards(ds, out_dir: str, n_shards: int = 16,
     """
     hot_plan = hot_repo_splits(repo_counts, n_shards) if repo_counts else None
     ds = ds.map_batches(add_shard_column(n_shards, hot_plan), batch_format="pyarrow")
+    # coalesce before the shuffle: Ray's sort shuffle cost grows with input
+    # block count (see stages/dedup.py SHUFFLE_COALESCE_BLOCKS rationale)
+    ds = ds.repartition(16)
     writer = ShardJellyWriter(out_dir, options)
 
     def write_shard(group: pa.Table) -> pa.Table:

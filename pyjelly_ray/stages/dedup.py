@@ -123,17 +123,27 @@ def unpack_rows(batch: pa.Table) -> pa.Table:
     return pa.table(out)
 
 
-def dedup_exact(ds, n_buckets: int = N_BUCKETS):
+#: pre-shuffle coalesce: Ray's sort shuffle cost grows superlinearly with
+#: input block count (K maps × K merges object exchanges); measured at
+#: sf0.1/32cpu: 64 blocks → 17.8s, 16 blocks → 3.5s.  The combiner already
+#: shrank the data, so fewer/larger blocks lose no parallelism that matters.
+SHUFFLE_COALESCE_BLOCKS = 16
+
+
+def dedup_exact(ds, n_buckets: int = N_BUCKETS,
+                coalesce_blocks: int = SHUFFLE_COALESCE_BLOCKS):
     """Dataset-level exact dedup; deterministic representative per key.
 
-    add_tkey+pack (map_batches) → local combine → bucket groupby (int-key
-    shuffle) with vectorized per-bucket Arrow dedup → unpack.
+    add_tkey+pack (map_batches) → local combine → coalesce → bucket groupby
+    (int-key shuffle) with vectorized per-bucket Arrow dedup → unpack.
     """
     packed = (
         ds.map_batches(lambda b: add_tkey(b, n_buckets), batch_format="pyarrow")
         .map_batches(pack_rows, batch_format="pyarrow")
         .map_batches(local_prededup, batch_format="pyarrow")
     )
+    if coalesce_blocks:
+        packed = packed.repartition(coalesce_blocks)
     deduped = packed.groupby("bucket").map_groups(
         _min_packed_per_key, batch_format="pyarrow"
     )

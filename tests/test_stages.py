@@ -1,0 +1,251 @@
+"""Unit tests for the training-data operator stages (text, sim, ann,
+multimodal, agg, joins) and the Jelly source/datasink."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from pyjelly_ray.stages.ann import (
+    cosine_threshold,
+    cosine_topk,
+    embedding_dup_pairs,
+    ivf_assign,
+    ivf_centroids,
+    ivf_topk,
+)
+from pyjelly_ray.stages.multimodal import (
+    FrameSampleStub,
+    ImageDecodeStub,
+    ResizeStub,
+    synth_media_table,
+)
+from pyjelly_ray.stages.sim import (
+    MinHasher,
+    minhash_dup_pairs,
+    ngram_jaccard,
+    simhash64,
+    simhash_dup_pairs,
+)
+from pyjelly_ray.stages.text import LanguageID, fingerprint, quality_scores, token_stats
+
+
+def _docs_table():
+    rows = [
+        {"doc_id": 0, "text": "the quick brown fox jumps over the lazy dog", "lang": "en"},
+        {"doc_id": 1, "text": "the quick brown fox jumps over the lazy cat", "lang": "en"},
+        {"doc_id": 2, "text": "completely different content about der die und trees", "lang": "de"},
+        {"doc_id": 3, "text": "the quick brown fox jumps over the lazy dog", "lang": "en"},
+        {"doc_id": 4, "text": "a b", "lang": "xx"},
+    ]
+    return pa.Table.from_pylist(rows)
+
+
+def test_token_stats_and_quality():
+    t = token_stats(_docs_table())
+    assert t.column("n_tokens").to_pylist() == [9, 9, 8, 9, 2]
+    q = quality_scores(_docs_table())
+    # doc 0: stopwords 'the' ×2 of 9 tokens
+    assert q.column("stopword_ratio")[0].as_py() == pytest.approx(2 / 9, abs=1e-6)
+    # doc 4: 'a' of 2 tokens
+    assert q.column("stopword_ratio")[4].as_py() == pytest.approx(0.5)
+
+
+def test_language_id():
+    out = LanguageID()(_docs_table())
+    preds = dict(zip(out.column("doc_id").to_pylist(), out.column("pred_lang").to_pylist()))
+    assert preds[0] == "en"
+    assert preds[2] == "de"
+    assert preds[4] == "unk"
+
+
+def test_fingerprint_deterministic():
+    a = fingerprint(_docs_table())
+    b = fingerprint(_docs_table())
+    assert a.equals(b)
+    # identical texts → identical fingerprints
+    sh = a.column("sha1").to_pylist()
+    assert sh[0] == sh[3] and sh[0] != sh[1]
+
+
+def test_minhash_signature_similarity():
+    mh = MinHasher()
+    s0 = mh.signature(_docs_table().column("text")[0].as_py())
+    s1 = mh.signature(_docs_table().column("text")[1].as_py())
+    s2 = mh.signature(_docs_table().column("text")[2].as_py())
+    est01 = (s0 == s1).mean()
+    est02 = (s0 == s2).mean()
+    true01 = ngram_jaccard(
+        _docs_table().column("text")[0].as_py(), _docs_table().column("text")[1].as_py()
+    )
+    assert est01 > est02
+    assert abs(est01 - true01) < 0.35  # 64 perms → coarse estimate
+
+
+def test_simhash_hamming():
+    h0 = simhash64(_docs_table().column("text")[0].as_py())
+    h1 = simhash64(_docs_table().column("text")[1].as_py())
+    h2 = simhash64(_docs_table().column("text")[2].as_py())
+    d01 = bin(h0 ^ h1).count("1")
+    d02 = bin(h0 ^ h2).count("1")
+    assert d01 < d02
+
+
+def test_minhash_pairs_find_the_exact_dup(ray_session):
+    import ray
+
+    docs = ray.data.from_arrow(_docs_table())
+    pairs = minhash_dup_pairs(docs, threshold=0.9).take_all()
+    assert {(p["doc_a"], p["doc_b"]) for p in pairs} >= {(0, 3)}
+    # near-dup 0-1 found at a lower threshold
+    pairs_lo = minhash_dup_pairs(docs, threshold=0.4).take_all()
+    assert {(p["doc_a"], p["doc_b"]) for p in pairs_lo} >= {(0, 1), (0, 3), (1, 3)}
+
+
+def test_simhash_pairs(ray_session):
+    import ray
+
+    docs = ray.data.from_arrow(_docs_table())
+    pairs = simhash_dup_pairs(docs, max_hamming=0).take_all()
+    assert {(p["doc_a"], p["doc_b"]) for p in pairs} == {(0, 3)}
+
+
+def _emb_table(n=100, d=16, seed=3):
+    rng = np.random.RandomState(seed)
+    m = rng.standard_normal((n, d)).astype(np.float32)
+    m[7] = m[3] + 0.01 * rng.standard_normal(d)  # planted near-dup
+    return pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array([row.tolist() for row in m], pa.list_(pa.float32())),
+        }
+    )
+
+
+def test_cosine_topk_matches_bruteforce(ray_session):
+    import ray
+
+    t = _emb_table()
+    q = np.asarray(t.column("embedding")[3].as_py(), dtype=np.float64)
+    ds = ray.data.from_arrow(t)
+    got = cosine_topk(ds, q, k=5).take_all()
+    m = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = mn @ (q / np.linalg.norm(q))
+    expect = set(np.argsort(-sims)[:5].tolist())
+    assert {r["vec_id"] for r in got} == expect
+    assert got[0]["vec_id"] == 3  # self first
+
+
+def test_cosine_threshold_and_ivf(ray_session):
+    import ray
+
+    t = _emb_table()
+    q = np.asarray(t.column("embedding")[3].as_py(), dtype=np.float64)
+    ds = ray.data.from_arrow(t)
+    hits = cosine_threshold(ds, q, 0.9).take_all()
+    assert {r["vec_id"] for r in hits} >= {3, 7}
+
+    cents = ivf_centroids(ds, 8)
+    assigned = ivf_assign(ds, cents)
+    approx = ivf_topk(assigned, cents, q, k=3, nprobe=8).take_all()  # all probes = exact
+    assert approx[0]["vec_id"] == 3
+
+
+def test_embedding_dup_pairs(ray_session):
+    import ray
+
+    ds = ray.data.from_arrow(_emb_table())
+    pairs = embedding_dup_pairs(ds, tau=0.95).take_all()
+    assert {(p["id_a"], p["id_b"]) for p in pairs} == {(3, 7)}
+
+
+def test_multimodal_stubs(ray_session):
+    import ray
+
+    media = ray.data.from_arrow(synth_media_table(32))
+    feats = media.map_batches(
+        ImageDecodeStub, batch_format="pyarrow", batch_size=8, concurrency=2
+    ).take_all()
+    assert len(feats) == 32
+    assert all(len(r["features"]) == 64 for r in feats)
+
+    resized = media.map_batches(
+        ResizeStub, batch_format="pyarrow", batch_size=8, concurrency=2
+    ).take_all()
+    assert all(len(r["payload"]) <= 1024 for r in resized)
+
+    frames = media.map_batches(
+        FrameSampleStub, batch_format="pyarrow", batch_size=8, concurrency=2
+    ).take_all()
+    assert len(frames) == 32 * 4
+
+    with pytest.raises(NotImplementedError):
+        ImageDecodeStub(fake=False)(synth_media_table(2))
+
+
+def test_jelly_datasink_and_source(ray_session, tmp_path):
+    import ray
+
+    from pyjelly_ray.sinks.jelly_sink import JellyDatasink
+    from pyjelly_ray.sources.jelly_source import read_jelly
+
+    t = pa.table(
+        {
+            "s_kind": pa.array([1, 1, 2], pa.uint8()),
+            "s_value": ["http://e/s1", "http://e/s2", "b1"],
+            "p_kind": pa.array([1, 1, 1], pa.uint8()),
+            "p_value": ["http://e/p"] * 3,
+            "o_kind": pa.array([3, 1, 3], pa.uint8()),
+            "o_value": [None, "http://e/o", None],
+            "o_lex": ["x", None, "y"],
+            "o_lang": [None, None, "en"],
+            "o_dt": [None, None, None],
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    out = str(tmp_path / "sink")
+    ds.write_datasink(JellyDatasink(out))
+    back = read_jelly(out).take_all()
+    got = {(r["s_kind"], r["s_value"], r["o_kind"], r["o_lex"] or r["o_value"], r["o_lang"]) for r in back}
+    assert got == {
+        (1, "http://e/s1", 3, "x", None),
+        (1, "http://e/s2", 1, "http://e/o", None),
+        (2, "b1", 3, "y", "en"),
+    }
+
+
+def test_graphs_physical_type_roundtrip():
+    """Physical GRAPHS: start/end markers, flat-flattened to quads on parse."""
+    from pyjelly_ray import terms as T
+    from pyjelly_ray.jelly import (
+        LOGICAL_DATASETS,
+        PHYSICAL_GRAPHS,
+        StreamOptions,
+        decode_flat,
+    )
+    from pyjelly_ray.jelly.encode import StreamEncoder
+
+    # protocol matrix: physical GRAPHS pairs with dataset-class logical types
+    opts = StreamOptions(physical_type=PHYSICAL_GRAPHS, logical_type=LOGICAL_DATASETS)
+    enc = StreamEncoder(opts)
+    g1 = T.iri("http://e/g1")
+    chunks = []
+    enc.graph_start(g1)
+    enc.triple(T.iri("http://e/s"), T.iri("http://e/p"), T.literal("1"))
+    enc.triple(T.iri("http://e/s"), T.iri("http://e/p"), T.literal("2"))
+    enc.graph_end()
+    out = enc.cut_frame()
+    if out:
+        chunks.append(out)
+    enc.graph_start(T.DEFAULT_GRAPH)
+    enc.triple(T.iri("http://e/s2"), T.iri("http://e/p"), T.literal("3"))
+    enc.graph_end()
+    out = enc.flush()
+    if out:
+        chunks.append(out)
+    data = b"".join(chunks)
+    quads = list(decode_flat(data))
+    assert [q[3] for q in quads] == [g1, g1, T.DEFAULT_GRAPH]
+    assert [q[2][1] for q in quads] == ["1", "2", "3"]
