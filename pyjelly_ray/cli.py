@@ -1,0 +1,88 @@
+"""CLI entry points (``ray job submit -- python -m pyjelly_ray.cli ...``).
+
+Commands:
+  build-kg   --corpus PATH --out DIR [--shards N] [--no-dedup]
+  validate   --out DIR [--decode]
+  roundtrip  --jelly PATH            (decode + re-encode + compare count)
+  gen-corpus --out PATH --files N [--seed S]
+
+The CLI owns its Ray session (guarded init); library code never does.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="pyjelly_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build-kg", help="run the KG construction pipeline")
+    b.add_argument("--corpus", required=True)
+    b.add_argument("--out", required=True)
+    b.add_argument("--shards", type=int, default=16)
+    b.add_argument("--no-dedup", action="store_true")
+
+    v = sub.add_parser("validate", help="validate output manifests")
+    v.add_argument("--out", required=True)
+    v.add_argument("--decode", action="store_true")
+
+    r = sub.add_parser("roundtrip", help="decode/re-encode a .jelly file")
+    r.add_argument("--jelly", required=True)
+
+    g = sub.add_parser("gen-corpus", help="write a deterministic test corpus")
+    g.add_argument("--out", required=True)
+    g.add_argument("--files", type=int, default=1000)
+    g.add_argument("--seed", type=int, default=7)
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "build-kg":
+        import ray
+
+        if not ray.is_initialized():
+            ray.init(address="local", include_dashboard=False)
+        from .pipelines.kg import build_kg
+
+        manifests = build_kg(
+            args.corpus, args.out, n_shards=args.shards, dedup=not args.no_dedup
+        ).take_all()
+        print(json.dumps({"shards": len(manifests),
+                          "n_statements": sum(m["n_statements"] for m in manifests)}))
+        ray.shutdown()
+        return 0
+
+    if args.cmd == "validate":
+        from .state.manifest import validate_invariants
+
+        result = validate_invariants(args.out, decode=args.decode)
+        print(json.dumps(result))
+        return 0 if result["ok"] else 1
+
+    if args.cmd == "roundtrip":
+        from .jelly import StreamOptions, decode_flat, encode_flat, parse_options
+
+        data = open(args.jelly, "rb").read()
+        options, _ = parse_options(data)
+        stmts = list(decode_flat(data))
+        re_encoded = b"".join(encode_flat(iter(stmts), options))
+        back = list(decode_flat(re_encoded))
+        print(json.dumps({"statements": len(stmts), "stable": back == stmts,
+                          "bytes_in": len(data), "bytes_out": len(re_encoded)}))
+        return 0 if back == stmts else 1
+
+    if args.cmd == "gen-corpus":
+        from .pipelines.corpus import write_corpus_parquet
+
+        write_corpus_parquet(args.out, seed=args.seed, n_files=args.files)
+        print(json.dumps({"path": args.out, "files": args.files}))
+        return 0
+
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

