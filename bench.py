@@ -54,6 +54,23 @@ def _sf_tag(sf_dir: str) -> str:
 def _corpus_path(sf_dir: str, n_files: int | None = None) -> str:
     tag = _sf_tag(sf_dir)
     n = n_files or _CORPUS_FILES.get(tag, 3000)
+    if n > 200_000:
+        # big corpora: parallel generation into a parquet directory
+        path = f"/tmp/pyjelly_ray_corpus_{tag}_{n}"
+        marker = path + ".done"  # outside the dir so read_parquet never sees it
+        if not os.path.exists(marker):
+            import ray
+
+            from pyjelly_ray.pipelines.corpus import write_corpus_parquet_ray
+
+            own = not ray.is_initialized()
+            if own:
+                ray.init(address="local", include_dashboard=False)
+            write_corpus_parquet_ray(path, seed=7, n_files=n)
+            open(marker, "w").write("ok")
+            if own:
+                ray.shutdown()
+        return path
     path = f"/tmp/pyjelly_ray_corpus_{tag}_{n}.parquet"
     if not os.path.exists(path):
         from pyjelly_ray.pipelines.corpus import write_corpus_parquet

@@ -179,6 +179,53 @@ def write_corpus_parquet(path: str, seed: int = 7, n_files: int = 200) -> str:
     return path
 
 
+def corpus_slice_table(seed: int, start: int, end: int) -> pa.Table:
+    """Rows [start, end) — every row is a pure function of (seed, i), so any
+    worker can generate any slice independently (used for parallel gen)."""
+    return pa.Table.from_pylist(
+        [
+            {
+                "repo": s["repo"],
+                "path": _row_path(s),
+                "commit": _commit_for(s["repo"], seed),
+                "lang": s["lang"],
+                "content": _row_content(s),
+            }
+            for i in range(start, end)
+            for s in (_effective_spec(seed, i),)
+        ]
+    )
+
+
+def write_corpus_parquet_ray(out_dir: str, seed: int = 7, n_files: int = 10000,
+                             rows_per_task: int = 30000) -> str:
+    """Parallel corpus generation: Ray tasks each write one parquet shard.
+
+    Deterministic (same seed+n → same bytes per shard) and embarrassingly
+    parallel; used by bench for multi-million-file corpora.
+    """
+    import os
+
+    import ray
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    @ray.remote
+    def gen(start: int, end: int, idx: int) -> str:
+        import pyarrow.parquet as pq
+
+        p = os.path.join(out_dir, f"part-{idx:05d}.parquet")
+        if not os.path.exists(p):
+            pq.write_table(corpus_slice_table(seed, start, end), p, row_group_size=8192)
+        return p
+
+    refs = []
+    for idx, start in enumerate(range(0, n_files, rows_per_task)):
+        refs.append(gen.remote(start, min(start + rows_per_task, n_files), idx))
+    ray.get(refs)
+    return out_dir
+
+
 def expected_triples(seed: int, n_files: int) -> set[tuple]:
     """Closed-form expected (s, p, o) set — the extractor P/R oracle.
 

@@ -50,10 +50,10 @@ def link_triples(triples_ds, *, use_actors: bool = False, concurrency=(2, 8)):
     """
     import ray
 
-    from ..stages.link import make_linker_task, symbols_to_table
+    from ..stages.link import make_linker_task
 
-    symbols = collect_symbol_dict(triples_ds)
-    sym_ref = ray.put(symbols_to_table(symbols))
+    sym_table = collect_symbol_dict(triples_ds)  # Arrow (name, iri), sorted
+    sym_ref = ray.put(sym_table)
     if use_actors:
         return triples_ds.map_batches(
             SymbolLinker,

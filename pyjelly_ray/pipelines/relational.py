@@ -100,7 +100,7 @@ def q5_nation_revenue(sf_dir: str):
     """Per-nation customer revenue: 3 broadcast dims + 1 hash join."""
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"])
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
-    cust = broadcast_join(nation_ds := cust, nation, left_key="c_nationkey", right_key="n_nationkey", columns=["n_name"])
+    cust = broadcast_join(cust, nation, left_key="c_nationkey", right_key="n_nationkey", columns=["n_name"])
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
     orders = broadcast_join(orders, cust, left_key="o_custkey", right_key="c_custkey", columns=["n_name"])
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])

@@ -162,18 +162,26 @@ class ShardJellyWriter:
 
 
 def collect_repo_counts(triples_ds) -> dict[str, int]:
-    """Per-repo statement counts: per-batch combine + driver fold (no shuffle)."""
+    """Per-repo statement counts: per-batch combine + vectorized driver merge
+    (no shuffle; the merge is one Arrow group_by over ≤|repos|×blocks rows)."""
 
     def partial(batch: pa.Table) -> pa.Table:
         g = batch.group_by(["repo"]).aggregate([("repo", "count")])
         return g.select(["repo", "repo_count"])
 
-    out: dict[str, int] = {}
-    small = triples_ds.map_batches(partial, batch_format="pyarrow")
-    for b in small.iter_batches(batch_format="pyarrow"):
-        for r, c in zip(b.column("repo").to_pylist(), b.column("repo_count").to_pylist()):
-            out[r] = out.get(r, 0) + c
-    return out
+    tables = [
+        b for b in triples_ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+        if b.num_rows
+    ]
+    if not tables:
+        return {}
+    merged = pa.concat_tables(tables, promote_options="default")
+    g = merged.group_by(["repo"]).aggregate([("repo_count", "sum")])
+    return dict(
+        zip(g.column("repo").to_pylist(), g.column("repo_count_sum").to_pylist())
+    )
 
 
 def hot_repo_splits(repo_counts: dict[str, int], n_shards: int) -> dict[str, int]:
@@ -185,8 +193,10 @@ def hot_repo_splits(repo_counts: dict[str, int], n_shards: int) -> dict[str, int
     fair = max(total / max(n_shards, 1), 1.0)
     plan: dict[str, int] = {}
     for repo, cnt in repo_counts.items():
-        if cnt > 2 * fair:
-            plan[repo] = min(max(int(cnt / fair), 2), n_shards)
+        if cnt > fair:
+            # split hot repos to ~half a fair share per sub-shard so the
+            # serial per-shard encode never dominates the write wall
+            plan[repo] = min(max(int(cnt / (fair / 2)), 2), 4 * n_shards)
     return plan
 
 
@@ -224,7 +234,7 @@ def add_shard_column(n_shards: int, hot_plan: dict[str, int] | None = None):
             salted = pc.add(
                 pa.scalar(n_shards, pa.int64()),
                 pc.add(
-                    pc.multiply(pc.cast(base, pa.int64()), 64),
+                    pc.multiply(pc.cast(base, pa.int64()), 4 * n_shards),
                     pc.subtract(ph, pc.multiply(pc.divide(ph, splits), splits)),
                 ),
             )
@@ -251,9 +261,6 @@ def write_kg_shards(ds, out_dir: str, n_shards: int = 16,
     """
     hot_plan = hot_repo_splits(repo_counts, n_shards) if repo_counts else None
     ds = ds.map_batches(add_shard_column(n_shards, hot_plan), batch_format="pyarrow")
-    # coalesce before the shuffle: Ray's sort shuffle cost grows with input
-    # block count (see stages/dedup.py SHUFFLE_COALESCE_BLOCKS rationale)
-    ds = ds.repartition(16)
     writer = ShardJellyWriter(out_dir, options)
 
     def write_shard(group: pa.Table) -> pa.Table:
