@@ -315,6 +315,34 @@ def _parse_entry(data: bytes, start: int, end: int) -> tuple[int, str]:
     return idx, val
 
 
+def frame_metadata(data: bytes, start: int, end: int) -> dict[str, bytes]:
+    """Extract a frame's map<string,bytes> metadata (field 15)."""
+    out: dict[str, bytes] = {}
+    for field, wtype, value, _ in iter_fields(data, start, end):
+        if field == 15 and wtype == 2:
+            es, ee = value
+            key = ""
+            val = b""
+            for efield, _, evalue, _ in iter_fields(data, es, ee):
+                if efield == 1:
+                    s, e = evalue
+                    key = data[s:e].decode("utf-8")
+                elif efield == 2:
+                    s, e = evalue
+                    val = data[s:e]
+            out[key] = val
+    return out
+
+
+def iter_frames(data: bytes):
+    """Yield ``(events, metadata)`` per frame — the GROUPED parsing mode
+    (one container per frame, reference ParsingMode.GROUPED)."""
+    options, spans = parse_options(data)
+    dec = StreamDecoder(options)
+    for fs, fe in spans:
+        yield list(dec.decode_frame(data, fs, fe)), frame_metadata(data, fs, fe)
+
+
 def decode_flat(data: bytes) -> Iterator[tuple]:
     """Decode a whole Jelly byte buffer to statement tuples.
 

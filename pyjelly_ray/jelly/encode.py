@@ -120,11 +120,21 @@ class StreamEncoder:
             self._row_count += 1
             self._enrolled = True
 
-    def _frame_bytes(self) -> bytes:
-        """Serialize and clear buffered rows as one RdfStreamFrame."""
+    def _frame_bytes(self, metadata: dict[str, bytes] | None = None) -> bytes:
+        """Serialize and clear buffered rows as one RdfStreamFrame.
+
+        ``metadata`` fills the frame's map<string,bytes> field (field 15):
+        each entry is a submessage {key=1: string, value=2: bytes}.
+        """
         payload = bytearray()
         for row in self._rows:
             append_tag_len(payload, 1, row)
+        if metadata:
+            for key in sorted(metadata):  # deterministic map order
+                entry = bytearray()
+                append_tag_str(entry, 1, key)
+                append_tag_len(entry, 2, metadata[key])
+                append_tag_len(payload, 15, bytes(entry))
         self._rows.clear()
         self._row_count = 0
         return bytes(payload)
@@ -154,11 +164,15 @@ class StreamEncoder:
             return encode_varint(len(frame)) + frame
         return frame
 
-    def cut_frame(self) -> bytes | None:
-        """Manually cut a frame (grouped flows: one frame per graph/dataset)."""
+    def cut_frame(self, metadata: dict[str, bytes] | None = None) -> bytes | None:
+        """Manually cut a frame (grouped flows: one frame per graph/dataset).
+
+        Optional ``metadata`` is attached to this frame (reference exposes
+        it via a ContextVar on parse; we return it from iter_frames).
+        """
         if not self._rows:
             return None
-        frame = self._frame_bytes()
+        frame = self._frame_bytes(metadata)
         if self.options.delimited:
             return encode_varint(len(frame)) + frame
         return frame

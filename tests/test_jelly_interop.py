@@ -216,3 +216,28 @@ def test_non_delimited_single_frame():
     assert not delimited_hint(frame[:3])
     assert list(decode_flat(frame)) == normalize(stmts)
     assert _pyjelly_parse(frame) == normalize(stmts)
+
+
+def test_frame_metadata_roundtrip(pyjelly_reference):
+    """Frame metadata (map<string,bytes>) encode → pyjelly + our decoder."""
+    import sys
+
+    sys.path.insert(0, "/root/reference")
+    from google.protobuf.proto import parse_length_prefixed
+    from pyjelly.jelly import rdf_pb2 as pb
+
+    from pyjelly_ray.jelly.decode import iter_frames
+    from pyjelly_ray.jelly.encode import StreamEncoder
+
+    enc = StreamEncoder(StreamOptions())
+    enc.triple(T.iri(EX + "s"), T.iri(EX + "p"), T.literal("x"))
+    data = enc.cut_frame(metadata={"k": b"\x01\x02", "n": b"hello"})
+    # our grouped reader surfaces it
+    frames = list(iter_frames(data))
+    assert frames[0][1] == {"k": b"\x01\x02", "n": b"hello"}
+    assert ("triple" == frames[0][0][0][0])
+    # reference protobuf parses the same map
+    import io
+
+    frame = parse_length_prefixed(pb.RdfStreamFrame, io.BytesIO(data))
+    assert dict(frame.metadata) == {"k": b"\x01\x02", "n": b"hello"}
