@@ -191,12 +191,14 @@ def hot_repo_splits(repo_counts: dict[str, int], n_shards: int) -> dict[str, int
     """
     total = sum(repo_counts.values()) or 1
     fair = max(total / max(n_shards, 1), 1.0)
+    # cap sub-shard size: the per-shard encode is sequential by format
+    # design, so the largest shard bounds the write wall — keep it small
+    # enough (~300k stmts ≈ 7 s) that parallelism, not one hot repo, wins
+    target = max(min(fair / 2, 300_000.0), 1.0)
     plan: dict[str, int] = {}
     for repo, cnt in repo_counts.items():
         if cnt > fair:
-            # split hot repos to ~half a fair share per sub-shard so the
-            # serial per-shard encode never dominates the write wall
-            plan[repo] = min(max(int(cnt / (fair / 2)), 2), 4 * n_shards)
+            plan[repo] = min(max(int(cnt / target), 2), 16 * n_shards)
     return plan
 
 
@@ -234,7 +236,7 @@ def add_shard_column(n_shards: int, hot_plan: dict[str, int] | None = None):
             salted = pc.add(
                 pa.scalar(n_shards, pa.int64()),
                 pc.add(
-                    pc.multiply(pc.cast(base, pa.int64()), 4 * n_shards),
+                    pc.multiply(pc.cast(base, pa.int64()), 16 * n_shards),
                     pc.subtract(ph, pc.multiply(pc.divide(ph, splits), splits)),
                 ),
             )
