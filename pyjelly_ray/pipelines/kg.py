@@ -64,6 +64,68 @@ def link_triples(triples_ds, *, use_actors: bool = False, concurrency=(2, 8)):
     return triples_ds.map_batches(make_linker_task(sym_ref), batch_format="pyarrow")
 
 
+def _stats_batch(batch):
+    """One combined small-side pass: symbol candidates + per-repo counts.
+
+    Emitted as a union table (kind 's'/'r') so ONE scan of the triple
+    stream feeds both driver folds.
+    """
+    import pyarrow as pa
+
+    from ..stages.link import build_symbol_dict_batch
+
+    sym = build_symbol_dict_batch(batch)
+    reps = batch.group_by(["repo"]).aggregate([("repo", "count")])
+    n_s, n_r = sym.num_rows, reps.num_rows
+    return pa.table(
+        {
+            "kind": pa.array(["s"] * n_s + ["r"] * n_r, pa.string()),
+            "name": pa.concat_arrays(
+                [sym.column("name").combine_chunks(), reps.column("repo").combine_chunks()]
+            ),
+            "iri": pa.concat_arrays(
+                [sym.column("iri").combine_chunks(), pa.nulls(n_r, pa.string())]
+            ),
+            "cnt": pa.concat_arrays(
+                [
+                    pa.nulls(n_s, pa.int64()),
+                    reps.column("repo_count").combine_chunks(),
+                ]
+            ),
+        }
+    )
+
+
+def collect_stats(triples_ds):
+    """Single scan → (symbol Arrow table sorted by name, repo_counts dict)."""
+    import pyarrow as pa
+
+    tables = [
+        b
+        for b in triples_ds.map_batches(_stats_batch, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+        if b.num_rows
+    ]
+    if not tables:
+        empty = pa.table({"name": pa.array([], pa.string()), "iri": pa.array([], pa.string())})
+        return empty, {}
+    merged = pa.concat_tables(tables, promote_options="default")
+    import pyarrow.compute as pc
+
+    syms = merged.filter(pc.equal(merged.column("kind"), "s"))
+    reps = merged.filter(pc.equal(merged.column("kind"), "r"))
+    g = syms.group_by(["name"]).aggregate([("iri", "min")])
+    sym_table = (
+        g.select(["name", "iri_min"]).rename_columns(["name", "iri"]).sort_by(
+            [("name", "ascending")]
+        )
+    )
+    rc = reps.group_by(["name"]).aggregate([("cnt", "sum")])
+    repo_counts = dict(zip(rc.column("name").to_pylist(), rc.column("cnt_sum").to_pylist()))
+    return sym_table, repo_counts
+
+
 def build_kg(
     corpus_path,
     out_dir: str,
@@ -71,20 +133,35 @@ def build_kg(
     n_shards: int = 16,
     jelly_options: StreamOptions | None = None,
     dedup: bool = True,
+    materialize_triples: bool = True,
 ):
     """Full pipeline; returns the manifest Dataset (consuming it runs the job).
 
-    The triple stream is materialized ONCE (it is ~10× smaller than the
-    corpus: ``content`` is dropped at extraction) and reused for the symbol
-    dictionary, the hot-repo salting plan, and the link+dedup+write chain —
-    one extraction pass instead of three.
+    Two memory strategies, both with ONE combined stats scan (symbol
+    dictionary + hot-repo counts):
+
+    - ``materialize_triples=True`` (default): the triple stream (content
+      column already dropped — ~10× smaller than the corpus) is pinned in
+      the object store and feeds the stats scan and the link→dedup→write
+      chain.  Fastest when aggregate plasma across the cluster holds the
+      triples (measured ~3× faster than streaming at 20M triples: shuffles
+      with fat fused upstreams schedule poorly).
+    - ``materialize_triples=False``: fully streaming; the corpus is scanned
+      twice (stats, then main chain) and nothing is pinned — use when the
+      triple stream would spill (plasma-constrained single node).
     """
-    from ..sinks.jelly_sink import collect_repo_counts, write_kg_shards
+    import ray
+
+    from ..sinks.jelly_sink import write_kg_shards
+    from ..stages.link import make_linker_task
 
     corpus = read_corpus(corpus_path)
-    triples = extract_triples(corpus).materialize()
-    repo_counts = collect_repo_counts(triples)
-    linked = link_triples(triples)
+    triples = extract_triples(corpus)
+    if materialize_triples:
+        triples = triples.materialize()
+    sym_table, repo_counts = collect_stats(triples)
+    sym_ref = ray.put(sym_table)
+    linked = triples.map_batches(make_linker_task(sym_ref), batch_format="pyarrow")
     if dedup:
         linked = dedup_exact(linked)
     return write_kg_shards(
