@@ -72,9 +72,11 @@ def _stats_batch(batch):
     """
     import pyarrow as pa
 
-    from ..stages.link import build_symbol_dict_batch
+    from ..stages.link import _batch_min_by_name, build_symbol_dict_batch
 
-    sym = build_symbol_dict_batch(batch)
+    # local combine BEFORE shipping to the driver: candidates shrink to
+    # distinct-per-block (without this the driver folds the raw stream)
+    sym = _batch_min_by_name(build_symbol_dict_batch(batch))
     reps = batch.group_by(["repo"]).aggregate([("repo", "count")])
     n_s, n_r = sym.num_rows, reps.num_rows
     return pa.table(
