@@ -80,6 +80,10 @@ def _corpus_path(sf_dir: str, n_files: int | None = None) -> str:
 
 
 def _consume(ds) -> int:
+    import pyarrow as pa
+
+    if isinstance(ds, pa.Table):
+        return ds.num_rows
     n = 0
     for b in ds.iter_batches(batch_format="pyarrow"):
         n += b.num_rows

@@ -195,6 +195,14 @@ def q_events_hourly(sf_dir: str):
     )
 
 
+def q_user_sessions(sf_dir: str):
+    """Session windows: 30-min gap sessionization + per-session aggregates."""
+    from ..stages.window import session_stats
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    return session_stats(ev, gap_minutes=30.0)
+
+
 def q_nation_customers(sf_dir: str):
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"])
@@ -509,6 +517,26 @@ ORACLE_SQL: dict[str, str] = {
                count(*) AS n_events, round(sum(value), 2) AS sum_value
         FROM events GROUP BY 1
     """,
+    "q_user_sessions": """
+        WITH flagged AS (
+            SELECT user_id, ts, event_id, value,
+                   CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id)
+                             > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+        ), numbered AS (
+            SELECT user_id, value,
+                   CAST(sum(new_s) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS session_id
+            FROM flagged
+        )
+        SELECT user_id, session_id, count(*) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM numbered GROUP BY user_id, session_id
+    """,
     "q_nation_customers": """
         SELECT r_name, n_name, count(*) AS n_customers
         FROM customer
@@ -607,6 +635,7 @@ QUERIES = {
     "q_order_status": q_order_status,
     "q_events_by_type": q_events_by_type,
     "q_events_hourly": q_events_hourly,
+    "q_user_sessions": q_user_sessions,
     "q_nation_customers": q_nation_customers,
     "q_part_type_stats": q_part_type_stats,
     "q_doc_token_stats": q_doc_token_stats,

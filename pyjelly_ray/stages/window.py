@@ -1,0 +1,65 @@
+"""Windowed / ordered operators over event streams.
+
+Ray Data has no native session windows; this implements them as the
+composition SURVEY.md §2 prescribes for missing operators:
+``groupby(key).map_groups`` with an in-group sort — the partitioning
+assumption is that one key's events fit in one group (true for per-user
+streams; salt by day for pathological users).
+
+- :func:`sessionize` — gap-based session ids per user (deterministic
+  tie-break on ``event_id``).
+- :func:`session_stats` — per-session aggregates (computed inside the same
+  group call, so no cross-batch leakage).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _session_ids(group: pa.Table, gap_minutes: float) -> pa.Table:
+    """Sort one key's events and assign 0-based gap sessions."""
+    t = group.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+    ts = t.column("ts").combine_chunks()
+    us = pc.cast(ts, pa.int64()).to_numpy(zero_copy_only=False)
+    if len(us) == 0:
+        return t.append_column("session_id", pa.array([], pa.int64()))
+    gap_us = int(gap_minutes * 60 * 1_000_000)
+    new_session = np.zeros(len(us), dtype=np.int64)
+    new_session[1:] = (us[1:] - us[:-1] > gap_us).astype(np.int64)
+    return t.append_column("session_id", pa.array(np.cumsum(new_session), pa.int64()))
+
+
+def sessionize(events_ds, *, gap_minutes: float = 30.0, key: str = "user_id"):
+    """Assign ``session_id`` (0-based per key) with a gap rule."""
+
+    def fn(group: pa.Table) -> pa.Table:
+        return _session_ids(group, gap_minutes)
+
+    return events_ds.groupby(key).map_groups(fn, batch_format="pyarrow")
+
+
+def session_stats(events_ds, *, gap_minutes: float = 30.0, round_to: int = 2):
+    """Per-(user, session) aggregates: n_events, sum_value.
+
+    Aggregation happens inside the same per-key group call so a session can
+    never straddle batch boundaries.
+    """
+
+    def fn(group: pa.Table) -> pa.Table:
+        s = _session_ids(group, gap_minutes)
+        g = s.group_by(["user_id", "session_id"]).aggregate(
+            [("value", "sum"), ("value", "count")]
+        )
+        return pa.table(
+            {
+                "user_id": g.column("user_id"),
+                "session_id": g.column("session_id"),
+                "n_events": pc.cast(g.column("value_count"), pa.int64()),
+                "sum_value": pc.round(g.column("value_sum"), ndigits=round_to),
+            }
+        )
+
+    return events_ds.groupby("user_id").map_groups(fn, batch_format="pyarrow")
