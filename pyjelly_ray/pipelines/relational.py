@@ -279,6 +279,27 @@ def q_doc_dedup_stats(sf_dir: str):
     return _to_table(n_docs).join(_to_table(n_uniq).select(["lang", "n_unique"]), keys=["lang"])
 
 
+def q_doc_exact_dedup_docs(sf_dir: str):
+    """Dedup keep-first: one surviving row per distinct text (min doc_id)."""
+    import hashlib
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def h(b: pa.Table) -> pa.Table:
+        hs = [hashlib.sha256(t.encode()).hexdigest() for t in b.column("text").to_pylist()]
+        return pa.table({"h": pa.array(hs, pa.string()), "doc_id": b.column("doc_id")})
+
+    hashed = docs.map_batches(h, batch_format="pyarrow")
+    agg = grouped_agg(
+        hashed, ["h"], [("doc_id", "doc_id", "min"), ("n_copies", "doc_id", "count")]
+    )
+
+    def strip(b: pa.Table) -> pa.Table:
+        return b.drop_columns(["h"])
+
+    return agg.map_batches(strip, batch_format="pyarrow")
+
+
 def q_lang_id(sf_dir: str):
     """Heuristic language-ID distribution (marker-vocabulary argmax)."""
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -416,6 +437,14 @@ def q_simhash_pairs(sf_dir: str):
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     return simhash_dup_pairs(docs, max_hamming=8)
+
+
+def q_minhash_clusters(sf_dir: str):
+    """Near-dup clusters: MinHash pairs -> union-find components."""
+    from ..stages.sim import dup_clusters, minhash_dup_pairs
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dup_clusters(minhash_dup_pairs(docs, threshold=0.5))
 
 
 def q_multimodal_features(sf_dir: str):
@@ -574,6 +603,10 @@ ORACLE_SQL: dict[str, str] = {
         SELECT lang, count(*) AS n_docs, count(DISTINCT text) AS n_unique
         FROM documents GROUP BY lang
     """,
+    "q_doc_exact_dedup_docs": """
+        SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+        FROM documents GROUP BY text
+    """,
     "q_lang_id": """
         WITH scored AS (
             SELECT doc_id,
@@ -641,6 +674,7 @@ QUERIES = {
     "q_doc_token_stats": q_doc_token_stats,
     "q_doc_quality": q_doc_quality,
     "q_doc_dedup_stats": q_doc_dedup_stats,
+    "q_doc_exact_dedup_docs": q_doc_exact_dedup_docs,
     "q_lang_id": q_lang_id,
     "q_doc_fingerprints": q_doc_fingerprints,
     "q_doc_mentions": q_doc_mentions,
@@ -651,6 +685,7 @@ QUERIES = {
     "q_embedding_ivf_topk": q_embedding_ivf_topk,
     "q_embedding_dup_pairs": q_embedding_dup_pairs,
     "q_minhash_pairs": q_minhash_pairs,
+    "q_minhash_clusters": q_minhash_clusters,
     "q_simhash_pairs": q_simhash_pairs,
     "q_multimodal_features": q_multimodal_features,
 }

@@ -144,6 +144,43 @@ def minhash_dup_pairs(docs_ds, *, threshold: float = 0.8, seed: int = 42):
     )
 
 
+def dup_clusters(pairs_ds) -> "pa.Table":
+    """Near-dup pairs → clusters via union-find (cluster id = min member).
+
+    The pair set is tiny relative to the corpus (output of LSH verify), so
+    the driver-side union-find is the honest small-side fold; returns an
+    Arrow table (doc_id, cluster_id).
+    """
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # deterministic: smaller id becomes the root
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+            parent.setdefault(lo, lo)
+
+    for batch in pairs_ds.iter_batches(batch_format="pyarrow"):
+        for a, b in zip(batch.column("doc_a").to_pylist(), batch.column("doc_b").to_pylist()):
+            union(int(a), int(b))
+    members = sorted(parent)
+    return pa.table(
+        {
+            "doc_id": pa.array(members, pa.int64()),
+            "cluster_id": pa.array([find(m) for m in members], pa.int64()),
+        }
+    )
+
+
 # ----------------------------- SimHash -------------------------------------
 
 
