@@ -97,13 +97,26 @@ def strip_key_columns(batch: pa.Table) -> pa.Table:
     return batch.drop_columns(drop) if drop else batch
 
 
-def dedup_exact(ds, n_buckets: int = N_BUCKETS):
+def dedup_exact(ds, n_buckets: int = N_BUCKETS, *, strategy: str = "sort"):
     """Dataset-level exact dedup; deterministic representative per key.
 
-    add_tkey (map_batches) → local sort+mask combine → bucket groupby
-    (int-key shuffle) → per-bucket sort+mask → strip key columns.
+    add_tkey (map_batches) → local sort+mask combine → bucket exchange →
+    per-bucket sort+mask → strip key columns.
+
+    ``strategy``: "sort" (Ray's groupby sort shuffle; fastest measured
+    here) or "exchange" (explicit raw-task hash exchange — more objects
+    through plasma, kept for clusters where the sort path degrades).
     """
     keyed = ds.map_batches(lambda b: add_tkey(b, n_buckets), batch_format="pyarrow")
     combined = keyed.map_batches(dedup_block, batch_format="pyarrow")
-    deduped = combined.groupby("bucket").map_groups(dedup_block, batch_format="pyarrow")
+    if strategy == "exchange":
+        from ..state.exchange import hash_exchange
+
+        deduped = hash_exchange(
+            combined, bucket_col="bucket", n_partitions=n_buckets, reduce_fn=dedup_block
+        )
+    else:
+        deduped = combined.groupby("bucket").map_groups(
+            dedup_block, batch_format="pyarrow"
+        )
     return deduped.map_batches(strip_key_columns, batch_format="pyarrow")
