@@ -130,11 +130,15 @@ class StreamDecoder:
 
     def _decode_iri(self, data: bytes, start: int, end: int) -> tuple:
         prefix_id = name_id = 0
-        for field, _, value, _ in iter_fields(data, start, end):
-            if field == 1:
-                prefix_id = value
-            elif field == 2:
-                name_id = value
+        pos = start
+        while pos < end:  # fields 1/2, single-byte tags, varint values
+            key = data[pos]
+            pos += 1
+            v, pos = read_varint(data, pos)
+            if key == 0x08:
+                prefix_id = v
+            elif key == 0x10:
+                name_id = v
         name = self.names.name_ref(name_id)
         prefix = self.prefixes.prefix_ref(prefix_id)
         return (KIND_IRI, prefix + name, None, None)
@@ -216,55 +220,92 @@ class StreamDecoder:
     # -- statements ----------------------------------------------------------
 
     def _decode_statement(self, data: bytes, start: int, end: int, n_slots: int):
-        present = [False] * 4
         repeat = self._repeat
-        for field, _, value, _ in iter_fields(data, start, end):
-            slot, term = self._decode_slot_field(field, data, value)
+        pos = start
+        decode_slot = self._decode_slot_field
+        while pos < end:
+            key = data[pos]
+            if key < 0x80:
+                pos += 1
+            else:
+                key, pos = read_varint(data, pos)
+            ln, pos = read_varint(data, pos)  # all statement fields are LEN
+            slot, term = decode_slot(key >> 3, data, (pos, pos + ln))
+            pos += ln
             repeat[slot] = term
-            present[slot] = True
-        terms = []
-        for i in range(n_slots):
-            t = repeat[i]
-            if t is None:
-                raise JellyConformanceError(f"missing repeated term in slot {i}")
-            terms.append(t)
-        return tuple(terms)
+        if n_slots == 3:
+            s, p, o = repeat[0], repeat[1], repeat[2]
+            if s is None or p is None or o is None:
+                raise JellyConformanceError("missing repeated term")
+            return (s, p, o)
+        s, p, o, g = repeat
+        if s is None or p is None or o is None or g is None:
+            raise JellyConformanceError("missing repeated term")
+        return (s, p, o, g)
 
     def decode_frame(self, data: bytes, start: int = 0, end: int | None = None):
-        """Yield decoded events for one frame's payload bytes."""
-        for field, wtype, value, _ in iter_fields(data, start, end):
-            if field != 1 or wtype != 2:
-                continue  # skip frame metadata (field 15) and unknowns
-            rs, re_ = value
-            for rfield, _, rvalue, _ in iter_fields(data, rs, re_):
-                if rfield == _ROW_TRIPLE:
-                    s, e = rvalue
-                    yield ("triple", self._decode_statement(data, s, e, 3))
-                elif rfield == _ROW_QUAD:
-                    s, e = rvalue
-                    yield ("quad", self._decode_statement(data, s, e, 4))
-                elif rfield == _ROW_NAME:
-                    s, e = rvalue
-                    idx, val = _parse_entry(data, s, e)
-                    self.names.assign(idx, val)
-                elif rfield == _ROW_PREFIX:
-                    s, e = rvalue
-                    idx, val = _parse_entry(data, s, e)
-                    self.prefixes.assign(idx, val)
-                elif rfield == _ROW_DATATYPE:
-                    s, e = rvalue
-                    idx, val = _parse_entry(data, s, e)
-                    self.datatypes.assign(idx, val)
-                elif rfield == _ROW_GRAPH_START:
-                    s, e = rvalue
-                    yield ("graph_start", self._decode_graph_term(data, s, e))
-                elif rfield == _ROW_GRAPH_END:
-                    yield ("graph_end", None)
-                elif rfield == _ROW_NAMESPACE:
-                    s, e = rvalue
-                    yield ("namespace", self._decode_namespace(data, s, e))
-                elif rfield == _ROW_OPTIONS:
-                    pass  # already validated at open
+        """Yield decoded events for one frame's payload bytes.
+
+        Hot path: varint/tag reads are inlined (no per-field generator
+        allocations) — this is what lets the pure-Python parser match the
+        reference's C-protobuf-backed parse throughput.
+        """
+        if end is None:
+            end = len(data)
+        pos = start
+        decode_stmt = self._decode_statement
+        while pos < end:
+            # frame-level field (rows are field 1, metadata 15)
+            key = data[pos]
+            if key < 0x80:
+                pos += 1
+            else:
+                key, pos = read_varint(data, pos)
+            if key != 0x0A:  # not rows: skip by wire type
+                wtype = key & 7
+                if wtype == 2:
+                    ln, pos = read_varint(data, pos)
+                    pos += ln
+                elif wtype == 0:
+                    _, pos = read_varint(data, pos)
+                else:
+                    raise JellyConformanceError(f"unexpected frame field {key >> 3}")
+                continue
+            row_len, pos = read_varint(data, pos)
+            row_end = pos + row_len
+            if row_len == 0:
+                continue  # defensively skip empty rows
+            # row oneof: single field
+            rkey = data[pos]
+            if rkey < 0x80:
+                rpos = pos + 1
+            else:
+                rkey, rpos = read_varint(data, pos)
+            rfield = rkey >> 3
+            body_len, rpos = read_varint(data, rpos)
+            s, e = rpos, rpos + body_len
+            pos = row_end
+            if rfield == _ROW_TRIPLE:
+                yield ("triple", decode_stmt(data, s, e, 3))
+            elif rfield == _ROW_QUAD:
+                yield ("quad", decode_stmt(data, s, e, 4))
+            elif rfield == _ROW_NAME:
+                idx, val = _parse_entry(data, s, e)
+                self.names.assign(idx, val)
+            elif rfield == _ROW_PREFIX:
+                idx, val = _parse_entry(data, s, e)
+                self.prefixes.assign(idx, val)
+            elif rfield == _ROW_DATATYPE:
+                idx, val = _parse_entry(data, s, e)
+                self.datatypes.assign(idx, val)
+            elif rfield == _ROW_GRAPH_START:
+                yield ("graph_start", self._decode_graph_term(data, s, e))
+            elif rfield == _ROW_GRAPH_END:
+                yield ("graph_end", None)
+            elif rfield == _ROW_NAMESPACE:
+                yield ("namespace", self._decode_namespace(data, s, e))
+            elif rfield == _ROW_OPTIONS:
+                pass  # already validated at open
 
     def _decode_namespace(self, data: bytes, start: int, end: int):
         name = ""
