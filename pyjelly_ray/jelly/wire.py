@@ -41,15 +41,34 @@ def append_varint(buf: bytearray, value: int) -> None:
 
 
 def append_tag_varint(buf: bytearray, field: int, value: int) -> None:
-    """Append ``field: value`` with wire type 0 (varint)."""
-    append_varint(buf, field << 3)
+    """Append ``field: value`` with wire type 0 (varint).
+
+    Fast path: tag and value both single-byte (fields ≤ 15, value < 128) —
+    the overwhelmingly common case for lookup ids.
+    """
+    tag = field << 3
+    if tag < 0x80 and value < 0x80:
+        buf.append(tag)
+        buf.append(value)
+        return
+    append_varint(buf, tag)
     append_varint(buf, value)
 
 
 def append_tag_len(buf: bytearray, field: int, payload: bytes) -> None:
-    """Append ``field: payload`` with wire type 2 (length-delimited)."""
-    append_varint(buf, (field << 3) | 2)
-    append_varint(buf, len(payload))
+    """Append ``field: payload`` with wire type 2 (length-delimited).
+
+    Fast path for single-byte tag + length (payload < 128 bytes).
+    """
+    tag = (field << 3) | 2
+    n = len(payload)
+    if tag < 0x80 and n < 0x80:
+        buf.append(tag)
+        buf.append(n)
+        buf += payload
+        return
+    append_varint(buf, tag)
+    append_varint(buf, n)
     buf += payload
 
 
