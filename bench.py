@@ -179,9 +179,12 @@ def main() -> None:
         # fixed costs don't dominate (they wouldn't at 100 TB either).
         scaling_files = int(os.environ.get("GRAFT_SCALING_FILES", "1920000"))
         repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "2"))
+        cpu_pair = tuple(
+            int(x) for x in os.environ.get("GRAFT_SCALING_CPUS", "8,32").split(",")
+        )
         _corpus_path(SF_DIR, scaling_files)  # generate once before timing
         results = {}
-        for cpus in (8, 32):
+        for cpus in cpu_pair:
             best = None
             for _ in range(repeats):
                 # flush write-back so neither run pays the other's dirty pages
@@ -196,20 +199,21 @@ def main() -> None:
                 if best is None or r["kg"]["wall_sec"] < best["kg"]["wall_sec"]:
                     best = r
             results[cpus] = best
-        t8 = results[8]["kg"]["triples_per_sec"]
-        t32 = results[32]["kg"]["triples_per_sec"]
-        eff = (t32 / t8) / 4
+        lo, hi = cpu_pair
+        t_lo = results[lo]["kg"]["triples_per_sec"]
+        t_hi = results[hi]["kg"]["triples_per_sec"]
+        eff = (t_hi / t_lo) / (hi / lo)
         print(
             json.dumps(
                 {
                     "metric": "kg_construct_scaling",
                     "value": round(eff, 3),
-                    "unit": "efficiency(T32/T8/4)",
+                    "unit": f"efficiency(T{hi}/T{lo}/{hi // lo})",
                     "sf": _sf_tag(SF_DIR),
-                    "throughput_8cpu": t8,
-                    "throughput_32cpu": t32,
-                    "wall_8cpu": results[8]["kg"]["wall_sec"],
-                    "wall_32cpu": results[32]["kg"]["wall_sec"],
+                    f"throughput_{lo}cpu": t_lo,
+                    f"throughput_{hi}cpu": t_hi,
+                    f"wall_{lo}cpu": results[lo]["kg"]["wall_sec"],
+                    f"wall_{hi}cpu": results[hi]["kg"]["wall_sec"],
                 }
             )
         )
