@@ -294,9 +294,13 @@ try:  # Datasink requires ray at import; keep module importable without it
             def statements():
                 for block in blocks:
                     table = BlockAccessor.for_block(block).to_arrow()
+                    if table.num_rows == 0 or "s_kind" not in table.column_names:
+                        continue  # empty splits arrive schema-less
                     yield from rows_to_terms(table)
 
-            _write_stream(out, statements(), self.options)
+            n, _ = _write_stream(out, statements(), self.options)
+            if n == 0:
+                os.remove(out)  # don't leave options-only streams behind
             return "ok"
 
     HAVE_RAY = True
