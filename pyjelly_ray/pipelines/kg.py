@@ -136,6 +136,7 @@ def build_kg(
     jelly_options: StreamOptions | None = None,
     dedup: bool = True,
     materialize_triples: bool = True,
+    strategy: str = "fused",
 ):
     """Full pipeline; returns the manifest Dataset (consuming it runs the job).
 
@@ -154,7 +155,7 @@ def build_kg(
     """
     import ray
 
-    from ..sinks.jelly_sink import write_kg_shards
+    from ..sinks.jelly_sink import dedup_and_write_kg_shards, write_kg_shards
     from ..stages.link import make_linker_task
 
     corpus = read_corpus(corpus_path)
@@ -164,6 +165,13 @@ def build_kg(
     sym_table, repo_counts = collect_stats(triples)
     sym_ref = ray.put(sym_table)
     linked = triples.map_batches(make_linker_task(sym_ref), batch_format="pyarrow")
+    if strategy == "fused" and dedup:
+        # dedup + shard-write as one two-hop raw-task exchange (no Ray sort
+        # shuffles; measured 2.8× faster and non-bimodal — ROADMAP #1)
+        return dedup_and_write_kg_shards(
+            linked, out_dir, n_shards=n_shards, options=jelly_options,
+            repo_counts=repo_counts,
+        )
     if dedup:
         linked = dedup_exact(linked)
     return write_kg_shards(

@@ -38,6 +38,78 @@ def _split_block(table: pa.Table, n_partitions: int, bucket_col: str) -> list[pa
     ]
 
 
+def fused_two_hop_exchange(
+    ds,
+    *,
+    key1_col: str,
+    n1: int,
+    reduce1: Callable[[pa.Table], pa.Table],
+    key2_col: str,
+    n2: int,
+    reduce2: Callable[[pa.Table], pa.Table],
+):
+    """TWO all-to-alls fused into one raw-task DAG (dedup hop → writer hop).
+
+    Motivation (measured): chaining two Ray Data sort shuffles in one
+    streaming plan is pathological — the same link→dedup(groupby)→
+    shard(groupby) chain ran 89 s fused-by-Ray vs 32 s executed stage by
+    stage at 307k rows, and showed 65–145 s bimodal walls at 19.6M rows
+    (ROADMAP #1).  With int bucket keys known up front, neither hop needs
+    sampling or sorting:
+
+        map:     split each input block by ``key1_col`` → n1 parts
+        hop 1:   per bucket p — concat parts, ``reduce1`` (dedup +
+                 shard-assign), split by ``key2_col`` → n2 parts
+        hop 2:   per shard q — concat parts, ``reduce2`` (sorted
+                 sequential Jelly encode + manifest)
+
+    No barrier beyond the data dependencies themselves: a hop-1 task starts
+    as soon as *its* parts exist; a hop-2 task as soon as all hop-1 outputs
+    for its shard exist.  Everything stays zero-copy Arrow in plasma.
+
+    ``reduce1`` must be total (applied to empty tables too — it defines the
+    hop-2 schema) and must leave ``key2_col`` ∈ [0, n2) on its output;
+    ``reduce2`` must accept an empty table.  Determinism: both reduces see
+    the full contents of their partition; ours sort internally.
+    """
+    import ray
+
+    split1 = ray.remote(num_returns=n1)(_split_block)
+
+    def _mid(n2_: int, key2: str, *parts: pa.Table):
+        tables = [p for p in parts if p.num_rows]
+        t = pa.concat_tables(tables, promote_options="default") if tables else parts[0]
+        return _split_block(reduce1(t), n2_, key2)
+
+    def _final(*parts: pa.Table):
+        tables = [p for p in parts if p.num_rows]
+        t = pa.concat_tables(tables, promote_options="default") if tables else parts[0]
+        return reduce2(t)
+
+    mid = ray.remote(num_returns=n2)(_mid)
+    final = ray.remote(_final)
+
+    block_refs = ds.to_arrow_refs()
+    if not block_refs:
+        return ds
+    per_bucket: list[list] = [[] for _ in range(n1)]
+    for ref in block_refs:
+        outs = split1.remote(ref, n1, key1_col)
+        if n1 == 1:
+            outs = [outs]
+        for p, r in enumerate(outs):
+            per_bucket[p].append(r)
+    per_shard: list[list] = [[] for _ in range(n2)]
+    for parts in per_bucket:
+        outs = mid.remote(n2, key2_col, *parts)
+        if n2 == 1:
+            outs = [outs]
+        for q, r in enumerate(outs):
+            per_shard[q].append(r)
+    out_refs = [final.remote(*parts) for parts in per_shard]
+    return ray.data.from_arrow_refs(out_refs)
+
+
 def hash_exchange(
     ds,
     *,
