@@ -217,11 +217,14 @@ def hot_repo_splits(
     # design, so the largest shard bounds the write wall — keep it small
     # enough (~300k stmts ≈ 7 s) that parallelism, not one hot repo, wins
     target = max(min(fair / 2, 300_000.0), 1.0)
+    # don't salt repos whose whole encode is sub-second anyway — splitting
+    # them only multiplies per-shard fixed costs (file + manifest + task)
+    min_hot = 100_000
     plan: dict[str, tuple[int, int]] = {}
     start = n_shards
     for repo in sorted(repo_counts):
         cnt = repo_counts[repo]
-        if cnt > fair:
+        if cnt > fair and cnt > min_hot:
             k = min(max(int(cnt / target), 2), 16 * n_shards)
             plan[repo] = (start, k)
             start += k
@@ -318,7 +321,15 @@ def dedup_and_write_kg_shards(
     from ..stages.dedup import N_BUCKETS, add_tkey, dedup_block
     from ..state.exchange import fused_two_hop_exchange
 
-    n_buckets = n_buckets or N_BUCKETS
+    if n_buckets is None:
+        # adaptive fan-out: ~200k statements per dedup bucket, else per-object
+        # overhead dominates small inputs (measured: 64 buckets cost ~9 s of
+        # pure scheduling at 307k rows).  repo_counts gives the exact
+        # pre-dedup statement count when available.
+        total = sum(repo_counts.values()) if repo_counts else None
+        n_buckets = (
+            min(N_BUCKETS, max(8, int(total // 200_000) + 1)) if total else N_BUCKETS
+        )
     hot_plan = hot_repo_splits(repo_counts, n_shards) if repo_counts else None
     n_total = total_shard_count(n_shards, hot_plan)
     assign = add_shard_column(n_shards, hot_plan)

@@ -26,15 +26,22 @@ import pyarrow.compute as pc
 
 
 def _split_block(table: pa.Table, n_partitions: int, bucket_col: str) -> list[pa.Table]:
-    """One int sort + boundary search → P zero-copy slices (NOT P filters:
-    filtering P times re-scans the block P times)."""
+    """One stable argsort + boundary search → P *compact* gathered tables.
+
+    Each partition is materialized with ``take`` — NOT ``slice``: pyarrow
+    pickles a slice with its parent's FULL buffers (measured: a 1/64 slice
+    of an 18.5 MB block pickles at 18.5 MB), so returning slices from a Ray
+    task amplifies the exchange 64× and drives plasma into spilling.  The
+    takes cost one full gather per block (~40 ms at 300k rows) and pickle
+    at true partition size."""
     import numpy as np
 
-    t = table.sort_by([(bucket_col, "ascending")])
-    b = t.column(bucket_col).to_numpy(zero_copy_only=False)
-    bounds = np.searchsorted(b, np.arange(n_partitions + 1))
+    b = table.column(bucket_col).to_numpy(zero_copy_only=False)
+    order = np.argsort(b, kind="stable")
+    sorted_b = b[order]
+    bounds = np.searchsorted(sorted_b, np.arange(n_partitions + 1))
     return [
-        t.slice(bounds[p], bounds[p + 1] - bounds[p]) for p in range(n_partitions)
+        table.take(order[bounds[p] : bounds[p + 1]]) for p in range(n_partitions)
     ]
 
 
@@ -89,7 +96,13 @@ def fused_two_hop_exchange(
     mid = ray.remote(num_returns=n2)(_mid)
     final = ray.remote(_final)
 
-    block_refs = ds.to_arrow_refs()
+    # materialize() BEFORE taking refs: to_arrow_refs() on a lazy dataset
+    # drives execution through the driver's ref-bundle iterator (measured
+    # 171 s vs 7 s for the same 19.6M-row map stage) and then calls
+    # .schema(fetch_if_missing=True), which re-executes the whole upstream
+    # under a limit-1 plan (another 52 s).  On a materialized dataset both
+    # are metadata lookups.
+    block_refs = ds.materialize().to_arrow_refs()
     if not block_refs:
         return ds
     per_bucket: list[list] = [[] for _ in range(n1)]
