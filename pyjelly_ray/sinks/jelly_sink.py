@@ -71,6 +71,31 @@ def rows_to_terms(batch: pa.Table):
             yield ((sk, sv, None, None), (pk, pv, None, None), o)
 
 
+def _write_stream_table(
+    path: str, table: pa.Table, options: StreamOptions
+) -> tuple[int, int]:
+    """Encode a statement table into one delimited stream at ``path``.
+
+    Uses the columnar fast-path encoder (byte-identical, ~4× faster — see
+    jelly/encode_fast.py) when the table shape allows, else falls back to the
+    general per-statement encoder.
+    """
+    from ..jelly.encode_fast import encode_table
+
+    chunks = encode_table(table, options)
+    if chunks is None:
+        return _write_stream(path, rows_to_terms(table), options)
+    tmp = path + ".tmp"
+    total = 0
+    with open(tmp, "wb") as f:
+        for chunk in chunks:
+            total += f.write(chunk)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+    return table.num_rows, total
+
+
 def _write_stream(path: str, statements, options: StreamOptions) -> tuple[int, int]:
     """Encode statements into one delimited stream at ``path`` (tmp+rename)."""
     tmp = path + ".tmp"
@@ -159,7 +184,7 @@ class ShardJellyWriter:
                 prev["status"] = "skipped"
                 return pa.Table.from_pylist([prev], schema=MANIFEST_SCHEMA)
 
-        n, total = _write_stream(out_path, rows_to_terms(group), self.options)
+        n, total = _write_stream_table(out_path, group, self.options)
         manifest = {
             "shard": shard,
             "path": out_path,
@@ -374,17 +399,16 @@ try:  # Datasink requires ray at import; keep module importable without it
         def write(self, blocks, ctx: "TaskContext"):
             idx = ctx.task_idx
             out = os.path.join(self.path, f"part-{idx:06d}.jelly")
-
-            def statements():
-                for block in blocks:
-                    table = BlockAccessor.for_block(block).to_arrow()
-                    if table.num_rows == 0 or "s_kind" not in table.column_names:
-                        continue  # empty splits arrive schema-less
-                    yield from rows_to_terms(table)
-
-            n, _ = _write_stream(out, statements(), self.options)
-            if n == 0:
-                os.remove(out)  # don't leave options-only streams behind
+            tables = [
+                t
+                for t in (BlockAccessor.for_block(b).to_arrow() for b in blocks)
+                if t.num_rows and "s_kind" in t.column_names  # empty splits arrive schema-less
+            ]
+            if not tables:
+                return "ok"  # don't leave options-only streams behind
+            _write_stream_table(
+                out, pa.concat_tables(tables, promote_options="default"), self.options
+            )
             return "ok"
 
     HAVE_RAY = True

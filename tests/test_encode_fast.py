@@ -1,0 +1,148 @@
+"""Byte-parity of the columnar fast-path encoder vs the general encoder.
+
+The fast path (jelly/encode_fast.py) must produce the SAME bytes as the
+sequential StreamEncoder for every table shape it accepts — including LRU
+eviction, delta-id edge cases, repeated-term runs and mixed literal kinds.
+The general path is itself pinned byte-for-byte against the reference
+serializer (tests/test_jelly_interop.py), so parity here extends that chain.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pyarrow as pa
+import pytest
+
+from pyjelly_ray.jelly.encode import StreamEncoder
+from pyjelly_ray.jelly.encode_fast import encode_table
+from pyjelly_ray.jelly.options import LookupPreset, StreamOptions
+from pyjelly_ray.schema import TRIPLE_SCHEMA
+from pyjelly_ray.sinks.jelly_sink import rows_to_terms
+from pyjelly_ray.terms import KIND_BNODE, KIND_IRI, KIND_LITERAL
+
+
+def slow_bytes(table: pa.Table, options: StreamOptions) -> bytes:
+    enc = StreamEncoder(options)
+    out = bytearray()
+    for s, p, o in rows_to_terms(table):
+        chunk = enc.triple(s, p, o)
+        if chunk:
+            out += chunk
+    tail = enc.flush()
+    if tail:
+        out += tail
+    return bytes(out)
+
+
+def fast_bytes(table: pa.Table, options: StreamOptions) -> bytes:
+    chunks = encode_table(table, options)
+    assert chunks is not None, "fast path unexpectedly declined this table"
+    return b"".join(chunks)
+
+
+def make_table(rows: list[tuple]) -> pa.Table:
+    cols = {name: [] for name, _ in zip(TRIPLE_SCHEMA.names, TRIPLE_SCHEMA.types)}
+    for sk, sv, pv, ok, ov, olex, olang, odt in rows:
+        cols["s_kind"].append(sk)
+        cols["s_value"].append(sv)
+        cols["p_kind"].append(KIND_IRI)
+        cols["p_value"].append(pv)
+        cols["o_kind"].append(ok)
+        cols["o_value"].append(ov)
+        cols["o_lex"].append(olex)
+        cols["o_lang"].append(olang)
+        cols["o_dt"].append(odt)
+    return pa.Table.from_pydict(cols, schema=TRIPLE_SCHEMA)
+
+
+def random_rows(n: int, seed: int, *, n_iris: int = 500) -> list[tuple]:
+    """Adversarial mix: shared prefixes/names, bnodes, literals, runs."""
+    rng = random.Random(seed)
+    iris = [
+        f"https://ex{i % 7}.org/{'deep/' * (i % 3)}p{i % 40}#n{i}" for i in range(n_iris)
+    ] + [f"plain{i}" for i in range(20)]  # prefixless IRIs
+    preds = [f"https://ont.ex/v{i}#prop{i}" for i in range(30)]
+    dts = [None, "", "http://www.w3.org/2001/XMLSchema#string",
+           "http://www.w3.org/2001/XMLSchema#integer",
+           "http://www.w3.org/2001/XMLSchema#double"]
+    rows = []
+    while len(rows) < n:
+        sk = KIND_BNODE if rng.random() < 0.15 else KIND_IRI
+        sv = f"b{rng.randrange(25)}" if sk == KIND_BNODE else rng.choice(iris)
+        pv = rng.choice(preds)
+        r = rng.random()
+        if r < 0.5:
+            row = (sk, sv, pv, KIND_IRI, rng.choice(iris), None, None, None)
+        elif r < 0.65:
+            row = (sk, sv, pv, KIND_BNODE, f"b{rng.randrange(25)}", None, None, None)
+        else:
+            lang = rng.choice([None, "en", "pl"])
+            dt = None if lang else rng.choice(dts)
+            lex = rng.choice(["", "x", "some longer lexical value " * rng.randrange(3)])
+            row = (sk, sv, pv, KIND_LITERAL, None, lex, lang, dt)
+        rows.append(row)
+        # repeated-term runs (exercise suppression) and full-duplicate runs
+        if rng.random() < 0.3:
+            rows.extend([row] * rng.randrange(1, 4))
+        elif rng.random() < 0.2 and rows:
+            prev = rows[-1]
+            rows.append((sk, sv, prev[2], *prev[3:]))
+    return rows[:n]
+
+
+PRESETS = [
+    StreamOptions(),
+    StreamOptions(lookup_preset=LookupPreset(max_names=16, max_prefixes=4, max_datatypes=2)),
+    StreamOptions(lookup_preset=LookupPreset(max_names=8, max_prefixes=0, max_datatypes=2)),
+    StreamOptions(frame_size=1),
+    StreamOptions(frame_size=7),
+]
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+@pytest.mark.parametrize("opts_i", range(len(PRESETS)))
+def test_fast_matches_slow_random(seed: int, opts_i: int) -> None:
+    opts = PRESETS[opts_i]
+    t = make_table(random_rows(800, seed))
+    assert fast_bytes(t, opts) == slow_bytes(t, opts)
+
+
+def test_fast_matches_slow_eviction_heavy() -> None:
+    # far more unique names than the default 4000-name table → eviction +
+    # index-reuse delta paths
+    rows = [
+        (KIND_IRI, f"https://a.org/ns#s{i}", f"https://a.org/ns#p{i % 11}",
+         KIND_IRI, f"https://b.org/x/o{i}", None, None, None)
+        for i in range(9000)
+    ]
+    t = make_table(rows)
+    small = StreamOptions(
+        lookup_preset=LookupPreset(max_names=64, max_prefixes=3, max_datatypes=4)
+    )
+    assert fast_bytes(t, small) == slow_bytes(t, small)
+    assert fast_bytes(t, StreamOptions()) == slow_bytes(t, StreamOptions())
+
+
+def test_fast_empty_table() -> None:
+    t = TRIPLE_SCHEMA.empty_table()
+    assert fast_bytes(t, StreamOptions()) == slow_bytes(t, StreamOptions())
+
+
+def test_fast_declines_unsupported() -> None:
+    from pyjelly_ray.sinks.jelly_sink import flat_quads_options
+
+    t = make_table(random_rows(5, 1))
+    assert encode_table(t, flat_quads_options()) is None
+    assert encode_table(t, StreamOptions(delimited=False)) is None
+
+
+def test_fast_output_parses_by_reference(pyjelly_reference) -> None:
+    """End of the parity chain: fast-path bytes parse by pyjelly itself."""
+    from tests.test_jelly_interop import _pyjelly_parse
+
+    t = make_table(random_rows(300, 9))
+    data = fast_bytes(t, StreamOptions())
+    ours = list(rows_to_terms(t))
+    theirs = _pyjelly_parse(data)
+    assert len(theirs) == len(ours)
