@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "q_doc_token_stats",
     "q_doc_quality",
     "q_minhash_pairs",
+    "q_ngram_jaccard_pairs",
     "q_simhash_pairs",
     "q_embedding_topk",
     "q_embedding_sim_range",

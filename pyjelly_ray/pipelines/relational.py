@@ -439,6 +439,16 @@ def q_simhash_pairs(sf_dir: str):
     return simhash_dup_pairs(docs, max_hamming=8)
 
 
+def q_ngram_jaccard_pairs(sf_dir: str):
+    """EXACT near-dup pairs: word-3-gram Jaccard >= 0.8 via prefix filtering
+    (complete, unlike the probabilistic MinHash/SimHash families) — DuckDB
+    all-pairs oracle matches it row for row."""
+    from ..stages.sim import ngram_jaccard_pairs
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ngram_jaccard_pairs(docs, threshold=0.8, n=3)
+
+
 def q_minhash_clusters(sf_dir: str):
     """Near-dup clusters: MinHash pairs -> union-find components."""
     from ..stages.sim import dup_clusters, minhash_dup_pairs
@@ -641,6 +651,29 @@ ORACLE_SQL: dict[str, str] = {
                 FROM documents)
             WHERE length(word) >= 6)
     """,
+    "q_ngram_jaccard_pairs": """
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        grams AS (
+          SELECT doc_id,
+            CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                 ELSE list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                     FOR i IN range(1, len(t)-1)])
+            END AS gs
+          FROM toks
+        ),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 len(list_intersect(a.gs, b.gs)) AS inter,
+                 len(a.gs) AS sa, len(b.gs) AS sb
+          FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               round(CAST(inter AS DOUBLE) / (sa + sb - inter), 6) AS jaccard
+        FROM pairs
+        WHERE CAST(inter AS DOUBLE) / (sa + sb - inter) >= 0.8
+    """,
     "q_embedding_sim_range": """
         SELECT * FROM (
             SELECT vec_id,
@@ -685,6 +718,7 @@ QUERIES = {
     "q_embedding_ivf_topk": q_embedding_ivf_topk,
     "q_embedding_dup_pairs": q_embedding_dup_pairs,
     "q_minhash_pairs": q_minhash_pairs,
+    "q_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "q_minhash_clusters": q_minhash_clusters,
     "q_simhash_pairs": q_simhash_pairs,
     "q_multimodal_features": q_multimodal_features,

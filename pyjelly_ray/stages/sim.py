@@ -270,6 +270,14 @@ def simhash_dup_pairs(docs_ds, *, max_hamming: int = 3):
 # -------------------------- n-gram Jaccard ----------------------------------
 
 
+def _word_ngrams(text: str, n: int = 3) -> list[str]:
+    """Distinct word n-grams in canonical (lexicographic) order."""
+    toks = text.split(" ")
+    if len(toks) < n:
+        return [" ".join(toks)] if toks else []
+    return sorted({" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)})
+
+
 def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
     """Exact word-n-gram Jaccard similarity (verification kernel)."""
 
@@ -284,3 +292,133 @@ def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
         return 1.0
     inter = len(ga & gb)
     return inter / (len(ga) + len(gb) - inter)
+
+
+def ngram_jaccard_pairs(docs_ds, *, threshold: float = 0.8, n: int = 3):
+    """EXACT all-pairs word-n-gram Jaccard ≥ threshold, via prefix filtering.
+
+    Unlike MinHash/SimHash (probabilistic candidates), this is exact and
+    complete — the prefix-filter theorem (SSJoin/PPJoin family): order each
+    doc's distinct grams by a global total order (lexicographic here) and
+    keep only the first ``|g| - ceil(t·|g|) + 1`` as its *prefix*; any pair
+    with J ≥ t must share a prefix gram.  Scale shape:
+
+        map_batches: doc → prefix rows (gram, doc_id)     # fan-out ≤ (1-t)·|grams|+1
+        groupby(gram): candidate pairs within group       # the one shuffle;
+                                                          # gram keys ≈ uniform
+        pair-dedup groupby
+        broadcast join: candidate (pair, doc_id) rows — the SMALL side —
+            hashed into a streaming scan of the corpus (texts never shuffle)
+        groupby(pair): exact Jaccard verify, filter ≥ t
+
+    Returns Dataset (doc_a, doc_b, jaccard[rounded 6]).
+    """
+    import math
+
+    import pyarrow.compute as pc
+
+    from .joins import broadcast_join
+
+    def prefix_rows(batch: pa.Table) -> pa.Table:
+        out_g, out_id = [], []
+        for d, t in zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()):
+            gs = _word_ngrams(t or "", n)
+            sz = len(gs)
+            if not sz:
+                continue
+            prefix_len = sz - math.ceil(threshold * sz) + 1
+            for g in gs[:prefix_len]:
+                out_g.append(g)
+                out_id.append(d)
+        return pa.table(
+            {"gram": pa.array(out_g, pa.string()), "doc_id": pa.array(out_id, pa.int64())}
+        )
+
+    def pairs(group: pa.Table) -> pa.Table:
+        ids = sorted(set(group.column("doc_id").to_pylist()))
+        a_out, b_out = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a_out.append(ids[i])
+                b_out.append(ids[j])
+        return pa.table(
+            {"doc_a": pa.array(a_out, pa.int64()), "doc_b": pa.array(b_out, pa.int64())}
+        )
+
+    def _key(b: pa.Table) -> pa.Table:
+        k = pc.binary_join_element_wise(
+            pc.cast(b.column("doc_a"), pa.string()),
+            pc.cast(b.column("doc_b"), pa.string()),
+            ":",
+        )
+        return b.append_column("pair", k)
+
+    def _first(group: pa.Table) -> pa.Table:
+        return group.slice(0, 1)
+
+    cand = (
+        docs_ds.map_batches(prefix_rows, batch_format="pyarrow")
+        .groupby("gram")
+        .map_groups(pairs, batch_format="pyarrow")
+        .map_batches(_key, batch_format="pyarrow")
+        .groupby("pair")
+        .map_groups(_first, batch_format="pyarrow")
+    )
+
+    # candidate set = LSH-style small side; explode to (pair, doc_id) rows and
+    # broadcast it into a streaming scan of the texts (corpus never shuffles)
+    side_tables = [
+        b for b in cand.iter_batches(batch_format="pyarrow") if b.num_rows
+    ]
+    if not side_tables:
+        return pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "jaccard": pa.array([], pa.float64()),
+            }
+        )
+    ct = pa.concat_tables(side_tables, promote_options="default")
+    long_side = pa.table(
+        {
+            "doc_id": pa.concat_arrays(
+                [ct.column("doc_a").combine_chunks(), ct.column("doc_b").combine_chunks()]
+            ),
+            "pair": pa.concat_arrays(
+                [ct.column("pair").combine_chunks(), ct.column("pair").combine_chunks()]
+            ),
+        }
+    )
+    joined = broadcast_join(docs_ds, long_side, left_key="doc_id")
+
+    def verify(group: pa.Table) -> pa.Table:
+        rows = sorted(
+            zip(group.column("doc_id").to_pylist(), group.column("text").to_pylist())
+        )
+        if len(rows) != 2:  # defensive: a side missing from the corpus scan
+            return pa.table(
+                {
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                    "jaccard": pa.array([], pa.float64()),
+                }
+            )
+        (ida, ta), (idb, tb) = rows
+        j = ngram_jaccard(ta or "", tb or "", n)
+        if j < threshold:
+            return pa.table(
+                {
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                    "jaccard": pa.array([], pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "doc_a": pa.array([ida], pa.int64()),
+                "doc_b": pa.array([idb], pa.int64()),
+                "jaccard": pa.array([round(j, 6)], pa.float64()),
+            }
+        )
+
+    return joined.groupby("pair").map_groups(verify, batch_format="pyarrow")
