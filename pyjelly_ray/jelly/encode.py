@@ -111,6 +111,13 @@ class StreamEncoder:
         self._rows: list[bytes] = []
         self._row_count = 0
         self._enrolled = False
+        #: optional per-frame metadata source for the BOUNDED (auto-cut) path:
+        #: called with the 0-based frame index at every cut; returns the
+        #: map<string,bytes> for that frame (or None).  Extension beyond the
+        #: reference (parse-only there: integrations/rdflib/parse.py:283-287);
+        #: used for per-frame lineage (shard id, frame seq) at scale.
+        self.metadata_fn = None
+        self._frame_index = 0
 
     # -- row buffer / framing ------------------------------------------------
 
@@ -139,6 +146,12 @@ class StreamEncoder:
         self._row_count = 0
         return bytes(payload)
 
+    def _next_metadata(self) -> dict[str, bytes] | None:
+        fn = self.metadata_fn
+        md = fn(self._frame_index) if fn is not None else None
+        self._frame_index += 1
+        return md
+
     def _maybe_cut(self) -> bytes | None:
         """Emit a delimited frame when the row budget is reached (flat flows)."""
         if (
@@ -146,7 +159,7 @@ class StreamEncoder:
             and self.options.flat
             and self._row_count >= self.options.frame_size
         ):
-            frame = self._frame_bytes()
+            frame = self._frame_bytes(self._next_metadata())
             return encode_varint(len(frame)) + frame
         return None
 
@@ -159,7 +172,7 @@ class StreamEncoder:
         self._enroll()  # even an empty stream declares its options
         if not self._rows:
             return None
-        frame = self._frame_bytes()
+        frame = self._frame_bytes(self._next_metadata())
         if self.options.delimited:
             return encode_varint(len(frame)) + frame
         return frame
@@ -168,11 +181,16 @@ class StreamEncoder:
         """Manually cut a frame (grouped flows: one frame per graph/dataset).
 
         Optional ``metadata`` is attached to this frame (reference exposes
-        it via a ContextVar on parse; we return it from iter_frames).
+        it via a ContextVar on parse; we return it from iter_frames).  When
+        omitted, ``metadata_fn`` (if set) supplies it.
         """
         if not self._rows:
             return None
-        frame = self._frame_bytes(metadata)
+        frame = self._frame_bytes(
+            metadata if metadata is not None else self._next_metadata()
+        )
+        if metadata is not None:
+            self._frame_index += 1
         if self.options.delimited:
             return encode_varint(len(frame)) + frame
         return frame

@@ -131,9 +131,13 @@ def _dict_indices(col: pa.ChunkedArray) -> tuple[list[int], list]:
 
 
 def encode_table(
-    table: pa.Table, options: StreamOptions | None = None
+    table: pa.Table, options: StreamOptions | None = None, metadata_fn=None
 ) -> Iterator[bytes] | None:
     """Encode a flattened triple-statement table as delimited Jelly frames.
+
+    ``metadata_fn`` (optional) is called with the 0-based frame index at each
+    cut and returns that frame's map<string,bytes> metadata (or None) — same
+    contract as ``StreamEncoder.metadata_fn``.
 
     Returns ``None`` when the table's shape needs the general encoder
     (quads column present, non-IRI/bnode/literal kinds, non-delimited or
@@ -158,10 +162,23 @@ def encode_table(
         kinds = set(pc.unique(table.column(kc)).to_pylist())
         if not kinds <= allowed:
             return None
-    return _encode_triples(table, options)
+    return _encode_triples(table, options, metadata_fn)
 
 
-def _encode_triples(table: pa.Table, options: StreamOptions) -> Iterator[bytes]:
+def _append_frame_metadata(frame: bytearray, md: dict[str, bytes] | None) -> None:
+    """Append field-15 map entries (submessage {1: key, 2: value}) to a frame."""
+    if not md:
+        return
+    for key in sorted(md):  # deterministic map order (mirror _frame_bytes)
+        entry = bytearray()
+        _tag_len(entry, 1, key.encode())
+        _tag_len(entry, 2, md[key])
+        _tag_len(frame, 15, bytes(entry))
+
+
+def _encode_triples(
+    table: pa.Table, options: StreamOptions, metadata_fn=None
+) -> Iterator[bytes]:
     n = table.num_rows
     lp = options.lookup_preset
     use_prefixes = lp.max_prefixes > 0
@@ -245,6 +262,7 @@ def _encode_triples(table: pa.Table, options: StreamOptions) -> Iterator[bytes]:
 
     frame = bytearray()
     row_count = 1  # options row opens the first frame
+    frame_index = 0
     _tag_len(frame, 1, _encode_options_row(options))
     frame_size = options.frame_size
 
@@ -407,10 +425,15 @@ def _encode_triples(table: pa.Table, options: StreamOptions) -> Iterator[bytes]:
         frame += body
         row_count += 1
         if row_count >= frame_size:
+            if metadata_fn is not None:
+                _append_frame_metadata(frame, metadata_fn(frame_index))
+                frame_index += 1
             yield encode_varint(len(frame)) + frame
             frame = bytearray()
             row_count = 0
     if row_count:
+        if metadata_fn is not None:
+            _append_frame_metadata(frame, metadata_fn(frame_index))
         yield encode_varint(len(frame)) + frame
 
 

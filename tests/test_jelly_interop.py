@@ -241,3 +241,89 @@ def test_frame_metadata_roundtrip(pyjelly_reference):
 
     frame = parse_length_prefixed(pb.RdfStreamFrame, io.BytesIO(data))
     assert dict(frame.metadata) == {"k": b"\x01\x02", "n": b"hello"}
+
+
+def test_frame_metadata_bounded_path(pyjelly_reference):
+    """Per-frame metadata on the AUTO-CUT path (metadata_fn), fast ≡ slow.
+
+    Lineage use case: every frame of a shard stream carries its frame seq.
+    """
+    import io
+    import sys
+
+    sys.path.insert(0, "/root/reference")
+    from google.protobuf.proto import parse_length_prefixed
+    from pyjelly.jelly import rdf_pb2 as pb
+
+    from pyjelly_ray.jelly.encode import StreamEncoder
+    from pyjelly_ray.jelly.encode_fast import encode_table
+    from pyjelly_ray.sinks.jelly_sink import rows_to_terms
+
+    def md(i: int) -> dict[str, bytes]:
+        return {"frame": str(i).encode(), "shard": b"00042"}
+
+    stmts = sample_triples(25)
+    opts = StreamOptions(frame_size=10)
+    enc = StreamEncoder(opts)
+    enc.metadata_fn = md
+    out = bytearray()
+    for s, p, o in stmts:
+        chunk = enc.triple(s, p, o)
+        if chunk:
+            out += chunk
+    out += enc.flush()
+    data = bytes(out)
+
+    # reference protobuf sees the metadata on every frame, in index order
+    buf, seen = io.BytesIO(data), []
+    while buf.tell() < len(data):
+        frame = parse_length_prefixed(pb.RdfStreamFrame, buf)
+        seen.append(dict(frame.metadata))
+    assert len(seen) >= 2  # frame_size=10 over 25+ rows → multiple frames
+    for i, m in enumerate(seen):
+        assert m == {"frame": str(i).encode(), "shard": b"00042"}
+    # decoded statements unaffected
+    assert list(decode_flat(data)) == normalize(stmts)
+
+    # columnar fast path: identical bytes with the same metadata_fn
+    table = _stmts_to_table(stmts)
+    if table is not None:
+        fast = b"".join(encode_table(table, opts, metadata_fn=md))
+        slow_from_table = bytearray()
+        enc2 = StreamEncoder(opts)
+        enc2.metadata_fn = md
+        for s, p, o in rows_to_terms(table):
+            chunk = enc2.triple(s, p, o)
+            if chunk:
+                slow_from_table += chunk
+        slow_from_table += enc2.flush()
+        assert fast == bytes(slow_from_table)
+
+
+def _stmts_to_table(stmts):
+    """Triple tuples → flattened Arrow table (None if shape unsupported)."""
+    import pyarrow as pa
+
+    from pyjelly_ray.schema import TRIPLE_SCHEMA
+    from pyjelly_ray.terms import KIND_IRI, KIND_LITERAL
+
+    cols = {n: [] for n in TRIPLE_SCHEMA.names}
+    for s, p, o in stmts:
+        if s[0] not in (KIND_IRI, 2) or p[0] != KIND_IRI:
+            return None
+        cols["s_kind"].append(s[0])
+        cols["s_value"].append(s[1])
+        cols["p_kind"].append(p[0])
+        cols["p_value"].append(p[1])
+        cols["o_kind"].append(o[0])
+        if o[0] == KIND_LITERAL:
+            cols["o_value"].append(None)
+            cols["o_lex"].append(o[1])
+            cols["o_lang"].append(o[2])
+            cols["o_dt"].append(o[3])
+        else:
+            cols["o_value"].append(o[1])
+            cols["o_lex"].append(None)
+            cols["o_lang"].append(None)
+            cols["o_dt"].append(None)
+    return pa.Table.from_pydict(cols, schema=TRIPLE_SCHEMA)
