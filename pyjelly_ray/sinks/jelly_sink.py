@@ -23,6 +23,7 @@ import os
 from functools import reduce
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..jelly.encode import StreamEncoder
 from ..jelly.options import (
@@ -34,7 +35,12 @@ from ..terms import KIND_BNODE, KIND_DEFAULT, KIND_IRI, KIND_LITERAL
 
 
 def rows_to_terms(batch: pa.Table):
-    """Yield statement term-tuples from a flattened statement table."""
+    """Yield statement term-tuples from a flattened statement table.
+
+    Tables with generalized-statement columns (``s_lex``/``p_lex``/…, see
+    :func:`pyjelly_ray.sources.jelly_source.statements_to_table`) rebuild
+    literal terms in any slot; the common shape takes the lean path below.
+    """
     names = batch.column_names
     has_g = "g_kind" in names
     n = batch.num_rows
@@ -42,6 +48,29 @@ def rows_to_terms(batch: pa.Table):
 
     def col(name):
         return batch.column(name).to_pylist() if name in names else none_col
+
+    if "s_lex" in names or "p_lex" in names or "g_lex" in names:
+
+        def term(kind, value, lex, lang, dt):
+            if kind == KIND_LITERAL:
+                return (KIND_LITERAL, lex or "", lang, dt)
+            if kind == KIND_DEFAULT:
+                return (KIND_DEFAULT, None, None, None)
+            return (kind, value, None, None)
+
+        slots = [
+            ("s_kind", "s_value", "s_lex", "s_lang", "s_dt"),
+            ("p_kind", "p_value", "p_lex", "p_lang", "p_dt"),
+            ("o_kind", "o_value", "o_lex", "o_lang", "o_dt"),
+        ]
+        if has_g:
+            slots.append(("g_kind", "g_value", "g_lex", "g_lang", "g_dt"))
+        cols = [tuple(col(c) for c in slot) for slot in slots]
+        for i in range(n):
+            yield tuple(
+                term(k[i], v[i], lx[i], lg[i], dt[i]) for k, v, lx, lg, dt in cols
+            )
+        return
 
     if has_g:
         rows = zip(
@@ -80,19 +109,30 @@ def _write_stream_table(
     jelly/encode_fast.py) when the table shape allows, else falls back to the
     general per-statement encoder.
     """
+    import time as _time
+
     from ..jelly.encode_fast import encode_table
+    from ..state.exchange import _prof
 
     chunks = encode_table(table, options)
     if chunks is None:
         return _write_stream(path, rows_to_terms(table), options)
     tmp = path + ".tmp"
     total = 0
+    t_io = 0.0
+    t0 = _time.time()
     with open(tmp, "wb") as f:
         for chunk in chunks:
+            ti = _time.time()
             total += f.write(chunk)
+            t_io += _time.time() - ti
+        ti = _time.time()
         f.flush()
         os.fsync(f.fileno())
+        t_io += _time.time() - ti
     os.replace(tmp, path)
+    _prof("w_enc_cpu", t0 + t_io, table.num_rows)  # start shifted: dur = total - io
+    _prof("w_enc_io", _time.time() - t_io, table.num_rows)
     return table.num_rows, total
 
 
@@ -131,6 +171,22 @@ def _sha_xor(shas) -> str:
     return f"{acc:064x}"
 
 
+def _sort_by_ranks(group: pa.Table, order: list[str]) -> pa.Table:
+    """Deterministic multi-key sort via integer ranks (bandwidth-lean).
+
+    Equivalent to ``group.sort_by`` on string keys, but the comparator only
+    touches two int32 columns: string keys are dictionary-encoded once, the
+    (small) dictionary is sorted, and each row gets its key's rank.  On a
+    430k-row shard with ~40k distinct (repo, path) pairs this cuts the sort
+    from ~1 s (10+ s under full-node memory contention) to ~0.1 s — the
+    string comparisons were the traffic, not the gather.
+    """
+    from ..arrowutil import sort_by_ranked
+
+    str_keys = [c for c in order if c != "seq"]
+    return sort_by_ranked(group, str_keys, ["seq"] if "seq" in order else [])
+
+
 MANIFEST_SCHEMA = pa.schema(
     [
         ("shard", pa.string()),
@@ -154,23 +210,31 @@ class ShardJellyWriter:
         os.makedirs(os.path.join(out_dir, "manifests"), exist_ok=True)
 
     def __call__(self, group: pa.Table) -> pa.Table:
+        import time as _time
+
+        from ..state.exchange import _prof
+
         if group.num_rows == 0:  # an unpopulated shard slot (fused exchange)
             return MANIFEST_SCHEMA.empty_table()
         # multi-node posture: __init__ ran on the driver; (re)create on this node
         os.makedirs(os.path.join(self.out_dir, "manifests"), exist_ok=True)
         shard = f"{group.column('shard')[0].as_py():05d}"
+        t0 = _time.time()
         order = [c for c in ("repo", "path", "seq") if c in group.column_names]
         if order:
-            group = group.sort_by([(c, "ascending") for c in order])
+            group = _sort_by_ranks(group, order)
+        _prof("w_sort", t0, group.num_rows)
         out_path = os.path.join(self.out_dir, f"part-{shard}.jelly")
         manifest_path = os.path.join(self.out_dir, "manifests", f"part-{shard}.json")
 
+        t0 = _time.time()
         shas = (
-            group.column("content_sha256").to_pylist()
+            pc.unique(group.column("content_sha256")).to_pylist()
             if "content_sha256" in group.column_names
             else []
         )
         fingerprint = _sha_xor(shas)
+        _prof("w_fingerprint", t0, group.num_rows)
 
         # resume: skip shards already written for identical input
         if os.path.exists(manifest_path):
@@ -184,18 +248,22 @@ class ShardJellyWriter:
                 prev["status"] = "skipped"
                 return pa.Table.from_pylist([prev], schema=MANIFEST_SCHEMA)
 
+        t0 = _time.time()
         n, total = _write_stream_table(out_path, group, self.options)
+        _prof("w_encode", t0, group.num_rows)
+        t0 = _time.time()
         manifest = {
             "shard": shard,
             "path": out_path,
             "n_statements": n,
             "n_bytes": total,
-            "n_files": len(set(zip(group.column("repo").to_pylist(), group.column("path").to_pylist())))
+            "n_files": group.select(["repo", "path"]).group_by(["repo", "path"]).aggregate([]).num_rows
             if "repo" in group.column_names
             else 0,
             "sha256_xor": fingerprint,
             "status": "written",
         }
+        _prof("w_manifest", t0, group.num_rows)
         tmp = manifest_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(manifest, f)
@@ -346,15 +414,22 @@ def dedup_and_write_kg_shards(
     from ..stages.dedup import N_BUCKETS, add_tkey, dedup_block
     from ..state.exchange import fused_two_hop_exchange
 
+    total = sum(repo_counts.values()) if repo_counts else None
     if n_buckets is None:
         # adaptive fan-out: ~200k statements per dedup bucket, else per-object
         # overhead dominates small inputs (measured: 64 buckets cost ~9 s of
         # pure scheduling at 307k rows).  repo_counts gives the exact
         # pre-dedup statement count when available.
-        total = sum(repo_counts.values()) if repo_counts else None
         n_buckets = (
             min(N_BUCKETS, max(8, int(total // 200_000) + 1)) if total else N_BUCKETS
         )
+    if total:
+        # size-aware fan-out: the per-shard encode is a sequential fold (format
+        # design), so the LARGEST shard bounds the write wall; target ~250k
+        # statements per shard (≈1.5 s encode uncontended) and let the caller's
+        # n_shards act as a minimum.  Also bounds per-task working sets, which
+        # is what saturates single-node memory bandwidth at high concurrency.
+        n_shards = max(n_shards, min(int(total // 250_000) + 1, 512))
     hot_plan = hot_repo_splits(repo_counts, n_shards) if repo_counts else None
     n_total = total_shard_count(n_shards, hot_plan)
     assign = add_shard_column(n_shards, hot_plan)

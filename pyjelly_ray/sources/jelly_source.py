@@ -16,18 +16,38 @@ from ..terms import KIND_DEFAULT, KIND_LITERAL
 
 
 def statements_to_table(statements, *, quads: bool | None = None) -> pa.Table:
-    """Flatten term-tuple statements into the columnar statement schema."""
+    """Flatten term-tuple statements into the columnar statement schema.
+
+    Generalized statements (literal subjects/predicates/graphs — protocol
+    flag ``generalized_statements``, reference options row field 3) get
+    per-slot ``{s,p,g}_lex/_lang/_dt`` columns, added only when such terms
+    actually occur so the common triples shape stays 9 columns.
+    """
     s_kind, s_value = [], []
     p_kind, p_value = [], []
     o_kind, o_value, o_lex, o_lang, o_dt = [], [], [], [], []
     g_kind, g_value = [], []
+    s_lit, p_lit, g_lit = [], [], []  # (lex, lang, dt) per row, mostly None
     saw_quad = False
+    saw_gen = False
     for stmt in statements:
         s, p, o = stmt[0], stmt[1], stmt[2]
         s_kind.append(s[0])
-        s_value.append(s[1])
+        if s[0] == KIND_LITERAL:
+            saw_gen = True
+            s_value.append(None)
+            s_lit.append((s[1], s[2], s[3]))
+        else:
+            s_value.append(s[1])
+            s_lit.append(None)
         p_kind.append(p[0])
-        p_value.append(p[1])
+        if p[0] == KIND_LITERAL:
+            saw_gen = True
+            p_value.append(None)
+            p_lit.append((p[1], p[2], p[3]))
+        else:
+            p_value.append(p[1])
+            p_lit.append(None)
         o_kind.append(o[0])
         if o[0] == KIND_LITERAL:
             o_value.append(None)
@@ -43,10 +63,17 @@ def statements_to_table(statements, *, quads: bool | None = None) -> pa.Table:
             saw_quad = True
             g = stmt[3]
             g_kind.append(g[0])
-            g_value.append(None if g[0] == KIND_DEFAULT else g[1])
+            if g[0] == KIND_LITERAL:
+                saw_gen = True
+                g_value.append(None)
+                g_lit.append((g[1], g[2], g[3]))
+            else:
+                g_value.append(None if g[0] == KIND_DEFAULT else g[1])
+                g_lit.append(None)
         else:
             g_kind.append(None)
             g_value.append(None)
+            g_lit.append(None)
     data = {
         "s_kind": pa.array(s_kind, pa.uint8()),
         "s_value": pa.array(s_value, pa.string()),
@@ -58,9 +85,23 @@ def statements_to_table(statements, *, quads: bool | None = None) -> pa.Table:
         "o_lang": pa.array(o_lang, pa.string()),
         "o_dt": pa.array(o_dt, pa.string()),
     }
-    if quads or (quads is None and saw_quad):
+    want_quads = quads or (quads is None and saw_quad)
+    if want_quads:
         data["g_kind"] = pa.array(g_kind, pa.uint8())
         data["g_value"] = pa.array(g_value, pa.string())
+    if saw_gen:
+        for slot, lits in (("s", s_lit), ("p", p_lit)) + (
+            (("g", g_lit),) if want_quads else ()
+        ):
+            data[f"{slot}_lex"] = pa.array(
+                [t[0] if t else None for t in lits], pa.string()
+            )
+            data[f"{slot}_lang"] = pa.array(
+                [t[1] if t else None for t in lits], pa.string()
+            )
+            data[f"{slot}_dt"] = pa.array(
+                [t[2] if t else None for t in lits], pa.string()
+            )
     return pa.table(data)
 
 

@@ -35,9 +35,6 @@ _NULL = "\x00"
 #: global dedup fan-out; at 100 TB raise to ~#cores in the cluster
 N_BUCKETS = 64
 
-_ORDER_COLS = ("h1", "h2", "repo", "path", "seq")
-
-
 def _joined_stmt(batch: pa.Table) -> pa.ChunkedArray:
     cols = []
     for c in STMT_COLS:
@@ -73,12 +70,28 @@ def dedup_block(batch: pa.Table) -> pa.Table:
     """Vectorized within-table dedup: sort by key+order, keep first per key.
 
     Used both as the per-block combiner and as the per-bucket global kernel
-    (correct globally once rows of equal keys are co-located).
+    (correct globally once rows of equal keys are co-located).  The (repo,
+    path) tie-break keys are collapsed to one int32 rank so the 5-key sort
+    compares only ints (arrowutil.rank_key — string comparators were the
+    memory traffic under 32-way concurrency).
     """
     if batch.num_rows <= 1:
         return batch
-    order = [(c, "ascending") for c in _ORDER_COLS if c in batch.column_names]
+    names = batch.column_names
+    str_keys = [c for c in ("repo", "path") if c in names]
+    aux = []
+    order = [(c, "ascending") for c in ("h1", "h2") if c in names]
+    if str_keys:
+        from ..arrowutil import rank_key
+
+        batch = batch.append_column("_rank", rank_key(batch, str_keys))
+        order.append(("_rank", "ascending"))
+        aux.append("_rank")
+    if "seq" in names:
+        order.append(("seq", "ascending"))
     t = batch.sort_by(order)
+    if aux:
+        t = t.drop_columns(aux)
     h1 = t.column("h1").combine_chunks()
     h2 = t.column("h2").combine_chunks()
     n = len(h1)

@@ -19,10 +19,46 @@ This is the documented partitioning assumption: ``bucket ∈ [0, P)``.
 
 from __future__ import annotations
 
+import json
+import os
+import time
 from typing import Callable
 
 import pyarrow as pa
 import pyarrow.compute as pc
+
+
+def _prof(stage: str, t0: float, rows: int, cpu0: float | None = None) -> None:
+    """Opt-in per-task profile line (set GRAFT_TASKPROF=/path/file.jsonl).
+
+    Single-node diagnostic aid (O_APPEND keeps short lines atomic); the
+    per-partition manifests are the multi-node lineage/metrics surface.
+    """
+    path = os.environ.get("GRAFT_TASKPROF")
+    if not path:
+        return
+    line = json.dumps(
+        {
+            "stage": stage,
+            "pid": os.getpid(),
+            "start": t0,
+            "dur": time.time() - t0,
+            "cpu": (time.process_time() - cpu0) if cpu0 is not None else None,
+            "rows": rows,
+        }
+    )
+    fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_APPEND, 0o644)
+    try:
+        os.write(fd, (line + "\n").encode())
+    finally:
+        os.close(fd)
+
+
+def _split_block_timed(table: pa.Table, n_partitions: int, bucket_col: str) -> list[pa.Table]:
+    t0 = time.time()
+    out = _split_block(table, n_partitions, bucket_col)
+    _prof("split", t0, table.num_rows)
+    return out
 
 
 def _split_block(table: pa.Table, n_partitions: int, bucket_col: str) -> list[pa.Table]:
@@ -81,17 +117,31 @@ def fused_two_hop_exchange(
     """
     import ray
 
-    split1 = ray.remote(num_returns=n1)(_split_block)
+    split1 = ray.remote(num_returns=n1)(_split_block_timed)
 
     def _mid(n2_: int, key2: str, *parts: pa.Table):
+        t0 = time.time()
         tables = [p for p in parts if p.num_rows]
         t = pa.concat_tables(tables, promote_options="default") if tables else parts[0]
-        return _split_block(reduce1(t), n2_, key2)
+        out = _split_block(reduce1(t), n2_, key2)
+        _prof("mid", t0, t.num_rows)
+        return out
 
     def _final(*parts: pa.Table):
+        t0, c0 = time.time(), time.process_time()
         tables = [p for p in parts if p.num_rows]
         t = pa.concat_tables(tables, promote_options="default") if tables else parts[0]
-        return reduce2(t)
+        dump = os.environ.get("GRAFT_DUMP_FINAL")
+        if dump:  # diagnostic: persist one real reduce2 input for offline profiling
+            import pickle
+
+            path = os.path.join(dump, f"final_{os.getpid()}.pkl")
+            if not os.path.exists(path):
+                with open(path, "wb") as f:
+                    pickle.dump(t, f)
+        out = reduce2(t)
+        _prof("final", t0, t.num_rows, c0)
+        return out
 
     mid = ray.remote(num_returns=n2)(_mid)
     final = ray.remote(_final)
@@ -102,9 +152,12 @@ def fused_two_hop_exchange(
     # .schema(fetch_if_missing=True), which re-executes the whole upstream
     # under a limit-1 plan (another 52 s).  On a materialized dataset both
     # are metadata lookups.
+    t0 = time.time()
     block_refs = ds.materialize().to_arrow_refs()
     if not block_refs:
         return ds
+    _prof("drv_materialize", t0, len(block_refs))
+    t0 = time.time()
     per_bucket: list[list] = [[] for _ in range(n1)]
     for ref in block_refs:
         outs = split1.remote(ref, n1, key1_col)
@@ -120,7 +173,11 @@ def fused_two_hop_exchange(
         for q, r in enumerate(outs):
             per_shard[q].append(r)
     out_refs = [final.remote(*parts) for parts in per_shard]
-    return ray.data.from_arrow_refs(out_refs)
+    _prof("drv_submit", t0, len(out_refs))
+    t0 = time.time()
+    out = ray.data.from_arrow_refs(out_refs)
+    _prof("drv_from_refs", t0, len(out_refs))
+    return out
 
 
 def hash_exchange(

@@ -216,6 +216,47 @@ def test_jelly_datasink_and_source(ray_session, tmp_path):
     }
 
 
+def test_generalized_statements_columnar_roundtrip():
+    """Literal subjects/predicates/graphs survive table → bytes → table.
+
+    Protocol flag ``generalized_statements`` (reference options.py field 3);
+    columnar form adds s_lex/p_lex/g_lex columns only when such terms occur.
+    """
+    from pyjelly_ray import terms as T
+    from pyjelly_ray.jelly import (
+        LOGICAL_FLAT_QUADS,
+        PHYSICAL_QUADS,
+        StreamOptions,
+        decode_flat,
+        encode_flat,
+    )
+    from pyjelly_ray.sinks.jelly_sink import rows_to_terms
+    from pyjelly_ray.sources.jelly_source import statements_to_table
+
+    stmts = [
+        (T.literal("subj-lit", lang="en"), T.iri("http://e/p"), T.iri("http://e/o"),
+         T.DEFAULT_GRAPH),
+        (T.iri("http://e/s"), T.literal("pred-lit"), T.literal("x"),
+         T.iri("http://e/g")),
+        (T.bnode("b1"), T.iri("http://e/p"), T.bnode("b2"),
+         T.literal("graph-lit", datatype="http://e/dt")),
+    ]
+    opts = StreamOptions(
+        physical_type=PHYSICAL_QUADS,
+        logical_type=LOGICAL_FLAT_QUADS,
+        generalized_statements=True,
+    )
+    table = statements_to_table(stmts)
+    assert "s_lex" in table.column_names and "g_lex" in table.column_names
+    rebuilt = list(rows_to_terms(table))
+    assert rebuilt == stmts  # columnar round-trip is lossless
+    data = b"".join(encode_flat(iter(rebuilt), opts))
+    decoded = list(decode_flat(data))
+    assert decoded == stmts
+    # and the re-tabled result matches the original table
+    assert statements_to_table(decoded).equals(table)
+
+
 def test_graphs_physical_type_roundtrip():
     """Physical GRAPHS: start/end markers, flat-flattened to quads on parse."""
     from pyjelly_ray import terms as T
