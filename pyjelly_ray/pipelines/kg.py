@@ -164,14 +164,16 @@ def build_kg(
         triples = triples.materialize()
     sym_table, repo_counts = collect_stats(triples)
     sym_ref = ray.put(sym_table)
-    linked = triples.map_batches(make_linker_task(sym_ref), batch_format="pyarrow")
     if strategy == "fused" and dedup:
         # dedup + shard-write as one two-hop raw-task exchange (no Ray sort
-        # shuffles; measured 2.8× faster and non-bimodal — ROADMAP #1)
+        # shuffles; measured 2.8× faster and non-bimodal — ROADMAP #1).  The
+        # linker runs INSIDE the exchange's map tasks (pre_map): the linked+
+        # keyed stream is never materialized as a second full plasma copy.
         return dedup_and_write_kg_shards(
-            linked, out_dir, n_shards=n_shards, options=jelly_options,
-            repo_counts=repo_counts,
+            triples, out_dir, n_shards=n_shards, options=jelly_options,
+            repo_counts=repo_counts, pre_map=make_linker_task(sym_ref),
         )
+    linked = triples.map_batches(make_linker_task(sym_ref), batch_format="pyarrow")
     if dedup:
         linked = dedup_exact(linked)
     return write_kg_shards(

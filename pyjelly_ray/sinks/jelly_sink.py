@@ -402,12 +402,16 @@ def dedup_and_write_kg_shards(
     options: StreamOptions | None = None,
     repo_counts: dict[str, int] | None = None,
     n_buckets: int | None = None,
+    pre_map=None,
 ):
     """Fused sink: exact dedup + repo-sharded Jelly write as ONE two-hop
     raw-task exchange (state/exchange.py) instead of two chained Ray sort
     shuffles (measured 2.8× faster and non-bimodal — ROADMAP #1).
 
-    map:   add 128-bit statement key + int bucket, local pre-dedup combine
+    map:   [pre_map (e.g. the linker) →] add 128-bit statement key + int
+           bucket, local pre-dedup combine — all fused into the exchange's
+           map-side tasks so the keyed stream is never materialized as a
+           second full dataset copy in the object store
     hop 1: per-bucket global dedup → assign (salted, dense) shard ids
     hop 2: per-shard sorted sequential Jelly encode + manifest/resume
     """
@@ -435,9 +439,10 @@ def dedup_and_write_kg_shards(
     assign = add_shard_column(n_shards, hot_plan)
     writer = ShardJellyWriter(out_dir, options)
 
-    keyed = ds.map_batches(
-        lambda b: dedup_block(add_tkey(b, n_buckets)), batch_format="pyarrow"
-    )
+    def key_map(b: pa.Table) -> pa.Table:
+        if pre_map is not None:
+            b = pre_map(b)
+        return dedup_block(add_tkey(b, n_buckets))
 
     def dedup_assign(t: pa.Table) -> pa.Table:
         t = assign(dedup_block(t))
@@ -445,13 +450,14 @@ def dedup_and_write_kg_shards(
         return t.drop_columns(drop) if drop else t
 
     return fused_two_hop_exchange(
-        keyed,
+        ds,
         key1_col="bucket",
         n1=n_buckets,
         reduce1=dedup_assign,
         key2_col="shard",
         n2=n_total,
         reduce2=writer,
+        map_fn=key_map,
     )
 
 

@@ -90,6 +90,7 @@ def fused_two_hop_exchange(
     key2_col: str,
     n2: int,
     reduce2: Callable[[pa.Table], pa.Table],
+    map_fn: Callable[[pa.Table], pa.Table] | None = None,
 ):
     """TWO all-to-alls fused into one raw-task DAG (dedup hop → writer hop).
 
@@ -114,10 +115,22 @@ def fused_two_hop_exchange(
     hop-2 schema) and must leave ``key2_col`` ∈ [0, n2) on its output;
     ``reduce2`` must accept an empty table.  Determinism: both reduces see
     the full contents of their partition; ours sort internally.
+
+    ``map_fn`` (optional) runs inside each map-side task BEFORE the split —
+    fusing the last narrow transform (e.g. link + key + local pre-dedup)
+    into the exchange avoids materializing that transform's output as a
+    second full copy of the dataset in the object store.
     """
     import ray
 
-    split1 = ray.remote(num_returns=n1)(_split_block_timed)
+    def _split1(table: pa.Table, n_: int, key: str):
+        if map_fn is not None:
+            t0 = time.time()
+            table = map_fn(table)
+            _prof("map_fused", t0, table.num_rows)
+        return _split_block_timed(table, n_, key)
+
+    split1 = ray.remote(num_returns=n1)(_split1)
 
     def _mid(n2_: int, key2: str, *parts: pa.Table):
         t0 = time.time()
