@@ -106,13 +106,21 @@ def statements_to_table(statements, *, quads: bool | None = None) -> pa.Table:
 
 
 def decode_files_batch(batch: dict) -> pa.Table:
-    """map_batches fn over read_binary_files output: decode each file."""
+    """map_batches fn over read_binary_files output: decode each file.
+
+    Tries the columnar fast path (jelly/decode_fast.py — no per-row tuple
+    objects) and falls back to the general decoder for quads/graphs/star/
+    generalized streams.
+    """
+    from ..jelly.decode_fast import decode_table
+
     tables = []
     for data in batch["bytes"]:
         b = bytes(data)
         if not b:
             continue
-        tables.append(statements_to_table(decode_flat(b)))
+        t = decode_table(b)
+        tables.append(t if t is not None else statements_to_table(decode_flat(b)))
     if not tables:
         return statements_to_table(())
     return pa.concat_tables(tables, promote_options="default")

@@ -1,0 +1,122 @@
+"""Columnar fast-path decoder ≡ general decoder + statements_to_table.
+
+The general decoder is pinned against the reference parser
+(tests/test_jelly_interop.py), so table equality here extends that chain to
+the fast path.  Fallback contract: quads / GRAPHS / RDF-star / generalized
+streams return None.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pytest
+
+from pyjelly_ray import terms as T
+from pyjelly_ray.jelly import (
+    LOGICAL_FLAT_QUADS,
+    PHYSICAL_QUADS,
+    LookupPreset,
+    StreamOptions,
+    decode_flat,
+    encode_flat,
+)
+from pyjelly_ray.jelly.decode_fast import decode_table
+from pyjelly_ray.sources.jelly_source import statements_to_table
+
+EX = "http://example.org/"
+XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
+XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
+
+
+def adversarial_triples(n=4000, n_iris=700):
+    """Tiny-lookup stress: evictions, delta ids, repeats, mixed literals."""
+    import random
+
+    rng = random.Random(11)
+    stmts = []
+    for i in range(n):
+        s = T.iri(f"{EX}ns{rng.randrange(9)}/s{rng.randrange(n_iris)}")
+        p = T.iri(f"{EX}ont#p{rng.randrange(40)}")
+        r = rng.random()
+        if r < 0.3:
+            o = T.literal(f"v{i}")
+        elif r < 0.45:
+            o = T.literal(str(i), datatype=XSD_INT)
+        elif r < 0.55:
+            o = T.literal(f"t{i}", lang=rng.choice(["en", "de", "es"]))
+        elif r < 0.65:
+            o = T.bnode(f"b{rng.randrange(30)}")
+        elif r < 0.7:
+            o = T.literal(f"p{i}", datatype=XSD_STRING)
+        else:
+            o = T.iri(f"{EX}ns{rng.randrange(9)}/o{rng.randrange(n_iris)}")
+        stmts.append((s, p, o))
+        if rng.random() < 0.2:  # repeated-term runs
+            stmts.append(stmts[-1])
+    # unsplittable IRIs (empty prefix path)
+    stmts.append((T.iri("urn:x:1"), T.iri("tag:p"), T.iri("urn:x:2")))
+    return stmts
+
+
+@pytest.mark.parametrize(
+    "preset,frame_size",
+    [
+        (LookupPreset(), 250),
+        (LookupPreset.small(), 1),
+        (LookupPreset.tiny(), 4),
+        (LookupPreset.no_prefixes(), 200),
+    ],
+)
+def test_fast_decode_matches_general(preset, frame_size):
+    stmts = adversarial_triples()
+    opts = StreamOptions(lookup_preset=preset, frame_size=frame_size)
+    data = b"".join(encode_flat(iter(stmts), opts))
+    fast = decode_table(data)
+    assert fast is not None
+    general = statements_to_table(decode_flat(data))
+    assert fast.equals(general)
+
+
+def test_fast_decode_with_namespace_rows():
+    """Namespace declarations mutate lookup delta state — must stay in sync."""
+    from pyjelly_ray.jelly.encode import StreamEncoder
+
+    opts = StreamOptions(namespace_declarations=True, frame_size=7)
+    enc = StreamEncoder(opts)
+    out = bytearray()
+    chunk = enc.namespace_declaration("ex", EX + "ns0/")
+    if chunk:
+        out += chunk
+    for s, p, o in adversarial_triples(500):
+        chunk = enc.triple(s, p, o)
+        if chunk:
+            out += chunk
+    tail = enc.flush()
+    if tail:
+        out += tail
+    data = bytes(out)
+    fast = decode_table(data)
+    assert fast is not None
+    general = statements_to_table(decode_flat(data))
+    assert fast.equals(general)
+
+
+def test_fast_decode_declines_non_triples():
+    quad_opts = StreamOptions(
+        physical_type=PHYSICAL_QUADS, logical_type=LOGICAL_FLAT_QUADS
+    )
+    quads = [
+        (T.iri(EX + "s"), T.iri(EX + "p"), T.literal("x"), T.iri(EX + "g")),
+    ]
+    data = b"".join(encode_flat(iter(quads), quad_opts))
+    assert decode_table(data) is None
+
+    star = [
+        (
+            T.quoted(T.iri(EX + "a"), T.iri(EX + "b"), T.literal("c")),
+            T.iri(EX + "p"),
+            T.literal("y"),
+        )
+    ]
+    data = b"".join(encode_flat(iter(star), StreamOptions(rdf_star=True)))
+    assert decode_table(data) is None
