@@ -27,8 +27,11 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
-#: corpus size per sf directory (deterministic synthesized code corpus)
-_CORPUS_FILES = {"sf0.001": 300, "sf0.01": 3000, "sf0.1": 30000}
+#: corpus size per sf directory (deterministic synthesized code corpus).
+#: sf0.1 uses the full bench corpus (1.92M files → 19.6M triples) so the
+#: headline KG number measures the engine, not per-run fixed costs; override
+#: with GRAFT_KG_FILES for a quick run.
+_CORPUS_FILES = {"sf0.001": 300, "sf0.01": 3000, "sf0.1": 1_920_000}
 
 BENCH_QUERIES = [
     "q1_pricing_summary",
@@ -37,6 +40,7 @@ BENCH_QUERIES = [
     "q_top_parts",
     "q_mktsegment_stats",
     "q_events_by_type",
+    "q_events_asof_order",
     "q_doc_token_stats",
     "q_doc_quality",
     "q_minhash_pairs",
@@ -231,7 +235,9 @@ def main() -> None:
 
     cpus = NUM_CPUS
     kg_only = "--kg-only" in sys.argv
-    n_files = None
+    n_files = (
+        int(os.environ["GRAFT_KG_FILES"]) if "GRAFT_KG_FILES" in os.environ else None
+    )
     for a in sys.argv:
         if a.startswith("--cpus="):
             cpus = int(a.split("=")[1])

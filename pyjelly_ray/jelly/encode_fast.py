@@ -197,11 +197,12 @@ def _encode_triples(
     is_lit = o_kind_np == KIND_LITERAL
     has_lit = bool(is_lit.any())
     if has_lit:
-        lex_list = table.column("o_lex").combine_chunks().to_pylist()
+        # normalize lex nulls to "" BEFORE dict-encoding: the repeat key
+        # compares `lex or ""`, so None and "" must share an index (their
+        # emission is identical too — both skip the lex field)
+        lex_idx_np, lex_uniq = _dict_indices(pc.fill_null(table.column("o_lex"), ""))
         lang_idx_np, lang_uniq = _dict_indices(table.column("o_lang"))
         dt_idx_np, dt_uniq = _dict_indices(table.column("o_dt"))
-        lang_idx = lang_idx_np.tolist()
-        dt_idx = dt_idx_np.tolist()
         lang_bytes = [v.encode() if v else None for v in lang_uniq]
         dt_bytes = [v.encode() if v else b"" for v in dt_uniq]
         # skip the datatype machinery for absent / empty / xsd:string types,
@@ -214,16 +215,37 @@ def _encode_triples(
     sg_np = np.where(s_idx >= 0, s_idx, _MISSING)
     pg_np = np.where(p_idx >= 0, p_idx + offs_p, _MISSING)
     og_np = np.where(o_idx >= 0, o_idx + offs_o, _MISSING)
-    # composite repeat-suppression keys: (value id, kind) packed into one int
-    # so a bnode and an IRI with the same value string never collide — the
-    # general path compares full term tuples including the kind
-    s_keys = (sg_np << 3 | s_kind).tolist()
-    o_keys = (og_np << 3 | o_kind_np).tolist()
-    sg = sg_np.tolist()
-    pg = pg_np.tolist()
-    og = og_np.tolist()
+
+    # vectorized repeated-term suppression: one composite int64 key per slot,
+    # change masks via shifted != (no per-row Python key objects).  (value
+    # id, kind) packing keeps a bnode and an IRI with the same string
+    # distinct; literals get a disjoint key space above the non-literal
+    # range, composed of (lex id, RAW lang id, RAW dt id) — raw because the
+    # general path's tuple compare distinguishes None from "" for lang/dt.
+    s_keys_np = (sg_np << 3) | s_kind
+    if has_lit:
+        lang_m = np.int64(len(lang_uniq) + 2)
+        dt_m = np.int64(len(dt_uniq) + 2)
+        lit_key = ((lex_idx_np + 1) * lang_m + (lang_idx_np + 1)) * dt_m + (
+            dt_idx_np + 1
+        )
+        lit_base = (np.int64(len(all_vals) + 1) << 3) + 8  # above every non-lit key
+        o_keys_np = np.where(is_lit, lit_base + lit_key, (og_np << 3) | o_kind_np)
+    else:
+        o_keys_np = (og_np << 3) | o_kind_np
+
+    def _change_mask(keys: np.ndarray) -> list[bool]:
+        ch = np.empty(n, dtype=bool)
+        if n:
+            ch[0] = True
+            np.not_equal(keys[1:], keys[:-1], out=ch[1:])
+        return ch.tolist()  # True/False singletons — no allocation
+
+    s_ch = _change_mask(s_keys_np)
+    p_ch = _change_mask(pg_np)
+    o_ch = _change_mask(o_keys_np)
     s_is_iri = (s_kind == KIND_IRI).tolist()
-    o_kind = o_kind_np.tolist()
+    o_kind = o_kind_np.tolist()  # small ints are interned — cheap list
 
     # per unique value: utf-8 bytes (bnode branch), split prefix/name ids +
     # their utf-8 bytes (IRI branch).  Prefix/name spaces are deduplicated
@@ -362,60 +384,48 @@ def _encode_triples(
 
     def encode_literal(i: int) -> bytes:
         nonlocal row_count
-        di = dt_idx[i]
+        di = dt_idx_np[i]
         datatype_id = 0
         if di != _MISSING and not dt_skip[di]:
             if datatypes.max_size == 0:
                 raise JellyConformanceError(
                     f"can't encode literal with type {dt_uniq[di]}: datatype lookup disabled"
                 )
-            de = datatypes.entry_id(di)
+            de = datatypes.entry_id(int(di))
             if de is not None:
                 emit_entry(ROW_DATATYPE, de, dt_bytes[di])
                 row_count += 1
-            datatype_id = datatypes.use(di)
+            datatype_id = datatypes.use(int(di))
         body = bytearray()
-        lex = lex_list[i]
+        lex = lex_uniq[lex_idx_np[i]]
         if lex:
             _tag_len(body, 1, lex.encode())
-        li = lang_idx[i]
+        li = lang_idx_np[i]
         if li != _MISSING and lang_bytes[li]:
             _tag_len(body, 2, lang_bytes[li])
         if datatype_id:
             _tag_varint(body, 3, datatype_id)
         return bytes(body)
 
-    prev_s = prev_p = -1000  # below every composite key
-    prev_o: object = -1000
     LIT = KIND_LITERAL
     IRI = KIND_IRI
     for i in range(n):
         body = bytearray()
-        sk = s_keys[i]
-        if sk != prev_s:
-            prev_s = sk
+        if s_ch[i]:
             if s_is_iri[i]:
-                encode_iri_into(body, 1, sg[i])  # slot s: iri = field 1
+                encode_iri_into(body, 1, sg_np[i])  # slot s: iri = field 1
             else:
-                _tag_len(body, 2, val_bytes[sg[i]])  # s bnode
-        pgid = pg[i]
-        if pgid != prev_p:
-            prev_p = pgid
-            encode_iri_into(body, 5, pgid)  # slot p: iri = field 5
-        ok = o_kind[i]
-        okey: object = (
-            o_keys[i]
-            if ok != LIT
-            else (lex_list[i] or "", lang_idx[i], dt_idx[i])
-        )
-        if okey != prev_o:
-            prev_o = okey
+                _tag_len(body, 2, val_bytes[sg_np[i]])  # s bnode
+        if p_ch[i]:
+            encode_iri_into(body, 5, pg_np[i])  # slot p: iri = field 5
+        if o_ch[i]:
+            ok = o_kind[i]
             if ok == IRI:
-                encode_iri_into(body, 9, og[i])
+                encode_iri_into(body, 9, og_np[i])
             elif ok == LIT:
                 _tag_len(body, 11, encode_literal(i))
             else:
-                _tag_len(body, 10, val_bytes[og[i]])
+                _tag_len(body, 10, val_bytes[og_np[i]])
         # row framing inline: frame field 1 { row field 2 (ROW_TRIPLE) { body } }
         nb = len(body)
         frame.append(0x0A)

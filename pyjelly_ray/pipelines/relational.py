@@ -203,6 +203,31 @@ def q_user_sessions(sf_dir: str):
     return session_stats(ev, gap_minutes=30.0)
 
 
+def q_events_asof_order(sf_dir: str):
+    """As-of join: each event matched to the user's latest order at or
+    before the event time (backward as-of, left semantics) — checked
+    against DuckDB's native ASOF LEFT JOIN."""
+    from ..stages.joins import asof_join_backward
+
+    events = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_orderkey"])
+    return asof_join_backward(
+        events,
+        orders,
+        left_key="user_id",
+        right_key="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_value="o_orderkey",
+        out_value="last_orderkey",
+        left_cols={
+            "event_id": pa.int64(),
+            "user_id": pa.int64(),
+            "ts": pa.timestamp("us"),
+        },
+    )
+
+
 def q_nation_customers(sf_dir: str):
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"])
@@ -576,6 +601,15 @@ ORACLE_SQL: dict[str, str] = {
                round(sum(value), 2) AS sum_value
         FROM numbered GROUP BY user_id, session_id
     """,
+    "q_events_asof_order": """
+        WITH r AS (
+          SELECT o_custkey, o_orderdate, max(o_orderkey) AS last_orderkey
+          FROM orders GROUP BY 1, 2
+        )
+        SELECT e.event_id, e.user_id, e.ts, r.last_orderkey
+        FROM events e ASOF LEFT JOIN r
+          ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+    """,
     "q_nation_customers": """
         SELECT r_name, n_name, count(*) AS n_customers
         FROM customer
@@ -682,6 +716,15 @@ ORACLE_SQL: dict[str, str] = {
             FROM embeddings)
         WHERE sim >= 0.15
     """,
+    "q_embedding_topk": """
+        SELECT vec_id, sim FROM (
+            SELECT vec_id,
+                   round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                         (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 4) AS sim
+            FROM embeddings)
+        ORDER BY sim DESC, vec_id
+        LIMIT 10
+    """,
     "q_embedding_label_stats": """
         SELECT label, count(*) AS n_vecs,
                round(avg(round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
@@ -702,6 +745,7 @@ QUERIES = {
     "q_events_by_type": q_events_by_type,
     "q_events_hourly": q_events_hourly,
     "q_user_sessions": q_user_sessions,
+    "q_events_asof_order": q_events_asof_order,
     "q_nation_customers": q_nation_customers,
     "q_part_type_stats": q_part_type_stats,
     "q_doc_token_stats": q_doc_token_stats,

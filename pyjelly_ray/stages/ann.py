@@ -49,13 +49,17 @@ class _TopKScorer:
             return pa.table({self.id_col: pa.array([], pa.int64()), "sim": pa.array([], pa.float64())})
         m = _normalize(_stack(batch))
         sims = m @ self.q
-        k = min(self.k, len(sims))
-        idx = np.argpartition(-sims, k - 1)[:k]
-        ids = pc.take(batch.column(self.id_col), pa.array(idx, pa.int64()))
-        out_sims = sims[idx]
         if self.round_to is not None:
-            out_sims = np.round(out_sims, self.round_to)
-        return pa.table({self.id_col: ids, "sim": pa.array(out_sims, pa.float64())})
+            # round BEFORE the local cut so ties at the k-th rounded value
+            # all survive to the global (sim desc, id asc) sort — otherwise a
+            # tied row with a smaller id could be dropped here yet belong in
+            # the deterministic global top-k
+            sims = np.round(sims, self.round_to)
+        k = min(self.k, len(sims))
+        kth = -np.partition(-sims, k - 1)[k - 1]
+        idx = np.flatnonzero(sims >= kth)
+        ids = pc.take(batch.column(self.id_col), pa.array(idx, pa.int64()))
+        return pa.table({self.id_col: ids, "sim": pa.array(sims[idx], pa.float64())})
 
 
 def cosine_topk(ds, query, k: int = 10, *, id_col: str = "vec_id", round_to: int | None = None):
