@@ -290,3 +290,45 @@ def test_graphs_physical_type_roundtrip():
     quads = list(decode_flat(data))
     assert [q[3] for q in quads] == [g1, g1, T.DEFAULT_GRAPH]
     assert [q[2][1] for q in quads] == ["1", "2", "3"]
+
+
+def test_asof_join_backward_nulls_and_ties(ray_session):
+    """Unmatched left rows -> null; equal-timestamp ties -> max value wins."""
+    import ray
+
+    from pyjelly_ray.stages.joins import asof_join_backward
+
+    ts = pa.timestamp("us")
+    left = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "user_id": pa.array([10, 10, 10, 99], pa.int64()),
+            "ts": pa.array([50, 150, 250, 100], ts),
+        }
+    )
+    right = pa.table(
+        {
+            "o_custkey": pa.array([10, 10, 10], pa.int64()),
+            "o_orderdate": pa.array([100, 200, 200], ts),
+            "o_orderkey": pa.array([7, 5, 9], pa.int64()),
+        }
+    )
+    out = asof_join_backward(
+        ray.data.from_arrow(left),
+        ray.data.from_arrow(right),
+        left_key="user_id",
+        right_key="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_value="o_orderkey",
+        out_value="last_orderkey",
+        left_cols={"event_id": pa.int64(), "user_id": pa.int64(), "ts": ts},
+    ).to_pandas()
+    got = {int(r.event_id): (None if r.last_orderkey != r.last_orderkey else int(r.last_orderkey))
+           for r in out.itertuples()}
+    assert got == {
+        1: None,   # event before any order
+        2: 7,      # latest order at ts<=150 is date 100
+        3: 9,      # tie at date 200 -> max orderkey 9
+        4: None,   # user 99 has no orders at all
+    }
