@@ -98,17 +98,33 @@ def _stats_batch(batch):
     )
 
 
-def collect_stats(triples_ds):
-    """Single scan → (symbol Arrow table sorted by name, repo_counts dict)."""
+def collect_stats(triples_ds, *, use_refs: bool | None = None):
+    """Single scan → (symbol Arrow table sorted by name, repo_counts dict).
+
+    On a MATERIALIZED dataset the scan runs as one raw task per block over
+    ``to_arrow_refs()`` (zero-copy plasma reads, no second streaming-executor
+    pass — saves ~2 s of fixed per-run cost that would otherwise dilute
+    scaling efficiency).  Falls back to a ``map_batches`` pass for lazy
+    datasets.
+    """
     import pyarrow as pa
 
-    tables = [
-        b
-        for b in triples_ds.map_batches(_stats_batch, batch_format="pyarrow").iter_batches(
-            batch_format="pyarrow"
-        )
-        if b.num_rows
-    ]
+    if use_refs is None:
+        use_refs = triples_ds.__class__.__name__ == "MaterializedDataset"
+    if use_refs:
+        import ray
+
+        stat = ray.remote(_stats_batch)
+        refs = triples_ds.to_arrow_refs()
+        tables = [t for t in ray.get([stat.remote(r) for r in refs]) if t.num_rows]
+    else:
+        tables = [
+            b
+            for b in triples_ds.map_batches(
+                _stats_batch, batch_format="pyarrow"
+            ).iter_batches(batch_format="pyarrow")
+            if b.num_rows
+        ]
     if not tables:
         empty = pa.table({"name": pa.array([], pa.string()), "iri": pa.array([], pa.string())})
         return empty, {}
