@@ -7,7 +7,7 @@ Public surface:
 """
 
 from .decode import StreamDecoder, decode_flat, delimited_hint, parse_options
-from .encode import StreamEncoder, encode_flat, split_iri
+from .encode import StreamEncoder, encode_flat, encode_grouped, split_iri
 from .options import (
     DEFAULT_FRAME_SIZE,
     LOGICAL_DATASETS,
@@ -28,6 +28,7 @@ __all__ = [
     "StreamEncoder",
     "decode_flat",
     "encode_flat",
+    "encode_grouped",
     "delimited_hint",
     "parse_options",
     "split_iri",

@@ -400,10 +400,43 @@ def encode_flat(
         yield tail
 
 
+def encode_grouped(
+    groups: Iterable[Iterable[tuple]],
+    options: StreamOptions | None = None,
+    metadata_fn=None,
+) -> Iterable[bytes]:
+    """Encode statement GROUPS as one delimited frame per group.
+
+    The writer-side helper for the grouped logical types (GRAPHS, DATASETS,
+    SUBJECT_GRAPHS, NAMED_GRAPHS — reference flows.py:132-159 cuts one frame
+    per graph/dataset; parse side reconstructs one container per frame).
+    Lookup state persists ACROSS groups (one stream), only framing follows
+    the groups.  ``metadata_fn(group_index)`` optionally attaches per-frame
+    metadata.
+    """
+    from .options import LOGICAL_GRAPHS
+
+    options = options or StreamOptions(logical_type=LOGICAL_GRAPHS)
+    if options.flat:
+        raise JellyConformanceError("encode_grouped requires a grouped logical type")
+    enc = StreamEncoder(options)
+    quads = options.physical_type in (PHYSICAL_QUADS, PHYSICAL_GRAPHS)
+    for gi, group in enumerate(groups):
+        for stmt in group:
+            if quads:
+                enc.quad(stmt[0], stmt[1], stmt[2], stmt[3])
+            else:
+                enc.triple(stmt[0], stmt[1], stmt[2])
+        frame = enc.cut_frame(metadata_fn(gi) if metadata_fn is not None else None)
+        if frame:
+            yield frame
+
+
 __all__ = [
     "StreamEncoder",
     "split_iri",
     "encode_flat",
+    "encode_grouped",
     "PHYSICAL_TRIPLES",
     "PHYSICAL_QUADS",
     "PHYSICAL_GRAPHS",

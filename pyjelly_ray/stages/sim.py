@@ -26,10 +26,10 @@ N_BANDS = 16
 ROWS_PER_BAND = N_PERM // N_BANDS
 
 
-def _perm_params(seed: int = 42):
+def _perm_params(seed: int = 42, n_perm: int = N_PERM):
     rng = np.random.RandomState(seed)
-    a = rng.randint(1, _MERSENNE, size=N_PERM, dtype=np.int64).astype(np.uint64)
-    b = rng.randint(0, _MERSENNE, size=N_PERM, dtype=np.int64).astype(np.uint64)
+    a = rng.randint(1, _MERSENNE, size=n_perm, dtype=np.int64).astype(np.uint64)
+    b = rng.randint(0, _MERSENNE, size=n_perm, dtype=np.int64).astype(np.uint64)
     return a, b
 
 
@@ -49,11 +49,27 @@ def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
 
 
 class MinHasher:
-    """map_batches actor stage: documents → (doc_id, band, bucket, sig)."""
+    """map_batches actor stage: documents → (doc_id, band, bucket, sig).
 
-    def __init__(self, seed: int = 42, shingle_k: int = 3) -> None:
-        self.a, self.b = _perm_params(seed)
+    ``n_perm``/``n_bands`` tune the LSH S-curve per corpus (ROADMAP #6):
+    match threshold t ≈ (1/n_bands)^(band_rows/n_perm); more bands → higher
+    recall at lower t, more candidate pairs to verify.  ``shingle_k`` sets
+    the word-shingle width.
+    """
+
+    def __init__(
+        self,
+        seed: int = 42,
+        shingle_k: int = 3,
+        n_perm: int = N_PERM,
+        n_bands: int = N_BANDS,
+    ) -> None:
+        if n_perm % n_bands:
+            raise ValueError("n_perm must be divisible by n_bands")
+        self.a, self.b = _perm_params(seed, n_perm)
         self.k = shingle_k
+        self.n_bands = n_bands
+        self.rows_per_band = n_perm // n_bands
 
     def signature(self, text: str) -> np.ndarray:
         x = _shingle_hashes(text, self.k) % _MERSENNE
@@ -68,8 +84,8 @@ class MinHasher:
         for d, t in zip(doc_ids, texts):
             sig = self.signature(t or "")
             sig_bytes = sig.tobytes()
-            for band in range(N_BANDS):
-                chunk = sig_bytes[band * ROWS_PER_BAND * 8 : (band + 1) * ROWS_PER_BAND * 8]
+            for band in range(self.n_bands):
+                chunk = sig_bytes[band * self.rows_per_band * 8 : (band + 1) * self.rows_per_band * 8]
                 bucket = hashlib.blake2b(
                     chunk + band.to_bytes(2, "big"), digest_size=8
                 ).hexdigest()
@@ -115,12 +131,23 @@ def _pairs_from_bucket(group: pa.Table) -> pa.Table:
     )
 
 
-def minhash_dup_pairs(docs_ds, *, threshold: float = 0.8, seed: int = 42):
+def minhash_dup_pairs(
+    docs_ds,
+    *,
+    threshold: float = 0.8,
+    seed: int = 42,
+    shingle_k: int = 3,
+    n_perm: int = N_PERM,
+    n_bands: int = N_BANDS,
+):
     """documents Dataset → deduplicated near-dup pairs (est. Jaccard ≥ t)."""
     import pyarrow.compute as pc
 
     banded = docs_ds.map_batches(
-        MinHasher, fn_constructor_args=(seed,), batch_format="pyarrow", concurrency=(1, 8)
+        MinHasher,
+        fn_constructor_args=(seed, shingle_k, n_perm, n_bands),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
     )
     pairs = banded.groupby("bucket").map_groups(_pairs_from_bucket, batch_format="pyarrow")
     pairs = pairs.map_batches(

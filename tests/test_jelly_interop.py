@@ -327,3 +327,38 @@ def _stmts_to_table(stmts):
             cols["o_lang"].append(None)
             cols["o_dt"].append(None)
     return pa.Table.from_pydict(cols, schema=TRIPLE_SCHEMA)
+
+
+def test_grouped_subject_graphs_interop(pyjelly_reference):
+    """encode_grouped: one frame per group; reference grouped parse yields
+    one container per frame (logical SUBJECT_GRAPHS, physical TRIPLES)."""
+    import sys
+
+    sys.path.insert(0, "/root/reference")
+    from pyjelly.integrations.generic.parse import parse_jelly_grouped
+
+    from pyjelly_ray.jelly import encode_grouped
+    from pyjelly_ray.jelly.options import LOGICAL_SUBJECT_GRAPHS
+
+    groups = [
+        [(T.iri(f"{EX}s{g}"), T.iri(f"{EX}p{i}"), T.literal(f"v{g}.{i}"))
+         for i in range(3 + g)]
+        for g in range(4)
+    ]
+    opts = StreamOptions(logical_type=LOGICAL_SUBJECT_GRAPHS)
+    data = b"".join(encode_grouped(iter(map(iter, groups)), opts))
+
+    import io
+
+    sinks = list(parse_jelly_grouped(io.BytesIO(data)))
+    assert len(sinks) == 4
+    for g, sink in enumerate(sinks):
+        got = [(s, p, o) for s, p, o in sink]
+        assert len(got) == 3 + g
+        assert all(repr(s) == f"IRI({EX}s{g})" for s, _, _ in got)
+
+    # our grouped reader agrees on the framing
+    from pyjelly_ray.jelly.decode import iter_frames
+
+    frames = list(iter_frames(data))
+    assert [len([e for e in ev if e[0] == "triple"]) for ev, _ in frames] == [3, 4, 5, 6]
