@@ -140,9 +140,26 @@ def run_codec_micro(n: int = 200_000) -> dict:
     count = sum(1 for _ in decode_flat(data))
     t_de = time.perf_counter() - t0
     assert count == n
+
+    # columnar fast paths (the shard-writer / jelly-source hot paths)
+    from pyjelly_ray.jelly.decode_fast import decode_table
+    from pyjelly_ray.jelly.encode_fast import encode_table
+    from pyjelly_ray.sources.jelly_source import statements_to_table
+
+    table = statements_to_table(stmts)
+    t0 = time.perf_counter()
+    fast_bytes = b"".join(encode_table(table, StreamOptions()))
+    t_fser = time.perf_counter() - t0
+    assert fast_bytes == data
+    t0 = time.perf_counter()
+    fast_table = decode_table(data)
+    t_fde = time.perf_counter() - t0
+    assert fast_table.num_rows == n
     return {
         "serialize_stmts_per_sec": round(n / t_ser, 1),
         "parse_stmts_per_sec": round(n / t_de, 1),
+        "serialize_fast_stmts_per_sec": round(n / t_fser, 1),
+        "parse_fast_stmts_per_sec": round(n / t_fde, 1),
         "serialize_mb_per_sec": round(len(data) / t_ser / 1e6, 2),
         "parse_mb_per_sec": round(len(data) / t_de / 1e6, 2),
         "bytes_per_stmt": round(len(data) / n, 2),
