@@ -5,6 +5,8 @@ Commands:
   validate   --out DIR [--decode]
   roundtrip  --jelly PATH            (decode + re-encode + compare count)
   gen-corpus --out PATH --files N [--seed S]
+  to-jelly   --nt PATH_OR_DIR --out DIR [--quads]   (.nt/.nq → .jelly shards)
+  from-jelly --jelly PATH_OR_DIR --out DIR          (.jelly → .nt/.nq shards)
 
 The CLI owns its Ray session (guarded init); library code never does.
 """
@@ -38,12 +40,22 @@ def main(argv=None) -> int:
     g.add_argument("--files", type=int, default=1000)
     g.add_argument("--seed", type=int, default=7)
 
+    tj = sub.add_parser("to-jelly", help="convert N-Triples/N-Quads to Jelly")
+    tj.add_argument("--nt", required=True)
+    tj.add_argument("--out", required=True)
+    tj.add_argument("--quads", action="store_true")
+
+    fj = sub.add_parser("from-jelly", help="convert Jelly to N-Triples/N-Quads")
+    fj.add_argument("--jelly", required=True)
+    fj.add_argument("--out", required=True)
+
     args = p.parse_args(argv)
 
     if args.cmd == "build-kg":
         import ray
 
-        if not ray.is_initialized():
+        own = not ray.is_initialized()
+        if own:
             ray.init(address="local", include_dashboard=False)
         from .pipelines.kg import build_kg
 
@@ -52,7 +64,8 @@ def main(argv=None) -> int:
         ).take_all()
         print(json.dumps({"shards": len(manifests),
                           "n_statements": sum(m["n_statements"] for m in manifests)}))
-        ray.shutdown()
+        if own:
+            ray.shutdown()
         return 0
 
     if args.cmd == "validate":
@@ -73,6 +86,43 @@ def main(argv=None) -> int:
         print(json.dumps({"statements": len(stmts), "stable": back == stmts,
                           "bytes_in": len(data), "bytes_out": len(re_encoded)}))
         return 0 if back == stmts else 1
+
+    if args.cmd == "to-jelly":
+        import ray
+
+        own = not ray.is_initialized()
+        if own:
+            ray.init(address="local", include_dashboard=False)
+        from .sinks.jelly_sink import JellyDatasink, flat_quads_options
+        from .sources.ntriples import read_ntriples
+
+        ds = read_ntriples(args.nt)
+        options = flat_quads_options() if args.quads else None
+        # single streaming pass: write is the consumer (no count re-execution)
+        ds.write_datasink(JellyDatasink(args.out, options))
+        import glob as _glob
+
+        parts = _glob.glob(f"{args.out}/part-*.jelly")
+        print(json.dumps({"out": args.out, "files": len(parts)}))
+        if own:
+            ray.shutdown()
+        return 0
+
+    if args.cmd == "from-jelly":
+        import ray
+
+        own = not ray.is_initialized()
+        if own:
+            ray.init(address="local", include_dashboard=False)
+        from .sources.jelly_source import read_jelly
+        from .sources.ntriples import write_ntriples
+
+        ds = read_jelly(args.jelly)
+        write_ntriples(ds, args.out)  # streaming consumer
+        print(json.dumps({"out": args.out}))
+        if own:
+            ray.shutdown()
+        return 0
 
     if args.cmd == "gen-corpus":
         from .pipelines.corpus import write_corpus_parquet

@@ -89,3 +89,29 @@ def test_nt_to_jelly_to_nt(ray_session, tmp_path, pyjelly_reference):
         sink.parse(io.BytesIO(open(fp, "rb").read()))
         total += len(sink._store)
     assert total == 6
+
+
+def test_cli_to_jelly_from_jelly_roundtrip(ray_session, tmp_path):
+    """CLI conversion both ways: .nt → .jelly → .nt preserves the statement set."""
+    import glob
+
+    from pyjelly_ray.cli import main
+
+    src = tmp_path / "in.nt"
+    src.write_text(NT_SAMPLE)
+    jelly_dir = str(tmp_path / "jelly")
+    nt_dir = str(tmp_path / "nt_back")
+    assert main(["to-jelly", "--nt", str(src), "--out", jelly_dir]) == 0
+    assert glob.glob(jelly_dir + "/part-*.jelly")
+    assert main(["from-jelly", "--jelly", jelly_dir, "--out", nt_dir]) == 0
+    got = set()
+    for fp in glob.glob(nt_dir + "/*"):
+        for line in open(fp).read().splitlines():
+            if line.strip():
+                got.add(parse_line(line))
+    orig = {
+        parse_line(l)
+        for l in NT_SAMPLE.splitlines()
+        if l.strip() and not l.lstrip().startswith("#")
+    }
+    assert got == orig
