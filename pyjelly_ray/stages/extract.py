@@ -108,6 +108,22 @@ def build_rules() -> dict[str, _LangRules]:
             None,
             set(),
         ),
+        # extensibility rows (no planted corpus coverage yet — unit-tested on
+        # hand-written snippets): struct/trait ≈ class, fn/func ≈ function
+        "go": _LangRules(
+            r"^\s*type\s+([^\W\d]\w*)\s+struct\b",
+            r"^\s*func\s+(?:\([^)]*\)\s*)?([^\W\d]\w*)\s*\(",
+            [r"^\s*import\s+\"([\w\./-]+)\"", r"^\s+\"([\w\./-]+)\"$"],
+            None,
+            set(),
+        ),
+        "rust": _LangRules(
+            r"^\s*(?:pub\s+)?(?:struct|trait|enum)\s+([^\W\d]\w*)",
+            r"^\s*(?:pub\s+)?(?:async\s+)?fn\s+([^\W\d]\w*)",
+            [r"^\s*use\s+([\w:]+)"],
+            None,
+            set(),
+        ),
     }
 
 

@@ -163,3 +163,45 @@ def test_pipeline_pr_vs_reference_extractor(ray_session, corpus_path):
     precision = tp / len(got)
     recall = tp / len(ref)
     assert precision >= 0.95 and recall >= 0.95
+
+
+def test_extractor_go_rust_rules():
+    """Extensibility rows of the per-lang rule registry (no corpus planting)."""
+    import pyarrow as pa
+
+    from pyjelly_ray.stages.extract import TripleExtractor, ingest_sha256
+
+    go_src = (
+        'package main\n\nimport "fmt"\nimport (\n\t"strings"\n)\n\n'
+        "type Point struct {\n\tX int\n}\n\n"
+        "func Dist(p Point) int {\n\treturn p.X\n}\n"
+        "func (p Point) Norm() int {\n\treturn p.X\n}\n"
+    )
+    rust_src = (
+        "use std::collections::HashMap;\n\n"
+        "pub struct Graph {}\n"
+        "trait Walkable {}\n"
+        "pub async fn traverse(g: Graph) {}\n"
+        "fn helper() {}\n"
+    )
+    batch = pa.table(
+        {
+            "repo": ["o/r", "o/r"],
+            "path": ["src/p.go", "src/lib.rs"],
+            "commit": ["c", "c"],
+            "lang": ["go", "rust"],
+            "content": [go_src, rust_src],
+        }
+    )
+    out = TripleExtractor()(ingest_sha256(batch))
+    by_pred: dict[str, set] = {}
+    for i in range(out.num_rows):
+        p = out.column("p_value")[i].as_py().rsplit("#", 1)[-1]
+        o = out.column("o_value")[i].as_py()
+        by_pred.setdefault(p, set()).add(o)
+    # entities found across both files
+    syms = {v.rsplit(".", 1)[-1] for v in
+            {r["s_value"] for r in out.to_pylist() if r["p_value"].endswith("memberOf")}}
+    assert {"Point", "Dist", "Norm", "Graph", "Walkable", "traverse", "helper"} <= syms
+    imports = {v.split(":", 1)[-1] for v in by_pred.get("imports", set())}
+    assert {"fmt", "strings", "std::collections::HashMap"} <= imports
