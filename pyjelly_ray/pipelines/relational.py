@@ -195,6 +195,75 @@ def q_events_hourly(sf_dir: str):
     )
 
 
+def q_events_daily_ma7(sf_dir: str):
+    """Sliding window: per-type daily sums + 7-day trailing moving average.
+
+    Aggregate FIRST (daily sums via combiner groupby), window SECOND over the
+    tiny per-type series — the scale-safe order for windowed aggregates.
+    """
+    from ..stages.window import rolling_mean
+
+    ev = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def day(b: pa.Table) -> pa.Table:
+        key = pc.strftime(b.column("ts"), format="%Y-%m-%d")
+        return pa.table(
+            {"event_type": b.column("event_type"), "day": key, "value": b.column("value")}
+        )
+
+    daily = grouped_agg(
+        ev.map_batches(day, batch_format="pyarrow"),
+        ["event_type", "day"],
+        [("sum_value", "value", "sum")],
+        round_to=2,
+    )
+    return rolling_mean(
+        daily, key="event_type", order_col="day", value_col="sum_value",
+        window=7, out_name="ma7", round_to=6,
+    )
+
+
+def q_order_price_quantiles(sf_dir: str):
+    """Exact per-status p50/p90 of order totals (= DuckDB quantile_cont)."""
+    from ..stages.agg import grouped_quantiles
+
+    orders = _read(sf_dir, "orders", ["o_orderstatus", "o_totalprice"])
+    return grouped_quantiles(
+        orders, ["o_orderstatus"], "o_totalprice",
+        [("p50_totalprice", 0.5), ("p90_totalprice", 0.9)], round_to=2,
+    )
+
+
+def q_top_words(sf_dir: str):
+    """Global word frequency top-20 (all occurrences, vectorized explode)."""
+    docs = _read(sf_dir, "documents", ["text"])
+
+    def words(b: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(pc.split_pattern(b.column("text"), pattern=" "))
+        return pa.table({"word": flat})
+
+    exploded = docs.map_batches(words, batch_format="pyarrow")
+    counts = grouped_agg(exploded, ["word"], [("n", "word", "count")])
+    return counts.sort(["n", "word"], descending=[True, False]).limit(20)
+
+
+def q_customer_order_counts(sf_dir: str):
+    """LEFT OUTER broadcast join: order count per customer incl. zeros."""
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+    counts = grouped_agg(orders, ["o_custkey"], [("n_raw", "o_custkey", "count")])
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    joined = broadcast_join(
+        cust, counts, left_key="c_custkey", right_key="o_custkey",
+        how="left outer", columns=["n_raw"],
+    )
+
+    def fill(b: pa.Table) -> pa.Table:
+        n = pc.coalesce(b.column("n_raw"), pa.scalar(0, pa.int64()))
+        return pa.table({"c_custkey": b.column("c_custkey"), "n_orders": n})
+
+    return joined.map_batches(fill, batch_format="pyarrow")
+
+
 def q_user_sessions(sf_dir: str):
     """Session windows: 30-min gap sessionization + per-session aggregates."""
     from ..stages.window import session_stats
@@ -581,6 +650,35 @@ ORACLE_SQL: dict[str, str] = {
                count(*) AS n_events, round(sum(value), 2) AS sum_value
         FROM events GROUP BY 1
     """,
+    "q_events_daily_ma7": """
+        WITH daily AS (
+            SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                   round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1, 2
+        )
+        SELECT event_type, day, sum_value,
+               round(avg(sum_value) OVER (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS ma7
+        FROM daily
+    """,
+    "q_order_price_quantiles": """
+        SELECT o_orderstatus,
+               round(quantile_cont(o_totalprice, 0.5), 2) AS p50_totalprice,
+               round(quantile_cont(o_totalprice, 0.9), 2) AS p90_totalprice
+        FROM orders GROUP BY o_orderstatus
+    """,
+    "q_top_words": """
+        SELECT word, count(*) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        GROUP BY word
+        ORDER BY n DESC, word
+        LIMIT 20
+    """,
+    "q_customer_order_counts": """
+        SELECT c_custkey, count(o_custkey) AS n_orders
+        FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        GROUP BY c_custkey
+    """,
     "q_user_sessions": """
         WITH flagged AS (
             SELECT user_id, ts, event_id, value,
@@ -744,6 +842,10 @@ QUERIES = {
     "q_order_status": q_order_status,
     "q_events_by_type": q_events_by_type,
     "q_events_hourly": q_events_hourly,
+    "q_events_daily_ma7": q_events_daily_ma7,
+    "q_order_price_quantiles": q_order_price_quantiles,
+    "q_top_words": q_top_words,
+    "q_customer_order_counts": q_customer_order_counts,
     "q_user_sessions": q_user_sessions,
     "q_events_asof_order": q_events_asof_order,
     "q_nation_customers": q_nation_customers,

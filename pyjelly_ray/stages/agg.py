@@ -23,6 +23,27 @@ import pyarrow.compute as pc
 Spec = tuple
 
 
+def round_like_duckdb(arr, ndigits: int):
+    """Round a float Arrow array exactly as DuckDB's ``round(x, n)``.
+
+    DuckDB rounds half away from zero via ``std::round(x*10^n)/10^n``;
+    ``pc.round`` (ties-to-even, different scaling) lands 1 ulp off on a few
+    per mille of values, which the driver's exact value-hash would flag.
+    Formula verified mismatch-free vs DuckDB on 50k random + boundary
+    values at 2 and 6 digits.  Nulls stay null.
+    """
+    import numpy as np
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    v = arr.to_numpy(zero_copy_only=False).astype(np.float64)
+    scale = 10.0 ** ndigits
+    with np.errstate(invalid="ignore"):
+        out = np.copysign(np.floor(np.abs(v) * scale + 0.5), v) / scale
+    mask = pc.is_null(arr).to_numpy(zero_copy_only=False)
+    return pa.array(out, pa.float64(), mask=mask)
+
+
 def _partial_fn(keys: list[str], specs: list[Spec]):
     aggs = []
     seen = set()
@@ -104,8 +125,57 @@ def grouped_agg(ds, keys: list[str] | str, specs: list[Spec], *, round_to: int |
             else:
                 raise ValueError(fn)
             if round_to is not None and pa.types.is_floating(v.type):
-                v = pc.round(v, ndigits=round_to)
+                v = round_like_duckdb(v, round_to)
             cols[out_name] = v
         return pa.table(cols)
 
     return aggregated.map_batches(finalize, batch_format="pyarrow")
+
+
+def grouped_quantiles(ds, keys: list[str] | str, col: str,
+                      quantiles: list[tuple[str, float]], *, round_to: int = 2):
+    """EXACT per-group quantiles (linear interpolation, = SQL quantile_cont).
+
+    Projects to ``keys + [col]`` first (map side), then ONE groupby shuffle
+    and a vectorized sort + interpolation per group.  Exact quantiles
+    fundamentally need each group's full value set co-located; this is fine
+    when |groups| is small relative to cluster memory (per-status, per-lang,
+    per-day keys).  For high-cardinality values at 100 TB scale, swap the
+    group merge for a t-digest sketch (approximate) — the pipeline shape
+    (project → shuffle by key → per-group fold) is identical.
+
+    Interpolation is the Postgres/DuckDB weighted form
+    ``s[f]*(c-pos) + s[c]*(pos-f)`` and rounding is half-away-from-zero —
+    both verified bit-identical to DuckDB ``round(quantile_cont(...))``
+    over randomized trials (np.percentile's ``lower + frac*diff`` form
+    differs by 1 ulp on ~9% of inputs, which crosses 2-decimal rounding
+    boundaries on monetary data).
+    """
+    import numpy as np
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+
+    def project(b: pa.Table) -> pa.Table:
+        return b.select(keys + [col])
+
+    def quantile_cont(sorted_vals: "np.ndarray", q: float) -> float:
+        pos = q * (len(sorted_vals) - 1)
+        f = int(np.floor(pos))
+        c = int(np.ceil(pos))
+        if f == c:
+            return float(sorted_vals[f])
+        return float(sorted_vals[f] * (c - pos) + sorted_vals[c] * (pos - f))
+
+    def round_half_away(x: float, nd: int) -> float:
+        scale = 10.0 ** nd
+        return float(np.copysign(np.floor(abs(x) * scale + 0.5), x) / scale)
+
+    def fold(group: pa.Table) -> pa.Table:
+        vals = np.sort(group.column(col).to_numpy(zero_copy_only=False).astype(np.float64))
+        out: dict[str, object] = {k: [group.column(k)[0].as_py()] for k in keys}
+        for name, q in quantiles:
+            out[name] = [round_half_away(quantile_cont(vals, q), round_to)]
+        return pa.table(out)
+
+    projected = ds.map_batches(project, batch_format="pyarrow")
+    return projected.groupby(keys).map_groups(fold, batch_format="pyarrow")

@@ -10,6 +10,10 @@ streams; salt by day for pathological users).
   tie-break on ``event_id``).
 - :func:`session_stats` — per-session aggregates (computed inside the same
   group call, so no cross-batch leakage).
+- :func:`rolling_mean` — sliding-window (ROWS BETWEEN n-1 PRECEDING AND
+  CURRENT ROW) trailing mean over an ordered per-key series.  Meant for
+  *pre-aggregated* series (e.g. daily sums), so each group is |distinct
+  order values| rows — tiny even at 100 TB of raw events.
 """
 
 from __future__ import annotations
@@ -17,6 +21,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+
+from .agg import round_like_duckdb
 
 
 def _session_ids(group: pa.Table, gap_minutes: float) -> pa.Table:
@@ -58,8 +64,32 @@ def session_stats(events_ds, *, gap_minutes: float = 30.0, round_to: int = 2):
                 "user_id": g.column("user_id"),
                 "session_id": g.column("session_id"),
                 "n_events": pc.cast(g.column("value_count"), pa.int64()),
-                "sum_value": pc.round(g.column("value_sum"), ndigits=round_to),
+                "sum_value": round_like_duckdb(g.column("value_sum"), round_to),
             }
         )
 
     return events_ds.groupby("user_id").map_groups(fn, batch_format="pyarrow")
+
+
+def rolling_mean(ds, *, key: str, order_col: str, value_col: str,
+                 window: int, out_name: str, round_to: int = 6):
+    """Trailing moving average over each key's series ordered by ``order_col``.
+
+    Equivalent to SQL ``avg(value) OVER (PARTITION BY key ORDER BY order_col
+    ROWS BETWEEN window-1 PRECEDING AND CURRENT ROW)``.  One groupby shuffle;
+    the per-group merge is a short numpy loop over windows (the input is
+    expected to be an already-aggregated series, e.g. one row per day, so
+    groups are small by construction — aggregate BEFORE windowing).
+    """
+
+    def fn(group: pa.Table) -> pa.Table:
+        t = group.sort_by([(order_col, "ascending")])
+        vals = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        # direct per-window mean (not cumsum-diff) to match SQL summation
+        # order bit-for-bit at round_to precision
+        ma = np.empty(len(vals), dtype=np.float64)
+        for i in range(len(vals)):
+            ma[i] = vals[max(0, i - window + 1): i + 1].mean()
+        return t.append_column(out_name, round_like_duckdb(pa.array(ma), round_to))
+
+    return ds.groupby(key).map_groups(fn, batch_format="pyarrow")

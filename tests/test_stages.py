@@ -332,3 +332,53 @@ def test_asof_join_backward_nulls_and_ties(ray_session):
         3: 9,      # tie at date 200 -> max orderkey 9
         4: None,   # user 99 has no orders at all
     }
+
+
+def test_rolling_mean_short_series_and_order(ray_session):
+    """Windows shorter than `window` average what exists; order by day."""
+    import ray
+
+    from pyjelly_ray.stages.window import rolling_mean
+
+    t = pa.table(
+        {
+            "k": pa.array(["a"] * 4 + ["b"], pa.string()),
+            "day": pa.array(["d3", "d1", "d2", "d4", "d1"], pa.string()),
+            "v": pa.array([30.0, 10.0, 20.0, 40.0, 5.0], pa.float64()),
+        }
+    )
+    out = rolling_mean(
+        ray.data.from_arrow(t), key="k", order_col="day", value_col="v",
+        window=3, out_name="ma", round_to=6,
+    ).to_pandas()
+    got = {(r.k, r.day): r.ma for r in out.itertuples()}
+    assert got == {
+        ("a", "d1"): 10.0,
+        ("a", "d2"): 15.0,           # (10+20)/2
+        ("a", "d3"): 20.0,           # (10+20+30)/3
+        ("a", "d4"): 30.0,           # (20+30+40)/3 — d1 falls out
+        ("b", "d1"): 5.0,
+    }
+
+
+def test_grouped_quantiles_matches_numpy(ray_session):
+    import numpy as np
+    import ray
+
+    from pyjelly_ray.stages.agg import grouped_quantiles
+
+    rng = np.random.default_rng(3)
+    vals = np.round(rng.uniform(0, 1000, 101), 2)
+    t = pa.table(
+        {
+            "g": pa.array(["x"] * 101, pa.string()),
+            "v": pa.array(vals, pa.float64()),
+        }
+    )
+    out = grouped_quantiles(
+        ray.data.from_arrow(t), ["g"], "v",
+        [("p50", 0.5), ("p90", 0.9)], round_to=4,
+    ).to_pandas()
+    assert len(out) == 1
+    assert out.p50[0] == round(float(np.percentile(vals, 50)), 4)
+    assert out.p90[0] == round(float(np.percentile(vals, 90)), 4)
