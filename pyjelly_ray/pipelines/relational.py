@@ -264,6 +264,43 @@ def q_customer_order_counts(sf_dir: str):
     return joined.map_batches(fill, batch_format="pyarrow")
 
 
+def q_event_bursts(sf_dir: str):
+    """Range (interval) self-join: per event, same-user events in the next hour.
+
+    The window bounds are computed map-side, then ONE groupby shuffle does
+    the per-key band match (``interval_join_agg``); output is |events| rows
+    with exact integer counts — the scale-safe shape for interval joins
+    feeding aggregates (no pair materialization).
+    """
+    from ..stages.joins import interval_join_agg
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def win(b: pa.Table) -> pa.Table:
+        start = pc.cast(b.column("ts"), pa.int64())
+        end = pc.add(start, pa.scalar(3_600 * 1_000_000, pa.int64()))
+        return pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "user_id": b.column("user_id"),
+                "w_start": start,
+                "w_end": end,
+            }
+        )
+
+    return interval_join_agg(
+        ev.map_batches(win, batch_format="pyarrow"),
+        _read(sf_dir, "events", ["user_id", "ts"]),
+        left_key="user_id",
+        right_key="user_id",
+        start_col="w_start",
+        end_col="w_end",
+        right_ts="ts",
+        count_name="n_next_hour",
+        left_cols={"event_id": pa.int64()},
+    )
+
+
 def q_user_sessions(sf_dir: str):
     """Session windows: 30-min gap sessionization + per-session aggregates."""
     from ..stages.window import session_stats
@@ -679,6 +716,14 @@ ORACLE_SQL: dict[str, str] = {
         FROM customer LEFT JOIN orders ON o_custkey = c_custkey
         GROUP BY c_custkey
     """,
+    "q_event_bursts": """
+        SELECT a.event_id, count(b.ts) AS n_next_hour
+        FROM events a LEFT JOIN events b
+          ON b.user_id = a.user_id
+         AND b.ts >= a.ts
+         AND b.ts < a.ts + INTERVAL 1 HOUR
+        GROUP BY a.event_id
+    """,
     "q_user_sessions": """
         WITH flagged AS (
             SELECT user_id, ts, event_id, value,
@@ -846,6 +891,7 @@ QUERIES = {
     "q_order_price_quantiles": q_order_price_quantiles,
     "q_top_words": q_top_words,
     "q_customer_order_counts": q_customer_order_counts,
+    "q_event_bursts": q_event_bursts,
     "q_user_sessions": q_user_sessions,
     "q_events_asof_order": q_events_asof_order,
     "q_nation_customers": q_nation_customers,

@@ -184,3 +184,194 @@ def asof_join_backward(
         return pa.table(out)
 
     return unioned.groupby("_key").map_groups(merge, batch_format="pyarrow")
+
+
+def interval_join_agg(
+    left,
+    right,
+    *,
+    left_key: str,
+    right_key: str,
+    start_col: str,
+    end_col: str,
+    right_ts: str,
+    right_value: str | None = None,
+    count_name: str = "n_matches",
+    sum_name: str | None = None,
+    left_cols: dict[str, "pa.DataType"] | None = None,
+):
+    """Range (interval) join + aggregate: for each left row's half-open
+    window ``[start_col, end_col)`` count (and optionally sum) the right
+    rows with the same key whose ``right_ts`` falls inside.
+
+    Ray Data lacks a range join; this is the custom-operator composition
+    (SURVEY.md §2 rule (a), same shape as :func:`asof_join_backward`): tag
+    both sides into one schema, ``union``, ONE ``groupby(key)`` shuffle,
+    then a fully vectorized per-group band match — sort the right side's
+    timestamps once, two ``np.searchsorted`` calls give each interval's
+    ``[lo, hi)`` index band, counts are ``hi - lo`` and sums come from a
+    prefix-sum difference.  No per-row Python, no quadratic pair blowup:
+    the aggregate is computed straight from the index bands, so output
+    cardinality is |left| regardless of match multiplicity.  Left-join
+    semantics: every left row appears, zero-count when unmatched.
+
+    Partitioning assumption: one key's rows fit in one group (same as the
+    as-of join); salt hot keys upstream if a single key's history exceeds
+    a block.  For the pair-producing variant see :func:`interval_join`.
+    """
+    import numpy as np
+
+    left_cols = left_cols or {left_key: pa.int64()}
+
+    def tag_left(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        cols = {
+            "_key": b.column(left_key),
+            "_side": pa.array(np.zeros(n, np.int8)),
+            "_start": pc.cast(b.column(start_col), pa.int64()),
+            "_end": pc.cast(b.column(end_col), pa.int64()),
+            "_rv": pa.nulls(n, pa.float64()),
+        }
+        for c in left_cols:
+            cols[c] = b.column(c)
+        return pa.table(cols)
+
+    def tag_right(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        rv = (
+            pc.cast(b.column(right_value), pa.float64())
+            if right_value is not None
+            else pa.nulls(n, pa.float64())
+        )
+        cols = {
+            "_key": b.column(right_key),
+            "_side": pa.array(np.ones(n, np.int8)),
+            "_start": pc.cast(b.column(right_ts), pa.int64()),
+            "_end": pa.nulls(n, pa.int64()),
+            "_rv": rv,
+        }
+        for c, typ in left_cols.items():
+            cols[c] = pa.nulls(n, typ)
+        return pa.table(cols)
+
+    lt = left.map_batches(tag_left, batch_format="pyarrow")
+    rt = right.map_batches(tag_right, batch_format="pyarrow")
+    unioned = lt.union(rt)
+
+    def merge(group: pa.Table) -> pa.Table:
+        mask = pc.equal(group.column("_side"), 0)
+        lpart = group.filter(mask)
+        out = {c: lpart.column(c) for c in left_cols}
+        n = lpart.num_rows
+        if n == 0:
+            out[count_name] = pa.nulls(0, pa.int64())
+            if sum_name:
+                out[sum_name] = pa.nulls(0, pa.float64())
+            return pa.table(out)
+        rpart = group.filter(pc.invert(mask)).sort_by([("_start", "ascending")])
+        rts = rpart.column("_start").to_numpy(zero_copy_only=False)
+        lo = np.searchsorted(rts, lpart.column("_start").to_numpy(zero_copy_only=False), side="left")
+        hi = np.searchsorted(rts, lpart.column("_end").to_numpy(zero_copy_only=False), side="left")
+        out[count_name] = pa.array(hi - lo, pa.int64())
+        if sum_name:
+            rv = rpart.column("_rv").to_numpy(zero_copy_only=False)
+            cs = np.concatenate(([0.0], np.cumsum(rv)))
+            out[sum_name] = pa.array(cs[hi] - cs[lo], pa.float64())
+        return pa.table(out)
+
+    return unioned.groupby("_key").map_groups(merge, batch_format="pyarrow")
+
+
+def interval_join(
+    left,
+    right,
+    *,
+    left_key: str,
+    right_key: str,
+    start_col: str,
+    end_col: str,
+    right_ts: str,
+    right_cols: dict[str, "pa.DataType"] | list[str],
+    left_cols: dict[str, "pa.DataType"] | None = None,
+):
+    """Pair-producing range join: inner-join each left interval
+    ``[start_col, end_col)`` to every same-key right row inside it.
+
+    Same union + one-shuffle + searchsorted-band machinery as
+    :func:`interval_join_agg`, but materializes the matched pairs
+    (``np.repeat`` on the left, gather on the right).  Output cardinality
+    is the true match count — prefer :func:`interval_join_agg` when the
+    downstream only needs per-interval aggregates.
+
+    ``right_cols`` maps carried right columns to their Arrow types (needed
+    to null-pad the left side into the shared union schema; a plain list
+    assumes ``int64``).
+    """
+    import numpy as np
+
+    left_cols = left_cols or {left_key: pa.int64()}
+    if not isinstance(right_cols, dict):
+        right_cols = {c: pa.int64() for c in right_cols}
+
+    def tag_left(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        cols = {
+            "_key": b.column(left_key),
+            "_side": pa.array(np.zeros(n, np.int8)),
+            "_start": pc.cast(b.column(start_col), pa.int64()),
+            "_end": pc.cast(b.column(end_col), pa.int64()),
+        }
+        for c in left_cols:
+            cols[c] = b.column(c)
+        for c, typ in right_cols.items():
+            cols[f"_r_{c}"] = pa.nulls(n, typ)
+        return pa.table(cols)
+
+    def tag_right(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        cols = {
+            "_key": b.column(right_key),
+            "_side": pa.array(np.ones(n, np.int8)),
+            "_start": pc.cast(b.column(right_ts), pa.int64()),
+            "_end": pa.nulls(n, pa.int64()),
+        }
+        for c, typ in left_cols.items():
+            cols[c] = pa.nulls(n, typ)
+        for c, typ in right_cols.items():
+            cols[f"_r_{c}"] = pc.cast(b.column(c), typ)
+        return pa.table(cols)
+
+    lt = left.map_batches(tag_left, batch_format="pyarrow")
+    rt = right.map_batches(tag_right, batch_format="pyarrow")
+    unioned = lt.union(rt)
+
+    def merge(group: pa.Table) -> pa.Table:
+        mask = pc.equal(group.column("_side"), 0)
+        lpart = group.filter(mask)
+        rpart = group.filter(pc.invert(mask)).sort_by([("_start", "ascending")])
+        out_cols = list(left_cols) + [f"_r_{c}" for c in right_cols]
+        if lpart.num_rows == 0 or rpart.num_rows == 0:
+            return pa.table(
+                {
+                    **{c: pa.nulls(0, lpart.schema.field(c).type) for c in left_cols},
+                    **{c: pa.nulls(0, rpart.schema.field(f"_r_{c}").type) for c in right_cols},
+                }
+            )
+        rts = rpart.column("_start").to_numpy(zero_copy_only=False)
+        lo = np.searchsorted(rts, lpart.column("_start").to_numpy(zero_copy_only=False), side="left")
+        hi = np.searchsorted(rts, lpart.column("_end").to_numpy(zero_copy_only=False), side="left")
+        counts = hi - lo
+        total = int(counts.sum())
+        lidx = np.repeat(np.arange(lpart.num_rows), counts)
+        # ridx = [lo_i, lo_i+1, ..., hi_i) for each i, flattened — built
+        # without a Python loop: global arange minus each segment's offset
+        seg_starts = np.repeat(np.cumsum(counts) - counts, counts)
+        ridx = np.repeat(lo, counts) + (np.arange(total) - seg_starts)
+        out = {}
+        for c in left_cols:
+            out[c] = pc.take(lpart.column(c), pa.array(lidx, pa.int64()))
+        for c in right_cols:
+            out[c] = pc.take(rpart.column(f"_r_{c}"), pa.array(ridx, pa.int64()))
+        return pa.table(out)
+
+    return unioned.groupby("_key").map_groups(merge, batch_format="pyarrow")

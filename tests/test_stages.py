@@ -382,3 +382,85 @@ def test_grouped_quantiles_matches_numpy(ray_session):
     assert len(out) == 1
     assert out.p50[0] == round(float(np.percentile(vals, 50)), 4)
     assert out.p90[0] == round(float(np.percentile(vals, 90)), 4)
+
+
+def test_interval_join_agg_counts_and_sums(ray_session):
+    """Half-open [start,end) windows; unmatched left rows keep count 0."""
+    import ray
+
+    from pyjelly_ray.stages.joins import interval_join_agg
+
+    left = pa.table(
+        {
+            "oid": pa.array([1, 2, 3], pa.int64()),
+            "k": pa.array([10, 10, 99], pa.int64()),
+            "start": pa.array([100, 250, 0], pa.int64()),
+            "end": pa.array([200, 300, 1000], pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "k": pa.array([10, 10, 10, 10], pa.int64()),
+            "ts": pa.array([100, 150, 200, 260], pa.int64()),
+            "v": pa.array([1.0, 2.0, 4.0, 8.0], pa.float64()),
+        }
+    )
+    out = interval_join_agg(
+        ray.data.from_arrow(left),
+        ray.data.from_arrow(right),
+        left_key="k", right_key="k",
+        start_col="start", end_col="end", right_ts="ts",
+        right_value="v", count_name="n", sum_name="s",
+        left_cols={"oid": pa.int64()},
+    ).to_pandas()
+    got = {int(r.oid): (int(r.n), float(r.s)) for r in out.itertuples()}
+    # oid1: ts 100,150 in [100,200) -> n=2 s=3; ts 200 excluded (half-open)
+    # oid2: ts 260 in [250,300) -> n=1 s=8
+    # oid3: key 99 has no right rows -> n=0 s=0
+    assert got == {1: (2, 3.0), 2: (1, 8.0), 3: (0, 0.0)}
+
+
+def test_interval_join_pairs_match_brute_force(ray_session):
+    import numpy as np
+    import ray
+
+    from pyjelly_ray.stages.joins import interval_join
+
+    rng = np.random.default_rng(7)
+    n_l, n_r = 40, 200
+    lkey = rng.integers(0, 5, n_l)
+    start = rng.integers(0, 900, n_l)
+    length = rng.integers(0, 200, n_l)
+    rkey = rng.integers(0, 5, n_r)
+    rts = rng.integers(0, 1100, n_r)
+    left = pa.table(
+        {
+            "lid": pa.array(np.arange(n_l), pa.int64()),
+            "k": pa.array(lkey, pa.int64()),
+            "start": pa.array(start, pa.int64()),
+            "end": pa.array(start + length, pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "k": pa.array(rkey, pa.int64()),
+            "ts": pa.array(rts, pa.int64()),
+            "rid": pa.array(np.arange(n_r), pa.int64()),
+        }
+    )
+    out = interval_join(
+        ray.data.from_arrow(left),
+        ray.data.from_arrow(right),
+        left_key="k", right_key="k",
+        start_col="start", end_col="end", right_ts="ts",
+        right_cols={"rid": pa.int64()},
+        left_cols={"lid": pa.int64()},
+    ).to_pandas()
+    got = set(zip(out.lid.astype(int), out.rid.astype(int)))
+    want = {
+        (int(i), int(j))
+        for i in range(n_l)
+        for j in range(n_r)
+        if lkey[i] == rkey[j] and start[i] <= rts[j] < start[i] + length[i]
+    }
+    assert got == want
