@@ -301,6 +301,19 @@ def q_event_bursts(sf_dir: str):
     )
 
 
+#: canonical train/val/test fractions used by the split query and its oracle
+_SPLITS = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+
+
+def q_doc_splits(sf_dir: str):
+    """Deterministic train/val/test split sizes per language (no shuffle)."""
+    from ..stages.sample import deterministic_split
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang"])
+    tagged = deterministic_split(docs, id_col="doc_id", splits=_SPLITS, seed="r1")
+    return grouped_agg(tagged, ["lang", "split"], [("n_docs", "doc_id", "count")])
+
+
 def q_user_sessions(sf_dir: str):
     """Session windows: 30-min gap sessionization + per-session aggregates."""
     from ..stages.window import session_stats
@@ -876,6 +889,19 @@ ORACLE_SQL: dict[str, str] = {
     """,
 }
 
+
+def _doc_splits_sql() -> str:
+    from ..stages.sample import sql_split_case
+
+    case = sql_split_case("doc_id", _SPLITS, seed="r1")
+    return f"""
+        SELECT lang, {case} AS split, count(*) AS n_docs
+        FROM documents GROUP BY 1, 2
+    """
+
+
+ORACLE_SQL["q_doc_splits"] = _doc_splits_sql()
+
 #: queries with no SQL equivalent (driver records rows-only check)
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
@@ -892,6 +918,7 @@ QUERIES = {
     "q_top_words": q_top_words,
     "q_customer_order_counts": q_customer_order_counts,
     "q_event_bursts": q_event_bursts,
+    "q_doc_splits": q_doc_splits,
     "q_user_sessions": q_user_sessions,
     "q_events_asof_order": q_events_asof_order,
     "q_nation_customers": q_nation_customers,

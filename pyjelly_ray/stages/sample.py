@@ -1,0 +1,105 @@
+"""Deterministic sampling / dataset splitting (training-data operators).
+
+A training pipeline needs train/val/test assignment that is (a) stable
+across runs and cluster sizes, (b) embarrassingly parallel (no shuffle, no
+global state), and (c) auditable by an independent engine.  Both operators
+here hash a row's id with sha256 and compare the first 8 hex chars against
+precomputed thresholds — pure per-batch ``map_batches``, zero shuffles,
+and byte-reproducible against DuckDB's ``sha256()`` (verified identical to
+``hashlib``).
+
+At 100 TB scale this is the right shape: the split decision rides along
+with every row (one short hash per row, hashlib's C core via a list
+comprehension — the id strings are tiny and this runs once per corpus),
+no coordination, no sampling skew from partition boundaries.
+
+- :func:`split_thresholds` — cumulative fractions → 8-hex-char bounds.
+- :func:`deterministic_split` — add a ``split`` column ("train"/"val"/...).
+- :func:`hash_sample` — keep a deterministic fraction of rows.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+_SPACE = 16 ** 8  # first 8 hex chars of sha256 → uniform uint32 space
+
+
+def split_thresholds(splits: list[tuple[str, float]]) -> list[tuple[str, int]]:
+    """Cumulative upper bounds (exclusive) in the 32-bit hash space.
+
+    The last split absorbs any rounding remainder so every row lands
+    somewhere.  Bounds are integers so the SQL oracle can compare the hex
+    prefix lexicographically against ``format(bound, '08x')``.
+    """
+    total = sum(f for _, f in splits)
+    bounds: list[tuple[str, int]] = []
+    cum = 0.0
+    for i, (name, frac) in enumerate(splits):
+        cum += frac / total
+        bound = _SPACE if i == len(splits) - 1 else int(cum * _SPACE)
+        bounds.append((name, bound))
+    return bounds
+
+
+def _hash_ints(ids, seed: str) -> np.ndarray:
+    pre = seed.encode()
+    return np.fromiter(
+        (
+            int.from_bytes(hashlib.sha256(pre + str(v).encode()).digest()[:4], "big")
+            for v in ids.to_pylist()
+        ),
+        dtype=np.uint32,
+        count=len(ids),
+    )
+
+
+def deterministic_split(ds, *, id_col: str, splits: list[tuple[str, float]],
+                        seed: str = "", out_col: str = "split"):
+    """Assign each row to a named split by hashing ``id_col``.
+
+    ``splits`` is ``[("train", 0.8), ("val", 0.1), ("test", 0.1)]``-style;
+    fractions are normalized.  ``seed`` prefixes the hashed string, so a
+    new seed reshuffles assignments while staying deterministic.
+    """
+    bounds = split_thresholds(splits)
+    names = np.array([n for n, _ in bounds])
+    edges = np.array([b for _, b in bounds[:-1]], dtype=np.uint64)
+
+    def assign(b: pa.Table) -> pa.Table:
+        h = _hash_ints(b.column(id_col), seed)
+        idx = np.searchsorted(edges, h, side="right")
+        return b.append_column(out_col, pa.array(names[idx], pa.string()))
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def hash_sample(ds, *, id_col: str, fraction: float, seed: str = ""):
+    """Keep a deterministic ``fraction`` of rows (hash(id) < fraction·2^32)."""
+    bound = int(fraction * _SPACE)
+
+    def keep(b: pa.Table) -> pa.Table:
+        h = _hash_ints(b.column(id_col), seed)
+        return b.filter(pa.array(h < bound))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def sql_split_case(id_expr: str, splits: list[tuple[str, float]],
+                   seed: str = "") -> str:
+    """The DuckDB CASE expression computing the identical split column.
+
+    Compares ``substr(sha256(seed || id), 1, 8)`` (lowercase hex)
+    lexicographically — monotone with the integer value, so it equals the
+    numpy ``searchsorted`` assignment bit-for-bit.
+    """
+    prefix = f"substr(sha256('{seed}' || {id_expr}), 1, 8)"
+    bounds = split_thresholds(splits)
+    arms = [
+        f"WHEN {prefix} < '{bound:08x}' THEN '{name}'"
+        for name, bound in bounds[:-1]
+    ]
+    return "CASE " + " ".join(arms) + f" ELSE '{bounds[-1][0]}' END"

@@ -464,3 +464,31 @@ def test_interval_join_pairs_match_brute_force(ray_session):
         if lkey[i] == rkey[j] and start[i] <= rts[j] < start[i] + length[i]
     }
     assert got == want
+
+
+def test_deterministic_split_and_hash_sample(ray_session):
+    """Same seed -> identical assignment; fractions roughly honored;
+    hash_sample(f) == rows assigned below f by the same hash."""
+    import ray
+
+    from pyjelly_ray.stages.sample import deterministic_split, hash_sample
+
+    t = pa.table({"id": pa.array(range(2000), pa.int64())})
+    splits = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    a = deterministic_split(ray.data.from_arrow(t), id_col="id", splits=splits,
+                            seed="s").to_pandas().sort_values("id")
+    b = deterministic_split(ray.data.from_arrow(t), id_col="id", splits=splits,
+                            seed="s").to_pandas().sort_values("id")
+    assert (a.split.values == b.split.values).all()
+    frac = a.split.value_counts(normalize=True)
+    assert abs(frac["train"] - 0.8) < 0.05
+    assert abs(frac["val"] - 0.1) < 0.03
+    # a different seed reshuffles
+    c = deterministic_split(ray.data.from_arrow(t), id_col="id", splits=splits,
+                            seed="other").to_pandas().sort_values("id")
+    assert (a.split.values != c.split.values).any()
+    # sample(0.8) keeps exactly the sub-0.8 hash region = the train split
+    kept = hash_sample(ray.data.from_arrow(t), id_col="id", fraction=0.8,
+                       seed="s").to_pandas()
+    train_ids = set(a[a.split == "train"].id)
+    assert set(kept.id) == train_ids
