@@ -41,6 +41,9 @@ BENCH_QUERIES = [
     "q_mktsegment_stats",
     "q_events_by_type",
     "q_events_asof_order",
+    "q_event_bursts",
+    "q_order_price_quantiles",
+    "q_doc_splits",
     "q_doc_token_stats",
     "q_doc_quality",
     "q_minhash_pairs",
