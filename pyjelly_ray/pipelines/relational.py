@@ -314,6 +314,27 @@ def q_doc_splits(sf_dir: str):
     return grouped_agg(tagged, ["lang", "split"], [("n_docs", "doc_id", "count")])
 
 
+def q_events_user_distinct_approx(sf_dir: str):
+    """Approx distinct users per event type (mergeable HLL; rows-only check —
+    sketch estimates have no SQL-exact oracle; accuracy is unit-tested
+    against exact COUNT DISTINCT within HLL error bounds)."""
+    from ..stages.sketch import grouped_approx_distinct
+
+    ev = _read(sf_dir, "events", ["event_type", "user_id"])
+    return grouped_approx_distinct(ev, ["event_type"], "user_id",
+                                   out_name="approx_users")
+
+
+def q_events_value_quantiles_approx(sf_dir: str):
+    """Approx per-type value quantiles (mergeable t-digest; rows-only)."""
+    from ..stages.sketch import grouped_approx_quantiles
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+    return grouped_approx_quantiles(
+        ev, ["event_type"], "value", [("p50_value", 0.5), ("p90_value", 0.9)]
+    )
+
+
 def q_user_sessions(sf_dir: str):
     """Session windows: 30-min gap sessionization + per-session aggregates."""
     from ..stages.window import session_stats
@@ -919,6 +940,8 @@ QUERIES = {
     "q_customer_order_counts": q_customer_order_counts,
     "q_event_bursts": q_event_bursts,
     "q_doc_splits": q_doc_splits,
+    "q_events_user_distinct_approx": q_events_user_distinct_approx,
+    "q_events_value_quantiles_approx": q_events_value_quantiles_approx,
     "q_user_sessions": q_user_sessions,
     "q_events_asof_order": q_events_asof_order,
     "q_nation_customers": q_nation_customers,

@@ -1,0 +1,79 @@
+"""Mergeable sketch operators: accuracy vs exact answers through Ray."""
+
+import numpy as np
+import pyarrow as pa
+
+
+def test_hll_kernel_accuracy_and_merge_order():
+    from pyjelly_ray.stages.sketch import HyperLogLog, _hash64
+
+    rng = np.random.default_rng(1)
+    vals = np.unique(rng.integers(0, 10**12, 20_000))
+    h = _hash64(pa.array(vals, pa.int64()))
+    whole = HyperLogLog(12)
+    whole.add_hashes(h)
+    # merge of shuffled partials == single-pass registers (associativity)
+    perm = rng.permutation(len(h))
+    acc = HyperLogLog(12)
+    for chunk in np.array_split(h[perm], 7):
+        part = HyperLogLog(12)
+        part.add_hashes(chunk)
+        acc = acc.merge(part)
+    assert (acc.registers == whole.registers).all()
+    err = abs(acc.estimate() - len(vals)) / len(vals)
+    assert err < 0.05  # ~3 sigma at p=12 (sigma ~1.6%)
+
+
+def test_tdigest_kernel_bounded_and_accurate():
+    from pyjelly_ray.stages.sketch import TDigest
+
+    rng = np.random.default_rng(2)
+    data = rng.exponential(3.0, 100_000)
+    acc = TDigest(200.0)
+    for chunk in np.array_split(data, 11):
+        acc = acc.merge(TDigest.from_values(chunk))
+    assert len(acc.means) <= 2 * 200  # bounded regardless of input size
+    for q in (0.25, 0.5, 0.9):
+        exact = float(np.quantile(data, q))
+        assert abs(acc.quantile(q) - exact) / max(abs(exact), 1e-9) < 0.05
+    # round-trip through the wire format
+    back = TDigest.from_bytes(acc.to_bytes())
+    assert back.quantile(0.5) == acc.quantile(0.5)
+
+
+def test_grouped_sketches_vs_exact(ray_session):
+    import duckdb
+    import ray
+
+    from pyjelly_ray.stages.sketch import (
+        grouped_approx_distinct,
+        grouped_approx_quantiles,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ds = ray.data.read_parquet(f"{sf}/events.parquet",
+                               columns=["event_type", "user_id", "value"])
+    approx = grouped_approx_distinct(ds, ["event_type"], "user_id",
+                                     out_name="n").to_pandas()
+    con = duckdb.connect()
+    exact = con.execute(
+        f"SELECT event_type, count(DISTINCT user_id) AS n "
+        f"FROM read_parquet('{sf}/events.parquet') GROUP BY 1"
+    ).fetchdf()
+    m = approx.merge(exact, on="event_type", suffixes=("_a", "_e"))
+    assert len(m) == len(exact)
+    assert (abs(m.n_a - m.n_e) / m.n_e).max() < 0.06
+
+    qa = grouped_approx_quantiles(
+        ds, ["event_type"], "value", [("p50", 0.5), ("p90", 0.9)]
+    ).to_pandas()
+    qe = con.execute(
+        f"SELECT event_type, quantile_cont(value, 0.5) AS p50, "
+        f"quantile_cont(value, 0.9) AS p90 "
+        f"FROM read_parquet('{sf}/events.parquet') GROUP BY 1"
+    ).fetchdf()
+    mq = qa.merge(qe, on="event_type", suffixes=("_a", "_e"))
+    assert len(mq) == len(qe)
+    for c in ("p50", "p90"):
+        rel = abs(mq[f"{c}_a"] - mq[f"{c}_e"]) / abs(mq[f"{c}_e"])
+        assert rel.max() < 0.05, (c, rel.max())
