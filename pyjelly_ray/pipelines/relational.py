@@ -335,6 +335,18 @@ def q_events_value_quantiles_approx(sf_dir: str):
     )
 
 
+def q_top_orders_per_status(sf_dir: str):
+    """Per-group top-k: 3 highest-value orders per status (row_number ≤ 3)."""
+    from ..stages.agg import grouped_topk
+
+    orders = _read(sf_dir, "orders", ["o_orderstatus", "o_orderkey", "o_totalprice"])
+    top = grouped_topk(
+        orders, ["o_orderstatus"], "o_totalprice", 3,
+        descending=True, tiebreak=["o_orderkey"],
+    )
+    return top.select_columns(["o_orderstatus", "o_orderkey", "o_totalprice"])
+
+
 def q_user_sessions(sf_dir: str):
     """Session windows: 30-min gap sessionization + per-session aggregates."""
     from ..stages.window import session_stats
@@ -758,6 +770,14 @@ ORACLE_SQL: dict[str, str] = {
          AND b.ts < a.ts + INTERVAL 1 HOUR
         GROUP BY a.event_id
     """,
+    "q_top_orders_per_status": """
+        SELECT o_orderstatus, o_orderkey, o_totalprice
+        FROM (SELECT o_orderstatus, o_orderkey, o_totalprice,
+                     row_number() OVER (PARTITION BY o_orderstatus
+                         ORDER BY o_totalprice DESC, o_orderkey) AS rn
+              FROM orders)
+        WHERE rn <= 3
+    """,
     "q_user_sessions": """
         WITH flagged AS (
             SELECT user_id, ts, event_id, value,
@@ -940,6 +960,7 @@ QUERIES = {
     "q_customer_order_counts": q_customer_order_counts,
     "q_event_bursts": q_event_bursts,
     "q_doc_splits": q_doc_splits,
+    "q_top_orders_per_status": q_top_orders_per_status,
     "q_events_user_distinct_approx": q_events_user_distinct_approx,
     "q_events_value_quantiles_approx": q_events_value_quantiles_approx,
     "q_user_sessions": q_user_sessions,

@@ -179,3 +179,53 @@ def grouped_quantiles(ds, keys: list[str] | str, col: str,
 
     projected = ds.map_batches(project, batch_format="pyarrow")
     return projected.groupby(keys).map_groups(fold, batch_format="pyarrow")
+
+
+def grouped_topk(ds, keys: list[str] | str, order_col: str, k: int, *,
+                 descending: bool = True, tiebreak: list[str] | None = None):
+    """Top-k rows per group (SQL ``row_number() OVER (PARTITION BY keys
+    ORDER BY order_col [DESC], tiebreak) <= k``).
+
+    Map-side combine first: each batch is cut to ≤ k rows per in-batch
+    group (vectorized sort + rank, no Python loop), so the single groupby
+    shuffle moves at most k·|groups| rows per block — the same
+    partial-then-merge shape as :func:`grouped_agg`.  ``tiebreak`` columns
+    (ascending) make the cut deterministic; pass enough columns to break
+    all ties or results are only set-stable, not row-stable.
+    """
+    import numpy as np
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    tiebreak = tiebreak or []
+    direction = "descending" if descending else "ascending"
+    sort_spec = (
+        [(c, "ascending") for c in keys]
+        + [(order_col, direction)]
+        + [(c, "ascending") for c in tiebreak]
+    )
+
+    def topk_within(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        t = b.sort_by(sort_spec)
+        codes = np.zeros(t.num_rows, np.int64)
+        for c in keys:
+            arr = t.column(c).combine_chunks().dictionary_encode().indices.to_numpy(
+                zero_copy_only=False
+            )
+            codes = codes * (int(arr.max()) + 1 if len(arr) else 1) + arr
+        # rows are key-sorted, so each group is one run; rank = offset in run
+        starts = np.zeros(t.num_rows, bool)
+        starts[0] = True
+        starts[1:] = codes[1:] != codes[:-1]
+        run_id = np.cumsum(starts) - 1
+        run_start = np.flatnonzero(starts)
+        rank = np.arange(t.num_rows) - run_start[run_id]
+        return t.filter(pa.array(rank < k))
+
+    partials = ds.map_batches(topk_within, batch_format="pyarrow")
+
+    def final(group: pa.Table) -> pa.Table:
+        return group.sort_by(sort_spec).slice(0, k)
+
+    return partials.groupby(keys).map_groups(final, batch_format="pyarrow")

@@ -492,3 +492,35 @@ def test_deterministic_split_and_hash_sample(ray_session):
                        seed="s").to_pandas()
     train_ids = set(a[a.split == "train"].id)
     assert set(kept.id) == train_ids
+
+
+def test_grouped_topk_partial_cut_correct(ray_session):
+    """Many small blocks; per-batch cuts must not lose global top rows."""
+    import numpy as np
+    import ray
+
+    from pyjelly_ray.stages.agg import grouped_topk
+
+    rng = np.random.default_rng(11)
+    n = 5000
+    t = pa.table(
+        {
+            "g": pa.array(rng.integers(0, 7, n), pa.int64()),
+            "v": pa.array(rng.integers(0, 100, n), pa.int64()),  # many ties
+            "id": pa.array(np.arange(n), pa.int64()),
+        }
+    )
+    out = grouped_topk(
+        ray.data.from_arrow(t).repartition(20), ["g"], "v", 5,
+        descending=True, tiebreak=["id"],
+    ).to_pandas()
+    import pandas as pd
+
+    df = t.to_pandas()
+    want = (
+        df.sort_values(["g", "v", "id"], ascending=[True, False, True])
+        .groupby("g")
+        .head(5)
+    )
+    got = out.sort_values(["g", "v", "id"], ascending=[True, False, True])
+    assert list(got.id) == list(want.id)
