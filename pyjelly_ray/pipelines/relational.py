@@ -335,6 +335,16 @@ def q_events_value_quantiles_approx(sf_dir: str):
     )
 
 
+def q_customers_no_urgent(sf_dir: str):
+    """Broadcast ANTI join: customers with no 1-URGENT order (filter pushed
+    to the read, key set broadcast once)."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+    urgent = orders.filter(lambda r: r["o_orderpriority"] == "1-URGENT")
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    return broadcast_semi(cust, urgent, left_key="c_custkey",
+                          right_key="o_custkey", anti=True)
+
+
 def q_top_orders_per_status(sf_dir: str):
     """Per-group top-k: 3 highest-value orders per status (row_number ≤ 3)."""
     from ..stages.agg import grouped_topk
@@ -770,6 +780,12 @@ ORACLE_SQL: dict[str, str] = {
          AND b.ts < a.ts + INTERVAL 1 HOUR
         GROUP BY a.event_id
     """,
+    "q_customers_no_urgent": """
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE c_custkey NOT IN
+            (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+    """,
     "q_top_orders_per_status": """
         SELECT o_orderstatus, o_orderkey, o_totalprice
         FROM (SELECT o_orderstatus, o_orderkey, o_totalprice,
@@ -960,6 +976,7 @@ QUERIES = {
     "q_customer_order_counts": q_customer_order_counts,
     "q_event_bursts": q_event_bursts,
     "q_doc_splits": q_doc_splits,
+    "q_customers_no_urgent": q_customers_no_urgent,
     "q_top_orders_per_status": q_top_orders_per_status,
     "q_events_user_distinct_approx": q_events_user_distinct_approx,
     "q_events_value_quantiles_approx": q_events_value_quantiles_approx,

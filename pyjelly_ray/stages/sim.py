@@ -325,95 +325,168 @@ def ngram_jaccard_pairs(docs_ds, *, threshold: float = 0.8, n: int = 3):
     """EXACT all-pairs word-n-gram Jaccard ≥ threshold, via prefix filtering.
 
     Unlike MinHash/SimHash (probabilistic candidates), this is exact and
-    complete — the prefix-filter theorem (SSJoin/PPJoin family): order each
-    doc's distinct grams by a global total order (lexicographic here) and
-    keep only the first ``|g| - ceil(t·|g|) + 1`` as its *prefix*; any pair
-    with J ≥ t must share a prefix gram.  Scale shape:
+    complete — the prefix-filter theorem (SSJoin / All-Pairs / PPJoin
+    family): fix ANY global total order over grams, keep each doc's first
+    ``|g| - ceil(t·|g|) + 1`` grams as its *prefix*; any pair with J ≥ t
+    shares a prefix gram.  The order used here is ascending global
+    frequency (rarest first, ties lexicographic) — the classic candidate
+    killer: hot grams land outside prefixes, so no quadratic buckets.  Two
+    refinements, both exactness-preserving:
 
-        map_batches: doc → prefix rows (gram, doc_id)     # fan-out ≤ (1-t)·|grams|+1
-        groupby(gram): candidate pairs within group       # the one shuffle;
-                                                          # gram keys ≈ uniform
-        pair-dedup groupby
-        broadcast join: candidate (pair, doc_id) rows — the SMALL side —
-            hashed into a streaming scan of the corpus (texts never shuffle)
+    - singleton suppression: a gram in exactly one doc cannot witness a
+      pair, so prefix rows are emitted only for grams with count ≥ 2
+      (singletons still *occupy* prefix slots, further shrinking output);
+    - length filter: J(a,b) ≥ t forces t·|a| ≤ |b|, checked inside each
+      bucket before pairing.
+
+    Scale shape:
+
+        map_batches: doc → distinct-gram rows          # linear
+        grouped_agg(gram): global counts → shared set  # combiner + small shuffle
+        broadcast rank map (count ≥ 2 grams only)      # ray.put once
+        map_batches: doc → (shared prefix gram, doc_id, size) rows
+        groupby(gram): size-filtered pairs per bucket  # the one pair shuffle
+        driver: dedup candidates (already materialized for the broadcast)
+        broadcast join: (pair, doc_id) rows hashed into a streaming corpus
+            scan — texts never shuffle beyond the candidate docs
         groupby(pair): exact Jaccard verify, filter ≥ t
+
+    At 100 TB the rank map holds only grams shared by ≥ 2 docs; if that
+    still overflows the object store, rank by (approximate count, hash) —
+    any deterministic total order keeps the theorem intact.
 
     Returns Dataset (doc_a, doc_b, jaccard[rounded 6]).
     """
     import math
 
+    import numpy as np
     import pyarrow.compute as pc
+    import ray
 
+    from .agg import grouped_agg
     from .joins import broadcast_join
 
-    def prefix_rows(batch: pa.Table) -> pa.Table:
-        out_g, out_id = [], []
-        for d, t in zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()):
-            gs = _word_ngrams(t or "", n)
-            sz = len(gs)
-            if not sz:
-                continue
-            prefix_len = sz - math.ceil(threshold * sz) + 1
-            for g in gs[:prefix_len]:
-                out_g.append(g)
-                out_id.append(d)
-        return pa.table(
-            {"gram": pa.array(out_g, pa.string()), "doc_id": pa.array(out_id, pa.int64())}
-        )
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        out = []
+        for t in batch.column("text").to_pylist():
+            out.extend(_word_ngrams(t or "", n))
+        return pa.table({"gram": pa.array(out, pa.string())})
+
+    counts = grouped_agg(
+        docs_ds.map_batches(gram_rows, batch_format="pyarrow"),
+        ["gram"],
+        [("cnt", "gram", "count")],
+    )
+    shared_batches = [
+        b.filter(pc.greater_equal(b.column("cnt"), 2))
+        for b in counts.iter_batches(batch_format="pyarrow")
+    ]
+    shared = (
+        pa.concat_tables(shared_batches, promote_options="default")
+        if shared_batches
+        else pa.table({"gram": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())})
+    )
+    # global order = (count asc, gram asc); singletons (absent) sort first
+    # with count 1, occupying prefix slots without ever being emitted
+    shared = shared.sort_by([("cnt", "ascending"), ("gram", "ascending")])
+    rank = {g: i for i, g in enumerate(shared.column("gram").to_pylist())}
+    rank_ref = ray.put(rank)
+
+    class PrefixRows:
+        def __init__(self) -> None:
+            self.rank = ray.get(rank_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out_g, out_id, out_sz = [], [], []
+            for d, t in zip(
+                batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+            ):
+                gs = _word_ngrams(t or "", n)
+                sz = len(gs)
+                if not sz:
+                    continue
+                prefix_len = sz - math.ceil(threshold * sz) + 1
+                # order: singletons (rank None → count 1) before all shared
+                # grams; ties inside each class broken lexicographically
+                ordered = sorted(
+                    gs, key=lambda g: (0, g) if g not in self.rank else (1, self.rank[g])
+                )
+                for g in ordered[:prefix_len]:
+                    if g in self.rank:  # singletons cannot witness a pair
+                        out_g.append(g)
+                        out_id.append(d)
+                        out_sz.append(sz)
+            return pa.table(
+                {
+                    "gram": pa.array(out_g, pa.string()),
+                    "doc_id": pa.array(out_id, pa.int64()),
+                    "sz": pa.array(out_sz, pa.int64()),
+                }
+            )
 
     def pairs(group: pa.Table) -> pa.Table:
-        ids = sorted(set(group.column("doc_id").to_pylist()))
-        a_out, b_out = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a_out.append(ids[i])
-                b_out.append(ids[j])
-        return pa.table(
-            {"doc_a": pa.array(a_out, pa.int64()), "doc_b": pa.array(b_out, pa.int64())}
-        )
-
-    def _key(b: pa.Table) -> pa.Table:
-        k = pc.binary_join_element_wise(
-            pc.cast(b.column("doc_a"), pa.string()),
-            pc.cast(b.column("doc_b"), pa.string()),
-            ":",
-        )
-        return b.append_column("pair", k)
-
-    def _first(group: pa.Table) -> pa.Table:
-        return group.slice(0, 1)
-
-    cand = (
-        docs_ds.map_batches(prefix_rows, batch_format="pyarrow")
-        .groupby("gram")
-        .map_groups(pairs, batch_format="pyarrow")
-        .map_batches(_key, batch_format="pyarrow")
-        .groupby("pair")
-        .map_groups(_first, batch_format="pyarrow")
-    )
-
-    # candidate set = LSH-style small side; explode to (pair, doc_id) rows and
-    # broadcast it into a streaming scan of the texts (corpus never shuffles)
-    side_tables = [
-        b for b in cand.iter_batches(batch_format="pyarrow") if b.num_rows
-    ]
-    if not side_tables:
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        szs = group.column("sz").to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        ids, szs = ids[order], szs[order]
+        keep = np.ones(len(ids), bool)
+        keep[1:] = ids[1:] != ids[:-1]
+        ids, szs = ids[keep], szs[keep]
+        m = len(ids)
+        if m < 2:
+            return pa.table(
+                {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
+            )
+        ii, jj = np.triu_indices(m, k=1)
+        # length filter: J >= t forces t*max(|a|,|b|) <= min(|a|,|b|)
+        lo = np.minimum(szs[ii], szs[jj]).astype(np.float64)
+        hi = np.maximum(szs[ii], szs[jj]).astype(np.float64)
+        ok = lo >= threshold * hi
         return pa.table(
             {
-                "doc_a": pa.array([], pa.int64()),
-                "doc_b": pa.array([], pa.int64()),
-                "jaccard": pa.array([], pa.float64()),
+                "doc_a": pa.array(ids[ii[ok]], pa.int64()),
+                "doc_b": pa.array(ids[jj[ok]], pa.int64()),
             }
         )
-    ct = pa.concat_tables(side_tables, promote_options="default")
+
+    cand_ds = (
+        docs_ds.map_batches(PrefixRows, batch_format="pyarrow", concurrency=(1, 8))
+        .groupby("gram")
+        .map_groups(pairs, batch_format="pyarrow")
+    )
+
+    # candidates materialize here anyway (they become the broadcast side),
+    # so dedup on the driver instead of paying a second Ray shuffle
+    cand_batches = [
+        b for b in cand_ds.iter_batches(batch_format="pyarrow") if b.num_rows
+    ]
+    empty = pa.table(
+        {
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64()),
+        }
+    )
+    if not cand_batches:
+        return empty
+    ct = (
+        pa.concat_tables(cand_batches, promote_options="default")
+        .group_by(["doc_a", "doc_b"])
+        .aggregate([])
+    )
+    pair_key = pc.binary_join_element_wise(
+        pc.cast(ct.column("doc_a"), pa.string()),
+        pc.cast(ct.column("doc_b"), pa.string()),
+        ":",
+    )
+    if isinstance(pair_key, pa.ChunkedArray):
+        pair_key = pair_key.combine_chunks()
     long_side = pa.table(
         {
             "doc_id": pa.concat_arrays(
                 [ct.column("doc_a").combine_chunks(), ct.column("doc_b").combine_chunks()]
             ),
-            "pair": pa.concat_arrays(
-                [ct.column("pair").combine_chunks(), ct.column("pair").combine_chunks()]
-            ),
+            "pair": pa.concat_arrays([pair_key, pair_key]),
         }
     )
     joined = broadcast_join(docs_ds, long_side, left_key="doc_id")
@@ -423,23 +496,11 @@ def ngram_jaccard_pairs(docs_ds, *, threshold: float = 0.8, n: int = 3):
             zip(group.column("doc_id").to_pylist(), group.column("text").to_pylist())
         )
         if len(rows) != 2:  # defensive: a side missing from the corpus scan
-            return pa.table(
-                {
-                    "doc_a": pa.array([], pa.int64()),
-                    "doc_b": pa.array([], pa.int64()),
-                    "jaccard": pa.array([], pa.float64()),
-                }
-            )
+            return empty
         (ida, ta), (idb, tb) = rows
         j = ngram_jaccard(ta or "", tb or "", n)
         if j < threshold:
-            return pa.table(
-                {
-                    "doc_a": pa.array([], pa.int64()),
-                    "doc_b": pa.array([], pa.int64()),
-                    "jaccard": pa.array([], pa.float64()),
-                }
-            )
+            return empty
         return pa.table(
             {
                 "doc_a": pa.array([ida], pa.int64()),
