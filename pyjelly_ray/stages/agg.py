@@ -1,17 +1,25 @@
-"""Scale-aware grouped aggregation: partial combine → small shuffle → finalize.
+"""Scale-aware grouped aggregation: partial combine → hash exchange → finalize.
 
 ``grouped_agg`` expresses SUM/COUNT/MEAN/MIN/MAX group-bys as:
 
 1. per-batch partial aggregation with Arrow's ``Table.group_by`` (vectorized,
-   no shuffle) — the combiner that collapses each block to ≤ |groups| rows;
-2. one Ray ``groupby(keys).sum/min/max`` over the partials (the only
-   all-to-all, now tiny);
+   no shuffle) — the combiner that collapses each block to ≤ |groups| rows —
+   plus an int bucket column ``hash(keys) % P``;
+2. one explicit hash exchange over the partials
+   (:func:`pyjelly_ray.state.exchange.hash_exchange`) with a vectorized
+   ``Table.group_by`` merge per partition.  Ray Data's own
+   ``groupby().sum()`` runs a sample+sort shuffle that measured 80 s of
+   remote wall for 478k partial rows on this box (q_top_parts, sf0.1);
+   with the bucket known up front the all-to-all needs neither sampling
+   nor sorting and the same combine runs in well under a second;
 3. a finalize ``map_batches`` computing derived columns (mean = sum/count)
    and giving every output column its user-specified name — names are part
    of the oracle contract (driver compares by column name).
 
 This is the map-side-combine pattern SURVEY.md §2.5 calls for; at 100 TB the
-shuffle volume is |groups| × blocks, not the raw row count.
+exchange volume is |groups| × blocks, not the raw row count, and
+``num_partitions`` scales with |groups| (each reduce holds only its
+buckets' groups).
 """
 
 from __future__ import annotations
@@ -44,6 +52,33 @@ def round_like_duckdb(arr, ndigits: int):
     return pa.array(out, pa.float64(), mask=mask)
 
 
+def bucket_codes(batch: pa.Table, keys: list[str], n_partitions: int):
+    """Vectorized, cross-process-deterministic ``hash(keys) % P``.
+
+    Int keys use a Fibonacci-multiply mix; other types go through
+    ``pandas.util.hash_array`` (siphash with a fixed key — stable across
+    processes, unlike builtin ``hash`` under PYTHONHASHSEED).  Nulls hash
+    as 0 / "".
+    """
+    import numpy as np
+    import pandas as pd
+
+    h = np.zeros(batch.num_rows, np.uint64)
+    for c in keys:
+        col = batch.column(c)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if col.null_count:
+            col = pc.fill_null(col, 0 if pa.types.is_integer(col.type) else "")
+        if pa.types.is_integer(col.type):
+            v = col.to_numpy(zero_copy_only=False).astype(np.uint64, copy=False)
+            hv = v * np.uint64(0x9E3779B97F4A7C15)
+        else:
+            hv = pd.util.hash_array(col.to_numpy(zero_copy_only=False))
+        h = h * np.uint64(31) + hv
+    return (h % np.uint64(n_partitions)).astype(np.int64)
+
+
 def _partial_fn(keys: list[str], specs: list[Spec]):
     aggs = []
     seen = set()
@@ -61,10 +96,14 @@ def _partial_fn(keys: list[str], specs: list[Spec]):
                 seen.add((fn, col))
 
     def partial(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return batch
-        work = batch.append_column("__cnt", pa.array([1] * batch.num_rows, pa.int64()))
+        import numpy as np
+
+        work = batch.append_column(
+            "__cnt", pa.array(np.ones(batch.num_rows, np.int64))
+        )
         plan = list(aggs) + [("__cnt", "sum")]
+        # empty-safe: group_by on a 0-row table still yields the aggregated
+        # schema, which the exchange and finalize rely on.
         out = work.group_by(keys).aggregate(plan)
         # pyarrow names results "<col>_<fn>"
         return out
@@ -72,50 +111,64 @@ def _partial_fn(keys: list[str], specs: list[Spec]):
     return partial
 
 
-def grouped_agg(ds, keys: list[str] | str, specs: list[Spec], *, round_to: int | None = None):
+def grouped_agg(ds, keys: list[str] | str, specs: list[Spec], *,
+                round_to: int | None = None, num_partitions: int = 16):
+    from ..state.exchange import hash_exchange
+
     keys = [keys] if isinstance(keys, str) else list(keys)
     partial = _partial_fn(keys, specs)
-    partial_ds = ds.map_batches(partial, batch_format="pyarrow")
 
-    # global combine over partials: sum the sums/counts, min the mins, ...
+    def partial_with_bucket(batch: pa.Table) -> pa.Table:
+        out = partial(batch)
+        return out.append_column(
+            "__bucket", pa.array(bucket_codes(out, keys, num_partitions))
+        )
+
+    partial_ds = ds.map_batches(
+        partial_with_bucket, batch_format="pyarrow", batch_size=None
+    )
+
+    # merge partials per hash partition: sum the sums/counts, min the mins, ...
     sum_cols = sorted(
         {f"{col}_sum" for _, col, fn in specs if fn in ("sum", "mean")} | {"__cnt_sum"}
     )
     min_cols = sorted({f"{col}_min" for _, col, fn in specs if fn == "min"})
     max_cols = sorted({f"{col}_max" for _, col, fn in specs if fn == "max"})
+    rename = (
+        {f"{c}_sum": c for c in sum_cols}
+        | {f"{c}_min": c for c in min_cols}
+        | {f"{c}_max": c for c in max_cols}
+    )
 
-    gb = partial_ds.groupby(keys)
-    aggregated = gb.sum(sum_cols) if sum_cols else None
-    # Ray's groupby supports one agg kind per call; chain via join-free trick:
-    # run min/max against the same grouped data only when requested.
-    if min_cols or max_cols:
-        # rare path: fold min/max through a second pass merged by map_groups
-        def _fold(group: pa.Table) -> pa.Table:
-            out = {k: [group.column(k)[0].as_py()] for k in keys}
-            for c in sum_cols:
-                out[c] = [pc.sum(group.column(c)).as_py()]
-            for c in min_cols:
-                out[c] = [pc.min(group.column(c)).as_py()]
-            for c in max_cols:
-                out[c] = [pc.max(group.column(c)).as_py()]
-            return pa.table(out)
+    def merge(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__bucket"])
+        plan = (
+            [(c, "sum") for c in sum_cols]
+            + [(c, "min") for c in min_cols]
+            + [(c, "max") for c in max_cols]
+        )
+        out = t.group_by(keys).aggregate(plan)
+        return out.rename_columns([rename.get(c, c) for c in out.column_names])
 
-        aggregated = gb.map_groups(_fold, batch_format="pyarrow")
-        summed_name = {c: c for c in sum_cols}
-    else:
-        summed_name = {c: f"sum({c})" for c in sum_cols}
+    aggregated = hash_exchange(
+        partial_ds,
+        bucket_col="__bucket",
+        n_partitions=num_partitions,
+        reduce_fn=merge,
+        reduce_empty=True,
+    )
 
     def finalize(batch: pa.Table) -> pa.Table:
         cols: dict[str, object] = {k: batch.column(k) for k in keys}
-        cnt = batch.column(summed_name["__cnt_sum"])
+        cnt = batch.column("__cnt_sum")
         for out_name, col, fn in specs:
             if fn == "sum":
-                v = batch.column(summed_name[f"{col}_sum"])
+                v = batch.column(f"{col}_sum")
             elif fn == "count":
                 v = cnt
             elif fn == "mean":
                 v = pc.divide(
-                    pc.cast(batch.column(summed_name[f"{col}_sum"]), pa.float64()),
+                    pc.cast(batch.column(f"{col}_sum"), pa.float64()),
                     pc.cast(cnt, pa.float64()),
                 )
             elif fn == "min":
@@ -129,7 +182,28 @@ def grouped_agg(ds, keys: list[str] | str, specs: list[Spec], *, round_to: int |
             cols[out_name] = v
         return pa.table(cols)
 
-    return aggregated.map_batches(finalize, batch_format="pyarrow")
+    return aggregated.map_batches(finalize, batch_format="pyarrow", batch_size=None)
+
+
+def _key_run_bounds(t: pa.Table, keys: list[str]):
+    """Boundaries of equal-key runs in a key-sorted table.
+
+    Returns an int array ``[0, ..., num_rows]`` where consecutive entries
+    delimit one group.  Uses per-block dictionary codes in a mixed-radix
+    combine — injective per table, so adjacent-row inequality is exact.
+    """
+    import numpy as np
+
+    codes = np.zeros(t.num_rows, np.int64)
+    for c in keys:
+        arr = t.column(c).combine_chunks().dictionary_encode().indices.to_numpy(
+            zero_copy_only=False
+        )
+        codes = codes * (int(arr.max()) + 1 if len(arr) else 1) + arr
+    starts = np.zeros(t.num_rows, bool)
+    starts[0] = True
+    starts[1:] = codes[1:] != codes[:-1]
+    return np.append(np.flatnonzero(starts), t.num_rows)
 
 
 def grouped_quantiles(ds, keys: list[str] | str, col: str,
@@ -177,8 +251,40 @@ def grouped_quantiles(ds, keys: list[str] | str, col: str,
             out[name] = [round_half_away(quantile_cont(vals, q), round_to)]
         return pa.table(out)
 
-    projected = ds.map_batches(project, batch_format="pyarrow")
-    return projected.groupby(keys).map_groups(fold, batch_format="pyarrow")
+    from ..state.exchange import hash_exchange
+
+    num_partitions = 8
+
+    def project_with_bucket(b: pa.Table) -> pa.Table:
+        out = project(b)
+        return out.append_column(
+            "__bucket", pa.array(bucket_codes(out, keys, num_partitions))
+        )
+
+    def reduce_part(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__bucket"])
+        if t.num_rows == 0:
+            cols: dict[str, object] = {
+                k: pa.array([], t.schema.field(k).type) for k in keys
+            }
+            for name, _ in quantiles:
+                cols[name] = pa.array([], pa.float64())
+            return pa.table(cols)
+        t = t.sort_by([(k, "ascending") for k in keys])
+        bounds = _key_run_bounds(t, keys)
+        return pa.concat_tables(
+            fold(t.slice(bounds[i], bounds[i + 1] - bounds[i]))
+            for i in range(len(bounds) - 1)
+        )
+
+    projected = ds.map_batches(project_with_bucket, batch_format="pyarrow", batch_size=None)
+    return hash_exchange(
+        projected,
+        bucket_col="__bucket",
+        n_partitions=num_partitions,
+        reduce_fn=reduce_part,
+        reduce_empty=True,
+    )
 
 
 def grouped_topk(ds, keys: list[str] | str, order_col: str, k: int, *,
@@ -208,24 +314,30 @@ def grouped_topk(ds, keys: list[str] | str, order_col: str, k: int, *,
         if b.num_rows == 0:
             return b
         t = b.sort_by(sort_spec)
-        codes = np.zeros(t.num_rows, np.int64)
-        for c in keys:
-            arr = t.column(c).combine_chunks().dictionary_encode().indices.to_numpy(
-                zero_copy_only=False
-            )
-            codes = codes * (int(arr.max()) + 1 if len(arr) else 1) + arr
         # rows are key-sorted, so each group is one run; rank = offset in run
+        bounds = _key_run_bounds(t, keys)
         starts = np.zeros(t.num_rows, bool)
-        starts[0] = True
-        starts[1:] = codes[1:] != codes[:-1]
+        starts[bounds[:-1]] = True
         run_id = np.cumsum(starts) - 1
-        run_start = np.flatnonzero(starts)
-        rank = np.arange(t.num_rows) - run_start[run_id]
+        rank = np.arange(t.num_rows) - bounds[run_id]
         return t.filter(pa.array(rank < k))
 
-    partials = ds.map_batches(topk_within, batch_format="pyarrow")
+    from ..state.exchange import hash_exchange
 
-    def final(group: pa.Table) -> pa.Table:
-        return group.sort_by(sort_spec).slice(0, k)
+    num_partitions = 8
 
-    return partials.groupby(keys).map_groups(final, batch_format="pyarrow")
+    def partial_with_bucket(b: pa.Table) -> pa.Table:
+        out = topk_within(b)
+        return out.append_column(
+            "__bucket", pa.array(bucket_codes(out, keys, num_partitions))
+        )
+
+    partials = ds.map_batches(partial_with_bucket, batch_format="pyarrow", batch_size=None)
+
+    return hash_exchange(
+        partials,
+        bucket_col="__bucket",
+        n_partitions=num_partitions,
+        reduce_fn=lambda t: topk_within(t.drop_columns(["__bucket"])),
+        reduce_empty=True,
+    )

@@ -157,8 +157,8 @@ def asof_join_backward(
             cols[c] = pa.nulls(n, typ)
         return pa.table(cols)
 
-    lt = left.map_batches(tag_left, batch_format="pyarrow")
-    rt = right.map_batches(tag_right, batch_format="pyarrow")
+    lt = left.map_batches(tag_left, batch_format="pyarrow", batch_size=None)
+    rt = right.map_batches(tag_right, batch_format="pyarrow", batch_size=None)
     unioned = lt.union(rt)
 
     def merge(group: pa.Table) -> pa.Table:
@@ -254,8 +254,8 @@ def interval_join_agg(
             cols[c] = pa.nulls(n, typ)
         return pa.table(cols)
 
-    lt = left.map_batches(tag_left, batch_format="pyarrow")
-    rt = right.map_batches(tag_right, batch_format="pyarrow")
+    lt = left.map_batches(tag_left, batch_format="pyarrow", batch_size=None)
+    rt = right.map_batches(tag_right, batch_format="pyarrow", batch_size=None)
     unioned = lt.union(rt)
 
     def merge(group: pa.Table) -> pa.Table:
@@ -341,8 +341,8 @@ def interval_join(
             cols[f"_r_{c}"] = pc.cast(b.column(c), typ)
         return pa.table(cols)
 
-    lt = left.map_batches(tag_left, batch_format="pyarrow")
-    rt = right.map_batches(tag_right, batch_format="pyarrow")
+    lt = left.map_batches(tag_left, batch_format="pyarrow", batch_size=None)
+    rt = right.map_batches(tag_right, batch_format="pyarrow", batch_size=None)
     unioned = lt.union(rt)
 
     def merge(group: pa.Table) -> pa.Table:

@@ -74,7 +74,7 @@ def deterministic_split(ds, *, id_col: str, splits: list[tuple[str, float]],
         idx = np.searchsorted(edges, h, side="right")
         return b.append_column(out_col, pa.array(names[idx], pa.string()))
 
-    return ds.map_batches(assign, batch_format="pyarrow")
+    return ds.map_batches(assign, batch_format="pyarrow", batch_size=None)
 
 
 def hash_sample(ds, *, id_col: str, fraction: float, seed: str = ""):
@@ -85,7 +85,7 @@ def hash_sample(ds, *, id_col: str, fraction: float, seed: str = ""):
         h = _hash_ints(b.column(id_col), seed)
         return b.filter(pa.array(h < bound))
 
-    return ds.map_batches(keep, batch_format="pyarrow")
+    return ds.map_batches(keep, batch_format="pyarrow", batch_size=None)
 
 
 def sql_split_case(id_expr: str, splits: list[tuple[str, float]],

@@ -160,7 +160,7 @@ def grouped_approx_distinct(ds, keys: list[str] | str, col: str, *,
         out[out_name] = pa.array([int(round(est))], pa.int64())
         return pa.table(out)
 
-    partials = ds.map_batches(partial, batch_format="pyarrow")
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
     return partials.groupby(keys).map_groups(merge, batch_format="pyarrow")
 
 
@@ -264,5 +264,5 @@ def grouped_approx_quantiles(ds, keys: list[str] | str, col: str,
             out[name] = pa.array([acc.quantile(q)], pa.float64())
         return pa.table(out)
 
-    partials = ds.map_batches(partial, batch_format="pyarrow")
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
     return partials.groupby(keys).map_groups(merge, batch_format="pyarrow")

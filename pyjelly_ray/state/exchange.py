@@ -199,24 +199,35 @@ def hash_exchange(
     bucket_col: str,
     n_partitions: int,
     reduce_fn: Callable[[pa.Table], pa.Table],
+    reduce_empty: bool = False,
 ):
     """All-to-all by an int bucket column with a per-partition reduce.
 
     Returns a new Dataset of ``reduce_fn`` outputs (one block per
     partition).  ``bucket_col`` values MUST lie in [0, n_partitions).
+
+    ``reduce_empty``: when True, ``reduce_fn`` is applied to empty
+    partitions too (on an empty concat of the parts) so every output block
+    carries the reduced schema — required when downstream unions blocks.
+    When False (default), an all-empty partition passes ``parts[0]``
+    through unreduced (for reducers that can't handle zero rows).
     """
     import ray
 
     split = ray.remote(num_returns=n_partitions)(_split_block)
-    reduce_remote = ray.remote(
-        lambda *parts: reduce_fn(
-            pa.concat_tables([p for p in parts if p.num_rows], promote_options="default")
-        )
-        if any(p.num_rows for p in parts)
-        else parts[0]
-    )
 
-    block_refs = ds.to_arrow_refs()
+    def _reduce(*parts: pa.Table):
+        live = [p for p in parts if p.num_rows]
+        if not live:
+            return reduce_fn(parts[0]) if reduce_empty else parts[0]
+        return reduce_fn(pa.concat_tables(live, promote_options="default"))
+
+    reduce_remote = ray.remote(_reduce)
+
+    # materialize first: to_arrow_refs() on a lazy dataset drives execution
+    # through the driver's ref-bundle iterator and re-executes upstream for
+    # schema resolution (see fused_two_hop_exchange's measured note).
+    block_refs = ds.materialize().to_arrow_refs()
     if not block_refs:
         return ds
     part_refs: list[list] = [[] for _ in range(n_partitions)]
