@@ -23,7 +23,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..stages.agg import grouped_agg
-from ..stages.joins import broadcast_join, broadcast_semi
+from ..stages.joins import broadcast_join, broadcast_semi, hash_join
 from ..stages.text import LanguageID, quality_scores, token_stats
 
 
@@ -88,10 +88,8 @@ def q3_top_orders(sf_dir: str):
         return pa.table({"l_orderkey": b.column("l_orderkey"), "rev": rev})
 
     li = li.map_batches(prep, batch_format="pyarrow")
-    # big ⋈ big: Ray hash shuffle join (scale path; partitions sized by data)
-    joined = li.join(
-        orders, join_type="inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",)
-    )
+    # big ⋈ big: explicit co-partitioned hash join (scale path)
+    joined = hash_join(li, orders, left_key="l_orderkey", right_key="o_orderkey")
     agg = grouped_agg(joined, ["l_orderkey"], [("revenue", "rev", "sum")], round_to=2)
     return agg.sort(["revenue", "l_orderkey"], descending=[True, False]).limit(10)
 
@@ -112,9 +110,7 @@ def q5_nation_revenue(sf_dir: str):
         return pa.table({"l_orderkey": b.column("l_orderkey"), "rev": rev})
 
     li = li.map_batches(prep, batch_format="pyarrow")
-    joined = li.join(
-        orders, join_type="inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",)
-    )
+    joined = hash_join(li, orders, left_key="l_orderkey", right_key="o_orderkey")
     return grouped_agg(joined, ["n_name"], [("revenue", "rev", "sum")], round_to=2)
 
 

@@ -5,8 +5,12 @@
   (region/nation/supplier/part/customer); this is the 100 TB-safe path for
   small-side joins.
 - :func:`broadcast_semi` — broadcast semi-join (filter by key membership).
-- Large-large joins use ``Dataset.join`` (Ray's hash shuffle join) directly;
-  helpers here only pick ``num_partitions`` sensibly.
+- :func:`hash_join` — large ⋈ large equi-join as an explicit co-partitioned
+  hash exchange (:func:`pyjelly_ray.state.exchange.hash_exchange_pair`) with
+  a vectorized ``pyarrow.Table.join`` per partition.  Ray's own
+  ``Dataset.join`` ran its shuffle in 5–9 s for 600k × 150k rows on this
+  box; the explicit exchange needs no sampling/sorting and scales by
+  raising ``num_partitions`` with data volume.
 """
 
 from __future__ import annotations
@@ -18,37 +22,17 @@ import pyarrow.compute as pc
 def _collect_table(ds_or_table) -> pa.Table:
     if isinstance(ds_or_table, pa.Table):
         return ds_or_table
-    batches = list(ds_or_table.iter_batches(batch_format="pyarrow"))
-    if not batches:
+    # execute distributed, then fetch the (small) blocks — NOT iter_batches,
+    # which streams every block through the driver's sequential iterator.
+    import ray
+
+    refs = ds_or_table.materialize().to_arrow_refs()
+    if not refs:
         return pa.table({})
-    return pa.concat_tables(batches, promote_options="default")
-
-
-class _BroadcastJoiner:
-    """Actor/task-pool callable: hash-join each batch against the small side."""
-
-    def __init__(self, small_ref, left_key: str, right_key: str, how: str) -> None:
-        try:
-            import ray
-
-            if isinstance(small_ref, ray.ObjectRef):
-                small_ref = ray.get(small_ref)
-        except ImportError:
-            pass
-        self.small: pa.Table = small_ref
-        self.left_key = left_key
-        self.right_key = right_key
-        self.how = how
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return batch
-        return batch.join(
-            self.small,
-            keys=[self.left_key],
-            right_keys=[self.right_key],
-            join_type=self.how,
-        )
+    tables = [t for t in ray.get(refs) if t.num_rows]
+    if not tables:
+        return ray.get(refs[0])
+    return pa.concat_tables(tables, promote_options="default")
 
 
 def broadcast_join(ds, small, *, left_key: str, right_key: str | None = None,
@@ -67,12 +51,18 @@ def broadcast_join(ds, small, *, left_key: str, right_key: str | None = None,
         cols = list(dict.fromkeys([right_key] + columns))
         table = table.select(cols)
     ref = ray.put(table)
-    return ds.map_batches(
-        _BroadcastJoiner,
-        fn_constructor_args=(ref, left_key, right_key, how),
-        batch_format="pyarrow",
-        concurrency=(1, 8),
-    )
+
+    # task pool, not actor pool: the small side rides in plasma (ray.get is
+    # a zero-copy local read after the first task per node) and tasks start
+    # immediately — an autoscaling actor pool added 1–2 s of startup per
+    # join in chained-dim pipelines.
+    def join_batch(batch: pa.Table) -> pa.Table:
+        small_t = ray.get(ref)
+        return batch.join(
+            small_t, keys=[left_key], right_keys=[right_key], join_type=how
+        )
+
+    return ds.map_batches(join_batch, batch_format="pyarrow", batch_size=None)
 
 
 def broadcast_semi(ds, small, *, left_key: str, right_key: str | None = None,
@@ -85,17 +75,58 @@ def broadcast_semi(ds, small, *, left_key: str, right_key: str | None = None,
     keys = pc.unique(table.column(right_key))
     ref = ray.put(keys)
 
-    class _Semi:
-        def __init__(self) -> None:
-            self.keys = ray.get(ref)
+    def semi_batch(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch.column(left_key), value_set=ray.get(ref))
+        if anti:
+            mask = pc.invert(mask)
+        return batch.filter(mask)
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            mask = pc.is_in(batch.column(left_key), value_set=self.keys)
-            if anti:
-                mask = pc.invert(mask)
-            return batch.filter(mask)
+    return ds.map_batches(semi_batch, batch_format="pyarrow", batch_size=None)
 
-    return ds.map_batches(_Semi, batch_format="pyarrow", concurrency=(1, 8))
+
+def hash_join(left, right, *, left_key: str, right_key: str | None = None,
+              how: str = "inner", num_partitions: int = 16):
+    """Distributed equi-join: co-partition both sides by ``hash(key) % P``,
+    then one vectorized Arrow join per partition.
+
+    Correct for all key-equi join types (inner/left/right/full outer,
+    semi, anti — ``how`` passes through to ``pyarrow.Table.join``) because
+    equal keys always share a partition.  At 100 TB, size
+    ``num_partitions`` so one partition of both sides fits a worker's
+    heap; skewed keys want salting upstream (see SURVEY.md §2.5).
+    """
+    from ..state.exchange import hash_exchange_pair
+    from .agg import bucket_codes
+
+    right_key = right_key or left_key
+
+    def _with_bucket(key):
+        def add(b: pa.Table) -> pa.Table:
+            return b.append_column(
+                "__bucket", pa.array(bucket_codes(b, [key], num_partitions))
+            )
+
+        return add
+
+    lt = left.map_batches(_with_bucket(left_key), batch_format="pyarrow", batch_size=None)
+    rt = right.map_batches(_with_bucket(right_key), batch_format="pyarrow", batch_size=None)
+
+    def join_part(lp: pa.Table, rp: pa.Table) -> pa.Table:
+        return lp.drop_columns(["__bucket"]).join(
+            rp.drop_columns(["__bucket"]),
+            keys=[left_key],
+            right_keys=[right_key],
+            join_type=how,
+        )
+
+    return hash_exchange_pair(
+        lt,
+        rt,
+        left_bucket_col="__bucket",
+        right_bucket_col="__bucket",
+        n_partitions=num_partitions,
+        reduce_fn=join_part,
+    )
 
 
 def asof_join_backward(

@@ -193,6 +193,70 @@ def fused_two_hop_exchange(
     return out
 
 
+def hash_exchange_pair(
+    left,
+    right,
+    *,
+    left_bucket_col: str,
+    right_bucket_col: str,
+    n_partitions: int,
+    reduce_fn: Callable[[pa.Table, pa.Table], pa.Table],
+):
+    """Two-sided all-to-all: co-partition two Datasets by their int bucket
+    columns and apply ``reduce_fn(left_part, right_part)`` per partition
+    (the primitive under :func:`pyjelly_ray.stages.joins.hash_join`).
+
+    Both bucket columns MUST use the same hash of the join key so equal
+    keys land in the same partition.  Empty-side parts arrive as 0-row
+    tables with the side's schema; ``reduce_fn`` must accept them.
+    """
+    import ray
+
+    split = ray.remote(num_returns=n_partitions)(_split_block)
+
+    def _reduce(n_left: int, *parts: pa.Table):
+        def _concat(ps):
+            live = [p for p in ps if p.num_rows]
+            return (
+                pa.concat_tables(live, promote_options="default") if live else ps[0]
+            )
+
+        return reduce_fn(_concat(parts[:n_left]), _concat(parts[n_left:]))
+
+    reduce_remote = ray.remote(_reduce)
+
+    left_refs = left.materialize().to_arrow_refs()
+    right_refs = right.materialize().to_arrow_refs()
+    if not left_refs or not right_refs:
+        # degenerate: a side has no blocks; both are tiny — reduce on driver
+        import ray as _ray
+
+        lt = _collect_empty_safe(left)
+        rt = _collect_empty_safe(right)
+        return _ray.data.from_arrow(reduce_fn(lt, rt))
+
+    part_refs: list[list] = [[] for _ in range(n_partitions)]
+    n_left_parts = len(left_refs)
+    for refs, col in ((left_refs, left_bucket_col), (right_refs, right_bucket_col)):
+        for ref in refs:
+            outs = split.remote(ref, n_partitions, col)
+            if n_partitions == 1:
+                outs = [outs]
+            for p, r in enumerate(outs):
+                part_refs[p].append(r)
+    reduced = [reduce_remote.remote(n_left_parts, *parts) for parts in part_refs]
+    return ray.data.from_arrow_refs(reduced)
+
+
+def _collect_empty_safe(ds) -> pa.Table:
+    batches = list(ds.iter_batches(batch_format="pyarrow"))
+    if batches:
+        return pa.concat_tables(batches, promote_options="default")
+    schema = ds.schema()
+    schema = getattr(schema, "base_schema", schema)  # Ray wraps pyarrow.Schema
+    return schema.empty_table()
+
+
 def hash_exchange(
     ds,
     *,
