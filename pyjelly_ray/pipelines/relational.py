@@ -546,7 +546,10 @@ def q_kg_jelly_roundtrip(sf_dir: str):
         return pa.table({"p_value": pa.array([ONT + "mentions"]), "n": pa.array([n], pa.int64())})
 
     per_block = mentions.map_batches(to_jelly_and_back, batch_format="pyarrow")
-    return grouped_agg(per_block, ["p_value"], [("n_statements", "n", "sum")])
+    # oracle counts rows (count(*) → int64), so keep the int sum here
+    return grouped_agg(
+        per_block, ["p_value"], [("n_statements", "n", "sum")], sum_as_float=False
+    )
 
 
 # --------------------------------------------------------------------------

@@ -112,7 +112,8 @@ def _partial_fn(keys: list[str], specs: list[Spec]):
 
 
 def grouped_agg(ds, keys: list[str] | str, specs: list[Spec], *,
-                round_to: int | None = None, num_partitions: int = 16):
+                round_to: int | None = None, num_partitions: int = 16,
+                sum_as_float: bool = True):
     from ..state.exchange import hash_exchange
 
     keys = [keys] if isinstance(keys, str) else list(keys)
@@ -141,7 +142,8 @@ def grouped_agg(ds, keys: list[str] | str, specs: list[Spec], *,
     )
 
     def merge(t: pa.Table) -> pa.Table:
-        t = t.drop_columns(["__bucket"])
+        if "__bucket" in t.column_names:
+            t = t.drop_columns(["__bucket"])
         plan = (
             [(c, "sum") for c in sum_cols]
             + [(c, "min") for c in min_cols]
@@ -164,6 +166,10 @@ def grouped_agg(ds, keys: list[str] | str, specs: list[Spec], *,
         for out_name, col, fn in specs:
             if fn == "sum":
                 v = batch.column(f"{col}_sum")
+                if sum_as_float and pa.types.is_integer(v.type):
+                    # DuckDB sum(int) is HUGEINT → float64 in pandas; match
+                    # it so the driver's value-hash sees identical dtypes
+                    v = pc.cast(v, pa.float64())
             elif fn == "count":
                 v = cnt
             elif fn == "mean":
@@ -204,6 +210,52 @@ def _key_run_bounds(t: pa.Table, keys: list[str]):
     starts[0] = True
     starts[1:] = codes[1:] != codes[:-1]
     return np.append(np.flatnonzero(starts), t.num_rows)
+
+
+def grouped_map(ds, keys: list[str] | str, fn, *, num_partitions: int = 16):
+    """Drop-in replacement for ``ds.groupby(keys).map_groups(fn)`` built on
+    the explicit hash exchange (no sample+sort shuffle).
+
+    Partials are bucketed by ``hash(keys) % P``; each reduce sorts its
+    partition by the keys once and applies ``fn`` to every equal-key run.
+    ``fn`` MUST be empty-safe: ``fn(0-row table)`` has to return a 0-row
+    table with the output schema (it is called on empty partitions so all
+    output blocks share a schema).  Outputs are concatenated per partition.
+    """
+    from ..state.exchange import hash_exchange
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "__bucket", pa.array(bucket_codes(b, keys, num_partitions))
+        )
+
+    tagged = ds.map_batches(add_bucket, batch_format="pyarrow", batch_size=None)
+
+    def reduce_part(t: pa.Table) -> pa.Table:
+        if "__bucket" in t.column_names:
+            t = t.drop_columns(["__bucket"])
+        if t.num_rows == 0:
+            return fn(t)
+        t = t.sort_by([(k, "ascending") for k in keys])
+        bounds = _key_run_bounds(t, keys)
+        outs = [
+            fn(t.slice(bounds[i], bounds[i + 1] - bounds[i]))
+            for i in range(len(bounds) - 1)
+        ]
+        outs = [o for o in outs if o is not None and o.num_rows]
+        if not outs:
+            return fn(t.slice(0, 0))
+        return pa.concat_tables(outs, promote_options="default")
+
+    return hash_exchange(
+        tagged,
+        bucket_col="__bucket",
+        n_partitions=num_partitions,
+        reduce_fn=reduce_part,
+        reduce_empty=True,
+    )
 
 
 def grouped_quantiles(ds, keys: list[str] | str, col: str,
@@ -262,7 +314,8 @@ def grouped_quantiles(ds, keys: list[str] | str, col: str,
         )
 
     def reduce_part(t: pa.Table) -> pa.Table:
-        t = t.drop_columns(["__bucket"])
+        if "__bucket" in t.column_names:
+            t = t.drop_columns(["__bucket"])
         if t.num_rows == 0:
             cols: dict[str, object] = {
                 k: pa.array([], t.schema.field(k).type) for k in keys

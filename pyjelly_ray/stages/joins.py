@@ -111,9 +111,12 @@ def hash_join(left, right, *, left_key: str, right_key: str | None = None,
     lt = left.map_batches(_with_bucket(left_key), batch_format="pyarrow", batch_size=None)
     rt = right.map_batches(_with_bucket(right_key), batch_format="pyarrow", batch_size=None)
 
+    def _strip(t: pa.Table) -> pa.Table:
+        return t.drop_columns(["__bucket"]) if "__bucket" in t.column_names else t
+
     def join_part(lp: pa.Table, rp: pa.Table) -> pa.Table:
-        return lp.drop_columns(["__bucket"]).join(
-            rp.drop_columns(["__bucket"]),
+        return _strip(lp).join(
+            _strip(rp),
             keys=[left_key],
             right_keys=[right_key],
             join_type=how,

@@ -149,7 +149,9 @@ def minhash_dup_pairs(
         batch_format="pyarrow",
         concurrency=(1, 8),
     )
-    pairs = banded.groupby("bucket").map_groups(_pairs_from_bucket, batch_format="pyarrow")
+    from .agg import grouped_map
+
+    pairs = grouped_map(banded, "bucket", _pairs_from_bucket)
     pairs = pairs.map_batches(
         lambda b: b.filter(pc.greater_equal(b.column("est_jaccard"), threshold)),
         batch_format="pyarrow",
@@ -166,9 +168,7 @@ def minhash_dup_pairs(
     def _first(group: pa.Table) -> pa.Table:
         return group.slice(0, 1).drop_columns(["pair"])
 
-    return pairs.map_batches(_key, batch_format="pyarrow").groupby("pair").map_groups(
-        _first, batch_format="pyarrow"
-    )
+    return grouped_map(pairs.map_batches(_key, batch_format="pyarrow"), "pair", _first)
 
 
 def dup_clusters(pairs_ds) -> "pa.Table":
@@ -274,9 +274,11 @@ def simhash_dup_pairs(docs_ds, *, max_hamming: int = 3):
             }
         )
 
+    from .agg import grouped_map
+
     hashed = docs_ds.map_batches(simhash_batch, batch_format="pyarrow")
     banded = hashed.map_batches(band, batch_format="pyarrow")
-    cand = banded.groupby("bucket").map_groups(pairs, batch_format="pyarrow")
+    cand = grouped_map(banded, "bucket", pairs)
 
     def _key(b: pa.Table) -> pa.Table:
         k = pc.binary_join_element_wise(
@@ -289,9 +291,7 @@ def simhash_dup_pairs(docs_ds, *, max_hamming: int = 3):
     def _first(group: pa.Table) -> pa.Table:
         return group.slice(0, 1).drop_columns(["pair"])
 
-    return cand.map_batches(_key, batch_format="pyarrow").groupby("pair").map_groups(
-        _first, batch_format="pyarrow"
-    )
+    return grouped_map(cand.map_batches(_key, batch_format="pyarrow"), "pair", _first)
 
 
 # -------------------------- n-gram Jaccard ----------------------------------
@@ -363,20 +363,62 @@ def ngram_jaccard_pairs(docs_ds, *, threshold: float = 0.8, n: int = 3):
     import pyarrow.compute as pc
     import ray
 
-    from .agg import grouped_agg
+    from .agg import _key_run_bounds, grouped_agg
     from .joins import broadcast_join
 
     def gram_rows(batch: pa.Table) -> pa.Table:
-        out = []
-        for t in batch.column("text").to_pylist():
-            out.extend(_word_ngrams(t or "", n))
-        return pa.table({"gram": pa.array(out, pa.string())})
+        """doc → DISTINCT word-n-gram rows (doc_id, gram), fully vectorized.
 
-    counts = grouped_agg(
-        docs_ds.map_batches(gram_rows, batch_format="pyarrow"),
-        ["gram"],
-        [("cnt", "gram", "count")],
-    )
+        ``split_pattern`` + list-offset arithmetic builds every n-gram with
+        one ``take`` per gram position and one ``binary_join_element_wise``
+        — no Python loop over docs or tokens.  Matches
+        :func:`_word_ngrams`: docs with < n tokens contribute the whole
+        text as their single gram ('' for empty text).
+        """
+        text = pc.fill_null(batch.column("text"), "")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        toks = pc.split_pattern(text, " ")
+        offs = toks.offsets.to_numpy().astype(np.int64)
+        values = toks.values
+        start = offs[0]
+        if start:
+            offs = offs - start
+            values = values.slice(start)
+        lens = np.diff(offs)
+        gcounts = np.where(lens >= n, lens - n + 1, 0)
+        total = int(gcounts.sum())
+        run_off = np.cumsum(gcounts) - gcounts
+        within = np.arange(total) - np.repeat(run_off, gcounts)
+        base = np.repeat(offs[:-1], gcounts) + within
+        parts = [values.take(pa.array(base + j)) for j in range(n)]
+        grams = (
+            pc.binary_join_element_wise(*parts, " ") if total else pa.array([], pa.string())
+        )
+        doc_ids = batch.column("doc_id")
+        if isinstance(doc_ids, pa.ChunkedArray):
+            doc_ids = doc_ids.combine_chunks()
+        ids_np = doc_ids.to_numpy(zero_copy_only=False)
+        long_ids = np.repeat(ids_np, gcounts)
+        short_mask = lens < n
+        out = pa.table(
+            {
+                "doc_id": pa.array(
+                    np.concatenate([long_ids, ids_np[short_mask]]), pa.int64()
+                ),
+                "gram": pa.concat_arrays(
+                    [grams, text.filter(pa.array(short_mask))]
+                ),
+            }
+        )
+        # distinct grams per doc (n-gram *sets*, not bags)
+        return out.group_by(["doc_id", "gram"]).aggregate([])
+
+    grams_ds = docs_ds.map_batches(
+        gram_rows, batch_format="pyarrow", batch_size=None
+    ).materialize()
+
+    counts = grouped_agg(grams_ds, ["gram"], [("cnt", "gram", "count")])
     shared_batches = [
         b.filter(pc.greater_equal(b.column("cnt"), 2))
         for b in counts.iter_batches(batch_format="pyarrow")
@@ -389,40 +431,53 @@ def ngram_jaccard_pairs(docs_ds, *, threshold: float = 0.8, n: int = 3):
     # global order = (count asc, gram asc); singletons (absent) sort first
     # with count 1, occupying prefix slots without ever being emitted
     shared = shared.sort_by([("cnt", "ascending"), ("gram", "ascending")])
-    rank = {g: i for i, g in enumerate(shared.column("gram").to_pylist())}
-    rank_ref = ray.put(rank)
+    rank_table = pa.table(
+        {
+            "gram": shared.column("gram"),
+            "__rank": pa.array(np.arange(shared.num_rows, dtype=np.int64)),
+        }
+    )
+    rank_ref = ray.put(rank_table)
+    pad = max(8, len(str(max(shared.num_rows, 1))))
 
-    class PrefixRows:
-        def __init__(self) -> None:
-            self.rank = ray.get(rank_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            out_g, out_id, out_sz = [], [], []
-            for d, t in zip(
-                batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
-            ):
-                gs = _word_ngrams(t or "", n)
-                sz = len(gs)
-                if not sz:
-                    continue
-                prefix_len = sz - math.ceil(threshold * sz) + 1
-                # order: singletons (rank None → count 1) before all shared
-                # grams; ties inside each class broken lexicographically
-                ordered = sorted(
-                    gs, key=lambda g: (0, g) if g not in self.rank else (1, self.rank[g])
-                )
-                for g in ordered[:prefix_len]:
-                    if g in self.rank:  # singletons cannot witness a pair
-                        out_g.append(g)
-                        out_id.append(d)
-                        out_sz.append(sz)
-            return pa.table(
-                {
-                    "gram": pa.array(out_g, pa.string()),
-                    "doc_id": pa.array(out_id, pa.int64()),
-                    "sz": pa.array(out_sz, pa.int64()),
-                }
-            )
+    def prefix_rows(batch: pa.Table) -> pa.Table:
+        """Per-doc prefix selection, vectorized: join ranks, order grams by
+        (singleton-first lexicographic | shared-by-rank), keep in-prefix
+        shared grams.  Requires each doc's gram rows to be within one batch
+        (guaranteed: ``gram_rows`` emits per input block)."""
+        t = batch.join(ray.get(rank_ref), keys=["gram"], join_type="left outer")
+        flag = pc.is_valid(t.column("__rank"))
+        # sort key inside each class: gram for singletons, zero-padded rank
+        # (lexicographic == numeric) for shared grams
+        skey = pc.if_else(
+            flag,
+            pc.utf8_lpad(
+                pc.cast(pc.fill_null(t.column("__rank"), 0), pa.string()), pad, "0"
+            ),
+            t.column("gram"),
+        )
+        t = t.append_column("__flag", pc.cast(flag, pa.int8())).append_column(
+            "__skey", skey
+        )
+        t = t.sort_by(
+            [("doc_id", "ascending"), ("__flag", "ascending"), ("__skey", "ascending")]
+        )
+        bounds = _key_run_bounds(t, ["doc_id"]) if t.num_rows else np.array([0])
+        sizes = np.diff(bounds)
+        pos = np.arange(t.num_rows) - np.repeat(bounds[:-1], sizes)
+        sz = np.repeat(sizes, sizes)
+        plen = sz - np.ceil(threshold * sz).astype(np.int64) + 1
+        keep = (pos < plen) & (
+            t.column("__flag").to_numpy(zero_copy_only=False).astype(bool)
+        )
+        kept = t.filter(pa.array(keep))
+        return pa.table(
+            {
+                "gram": kept.column("gram"),
+                "doc_id": kept.column("doc_id"),
+                "sz": pa.array(sz[keep], pa.int64()),
+            }
+        )
 
     def pairs(group: pa.Table) -> pa.Table:
         ids = group.column("doc_id").to_numpy(zero_copy_only=False)
@@ -449,11 +504,12 @@ def ngram_jaccard_pairs(docs_ds, *, threshold: float = 0.8, n: int = 3):
             }
         )
 
-    cand_ds = (
-        docs_ds.map_batches(PrefixRows, batch_format="pyarrow", concurrency=(1, 8))
-        .groupby("gram")
-        .map_groups(pairs, batch_format="pyarrow")
+    from .agg import grouped_map
+
+    prefix_ds = grams_ds.map_batches(
+        prefix_rows, batch_format="pyarrow", batch_size=None
     )
+    cand_ds = grouped_map(prefix_ds, "gram", pairs)
 
     # candidates materialize here anyway (they become the broadcast side),
     # so dedup on the driver instead of paying a second Ray shuffle
@@ -509,4 +565,4 @@ def ngram_jaccard_pairs(docs_ds, *, threshold: float = 0.8, n: int = 3):
             }
         )
 
-    return joined.groupby("pair").map_groups(verify, batch_format="pyarrow")
+    return grouped_map(joined, "pair", verify)

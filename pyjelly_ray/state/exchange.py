@@ -72,6 +72,11 @@ def _split_block(table: pa.Table, n_partitions: int, bucket_col: str) -> list[pa
     at true partition size."""
     import numpy as np
 
+    if table.num_rows == 0:
+        # Ray Data skips map UDFs on empty input blocks, so an empty block
+        # may arrive without the bucket column (even schema-less) — fan it
+        # out as-is; reducers ignore 0-row parts.
+        return [table] * n_partitions
     b = table.column(bucket_col).to_numpy(zero_copy_only=False)
     order = np.argsort(b, kind="stable")
     sorted_b = b[order]
@@ -217,9 +222,9 @@ def hash_exchange_pair(
     def _reduce(n_left: int, *parts: pa.Table):
         def _concat(ps):
             live = [p for p in ps if p.num_rows]
-            return (
-                pa.concat_tables(live, promote_options="default") if live else ps[0]
-            )
+            if not live:
+                return max(ps, key=lambda p: p.num_columns)
+            return pa.concat_tables(live, promote_options="default")
 
         return reduce_fn(_concat(parts[:n_left]), _concat(parts[n_left:]))
 
@@ -283,7 +288,10 @@ def hash_exchange(
     def _reduce(*parts: pa.Table):
         live = [p for p in parts if p.num_rows]
         if not live:
-            return reduce_fn(parts[0]) if reduce_empty else parts[0]
+            # pick a part that still carries the schema (0-row blocks that
+            # skipped upstream UDFs can be schema-less)
+            base = max(parts, key=lambda p: p.num_columns)
+            return reduce_fn(base) if reduce_empty else base
         return reduce_fn(pa.concat_tables(live, promote_options="default"))
 
     reduce_remote = ray.remote(_reduce)
