@@ -212,7 +212,8 @@ def _key_run_bounds(t: pa.Table, keys: list[str]):
     return np.append(np.flatnonzero(starts), t.num_rows)
 
 
-def grouped_map(ds, keys: list[str] | str, fn, *, num_partitions: int = 16):
+def grouped_map(ds, keys: list[str] | str, fn, *, num_partitions: int = 16,
+                per_group: bool = True):
     """Drop-in replacement for ``ds.groupby(keys).map_groups(fn)`` built on
     the explicit hash exchange (no sample+sort shuffle).
 
@@ -221,6 +222,11 @@ def grouped_map(ds, keys: list[str] | str, fn, *, num_partitions: int = 16):
     ``fn`` MUST be empty-safe: ``fn(0-row table)`` has to return a 0-row
     table with the output schema (it is called on empty partitions so all
     output blocks share a schema).  Outputs are concatenated per partition.
+
+    ``per_group=False`` hands ``fn`` the whole key-sorted partition instead
+    (all of a key's rows are contiguous; find runs with
+    :func:`_key_run_bounds`).  Use it when groups are numerous and tiny —
+    a vectorized partition-level kernel beats thousands of per-group calls.
     """
     from ..state.exchange import hash_exchange
 
@@ -239,6 +245,8 @@ def grouped_map(ds, keys: list[str] | str, fn, *, num_partitions: int = 16):
         if t.num_rows == 0:
             return fn(t)
         t = t.sort_by([(k, "ascending") for k in keys])
+        if not per_group:
+            return fn(t)
         bounds = _key_run_bounds(t, keys)
         outs = [
             fn(t.slice(bounds[i], bounds[i + 1] - bounds[i]))

@@ -169,6 +169,12 @@ def embedding_dup_pairs(ds, *, tau: float = 0.9, n_planes: int = 16, seed: int =
         )
 
     def pairs(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table(
+                {"id_a": pa.array([], pa.int64()),
+                 "id_b": pa.array([], pa.int64()),
+                 "cosine": pa.array([], pa.float64())}
+            )
         ids = group.column(id_col).to_pylist()
         m = _normalize(_stack(group))
         a_out, b_out, s_out = [], [], []
@@ -191,5 +197,7 @@ def embedding_dup_pairs(ds, *, tau: float = 0.9, n_planes: int = 16, seed: int =
             }
         )
 
+    from .agg import grouped_map
+
     bucketed = ds.map_batches(sig, batch_format="pyarrow")
-    return bucketed.groupby("bucket").map_groups(pairs, batch_format="pyarrow")
+    return grouped_map(bucketed, "bucket", pairs)

@@ -217,7 +217,9 @@ def asof_join_backward(
         )
         return pa.table(out)
 
-    return unioned.groupby("_key").map_groups(merge, batch_format="pyarrow")
+    from .agg import grouped_map
+
+    return grouped_map(unioned, "_key", merge)
 
 
 def interval_join_agg(
@@ -313,7 +315,9 @@ def interval_join_agg(
             out[sum_name] = pa.array(cs[hi] - cs[lo], pa.float64())
         return pa.table(out)
 
-    return unioned.groupby("_key").map_groups(merge, batch_format="pyarrow")
+    from .agg import grouped_map
+
+    return grouped_map(unioned, "_key", merge)
 
 
 def interval_join(
@@ -408,4 +412,6 @@ def interval_join(
             out[c] = pc.take(rpart.column(f"_r_{c}"), pa.array(ridx, pa.int64()))
         return pa.table(out)
 
-    return unioned.groupby("_key").map_groups(merge, batch_format="pyarrow")
+    from .agg import grouped_map
+
+    return grouped_map(unioned, "_key", merge)

@@ -21,6 +21,8 @@ import numpy as np
 import pyarrow as pa
 
 _MERSENNE = (1 << 61) - 1
+#: per-byte popcount lookup (vectorized Hamming distance)
+_POP8 = np.array([bin(i).count("1") for i in range(256)], np.uint8)
 N_PERM = 64
 N_BANDS = 16
 ROWS_PER_BAND = N_PERM // N_BANDS
@@ -103,32 +105,66 @@ class MinHasher:
         )
 
 
-def _pairs_from_bucket(group: pa.Table) -> pa.Table:
-    """Candidate pairs within one LSH bucket, signature-verified."""
-    ids = group.column("doc_id").to_pylist()
-    sigs = group.column("sig").to_pylist()
-    uniq: dict[int, bytes] = {}
-    for i, s in zip(ids, sigs):
-        uniq[i] = s
-    items = sorted(uniq.items())
+_PAIRS_EMPTY = pa.table(
+    {
+        "doc_a": pa.array([], pa.int64()),
+        "doc_b": pa.array([], pa.int64()),
+        "est_jaccard": pa.array([], pa.float64()),
+    }
+)
+
+
+def _pairs_from_buckets_part(t: pa.Table) -> pa.Table:
+    """Candidate pairs for a whole hash partition of LSH-bucket rows.
+
+    Partition-level kernel (``grouped_map(per_group=False)``): one sort,
+    one dedup mask, then numpy pair generation only for the rare buckets
+    holding ≥ 2 docs — avoids a Python call + Arrow table per bucket when
+    almost every bucket is a singleton.
+    """
+    from .agg import _key_run_bounds
+
+    if t.num_rows == 0:
+        return _PAIRS_EMPTY
+    t = t.sort_by([("bucket", "ascending"), ("doc_id", "ascending")])
+    db = _key_run_bounds(t, ["bucket", "doc_id"])
+    mask = np.zeros(t.num_rows, bool)
+    mask[db[:-1]] = True
+    t = t.filter(pa.array(mask))
+    bounds = _key_run_bounds(t, ["bucket"])
+    sizes = np.diff(bounds)
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+    sigs = t.column("sig").to_pylist()
     a_out, b_out, j_out = [], [], []
-    for i in range(len(items)):
-        ai, asig = items[i]
-        av = np.frombuffer(asig, dtype=np.uint64)
-        for j in range(i + 1, len(items)):
-            bi, bsig = items[j]
-            bv = np.frombuffer(bsig, dtype=np.uint64)
-            est = float((av == bv).mean())
-            a_out.append(ai)
-            b_out.append(bi)
-            j_out.append(est)
+    for ri in np.flatnonzero(sizes >= 2):
+        s, e = int(bounds[ri]), int(bounds[ri + 1])
+        m = e - s
+        sig_m = np.vstack([np.frombuffer(sigs[i], np.uint64) for i in range(s, e)])
+        ii, jj = np.triu_indices(m, k=1)
+        a_out.append(ids[s:e][ii])
+        b_out.append(ids[s:e][jj])
+        j_out.append((sig_m[ii] == sig_m[jj]).mean(axis=1))
+    if not a_out:
+        return _PAIRS_EMPTY
     return pa.table(
         {
-            "doc_a": pa.array(a_out, pa.int64()),
-            "doc_b": pa.array(b_out, pa.int64()),
-            "est_jaccard": pa.array(j_out, pa.float64()),
+            "doc_a": pa.array(np.concatenate(a_out), pa.int64()),
+            "doc_b": pa.array(np.concatenate(b_out), pa.int64()),
+            "est_jaccard": pa.array(np.concatenate(j_out), pa.float64()),
         }
     )
+
+
+def _first_per_pair_part(t: pa.Table) -> pa.Table:
+    """Keep one row per ``pair`` key (rows of a pair are identical)."""
+    from .agg import _key_run_bounds
+
+    if t.num_rows == 0:
+        return t.drop_columns(["pair"]) if "pair" in t.column_names else t
+    b = _key_run_bounds(t, ["pair"])
+    mask = np.zeros(t.num_rows, bool)
+    mask[b[:-1]] = True
+    return t.filter(pa.array(mask)).drop_columns(["pair"])
 
 
 def minhash_dup_pairs(
@@ -151,7 +187,7 @@ def minhash_dup_pairs(
     )
     from .agg import grouped_map
 
-    pairs = grouped_map(banded, "bucket", _pairs_from_bucket)
+    pairs = grouped_map(banded, "bucket", _pairs_from_buckets_part, per_group=False)
     pairs = pairs.map_batches(
         lambda b: b.filter(pc.greater_equal(b.column("est_jaccard"), threshold)),
         batch_format="pyarrow",
@@ -165,10 +201,12 @@ def minhash_dup_pairs(
         )
         return b.append_column("pair", k)
 
-    def _first(group: pa.Table) -> pa.Table:
-        return group.slice(0, 1).drop_columns(["pair"])
-
-    return grouped_map(pairs.map_batches(_key, batch_format="pyarrow"), "pair", _first)
+    return grouped_map(
+        pairs.map_batches(_key, batch_format="pyarrow"),
+        "pair",
+        _first_per_pair_part,
+        per_group=False,
+    )
 
 
 def dup_clusters(pairs_ds) -> "pa.Table":
@@ -256,21 +294,48 @@ def simhash_dup_pairs(docs_ds, *, max_hamming: int = 3):
             }
         )
 
-    def pairs(group: pa.Table) -> pa.Table:
-        items = sorted(set(zip(group.column("doc_id").to_pylist(), group.column("simhash").to_pylist())))
+    empty = pa.table(
+        {
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "hamming": pa.array([], pa.int64()),
+        }
+    )
+
+    def pairs_part(t: pa.Table) -> pa.Table:
+        """Whole-partition Hamming verify: numpy XOR + byte-popcount only
+        for buckets holding >= 2 docs."""
+        from .agg import _key_run_bounds
+
+        if t.num_rows == 0:
+            return empty
+        t = t.sort_by([("bucket", "ascending"), ("doc_id", "ascending")])
+        db = _key_run_bounds(t, ["bucket", "doc_id"])
+        mask = np.zeros(t.num_rows, bool)
+        mask[db[:-1]] = True
+        t = t.filter(pa.array(mask))
+        bounds = _key_run_bounds(t, ["bucket"])
+        sizes = np.diff(bounds)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        hs = t.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
         a_out, b_out, d_out = [], [], []
-        for i in range(len(items)):
-            for j in range(i + 1, len(items)):
-                d = bin(items[i][1] ^ items[j][1]).count("1")
-                if d <= max_hamming:
-                    a_out.append(items[i][0])
-                    b_out.append(items[j][0])
-                    d_out.append(d)
+        for ri in np.flatnonzero(sizes >= 2):
+            st, e = int(bounds[ri]), int(bounds[ri + 1])
+            h = hs[st:e]
+            ii, jj = np.triu_indices(e - st, k=1)
+            x = np.ascontiguousarray(h[ii] ^ h[jj])
+            d = _POP8[x.view(np.uint8).reshape(-1, 8)].sum(axis=1).astype(np.int64)
+            ok = d <= max_hamming
+            a_out.append(ids[st:e][ii[ok]])
+            b_out.append(ids[st:e][jj[ok]])
+            d_out.append(d[ok])
+        if not a_out:
+            return empty
         return pa.table(
             {
-                "doc_a": pa.array(a_out, pa.int64()),
-                "doc_b": pa.array(b_out, pa.int64()),
-                "hamming": pa.array(d_out, pa.int64()),
+                "doc_a": pa.array(np.concatenate(a_out), pa.int64()),
+                "doc_b": pa.array(np.concatenate(b_out), pa.int64()),
+                "hamming": pa.array(np.concatenate(d_out), pa.int64()),
             }
         )
 
@@ -278,7 +343,7 @@ def simhash_dup_pairs(docs_ds, *, max_hamming: int = 3):
 
     hashed = docs_ds.map_batches(simhash_batch, batch_format="pyarrow")
     banded = hashed.map_batches(band, batch_format="pyarrow")
-    cand = grouped_map(banded, "bucket", pairs)
+    cand = grouped_map(banded, "bucket", pairs_part, per_group=False)
 
     def _key(b: pa.Table) -> pa.Table:
         k = pc.binary_join_element_wise(
@@ -288,10 +353,12 @@ def simhash_dup_pairs(docs_ds, *, max_hamming: int = 3):
         )
         return b.append_column("pair", k)
 
-    def _first(group: pa.Table) -> pa.Table:
-        return group.slice(0, 1).drop_columns(["pair"])
-
-    return grouped_map(cand.map_batches(_key, batch_format="pyarrow"), "pair", _first)
+    return grouped_map(
+        cand.map_batches(_key, batch_format="pyarrow"),
+        "pair",
+        _first_per_pair_part,
+        per_group=False,
+    )
 
 
 # -------------------------- n-gram Jaccard ----------------------------------
@@ -479,28 +546,42 @@ def ngram_jaccard_pairs(docs_ds, *, threshold: float = 0.8, n: int = 3):
             }
         )
 
-    def pairs(group: pa.Table) -> pa.Table:
-        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
-        szs = group.column("sz").to_numpy(zero_copy_only=False)
-        order = np.argsort(ids, kind="stable")
-        ids, szs = ids[order], szs[order]
-        keep = np.ones(len(ids), bool)
-        keep[1:] = ids[1:] != ids[:-1]
-        ids, szs = ids[keep], szs[keep]
-        m = len(ids)
-        if m < 2:
-            return pa.table(
-                {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
-            )
-        ii, jj = np.triu_indices(m, k=1)
-        # length filter: J >= t forces t*max(|a|,|b|) <= min(|a|,|b|)
-        lo = np.minimum(szs[ii], szs[jj]).astype(np.float64)
-        hi = np.maximum(szs[ii], szs[jj]).astype(np.float64)
-        ok = lo >= threshold * hi
+    cand_empty = pa.table(
+        {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
+    )
+
+    def pairs_part(t: pa.Table) -> pa.Table:
+        """Whole-partition candidate generation with the length filter
+        (J >= t forces t*max(|a|,|b|) <= min(|a|,|b|)) applied per gram
+        bucket — numpy only for the buckets holding >= 2 docs."""
+        from .agg import _key_run_bounds
+
+        if t.num_rows == 0:
+            return cand_empty
+        t = t.sort_by([("gram", "ascending"), ("doc_id", "ascending")])
+        db = _key_run_bounds(t, ["gram", "doc_id"])
+        mask = np.zeros(t.num_rows, bool)
+        mask[db[:-1]] = True
+        t = t.filter(pa.array(mask))
+        bounds = _key_run_bounds(t, ["gram"])
+        sizes = np.diff(bounds)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        szs = t.column("sz").to_numpy(zero_copy_only=False)
+        a_out, b_out = [], []
+        for ri in np.flatnonzero(sizes >= 2):
+            st, e = int(bounds[ri]), int(bounds[ri + 1])
+            ii, jj = np.triu_indices(e - st, k=1)
+            lo = np.minimum(szs[st:e][ii], szs[st:e][jj]).astype(np.float64)
+            hi = np.maximum(szs[st:e][ii], szs[st:e][jj]).astype(np.float64)
+            ok = lo >= threshold * hi
+            a_out.append(ids[st:e][ii[ok]])
+            b_out.append(ids[st:e][jj[ok]])
+        if not a_out:
+            return cand_empty
         return pa.table(
             {
-                "doc_a": pa.array(ids[ii[ok]], pa.int64()),
-                "doc_b": pa.array(ids[jj[ok]], pa.int64()),
+                "doc_a": pa.array(np.concatenate(a_out), pa.int64()),
+                "doc_b": pa.array(np.concatenate(b_out), pa.int64()),
             }
         )
 
@@ -509,7 +590,7 @@ def ngram_jaccard_pairs(docs_ds, *, threshold: float = 0.8, n: int = 3):
     prefix_ds = grams_ds.map_batches(
         prefix_rows, batch_format="pyarrow", batch_size=None
     )
-    cand_ds = grouped_map(prefix_ds, "gram", pairs)
+    cand_ds = grouped_map(prefix_ds, "gram", pairs_part, per_group=False)
 
     # candidates materialize here anyway (they become the broadcast side),
     # so dedup on the driver instead of paying a second Ray shuffle

@@ -152,6 +152,11 @@ def grouped_approx_distinct(ds, keys: list[str] | str, col: str, *,
         return pa.table(out_keys)
 
     def merge(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table(
+                {**{k: pa.array([], group.schema.field(k).type) for k in keys},
+                 out_name: pa.array([], pa.int64())}
+            )
         regs = np.zeros(1 << p, np.uint8)
         for s in group.column("_hll").to_pylist():
             regs = np.maximum(regs, np.frombuffer(s, np.uint8))
@@ -160,8 +165,10 @@ def grouped_approx_distinct(ds, keys: list[str] | str, col: str, *,
         out[out_name] = pa.array([int(round(est))], pa.int64())
         return pa.table(out)
 
+    from .agg import grouped_map
+
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
-    return partials.groupby(keys).map_groups(merge, batch_format="pyarrow")
+    return grouped_map(partials, keys, merge)
 
 
 class TDigest:
@@ -256,6 +263,11 @@ def grouped_approx_quantiles(ds, keys: list[str] | str, col: str,
         return pa.table(out_keys)
 
     def merge(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            cols = {k: pa.array([], group.schema.field(k).type) for k in keys}
+            for name, _ in quantiles:
+                cols[name] = pa.array([], pa.float64())
+            return pa.table(cols)
         acc = TDigest(compression)
         for s in group.column("_td").to_pylist():
             acc = acc.merge(TDigest.from_bytes(s, compression))
@@ -264,5 +276,7 @@ def grouped_approx_quantiles(ds, keys: list[str] | str, col: str,
             out[name] = pa.array([acc.quantile(q)], pa.float64())
         return pa.table(out)
 
+    from .agg import grouped_map
+
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
-    return partials.groupby(keys).map_groups(merge, batch_format="pyarrow")
+    return grouped_map(partials, keys, merge)

@@ -22,7 +22,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .agg import round_like_duckdb
+from .agg import grouped_map, round_like_duckdb
 
 
 def _session_ids(group: pa.Table, gap_minutes: float) -> pa.Table:
@@ -44,7 +44,7 @@ def sessionize(events_ds, *, gap_minutes: float = 30.0, key: str = "user_id"):
     def fn(group: pa.Table) -> pa.Table:
         return _session_ids(group, gap_minutes)
 
-    return events_ds.groupby(key).map_groups(fn, batch_format="pyarrow")
+    return grouped_map(events_ds, key, fn)
 
 
 def session_stats(events_ds, *, gap_minutes: float = 30.0, round_to: int = 2):
@@ -68,7 +68,7 @@ def session_stats(events_ds, *, gap_minutes: float = 30.0, round_to: int = 2):
             }
         )
 
-    return events_ds.groupby("user_id").map_groups(fn, batch_format="pyarrow")
+    return grouped_map(events_ds, "user_id", fn)
 
 
 def rolling_mean(ds, *, key: str, order_col: str, value_col: str,
@@ -92,4 +92,4 @@ def rolling_mean(ds, *, key: str, order_col: str, value_col: str,
             ma[i] = vals[max(0, i - window + 1): i + 1].mean()
         return t.append_column(out_name, round_like_duckdb(pa.array(ma), round_to))
 
-    return ds.groupby(key).map_groups(fn, batch_format="pyarrow")
+    return grouped_map(ds, key, fn)
