@@ -22,7 +22,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..stages.agg import grouped_agg
+from ..stages.agg import grouped_agg, global_topk
 from ..stages.joins import broadcast_join, broadcast_semi, hash_join
 from ..stages.text import LanguageID, quality_scores, token_stats
 
@@ -91,7 +91,7 @@ def q3_top_orders(sf_dir: str):
     # big ⋈ big: explicit co-partitioned hash join (scale path)
     joined = hash_join(li, orders, left_key="l_orderkey", right_key="o_orderkey")
     agg = grouped_agg(joined, ["l_orderkey"], [("revenue", "rev", "sum")], round_to=2)
-    return agg.sort(["revenue", "l_orderkey"], descending=[True, False]).limit(10)
+    return global_topk(agg, ["revenue", "l_orderkey"], 10, descending=[True, False])
 
 
 def q5_nation_revenue(sf_dir: str):
@@ -120,7 +120,7 @@ def q_top_parts(sf_dir: str):
     agg = grouped_agg(li, ["l_partkey"], [("sum_qty", "l_quantity", "sum")], round_to=2)
     part = _read(sf_dir, "part", ["p_partkey", "p_name"])
     joined = broadcast_join(agg, part, left_key="l_partkey", right_key="p_partkey", columns=["p_name"])
-    return joined.sort(["sum_qty", "l_partkey"], descending=[True, False]).limit(10)
+    return global_topk(joined, ["sum_qty", "l_partkey"], 10, descending=[True, False])
 
 
 def q_mktsegment_stats(sf_dir: str):
@@ -145,7 +145,7 @@ def q_high_value_orders(sf_dir: str):
         lambda b: b.filter(pc.greater(b.column("o_totalprice"), 400000.0)),
         batch_format="pyarrow",
     )
-    return filtered.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(100)
+    return global_topk(filtered, ["o_totalprice", "o_orderkey"], 100, descending=[True, False])
 
 
 def q_order_status(sf_dir: str):
@@ -240,7 +240,7 @@ def q_top_words(sf_dir: str):
 
     exploded = docs.map_batches(words, batch_format="pyarrow")
     counts = grouped_agg(exploded, ["word"], [("n", "word", "count")])
-    return counts.sort(["n", "word"], descending=[True, False]).limit(20)
+    return global_topk(counts, ["n", "word"], 20, descending=[True, False])
 
 
 def q_customer_order_counts(sf_dir: str):

@@ -61,6 +61,12 @@ def _split_block_timed(table: pa.Table, n_partitions: int, bucket_col: str) -> l
     return out
 
 
+def _as_table(p):
+    """num_returns=1 makes a split task's single output the 1-element list
+    itself — unwrap it so reducers always see tables."""
+    return p[0] if isinstance(p, list) else p
+
+
 def _split_block(table: pa.Table, n_partitions: int, bucket_col: str) -> list[pa.Table]:
     """One stable argsort + boundary search → P *compact* gathered tables.
 
@@ -139,6 +145,7 @@ def fused_two_hop_exchange(
 
     def _mid(n2_: int, key2: str, *parts: pa.Table):
         t0 = time.time()
+        parts = [_as_table(p) for p in parts]
         tables = [p for p in parts if p.num_rows]
         t = pa.concat_tables(tables, promote_options="default") if tables else parts[0]
         out = _split_block(reduce1(t), n2_, key2)
@@ -147,6 +154,7 @@ def fused_two_hop_exchange(
 
     def _final(*parts: pa.Table):
         t0, c0 = time.time(), time.process_time()
+        parts = [_as_table(p) for p in parts]
         tables = [p for p in parts if p.num_rows]
         t = pa.concat_tables(tables, promote_options="default") if tables else parts[0]
         dump = os.environ.get("GRAFT_DUMP_FINAL")
@@ -220,6 +228,8 @@ def hash_exchange_pair(
     split = ray.remote(num_returns=n_partitions)(_split_block)
 
     def _reduce(n_left: int, *parts: pa.Table):
+        parts = [_as_table(p) for p in parts]
+
         def _concat(ps):
             live = [p for p in ps if p.num_rows]
             if not live:
@@ -286,6 +296,7 @@ def hash_exchange(
     split = ray.remote(num_returns=n_partitions)(_split_block)
 
     def _reduce(*parts: pa.Table):
+        parts = [_as_table(p) for p in parts]
         live = [p for p in parts if p.num_rows]
         if not live:
             # pick a part that still carries the schema (0-row blocks that
