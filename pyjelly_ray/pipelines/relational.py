@@ -139,6 +139,26 @@ def q_mktsegment_stats(sf_dir: str):
     )
 
 
+def q_supplier_region_stats(sf_dir: str):
+    """Supplier balances per region: two chained broadcast dims + min/max agg."""
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"])
+    region = _read(sf_dir, "region", ["r_regionkey", "r_name"])
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey", "s_acctbal"])
+    supp = broadcast_join(supp, nation, left_key="s_nationkey", right_key="n_nationkey", columns=["n_regionkey"])
+    supp = broadcast_join(supp, region, left_key="n_regionkey", right_key="r_regionkey", columns=["r_name"])
+    return grouped_agg(
+        supp,
+        ["r_name"],
+        [
+            ("n_suppliers", "s_acctbal", "count"),
+            ("min_acctbal", "s_acctbal", "min"),
+            ("max_acctbal", "s_acctbal", "max"),
+            ("avg_acctbal", "s_acctbal", "mean"),
+        ],
+        round_to=2,
+    )
+
+
 def q_high_value_orders(sf_dir: str):
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"])
     filtered = orders.map_batches(
@@ -719,6 +739,16 @@ ORACLE_SQL: dict[str, str] = {
         FROM orders JOIN customer ON c_custkey = o_custkey
         GROUP BY c_mktsegment
     """,
+    "q_supplier_region_stats": """
+        SELECT r_name, count(*) AS n_suppliers,
+               round(min(s_acctbal), 2) AS min_acctbal,
+               round(max(s_acctbal), 2) AS max_acctbal,
+               round(avg(s_acctbal), 2) AS avg_acctbal
+        FROM supplier
+        JOIN nation ON n_nationkey = s_nationkey
+        JOIN region ON r_regionkey = n_regionkey
+        GROUP BY r_name
+    """,
     "q_high_value_orders": """
         SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
         FROM orders WHERE o_totalprice > 400000
@@ -965,6 +995,7 @@ QUERIES = {
     "q5_nation_revenue": q5_nation_revenue,
     "q_top_parts": q_top_parts,
     "q_mktsegment_stats": q_mktsegment_stats,
+    "q_supplier_region_stats": q_supplier_region_stats,
     "q_high_value_orders": q_high_value_orders,
     "q_order_status": q_order_status,
     "q_events_by_type": q_events_by_type,
