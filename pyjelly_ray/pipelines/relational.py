@@ -27,10 +27,11 @@ from ..stages.joins import broadcast_join, broadcast_semi, hash_join
 from ..stages.text import LanguageID, quality_scores, token_stats
 
 
-def _read(sf_dir: str, table: str, columns=None):
+def _read(sf_dir: str, table: str, columns=None, num_blocks: int | None = None):
     import ray
 
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    kw = {"override_num_blocks": num_blocks} if num_blocks else {}
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns, **kw)
 
 
 # --------------------------------------------------------------------------
@@ -589,7 +590,7 @@ def q_embedding_sim_range(sf_dir: str):
     """Range search: all vectors with cosine ≥ 0.15 vs vec 0 (rounded 4)."""
     from ..stages.ann import cosine_threshold
 
-    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"], num_blocks=8)
     q = _query_vec(sf_dir)
     return cosine_threshold(emb, q, 0.15, round_to=4)
 
@@ -597,12 +598,12 @@ def q_embedding_sim_range(sf_dir: str):
 def q_embedding_topk(sf_dir: str):
     from ..stages.ann import cosine_topk
 
-    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"], num_blocks=8)
     return cosine_topk(emb, _query_vec(sf_dir), k=10, round_to=4)
 
 
 def q_embedding_label_stats(sf_dir: str):
-    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"], num_blocks=8)
 
     def norms(b: pa.Table) -> pa.Table:
         m = np.asarray(b.column("embedding").to_pylist(), dtype=np.float64)
@@ -618,7 +619,7 @@ def q_embedding_label_stats(sf_dir: str):
 def q_embedding_ivf_topk(sf_dir: str):
     from ..stages.ann import ivf_assign, ivf_centroids, ivf_topk
 
-    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"], num_blocks=8)
     cents = ivf_centroids(emb, 16)
     assigned = ivf_assign(emb, cents)
     return ivf_topk(assigned, cents, _query_vec(sf_dir), k=10, nprobe=8, round_to=4)
@@ -627,7 +628,7 @@ def q_embedding_ivf_topk(sf_dir: str):
 def q_embedding_dup_pairs(sf_dir: str):
     from ..stages.ann import embedding_dup_pairs
 
-    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"], num_blocks=8)
     return embedding_dup_pairs(emb, tau=0.8)
 
 
