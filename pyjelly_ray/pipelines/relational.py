@@ -75,7 +75,10 @@ def q1_pricing_summary(sf_dir: str):
 def q3_top_orders(sf_dir: str):
     """BUILDING-segment revenue top-10: semi-filter + hash join + topk."""
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-    building = cust.filter(lambda r: r["c_mktsegment"] == "BUILDING")
+    building = cust.map_batches(
+        lambda b: b.filter(pc.equal(b.column("c_mktsegment"), "BUILDING")),
+        batch_format="pyarrow",
+    )
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
     orders = broadcast_semi(orders, building, left_key="o_custkey", right_key="c_custkey")
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
@@ -356,7 +359,10 @@ def q_customers_no_urgent(sf_dir: str):
     """Broadcast ANTI join: customers with no 1-URGENT order (filter pushed
     to the read, key set broadcast once)."""
     orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
-    urgent = orders.filter(lambda r: r["o_orderpriority"] == "1-URGENT")
+    urgent = orders.map_batches(
+        lambda b: b.filter(pc.equal(b.column("o_orderpriority"), "1-URGENT")),
+        batch_format="pyarrow",
+    )
     cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
     return broadcast_semi(cust, urgent, left_key="c_custkey",
                           right_key="o_custkey", anti=True)

@@ -84,32 +84,38 @@ def broadcast_semi(ds, small, *, left_key: str, right_key: str | None = None,
     return ds.map_batches(semi_batch, batch_format="pyarrow", batch_size=None)
 
 
-def hash_join(left, right, *, left_key: str, right_key: str | None = None,
+def hash_join(left, right, *, left_key: str | list[str],
+              right_key: str | list[str] | None = None,
               how: str = "inner", num_partitions: int = 16):
-    """Distributed equi-join: co-partition both sides by ``hash(key) % P``,
+    """Distributed equi-join: co-partition both sides by ``hash(keys) % P``,
     then one vectorized Arrow join per partition.
 
-    Correct for all key-equi join types (inner/left/right/full outer,
-    semi, anti — ``how`` passes through to ``pyarrow.Table.join``) because
-    equal keys always share a partition.  At 100 TB, size
-    ``num_partitions`` so one partition of both sides fits a worker's
-    heap; skewed keys want salting upstream (see SURVEY.md §2.5).
+    ``left_key``/``right_key`` accept a single column or a composite key
+    list (hashed together, so composite-equal rows co-locate).  Correct
+    for all key-equi join types (inner/left/right/full outer, semi, anti —
+    ``how`` passes through to ``pyarrow.Table.join``) because equal keys
+    always share a partition.  At 100 TB, size ``num_partitions`` so one
+    partition of both sides fits a worker's heap; skewed keys want salting
+    upstream (see SURVEY.md §2.5).
     """
     from ..state.exchange import hash_exchange_pair
     from .agg import bucket_codes
 
-    right_key = right_key or left_key
+    lkeys = [left_key] if isinstance(left_key, str) else list(left_key)
+    rkeys = lkeys if right_key is None else (
+        [right_key] if isinstance(right_key, str) else list(right_key)
+    )
 
-    def _with_bucket(key):
+    def _with_bucket(keys):
         def add(b: pa.Table) -> pa.Table:
             return b.append_column(
-                "__bucket", pa.array(bucket_codes(b, [key], num_partitions))
+                "__bucket", pa.array(bucket_codes(b, keys, num_partitions))
             )
 
         return add
 
-    lt = left.map_batches(_with_bucket(left_key), batch_format="pyarrow", batch_size=None)
-    rt = right.map_batches(_with_bucket(right_key), batch_format="pyarrow", batch_size=None)
+    lt = left.map_batches(_with_bucket(lkeys), batch_format="pyarrow", batch_size=None)
+    rt = right.map_batches(_with_bucket(rkeys), batch_format="pyarrow", batch_size=None)
 
     def _strip(t: pa.Table) -> pa.Table:
         return t.drop_columns(["__bucket"]) if "__bucket" in t.column_names else t
@@ -117,8 +123,8 @@ def hash_join(left, right, *, left_key: str, right_key: str | None = None,
     def join_part(lp: pa.Table, rp: pa.Table) -> pa.Table:
         return _strip(lp).join(
             _strip(rp),
-            keys=[left_key],
-            right_keys=[right_key],
+            keys=lkeys,
+            right_keys=rkeys,
             join_type=how,
         )
 

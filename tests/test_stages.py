@@ -524,3 +524,42 @@ def test_grouped_topk_partial_cut_correct(ray_session):
     )
     got = out.sort_values(["g", "v", "id"], ascending=[True, False, True])
     assert list(got.id) == list(want.id)
+
+
+def test_hash_join_composite_and_outer(ray_session):
+    import ray
+
+    from pyjelly_ray.stages.joins import hash_join
+
+    left = pa.table(
+        {
+            "k1": pa.array([1, 1, 2, 2, 3], pa.int64()),
+            "k2": pa.array(["a", "b", "a", "b", "a"], pa.string()),
+            "lv": pa.array([10, 11, 12, 13, 14], pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "r1": pa.array([1, 2, 2, 4], pa.int64()),
+            "r2": pa.array(["a", "a", "b", "z"], pa.string()),
+            "rv": pa.array([100, 200, 201, 400], pa.int64()),
+        }
+    )
+    ld, rd = ray.data.from_arrow(left), ray.data.from_arrow(right)
+
+    inner = hash_join(
+        ld, rd, left_key=["k1", "k2"], right_key=["r1", "r2"], num_partitions=4
+    )
+    got = sorted(
+        (r["k1"], r["k2"], r["lv"], r["rv"]) for r in inner.take_all()
+    )
+    assert got == [(1, "a", 10, 100), (2, "a", 12, 200), (2, "b", 13, 201)]
+
+    outer = hash_join(
+        ld, rd, left_key=["k1", "k2"], right_key=["r1", "r2"],
+        how="left outer", num_partitions=4,
+    )
+    rows = outer.take_all()
+    assert len(rows) == 5
+    unmatched = {(r["k1"], r["k2"]) for r in rows if r["rv"] is None}
+    assert unmatched == {(1, "b"), (3, "a")}
