@@ -15,8 +15,6 @@ Scale shapes (each documented with its partitioning assumption):
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pyarrow as pa
 
@@ -35,19 +33,63 @@ def _perm_params(seed: int = 42, n_perm: int = N_PERM):
     return a, b
 
 
-def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    toks = text.split(" ")
-    if len(toks) < k:
-        shingles = [" ".join(toks)] if toks else []
+def _token_lists(text_col):
+    """text column → (values StringArray, int64 offsets) of its tokens."""
+    import pyarrow.compute as pc
+
+    if isinstance(text_col, pa.ChunkedArray):
+        text_col = text_col.combine_chunks()
+    text_col = pc.fill_null(text_col, "")
+    toks = pc.split_pattern(text_col, " ")
+    offs = toks.offsets.to_numpy().astype(np.int64)
+    values = toks.values
+    start = offs[0]
+    if start:
+        offs = offs - start
+        values = values.slice(start)
+    return text_col, values, offs
+
+
+def _hash_strings(arr) -> np.ndarray:
+    """Vectorized deterministic uint64 hash of an Arrow string array
+    (pandas siphash with a fixed key — stable across processes)."""
+    import pandas as pd
+
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, np.uint64)
+    return pd.util.hash_array(arr.to_numpy(zero_copy_only=False)).astype(np.uint64)
+
+
+def _doc_shingle_hashes(text_col, k: int):
+    """All docs' word-k-shingle hashes in one flat array + per-doc offsets.
+
+    Mirrors the per-doc rule: docs with < k tokens contribute the whole
+    text as a single shingle.  Returns ``(hashes, doc_starts)`` with
+    ``doc_starts`` strictly increasing (every doc has ≥ 1 shingle).
+    """
+    import pyarrow.compute as pc
+
+    text_col, values, offs = _token_lists(text_col)
+    lens = np.diff(offs)
+    scounts = np.where(lens >= k, lens - k + 1, 0)
+    total = int(scounts.sum())
+    run_off = np.cumsum(scounts) - scounts
+    within = np.arange(total) - np.repeat(run_off, scounts)
+    base = np.repeat(offs[:-1], scounts) + within
+    if total:
+        parts = [values.take(pa.array(base + j)) for j in range(k)]
+        long_hashes = _hash_strings(pc.binary_join_element_wise(*parts, " "))
     else:
-        shingles = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
-    out = np.empty(max(len(shingles), 1), dtype=np.uint64)
-    if not shingles:
-        out[0] = 0
-        return out
-    for i, s in enumerate(shingles):
-        out[i] = int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
-    return out
+        long_hashes = np.empty(0, np.uint64)
+    short = lens < k
+    counts = np.where(short, 1, scounts)
+    dstart = np.cumsum(counts) - counts
+    out = np.empty(int(counts.sum()), np.uint64)
+    out[np.repeat(dstart, scounts) + within] = long_hashes
+    if short.any():
+        out[dstart[short]] = _hash_strings(text_col.filter(pa.array(short)))
+    return out, dstart
 
 
 class MinHasher:
@@ -73,34 +115,38 @@ class MinHasher:
         self.n_bands = n_bands
         self.rows_per_band = n_perm // n_bands
 
+    def sig_matrix(self, text_col) -> np.ndarray:
+        """(n_docs, n_perm) signatures, fully vectorized: one flat shingle
+        hash array, one (shingles × perms) affine map with wrap-mod
+        arithmetic, one segmented min (``np.minimum.reduceat``)."""
+        hashes, dstart = _doc_shingle_hashes(text_col, self.k)
+        if len(dstart) == 0:
+            return np.empty((0, len(self.a)), np.uint64)
+        x = hashes % np.uint64(_MERSENNE)
+        vals = (x[:, None] * self.a[None, :] + self.b[None, :]) % np.uint64(_MERSENNE)
+        return np.minimum.reduceat(vals, dstart, axis=0)
+
     def signature(self, text: str) -> np.ndarray:
-        x = _shingle_hashes(text, self.k) % _MERSENNE
-        # h_i(x) = (a_i * x + b_i) mod p, min over shingles — vectorized
-        vals = (np.outer(self.a, x) + self.b[:, None]) % _MERSENNE
-        return vals.min(axis=1).astype(np.uint64)
+        return self.sig_matrix(pa.array([text], pa.string()))[0]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        doc_ids = batch.column("doc_id").to_pylist()
-        texts = batch.column("text").to_pylist()
-        out_doc, out_band, out_bucket, out_sig = [], [], [], []
-        for d, t in zip(doc_ids, texts):
-            sig = self.signature(t or "")
-            sig_bytes = sig.tobytes()
-            for band in range(self.n_bands):
-                chunk = sig_bytes[band * self.rows_per_band * 8 : (band + 1) * self.rows_per_band * 8]
-                bucket = hashlib.blake2b(
-                    chunk + band.to_bytes(2, "big"), digest_size=8
-                ).hexdigest()
-                out_doc.append(d)
-                out_band.append(band)
-                out_bucket.append(bucket)
-                out_sig.append(sig_bytes)
+        n = batch.num_rows
+        nb, rpb = self.n_bands, self.rows_per_band
+        sigs = self.sig_matrix(batch.column("text"))
+        # band bucket = FNV-style fold of the band's rows, salted by band idx
+        band_vals = sigs.reshape(n, nb, rpb)
+        h = np.full((n, nb), 0xCBF29CE484222325, np.uint64)
+        for j in range(rpb):
+            h = (h * np.uint64(0x100000001B3)) ^ band_vals[:, :, j]
+        h = h * np.uint64(31) + np.arange(nb, dtype=np.uint64)[None, :]
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        sig_bytes = np.array([s.tobytes() for s in sigs], dtype=object)
         return pa.table(
             {
-                "doc_id": pa.array(out_doc, pa.int64()),
-                "band": pa.array(out_band, pa.int32()),
-                "bucket": pa.array(out_bucket, pa.string()),
-                "sig": pa.array(out_sig, pa.binary()),
+                "doc_id": pa.array(np.repeat(doc_ids, nb), pa.int64()),
+                "band": pa.array(np.tile(np.arange(nb, dtype=np.int32), n)),
+                "bucket": pa.array(h.reshape(-1), pa.uint64()),
+                "sig": pa.array(np.repeat(sig_bytes, nb), pa.binary()),
             }
         )
 
@@ -179,11 +225,12 @@ def minhash_dup_pairs(
     """documents Dataset → deduplicated near-dup pairs (est. Jaccard ≥ t)."""
     import pyarrow.compute as pc
 
+    # plain task pool: the hasher's state is two 64-entry perm arrays, so
+    # shipping the instance per task is free and skips actor-pool startup
     banded = docs_ds.map_batches(
-        MinHasher,
-        fn_constructor_args=(seed, shingle_k, n_perm, n_bands),
+        MinHasher(seed, shingle_k, n_perm, n_bands),
         batch_format="pyarrow",
-        concurrency=(1, 8),
+        batch_size=None,
     )
     from .agg import grouped_map
 
@@ -249,25 +296,33 @@ def dup_clusters(pairs_ds) -> "pa.Table":
 # ----------------------------- SimHash -------------------------------------
 
 
+def _simhash_array(text_col) -> np.ndarray:
+    """Vectorized 64-bit SimHash per doc: token siphash → ±1 bit votes →
+    segmented sum (``np.add.reduceat``) → sign bits packed MSB-first."""
+    _, values, offs = _token_lists(text_col)
+    n_docs = len(offs) - 1
+    if n_docs == 0:
+        return np.empty(0, np.uint64)
+    th = _hash_strings(values)
+    bits = np.unpackbits(
+        np.ascontiguousarray(th.astype(">u8")).view(np.uint8)
+    ).reshape(-1, 64)
+    contrib = bits.astype(np.int64) * 2 - 1
+    acc = np.add.reduceat(contrib, offs[:-1], axis=0)
+    out_bits = (acc > 0).astype(np.uint8)
+    packed = np.packbits(out_bits, axis=1)
+    return np.ascontiguousarray(packed).view(">u8").reshape(-1).astype(np.uint64)
+
+
 def simhash64(text: str) -> int:
-    acc = np.zeros(64, dtype=np.int64)
-    for tok in text.split(" "):
-        h = int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
-        bits = np.unpackbits(np.frombuffer(h.to_bytes(8, "big"), dtype=np.uint8))
-        acc += bits.astype(np.int64) * 2 - 1
-    out = 0
-    for i, v in enumerate(acc):
-        if v > 0:
-            out |= 1 << (63 - i)
-    return out
+    return int(_simhash_array(pa.array([text], pa.string()))[0])
 
 
 def simhash_batch(batch: pa.Table) -> pa.Table:
-    hashes = [simhash64(t or "") for t in batch.column("text").to_pylist()]
     return pa.table(
         {
             "doc_id": batch.column("doc_id"),
-            "simhash": pa.array(hashes, pa.uint64()),
+            "simhash": pa.array(_simhash_array(batch.column("text")), pa.uint64()),
         }
     )
 
@@ -277,20 +332,18 @@ def simhash_dup_pairs(docs_ds, *, max_hamming: int = 3):
     import pyarrow.compute as pc
 
     def band(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
-        hs = batch.column("simhash").to_pylist()
-        o_id, o_bucket, o_h = [], [], []
-        for d, h in zip(ids, hs):
-            for chunk in range(4):
-                part = (h >> (16 * chunk)) & 0xFFFF
-                o_id.append(d)
-                o_bucket.append(f"{chunk}:{part:04x}")
-                o_h.append(h)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        hs = batch.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        n = len(ids)
+        chunks = np.arange(4, dtype=np.uint64)
+        # int bucket = chunk * 2^16 + 16-bit slice (vectorized, no strings)
+        parts = (hs[:, None] >> (np.uint64(16) * chunks[None, :])) & np.uint64(0xFFFF)
+        buckets = (chunks[None, :] << np.uint64(16)) | parts
         return pa.table(
             {
-                "doc_id": pa.array(o_id, pa.int64()),
-                "bucket": pa.array(o_bucket, pa.string()),
-                "simhash": pa.array(o_h, pa.uint64()),
+                "doc_id": pa.array(np.repeat(ids, 4), pa.int64()),
+                "bucket": pa.array(buckets.reshape(-1), pa.uint64()),
+                "simhash": pa.array(np.repeat(hs, 4), pa.uint64()),
             }
         )
 
