@@ -563,3 +563,44 @@ def test_hash_join_composite_and_outer(ray_session):
     assert len(rows) == 5
     unmatched = {(r["k1"], r["k2"]) for r in rows if r["rv"] is None}
     assert unmatched == {(1, "b"), (3, "a")}
+
+
+def test_write_partitioned_parquet_resume(ray_session, tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+    import ray
+
+    from pyjelly_ray.sinks.parquet_sink import write_partitioned_parquet
+
+    t = pa.table(
+        {
+            "k": pa.array(list(range(100)) * 3, pa.int64()),
+            "v": pa.array(range(300), pa.int64()),
+        }
+    )
+    out = str(tmp_path / "pq")
+    ds = ray.data.from_arrow(t)
+    man = write_partitioned_parquet(
+        ds, out, partition_cols="k", num_partitions=8
+    ).take_all()
+    written = [m for m in man if m["status"] == "written"]
+    assert sum(m["rows"] for m in written) == 300
+    # read-back equals input as a multiset
+    back = pq.read_table(out)
+    assert back.num_rows == 300
+    assert sorted(back.column("v").to_pylist()) == list(range(300))
+    # same key → same file
+    k_files = {}
+    for m in written:
+        for k in pq.read_table(m["path"]).column("k").to_pylist():
+            k_files.setdefault(k, set()).add(m["path"])
+    assert all(len(v) == 1 for v in k_files.values())
+
+    # rerun skips every finished partition, files untouched
+    mtimes = {m["path"]: os.path.getmtime(m["path"]) for m in written}
+    man2 = write_partitioned_parquet(
+        ray.data.from_arrow(t), out, partition_cols="k", num_partitions=8
+    ).take_all()
+    assert {m["status"] for m in man2 if m["rows"]} == {"skipped"}
+    assert all(os.path.getmtime(p) == mt for p, mt in mtimes.items())
