@@ -7,6 +7,8 @@ Commands:
   gen-corpus --out PATH --files N [--seed S]
   to-jelly   --nt PATH_OR_DIR --out DIR [--quads]   (.nt/.nq → .jelly shards)
   from-jelly --jelly PATH_OR_DIR --out DIR          (.jelly → .nt/.nq shards)
+  export     --query NAME --sf-dir DIR --out DIR [--partition-cols C,..]
+             [--partitions N]      (run a named query → resumable parquet)
 
 The CLI owns its Ray session (guarded init); library code never does.
 """
@@ -48,6 +50,14 @@ def main(argv=None) -> int:
     fj = sub.add_parser("from-jelly", help="convert Jelly to N-Triples/N-Quads")
     fj.add_argument("--jelly", required=True)
     fj.add_argument("--out", required=True)
+
+    ex = sub.add_parser("export", help="run a named query, write resumable parquet")
+    ex.add_argument("--query", required=True)
+    ex.add_argument("--sf-dir", required=True)
+    ex.add_argument("--out", required=True)
+    ex.add_argument("--partition-cols", default=None,
+                    help="comma-separated; defaults to the first output column")
+    ex.add_argument("--partitions", type=int, default=16)
 
     args = p.parse_args(argv)
 
@@ -120,6 +130,45 @@ def main(argv=None) -> int:
         ds = read_jelly(args.jelly)
         write_ntriples(ds, args.out)  # streaming consumer
         print(json.dumps({"out": args.out}))
+        if own:
+            ray.shutdown()
+        return 0
+
+    if args.cmd == "export":
+        import ray
+
+        own = not ray.is_initialized()
+        if own:
+            ray.init(address="local", include_dashboard=False)
+        import pandas as pd
+        import pyarrow as pa
+
+        from .pipelines.relational import QUERIES
+        from .sinks.parquet_sink import write_partitioned_parquet
+
+        if args.query not in QUERIES:
+            print(json.dumps({"error": f"unknown query {args.query}",
+                              "known": sorted(QUERIES)}))
+            return 2
+        result = QUERIES[args.query](args.sf_dir)
+        if isinstance(result, pd.DataFrame):
+            result = ray.data.from_pandas(result)
+        elif isinstance(result, pa.Table):
+            result = ray.data.from_arrow(result)
+        cols = (
+            args.partition_cols.split(",")
+            if args.partition_cols
+            else [result.schema().names[0]]
+        )
+        man = write_partitioned_parquet(
+            result, args.out, partition_cols=cols, num_partitions=args.partitions
+        ).take_all()
+        print(json.dumps({
+            "out": args.out,
+            "rows": int(sum(m["rows"] for m in man)),
+            "written": sum(1 for m in man if m["status"] == "written"),
+            "skipped": sum(1 for m in man if m["status"] == "skipped"),
+        }))
         if own:
             ray.shutdown()
         return 0
