@@ -239,9 +239,14 @@ def _key_run_bounds(t: pa.Table, keys: list[str]):
 
     codes = np.zeros(t.num_rows, np.int64)
     for c in keys:
-        arr = t.column(c).combine_chunks().dictionary_encode().indices.to_numpy(
-            zero_copy_only=False
-        )
+        idx = t.column(c).combine_chunks().dictionary_encode().indices
+        if idx.null_count:
+            # null keys get their own code (dictionary indices are null
+            # for null values; -1 then shift keeps them distinct)
+            idx = pc.fill_null(idx, -1)
+            arr = idx.to_numpy(zero_copy_only=False).astype(np.int64) + 1
+        else:
+            arr = idx.to_numpy(zero_copy_only=False).astype(np.int64)
         codes = codes * (int(arr.max()) + 1 if len(arr) else 1) + arr
     starts = np.zeros(t.num_rows, bool)
     starts[0] = True

@@ -604,3 +604,35 @@ def test_write_partitioned_parquet_resume(ray_session, tmp_path):
     ).take_all()
     assert {m["status"] for m in man2 if m["rows"]} == {"skipped"}
     assert all(os.path.getmtime(p) == mt for p, mt in mtimes.items())
+
+
+def test_grouped_ops_with_null_keys(ray_session):
+    import ray
+
+    from pyjelly_ray.stages.agg import _key_run_bounds, grouped_agg, grouped_map
+
+    t = pa.table(
+        {
+            "k": pa.array(["a", None, "a", None, "b", "b"], pa.string()),
+            "v": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        }
+    )
+    sorted_t = t.sort_by([("k", "ascending")])
+    bounds = _key_run_bounds(sorted_t, ["k"]).tolist()
+    assert bounds == [0, 2, 4, 6]  # a-run, b-run, null-run
+
+    ds = ray.data.from_arrow(t)
+    agg = {
+        r["k"]: r["n"]
+        for r in grouped_agg(ds, ["k"], [("n", "v", "count")]).take_all()
+    }
+    assert agg == {"a": 2, "b": 2, None: 2}
+
+    def first_v(group: pa.Table) -> pa.Table:
+        return group.slice(0, 1)
+
+    got = {
+        r["k"]: r["v"]
+        for r in grouped_map(ds, ["k"], first_v, num_partitions=4).take_all()
+    }
+    assert set(got) == {"a", "b", None}
