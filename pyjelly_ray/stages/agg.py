@@ -68,13 +68,21 @@ def bucket_codes(batch: pa.Table, keys: list[str], n_partitions: int):
         col = batch.column(c)
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
-        if col.null_count:
-            col = pc.fill_null(col, 0 if pa.types.is_integer(col.type) else "")
         if pa.types.is_integer(col.type):
+            if col.null_count:
+                col = pc.fill_null(col, 0)
             v = col.to_numpy(zero_copy_only=False).astype(np.uint64, copy=False)
             hv = v * np.uint64(0x9E3779B97F4A7C15)
         else:
-            hv = pd.util.hash_array(col.to_numpy(zero_copy_only=False))
+            if col.null_count and (
+                pa.types.is_string(col.type)
+                or pa.types.is_large_string(col.type)
+                or pa.types.is_binary(col.type)
+            ):
+                col = pc.fill_null(col, "")
+            # timestamps/floats pass through: hash_array handles NaT/NaN
+            # deterministically via their int64/float64 bit patterns
+            hv = pd.util.hash_array(np.asarray(col.to_numpy(zero_copy_only=False)))
         h = h * np.uint64(31) + hv
     return (h % np.uint64(n_partitions)).astype(np.int64)
 
