@@ -57,8 +57,9 @@ def bucket_codes(batch: pa.Table, keys: list[str], n_partitions: int):
 
     Int keys use a Fibonacci-multiply mix; other types go through
     ``pandas.util.hash_array`` (siphash with a fixed key — stable across
-    processes, unlike builtin ``hash`` under PYTHONHASHSEED).  Nulls hash
-    as 0 / "".
+    processes, unlike builtin ``hash`` under PYTHONHASHSEED).  Null ints
+    hash as 0, null strings as ""; temporal/float nulls ride their
+    NaT/NaN bit patterns.
     """
     import numpy as np
     import pandas as pd
@@ -355,7 +356,11 @@ def grouped_quantiles(ds, keys: list[str] | str, col: str,
         return float(np.copysign(np.floor(abs(x) * scale + 0.5), x) / scale)
 
     def fold(group: pa.Table) -> pa.Table:
-        vals = np.sort(group.column(col).to_numpy(zero_copy_only=False).astype(np.float64))
+        # DuckDB quantile_cont ignores NULLs; drop them before sorting
+        arr = group.column(col)
+        if arr.null_count:
+            arr = arr.drop_null()
+        vals = np.sort(arr.to_numpy(zero_copy_only=False).astype(np.float64))
         out: dict[str, object] = {k: [group.column(k)[0].as_py()] for k in keys}
         for name, q in quantiles:
             out[name] = [round_half_away(quantile_cont(vals, q), round_to)]
