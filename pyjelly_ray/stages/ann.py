@@ -63,41 +63,34 @@ class _TopKScorer:
 
 
 def cosine_topk(ds, query, k: int = 10, *, id_col: str = "vec_id", round_to: int | None = None):
-    import ray
+    from .agg import global_topk
 
-    qref = ray.put(np.asarray(query, dtype=np.float64))
+    # task pool (scorer state = one query vector) + exchange-based top-k
+    # merge — no actor-pool startup, no full sort shuffle
     local = ds.map_batches(
-        _TopKScorer,
-        fn_constructor_args=(qref, k, id_col, round_to),
+        _TopKScorer(np.asarray(query, dtype=np.float64), k, id_col, round_to),
         batch_format="pyarrow",
-        concurrency=(1, 8),
+        batch_size=None,
     )
-    return local.sort(["sim", id_col], descending=[True, False]).limit(k)
+    return global_topk(local, ["sim", id_col], k, descending=[True, False])
 
 
 def cosine_threshold(ds, query, tau: float, *, id_col: str = "vec_id", round_to: int | None = None):
     """All ids with cosine similarity ≥ tau vs the broadcast query vector."""
-    import ray
+    qv = _normalize(np.asarray(query, dtype=np.float64).reshape(1, -1))[0]
 
-    qref = ray.put(np.asarray(query, dtype=np.float64))
+    def thresh(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()), "sim": pa.array([], pa.float64())})
+        m = _normalize(_stack(batch))
+        sims = m @ qv
+        if round_to is not None:
+            sims = np.round(sims, round_to)  # round BEFORE thresholding
+        mask = sims >= tau  # (matches the SQL oracle's rounded filter)
+        ids = batch.column(id_col).filter(pa.array(mask))
+        return pa.table({id_col: ids, "sim": pa.array(sims[mask], pa.float64())})
 
-    class _Thresh:
-        def __init__(self) -> None:
-            q = ray.get(qref)
-            self.q = _normalize(q.reshape(1, -1))[0]
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            if batch.num_rows == 0:
-                return pa.table({id_col: pa.array([], pa.int64()), "sim": pa.array([], pa.float64())})
-            m = _normalize(_stack(batch))
-            sims = m @ self.q
-            if round_to is not None:
-                sims = np.round(sims, round_to)  # round BEFORE thresholding
-            mask = sims >= tau  # (matches the SQL oracle's rounded filter)
-            ids = batch.column(id_col).filter(pa.array(mask))
-            return pa.table({id_col: ids, "sim": pa.array(sims[mask], pa.float64())})
-
-    return ds.map_batches(_Thresh, batch_format="pyarrow", concurrency=(1, 8))
+    return ds.map_batches(thresh, batch_format="pyarrow", batch_size=None)
 
 
 # ------------------------------- IVF ----------------------------------------
@@ -112,23 +105,21 @@ def ivf_centroids(ds, n_centroids: int = 16, *, col: str = "embedding") -> np.nd
 
 
 def ivf_assign(ds, centroids: np.ndarray, *, col: str = "embedding"):
-    """Add a ``bucket`` column = argmax cosine vs centroids (shuffleless map)."""
-    import ray
+    """Add a ``bucket`` column = argmax cosine vs centroids (shuffleless map).
 
-    cref = ray.put(centroids)
+    The centroid matrix is tiny (n_centroids × dim floats), so it ships in
+    the task closure — no actor pool, no broadcast ref needed.  At a truly
+    large centroid count, switch to ``ray.put`` + an actor pool.
+    """
 
-    class _Assign:
-        def __init__(self) -> None:
-            self.c = ray.get(cref)
+    def assign(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("bucket", pa.array([], pa.int32()))
+        m = _normalize(_stack(batch, col))
+        bucket = (m @ centroids.T).argmax(axis=1).astype(np.int32)
+        return batch.append_column("bucket", pa.array(bucket))
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            if batch.num_rows == 0:
-                return batch.append_column("bucket", pa.array([], pa.int32()))
-            m = _normalize(_stack(batch, col))
-            bucket = (m @ self.c.T).argmax(axis=1).astype(np.int32)
-            return batch.append_column("bucket", pa.array(bucket))
-
-    return ds.map_batches(_Assign, batch_format="pyarrow", concurrency=(1, 8))
+    return ds.map_batches(assign, batch_format="pyarrow", batch_size=None)
 
 
 def ivf_topk(assigned_ds, centroids: np.ndarray, query, k: int = 10, nprobe: int = 4,
