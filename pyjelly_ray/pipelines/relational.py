@@ -513,7 +513,7 @@ def q_doc_exact_dedup_docs(sf_dir: str):
 def q_lang_id(sf_dir: str):
     """Heuristic language-ID distribution (marker-vocabulary argmax)."""
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    pred = docs.map_batches(LanguageID, batch_format="pyarrow", concurrency=(1, 4))
+    pred = docs.map_batches(LanguageID(), batch_format="pyarrow", batch_size=None)
     return grouped_agg(pred, ["pred_lang"], [("n_docs", "doc_id", "count")])
 
 

@@ -19,6 +19,15 @@ import pyarrow.compute as pc
 STOPWORDS = ("the", "a")
 
 
+def _np_of(arr, dtype):
+    """Arrow Array or ChunkedArray → numpy (combining chunks if needed)."""
+    import numpy as np
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    return arr.to_numpy(zero_copy_only=False).astype(dtype)
+
+
 def add_tokens(batch: pa.Table, col: str = "text") -> pa.Table:
     """Append list<string> ``tokens`` and int64 ``n_tokens`` columns."""
     toks = pc.split_pattern(batch.column(col), " ")
@@ -44,33 +53,29 @@ def quality_scores(batch: pa.Table) -> pa.Table:
 
     quality = 1 - stopword_ratio (toy but deterministic & SQL-expressible).
     """
+    import numpy as np
+
     batch = add_tokens(batch)
     toks = batch.column("tokens")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
     n = pc.cast(batch.column("n_tokens"), pa.float64())
-    flat_is_stop = pc.is_in(
-        pc.list_flatten(toks), value_set=pa.array(STOPWORDS, pa.string())
+    flat = pc.list_flatten(toks)
+    offs = toks.offsets.to_numpy().astype(np.int64)
+    offs = offs - offs[0]
+    lens = np.diff(offs)
+    # per-token flags/lengths → per-doc sums via one segmented reduce each
+    stop_np = _np_of(
+        pc.is_in(flat, value_set=pa.array(STOPWORDS, pa.string())), np.float64
     )
-    # re-aggregate flat per-token flags back per row via list offsets
-    stop_counts = []
-    mean_lens = []
-    offset = 0
-    toks_c = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
-    flat_is_stop = (
-        flat_is_stop.combine_chunks()
-        if isinstance(flat_is_stop, pa.ChunkedArray)
-        else flat_is_stop
-    )
-    flat_len = pc.utf8_length(pc.list_flatten(toks))
-    flat_len = flat_len.combine_chunks() if isinstance(flat_len, pa.ChunkedArray) else flat_len
-    lengths = pc.list_value_length(toks).to_pylist()
-    stop_py = flat_is_stop.to_pylist()
-    len_py = flat_len.to_pylist()
-    for ln in lengths:
-        seg_stop = stop_py[offset : offset + ln]
-        seg_len = len_py[offset : offset + ln]
-        stop_counts.append(sum(1 for x in seg_stop if x))
-        mean_lens.append(sum(seg_len) / ln if ln else 0.0)
-        offset += ln
+    len_np = _np_of(pc.utf8_length(flat), np.float64)
+    if len(stop_np):
+        stop_counts = np.add.reduceat(stop_np, offs[:-1])
+        sum_lens = np.add.reduceat(len_np, offs[:-1])
+    else:
+        stop_counts = np.zeros(len(lens))
+        sum_lens = np.zeros(len(lens))
+    mean_lens = np.divide(sum_lens, lens, out=np.zeros(len(lens)), where=lens > 0)
     stop_ratio = pc.divide(pa.array(stop_counts, pa.float64()), n)
     return pa.table(
         {
@@ -97,29 +102,32 @@ class LanguageID:
         self.markers = {k: pa.array(sorted(v), pa.string()) for k, v in _LANG_MARKERS.items()}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        toks = pc.split_pattern(batch.column("text"), " ")
-        scores = {}
-        n = pc.cast(pc.list_value_length(toks), pa.float64())
-        flat = pc.list_flatten(toks)
-        lengths = pc.list_value_length(toks).to_pylist()
-        for lang, vocab in self.markers.items():
-            hits = pc.is_in(flat, value_set=vocab)
-            hits = hits.combine_chunks() if isinstance(hits, pa.ChunkedArray) else hits
-            hp = hits.to_pylist()
-            off = 0
-            per_row = []
-            for ln in lengths:
-                per_row.append(sum(1 for x in hp[off : off + ln] if x))
-                off += ln
-            scores[lang] = per_row
-        n_py = [max(x, 1) for x in pc.cast(n, pa.int64()).to_pylist()]
-        best = []
-        for i in range(batch.num_rows):
-            ranked = sorted(
-                ((scores[lang][i] / n_py[i], lang) for lang in scores),
-                key=lambda t: (-t[0], t[1]),
+        import numpy as np
+
+        if batch.num_rows == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "pred_lang": pa.array([], pa.string())}
             )
-            best.append(ranked[0][1] if ranked[0][0] > 0 else "unk")
+        toks = pc.split_pattern(batch.column("text"), " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        offs = toks.offsets.to_numpy().astype(np.int64)
+        offs = offs - offs[0]
+        lens = np.diff(offs)
+        n_tok = np.maximum(lens, 1).astype(np.float64)
+        langs = sorted(self.markers)
+        rows = []
+        for lang in langs:
+            hits = _np_of(pc.is_in(flat, value_set=self.markers[lang]), np.float64)
+            per_doc = np.add.reduceat(hits, offs[:-1]) if len(hits) else np.zeros(len(lens))
+            rows.append(per_doc / n_tok)
+        scores = np.vstack(rows)  # (n_langs, n_docs)
+        # argmax returns the FIRST max; langs are sorted ascending, so ties
+        # break to the lexicographically smallest language — same rule as
+        # sorting by (-score, lang)
+        best_idx = scores.argmax(axis=0)
+        best = np.where(scores.max(axis=0) > 0, np.array(langs)[best_idx], "unk")
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
@@ -129,17 +137,45 @@ class LanguageID:
 
 
 def fingerprint(batch: pa.Table) -> pa.Table:
-    """Document fingerprints: full-text sha1 + 64-bit rolling-window hash."""
+    """Document fingerprints: full-text sha1 + 64-bit rolling-window hash.
+
+    The rolling value is XOR over prefix hashes ``h_i = h_{i-1}*131 + c_i``
+    (mod 2^64).  Vectorized closed form: ``h_i = 131^i · Σ_{j≤i} c_j·131^{-j}``
+    — 131 is odd so its mod-2^64 inverse exists; a global cumsum minus the
+    per-doc start gives every prefix hash in one pass, bit-identical to the
+    per-char loop.
+    """
+    import numpy as np
+
     texts = batch.column("text").to_pylist()
     full = [hashlib.sha1((t or "").encode()).hexdigest() for t in texts]
-    rolling = []
-    for t in texts:
-        acc = 0
-        h = 0
-        for ch in t or "":
-            h = (h * 131 + ord(ch)) & 0xFFFFFFFFFFFFFFFF
-            acc ^= h
-        rolling.append(acc)
+    lens = np.array([len(t or "") for t in texts], np.int64)
+    total = int(lens.sum())
+    rolling = np.zeros(len(texts), np.uint64)
+    if total:
+        codes = np.frombuffer(
+            "".join(t or "" for t in texts).encode("utf-32-le"), np.uint32
+        ).astype(np.uint64)
+        within = np.arange(total) - np.repeat(np.cumsum(lens) - lens, lens)
+        max_len = int(lens.max())
+        base = np.uint64(131)
+        inv = np.uint64(pow(131, -1, 1 << 64))
+        pows = np.empty(max_len, np.uint64)
+        ipows = np.empty(max_len, np.uint64)
+        pows[0] = ipows[0] = 1
+        with np.errstate(over="ignore"):  # mod-2^64 wrap is the point
+            for i in range(1, max_len):
+                pows[i] = pows[i - 1] * base
+                ipows[i] = ipows[i - 1] * inv
+        pref = np.cumsum(codes * ipows[within]).astype(np.uint64)
+        dstart = (np.cumsum(lens) - lens)[lens > 0]
+        seg_base = np.zeros(total, np.uint64)
+        first = pref[dstart] - codes[dstart] * ipows[within[dstart]]
+        seg_base[dstart] = np.diff(np.concatenate(([np.uint64(0)], first)))
+        pref = pref - np.cumsum(seg_base).astype(np.uint64)
+        h = pref * pows[within]
+        acc = np.bitwise_xor.reduceat(h, dstart)
+        rolling[lens > 0] = acc
     return pa.table(
         {
             "doc_id": batch.column("doc_id"),
