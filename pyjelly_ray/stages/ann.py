@@ -20,9 +20,21 @@ import pyarrow.compute as pc
 
 
 def _stack(batch: pa.Table, col: str = "embedding") -> np.ndarray:
+    """list<float> column → (n, dim) float64 matrix, zero-copy-ish.
+
+    Uniform-length lists (the embedding case) reshape the flattened
+    values buffer directly; ragged input falls back to ``to_pylist``.
+    """
     arr = batch.column(col)
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return np.empty((0, 0), np.float64)
+    lens = np.diff(arr.offsets.to_numpy())
+    if arr.null_count == 0 and lens.min() == lens.max():
+        values = arr.flatten().to_numpy(zero_copy_only=False)
+        return values.reshape(n, int(lens[0])).astype(np.float64)
     return np.asarray(arr.to_pylist(), dtype=np.float64)
 
 
