@@ -25,37 +25,50 @@ import pyarrow.compute as pc
 from .agg import grouped_map, round_like_duckdb
 
 
-def _session_ids(group: pa.Table, gap_minutes: float) -> pa.Table:
-    """Sort one key's events and assign 0-based gap sessions."""
-    t = group.sort_by([("ts", "ascending"), ("event_id", "ascending")])
-    ts = t.column("ts").combine_chunks()
-    us = pc.cast(ts, pa.int64()).to_numpy(zero_copy_only=False)
-    if len(us) == 0:
+def _session_ids_part(t: pa.Table, gap_minutes: float, key: str) -> pa.Table:
+    """Assign 0-based gap sessions for a WHOLE key-sorted partition.
+
+    One sort by (key, ts, event_id), then a single vectorized pass: a
+    session increments on a same-key gap > threshold; the per-key counter
+    resets by subtracting the running count at each key's first row.
+    """
+    from .agg import _key_run_bounds
+
+    if t.num_rows == 0:
         return t.append_column("session_id", pa.array([], pa.int64()))
+    t = t.sort_by([(key, "ascending"), ("ts", "ascending"), ("event_id", "ascending")])
+    us = pc.cast(t.column("ts").combine_chunks(), pa.int64()).to_numpy(
+        zero_copy_only=False
+    )
     gap_us = int(gap_minutes * 60 * 1_000_000)
-    new_session = np.zeros(len(us), dtype=np.int64)
-    new_session[1:] = (us[1:] - us[:-1] > gap_us).astype(np.int64)
-    return t.append_column("session_id", pa.array(np.cumsum(new_session), pa.int64()))
+    bounds = _key_run_bounds(t, [key])
+    key_start = np.zeros(t.num_rows, bool)
+    key_start[bounds[:-1]] = True
+    inc = np.zeros(t.num_rows, np.int64)
+    inc[1:] = ((us[1:] - us[:-1] > gap_us) & ~key_start[1:]).astype(np.int64)
+    run = np.cumsum(inc)
+    base = np.repeat(run[bounds[:-1]], np.diff(bounds))
+    return t.append_column("session_id", pa.array(run - base, pa.int64()))
 
 
 def sessionize(events_ds, *, gap_minutes: float = 30.0, key: str = "user_id"):
     """Assign ``session_id`` (0-based per key) with a gap rule."""
 
-    def fn(group: pa.Table) -> pa.Table:
-        return _session_ids(group, gap_minutes)
+    def part(t: pa.Table) -> pa.Table:
+        return _session_ids_part(t, gap_minutes, key)
 
-    return grouped_map(events_ds, key, fn)
+    return grouped_map(events_ds, key, part, per_group=False)
 
 
 def session_stats(events_ds, *, gap_minutes: float = 30.0, round_to: int = 2):
     """Per-(user, session) aggregates: n_events, sum_value.
 
-    Aggregation happens inside the same per-key group call so a session can
-    never straddle batch boundaries.
+    Sessions are assigned and aggregated inside one partition kernel, so a
+    session can never straddle batch boundaries.
     """
 
-    def fn(group: pa.Table) -> pa.Table:
-        s = _session_ids(group, gap_minutes)
+    def part(t: pa.Table) -> pa.Table:
+        s = _session_ids_part(t, gap_minutes, "user_id")
         g = s.group_by(["user_id", "session_id"]).aggregate(
             [("value", "sum"), ("value", "count")]
         )
@@ -68,7 +81,7 @@ def session_stats(events_ds, *, gap_minutes: float = 30.0, round_to: int = 2):
             }
         )
 
-    return grouped_map(events_ds, "user_id", fn)
+    return grouped_map(events_ds, "user_id", part, per_group=False)
 
 
 def rolling_mean(ds, *, key: str, order_col: str, value_col: str,
