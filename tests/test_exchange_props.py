@@ -138,6 +138,53 @@ def test_global_topk_matches_pandas(ray_session):
     pd.testing.assert_frame_equal(got[["ik", "sk", "v"]], want[["ik", "sk", "v"]])
 
 
+def test_pack_unpack_dict_roundtrip():
+    from pyjelly_ray.state.exchange import _pack_dict, _unpack_dict
+
+    t = _random_table(51, 300, 12, with_nulls=True)
+    packed = _pack_dict(t)
+    assert pa.types.is_dictionary(packed.column("sk").type)
+    assert packed.column("ik").type == t.column("ik").type  # non-strings untouched
+    assert _unpack_dict(packed).equals(t)
+    # concat of partitions with DIFFERENT dictionaries, then unpack
+    a, b = _pack_dict(t.slice(0, 100)), _pack_dict(t.slice(100))
+    merged = _unpack_dict(pa.concat_tables([a, b], promote_options="default"))
+    assert merged.equals(t)
+    # empty partition
+    empty = _pack_dict(t.slice(0, 0))
+    assert _unpack_dict(empty).equals(t.slice(0, 0))
+    # tables without string columns pass through untouched (same object)
+    ints = t.select(["ik", "v"])
+    assert _pack_dict(ints) is ints
+    assert _unpack_dict(ints) is ints
+
+
+def test_hash_exchange_compress_equivalent(ray_session):
+    from pyjelly_ray.state.exchange import hash_exchange
+
+    t = _random_table(61, 700, 30, with_nulls=True)
+    import pyarrow.compute as pc
+
+    bucket = pc.cast(
+        pc.bit_wise_and(t.column("ik"), pa.scalar(7, pa.int64())), pa.int32()
+    )
+    t = t.append_column("bucket", bucket)
+
+    def reduce_fn(part: pa.Table) -> pa.Table:
+        # assert the reducer never sees dictionary columns
+        assert not any(pa.types.is_dictionary(f.type) for f in part.schema)
+        return part.sort_by([("ik", "ascending"), ("v", "ascending")])
+
+    outs = []
+    for compress in (False, True):
+        got = hash_exchange(
+            _ds(t, 5), bucket_col="bucket", n_partitions=8,
+            reduce_fn=reduce_fn, compress=compress,
+        ).to_pandas().sort_values(["ik", "v"]).reset_index(drop=True)
+        outs.append(got)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
 def test_grouped_map_matches_ray_groupby(ray_session):
     from pyjelly_ray.stages.agg import grouped_map
 
