@@ -71,9 +71,9 @@ def _pack_dict(table: pa.Table) -> pa.Table:
     block's full dictionary with every partition).  Measured on the KG
     payload: shard-hop partitions shrink to ~33% of raw bytes (repo/path/
     sha256/predicate columns are near-constant within a shard), bucket-hop
-    partitions to ~85%, at ~0.4 µs/row — traded against plasma memcpy,
-    object-store pressure and the reduce-side concat traffic that saturates
-    a node's memory bus at high task concurrency (ROADMAP knee)."""
+    partitions to ~85%, at ~0.4 µs/row.  On a single box that CPU is a net
+    LOSS (see fused_two_hop_exchange docstring) — this exists for multi-node
+    deployments where exchange bytes cross the network."""
     cols = list(table.columns)
     changed = False
     for i, col in enumerate(cols):
@@ -146,7 +146,7 @@ def fused_two_hop_exchange(
     n2: int,
     reduce2: Callable[[pa.Table], pa.Table],
     map_fn: Callable[[pa.Table], pa.Table] | None = None,
-    compress: bool = True,
+    compress: bool | None = None,
 ):
     """TWO all-to-alls fused into one raw-task DAG (dedup hop → writer hop).
 
@@ -177,12 +177,20 @@ def fused_two_hop_exchange(
     into the exchange avoids materializing that transform's output as a
     second full copy of the dataset in the object store.
 
-    ``compress`` (default True): partitions travel with their string columns
-    dictionary-encoded (:func:`_pack_dict`) and are decoded after the
-    reduce-side concat — byte-identical results, ~3× fewer exchange bytes on
-    the shard hop (measured; see _pack_dict).
+    ``compress`` (default False; env override ``GRAFT_EXCHANGE_COMPRESS=1``):
+    partitions travel with their string columns dictionary-encoded
+    (:func:`_pack_dict`) and are decoded after the reduce-side concat —
+    byte-identical results, ~3× fewer exchange bytes on the shard hop.
+    Measured OFF-by-default on purpose: on a single box the exchange never
+    crosses a NIC, and the encode/decode CPU cost the pipeline ~76% wall
+    (33.5 s → 59.1 s warm, 32 cpus, 19.6M triples) with zero byte savings
+    that matter.  On a multi-node cluster where the two hops cross the
+    network at ~3× fewer bytes, flip it on per-deployment and re-measure.
     """
     import ray
+
+    if compress is None:
+        compress = os.environ.get("GRAFT_EXCHANGE_COMPRESS", "0") == "1"
 
     def _split1(table: pa.Table, n_: int, key: str):
         if map_fn is not None:
