@@ -26,6 +26,68 @@ N_BANDS = 16
 ROWS_PER_BAND = N_PERM // N_BANDS
 
 
+def lsh_probability(s: float, n_bands: int, rows_per_band: int) -> float:
+    """P(candidate | true Jaccard s) for banded LSH: 1 - (1 - s^r)^b."""
+    return 1.0 - (1.0 - s**rows_per_band) ** n_bands
+
+
+def tune_lsh_params(
+    threshold: float,
+    n_perm: int = N_PERM,
+    fp_weight: float = 0.5,
+    fn_weight: float = 0.5,
+    min_recall: float | None = None,
+) -> tuple[int, int]:
+    """Pick ``(n_bands, rows_per_band)`` for a target Jaccard ``threshold``.
+
+    Standard S-curve tuning (same objective as datasketch's MinHashLSH):
+    over all divisor pairs b·r = n_perm, minimize
+    ``fp_weight · ∫₀ᵗ P(s) ds + fn_weight · ∫ₜ¹ (1 − P(s)) ds``
+    with P(s) = 1 − (1 − sʳ)ᵇ — the expected collision mass below the
+    threshold (false positives inflate the candidate-verify stage) plus the
+    missed mass above it (false negatives are unrecoverable).  Trapezoid
+    integration on a fixed grid; pure math, corpus-independent.
+
+    The unconstrained integral objective can land on layouts whose recall AT
+    the threshold is poor (at t=0.8, n_perm=64 it picks 4×16 with
+    P(0.8)≈0.11 — the FN integral over the short [t,1] tail is small even
+    when pairs right at t are mostly missed).  For dedup that's the wrong
+    trade, so ``min_recall`` adds a hard constraint: only layouts with
+    ``P(threshold) ≥ min_recall`` compete, ranked by FP mass alone; if none
+    qualifies, the layout with the highest P(threshold) wins.  At t=0.8,
+    n_perm=64, ``min_recall=0.95`` resolves to the classic 16 bands × 4 rows
+    (P(0.8)≈0.9997).
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError("threshold must be in (0, 1)")
+    grid = np.linspace(0.0, 1.0, 501)
+    below = grid <= threshold
+    best: tuple[float, int, int] | None = None
+    fallback: tuple[float, int, int] | None = None
+    for r in range(1, n_perm + 1):
+        if n_perm % r:
+            continue
+        b = n_perm // r
+        p = 1.0 - (1.0 - grid**r) ** b
+        fp = np.trapz(p[below], grid[below])
+        fn = np.trapz(1.0 - p[~below], grid[~below])
+        if min_recall is not None:
+            recall = lsh_probability(threshold, b, r)
+            if fallback is None or recall > fallback[0]:
+                fallback = (recall, b, r)
+            if recall < min_recall:
+                continue
+            cost = fp
+        else:
+            cost = fp_weight * fp + fn_weight * fn
+        if best is None or cost < best[0]:
+            best = (cost, b, r)
+    if best is None:
+        assert fallback is not None  # some divisor pair always exists
+        return fallback[1], fallback[2]
+    return best[1], best[2]
+
+
 def _perm_params(seed: int = 42, n_perm: int = N_PERM):
     rng = np.random.RandomState(seed)
     a = rng.randint(1, _MERSENNE, size=n_perm, dtype=np.int64).astype(np.uint64)
@@ -220,10 +282,19 @@ def minhash_dup_pairs(
     seed: int = 42,
     shingle_k: int = 3,
     n_perm: int = N_PERM,
-    n_bands: int = N_BANDS,
+    n_bands: int | None = None,
 ):
-    """documents Dataset → deduplicated near-dup pairs (est. Jaccard ≥ t)."""
+    """documents Dataset → deduplicated near-dup pairs (est. Jaccard ≥ t).
+
+    ``n_bands=None`` auto-tunes the banding to the threshold via
+    :func:`tune_lsh_params` with a 0.95 recall floor at the threshold (at
+    the default t=0.8, n_perm=64 this resolves to the historical 16×4
+    layout, so existing behavior is unchanged).
+    """
     import pyarrow.compute as pc
+
+    if n_bands is None:
+        n_bands, _ = tune_lsh_params(threshold, n_perm, min_recall=0.95)
 
     # plain task pool: the hasher's state is two 64-entry perm arrays, so
     # shipping the instance per task is free and skips actor-pool startup

@@ -83,6 +83,35 @@ def test_minhash_signature_similarity():
     assert abs(est01 - true01) < 0.35  # 64 perms → coarse estimate
 
 
+def test_tune_lsh_params():
+    from pyjelly_ray.stages.sim import lsh_probability, tune_lsh_params
+
+    # recall-floored tuning reproduces the classic 16×4 layout at t=0.8
+    assert tune_lsh_params(0.8, 64, min_recall=0.95) == (16, 4)
+    for t in (0.3, 0.5, 0.7, 0.9):
+        b, r = tune_lsh_params(t, 64, min_recall=0.95)
+        assert b * r == 64
+        assert lsh_probability(t, b, r) >= 0.95
+    # lower threshold → at least as many (never fewer) bands: recall at a
+    # low t needs a shallower S-curve
+    bands = [tune_lsh_params(t, 64, min_recall=0.95)[0] for t in (0.3, 0.6, 0.9)]
+    assert bands == sorted(bands, reverse=True)
+    # unconstrained objective is the datasketch-style weighted integral
+    b, r = tune_lsh_params(0.5, 64)
+    assert (b, r) == (16, 4)
+    # unreachable recall floor → highest-recall divisor pair, not a crash
+    b, r = tune_lsh_params(0.8, 64, min_recall=1.0)
+    assert b * r == 64
+    assert lsh_probability(0.8, b, r) > 0.999
+    # probability helper is the textbook S-curve
+    assert lsh_probability(1.0, 16, 4) == 1.0
+    assert lsh_probability(0.0, 16, 4) == 0.0
+    import pytest
+
+    with pytest.raises(ValueError):
+        tune_lsh_params(1.0)
+
+
 def test_simhash_hamming():
     h0 = simhash64(_docs_table().column("text")[0].as_py())
     h1 = simhash64(_docs_table().column("text")[1].as_py())
