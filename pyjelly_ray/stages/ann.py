@@ -150,57 +150,180 @@ def ivf_topk(assigned_ds, centroids: np.ndarray, query, k: int = 10, nprobe: int
 # --------------------- embedding near-dup (LSH + verify) ---------------------
 
 
-def embedding_dup_pairs(ds, *, tau: float = 0.9, n_planes: int = 16, seed: int = 42,
-                        id_col: str = "vec_id"):
-    """Random-hyperplane LSH buckets → exact cosine verify within bucket."""
-    rng = np.random.RandomState(seed)
+def tune_hyperplane_params(
+    tau: float,
+    min_recall: float = 0.9,
+    max_bands: int = 16,
+    max_planes_per_band: int = 32,
+    background_sim: float = 0.5,
+) -> tuple[int, int]:
+    """Pick ``(n_bands, planes_per_band)`` for random-hyperplane LSH.
+
+    Hyperplane LSH collision probability per plane is p = 1 − θ/π with
+    θ = arccos(cosine); a band of r planes collides with pʳ, and b bands
+    recall 1 − (1 − pʳ)ᵇ (same S-curve as MinHash banding).  For each r,
+    the minimal b meeting ``min_recall`` at ``tau`` is closed-form
+    (⌈log(1−recall)/log(1−pʳ)⌉); among feasible (b ≤ max_bands) choices,
+    minimize expected candidate collisions for a BACKGROUND pair at
+    ``background_sim`` — the union bound b·p_bgʳ, i.e. verify-stage cost.
+
+    A single 16-plane table at τ=0.9 (the old hard-coded layout) recalls
+    only ~8% of true pairs; the tuned default (r≈12, b≈14) recalls ≥ 90%.
+    """
+    import math
+
+    if not -1.0 < tau < 1.0:
+        raise ValueError("tau must be in (-1, 1)")
+    p = 1.0 - math.acos(tau) / math.pi
+    p_bg = 1.0 - math.acos(background_sim) / math.pi
+    best: tuple[float, int, int] | None = None
+    fallback: tuple[float, int, int] | None = None
+    for r in range(1, max_planes_per_band + 1):
+        pr = p**r
+        if pr <= 0.0:
+            continue
+        if pr >= 1.0:
+            b = 1
+        else:
+            b = max(1, math.ceil(math.log(1.0 - min_recall) / math.log(1.0 - pr)))
+        recall = 1.0 - (1.0 - pr) ** min(b, max_bands)
+        if fallback is None or recall > fallback[0]:
+            fallback = (recall, min(b, max_bands), r)
+        if b > max_bands:
+            continue
+        cost = b * (p_bg**r)
+        if best is None or cost < best[0]:
+            best = (cost, b, r)
+    if best is None:
+        assert fallback is not None  # r=1 is always evaluated
+        return fallback[1], fallback[2]
+    return best[1], best[2]
+
+
+_EMB_PAIRS_EMPTY = pa.table(
+    {
+        "id_a": pa.array([], pa.int64()),
+        "id_b": pa.array([], pa.int64()),
+        "cosine": pa.array([], pa.float64()),
+    }
+)
+
+
+def embedding_dup_pairs(
+    ds,
+    *,
+    tau: float = 0.9,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    n_bands: int | None = None,
+    planes_per_band: int | None = None,
+    min_recall: float = 0.9,
+):
+    """Multi-band random-hyperplane LSH → exact cosine verify → dedup pairs.
+
+    Banding auto-tunes to ``tau`` via :func:`tune_hyperplane_params` unless
+    both ``n_bands`` and ``planes_per_band`` are given.  Signatures are one
+    matmul per batch; each band's r sign bits pack into a uint64 bucket key
+    (band index in the high bits keeps bands disjoint).  Rows ship
+    (id, bucket, embedding) per band — the embedding travels with the
+    signature so verify never re-reads the corpus (same trade as MinHash
+    shipping its signature; at very large scale swap to a candidates →
+    hash_join(embeddings) re-join instead of ×b vector replication).
+    Verification is a partition-level kernel: one sort, run bounds, one
+    normalized matmul per multi-occupant bucket; the same pair surfacing
+    from several bands is deduplicated by a final grouped first-per-key.
+    """
+    if n_bands is None or planes_per_band is None:
+        n_bands, planes_per_band = tune_hyperplane_params(tau, min_recall=min_recall)
+    nb, r = int(n_bands), int(planes_per_band)
+    if r > 56:  # band idx must fit above the r bit positions in a uint64
+        raise ValueError("planes_per_band must be <= 56")
+    weights = (np.uint64(1) << np.arange(r, dtype=np.uint64))[None, None, :]
 
     def sig(batch: pa.Table) -> pa.Table:
-        planes = rng.standard_normal((n_planes, len(batch.column("embedding")[0])))
-        # NOTE: rng use above would differ per batch — regenerate per call:
-        local_rng = np.random.RandomState(seed)
-        planes = local_rng.standard_normal((n_planes, _stack(batch).shape[1]))
-        m = _normalize(_stack(batch))
-        bits = (m @ planes.T) > 0
-        keys = ["".join("1" if b else "0" for b in row) for row in bits]
+        m = _stack(batch)
+        n = m.shape[0]
+        if n == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "bucket": pa.array([], pa.uint64()),
+                    "embedding": batch.column("embedding"),
+                }
+            )
+        planes = np.random.RandomState(seed).standard_normal((m.shape[1], nb * r))
+        bits = (m @ planes) > 0
+        packed = (bits.reshape(n, nb, r).astype(np.uint64) * weights).sum(axis=2)
+        packed |= np.arange(nb, dtype=np.uint64)[None, :] << np.uint64(r)
         return pa.table(
             {
-                id_col: batch.column(id_col),
-                "bucket": pa.array(keys, pa.string()),
-                "embedding": batch.column("embedding"),
+                id_col: pa.array(
+                    np.repeat(batch.column(id_col).to_numpy(zero_copy_only=False), nb),
+                    pa.int64(),
+                ),
+                "bucket": pa.array(packed.reshape(-1), pa.uint64()),
+                "embedding": pa.chunked_array(
+                    [batch.column("embedding").combine_chunks().take(
+                        np.repeat(np.arange(n), nb)
+                    )]
+                ),
             }
         )
 
-    def pairs(group: pa.Table) -> pa.Table:
-        if group.num_rows == 0:
-            return pa.table(
-                {"id_a": pa.array([], pa.int64()),
-                 "id_b": pa.array([], pa.int64()),
-                 "cosine": pa.array([], pa.float64())}
-            )
-        ids = group.column(id_col).to_pylist()
-        m = _normalize(_stack(group))
+    def pairs_part(t: pa.Table) -> pa.Table:
+        """All verified pairs for one hash partition of bucket rows."""
+        from .agg import _key_run_bounds
+
+        if t.num_rows == 0:
+            return _EMB_PAIRS_EMPTY
+        t = t.sort_by([("bucket", "ascending"), (id_col, "ascending")])
+        bounds = _key_run_bounds(t, ["bucket"])
+        sizes = np.diff(bounds)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
         a_out, b_out, s_out = [], [], []
-        order = np.argsort(ids)
-        for x in range(len(order)):
-            for y in range(x + 1, len(order)):
-                i, j = order[x], order[y]
-                if ids[i] == ids[j]:
-                    continue
-                s = float(m[i] @ m[j])
-                if s >= tau:
-                    a_out.append(ids[i])
-                    b_out.append(ids[j])
-                    s_out.append(round(s, 6))
+        multi = np.flatnonzero(sizes >= 2)
+        if len(multi) == 0:
+            return _EMB_PAIRS_EMPTY
+        m_all = _normalize(_stack(t))
+        for ri in multi:
+            s, e = int(bounds[ri]), int(bounds[ri + 1])
+            m = m_all[s:e]
+            sims = m @ m.T
+            ii, jj = np.triu_indices(e - s, k=1)
+            # ids sorted within the bucket → id_a < id_b; equal ids (dup
+            # input rows) are adjacent and must not self-pair
+            keep = (sims[ii, jj] >= tau) & (ids[s:e][ii] != ids[s:e][jj])
+            if keep.any():
+                a_out.append(ids[s:e][ii[keep]])
+                b_out.append(ids[s:e][jj[keep]])
+                s_out.append(np.round(sims[ii[keep], jj[keep]], 6))
+        if not a_out:
+            return _EMB_PAIRS_EMPTY
         return pa.table(
             {
-                "id_a": pa.array(a_out, pa.int64()),
-                "id_b": pa.array(b_out, pa.int64()),
-                "cosine": pa.array(s_out, pa.float64()),
+                "id_a": pa.array(np.concatenate(a_out), pa.int64()),
+                "id_b": pa.array(np.concatenate(b_out), pa.int64()),
+                "cosine": pa.array(np.concatenate(s_out), pa.float64()),
             }
         )
 
     from .agg import grouped_map
+    from .sim import _first_per_pair_part
 
     bucketed = ds.map_batches(sig, batch_format="pyarrow")
-    return grouped_map(bucketed, "bucket", pairs)
+    pairs = grouped_map(bucketed, "bucket", pairs_part, per_group=False)
+
+    def _key(b: pa.Table) -> pa.Table:
+        k = pc.binary_join_element_wise(
+            pc.cast(b.column("id_a"), pa.string()),
+            pc.cast(b.column("id_b"), pa.string()),
+            ":",
+        )
+        return b.append_column("pair", k)
+
+    return grouped_map(
+        pairs.map_batches(_key, batch_format="pyarrow"),
+        "pair",
+        _first_per_pair_part,
+        per_group=False,
+    )
