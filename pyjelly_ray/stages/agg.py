@@ -264,7 +264,7 @@ def _key_run_bounds(t: pa.Table, keys: list[str]):
 
 
 def grouped_map(ds, keys: list[str] | str, fn, *, num_partitions: int = 16,
-                per_group: bool = True):
+                per_group: bool = True, empty_schema: pa.Table | None = None):
     """Drop-in replacement for ``ds.groupby(keys).map_groups(fn)`` built on
     the explicit hash exchange (no sample+sort shuffle).
 
@@ -278,6 +278,12 @@ def grouped_map(ds, keys: list[str] | str, fn, *, num_partitions: int = 16,
     (all of a key's rows are contiguous; find runs with
     :func:`_key_run_bounds`).  Use it when groups are numerous and tiny —
     a vectorized partition-level kernel beats thousands of per-group calls.
+
+    ``empty_schema``: 0-row table with the expected INPUT schema.  When the
+    whole upstream dataset is empty, Ray Data has skipped every map UDF
+    (including this operator's bucket tagger), so partitions arrive as
+    schema-less 0-column tables; ``fn`` then runs on ``empty_schema``
+    instead, keeping the output schema stable for pass-through reducers.
     """
     from ..state.exchange import hash_exchange
 
@@ -314,6 +320,7 @@ def grouped_map(ds, keys: list[str] | str, fn, *, num_partitions: int = 16,
         n_partitions=num_partitions,
         reduce_fn=reduce_part,
         reduce_empty=True,
+        empty_base=empty_schema,
     )
 
 

@@ -326,4 +326,7 @@ def embedding_dup_pairs(
         "pair",
         _first_per_pair_part,
         per_group=False,
+        empty_schema=_EMB_PAIRS_EMPTY.append_column(
+            "pair", pa.array([], pa.string())
+        ),
     )

@@ -324,6 +324,7 @@ def minhash_dup_pairs(
         "pair",
         _first_per_pair_part,
         per_group=False,
+        empty_schema=_PAIRS_EMPTY.append_column("pair", pa.array([], pa.string())),
     )
 
 
@@ -482,6 +483,14 @@ def simhash_dup_pairs(docs_ds, *, max_hamming: int = 3):
         "pair",
         _first_per_pair_part,
         per_group=False,
+        empty_schema=pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "hamming": pa.array([], pa.int64()),
+                "pair": pa.array([], pa.string()),
+            }
+        ),
     )
 
 

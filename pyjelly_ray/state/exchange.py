@@ -345,6 +345,7 @@ def hash_exchange(
     reduce_fn: Callable[[pa.Table], pa.Table],
     reduce_empty: bool = False,
     compress: bool = False,
+    empty_base: pa.Table | None = None,
 ):
     """All-to-all by an int bucket column with a per-partition reduce.
 
@@ -356,6 +357,12 @@ def hash_exchange(
     carries the reduced schema — required when downstream unions blocks.
     When False (default), an all-empty partition passes ``parts[0]``
     through unreduced (for reducers that can't handle zero rows).
+
+    ``empty_base``: 0-row table standing in for an all-empty partition's
+    input.  Ray Data skips map UDFs on empty blocks, so when EVERY upstream
+    block of a partition was empty, the parts can be schema-less 0-column
+    tables; with ``empty_base`` the reduce runs on (or passes through) a
+    table with the operator's real input schema instead.
 
     ``compress``: dictionary-encode string columns in flight (see
     :func:`_pack_dict`); decoded before ``reduce_fn``.
@@ -371,6 +378,8 @@ def hash_exchange(
             # pick a part that still carries the schema (0-row blocks that
             # skipped upstream UDFs can be schema-less)
             base = _unpack_dict(max(parts, key=lambda p: p.num_columns))
+            if empty_base is not None and base.num_columns < empty_base.num_columns:
+                base = empty_base
             return reduce_fn(base) if reduce_empty else base
         return reduce_fn(_unpack_dict(pa.concat_tables(live, promote_options="default")))
 

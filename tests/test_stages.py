@@ -190,6 +190,48 @@ def test_embedding_dup_pairs(ray_session):
     assert {(p["id_a"], p["id_b"]) for p in pairs} == {(3, 7)}
 
 
+def test_dup_pair_ops_keep_schema_when_no_pairs(ray_session):
+    """When zero candidate pairs survive, every block is empty and Ray Data
+    skips the map UDFs — the result must STILL carry the operator's schema
+    (the driver's rows-only check reads it)."""
+    import ray
+
+    from pyjelly_ray.stages.sim import minhash_dup_pairs, simhash_dup_pairs
+
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array(
+                    ["alpha beta gamma delta", "zulu yankee xray whiskey victor"],
+                    pa.string(),
+                ),
+            }
+        )
+    )
+    assert minhash_dup_pairs(docs, threshold=0.99).schema().names == [
+        "doc_a", "doc_b", "est_jaccard",
+    ]
+    assert simhash_dup_pairs(docs, max_hamming=0).schema().names == [
+        "doc_a", "doc_b", "hamming",
+    ]
+    rng = np.random.RandomState(0)
+    emb = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array([1, 2], pa.int64()),
+                "embedding": pa.array(
+                    [rng.standard_normal(8).tolist() for _ in range(2)],
+                    pa.list_(pa.float32()),
+                ),
+            }
+        )
+    )
+    assert embedding_dup_pairs(emb, tau=0.9999).schema().names == [
+        "id_a", "id_b", "cosine",
+    ]
+
+
 def test_tune_hyperplane_params():
     import math
 
