@@ -214,10 +214,22 @@ def main() -> None:
             for p in os.environ.get("GRAFT_SCALING_CPUS", "2,8;8,32").split(";")
         ]
         _corpus_path(SF_DIR, scaling_files)  # generate once before timing
-        results: dict[int, dict] = {}
-        for cpus in sorted({c for p in pairs for c in p}):
-            best = None
-            for _ in range(repeats):
+        # INTERLEAVE repeats across cpu configs (8,32,8,32 — not 8,8,32,32):
+        # the host's effective per-core throughput drifts ~2-3× on minute
+        # timescales (physical-host co-tenancy; 0% steal, CPU-seconds for
+        # identical work measured varying 574 s → 864 s run-to-run).  Two
+        # estimators are reported per pair:
+        #   - best-of-N walls per config ("efficiency"): comparable across
+        #     rounds, but each config's best may sample a DIFFERENT noise
+        #     window, so the ratio is biased on a noisy host;
+        #   - per-window efficiency median ("efficiency_median_window"):
+        #     each repeat window runs every config back-to-back, so the two
+        #     legs of a ratio share most of that window's noise factor —
+        #     the median across windows is the robust scaling estimate.
+        samples: dict[int, list[dict]] = {c: [] for p in pairs for c in p}
+        cpu_configs = sorted(samples)
+        for _ in range(repeats):
+            for cpus in cpu_configs:
                 # flush write-back so neither run pays the other's dirty pages
                 subprocess.run(["sync"], check=False)
                 cmd = [
@@ -226,25 +238,37 @@ def main() -> None:
                 ]
                 out = subprocess.run(cmd, capture_output=True, text=True, check=True)
                 line = out.stdout.strip().splitlines()[-1]
-                r = json.loads(line)
-                if best is None or r["kg"]["wall_sec"] < best["kg"]["wall_sec"]:
-                    best = r
-            results[cpus] = best
+                samples[cpus].append(json.loads(line))
         payload = {
             "metric": "kg_construct_scaling",
             "sf": _sf_tag(SF_DIR),
             "pairs": {},
         }
+        results = {
+            c: min(rs, key=lambda r: r["kg"]["wall_sec"]) for c, rs in samples.items()
+        }
         for lo, hi in pairs:
             t_lo = results[lo]["kg"]["triples_per_sec"]
             t_hi = results[hi]["kg"]["triples_per_sec"]
             eff = (t_hi / t_lo) / (hi / lo)
+            window_effs = sorted(
+                (w_hi["kg"]["triples_per_sec"] / w_lo["kg"]["triples_per_sec"])
+                / (hi / lo)
+                for w_lo, w_hi in zip(samples[lo], samples[hi])
+            )
+            med = window_effs[len(window_effs) // 2]
+            if len(window_effs) % 2 == 0:
+                med = (med + window_effs[len(window_effs) // 2 - 1]) / 2
             payload["pairs"][f"{lo}->{hi}"] = {
                 "efficiency": round(eff, 3),
+                "efficiency_median_window": round(med, 3),
+                "efficiency_windows": [round(e, 3) for e in window_effs],
                 f"throughput_{lo}cpu": t_lo,
                 f"throughput_{hi}cpu": t_hi,
                 f"wall_{lo}cpu": results[lo]["kg"]["wall_sec"],
                 f"wall_{hi}cpu": results[hi]["kg"]["wall_sec"],
+                f"walls_{lo}cpu": [r["kg"]["wall_sec"] for r in samples[lo]],
+                f"walls_{hi}cpu": [r["kg"]["wall_sec"] for r in samples[hi]],
             }
         # headline: the first pair's efficiency
         first = payload["pairs"][f"{pairs[0][0]}->{pairs[0][1]}"]
