@@ -638,6 +638,15 @@ def q_embedding_dup_pairs(sf_dir: str):
     return embedding_dup_pairs(emb, tau=0.8)
 
 
+def q_embedding_pairs_exact(sf_dir: str):
+    """Exact all-pairs cosine ≥ 0.35 (broadcast matmul; SQL-checkable
+    brute-force baseline for the approximate LSH dedup path)."""
+    from ..stages.ann import embedding_dup_pairs_exact
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"], num_blocks=8)
+    return embedding_dup_pairs_exact(emb, tau=0.35, round_to=4)
+
+
 def q_minhash_pairs(sf_dir: str):
     from ..stages.sim import minhash_dup_pairs
 
@@ -974,6 +983,14 @@ ORACLE_SQL: dict[str, str] = {
         ORDER BY sim DESC, vec_id
         LIMIT 10
     """,
+    "q_embedding_pairs_exact": """
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])), 4) AS cosine
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[])), 4) >= 0.35
+    """,
     "q_embedding_label_stats": """
         SELECT label, count(*) AS n_vecs,
                round(avg(round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
@@ -1031,6 +1048,7 @@ QUERIES = {
     "q_kg_jelly_roundtrip": q_kg_jelly_roundtrip,
     "q_embedding_sim_range": q_embedding_sim_range,
     "q_embedding_topk": q_embedding_topk,
+    "q_embedding_pairs_exact": q_embedding_pairs_exact,
     "q_embedding_label_stats": q_embedding_label_stats,
     "q_embedding_ivf_topk": q_embedding_ivf_topk,
     "q_embedding_dup_pairs": q_embedding_dup_pairs,

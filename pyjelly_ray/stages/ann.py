@@ -105,6 +105,68 @@ def cosine_threshold(ds, query, tau: float, *, id_col: str = "vec_id", round_to:
     return ds.map_batches(thresh, batch_format="pyarrow", batch_size=None)
 
 
+class _AllPairsScorer:
+    """Per-batch all-pairs scorer vs a broadcast (ids, matrix) reference.
+
+    Emits (id_a, id_b, cosine) with id_a < id_b so each unordered pair
+    surfaces exactly once across all batches."""
+
+    def __init__(self, ref, tau: float, round_to: int | None, id_col: str) -> None:
+        import ray
+
+        ids, m = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        self.all_ids = ids
+        self.all_m = _normalize(m)
+        self.tau = tau
+        self.round_to = round_to
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _EMB_PAIRS_EMPTY
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        m = _normalize(_stack(batch))
+        sims = m @ self.all_m.T  # (batch, n_all)
+        if self.round_to is not None:
+            sims = np.round(sims, self.round_to)  # round BEFORE thresholding
+        # id_a < id_b keeps each pair once (and drops self-pairs)
+        keep = (sims >= self.tau) & (ids[:, None] < self.all_ids[None, :])
+        bi, ai = np.nonzero(keep)
+        return pa.table(
+            {
+                "id_a": pa.array(ids[bi], pa.int64()),
+                "id_b": pa.array(self.all_ids[ai], pa.int64()),
+                "cosine": pa.array(sims[bi, ai], pa.float64()),
+            }
+        )
+
+
+def embedding_dup_pairs_exact(
+    ds, *, tau: float, id_col: str = "vec_id", round_to: int | None = 4
+):
+    """EXACT all-pairs cosine near-dup pairs (the brute-force baseline).
+
+    The full (ids, matrix) reference is broadcast once (``ray.put``); each
+    batch does ONE matmul against it and emits its rows' qualifying pairs —
+    work is O(n²/B) per batch, distributed, with no shuffle at all.  This
+    is the SQL-oracle-checkable baseline the approximate path
+    (:func:`embedding_dup_pairs`, LSH, ~90% recall) is judged against;
+    use it when n is bounded (the broadcast side must fit in a worker),
+    LSH when it isn't.
+    """
+    import ray
+
+    tables = ray.get(ds.materialize().to_arrow_refs())
+    full = pa.concat_tables([t for t in tables if t.num_rows], promote_options="default")
+    ids = full.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    ref = ray.put((ids, _stack(full)))
+    return ds.map_batches(
+        _AllPairsScorer(ref, tau, round_to, id_col),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+
 # ------------------------------- IVF ----------------------------------------
 
 
