@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "q_doc_splits",
     "q_doc_token_stats",
     "q_doc_quality",
+    "q_corpus_prep",
     "q_minhash_pairs",
     "q_ngram_jaccard_pairs",
     "q_simhash_pairs",

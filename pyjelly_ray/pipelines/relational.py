@@ -647,6 +647,68 @@ def q_embedding_pairs_exact(sf_dir: str):
     return embedding_dup_pairs_exact(emb, tau=0.35, round_to=4)
 
 
+def q_corpus_prep(sf_dir: str):
+    """Composed training-corpus prep: quality filter → exact dedup
+    (keep-first per text) → deterministic split → per-(lang, split) stats.
+
+    One streaming plan chaining the engine's stages: vectorized scoring
+    (`add_tokens`/`quality_scores`) and filtering in `map_batches`, exact
+    dedup on the hash exchange (`grouped_map`, keyed on text here; swap the
+    key to the 128-bit content hash of `stages/dedup.py` at corpus scale so
+    the shuffle ships 16 bytes instead of documents), the shuffle-free
+    split tagger, and a partial-combine `grouped_agg` — fully SQL-checkable.
+    """
+    from ..stages.agg import grouped_map
+    from ..stages.sample import deterministic_split
+    from ..stages.text import add_tokens, quality_scores
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def score_filter(b: pa.Table) -> pa.Table:
+        sr = quality_scores(b).column("stopword_ratio")
+        b = add_tokens(b)
+        keep = pc.and_(
+            pc.greater_equal(b.column("n_tokens"), pa.scalar(20, pa.int64())),
+            pc.less_equal(sr, pa.scalar(0.08, pa.float64())),
+        )
+        return b.select(["doc_id", "text", "lang", "n_tokens"]).filter(keep)
+
+    def keep_first(t: pa.Table) -> pa.Table:
+        """First (min doc_id) row per text run of a key-sorted partition."""
+        from ..stages.agg import _key_run_bounds
+
+        out_cols = ["doc_id", "lang", "n_tokens"]
+        if t.num_rows == 0:
+            return t.select([c for c in out_cols if c in t.column_names])
+        t = t.sort_by([("text", "ascending"), ("doc_id", "ascending")])
+        bounds = _key_run_bounds(t, ["text"])
+        mask = np.zeros(t.num_rows, bool)
+        mask[bounds[:-1]] = True
+        return t.filter(pa.array(mask)).select(out_cols)
+
+    kept = docs.map_batches(score_filter, batch_format="pyarrow")
+    deduped = grouped_map(
+        kept,
+        "text",
+        keep_first,
+        per_group=False,
+        empty_schema=pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "text": pa.array([], pa.string()),
+                "lang": pa.array([], pa.string()),
+                "n_tokens": pa.array([], pa.int64()),
+            }
+        ),
+    )
+    tagged = deterministic_split(deduped, id_col="doc_id", splits=_SPLITS, seed="r1")
+    return grouped_agg(
+        tagged,
+        ["lang", "split"],
+        [("n_docs", "doc_id", "count"), ("sum_tokens", "n_tokens", "sum")],
+    )
+
+
 def q_minhash_pairs(sf_dir: str):
     from ..stages.sim import minhash_dup_pairs
 
@@ -1012,6 +1074,32 @@ def _doc_splits_sql() -> str:
 
 ORACLE_SQL["q_doc_splits"] = _doc_splits_sql()
 
+
+def _corpus_prep_sql() -> str:
+    from ..stages.sample import sql_split_case
+
+    case = sql_split_case("doc_id", _SPLITS, seed="r1")
+    return f"""
+        WITH scored AS (
+            SELECT doc_id, lang, text,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   round(len(list_filter(string_split(text, ' '),
+                                         w -> w IN ('the', 'a'))) * 1.0
+                         / len(string_split(text, ' ')), 6) AS sr
+            FROM documents),
+        kept AS (SELECT * FROM scored WHERE n_tokens >= 20 AND sr <= 0.08),
+        dedup AS (
+            SELECT k.* FROM kept k
+            JOIN (SELECT text, min(doc_id) AS m FROM kept GROUP BY text) d
+              ON k.doc_id = d.m)
+        SELECT lang, {case} AS split,
+               count(*) AS n_docs, sum(n_tokens) AS sum_tokens
+        FROM dedup GROUP BY 1, 2
+    """
+
+
+ORACLE_SQL["q_corpus_prep"] = _corpus_prep_sql()
+
 #: queries with no SQL equivalent (driver records rows-only check)
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
@@ -1041,6 +1129,7 @@ QUERIES = {
     "q_doc_token_stats": q_doc_token_stats,
     "q_doc_quality": q_doc_quality,
     "q_doc_dedup_stats": q_doc_dedup_stats,
+    "q_corpus_prep": q_corpus_prep,
     "q_doc_exact_dedup_docs": q_doc_exact_dedup_docs,
     "q_lang_id": q_lang_id,
     "q_doc_fingerprints": q_doc_fingerprints,
