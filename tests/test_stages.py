@@ -190,6 +190,38 @@ def test_embedding_dup_pairs(ray_session):
     assert {(p["id_a"], p["id_b"]) for p in pairs} == {(3, 7)}
 
 
+def test_embedding_dup_pairs_exact_multiblock(ray_session):
+    """Each unordered pair must surface exactly once even when its two rows
+    live in different blocks, and match the numpy brute force."""
+    import ray
+
+    from pyjelly_ray.stages.ann import embedding_dup_pairs_exact
+
+    rng = np.random.RandomState(3)
+    m = rng.standard_normal((60, 16))
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(60), pa.int64()),
+            "embedding": pa.array([r.tolist() for r in m], pa.list_(pa.float32())),
+        }
+    )
+    tau = 0.3
+    got = embedding_dup_pairs_exact(
+        ray.data.from_arrow(t).repartition(5), tau=tau, round_to=4
+    ).take_all()
+    mn = np.asarray(t.column("embedding").to_pylist(), np.float64)
+    mn /= np.linalg.norm(mn, axis=1, keepdims=True)
+    sims = np.round(mn @ mn.T, 4)
+    ii, jj = np.triu_indices(60, k=1)
+    want = {
+        (int(a), int(b)): sims[a, b]
+        for a, b in zip(ii[sims[ii, jj] >= tau], jj[sims[ii, jj] >= tau])
+    }
+    pairs = {(p["id_a"], p["id_b"]): p["cosine"] for p in got}
+    assert len(got) == len(pairs) == len(want)  # once per pair, none missing
+    assert pairs == want
+
+
 def test_dup_pair_ops_keep_schema_when_no_pairs(ray_session):
     """When zero candidate pairs survive, every block is empty and Ray Data
     skips the map UDFs — the result must STILL carry the operator's schema
