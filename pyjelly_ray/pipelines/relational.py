@@ -92,9 +92,24 @@ def q3_top_orders(sf_dir: str):
         return pa.table({"l_orderkey": b.column("l_orderkey"), "rev": rev})
 
     li = li.map_batches(prep, batch_format="pyarrow")
-    # big ⋈ big: explicit co-partitioned hash join (scale path)
-    joined = hash_join(li, orders, left_key="l_orderkey", right_key="o_orderkey")
-    agg = grouped_agg(joined, ["l_orderkey"], [("revenue", "rev", "sum")], round_to=2)
+
+    def agg_part(t: pa.Table) -> pa.Table:
+        # join key == group key → every l_orderkey is complete within its
+        # partition, so this per-partition aggregate is globally final and
+        # the full join output never needs a second exchange
+        g = t.group_by("l_orderkey").aggregate([("rev", "sum")])
+        return pa.table(
+            {
+                "l_orderkey": g.column("l_orderkey"),
+                "revenue": pc.round(g.column("rev_sum"), ndigits=2),
+            }
+        )
+
+    # big ⋈ big: explicit co-partitioned hash join (scale path), aggregate
+    # fused into the join reduce (hash_join(post=...))
+    agg = hash_join(
+        li, orders, left_key="l_orderkey", right_key="o_orderkey", post=agg_part
+    )
     return global_topk(agg, ["revenue", "l_orderkey"], 10, descending=[True, False])
 
 
@@ -114,7 +129,18 @@ def q5_nation_revenue(sf_dir: str):
         return pa.table({"l_orderkey": b.column("l_orderkey"), "rev": rev})
 
     li = li.map_batches(prep, batch_format="pyarrow")
-    joined = hash_join(li, orders, left_key="l_orderkey", right_key="o_orderkey")
+
+    def partial_by_nation(t: pa.Table) -> pa.Table:
+        # sum is associative → a per-partition PARTIAL by the (different)
+        # final group key shrinks the second exchange to ~n_nations rows
+        # per partition and keeps the full join output off the object store
+        g = t.group_by("n_name").aggregate([("rev", "sum")])
+        return pa.table({"n_name": g.column("n_name"), "rev": g.column("rev_sum")})
+
+    joined = hash_join(
+        li, orders, left_key="l_orderkey", right_key="o_orderkey",
+        post=partial_by_nation,
+    )
     return grouped_agg(joined, ["n_name"], [("revenue", "rev", "sum")], round_to=2)
 
 

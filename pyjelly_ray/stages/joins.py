@@ -86,7 +86,8 @@ def broadcast_semi(ds, small, *, left_key: str, right_key: str | None = None,
 
 def hash_join(left, right, *, left_key: str | list[str],
               right_key: str | list[str] | None = None,
-              how: str = "inner", num_partitions: int = 16):
+              how: str = "inner", num_partitions: int = 16,
+              post=None):
     """Distributed equi-join: co-partition both sides by ``hash(keys) % P``,
     then one vectorized Arrow join per partition.
 
@@ -97,6 +98,13 @@ def hash_join(left, right, *, left_key: str | list[str],
     always share a partition.  At 100 TB, size ``num_partitions`` so one
     partition of both sides fits a worker's heap; skewed keys want salting
     upstream (see SURVEY.md §2.5).
+
+    ``post``: optional per-partition function applied to each joined
+    partition INSIDE the reduce task.  The output is already partitioned by
+    the join key, so any key-local consumer (an aggregate grouped by that
+    key, a dedup on it, a per-key window) is globally correct here —
+    fusing it saves re-exchanging the full join output by the same key,
+    and the joined rows never hit the object store.
     """
     from ..state.exchange import hash_exchange_pair
     from .agg import bucket_codes
@@ -121,12 +129,13 @@ def hash_join(left, right, *, left_key: str | list[str],
         return t.drop_columns(["__bucket"]) if "__bucket" in t.column_names else t
 
     def join_part(lp: pa.Table, rp: pa.Table) -> pa.Table:
-        return _strip(lp).join(
+        out = _strip(lp).join(
             _strip(rp),
             keys=lkeys,
             right_keys=rkeys,
             join_type=how,
         )
+        return post(out) if post is not None else out
 
     return hash_exchange_pair(
         lt,
