@@ -29,12 +29,12 @@ for row in stats.sort("lang").take_all():
     print("  ", row)
 
 manifest = write_partitioned_parquet(
-    QUERIES["q_corpus_prep"](SF_DIR), OUT, partition_cols=["split"], num_partitions=3
+    QUERIES["q_corpus_prep"](SF_DIR), OUT, partition_cols=["split"], num_partitions=8
 )
 print("wrote partitions:")
 print(manifest.to_pandas()[["partition", "rows", "status"]].to_string(index=False))
 manifest2 = write_partitioned_parquet(
-    QUERIES["q_corpus_prep"](SF_DIR), OUT, partition_cols=["split"], num_partitions=3
+    QUERIES["q_corpus_prep"](SF_DIR), OUT, partition_cols=["split"], num_partitions=8
 )
 print("second run (resume — everything skipped):")
 print(manifest2.to_pandas()[["partition", "rows", "status"]].to_string(index=False))
