@@ -190,6 +190,46 @@ def test_embedding_dup_pairs(ray_session):
     assert {(p["id_a"], p["id_b"]) for p in pairs} == {(3, 7)}
 
 
+def test_tuner_properties():
+    """Property check both LSH tuners across the parameter space."""
+    import math
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pyjelly_ray.stages.ann import tune_hyperplane_params
+    from pyjelly_ray.stages.sim import lsh_probability, tune_lsh_params
+
+    @given(
+        t=st.floats(0.05, 0.95),
+        n_perm=st.sampled_from([16, 32, 64, 128, 256]),
+        mr=st.floats(0.5, 0.99),
+    )
+    @settings(max_examples=200, deadline=None)
+    def minhash_recall_floor_holds(t, n_perm, mr):
+        b, r = tune_lsh_params(t, n_perm, min_recall=mr)
+        assert b * r == n_perm
+        assert lsh_probability(t, b, r) >= mr or b == n_perm  # b=n_perm ⇒ fallback max
+
+    @given(
+        tau=st.floats(0.05, 0.98),
+        mr=st.floats(0.5, 0.99),
+        mb=st.integers(4, 64),
+    )
+    @settings(max_examples=200, deadline=None)
+    def hyperplane_recall_floor_holds(tau, mr, mb):
+        b, r = tune_hyperplane_params(tau, min_recall=mr, max_bands=mb)
+        assert 1 <= b <= mb
+        p = 1 - math.acos(tau) / math.pi
+        recall = 1 - (1 - p**r) ** b
+        # either the floor is met, or it was infeasible within max_bands and
+        # the tuner returned the max-recall layout (which uses every band)
+        assert recall >= mr or b == mb
+
+    minhash_recall_floor_holds()
+    hyperplane_recall_floor_holds()
+
+
 def test_embedding_dup_pairs_exact_multiblock(ray_session):
     """Each unordered pair must surface exactly once even when its two rows
     live in different blocks, and match the numpy brute force."""
