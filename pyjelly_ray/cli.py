@@ -8,7 +8,8 @@ Commands:
   to-jelly   --nt PATH_OR_DIR --out DIR [--quads]   (.nt/.nq → .jelly shards)
   from-jelly --jelly PATH_OR_DIR --out DIR          (.jelly → .nt/.nq shards)
   export     --query NAME --sf-dir DIR --out DIR [--partition-cols C,..]
-             [--partitions N]      (run a named query → resumable parquet)
+             [--partitions N] [--hive]  (named query → resumable parquet;
+             --hive: col=value/ dir per distinct combo)
 
 The CLI owns its Ray session (guarded init); library code never does.
 """
@@ -58,6 +59,9 @@ def main(argv=None) -> int:
     ex.add_argument("--partition-cols", default=None,
                     help="comma-separated; defaults to the first output column")
     ex.add_argument("--partitions", type=int, default=16)
+    ex.add_argument("--hive", action="store_true",
+                    help="col=value/ directory per distinct combo (low-"
+                         "cardinality keys) instead of hash partitions")
 
     args = p.parse_args(argv)
 
@@ -144,7 +148,7 @@ def main(argv=None) -> int:
         import pyarrow as pa
 
         from .pipelines.relational import QUERIES
-        from .sinks.parquet_sink import write_partitioned_parquet
+        from .sinks.parquet_sink import write_hive_parquet, write_partitioned_parquet
 
         if args.query not in QUERIES:
             print(json.dumps({"error": f"unknown query {args.query}",
@@ -160,7 +164,8 @@ def main(argv=None) -> int:
             if args.partition_cols
             else [result.schema().names[0]]
         )
-        man = write_partitioned_parquet(
+        sink = write_hive_parquet if args.hive else write_partitioned_parquet
+        man = sink(
             result, args.out, partition_cols=cols, num_partitions=args.partitions
         ).take_all()
         print(json.dumps({

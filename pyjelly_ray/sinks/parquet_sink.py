@@ -99,3 +99,101 @@ def write_partitioned_parquet(
         reduce_fn=write_partition,
         reduce_empty=True,
     )
+
+
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _hive_component(col: str, value) -> str:
+    from urllib.parse import quote
+
+    if value is None:
+        return f"{col}={_HIVE_NULL}"
+    return f"{col}={quote(str(value), safe='')}"
+
+
+def write_hive_parquet(
+    ds,
+    out_dir: str,
+    *,
+    partition_cols: list[str] | str,
+    num_partitions: int = 64,
+    skip_existing: bool = True,
+):
+    """Write one ``col=value/.../part.parquet`` directory per DISTINCT
+    partition-column combination (standard hive layout — readable by
+    pyarrow ``partitioning="hive"``, DuckDB, Spark).
+
+    Same resume contract as :func:`write_partitioned_parquet` (atomic
+    rename, existing files skipped, manifest rows returned), but the
+    file-per-value layout suits LOW-cardinality keys (split, lang, date):
+    the file count is the number of distinct combos, not a fixed hash
+    width.  High-cardinality keys want the hash-partitioned variant.
+    Partition columns are dropped from the file (they're in the path).
+    ``num_partitions`` sizes the underlying exchange; each reduce writes
+    every combo it holds.
+    """
+    from ..stages.agg import _key_run_bounds, grouped_map
+
+    partition_cols = (
+        [partition_cols] if isinstance(partition_cols, str) else list(partition_cols)
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    manifest_empty = pa.table(
+        {
+            "path": pa.array([], pa.string()),
+            "rows": pa.array([], pa.int64()),
+            "bytes": pa.array([], pa.int64()),
+            "status": pa.array([], pa.string()),
+        }
+    )
+
+    def write_groups(t: pa.Table) -> pa.Table:
+        """One key-sorted exchange partition → one file per combo in it."""
+        if t.num_rows == 0:
+            return manifest_empty
+        t = t.sort_by([(c, "ascending") for c in partition_cols])
+        bounds = _key_run_bounds(t, partition_cols)
+        paths, rows, sizes, statuses = [], [], [], []
+        for i in range(len(bounds) - 1):
+            g = t.slice(bounds[i], bounds[i + 1] - bounds[i])
+            comps = [_hive_component(c, g.column(c)[0].as_py()) for c in partition_cols]
+            d = os.path.join(out_dir, *comps)
+            path = os.path.join(d, "part-0.parquet")
+            paths.append(path)
+            rows.append(g.num_rows)
+            if skip_existing and os.path.exists(path):
+                sizes.append(os.path.getsize(path))
+                statuses.append("skipped")
+                continue
+            os.makedirs(d, exist_ok=True)
+            body = g.drop_columns(partition_cols)
+            # byte-deterministic files: canonical order by the sortable
+            # (non-nested) columns; nested payloads ride along
+            sortable = [
+                f.name for f in body.schema if not pa.types.is_nested(f.type)
+            ]
+            if sortable:
+                body = body.sort_by([(c, "ascending") for c in sortable])
+            tmp = path + f".tmp.{os.getpid()}"
+            pq.write_table(body, tmp)
+            os.replace(tmp, path)  # atomic publish
+            sizes.append(os.path.getsize(path))
+            statuses.append("written")
+        return pa.table(
+            {
+                "path": pa.array(paths, pa.string()),
+                "rows": pa.array(rows, pa.int64()),
+                "bytes": pa.array(sizes, pa.int64()),
+                "status": pa.array(statuses, pa.string()),
+            }
+        )
+
+    return grouped_map(
+        ds,
+        partition_cols,
+        write_groups,
+        per_group=False,
+        num_partitions=num_partitions,
+        empty_schema=manifest_empty,
+    )

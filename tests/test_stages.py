@@ -800,6 +800,62 @@ def test_write_partitioned_parquet_resume(ray_session, tmp_path):
     assert all(os.path.getmtime(p) == mt for p, mt in mtimes.items())
 
 
+def test_write_hive_parquet(ray_session, tmp_path):
+    import os
+
+    import pyarrow.dataset as pads
+    import ray
+
+    from pyjelly_ray.sinks.parquet_sink import write_hive_parquet
+
+    t = pa.table(
+        {
+            "lang": pa.array(["en", "de", None, "en"] * 25, pa.string()),
+            "split": pa.array(["train", "val"] * 50, pa.string()),
+            "doc_id": pa.array(range(100), pa.int64()),
+        }
+    )
+    out = str(tmp_path / "hive")
+    man = write_hive_parquet(
+        ray.data.from_arrow(t).repartition(4),
+        out,
+        partition_cols=["lang", "split"],
+        num_partitions=4,
+    ).take_all()
+    written = [m for m in man if m["status"] == "written"]
+    assert sum(m["rows"] for m in written) == 100
+    # standard hive layout: one dir per (lang, split) combo, cols in path
+    assert any("lang=en" in m["path"] and "split=train" in m["path"] for m in written)
+    assert any("__HIVE_DEFAULT_PARTITION__" in m["path"] for m in written)
+    # read-back with generic hive partitioning reconstructs the table
+    back = pads.dataset(out, partitioning="hive").to_table()
+    assert back.num_rows == 100
+    assert sorted(back.column("doc_id").to_pylist()) == list(range(100))
+    got_en_train = back.filter(
+        pa.compute.and_(
+            pa.compute.equal(back.column("lang"), "en"),
+            pa.compute.equal(back.column("split"), "train"),
+        )
+    ).num_rows
+    want = t.filter(
+        pa.compute.and_(
+            pa.compute.equal(t.column("lang"), "en"),
+            pa.compute.equal(t.column("split"), "train"),
+        )
+    ).num_rows
+    assert got_en_train == want
+    # rerun: every combo skipped, files untouched
+    mtimes = {m["path"]: os.path.getmtime(m["path"]) for m in written}
+    man2 = write_hive_parquet(
+        ray.data.from_arrow(t).repartition(4),
+        out,
+        partition_cols=["lang", "split"],
+        num_partitions=4,
+    ).take_all()
+    assert {m["status"] for m in man2 if m["rows"]} == {"skipped"}
+    assert all(os.path.getmtime(p) == mt for p, mt in mtimes.items())
+
+
 def test_grouped_ops_with_null_keys(ray_session):
     import ray
 
