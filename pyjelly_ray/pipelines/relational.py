@@ -211,6 +211,22 @@ def q_order_status(sf_dir: str):
     return left.join(right, keys=["o_orderstatus"])
 
 
+def q_events_value_spread(sf_dir: str):
+    """Per-type value dispersion: mergeable-moment var/std (Σx, Σx², n
+    partials combined per batch — the 100 TB path for second moments)."""
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+    return grouped_agg(
+        ev,
+        ["event_type"],
+        [
+            ("n_events", "value", "count"),
+            ("var_value", "value", "var"),
+            ("std_value", "value", "std"),
+        ],
+        round_to=6,
+    )
+
+
 def q_events_by_type(sf_dir: str):
     ev = _read(sf_dir, "events", ["event_type", "value", "user_id"])
     base = grouped_agg(
@@ -864,6 +880,12 @@ ORACLE_SQL: dict[str, str] = {
                count(DISTINCT o_custkey) AS n_customers
         FROM orders GROUP BY o_orderstatus
     """,
+    "q_events_value_spread": """
+        SELECT event_type, count(*) AS n_events,
+               round(var_samp(value), 6) AS var_value,
+               round(stddev_samp(value), 6) AS std_value
+        FROM events GROUP BY event_type
+    """,
     "q_events_by_type": """
         SELECT event_type, count(*) AS n_events,
                round(sum(value), 2) AS sum_value,
@@ -1137,6 +1159,7 @@ QUERIES = {
     "q_high_value_orders": q_high_value_orders,
     "q_order_status": q_order_status,
     "q_events_by_type": q_events_by_type,
+    "q_events_value_spread": q_events_value_spread,
     "q_events_hourly": q_events_hourly,
     "q_events_daily_ma7": q_events_daily_ma7,
     "q_order_price_quantiles": q_order_price_quantiles,

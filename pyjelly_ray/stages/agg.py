@@ -91,11 +91,18 @@ def bucket_codes(batch: pa.Table, keys: list[str], n_partitions: int):
 def _partial_fn(keys: list[str], specs: list[Spec]):
     aggs = []
     seen = set()
+    sq_cols: list[str] = []
     for _, col, fn in specs:
-        if fn in ("sum", "mean"):
+        if fn in ("sum", "mean", "var", "std"):
             if ("s", col) not in seen:
                 aggs.append((col, "sum"))
                 seen.add(("s", col))
+        if fn in ("var", "std"):
+            # mergeable second moment: Σx² partial per batch
+            if ("sq", col) not in seen:
+                aggs.append((f"{col}__sq", "sum"))
+                sq_cols.append(col)
+                seen.add(("sq", col))
         if fn in ("count", "mean"):
             if ("c",) not in seen:
                 seen.add(("c",))
@@ -110,6 +117,9 @@ def _partial_fn(keys: list[str], specs: list[Spec]):
         work = batch.append_column(
             "__cnt", pa.array(np.ones(batch.num_rows, np.int64))
         )
+        for col in sq_cols:
+            x = pc.cast(work.column(col), pa.float64())
+            work = work.append_column(f"{col}__sq", pc.multiply(x, x))
         plan = list(aggs) + [("__cnt", "sum")]
         # empty-safe: group_by on a 0-row table still yields the aggregated
         # schema, which the exchange and finalize rely on.
@@ -140,7 +150,9 @@ def grouped_agg(ds, keys: list[str] | str, specs: list[Spec], *,
 
     # merge partials per hash partition: sum the sums/counts, min the mins, ...
     sum_cols = sorted(
-        {f"{col}_sum" for _, col, fn in specs if fn in ("sum", "mean")} | {"__cnt_sum"}
+        {f"{col}_sum" for _, col, fn in specs if fn in ("sum", "mean", "var", "std")}
+        | {f"{col}__sq_sum" for _, col, fn in specs if fn in ("var", "std")}
+        | {"__cnt_sum"}
     )
     min_cols = sorted({f"{col}_min" for _, col, fn in specs if fn == "min"})
     max_cols = sorted({f"{col}_max" for _, col, fn in specs if fn == "max"})
@@ -190,6 +202,24 @@ def grouped_agg(ds, keys: list[str] | str, specs: list[Spec], *,
                 v = batch.column(f"{col}_min")
             elif fn == "max":
                 v = batch.column(f"{col}_max")
+            elif fn in ("var", "std"):
+                # sample variance from mergeable moments:
+                # (Σx² − (Σx)²/n) / (n−1); NULL when n ≤ 1 (= DuckDB
+                # var_samp/stddev).  max(·, 0) guards the tiny negative
+                # residue floating-point cancellation can leave.
+                s = pc.cast(batch.column(f"{col}_sum"), pa.float64())
+                sq = pc.cast(batch.column(f"{col}__sq_sum"), pa.float64())
+                n = pc.cast(cnt, pa.float64())
+                num = pc.subtract(sq, pc.divide(pc.multiply(s, s), n))
+                num = pc.max_element_wise(num, pa.scalar(0.0, pa.float64()))
+                v = pc.divide(num, pc.subtract(n, pa.scalar(1.0, pa.float64())))
+                if fn == "std":
+                    v = pc.sqrt(v)
+                v = pc.if_else(
+                    pc.greater(cnt, pa.scalar(1, pa.int64())),
+                    v,
+                    pa.scalar(None, pa.float64()),
+                )
             else:
                 raise ValueError(fn)
             if round_to is not None and pa.types.is_floating(v.type):

@@ -856,6 +856,43 @@ def test_write_hive_parquet(ray_session, tmp_path):
     assert all(os.path.getmtime(p) == mt for p, mt in mtimes.items())
 
 
+def test_grouped_agg_var_std(ray_session):
+    """var/std from mergeable moments across blocks; n=1 group → NULL
+    (sample semantics, matching DuckDB var_samp/stddev)."""
+    import ray
+
+    from pyjelly_ray.stages.agg import grouped_agg
+
+    t = pa.table(
+        {
+            "k": pa.array(["a"] * 7 + ["b"] * 5 + ["c"], pa.string()),
+            "v": pa.array([1.5, 2.0, -3.0, 4.25, 0.0, 7.5, 2.25,
+                           10.0, 10.0, 11.0, 9.5, 10.5, 42.0], pa.float64()),
+        }
+    )
+    got = (
+        grouped_agg(
+            ray.data.from_arrow(t).repartition(4),
+            ["k"],
+            [("n", "v", "count"), ("var_v", "v", "var"), ("std_v", "v", "std")],
+            round_to=9,
+        )
+        .to_pandas()
+        .set_index("k")
+        .sort_index()
+    )
+    import numpy as np
+    import pandas as pd
+
+    for k in ("a", "b"):
+        vals = np.array(t.filter(pa.compute.equal(t.column("k"), k)).column("v"))
+        assert got.loc[k, "n"] == len(vals)
+        assert abs(got.loc[k, "var_v"] - vals.var(ddof=1)) < 1e-8
+        assert abs(got.loc[k, "std_v"] - vals.std(ddof=1)) < 1e-8
+    assert got.loc["c", "n"] == 1
+    assert pd.isna(got.loc["c", "var_v"]) and pd.isna(got.loc["c", "std_v"])
+
+
 def test_grouped_ops_with_null_keys(ray_session):
     import ray
 
