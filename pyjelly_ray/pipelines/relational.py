@@ -227,6 +227,23 @@ def q_events_value_spread(sf_dir: str):
     )
 
 
+def q_lineitem_qty_price_corr(sf_dir: str):
+    """Per-returnflag Pearson corr(quantity, extendedprice) from mergeable
+    moments (Σx, Σy, Σx², Σy², Σxy partials → one tiny exchange)."""
+    li = _read(
+        sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_extendedprice"]
+    )
+    return grouped_agg(
+        li,
+        ["l_returnflag"],
+        [
+            ("n_items", "l_quantity", "count"),
+            ("qty_price_corr", ("l_quantity", "l_extendedprice"), "corr"),
+        ],
+        round_to=6,
+    )
+
+
 def q_events_by_type(sf_dir: str):
     ev = _read(sf_dir, "events", ["event_type", "value", "user_id"])
     base = grouped_agg(
@@ -880,6 +897,11 @@ ORACLE_SQL: dict[str, str] = {
                count(DISTINCT o_custkey) AS n_customers
         FROM orders GROUP BY o_orderstatus
     """,
+    "q_lineitem_qty_price_corr": """
+        SELECT l_returnflag, count(*) AS n_items,
+               round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr
+        FROM lineitem GROUP BY l_returnflag
+    """,
     "q_events_value_spread": """
         SELECT event_type, count(*) AS n_events,
                round(var_samp(value), 6) AS var_value,
@@ -1160,6 +1182,7 @@ QUERIES = {
     "q_order_status": q_order_status,
     "q_events_by_type": q_events_by_type,
     "q_events_value_spread": q_events_value_spread,
+    "q_lineitem_qty_price_corr": q_lineitem_qty_price_corr,
     "q_events_hourly": q_events_hourly,
     "q_events_daily_ma7": q_events_daily_ma7,
     "q_order_price_quantiles": q_order_price_quantiles,

@@ -92,7 +92,24 @@ def _partial_fn(keys: list[str], specs: list[Spec]):
     aggs = []
     seen = set()
     sq_cols: list[str] = []
+    xy_cols: list[tuple[str, str]] = []
     for _, col, fn in specs:
+        if fn == "corr":
+            # col is an (x, y) pair; moments Σx, Σy, Σx², Σy², Σxy
+            x, y = col
+            for c in (x, y):
+                if ("s", c) not in seen:
+                    aggs.append((c, "sum"))
+                    seen.add(("s", c))
+                if ("sq", c) not in seen:
+                    aggs.append((f"{c}__sq", "sum"))
+                    sq_cols.append(c)
+                    seen.add(("sq", c))
+            if ("xy", x, y) not in seen:
+                aggs.append((f"{x}__xy__{y}", "sum"))
+                xy_cols.append((x, y))
+                seen.add(("xy", x, y))
+            continue
         if fn in ("sum", "mean", "var", "std"):
             if ("s", col) not in seen:
                 aggs.append((col, "sum"))
@@ -120,6 +137,10 @@ def _partial_fn(keys: list[str], specs: list[Spec]):
         for col in sq_cols:
             x = pc.cast(work.column(col), pa.float64())
             work = work.append_column(f"{col}__sq", pc.multiply(x, x))
+        for x, y in xy_cols:
+            xv = pc.cast(work.column(x), pa.float64())
+            yv = pc.cast(work.column(y), pa.float64())
+            work = work.append_column(f"{x}__xy__{y}", pc.multiply(xv, yv))
         plan = list(aggs) + [("__cnt", "sum")]
         # empty-safe: group_by on a 0-row table still yields the aggregated
         # schema, which the exchange and finalize rely on.
@@ -149,9 +170,13 @@ def grouped_agg(ds, keys: list[str] | str, specs: list[Spec], *,
     )
 
     # merge partials per hash partition: sum the sums/counts, min the mins, ...
+    corr_pairs = [col for _, col, fn in specs if fn == "corr"]
     sum_cols = sorted(
         {f"{col}_sum" for _, col, fn in specs if fn in ("sum", "mean", "var", "std")}
         | {f"{col}__sq_sum" for _, col, fn in specs if fn in ("var", "std")}
+        | {f"{c}_sum" for x, y in corr_pairs for c in (x, y)}
+        | {f"{c}__sq_sum" for x, y in corr_pairs for c in (x, y)}
+        | {f"{x}__xy__{y}_sum" for x, y in corr_pairs}
         | {"__cnt_sum"}
     )
     min_cols = sorted({f"{col}_min" for _, col, fn in specs if fn == "min"})
@@ -218,6 +243,36 @@ def grouped_agg(ds, keys: list[str] | str, specs: list[Spec], *,
                 v = pc.if_else(
                     pc.greater(cnt, pa.scalar(1, pa.int64())),
                     v,
+                    pa.scalar(None, pa.float64()),
+                )
+            elif fn == "corr":
+                # Pearson r from mergeable moments:
+                # (nΣxy − ΣxΣy) / √((nΣx²−(Σx)²)(nΣy²−(Σy)²));
+                # NULL when n ≤ 1 or either variance is 0 (= DuckDB corr)
+                x, y = col
+                n = pc.cast(cnt, pa.float64())
+                sx = pc.cast(batch.column(f"{x}_sum"), pa.float64())
+                sy = pc.cast(batch.column(f"{y}_sum"), pa.float64())
+                sxx = pc.cast(batch.column(f"{x}__sq_sum"), pa.float64())
+                syy = pc.cast(batch.column(f"{y}__sq_sum"), pa.float64())
+                sxy = pc.cast(batch.column(f"{x}__xy__{y}_sum"), pa.float64())
+                num = pc.subtract(pc.multiply(n, sxy), pc.multiply(sx, sy))
+                dx = pc.max_element_wise(
+                    pc.subtract(pc.multiply(n, sxx), pc.multiply(sx, sx)),
+                    pa.scalar(0.0, pa.float64()),
+                )
+                dy = pc.max_element_wise(
+                    pc.subtract(pc.multiply(n, syy), pc.multiply(sy, sy)),
+                    pa.scalar(0.0, pa.float64()),
+                )
+                den = pc.sqrt(pc.multiply(dx, dy))
+                ok = pc.and_(
+                    pc.greater(cnt, pa.scalar(1, pa.int64())),
+                    pc.greater(den, pa.scalar(0.0, pa.float64())),
+                )
+                v = pc.if_else(
+                    ok,
+                    pc.divide(num, pc.if_else(ok, den, pa.scalar(1.0, pa.float64()))),
                     pa.scalar(None, pa.float64()),
                 )
             else:
