@@ -326,6 +326,22 @@ def q_top_words(sf_dir: str):
     return global_topk(counts, ["n", "word"], 20, descending=[True, False])
 
 
+def q_top_words_approx(sf_dir: str):
+    """Heavy-hitters-sketch variant of ``q_top_words`` (rows-only check —
+    bounded per-block state; accuracy unit-tested vs exact counts within
+    the n/(per_block+1) Misra-Gries bound in ``tests/test_sketch.py``)."""
+    from ..stages.sketch import approx_heavy_hitters
+
+    docs = _read(sf_dir, "documents", ["text"])
+
+    def words(b: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(pc.split_pattern(b.column("text"), pattern=" "))
+        return pa.table({"word": flat})
+
+    exploded = docs.map_batches(words, batch_format="pyarrow")
+    return approx_heavy_hitters(exploded, "word", k=20)
+
+
 def q_customer_order_counts(sf_dir: str):
     """LEFT OUTER broadcast join: order count per customer incl. zeros."""
     orders = _read(sf_dir, "orders", ["o_custkey"])
@@ -1183,6 +1199,7 @@ QUERIES = {
     "q_events_by_type": q_events_by_type,
     "q_events_value_spread": q_events_value_spread,
     "q_lineitem_qty_price_corr": q_lineitem_qty_price_corr,
+    "q_top_words_approx": q_top_words_approx,
     "q_events_hourly": q_events_hourly,
     "q_events_daily_ma7": q_events_daily_ma7,
     "q_order_price_quantiles": q_order_price_quantiles,

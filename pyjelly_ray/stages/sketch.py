@@ -280,3 +280,52 @@ def grouped_approx_quantiles(ds, keys: list[str] | str, col: str,
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
     return grouped_map(partials, keys, merge)
+
+
+def approx_heavy_hitters(ds, col: str, k: int = 10, *, per_block: int | None = None,
+                         count_name: str = "approx_count"):
+    """Approximate global top-k values by frequency (mergeable heavy hitters).
+
+    Space-bounded alternative to the exact explode→count→topk pipeline
+    (``q_top_words``) whose intermediate is |distinct values| — unbounded at
+    web scale.  Shape (the Misra-Gries / lossy-counting family, mergeable-
+    summaries style):
+
+    1. per block: EXACT in-block counts (one Arrow ``group_by``), pruned to
+       the ``per_block`` largest counters (default ``64·k``) — bounded
+       per-block state and shuffle volume ``per_block × blocks``;
+    2. one hash exchange summing retained counters per value;
+    3. global top-k on the merged lower-bound counts.
+
+    Guarantee: each block drops only counters ≤ its (per_block+1)-th
+    largest, so a value's reported count under-counts by at most
+    Σ_b n_b/(per_block+1) ≤ n/(per_block+1).  Any value with true frequency
+    above that slack cannot be displaced out of the top-k by pruning.
+    Counts are exact for values retained in every block.
+    """
+    from .agg import global_topk, grouped_agg
+
+    m = per_block if per_block is not None else 64 * k
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {col: b.column(col) if col in b.column_names
+                 else pa.array([], pa.string()),
+                 "_cnt": pa.array([], pa.int64())}
+            )
+        g = b.select([col]).group_by([col]).aggregate([([], "count_all")])
+        cnt = g.column("count_all")
+        if g.num_rows > m:
+            order = pc.select_k_unstable(
+                g, k=m, sort_keys=[("count_all", "descending")]
+            )
+            g = g.take(order)
+            cnt = g.column("count_all")
+        return pa.table({col: g.column(col), "_cnt": pc.cast(cnt, pa.int64())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    merged = grouped_agg(
+        partials, [col], [(count_name, "_cnt", "sum")], sum_as_float=False
+    )
+    return global_topk(merged, [count_name, col], k, descending=[True, False])

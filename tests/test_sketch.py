@@ -77,3 +77,30 @@ def test_grouped_sketches_vs_exact(ray_session):
     for c in ("p50", "p90"):
         rel = abs(mq[f"{c}_a"] - mq[f"{c}_e"]) / abs(mq[f"{c}_e"])
         assert rel.max() < 0.05, (c, rel.max())
+
+
+def test_approx_heavy_hitters_vs_exact(ray_session):
+    """Zipf-ish multi-block stream: sketch top-k == exact top-k, counts
+    exact for always-retained values and within the n/(m+1) bound."""
+    import collections
+
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from pyjelly_ray.stages.sketch import approx_heavy_hitters
+
+    rng = np.random.RandomState(11)
+    # 40 heavy words (zipf weights) + a long tail of rare ones
+    heavy = [f"w{i}" for i in range(40)]
+    w = 1.0 / np.arange(1, 41)
+    vals = list(rng.choice(heavy, size=20_000, p=w / w.sum()))
+    vals += [f"rare{i}" for i in range(5_000)]
+    rng.shuffle(vals)
+    t = pa.table({"word": pa.array(vals, pa.string())})
+    got = approx_heavy_hitters(
+        ray.data.from_arrow(t).repartition(8), "word", k=10, per_block=640
+    ).take_all()
+    exact = collections.Counter(vals)
+    want = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [(r["word"], r["approx_count"]) for r in got] == want
