@@ -329,3 +329,100 @@ def approx_heavy_hitters(ds, col: str, k: int = 10, *, per_block: int | None = N
         partials, [col], [(count_name, "_cnt", "sum")], sum_as_float=False
     )
     return global_topk(merged, [count_name, col], k, descending=[True, False])
+
+
+class BloomFilter:
+    """Vectorized Bloom filter over 64-bit value hashes (mergeable by OR).
+
+    Double hashing (Kirsch-Mitzenmatcher): probe bit i is
+    ``(h1 + i·h2) mod m`` from two halves of one splitmix64/sha256 hash —
+    no per-hash recomputation.  ``m`` is rounded up to a power of two.
+    """
+
+    def __init__(self, n_expected: int, fp_rate: float = 0.01,
+                 bits: np.ndarray | None = None):
+        m = max(64, int(-n_expected * np.log(fp_rate) / (np.log(2) ** 2)))
+        self.m = 1 << int(np.ceil(np.log2(m)))
+        self.n_hashes = max(1, int(round(self.m / max(1, n_expected) * np.log(2))))
+        self.bits = (
+            bits if bits is not None else np.zeros(self.m // 64, np.uint64)
+        )
+
+    def _probes(self, h: np.ndarray) -> np.ndarray:
+        """(n, n_hashes) bit positions in [0, m)."""
+        h1 = h & np.uint64(0xFFFFFFFF)
+        h2 = (h >> np.uint64(32)) | np.uint64(1)  # odd → cycles all slots
+        i = np.arange(self.n_hashes, dtype=np.uint64)[None, :]
+        with np.errstate(over="ignore"):
+            return (h1[:, None] + i * h2[:, None]) & np.uint64(self.m - 1)
+
+    def add_hashes(self, h: np.ndarray) -> None:
+        pos = self._probes(h).reshape(-1)
+        np.bitwise_or.at(
+            self.bits, (pos >> np.uint64(6)).astype(np.int64),
+            np.uint64(1) << (pos & np.uint64(63)),
+        )
+
+    def contains_hashes(self, h: np.ndarray) -> np.ndarray:
+        if len(h) == 0:
+            return np.zeros(0, bool)
+        pos = self._probes(h)
+        word = self.bits[(pos >> np.uint64(6)).astype(np.int64)]
+        hit = (word >> (pos & np.uint64(63))) & np.uint64(1)
+        return hit.all(axis=1)
+
+    def merge(self, other: "BloomFilter") -> "BloomFilter":
+        assert self.m == other.m and self.n_hashes == other.n_hashes
+        out = BloomFilter.__new__(BloomFilter)
+        out.m, out.n_hashes, out.bits = self.m, self.n_hashes, self.bits | other.bits
+        return out
+
+
+def build_bloom(ds, col: str, *, n_expected: int, fp_rate: float = 0.01) -> BloomFilter:
+    """Build a Bloom filter of ``ds[col]`` (one pass, partial OR per block).
+
+    Partials are per-block bitmaps OR-merged on the driver — bitmap size is
+    fixed by (n_expected, fp_rate) regardless of row count, the same
+    bounded-state shape as the other sketches.  Broadcast the result with
+    ``ray.put`` into :func:`bloom_semi` to pre-filter a big table by a big
+    key set WITHOUT a shuffle: no false negatives, ~fp_rate of non-matching
+    rows survive (chase exactness with a hash_join semi on the survivors —
+    orders of magnitude smaller input).
+    """
+
+    def partial(b: pa.Table):
+        bf = BloomFilter(n_expected, fp_rate)
+        if b.num_rows:
+            bf.add_hashes(_hash64(b.column(col)))
+        return pa.table({"_bloom": pa.array([bf.bits.tobytes()], pa.binary())})
+
+    acc = BloomFilter(n_expected, fp_rate)
+    for row in ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=None
+    ).iter_rows():
+        acc.bits |= np.frombuffer(row["_bloom"], np.uint64)
+    return acc
+
+
+def bloom_semi(ds, bloom_ref, col: str):
+    """Keep rows whose ``col`` MAY be in the broadcast Bloom filter.
+
+    ``bloom_ref``: a :class:`BloomFilter` or a ``ray.put`` ObjectRef to one
+    (broadcast once, read per task — never re-shipped per batch).
+    """
+    import ray
+
+    class _Member:
+        def __init__(self) -> None:
+            self.bf = (
+                ray.get(bloom_ref)
+                if isinstance(bloom_ref, ray.ObjectRef)
+                else bloom_ref
+            )
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return b
+            return b.filter(pa.array(self.bf.contains_hashes(_hash64(b.column(col)))))
+
+    return ds.map_batches(_Member, batch_format="pyarrow", concurrency=(1, 8))

@@ -104,3 +104,47 @@ def test_approx_heavy_hitters_vs_exact(ray_session):
     exact = collections.Counter(vals)
     want = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
     assert [(r["word"], r["approx_count"]) for r in got] == want
+
+
+def test_bloom_semi_prefilter(ray_session):
+    """No false negatives; FP rate near target; bloom-prefilter + exact
+    semi == plain exact semi."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from pyjelly_ray.stages.joins import broadcast_semi
+    from pyjelly_ray.stages.sketch import BloomFilter, _hash64, build_bloom, bloom_semi
+
+    keys = pa.table({"k": pa.array(range(0, 4000, 2), pa.int64())})  # evens
+    big = pa.table(
+        {"k": pa.array(range(6000), pa.int64()),
+         "v": pa.array(range(6000), pa.int64())}
+    )
+    bloom = build_bloom(
+        ray.data.from_arrow(keys).repartition(4), "k", n_expected=2000, fp_rate=0.01
+    )
+    # merge is OR: building from two halves equals one-shot build
+    h1 = BloomFilter(2000, 0.01); h1.add_hashes(_hash64(keys.column("k").slice(0, 1000)))
+    h2 = BloomFilter(2000, 0.01); h2.add_hashes(_hash64(keys.column("k").slice(1000)))
+    assert np.array_equal(h1.merge(h2).bits, bloom.bits)
+
+    ref = ray.put(bloom)
+    surv = bloom_semi(
+        ray.data.from_arrow(big).repartition(4), ref, "k"
+    ).to_pandas()
+    members = set(range(0, 4000, 2))
+    got = set(surv["k"])
+    assert members <= got  # NO false negatives
+    fp = len(got - members) / (6000 - len(members))
+    assert fp < 0.03  # ~1% target with slack
+    # prefilter + exact semi == exact semi
+    exact = broadcast_semi(
+        ray.data.from_arrow(big), ray.data.from_arrow(keys),
+        left_key="k", right_key="k",
+    ).to_pandas()
+    refined = broadcast_semi(
+        bloom_semi(ray.data.from_arrow(big).repartition(4), ref, "k"),
+        ray.data.from_arrow(keys), left_key="k", right_key="k",
+    ).to_pandas()
+    assert sorted(refined["k"]) == sorted(exact["k"])
