@@ -326,6 +326,31 @@ def q_top_words(sf_dir: str):
     return global_topk(counts, ["n", "word"], 20, descending=[True, False])
 
 
+def q_customer_running_spend(sf_dir: str):
+    """Running totals per customer (SQL window functions, one exchange):
+    cumulative spend, running max order, order sequence number and the
+    previous order's price — all from one ``grouped_running`` pass."""
+    from ..stages.window import grouped_running
+
+    orders = _read(
+        sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"]
+    )
+    return grouped_running(
+        orders,
+        key="o_custkey",
+        order_col="o_orderdate",
+        value_col="o_totalprice",
+        kinds=[
+            ("cum_spend", "cumsum"),
+            ("max_order", "cummax"),
+            ("order_seq", "row_number"),
+            ("prev_price", "lag"),
+        ],
+        round_to=2,
+        tiebreak="o_orderkey",
+    )
+
+
 def q_top_words_approx(sf_dir: str):
     """Heavy-hitters-sketch variant of ``q_top_words`` (rows-only check —
     bounded per-block state; accuracy unit-tested vs exact counts within
@@ -913,6 +938,16 @@ ORACLE_SQL: dict[str, str] = {
                count(DISTINCT o_custkey) AS n_customers
         FROM orders GROUP BY o_orderstatus
     """,
+    "q_customer_running_spend": """
+        SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+               round(sum(o_totalprice) OVER w, 2) AS cum_spend,
+               round(max(o_totalprice) OVER w, 2) AS max_order,
+               row_number() OVER w AS order_seq,
+               round(lag(o_totalprice) OVER w, 2) AS prev_price
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey)
+    """,
     "q_lineitem_qty_price_corr": """
         SELECT l_returnflag, count(*) AS n_items,
                round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr
@@ -1200,6 +1235,7 @@ QUERIES = {
     "q_events_value_spread": q_events_value_spread,
     "q_lineitem_qty_price_corr": q_lineitem_qty_price_corr,
     "q_top_words_approx": q_top_words_approx,
+    "q_customer_running_spend": q_customer_running_spend,
     "q_events_hourly": q_events_hourly,
     "q_events_daily_ma7": q_events_daily_ma7,
     "q_order_price_quantiles": q_order_price_quantiles,

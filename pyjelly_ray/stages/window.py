@@ -106,3 +106,67 @@ def rolling_mean(ds, *, key: str, order_col: str, value_col: str,
         return t.append_column(out_name, round_like_duckdb(pa.array(ma), round_to))
 
     return grouped_map(ds, key, fn)
+
+
+def grouped_running(ds, *, key: str, order_col: str, value_col: str,
+                    kinds: list[tuple[str, str]], round_to: int | None = None,
+                    tiebreak: str | None = None):
+    """Ordered per-key running-window columns in one exchange.
+
+    ``kinds``: ``(out_name, kind)`` with kind ∈ {cumsum, cummax, lag,
+    row_number} — SQL ``SUM/MAX(value) OVER (PARTITION BY key ORDER BY
+    order_col)``, ``lag(value)``, ``row_number()``.  ``tiebreak`` (extra
+    sort column) makes ordering total when ``order_col`` has ties — without
+    it, ties make lag/row_number nondeterministic, exactly as in SQL.
+
+    Partition-level vectorized kernel (``grouped_map(per_group=False)``):
+    one sort, run bounds, then segmented numpy ops — no per-group Python
+    call.  Every key's rows co-locate via the one hash exchange; series
+    length per key is unbounded ONLY by that key's row count (same
+    partitioning assumption as sessionize; salt or pre-aggregate hot keys).
+    """
+    sort_keys = [(key, "ascending"), (order_col, "ascending")] + (
+        [(tiebreak, "ascending")] if tiebreak else []
+    )
+
+    def part(t: pa.Table) -> pa.Table:
+        from ..stages.agg import _key_run_bounds
+
+        if t.num_rows == 0:
+            out = t
+            for name, kind in kinds:
+                typ = pa.int64() if kind == "row_number" else pa.float64()
+                out = out.append_column(name, pa.array([], typ))
+            return out
+        t = t.sort_by(sort_keys)
+        bounds = _key_run_bounds(t, [key])
+        # index of each row's group start, vectorized
+        grp_start = np.repeat(bounds[:-1], np.diff(bounds))
+        idx = np.arange(t.num_rows)
+        vals = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        out = t
+        for name, kind in kinds:
+            if kind == "row_number":
+                col = pa.array(idx - grp_start + 1, pa.int64())
+            elif kind in ("cumsum", "cummax"):
+                # per-run accumulate in SQL's sequential order (a global
+                # cumsum minus a group base differs in final ulps from the
+                # window function's left-to-right adds)
+                op = np.add if kind == "cumsum" else np.maximum
+                col_np = vals.copy()
+                for s, e in zip(bounds[:-1], bounds[1:]):
+                    col_np[s:e] = op.accumulate(vals[s:e])
+                col = pa.array(col_np, pa.float64())
+            elif kind == "lag":
+                lagged = np.roll(vals, 1)
+                col_np = np.where(idx == grp_start, np.nan, lagged)
+                col = pa.array(col_np, pa.float64())
+                col = pc.if_else(pc.is_nan(col), pa.scalar(None, pa.float64()), col)
+            else:
+                raise ValueError(kind)
+            if round_to is not None and pa.types.is_floating(col.type):
+                col = round_like_duckdb(col, round_to)
+            out = out.append_column(name, col)
+        return out
+
+    return grouped_map(ds, key, part, per_group=False)
