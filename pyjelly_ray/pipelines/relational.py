@@ -239,6 +239,7 @@ def q_lineitem_qty_price_corr(sf_dir: str):
         [
             ("n_items", "l_quantity", "count"),
             ("qty_price_corr", ("l_quantity", "l_extendedprice"), "corr"),
+            ("qty_price_covar", ("l_quantity", "l_extendedprice"), "covar"),
         ],
         round_to=6,
     )
@@ -950,7 +951,8 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "q_lineitem_qty_price_corr": """
         SELECT l_returnflag, count(*) AS n_items,
-               round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr
+               round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+               round(covar_samp(l_quantity, l_extendedprice), 6) AS qty_price_covar
         FROM lineitem GROUP BY l_returnflag
     """,
     "q_events_value_spread": """

@@ -94,7 +94,7 @@ def _partial_fn(keys: list[str], specs: list[Spec]):
     sq_cols: list[str] = []
     xy_cols: list[tuple[str, str]] = []
     for _, col, fn in specs:
-        if fn == "corr":
+        if fn in ("corr", "covar"):
             # col is an (x, y) pair; moments Σx, Σy, Σx², Σy², Σxy
             x, y = col
             for c in (x, y):
@@ -170,7 +170,7 @@ def grouped_agg(ds, keys: list[str] | str, specs: list[Spec], *,
     )
 
     # merge partials per hash partition: sum the sums/counts, min the mins, ...
-    corr_pairs = [col for _, col, fn in specs if fn == "corr"]
+    corr_pairs = [col for _, col, fn in specs if fn in ("corr", "covar")]
     sum_cols = sorted(
         {f"{col}_sum" for _, col, fn in specs if fn in ("sum", "mean", "var", "std")}
         | {f"{col}__sq_sum" for _, col, fn in specs if fn in ("var", "std")}
@@ -245,9 +245,10 @@ def grouped_agg(ds, keys: list[str] | str, specs: list[Spec], *,
                     v,
                     pa.scalar(None, pa.float64()),
                 )
-            elif fn == "corr":
-                # Pearson r from mergeable moments:
-                # (nΣxy − ΣxΣy) / √((nΣx²−(Σx)²)(nΣy²−(Σy)²));
+            elif fn in ("corr", "covar"):
+                # Pearson r / sample covariance from mergeable moments:
+                # corr = (nΣxy − ΣxΣy) / √((nΣx²−(Σx)²)(nΣy²−(Σy)²));
+                # covar_samp = (Σxy − ΣxΣy/n) / (n−1);
                 # NULL when n ≤ 1 or either variance is 0 (= DuckDB corr)
                 x, y = col
                 n = pc.cast(cnt, pa.float64())
@@ -265,16 +266,29 @@ def grouped_agg(ds, keys: list[str] | str, specs: list[Spec], *,
                     pc.subtract(pc.multiply(n, syy), pc.multiply(sy, sy)),
                     pa.scalar(0.0, pa.float64()),
                 )
-                den = pc.sqrt(pc.multiply(dx, dy))
-                ok = pc.and_(
-                    pc.greater(cnt, pa.scalar(1, pa.int64())),
-                    pc.greater(den, pa.scalar(0.0, pa.float64())),
-                )
-                v = pc.if_else(
-                    ok,
-                    pc.divide(num, pc.if_else(ok, den, pa.scalar(1.0, pa.float64()))),
-                    pa.scalar(None, pa.float64()),
-                )
+                if fn == "covar":
+                    v = pc.divide(
+                        pc.subtract(sxy, pc.divide(pc.multiply(sx, sy), n)),
+                        pc.subtract(n, pa.scalar(1.0, pa.float64())),
+                    )
+                    v = pc.if_else(
+                        pc.greater(cnt, pa.scalar(1, pa.int64())),
+                        v,
+                        pa.scalar(None, pa.float64()),
+                    )
+                else:
+                    den = pc.sqrt(pc.multiply(dx, dy))
+                    ok = pc.and_(
+                        pc.greater(cnt, pa.scalar(1, pa.int64())),
+                        pc.greater(den, pa.scalar(0.0, pa.float64())),
+                    )
+                    v = pc.if_else(
+                        ok,
+                        pc.divide(
+                            num, pc.if_else(ok, den, pa.scalar(1.0, pa.float64()))
+                        ),
+                        pa.scalar(None, pa.float64()),
+                    )
             else:
                 raise ValueError(fn)
             if round_to is not None and pa.types.is_floating(v.type):
