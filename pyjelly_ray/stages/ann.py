@@ -209,6 +209,80 @@ def ivf_topk(assigned_ds, centroids: np.ndarray, query, k: int = 10, nprobe: int
     return cosine_topk(filtered, query, k, id_col=id_col, round_to=round_to)
 
 
+def ivf_save(index_dir: str, centroids: np.ndarray, assigned_ds) -> None:
+    """Persist an IVF index: centroids.parquet + hive-partitioned rows.
+
+    Assignments land as ``bucket=<i>/part-0.parquet`` via the resumable
+    hive sink, so (a) a failed build resumes, and (b) a probe-time read
+    touches ONLY the probed buckets' files — at 100 TB the nprobe/nlist
+    fraction of the index, enforced by the filesystem layout rather than a
+    post-read filter."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..sinks.parquet_sink import write_hive_parquet
+
+    os.makedirs(index_dir, exist_ok=True)
+    cent = pa.table(
+        {
+            "centroid_id": pa.array(range(len(centroids)), pa.int32()),
+            "vector": pa.array([c.tolist() for c in centroids], pa.list_(pa.float64())),
+        }
+    )
+    tmp = os.path.join(index_dir, f"centroids.parquet.tmp.{os.getpid()}")
+    pq.write_table(cent, tmp)
+    os.replace(tmp, os.path.join(index_dir, "centroids.parquet"))
+    # materialize the manifest so every bucket file is on disk before return
+    write_hive_parquet(
+        assigned_ds, os.path.join(index_dir, "buckets"), partition_cols=["bucket"]
+    ).materialize()
+
+
+def ivf_load_centroids(index_dir: str) -> np.ndarray:
+    import os
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(index_dir, "centroids.parquet"))
+    order = np.argsort(t.column("centroid_id").to_numpy(zero_copy_only=False))
+    m = np.asarray(t.column("vector").to_pylist(), np.float64)[order]
+    return m
+
+
+def ivf_query_index(index_dir: str, query, k: int = 10, nprobe: int = 4,
+                    *, id_col: str = "vec_id", round_to: int | None = None):
+    """Top-k from a persisted IVF index, reading ONLY the probed buckets.
+
+    The hive layout makes bucket selection a directory listing: the Parquet
+    read is scoped to ``bucket=<p>/`` paths for the nprobe closest
+    centroids, so I/O is the probed fraction of the index — the persistent
+    counterpart of :func:`ivf_topk` (whose filter still scans all rows)."""
+    import os
+
+    import ray
+
+    centroids = ivf_load_centroids(index_dir)
+    q = _normalize(np.asarray(query, dtype=np.float64).reshape(1, -1))[0]
+    probe = np.argsort(-(centroids @ q))[:nprobe].tolist()
+    import glob as _glob
+
+    paths = [
+        f
+        for p in probe
+        for f in sorted(
+            _glob.glob(os.path.join(index_dir, "buckets", f"bucket={p}", "*.parquet"))
+        )
+    ]  # empty buckets have no dir → no files
+    if not paths:
+        return ray.data.from_arrow(
+            pa.table({id_col: pa.array([], pa.int64()),
+                      "sim": pa.array([], pa.float64())})
+        )
+    ds = ray.data.read_parquet(paths)
+    return cosine_topk(ds, query, k, id_col=id_col, round_to=round_to)
+
+
 # --------------------- embedding near-dup (LSH + verify) ---------------------
 
 

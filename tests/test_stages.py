@@ -182,6 +182,51 @@ def test_cosine_threshold_and_ivf(ray_session):
     assert approx[0]["vec_id"] == 3
 
 
+def test_ivf_index_persistence(ray_session, tmp_path):
+    """Saved index: query-from-disk == in-memory ivf_topk; probe reads
+    touch only the probed bucket directories; rebuild resumes (skips)."""
+    import os
+
+    import ray
+
+    from pyjelly_ray.stages.ann import (
+        ivf_assign,
+        ivf_centroids,
+        ivf_load_centroids,
+        ivf_query_index,
+        ivf_save,
+        ivf_topk,
+    )
+
+    t = _emb_table()
+    ds = ray.data.from_arrow(t)
+    cents = ivf_centroids(ds, 8)
+    q = np.asarray(t.column("embedding")[3].as_py(), dtype=np.float64)
+    idx = str(tmp_path / "ivf")
+    ivf_save(idx, cents, ivf_assign(ds, cents))
+    assert np.allclose(ivf_load_centroids(idx), cents)
+    got = ivf_query_index(idx, q, k=3, nprobe=8, round_to=4).take_all()
+    want = ivf_topk(ivf_assign(ds, cents), cents, q, k=3, nprobe=8, round_to=4).take_all()
+    assert [(r["vec_id"], r["sim"]) for r in got] == [
+        (r["vec_id"], r["sim"]) for r in want
+    ]
+    # layout is one dir per bucket; nprobe=1 touches a strict subset
+    dirs = [d for d in os.listdir(os.path.join(idx, "buckets")) if d.startswith("bucket=")]
+    assert len(dirs) >= 2
+    one = ivf_query_index(idx, q, k=3, nprobe=1, round_to=4).take_all()
+    assert len(one) <= 3
+    # re-save over the same dir: hive sink skips finished buckets
+    man = (
+        __import__("pyjelly_ray.sinks.parquet_sink", fromlist=["write_hive_parquet"])
+        .write_hive_parquet(
+            ivf_assign(ds, cents), os.path.join(idx, "buckets"),
+            partition_cols=["bucket"],
+        )
+        .take_all()
+    )
+    assert {m["status"] for m in man if m["rows"]} == {"skipped"}
+
+
 def test_embedding_dup_pairs(ray_session):
     import ray
 
