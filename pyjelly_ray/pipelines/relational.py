@@ -709,6 +709,23 @@ def q_embedding_topk(sf_dir: str):
     return cosine_topk(emb, _query_vec(sf_dir), k=10, round_to=4)
 
 
+def q_embedding_topk_multi(sf_dir: str):
+    """Top-5 neighbours for THREE query vectors in one data pass (broadcast
+    query matrix, one matmul per batch, per-query grouped top-k merge)."""
+    import pyarrow.parquet as pq
+
+    from ..stages.ann import cosine_topk_multi
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_pylist()
+    qids = [0, 1, 2]
+    qm = np.asarray(
+        [t.column("embedding")[ids.index(i)].as_py() for i in qids], dtype=np.float64
+    )
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"], num_blocks=8)
+    return cosine_topk_multi(emb, qm, k=5, query_ids=qids, round_to=4)
+
+
 def q_embedding_label_stats(sf_dir: str):
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"], num_blocks=8)
 
@@ -1168,6 +1185,19 @@ ORACLE_SQL: dict[str, str] = {
         ORDER BY sim DESC, vec_id
         LIMIT 10
     """,
+    "q_embedding_topk_multi": """
+        WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id IN (0, 1, 2))
+        SELECT query_id, vec_id, sim FROM (
+            SELECT q.qid AS query_id, e.vec_id,
+                   round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 4) AS sim,
+                   row_number() OVER (
+                       PARTITION BY q.qid
+                       ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 4) DESC,
+                                e.vec_id) AS rn
+            FROM embeddings e CROSS JOIN q)
+        WHERE rn <= 5
+    """,
     "q_embedding_pairs_exact": """
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
@@ -1265,6 +1295,7 @@ QUERIES = {
     "q_embedding_sim_range": q_embedding_sim_range,
     "q_embedding_topk": q_embedding_topk,
     "q_embedding_pairs_exact": q_embedding_pairs_exact,
+    "q_embedding_topk_multi": q_embedding_topk_multi,
     "q_embedding_label_stats": q_embedding_label_stats,
     "q_embedding_ivf_topk": q_embedding_ivf_topk,
     "q_embedding_dup_pairs": q_embedding_dup_pairs,

@@ -87,6 +87,85 @@ def cosine_topk(ds, query, k: int = 10, *, id_col: str = "vec_id", round_to: int
     return global_topk(local, ["sim", id_col], k, descending=[True, False])
 
 
+class _MultiTopKScorer:
+    """Per-batch scorer vs a broadcast QUERY MATRIX: one (batch × nq)
+    matmul, per-query local cut keeping ties at the k-th rounded value."""
+
+    def __init__(self, ref, k: int, id_col: str, round_to: int | None) -> None:
+        import ray
+
+        qids, qm = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        self.qids = qids
+        self.qm = _normalize(qm)
+        self.k = k
+        self.id_col = id_col
+        self.round_to = round_to
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                self.id_col: pa.array([], pa.int64()),
+                "sim": pa.array([], pa.float64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        m = _normalize(_stack(batch))
+        sims = m @ self.qm.T  # (n, nq)
+        if self.round_to is not None:
+            # round BEFORE the cut so ties at the k-th rounded value all
+            # survive to the deterministic global per-query top-k
+            sims = np.round(sims, self.round_to)
+        k = min(self.k, sims.shape[0])
+        kth = -np.partition(-sims, k - 1, axis=0)[k - 1]  # (nq,)
+        ri, qi = np.nonzero(sims >= kth[None, :])
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "query_id": pa.array(self.qids[qi], pa.int64()),
+                self.id_col: pa.array(ids[ri], pa.int64()),
+                "sim": pa.array(sims[ri, qi], pa.float64()),
+            }
+        )
+
+
+def cosine_topk_multi(ds, queries, k: int = 10, *, query_ids=None,
+                      id_col: str = "vec_id", round_to: int | None = None):
+    """Top-k per query for a BATCH of queries in one pass over the data.
+
+    The (nq × dim) query matrix is broadcast once (``ray.put``); each data
+    batch does ONE matmul against it and emits only per-query local top-k
+    candidates (ties at the k-th value kept), then a per-query
+    :func:`grouped_topk` merges ≤ (k+ties)·blocks rows per query.  Output:
+    (query_id, id_col, sim), exactly k rows per query, deterministic
+    (sim desc, id asc).  This is the multi-query shape a training pipeline
+    wants (dedup lookups, retrieval eval) — one data pass for nq queries
+    instead of nq passes.
+    """
+    import ray
+
+    from .agg import grouped_topk
+
+    qm = np.asarray(queries, dtype=np.float64)
+    if qm.ndim == 1:
+        qm = qm.reshape(1, -1)
+    qids = (
+        np.arange(len(qm), dtype=np.int64)
+        if query_ids is None
+        else np.asarray(query_ids, dtype=np.int64)
+    )
+    ref = ray.put((qids, qm))
+    local = ds.map_batches(
+        _MultiTopKScorer(ref, k, id_col, round_to),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    return grouped_topk(
+        local, "query_id", "sim", k, descending=True, tiebreak=[id_col]
+    )
+
+
 def cosine_threshold(ds, query, tau: float, *, id_col: str = "vec_id", round_to: int | None = None):
     """All ids with cosine similarity ≥ tau vs the broadcast query vector."""
     qv = _normalize(np.asarray(query, dtype=np.float64).reshape(1, -1))[0]
