@@ -50,7 +50,10 @@ BENCH_QUERIES = [
     "q_minhash_pairs",
     "q_ngram_jaccard_pairs",
     "q_simhash_pairs",
+    "q_customer_running_spend",
+    "q_lineitem_qty_price_corr",
     "q_embedding_topk",
+    "q_embedding_topk_multi",
     "q_embedding_sim_range",
     "q_kg_jelly_roundtrip",
 ]
