@@ -10,7 +10,8 @@ per-row tuple objects, no second pass over the data:
 - repeated-term suppression (unset slot = repeat previous) is a plain
   "append previous value again".
 
-Covers the common shape: physical TRIPLES, flat, no RDF-star terms.
+Covers the common shapes: physical TRIPLES and QUADS, flat, no RDF-star
+or generalized terms.
 Returns ``None`` for anything else (caller falls back to the general
 decoder) — mirroring the fast encoder's contract.
 """
@@ -19,31 +20,34 @@ from __future__ import annotations
 
 import pyarrow as pa
 
-from ..terms import KIND_BNODE, KIND_IRI, KIND_LITERAL
+from ..terms import KIND_BNODE, KIND_DEFAULT, KIND_IRI, KIND_LITERAL
 from .decode import (
     _ROW_DATATYPE,
     _ROW_NAME,
     _ROW_NAMESPACE,
     _ROW_OPTIONS,
     _ROW_PREFIX,
+    _ROW_QUAD,
     _ROW_TRIPLE,
     _parse_entry,
     parse_options,
 )
 from .lookup import DecoderLookup
-from .options import PHYSICAL_TRIPLES, JellyConformanceError
+from .options import PHYSICAL_QUADS, PHYSICAL_TRIPLES, JellyConformanceError
 from .wire import read_varint
 
 
 def decode_table(data: bytes) -> pa.Table | None:
     """Decode one Jelly byte buffer into the flattened triple-statement table.
 
-    Returns ``None`` when the stream needs the general path (quads/graphs
+    Returns ``None`` when the stream needs the general path (GRAPHS
     physical type, RDF-star term encountered, generalized statements).
     """
     options, spans = parse_options(data)
-    if options.physical_type != PHYSICAL_TRIPLES:
+    if options.physical_type not in (PHYSICAL_TRIPLES, PHYSICAL_QUADS):
         return None
+    is_quads = options.physical_type == PHYSICAL_QUADS
+    stmt_row = _ROW_QUAD if is_quads else _ROW_TRIPLE
 
     lp = options.lookup_preset
     names = DecoderLookup(lp.max_names)
@@ -58,12 +62,14 @@ def decode_table(data: bytes) -> pa.Table | None:
     o_lex: list[str | None] = []
     o_lang: list[str | None] = []
     o_dt: list[str | None] = []
-
+    g_kind: list[int] = []
+    g_value: list[str | None] = []
 
     # previous term per slot, as pre-flattened column values
     prev_s: tuple[int, str] | None = None
     prev_p: str | None = None
     prev_o: tuple[int, str | None, str | None, str | None, str | None] | None = None
+    prev_g: tuple[int, str | None] | None = None
 
     def decode_iri(start: int, end: int) -> str:
         prefix_id = name_id = 0
@@ -146,7 +152,7 @@ def decode_table(data: bytes) -> pa.Table | None:
             body_len, rpos = read_varint(data, rpos)
             s, e = rpos, rpos + body_len
             pos = row_end
-            if rfield == _ROW_TRIPLE:
+            if rfield == stmt_row:
                 # statement fields: slot = (field-1)//4, kind = (field-1)%4
                 sp = s
                 while sp < e:
@@ -174,10 +180,21 @@ def decode_table(data: bytes) -> pa.Table | None:
                     elif field == 11:  # o literal
                         lex, lang, dt = decode_literal(vs, ve)
                         prev_o = (KIND_LITERAL, None, lex, lang, dt)
-                    else:  # generalized literal s/p (3/7), RDF-star (4/8/12), quad
+                    elif field == 13 and is_quads:  # g iri
+                        prev_g = (KIND_IRI, decode_iri(vs, ve))
+                    elif field == 14 and is_quads:  # g bnode
+                        prev_g = (KIND_BNODE, data[vs:ve].decode("utf-8"))
+                    elif field == 15 and is_quads:  # g default graph
+                        prev_g = (KIND_DEFAULT, None)
+                    else:  # generalized literal s/p/g (3/7/16), RDF-star (4/8/12)
                         return None
                 if prev_s is None or prev_p is None or prev_o is None:
                     raise JellyConformanceError("missing repeated term")
+                if is_quads:
+                    if prev_g is None:
+                        raise JellyConformanceError("missing repeated graph term")
+                    g_kind.append(prev_g[0])
+                    g_value.append(prev_g[1])
                 s_kind.append(prev_s[0])
                 s_value.append(prev_s[1])
                 p_value.append(prev_p)
@@ -215,19 +232,21 @@ def decode_table(data: bytes) -> pa.Table | None:
                 return None  # quad/graph rows: fall back
 
     n = len(s_kind)
-    return pa.table(
-        {
-            "s_kind": pa.array(s_kind, pa.uint8()),
-            "s_value": pa.array(s_value, pa.string()),
-            "p_kind": pa.array([KIND_IRI] * n, pa.uint8()),
-            "p_value": pa.array(p_value, pa.string()),
-            "o_kind": pa.array(o_kind, pa.uint8()),
-            "o_value": pa.array(o_value, pa.string()),
-            "o_lex": pa.array(o_lex, pa.string()),
-            "o_lang": pa.array(o_lang, pa.string()),
-            "o_dt": pa.array(o_dt, pa.string()),
-        }
-    )
+    cols = {
+        "s_kind": pa.array(s_kind, pa.uint8()),
+        "s_value": pa.array(s_value, pa.string()),
+        "p_kind": pa.array([KIND_IRI] * n, pa.uint8()),
+        "p_value": pa.array(p_value, pa.string()),
+        "o_kind": pa.array(o_kind, pa.uint8()),
+        "o_value": pa.array(o_value, pa.string()),
+        "o_lex": pa.array(o_lex, pa.string()),
+        "o_lang": pa.array(o_lang, pa.string()),
+        "o_dt": pa.array(o_dt, pa.string()),
+    }
+    if is_quads:
+        cols["g_kind"] = pa.array(g_kind, pa.uint8())
+        cols["g_value"] = pa.array(g_value, pa.string())
+    return pa.table(cols)
 
 
 __all__ = ["decode_table"]

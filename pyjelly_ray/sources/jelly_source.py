@@ -109,8 +109,8 @@ def decode_files_batch(batch: dict) -> pa.Table:
     """map_batches fn over read_binary_files output: decode each file.
 
     Tries the columnar fast path (jelly/decode_fast.py — no per-row tuple
-    objects) and falls back to the general decoder for quads/graphs/star/
-    generalized streams.
+    objects; covers flat TRIPLES and QUADS) and falls back to the general
+    decoder for graphs/star/generalized streams.
     """
     from ..jelly.decode_fast import decode_table
 

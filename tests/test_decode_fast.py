@@ -101,16 +101,49 @@ def test_fast_decode_with_namespace_rows():
     assert fast.equals(general)
 
 
-def test_fast_decode_declines_non_triples():
-    quad_opts = StreamOptions(
-        physical_type=PHYSICAL_QUADS, logical_type=LOGICAL_FLAT_QUADS
-    )
-    quads = [
-        (T.iri(EX + "s"), T.iri(EX + "p"), T.literal("x"), T.iri(EX + "g")),
-    ]
-    data = b"".join(encode_flat(iter(quads), quad_opts))
-    assert decode_table(data) is None
+def adversarial_quads(n=2000):
+    """Quad variant: graph slot cycles iris/bnodes/default + repeats."""
+    import random
 
+    rng = random.Random(23)
+    out = []
+    for s, p, o in adversarial_triples(n):
+        r = rng.random()
+        if r < 0.3:
+            g = T.iri(f"{EX}graph/{rng.randrange(12)}")
+        elif r < 0.4:
+            g = T.bnode(f"gb{rng.randrange(5)}")
+        elif r < 0.55:
+            g = T.DEFAULT_GRAPH
+        else:
+            g = out[-1][3] if out else T.DEFAULT_GRAPH  # repeated graph term
+        out.append((s, p, o, g))
+    return out
+
+
+@pytest.mark.parametrize(
+    "preset,frame_size",
+    [
+        (LookupPreset(), 250),
+        (LookupPreset.tiny(), 4),
+    ],
+)
+def test_fast_decode_quads_matches_general(preset, frame_size):
+    opts = StreamOptions(
+        lookup_preset=preset,
+        frame_size=frame_size,
+        physical_type=PHYSICAL_QUADS,
+        logical_type=LOGICAL_FLAT_QUADS,
+    )
+    data = b"".join(encode_flat(iter(adversarial_quads()), opts))
+    fast = decode_table(data)
+    assert fast is not None
+    assert "g_kind" in fast.column_names
+    general = statements_to_table(decode_flat(data))
+    assert fast.equals(general)
+
+
+def test_fast_decode_declines_non_triples():
     star = [
         (
             T.quoted(T.iri(EX + "a"), T.iri(EX + "b"), T.literal("c")),
