@@ -17,8 +17,8 @@ tests/test_encode_fast.py), but restructured for the shard-writer hot path
   per-row ``bytes`` objects, no row list), cut every ``frame_size`` rows.
 
 Falls back to ``None`` (caller uses the general path) for shapes the fast
-path does not cover: quads/graphs, RDF-star kinds, non-delimited or grouped
-streams.
+path does not cover: GRAPHS physical type, RDF-star / generalized kinds,
+non-delimited or grouped streams.  Flat TRIPLES and QUADS are covered.
 """
 
 from __future__ import annotations
@@ -29,11 +29,12 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..terms import KIND_BNODE, KIND_IRI, KIND_LITERAL
+from ..terms import KIND_BNODE, KIND_DEFAULT, KIND_IRI, KIND_LITERAL
 from .encode import (
     ROW_DATATYPE,
     ROW_NAME,
     ROW_PREFIX,
+    ROW_QUAD,
     ROW_TRIPLE,
     _encode_options_row,
     split_iri,
@@ -140,29 +141,38 @@ def encode_table(
     contract as ``StreamEncoder.metadata_fn``.
 
     Returns ``None`` when the table's shape needs the general encoder
-    (quads column present, non-IRI/bnode/literal kinds, non-delimited or
-    grouped options).
+    (physical/columns mismatch, non-IRI/bnode/literal kinds — plus
+    iri/bnode/default for the graph slot — non-delimited or grouped
+    options).
     """
-    from .options import PHYSICAL_TRIPLES
+    from .options import PHYSICAL_QUADS, PHYSICAL_TRIPLES
 
     options = options or StreamOptions()
     names = table.column_names
+    has_g = "g_kind" in names
     if (
-        "g_kind" in names
-        or options.physical_type != PHYSICAL_TRIPLES
-        or not options.delimited
+        not options.delimited
         or not options.flat
+        or (options.physical_type == PHYSICAL_TRIPLES and has_g)
+        or (options.physical_type == PHYSICAL_QUADS and not has_g)
+        or options.physical_type not in (PHYSICAL_TRIPLES, PHYSICAL_QUADS)
     ):
         return None
-    for kc, allowed in (
+    checks = [
         ("s_kind", {KIND_IRI, KIND_BNODE}),
         ("p_kind", {KIND_IRI}),
         ("o_kind", {KIND_IRI, KIND_BNODE, KIND_LITERAL}),
-    ):
+    ]
+    if has_g:
+        if table.column("g_kind").null_count:
+            return None  # mixed triple/quad rows: general path
+        checks.append(("g_kind", {KIND_IRI, KIND_BNODE, KIND_DEFAULT}))
+    for kc, allowed in checks:
         kinds = set(pc.unique(table.column(kc)).to_pylist())
+        kinds.discard(None)
         if not kinds <= allowed:
             return None
-    return _encode_triples(table, options, metadata_fn)
+    return _encode_triples(table, options, metadata_fn, quads=has_g)
 
 
 def _append_frame_metadata(frame: bytearray, md: dict[str, bytes] | None) -> None:
@@ -177,7 +187,7 @@ def _append_frame_metadata(frame: bytearray, md: dict[str, bytes] | None) -> Non
 
 
 def _encode_triples(
-    table: pa.Table, options: StreamOptions, metadata_fn=None
+    table: pa.Table, options: StreamOptions, metadata_fn=None, quads: bool = False
 ) -> Iterator[bytes]:
     n = table.num_rows
     lp = options.lookup_preset
@@ -209,12 +219,21 @@ def _encode_triples(
         # mirroring `datatype and datatype != STRING_DATATYPE_IRI`
         dt_skip = [(not v) or v == STRING_DATATYPE_IRI for v in dt_uniq]
 
-    # unify the three value dictionaries into one global term-value id space
+    # unify the slot value dictionaries into one global term-value id space
     offs_p, offs_o = len(s_uniq), len(s_uniq) + len(p_uniq)
     all_vals = s_uniq + p_uniq + o_uniq
     sg_np = np.where(s_idx >= 0, s_idx, _MISSING)
     pg_np = np.where(p_idx >= 0, p_idx + offs_p, _MISSING)
     og_np = np.where(o_idx >= 0, o_idx + offs_o, _MISSING)
+    if quads:
+        g_kind_np = np.asarray(
+            table.column("g_kind").combine_chunks().to_numpy(zero_copy_only=False),
+            dtype=np.int64,
+        )
+        g_idx, g_uniq = _dict_indices(table.column("g_value"))
+        offs_g = len(all_vals)
+        all_vals = all_vals + g_uniq
+        gg_np = np.where(g_idx >= 0, g_idx + offs_g, _MISSING)
 
     # vectorized repeated-term suppression: one composite int64 key per slot,
     # change masks via shifted != (no per-row Python key objects).  (value
@@ -244,6 +263,9 @@ def _encode_triples(
     s_ch = _change_mask(s_keys_np)
     p_ch = _change_mask(pg_np)
     o_ch = _change_mask(o_keys_np)
+    if quads:
+        g_ch = _change_mask((gg_np << 3) | g_kind_np)
+        g_kind = g_kind_np.tolist()
     s_is_iri = (s_kind == KIND_IRI).tolist()
     o_kind = o_kind_np.tolist()  # small ints are interned — cheap list
 
@@ -426,11 +448,20 @@ def _encode_triples(
                 _tag_len(body, 11, encode_literal(i))
             else:
                 _tag_len(body, 10, val_bytes[og_np[i]])
-        # row framing inline: frame field 1 { row field 2 (ROW_TRIPLE) { body } }
+        if quads and g_ch[i]:
+            gk = g_kind[i]
+            if gk == IRI:
+                encode_iri_into(body, 13, gg_np[i])  # slot g: iri = field 13
+            elif gk == KIND_DEFAULT:
+                body.append(0x7A)  # field 15 (default graph), empty message
+                body.append(0)
+            else:
+                _tag_len(body, 14, val_bytes[gg_np[i]])  # g bnode
+        # row framing inline: frame field 1 { row field (ROW_TRIPLE|ROW_QUAD) }
         nb = len(body)
         frame.append(0x0A)
         _append_varint(1 + _vsize(nb) + nb)
-        frame.append(0x12)  # ROW_TRIPLE << 3 | 2
+        frame.append((ROW_QUAD << 3) | 2 if quads else 0x12)  # 0x12 = triple row
         _append_varint(nb)
         frame += body
         row_count += 1

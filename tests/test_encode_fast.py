@@ -146,3 +146,76 @@ def test_fast_output_parses_by_reference(pyjelly_reference) -> None:
     ours = list(rows_to_terms(t))
     theirs = _pyjelly_parse(data)
     assert len(theirs) == len(ours)
+
+
+def make_quad_table(rows: list[tuple], gs: list[tuple]) -> pa.Table:
+    from pyjelly_ray.schema import QUAD_SCHEMA
+
+    t = make_table(rows)
+    g_kind = [gk for gk, _ in gs]
+    g_value = [gv for _, gv in gs]
+    cols = {name: t.column(name).to_pylist() for name in t.column_names}
+    cols["g_kind"] = g_kind
+    cols["g_value"] = g_value
+    return pa.Table.from_pydict(cols, schema=QUAD_SCHEMA)
+
+
+def slow_quad_bytes(table: pa.Table, options: StreamOptions) -> bytes:
+    enc = StreamEncoder(options)
+    out = bytearray()
+    for s, p, o, g in rows_to_terms(table):
+        chunk = enc.quad(s, p, o, g)
+        if chunk:
+            out += chunk
+    tail = enc.flush()
+    if tail:
+        out += tail
+    return bytes(out)
+
+
+@pytest.mark.parametrize("seed", [1, 4])
+def test_fast_quads_match_slow(seed: int) -> None:
+    import random
+
+    from pyjelly_ray.sinks.jelly_sink import flat_quads_options
+    from pyjelly_ray.terms import KIND_DEFAULT
+
+    rng = random.Random(seed)
+    rows = random_rows(700, seed)
+    gs = []
+    for _ in rows:
+        r = rng.random()
+        if r < 0.35:
+            gs.append((KIND_IRI, f"https://g.org/graph/{rng.randrange(9)}"))
+        elif r < 0.45:
+            gs.append((KIND_BNODE, f"gb{rng.randrange(4)}"))
+        elif r < 0.6:
+            gs.append((KIND_DEFAULT, None))
+        else:
+            gs.append(gs[-1] if gs else (KIND_DEFAULT, None))  # repeat runs
+    t = make_quad_table(rows, gs)
+    opts = flat_quads_options()
+    assert fast_bytes(t, opts) == slow_quad_bytes(t, opts)
+    small = StreamOptions(
+        physical_type=opts.physical_type,
+        logical_type=opts.logical_type,
+        lookup_preset=LookupPreset(max_names=64, max_prefixes=3, max_datatypes=4),
+        frame_size=7,
+    )
+    assert fast_bytes(t, small) == slow_quad_bytes(t, small)
+
+
+def test_fast_quads_parse_by_reference(pyjelly_reference) -> None:
+    from pyjelly_ray.sinks.jelly_sink import flat_quads_options
+    from pyjelly_ray.terms import KIND_DEFAULT
+    from tests.test_jelly_interop import _pyjelly_parse
+
+    rows = random_rows(120, 7)
+    gs = [
+        [(KIND_IRI, "https://g.org/g1"), (KIND_DEFAULT, None)][i % 2]
+        for i in range(len(rows))
+    ]
+    t = make_quad_table(rows, gs)
+    data = fast_bytes(t, flat_quads_options())
+    theirs = _pyjelly_parse(data)
+    assert len(theirs) == t.num_rows
