@@ -19,13 +19,13 @@ count — the property that makes these the 100 TB swap-in documented in
 (HLL ~1.04/sqrt(2^p) ≈ 1.6% at p=12; t-digest sub-percent mid-quantiles).
 
 Value hashing is splitmix64 (vectorized numpy uint64 arithmetic) for
-integer columns and sha256-derived for strings — both deterministic across
-runs and processes, unlike Python's salted ``hash``.
+integer columns and pandas' fixed-key siphash (vectorized) for strings —
+both deterministic across runs and processes, unlike Python's salted
+``hash``.
 """
 
 from __future__ import annotations
 
-import hashlib
 
 import numpy as np
 import pyarrow as pa
@@ -45,14 +45,17 @@ def _hash64(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
             x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
             x = x ^ (x >> np.uint64(31))
         return x
-    return np.fromiter(
-        (
-            int.from_bytes(hashlib.sha256(str(v).encode()).digest()[:8], "big")
-            for v in arr.to_pylist()
-        ),
-        dtype=np.uint64,
-        count=len(arr),
-    )
+    # strings/other: pandas' siphash with its fixed default key — vectorized
+    # C loop, deterministic across processes (unlike builtin hash under
+    # PYTHONHASHSEED); one splitmix finalizer pass decorrelates low bits
+    import pandas as pd
+
+    h = pd.util.hash_array(np.asarray(arr.to_numpy(zero_copy_only=False)))
+    with np.errstate(over="ignore"):
+        h = (h + np.uint64(0x9E3779B97F4A7C15))
+        h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return h ^ (h >> np.uint64(31))
 
 
 def _group_partition(b: pa.Table, keys: list[str]):
