@@ -455,6 +455,42 @@ def test_jelly_datasink_and_source(ray_session, tmp_path):
     }
 
 
+def test_jelly_datasink_and_source_quads(ray_session, tmp_path):
+    """Quads through the Ray sink/source plumbing (fast codec paths both
+    directions under the hood)."""
+    import ray
+
+    from pyjelly_ray.sinks.jelly_sink import JellyDatasink, flat_quads_options
+    from pyjelly_ray.sources.jelly_source import read_jelly
+
+    t = pa.table(
+        {
+            "s_kind": pa.array([1, 1, 1], pa.uint8()),
+            "s_value": ["http://e/s1", "http://e/s2", "http://e/s3"],
+            "p_kind": pa.array([1, 1, 1], pa.uint8()),
+            "p_value": ["http://e/p"] * 3,
+            "o_kind": pa.array([3, 1, 3], pa.uint8()),
+            "o_value": [None, "http://e/o", None],
+            "o_lex": ["x", None, "y"],
+            "o_lang": [None, None, "en"],
+            "o_dt": [None, None, None],
+            "g_kind": pa.array([1, 4, 2], pa.uint8()),
+            "g_value": ["http://e/g1", None, "gb0"],
+        }
+    )
+    out = str(tmp_path / "qsink")
+    ray.data.from_arrow(t).write_datasink(
+        JellyDatasink(out, options=flat_quads_options())
+    )
+    back = read_jelly(out).take_all()
+    got = {(r["s_value"], r["g_kind"], r["g_value"]) for r in back}
+    assert got == {
+        ("http://e/s1", 1, "http://e/g1"),
+        ("http://e/s2", 4, None),
+        ("http://e/s3", 2, "gb0"),
+    }
+
+
 def test_generalized_statements_columnar_roundtrip():
     """Literal subjects/predicates/graphs survive table → bytes → table.
 
