@@ -25,10 +25,29 @@ re-expressed for Parquet tables.
 
 from __future__ import annotations
 
+import glob
 import os
 
 import pyarrow as pa
 import pyarrow.parquet as pq
+
+
+def _write_atomic(table: pa.Table, path: str) -> None:
+    """tmp-write + atomic rename; sweeps stale ``.tmp.<pid>`` orphans first.
+
+    tmp names carry the writer's pid (two tasks retrying the same partition
+    must not clobber each other's tmp), so a crashed run's orphans would
+    otherwise persist forever — a fresh writer owns the partition and may
+    clear them.
+    """
+    for stale in glob.glob(path + ".tmp.*"):
+        try:
+            os.remove(stale)
+        except OSError:
+            pass  # another live writer may have just renamed it
+    tmp = path + f".tmp.{os.getpid()}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)  # atomic publish: readers never see partials
 
 
 def write_partitioned_parquet(
@@ -85,9 +104,7 @@ def write_partitioned_parquet(
             manifest["status"] = pa.array(["skipped"], pa.string())
             return pa.table(manifest)
         t = t.sort_by([(c, "ascending") for c in partition_cols])
-        tmp = path + f".tmp.{os.getpid()}"
-        pq.write_table(t, tmp)
-        os.replace(tmp, path)  # atomic publish: readers never see partials
+        _write_atomic(t, path)
         manifest["bytes"] = pa.array([os.path.getsize(path)], pa.int64())
         manifest["status"] = pa.array(["written"], pa.string())
         return pa.table(manifest)
@@ -175,9 +192,7 @@ def write_hive_parquet(
             ]
             if sortable:
                 body = body.sort_by([(c, "ascending") for c in sortable])
-            tmp = path + f".tmp.{os.getpid()}"
-            pq.write_table(body, tmp)
-            os.replace(tmp, path)  # atomic publish
+            _write_atomic(body, path)
             sizes.append(os.path.getsize(path))
             statuses.append("written")
         return pa.table(

@@ -298,9 +298,7 @@ def ivf_save(index_dir: str, centroids: np.ndarray, assigned_ds) -> None:
     post-read filter."""
     import os
 
-    import pyarrow.parquet as pq
-
-    from ..sinks.parquet_sink import write_hive_parquet
+    from ..sinks.parquet_sink import _write_atomic, write_hive_parquet
 
     os.makedirs(index_dir, exist_ok=True)
     cent = pa.table(
@@ -309,9 +307,7 @@ def ivf_save(index_dir: str, centroids: np.ndarray, assigned_ds) -> None:
             "vector": pa.array([c.tolist() for c in centroids], pa.list_(pa.float64())),
         }
     )
-    tmp = os.path.join(index_dir, f"centroids.parquet.tmp.{os.getpid()}")
-    pq.write_table(cent, tmp)
-    os.replace(tmp, os.path.join(index_dir, "centroids.parquet"))
+    _write_atomic(cent, os.path.join(index_dir, "centroids.parquet"))
     # materialize the manifest so every bucket file is on disk before return
     write_hive_parquet(
         assigned_ds, os.path.join(index_dir, "buckets"), partition_cols=["bucket"]

@@ -881,6 +881,27 @@ def test_write_partitioned_parquet_resume(ray_session, tmp_path):
     assert all(os.path.getmtime(p) == mt for p, mt in mtimes.items())
 
 
+def test_sink_sweeps_stale_tmp_orphans(ray_session, tmp_path):
+    """A crashed run's pid-suffixed .tmp orphan must not survive a rerun."""
+    import os
+
+    import ray
+
+    from pyjelly_ray.sinks.parquet_sink import write_partitioned_parquet
+
+    t = pa.table({"k": pa.array(range(20), pa.int64())})
+    out = str(tmp_path / "pq")
+    os.makedirs(out)
+    # simulate a crash: stale tmp from a dead pid next to a missing part
+    stale = os.path.join(out, "part-00000.parquet.tmp.99999")
+    open(stale, "wb").write(b"partial garbage")
+    write_partitioned_parquet(
+        ray.data.from_arrow(t), out, partition_cols="k", num_partitions=2
+    ).materialize()
+    assert not os.path.exists(stale)
+    assert not [f for f in os.listdir(out) if ".tmp." in f]
+
+
 def test_write_hive_parquet(ray_session, tmp_path):
     import os
 
