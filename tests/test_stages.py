@@ -958,6 +958,37 @@ def test_write_hive_parquet(ray_session, tmp_path):
     assert all(os.path.getmtime(p) == mt for p, mt in mtimes.items())
 
 
+def test_grouped_agg_extreme_skew(ray_session):
+    """A 90%-hot key: results exact AND the map-side combine bounds what
+    the exchange ships — each block contributes ONE row per key, so the
+    hot key needs no salting in grouped_agg (unlike grouped_map)."""
+    import ray
+
+    from pyjelly_ray.stages.agg import _partial_fn, grouped_agg
+
+    n = 40_000
+    keys = ["hot"] * (n * 9 // 10) + [f"k{i % 50}" for i in range(n // 10)]
+    vals = list(range(n))
+    t = pa.table({"k": pa.array(keys, pa.string()), "v": pa.array(vals, pa.int64())})
+    got = (
+        grouped_agg(
+            ray.data.from_arrow(t).repartition(8),
+            ["k"],
+            [("n", "v", "count"), ("s", "v", "sum")],
+            sum_as_float=False,
+        )
+        .to_pandas()
+        .set_index("k")
+    )
+    assert got.loc["hot", "n"] == n * 9 // 10
+    assert got.loc["hot", "s"] == sum(range(n * 9 // 10))
+    assert len(got) == 51
+    # the partial combiner collapses a block to <= |distinct keys in block|
+    partial = _partial_fn(["k"], [("n", "v", "count"), ("s", "v", "sum")])
+    out = partial(t)
+    assert out.num_rows == 51  # one row per key, regardless of skew
+
+
 def test_grouped_agg_var_std(ray_session):
     """var/std from mergeable moments across blocks; n=1 group → NULL
     (sample semantics, matching DuckDB var_samp/stddev)."""
