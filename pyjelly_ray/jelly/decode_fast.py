@@ -10,8 +10,8 @@ per-row tuple objects, no second pass over the data:
 - repeated-term suppression (unset slot = repeat previous) is a plain
   "append previous value again".
 
-Covers the common shapes: physical TRIPLES and QUADS, flat, no RDF-star
-or generalized terms.
+Covers the common shapes: physical TRIPLES, QUADS and GRAPHS (flattened
+to quads like ``decode_flat``), flat, no RDF-star or generalized terms.
 Returns ``None`` for anything else (caller falls back to the general
 decoder) — mirroring the fast encoder's contract.
 """
@@ -23,6 +23,8 @@ import pyarrow as pa
 from ..terms import KIND_BNODE, KIND_DEFAULT, KIND_IRI, KIND_LITERAL
 from .decode import (
     _ROW_DATATYPE,
+    _ROW_GRAPH_END,
+    _ROW_GRAPH_START,
     _ROW_NAME,
     _ROW_NAMESPACE,
     _ROW_OPTIONS,
@@ -33,21 +35,33 @@ from .decode import (
     parse_options,
 )
 from .lookup import DecoderLookup
-from .options import PHYSICAL_QUADS, PHYSICAL_TRIPLES, JellyConformanceError
+from .options import (
+    PHYSICAL_GRAPHS,
+    PHYSICAL_QUADS,
+    PHYSICAL_TRIPLES,
+    JellyConformanceError,
+)
 from .wire import read_varint
 
 
 def decode_table(data: bytes) -> pa.Table | None:
     """Decode one Jelly byte buffer into the flattened triple-statement table.
 
-    Returns ``None`` when the stream needs the general path (GRAPHS
-    physical type, RDF-star term encountered, generalized statements).
+    Returns ``None`` when the stream needs the general path (RDF-star term
+    encountered, generalized statements incl. literal graph names).
     """
     options, spans = parse_options(data)
-    if options.physical_type not in (PHYSICAL_TRIPLES, PHYSICAL_QUADS):
+    if options.physical_type not in (
+        PHYSICAL_TRIPLES,
+        PHYSICAL_QUADS,
+        PHYSICAL_GRAPHS,
+    ):
         return None
     is_quads = options.physical_type == PHYSICAL_QUADS
+    is_graphs = options.physical_type == PHYSICAL_GRAPHS
     stmt_row = _ROW_QUAD if is_quads else _ROW_TRIPLE
+    emit_g = is_quads or is_graphs  # GRAPHS flattens to quads (decode_flat)
+    cur_g: tuple[int, str | None] | None = None  # GRAPHS enclosing marker
 
     lp = options.lookup_preset
     names = DecoderLookup(lp.max_names)
@@ -195,6 +209,11 @@ def decode_table(data: bytes) -> pa.Table | None:
                         raise JellyConformanceError("missing repeated graph term")
                     g_kind.append(prev_g[0])
                     g_value.append(prev_g[1])
+                elif is_graphs:
+                    if cur_g is None:
+                        raise JellyConformanceError("triple outside graph bounds")
+                    g_kind.append(cur_g[0])
+                    g_value.append(cur_g[1])
                 s_kind.append(prev_s[0])
                 s_value.append(prev_s[1])
                 p_value.append(prev_p)
@@ -212,6 +231,30 @@ def decode_table(data: bytes) -> pa.Table | None:
             elif rfield == _ROW_DATATYPE:
                 idx, val = _parse_entry(data, s, e)
                 datatypes.assign(idx, val)
+            elif rfield == _ROW_GRAPH_START and is_graphs:
+                # RdfGraphStart: fields 1-4 = iri/bnode/default/literal;
+                # the iri decode mutates lookup delta state — always run it
+                sp = s
+                cur_g = (KIND_DEFAULT, None)  # empty body = default graph
+                while sp < e:
+                    fkey = data[sp]
+                    if fkey < 0x80:
+                        sp += 1
+                    else:
+                        fkey, sp = read_varint(data, sp)
+                    ln, sp = read_varint(data, sp)
+                    field = fkey >> 3
+                    if field == 1:
+                        cur_g = (KIND_IRI, decode_iri(sp, sp + ln))
+                    elif field == 2:
+                        cur_g = (KIND_BNODE, data[sp : sp + ln].decode("utf-8"))
+                    elif field == 3:
+                        cur_g = (KIND_DEFAULT, None)
+                    else:  # literal graph name: generalized → general path
+                        return None
+                    break  # general decoder takes the FIRST field — mirror it
+            elif rfield == _ROW_GRAPH_END and is_graphs:
+                cur_g = None
             elif rfield == _ROW_OPTIONS:
                 pass
             elif rfield == _ROW_NAMESPACE:
@@ -243,7 +286,7 @@ def decode_table(data: bytes) -> pa.Table | None:
         "o_lang": pa.array(o_lang, pa.string()),
         "o_dt": pa.array(o_dt, pa.string()),
     }
-    if is_quads:
+    if emit_g:
         cols["g_kind"] = pa.array(g_kind, pa.uint8())
         cols["g_value"] = pa.array(g_value, pa.string())
     return pa.table(cols)

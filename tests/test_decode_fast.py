@@ -153,3 +153,55 @@ def test_fast_decode_declines_non_triples():
     ]
     data = b"".join(encode_flat(iter(star), StreamOptions(rdf_star=True)))
     assert decode_table(data) is None
+
+
+def test_fast_decode_graphs_matches_general():
+    """Physical GRAPHS: fast path flattens to quads exactly like
+    decode_flat + statements_to_table, across graph kinds and frames."""
+    import random
+
+    from pyjelly_ray.jelly import LOGICAL_DATASETS, PHYSICAL_GRAPHS
+    from pyjelly_ray.jelly.encode import StreamEncoder
+
+    rng = random.Random(31)
+    opts = StreamOptions(
+        physical_type=PHYSICAL_GRAPHS,
+        logical_type=LOGICAL_DATASETS,
+        lookup_preset=LookupPreset.tiny(),
+        frame_size=5,
+    )
+    enc = StreamEncoder(opts)
+    chunks = []
+    triples = adversarial_triples(600)
+    i = 0
+    while i < len(triples):
+        r = rng.random()
+        if r < 0.4:
+            g = T.iri(f"{EX}graph/{rng.randrange(7)}")
+        elif r < 0.6:
+            g = T.bnode(f"gb{rng.randrange(3)}")
+        else:
+            g = T.DEFAULT_GRAPH
+        out = enc.graph_start(g)
+        if out:
+            chunks.append(out)
+        for _ in range(rng.randrange(1, 6)):
+            if i >= len(triples):
+                break
+            s, p, o = triples[i]
+            i += 1
+            out = enc.triple(s, p, o)
+            if out:
+                chunks.append(out)
+        out = enc.graph_end()
+        if out:
+            chunks.append(out)
+    tail = enc.flush()
+    if tail:
+        chunks.append(tail)
+    data = b"".join(chunks)
+    fast = decode_table(data)
+    assert fast is not None
+    assert "g_kind" in fast.column_names
+    general = statements_to_table(decode_flat(data))
+    assert fast.equals(general)
