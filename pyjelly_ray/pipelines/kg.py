@@ -25,8 +25,37 @@ def read_corpus(path, columns=None, override_num_blocks: int | None = None):
     import ray
 
     if override_num_blocks is None:
-        # spread extraction across the cluster even for few input files
-        override_num_blocks = max(int(ray.cluster_resources().get("CPU", 8)) * 2, 16)
+        # block count must scale with INPUT BYTES, not stay fixed at a
+        # cluster-shaped constant: a fixed count makes per-task working
+        # sets grow linearly with the corpus, which turns the map stage
+        # superlinear under concurrency (measured 4× task time at 2×
+        # corpus) and would OOM at 100 TB.  Target ~48 MB of parquet per
+        # block; the cpu×2 floor still spreads small inputs.
+        import os
+
+        import pyarrow.parquet as pq
+
+        # row count from parquet FOOTERS (no data read) — disk bytes
+        # under-estimate working sets by the compression ratio
+        nrows = 0
+        try:
+            files = (
+                [
+                    os.path.join(path, f)
+                    for f in os.listdir(path)
+                    if f.endswith(".parquet")
+                ]
+                if os.path.isdir(path)
+                else [path]
+            )
+            for f in files:
+                nrows += pq.read_metadata(f).num_rows
+        except OSError:
+            pass
+        by_rows = nrows // 30_000 + 1  # ~30k source files per block
+        override_num_blocks = max(
+            int(ray.cluster_resources().get("CPU", 8)) * 2, 16, int(by_rows)
+        )
     return ray.data.read_parquet(
         path,
         columns=columns or ["repo", "path", "commit", "lang", "content"],

@@ -423,9 +423,15 @@ def dedup_and_write_kg_shards(
         # adaptive fan-out: ~200k statements per dedup bucket, else per-object
         # overhead dominates small inputs (measured: 64 buckets cost ~9 s of
         # pure scheduling at 307k rows).  repo_counts gives the exact
-        # pre-dedup statement count when available.
+        # pre-dedup statement count when available.  The cap must be LARGE:
+        # capping at 64 made per-bucket rows grow with the corpus, turning
+        # the dedup reduce superlinear under concurrency (measured 13.6×
+        # task time at 2× corpus — working sets blow past the shared LLC).
+        # 1024 buckets × ~200k rows ≈ 200M statements per job; beyond that,
+        # raise the cap or split the input (buckets are hash-disjoint, so
+        # jobs over key ranges compose).
         n_buckets = (
-            min(N_BUCKETS, max(8, int(total // 200_000) + 1)) if total else N_BUCKETS
+            min(1024, max(8, int(total // 200_000) + 1)) if total else N_BUCKETS
         )
     if total:
         # size-aware fan-out: the per-shard encode is a sequential fold (format
