@@ -352,6 +352,128 @@ def q_customer_running_spend(sf_dir: str):
     )
 
 
+def q_order_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(status, priority) in one data pass: the finest
+    partial is combined per batch, coarser grouping sets derive from it
+    map-side, and a single exchange merges all three levels."""
+    from ..stages.agg import grouped_agg_sets
+
+    orders = _read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+    return grouped_agg_sets(
+        orders,
+        ["o_orderstatus", "o_orderpriority"],
+        [
+            ("n_orders", "o_totalprice", "count"),
+            ("sum_price", "o_totalprice", "sum"),
+            ("avg_price", "o_totalprice", "mean"),
+        ],
+        round_to=2,
+    )
+
+
+def q_lineitem_qty_ranks(sf_dir: str):
+    """SQL rank family over heavy ties: rank/dense_rank/percent_rank of
+    quantity within each returnflag, one exchange (peer groups = equal
+    quantities, so no tiebreak is needed for determinism)."""
+    from ..stages.window import grouped_running
+
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"]
+    )
+    return grouped_running(
+        li,
+        key="l_returnflag",
+        order_col="l_quantity",
+        value_col="l_quantity",
+        kinds=[
+            ("qty_rank", "rank"),
+            ("qty_dense_rank", "dense_rank"),
+            ("qty_pct_rank", "percent_rank"),
+        ],
+        round_to=6,
+    )
+
+
+def q_click_days_no_purchase(sf_dir: str):
+    """EXCEPT DISTINCT on a composite row identity: (user, day) pairs with
+    a click but no purchase (big−big, per-batch distinct combiner + one
+    full-row hash exchange)."""
+    from ..stages.setops import set_op
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def pairs_of(t):
+        def f(b: pa.Table, t=t) -> pa.Table:
+            b = b.filter(pc.equal(b.column("event_type"), t))
+            return pa.table(
+                {
+                    "user_id": b.column("user_id"),
+                    "day": pc.strftime(b.column("ts"), format="%Y-%m-%d"),
+                }
+            )
+
+        return ev.map_batches(f, batch_format="pyarrow")
+
+    return set_op(pairs_of("click"), pairs_of("purchase"), "except",
+                  columns=["user_id", "day"])
+
+
+def q_click_purchase_users(sf_dir: str):
+    """INTERSECT DISTINCT: users who both clicked and purchased."""
+    from ..stages.setops import set_op
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def of_type(t):
+        return ev.map_batches(
+            lambda b, t=t: b.filter(pc.equal(b.column("event_type"), t)).select(
+                ["user_id"]
+            ),
+            batch_format="pyarrow",
+        )
+
+    return set_op(of_type("click"), of_type("purchase"), "intersect",
+                  columns=["user_id"])
+
+
+def q_click_purchase_value(sf_dir: str):
+    """FULL OUTER big⋈big hash join of two per-user aggregates (clicks vs
+    purchases) — co-partitioned exchange, Arrow full-outer per partition,
+    keys coalesced."""
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def side(t, n_name, v_name):
+        f = ev.map_batches(
+            lambda b, t=t: b.filter(pc.equal(b.column("event_type"), t)),
+            batch_format="pyarrow",
+        )
+        return grouped_agg(
+            f, ["user_id"],
+            [(n_name, "value", "count"), (v_name, "value", "sum")],
+            round_to=2,
+        )
+
+    clicks = side("click", "n_clicks", "click_value")
+    purchases = side("purchase", "n_purchases", "purchase_value")
+    return hash_join(
+        clicks, purchases, left_key="user_id", how="full outer", num_partitions=8
+    )
+
+
+def q_top_type_per_user(sf_dir: str):
+    """Per-group mode: each user's most frequent event type (count combiner
+    → grouped top-1 with deterministic tiebreak)."""
+    from ..stages.agg import grouped_topk
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    counts = grouped_agg(
+        ev, ["user_id", "event_type"], [("n", "event_type", "count")]
+    )
+    return grouped_topk(
+        counts, "user_id", "n", 1, descending=True, tiebreak=["event_type"]
+    )
+
+
 def q_top_words_approx(sf_dir: str):
     """Heavy-hitters-sketch variant of ``q_top_words`` (rows-only check —
     bounded per-block state; accuracy unit-tested vs exact counts within
@@ -1001,6 +1123,58 @@ ORACLE_SQL: dict[str, str] = {
                      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS ma7
         FROM daily
     """,
+    "q_order_rollup": """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS sum_price,
+               round(avg(o_totalprice), 2) AS avg_price,
+               CAST(grouping(o_orderstatus, o_orderpriority) AS BIGINT) AS grouping_id
+        FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+    "q_lineitem_qty_ranks": """
+        SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+               rank() OVER w AS qty_rank,
+               dense_rank() OVER w AS qty_dense_rank,
+               round(percent_rank() OVER w, 6) AS qty_pct_rank
+        FROM lineitem
+        WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity)
+    """,
+    "q_click_days_no_purchase": """
+        SELECT user_id, strftime(ts, '%Y-%m-%d') AS day
+        FROM events WHERE event_type = 'click'
+        EXCEPT
+        SELECT user_id, strftime(ts, '%Y-%m-%d')
+        FROM events WHERE event_type = 'purchase'
+    """,
+    "q_click_purchase_users": """
+        SELECT user_id FROM events WHERE event_type = 'click'
+        INTERSECT
+        SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+    "q_click_purchase_value": """
+        WITH c AS (
+            SELECT user_id, count(*) AS n_clicks,
+                   round(sum(value), 2) AS click_value
+            FROM events WHERE event_type = 'click' GROUP BY user_id
+        ), p AS (
+            SELECT user_id, count(*) AS n_purchases,
+                   round(sum(value), 2) AS purchase_value
+            FROM events WHERE event_type = 'purchase' GROUP BY user_id
+        )
+        SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+               n_clicks, click_value, n_purchases, purchase_value
+        FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
+    """,
+    "q_top_type_per_user": """
+        SELECT user_id, event_type, n FROM (
+            SELECT user_id, event_type, count(*) AS n,
+                   row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY count(*) DESC, event_type
+                   ) AS rn
+            FROM events GROUP BY user_id, event_type
+        ) WHERE rn = 1
+    """,
     "q_order_price_quantiles": """
         SELECT o_orderstatus,
                round(quantile_cont(o_totalprice, 0.5), 2) AS p50_totalprice,
@@ -1268,6 +1442,12 @@ QUERIES = {
     "q_lineitem_qty_price_corr": q_lineitem_qty_price_corr,
     "q_top_words_approx": q_top_words_approx,
     "q_customer_running_spend": q_customer_running_spend,
+    "q_order_rollup": q_order_rollup,
+    "q_lineitem_qty_ranks": q_lineitem_qty_ranks,
+    "q_click_days_no_purchase": q_click_days_no_purchase,
+    "q_click_purchase_users": q_click_purchase_users,
+    "q_click_purchase_value": q_click_purchase_value,
+    "q_top_type_per_user": q_top_type_per_user,
     "q_events_hourly": q_events_hourly,
     "q_events_daily_ma7": q_events_daily_ma7,
     "q_order_price_quantiles": q_order_price_quantiles,

@@ -88,6 +88,47 @@ def bucket_codes(batch: pa.Table, keys: list[str], n_partitions: int):
     return (h % np.uint64(n_partitions)).astype(np.int64)
 
 
+def _zero_like(typ: pa.DataType):
+    if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+        return pa.scalar("", typ)
+    if pa.types.is_binary(typ) or pa.types.is_large_binary(typ):
+        return pa.scalar(b"", typ)
+    return pc.cast(pa.scalar(0, pa.int64()), typ)
+
+
+def null_safe_group_by(t: pa.Table, keys: list[str], plan) -> pa.Table:
+    """``t.group_by(keys).aggregate(plan)`` that is correct under NULL keys.
+
+    Arrow 16.1's Acero grouper can emit SPLIT groups when a multi-column
+    key contains nulls (observed: duplicate ``(None, b)`` output rows, each
+    holding a partial sum — silently wrong final merges).  Null keys are
+    lifted into companion boolean columns, the key filled with a
+    type-appropriate placeholder, grouped, then restored — so a genuine
+    NULL key and the placeholder value can never collide (the companion
+    distinguishes them).  Fast path: no nulls → plain ``group_by``.
+    """
+    null_keys = [k for k in keys if k in t.column_names and t.column(k).null_count]
+    if not null_keys or t.num_rows == 0:
+        return t.group_by(keys).aggregate(plan)
+    work = t
+    for k in null_keys:
+        col = work.column(k)
+        isnull = pc.is_null(col)
+        work = work.set_column(
+            work.schema.get_field_index(k), k,
+            pc.fill_null(col, _zero_like(col.type)),
+        )
+        work = work.append_column(f"__isnull_{k}", isnull)
+    out = work.group_by(keys + [f"__isnull_{k}" for k in null_keys]).aggregate(plan)
+    for k in null_keys:
+        col = out.column(k)
+        restored = pc.if_else(
+            out.column(f"__isnull_{k}"), pa.scalar(None, col.type), col
+        )
+        out = out.set_column(out.schema.get_field_index(k), k, restored)
+    return out.drop_columns([f"__isnull_{k}" for k in null_keys])
+
+
 def _partial_fn(keys: list[str], specs: list[Spec]):
     aggs = []
     seen = set()
@@ -151,6 +192,116 @@ def _partial_fn(keys: list[str], specs: list[Spec]):
     return partial
 
 
+def _merge_cols(specs: list[Spec]):
+    """Partial-column names (as emitted by :func:`_partial_fn`) grouped by
+    the merge operation that combines them across partials."""
+    corr_pairs = [col for _, col, fn in specs if fn in ("corr", "covar")]
+    sum_cols = sorted(
+        {f"{col}_sum" for _, col, fn in specs if fn in ("sum", "mean", "var", "std")}
+        | {f"{col}__sq_sum" for _, col, fn in specs if fn in ("var", "std")}
+        | {f"{c}_sum" for x, y in corr_pairs for c in (x, y)}
+        | {f"{c}__sq_sum" for x, y in corr_pairs for c in (x, y)}
+        | {f"{x}__xy__{y}_sum" for x, y in corr_pairs}
+        | {"__cnt_sum"}
+    )
+    min_cols = sorted({f"{col}_min" for _, col, fn in specs if fn == "min"})
+    max_cols = sorted({f"{col}_max" for _, col, fn in specs if fn == "max"})
+    return sum_cols, min_cols, max_cols
+
+
+def _derived_columns(batch: pa.Table, specs: list[Spec], round_to: int | None,
+                     sum_as_float: bool) -> dict:
+    """Final output columns (named per spec) from merged partial columns."""
+    cols: dict[str, object] = {}
+    cnt = batch.column("__cnt_sum")
+    for out_name, col, fn in specs:
+        if fn == "sum":
+            v = batch.column(f"{col}_sum")
+            if sum_as_float and pa.types.is_integer(v.type):
+                # DuckDB sum(int) is HUGEINT → float64 in pandas; match
+                # it so the driver's value-hash sees identical dtypes
+                v = pc.cast(v, pa.float64())
+        elif fn == "count":
+            v = cnt
+        elif fn == "mean":
+            v = pc.divide(
+                pc.cast(batch.column(f"{col}_sum"), pa.float64()),
+                pc.cast(cnt, pa.float64()),
+            )
+        elif fn == "min":
+            v = batch.column(f"{col}_min")
+        elif fn == "max":
+            v = batch.column(f"{col}_max")
+        elif fn in ("var", "std"):
+            # sample variance from mergeable moments:
+            # (Σx² − (Σx)²/n) / (n−1); NULL when n ≤ 1 (= DuckDB
+            # var_samp/stddev).  max(·, 0) guards the tiny negative
+            # residue floating-point cancellation can leave.
+            s = pc.cast(batch.column(f"{col}_sum"), pa.float64())
+            sq = pc.cast(batch.column(f"{col}__sq_sum"), pa.float64())
+            n = pc.cast(cnt, pa.float64())
+            num = pc.subtract(sq, pc.divide(pc.multiply(s, s), n))
+            num = pc.max_element_wise(num, pa.scalar(0.0, pa.float64()))
+            v = pc.divide(num, pc.subtract(n, pa.scalar(1.0, pa.float64())))
+            if fn == "std":
+                v = pc.sqrt(v)
+            v = pc.if_else(
+                pc.greater(cnt, pa.scalar(1, pa.int64())),
+                v,
+                pa.scalar(None, pa.float64()),
+            )
+        elif fn in ("corr", "covar"):
+            # Pearson r / sample covariance from mergeable moments:
+            # corr = (nΣxy − ΣxΣy) / √((nΣx²−(Σx)²)(nΣy²−(Σy)²));
+            # covar_samp = (Σxy − ΣxΣy/n) / (n−1);
+            # NULL when n ≤ 1 or either variance is 0 (= DuckDB corr)
+            x, y = col
+            n = pc.cast(cnt, pa.float64())
+            sx = pc.cast(batch.column(f"{x}_sum"), pa.float64())
+            sy = pc.cast(batch.column(f"{y}_sum"), pa.float64())
+            sxx = pc.cast(batch.column(f"{x}__sq_sum"), pa.float64())
+            syy = pc.cast(batch.column(f"{y}__sq_sum"), pa.float64())
+            sxy = pc.cast(batch.column(f"{x}__xy__{y}_sum"), pa.float64())
+            num = pc.subtract(pc.multiply(n, sxy), pc.multiply(sx, sy))
+            dx = pc.max_element_wise(
+                pc.subtract(pc.multiply(n, sxx), pc.multiply(sx, sx)),
+                pa.scalar(0.0, pa.float64()),
+            )
+            dy = pc.max_element_wise(
+                pc.subtract(pc.multiply(n, syy), pc.multiply(sy, sy)),
+                pa.scalar(0.0, pa.float64()),
+            )
+            if fn == "covar":
+                v = pc.divide(
+                    pc.subtract(sxy, pc.divide(pc.multiply(sx, sy), n)),
+                    pc.subtract(n, pa.scalar(1.0, pa.float64())),
+                )
+                v = pc.if_else(
+                    pc.greater(cnt, pa.scalar(1, pa.int64())),
+                    v,
+                    pa.scalar(None, pa.float64()),
+                )
+            else:
+                den = pc.sqrt(pc.multiply(dx, dy))
+                ok = pc.and_(
+                    pc.greater(cnt, pa.scalar(1, pa.int64())),
+                    pc.greater(den, pa.scalar(0.0, pa.float64())),
+                )
+                v = pc.if_else(
+                    ok,
+                    pc.divide(
+                        num, pc.if_else(ok, den, pa.scalar(1.0, pa.float64()))
+                    ),
+                    pa.scalar(None, pa.float64()),
+                )
+        else:
+            raise ValueError(fn)
+        if round_to is not None and pa.types.is_floating(v.type):
+            v = round_like_duckdb(v, round_to)
+        cols[out_name] = v
+    return cols
+
+
 def grouped_agg(ds, keys: list[str] | str, specs: list[Spec], *,
                 round_to: int | None = None, num_partitions: int = 16,
                 sum_as_float: bool = True):
@@ -170,17 +321,7 @@ def grouped_agg(ds, keys: list[str] | str, specs: list[Spec], *,
     )
 
     # merge partials per hash partition: sum the sums/counts, min the mins, ...
-    corr_pairs = [col for _, col, fn in specs if fn in ("corr", "covar")]
-    sum_cols = sorted(
-        {f"{col}_sum" for _, col, fn in specs if fn in ("sum", "mean", "var", "std")}
-        | {f"{col}__sq_sum" for _, col, fn in specs if fn in ("var", "std")}
-        | {f"{c}_sum" for x, y in corr_pairs for c in (x, y)}
-        | {f"{c}__sq_sum" for x, y in corr_pairs for c in (x, y)}
-        | {f"{x}__xy__{y}_sum" for x, y in corr_pairs}
-        | {"__cnt_sum"}
-    )
-    min_cols = sorted({f"{col}_min" for _, col, fn in specs if fn == "min"})
-    max_cols = sorted({f"{col}_max" for _, col, fn in specs if fn == "max"})
+    sum_cols, min_cols, max_cols = _merge_cols(specs)
     rename = (
         {f"{c}_sum": c for c in sum_cols}
         | {f"{c}_min": c for c in min_cols}
@@ -195,7 +336,7 @@ def grouped_agg(ds, keys: list[str] | str, specs: list[Spec], *,
             + [(c, "min") for c in min_cols]
             + [(c, "max") for c in max_cols]
         )
-        out = t.group_by(keys).aggregate(plan)
+        out = null_safe_group_by(t, keys, plan)
         return out.rename_columns([rename.get(c, c) for c in out.column_names])
 
     aggregated = hash_exchange(
@@ -208,92 +349,126 @@ def grouped_agg(ds, keys: list[str] | str, specs: list[Spec], *,
 
     def finalize(batch: pa.Table) -> pa.Table:
         cols: dict[str, object] = {k: batch.column(k) for k in keys}
-        cnt = batch.column("__cnt_sum")
-        for out_name, col, fn in specs:
-            if fn == "sum":
-                v = batch.column(f"{col}_sum")
-                if sum_as_float and pa.types.is_integer(v.type):
-                    # DuckDB sum(int) is HUGEINT → float64 in pandas; match
-                    # it so the driver's value-hash sees identical dtypes
-                    v = pc.cast(v, pa.float64())
-            elif fn == "count":
-                v = cnt
-            elif fn == "mean":
-                v = pc.divide(
-                    pc.cast(batch.column(f"{col}_sum"), pa.float64()),
-                    pc.cast(cnt, pa.float64()),
-                )
-            elif fn == "min":
-                v = batch.column(f"{col}_min")
-            elif fn == "max":
-                v = batch.column(f"{col}_max")
-            elif fn in ("var", "std"):
-                # sample variance from mergeable moments:
-                # (Σx² − (Σx)²/n) / (n−1); NULL when n ≤ 1 (= DuckDB
-                # var_samp/stddev).  max(·, 0) guards the tiny negative
-                # residue floating-point cancellation can leave.
-                s = pc.cast(batch.column(f"{col}_sum"), pa.float64())
-                sq = pc.cast(batch.column(f"{col}__sq_sum"), pa.float64())
-                n = pc.cast(cnt, pa.float64())
-                num = pc.subtract(sq, pc.divide(pc.multiply(s, s), n))
-                num = pc.max_element_wise(num, pa.scalar(0.0, pa.float64()))
-                v = pc.divide(num, pc.subtract(n, pa.scalar(1.0, pa.float64())))
-                if fn == "std":
-                    v = pc.sqrt(v)
-                v = pc.if_else(
-                    pc.greater(cnt, pa.scalar(1, pa.int64())),
-                    v,
-                    pa.scalar(None, pa.float64()),
-                )
-            elif fn in ("corr", "covar"):
-                # Pearson r / sample covariance from mergeable moments:
-                # corr = (nΣxy − ΣxΣy) / √((nΣx²−(Σx)²)(nΣy²−(Σy)²));
-                # covar_samp = (Σxy − ΣxΣy/n) / (n−1);
-                # NULL when n ≤ 1 or either variance is 0 (= DuckDB corr)
-                x, y = col
-                n = pc.cast(cnt, pa.float64())
-                sx = pc.cast(batch.column(f"{x}_sum"), pa.float64())
-                sy = pc.cast(batch.column(f"{y}_sum"), pa.float64())
-                sxx = pc.cast(batch.column(f"{x}__sq_sum"), pa.float64())
-                syy = pc.cast(batch.column(f"{y}__sq_sum"), pa.float64())
-                sxy = pc.cast(batch.column(f"{x}__xy__{y}_sum"), pa.float64())
-                num = pc.subtract(pc.multiply(n, sxy), pc.multiply(sx, sy))
-                dx = pc.max_element_wise(
-                    pc.subtract(pc.multiply(n, sxx), pc.multiply(sx, sx)),
-                    pa.scalar(0.0, pa.float64()),
-                )
-                dy = pc.max_element_wise(
-                    pc.subtract(pc.multiply(n, syy), pc.multiply(sy, sy)),
-                    pa.scalar(0.0, pa.float64()),
-                )
-                if fn == "covar":
-                    v = pc.divide(
-                        pc.subtract(sxy, pc.divide(pc.multiply(sx, sy), n)),
-                        pc.subtract(n, pa.scalar(1.0, pa.float64())),
-                    )
-                    v = pc.if_else(
-                        pc.greater(cnt, pa.scalar(1, pa.int64())),
-                        v,
-                        pa.scalar(None, pa.float64()),
-                    )
-                else:
-                    den = pc.sqrt(pc.multiply(dx, dy))
-                    ok = pc.and_(
-                        pc.greater(cnt, pa.scalar(1, pa.int64())),
-                        pc.greater(den, pa.scalar(0.0, pa.float64())),
-                    )
-                    v = pc.if_else(
-                        ok,
-                        pc.divide(
-                            num, pc.if_else(ok, den, pa.scalar(1.0, pa.float64()))
-                        ),
-                        pa.scalar(None, pa.float64()),
-                    )
+        cols |= _derived_columns(batch, specs, round_to, sum_as_float)
+        return pa.table(cols)
+
+    return aggregated.map_batches(finalize, batch_format="pyarrow", batch_size=None)
+
+
+def grouped_agg_sets(ds, keys: list[str] | str, specs: list[Spec], *,
+                     sets: list[list[str]] | None = None,
+                     round_to: int | None = None, num_partitions: int = 16,
+                     sum_as_float: bool = True,
+                     grouping_id: str | None = "grouping_id"):
+    """GROUP BY GROUPING SETS / ROLLUP / CUBE in ONE pass over the data.
+
+    ``sets`` is a list of key subsets (keep ``keys`` order); the default is
+    the ROLLUP lattice ``[keys, keys[:-1], ..., []]``.  The map side runs
+    the finest-grain partial combiner once per batch (same as
+    :func:`grouped_agg`), then derives every coarser set's partial by
+    re-aggregating those ≤|groups| partial rows — the raw data is scanned
+    once and the single exchange carries Σ|set groups| rows per block, not
+    |rows|·|sets|.  Rolled-up key columns come back NULL (SQL semantics);
+    ``grouping_id`` names an output column carrying the SQL ``GROUPING()``
+    bitmask (first key = most significant bit), which disambiguates a
+    rolled-up NULL from a genuine NULL key value.  Pass ``grouping_id=None``
+    to omit it.
+
+    Divergence from SQL: on a fully EMPTY input SQL still emits one
+    global-aggregate row for the ``()`` set; this returns 0 rows.
+    """
+    import numpy as np
+
+    from ..state.exchange import hash_exchange
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    if sets is None:
+        sets = [keys[:i] for i in range(len(keys), -1, -1)]
+    sets = [list(s) for s in sets]
+    for s in sets:
+        unknown = [k for k in s if k not in keys]
+        if unknown:
+            raise ValueError(f"grouping set {s} has non-key columns {unknown}")
+
+    partial = _partial_fn(keys, specs)
+    sum_cols, min_cols, max_cols = _merge_cols(specs)
+    replan = (
+        [(c, "sum") for c in sum_cols]
+        + [(c, "min") for c in min_cols]
+        + [(c, "max") for c in max_cols]
+    )
+    rename = (
+        {f"{c}_sum": c for c in sum_cols}
+        | {f"{c}_min": c for c in min_cols}
+        | {f"{c}_max": c for c in max_cols}
+    )
+    part_cols = sum_cols + min_cols + max_cols
+    masks = np.array(
+        [
+            sum(
+                1 << (len(keys) - 1 - i)
+                for i, k in enumerate(keys)
+                if k not in s
+            )
+            for s in sets
+        ],
+        np.int64,
+    )
+
+    def partial_sets(batch: pa.Table) -> pa.Table:
+        fin = partial(batch)
+        outs = []
+        for si, s in enumerate(sets):
+            if s == keys:
+                t = fin
             else:
-                raise ValueError(fn)
-            if round_to is not None and pa.types.is_floating(v.type):
-                v = round_like_duckdb(v, round_to)
-            cols[out_name] = v
+                if s:
+                    t = null_safe_group_by(fin, s, replan)
+                else:
+                    tmp = fin.append_column(
+                        "__all", pa.array(np.zeros(fin.num_rows, np.int8))
+                    )
+                    t = tmp.group_by(["__all"]).aggregate(replan)
+                    t = t.drop_columns(["__all"])
+                t = t.rename_columns([rename.get(c, c) for c in t.column_names])
+                for k in keys:
+                    if k not in s:
+                        t = t.append_column(
+                            k, pa.nulls(t.num_rows, batch.schema.field(k).type)
+                        )
+            t = t.select(keys + part_cols)
+            t = t.append_column("__set", pa.array(np.full(t.num_rows, si, np.int64)))
+            outs.append(t)
+        out = pa.concat_tables(outs)
+        return out.append_column(
+            "__bucket",
+            pa.array(bucket_codes(out, keys + ["__set"], num_partitions)),
+        )
+
+    partial_ds = ds.map_batches(partial_sets, batch_format="pyarrow", batch_size=None)
+
+    def merge(t: pa.Table) -> pa.Table:
+        if "__bucket" in t.column_names:
+            t = t.drop_columns(["__bucket"])
+        # NULL keys (rolled-up levels AND genuine null key values) need the
+        # null-safe grouper; __set keeps distinct sets from collapsing
+        out = null_safe_group_by(t, keys + ["__set"], replan)
+        return out.rename_columns([rename.get(c, c) for c in out.column_names])
+
+    aggregated = hash_exchange(
+        partial_ds,
+        bucket_col="__bucket",
+        n_partitions=num_partitions,
+        reduce_fn=merge,
+        reduce_empty=True,
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        cols: dict[str, object] = {k: batch.column(k) for k in keys}
+        if grouping_id is not None:
+            set_ids = batch.column("__set").to_numpy(zero_copy_only=False)
+            cols[grouping_id] = pa.array(masks[set_ids], pa.int64())
+        cols |= _derived_columns(batch, specs, round_to, sum_as_float)
         return pa.table(cols)
 
     return aggregated.map_batches(finalize, batch_format="pyarrow", batch_size=None)

@@ -114,10 +114,15 @@ def grouped_running(ds, *, key: str, order_col: str, value_col: str,
     """Ordered per-key running-window columns in one exchange.
 
     ``kinds``: ``(out_name, kind)`` with kind ∈ {cumsum, cummax, lag,
-    row_number} — SQL ``SUM/MAX(value) OVER (PARTITION BY key ORDER BY
-    order_col)``, ``lag(value)``, ``row_number()``.  ``tiebreak`` (extra
-    sort column) makes ordering total when ``order_col`` has ties — without
-    it, ties make lag/row_number nondeterministic, exactly as in SQL.
+    row_number, rank, dense_rank, percent_rank} — SQL ``SUM/MAX(value)
+    OVER (PARTITION BY key ORDER BY order_col)``, ``lag(value)``,
+    ``row_number()``, ``rank()``, ``dense_rank()``, ``percent_rank()``.
+    ``tiebreak`` (extra sort column) makes ordering total when
+    ``order_col`` has ties — without it, ties make lag/row_number
+    nondeterministic, exactly as in SQL.  The rank family is computed on
+    ``order_col`` peer groups (rows equal on ``order_col`` share a rank),
+    so it IS deterministic under ties without a tiebreak; percent_rank is
+    ``(rank−1)/(n−1)`` with 0 for single-row partitions (SQL semantics).
 
     Partition-level vectorized kernel (``grouped_map(per_group=False)``):
     one sort, run bounds, then segmented numpy ops — no per-group Python
@@ -135,7 +140,11 @@ def grouped_running(ds, *, key: str, order_col: str, value_col: str,
         if t.num_rows == 0:
             out = t
             for name, kind in kinds:
-                typ = pa.int64() if kind == "row_number" else pa.float64()
+                typ = (
+                    pa.int64()
+                    if kind in ("row_number", "rank", "dense_rank")
+                    else pa.float64()
+                )
                 out = out.append_column(name, pa.array([], typ))
             return out
         t = t.sort_by(sort_keys)
@@ -144,10 +153,36 @@ def grouped_running(ds, *, key: str, order_col: str, value_col: str,
         grp_start = np.repeat(bounds[:-1], np.diff(bounds))
         idx = np.arange(t.num_rows)
         vals = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        rank_kinds = {"rank", "dense_rank", "percent_rank"}
+        if any(kind in rank_kinds for _, kind in kinds):
+            # peer groups: rows equal on (key, order_col) share a rank.
+            # order values are already key-run-sorted, so peers are runs.
+            ov = t.column(order_col).to_numpy(zero_copy_only=False)
+            key_start = np.zeros(t.num_rows, bool)
+            key_start[bounds[:-1]] = True
+            peer_start = key_start.copy()
+            peer_start[1:] |= ov[1:] != ov[:-1]
+            ps = np.flatnonzero(peer_start)
+            # index of each row's peer-run start → rank = start − grp_start + 1
+            peer_start_idx = np.repeat(ps, np.diff(np.append(ps, t.num_rows)))
+            rank_np = peer_start_idx - grp_start + 1
+            dense_cum = np.cumsum(peer_start)
+            dense_np = dense_cum - dense_cum[grp_start] + 1
+            grp_size = np.repeat(np.diff(bounds), np.diff(bounds))
         out = t
         for name, kind in kinds:
             if kind == "row_number":
                 col = pa.array(idx - grp_start + 1, pa.int64())
+            elif kind == "rank":
+                col = pa.array(rank_np, pa.int64())
+            elif kind == "dense_rank":
+                col = pa.array(dense_np, pa.int64())
+            elif kind == "percent_rank":
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    pr = np.where(
+                        grp_size > 1, (rank_np - 1) / np.maximum(grp_size - 1, 1), 0.0
+                    )
+                col = pa.array(pr, pa.float64())
             elif kind in ("cumsum", "cummax"):
                 # per-run accumulate in SQL's sequential order (a global
                 # cumsum minus a group base differs in final ulps from the

@@ -1056,3 +1056,107 @@ def test_grouped_ops_with_null_keys(ray_session):
         for r in grouped_map(ds, ["k"], first_v, num_partitions=4).take_all()
     }
     assert set(got) == {"a", "b", None}
+
+
+def test_grouped_agg_sets_vs_duckdb(ray_session):
+    """Explicit GROUPING SETS (not just rollup) with a genuine NULL key in
+    the data: grouping_id must disambiguate a rolled-up NULL from a real
+    NULL key value, and every set's aggregates must match DuckDB."""
+    import duckdb
+    import pandas as pd
+    import ray
+
+    from pyjelly_ray.stages.agg import grouped_agg_sets
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    a = rng.choice(["x", "y", None], n).tolist()
+    b = rng.integers(0, 4, n)
+    v = rng.normal(10, 3, n)
+    t = pa.table({"a": pa.array(a, pa.string()), "b": pa.array(b, pa.int64()),
+                  "v": pa.array(v, pa.float64())})
+
+    ds = ray.data.from_arrow(t).map_batches(
+        lambda x: x, batch_format="pyarrow", batch_size=512
+    )
+    got = (
+        grouped_agg_sets(
+            ds, ["a", "b"],
+            [("n", "v", "count"), ("sv", "v", "sum"), ("mn", "v", "min")],
+            sets=[["a", "b"], ["b"], []],
+            round_to=6, num_partitions=4,
+        )
+        .to_pandas()
+    )
+
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.execute(
+        """
+        SELECT a, b, count(*) AS n, round(sum(v), 6) AS sv,
+               round(min(v), 6) AS mn,
+               CAST(grouping(a, b) AS BIGINT) AS grouping_id
+        FROM t GROUP BY GROUPING SETS ((a, b), (b), ())
+        """
+    ).fetchdf()
+
+    def canon(df):
+        df = df[sorted(df.columns)].copy()
+        for c in df.columns:
+            if pd.api.types.is_float_dtype(df[c]):
+                df[c] = df[c].round(6)
+        return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(
+        canon(got), canon(want), check_dtype=False, check_exact=False, rtol=1e-9
+    )
+    # rolled-up rows and genuine-NULL rows both exist and are distinct
+    assert ((got["a"].isna()) & (got["grouping_id"] == 0)).any()
+    assert ((got["a"].isna()) & (got["grouping_id"] == 2)).any()
+
+
+def test_set_op_union_intersect_except(ray_session):
+    import ray
+
+    from pyjelly_ray.stages.setops import set_op
+
+    l = pa.table({"k": pa.array(["a", "a", "b", None, "c"], pa.string())})
+    r = pa.table({"k": pa.array(["b", "c", "c", None, "d"], pa.string())})
+    lds = ray.data.from_arrow(l)
+    rds = ray.data.from_arrow(r)
+
+    def vals(ds):
+        return sorted(
+            (row["k"] for row in ds.take_all()), key=lambda x: (x is None, x)
+        )
+
+    # DISTINCT semantics throughout; NULL compares equal (SQL set-op rule)
+    assert vals(set_op(lds, rds, "union", columns=["k"])) == ["a", "b", "c", "d", None]
+    assert vals(set_op(lds, rds, "intersect", columns=["k"])) == ["b", "c", None]
+    assert vals(set_op(lds, rds, "except", columns=["k"])) == ["a"]
+
+
+def test_grouped_running_rank_kinds_ties(ray_session):
+    import ray
+
+    from pyjelly_ray.stages.window import grouped_running
+
+    t = pa.table(
+        {
+            "k": pa.array(["g"] * 5 + ["h"], pa.string()),
+            "o": pa.array([10.0, 10.0, 20.0, 20.0, 30.0, 1.0], pa.float64()),
+        }
+    )
+    out = (
+        grouped_running(
+            ray.data.from_arrow(t), key="k", order_col="o", value_col="o",
+            kinds=[("r", "rank"), ("d", "dense_rank"), ("p", "percent_rank")],
+        )
+        .to_pandas()
+        .sort_values(["k", "o"])
+        .reset_index(drop=True)
+    )
+    assert out["r"].tolist() == [1, 1, 3, 3, 5, 1]
+    assert out["d"].tolist() == [1, 1, 2, 2, 3, 1]
+    # percent_rank = (rank-1)/(n-1); single-row partition → 0.0
+    assert out["p"].tolist() == [0.0, 0.0, 0.5, 0.5, 1.0, 0.0]
