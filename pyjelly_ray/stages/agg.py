@@ -598,6 +598,61 @@ def grouped_map(ds, keys: list[str] | str, fn, *, num_partitions: int = 16,
     )
 
 
+def grouped_map_salted(ds, keys: list[str] | str, partial_fn, merge_fn, *,
+                       salt: int = 8, salt_cols: list[str] | None = None,
+                       num_partitions: int = 16,
+                       empty_schema: pa.Table | None = None):
+    """Skew-safe :func:`grouped_map` for DECOMPOSABLE kernels.
+
+    A hot key funnels all its rows into one reduce slot under plain
+    ``grouped_map``; when the kernel decomposes into a mergeable partial
+    (counts, sums, top-k, distinct sets, sketches — NOT order-dependent
+    kernels like sessionize), salting bounds any slot's input:
+
+    phase 1 groups by ``(keys, salt)`` with ``salt = hash(salt_cols) % salt``
+    (default: all non-key columns — deterministic, no RNG), so a hot key's
+    rows spread across ``salt`` subgroups and ``partial_fn`` sees at most
+    ``rows(key)/salt`` rows (in expectation); phase 2 regroups the ≤``salt``
+    partial rows per key and ``merge_fn`` combines them.  Both phases ride
+    the explicit hash exchange; phase 2's input is |keys|·salt rows total.
+
+    ``partial_fn(group) -> Table`` must echo the key columns;
+    ``merge_fn(group) -> Table`` combines one key's partials.
+    """
+    import numpy as np
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+
+    def add_salt(b: pa.Table) -> pa.Table:
+        cols = salt_cols or [c for c in b.column_names if c not in keys]
+        s = (
+            bucket_codes(b, cols, salt)
+            if cols
+            else np.zeros(b.num_rows, np.int64)
+        )
+        return b.append_column("__salt", pa.array(s))
+
+    salted = ds.map_batches(add_salt, batch_format="pyarrow", batch_size=None)
+
+    def partial_wrap(g: pa.Table) -> pa.Table:
+        if "__salt" in g.column_names:
+            g = g.drop_columns(["__salt"])
+        return partial_fn(g)
+
+    salted_empty = None
+    if empty_schema is not None:
+        salted_empty = empty_schema.append_column(
+            "__salt", pa.array([], pa.int64())
+        )
+    partials = grouped_map(
+        salted, keys + ["__salt"], partial_wrap,
+        num_partitions=num_partitions, empty_schema=salted_empty,
+    )
+    return grouped_map(
+        partials, keys, merge_fn, num_partitions=num_partitions,
+    )
+
+
 def grouped_quantiles(ds, keys: list[str] | str, col: str,
                       quantiles: list[tuple[str, float]], *, round_to: int = 2):
     """EXACT per-group quantiles (linear interpolation, = SQL quantile_cont).

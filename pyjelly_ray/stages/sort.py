@@ -1,0 +1,141 @@
+"""Global distributed sort: range partition → per-partition Arrow sort.
+
+Ray Data's ``Dataset.sort`` runs a sample+sort shuffle through its own
+planner; this implements the same range-partitioned strategy on the
+repo's explicit hash-exchange machinery so it composes with the other
+operators and keeps the shuffle volume observable:
+
+1. a cheap SAMPLE pass collects ~``samples_per_block`` evenly spaced key
+   values per block (each block locally sorted first, so the samples are
+   that block's quantiles — deterministic, no RNG);
+2. the driver merges the samples and picks ``num_partitions − 1`` cut
+   points — global range boundaries;
+3. one ``map_batches`` assigns each row its range bucket via vectorized
+   ``searchsorted``; ONE exchange co-locates each range; each reduce does
+   a single vectorized Arrow sort of its range.
+
+Output blocks come back in partition order, so iterating the result
+Dataset yields globally sorted rows (block i's rows all precede block
+i+1's).  At 100 TB the sample pass moves ``samples_per_block × blocks``
+keys — tiny — and each reduce sorts only ``rows / num_partitions`` rows.
+Skewed key distributions are handled by the quantile cut points (equal
+ROW counts per range, not equal key spans); a single repeated hot key
+value still lands in one partition — salt upstream if one VALUE exceeds
+a worker's memory.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _sort_spec(key: str, tiebreak: list[str], descending: bool):
+    direction = "descending" if descending else "ascending"
+    return [(key, direction)] + [(c, "ascending") for c in tiebreak]
+
+
+def range_sort(ds, key: str, *, descending: bool = False,
+               tiebreak: list[str] | None = None, num_partitions: int = 16,
+               samples_per_block: int = 64):
+    """Globally sort ``ds`` by ``key`` (then ``tiebreak`` columns ascending).
+
+    Returns a Dataset whose block order IS the global order.  NULL keys
+    sort last (Arrow default), matching SQL ``NULLS LAST``.
+    """
+    import ray
+
+    from ..state.exchange import hash_exchange
+
+    tiebreak = tiebreak or []
+    spec = _sort_spec(key, tiebreak, descending)
+
+    # two passes (sample, then bucket) read the same blocks; materialize
+    # once so upstream transforms don't re-execute for the second pass
+    ds = ds.materialize()
+
+    # ---- pass 1: per-block quantile samples of the key ----
+    def sample(b: pa.Table) -> pa.Table:
+        col = b.column(key)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        col = col.drop_null()
+        if len(col) == 0:
+            return pa.table({key: pa.array([], b.schema.field(key).type)})
+        srt = pc.array_sort_indices(col)
+        take = np.unique(
+            np.linspace(0, len(col) - 1, min(samples_per_block, len(col))).astype(
+                np.int64
+            )
+        )
+        return pa.table({key: col.take(pc.take(srt, pa.array(take)))})
+
+    sample_refs = (
+        ds.map_batches(sample, batch_format="pyarrow", batch_size=None)
+        .materialize()
+        .to_arrow_refs()
+    )
+    tables = [t for t in map(ray.get, sample_refs) if t.num_rows]
+    if not tables:
+        # no non-null keys anywhere: single partition, plain sort
+        samples = pa.table({key: pa.array([], pa.string())})
+    else:
+        samples = pa.concat_tables(tables, promote_options="default")
+    key_vals = samples.column(key)
+    if isinstance(key_vals, pa.ChunkedArray):
+        key_vals = key_vals.combine_chunks()
+    sorted_vals = key_vals.take(pc.array_sort_indices(key_vals))
+    n = len(sorted_vals)
+    if n == 0 or num_partitions <= 1:
+        cuts = sorted_vals.slice(0, 0)
+    else:
+        idx = np.unique(
+            (np.arange(1, num_partitions) * n // num_partitions).clip(0, n - 1)
+        )
+        cuts = sorted_vals.take(pa.array(idx, pa.int64()))
+    cuts_np = np.asarray(cuts.to_numpy(zero_copy_only=False))
+    n_parts = len(cuts_np) + 1
+
+    # ---- pass 2: bucket by range, exchange, sort each range ----
+    def add_bucket(b: pa.Table) -> pa.Table:
+        from .agg import _zero_like
+
+        col = b.column(key)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        nulls = None
+        if col.null_count:
+            # fill before searchsorted: None in an object array breaks
+            # numpy comparisons; the filled value's bucket is overwritten
+            nulls = pc.is_null(col).to_numpy(zero_copy_only=False)
+            col = pc.fill_null(col, _zero_like(col.type))
+        vals = col.to_numpy(zero_copy_only=False)
+        if len(cuts_np):
+            bucket = np.searchsorted(cuts_np, vals, side="right").astype(np.int64)
+        else:
+            bucket = np.zeros(len(vals), np.int64)
+        if descending:
+            bucket = (n_parts - 1) - bucket
+        # NULL keys sort LAST in either direction (SQL/Arrow NULLS LAST):
+        # pin them to the highest bucket AFTER the descending flip
+        if nulls is not None:
+            bucket[nulls] = n_parts - 1
+        return b.append_column("__bucket", pa.array(bucket))
+
+    tagged = ds.map_batches(add_bucket, batch_format="pyarrow", batch_size=None)
+
+    def reduce_part(t: pa.Table) -> pa.Table:
+        if "__bucket" in t.column_names:
+            t = t.drop_columns(["__bucket"])
+        if t.num_rows == 0:
+            return t
+        return t.sort_by(spec)
+
+    return hash_exchange(
+        tagged,
+        bucket_col="__bucket",
+        n_partitions=n_parts,
+        reduce_fn=reduce_part,
+        reduce_empty=True,
+    )

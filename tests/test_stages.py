@@ -1160,3 +1160,86 @@ def test_grouped_running_rank_kinds_ties(ray_session):
     assert out["d"].tolist() == [1, 1, 2, 2, 3, 1]
     # percent_rank = (rank-1)/(n-1); single-row partition → 0.0
     assert out["p"].tolist() == [0.0, 0.0, 0.5, 0.5, 1.0, 0.0]
+
+
+def test_range_sort_global_order(ray_session):
+    import ray
+
+    from pyjelly_ray.stages.sort import range_sort
+
+    rng = np.random.default_rng(3)
+    n = 20000
+    k = rng.integers(0, 500, n)
+    k_null = [int(x) if x % 97 else None for x in k]
+    t = pa.table(
+        {"k": pa.array(k_null, pa.int64()), "id": pa.array(np.arange(n), pa.int64())}
+    )
+    ds = ray.data.from_arrow(t).map_batches(
+        lambda b: b, batch_format="pyarrow", batch_size=1024
+    )
+    for desc in (False, True):
+        out = range_sort(ds, "k", descending=desc, tiebreak=["id"], num_partitions=8)
+        got = out.to_pandas()
+        want = (
+            t.to_pandas()
+            .sort_values(["k", "id"], ascending=[not desc, True], na_position="last")
+            .reset_index(drop=True)
+        )
+        # block order IS the global order
+        assert got["id"].tolist() == want["id"].tolist(), f"desc={desc}"
+
+    # string keys ride the same path (object-array searchsorted)
+    s = pa.table(
+        {
+            "k": pa.array([f"w{int(x):03d}" for x in k], pa.string()),
+            "id": pa.array(np.arange(n), pa.int64()),
+        }
+    )
+    sds = ray.data.from_arrow(s).map_batches(
+        lambda b: b, batch_format="pyarrow", batch_size=2048
+    )
+    got = range_sort(sds, "k", tiebreak=["id"], num_partitions=4).to_pandas()
+    want = s.to_pandas().sort_values(["k", "id"]).reset_index(drop=True)
+    assert got["id"].tolist() == want["id"].tolist()
+
+
+def test_grouped_map_salted_matches_unsalted(ray_session):
+    """Decomposable kernel (per-key distinct-value top-3 by count) under a
+    hot key owning ~85% of rows: salted two-phase result == plain
+    grouped_map result."""
+    import ray
+
+    from pyjelly_ray.stages.agg import grouped_map, grouped_map_salted
+
+    rng = np.random.default_rng(11)
+    n = 30000
+    # one key owns ~85% of rows
+    keys = np.where(rng.random(n) < 0.85, 0, rng.integers(1, 20, n))
+    vals = rng.integers(0, 50, n)
+    t = pa.table({"k": pa.array(keys, pa.int64()), "v": pa.array(vals, pa.int64())})
+    ds = ray.data.from_arrow(t).map_batches(
+        lambda b: b, batch_format="pyarrow", batch_size=2048
+    )
+
+    def count_partial(g: pa.Table) -> pa.Table:
+        out = g.group_by(["k", "v"]).aggregate([("v", "count")])
+        return out.rename_columns(["k", "v", "n"])
+
+    def merge_counts(g: pa.Table) -> pa.Table:
+        m = g.group_by(["k", "v"]).aggregate([("n", "sum")])
+        m = m.rename_columns(["k", "v", "n"])
+        m = m.sort_by([("n", "descending"), ("v", "ascending")])
+        return m.slice(0, 3)
+
+    def single_phase(g: pa.Table) -> pa.Table:
+        return merge_counts(count_partial(g))
+
+    salted = grouped_map_salted(
+        ds, "k", count_partial, merge_counts, salt=8, num_partitions=4
+    ).to_pandas()
+    plain = grouped_map(ds, "k", single_phase, num_partitions=4).to_pandas()
+
+    canon = lambda d: d.sort_values(["k", "n", "v"], ascending=[True, False, True]).reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(canon(salted), canon(plain))
