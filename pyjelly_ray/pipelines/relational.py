@@ -474,6 +474,49 @@ def q_top_type_per_user(sf_dir: str):
     )
 
 
+def q_customer_order_window(sf_dir: str):
+    """lead / first_value / ntile window functions per customer order
+    history — same one-exchange kernel as q_customer_running_spend."""
+    from ..stages.window import grouped_running
+
+    orders = _read(
+        sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"]
+    )
+    return grouped_running(
+        orders,
+        key="o_custkey",
+        order_col="o_orderdate",
+        value_col="o_totalprice",
+        kinds=[
+            ("next_price", "lead"),
+            ("first_price", "first_value"),
+            ("spend_quartile", ("ntile", 4)),
+        ],
+        round_to=2,
+        tiebreak="o_orderkey",
+    )
+
+
+def q_lineitem_cube(sf_dir: str):
+    """GROUP BY CUBE(returnflag, linestatus): all four grouping sets from
+    one pass via explicit ``sets`` on grouped_agg_sets."""
+    from ..stages.agg import grouped_agg_sets
+
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
+    return grouped_agg_sets(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        [("n_items", "l_quantity", "count"), ("sum_qty", "l_quantity", "sum")],
+        sets=[
+            ["l_returnflag", "l_linestatus"],
+            ["l_returnflag"],
+            ["l_linestatus"],
+            [],
+        ],
+        round_to=2,
+    )
+
+
 def q_top_words_approx(sf_dir: str):
     """Heavy-hitters-sketch variant of ``q_top_words`` (rows-only check —
     bounded per-block state; accuracy unit-tested vs exact counts within
@@ -1175,6 +1218,22 @@ ORACLE_SQL: dict[str, str] = {
             FROM events GROUP BY user_id, event_type
         ) WHERE rn = 1
     """,
+    "q_customer_order_window": """
+        SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+               round(lead(o_totalprice) OVER w, 2) AS next_price,
+               round(first_value(o_totalprice) OVER w, 2) AS first_price,
+               ntile(4) OVER w AS spend_quartile
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey)
+    """,
+    "q_lineitem_cube": """
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n_items,
+               round(sum(l_quantity), 2) AS sum_qty,
+               CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS grouping_id
+        FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
     "q_order_price_quantiles": """
         SELECT o_orderstatus,
                round(quantile_cont(o_totalprice, 0.5), 2) AS p50_totalprice,
@@ -1443,6 +1502,8 @@ QUERIES = {
     "q_top_words_approx": q_top_words_approx,
     "q_customer_running_spend": q_customer_running_spend,
     "q_order_rollup": q_order_rollup,
+    "q_customer_order_window": q_customer_order_window,
+    "q_lineitem_cube": q_lineitem_cube,
     "q_lineitem_qty_ranks": q_lineitem_qty_ranks,
     "q_click_days_no_purchase": q_click_days_no_purchase,
     "q_click_purchase_users": q_click_purchase_users,

@@ -114,9 +114,12 @@ def grouped_running(ds, *, key: str, order_col: str, value_col: str,
     """Ordered per-key running-window columns in one exchange.
 
     ``kinds``: ``(out_name, kind)`` with kind ∈ {cumsum, cummax, lag,
-    row_number, rank, dense_rank, percent_rank} — SQL ``SUM/MAX(value)
-    OVER (PARTITION BY key ORDER BY order_col)``, ``lag(value)``,
-    ``row_number()``, ``rank()``, ``dense_rank()``, ``percent_rank()``.
+    lead, first_value, row_number, rank, dense_rank, percent_rank} or
+    ``("ntile", k)`` — SQL ``SUM/MAX(value) OVER (PARTITION BY key ORDER
+    BY order_col)``, ``lag/lead(value)``, ``first_value(value)`` (default
+    frame: the partition's first value), ``row_number()``, ``rank()``,
+    ``dense_rank()``, ``percent_rank()``, ``ntile(k)`` (earlier tiles get
+    the extra rows, as in SQL).
     ``tiebreak`` (extra sort column) makes ordering total when
     ``order_col`` has ties — without it, ties make lag/row_number
     nondeterministic, exactly as in SQL.  The rank family is computed on
@@ -140,17 +143,17 @@ def grouped_running(ds, *, key: str, order_col: str, value_col: str,
         if t.num_rows == 0:
             out = t
             for name, kind in kinds:
-                typ = (
-                    pa.int64()
-                    if kind in ("row_number", "rank", "dense_rank")
-                    else pa.float64()
+                is_int = kind in ("row_number", "rank", "dense_rank") or (
+                    isinstance(kind, tuple) and kind[0] == "ntile"
                 )
+                typ = pa.int64() if is_int else pa.float64()
                 out = out.append_column(name, pa.array([], typ))
             return out
         t = t.sort_by(sort_keys)
         bounds = _key_run_bounds(t, [key])
-        # index of each row's group start, vectorized
+        # index of each row's group start / size, vectorized
         grp_start = np.repeat(bounds[:-1], np.diff(bounds))
+        grp_size = np.repeat(np.diff(bounds), np.diff(bounds))
         idx = np.arange(t.num_rows)
         vals = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
         rank_kinds = {"rank", "dense_rank", "percent_rank"}
@@ -168,7 +171,6 @@ def grouped_running(ds, *, key: str, order_col: str, value_col: str,
             rank_np = peer_start_idx - grp_start + 1
             dense_cum = np.cumsum(peer_start)
             dense_np = dense_cum - dense_cum[grp_start] + 1
-            grp_size = np.repeat(np.diff(bounds), np.diff(bounds))
         out = t
         for name, kind in kinds:
             if kind == "row_number":
@@ -197,6 +199,27 @@ def grouped_running(ds, *, key: str, order_col: str, value_col: str,
                 col_np = np.where(idx == grp_start, np.nan, lagged)
                 col = pa.array(col_np, pa.float64())
                 col = pc.if_else(pc.is_nan(col), pa.scalar(None, pa.float64()), col)
+            elif kind == "lead":
+                led = np.roll(vals, -1)
+                col_np = np.where(idx == grp_start + grp_size - 1, np.nan, led)
+                col = pa.array(col_np, pa.float64())
+                col = pc.if_else(pc.is_nan(col), pa.scalar(None, pa.float64()), col)
+            elif kind == "first_value":
+                col = pa.array(vals[grp_start], pa.float64())
+            elif isinstance(kind, tuple) and kind[0] == "ntile":
+                k = int(kind[1])
+                # SQL ntile: first (n mod k) tiles hold ceil(n/k) rows,
+                # the rest floor(n/k)
+                i = idx - grp_start
+                q, r = grp_size // k, grp_size % k
+                big = r * (q + 1)  # rows covered by the larger tiles
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    tile = np.where(
+                        i < big,
+                        i // np.maximum(q + 1, 1),
+                        r + (i - big) // np.maximum(q, 1),
+                    )
+                col = pa.array(tile + 1, pa.int64())
             else:
                 raise ValueError(kind)
             if round_to is not None and pa.types.is_floating(col.type):
