@@ -517,6 +517,73 @@ def q_lineitem_cube(sf_dir: str):
     )
 
 
+def q_events_hourly(sf_dir: str):
+    """Tumbling 1-hour event-time window × event_type — the streaming
+    windowed-aggregate shape (epoch-truncate map + one grouped_agg)."""
+    from ..stages.window import windowed_agg
+
+    ev = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    return windowed_agg(
+        ev,
+        ts_col="ts",
+        width_s=3600,
+        keys="event_type",
+        specs=[("n_events", "value", "count"), ("sum_value", "value", "sum")],
+        round_to=2,
+    )
+
+
+def q_events_hopping(sf_dir: str):
+    """Hopping window (width 1 h, hop 15 min): each event lands in 4
+    overlapping windows via a map-side vectorized explode; the exchange
+    still carries only per-window partials."""
+    from ..stages.window import windowed_agg
+
+    ev = _read(sf_dir, "events", ["ts", "value"])
+    return windowed_agg(
+        ev,
+        ts_col="ts",
+        width_s=3600,
+        hop_s=900,
+        specs=[("n_events", "value", "count"), ("sum_value", "value", "sum")],
+        round_to=2,
+    )
+
+
+def q_user_event_pivot(sf_dir: str):
+    """PIVOT events FOR event_type IN (...) — per-user spend by event
+    type as the agg-FILTER rewrite (conditional columns + one exchange)."""
+    from ..stages.pivot import pivot_agg
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+    return pivot_agg(
+        ev,
+        "user_id",
+        pivot_col="event_type",
+        values=["click", "error", "purchase", "signup", "view"],
+        value_col="value",
+        agg="sum",
+        name_fmt="sum_{}",
+        round_to=2,
+    )
+
+
+def q_lineitem_unpivot(sf_dir: str):
+    """UNPIVOT lineitem's four measures into (measure, amount) rows —
+    stateless stacking map, zero shuffle."""
+    from ..stages.pivot import unpivot
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"] + cols)
+    return unpivot(
+        li,
+        id_cols=["l_orderkey", "l_linenumber"],
+        value_cols=cols,
+        var_name="measure",
+        value_name="amount",
+    )
+
+
 def q_top_words_approx(sf_dir: str):
     """Heavy-hitters-sketch variant of ``q_top_words`` (rows-only check —
     bounded per-block state; accuracy unit-tested vs exact counts within
@@ -1234,6 +1301,39 @@ ORACLE_SQL: dict[str, str] = {
                CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS grouping_id
         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
     """,
+    "q_events_hourly": """
+        SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS w_start,
+               event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+    "q_events_hopping": """
+        SELECT make_timestamp(k * 900000000) AS w_start,
+               count(*) AS n_events, round(sum(value), 2) AS sum_value
+        FROM (SELECT value,
+                     unnest(range(epoch_us(ts) // 900000000 - 3,
+                                  epoch_us(ts) // 900000000 + 1)) AS k
+              FROM events)
+        GROUP BY 1
+    """,
+    "q_user_event_pivot": """
+        SELECT user_id,
+               round(sum(value) FILTER (WHERE event_type = 'click'), 2) AS sum_click,
+               round(sum(value) FILTER (WHERE event_type = 'error'), 2) AS sum_error,
+               round(sum(value) FILTER (WHERE event_type = 'purchase'), 2) AS sum_purchase,
+               round(sum(value) FILTER (WHERE event_type = 'signup'), 2) AS sum_signup,
+               round(sum(value) FILTER (WHERE event_type = 'view'), 2) AS sum_view
+        FROM events GROUP BY user_id
+    """,
+    "q_lineitem_unpivot": """
+        SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+               CAST(l_quantity AS DOUBLE) AS amount FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+    """,
     "q_order_price_quantiles": """
         SELECT o_orderstatus,
                round(quantile_cont(o_totalprice, 0.5), 2) AS p50_totalprice,
@@ -1504,6 +1604,10 @@ QUERIES = {
     "q_order_rollup": q_order_rollup,
     "q_customer_order_window": q_customer_order_window,
     "q_lineitem_cube": q_lineitem_cube,
+    "q_events_hourly": q_events_hourly,
+    "q_events_hopping": q_events_hopping,
+    "q_user_event_pivot": q_user_event_pivot,
+    "q_lineitem_unpivot": q_lineitem_unpivot,
     "q_lineitem_qty_ranks": q_lineitem_qty_ranks,
     "q_click_days_no_purchase": q_click_days_no_purchase,
     "q_click_purchase_users": q_click_purchase_users,

@@ -1243,3 +1243,87 @@ def test_grouped_map_salted_matches_unsalted(ray_session):
     import pandas as pd
 
     pd.testing.assert_frame_equal(canon(salted), canon(plain))
+
+
+def test_windowed_agg_hopping_nondivisor(ray_session):
+    """Hopping windows with width NOT a hop multiple: brute-force window
+    membership (s <= ts < s+width, s = k*hop) must match exactly."""
+    import ray
+    from collections import defaultdict
+
+    from pyjelly_ray.stages.window import windowed_agg
+
+    rng = np.random.default_rng(7)
+    us = rng.integers(0, 10_000_000, 300)  # 10 s of µs-scale events
+    vals = rng.normal(10, 3, 300)
+    t = pa.table(
+        {
+            "ts": pa.array(us, pa.int64()).cast(pa.timestamp("us")),
+            "value": pa.array(vals),
+        }
+    )
+    width_s, hop_s = 2.5, 1.0  # width/hop = 2.5 — non-integer fan-out
+    out = (
+        windowed_agg(
+            ray.data.from_arrow(t).repartition(4),
+            ts_col="ts",
+            width_s=width_s,
+            hop_s=hop_s,
+            specs=[("n", "value", "count"), ("s", "value", "sum")],
+            round_to=6,
+        )
+        .to_pandas()
+        .sort_values("w_start")
+        .reset_index(drop=True)
+    )
+    width_us, hop_us = int(width_s * 1e6), int(hop_s * 1e6)
+    exp = defaultdict(lambda: [0, 0.0])
+    for u, v in zip(us.tolist(), vals.tolist()):
+        k = u // hop_us
+        while k * hop_us + width_us > u:  # all windows containing u,
+            if k * hop_us <= u:  # incl. epoch-negative starts (Flink-style)
+                exp[k * hop_us][0] += 1
+                exp[k * hop_us][1] += v
+            k -= 1
+    assert len(out) == len(exp)
+    for _, row in out.iterrows():
+        w = row["w_start"].value // 1000  # pandas ns -> µs
+        n, s = exp[w]
+        assert row["n"] == n
+        assert abs(row["s"] - s) < 1e-4
+
+
+def test_pivot_agg_count_and_sum_filter_semantics(ray_session):
+    import ray
+
+    from pyjelly_ray.stages.pivot import pivot_agg, unpivot
+
+    t = pa.table(
+        {
+            "k": ["a", "a", "b", "b", "b"],
+            "cat": ["x", "y", "x", "x", None],
+            "v": [1.0, 2.0, 3.0, 4.0, 5.0],
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(3)
+    # count: keys with no matching rows get 0 (SQL count FILTER)
+    cnt = pivot_agg(
+        ds, "k", pivot_col="cat", values=["x", "y"], agg="count", name_fmt="n_{}"
+    ).to_pandas().set_index("k").sort_index()
+    assert cnt.loc["a", "n_x"] == 1 and cnt.loc["a", "n_y"] == 1
+    assert cnt.loc["b", "n_x"] == 2 and cnt.loc["b", "n_y"] == 0
+    assert cnt["n_x"].dtype.kind == "i"
+    # sum: no matching rows -> NULL (SQL sum FILTER)
+    sm = pivot_agg(
+        ds, "k", pivot_col="cat", values=["x", "y"], value_col="v",
+        agg="sum", name_fmt="s_{}", round_to=2,
+    ).to_pandas().set_index("k").sort_index()
+    assert sm.loc["b", "s_x"] == 7.0
+    assert np.isnan(sm.loc["b", "s_y"])
+    # unpivot round-trips the cells
+    mel = unpivot(
+        ray.data.from_arrow(t.drop_columns(["cat"])),
+        id_cols=["k"], value_cols=["v"], var_name="m", value_name="val",
+    ).to_pandas()
+    assert len(mel) == 5 and set(mel["m"]) == {"v"}
+    assert sorted(mel["val"]) == [1.0, 2.0, 3.0, 4.0, 5.0]
