@@ -262,19 +262,6 @@ def q_events_by_type(sf_dir: str):
     return _to_table(base).join(_to_table(nuser).select(["event_type", "n_users"]), keys=["event_type"])
 
 
-def q_events_hourly(sf_dir: str):
-    ev = _read(sf_dir, "events", ["ts", "value"])
-
-    def hour(b: pa.Table) -> pa.Table:
-        key = pc.strftime(b.column("ts"), format="%Y-%m-%d %H:00:00")
-        return pa.table({"hour": key, "value": b.column("value")})
-
-    ds = ev.map_batches(hour, batch_format="pyarrow")
-    return grouped_agg(
-        ds, ["hour"], [("n_events", "value", "count"), ("sum_value", "value", "sum")], round_to=2
-    )
-
-
 def q_events_daily_ma7(sf_dir: str):
     """Sliding window: per-type daily sums + 7-day trailing moving average.
 
@@ -515,6 +502,36 @@ def q_lineitem_cube(sf_dir: str):
         ],
         round_to=2,
     )
+
+
+def _q_customer_highvalue(sf_dir: str, how: str):
+    """Big⋈big SEMI / ANTI equi-join through the co-partitioned hash join
+    (EXISTS / NOT EXISTS shape — no broadcast, no bloom; both sides
+    exchange once and pyarrow's semi/anti kernel runs per partition)."""
+    from ..stages.joins import hash_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def high_value(t):
+        import pyarrow.compute as _pc
+
+        return t.filter(_pc.greater(t.column("o_totalprice"), 400000.0)).select(
+            ["o_custkey"]
+        )
+
+    hv = orders.map_batches(high_value, batch_format="pyarrow")
+    return hash_join(cust, hv, left_key="c_custkey", right_key="o_custkey", how=how)
+
+
+def q_customers_high_value_semi(sf_dir: str):
+    """Customers with ≥1 order over 400k — big⋈big LEFT SEMI hash join."""
+    return _q_customer_highvalue(sf_dir, "left semi")
+
+
+def q_customers_no_high_value(sf_dir: str):
+    """Customers with NO order over 400k — big⋈big LEFT ANTI hash join."""
+    return _q_customer_highvalue(sf_dir, "left anti")
 
 
 def q_events_hourly(sf_dir: str):
@@ -1217,11 +1234,6 @@ ORACLE_SQL: dict[str, str] = {
                count(DISTINCT user_id) AS n_users
         FROM events GROUP BY event_type
     """,
-    "q_events_hourly": """
-        SELECT strftime(ts, '%Y-%m-%d %H:00:00') AS hour,
-               count(*) AS n_events, round(sum(value), 2) AS sum_value
-        FROM events GROUP BY 1
-    """,
     "q_events_daily_ma7": """
         WITH daily AS (
             SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
@@ -1300,6 +1312,16 @@ ORACLE_SQL: dict[str, str] = {
                round(sum(l_quantity), 2) AS sum_qty,
                CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS grouping_id
         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+    "q_customers_high_value_semi": """
+        SELECT c_custkey, c_name, c_acctbal FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+    """,
+    "q_customers_no_high_value": """
+        SELECT c_custkey, c_name, c_acctbal FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_totalprice > 400000)
     """,
     "q_events_hourly": """
         SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS w_start,
@@ -1604,6 +1626,8 @@ QUERIES = {
     "q_order_rollup": q_order_rollup,
     "q_customer_order_window": q_customer_order_window,
     "q_lineitem_cube": q_lineitem_cube,
+    "q_customers_high_value_semi": q_customers_high_value_semi,
+    "q_customers_no_high_value": q_customers_no_high_value,
     "q_events_hourly": q_events_hourly,
     "q_events_hopping": q_events_hopping,
     "q_user_event_pivot": q_user_event_pivot,
@@ -1613,7 +1637,6 @@ QUERIES = {
     "q_click_purchase_users": q_click_purchase_users,
     "q_click_purchase_value": q_click_purchase_value,
     "q_top_type_per_user": q_top_type_per_user,
-    "q_events_hourly": q_events_hourly,
     "q_events_daily_ma7": q_events_daily_ma7,
     "q_order_price_quantiles": q_order_price_quantiles,
     "q_top_words": q_top_words,
