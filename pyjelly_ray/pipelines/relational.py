@@ -1673,3 +1673,234 @@ QUERIES = {
     "q_simhash_pairs": q_simhash_pairs,
     "q_multimodal_features": q_multimodal_features,
 }
+
+
+# --------------------------------------------------------------------------
+# late-round additions: count-distinct, JSON extraction, HAVING join-back,
+# count distribution, conditional-aggregate ratio, scalar-subquery broadcast,
+# fixed-width histogram
+# --------------------------------------------------------------------------
+
+
+def q_priority_distinct_custs(sf_dir: str):
+    """Exact COUNT(DISTINCT) per group via the pair-hash two-phase exchange."""
+    from ..stages.agg import grouped_count_distinct
+
+    orders = _read(sf_dir, "orders", ["o_orderpriority", "o_custkey"])
+    return grouped_count_distinct(
+        orders, "o_orderpriority", "o_custkey", out_name="n_custs"
+    )
+
+
+def q_event_props_stats(sf_dir: str):
+    """Vectorized JSON field extraction → grouped aggregate (no row loop)."""
+    from ..stages.text import json_int_field
+
+    ev = _read(sf_dir, "events", ["event_type", "props"])
+    parsed = ev.map_batches(
+        lambda b: json_int_field(b, "props", "k").drop_columns(["props"]),
+        batch_format="pyarrow",
+    )
+    return grouped_agg(
+        parsed,
+        ["event_type"],
+        [("n_with_k", "k", "count"), ("sum_k", "k", "sum"), ("avg_k", "k", "mean")],
+        round_to=6,
+        sum_as_float=False,
+    )
+
+
+def q_big_quantity_orders(sf_dir: str):
+    """HAVING + join-back (TPC-H Q18 shape): aggregate → filter → big⋈big."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+    sums = grouped_agg(
+        li, ["l_orderkey"], [("sum_qty", "l_quantity", "sum")], round_to=2
+    )
+    big = sums.map_batches(
+        lambda b: b.filter(pc.greater(b.column("sum_qty"), pa.scalar(250.0))),
+        batch_format="pyarrow",
+    )
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"]
+    )
+    joined = hash_join(orders, big, left_key="o_orderkey", right_key="l_orderkey")
+    return global_topk(
+        joined, ["o_totalprice", "o_orderkey"], 100, descending=[True, False]
+    )
+
+
+def q_order_count_distribution(sf_dir: str):
+    """Customer distribution (TPC-H Q13 shape): big⋈big LEFT OUTER with
+    zero-fill, then a second-level count-of-counts aggregate."""
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+    counts = grouped_agg(orders, ["o_custkey"], [("c_count", "o_custkey", "count")])
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    joined = hash_join(
+        cust, counts, left_key="c_custkey", right_key="o_custkey", how="left outer"
+    )
+
+    def fill(b: pa.Table) -> pa.Table:
+        n = pc.coalesce(b.column("c_count"), pa.scalar(0, pa.int64()))
+        return pa.table({"c_count": n})
+
+    filled = joined.map_batches(fill, batch_format="pyarrow")
+    return grouped_agg(filled, ["c_count"], [("n_custs", "c_count", "count")])
+
+
+def q_promo_revenue_share(sf_dir: str):
+    """Conditional-aggregate ratio (TPC-H Q14 shape): CASE WHEN inside the
+    map-side combiner, share finalized after the merge."""
+    li = _read(
+        sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount", "l_returnflag"]
+    )
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"])
+    joined = broadcast_join(
+        li, part, left_key="l_partkey", right_key="p_partkey", columns=["p_type"]
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            b.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), b.column("l_discount")),
+        )
+        promo = pc.if_else(
+            pc.equal(b.column("p_type"), "PROMO"), rev, pa.scalar(0.0)
+        )
+        return pa.table(
+            {"l_returnflag": b.column("l_returnflag"), "rev": rev, "promo_rev": promo}
+        )
+
+    prepped = joined.map_batches(prep, batch_format="pyarrow")
+    agg = grouped_agg(
+        prepped,
+        ["l_returnflag"],
+        [("sum_rev", "rev", "sum"), ("sum_promo", "promo_rev", "sum")],
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        from ..stages.agg import round_like_duckdb
+
+        share = round_like_duckdb(
+            pc.divide(b.column("sum_promo"), b.column("sum_rev")), 6
+        )
+        return pa.table(
+            {
+                "l_returnflag": b.column("l_returnflag"),
+                "promo_share": share,
+                "sum_rev": round_like_duckdb(b.column("sum_rev"), 2),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def q_above_avg_orders(sf_dir: str):
+    """Scalar-subquery broadcast (TPC-H Q22 shape): one global aggregate
+    computed once on the driver, broadcast into the filter — no per-batch
+    recompute, no shuffle."""
+    orders = _read(
+        sf_dir, "orders", ["o_orderpriority", "o_totalprice"]
+    )
+    avg_price = orders.mean("o_totalprice")
+    thresh = pa.scalar(float(avg_price))
+
+    filtered = orders.map_batches(
+        lambda b: b.filter(pc.greater(b.column("o_totalprice"), thresh)),
+        batch_format="pyarrow",
+    )
+    return grouped_agg(
+        filtered,
+        ["o_orderpriority"],
+        [("n_orders", "o_totalprice", "count"), ("sum_totalprice", "o_totalprice", "sum")],
+        round_to=2,
+    )
+
+
+def q_price_histogram(sf_dir: str):
+    """Fixed-width histogram of order totals: map-side binning + one small
+    grouped-agg exchange."""
+    from ..stages.agg import fixed_width_histogram
+
+    orders = _read(sf_dir, "orders", ["o_totalprice"])
+    return fixed_width_histogram(orders, "o_totalprice", 50000.0)
+
+
+QUERIES.update(
+    {
+        "q_priority_distinct_custs": q_priority_distinct_custs,
+        "q_event_props_stats": q_event_props_stats,
+        "q_big_quantity_orders": q_big_quantity_orders,
+        "q_order_count_distribution": q_order_count_distribution,
+        "q_promo_revenue_share": q_promo_revenue_share,
+        "q_above_avg_orders": q_above_avg_orders,
+        "q_price_histogram": q_price_histogram,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "q_priority_distinct_custs": """
+            SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_custs
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "q_event_props_stats": """
+            SELECT event_type,
+                   count(k) AS n_with_k,
+                   sum(k) AS sum_k,
+                   round(avg(k), 6) AS avg_k
+            FROM (
+                SELECT event_type,
+                       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+                FROM events
+            )
+            GROUP BY event_type
+        """,
+        "q_big_quantity_orders": """
+            SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate,
+                   round(sum_qty, 2) AS sum_qty
+            FROM orders
+            JOIN (
+                SELECT l_orderkey, sum(l_quantity) AS sum_qty
+                FROM lineitem GROUP BY l_orderkey
+                HAVING sum(l_quantity) > 250
+            ) ON o_orderkey = l_orderkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 100
+        """,
+        "q_order_count_distribution": """
+            SELECT c_count, count(*) AS n_custs
+            FROM (
+                SELECT c_custkey, count(o_orderkey) AS c_count
+                FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+                GROUP BY c_custkey
+            )
+            GROUP BY c_count
+        """,
+        "q_promo_revenue_share": """
+            SELECT l_returnflag,
+                   round(sum(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END)
+                         / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_share,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_rev
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            GROUP BY l_returnflag
+        """,
+        "q_above_avg_orders": """
+            SELECT o_orderpriority,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS sum_totalprice
+            FROM orders
+            WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+            GROUP BY o_orderpriority
+        """,
+        "q_price_histogram": """
+            SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+                   count(*) AS n,
+                   round(min(o_totalprice), 2) AS lo,
+                   round(max(o_totalprice), 2) AS hi
+            FROM orders
+            GROUP BY bucket
+        """,
+    }
+)

@@ -793,3 +793,84 @@ def grouped_topk(ds, keys: list[str] | str, order_col: str, k: int, *,
         reduce_fn=lambda t: topk_within(t.drop_columns(["__bucket"])),
         reduce_empty=True,
     )
+
+
+def grouped_count_distinct(ds, keys: list[str] | str, col: str,
+                           out_name: str = "n_distinct", *,
+                           num_partitions: int = 16):
+    """Exact per-group ``COUNT(DISTINCT col)`` — shuffle sized by distinct
+    pairs, skew-proof for hot groups.
+
+    Map side dedups ``(keys, col)`` pairs per batch (the exchange carries
+    distinct pairs, not rows) and buckets by the hash of the FULL pair, so a
+    hot group's distinct values spread across every partition instead of
+    converging on one reducer.  After the pair exchange each surviving pair
+    exists exactly once globally, so a per-partition count per key is a
+    valid partial count; a second, tiny exchange (≤ |groups| × partitions
+    rows) sums the partials.  NULL values are not counted (SQL semantics);
+    NULL keys group together (via :func:`null_safe_group_by`).
+
+    The reference has no aggregates (SURVEY.md §2.5) — this is the from-
+    scratch design for e.g. distinct-subject counts per predicate at 100 TB.
+    """
+    from ..state.exchange import hash_exchange
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    pair_cols = keys + [col]
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        t = batch.select(pair_cols)
+        t = t.filter(pc.is_valid(t.column(col)))
+        t = null_safe_group_by(t, pair_cols, [])
+        return t.append_column(
+            "__bucket", pa.array(bucket_codes(t, pair_cols, num_partitions))
+        )
+
+    pairs = ds.map_batches(pair_partial, batch_format="pyarrow", batch_size=None)
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        if "__bucket" in t.column_names:
+            t = t.drop_columns(["__bucket"])
+        t = null_safe_group_by(t, pair_cols, [])  # global dedup (one owner partition per pair)
+        out = null_safe_group_by(t, keys, [(col, "count")])
+        return out.rename_columns(
+            [("__partial" if c == f"{col}_count" else c) for c in out.column_names]
+        )
+
+    partials = hash_exchange(
+        pairs,
+        bucket_col="__bucket",
+        n_partitions=num_partitions,
+        reduce_fn=count_partial,
+        reduce_empty=True,
+    )
+    return grouped_agg(
+        partials, keys, [(out_name, "__partial", "sum")],
+        num_partitions=min(num_partitions, 8), sum_as_float=False,
+    )
+
+
+def fixed_width_histogram(ds, col: str, width: float, *, origin: float = 0.0,
+                          bucket_name: str = "bucket",
+                          num_partitions: int = 8, round_to: int | None = 2):
+    """Fixed-width histogram: ``bucket = floor((col − origin) / width)`` plus
+    per-bucket count and observed min/max.
+
+    Pure map-side binning followed by one small :func:`grouped_agg` exchange
+    (≤ |buckets| rows per block) — the classic scale-friendly histogram: no
+    sort, no sample pass, deterministic bucket ids.  Output columns:
+    ``bucket`` (int64), ``n`` (count), ``lo`` / ``hi`` (min/max of ``col``).
+    """
+    def bucketize(b: pa.Table) -> pa.Table:
+        x = pc.cast(b.column(col), pa.float64())
+        bk = pc.floor(
+            pc.divide(pc.subtract(x, pa.scalar(float(origin))), pa.scalar(float(width)))
+        )
+        return b.append_column(bucket_name, pc.cast(bk, pa.int64()))
+
+    binned = ds.map_batches(bucketize, batch_format="pyarrow", batch_size=None)
+    return grouped_agg(
+        binned, bucket_name,
+        [("n", col, "count"), ("lo", col, "min"), ("hi", col, "max")],
+        num_partitions=num_partitions, round_to=round_to,
+    )

@@ -183,3 +183,24 @@ def fingerprint(batch: pa.Table) -> pa.Table:
             "rolling64": pa.array(rolling, pa.uint64()),
         }
     )
+
+
+def json_int_field(batch: pa.Table, col: str, field: str,
+                   out: str | None = None) -> pa.Table:
+    """Extract an integer JSON field from a string column, vectorized.
+
+    Semi-structured payload columns (event properties, API logs) are a
+    training-data staple; at 100 TB a Python ``json.loads`` per row is the
+    classic hot-path mistake.  This uses ONE ``pc.extract_regex`` pass (RE2,
+    no backtracking) over the Arrow string column — rows without the field
+    (or a non-integer value) come back NULL, matching
+    ``CAST(json_extract_string(col, '$.field') AS BIGINT)`` in DuckDB for
+    flat JSON objects.  Nested-object paths are out of scope by design:
+    a real nested schema should be exploded into typed columns at ingest.
+    """
+    import re
+
+    pat = '"' + re.escape(field) + '"\\s*:\\s*(?P<v>-?\\d+)'
+    hits = pc.extract_regex(batch.column(col), pattern=pat)
+    val = pc.cast(pc.struct_field(hits, "v"), pa.int64())
+    return batch.append_column(out or field, val)

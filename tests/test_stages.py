@@ -1327,3 +1327,81 @@ def test_pivot_agg_count_and_sum_filter_semantics(ray_session):
     ).to_pandas()
     assert len(mel) == 5 and set(mel["m"]) == {"v"}
     assert sorted(mel["val"]) == [1.0, 2.0, 3.0, 4.0, 5.0]
+
+
+def test_grouped_count_distinct_skew_and_nulls(ray_session):
+    """Exact COUNT(DISTINCT) matches brute force under a hot key, NULL
+    values (not counted) and NULL keys (grouped together), multi-block."""
+    import ray
+
+    from pyjelly_ray.stages.agg import grouped_count_distinct
+
+    rng = np.random.default_rng(7)
+    n = 20_000
+    # 85% of rows share one hot key — the pair-hash bucketing must spread it
+    keys = np.where(rng.random(n) < 0.85, 0, rng.integers(1, 12, n)).astype(np.int64)
+    vals = rng.integers(0, 500, n).astype(np.int64)
+    key_arr = pa.array(keys).cast(pa.int64())
+    # sprinkle NULL keys and NULL values
+    key_arr = pa.array(
+        [None if i % 97 == 0 else int(k) for i, k in enumerate(keys)], pa.int64()
+    )
+    val_arr = pa.array(
+        [None if i % 53 == 0 else int(v) for i, v in enumerate(vals)], pa.int64()
+    )
+    t = pa.table({"k": key_arr, "v": val_arr})
+    ds = ray.data.from_arrow(t).repartition(7)
+    out = grouped_count_distinct(ds, "k", "v", out_name="nd").to_pandas()
+
+    import pandas as pd
+
+    df = t.to_pandas()
+    expected = (
+        df[df.v.notna()]
+        .groupby("k", dropna=False)["v"]
+        .nunique()
+        .reset_index(name="nd")
+    )
+    got = out.sort_values("k", na_position="last").reset_index(drop=True)
+    exp = expected.sort_values("k", na_position="last").reset_index(drop=True)
+    assert len(got) == len(exp)
+    assert (got["nd"].to_numpy() == exp["nd"].to_numpy()).all()
+    assert got["nd"].dtype.kind == "i"  # stays integer like SQL count
+
+
+def test_fixed_width_histogram_matches_numpy(ray_session):
+    import ray
+
+    from pyjelly_ray.stages.agg import fixed_width_histogram
+
+    rng = np.random.default_rng(3)
+    x = rng.uniform(-100.0, 900.0, 5000)
+    ds = ray.data.from_arrow(pa.table({"x": x})).repartition(5)
+    out = fixed_width_histogram(ds, "x", 100.0).to_pandas().set_index("bucket")
+    buckets = np.floor(x / 100.0).astype(np.int64)
+    for b in np.unique(buckets):
+        sel = x[buckets == b]
+        assert out.loc[b, "n"] == len(sel)
+        assert out.loc[b, "lo"] == round(sel.min(), 2)
+        assert out.loc[b, "hi"] == round(sel.max(), 2)
+
+
+def test_json_int_field_edge_cases():
+    from pyjelly_ray.stages.text import json_int_field
+
+    t = pa.table(
+        {
+            "p": [
+                '{"k": 87}',
+                '{"k":0}',
+                '{"x": 1}',
+                None,
+                '{"k": -3, "j": 9}',
+                'not json',
+                '{"kk": 5}',
+            ]
+        }
+    )
+    out = json_int_field(t, "p", "k", out="k").column("k").to_pylist()
+    # '"kk"' must not match field "k" — the regex anchors on the quoted name
+    assert out == [87, 0, None, None, -3, None, None]
