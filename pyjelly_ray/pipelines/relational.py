@@ -1904,3 +1904,181 @@ ORACLE_SQL.update(
         """,
     }
 )
+
+
+def q_doc_stratified_sample(sf_dir: str):
+    """Deterministic k-per-group sample (balanced eval-set shape)."""
+    from ..stages.sample import stratified_sample
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    return stratified_sample(docs, keys="lang", id_col="doc_id", k=3, seed="s7")
+
+
+def q_latest_event_per_user(sf_dir: str):
+    """Recency dedup: latest event per user (changelog/CDC shape)."""
+    from ..stages.dedup import dedup_keep_latest
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type", "value"])
+    latest = dedup_keep_latest(ev, "user_id", "ts", tiebreak=["event_id"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        from ..stages.agg import round_like_duckdb
+
+        return pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "ts": b.column("ts"),
+                "event_type": b.column("event_type"),
+                "value": round_like_duckdb(b.column("value"), 2),
+            }
+        )
+
+    return latest.map_batches(finish, batch_format="pyarrow")
+
+
+def q_events_above_type_avg(sf_dir: str):
+    """Group-average join-back: rows above their own group's mean."""
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+    avgs = grouped_agg(ev, ["event_type"], [("a", "value", "mean")])
+    joined = broadcast_join(ev, avgs, left_key="event_type", columns=["a"])
+
+    def above(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater(b.column("value"), b.column("a")))
+
+    filtered = joined.map_batches(above, batch_format="pyarrow")
+    return grouped_agg(
+        filtered,
+        ["event_type"],
+        [("n_above", "value", "count"), ("sum_above", "value", "sum")],
+        round_to=2,
+    )
+
+
+def q_nation_pairs(sf_dir: str):
+    """Self-join: ordered pairs of nations sharing a region."""
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"])
+    right = _to_table(
+        _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"])
+    ).rename_columns(["nb_nationkey", "nation_b", "n_regionkey"])
+    paired = broadcast_join(nation, right, left_key="n_regionkey")
+
+    def ordered(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.less(b.column("n_nationkey"), b.column("nb_nationkey")))
+        return pa.table(
+            {
+                "nation_a": b.column("n_name"),
+                "nation_b": b.column("nation_b"),
+                "n_regionkey": b.column("n_regionkey"),
+            }
+        )
+
+    pairs = paired.map_batches(ordered, batch_format="pyarrow")
+    region = _read(sf_dir, "region", ["r_regionkey", "r_name"])
+    withname = broadcast_join(
+        pairs, region, left_key="n_regionkey", right_key="r_regionkey"
+    )
+    return withname.map_batches(
+        lambda b: b.select(["nation_a", "nation_b", "r_name"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_events_iqr_outliers(sf_dir: str):
+    """Per-group IQR outlier filter: exact quantiles → broadcast join-back."""
+    from ..stages.agg import grouped_quantiles
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+    q = grouped_quantiles(
+        ev, "event_type", "value", [("q1", 0.25), ("q3", 0.75)], round_to=2
+    )
+    joined = broadcast_join(ev, q, left_key="event_type", columns=["q1", "q3"])
+
+    def outliers(b: pa.Table) -> pa.Table:
+        iqr = pc.subtract(b.column("q3"), b.column("q1"))
+        fence = pc.multiply(pa.scalar(1.5), iqr)
+        hi = pc.add(b.column("q3"), fence)
+        lo = pc.subtract(b.column("q1"), fence)
+        mask = pc.or_(
+            pc.greater(b.column("value"), hi), pc.less(b.column("value"), lo)
+        )
+        return b.filter(mask)
+
+    filtered = joined.map_batches(outliers, batch_format="pyarrow")
+    return grouped_agg(
+        filtered,
+        ["event_type"],
+        [
+            ("n_outliers", "value", "count"),
+            ("min_out", "value", "min"),
+            ("max_out", "value", "max"),
+        ],
+        round_to=2,
+    )
+
+
+QUERIES.update(
+    {
+        "q_doc_stratified_sample": q_doc_stratified_sample,
+        "q_latest_event_per_user": q_latest_event_per_user,
+        "q_events_above_type_avg": q_events_above_type_avg,
+        "q_nation_pairs": q_nation_pairs,
+        "q_events_iqr_outliers": q_events_iqr_outliers,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "q_doc_stratified_sample": """
+            SELECT doc_id, lang, n_chars FROM (
+                SELECT doc_id, lang, n_chars,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY substr(sha256('s7' || CAST(doc_id AS VARCHAR)), 1, 8),
+                                    doc_id
+                       ) AS rn
+                FROM documents
+            ) WHERE rn <= 3
+        """,
+        "q_latest_event_per_user": """
+            SELECT user_id, ts, event_type, round(value, 2) AS value FROM (
+                SELECT user_id, ts, event_type, value,
+                       row_number() OVER (
+                           PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                       ) AS rn
+                FROM events
+            ) WHERE rn = 1
+        """,
+        "q_events_above_type_avg": """
+            SELECT event_type, count(*) AS n_above, round(sum(value), 2) AS sum_above
+            FROM (
+                SELECT event_type, value,
+                       avg(value) OVER (PARTITION BY event_type) AS a
+                FROM events
+            )
+            WHERE value > a
+            GROUP BY event_type
+        """,
+        "q_nation_pairs": """
+            SELECT a.n_name AS nation_a, b.n_name AS nation_b, r_name
+            FROM nation a
+            JOIN nation b
+              ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+            JOIN region ON r_regionkey = a.n_regionkey
+        """,
+        "q_events_iqr_outliers": """
+            WITH q AS (
+                SELECT event_type,
+                       round(quantile_cont(value, 0.25), 2) AS q1,
+                       round(quantile_cont(value, 0.75), 2) AS q3
+                FROM events GROUP BY event_type
+            )
+            SELECT event_type,
+                   count(*) AS n_outliers,
+                   round(min(value), 2) AS min_out,
+                   round(max(value), 2) AS max_out
+            FROM events JOIN q USING (event_type)
+            WHERE value > q3 + 1.5 * (q3 - q1) OR value < q1 - 1.5 * (q3 - q1)
+            GROUP BY event_type
+        """,
+    }
+)

@@ -133,3 +133,21 @@ def dedup_exact(ds, n_buckets: int = N_BUCKETS, *, strategy: str = "sort"):
             dedup_block, batch_format="pyarrow"
         )
     return deduped.map_batches(strip_key_columns, batch_format="pyarrow")
+
+
+def dedup_keep_latest(ds, keys: list[str] | str, order_col: str,
+                      tiebreak: list[str] | None = None):
+    """Keep the most recent row per key (``row_number() OVER (PARTITION BY
+    keys ORDER BY order_col DESC, tiebreak) = 1``).
+
+    The recency dedup every changelog/CDC-style training corpus needs
+    (latest crawl per URL, latest revision per doc).  Rides
+    :func:`~pyjelly_ray.stages.agg.grouped_topk` k=1: each batch is cut to
+    one candidate per key map-side, so the exchange carries |keys| rows,
+    not |rows| — the skew-safe shape at 100 TB.  ``tiebreak`` columns make
+    the winner deterministic under equal timestamps.
+    """
+    from .agg import grouped_topk
+
+    return grouped_topk(ds, keys, order_col, 1, descending=True,
+                        tiebreak=tiebreak)

@@ -103,3 +103,34 @@ def sql_split_case(id_expr: str, splits: list[tuple[str, float]],
         for name, bound in bounds[:-1]
     ]
     return "CASE " + " ".join(arms) + f" ELSE '{bounds[-1][0]}' END"
+
+
+def stratified_sample(ds, *, keys: list[str] | str, id_col: str, k: int,
+                      seed: str = ""):
+    """Deterministic k-per-group sample: the k rows with the smallest
+    ``sha256(seed || id)`` in each group.
+
+    Unlike ``fraction``-based sampling this guarantees EXACTLY min(k, |group|)
+    rows per stratum, independent of group size — the shape used for
+    balanced eval sets and per-language probes.  Determinism comes from the
+    hash order (stable across runs, partitionings and cluster sizes), and
+    the heavy lifting is :func:`~pyjelly_ray.stages.agg.grouped_topk`'s
+    map-side cut, so the exchange carries ≤ k·|groups| rows per block.
+    Ties on the 32-bit hash prefix break by ``id_col``, mirroring the SQL
+    ``ORDER BY substr(sha256(...),1,8), id`` oracle exactly.
+    """
+    from .agg import grouped_topk
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+
+    def add_hash(b: pa.Table) -> pa.Table:
+        h = _hash_ints(b.column(id_col), seed)
+        return b.append_column("__h", pa.array(h.astype(np.int64)))
+
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow", batch_size=None)
+    picked = grouped_topk(
+        hashed, keys, "__h", k, descending=False, tiebreak=[id_col]
+    )
+    return picked.map_batches(
+        lambda b: b.drop_columns(["__h"]), batch_format="pyarrow", batch_size=None
+    )
