@@ -2082,3 +2082,149 @@ ORACLE_SQL.update(
         """,
     }
 )
+
+
+def q_order_price_quantiles_disc(sf_dir: str):
+    """Discrete (percentile_disc) per-status quantiles — always observed values."""
+    from ..stages.agg import grouped_quantiles
+
+    orders = _read(sf_dir, "orders", ["o_orderstatus", "o_totalprice"])
+    return grouped_quantiles(
+        orders, ["o_orderstatus"], "o_totalprice",
+        [("p50d_totalprice", 0.5), ("p90d_totalprice", 0.9)],
+        round_to=2, interpolation="disc",
+    )
+
+
+def q_doc_bpe_token_stats(sf_dir: str):
+    """BPE-ish token budgeting per language (one RE2 pass, no row loop)."""
+    from ..stages.text import regex_token_counts
+
+    docs = _read(sf_dir, "documents", ["lang", "text"])
+    counted = docs.map_batches(
+        lambda b: regex_token_counts(b).drop_columns(["text"]),
+        batch_format="pyarrow",
+    )
+    return grouped_agg(
+        counted,
+        ["lang"],
+        [
+            ("n_docs", "n_bpe_tokens", "count"),
+            ("sum_bpe", "n_bpe_tokens", "sum"),
+            ("avg_bpe", "n_bpe_tokens", "mean"),
+        ],
+        round_to=6,
+        sum_as_float=False,
+    )
+
+
+def q_monthly_revenue_trend(sf_dir: str):
+    """Time-series rollup + month-over-month change (lag window on the
+    aggregated series — the aggregate-then-window shape)."""
+    from ..stages.agg import round_like_duckdb
+    from ..stages.window import grouped_running
+
+    orders = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def monthify(b: pa.Table) -> pa.Table:
+        month = pc.floor_temporal(b.column("o_orderdate"), unit="month")
+        return pa.table({"month": month, "o_totalprice": b.column("o_totalprice")})
+
+    monthly = grouped_agg(
+        orders.map_batches(monthify, batch_format="pyarrow"),
+        ["month"],
+        [("revenue", "o_totalprice", "sum")],
+        round_to=2,
+    )
+    # tiny aggregated series → single running-window partition
+    keyed = monthly.map_batches(
+        lambda b: b.append_column("g", pa.array([0] * b.num_rows, pa.int64())),
+        batch_format="pyarrow",
+    )
+    with_prev = grouped_running(
+        keyed, key="g", order_col="month", value_col="revenue",
+        kinds=[("prev_rev", "lag")],
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        mom = pc.divide(
+            pc.subtract(b.column("revenue"), b.column("prev_rev")),
+            b.column("prev_rev"),
+        )
+        return pa.table(
+            {
+                "month": b.column("month"),
+                "revenue": b.column("revenue"),
+                "mom_pct": round_like_duckdb(mom, 6),
+            }
+        )
+
+    return with_prev.map_batches(finish, batch_format="pyarrow")
+
+
+def q_top_bigrams(sf_dir: str):
+    """Top-20 adjacent token pairs: vectorized flat-array bigram explode →
+    count → global top-k."""
+    from ..stages.text import bigrams
+
+    docs = _read(sf_dir, "documents", ["text"])
+    grams = docs.map_batches(bigrams, batch_format="pyarrow")
+    counts = grouped_agg(grams, ["bigram"], [("n", "bigram", "count")])
+    return global_topk(counts, ["n", "bigram"], 20, descending=[True, False])
+
+
+QUERIES.update(
+    {
+        "q_order_price_quantiles_disc": q_order_price_quantiles_disc,
+        "q_doc_bpe_token_stats": q_doc_bpe_token_stats,
+        "q_monthly_revenue_trend": q_monthly_revenue_trend,
+        "q_top_bigrams": q_top_bigrams,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "q_order_price_quantiles_disc": """
+            SELECT o_orderstatus,
+                   round(quantile_disc(o_totalprice, 0.5), 2) AS p50d_totalprice,
+                   round(quantile_disc(o_totalprice, 0.9), 2) AS p90d_totalprice
+            FROM orders
+            GROUP BY o_orderstatus
+        """,
+        "q_doc_bpe_token_stats": """
+            SELECT lang,
+                   count(*) AS n_docs,
+                   sum(n) AS sum_bpe,
+                   round(avg(n), 6) AS avg_bpe
+            FROM (
+                SELECT lang,
+                       length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n
+                FROM documents
+            )
+            GROUP BY lang
+        """,
+        "q_monthly_revenue_trend": """
+            WITH m AS (
+                SELECT date_trunc('month', o_orderdate) AS month,
+                       round(sum(o_totalprice), 2) AS revenue
+                FROM orders GROUP BY 1
+            )
+            SELECT month, revenue,
+                   round((revenue - lag(revenue) OVER (ORDER BY month))
+                         / lag(revenue) OVER (ORDER BY month), 6) AS mom_pct
+            FROM m
+        """,
+        "q_top_bigrams": """
+            WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+            g AS (
+                SELECT unnest(
+                    list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+                ) AS bigram FROM t
+            )
+            SELECT bigram, count(*) AS n FROM g
+            GROUP BY bigram
+            ORDER BY n DESC, bigram
+            LIMIT 20
+        """,
+    }
+)

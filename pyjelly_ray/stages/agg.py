@@ -654,8 +654,14 @@ def grouped_map_salted(ds, keys: list[str] | str, partial_fn, merge_fn, *,
 
 
 def grouped_quantiles(ds, keys: list[str] | str, col: str,
-                      quantiles: list[tuple[str, float]], *, round_to: int = 2):
+                      quantiles: list[tuple[str, float]], *, round_to: int = 2,
+                      interpolation: str = "cont"):
     """EXACT per-group quantiles (linear interpolation, = SQL quantile_cont).
+
+    ``interpolation="disc"`` switches to SQL ``quantile_disc`` /
+    ``percentile_disc`` semantics: the smallest actual value whose
+    cumulative share ≥ q (``sorted[ceil(q·n) − 1]``) — no interpolation,
+    so the result is always an observed value.
 
     Projects to ``keys + [col]`` first (map side), then ONE groupby shuffle
     and a vectorized sort + interpolation per group.  Exact quantiles
@@ -680,6 +686,9 @@ def grouped_quantiles(ds, keys: list[str] | str, col: str,
         return b.select(keys + [col])
 
     def quantile_cont(sorted_vals: "np.ndarray", q: float) -> float:
+        if interpolation == "disc":
+            idx = max(0, int(np.ceil(q * len(sorted_vals))) - 1)
+            return float(sorted_vals[idx])
         pos = q * (len(sorted_vals) - 1)
         f = int(np.floor(pos))
         c = int(np.ceil(pos))

@@ -204,3 +204,56 @@ def json_int_field(batch: pa.Table, col: str, field: str,
     hits = pc.extract_regex(batch.column(col), pattern=pat)
     val = pc.cast(pc.struct_field(hits, "v"), pa.int64())
     return batch.append_column(out or field, val)
+
+
+BPE_ISH_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def regex_token_counts(batch: pa.Table, col: str = "text",
+                       pattern: str = BPE_ISH_PATTERN,
+                       out: str = "n_bpe_tokens") -> pa.Table:
+    """BPE-ish token count per row: ONE vectorized RE2 pass
+    (``pc.count_substring_regex``), no per-row tokenizer loop.
+
+    The default pattern segments like a byte-pair pre-tokenizer's coarse
+    split (letter runs | digit runs | single punctuation) — the standard
+    cheap proxy for "model tokens" when budgeting a training corpus.
+    DuckDB's ``length(regexp_extract_all(col, pattern))`` is the exact
+    oracle (both engines are RE2, so leftmost-first alternation and
+    non-overlap semantics agree).
+    """
+    n = pc.count_substring_regex(batch.column(col), pattern=pattern)
+    return batch.append_column(out, pc.cast(n, pa.int64()))
+
+
+def bigrams(batch: pa.Table, col: str = "text",
+            out: str = "bigram") -> pa.Table:
+    """Explode each row's text into adjacent token pairs, fully vectorized.
+
+    Tokens are the single-space split (the corpus contract shared with the
+    SQL oracles).  The kernel works on the FLATTENED token array: joining
+    ``flat[:-1]`` with ``flat[1:]`` yields every adjacent pair in one Arrow
+    call, then a boolean mask drops the pairs that straddle a document
+    boundary (computed from the list offsets) — no per-document Python.
+    Output is one ``bigram`` string column (other columns are dropped:
+    n-gram counting wants the exploded stream, not row alignment).
+    """
+    import numpy as np
+
+    toks = pc.split_pattern(batch.column(col), " ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.flatten()
+    m = len(flat)
+    if m < 2:
+        return pa.table({out: pa.array([], pa.string())})
+    pairs = pc.binary_join_element_wise(
+        flat.slice(0, m - 1), flat.slice(1, m - 1), " "
+    )
+    offsets = np.asarray(toks.offsets)
+    offsets = offsets - offsets[0]
+    valid = np.ones(m - 1, bool)
+    interior = offsets[1:-1]  # document boundaries inside the flat array
+    interior = interior[(interior > 0) & (interior < m)]
+    valid[interior - 1] = False  # pair (end-1, end) spans two documents
+    return pa.table({out: pairs.filter(pa.array(valid))})

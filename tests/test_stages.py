@@ -1405,3 +1405,52 @@ def test_json_int_field_edge_cases():
     out = json_int_field(t, "p", "k", out="k").column("k").to_pylist()
     # '"kk"' must not match field "k" — the regex anchors on the quoted name
     assert out == [87, 0, None, None, -3, None, None]
+
+
+def test_bigrams_document_boundaries():
+    from pyjelly_ray.stages.text import bigrams
+
+    t = pa.table({"text": ["a b c", "x", "", "p q", "one two three four"]})
+    out = bigrams(t).column("bigram").to_pylist()
+    assert out == ["a b", "b c", "p q", "one two", "two three", "three four"]
+    # all-singleton batch yields zero rows but keeps the schema
+    t2 = pa.table({"text": ["solo"]})
+    got = bigrams(t2)
+    assert got.num_rows == 0 and got.column_names == ["bigram"]
+
+
+def test_grouped_quantiles_disc_matches_duckdb(ray_session):
+    import duckdb
+    import ray
+
+    from pyjelly_ray.stages.agg import grouped_quantiles
+
+    rng = np.random.default_rng(11)
+    n = 4001
+    t = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 5, n)).cast(pa.int64()),
+            "x": np.round(rng.uniform(0, 1000, n), 2),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(6)
+    got = (
+        grouped_quantiles(
+            ds, "k", "x", [("p25", 0.25), ("p50", 0.5), ("p99", 0.99)],
+            interpolation="disc",
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", t)
+    exp = con.sql(
+        """SELECT k, round(quantile_disc(x, 0.25), 2) p25,
+                  round(quantile_disc(x, 0.5), 2) p50,
+                  round(quantile_disc(x, 0.99), 2) p99
+           FROM t GROUP BY k ORDER BY k"""
+    ).fetchdf()
+    assert (got["p25"].to_numpy() == exp["p25"].to_numpy()).all()
+    assert (got["p50"].to_numpy() == exp["p50"].to_numpy()).all()
+    assert (got["p99"].to_numpy() == exp["p99"].to_numpy()).all()
