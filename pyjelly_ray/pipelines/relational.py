@@ -2228,3 +2228,98 @@ ORACLE_SQL.update(
         """,
     }
 )
+
+
+def q_exists_late_ship(sf_dir: str):
+    """EXISTS with a residual (both-sides) predicate (TPC-H Q4 shape): the
+    non-equi condition can't ride the equi hash join, so it runs FUSED in
+    the join reduce (``hash_join(post=)``) followed by a key-local distinct
+    — the join output never re-exchanges and the EXISTS dedup is free."""
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_orderdate"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+
+    def post(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t.column("l_shipdate"), t.column("o_orderdate")))
+        # join key == dedup key → per-partition distinct is globally correct
+        return t.group_by(["o_orderkey", "o_orderpriority"]).aggregate([])
+
+    j = hash_join(orders, li, left_key="o_orderkey", right_key="l_orderkey", post=post)
+    return grouped_agg(j, ["o_orderpriority"], [("n", "o_orderkey", "count")])
+
+
+def q_lineitem_profile(sf_dir: str):
+    """Column profiler: unpivot → one grouped_agg pass + exact distinct
+    counts per column, joined into a long-format stats table."""
+    from ..stages.agg import grouped_count_distinct
+    from ..stages.pivot import unpivot
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    li = _read(sf_dir, "lineitem", cols)
+    melted = unpivot(li, id_cols=[], value_cols=cols)
+    stats = grouped_agg(
+        melted,
+        ["name"],
+        [
+            ("n", "value", "count"),
+            ("lo", "value", "min"),
+            ("hi", "value", "max"),
+            ("mean", "value", "mean"),
+        ],
+    )
+
+    def rounded(b: pa.Table) -> pa.Table:
+        from ..stages.agg import round_like_duckdb
+
+        # lo/hi are exact observed values → 6 digits is safe; the mean of
+        # ~|rows| doubles carries summation-order ulps (engine-dependent),
+        # so 4 digits keeps it off rounding boundaries
+        return pa.table(
+            {
+                "name": b.column("name"),
+                "n": b.column("n"),
+                "lo": round_like_duckdb(b.column("lo"), 6),
+                "hi": round_like_duckdb(b.column("hi"), 6),
+                "mean": round_like_duckdb(b.column("mean"), 4),
+            }
+        )
+
+    stats = stats.map_batches(rounded, batch_format="pyarrow")
+    nd = grouped_count_distinct(melted, "name", "value", out_name="n_distinct")
+    return broadcast_join(stats, nd, left_key="name")
+
+
+QUERIES.update(
+    {
+        "q_exists_late_ship": q_exists_late_ship,
+        "q_lineitem_profile": q_lineitem_profile,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "q_exists_late_ship": """
+            SELECT o_orderpriority, count(*) AS n
+            FROM orders
+            WHERE EXISTS (
+                SELECT 1 FROM lineitem
+                WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+            )
+            GROUP BY o_orderpriority
+        """,
+        "q_lineitem_profile": """
+            SELECT name,
+                   count(*) AS n,
+                   round(min(value), 6) AS lo,
+                   round(max(value), 6) AS hi,
+                   round(avg(value), 4) AS mean,
+                   count(DISTINCT value) AS n_distinct
+            FROM (
+                UNPIVOT (SELECT l_quantity, l_extendedprice, l_discount, l_tax
+                         FROM lineitem)
+                ON l_quantity, l_extendedprice, l_discount, l_tax
+                INTO NAME name VALUE value
+            )
+            GROUP BY name
+        """,
+    }
+)
