@@ -2323,3 +2323,44 @@ ORACLE_SQL.update(
         """,
     }
 )
+
+
+def q_supplier_part_pagerank(sf_dir: str):
+    """Iterative distributed PageRank over the supplier→part supply graph
+    (distinct edges from lineitem), 5 iterations — each iteration is three
+    keyed hash exchanges, no driver materialization of edges or ranks."""
+    from ..stages.graph import pagerank
+
+    li = _read(sf_dir, "lineitem", ["l_suppkey", "l_partkey"])
+
+    def to_edges(b: pa.Table) -> pa.Table:
+        s = pc.binary_join_element_wise(
+            pa.array(["s"] * b.num_rows), pc.cast(b.column("l_suppkey"), pa.string()), ""
+        )
+        d = pc.binary_join_element_wise(
+            pa.array(["p"] * b.num_rows), pc.cast(b.column("l_partkey"), pa.string()), ""
+        )
+        return pa.table({"src": s, "dst": d})
+
+    edges = li.map_batches(to_edges, batch_format="pyarrow")
+    distinct = grouped_agg(edges, ["src", "dst"], [("n", "src", "count")])
+    edges = distinct.map_batches(
+        lambda b: b.drop_columns(["n"]), batch_format="pyarrow"
+    )
+    return pagerank(edges, damping=0.85, iters=5, num_partitions=8, round_to=8)
+
+
+QUERIES["q_supplier_part_pagerank"] = q_supplier_part_pagerank
+
+
+def _pagerank_sql() -> str:
+    from ..stages.graph import pagerank_sql
+
+    edges = (
+        "SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src, "
+        "'p' || CAST(l_partkey AS VARCHAR) AS dst FROM lineitem"
+    )
+    return pagerank_sql(edges, damping=0.85, iters=5, round_to=8)
+
+
+ORACLE_SQL["q_supplier_part_pagerank"] = _pagerank_sql()

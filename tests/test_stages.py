@@ -1454,3 +1454,44 @@ def test_grouped_quantiles_disc_matches_duckdb(ray_session):
     assert (got["p25"].to_numpy() == exp["p25"].to_numpy()).all()
     assert (got["p50"].to_numpy() == exp["p50"].to_numpy()).all()
     assert (got["p99"].to_numpy() == exp["p99"].to_numpy()).all()
+
+
+def test_pagerank_matches_numpy_power_iteration(ray_session):
+    import ray
+
+    from pyjelly_ray.stages.graph import pagerank
+
+    rng = np.random.default_rng(5)
+    n_nodes, n_edges = 40, 300
+    src = rng.integers(0, n_nodes, n_edges)
+    dst = rng.integers(0, n_nodes, n_edges)
+    keep = src != dst
+    pairs = sorted({(int(a), int(b)) for a, b in zip(src[keep], dst[keep])})
+    t = pa.table(
+        {
+            "src": pa.array([f"n{a}" for a, _ in pairs]),
+            "dst": pa.array([f"n{b}" for _, b in pairs]),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(4)
+    got = (
+        pagerank(ds, damping=0.85, iters=8, num_partitions=4, round_to=None)
+        .to_pandas()
+        .set_index("node")["rank"]
+    )
+
+    # numpy reference: identical simplified model (no dangling redistribution)
+    nodes = sorted({a for a, _ in pairs} | {b for _, b in pairs})
+    idx = {f"n{v}": i for i, v in enumerate(nodes)}
+    N = len(nodes)
+    outdeg = np.zeros(N)
+    for a, _ in pairs:
+        outdeg[idx[f"n{a}"]] += 1
+    r = np.full(N, 1.0 / N)
+    for _ in range(8):
+        contrib = np.zeros(N)
+        for a, b in pairs:
+            contrib[idx[f"n{b}"]] += r[idx[f"n{a}"]] / outdeg[idx[f"n{a}"]]
+        r = (1 - 0.85) / N + 0.85 * contrib
+    for name, i in idx.items():
+        assert abs(got[name] - r[i]) < 1e-9, name
