@@ -2364,3 +2364,56 @@ def _pagerank_sql() -> str:
 
 
 ORACLE_SQL["q_supplier_part_pagerank"] = _pagerank_sql()
+
+
+def q_doc_lang_components(sf_dir: str):
+    """Distributed connected components over REAL multi-hop chains: each
+    language's docs linked consecutively by doc_id (built with a lag
+    window), so one component per language whose id is the language's min
+    doc_id — propagation must cross the whole chain (pointer jumping makes
+    that O(log chain length) rounds)."""
+    from ..stages.graph import connected_components
+    from ..stages.window import grouped_running
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang"])
+    with_prev = grouped_running(
+        docs, key="lang", order_col="doc_id", value_col="doc_id",
+        kinds=[("prev_id", "lag")],
+    )
+
+    def to_edges(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("prev_id")))
+        return pa.table(
+            {
+                "src": pc.cast(b.column("prev_id"), pa.int64()),
+                "dst": b.column("doc_id"),
+            }
+        )
+
+    edges = with_prev.map_batches(to_edges, batch_format="pyarrow")
+    cc = connected_components(edges, num_partitions=8)
+    # left join back so a single-doc language would keep its own id
+    joined = hash_join(
+        docs.map_batches(lambda b: b.select(["doc_id"]), batch_format="pyarrow"),
+        cc,
+        left_key="doc_id",
+        right_key="node",
+        how="left outer",
+        num_partitions=8,
+    )
+    return joined.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "component": pc.coalesce(b.column("component"), b.column("doc_id")),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+QUERIES["q_doc_lang_components"] = q_doc_lang_components
+ORACLE_SQL["q_doc_lang_components"] = """
+    SELECT doc_id, min(doc_id) OVER (PARTITION BY lang) AS component
+    FROM documents
+"""

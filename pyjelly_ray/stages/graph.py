@@ -187,3 +187,171 @@ def pagerank_sql(edges_sql: str, *, src: str = "src", dst: str = "dst",
         f"{body}\n"
         f"SELECT node, round(rank, {round_to}) AS rank FROM pr{iters}"
     )
+
+
+def symmetrize(edges, src: str = "src", dst: str = "dst", *,
+               num_partitions: int = 16):
+    """Undirected view: distinct union of (src,dst) and (dst,src)."""
+    from .setops import set_op
+
+    fwd = edges.map_batches(
+        lambda b: pa.table({src: b.column(src), dst: b.column(dst)}),
+        batch_format="pyarrow",
+    )
+    rev = edges.map_batches(
+        lambda b: pa.table({src: b.column(dst), dst: b.column(src)}),
+        batch_format="pyarrow",
+    )
+    return set_op(fwd, rev, "union", num_partitions=num_partitions)
+
+
+def connected_components(edges, *, src: str = "src", dst: str = "dst",
+                         max_iters: int = 50, num_partitions: int = 16):
+    """Distributed connected components by min-label propagation.
+
+    Labels start as the node's own id; each round every node takes the min
+    of its label, its neighbours' labels, AND its label's label (pointer
+    jumping — halves the remaining chain every round, so rounds ≈
+    O(log diameter) instead of O(diameter)), until a round changes nothing
+    (capped at ``max_iters``).  Component id = the component's minimum node
+    id — identical semantics to the driver-side union-find
+    (:func:`pyjelly_ray.stages.sim.dup_clusters`), but nothing ever leaves
+    the cluster: each of the two steps per round is one keyed pair join
+    whose reduce folds per-node partial MIN candidates (``hash_join(post=)``)
+    plus one pair exchange against the label table that applies
+    ``min(own, candidate)`` and counts changes in place.  The convergence
+    check reads ONE scalar per step (sum of per-partition change counts).
+
+    Returns a Dataset ``(node, component)``.
+    """
+    import ray
+
+    from ..state.exchange import hash_exchange_pair
+    from .agg import bucket_codes
+    from .joins import hash_join
+
+    schema = edges.schema()
+    schema = getattr(schema, "base_schema", schema)  # Ray wraps pyarrow.Schema
+    if schema is None or edges.count() == 0:  # no edges → no components
+        typ = pa.string() if schema is None else schema.field(src).type
+        return ray.data.from_arrow(
+            pa.table({"node": pa.array([], typ), "component": pa.array([], typ)})
+        )
+
+    sym = symmetrize(edges, src, dst, num_partitions=num_partitions)
+    sym = sym.materialize()
+
+    labels = distinct_nodes(edges, src, dst, "node",
+                            num_partitions=num_partitions)
+    labels = labels.map_batches(
+        lambda b: b.append_column("label", b.column("node")),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def post_min(t: pa.Table) -> pa.Table:
+        # src-keyed join reduce: each edge offers its src's label to dst;
+        # keep only the per-dst MIN as the partition's candidate partial
+        part = (
+            pa.table({dst: t.column(dst), "cand": t.column("label")})
+            .group_by(dst)
+            .aggregate([("cand", "min")])
+            .rename_columns([dst, "cand"])
+        )
+        return part.append_column(
+            "__bucket", pa.array(bucket_codes(part, [dst], num_partitions))
+        )
+
+    def reduce_update(cp: pa.Table, lp: pa.Table) -> pa.Table:
+        if "__bucket" in lp.column_names:
+            lp = lp.drop_columns(["__bucket"])
+        old = lp.column("label")
+        if dst in cp.column_names:
+            if "__bucket" in cp.column_names:
+                cp = cp.drop_columns(["__bucket"])
+            cand = cp.group_by(dst).aggregate([("cand", "min")])
+            joined = lp.join(
+                cand, keys=["node"], right_keys=[dst], join_type="left outer"
+            )
+            new = pc.min_element_wise(
+                joined.column("label"),
+                pc.coalesce(joined.column("cand_min"), joined.column("label")),
+            )
+            node_col = joined.column("node")
+            old = joined.column("label")
+        else:
+            new = old
+            node_col = lp.column("node")
+        changed = pc.cast(pc.not_equal(new, old), pa.int64())
+        return pa.table({"node": node_col, "label": new, "__changed": changed})
+
+    def post_jump(t: pa.Table) -> pa.Table:
+        # label-of-label: each node's candidate is its current label's label
+        part = (
+            pa.table({dst: t.column("node"), "cand": t.column("label2")})
+            .group_by(dst)
+            .aggregate([("cand", "min")])
+            .rename_columns([dst, "cand"])
+        )
+        return part.append_column(
+            "__bucket", pa.array(bucket_codes(part, [dst], num_partitions))
+        )
+
+    def bucketed(ls):
+        return ls.map_batches(
+            lambda b: pa.table(
+                {"node": b.column("node"), "label": b.column("label")}
+            ).append_column(
+                "__bucket",
+                pa.array(bucket_codes(b, ["node"], num_partitions)),
+            ),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+
+    def apply_step(offered, lb):
+        updated = hash_exchange_pair(
+            offered,
+            lb,
+            left_bucket_col="__bucket",
+            right_bucket_col="__bucket",
+            n_partitions=num_partitions,
+            reduce_fn=reduce_update,
+        ).materialize()
+        n_changed = updated.sum("__changed")
+        new_labels = updated.map_batches(
+            lambda b: pa.table(
+                {"node": b.column("node"), "label": b.column("label")}
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        return new_labels, n_changed
+
+    for _ in range(max_iters):
+        # neighbour propagation
+        offered = hash_join(
+            sym, labels, left_key=src, right_key="node",
+            num_partitions=num_partitions, post=post_min,
+        )
+        labels, changed_nb = apply_step(offered, bucketed(labels))
+        # pointer jump: label ← label(label)
+        ren = labels.map_batches(
+            lambda b: pa.table(
+                {"node2": b.column("node"), "label2": b.column("label")}
+            ),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+        jumped = hash_join(
+            labels, ren, left_key="label", right_key="node2",
+            num_partitions=num_partitions, post=post_jump,
+        )
+        labels, changed_jump = apply_step(jumped, bucketed(labels))
+        if not changed_nb and not changed_jump:
+            break
+
+    return labels.map_batches(
+        lambda b: pa.table(
+            {"node": b.column("node"), "component": b.column("label")}
+        ),
+        batch_format="pyarrow",
+    )

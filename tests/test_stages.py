@@ -1495,3 +1495,42 @@ def test_pagerank_matches_numpy_power_iteration(ray_session):
         r = (1 - 0.85) / N + 0.85 * contrib
     for name, i in idx.items():
         assert abs(got[name] - r[i]) < 1e-9, name
+
+
+def test_connected_components_matches_union_find(ray_session):
+    import ray
+
+    from pyjelly_ray.stages.graph import connected_components
+    from pyjelly_ray.stages.sim import dup_clusters
+
+    rng = np.random.default_rng(9)
+    # random clusters + a 30-node path (forces multi-round propagation)
+    pairs = {(int(a), int(b)) for a, b in zip(rng.integers(0, 200, 150),
+                                              rng.integers(0, 200, 150)) if a != b}
+    pairs |= {(1000 + i, 1000 + i + 1) for i in range(30)}
+    pairs = sorted(pairs)
+    pt = pa.table(
+        {
+            "doc_a": pa.array([a for a, _ in pairs], pa.int64()),
+            "doc_b": pa.array([b for _, b in pairs], pa.int64()),
+        }
+    )
+    expected = dup_clusters(ray.data.from_arrow(pt)).to_pandas()
+    et = pa.table(
+        {
+            "src": pt.column("doc_a"),
+            "dst": pt.column("doc_b"),
+        }
+    )
+    got = (
+        connected_components(
+            ray.data.from_arrow(et).repartition(4), num_partitions=4
+        )
+        .to_pandas()
+        .rename(columns={"node": "doc_id", "component": "cluster_id"})
+    )
+    got = got.sort_values("doc_id").reset_index(drop=True)
+    exp = expected.sort_values("doc_id").reset_index(drop=True)
+    assert len(got) == len(exp)
+    assert (got["doc_id"].to_numpy() == exp["doc_id"].to_numpy()).all()
+    assert (got["cluster_id"].to_numpy() == exp["cluster_id"].to_numpy()).all()
