@@ -2417,3 +2417,50 @@ ORACLE_SQL["q_doc_lang_components"] = """
     SELECT doc_id, min(doc_id) OVER (PARTITION BY lang) AS component
     FROM documents
 """
+
+
+def q_events_value_locf(sf_dir: str):
+    """Per-key forward-fill imputation (LOCF): mask error-event values to
+    NULL, then carry the last observation forward per user in event-time
+    order — one keyed exchange, vectorized per-run fill."""
+    from ..stages.window import grouped_running
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type", "value"])
+
+    def mask(b: pa.Table) -> pa.Table:
+        v = pc.if_else(
+            pc.equal(b.column("event_type"), "error"),
+            pa.scalar(None, pa.float64()),
+            b.column("value"),
+        )
+        return pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "ts": b.column("ts"),
+                "event_id": b.column("event_id"),
+                "v": v,
+            }
+        )
+
+    masked = ev.map_batches(mask, batch_format="pyarrow")
+    filled = grouped_running(
+        masked, key="user_id", order_col="ts", value_col="v",
+        kinds=[("filled", "locf")], round_to=2, tiebreak="event_id",
+    )
+    return filled.map_batches(
+        lambda b: b.select(["user_id", "ts", "filled"]), batch_format="pyarrow"
+    )
+
+
+QUERIES["q_events_value_locf"] = q_events_value_locf
+ORACLE_SQL["q_events_value_locf"] = """
+    SELECT user_id, ts,
+           round(last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS filled
+    FROM (
+        SELECT user_id, ts, event_id,
+               CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+        FROM events
+    )
+"""

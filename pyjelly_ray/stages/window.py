@@ -114,7 +114,7 @@ def grouped_running(ds, *, key: str, order_col: str, value_col: str,
     """Ordered per-key running-window columns in one exchange.
 
     ``kinds``: ``(out_name, kind)`` with kind ∈ {cumsum, cummax, lag,
-    lead, first_value, row_number, rank, dense_rank, percent_rank} or
+    lead, first_value, locf, row_number, rank, dense_rank, percent_rank} or
     ``("ntile", k)`` — SQL ``SUM/MAX(value) OVER (PARTITION BY key ORDER
     BY order_col)``, ``lag/lead(value)``, ``first_value(value)`` (default
     frame: the partition's first value), ``row_number()``, ``rank()``,
@@ -206,6 +206,17 @@ def grouped_running(ds, *, key: str, order_col: str, value_col: str,
                 col = pc.if_else(pc.is_nan(col), pa.scalar(None, pa.float64()), col)
             elif kind == "first_value":
                 col = pa.array(vals[grp_start], pa.float64())
+            elif kind == "locf":
+                # forward fill (last observation carried forward) per key:
+                # index of the most recent non-NaN row within the run, via
+                # per-run maximum.accumulate over observed positions
+                valid = ~np.isnan(vals)
+                pos = np.where(valid, idx, -1)
+                for s, e in zip(bounds[:-1], bounds[1:]):
+                    np.maximum.accumulate(pos[s:e], out=pos[s:e])
+                filled = np.where(pos >= 0, vals[np.maximum(pos, 0)], np.nan)
+                col = pa.array(filled, pa.float64())
+                col = pc.if_else(pc.is_nan(col), pa.scalar(None, pa.float64()), col)
             elif isinstance(kind, tuple) and kind[0] == "ntile":
                 k = int(kind[1])
                 # SQL ntile: first (n mod k) tiles hold ceil(n/k) rows,

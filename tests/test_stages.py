@@ -1534,3 +1534,26 @@ def test_connected_components_matches_union_find(ray_session):
     assert len(got) == len(exp)
     assert (got["doc_id"].to_numpy() == exp["doc_id"].to_numpy()).all()
     assert (got["cluster_id"].to_numpy() == exp["cluster_id"].to_numpy()).all()
+
+
+def test_jsonl_roundtrip(ray_session, tmp_path):
+    import ray
+
+    from pyjelly_ray.sources.jsonl import jsonl_to_parquet, read_jsonl, write_jsonl
+
+    docs = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "lang", "n_chars"],
+    )
+    out = str(tmp_path / "docs_jsonl")
+    write_jsonl(docs, out)
+    back = read_jsonl(out, columns=["doc_id", "lang", "n_chars"]).to_pandas()
+    orig = docs.to_pandas()
+    back = back.sort_values("doc_id").reset_index(drop=True)
+    orig = orig.sort_values("doc_id").reset_index(drop=True)
+    assert back.equals(orig)
+
+    pq_dir = str(tmp_path / "docs_pq")
+    jsonl_to_parquet(out, pq_dir, columns=["doc_id", "lang"])
+    back2 = ray.data.read_parquet(pq_dir).to_pandas().sort_values("doc_id")
+    assert len(back2) == len(orig) and list(back2.columns) == ["doc_id", "lang"]
