@@ -359,9 +359,9 @@ def q_order_rollup(sf_dir: str):
 
 
 def q_lineitem_qty_ranks(sf_dir: str):
-    """SQL rank family over heavy ties: rank/dense_rank/percent_rank of
-    quantity within each returnflag, one exchange (peer groups = equal
-    quantities, so no tiebreak is needed for determinism)."""
+    """SQL rank family over heavy ties: rank/dense_rank/percent_rank/
+    cume_dist of quantity within each returnflag, one exchange (peer groups
+    = equal quantities, so no tiebreak is needed for determinism)."""
     from ..stages.window import grouped_running
 
     li = _read(
@@ -376,6 +376,7 @@ def q_lineitem_qty_ranks(sf_dir: str):
             ("qty_rank", "rank"),
             ("qty_dense_rank", "dense_rank"),
             ("qty_pct_rank", "percent_rank"),
+            ("qty_cume_dist", "cume_dist"),
         ],
         round_to=6,
     )
@@ -1257,7 +1258,8 @@ ORACLE_SQL: dict[str, str] = {
         SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
                rank() OVER w AS qty_rank,
                dense_rank() OVER w AS qty_dense_rank,
-               round(percent_rank() OVER w, 6) AS qty_pct_rank
+               round(percent_rank() OVER w, 6) AS qty_pct_rank,
+               round(cume_dist() OVER w, 6) AS qty_cume_dist
         FROM lineitem
         WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity)
     """,

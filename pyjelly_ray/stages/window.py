@@ -114,7 +114,8 @@ def grouped_running(ds, *, key: str, order_col: str, value_col: str,
     """Ordered per-key running-window columns in one exchange.
 
     ``kinds``: ``(out_name, kind)`` with kind ∈ {cumsum, cummax, lag,
-    lead, first_value, locf, row_number, rank, dense_rank, percent_rank} or
+    lead, first_value, locf, row_number, rank, dense_rank, percent_rank,
+    cume_dist} or
     ``("ntile", k)`` — SQL ``SUM/MAX(value) OVER (PARTITION BY key ORDER
     BY order_col)``, ``lag/lead(value)``, ``first_value(value)`` (default
     frame: the partition's first value), ``row_number()``, ``rank()``,
@@ -156,7 +157,7 @@ def grouped_running(ds, *, key: str, order_col: str, value_col: str,
         grp_size = np.repeat(np.diff(bounds), np.diff(bounds))
         idx = np.arange(t.num_rows)
         vals = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
-        rank_kinds = {"rank", "dense_rank", "percent_rank"}
+        rank_kinds = {"rank", "dense_rank", "percent_rank", "cume_dist"}
         if any(kind in rank_kinds for _, kind in kinds):
             # peer groups: rows equal on (key, order_col) share a rank.
             # order values are already key-run-sorted, so peers are runs.
@@ -167,7 +168,9 @@ def grouped_running(ds, *, key: str, order_col: str, value_col: str,
             peer_start[1:] |= ov[1:] != ov[:-1]
             ps = np.flatnonzero(peer_start)
             # index of each row's peer-run start → rank = start − grp_start + 1
-            peer_start_idx = np.repeat(ps, np.diff(np.append(ps, t.num_rows)))
+            peer_lens = np.diff(np.append(ps, t.num_rows))
+            peer_start_idx = np.repeat(ps, peer_lens)
+            peer_end_idx = np.repeat(ps + peer_lens - 1, peer_lens)
             rank_np = peer_start_idx - grp_start + 1
             dense_cum = np.cumsum(peer_start)
             dense_np = dense_cum - dense_cum[grp_start] + 1
@@ -179,6 +182,11 @@ def grouped_running(ds, *, key: str, order_col: str, value_col: str,
                 col = pa.array(rank_np, pa.int64())
             elif kind == "dense_rank":
                 col = pa.array(dense_np, pa.int64())
+            elif kind == "cume_dist":
+                # rows with order value ≤ current / partition size
+                col = pa.array(
+                    (peer_end_idx - grp_start + 1) / grp_size, pa.float64()
+                )
             elif kind == "percent_rank":
                 with np.errstate(invalid="ignore", divide="ignore"):
                     pr = np.where(
