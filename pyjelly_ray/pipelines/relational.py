@@ -2466,3 +2466,125 @@ ORACLE_SQL["q_events_value_locf"] = """
         FROM events
     )
 """
+
+
+def q_user_event_sequence(sf_dir: str):
+    """Per-user ordered event-type sequence (SQL string_agg ORDER BY) — the
+    session-sequence feature, built by the vectorized ordered collect."""
+    from ..stages.agg import grouped_collect
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    return grouped_collect(
+        ev, "user_id", "event_type", order_by=["ts", "event_id"],
+        out_name="seq",
+    )
+
+
+def q_events_value_zscore(sf_dir: str):
+    """Per-group z-score feature scaling: grouped mean/std (mergeable
+    moments) broadcast back onto the rows."""
+    from ..stages.agg import round_like_duckdb
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    stats = grouped_agg(
+        ev, ["event_type"], [("mu", "value", "mean"), ("sd", "value", "std")]
+    )
+    joined = broadcast_join(ev, stats, left_key="event_type", columns=["mu", "sd"])
+
+    def z(b: pa.Table) -> pa.Table:
+        zv = pc.divide(pc.subtract(b.column("value"), b.column("mu")), b.column("sd"))
+        return pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "event_type": b.column("event_type"),
+                "zvalue": round_like_duckdb(zv, 6),
+            }
+        )
+
+    return joined.map_batches(z, batch_format="pyarrow")
+
+
+def q_doc_tfidf_top_terms(sf_dir: str):
+    """TF-IDF: token explode → per-(doc,term) tf → document frequency →
+    big⋈big join on term → tf·ln(N/df), global top-30."""
+    import math
+
+    from ..stages.agg import round_like_duckdb
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = docs.count()
+
+    def toks(b: pa.Table) -> pa.Table:
+        split = pc.split_pattern(b.column("text"), pattern=" ")
+        ids = pc.list_parent_indices(split)
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id").take(ids),
+                "token": pc.list_flatten(split),
+            }
+        )
+
+    exploded = docs.map_batches(toks, batch_format="pyarrow")
+    tf = grouped_agg(exploded, ["doc_id", "token"], [("tf", "token", "count")])
+    df = grouped_agg(tf, ["token"], [("df", "token", "count")])
+    joined = hash_join(tf, df, left_key="token", num_partitions=8)
+
+    def tfidf(b: pa.Table) -> pa.Table:
+        idf = pc.ln(
+            pc.divide(
+                pa.scalar(float(n_docs)), pc.cast(b.column("df"), pa.float64())
+            )
+        )
+        v = pc.multiply(pc.cast(b.column("tf"), pa.float64()), idf)
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "token": b.column("token"),
+                "tfidf": round_like_duckdb(v, 6),
+            }
+        )
+
+    scored = joined.map_batches(tfidf, batch_format="pyarrow")
+    return global_topk(
+        scored, ["tfidf", "doc_id", "token"], 30, descending=[True, False, False]
+    )
+
+
+QUERIES.update(
+    {
+        "q_user_event_sequence": q_user_event_sequence,
+        "q_events_value_zscore": q_events_value_zscore,
+        "q_doc_tfidf_top_terms": q_doc_tfidf_top_terms,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "q_user_event_sequence": """
+            SELECT user_id,
+                   string_agg(event_type, ',' ORDER BY ts, event_id) AS seq
+            FROM events GROUP BY user_id
+        """,
+        "q_events_value_zscore": """
+            SELECT event_id, event_type,
+                   round((value - avg(value) OVER w)
+                         / stddev_samp(value) OVER w, 6) AS zvalue
+            FROM events
+            WINDOW w AS (PARTITION BY event_type)
+        """,
+        "q_doc_tfidf_top_terms": """
+            WITH toks AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                FROM documents
+            ),
+            tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+            df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+            n AS (SELECT count(*) AS cnt FROM documents)
+            SELECT doc_id, token,
+                   round(tf * ln((SELECT cnt FROM n) / CAST(df AS DOUBLE)), 6) AS tfidf
+            FROM tf JOIN df USING (token)
+            ORDER BY tfidf DESC, doc_id, token
+            LIMIT 30
+        """,
+    }
+)

@@ -883,3 +883,55 @@ def fixed_width_histogram(ds, col: str, width: float, *, origin: float = 0.0,
         [("n", col, "count"), ("lo", col, "min"), ("hi", col, "max")],
         num_partitions=num_partitions, round_to=round_to,
     )
+
+
+def grouped_collect(ds, keys: list[str] | str, col: str, *,
+                    order_by: list[str] | str, out_name: str = "collected",
+                    sep: str = ",", as_list: bool = False,
+                    num_partitions: int = 16):
+    """Ordered per-group collect: SQL ``string_agg(col, sep ORDER BY ...)``
+    (or ``array_agg`` with ``as_list=True``).
+
+    One keyed exchange; the reduce sorts each partition once by
+    ``keys + order_by`` and builds every group's list in a single
+    vectorized pass (a ListArray assembled from the key-run offsets, then
+    ``pc.binary_join`` for the string form) — no per-group Python calls.
+    Same partitioning assumption as all ordered per-key operators: one
+    key's rows co-locate; the collected value is O(group size), so this is
+    for human-scale groups (samples, lineage traces) — use an aggregate,
+    not a collect, for unbounded groups.
+    """
+    import numpy as np
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    order_by = [order_by] if isinstance(order_by, str) else list(order_by)
+
+    def part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            cols = {k: pa.array([], t.schema.field(k).type) if k in t.column_names
+                    else pa.array([], pa.string()) for k in keys}
+            typ = (pa.list_(t.schema.field(col).type)
+                   if as_list and col in t.column_names else
+                   (pa.list_(pa.string()) if as_list else pa.string()))
+            cols[out_name] = pa.array([], typ)
+            return pa.table(cols)
+        t = t.sort_by([(k, "ascending") for k in keys]
+                      + [(o, "ascending") for o in order_by])
+        bounds = _key_run_bounds(t, keys)
+        values = t.column(col)
+        if isinstance(values, pa.ChunkedArray):
+            values = values.combine_chunks()
+        if not as_list:
+            values = pc.cast(values, pa.string())
+        lists = pa.ListArray.from_arrays(
+            pa.array(np.asarray(bounds), pa.int32()), values
+        )
+        out_cols = {k: t.column(k).take(pa.array(bounds[:-1])) for k in keys}
+        if as_list:
+            out_cols[out_name] = lists
+        else:
+            out_cols[out_name] = pc.binary_join(lists, sep)
+        return pa.table(out_cols)
+
+    return grouped_map(ds, keys, part, per_group=False,
+                       num_partitions=num_partitions)
