@@ -2588,3 +2588,30 @@ ORACLE_SQL.update(
         """,
     }
 )
+
+
+def q_events_trailing_week(sf_dir: str):
+    """Per-event trailing 7-day count/sum for the same user (RANGE-frame
+    retrospective features, vectorized searchsorted windows)."""
+    from ..stages.window import grouped_trailing_agg
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    out = grouped_trailing_agg(
+        ev, key="user_id", ts_col="ts", value_col="value",
+        width_s=7 * 24 * 3600.0,
+    )
+    return out.map_batches(
+        lambda b: b.select(["event_id", "user_id", "ts", "w_count", "w_sum"]),
+        batch_format="pyarrow",
+    )
+
+
+QUERIES["q_events_trailing_week"] = q_events_trailing_week
+ORACLE_SQL["q_events_trailing_week"] = """
+    SELECT event_id, user_id, ts,
+           count(*) OVER w AS w_count,
+           round(sum(value) OVER w, 2) AS w_sum
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
+"""

@@ -308,3 +308,59 @@ def windowed_agg(ds, *, ts_col: str, width_s: float, hop_s: float | None = None,
         mapped, [out_col, *keys], specs, round_to=round_to,
         num_partitions=num_partitions, sum_as_float=sum_as_float,
     )
+
+
+def grouped_trailing_agg(ds, *, key: str, ts_col: str, value_col: str,
+                         width_s: float, out_count: str = "w_count",
+                         out_sum: str | None = "w_sum",
+                         round_to: int = 2):
+    """Per-ROW trailing time-window aggregates: SQL ``count(*)/sum(value)
+    OVER (PARTITION BY key ORDER BY ts RANGE BETWEEN INTERVAL width
+    PRECEDING AND CURRENT ROW)``.
+
+    The per-row retrospective feature (events-in-last-N-days) every
+    training pipeline derives.  One keyed exchange; per partition one sort
+    and two vectorized ``searchsorted`` passes per key run: window =
+    ``[searchsorted(ts, ts−width, left), searchsorted(ts, ts, right))`` —
+    the right bound includes ties (RANGE-frame peer semantics), the sum is
+    a cumsum difference (all-positive, no cancellation).  O(n log n) per
+    partition, no per-row loop, window width never materialized.
+    """
+
+    def part(t: pa.Table) -> pa.Table:
+        from ..stages.agg import _key_run_bounds
+
+        if t.num_rows == 0:
+            out = t.append_column(out_count, pa.array([], pa.int64()))
+            if out_sum:
+                out = out.append_column(out_sum, pa.array([], pa.float64()))
+            return out
+        t = t.sort_by([(key, "ascending"), (ts_col, "ascending")])
+        bounds = _key_run_bounds(t, [key])
+        us = pc.cast(t.column(ts_col).combine_chunks(), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        width_us = int(width_s * 1_000_000)
+        vals = (
+            t.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+            if out_sum
+            else None
+        )
+        counts = np.empty(t.num_rows, np.int64)
+        sums = np.empty(t.num_rows, np.float64) if out_sum else None
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            run = us[s:e]
+            lo = np.searchsorted(run, run - width_us, side="left")
+            hi = np.searchsorted(run, run, side="right")
+            counts[s:e] = hi - lo
+            if out_sum:
+                cs = np.concatenate(([0.0], np.cumsum(vals[s:e])))
+                sums[s:e] = cs[hi] - cs[lo]
+        out = t.append_column(out_count, pa.array(counts, pa.int64()))
+        if out_sum:
+            out = out.append_column(
+                out_sum, round_like_duckdb(pa.array(sums, pa.float64()), round_to)
+            )
+        return out
+
+    return grouped_map(ds, key, part, per_group=False)
