@@ -2615,3 +2615,32 @@ ORACLE_SQL["q_events_trailing_week"] = """
     WINDOW w AS (PARTITION BY user_id ORDER BY ts
                  RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
 """
+
+
+def q_monthly_distinct_pairs(sf_dir: str):
+    """Composite COUNT(DISTINCT (user_id, event_type)) per month."""
+    from ..stages.agg import grouped_count_distinct
+
+    ev = _read(sf_dir, "events", ["ts", "user_id", "event_type"])
+
+    def monthify(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "month": pc.strftime(b.column("ts"), format="%Y-%m"),
+                "user_id": b.column("user_id"),
+                "event_type": b.column("event_type"),
+            }
+        )
+
+    return grouped_count_distinct(
+        ev.map_batches(monthify, batch_format="pyarrow"),
+        "month", ["user_id", "event_type"], out_name="n_pairs",
+    )
+
+
+QUERIES["q_monthly_distinct_pairs"] = q_monthly_distinct_pairs
+ORACLE_SQL["q_monthly_distinct_pairs"] = """
+    SELECT strftime(ts, '%Y-%m') AS month,
+           count(DISTINCT (user_id, event_type)) AS n_pairs
+    FROM events GROUP BY month
+"""

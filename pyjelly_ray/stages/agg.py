@@ -804,7 +804,7 @@ def grouped_topk(ds, keys: list[str] | str, order_col: str, k: int, *,
     )
 
 
-def grouped_count_distinct(ds, keys: list[str] | str, col: str,
+def grouped_count_distinct(ds, keys: list[str] | str, col: str | list[str],
                            out_name: str = "n_distinct", *,
                            num_partitions: int = 16):
     """Exact per-group ``COUNT(DISTINCT col)`` — shuffle sized by distinct
@@ -816,8 +816,10 @@ def grouped_count_distinct(ds, keys: list[str] | str, col: str,
     converging on one reducer.  After the pair exchange each surviving pair
     exists exactly once globally, so a per-partition count per key is a
     valid partial count; a second, tiny exchange (≤ |groups| × partitions
-    rows) sums the partials.  NULL values are not counted (SQL semantics);
-    NULL keys group together (via :func:`null_safe_group_by`).
+    rows) sums the partials.  ``col`` may be a LIST of columns —
+    ``COUNT(DISTINCT (a, b))`` — counting rows where no counted column is
+    NULL.  Single-column NULL values are not counted (SQL semantics); NULL
+    keys group together (via :func:`null_safe_group_by`).
 
     The reference has no aggregates (SURVEY.md §2.5) — this is the from-
     scratch design for e.g. distinct-subject counts per predicate at 100 TB.
@@ -825,11 +827,13 @@ def grouped_count_distinct(ds, keys: list[str] | str, col: str,
     from ..state.exchange import hash_exchange
 
     keys = [keys] if isinstance(keys, str) else list(keys)
-    pair_cols = keys + [col]
+    cols = [col] if isinstance(col, str) else list(col)
+    pair_cols = keys + cols
 
     def pair_partial(batch: pa.Table) -> pa.Table:
         t = batch.select(pair_cols)
-        t = t.filter(pc.is_valid(t.column(col)))
+        for c in cols:
+            t = t.filter(pc.is_valid(t.column(c)))
         t = null_safe_group_by(t, pair_cols, [])
         return t.append_column(
             "__bucket", pa.array(bucket_codes(t, pair_cols, num_partitions))
@@ -841,9 +845,9 @@ def grouped_count_distinct(ds, keys: list[str] | str, col: str,
         if "__bucket" in t.column_names:
             t = t.drop_columns(["__bucket"])
         t = null_safe_group_by(t, pair_cols, [])  # global dedup (one owner partition per pair)
-        out = null_safe_group_by(t, keys, [(col, "count")])
+        out = null_safe_group_by(t, keys, [(cols[0], "count")])
         return out.rename_columns(
-            [("__partial" if c == f"{col}_count" else c) for c in out.column_names]
+            [("__partial" if c == f"{cols[0]}_count" else c) for c in out.column_names]
         )
 
     partials = hash_exchange(
