@@ -2618,7 +2618,7 @@ ORACLE_SQL["q_events_trailing_week"] = """
 
 
 def q_monthly_distinct_pairs(sf_dir: str):
-    """Composite COUNT(DISTINCT (user_id, event_type)) per month."""
+    """Composite COUNT(DISTINCT (user_id, event_type)) per day."""
     from ..stages.agg import grouped_count_distinct
 
     ev = _read(sf_dir, "events", ["ts", "user_id", "event_type"])
@@ -2626,7 +2626,7 @@ def q_monthly_distinct_pairs(sf_dir: str):
     def monthify(b: pa.Table) -> pa.Table:
         return pa.table(
             {
-                "month": pc.strftime(b.column("ts"), format="%Y-%m"),
+                "month": pc.strftime(b.column("ts"), format="%Y-%m-%d"),
                 "user_id": b.column("user_id"),
                 "event_type": b.column("event_type"),
             }
@@ -2640,7 +2640,7 @@ def q_monthly_distinct_pairs(sf_dir: str):
 
 QUERIES["q_monthly_distinct_pairs"] = q_monthly_distinct_pairs
 ORACLE_SQL["q_monthly_distinct_pairs"] = """
-    SELECT strftime(ts, '%Y-%m') AS month,
+    SELECT strftime(ts, '%Y-%m-%d') AS month,
            count(DISTINCT (user_id, event_type)) AS n_pairs
     FROM events GROUP BY month
 """
