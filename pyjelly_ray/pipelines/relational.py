@@ -2644,3 +2644,32 @@ ORACLE_SQL["q_monthly_distinct_pairs"] = """
            count(DISTINCT (user_id, event_type)) AS n_pairs
     FROM events GROUP BY month
 """
+
+
+def q_doc_normalized_vocab(sf_dir: str):
+    """Vocabulary size per language after normalization (lowercase + digit
+    collapse) — one vectorized regex pass + composite distinct count."""
+    from ..stages.agg import grouped_count_distinct
+
+    docs = _read(sf_dir, "documents", ["lang", "text"])
+
+    def norm_tokens(b: pa.Table) -> pa.Table:
+        split = pc.split_pattern(b.column("text"), pattern=" ")
+        ids = pc.list_parent_indices(split)
+        tok = pc.utf8_lower(pc.list_flatten(split))
+        tok = pc.replace_substring_regex(tok, pattern="[0-9]+", replacement="0")
+        return pa.table({"lang": b.column("lang").take(ids), "token": tok})
+
+    toks = docs.map_batches(norm_tokens, batch_format="pyarrow")
+    return grouped_count_distinct(toks, "lang", "token", out_name="vocab")
+
+
+QUERIES["q_doc_normalized_vocab"] = q_doc_normalized_vocab
+ORACLE_SQL["q_doc_normalized_vocab"] = """
+    SELECT lang,
+           count(DISTINCT regexp_replace(lower(token), '[0-9]+', '0', 'g')) AS vocab
+    FROM (
+        SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents
+    )
+    GROUP BY lang
+"""
