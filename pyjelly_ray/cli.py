@@ -63,6 +63,13 @@ def main(argv=None) -> int:
                     help="col=value/ directory per distinct combo (low-"
                          "cardinality keys) instead of hash partitions")
 
+    pr = sub.add_parser("pagerank", help="PageRank over the KG dependency graph")
+    pr.add_argument("--corpus", required=True)
+    pr.add_argument("--out", default=None, help="parquet output dir (else print top)")
+    pr.add_argument("--predicates", default="imports,calls")
+    pr.add_argument("--iters", type=int, default=8)
+    pr.add_argument("--top", type=int, default=20)
+
     args = p.parse_args(argv)
 
     if args.cmd == "build-kg":
@@ -78,6 +85,32 @@ def main(argv=None) -> int:
         ).take_all()
         print(json.dumps({"shards": len(manifests),
                           "n_statements": sum(m["n_statements"] for m in manifests)}))
+        if own:
+            ray.shutdown()
+        return 0
+
+    if args.cmd == "pagerank":
+        import ray
+
+        own = not ray.is_initialized()
+        if own:
+            ray.init(address="local", include_dashboard=False)
+        from .pipelines.kg import kg_symbol_pagerank
+
+        ranks = kg_symbol_pagerank(
+            args.corpus,
+            predicates=tuple(args.predicates.split(",")),
+            iters=args.iters,
+            top_k=None if args.out else args.top,
+        )
+        if args.out:
+            ranks.write_parquet(args.out)
+            print(json.dumps({"out": args.out, "nodes": ranks.count()}))
+        else:
+            rows = ranks.take_all()
+            print(json.dumps({"top": [
+                {"node": r["node"], "rank": round(r["rank"], 8)} for r in rows
+            ]}))
         if own:
             ray.shutdown()
         return 0

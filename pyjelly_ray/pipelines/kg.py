@@ -224,3 +224,57 @@ def build_kg(
     return write_kg_shards(
         linked, out_dir, n_shards=n_shards, options=jelly_options, repo_counts=repo_counts
     )
+
+
+def kg_symbol_pagerank(
+    corpus_path,
+    *,
+    predicates: tuple[str, ...] = ("imports", "calls"),
+    damping: float = 0.85,
+    iters: int = 8,
+    num_partitions: int = 16,
+    top_k: int | None = None,
+):
+    """KG analytics pass: PageRank over the extracted dependency graph.
+
+    corpus → extract → link (canonical symbol IRIs) → distinct
+    ``(subject, object)`` edges for the chosen predicates →
+    :func:`pyjelly_ray.stages.graph.pagerank`.  Ranks answer "which
+    modules/symbols does the corpus lean on" — the standard importance
+    signal for curriculum ordering or dedup-priority decisions at corpus
+    scale.  Returns ``(node, rank)``; ``top_k`` trims via the distributed
+    top-k merge instead of a full sort.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from ..stages.agg import global_topk, grouped_agg
+    from ..stages.extract import ONT
+    from ..stages.graph import pagerank
+    from ..stages.link import make_linker_task
+
+    corpus = read_corpus(corpus_path)
+    triples = extract_triples(corpus).materialize()
+    sym_table, _ = collect_stats(triples)
+    sym_ref = ray.put(sym_table)
+    linked = triples.map_batches(make_linker_task(sym_ref), batch_format="pyarrow")
+
+    wanted = pa.array([ONT + p for p in predicates])
+
+    def to_edges(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_in(b.column("p_value"), value_set=wanted))
+        return pa.table({"src": b.column("s_value"), "dst": b.column("o_value")})
+
+    edges = linked.map_batches(to_edges, batch_format="pyarrow")
+    distinct = grouped_agg(
+        edges, ["src", "dst"], [("n", "src", "count")],
+        num_partitions=num_partitions,
+    ).map_batches(lambda b: b.drop_columns(["n"]), batch_format="pyarrow")
+    ranks = pagerank(
+        distinct, damping=damping, iters=iters,
+        num_partitions=num_partitions, round_to=None,
+    )
+    if top_k:
+        return global_topk(ranks, ["rank", "node"], top_k, descending=[True, False])
+    return ranks

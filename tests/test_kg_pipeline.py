@@ -205,3 +205,57 @@ def test_extractor_go_rust_rules():
     assert {"Point", "Dist", "Norm", "Graph", "Walkable", "traverse", "helper"} <= syms
     imports = {v.split(":", 1)[-1] for v in by_pred.get("imports", set())}
     assert {"fmt", "strings", "std::collections::HashMap"} <= imports
+
+
+def test_kg_symbol_pagerank_matches_numpy(ray_session, corpus_path):
+    """The KG analytics pass (extract → link → edges → PageRank) agrees
+    with a numpy power iteration over the independently-extracted edges."""
+    import numpy as np
+
+    from pyjelly_ray.pipelines.kg import kg_symbol_pagerank
+    from pyjelly_ray.stages.extract import ONT
+
+    got = (
+        kg_symbol_pagerank(corpus_path, iters=6, num_partitions=4)
+        .to_pandas()
+        .set_index("node")["rank"]
+    )
+
+    # independent edge set from the single-process reference extractor +
+    # the deterministic linker semantics (canonical = the symbol table maps
+    # unlinked names to defined symbols; unresolvable names stay unlinked:)
+    import pyarrow as pa
+    import ray
+
+    from pyjelly_ray.pipelines.kg import collect_stats, extract_triples, read_corpus
+    from pyjelly_ray.stages.link import make_linker_task
+
+    triples = extract_triples(read_corpus(corpus_path)).materialize()
+    sym_table, _ = collect_stats(triples)
+    sym_ref = ray.put(sym_table)
+    linked = triples.map_batches(make_linker_task(sym_ref), batch_format="pyarrow")
+    lt = pa.concat_tables(linked.iter_batches(batch_format="pyarrow"))
+    import pyarrow.compute as pc
+
+    lt = lt.filter(
+        pc.is_in(lt.column("p_value"), value_set=pa.array([ONT + "imports", ONT + "calls"]))
+    )
+    pairs = sorted(
+        {(a, b) for a, b in zip(lt.column("s_value").to_pylist(), lt.column("o_value").to_pylist())}
+    )
+    nodes = sorted({a for a, _ in pairs} | {b for _, b in pairs})
+    idx = {v: i for i, v in enumerate(nodes)}
+    N = len(nodes)
+    assert N > 10 and len(pairs) > 10
+    outdeg = np.zeros(N)
+    for a, _ in pairs:
+        outdeg[idx[a]] += 1
+    r = np.full(N, 1.0 / N)
+    for _ in range(6):
+        contrib = np.zeros(N)
+        for a, b in pairs:
+            contrib[idx[b]] += r[idx[a]] / outdeg[idx[a]]
+        r = (1 - 0.85) / N + 0.85 * contrib
+    assert len(got) == N
+    for v, i in idx.items():
+        assert abs(got[v] - r[i]) < 1e-9, v
