@@ -2673,3 +2673,52 @@ ORACLE_SQL["q_doc_normalized_vocab"] = """
     )
     GROUP BY lang
 """
+
+
+def q_click_next_purchase(sf_dir: str):
+    """Time-to-conversion: each click's NEXT purchase by the same user
+    (forward as-of join; null when the user never purchases again)."""
+    from ..stages.joins import asof_join_forward
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    clicks = ev.map_batches(
+        lambda b: b.filter(pc.equal(b.column("event_type"), "click")).select(
+            ["event_id", "user_id", "ts"]
+        ),
+        batch_format="pyarrow",
+    )
+    purchases = ev.map_batches(
+        lambda b: b.filter(pc.equal(b.column("event_type"), "purchase")).select(
+            ["user_id", "ts"]
+        ),
+        batch_format="pyarrow",
+    )
+    joined = asof_join_forward(
+        clicks, purchases,
+        left_key="user_id", right_key="user_id",
+        left_ts="ts", right_ts="ts",
+        right_value="ts", out_value="np_us",
+        left_cols={"event_id": pa.int64(), "user_id": pa.int64(),
+                   "ts": pa.timestamp("us")},
+    )
+    return joined.map_batches(
+        lambda b: pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "user_id": b.column("user_id"),
+                "ts": b.column("ts"),
+                "next_purchase_ts": pc.cast(b.column("np_us"), pa.timestamp("us")),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+QUERIES["q_click_next_purchase"] = q_click_next_purchase
+ORACLE_SQL["q_click_next_purchase"] = """
+    SELECT c.event_id, c.user_id, c.ts, p.ts AS next_purchase_ts
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN
+         (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+    ON c.user_id = p.user_id AND c.ts <= p.ts
+"""

@@ -430,3 +430,85 @@ def interval_join(
     from .agg import grouped_map
 
     return grouped_map(unioned, "_key", merge)
+
+
+def asof_join_forward(
+    left,
+    right,
+    *,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    right_value: str,
+    out_value: str | None = None,
+    left_cols: dict[str, "pa.DataType"] | None = None,
+):
+    """Forward as-of join: for each left row, the right row with the
+    SMALLEST ``right_ts`` ≥ ``left_ts`` within the same key (left-join
+    semantics; nulls when no later right row exists).
+
+    Mirror image of :func:`asof_join_backward` (same union + one keyed
+    shuffle + vectorized searchsorted merge); equal timestamps match
+    (non-strict, like DuckDB ``ASOF ... ON l.ts <= r.ts``), tie-break at
+    equal ``right_ts`` = minimum ``right_value`` (deterministic).
+    """
+    import numpy as np
+
+    out_value = out_value or right_value
+    left_cols = left_cols or {left_key: pa.int64(), left_ts: pa.timestamp("us")}
+
+    def tag_left(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        cols = {
+            "_key": b.column(left_key),
+            "_side": pa.array(np.zeros(n, np.int8)),
+            "_ts": b.column(left_ts),
+            "_rv": pa.nulls(n, pa.int64()),
+        }
+        for c in left_cols:
+            cols[c] = b.column(c)
+        return pa.table(cols)
+
+    def tag_right(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        cols = {
+            "_key": b.column(right_key),
+            "_side": pa.array(np.ones(n, np.int8)),
+            "_ts": pc.cast(b.column(right_ts), left_cols.get(left_ts, pa.timestamp("us"))),
+            "_rv": pc.cast(b.column(right_value), pa.int64()),
+        }
+        for c, typ in left_cols.items():
+            cols[c] = pa.nulls(n, typ)
+        return pa.table(cols)
+
+    lt = left.map_batches(tag_left, batch_format="pyarrow", batch_size=None)
+    rt = right.map_batches(tag_right, batch_format="pyarrow", batch_size=None)
+    unioned = lt.union(rt)
+
+    def merge(group: pa.Table) -> pa.Table:
+        mask = pc.equal(group.column("_side"), 0)
+        lpart = group.filter(mask)
+        rpart = group.filter(pc.invert(mask))
+        out = {c: lpart.column(c) for c in left_cols}
+        if lpart.num_rows == 0:
+            out[out_value] = pa.nulls(0, pa.int64())
+            return pa.table(out)
+        if rpart.num_rows == 0:
+            out[out_value] = pa.nulls(lpart.num_rows, pa.int64())
+            return pa.table(out)
+        rpart = rpart.sort_by([("_ts", "ascending"), ("_rv", "ascending")])
+        rts = pc.cast(rpart.column("_ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        lts = pc.cast(lpart.column("_ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(rts, lts, side="left")
+        valid = idx < len(rts)
+        rv = rpart.column("_rv").to_numpy(zero_copy_only=False)
+        vals = rv[np.minimum(idx, len(rts) - 1)]
+        out[out_value] = pa.array(
+            np.where(valid, vals, 0), pa.int64(), mask=~valid
+        )
+        return pa.table(out)
+
+    from .agg import grouped_map
+
+    return grouped_map(unioned, "_key", merge)
