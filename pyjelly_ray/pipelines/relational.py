@@ -2722,3 +2722,46 @@ ORACLE_SQL["q_click_next_purchase"] = """
          (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
     ON c.user_id = p.user_id AND c.ts <= p.ts
 """
+
+
+def q_customer_balance_deciles(sf_dir: str):
+    """Decile report: global ntile(10) over account balance, then per-decile
+    stats (the aggregate-after-window composition)."""
+    from ..stages.window import grouped_running
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+    keyed = cust.map_batches(
+        lambda b: b.append_column("g", pa.array([0] * b.num_rows, pa.int64())),
+        batch_format="pyarrow",
+    )
+    tiled = grouped_running(
+        keyed, key="g", order_col="c_acctbal", value_col="c_acctbal",
+        kinds=[("decile", ("ntile", 10))], tiebreak="c_custkey",
+    )
+    return grouped_agg(
+        tiled,
+        ["decile"],
+        [
+            ("n_custs", "c_acctbal", "count"),
+            ("lo", "c_acctbal", "min"),
+            ("hi", "c_acctbal", "max"),
+            ("avg_bal", "c_acctbal", "mean"),
+        ],
+        round_to=2,
+    )
+
+
+QUERIES["q_customer_balance_deciles"] = q_customer_balance_deciles
+ORACLE_SQL["q_customer_balance_deciles"] = """
+    SELECT decile,
+           count(*) AS n_custs,
+           round(min(c_acctbal), 2) AS lo,
+           round(max(c_acctbal), 2) AS hi,
+           round(avg(c_acctbal), 2) AS avg_bal
+    FROM (
+        SELECT c_acctbal,
+               ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile
+        FROM customer
+    )
+    GROUP BY decile
+"""
