@@ -512,3 +512,58 @@ def asof_join_forward(
     from .agg import grouped_map
 
     return grouped_map(unioned, "_key", merge)
+
+
+def hash_join_skew(left, right, *, left_key: str,
+                   right_key: str | None = None, how: str = "inner",
+                   hot_keys=None, detect_top: int = 16,
+                   num_partitions: int = 16):
+    """Hybrid equi-join for a SKEWED left side: hot keys take the broadcast
+    path, the cold remainder takes the normal hash exchange.
+
+    A plain hash join sends every row of a hot key to ONE reduce partition —
+    the straggler that dominates wall time at scale.  Here the hot keys'
+    right-side rows (small by assumption: hot on the probe side, not the
+    build side) are broadcast once via ``ray.put`` and joined map-side with
+    zero movement of the skewed left rows; only the cold keys pay the
+    all-to-all.  Key-disjoint split + union preserves exact inner /
+    left-outer semantics (each left row takes exactly one path and meets
+    every matching right row there).
+
+    ``hot_keys``: explicit values, else detected with one
+    :func:`~pyjelly_ray.stages.sketch.approx_heavy_hitters` pass over the
+    left key (no-false-negative within its retained set; a missed warm key
+    only costs performance, never correctness).
+    """
+    if how not in ("inner", "left outer"):
+        raise ValueError("skew split preserves semantics for inner/left outer only")
+    right_key = right_key or left_key
+
+    if hot_keys is None:
+        from .sketch import approx_heavy_hitters
+
+        hot = approx_heavy_hitters(left, left_key, k=detect_top)
+        hot_keys = pa.concat_tables(
+            hot.iter_batches(batch_format="pyarrow")
+        ).column(left_key).combine_chunks()
+    else:
+        hot_keys = pa.array(hot_keys)
+
+    def split(ds, key, keep_hot: bool):
+        def f(b: pa.Table) -> pa.Table:
+            mask = pc.is_in(b.column(key), value_set=hot_keys)
+            return b.filter(mask if keep_hot else pc.invert(mask))
+
+        return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
+
+    left_hot, left_cold = split(left, left_key, True), split(left, left_key, False)
+    right_hot, right_cold = split(right, right_key, True), split(right, right_key, False)
+
+    hot_joined = broadcast_join(
+        left_hot, right_hot, left_key=left_key, right_key=right_key, how=how
+    )
+    cold_joined = hash_join(
+        left_cold, right_cold, left_key=left_key, right_key=right_key,
+        how=how, num_partitions=num_partitions,
+    )
+    return hot_joined.union(cold_joined)

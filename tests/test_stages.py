@@ -1557,3 +1557,36 @@ def test_jsonl_roundtrip(ray_session, tmp_path):
     jsonl_to_parquet(out, pq_dir, columns=["doc_id", "lang"])
     back2 = ray.data.read_parquet(pq_dir).to_pandas().sort_values("doc_id")
     assert len(back2) == len(orig) and list(back2.columns) == ["doc_id", "lang"]
+
+
+def test_hash_join_skew_equivalence(ray_session):
+    """Hybrid skew join ≡ plain hash join on 90%-hot-key data, inner and
+    left outer, including unmatched left rows."""
+    import ray
+
+    from pyjelly_ray.stages.joins import hash_join, hash_join_skew
+
+    rng = np.random.default_rng(13)
+    n = 30_000
+    keys = np.where(rng.random(n) < 0.9, 7, rng.integers(0, 400, n)).astype(np.int64)
+    lt = pa.table({"k": keys, "lv": np.arange(n, dtype=np.int64)})
+    rk = np.arange(0, 300, dtype=np.int64)  # keys 300..399 unmatched
+    rt = pa.table({"k": rk, "rv": rk * 10})
+    left = ray.data.from_arrow(lt).repartition(6)
+    right = ray.data.from_arrow(rt).repartition(3)
+    for how in ("inner", "left outer"):
+        a = (
+            hash_join_skew(left, right, left_key="k", how=how, num_partitions=4)
+            .to_pandas()
+            .sort_values(["k", "lv"])
+            .reset_index(drop=True)
+        )
+        b = (
+            hash_join(left, right, left_key="k", how=how, num_partitions=4)
+            .to_pandas()
+            .sort_values(["k", "lv"])
+            .reset_index(drop=True)
+        )
+        assert len(a) == len(b), how
+        assert (a["k"].to_numpy() == b["k"].to_numpy()).all()
+        assert a["rv"].fillna(-1).to_numpy().tolist() == b["rv"].fillna(-1).to_numpy().tolist()
