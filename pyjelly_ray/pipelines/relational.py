@@ -2765,3 +2765,154 @@ ORACLE_SQL["q_customer_balance_deciles"] = """
     )
     GROUP BY decile
 """
+
+
+def q_returned_revenue_top_customers(sf_dir: str):
+    """TPC-H Q10 shape: returned-item revenue per customer — big⋈big join
+    with a map-side partial aggregate fused into the join reduce, then the
+    customer/nation dims broadcast onto the small aggregate."""
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"],
+    )
+
+    def returned(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b.column("l_returnflag"), "R"))
+        rev = pc.multiply(
+            b.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), b.column("l_discount")),
+        )
+        return pa.table({"l_orderkey": b.column("l_orderkey"), "rev": rev})
+
+    li = li.map_batches(returned, batch_format="pyarrow")
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def partial_by_cust(t: pa.Table) -> pa.Table:
+        # join key (o_orderkey) != group key (o_custkey): this inside-join
+        # aggregate is a PARTIAL per co-partition; the grouped_agg below
+        # merges partials with one tiny exchange
+        g = t.group_by("o_custkey").aggregate([("rev", "sum")])
+        return g.rename_columns(["o_custkey", "rev"])
+
+    joined = hash_join(
+        li, orders, left_key="l_orderkey", right_key="o_orderkey",
+        post=partial_by_cust,
+    )
+    per_cust = grouped_agg(
+        joined, ["o_custkey"], [("revenue", "rev", "sum")], round_to=2
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"])
+    withc = broadcast_join(
+        per_cust, cust, left_key="o_custkey", right_key="c_custkey",
+        columns=["c_name", "c_nationkey"],
+    )
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"])
+    withn = broadcast_join(
+        withc, nation, left_key="c_nationkey", right_key="n_nationkey",
+        columns=["n_name"],
+    )
+    named = withn.map_batches(
+        lambda b: pa.table(
+            {
+                "c_custkey": b.column("o_custkey"),
+                "c_name": b.column("c_name"),
+                "n_name": b.column("n_name"),
+                "revenue": b.column("revenue"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return global_topk(named, ["revenue", "c_custkey"], 20, descending=[True, False])
+
+
+def q_disjunctive_part_revenue(sf_dir: str):
+    """TPC-H Q19 shape: disjunction of composite predicates across both
+    join sides, evaluated as one vectorized boolean expression."""
+    from ..stages.agg import round_like_duckdb
+
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_type", "p_size"])
+    joined = broadcast_join(
+        li, part, left_key="l_partkey", right_key="p_partkey",
+        columns=["p_brand", "p_type", "p_size"],
+    )
+
+    def pick(b: pa.Table) -> pa.Table:
+        qty = b.column("l_quantity")
+        c1 = pc.and_(
+            pc.and_(
+                pc.equal(b.column("p_brand"), "Brand#1"),
+                pc.less_equal(b.column("p_size"), 10),
+            ),
+            pc.greater_equal(qty, 10.0),
+        )
+        c2 = pc.and_(
+            pc.and_(
+                pc.equal(b.column("p_type"), "PROMO"),
+                pc.less(qty, 25.0),
+            ),
+            pc.greater(b.column("l_discount"), 0.04),
+        )
+        c3 = pc.and_(
+            pc.and_(
+                pc.greater_equal(b.column("p_size"), 40),
+                pc.greater_equal(qty, 20.0),
+            ),
+            pc.less_equal(qty, 30.0),
+        )
+        b = b.filter(pc.or_(pc.or_(c1, c2), c3))
+        rev = pc.multiply(
+            b.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), b.column("l_discount")),
+        )
+        return pa.table({"rev": rev})
+
+    picked = joined.map_batches(pick, batch_format="pyarrow")
+    agg = grouped_agg(
+        picked.map_batches(
+            lambda b: b.append_column("g", pa.array([0] * b.num_rows, pa.int64())),
+            batch_format="pyarrow",
+        ),
+        ["g"],
+        [("n_items", "rev", "count"), ("revenue", "rev", "sum")],
+        round_to=2,
+    )
+    return agg.map_batches(
+        lambda b: b.drop_columns(["g"]), batch_format="pyarrow"
+    )
+
+
+QUERIES.update(
+    {
+        "q_returned_revenue_top_customers": q_returned_revenue_top_customers,
+        "q_disjunctive_part_revenue": q_disjunctive_part_revenue,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "q_returned_revenue_top_customers": """
+            SELECT c_custkey, c_name, n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            JOIN nation ON n_nationkey = c_nationkey
+            WHERE l_returnflag = 'R'
+            GROUP BY c_custkey, c_name, n_name
+            ORDER BY revenue DESC, c_custkey
+            LIMIT 20
+        """,
+        "q_disjunctive_part_revenue": """
+            SELECT count(*) AS n_items,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE (p_brand = 'Brand#1' AND p_size <= 10 AND l_quantity >= 10)
+               OR (p_type = 'PROMO' AND l_quantity < 25 AND l_discount > 0.04)
+               OR (p_size >= 40 AND l_quantity BETWEEN 20 AND 30)
+        """,
+    }
+)
