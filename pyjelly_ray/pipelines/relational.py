@@ -2916,3 +2916,84 @@ ORACLE_SQL.update(
         """,
     }
 )
+
+
+def q_supplier_nation_profit(sf_dir: str):
+    """TPC-H Q9 shape: profit rolled up the SUPPLIER dimension path (q5
+    uses the customer path) — derived measure, two broadcast dims, one
+    grouped aggregate."""
+    li = _read(
+        sf_dir, "lineitem", ["l_suppkey", "l_extendedprice", "l_discount"]
+    )
+
+    def measure(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            b.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), b.column("l_discount")),
+        )
+        cost = pc.multiply(pa.scalar(0.6), b.column("l_extendedprice"))
+        return pa.table(
+            {"l_suppkey": b.column("l_suppkey"), "profit": pc.subtract(rev, cost)}
+        )
+
+    li = li.map_batches(measure, batch_format="pyarrow")
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    withs = broadcast_join(
+        li, supp, left_key="l_suppkey", right_key="s_suppkey",
+        columns=["s_nationkey"],
+    )
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"])
+    withn = broadcast_join(
+        withs, nation, left_key="s_nationkey", right_key="n_nationkey",
+        columns=["n_name"],
+    )
+    return grouped_agg(withn, ["n_name"], [("profit", "profit", "sum")], round_to=2)
+
+
+def q_brand_type_supplier_counts(sf_dir: str):
+    """TPC-H Q16 shape: distinct suppliers per (brand, type) over a
+    filtered part dimension — broadcast semi-filterable join + composite-
+    group exact count-distinct."""
+    from ..stages.agg import grouped_count_distinct
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_type", "p_size"])
+    big_parts = part.map_batches(
+        lambda b: b.filter(pc.greater_equal(b.column("p_size"), 25)),
+        batch_format="pyarrow",
+    )
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+    joined = broadcast_join(
+        li, big_parts, left_key="l_partkey", right_key="p_partkey",
+        columns=["p_brand", "p_type"],
+    )
+    return grouped_count_distinct(
+        joined, ["p_brand", "p_type"], "l_suppkey", out_name="n_supp"
+    )
+
+
+QUERIES.update(
+    {
+        "q_supplier_nation_profit": q_supplier_nation_profit,
+        "q_brand_type_supplier_counts": q_brand_type_supplier_counts,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "q_supplier_nation_profit": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)
+                             - 0.6 * l_extendedprice), 2) AS profit
+            FROM lineitem
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation ON n_nationkey = s_nationkey
+            GROUP BY n_name
+        """,
+        "q_brand_type_supplier_counts": """
+            SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS n_supp
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE p_size >= 25
+            GROUP BY p_brand, p_type
+        """,
+    }
+)
