@@ -2997,3 +2997,52 @@ ORACLE_SQL.update(
         """,
     }
 )
+
+
+def q_user_day_streaks(sf_dir: str):
+    """Gaps-and-islands: longest consecutive-day activity streak per user
+    (distinct days → row_number window → island id = day − rank → two
+    aggregates)."""
+    from ..stages.window import grouped_running
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def day_of(b: pa.Table) -> pa.Table:
+        us = pc.cast(b.column("ts"), pa.int64())
+        day = pc.divide(us, pa.scalar(86_400_000_000, pa.int64()))
+        return pa.table({"user_id": b.column("user_id"), "day": day})
+
+    days = grouped_agg(
+        ev.map_batches(day_of, batch_format="pyarrow"),
+        ["user_id", "day"], [("n", "day", "count")],
+    ).map_batches(lambda b: b.drop_columns(["n"]), batch_format="pyarrow")
+
+    ranked = grouped_running(
+        days, key="user_id", order_col="day", value_col="day",
+        kinds=[("rn", "row_number")],
+    )
+
+    def island(b: pa.Table) -> pa.Table:
+        grp = pc.subtract(b.column("day"), b.column("rn"))
+        return pa.table({"user_id": b.column("user_id"), "grp": grp})
+
+    islands = ranked.map_batches(island, batch_format="pyarrow")
+    lengths = grouped_agg(islands, ["user_id", "grp"], [("len", "grp", "count")])
+    return grouped_agg(lengths, ["user_id"], [("max_streak", "len", "max")])
+
+
+QUERIES["q_user_day_streaks"] = q_user_day_streaks
+ORACLE_SQL["q_user_day_streaks"] = """
+    WITH days AS (
+        SELECT DISTINCT user_id,
+               CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+        FROM events
+    ),
+    isl AS (
+        SELECT user_id, day,
+               day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+        FROM days
+    ),
+    streaks AS (SELECT user_id, count(*) AS len FROM isl GROUP BY user_id, grp)
+    SELECT user_id, max(len) AS max_streak FROM streaks GROUP BY user_id
+"""
