@@ -27,6 +27,8 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..state.exchange import default_partitions
+
 #: spec = (out_name, src_col, fn) with fn ∈ {"sum","count","mean","min","max"}
 Spec = tuple
 
@@ -303,11 +305,12 @@ def _derived_columns(batch: pa.Table, specs: list[Spec], round_to: int | None,
 
 
 def grouped_agg(ds, keys: list[str] | str, specs: list[Spec], *,
-                round_to: int | None = None, num_partitions: int = 16,
+                round_to: int | None = None, num_partitions: int | None = None,
                 sum_as_float: bool = True):
     from ..state.exchange import hash_exchange
 
     keys = [keys] if isinstance(keys, str) else list(keys)
+    num_partitions = num_partitions or default_partitions()
     partial = _partial_fn(keys, specs)
 
     def partial_with_bucket(batch: pa.Table) -> pa.Table:
@@ -357,7 +360,7 @@ def grouped_agg(ds, keys: list[str] | str, specs: list[Spec], *,
 
 def grouped_agg_sets(ds, keys: list[str] | str, specs: list[Spec], *,
                      sets: list[list[str]] | None = None,
-                     round_to: int | None = None, num_partitions: int = 16,
+                     round_to: int | None = None, num_partitions: int | None = None,
                      sum_as_float: bool = True,
                      grouping_id: str | None = "grouping_id"):
     """GROUP BY GROUPING SETS / ROLLUP / CUBE in ONE pass over the data.
@@ -382,6 +385,7 @@ def grouped_agg_sets(ds, keys: list[str] | str, specs: list[Spec], *,
     from ..state.exchange import hash_exchange
 
     keys = [keys] if isinstance(keys, str) else list(keys)
+    num_partitions = num_partitions or default_partitions()
     if sets is None:
         sets = [keys[:i] for i in range(len(keys), -1, -1)]
     sets = [list(s) for s in sets]
@@ -537,7 +541,7 @@ def _key_run_bounds(t: pa.Table, keys: list[str]):
     return np.append(np.flatnonzero(starts), t.num_rows)
 
 
-def grouped_map(ds, keys: list[str] | str, fn, *, num_partitions: int = 16,
+def grouped_map(ds, keys: list[str] | str, fn, *, num_partitions: int | None = None,
                 per_group: bool = True, empty_schema: pa.Table | None = None):
     """Drop-in replacement for ``ds.groupby(keys).map_groups(fn)`` built on
     the explicit hash exchange (no sample+sort shuffle).
@@ -562,6 +566,7 @@ def grouped_map(ds, keys: list[str] | str, fn, *, num_partitions: int = 16,
     from ..state.exchange import hash_exchange
 
     keys = [keys] if isinstance(keys, str) else list(keys)
+    num_partitions = num_partitions or default_partitions()
 
     def add_bucket(b: pa.Table) -> pa.Table:
         return b.append_column(
@@ -600,7 +605,7 @@ def grouped_map(ds, keys: list[str] | str, fn, *, num_partitions: int = 16,
 
 def grouped_map_salted(ds, keys: list[str] | str, partial_fn, merge_fn, *,
                        salt: int = 8, salt_cols: list[str] | None = None,
-                       num_partitions: int = 16,
+                       num_partitions: int | None = None,
                        empty_schema: pa.Table | None = None):
     """Skew-safe :func:`grouped_map` for DECOMPOSABLE kernels.
 
@@ -713,7 +718,7 @@ def grouped_quantiles(ds, keys: list[str] | str, col: str,
 
     from ..state.exchange import hash_exchange
 
-    num_partitions = 8
+    num_partitions = default_partitions(small=True)
 
     def project_with_bucket(b: pa.Table) -> pa.Table:
         out = project(b)
@@ -785,7 +790,7 @@ def grouped_topk(ds, keys: list[str] | str, order_col: str, k: int, *,
 
     from ..state.exchange import hash_exchange
 
-    num_partitions = 8
+    num_partitions = default_partitions(small=True)
 
     def partial_with_bucket(b: pa.Table) -> pa.Table:
         out = topk_within(b)
@@ -806,7 +811,7 @@ def grouped_topk(ds, keys: list[str] | str, order_col: str, k: int, *,
 
 def grouped_count_distinct(ds, keys: list[str] | str, col: str | list[str],
                            out_name: str = "n_distinct", *,
-                           num_partitions: int = 16):
+                           num_partitions: int | None = None):
     """Exact per-group ``COUNT(DISTINCT col)`` — shuffle sized by distinct
     pairs, skew-proof for hot groups.
 
@@ -827,6 +832,7 @@ def grouped_count_distinct(ds, keys: list[str] | str, col: str | list[str],
     from ..state.exchange import hash_exchange
 
     keys = [keys] if isinstance(keys, str) else list(keys)
+    num_partitions = num_partitions or default_partitions()
     cols = [col] if isinstance(col, str) else list(col)
     pair_cols = keys + cols
 
@@ -865,7 +871,7 @@ def grouped_count_distinct(ds, keys: list[str] | str, col: str | list[str],
 
 def fixed_width_histogram(ds, col: str, width: float, *, origin: float = 0.0,
                           bucket_name: str = "bucket",
-                          num_partitions: int = 8, round_to: int | None = 2):
+                          num_partitions: int | None = None, round_to: int | None = 2):
     """Fixed-width histogram: ``bucket = floor((col − origin) / width)`` plus
     per-bucket count and observed min/max.
 
@@ -892,7 +898,7 @@ def fixed_width_histogram(ds, col: str, width: float, *, origin: float = 0.0,
 def grouped_collect(ds, keys: list[str] | str, col: str, *,
                     order_by: list[str] | str, out_name: str = "collected",
                     sep: str = ",", as_list: bool = False,
-                    num_partitions: int = 16):
+                    num_partitions: int | None = None):
     """Ordered per-group collect: SQL ``string_agg(col, sep ORDER BY ...)``
     (or ``array_agg`` with ``as_list=True``).
 

@@ -22,7 +22,7 @@ import pyarrow.compute as pc
 
 
 def distinct_nodes(edges, src: str = "src", dst: str = "dst",
-                   out: str = "node", *, num_partitions: int = 16):
+                   out: str = "node", *, num_partitions: int | None = None):
     """Distinct union of both endpoint columns (one full-row exchange over
     the already-deduped per-batch node sets)."""
     from .setops import set_op
@@ -42,7 +42,7 @@ def distinct_nodes(edges, src: str = "src", dst: str = "dst",
 
 def pagerank(edges, *, src: str = "src", dst: str = "dst",
              damping: float = 0.85, iters: int = 10,
-             num_partitions: int = 16, round_to: int | None = 8):
+             num_partitions: int | None = None, round_to: int | None = 8):
     """Distributed PageRank over an edge Dataset (simplified dangling model).
 
     TWO keyed exchanges per iteration, both fused:
@@ -60,10 +60,11 @@ def pagerank(edges, *, src: str = "src", dst: str = "dst",
 
     Returns a Dataset ``(node, rank)``; ranks rounded to ``round_to``.
     """
-    from ..state.exchange import hash_exchange_pair
+    from ..state.exchange import default_partitions, hash_exchange_pair
     from .agg import bucket_codes, grouped_agg, round_like_duckdb
     from .joins import hash_join
 
+    num_partitions = num_partitions or default_partitions()
     nodes = distinct_nodes(edges, src, dst, "node",
                            num_partitions=num_partitions)
     nodes = nodes.materialize()
@@ -190,7 +191,7 @@ def pagerank_sql(edges_sql: str, *, src: str = "src", dst: str = "dst",
 
 
 def symmetrize(edges, src: str = "src", dst: str = "dst", *,
-               num_partitions: int = 16):
+               num_partitions: int | None = None):
     """Undirected view: distinct union of (src,dst) and (dst,src)."""
     from .setops import set_op
 
@@ -206,7 +207,7 @@ def symmetrize(edges, src: str = "src", dst: str = "dst", *,
 
 
 def connected_components(edges, *, src: str = "src", dst: str = "dst",
-                         max_iters: int = 50, num_partitions: int = 16):
+                         max_iters: int = 50, num_partitions: int | None = None):
     """Distributed connected components by min-label propagation.
 
     Labels start as the node's own id; each round every node takes the min
@@ -226,10 +227,11 @@ def connected_components(edges, *, src: str = "src", dst: str = "dst",
     """
     import ray
 
-    from ..state.exchange import hash_exchange_pair
+    from ..state.exchange import default_partitions, hash_exchange_pair
     from .agg import bucket_codes
     from .joins import hash_join
 
+    num_partitions = num_partitions or default_partitions()
     schema = edges.schema()
     schema = getattr(schema, "base_schema", schema)  # Ray wraps pyarrow.Schema
     if schema is None or edges.count() == 0:  # no edges → no components

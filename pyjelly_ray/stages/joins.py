@@ -86,7 +86,7 @@ def broadcast_semi(ds, small, *, left_key: str, right_key: str | None = None,
 
 def hash_join(left, right, *, left_key: str | list[str],
               right_key: str | list[str] | None = None,
-              how: str = "inner", num_partitions: int = 16,
+              how: str = "inner", num_partitions: int | None = None,
               post=None):
     """Distributed equi-join: co-partition both sides by ``hash(keys) % P``,
     then one vectorized Arrow join per partition.
@@ -106,9 +106,10 @@ def hash_join(left, right, *, left_key: str | list[str],
     fusing it saves re-exchanging the full join output by the same key,
     and the joined rows never hit the object store.
     """
-    from ..state.exchange import hash_exchange_pair
+    from ..state.exchange import default_partitions, hash_exchange_pair
     from .agg import bucket_codes
 
+    num_partitions = num_partitions or default_partitions()
     lkeys = [left_key] if isinstance(left_key, str) else list(left_key)
     rkeys = lkeys if right_key is None else (
         [right_key] if isinstance(right_key, str) else list(right_key)
@@ -517,7 +518,7 @@ def asof_join_forward(
 def hash_join_skew(left, right, *, left_key: str,
                    right_key: str | None = None, how: str = "inner",
                    hot_keys=None, detect_top: int = 16,
-                   num_partitions: int = 16):
+                   num_partitions: int | None = None):
     """Hybrid equi-join for a SKEWED left side: hot keys take the broadcast
     path, the cold remainder takes the normal hash exchange.
 

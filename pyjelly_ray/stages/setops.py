@@ -35,17 +35,18 @@ def _tagged(ds, cols: list[str], side: str, num_partitions: int):
 
 
 def set_op(left, right, op: str, *, columns: list[str] | None = None,
-           num_partitions: int = 16):
+           num_partitions: int | None = None):
     """``op`` ∈ {"union", "intersect", "except"} with DISTINCT semantics.
 
     ``columns``: the row identity (defaults to the left schema's columns);
     the right side must carry the same column names (rename upstream, as
     SQL matches set-op columns positionally).
     """
-    from ..state.exchange import hash_exchange
+    from ..state.exchange import default_partitions, hash_exchange
 
     if op not in ("union", "intersect", "except"):
         raise ValueError(op)
+    num_partitions = num_partitions or default_partitions()
     cols = columns or left.schema().names
 
     tagged = _tagged(left, cols, "l", num_partitions).union(

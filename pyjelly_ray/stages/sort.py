@@ -37,13 +37,16 @@ def _sort_spec(key: str, tiebreak: list[str], descending: bool):
 
 
 def range_sort(ds, key: str, *, descending: bool = False,
-               tiebreak: list[str] | None = None, num_partitions: int = 16,
+               tiebreak: list[str] | None = None, num_partitions: int | None = None,
                samples_per_block: int = 64):
     """Globally sort ``ds`` by ``key`` (then ``tiebreak`` columns ascending).
 
     Returns a Dataset whose block order IS the global order.  NULL keys
     sort last (Arrow default), matching SQL ``NULLS LAST``.
     """
+    from ..state.exchange import default_partitions
+
+    num_partitions = num_partitions or default_partitions()
     import ray
 
     from ..state.exchange import hash_exchange

@@ -251,7 +251,7 @@ def grouped_running(ds, *, key: str, order_col: str, value_col: str,
 
 def windowed_agg(ds, *, ts_col: str, width_s: float, hop_s: float | None = None,
                  keys=(), specs, round_to: int | None = None,
-                 out_col: str = "w_start", num_partitions: int = 16,
+                 out_col: str = "w_start", num_partitions: int | None = None,
                  sum_as_float: bool = True):
     """Event-time tumbling / hopping windowed aggregate.
 
@@ -270,6 +270,9 @@ def windowed_agg(ds, *, ts_col: str, width_s: float, hop_s: float | None = None,
     Null timestamps are dropped (SQL GROUP BY would emit a null bucket;
     a windowed stream has no meaningful null-time window).
     """
+    from ..state.exchange import default_partitions
+
+    num_partitions = num_partitions or default_partitions()
     from .agg import grouped_agg
 
     width_us = int(round(width_s * 1e6))

@@ -400,3 +400,17 @@ def hash_exchange(
             part_refs[p].append(r)
     reduced = [reduce_remote.remote(*parts) for parts in part_refs]
     return ray.data.from_arrow_refs(reduced)
+
+
+def default_partitions(small: bool = False) -> int:
+    """Exchange fan-out default, env-tunable for bigger clusters.
+
+    ``GRAFT_NUM_PARTITIONS`` overrides the single-node default (16; the
+    ordered/quantile operators use half).  On a multi-node deployment set it
+    so one partition of the largest keyed exchange fits a worker's heap —
+    the operators are all O(|partition|) in memory, never O(|dataset|).
+    """
+    import os
+
+    base = int(os.environ.get("GRAFT_NUM_PARTITIONS", "16"))
+    return max(1, base // 2) if small else base
