@@ -1590,3 +1590,44 @@ def test_hash_join_skew_equivalence(ray_session):
         assert len(a) == len(b), how
         assert (a["k"].to_numpy() == b["k"].to_numpy()).all()
         assert a["rv"].fillna(-1).to_numpy().tolist() == b["rv"].fillna(-1).to_numpy().tolist()
+
+
+def test_grouped_trailing_agg_tie_semantics(ray_session):
+    """RANGE-frame peer semantics under duplicate timestamps: rows with the
+    SAME ts must all see the full peer group (DuckDB RANGE ... CURRENT ROW
+    includes peers after the current row)."""
+    import duckdb
+    import ray
+
+    from pyjelly_ray.stages.window import grouped_trailing_agg
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    # key 1: ties at t=0 (x3) and t=30s (x2), plus one outside the window
+    ts = [base, base, base,
+          base + np.timedelta64(30, "s"), base + np.timedelta64(30, "s"),
+          base + np.timedelta64(600, "s")]
+    t = pa.table(
+        {
+            "k": pa.array([1] * 6, pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "v": pa.array([1.0, 2.0, 4.0, 8.0, 16.0, 32.0]),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(2)
+    got = (
+        grouped_trailing_agg(ds, key="k", ts_col="ts", value_col="v", width_s=60.0)
+        .to_pandas()
+        .sort_values(["ts", "v"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", t)
+    exp = con.sql(
+        """SELECT ts, v, count(*) OVER w AS w_count, round(sum(v) OVER w, 2) AS w_sum
+           FROM t WINDOW w AS (PARTITION BY k ORDER BY ts
+                               RANGE BETWEEN INTERVAL 60 SECONDS PRECEDING
+                               AND CURRENT ROW)
+           ORDER BY ts, v"""
+    ).fetchdf()
+    assert got["w_count"].astype(int).tolist() == exp["w_count"].astype(int).tolist()
+    assert got["w_sum"].tolist() == exp["w_sum"].tolist()
