@@ -3046,3 +3046,19 @@ ORACLE_SQL["q_user_day_streaks"] = """
     streaks AS (SELECT user_id, count(*) AS len FROM isl GROUP BY user_id, grp)
     SELECT user_id, max(len) AS max_streak FROM streaks GROUP BY user_id
 """
+
+
+def q_embedding_kmeans_sizes(sf_dir: str):
+    """Distributed Lloyd's k-means over the embedding table (mergeable
+    per-block partials, tiny driver merge), reporting cluster sizes.
+    No SQL equivalent — rows-only; convergence is pinned by the blob-
+    recovery unit test."""
+    from ..stages.ann import kmeans_assign, kmeans_fit
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    centroids, _ = kmeans_fit(emb, k=8, iters=5)
+    assigned = kmeans_assign(emb, centroids)
+    return grouped_agg(assigned, ["cluster"], [("n", "vec_id", "count")])
+
+
+QUERIES["q_embedding_kmeans_sizes"] = q_embedding_kmeans_sizes

@@ -541,3 +541,78 @@ def embedding_dup_pairs(
             "pair", pa.array([], pa.string())
         ),
     )
+
+
+# ----------------------------- k-means --------------------------------------
+
+
+def kmeans_fit(ds, *, col: str = "embedding", k: int = 8, iters: int = 10):
+    """Distributed Lloyd's k-means over an embedding column.
+
+    The textbook mergeable-partial shape: centroids broadcast via
+    ``ray.put`` each round; every batch computes assignments with ONE
+    matmul (argmin ‖x−c‖² = argmin (‖c‖² − 2x·c)) and emits k partial
+    (Σx, n) pairs — a k×dim blob per BLOCK, not per row — which the driver
+    merges (tiny) into the next centroid set.  Deterministic: head-of-
+    dataset init, no RNG; empty clusters keep their previous centroid.
+    Exchange volume per round is blocks × k × dim floats regardless of row
+    count — the same partial-aggregate posture as ``grouped_agg``.
+
+    Returns ``(centroids: np.ndarray[k, dim], inertia: float)``.
+    """
+    import ray
+
+    head = ds.limit(k).take_all()
+    centroids = np.asarray([r[col] for r in head], dtype=np.float64)
+    dim = centroids.shape[1]
+
+    for _ in range(iters):
+        ref = ray.put(centroids)
+
+        def partial(b: pa.Table) -> pa.Table:
+            c = ray.get(ref)
+            m = _stack(b)
+            d = (c * c).sum(axis=1)[None, :] - 2.0 * (m @ c.T)
+            assign = d.argmin(axis=1)
+            sums = np.zeros((k, dim), np.float64)
+            np.add.at(sums, assign, m)
+            counts = np.bincount(assign, minlength=k).astype(np.int64)
+            # true squared distance needs +‖x‖² (constant per row for argmin)
+            sq = d[np.arange(len(assign)), assign] + (m * m).sum(axis=1)
+            return pa.table(
+                {
+                    "sums": pa.array([sums.tobytes()], pa.binary()),
+                    "counts": pa.array([counts.tobytes()], pa.binary()),
+                    "inertia": pa.array([float(sq.sum())], pa.float64()),
+                }
+            )
+
+        sums = np.zeros((k, dim), np.float64)
+        counts = np.zeros(k, np.int64)
+        inertia = 0.0
+        for b in ds.map_batches(
+            partial, batch_format="pyarrow", batch_size=None
+        ).iter_batches(batch_format="pyarrow"):
+            for i in range(b.num_rows):
+                sums += np.frombuffer(b.column("sums")[i].as_py(), np.float64).reshape(k, dim)
+                counts += np.frombuffer(b.column("counts")[i].as_py(), np.int64)
+            inertia += float(pc.sum(b.column("inertia")).as_py() or 0.0)
+        nonzero = counts > 0
+        centroids = np.where(
+            nonzero[:, None], sums / np.maximum(counts, 1)[:, None], centroids
+        )
+    return centroids, inertia
+
+
+def kmeans_assign(ds, centroids, *, col: str = "embedding",
+                  out: str = "cluster"):
+    """Add an ``out`` column = nearest (Euclidean) centroid index —
+    shuffleless map, centroid matrix in the task closure."""
+    c = np.asarray(centroids, dtype=np.float64)
+
+    def assign(b: pa.Table) -> pa.Table:
+        m = _stack(b)
+        d = (c * c).sum(axis=1)[None, :] - 2.0 * (m @ c.T)
+        return b.append_column(out, pa.array(d.argmin(axis=1).astype(np.int32)))
+
+    return ds.map_batches(assign, batch_format="pyarrow", batch_size=None)

@@ -1631,3 +1631,40 @@ def test_grouped_trailing_agg_tie_semantics(ray_session):
     ).fetchdf()
     assert got["w_count"].astype(int).tolist() == exp["w_count"].astype(int).tolist()
     assert got["w_sum"].tolist() == exp["w_sum"].tolist()
+
+
+def test_kmeans_recovers_blobs(ray_session):
+    """Lloyd's k-means on 4 well-separated blobs: every blob maps to its
+    own centroid, inertia shrinks vs the init, assignment is pure."""
+    import ray
+
+    from pyjelly_ray.stages.ann import kmeans_assign, kmeans_fit
+
+    rng = np.random.default_rng(2)
+    centers = np.array([[0, 0, 0], [10, 0, 0], [0, 10, 0], [0, 0, 10]], float)
+    pts, labels = [], []
+    for i, c in enumerate(centers):
+        pts.append(c + rng.normal(0, 0.3, (200, 3)))
+        labels += [i] * 200
+    m = np.vstack(pts)
+    order = rng.permutation(len(m))
+    m, labels = m[order], np.asarray(labels)[order]
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(m)), pa.int64()),
+            "embedding": pa.array([row.tolist() for row in m], pa.list_(pa.float32())),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(5)
+    centroids, inertia = kmeans_fit(ds, k=4, iters=8)
+    got = kmeans_assign(ds, centroids).to_pandas().sort_values("vec_id")
+    # purity: each true blob lands in exactly one k-means cluster
+    clusters = got["cluster"].to_numpy()
+    ids = got.sort_values("vec_id")["vec_id"].to_numpy()
+    true = labels[ids]  # labels aligned to vec_id order
+    for blob in range(4):
+        vals = np.unique(clusters[true == blob])
+        assert len(vals) == 1, (blob, vals)
+    # distinct clusters per blob
+    assert len({clusters[true == b][0] for b in range(4)}) == 4
+    assert inertia < 1000.0  # ~800 pts * 3dim * 0.09 var ≈ 216 ≪ separation scale
