@@ -56,6 +56,13 @@ BENCH_QUERIES = [
     "q_embedding_topk_multi",
     "q_embedding_sim_range",
     "q_kg_jelly_roundtrip",
+    # late-round operators (informational walls; headline metric is KG e2e)
+    "q_priority_distinct_custs",
+    "q_big_quantity_orders",
+    "q_supplier_part_pagerank",
+    "q_events_trailing_week",
+    "q_doc_tfidf_top_terms",
+    "q_user_event_sequence",
 ]
 
 

@@ -249,9 +249,17 @@ def embedding_dup_pairs_exact(
 # ------------------------------- IVF ----------------------------------------
 
 
-def ivf_centroids(ds, n_centroids: int = 16, *, col: str = "embedding") -> np.ndarray:
-    """Deterministic coarse centroids: first n rows by id (no k-means pass;
-    good enough for bucketing, replaceable by minibatch k-means later)."""
+def ivf_centroids(ds, n_centroids: int = 16, *, col: str = "embedding",
+                  method: str = "head", kmeans_iters: int = 5) -> np.ndarray:
+    """Deterministic coarse centroids.
+
+    ``method="head"``: first n rows by id — zero extra passes, good enough
+    for bucketing.  ``method="kmeans"``: Lloyd's refinement
+    (:func:`kmeans_fit`) — tighter buckets, so fewer probes reach the same
+    recall; costs ``kmeans_iters`` extra passes over the embeddings."""
+    if method == "kmeans":
+        c, _ = kmeans_fit(ds, col=col, k=n_centroids, iters=kmeans_iters)
+        return _normalize(c)
     head = ds.limit(n_centroids).take_all()
     m = np.asarray([r[col] for r in head], dtype=np.float64)
     return _normalize(m)
