@@ -214,3 +214,20 @@ def test_grouped_map_matches_ray_groupby(ray_session):
         for k, v in df.groupby("sk", dropna=False)["v"].sum().items()
     }
     assert got == want
+
+
+def test_num_partitions_env_knob(ray_session, monkeypatch):
+    """GRAFT_NUM_PARTITIONS drives every wide operator's exchange fan-out:
+    the reduced output has exactly that many blocks."""
+    import pyarrow as pa
+    import ray
+
+    from pyjelly_ray.stages.agg import grouped_agg
+
+    monkeypatch.setenv("GRAFT_NUM_PARTITIONS", "3")
+    t = pa.table({"k": list(range(100)) * 5, "v": [1.0] * 500})
+    out = grouped_agg(
+        ray.data.from_arrow(t).repartition(4), "k", [("s", "v", "sum")]
+    ).materialize()
+    assert out.num_blocks() == 3
+    assert out.count() == 100
