@@ -362,3 +362,43 @@ def test_grouped_subject_graphs_interop(pyjelly_reference):
 
     frames = list(iter_frames(data))
     assert [len([e for e in ev if e[0] == "triple"]) for ev, _ in frames] == [3, 4, 5, 6]
+
+
+def test_grouped_named_graphs_quads_interop(pyjelly_reference):
+    """encode_grouped over QUAD groups (logical NAMED_GRAPHS, physical
+    QUADS): one dataset container per frame when the reference parses it."""
+    import io
+    import sys
+
+    sys.path.insert(0, "/root/reference")
+    from pyjelly.integrations.generic.parse import parse_jelly_grouped
+
+    from pyjelly_ray.jelly import encode_grouped
+    from pyjelly_ray.jelly.options import (
+        LOGICAL_NAMED_GRAPHS,
+        PHYSICAL_QUADS,
+    )
+
+    groups = [
+        [
+            (
+                T.iri(f"{EX}s{g}.{i}"),
+                T.iri(f"{EX}p{i}"),
+                T.literal(f"v{g}.{i}"),
+                T.iri(f"{EX}graph{g}"),
+            )
+            for i in range(2 + g)
+        ]
+        for g in range(3)
+    ]
+    opts = StreamOptions(
+        physical_type=PHYSICAL_QUADS, logical_type=LOGICAL_NAMED_GRAPHS
+    )
+    data = b"".join(encode_grouped(iter(map(iter, groups)), opts))
+
+    sinks = list(parse_jelly_grouped(io.BytesIO(data)))
+    assert len(sinks) == 3
+    for g, sink in enumerate(sinks):
+        got = list(sink)
+        assert len(got) == 2 + g
+        assert all(repr(q.g) == f"IRI({EX}graph{g})" for q in got)
