@@ -70,3 +70,16 @@ def test_cli_gen_corpus(tmp_path, capsys):
     t = pq.read_table(p)
     assert t.num_rows == 50
     assert t.schema.names == ["repo", "path", "commit", "lang", "content"]
+
+
+def test_cli_pagerank(tmp_path, capsys, ray_session):
+    import json
+
+    p = str(tmp_path / "prc.parquet")
+    assert cli_main(["gen-corpus", "--out", p, "--files", "120"]) == 0
+    capsys.readouterr()
+    assert cli_main(["pagerank", "--corpus", p, "--iters", "3", "--top", "5"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(out["top"]) == 5
+    ranks = [r["rank"] for r in out["top"]]
+    assert ranks == sorted(ranks, reverse=True) and ranks[0] > 0
