@@ -3062,3 +3062,44 @@ def q_embedding_kmeans_sizes(sf_dir: str):
 
 
 QUERIES["q_embedding_kmeans_sizes"] = q_embedding_kmeans_sizes
+
+
+def q_supplier_part_pagerank_weighted(sf_dir: str):
+    """Weighted PageRank: edge weight = lineitem count per (supplier, part)
+    pair, contributions ∝ rank·w/Σw(out)."""
+    from ..stages.graph import pagerank
+
+    li = _read(sf_dir, "lineitem", ["l_suppkey", "l_partkey"])
+
+    def to_edges(b: pa.Table) -> pa.Table:
+        s = pc.binary_join_element_wise(
+            pa.array(["s"] * b.num_rows), pc.cast(b.column("l_suppkey"), pa.string()), ""
+        )
+        d = pc.binary_join_element_wise(
+            pa.array(["p"] * b.num_rows), pc.cast(b.column("l_partkey"), pa.string()), ""
+        )
+        return pa.table({"src": s, "dst": d})
+
+    edges = li.map_batches(to_edges, batch_format="pyarrow")
+    weighted = grouped_agg(
+        edges, ["src", "dst"], [("w", "src", "count")], sum_as_float=False
+    )
+    return pagerank(weighted, weight="w", damping=0.85, iters=4,
+                    num_partitions=8, round_to=8)
+
+
+QUERIES["q_supplier_part_pagerank_weighted"] = q_supplier_part_pagerank_weighted
+
+
+def _pagerank_weighted_sql() -> str:
+    from ..stages.graph import pagerank_sql
+
+    edges = (
+        "SELECT 's' || CAST(l_suppkey AS VARCHAR) AS src, "
+        "'p' || CAST(l_partkey AS VARCHAR) AS dst, count(*) AS w "
+        "FROM lineitem GROUP BY 1, 2"
+    )
+    return pagerank_sql(edges, weight="w", damping=0.85, iters=4, round_to=8)
+
+
+ORACLE_SQL["q_supplier_part_pagerank_weighted"] = _pagerank_weighted_sql()

@@ -41,9 +41,17 @@ def distinct_nodes(edges, src: str = "src", dst: str = "dst",
 
 
 def pagerank(edges, *, src: str = "src", dst: str = "dst",
+             weight: str | None = None, personalization=None,
              damping: float = 0.85, iters: int = 10,
              num_partitions: int | None = None, round_to: int | None = 8):
     """Distributed PageRank over an edge Dataset (simplified dangling model).
+
+    ``weight``: optional edge-weight column — contributions become
+    ``rank · w / Σw(out)`` (weighted out-degree).  ``personalization``: an
+    iterable of seed node ids — the restart mass ``(1−d)`` concentrates on
+    the seeds (1/|seeds| each) instead of spreading uniformly, and ranks
+    initialize from the same vector (personalized PageRank; nodes outside
+    the seed set get rank only through links).
 
     TWO keyed exchanges per iteration, both fused:
     1. ``ranks ⋈ edges`` on ``src`` (pair co-partition); the join reduce
@@ -69,10 +77,18 @@ def pagerank(edges, *, src: str = "src", dst: str = "dst",
                            num_partitions=num_partitions)
     nodes = nodes.materialize()
     n_nodes = nodes.count()
+    seeds = None
+    if personalization is not None:
+        seeds = pa.array(list(personalization))
+        n_seeds = len(seeds)
     base = (1.0 - damping) / n_nodes
 
-    outdeg = grouped_agg(edges, [src], [("outdeg", src, "count")],
-                         num_partitions=num_partitions, sum_as_float=False)
+    if weight is None:
+        outdeg = grouped_agg(edges, [src], [("outdeg", src, "count")],
+                             num_partitions=num_partitions, sum_as_float=False)
+    else:
+        outdeg = grouped_agg(edges, [src], [("outdeg", weight, "sum")],
+                             num_partitions=num_partitions)
     # (src, dst, outdeg) — joined once, reused every iteration
     edges_deg = hash_join(
         edges, outdeg, left_key=src, num_partitions=num_partitions
@@ -89,17 +105,31 @@ def pagerank(edges, *, src: str = "src", dst: str = "dst",
         bucket_nodes, batch_format="pyarrow", batch_size=None
     ).materialize()
 
-    init = 1.0 / n_nodes
-    ranks = nodes.map_batches(
-        lambda b: b.append_column(
-            "rank", pa.array([init] * b.num_rows, pa.float64())
-        ),
-        batch_format="pyarrow",
-    ).materialize()
+    if seeds is None:
+        init = 1.0 / n_nodes
+        ranks = nodes.map_batches(
+            lambda b: b.append_column(
+                "rank", pa.array([init] * b.num_rows, pa.float64())
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+    else:
+        seed_init = 1.0 / n_seeds
+
+        def init_personal(b: pa.Table) -> pa.Table:
+            is_seed = pc.is_in(b.column("node"), value_set=seeds)
+            r = pc.if_else(is_seed, pa.scalar(seed_init), pa.scalar(0.0))
+            return b.append_column("rank", pc.cast(r, pa.float64()))
+
+        ranks = nodes.map_batches(
+            init_personal, batch_format="pyarrow"
+        ).materialize()
 
     def post_contrib(t: pa.Table) -> pa.Table:
         # runs inside the src-keyed join reduce: partial per-dst sums
         c = pc.divide(t.column("rank"), pc.cast(t.column("outdeg"), pa.float64()))
+        if weight is not None:
+            c = pc.multiply(c, pc.cast(t.column(weight), pa.float64()))
         part = (
             pa.table({dst: t.column(dst), "c": c})
             .group_by(dst)
@@ -127,7 +157,18 @@ def pagerank(edges, *, src: str = "src", dst: str = "dst",
         else:  # all-empty contribution partition (schema-less block)
             contrib = pa.array([0.0] * np_.num_rows, pa.float64())
             node_col = np_.column("node")
-        rank = pc.add(pa.scalar(base), pc.multiply(pa.scalar(damping), contrib))
+        if seeds is None:
+            base_col = pa.scalar(base)
+        else:
+            base_col = pc.cast(
+                pc.if_else(
+                    pc.is_in(node_col, value_set=seeds),
+                    pa.scalar((1.0 - damping) / n_seeds),
+                    pa.scalar(0.0),
+                ),
+                pa.float64(),
+            )
+        rank = pc.add(base_col, pc.multiply(pa.scalar(damping), contrib))
         return pa.table({"node": node_col, "rank": rank})
 
     for _ in range(iters):
@@ -158,17 +199,20 @@ def pagerank(edges, *, src: str = "src", dst: str = "dst",
 
 
 def pagerank_sql(edges_sql: str, *, src: str = "src", dst: str = "dst",
+                 weight: str | None = None,
                  damping: float = 0.85, iters: int = 10,
                  round_to: int = 8) -> str:
     """The DuckDB oracle: the identical simplified PageRank as ``iters``
     UNROLLED chained CTEs (recursive CTEs disallow the needed aggregate).
-    ``edges_sql`` is a SELECT producing (src, dst)."""
+    ``edges_sql`` is a SELECT producing (src, dst[, weight])."""
+    odeg = f"sum({weight})" if weight else "count(*)"
+    wmul = f" * e.{weight}" if weight else ""
     parts = [
         f"WITH edges AS ({edges_sql})",
         f"nodes AS (SELECT {src} AS node FROM edges "
         f"UNION SELECT {dst} AS node FROM edges)",
         "n AS (SELECT count(*) AS cnt FROM nodes)",
-        f"outdeg AS (SELECT {src} AS node, count(*) AS odeg "
+        f"outdeg AS (SELECT {src} AS node, {odeg} AS odeg "
         f"FROM edges GROUP BY 1)",
         "pr0 AS (SELECT node, 1.0 / (SELECT cnt FROM n) AS rank FROM nodes)",
     ]
@@ -177,7 +221,7 @@ def pagerank_sql(edges_sql: str, *, src: str = "src", dst: str = "dst",
             f"pr{i} AS (SELECT nodes.node, "
             f"(1 - {damping}) / (SELECT cnt FROM n) + {damping} * "
             f"COALESCE(s.c, 0) AS rank FROM nodes LEFT JOIN ("
-            f"SELECT e.{dst} AS node, sum(p.rank / outdeg.odeg) AS c "
+            f"SELECT e.{dst} AS node, sum(p.rank{wmul} / outdeg.odeg) AS c "
             f"FROM edges e "
             f"JOIN pr{i - 1} p ON p.node = e.{src} "
             f"JOIN outdeg ON outdeg.node = e.{src} "

@@ -1668,3 +1668,42 @@ def test_kmeans_recovers_blobs(ray_session):
     # distinct clusters per blob
     assert len({clusters[true == b][0] for b in range(4)}) == 4
     assert inertia < 1000.0  # ~800 pts * 3dim * 0.09 var ≈ 216 ≪ separation scale
+
+
+def test_personalized_pagerank_matches_numpy(ray_session):
+    import ray
+
+    from pyjelly_ray.stages.graph import pagerank
+
+    rng = np.random.default_rng(4)
+    pairs = sorted({(int(a), int(b)) for a, b in zip(rng.integers(0, 30, 120),
+                                                     rng.integers(0, 30, 120)) if a != b})
+    t = pa.table(
+        {
+            "src": pa.array([f"n{a}" for a, _ in pairs]),
+            "dst": pa.array([f"n{b}" for _, b in pairs]),
+        }
+    )
+    seeds = ["n0", "n1", "n2"]
+    got = (
+        pagerank(ray.data.from_arrow(t).repartition(3), iters=6,
+                 personalization=seeds, num_partitions=4, round_to=None)
+        .to_pandas().set_index("node")["rank"]
+    )
+    nodes = sorted({a for a, _ in pairs} | {b for _, b in pairs})
+    idx = {f"n{v}": i for i, v in enumerate(nodes)}
+    N = len(nodes)
+    outdeg = np.zeros(N)
+    for a, _ in pairs:
+        outdeg[idx[f"n{a}"]] += 1
+    p = np.zeros(N)
+    for sd in seeds:
+        p[idx[sd]] = 1.0 / len(seeds)
+    r = p.copy()
+    for _ in range(6):
+        contrib = np.zeros(N)
+        for a, b in pairs:
+            contrib[idx[f"n{b}"]] += r[idx[f"n{a}"]] / outdeg[idx[f"n{a}"]]
+        r = 0.15 * p + 0.85 * contrib
+    for name, i in idx.items():
+        assert abs(got[name] - r[i]) < 1e-9, name
