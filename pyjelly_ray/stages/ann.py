@@ -571,7 +571,8 @@ def kmeans_fit(ds, *, col: str = "embedding", k: int = 8, iters: int = 10):
     import ray
 
     head = ds.limit(k).take_all()
-    centroids = np.asarray([r[col] for r in head], dtype=np.float64)
+    k = min(k, len(head))  # fewer rows than requested clusters
+    centroids = np.asarray([r[col] for r in head[:k]], dtype=np.float64)
     dim = centroids.shape[1]
 
     for _ in range(iters):

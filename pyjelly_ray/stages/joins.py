@@ -544,11 +544,19 @@ def hash_join_skew(left, right, *, left_key: str,
         from .sketch import approx_heavy_hitters
 
         hot = approx_heavy_hitters(left, left_key, k=detect_top)
-        hot_keys = pa.concat_tables(
-            hot.iter_batches(batch_format="pyarrow")
-        ).column(left_key).combine_chunks()
+        batches = list(hot.iter_batches(batch_format="pyarrow"))
+        hot_keys = (
+            pa.concat_tables(batches).column(left_key).combine_chunks()
+            if batches
+            else None
+        )
     else:
-        hot_keys = pa.array(hot_keys)
+        vals = list(hot_keys)
+        hot_keys = pa.array(vals) if vals else None
+    if hot_keys is None or len(hot_keys) == 0:
+        # nothing hot (or empty left side): plain co-partitioned join
+        return hash_join(left, right, left_key=left_key, right_key=right_key,
+                         how=how, num_partitions=num_partitions)
 
     def split(ds, key, keep_hot: bool):
         def f(b: pa.Table) -> pa.Table:
