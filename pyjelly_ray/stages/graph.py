@@ -68,11 +68,20 @@ def pagerank(edges, *, src: str = "src", dst: str = "dst",
 
     Returns a Dataset ``(node, rank)``; ranks rounded to ``round_to``.
     """
+    import ray
+
     from ..state.exchange import default_partitions, hash_exchange_pair
     from .agg import bucket_codes, grouped_agg, round_like_duckdb
     from .joins import hash_join
 
     num_partitions = num_partitions or default_partitions()
+    schema = edges.schema()
+    schema = getattr(schema, "base_schema", schema)  # Ray wraps pyarrow.Schema
+    if schema is None or edges.count() == 0:  # no edges → no ranked nodes
+        typ = pa.string() if schema is None else schema.field(src).type
+        return ray.data.from_arrow(
+            pa.table({"node": pa.array([], typ), "rank": pa.array([], pa.float64())})
+        )
     nodes = distinct_nodes(edges, src, dst, "node",
                            num_partitions=num_partitions)
     nodes = nodes.materialize()

@@ -1707,3 +1707,15 @@ def test_personalized_pagerank_matches_numpy(ray_session):
         r = 0.15 * p + 0.85 * contrib
     for name, i in idx.items():
         assert abs(got[name] - r[i]) < 1e-9, name
+
+
+def test_graph_ops_empty_edges(ray_session):
+    import ray
+
+    from pyjelly_ray.stages.graph import connected_components, pagerank
+
+    empty = ray.data.from_arrow(
+        pa.table({"src": pa.array([], pa.string()), "dst": pa.array([], pa.string())})
+    )
+    assert pagerank(empty, num_partitions=2).count() == 0
+    assert connected_components(empty, num_partitions=2).count() == 0
