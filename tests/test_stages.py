@@ -1719,3 +1719,33 @@ def test_graph_ops_empty_edges(ray_session):
     )
     assert pagerank(empty, num_partitions=2).count() == 0
     assert connected_components(empty, num_partitions=2).count() == 0
+
+
+def test_ivf_kmeans_centroids_recall(ray_session):
+    """kmeans-refined IVF buckets: exact at full probes (bucketing is a
+    partition, not a filter) and reasonable recall at partial probes.
+    (Per-query recall is NOT monotonic in centroid quality, so no
+    head-vs-kmeans dominance is asserted.)"""
+    import ray
+
+    from pyjelly_ray.stages.ann import (
+        cosine_topk,
+        ivf_assign,
+        ivf_centroids,
+        ivf_topk,
+    )
+
+    ds = ray.data.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = np.asarray(ds.take(1)[0]["embedding"], dtype=np.float64)
+    exact = {r["vec_id"] for r in cosine_topk(ds, q, k=10).take_all()}
+
+    c = ivf_centroids(ds, 8, method="kmeans")
+    assigned = ivf_assign(ds, c)
+    full = {
+        r["vec_id"] for r in ivf_topk(assigned, c, q, k=10, nprobe=8).take_all()
+    }
+    assert full == exact
+    partial = {
+        r["vec_id"] for r in ivf_topk(assigned, c, q, k=10, nprobe=2).take_all()
+    }
+    assert len(partial & exact) / len(exact) >= 0.5
