@@ -3103,3 +3103,78 @@ def _pagerank_weighted_sql() -> str:
 
 
 ORACLE_SQL["q_supplier_part_pagerank_weighted"] = _pagerank_weighted_sql()
+
+
+def q_late_supplier_blame(sf_dir: str):
+    """TPC-H Q21 shape (multi-EXISTS): orders with >1 distinct supplier
+    where EXACTLY ONE supplier shipped late (>60 days after the order
+    date); count blamed orders per supplier.  The whole per-order analysis
+    (distinct-supplier counts, late set, blamed pick) is key-local on the
+    join key, so it runs fused inside the hash-join reduce — one exchange
+    for the heavy part, then a tiny per-supplier aggregate."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_shipdate"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    sixty_days_us = 60 * 86_400 * 1_000_000
+
+    def per_order(t: pa.Table) -> pa.Table:
+        ship = pc.cast(t.column("l_shipdate"), pa.int64())
+        cutoff = pc.add(
+            pc.cast(t.column("o_orderdate"), pa.int64()),
+            pa.scalar(sixty_days_us, pa.int64()),
+        )
+        late_mask = pc.greater(ship, cutoff)
+        base = pa.table(
+            {"l_orderkey": t.column("l_orderkey"), "l_suppkey": t.column("l_suppkey")}
+        )
+        n_supp = base.group_by("l_orderkey").aggregate(
+            [("l_suppkey", "count_distinct")]
+        ).rename_columns(["l_orderkey", "n_supp"])
+        late = base.filter(late_mask)
+        late_stats = late.group_by("l_orderkey").aggregate(
+            [("l_suppkey", "count_distinct"), ("l_suppkey", "min")]
+        ).rename_columns(["l_orderkey", "n_late", "supp"])
+        j = n_supp.join(late_stats, keys=["l_orderkey"], join_type="inner")
+        j = j.filter(
+            pc.and_(
+                pc.greater(j.column("n_supp"), 1), pc.equal(j.column("n_late"), 1)
+            )
+        )
+        return pa.table({"supp": j.column("supp")})
+
+    blamed = hash_join(
+        li, orders, left_key="l_orderkey", right_key="o_orderkey", post=per_order
+    )
+    counts = grouped_agg(blamed, ["supp"], [("numwait", "supp", "count")])
+    supplier = _read(sf_dir, "supplier", ["s_suppkey", "s_name"])
+    named = broadcast_join(
+        counts, supplier, left_key="supp", right_key="s_suppkey", columns=["s_name"]
+    ).map_batches(
+        lambda b: b.select(["s_name", "numwait"]), batch_format="pyarrow"
+    )
+    return global_topk(named, ["numwait", "s_name"], 10, descending=[True, False])
+
+
+QUERIES["q_late_supplier_blame"] = q_late_supplier_blame
+ORACLE_SQL["q_late_supplier_blame"] = """
+    WITH per_order AS (
+        SELECT l_orderkey,
+               count(DISTINCT l_suppkey) AS n_supp,
+               count(DISTINCT CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                                   THEN l_suppkey END) AS n_late
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        GROUP BY l_orderkey
+    ),
+    blamed AS (
+        SELECT l.l_orderkey, min(l.l_suppkey) AS supp
+        FROM lineitem l JOIN orders o ON o_orderkey = l.l_orderkey
+        JOIN per_order p ON p.l_orderkey = l.l_orderkey
+        WHERE p.n_supp > 1 AND p.n_late = 1
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        GROUP BY l.l_orderkey
+    )
+    SELECT s_name, count(*) AS numwait
+    FROM blamed JOIN supplier ON s_suppkey = supp
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 10
+"""
