@@ -3178,3 +3178,80 @@ ORACLE_SQL["q_late_supplier_blame"] = """
     ORDER BY numwait DESC, s_name
     LIMIT 10
 """
+
+
+def q_events_dow_hour_heatmap(sf_dir: str):
+    """Temporal-field extraction: event counts + mean value by (ISO day of
+    week, hour) — the activity-heatmap rollup."""
+    ev = _read(sf_dir, "events", ["ts", "value"])
+
+    def fields(b: pa.Table) -> pa.Table:
+        dow = pc.add(pc.day_of_week(b.column("ts")), pa.scalar(1, pa.int64()))
+        return pa.table(
+            {
+                "dow": pc.cast(dow, pa.int64()),
+                "hour": pc.cast(pc.hour(b.column("ts")), pa.int64()),
+                "value": b.column("value"),
+            }
+        )
+
+    return grouped_agg(
+        ev.map_batches(fields, batch_format="pyarrow"),
+        ["dow", "hour"],
+        [("n", "value", "count"), ("sum_value", "value", "sum")],
+        round_to=2,
+    )
+
+
+def q_order_priority_share(sf_dir: str):
+    """Percent-of-total (ratio-to-report): each priority's share of global
+    order revenue — one grouped aggregate + a driver-side scalar."""
+    from ..stages.agg import round_like_duckdb
+
+    orders = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+    per = grouped_agg(
+        orders, ["o_orderpriority"], [("rev", "o_totalprice", "sum")]
+    ).materialize()
+    total = sum(r["rev"] for r in per.take_all())
+
+    def share(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderpriority": b.column("o_orderpriority"),
+                "rev": round_like_duckdb(b.column("rev"), 2),
+                "share": round_like_duckdb(
+                    pc.divide(b.column("rev"), pa.scalar(total)), 6
+                ),
+            }
+        )
+
+    return per.map_batches(share, batch_format="pyarrow")
+
+
+QUERIES.update(
+    {
+        "q_events_dow_hour_heatmap": q_events_dow_hour_heatmap,
+        "q_order_priority_share": q_order_priority_share,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "q_events_dow_hour_heatmap": """
+            SELECT CAST(isodow(ts) AS BIGINT) AS dow,
+                   CAST(hour(ts) AS BIGINT) AS hour,
+                   count(*) AS n,
+                   round(sum(value), 2) AS sum_value
+            FROM events
+            GROUP BY dow, hour
+        """,
+        "q_order_priority_share": """
+            SELECT o_orderpriority,
+                   round(sum(o_totalprice), 2) AS rev,
+                   round(sum(o_totalprice)
+                         / (SELECT sum(o_totalprice) FROM orders), 6) AS share
+            FROM orders
+            GROUP BY o_orderpriority
+        """,
+    }
+)
