@@ -1749,3 +1749,81 @@ def test_ivf_kmeans_centroids_recall(ray_session):
         r["vec_id"] for r in ivf_topk(assigned, c, q, k=10, nprobe=2).take_all()
     }
     assert len(partial & exact) / len(exact) >= 0.5
+
+
+def test_asof_join_forward_vs_brute_force(ray_session):
+    import pandas as pd
+    import ray
+
+    from pyjelly_ray.stages.joins import asof_join_forward
+
+    rng = np.random.default_rng(21)
+    nl, nr = 400, 300
+    lt = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 8, nl)).cast(pa.int64()),
+            "ts": pa.array(
+                np.datetime64("2024-01-01", "us")
+                + rng.integers(0, 10**9, nl).astype("timedelta64[us]")
+            ),
+            "lid": pa.array(np.arange(nl), pa.int64()),
+        }
+    )
+    rt = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 8, nr)).cast(pa.int64()),
+            "ts": pa.array(
+                np.datetime64("2024-01-01", "us")
+                + rng.integers(0, 10**9, nr).astype("timedelta64[us]")
+            ),
+            "rv": pa.array(rng.integers(0, 10**6, nr), pa.int64()),
+        }
+    )
+    got = (
+        asof_join_forward(
+            ray.data.from_arrow(lt).repartition(4),
+            ray.data.from_arrow(rt).repartition(3),
+            left_key="k", right_key="k", left_ts="ts", right_ts="ts",
+            right_value="rv", out_value="rv",
+            left_cols={"k": pa.int64(), "ts": pa.timestamp("us"),
+                       "lid": pa.int64()},
+        )
+        .to_pandas()
+        .set_index("lid")["rv"]
+    )
+    ldf, rdf = lt.to_pandas(), rt.to_pandas()
+    for _, row in ldf.iterrows():
+        cand = rdf[(rdf.k == row.k) & (rdf.ts >= row.ts)]
+        if len(cand):
+            first_ts = cand.ts.min()
+            expect = cand[cand.ts == first_ts].rv.min()
+            assert got[row.lid] == expect, row.lid
+        else:
+            assert pd.isna(got[row.lid]), row.lid
+
+
+def test_grouped_collect_as_list_vs_pandas(ray_session):
+    import ray
+
+    from pyjelly_ray.stages.agg import grouped_collect
+
+    rng = np.random.default_rng(6)
+    n = 2000
+    t = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 40, n)).cast(pa.int64()),
+            "o": pa.array(rng.permutation(n), pa.int64()),
+            "v": pa.array(rng.integers(0, 100, n), pa.int64()),
+        }
+    )
+    got = (
+        grouped_collect(
+            ray.data.from_arrow(t).repartition(5), "k", "v",
+            order_by="o", as_list=True, num_partitions=4,
+        )
+        .to_pandas()
+        .set_index("k")["collected"]
+    )
+    df = t.to_pandas().sort_values(["k", "o"])
+    for k, grp in df.groupby("k"):
+        assert list(got[k]) == grp["v"].tolist(), k
