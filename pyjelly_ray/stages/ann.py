@@ -596,12 +596,33 @@ def kmeans_fit(ds, *, col: str = "embedding", k: int = 8, iters: int = 10):
                 }
             )
 
+        def merge_rows(b: pa.Table) -> pa.Table:
+            # tree pre-reduce: collapse many per-block partials into one row
+            # so the driver reads O(partitions), not O(blocks), per round
+            ms = np.zeros((k, dim), np.float64)
+            mc = np.zeros(k, np.int64)
+            for i in range(b.num_rows):
+                ms += np.frombuffer(b.column("sums")[i].as_py(), np.float64).reshape(k, dim)
+                mc += np.frombuffer(b.column("counts")[i].as_py(), np.int64)
+            return pa.table(
+                {
+                    "sums": pa.array([ms.tobytes()], pa.binary()),
+                    "counts": pa.array([mc.tobytes()], pa.binary()),
+                    "inertia": pa.array(
+                        [float(pc.sum(b.column("inertia")).as_py() or 0.0)],
+                        pa.float64(),
+                    ),
+                }
+            )
+
         sums = np.zeros((k, dim), np.float64)
         counts = np.zeros(k, np.int64)
         inertia = 0.0
-        for b in ds.map_batches(
-            partial, batch_format="pyarrow", batch_size=None
-        ).iter_batches(batch_format="pyarrow"):
+        partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        reduced = partials.repartition(8).map_batches(
+            merge_rows, batch_format="pyarrow", batch_size=None
+        )
+        for b in reduced.iter_batches(batch_format="pyarrow"):
             for i in range(b.num_rows):
                 sums += np.frombuffer(b.column("sums")[i].as_py(), np.float64).reshape(k, dim)
                 counts += np.frombuffer(b.column("counts")[i].as_py(), np.int64)
