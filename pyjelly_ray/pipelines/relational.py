@@ -3255,3 +3255,82 @@ ORACLE_SQL.update(
         """,
     }
 )
+
+
+def q_doc_merge_upsert(sf_dir: str):
+    """CDC MERGE: apply a deterministic change set (updates, deletes,
+    inserts; conflicting update+delete resolved by sequence) onto the
+    documents table — one keyed exchange, last-write-wins."""
+    from ..stages.dedup import merge_upsert
+
+    base = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def make_changes(b: pa.Table) -> pa.Table:
+        doc = b.column("doc_id")
+        parts = []
+        upd = b.filter(pc.equal(pc.subtract(doc, pc.multiply(pc.divide(doc, 7), 7)), 0))
+        parts.append(
+            pa.table(
+                {
+                    "doc_id": upd.column("doc_id"),
+                    "lang": upd.column("lang"),
+                    "n_chars": pc.add(upd.column("n_chars"), pa.scalar(1000, pa.int64())),
+                    "op": pa.array(["update"] * upd.num_rows),
+                    "seq": pa.array([1] * upd.num_rows, pa.int64()),
+                }
+            )
+        )
+        dele = b.filter(pc.equal(pc.subtract(doc, pc.multiply(pc.divide(doc, 13), 13)), 0))
+        parts.append(
+            pa.table(
+                {
+                    "doc_id": dele.column("doc_id"),
+                    "lang": dele.column("lang"),
+                    "n_chars": dele.column("n_chars"),
+                    "op": pa.array(["delete"] * dele.num_rows),
+                    "seq": pa.array([2] * dele.num_rows, pa.int64()),
+                }
+            )
+        )
+        ins = b.filter(pc.equal(pc.subtract(doc, pc.multiply(pc.divide(doc, 17), 17)), 0))
+        parts.append(
+            pa.table(
+                {
+                    "doc_id": pc.add(ins.column("doc_id"), pa.scalar(1_000_000, pa.int64())),
+                    "lang": ins.column("lang"),
+                    "n_chars": ins.column("n_chars"),
+                    "op": pa.array(["insert"] * ins.num_rows),
+                    "seq": pa.array([1] * ins.num_rows, pa.int64()),
+                }
+            )
+        )
+        return pa.concat_tables(parts)
+
+    changes = base.map_batches(make_changes, batch_format="pyarrow")
+    return merge_upsert(base, changes, key="doc_id", seq_col="seq")
+
+
+QUERIES["q_doc_merge_upsert"] = q_doc_merge_upsert
+ORACLE_SQL["q_doc_merge_upsert"] = """
+    WITH base AS (SELECT doc_id, lang, n_chars FROM documents),
+    changes AS (
+        SELECT doc_id, lang, n_chars + 1000 AS n_chars, 'update' AS op, 1 AS seq
+        FROM base WHERE doc_id % 7 = 0
+        UNION ALL
+        SELECT doc_id, lang, n_chars, 'delete', 2 FROM base WHERE doc_id % 13 = 0
+        UNION ALL
+        SELECT doc_id + 1000000, lang, n_chars, 'insert', 1
+        FROM base WHERE doc_id % 17 = 0
+    ),
+    last_change AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) AS rn
+            FROM changes
+        ) WHERE rn = 1
+    )
+    SELECT COALESCE(c.doc_id, b.doc_id) AS doc_id,
+           COALESCE(c.lang, b.lang) AS lang,
+           COALESCE(c.n_chars, b.n_chars) AS n_chars
+    FROM base b FULL OUTER JOIN last_change c ON b.doc_id = c.doc_id
+    WHERE COALESCE(c.op, 'keep') != 'delete'
+"""

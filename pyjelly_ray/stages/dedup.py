@@ -151,3 +151,58 @@ def dedup_keep_latest(ds, keys: list[str] | str, order_col: str,
 
     return grouped_topk(ds, keys, order_col, 1, descending=True,
                         tiebreak=tiebreak)
+
+
+def merge_upsert(base, changes, *, key: str, op_col: str = "op",
+                 seq_col: str | None = None, num_partitions: int | None = None):
+    """Apply a CDC change set onto a base table (SQL ``MERGE`` semantics).
+
+    ``changes`` carries the base's columns plus ``op_col`` ∈
+    {"insert", "update", "delete"} (insert/update are treated alike:
+    last write wins) and optionally ``seq_col`` ordering multiple changes
+    per key.  One keyed exchange: both sides union-tagged, each partition
+    sorted once by ``(key, side, seq)`` and cut at run ends — the winner
+    per key is the LAST row (changes sort after base; latest change last),
+    dropped when it is a delete.  Exchange volume = |base| + |changes|
+    rows, exactly once each — the resumable-lakehouse upsert shape.
+    """
+    import numpy as np
+
+    from .agg import _key_run_bounds, grouped_map  # type: ignore
+
+    from ..state.exchange import default_partitions
+
+    num_partitions = num_partitions or default_partitions()
+
+    def tag(side: int):
+        def f(b: pa.Table) -> pa.Table:
+            cols = {c: b.column(c) for c in b.column_names}
+            if op_col not in cols:
+                cols[op_col] = pa.array(["base"] * b.num_rows, pa.string())
+            if seq_col is None and "__seq" not in cols:
+                cols["__seq"] = pa.array(np.zeros(b.num_rows, np.int64))
+            cols["__side"] = pa.array(np.full(b.num_rows, side, np.int64))
+            return pa.table(cols)
+
+        return f
+
+    tagged = base.map_batches(tag(0), batch_format="pyarrow").union(
+        changes.map_batches(tag(1), batch_format="pyarrow")
+    )
+    order = [key, "__side", seq_col or "__seq"]
+
+    def part(t: pa.Table) -> pa.Table:
+        drop = [
+            c for c in ("__side", "__seq", seq_col) if c and c in t.column_names
+        ]
+        if t.num_rows == 0:
+            return t.drop_columns(drop + [op_col]) if op_col in t.column_names else t
+        t = t.sort_by([(c, "ascending") for c in order])
+        bounds = _key_run_bounds(t, [key])
+        last = np.asarray(bounds[1:]) - 1
+        winners = t.take(pa.array(last))
+        keep = pc.invert(pc.equal(winners.column(op_col), "delete"))
+        return winners.filter(keep).drop_columns(drop + [op_col])
+
+    return grouped_map(tagged, key, part, per_group=False,
+                       num_partitions=num_partitions)
