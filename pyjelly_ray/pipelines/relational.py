@@ -3334,3 +3334,49 @@ ORACLE_SQL["q_doc_merge_upsert"] = """
     FROM base b FULL OUTER JOIN last_change c ON b.doc_id = c.doc_id
     WHERE COALESCE(c.op, 'keep') != 'delete'
 """
+
+
+def q_doc_merge_diff(sf_dir: str):
+    """Snapshot diff of the CDC merge: which doc_ids were added, removed
+    or changed by the change set (fused classify inside a FULL OUTER
+    co-partition)."""
+    from ..stages.joins import table_diff
+
+    base = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    merged = q_doc_merge_upsert(sf_dir).map_batches(
+        lambda b: b.select(["doc_id", "n_chars"]), batch_format="pyarrow"
+    )
+    return table_diff(base, merged, key="doc_id", compare_cols=["n_chars"])
+
+
+QUERIES["q_doc_merge_diff"] = q_doc_merge_diff
+ORACLE_SQL["q_doc_merge_diff"] = """
+    WITH base AS (SELECT doc_id, lang, n_chars FROM documents),
+    changes AS (
+        SELECT doc_id, lang, n_chars + 1000 AS n_chars, 'update' AS op, 1 AS seq
+        FROM base WHERE doc_id % 7 = 0
+        UNION ALL
+        SELECT doc_id, lang, n_chars, 'delete', 2 FROM base WHERE doc_id % 13 = 0
+        UNION ALL
+        SELECT doc_id + 1000000, lang, n_chars, 'insert', 1
+        FROM base WHERE doc_id % 17 = 0
+    ),
+    last_change AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) AS rn
+            FROM changes
+        ) WHERE rn = 1
+    ),
+    merged AS (
+        SELECT COALESCE(c.doc_id, b.doc_id) AS doc_id,
+               COALESCE(c.n_chars, b.n_chars) AS n_chars
+        FROM base b FULL OUTER JOIN last_change c ON b.doc_id = c.doc_id
+        WHERE COALESCE(c.op, 'keep') != 'delete'
+    )
+    SELECT COALESCE(b.doc_id, m.doc_id) AS doc_id,
+           CASE WHEN m.doc_id IS NULL THEN 'removed'
+                WHEN b.doc_id IS NULL THEN 'added'
+                ELSE 'changed' END AS change
+    FROM base b FULL OUTER JOIN merged m ON b.doc_id = m.doc_id
+    WHERE m.doc_id IS NULL OR b.doc_id IS NULL OR b.n_chars != m.n_chars
+"""

@@ -576,3 +576,58 @@ def hash_join_skew(left, right, *, left_key: str,
         how=how, num_partitions=num_partitions,
     )
     return hot_joined.union(cold_joined)
+
+
+def table_diff(old, new, *, key: str, compare_cols: list[str],
+               num_partitions: int | None = None):
+    """Snapshot diff: classify every key as added / removed / changed
+    between two table versions (unchanged keys are dropped).
+
+    One co-partitioned FULL OUTER join; presence markers distinguish a
+    missing side from a NULL value, and the comparison + classification
+    run fused in the join reduce — the diff ships |old|+|new| rows once
+    and emits only the changed keys.  The audit primitive for incremental
+    pipeline runs (what did this rebuild actually touch?).
+    """
+    mark_old, mark_new = "__in_old", "__in_new"
+
+    def tag(marker, rename):
+        def f(b: pa.Table) -> pa.Table:
+            cols = {key: b.column(key)}
+            for c in compare_cols:
+                cols[rename(c)] = b.column(c)
+            cols[marker] = pa.array([1] * b.num_rows, pa.int8())
+            return pa.table(cols)
+
+        return f
+
+    o = old.map_batches(tag(mark_old, lambda c: c), batch_format="pyarrow")
+    n = new.map_batches(
+        tag(mark_new, lambda c: f"{c}__new"), batch_format="pyarrow"
+    )
+
+    def classify(t: pa.Table) -> pa.Table:
+        in_old = pc.is_valid(t.column(mark_old))
+        in_new = pc.is_valid(t.column(mark_new))
+        differs = pa.array([False] * t.num_rows)
+        for c in compare_cols:
+            a, b2 = t.column(c), t.column(f"{c}__new")
+            ne = pc.or_kleene(
+                pc.not_equal(a, b2),
+                pc.xor(pc.is_null(a), pc.is_null(b2)),
+            )
+            ne = pc.fill_null(ne, False)
+            differs = pc.or_(differs, ne)
+        change = pc.if_else(
+            pc.invert(in_new),
+            pa.scalar("removed"),
+            pc.if_else(pc.invert(in_old), pa.scalar("added"), pa.scalar("changed")),
+        )
+        keep = pc.or_(pc.or_(pc.invert(in_new), pc.invert(in_old)), differs)
+        out = pa.table({key: t.column(key), "change": change})
+        return out.filter(keep)
+
+    return hash_join(
+        o, n, left_key=key, how="full outer",
+        num_partitions=num_partitions, post=classify,
+    )
