@@ -3275,7 +3275,7 @@ def q_doc_merge_upsert(sf_dir: str):
                     "doc_id": upd.column("doc_id"),
                     "lang": upd.column("lang"),
                     "n_chars": pc.add(upd.column("n_chars"), pa.scalar(1000, pa.int64())),
-                    "op": pa.array(["update"] * upd.num_rows),
+                    "op": pa.array(["update"] * upd.num_rows, pa.string()),
                     "seq": pa.array([1] * upd.num_rows, pa.int64()),
                 }
             )
@@ -3287,7 +3287,7 @@ def q_doc_merge_upsert(sf_dir: str):
                     "doc_id": dele.column("doc_id"),
                     "lang": dele.column("lang"),
                     "n_chars": dele.column("n_chars"),
-                    "op": pa.array(["delete"] * dele.num_rows),
+                    "op": pa.array(["delete"] * dele.num_rows, pa.string()),
                     "seq": pa.array([2] * dele.num_rows, pa.int64()),
                 }
             )
@@ -3299,7 +3299,7 @@ def q_doc_merge_upsert(sf_dir: str):
                     "doc_id": pc.add(ins.column("doc_id"), pa.scalar(1_000_000, pa.int64())),
                     "lang": ins.column("lang"),
                     "n_chars": ins.column("n_chars"),
-                    "op": pa.array(["insert"] * ins.num_rows),
+                    "op": pa.array(["insert"] * ins.num_rows, pa.string()),
                     "seq": pa.array([1] * ins.num_rows, pa.int64()),
                 }
             )

@@ -609,7 +609,7 @@ def table_diff(old, new, *, key: str, compare_cols: list[str],
     def classify(t: pa.Table) -> pa.Table:
         in_old = pc.is_valid(t.column(mark_old))
         in_new = pc.is_valid(t.column(mark_new))
-        differs = pa.array([False] * t.num_rows)
+        differs = pa.array([False] * t.num_rows, pa.bool_())
         for c in compare_cols:
             a, b2 = t.column(c), t.column(f"{c}__new")
             ne = pc.or_kleene(
