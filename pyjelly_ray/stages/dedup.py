@@ -179,8 +179,14 @@ def merge_upsert(base, changes, *, key: str, op_col: str = "op",
             cols = {c: b.column(c) for c in b.column_names}
             if op_col not in cols:
                 cols[op_col] = pa.array(["base"] * b.num_rows, pa.string())
-            if seq_col is None and "__seq" not in cols:
-                cols["__seq"] = pa.array(np.zeros(b.num_rows, np.int64))
+            if seq_col is None:
+                if "__seq" not in cols:
+                    cols["__seq"] = pa.array(np.zeros(b.num_rows, np.int64))
+            elif seq_col not in cols:
+                # base rows carry a NULL seq so every partition can sort,
+                # even one that received no change rows (side already
+                # orders base before changes)
+                cols[seq_col] = pa.nulls(b.num_rows, pa.int64())
             cols["__side"] = pa.array(np.full(b.num_rows, side, np.int64))
             return pa.table(cols)
 

@@ -1827,3 +1827,43 @@ def test_grouped_collect_as_list_vs_pandas(ray_session):
     df = t.to_pandas().sort_values(["k", "o"])
     for k, grp in df.groupby("k"):
         assert list(got[k]) == grp["v"].tolist(), k
+
+
+def test_merge_upsert_tiny_blocks(ray_session):
+    """CDC merge with MANY tiny blocks so some blocks contribute zero
+    changes of a given op — guards the null-typed-empty-array schema class
+    of bug, plus checks full MERGE semantics (update/delete/insert and an
+    update+delete conflict resolved by seq)."""
+    import ray
+
+    from pyjelly_ray.stages.dedup import merge_upsert
+
+    n = 60
+    base = pa.table(
+        {
+            "k": pa.array(list(range(n)), pa.int64()),
+            "v": pa.array([i * 10 for i in range(n)], pa.int64()),
+        }
+    )
+    changes = pa.table(
+        {
+            "k": pa.array([3, 7, 7, 100], pa.int64()),
+            "v": pa.array([333, 777, 0, 555], pa.int64()),
+            "op": pa.array(["update", "update", "delete", "insert"], pa.string()),
+            "seq": pa.array([1, 1, 2, 1], pa.int64()),
+        }
+    )
+    out = (
+        merge_upsert(
+            ray.data.from_arrow(base).repartition(30),
+            ray.data.from_arrow(changes).repartition(4),
+            key="k", seq_col="seq", num_partitions=4,
+        )
+        .to_pandas()
+        .set_index("k")["v"]
+    )
+    assert len(out) == n  # -1 delete (k=7) +1 insert (k=100)
+    assert out[3] == 333
+    assert 7 not in out.index  # delete wins the update+delete conflict
+    assert out[100] == 555
+    assert out[5] == 50  # untouched base row
