@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "q_events_trailing_week",
     "q_doc_tfidf_top_terms",
     "q_user_event_sequence",
+    "q_doc_merge_upsert",
 ]
 
 
