@@ -3380,3 +3380,43 @@ ORACLE_SQL["q_doc_merge_diff"] = """
     FROM base b FULL OUTER JOIN merged m ON b.doc_id = m.doc_id
     WHERE m.doc_id IS NULL OR b.doc_id IS NULL OR b.n_chars != m.n_chars
 """
+
+
+def q_events_importance_sample(sf_dir: str):
+    """Deterministic importance sampling: events kept with probability
+    proportional to value (hash-decided, shuffle-free, audit-reproducible),
+    then summarized per type."""
+    from ..stages.sample import weighted_hash_sample
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    kept = weighted_hash_sample(
+        ev, id_col="event_id", weight_col="value", max_weight=500.0, seed="w1"
+    )
+    return grouped_agg(
+        kept,
+        ["event_type"],
+        [("n_kept", "value", "count"), ("sum_value", "value", "sum")],
+        round_to=2,
+    )
+
+
+QUERIES["q_events_importance_sample"] = q_events_importance_sample
+
+
+def _importance_sample_sql() -> str:
+    from ..stages.sample import sql_weighted_sample_predicate
+
+    pred = sql_weighted_sample_predicate(
+        "CAST(event_id AS VARCHAR)", "value", 500.0, seed="w1"
+    )
+    return f"""
+        SELECT event_type,
+               count(*) AS n_kept,
+               round(sum(value), 2) AS sum_value
+        FROM events
+        WHERE {pred}
+        GROUP BY event_type
+    """
+
+
+ORACLE_SQL["q_events_importance_sample"] = _importance_sample_sql()

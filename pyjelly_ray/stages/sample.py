@@ -134,3 +134,38 @@ def stratified_sample(ds, *, keys: list[str] | str, id_col: str, k: int,
     return picked.map_batches(
         lambda b: b.drop_columns(["__h"]), batch_format="pyarrow", batch_size=None
     )
+
+
+def weighted_hash_sample(ds, *, id_col: str, weight_col: str,
+                         max_weight: float, seed: str = ""):
+    """Deterministic importance sampling: keep a row with probability
+    ``min(1, weight / max_weight)``, decided by its id hash.
+
+    Same zero-shuffle, audit-reproducible contract as :func:`hash_sample`
+    (the keep decision is a pure function of the row), but the threshold
+    scales per row — the importance/temperature downsampling used to
+    rebalance training mixtures.  ``max_weight`` is a constant (pass a
+    known cap or a precomputed global max); the per-row bound is
+    ``floor(weight / max_weight · 2^32)`` computed identically here and
+    in the SQL oracle (same IEEE ops), so the driver hash-compare is
+    exact.
+    """
+    scale = float(_SPACE)
+
+    def keep(b: pa.Table) -> pa.Table:
+        h = _hash_ints(b.column(id_col), seed).astype(np.uint64)
+        w = b.column(weight_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        bound = np.floor(w / float(max_weight) * scale).astype(np.uint64)
+        return b.filter(pa.array(h < bound))
+
+    return ds.map_batches(keep, batch_format="pyarrow", batch_size=None)
+
+
+def sql_weighted_sample_predicate(id_expr: str, weight_expr: str,
+                                  max_weight: float, seed: str = "") -> str:
+    """The DuckDB WHERE predicate computing the identical keep decision."""
+    return (
+        f"substr(sha256('{seed}' || {id_expr}), 1, 8) < "
+        f"printf('%08x', CAST(floor({weight_expr} / {max_weight!r} "
+        f"* 4294967296.0) AS BIGINT))"
+    )
