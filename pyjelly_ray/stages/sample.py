@@ -155,8 +155,12 @@ def weighted_hash_sample(ds, *, id_col: str, weight_col: str,
     def keep(b: pa.Table) -> pa.Table:
         h = _hash_ints(b.column(id_col), seed).astype(np.uint64)
         w = b.column(weight_col).to_numpy(zero_copy_only=False).astype(np.float64)
-        bound = np.floor(w / float(max_weight) * scale).astype(np.uint64)
-        return b.filter(pa.array(h < bound))
+        # weights at/above the cap keep unconditionally (bound would
+        # overflow the 32-bit hash space and break the SQL hex compare)
+        frac = np.clip(w / float(max_weight), 0.0, None)
+        bound = np.floor(np.minimum(frac, 1.0) * scale).astype(np.uint64)
+        mask = (w >= float(max_weight)) | (h < bound)
+        return b.filter(pa.array(mask))
 
     return ds.map_batches(keep, batch_format="pyarrow", batch_size=None)
 
@@ -165,7 +169,8 @@ def sql_weighted_sample_predicate(id_expr: str, weight_expr: str,
                                   max_weight: float, seed: str = "") -> str:
     """The DuckDB WHERE predicate computing the identical keep decision."""
     return (
+        f"({weight_expr} >= {max_weight!r} OR "
         f"substr(sha256('{seed}' || {id_expr}), 1, 8) < "
         f"printf('%08x', CAST(floor({weight_expr} / {max_weight!r} "
-        f"* 4294967296.0) AS BIGINT))"
+        f"* 4294967296.0) AS BIGINT)))"
     )
