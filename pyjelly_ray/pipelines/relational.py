@@ -479,6 +479,7 @@ def q_customer_order_window(sf_dir: str):
             ("next_price", "lead"),
             ("first_price", "first_value"),
             ("spend_quartile", ("ntile", 4)),
+            ("second_price", ("nth_value", 2)),
         ],
         round_to=2,
         tiebreak="o_orderkey",
@@ -1303,7 +1304,8 @@ ORACLE_SQL: dict[str, str] = {
         SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
                round(lead(o_totalprice) OVER w, 2) AS next_price,
                round(first_value(o_totalprice) OVER w, 2) AS first_price,
-               ntile(4) OVER w AS spend_quartile
+               ntile(4) OVER w AS spend_quartile,
+               round(nth_value(o_totalprice, 2) OVER w, 2) AS second_price
         FROM orders
         WINDOW w AS (PARTITION BY o_custkey
                      ORDER BY o_orderdate, o_orderkey)

@@ -116,7 +116,7 @@ def grouped_running(ds, *, key: str, order_col: str, value_col: str,
     ``kinds``: ``(out_name, kind)`` with kind ∈ {cumsum, cummax, lag,
     lead, first_value, locf, row_number, rank, dense_rank, percent_rank,
     cume_dist} or
-    ``("ntile", k)`` — SQL ``SUM/MAX(value) OVER (PARTITION BY key ORDER
+    ``("ntile", k)`` / ``("nth_value", n)`` — SQL ``SUM/MAX(value) OVER (PARTITION BY key ORDER
     BY order_col)``, ``lag/lead(value)``, ``first_value(value)`` (default
     frame: the partition's first value), ``row_number()``, ``rank()``,
     ``dense_rank()``, ``percent_rank()``, ``ntile(k)`` (earlier tiles get
@@ -146,7 +146,7 @@ def grouped_running(ds, *, key: str, order_col: str, value_col: str,
             for name, kind in kinds:
                 is_int = kind in ("row_number", "rank", "dense_rank") or (
                     isinstance(kind, tuple) and kind[0] == "ntile"
-                )
+                )  # nth_value stays float64 (default branch)
                 typ = pa.int64() if is_int else pa.float64()
                 out = out.append_column(name, pa.array([], typ))
             return out
@@ -224,6 +224,15 @@ def grouped_running(ds, *, key: str, order_col: str, value_col: str,
                     np.maximum.accumulate(pos[s:e], out=pos[s:e])
                 filled = np.where(pos >= 0, vals[np.maximum(pos, 0)], np.nan)
                 col = pa.array(filled, pa.float64())
+                col = pc.if_else(pc.is_nan(col), pa.scalar(None, pa.float64()), col)
+            elif isinstance(kind, tuple) and kind[0] == "nth_value":
+                # SQL default frame (up to current row): null until the
+                # frame holds n rows; requires a total order (tiebreak)
+                nth = int(kind[1])
+                pos = grp_start + nth - 1
+                have = idx >= pos
+                vv = vals[np.minimum(pos, len(vals) - 1)]
+                col = pa.array(np.where(have, vv, np.nan), pa.float64())
                 col = pc.if_else(pc.is_nan(col), pa.scalar(None, pa.float64()), col)
             elif isinstance(kind, tuple) and kind[0] == "ntile":
                 k = int(kind[1])
