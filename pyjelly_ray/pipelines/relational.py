@@ -3422,3 +3422,32 @@ def _importance_sample_sql() -> str:
 
 
 ORACLE_SQL["q_events_importance_sample"] = _importance_sample_sql()
+
+
+def q_lineitem_price_regression(sf_dir: str):
+    """Per-group OLS regression (price on quantity) from the same mergeable
+    moment partials that power corr/var — regr_slope / regr_intercept."""
+    li = _read(
+        sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_extendedprice"]
+    )
+    return grouped_agg(
+        li,
+        ["l_returnflag"],
+        [
+            ("slope", ("l_quantity", "l_extendedprice"), "slope"),
+            ("intercept", ("l_quantity", "l_extendedprice"), "intercept"),
+            ("n", "l_quantity", "count"),
+        ],
+        round_to=4,
+    )
+
+
+QUERIES["q_lineitem_price_regression"] = q_lineitem_price_regression
+ORACLE_SQL["q_lineitem_price_regression"] = """
+    SELECT l_returnflag,
+           round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+"""

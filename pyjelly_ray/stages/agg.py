@@ -137,7 +137,7 @@ def _partial_fn(keys: list[str], specs: list[Spec]):
     sq_cols: list[str] = []
     xy_cols: list[tuple[str, str]] = []
     for _, col, fn in specs:
-        if fn in ("corr", "covar"):
+        if fn in ("corr", "covar", "slope", "intercept"):
             # col is an (x, y) pair; moments Σx, Σy, Σx², Σy², Σxy
             x, y = col
             for c in (x, y):
@@ -197,7 +197,9 @@ def _partial_fn(keys: list[str], specs: list[Spec]):
 def _merge_cols(specs: list[Spec]):
     """Partial-column names (as emitted by :func:`_partial_fn`) grouped by
     the merge operation that combines them across partials."""
-    corr_pairs = [col for _, col, fn in specs if fn in ("corr", "covar")]
+    corr_pairs = [
+        col for _, col, fn in specs if fn in ("corr", "covar", "slope", "intercept")
+    ]
     sum_cols = sorted(
         {f"{col}_sum" for _, col, fn in specs if fn in ("sum", "mean", "var", "std")}
         | {f"{col}__sq_sum" for _, col, fn in specs if fn in ("var", "std")}
@@ -252,11 +254,15 @@ def _derived_columns(batch: pa.Table, specs: list[Spec], round_to: int | None,
                 v,
                 pa.scalar(None, pa.float64()),
             )
-        elif fn in ("corr", "covar"):
-            # Pearson r / sample covariance from mergeable moments:
+        elif fn in ("corr", "covar", "slope", "intercept"):
+            # Pearson r / sample covariance / OLS regression from the SAME
+            # mergeable moments:
             # corr = (nΣxy − ΣxΣy) / √((nΣx²−(Σx)²)(nΣy²−(Σy)²));
             # covar_samp = (Σxy − ΣxΣy/n) / (n−1);
-            # NULL when n ≤ 1 or either variance is 0 (= DuckDB corr)
+            # slope = (nΣxy − ΣxΣy) / (nΣx²−(Σx)²)  [col = (x, y), y on x];
+            # intercept = (Σy − slope·Σx) / n;
+            # NULL when n ≤ 1 or the relevant variance is 0 (= DuckDB
+            # corr / covar_samp / regr_slope / regr_intercept)
             x, y = col
             n = pc.cast(cnt, pa.float64())
             sx = pc.cast(batch.column(f"{x}_sum"), pa.float64())
@@ -273,7 +279,25 @@ def _derived_columns(batch: pa.Table, specs: list[Spec], round_to: int | None,
                 pc.subtract(pc.multiply(n, syy), pc.multiply(sy, sy)),
                 pa.scalar(0.0, pa.float64()),
             )
-            if fn == "covar":
+            if fn in ("slope", "intercept"):
+                ok = pc.and_(
+                    pc.greater(cnt, pa.scalar(1, pa.int64())),
+                    pc.greater(dx, pa.scalar(0.0, pa.float64())),
+                )
+                slope = pc.divide(
+                    num, pc.if_else(ok, dx, pa.scalar(1.0, pa.float64()))
+                )
+                if fn == "slope":
+                    v = pc.if_else(ok, slope, pa.scalar(None, pa.float64()))
+                else:
+                    v = pc.if_else(
+                        ok,
+                        pc.divide(
+                            pc.subtract(sy, pc.multiply(slope, sx)), n
+                        ),
+                        pa.scalar(None, pa.float64()),
+                    )
+            elif fn == "covar":
                 v = pc.divide(
                     pc.subtract(sxy, pc.divide(pc.multiply(sx, sy), n)),
                     pc.subtract(n, pa.scalar(1.0, pa.float64())),
