@@ -3451,3 +3451,66 @@ ORACLE_SQL["q_lineitem_price_regression"] = """
     FROM lineitem
     GROUP BY l_returnflag
 """
+
+
+def q_event_funnel(sf_dir: str):
+    """Windowed conversion funnel view→click→purchase (12 h conversion
+    window per step): users reaching each stage."""
+    from ..stages.window import funnel_stages
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    stages = funnel_stages(
+        ev, key="user_id", ts_col="ts", type_col="event_type",
+        steps=["view", "click", "purchase"], within_s=12 * 3600.0,
+    )
+
+    def counts(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        st = b.column("stage").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n_step1": pa.array([int((st >= 1).sum())], pa.int64()),
+                "n_step2": pa.array([int((st >= 2).sum())], pa.int64()),
+                "n_step3": pa.array([int((st >= 3).sum())], pa.int64()),
+            }
+        )
+
+    partials = stages.map_batches(counts, batch_format="pyarrow", batch_size=None)
+    return grouped_agg(
+        partials.map_batches(
+            lambda b: b.append_column("g", pa.array([0] * b.num_rows, pa.int64())),
+            batch_format="pyarrow",
+        ),
+        ["g"],
+        [
+            ("n_step1", "n_step1", "sum"),
+            ("n_step2", "n_step2", "sum"),
+            ("n_step3", "n_step3", "sum"),
+        ],
+        sum_as_float=False,
+    ).map_batches(lambda b: b.drop_columns(["g"]), batch_format="pyarrow")
+
+
+QUERIES["q_event_funnel"] = q_event_funnel
+ORACLE_SQL["q_event_funnel"] = """
+    WITH v AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN v ON v.user_id = e.user_id
+         AND e.ts > v.t1 AND e.ts <= v.t1 + INTERVAL 12 HOUR
+        WHERE event_type = 'click' GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM events e JOIN c ON c.user_id = e.user_id
+         AND e.ts > c.t2 AND e.ts <= c.t2 + INTERVAL 12 HOUR
+        WHERE event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT (SELECT count(*) FROM v) AS n_step1,
+           (SELECT count(*) FROM c) AS n_step2,
+           (SELECT count(*) FROM p) AS n_step3
+"""

@@ -376,3 +376,61 @@ def grouped_trailing_agg(ds, *, key: str, ts_col: str, value_col: str,
         return out
 
     return grouped_map(ds, key, part, per_group=False)
+
+
+def funnel_stages(ds, *, key: str, ts_col: str, type_col: str,
+                  steps: list[str], within_s: float | None = None,
+                  out: str = "stage"):
+    """Ordered funnel analysis: the furthest step each key reached.
+
+    A key is at stage i when its events contain ``steps[0..i-1]`` in strict
+    time order, each step's FIRST qualifying occurrence chosen greedily
+    (the standard product-analytics funnel).  ``within_s`` bounds the gap
+    from the previous step's chosen event (conversion window); the first
+    step is unbounded.  One keyed exchange; each partition sorts once and
+    walks each key's (short) event run — same per-key contract as
+    sessionize.  Returns ``(key, stage)`` with stage ∈ 0..len(steps).
+    """
+    from .agg import _key_run_bounds, grouped_map
+
+    win_us = int(within_s * 1_000_000) if within_s is not None else None
+
+    def part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    key: pa.array([], t.schema.field(key).type
+                                  if key in t.column_names else pa.int64()),
+                    out: pa.array([], pa.int64()),
+                }
+            )
+        t = t.sort_by([(key, "ascending"), (ts_col, "ascending")])
+        bounds = _key_run_bounds(t, [key])
+        us = pc.cast(t.column(ts_col).combine_chunks(), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        types = t.column(type_col).to_numpy(zero_copy_only=False)
+        keys_out, stages = [], []
+        kcol = t.column(key)
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            run_ts, run_ty = us[s:e], types[s:e]
+            prev = None
+            stage = 0
+            for i, st in enumerate(steps):
+                mask = run_ty == st
+                if prev is not None:
+                    mask = mask & (run_ts > prev)
+                    if win_us is not None:
+                        mask = mask & (run_ts <= prev + win_us)
+                hit = np.flatnonzero(mask)
+                if len(hit) == 0:
+                    break
+                prev = run_ts[hit[0]]  # earliest qualifying (run is sorted)
+                stage = i + 1
+            keys_out.append(kcol[s].as_py())
+            stages.append(stage)
+        return pa.table(
+            {key: pa.array(keys_out, kcol.type), out: pa.array(stages, pa.int64())}
+        )
+
+    return grouped_map(ds, key, part, per_group=False)
