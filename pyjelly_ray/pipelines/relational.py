@@ -3514,3 +3514,580 @@ ORACLE_SQL["q_event_funnel"] = """
            (SELECT count(*) FROM c) AS n_step2,
            (SELECT count(*) FROM p) AS n_step3
 """
+
+
+# --------------------------------------------------------------------------
+# Eighth pass: remaining TPC-H shapes (Q2/Q7/Q11/Q12/Q15/Q17/Q20),
+# similarity-graph triangle counting, higher-moment aggregates
+# --------------------------------------------------------------------------
+
+
+def q_order_price_shape(sf_dir: str):
+    """Distribution-shape aggregates per order status: skewness and excess
+    kurtosis of the order totals from mergeable higher moments (Σx, Σx²,
+    Σx³, Σx⁴ partials per batch — the same one-exchange pattern as
+    var/corr, so the 100 TB path ships four doubles per group per block)."""
+    orders = _read(sf_dir, "orders", ["o_orderstatus", "o_totalprice"])
+    return grouped_agg(
+        orders,
+        ["o_orderstatus"],
+        [
+            ("n_orders", "o_totalprice", "count"),
+            ("price_skew", "o_totalprice", "skew"),
+            ("price_kurt", "o_totalprice", "kurt"),
+        ],
+        round_to=6,
+    )
+
+
+def q_avg_yearly_small_qty(sf_dir: str):
+    """TPC-H Q17 shape: revenue loss if small-quantity orders (below half
+    the part's own average quantity) went unfilled — a correlated-AVG
+    threshold.  The per-part average is a grouped aggregate joined back
+    onto the fact rows (broadcast here: it is |parts-of-one-brand| rows;
+    swap to ``hash_join`` when the dimension itself is huge)."""
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"])
+    brand = part.map_batches(
+        lambda b: b.filter(pc.equal(b.column("p_brand"), "Brand#13")),
+        batch_format="pyarrow",
+    )
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"])
+    li = broadcast_semi(li, brand, left_key="l_partkey", right_key="p_partkey")
+    avg_t = grouped_agg(
+        li, ["l_partkey"], [("avg_qty", "l_quantity", "mean")], round_to=6
+    )
+    joined = broadcast_join(li, avg_t, left_key="l_partkey", columns=["avg_qty"])
+
+    def small(b: pa.Table) -> pa.Table:
+        keep = pc.less(
+            b.column("l_quantity"),
+            pc.multiply(pa.scalar(0.5, pa.float64()), b.column("avg_qty")),
+        )
+        b = b.filter(keep)
+        return pa.table(
+            {
+                "g": pa.array([0], pa.int64()),
+                "s": pa.array(
+                    [pc.sum(b.column("l_extendedprice")).as_py() or 0.0],
+                    pa.float64(),
+                ),
+            }
+        )
+
+    partials = joined.map_batches(small, batch_format="pyarrow", batch_size=None)
+    total = grouped_agg(partials, ["g"], [("s", "s", "sum")])
+
+    def finalize(b: pa.Table) -> pa.Table:
+        from ..stages.agg import round_like_duckdb
+
+        v = pc.divide(b.column("s"), pa.scalar(7.0, pa.float64()))
+        return pa.table({"avg_yearly": round_like_duckdb(v, 2)})
+
+    return total.map_batches(finalize, batch_format="pyarrow")
+
+
+def q_min_cost_supplier(sf_dir: str):
+    """TPC-H Q2 shape: for every part, the cheapest supplier by observed
+    unit price (correlated MIN subquery → grouped MIN + equality
+    join-back; ties broken by smallest supplier key).  Unit price is the
+    same float expression on both sides, so min/equality compare
+    identically computed doubles."""
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"])
+
+    def unit(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "unit", pc.divide(b.column("l_extendedprice"), b.column("l_quantity"))
+        )
+
+    li_u = li.map_batches(unit, batch_format="pyarrow")
+    m = grouped_agg(li_u, ["l_partkey"], [("mc", "unit", "min")])
+    joined = broadcast_join(li_u, m, left_key="l_partkey", columns=["mc"])
+    winners = joined.map_batches(
+        lambda b: b.filter(pc.equal(b.column("unit"), b.column("mc"))),
+        batch_format="pyarrow",
+    )
+    best = grouped_agg(
+        winners,
+        ["l_partkey"],
+        [("min_cost", "mc", "min"), ("s_suppkey", "l_suppkey", "min")],
+        round_to=4,
+    )
+    supplier = _read(sf_dir, "supplier", ["s_suppkey", "s_name"])
+    out = broadcast_join(best, supplier, left_key="s_suppkey", columns=["s_name"])
+    return out.map_batches(
+        lambda b: b.rename_columns(
+            ["p_partkey" if c == "l_partkey" else c for c in b.column_names]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_important_parts(sf_dir: str):
+    """TPC-H Q11 shape: parts whose revenue exceeds 1.5× the MEAN part
+    revenue (HAVING vs a global scalar; the mean-relative cut keeps the
+    selectivity stable at every scale, unlike Q11's absolute fraction).
+    Money is summed in integer cents so the share comparison
+    (``2·cents·n_parts > 3·total``) is exact integer math — immune to
+    float summation-order drift between the engine and the oracle."""
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        from ..stages.agg import round_like_duckdb
+
+        cents = pc.cast(
+            round_like_duckdb(
+                pc.multiply(b.column("l_extendedprice"), pa.scalar(100.0, pa.float64())), 0
+            ),
+            pa.int64(),
+        )
+        return pa.table({"l_partkey": b.column("l_partkey"), "cents": cents})
+
+    agg = grouped_agg(
+        li.map_batches(to_cents, batch_format="pyarrow"),
+        ["l_partkey"],
+        [("cents", "cents", "sum")],
+        sum_as_float=False,
+    ).materialize()  # |parts| rows — tiny relative to the fact table
+    total = agg.sum("cents")
+    n_parts = agg.count()
+
+    def keep(b: pa.Table) -> pa.Table:
+        from ..stages.agg import round_like_duckdb
+
+        b = b.filter(
+            pc.greater(
+                pc.multiply(
+                    b.column("cents"), pa.scalar(2 * int(n_parts), pa.int64())
+                ),
+                pa.scalar(3 * int(total), pa.int64()),
+            )
+        )
+        value = round_like_duckdb(
+            pc.divide(pc.cast(b.column("cents"), pa.float64()), pa.scalar(100.0, pa.float64())),
+            2,
+        )
+        return pa.table({"p_partkey": b.column("l_partkey"), "part_value": value})
+
+    return agg.map_batches(keep, batch_format="pyarrow")
+
+
+def q_top_revenue_supplier(sf_dir: str):
+    """TPC-H Q15 shape: the supplier(s) with MAX revenue in a quarter —
+    aggregate → global max scalar → equality filter (rounded to cents on
+    both sides so the equality is on identical doubles)."""
+    import numpy as np
+
+    li = _read(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"])
+    lo = pa.scalar(np.datetime64("1996-01-01", "us"))
+    hi = pa.scalar(np.datetime64("1996-04-01", "us"))
+
+    def prep(b: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(b.column("l_shipdate"), lo),
+            pc.less(b.column("l_shipdate"), hi),
+        )
+        b = b.filter(keep)
+        rev = pc.multiply(
+            b.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), b.column("l_discount")),
+        )
+        return pa.table({"s_suppkey": b.column("l_suppkey"), "rev": rev})
+
+    agg = grouped_agg(
+        li.map_batches(prep, batch_format="pyarrow"),
+        ["s_suppkey"],
+        [("total_revenue", "rev", "sum")],
+        round_to=2,
+    ).materialize()  # |suppliers| rows
+    best = agg.max("total_revenue")
+    top = agg.map_batches(
+        lambda b: b.filter(pc.equal(b.column("total_revenue"), pa.scalar(best, pa.float64()))),
+        batch_format="pyarrow",
+    )
+    supplier = _read(sf_dir, "supplier", ["s_suppkey", "s_name"])
+    return broadcast_join(top, supplier, left_key="s_suppkey", columns=["s_name"])
+
+
+def q_linestatus_priority_counts(sf_dir: str):
+    """TPC-H Q12 shape: per line status, how many lines belong to
+    critical-priority orders vs not (CASE-count over a big⋈big join; the
+    conditional partial aggregate runs fused inside the join reduce)."""
+    import numpy as np
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_linestatus", "l_shipdate"])
+    lo = pa.scalar(np.datetime64("1997-01-01", "us"))
+    hi = pa.scalar(np.datetime64("1998-01-01", "us"))
+    li = li.map_batches(
+        lambda b: b.filter(
+            pc.and_(
+                pc.greater_equal(b.column("l_shipdate"), lo),
+                pc.less(b.column("l_shipdate"), hi),
+            )
+        ).drop_columns(["l_shipdate"]),
+        batch_format="pyarrow",
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        high = pc.is_in(
+            t.column("o_orderpriority"),
+            value_set=pa.array(["1-URGENT", "2-HIGH"]),
+        )
+        t = pa.table(
+            {
+                "l_linestatus": t.column("l_linestatus"),
+                "high": pc.cast(high, pa.int64()),
+                "low": pc.cast(pc.invert(high), pa.int64()),
+            }
+        )
+        g = t.group_by("l_linestatus").aggregate([("high", "sum"), ("low", "sum")])
+        return g.rename_columns(["l_linestatus", "high", "low"])
+
+    joined = hash_join(
+        li, orders, left_key="l_orderkey", right_key="o_orderkey", post=partial
+    )
+    return grouped_agg(
+        joined,
+        ["l_linestatus"],
+        [("high_line_count", "high", "sum"), ("low_line_count", "low", "sum")],
+        sum_as_float=False,
+    )
+
+
+def q_region_trade_volume(sf_dir: str):
+    """TPC-H Q7 shape: cross-border trade volume — revenue shipped from a
+    supplier region to a DIFFERENT customer region, by year.  Dimension
+    chains (supplier→nation→region, customer→nation→region) ride
+    broadcast joins; the fact⋈orders core is the one co-partitioned
+    exchange, with the (supp_region ≠ cust_region) predicate and the
+    three-key partial aggregate fused into the join reduce."""
+    import numpy as np
+
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"])
+    region = _read(sf_dir, "region", ["r_regionkey", "r_name"])
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    lo = pa.scalar(np.datetime64("1996-01-01", "us"))
+    hi = pa.scalar(np.datetime64("1998-01-01", "us"))
+
+    def prep_li(b: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(b.column("l_shipdate"), lo),
+            pc.less(b.column("l_shipdate"), hi),
+        )
+        b = b.filter(keep)
+        rev = pc.multiply(
+            b.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), b.column("l_discount")),
+        )
+        return pa.table(
+            {
+                "l_orderkey": b.column("l_orderkey"),
+                "l_suppkey": b.column("l_suppkey"),
+                "l_year": pc.cast(pc.year(b.column("l_shipdate")), pa.int64()),
+                "rev": rev,
+            }
+        )
+
+    li = li.map_batches(prep_li, batch_format="pyarrow")
+    supplier = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    li = broadcast_join(li, supplier, left_key="l_suppkey", right_key="s_suppkey",
+                        columns=["s_nationkey"])
+    li = broadcast_join(li, nation, left_key="s_nationkey", right_key="n_nationkey",
+                        columns=["n_regionkey"])
+    li = broadcast_join(li, region, left_key="n_regionkey", right_key="r_regionkey",
+                        columns=["r_name"])
+    li = li.map_batches(
+        lambda b: pa.table(
+            {
+                "l_orderkey": b.column("l_orderkey"),
+                "l_year": b.column("l_year"),
+                "rev": b.column("rev"),
+                "supp_region": b.column("r_name"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    customer = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    orders = broadcast_join(orders, customer, left_key="o_custkey", right_key="c_custkey",
+                            columns=["c_nationkey"])
+    orders = broadcast_join(orders, nation, left_key="c_nationkey", right_key="n_nationkey",
+                            columns=["n_regionkey"])
+    orders = broadcast_join(orders, region, left_key="n_regionkey", right_key="r_regionkey",
+                            columns=["r_name"])
+    orders = orders.map_batches(
+        lambda b: pa.table(
+            {
+                "o_orderkey": b.column("o_orderkey"),
+                "cust_region": b.column("r_name"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.not_equal(t.column("supp_region"), t.column("cust_region"))
+        )
+        g = t.group_by(["supp_region", "cust_region", "l_year"]).aggregate(
+            [("rev", "sum")]
+        )
+        return g.rename_columns(["supp_region", "cust_region", "l_year", "rev"])
+
+    joined = hash_join(
+        li, orders, left_key="l_orderkey", right_key="o_orderkey", post=partial
+    )
+    return grouped_agg(
+        joined,
+        ["supp_region", "cust_region", "l_year"],
+        [("revenue", "rev", "sum")],
+        round_to=2,
+    )
+
+
+def q_excess_suppliers(sf_dir: str):
+    """TPC-H Q20 shape: per supplier, on how many parts it DOMINATES the
+    supply (its shipped quantity exceeds twice the part's average supplier
+    share) — a nested aggregate threshold.  The (supplier, part) pair
+    aggregate is materialized once and re-aggregated for the per-part
+    totals, so lineitem is read once; quantities are whole numbers, so the
+    float sums are exact and ``pair_qty · n_supp > 2 · part_qty`` compares
+    identically computed doubles on both sides."""
+    li = _read(sf_dir, "lineitem", ["l_suppkey", "l_partkey", "l_quantity"])
+    pair = grouped_agg(
+        li, ["l_suppkey", "l_partkey"], [("pair_qty", "l_quantity", "sum")]
+    ).materialize()
+    part_total = grouped_agg(
+        pair,
+        ["l_partkey"],
+        [("part_qty", "pair_qty", "sum"), ("n_supp", "pair_qty", "count")],
+        sum_as_float=False,
+    )
+    joined = hash_join(pair, part_total, left_key="l_partkey", right_key="l_partkey")
+    hot = joined.map_batches(
+        lambda b: b.filter(
+            pc.greater(
+                pc.multiply(
+                    b.column("pair_qty"),
+                    pc.cast(b.column("n_supp"), pa.float64()),
+                ),
+                pc.multiply(pa.scalar(2.0, pa.float64()), b.column("part_qty")),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    dom = grouped_agg(hot, ["l_suppkey"], [("n_dominated", "l_partkey", "count")])
+    supplier = _read(sf_dir, "supplier", ["s_suppkey", "s_name"])
+    out = broadcast_join(
+        dom, supplier, left_key="l_suppkey", right_key="s_suppkey",
+        columns=["s_name"],
+    )
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "s_suppkey": b.column("l_suppkey"),
+                "s_name": b.column("s_name"),
+                "n_dominated": b.column("n_dominated"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_embedding_triangles(sf_dir: str):
+    """Triangle participation counts on the embedding-similarity graph
+    (cosine ≥ 0.25): the clustering-structure diagnostic for a near-dup
+    graph.  Edges come from the exact all-pairs kernel; triangles are
+    enumerated with the compact-forward ordering (u < v < w) — one keyed
+    exchange to build wedges (e1.v = e2.u), one co-partitioned SEMI join
+    to close them against the edge set — then a per-node count.  Both
+    exchanges are keyed hash exchanges; no driver-side graph."""
+    from ..stages.ann import embedding_dup_pairs_exact
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"], num_blocks=8)
+    pairs = embedding_dup_pairs_exact(emb, tau=0.25, round_to=4)
+    e_uv = pairs.map_batches(
+        lambda b: pa.table({"u": b.column("id_a"), "v": b.column("id_b")}),
+        batch_format="pyarrow",
+    )
+    e_vw = pairs.map_batches(
+        lambda b: pa.table({"v": b.column("id_a"), "w": b.column("id_b")}),
+        batch_format="pyarrow",
+    )
+    e_uw = pairs.map_batches(
+        lambda b: pa.table({"u": b.column("id_a"), "w": b.column("id_b")}),
+        batch_format="pyarrow",
+    )
+    wedges = hash_join(e_uv, e_vw, left_key="v", right_key="v")
+    triangles = hash_join(
+        wedges, e_uw, left_key=["u", "w"], right_key=["u", "w"], how="left semi"
+    )
+
+    def explode_nodes(b: pa.Table) -> pa.Table:
+        node = pa.concat_arrays(
+            [
+                b.column(c).combine_chunks().cast(pa.int64())
+                for c in ("u", "v", "w")
+            ]
+        )
+        return pa.table({"vec_id": node})
+
+    nodes = triangles.map_batches(explode_nodes, batch_format="pyarrow")
+    return grouped_agg(nodes, ["vec_id"], [("n_triangles", "vec_id", "count")])
+
+
+QUERIES.update(
+    {
+        "q_order_price_shape": q_order_price_shape,
+        "q_avg_yearly_small_qty": q_avg_yearly_small_qty,
+        "q_min_cost_supplier": q_min_cost_supplier,
+        "q_important_parts": q_important_parts,
+        "q_top_revenue_supplier": q_top_revenue_supplier,
+        "q_linestatus_priority_counts": q_linestatus_priority_counts,
+        "q_region_trade_volume": q_region_trade_volume,
+        "q_excess_suppliers": q_excess_suppliers,
+        "q_embedding_triangles": q_embedding_triangles,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "q_order_price_shape": """
+            SELECT o_orderstatus, count(*) AS n_orders,
+                   round(skewness(o_totalprice), 6) AS price_skew,
+                   round(kurtosis(o_totalprice), 6) AS price_kurt
+            FROM orders GROUP BY 1
+        """,
+        "q_avg_yearly_small_qty": """
+            WITH b AS (
+                SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+                FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+                WHERE p.p_brand = 'Brand#13'
+            ),
+            a AS (SELECT l_partkey, round(avg(l_quantity), 6) AS avg_qty
+                  FROM b GROUP BY 1)
+            SELECT round(sum(b.l_extendedprice) / 7.0, 2) AS avg_yearly
+            FROM b JOIN a USING (l_partkey)
+            WHERE b.l_quantity < 0.5 * a.avg_qty
+        """,
+        "q_min_cost_supplier": """
+            WITH u AS (
+                SELECT l_partkey, l_suppkey,
+                       l_extendedprice / l_quantity AS unit
+                FROM lineitem
+            ),
+            m AS (SELECT l_partkey, min(unit) AS mc FROM u GROUP BY 1),
+            w AS (
+                SELECT u.l_partkey, min(m.mc) AS mcost,
+                       min(u.l_suppkey) AS s_suppkey
+                FROM u JOIN m ON u.l_partkey = m.l_partkey AND u.unit = m.mc
+                GROUP BY 1
+            )
+            SELECT w.l_partkey AS p_partkey, round(w.mcost, 4) AS min_cost,
+                   w.s_suppkey, s.s_name
+            FROM w JOIN supplier s USING (s_suppkey)
+        """,
+        "q_important_parts": """
+            WITH v AS (
+                SELECT l_partkey AS p_partkey,
+                       sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS cents
+                FROM lineitem GROUP BY 1
+            )
+            SELECT p_partkey, round(cents / 100.0, 2) AS part_value
+            FROM v
+            WHERE 2 * cents * (SELECT count(*) FROM v)
+                  > 3 * (SELECT sum(cents) FROM v)
+        """,
+        "q_top_revenue_supplier": """
+            WITH r AS (
+                SELECT l_suppkey AS s_suppkey,
+                       round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+                FROM lineitem
+                WHERE l_shipdate >= DATE '1996-01-01'
+                  AND l_shipdate <  DATE '1996-04-01'
+                GROUP BY 1
+            )
+            SELECT s.s_suppkey, s.s_name, r.total_revenue
+            FROM r JOIN supplier s USING (s_suppkey)
+            WHERE r.total_revenue = (SELECT max(total_revenue) FROM r)
+        """,
+        "q_linestatus_priority_counts": """
+            SELECT l_linestatus,
+                   count(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
+                       AS high_line_count,
+                   count(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+                       AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= DATE '1997-01-01'
+              AND l_shipdate <  DATE '1998-01-01'
+            GROUP BY 1
+        """,
+        "q_region_trade_volume": """
+            WITH j AS (
+                SELECT r1.r_name AS supp_region, r2.r_name AS cust_region,
+                       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                       l_extendedprice * (1 - l_discount) AS rev
+                FROM lineitem
+                JOIN orders   ON l_orderkey = o_orderkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                JOIN region r1 ON n1.n_regionkey = r1.r_regionkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation n2 ON c_nationkey = n2.n_nationkey
+                JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+                WHERE l_shipdate >= DATE '1996-01-01'
+                  AND l_shipdate <  DATE '1998-01-01'
+                  AND r1.r_name <> r2.r_name
+            )
+            SELECT supp_region, cust_region, l_year,
+                   round(sum(rev), 2) AS revenue
+            FROM j GROUP BY 1, 2, 3
+        """,
+        "q_excess_suppliers": """
+            WITH pq AS (
+                SELECT l_suppkey, l_partkey, sum(l_quantity) AS pair_qty
+                FROM lineitem GROUP BY 1, 2
+            ),
+            pt AS (
+                SELECT l_partkey, sum(pair_qty) AS part_qty,
+                       count(*) AS n_supp
+                FROM pq GROUP BY 1
+            ),
+            x AS (
+                SELECT l_suppkey AS s_suppkey, count(*) AS n_dominated
+                FROM pq JOIN pt USING (l_partkey)
+                WHERE pair_qty * CAST(n_supp AS DOUBLE) > 2.0 * part_qty
+                GROUP BY 1
+            )
+            SELECT x.s_suppkey, s.s_name, x.n_dominated
+            FROM x JOIN supplier s USING (s_suppkey)
+        """,
+        "q_embedding_triangles": """
+            WITH e AS (
+                SELECT a.vec_id AS u, b.vec_id AS v
+                FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+                WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                   CAST(b.embedding AS DOUBLE[])), 4)
+                      >= 0.25
+            ),
+            t AS (
+                SELECT e1.u, e1.v, e2.v AS w
+                FROM e e1
+                JOIN e e2 ON e1.v = e2.u
+                JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+            ),
+            nodes AS (
+                SELECT u AS vec_id FROM t
+                UNION ALL SELECT v FROM t
+                UNION ALL SELECT w FROM t
+            )
+            SELECT vec_id, count(*) AS n_triangles FROM nodes GROUP BY 1
+        """,
+    }
+)

@@ -135,6 +135,8 @@ def _partial_fn(keys: list[str], specs: list[Spec]):
     aggs = []
     seen = set()
     sq_cols: list[str] = []
+    cb_cols: list[str] = []
+    q4_cols: list[str] = []
     xy_cols: list[tuple[str, str]] = []
     for _, col, fn in specs:
         if fn in ("corr", "covar", "slope", "intercept"):
@@ -163,6 +165,23 @@ def _partial_fn(keys: list[str], specs: list[Spec]):
                 aggs.append((f"{col}__sq", "sum"))
                 sq_cols.append(col)
                 seen.add(("sq", col))
+        if fn in ("skew", "kurt"):
+            # higher mergeable moments: Σx, Σx², Σx³ (+ Σx⁴ for kurtosis)
+            if ("s", col) not in seen:
+                aggs.append((col, "sum"))
+                seen.add(("s", col))
+            if ("sq", col) not in seen:
+                aggs.append((f"{col}__sq", "sum"))
+                sq_cols.append(col)
+                seen.add(("sq", col))
+            if ("cb", col) not in seen:
+                aggs.append((f"{col}__cb", "sum"))
+                cb_cols.append(col)
+                seen.add(("cb", col))
+            if fn == "kurt" and ("q4", col) not in seen:
+                aggs.append((f"{col}__q4", "sum"))
+                q4_cols.append(col)
+                seen.add(("q4", col))
         if fn in ("count", "mean"):
             if ("c",) not in seen:
                 seen.add(("c",))
@@ -180,6 +199,13 @@ def _partial_fn(keys: list[str], specs: list[Spec]):
         for col in sq_cols:
             x = pc.cast(work.column(col), pa.float64())
             work = work.append_column(f"{col}__sq", pc.multiply(x, x))
+        for col in cb_cols:
+            x = pc.cast(work.column(col), pa.float64())
+            work = work.append_column(f"{col}__cb", pc.multiply(pc.multiply(x, x), x))
+        for col in q4_cols:
+            x = pc.cast(work.column(col), pa.float64())
+            x2 = pc.multiply(x, x)
+            work = work.append_column(f"{col}__q4", pc.multiply(x2, x2))
         for x, y in xy_cols:
             xv = pc.cast(work.column(x), pa.float64())
             yv = pc.cast(work.column(y), pa.float64())
@@ -203,6 +229,10 @@ def _merge_cols(specs: list[Spec]):
     sum_cols = sorted(
         {f"{col}_sum" for _, col, fn in specs if fn in ("sum", "mean", "var", "std")}
         | {f"{col}__sq_sum" for _, col, fn in specs if fn in ("var", "std")}
+        | {f"{col}_sum" for _, col, fn in specs if fn in ("skew", "kurt")}
+        | {f"{col}__sq_sum" for _, col, fn in specs if fn in ("skew", "kurt")}
+        | {f"{col}__cb_sum" for _, col, fn in specs if fn in ("skew", "kurt")}
+        | {f"{col}__q4_sum" for _, col, fn in specs if fn == "kurt"}
         | {f"{c}_sum" for x, y in corr_pairs for c in (x, y)}
         | {f"{c}__sq_sum" for x, y in corr_pairs for c in (x, y)}
         | {f"{x}__xy__{y}_sum" for x, y in corr_pairs}
@@ -254,6 +284,109 @@ def _derived_columns(batch: pa.Table, specs: list[Spec], round_to: int | None,
                 v,
                 pa.scalar(None, pa.float64()),
             )
+        elif fn in ("skew", "kurt"):
+            # DuckDB skewness / kurtosis (bias-corrected, excess) from the
+            # naive moment sums Σx, Σx², Σx³, Σx⁴ — the SAME formulation
+            # DuckDB uses (skew.cpp / kurtosis.cpp), so both sides suffer
+            # identical float conditioning.  skew NULL when n ≤ 2 or the
+            # (clamped) variance term is 0; kurt NULL when n ≤ 3 or m2 = 0.
+            n = pc.cast(cnt, pa.float64())
+            s = pc.cast(batch.column(f"{col}_sum"), pa.float64())
+            sq = pc.cast(batch.column(f"{col}__sq_sum"), pa.float64())
+            cb = pc.cast(batch.column(f"{col}__cb_sum"), pa.float64())
+            temp = pc.divide(pa.scalar(1.0, pa.float64()), n)
+            inner = pc.multiply(temp, pc.subtract(sq, pc.multiply(pc.multiply(s, s), temp)))
+            one = pa.scalar(1.0, pa.float64())
+            if fn == "skew":
+                p = pc.max_element_wise(
+                    pc.power(inner, pa.scalar(3.0, pa.float64())),
+                    pa.scalar(0.0, pa.float64()),
+                )
+                div = pc.sqrt(p)
+                ok = pc.and_(
+                    pc.greater(cnt, pa.scalar(2, pa.int64())),
+                    pc.greater(div, pa.scalar(0.0, pa.float64())),
+                )
+                t1 = pc.divide(
+                    pc.sqrt(pc.multiply(n, pc.subtract(n, one))),
+                    pc.if_else(ok, pc.subtract(n, pc.add(one, one)), one),
+                )
+                m3num = pc.add(
+                    pc.subtract(
+                        cb,
+                        pc.multiply(
+                            pa.scalar(3.0, pa.float64()),
+                            pc.multiply(pc.multiply(sq, s), temp),
+                        ),
+                    ),
+                    pc.multiply(
+                        pa.scalar(2.0, pa.float64()),
+                        pc.multiply(
+                            pc.power(s, pa.scalar(3.0, pa.float64())),
+                            pc.multiply(temp, temp),
+                        ),
+                    ),
+                )
+                v = pc.divide(
+                    pc.multiply(pc.multiply(t1, temp), m3num),
+                    pc.if_else(ok, div, one),
+                )
+                v = pc.if_else(ok, v, pa.scalar(None, pa.float64()))
+            else:
+                q4 = pc.cast(batch.column(f"{col}__q4_sum"), pa.float64())
+                m4 = pc.multiply(
+                    temp,
+                    pc.add(
+                        pc.subtract(
+                            q4,
+                            pc.multiply(
+                                pa.scalar(4.0, pa.float64()),
+                                pc.multiply(pc.multiply(cb, s), temp),
+                            ),
+                        ),
+                        pc.subtract(
+                            pc.multiply(
+                                pa.scalar(6.0, pa.float64()),
+                                pc.multiply(
+                                    pc.multiply(sq, pc.multiply(s, s)),
+                                    pc.multiply(temp, temp),
+                                ),
+                            ),
+                            pc.multiply(
+                                pa.scalar(3.0, pa.float64()),
+                                pc.multiply(
+                                    pc.power(s, pa.scalar(4.0, pa.float64())),
+                                    pc.power(temp, pa.scalar(3.0, pa.float64())),
+                                ),
+                            ),
+                        ),
+                    ),
+                )
+                m2 = inner
+                ok = pc.and_(
+                    pc.greater(cnt, pa.scalar(3, pa.int64())),
+                    pc.not_equal(m2, pa.scalar(0.0, pa.float64())),
+                )
+                m2sq = pc.if_else(ok, pc.multiply(m2, m2), one)
+                nm1 = pc.subtract(n, one)
+                v = pc.divide(
+                    pc.multiply(
+                        nm1,
+                        pc.subtract(
+                            pc.multiply(pc.add(n, one), pc.divide(m4, m2sq)),
+                            pc.multiply(pa.scalar(3.0, pa.float64()), nm1),
+                        ),
+                    ),
+                    pc.if_else(
+                        ok,
+                        pc.multiply(
+                            pc.subtract(n, pc.add(one, one)),
+                            pc.subtract(n, pa.scalar(3.0, pa.float64())),
+                        ),
+                        one,
+                    ),
+                )
+                v = pc.if_else(ok, v, pa.scalar(None, pa.float64()))
         elif fn in ("corr", "covar", "slope", "intercept"):
             # Pearson r / sample covariance / OLS regression from the SAME
             # mergeable moments:
@@ -356,6 +489,12 @@ def grouped_agg(ds, keys: list[str] | str, specs: list[Spec], *,
     )
 
     def merge(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            # every upstream block of this partition was empty AND
+            # schema-less (Ray Data skips map UDFs on empty blocks) — only
+            # possible when the whole input dataset is empty; pass through
+            # rather than crash the group_by on missing key columns.
+            return t
         if "__bucket" in t.column_names:
             t = t.drop_columns(["__bucket"])
         plan = (

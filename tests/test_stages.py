@@ -1867,3 +1867,46 @@ def test_merge_upsert_tiny_blocks(ray_session):
     assert 7 not in out.index  # delete wins the update+delete conflict
     assert out[100] == 555
     assert out[5] == 50  # untouched base row
+
+
+def test_grouped_agg_skew_kurt(ray_session):
+    """skewness/kurtosis from mergeable Σx..Σx⁴ moments across blocks,
+    checked value-exact against DuckDB's skewness()/kurtosis() including
+    the small-n NULL rules (skew: n ≤ 2; kurt: n ≤ 3)."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from pyjelly_ray.stages.agg import grouped_agg
+
+    rng = np.random.default_rng(11)
+    ks = ["a"] * 40 + ["b"] * 9 + ["c"] * 3 + ["d"] * 2
+    vs = np.concatenate(
+        [rng.normal(3.0, 2.0, 40) ** 3, rng.uniform(0, 10, 9), [1.0, 5.0, 9.0], [2.0, 2.0]]
+    )
+    t = pa.table({"k": pa.array(ks, pa.string()), "v": pa.array(vs, pa.float64())})
+    got = (
+        grouped_agg(
+            ray.data.from_arrow(t).repartition(5),
+            ["k"],
+            [("n", "v", "count"), ("sk", "v", "skew"), ("ku", "v", "kurt")],
+            round_to=9,
+        )
+        .to_pandas()
+        .set_index("k")
+        .sort_index()
+    )
+    exp = duckdb.connect().execute(
+        "SELECT k, count(*) n, round(skewness(v), 9) sk, round(kurtosis(v), 9) ku "
+        "FROM t GROUP BY 1 ORDER BY 1"
+    ).df().set_index("k")
+    for k in "abcd":
+        assert got.loc[k, "n"] == exp.loc[k, "n"]
+        for c in ("sk", "ku"):
+            g, e = got.loc[k, c], exp.loc[k, c]
+            if pd.isna(e):
+                assert pd.isna(g), (k, c, g)
+            else:
+                assert abs(g - e) < 1e-6, (k, c, g, e)
+    assert pd.isna(got.loc["d", "sk"]) and pd.isna(got.loc["c", "ku"])
