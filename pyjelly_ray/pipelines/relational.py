@@ -4091,3 +4091,211 @@ ORACLE_SQL.update(
         """,
     }
 )
+
+
+def q6_forecast_revenue(sf_dir: str):
+    """TPC-H Q6 shape: global filter-and-sum (shipped in 1996, mid-band
+    discount, small quantity) — a pure map-side reduction: the filter and
+    the product run per batch, one scalar partial per block reaches the
+    driver.  No shuffle at any scale."""
+    from ..stages.agg import round_like_duckdb
+
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+    )
+    lo = pa.scalar(np.datetime64("1996-01-01", "us"))
+    hi = pa.scalar(np.datetime64("1997-01-01", "us"))
+
+    def prep(b: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.and_(
+                pc.greater_equal(b.column("l_shipdate"), lo),
+                pc.less(b.column("l_shipdate"), hi),
+            ),
+            pc.and_(
+                pc.and_(
+                    pc.greater(b.column("l_discount"), 0.03),
+                    pc.less(b.column("l_discount"), 0.07),
+                ),
+                pc.less(b.column("l_quantity"), 24.0),
+            ),
+        )
+        b = b.filter(mask)
+        return pa.table(
+            {"disc_rev": pc.multiply(b.column("l_extendedprice"), b.column("l_discount"))}
+        )
+
+    total = li.map_batches(prep, batch_format="pyarrow").sum("disc_rev")
+    col = (
+        pa.array([None], pa.float64())
+        if total is None
+        else round_like_duckdb(pa.array([float(total)], pa.float64()), 2)
+    )
+    return pa.table({"revenue": col})
+
+
+def q8_national_market_share(sf_dir: str):
+    """TPC-H Q8 shape: NATION_5's share of ECONOMY-part revenue among ASIA
+    customers, per order year.  Both conditional sums are partialed by
+    o_year INSIDE the lineitem⋈orders join reduce (``hash_join(post=)``),
+    so the exchange after the join carries ≤ |years| rows per partition;
+    the ratio is finalized after one tiny merge."""
+    from ..stages.agg import round_like_duckdb
+
+    # lineitem side: semi-filter to ECONOMY parts, attach supplier nation
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"])
+    econ = part.map_batches(
+        lambda b: b.filter(pc.equal(b.column("p_type"), "ECONOMY")),
+        batch_format="pyarrow",
+    )
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"])
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    supp = broadcast_join(
+        supp, nation, left_key="s_nationkey", right_key="n_nationkey",
+        columns=["n_name"],
+    ).map_batches(
+        lambda b: pa.table(
+            {"s_suppkey": b.column("s_suppkey"), "supp_nation": b.column("n_name")}
+        ),
+        batch_format="pyarrow",
+    )
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    li = broadcast_semi(li, econ, left_key="l_partkey", right_key="p_partkey")
+    li = broadcast_join(
+        li, supp, left_key="l_suppkey", right_key="s_suppkey",
+        columns=["supp_nation"],
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            b.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), b.column("l_discount")),
+        )
+        return pa.table(
+            {
+                "l_orderkey": b.column("l_orderkey"),
+                "rev": rev,
+                "supp_nation": b.column("supp_nation"),
+            }
+        )
+
+    li = li.map_batches(prep, batch_format="pyarrow")
+
+    # orders side: ASIA customers, 1995-1996 window, year extracted map-side
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    cust = broadcast_join(
+        cust, nation, left_key="c_nationkey", right_key="n_nationkey",
+        columns=["n_regionkey"],
+    )
+    region = _read(sf_dir, "region", ["r_regionkey", "r_name"])
+    cust = broadcast_join(
+        cust, region, left_key="n_regionkey", right_key="r_regionkey",
+        columns=["r_name"],
+    )
+    asia = cust.map_batches(
+        lambda b: b.filter(pc.equal(b.column("r_name"), "ASIA")).select(["c_custkey"]),
+        batch_format="pyarrow",
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    olo = pa.scalar(np.datetime64("1995-01-01", "us"))
+    ohi = pa.scalar(np.datetime64("1997-01-01", "us"))
+
+    def order_prep(b: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.greater_equal(b.column("o_orderdate"), olo),
+            pc.less(b.column("o_orderdate"), ohi),
+        )
+        b = b.filter(mask)
+        return pa.table(
+            {
+                "o_orderkey": b.column("o_orderkey"),
+                "o_custkey": b.column("o_custkey"),
+                "o_year": pc.year(b.column("o_orderdate")),
+            }
+        )
+
+    orders = orders.map_batches(order_prep, batch_format="pyarrow")
+    orders = broadcast_semi(orders, asia, left_key="o_custkey", right_key="c_custkey")
+    orders = orders.map_batches(
+        lambda b: b.select(["o_orderkey", "o_year"]), batch_format="pyarrow"
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        # join key (orderkey) != group key (year) → this is a PARTIAL;
+        # sums are associative so the tiny per-year merge below finishes it
+        tgt = pc.if_else(
+            pc.equal(t.column("supp_nation"), "NATION_5"),
+            t.column("rev"), pa.scalar(0.0),
+        )
+        t2 = pa.table(
+            {"o_year": t.column("o_year"), "vol_all": t.column("rev"), "vol_tgt": tgt}
+        )
+        g = t2.group_by("o_year").aggregate([("vol_all", "sum"), ("vol_tgt", "sum")])
+        return pa.table(
+            {
+                "o_year": g.column("o_year"),
+                "vol_all": g.column("vol_all_sum"),
+                "vol_tgt": g.column("vol_tgt_sum"),
+            }
+        )
+
+    joined = hash_join(
+        li, orders, left_key="l_orderkey", right_key="o_orderkey", post=partial
+    )
+    agg = grouped_agg(
+        joined, ["o_year"],
+        [("sum_all", "vol_all", "sum"), ("sum_tgt", "vol_tgt", "sum")],
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        share = round_like_duckdb(pc.divide(b.column("sum_tgt"), b.column("sum_all")), 6)
+        return pa.table({"o_year": b.column("o_year"), "mkt_share": share})
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+QUERIES.update(
+    {
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "q8_national_market_share": q8_national_market_share,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "q6_forecast_revenue": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= DATE '1996-01-01'
+              AND l_shipdate < DATE '1997-01-01'
+              AND l_discount > 0.03 AND l_discount < 0.07
+              AND l_quantity < 24
+        """,
+        "q8_national_market_share": """
+            WITH vol AS (
+                SELECT extract(year FROM o_orderdate) AS o_year,
+                       l_extendedprice * (1 - l_discount) AS rev,
+                       n2.n_name AS supp_nation
+                FROM lineitem
+                JOIN orders ON o_orderkey = l_orderkey
+                JOIN customer ON c_custkey = o_custkey
+                JOIN nation n1 ON n1.n_nationkey = c_nationkey
+                JOIN region ON r_regionkey = n1.n_regionkey
+                JOIN supplier ON s_suppkey = l_suppkey
+                JOIN nation n2 ON n2.n_nationkey = s_nationkey
+                JOIN part ON p_partkey = l_partkey
+                WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+                  AND o_orderdate >= DATE '1995-01-01'
+                  AND o_orderdate < DATE '1997-01-01'
+            )
+            SELECT o_year,
+                   round(sum(CASE WHEN supp_nation = 'NATION_5' THEN rev
+                                  ELSE 0 END) / sum(rev), 6) AS mkt_share
+            FROM vol GROUP BY o_year
+        """,
+    }
+)
