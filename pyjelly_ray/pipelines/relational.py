@@ -4299,3 +4299,66 @@ ORACLE_SQL.update(
         """,
     }
 )
+
+
+def q_near_dup_doc_groups(sf_dir: str):
+    """Fuzzy-dedup clustering, end to end and EXACT: word-3-gram Jaccard
+    ≥ 0.8 pairs (prefix-filter self-join — complete, unlike MinHash) →
+    distributed connected components (min-label propagation + pointer
+    jumping) → per-doc dup group + canonical flag (canonical = the group's
+    minimum doc_id, the doc a dedup pass would keep).  The whole pipeline
+    is the standard near-dup removal recipe over a training corpus; every
+    stage is cluster-side (the only driver reads are the CC convergence
+    scalars)."""
+    from ..stages.graph import connected_components
+    from ..stages.sim import ngram_jaccard_pairs
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(docs, threshold=0.8, n=3)
+    comps = connected_components(pairs, src="doc_a", dst="doc_b")
+
+    def finalize(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b.column("node"),
+                "dup_group": b.column("component"),
+                "is_canonical": pc.equal(b.column("node"), b.column("component")),
+            }
+        )
+
+    return comps.map_batches(finalize, batch_format="pyarrow")
+
+
+QUERIES["q_near_dup_doc_groups"] = q_near_dup_doc_groups
+ORACLE_SQL["q_near_dup_doc_groups"] = """
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+        CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+             ELSE list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                 FOR i IN range(1, len(t)-1)])
+        END AS gs
+      FROM toks
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+            / (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) >= 0.8
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, root) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node AS doc_id, min(root) AS dup_group,
+           (node = min(root)) AS is_canonical
+    FROM reach GROUP BY node
+"""
