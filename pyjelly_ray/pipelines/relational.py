@@ -4362,3 +4362,23 @@ ORACLE_SQL["q_near_dup_doc_groups"] = """
            (node = min(root)) AS is_canonical
     FROM reach GROUP BY node
 """
+
+
+def q_customer_name_edit1(sf_dir: str):
+    """Exact fuzzy self-match: customer-name pairs within edit distance 1
+    (SymSpell deletion-neighborhood join — complete, one shuffle of
+    variant-hash rows, vectorized prefix/suffix verify).  The entity-
+    resolution primitive: near-identical identifiers without an O(n²)
+    cross join (the oracle below IS that cross join)."""
+    from ..stages.sim import edit1_pairs
+
+    cust = _read(sf_dir, "customer", ["c_name"])
+    return edit1_pairs(cust, "c_name")
+
+
+QUERIES["q_customer_name_edit1"] = q_customer_name_edit1
+ORACLE_SQL["q_customer_name_edit1"] = """
+    SELECT a.c_name AS name_a, b.c_name AS name_b
+    FROM customer a JOIN customer b ON a.c_name < b.c_name
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+"""

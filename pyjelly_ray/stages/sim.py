@@ -780,3 +780,180 @@ def ngram_jaccard_pairs(docs_ds, *, threshold: float = 0.8, n: int = 3):
         )
 
     return grouped_map(joined, "pair", verify)
+
+
+# --------------------------------------------------------------------------
+# Exact edit-distance-1 fuzzy self-join (SymSpell deletion neighborhoods)
+# --------------------------------------------------------------------------
+
+_ED1_POWS = None  # lazy per-process: uint64 polynomial-hash powers
+
+
+def _variant_hash_matrix(mat: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """uint64 polynomial hash of each row of a zero-padded byte matrix,
+    mixed with the row's logical length (so zero padding never aliases)."""
+    global _ED1_POWS
+    L = mat.shape[1] if mat.ndim == 2 else 0
+    if _ED1_POWS is None or len(_ED1_POWS) < L:
+        p = np.uint64(1099511628211)
+        pows = np.empty(max(L, 1), np.uint64)
+        acc = np.uint64(1)
+        with np.errstate(over="ignore"):
+            for i in range(max(L, 1)):
+                pows[i] = acc
+                acc = acc * p
+        _ED1_POWS = pows
+    with np.errstate(over="ignore"):
+        h = (mat.astype(np.uint64) * _ED1_POWS[:L]).sum(axis=1, dtype=np.uint64)
+        return h * np.uint64(0x9E3779B97F4A7C15) + lengths.astype(np.uint64)
+
+
+def _to_byte_matrix(strs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Object array of ASCII strings → (n, L) uint8 zero-padded matrix +
+    logical lengths.  (ASCII assumption: deletion operates on bytes; fine
+    for identifier-like columns, documented in :func:`edit1_pairs`.)"""
+    fixed = np.array(strs, dtype="S")  # zero-padded fixed width
+    lengths = np.char.str_len(fixed).astype(np.int64)
+    L = fixed.dtype.itemsize
+    mat = fixed.view(np.uint8).reshape(len(strs), L) if len(strs) else np.empty(
+        (0, 0), np.uint8
+    )
+    return mat, lengths
+
+
+def _ed1_verify_mask(a_strs: np.ndarray, b_strs: np.ndarray) -> np.ndarray:
+    """Exact vectorized ED(a,b) <= 1 for candidate pairs: common prefix p +
+    common suffix q cover rule — dl=0: p+q >= len-1 (one substitution);
+    dl=1: p+q >= minlen (one indel).  No per-pair Python."""
+    n = len(a_strs)
+    if n == 0:
+        return np.empty(0, bool)
+    am, al = _to_byte_matrix(a_strs)
+    bm, bl = _to_byte_matrix(b_strs)
+    L = max(am.shape[1], bm.shape[1])
+    if am.shape[1] < L:
+        am = np.pad(am, ((0, 0), (0, L - am.shape[1])))
+    if bm.shape[1] < L:
+        bm = np.pad(bm, ((0, 0), (0, L - bm.shape[1])))
+    cols = np.arange(L)
+    # distinct pad bytes per side → pads never match each other or data
+    am = np.where(cols >= al[:, None], np.uint8(0xFE), am)
+    bm = np.where(cols >= bl[:, None], np.uint8(0xFF), bm)
+    dl = np.abs(al - bl)
+    minlen = np.minimum(al, bl)
+    eq = am == bm
+    p = np.minimum(eq.cumprod(axis=1).sum(axis=1), minlen)
+    # reversed rows (per logical length), pads restored
+    rows = np.arange(n)[:, None]
+    ra = np.where(cols < al[:, None], am[rows, np.maximum(al[:, None] - 1 - cols, 0)],
+                  np.uint8(0xFE))
+    rb = np.where(cols < bl[:, None], bm[rows, np.maximum(bl[:, None] - 1 - cols, 0)],
+                  np.uint8(0xFF))
+    req = ra == rb
+    q = np.minimum(req.cumprod(axis=1).sum(axis=1), minlen)
+    need = minlen - (dl == 0)
+    return (dl <= 1) & (p + q >= need)
+
+
+_ED1_EMPTY = pa.table(
+    {"name_a": pa.array([], pa.string()), "name_b": pa.array([], pa.string())}
+)
+
+
+def _ed1_candidates_part(t: pa.Table) -> pa.Table:
+    """Per-partition kernel: deletion-variant buckets → verified ED<=1
+    pairs.  Buckets are variant-hash runs; almost all are singletons, so
+    pair generation only touches runs of size >= 2 (numpy triu), and the
+    exact prefix/suffix verify drops ED=2 co-deletions and hash collisions."""
+    from .agg import _key_run_bounds
+
+    if t.num_rows == 0:
+        return _ED1_EMPTY
+    t = t.sort_by([("vh", "ascending"), ("name", "ascending")])
+    db = _key_run_bounds(t, ["vh", "name"])
+    mask = np.zeros(t.num_rows, bool)
+    mask[db[:-1]] = True
+    t = t.filter(pa.array(mask))
+    bounds = _key_run_bounds(t, ["vh"])
+    sizes = np.diff(bounds)
+    names = t.column("name").to_numpy(zero_copy_only=False)
+    a_out, b_out = [], []
+    for ri in np.flatnonzero(sizes >= 2):
+        s, e = int(bounds[ri]), int(bounds[ri + 1])
+        ii, jj = np.triu_indices(e - s, k=1)
+        a_out.append(names[s:e][ii])
+        b_out.append(names[s:e][jj])
+    if not a_out:
+        return _ED1_EMPTY
+    a = np.concatenate(a_out)
+    b = np.concatenate(b_out)
+    keep = _ed1_verify_mask(a, b)
+    a, b = a[keep], b[keep]
+    return pa.table({"name_a": pa.array(a, pa.string()), "name_b": pa.array(b, pa.string())})
+
+
+def edit1_pairs(ds, col: str, *, num_partitions: int | None = None):
+    """EXACT all-pairs edit-distance <= 1 self-join on a string column
+    (SymSpell deletion neighborhoods, distributed).
+
+    Completeness: if ED(a,b) <= 1 then a and b share a single-deletion
+    variant (delete the edited position from whichever side has it — a
+    substitution shares ``del_i`` of both, an indel shares the shorter
+    string itself), so bucketing by the variant's hash loses no true pair;
+    the vectorized prefix/suffix verify then drops ED=2 co-deletions and
+    hash collisions, so the result is exact.  ASCII-oriented (deletions act
+    on bytes).
+
+    Scale shape (for a dictionary/entity-name table of any size):
+
+        map_batches: name → (variant uint64 hash, name) rows   # ≤ len+1 per name
+        grouped_map(vh): bucket pairs + vectorized verify      # the one shuffle
+        grouped_agg(name_a, name_b): pair dedup                # combiner + tiny
+
+    The exchange carries hashes, not variant strings; a name of length L
+    contributes L+1 rows, so shuffle volume is O(total bytes), same order
+    as the input.  Output: distinct ``(name_a, name_b)``, ``name_a <
+    name_b`` lexicographically.
+    """
+    from .agg import grouped_agg, grouped_map
+
+    def explode(b: pa.Table) -> pa.Table:
+        names_arr = b.column(col)
+        strs = names_arr.to_numpy(zero_copy_only=False)
+        n = len(strs)
+        if n == 0:
+            return pa.table(
+                {"vh": pa.array([], pa.uint64()), "name": pa.array([], pa.string())}
+            )
+        mat, lengths = _to_byte_matrix(strs)
+        L = mat.shape[1]
+        vh_out = [_variant_hash_matrix(mat, lengths)]  # identity variant
+        idx_out = [np.arange(n)]
+        for i in range(L):
+            alive = lengths > i  # deleting position i only exists when len > i
+            if not alive.any():
+                break
+            sub = np.delete(mat[alive], i, axis=1)
+            vh_out.append(_variant_hash_matrix(sub, lengths[alive] - 1))
+            idx_out.append(np.flatnonzero(alive))
+        vh = np.concatenate(vh_out)
+        idx = np.concatenate(idx_out)
+        return pa.table(
+            {"vh": pa.array(vh, pa.uint64()), "name": pa.array(strs[idx], pa.string())}
+        )
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+    pairs = grouped_map(
+        exploded, "vh", _ed1_candidates_part, per_group=False,
+        num_partitions=num_partitions,
+        empty_schema=pa.table(
+            {"vh": pa.array([], pa.uint64()), "name": pa.array([], pa.string())}
+        ),
+    )
+    deduped = grouped_agg(
+        pairs, ["name_a", "name_b"], [("n", "name_a", "count")],
+        num_partitions=num_partitions,
+    )
+    return deduped.map_batches(
+        lambda b: b.drop_columns(["n"]), batch_format="pyarrow"
+    )

@@ -1910,3 +1910,73 @@ def test_grouped_agg_skew_kurt(ray_session):
             else:
                 assert abs(g - e) < 1e-6, (k, c, g, e)
     assert pd.isna(got.loc["d", "sk"]) and pd.isna(got.loc["c", "ku"])
+
+
+def test_ed1_verify_kernel_exact():
+    """Prefix/suffix cover rule == true Levenshtein <= 1 on adversarial +
+    random pairs (repeated chars, empty, prefix-of, off-by-one digits)."""
+    import random
+
+    import numpy as np
+
+    from pyjelly_ray.stages.sim import _ed1_verify_mask
+
+    def ed(a, b):
+        la, lb = len(a), len(b)
+        d = list(range(lb + 1))
+        for i in range(1, la + 1):
+            prev, d[0] = d[0], i
+            for j in range(1, lb + 1):
+                prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1, prev + (a[i - 1] != b[j - 1]))
+        return d[lb]
+
+    random.seed(0)
+    words = ["", "a", "aa", "aaa", "ab", "ba", "abc", "abcd", "axcd", "abd",
+             "Customer#000000001", "Customer#000000011", "Customer#00000001"]
+    words += ["".join(random.choices("abc", k=random.randint(0, 5))) for _ in range(300)]
+    a_col, b_col = [], []
+    for i in range(len(words)):
+        for j in range(i + 1, len(words)):
+            a_col.append(words[i])
+            b_col.append(words[j])
+    mask = _ed1_verify_mask(np.array(a_col, object), np.array(b_col, object))
+    for k in range(len(a_col)):
+        assert mask[k] == (ed(a_col[k], b_col[k]) <= 1), (a_col[k], b_col[k])
+
+
+def test_edit1_pairs_matches_bruteforce(ray_session):
+    """Distributed SymSpell join == brute-force ED<=1 pairs (complete AND
+    precise) on a multi-block random dictionary."""
+    import random
+
+    import pyarrow as pa
+    import ray
+
+    from pyjelly_ray.stages.sim import edit1_pairs
+
+    random.seed(1)
+    words = sorted({"".join(random.choices("abcd", k=random.randint(1, 7)))
+                    for _ in range(600)})
+    ds = ray.data.from_arrow(pa.table({"w": pa.array(words)})).repartition(5)
+    tabs = [t for t in ray.get(edit1_pairs(ds, "w").to_arrow_refs())
+            if t.num_columns > 0]
+    got = set()
+    if tabs:
+        merged = pa.concat_tables(tabs)
+        got = set(zip(merged.column("name_a").to_pylist(),
+                      merged.column("name_b").to_pylist()))
+
+    def ed(a, b):
+        la, lb = len(a), len(b)
+        if abs(la - lb) > 1:
+            return 2
+        d = list(range(lb + 1))
+        for i in range(1, la + 1):
+            prev, d[0] = d[0], i
+            for j in range(1, lb + 1):
+                prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1, prev + (a[i - 1] != b[j - 1]))
+        return d[lb]
+
+    want = {(words[i], words[j]) for i in range(len(words))
+            for j in range(i + 1, len(words)) if ed(words[i], words[j]) <= 1}
+    assert got == want and len(want) > 50
