@@ -4382,3 +4382,63 @@ ORACLE_SQL["q_customer_name_edit1"] = """
     FROM customer a JOIN customer b ON a.c_name < b.c_name
     WHERE levenshtein(a.c_name, b.c_name) <= 1
 """
+
+
+def q_user_activity_spans(sf_dir: str):
+    """Interval coalescing: each event opens a [ts, ts + value minutes)
+    interval; overlapping/touching intervals per user merge into activity
+    spans (one keyed exchange + per-run vectorized sweep).  The
+    availability-window / log-span-union operator."""
+    from ..stages.window import coalesce_intervals
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        s = pc.cast(b.column("ts"), pa.int64())
+        dur = pc.cast(
+            pc.floor(pc.multiply(b.column("value"), pa.scalar(60_000_000.0))),
+            pa.int64(),
+        )
+        return pa.table(
+            {"user_id": b.column("user_id"), "s": s, "e": pc.add(s, dur)}
+        )
+
+    iv = ev.map_batches(prep, batch_format="pyarrow")
+    spans = coalesce_intervals(iv, key="user_id", start="s", end="e")
+    return spans.map_batches(
+        lambda b: pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "span_start_us": b.column("span_start"),
+                "span_end_us": b.column("span_end"),
+                "n_merged": b.column("n_merged"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+QUERIES["q_user_activity_spans"] = q_user_activity_spans
+ORACLE_SQL["q_user_activity_spans"] = """
+    WITH iv AS (
+      SELECT user_id, epoch_us(ts) AS s,
+             epoch_us(ts) + CAST(floor(value * 60000000) AS BIGINT) AS e
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, s, e,
+             CASE WHEN s > max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS new
+      FROM iv
+    ),
+    isl AS (
+      SELECT user_id, s, e,
+             sum(new) OVER (PARTITION BY user_id ORDER BY s, e
+                            ROWS UNBOUNDED PRECEDING) AS grp
+      FROM flagged
+    )
+    SELECT user_id, min(s) AS span_start_us, max(e) AS span_end_us,
+           count(*) AS n_merged
+    FROM isl GROUP BY user_id, grp
+"""

@@ -434,3 +434,73 @@ def funnel_stages(ds, *, key: str, ts_col: str, type_col: str,
         )
 
     return grouped_map(ds, key, part, per_group=False)
+
+
+def coalesce_intervals(ds, *, key: str, start: str, end: str,
+                       num_partitions: int | None = None):
+    """Merge overlapping/touching intervals per key (interval coalescing —
+    availability windows, log-span merging, on-time unions).
+
+    One keyed hash exchange; per partition: one sort by ``(key, start,
+    end)``, a per-run ``maximum.accumulate`` of the end column, and island
+    detection (``start > running max end`` opens a new span — touching
+    intervals, ``start == prev end``, merge, as in the usual SQL
+    gaps-and-islands rewrite).  Output: one row per merged span with
+    ``span_start``, ``span_end`` and ``n_merged`` (input intervals
+    absorbed).  Works on any orderable numeric/timestamp columns.  Same
+    partitioning assumption as :func:`sessionize`: one key's intervals
+    co-locate (series per key bounded by that key's rows).
+    """
+    from .agg import _key_run_bounds
+
+    schema = ds.schema()
+    schema = getattr(schema, "base_schema", schema)  # Ray wraps pyarrow.Schema
+    key_t = schema.field(key).type
+    val_t = schema.field(start).type
+    empty = pa.table(
+        {
+            key: pa.array([], key_t),
+            "span_start": pa.array([], val_t),
+            "span_end": pa.array([], val_t),
+            "n_merged": pa.array([], pa.int64()),
+        }
+    )
+
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        t = t.sort_by(
+            [(key, "ascending"), (start, "ascending"), (end, "ascending")]
+        )
+        bounds = _key_run_bounds(t, [key])
+        s_np = t.column(start).combine_chunks().to_numpy(zero_copy_only=False)
+        e_np = t.column(end).combine_chunks().to_numpy(zero_copy_only=False)
+        n = t.num_rows
+        cm = np.empty_like(e_np)
+        new = np.zeros(n, bool)
+        for rs, re_ in zip(bounds[:-1], bounds[1:]):
+            cm[rs:re_] = np.maximum.accumulate(e_np[rs:re_])
+            new[rs] = True
+            if re_ - rs > 1:
+                new[rs + 1 : re_] = s_np[rs + 1 : re_] > cm[rs : re_ - 1]
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], n)
+        return pa.table(
+            {
+                key: t.column(key).take(pa.array(starts)),
+                "span_start": pa.array(s_np[starts]),
+                "span_end": pa.array(cm[ends - 1]),
+                "n_merged": pa.array(ends - starts, pa.int64()),
+            }
+        )
+
+    return grouped_map(
+        ds, key, kernel, per_group=False, num_partitions=num_partitions,
+        empty_schema=pa.table(
+            {
+                key: pa.array([], key_t),
+                start: pa.array([], val_t),
+                end: pa.array([], val_t),
+            }
+        ),
+    )

@@ -1980,3 +1980,64 @@ def test_edit1_pairs_matches_bruteforce(ray_session):
     want = {(words[i], words[j]) for i in range(len(words))
             for j in range(i + 1, len(words)) if ed(words[i], words[j]) <= 1}
     assert got == want and len(want) > 50
+
+
+def test_coalesce_intervals_matches_bruteforce(ray_session):
+    """Interval coalescing == brute-force sweep on adversarial data:
+    nested intervals, exactly-touching ends (merge), duplicates, singleton
+    keys, multi-block input."""
+    import random
+
+    import pyarrow as pa
+    import ray
+
+    from pyjelly_ray.stages.window import coalesce_intervals
+
+    random.seed(4)
+    rows = []
+    for key in range(40):
+        for _ in range(random.randint(1, 60)):
+            s = random.randint(0, 500)
+            rows.append((key, s, s + random.choice([0, 1, 3, 10, 80])))
+    rows.append((99, 5, 10))
+    rows.append((99, 10, 12))   # touching → one span
+    rows.append((98, 0, 100))
+    rows.append((98, 20, 30))   # nested
+    t = pa.table(
+        {
+            "k": pa.array([r[0] for r in rows], pa.int64()),
+            "s": pa.array([r[1] for r in rows], pa.int64()),
+            "e": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(6)
+    got_tabs = [
+        b for b in ray.get(
+            coalesce_intervals(ds, key="k", start="s", end="e").to_arrow_refs()
+        ) if b.num_columns > 0
+    ]
+    merged = pa.concat_tables(got_tabs)
+    got = sorted(
+        zip(
+            merged.column("k").to_pylist(),
+            merged.column("span_start").to_pylist(),
+            merged.column("span_end").to_pylist(),
+            merged.column("n_merged").to_pylist(),
+        )
+    )
+
+    want = []
+    by_key = {}
+    for k, s, e in rows:
+        by_key.setdefault(k, []).append((s, e))
+    for k, iv in by_key.items():
+        iv.sort()
+        cs, ce, n = iv[0][0], iv[0][1], 1
+        for s, e in iv[1:]:
+            if s > ce:
+                want.append((k, cs, ce, n))
+                cs, ce, n = s, e, 1
+            else:
+                ce, n = max(ce, e), n + 1
+        want.append((k, cs, ce, n))
+    assert got == sorted(want)
