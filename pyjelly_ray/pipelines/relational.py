@@ -4442,3 +4442,45 @@ ORACLE_SQL["q_user_activity_spans"] = """
            count(*) AS n_merged
     FROM isl GROUP BY user_id, grp
 """
+
+
+def q_user_daily_spend_dense(sf_dir: str):
+    """Time-series densification: per-user daily spend with missing days
+    zero-filled between each user's first and last active day — the
+    gap-fill step that makes rolling/lag features correct on sparse
+    series.  Aggregate to (user, day) first (combiner + one exchange),
+    then a vectorized spine scatter on the same partitioning."""
+    from ..stages.window import densify_days
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def day_of(b: pa.Table) -> pa.Table:
+        us = pc.cast(b.column("ts"), pa.int64())
+        return pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "day": pc.divide(us, pa.scalar(86_400_000_000, pa.int64())),
+                "value": b.column("value"),
+            }
+        )
+
+    daily = grouped_agg(
+        ev.map_batches(day_of, batch_format="pyarrow"),
+        ["user_id", "day"], [("spend", "value", "sum")], round_to=2,
+    )
+    return densify_days(daily, key="user_id", day="day", value="spend")
+
+
+QUERIES["q_user_daily_spend_dense"] = q_user_daily_spend_dense
+ORACLE_SQL["q_user_daily_spend_dense"] = """
+    WITH d AS (
+      SELECT user_id,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+             round(sum(value), 2) AS spend
+      FROM events GROUP BY 1, 2
+    ),
+    b AS (SELECT user_id, min(day) AS lo, max(day) AS hi FROM d GROUP BY 1),
+    spine AS (SELECT user_id, unnest(range(lo, hi + 1)) AS day FROM b)
+    SELECT s.user_id, s.day, coalesce(d.spend, 0.0) AS spend
+    FROM spine s LEFT JOIN d ON d.user_id = s.user_id AND d.day = s.day
+"""

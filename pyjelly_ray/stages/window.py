@@ -504,3 +504,70 @@ def coalesce_intervals(ds, *, key: str, start: str, end: str,
             }
         ),
     )
+
+
+def densify_days(ds, *, key: str, day: str, value: str,
+                 num_partitions: int | None = None):
+    """Time-series densification: per key, emit one row per integer day
+    from that key's min to max observed day, zero-filling days with no
+    data (the gap-fill step before any rolling/lag feature, which is
+    wrong on sparse series).
+
+    One keyed exchange; the spine is built fully vectorized per partition
+    (offsets from per-run day spans + one scatter of the observed values —
+    no per-key Python, no per-day rows ever leave the partition that owns
+    the key).  Emitted rows per key = that key's day span; pre-aggregate
+    to (key, day) before calling so input rows are already one-per-day.
+    """
+    from .agg import _key_run_bounds
+
+    schema = ds.schema()
+    schema = getattr(schema, "base_schema", schema)
+    key_t = schema.field(key).type
+    val_t = schema.field(value).type
+    empty = pa.table(
+        {
+            key: pa.array([], key_t),
+            day: pa.array([], pa.int64()),
+            value: pa.array([], val_t),
+        }
+    )
+
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        t = t.sort_by([(key, "ascending"), (day, "ascending")])
+        bounds = _key_run_bounds(t, [key])
+        days = t.column(day).combine_chunks().to_numpy(zero_copy_only=False)
+        vals = t.column(value).combine_chunks().to_numpy(zero_copy_only=False)
+        starts, ends = bounds[:-1], bounds[1:]
+        lo, hi = days[starts], days[ends - 1]
+        spans = (hi - lo + 1).astype(np.int64)
+        off = np.concatenate([[0], np.cumsum(spans)])
+        total = int(off[-1])
+        nruns = len(starts)
+        run_of_out = np.repeat(np.arange(nruns), spans)
+        out_day = np.arange(total, dtype=np.int64) - off[run_of_out] + lo[run_of_out]
+        out_val = np.zeros(total, dtype=vals.dtype)
+        run_of_obs = np.repeat(np.arange(nruns), ends - starts)
+        obs_pos = off[run_of_obs] + (days - lo[run_of_obs])
+        out_val[obs_pos] = vals
+        out_key = t.column(key).take(pa.array(starts)).combine_chunks()
+        return pa.table(
+            {
+                key: out_key.take(pa.array(run_of_out)),
+                day: pa.array(out_day),
+                value: pa.array(out_val),
+            }
+        )
+
+    return grouped_map(
+        ds, key, kernel, per_group=False, num_partitions=num_partitions,
+        empty_schema=pa.table(
+            {
+                key: pa.array([], key_t),
+                day: pa.array([], pa.int64()),
+                value: pa.array([], val_t),
+            }
+        ),
+    )

@@ -2041,3 +2041,47 @@ def test_coalesce_intervals_matches_bruteforce(ray_session):
                 ce, n = max(ce, e), n + 1
         want.append((k, cs, ce, n))
     assert got == sorted(want)
+
+
+def test_densify_days_matches_bruteforce(ray_session):
+    """Vectorized spine scatter == per-key brute force: sparse series,
+    single-day keys, long gaps, negative days, multi-block input."""
+    import random
+
+    import pyarrow as pa
+    import ray
+
+    from pyjelly_ray.stages.window import densify_days
+
+    random.seed(7)
+    rows = []
+    for k in range(30):
+        days = sorted(random.sample(range(-20, 120), random.randint(1, 15)))
+        for d in days:
+            rows.append((k, d, round(random.uniform(0.5, 9.5), 2)))
+    t = pa.table(
+        {
+            "k": pa.array([r[0] for r in rows], pa.int64()),
+            "day": pa.array([r[1] for r in rows], pa.int64()),
+            "v": pa.array([r[2] for r in rows], pa.float64()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(5)
+    tabs = [
+        b for b in ray.get(
+            densify_days(ds, key="k", day="day", value="v").to_arrow_refs()
+        ) if b.num_columns > 0
+    ]
+    merged = pa.concat_tables(tabs)
+    got = sorted(
+        zip(merged.column("k").to_pylist(), merged.column("day").to_pylist(),
+            merged.column("v").to_pylist())
+    )
+    want = []
+    by_key = {}
+    for k, d, v in rows:
+        by_key.setdefault(k, {})[d] = v
+    for k, dv in by_key.items():
+        for d in range(min(dv), max(dv) + 1):
+            want.append((k, d, dv.get(d, 0.0)))
+    assert got == sorted(want)
