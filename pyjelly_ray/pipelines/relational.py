@@ -4484,3 +4484,74 @@ ORACLE_SQL["q_user_daily_spend_dense"] = """
     SELECT s.user_id, s.day, coalesce(d.spend, 0.0) AS spend
     FROM spine s LEFT JOIN d ON d.user_id = s.user_id AND d.day = s.day
 """
+
+
+def q_orders_quality_report(sf_dir: str):
+    """Data-quality gate over orders: expectation rules (not-null, range,
+    enum, regex, uniqueness) → one report row per rule.  Every rule except
+    ``unique`` is a pure map-side partial count; ``unique`` rides the
+    standard hash-exchange aggregate (shuffle = |distinct keys|)."""
+    from ..stages.validate import validate_table
+
+    orders = _read(
+        sf_dir, "orders",
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"],
+    )
+    rules = [
+        {"rule": "custkey_not_null", "column": "o_custkey", "kind": "not_null"},
+        {"rule": "price_range", "column": "o_totalprice", "kind": "in_range",
+         "lo": 0.0, "hi": 450000.0},
+        {"rule": "status_enum", "column": "o_orderstatus", "kind": "in_set",
+         "values": ["F", "O"]},
+        {"rule": "priority_format", "column": "o_orderpriority", "kind": "regex",
+         "pattern": "^[1-5]-"},
+        {"rule": "orderkey_unique", "column": "o_orderkey", "kind": "unique"},
+        {"rule": "custkey_unique", "column": "o_custkey", "kind": "unique"},
+    ]
+    return validate_table(orders, rules)
+
+
+QUERIES["q_orders_quality_report"] = q_orders_quality_report
+ORACLE_SQL["q_orders_quality_report"] = """
+    SELECT 'custkey_not_null' AS rule, 'o_custkey' AS "column",
+           count(*) FILTER (WHERE o_custkey IS NULL) AS n_violations,
+           count(*) AS n_rows,
+           count(*) FILTER (WHERE o_custkey IS NULL) = 0 AS passed
+    FROM orders
+    UNION ALL
+    SELECT 'price_range', 'o_totalprice',
+           count(*) FILTER (WHERE o_totalprice IS NOT NULL
+                            AND (o_totalprice < 0.0 OR o_totalprice > 450000.0)),
+           count(*),
+           count(*) FILTER (WHERE o_totalprice IS NOT NULL
+                            AND (o_totalprice < 0.0 OR o_totalprice > 450000.0)) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'status_enum', 'o_orderstatus',
+           count(*) FILTER (WHERE o_orderstatus IS NOT NULL
+                            AND o_orderstatus NOT IN ('F', 'O')),
+           count(*),
+           count(*) FILTER (WHERE o_orderstatus IS NOT NULL
+                            AND o_orderstatus NOT IN ('F', 'O')) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'priority_format', 'o_orderpriority',
+           count(*) FILTER (WHERE o_orderpriority IS NOT NULL
+                            AND NOT regexp_matches(o_orderpriority, '^[1-5]-')),
+           count(*),
+           count(*) FILTER (WHERE o_orderpriority IS NOT NULL
+                            AND NOT regexp_matches(o_orderpriority, '^[1-5]-')) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'orderkey_unique', 'o_orderkey',
+           count(o_orderkey) - count(DISTINCT o_orderkey),
+           count(o_orderkey),
+           count(o_orderkey) = count(DISTINCT o_orderkey)
+    FROM orders
+    UNION ALL
+    SELECT 'custkey_unique', 'o_custkey',
+           count(o_custkey) - count(DISTINCT o_custkey),
+           count(o_custkey),
+           count(o_custkey) = count(DISTINCT o_custkey)
+    FROM orders
+"""

@@ -1,0 +1,136 @@
+"""Data-quality validation: expectation rules → a violations report.
+
+The pre-training gate every large corpus pipeline runs before a job is
+allowed to consume a table: nulls where there must be none, values out of
+range / outside an enum, malformed strings, duplicate keys.  Reference has
+per-stream option validation (`jelly/options.py`); this generalizes it to
+table-level expectations at scale.
+
+Scale shape: every rule except ``unique`` is a pure map-side partial (one
+vectorized count per batch, a ≤|rules|-row combine — nothing wide); the
+``unique`` rule needs key co-location and rides the same hash-exchange
+`grouped_agg` as every other wide operator (shuffle volume = |distinct
+keys| after the map-side combiner, not |rows|).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _rule_mask(batch: pa.Table, rule: dict):
+    """Boolean violation mask for one non-unique rule over a batch."""
+    col = batch.column(rule["column"])
+    kind = rule["kind"]
+    if kind == "not_null":
+        return pc.is_null(col)
+    if kind == "in_range":
+        lo, hi = rule.get("lo"), rule.get("hi")
+        bad = pa.array(np.zeros(len(batch), bool))
+        if lo is not None:
+            bad = pc.or_(bad, pc.less(col, lo))
+        if hi is not None:
+            bad = pc.or_(bad, pc.greater(col, hi))
+        # SQL-style: NULLs are not range violations (not_null is its own rule)
+        return pc.and_(bad, pc.is_valid(col))
+    if kind == "in_set":
+        ok = pc.is_in(col, value_set=pa.array(rule["values"]))
+        return pc.and_(pc.invert(ok), pc.is_valid(col))
+    if kind == "regex":
+        ok = pc.match_substring_regex(col, rule["pattern"])
+        return pc.and_(pc.invert(ok), pc.is_valid(col))
+    raise ValueError(f"unknown rule kind: {kind}")
+
+
+def validate_table(ds, rules: list[dict], *, num_partitions: int | None = None):
+    """Evaluate expectation ``rules`` over a Dataset; returns one report row
+    per rule: ``(rule, column, n_violations, n_rows, passed)``.
+
+    Each rule is a dict: ``{"rule": name, "column": c, "kind": k, ...}``
+    with kind ∈ {not_null, in_range (lo/hi), in_set (values), regex
+    (pattern), unique}.  ``unique`` counts surplus rows per duplicated
+    value (SQL ``sum(cnt - 1)``); NULLs never violate range/set/regex
+    rules (declare ``not_null`` separately, as in SQL semantics).
+    """
+    from .agg import grouped_agg
+
+    plain = [r for r in rules if r["kind"] != "unique"]
+    uniques = [r for r in rules if r["kind"] == "unique"]
+
+    results = []
+
+    if plain:
+        names = [r["rule"] for r in plain]
+
+        def partial(batch: pa.Table) -> pa.Table:
+            viol = [
+                np.int64(pc.sum(_rule_mask(batch, r)).as_py() or 0) for r in plain
+            ]
+            return pa.table(
+                {
+                    "rule": pa.array(names, pa.string()),
+                    "viol": pa.array(viol, pa.int64()),
+                    "rows": pa.array([batch.num_rows] * len(plain), pa.int64()),
+                }
+            )
+
+        partials = ds.map_batches(partial, batch_format="pyarrow")
+        merged = grouped_agg(
+            partials, ["rule"],
+            [("n_violations", "viol", "sum"), ("n_rows", "rows", "sum")],
+            num_partitions=num_partitions, sum_as_float=False,
+        )
+        results.append(merged)
+
+    for r in uniques:
+        col = r["column"]
+        # NULLs never violate uniqueness (SQL UNIQUE semantics) — drop them
+        # map-side so the NULL-key group can't produce a zero count
+        nonnull = ds.map_batches(
+            lambda b, c=col: b.select([c]).filter(pc.is_valid(b.column(c))),
+            batch_format="pyarrow",
+        )
+        counts = grouped_agg(
+            nonnull, [col], [("cnt", col, "count")], num_partitions=num_partitions,
+        )
+
+        def dup_partial(b: pa.Table, rule_name=r["rule"]) -> pa.Table:
+            cnt = b.column("cnt").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "rule": pa.array([rule_name], pa.string()),
+                    "viol": pa.array([int((cnt - 1).sum())], pa.int64()),
+                    "rows": pa.array([int(cnt.sum())], pa.int64()),
+                }
+            )
+
+        dup = counts.map_batches(dup_partial, batch_format="pyarrow")
+        results.append(
+            grouped_agg(
+                dup, ["rule"],
+                [("n_violations", "viol", "sum"), ("n_rows", "rows", "sum")],
+                num_partitions=num_partitions, sum_as_float=False,
+            )
+        )
+
+    out = results[0]
+    for other in results[1:]:
+        out = out.union(other)
+    col_of = {r["rule"]: r["column"] for r in rules}
+
+    def finalize(b: pa.Table) -> pa.Table:
+        rule_names = b.column("rule").to_pylist()
+        nv = pc.cast(b.column("n_violations"), pa.int64())
+        return pa.table(
+            {
+                "rule": b.column("rule"),
+                "column": pa.array([col_of[n] for n in rule_names], pa.string()),
+                "n_violations": nv,
+                "n_rows": pc.cast(b.column("n_rows"), pa.int64()),
+                "passed": pc.equal(nv, pa.scalar(0, pa.int64())),
+            }
+        )
+
+    return out.map_batches(finalize, batch_format="pyarrow")

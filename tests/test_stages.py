@@ -2085,3 +2085,44 @@ def test_densify_days_matches_bruteforce(ray_session):
         for d in range(min(dv), max(dv) + 1):
             want.append((k, d, dv.get(d, 0.0)))
     assert got == sorted(want)
+
+
+def test_validate_table_null_semantics(ray_session):
+    """Expectation rules follow SQL semantics: NULLs violate not_null only
+    (never range/set/regex), and uniqueness ignores NULLs entirely."""
+    import pyarrow as pa
+    import ray
+
+    from pyjelly_ray.stages.validate import validate_table
+
+    t = pa.table(
+        {
+            "k": pa.array([1, 1, 2, None, None, 3], pa.int64()),
+            "v": pa.array([5.0, -1.0, None, 99.0, 7.0, 3.0]),
+            "s": pa.array(["ok", "bad!", None, "ok", "ok", "ok"]),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(3)
+    rules = [
+        {"rule": "k_not_null", "column": "k", "kind": "not_null"},
+        {"rule": "k_unique", "column": "k", "kind": "unique"},
+        {"rule": "v_range", "column": "v", "kind": "in_range", "lo": 0.0, "hi": 10.0},
+        {"rule": "s_set", "column": "s", "kind": "in_set", "values": ["ok"]},
+        {"rule": "s_regex", "column": "s", "kind": "regex", "pattern": "^[a-z]+$"},
+    ]
+    tabs = [
+        b for b in ray.get(validate_table(ds, rules).to_arrow_refs())
+        if b.num_columns > 0
+    ]
+    rep = pa.concat_tables(tabs)
+    got = {
+        r["rule"]: (r["n_violations"], r["n_rows"], r["passed"])
+        for r in rep.to_pylist()
+    }
+    assert got == {
+        "k_not_null": (2, 6, False),
+        "k_unique": (1, 4, False),       # NULLs ignored; one surplus '1'
+        "v_range": (2, 6, False),        # -1 and 99; NULL not a violation
+        "s_set": (1, 6, False),          # 'bad!'; NULL not a violation
+        "s_regex": (1, 6, False),
+    }
