@@ -4555,3 +4555,41 @@ ORACLE_SQL["q_orders_quality_report"] = """
            count(o_custkey) = count(DISTINCT o_custkey)
     FROM orders
 """
+
+
+def q_lineitem_corr_matrix(sf_dir: str):
+    """Feature-correlation matrix in one pass: all pairwise Pearson r over
+    four lineitem measures from mergeable moments — the exchange carries 6
+    rows per block no matter the input size (the EDA screening step before
+    feature selection)."""
+    from ..stages.agg import corr_matrix
+
+    li = _read(
+        sf_dir, "lineitem", ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+    return corr_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+
+
+QUERIES["q_lineitem_corr_matrix"] = q_lineitem_corr_matrix
+ORACLE_SQL["q_lineitem_corr_matrix"] = """
+    SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_v,
+           count(*) AS n_pairs FROM lineitem
+    UNION ALL
+    SELECT 'l_quantity', 'l_discount',
+           round(corr(l_quantity, l_discount), 6), count(*) FROM lineitem
+    UNION ALL
+    SELECT 'l_quantity', 'l_tax',
+           round(corr(l_quantity, l_tax), 6), count(*) FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', 'l_discount',
+           round(corr(l_extendedprice, l_discount), 6), count(*) FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', 'l_tax',
+           round(corr(l_extendedprice, l_tax), 6), count(*) FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', 'l_tax',
+           round(corr(l_discount, l_tax), 6), count(*) FROM lineitem
+"""

@@ -1108,3 +1108,90 @@ def grouped_collect(ds, keys: list[str] | str, col: str, *,
 
     return grouped_map(ds, keys, part, per_group=False,
                        num_partitions=num_partitions)
+
+
+def corr_matrix(ds, cols: list[str], *, round_to: int = 6,
+                num_partitions: int | None = None):
+    """All pairwise Pearson correlations over ``cols`` in ONE pass.
+
+    Per batch: cast to a float64 matrix, pairwise-complete masks (a pair's
+    moments use only rows where BOTH columns are non-null, matching SQL
+    ``corr``), one partial row per (i<j) pair with mergeable moments
+    (n, Σx, Σy, Σx², Σy², Σxy).  The exchange then carries p·(p−1)/2 rows
+    per block regardless of input size; finalize applies the same
+    DuckDB-matched formula as the ``corr`` kind of :func:`grouped_agg`
+    (NULL when n ≤ 1 or a variance is 0).  Long-format output:
+    ``(col_a, col_b, corr_v, n_pairs)``.
+    """
+    pairs = [(cols[i], cols[j]) for i in range(len(cols))
+             for j in range(i + 1, len(cols))]
+    a_names = pa.array([a for a, _ in pairs], pa.string())
+    b_names = pa.array([b for _, b in pairs], pa.string())
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        mat = np.column_stack(
+            [
+                pc.cast(batch.column(c), pa.float64())
+                .combine_chunks()
+                .to_numpy(zero_copy_only=False)
+                for c in cols
+            ]
+        ) if batch.num_rows else np.empty((0, len(cols)))
+        valid = ~np.isnan(mat)
+        out = {"col_a": a_names, "col_b": b_names}
+        n_l, sx_l, sy_l, sxx_l, syy_l, sxy_l = [], [], [], [], [], []
+        for i, j in [(cols.index(a), cols.index(b)) for a, b in pairs]:
+            m = valid[:, i] & valid[:, j]
+            x, y = mat[m, i], mat[m, j]
+            n_l.append(len(x))
+            sx_l.append(x.sum()); sy_l.append(y.sum())
+            sxx_l.append((x * x).sum()); syy_l.append((y * y).sum())
+            sxy_l.append((x * y).sum())
+        out.update(
+            n=pa.array(n_l, pa.int64()),
+            sx=pa.array(sx_l, pa.float64()), sy=pa.array(sy_l, pa.float64()),
+            sxx=pa.array(sxx_l, pa.float64()), syy=pa.array(syy_l, pa.float64()),
+            sxy=pa.array(sxy_l, pa.float64()),
+        )
+        return pa.table(out)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    merged = grouped_agg(
+        partials, ["col_a", "col_b"],
+        [("n", "n", "sum"), ("sx", "sx", "sum"), ("sy", "sy", "sum"),
+         ("sxx", "sxx", "sum"), ("syy", "syy", "sum"), ("sxy", "sxy", "sum")],
+        num_partitions=num_partitions, sum_as_float=False,
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        n = pc.cast(b.column("n"), pa.float64())
+        sx, sy = b.column("sx"), b.column("sy")
+        sxx, syy, sxy = b.column("sxx"), b.column("syy"), b.column("sxy")
+        num = pc.subtract(pc.multiply(n, sxy), pc.multiply(sx, sy))
+        dx = pc.max_element_wise(
+            pc.subtract(pc.multiply(n, sxx), pc.multiply(sx, sx)),
+            pa.scalar(0.0, pa.float64()),
+        )
+        dy = pc.max_element_wise(
+            pc.subtract(pc.multiply(n, syy), pc.multiply(sy, sy)),
+            pa.scalar(0.0, pa.float64()),
+        )
+        ok = pc.and_(
+            pc.greater(n, pa.scalar(1.0)),
+            pc.and_(pc.greater(dx, pa.scalar(0.0)), pc.greater(dy, pa.scalar(0.0))),
+        )
+        denom = pc.sqrt(pc.multiply(dx, dy))
+        r = pc.divide(num, pc.if_else(ok, denom, pa.scalar(1.0)))
+        r = pc.if_else(ok, r, pa.scalar(None, pa.float64()))
+        return pa.table(
+            {
+                "col_a": b.column("col_a"),
+                "col_b": b.column("col_b"),
+                "corr_v": round_like_duckdb(r, round_to),
+                "n_pairs": pc.cast(b.column("n"), pa.int64()),
+            }
+        )
+
+    return merged.map_batches(finalize, batch_format="pyarrow")
