@@ -4593,3 +4593,62 @@ ORACLE_SQL["q_lineitem_corr_matrix"] = """
     SELECT 'l_discount', 'l_tax',
            round(corr(l_discount, l_tax), 6), count(*) FROM lineitem
 """
+
+
+def q_user_event_entropy(sf_dir: str):
+    """Behavioral-diversity profiling: Shannon entropy of each user's
+    event-type distribution, computed from mergeable partials only —
+    H = ln N − (Σ n·ln n)/N over per-(user, type) counts, so nothing wider
+    than two small keyed aggregates ever runs."""
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    counts = grouped_agg(
+        ev, ["user_id", "event_type"], [("n", "event_type", "count")]
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        n = pc.cast(b.column("n"), pa.float64())
+        return pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "n": n,
+                "nlogn": pc.multiply(n, pc.ln(n)),
+            }
+        )
+
+    partials = counts.map_batches(prep, batch_format="pyarrow")
+    agg = grouped_agg(
+        partials, ["user_id"], [("total", "n", "sum"), ("s_nlogn", "nlogn", "sum")]
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        from ..stages.agg import round_like_duckdb
+
+        total = b.column("total")
+        h = pc.subtract(
+            pc.ln(total), pc.divide(b.column("s_nlogn"), total)
+        )
+        return pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "n_events": pc.cast(total, pa.int64()),
+                "entropy": round_like_duckdb(h, 6),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+QUERIES["q_user_event_entropy"] = q_user_event_entropy
+ORACLE_SQL["q_user_event_entropy"] = """
+    WITH c AS (
+      SELECT user_id, event_type, CAST(count(*) AS DOUBLE) AS n
+      FROM events GROUP BY user_id, event_type
+    ),
+    s AS (
+      SELECT user_id, sum(n) AS total, sum(n * ln(n)) AS s_nlogn
+      FROM c GROUP BY user_id
+    )
+    SELECT user_id, CAST(total AS BIGINT) AS n_events,
+           round(ln(total) - s_nlogn / total, 6) AS entropy
+    FROM s
+"""
