@@ -4652,3 +4652,61 @@ ORACLE_SQL["q_user_event_entropy"] = """
            round(ln(total) - s_nlogn / total, 6) AS entropy
     FROM s
 """
+
+
+def q_referential_integrity(sf_dir: str):
+    """Cross-table referential-integrity report: FK orphan counts for
+    orders→customer (dimension-sized ref → broadcast anti, zero shuffle)
+    and lineitem→orders (fact-sized ref → co-partitioned LEFT ANTI hash
+    join), plus an intentionally-violated check (orders→high-value
+    customers) so the fail branch is exercised."""
+    from ..stages.validate import validate_foreign_key
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey"])
+
+    r1 = validate_foreign_key(
+        orders, rule="orders_custkey_fk", column="o_custkey",
+        ref_ds=cust, ref_column="c_custkey",
+    )
+    r2 = validate_foreign_key(
+        li, rule="lineitem_orderkey_fk", column="l_orderkey",
+        ref_ds=orders, ref_column="o_orderkey", broadcast=False,
+    )
+    rich = cust.map_batches(
+        lambda b: b.filter(pc.greater(b.column("c_acctbal"), 5000.0)),
+        batch_format="pyarrow",
+    )
+    r3 = validate_foreign_key(
+        orders, rule="orders_rich_customer_fk", column="o_custkey",
+        ref_ds=rich, ref_column="c_custkey",
+    )
+    return r1.union(r2).union(r3)
+
+
+QUERIES["q_referential_integrity"] = q_referential_integrity
+ORACLE_SQL["q_referential_integrity"] = """
+    SELECT 'orders_custkey_fk' AS rule, 'o_custkey' AS "column",
+           count(*) FILTER (WHERE c_custkey IS NULL) AS n_violations,
+           count(*) AS n_rows,
+           count(*) FILTER (WHERE c_custkey IS NULL) = 0 AS passed
+    FROM orders LEFT JOIN customer ON c_custkey = o_custkey
+    WHERE o_custkey IS NOT NULL
+    UNION ALL
+    SELECT 'lineitem_orderkey_fk', 'l_orderkey',
+           count(*) FILTER (WHERE o_orderkey IS NULL),
+           count(*),
+           count(*) FILTER (WHERE o_orderkey IS NULL) = 0
+    FROM lineitem LEFT JOIN orders ON o_orderkey = l_orderkey
+    WHERE l_orderkey IS NOT NULL
+    UNION ALL
+    SELECT 'orders_rich_customer_fk', 'o_custkey',
+           count(*) FILTER (WHERE r.c_custkey IS NULL),
+           count(*),
+           count(*) FILTER (WHERE r.c_custkey IS NULL) = 0
+    FROM orders LEFT JOIN (SELECT c_custkey FROM customer
+                           WHERE c_acctbal > 5000.0) r
+         ON r.c_custkey = o_custkey
+    WHERE o_custkey IS NOT NULL
+"""

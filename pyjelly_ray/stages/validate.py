@@ -134,3 +134,51 @@ def validate_table(ds, rules: list[dict], *, num_partitions: int | None = None):
         )
 
     return out.map_batches(finalize, batch_format="pyarrow")
+
+
+def validate_foreign_key(ds, *, rule: str, column: str, ref_ds, ref_column: str,
+                         broadcast: bool = True,
+                         num_partitions: int | None = None):
+    """Referential-integrity rule: count rows of ``ds`` whose ``column``
+    has no match in ``ref_ds.ref_column`` (FK orphans).  Same report row
+    shape as :func:`validate_table` so reports union cleanly.
+
+    ``broadcast=True`` collects the distinct reference keys once
+    (``ray.put``) and anti-filters map-side — zero shuffle, right for
+    dimension-sized reference tables.  ``broadcast=False`` runs the
+    co-partitioned big⋈big LEFT ANTI hash join for fact-sized references;
+    at 100 TB put a Bloom prefilter (`stages/sketch.py::bloom_semi`) in
+    front to cut the exchange to ~fp_rate of the probe side.
+    NULL FKs are not violations (SQL semantics — declare not_null
+    separately).
+    """
+    from .joins import broadcast_semi, hash_join
+
+    nonnull = ds.map_batches(
+        lambda b, c=column: b.select([c]).filter(pc.is_valid(b.column(c))),
+        batch_format="pyarrow",
+    )
+    total = nonnull.count()
+    if broadcast:
+        orphans = broadcast_semi(
+            nonnull, ref_ds, left_key=column, right_key=ref_column, anti=True
+        )
+    else:
+        orphans = hash_join(
+            nonnull, ref_ds, left_key=column, right_key=ref_column,
+            how="left anti", num_partitions=num_partitions,
+        )
+    n_orphans = orphans.count()
+    import ray
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "rule": pa.array([rule], pa.string()),
+                "column": pa.array([column], pa.string()),
+                "n_violations": pa.array([n_orphans], pa.int64()),
+                "n_rows": pa.array([total], pa.int64()),
+                "passed": pa.array([n_orphans == 0], pa.bool_()),
+            }
+        )
+    )
