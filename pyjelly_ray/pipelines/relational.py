@@ -4710,3 +4710,47 @@ ORACLE_SQL["q_referential_integrity"] = """
          ON r.c_custkey = o_custkey
     WHERE o_custkey IS NOT NULL
 """
+
+
+def q_incremental_event_stats(sf_dir: str):
+    """Incremental materialized-view maintenance: aggregate STATE (mergeable
+    moments per event type) built from history (ts < Jan 16), then the new
+    fortnight folded in via one state merge — cost O(|state| + |delta
+    groups|), NO rescan of history.  Must equal (and the oracle IS) the
+    full-table aggregate."""
+    from ..stages.agg import agg_state, finalize_agg_state, merge_agg_state
+
+    ev = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    cutoff = pa.scalar(np.datetime64("2024-01-16", "us"))
+    base = ev.map_batches(
+        lambda b: b.filter(pc.less(b.column("ts"), cutoff)),
+        batch_format="pyarrow",
+    )
+    delta = ev.map_batches(
+        lambda b: b.filter(pc.greater_equal(b.column("ts"), cutoff)),
+        batch_format="pyarrow",
+    )
+    specs = [
+        ("n_events", "value", "count"),
+        ("sum_value", "value", "sum"),
+        ("avg_value", "value", "mean"),
+        ("min_value", "value", "min"),
+        ("max_value", "value", "max"),
+        ("std_value", "value", "std"),
+    ]
+    state = agg_state(base, ["event_type"], specs)
+    merged = merge_agg_state([state], ["event_type"], specs, deltas=[delta])
+    return finalize_agg_state(merged, ["event_type"], specs, round_to=6)
+
+
+QUERIES["q_incremental_event_stats"] = q_incremental_event_stats
+ORACLE_SQL["q_incremental_event_stats"] = """
+    SELECT event_type,
+           count(value) AS n_events,
+           round(sum(value), 6) AS sum_value,
+           round(avg(value), 6) AS avg_value,
+           round(min(value), 6) AS min_value,
+           round(max(value), 6) AS max_value,
+           round(stddev_samp(value), 6) AS std_value
+    FROM events GROUP BY event_type
+"""

@@ -461,23 +461,23 @@ def _derived_columns(batch: pa.Table, specs: list[Spec], round_to: int | None,
     return cols
 
 
-def grouped_agg(ds, keys: list[str] | str, specs: list[Spec], *,
-                round_to: int | None = None, num_partitions: int | None = None,
-                sum_as_float: bool = True):
+def _merge_partials(partial_ds, keys: list[str], specs: list[Spec],
+                    num_partitions: int):
+    """Exchange + merge a Dataset of partial-moment rows (the layout
+    :func:`_partial_fn` emits) down to one state row per key.  Shared by
+    :func:`grouped_agg` (inline) and the incremental-view path
+    (:func:`agg_state` / :func:`merge_agg_state`)."""
     from ..state.exchange import hash_exchange
 
-    keys = [keys] if isinstance(keys, str) else list(keys)
-    num_partitions = num_partitions or default_partitions()
-    partial = _partial_fn(keys, specs)
-
-    def partial_with_bucket(batch: pa.Table) -> pa.Table:
-        out = partial(batch)
-        return out.append_column(
-            "__bucket", pa.array(bucket_codes(out, keys, num_partitions))
+    def with_bucket(batch: pa.Table) -> pa.Table:
+        if "__bucket" in batch.column_names:
+            return batch
+        return batch.append_column(
+            "__bucket", pa.array(bucket_codes(batch, keys, num_partitions))
         )
 
-    partial_ds = ds.map_batches(
-        partial_with_bucket, batch_format="pyarrow", batch_size=None
+    partial_ds = partial_ds.map_batches(
+        with_bucket, batch_format="pyarrow", batch_size=None
     )
 
     # merge partials per hash partition: sum the sums/counts, min the mins, ...
@@ -505,7 +505,7 @@ def grouped_agg(ds, keys: list[str] | str, specs: list[Spec], *,
         out = null_safe_group_by(t, keys, plan)
         return out.rename_columns([rename.get(c, c) for c in out.column_names])
 
-    aggregated = hash_exchange(
+    return hash_exchange(
         partial_ds,
         bucket_col="__bucket",
         n_partitions=num_partitions,
@@ -513,12 +513,81 @@ def grouped_agg(ds, keys: list[str] | str, specs: list[Spec], *,
         reduce_empty=True,
     )
 
+
+def grouped_agg(ds, keys: list[str] | str, specs: list[Spec], *,
+                round_to: int | None = None, num_partitions: int | None = None,
+                sum_as_float: bool = True):
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    num_partitions = num_partitions or default_partitions()
+    partial = _partial_fn(keys, specs)
+
+    partial_ds = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    aggregated = _merge_partials(partial_ds, keys, specs, num_partitions)
+
     def finalize(batch: pa.Table) -> pa.Table:
         cols: dict[str, object] = {k: batch.column(k) for k in keys}
         cols |= _derived_columns(batch, specs, round_to, sum_as_float)
         return pa.table(cols)
 
     return aggregated.map_batches(finalize, batch_format="pyarrow", batch_size=None)
+
+
+def agg_state(ds, keys: list[str] | str, specs: list[Spec], *,
+              num_partitions: int | None = None):
+    """Mergeable aggregate STATE: one partial-moment row per key (counts,
+    Σx, Σx², mins, maxes — whatever ``specs`` need), NOT the finished
+    values.  This is the materialized-view form of :func:`grouped_agg`:
+    persist it (plain parquet), fold new data in with
+    :func:`merge_agg_state`, and render results any time with
+    :func:`finalize_agg_state` — no rescan of history, ever.  Any spec
+    family grouped_agg supports works except exact quantiles (swap in the
+    t-digest sketch for those).
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    num_partitions = num_partitions or default_partitions()
+    partial_ds = ds.map_batches(
+        _partial_fn(keys, specs), batch_format="pyarrow", batch_size=None
+    )
+    return _merge_partials(partial_ds, keys, specs, num_partitions)
+
+
+def merge_agg_state(states, keys: list[str] | str, specs: list[Spec], *,
+                    deltas=(), num_partitions: int | None = None):
+    """Fold aggregate states together, optionally absorbing raw-row
+    ``deltas``: each delta runs the map-side partial combiner, then ONE
+    exchange merges everything — cost is O(|states| + |delta groups|),
+    independent of the history the states summarize."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    num_partitions = num_partitions or default_partitions()
+    states = list(states)
+    partial = _partial_fn(keys, specs)
+    parts = states + [
+        d.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        for d in deltas
+    ]
+    u = parts[0]
+    for other in parts[1:]:
+        u = u.union(other)
+    return _merge_partials(u, keys, specs, num_partitions)
+
+
+def finalize_agg_state(state_ds, keys: list[str] | str, specs: list[Spec], *,
+                       round_to: int | None = None, sum_as_float: bool = True):
+    """Render an aggregate state (from :func:`agg_state` /
+    :func:`merge_agg_state`) into final values — identical output to
+    running :func:`grouped_agg` over all the data the state absorbed."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0:
+            return batch
+        if "__bucket" in batch.column_names:
+            batch = batch.drop_columns(["__bucket"])
+        cols: dict[str, object] = {k: batch.column(k) for k in keys}
+        cols |= _derived_columns(batch, specs, round_to, sum_as_float)
+        return pa.table(cols)
+
+    return state_ds.map_batches(finalize, batch_format="pyarrow", batch_size=None)
 
 
 def grouped_agg_sets(ds, keys: list[str] | str, specs: list[Spec], *,

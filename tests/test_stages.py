@@ -2126,3 +2126,51 @@ def test_validate_table_null_semantics(ray_session):
         "s_set": (1, 6, False),          # 'bad!'; NULL not a violation
         "s_regex": (1, 6, False),
     }
+
+
+def test_agg_state_incremental_roundtrip(ray_session, tmp_path):
+    """Materialized-view maintenance: state → parquet → read back → merge
+    two raw deltas → finalize == grouped_agg over everything at once
+    (count/sum/mean/min/max/std all mergeable, multi-block)."""
+    import random
+
+    import pyarrow as pa
+    import ray
+
+    from pyjelly_ray.stages.agg import (
+        agg_state,
+        finalize_agg_state,
+        grouped_agg,
+        merge_agg_state,
+    )
+
+    random.seed(11)
+    rows = [
+        (random.choice(["a", "b", "c", "d"]), round(random.uniform(-5, 50), 3))
+        for _ in range(5000)
+    ]
+    t = pa.table(
+        {
+            "k": pa.array([r[0] for r in rows]),
+            "v": pa.array([r[1] for r in rows], pa.float64()),
+        }
+    )
+    specs = [
+        ("n", "v", "count"), ("s", "v", "sum"), ("m", "v", "mean"),
+        ("lo", "v", "min"), ("hi", "v", "max"), ("sd", "v", "std"),
+    ]
+    base = ray.data.from_arrow(t.slice(0, 2000)).repartition(4)
+    d1 = ray.data.from_arrow(t.slice(2000, 1500)).repartition(3)
+    d2 = ray.data.from_arrow(t.slice(3500)).repartition(2)
+
+    state_dir = str(tmp_path / "state")
+    agg_state(base, ["k"], specs).write_parquet(state_dir)
+    state = ray.data.read_parquet(state_dir)
+    merged = merge_agg_state([state], ["k"], specs, deltas=[d1, d2])
+    got = finalize_agg_state(merged, ["k"], specs, round_to=6).take_all()
+
+    want = grouped_agg(
+        ray.data.from_arrow(t).repartition(6), ["k"], specs, round_to=6
+    ).take_all()
+    key = lambda r: r["k"]
+    assert sorted(got, key=key) == sorted(want, key=key)
