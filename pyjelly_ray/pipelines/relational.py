@@ -4754,3 +4754,160 @@ ORACLE_SQL["q_incremental_event_stats"] = """
            round(stddev_samp(value), 6) AS std_value
     FROM events GROUP BY event_type
 """
+
+
+def q_copurchase_part_pairs(sf_dir: str):
+    """Market-basket co-occurrence (bipartite projection): part pairs that
+    ship in the same order, counted across orders, top-20.  Pairs are
+    generated inside the order's own co-partition run (≤ items² per order,
+    never a global self-join); the pair counts ride the standard combiner
+    exchange."""
+    from ..stages.agg import _key_run_bounds, global_topk, grouped_agg, grouped_map
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    empty = pa.table(
+        {"part_a": pa.array([], pa.int64()), "part_b": pa.array([], pa.int64())}
+    )
+
+    def pairs_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        t = t.sort_by([("l_orderkey", "ascending"), ("l_partkey", "ascending")])
+        db = _key_run_bounds(t, ["l_orderkey", "l_partkey"])
+        mask = np.zeros(t.num_rows, bool)
+        mask[db[:-1]] = True
+        t = t.filter(pa.array(mask))  # distinct (order, part)
+        bounds = _key_run_bounds(t, ["l_orderkey"])
+        sizes = np.diff(bounds)
+        parts = t.column("l_partkey").to_numpy(zero_copy_only=False)
+        a_out, b_out = [], []
+        for ri in np.flatnonzero(sizes >= 2):
+            s, e = int(bounds[ri]), int(bounds[ri + 1])
+            ii, jj = np.triu_indices(e - s, k=1)
+            a_out.append(parts[s:e][ii])
+            b_out.append(parts[s:e][jj])
+        if not a_out:
+            return empty
+        return pa.table(
+            {
+                "part_a": pa.array(np.concatenate(a_out), pa.int64()),
+                "part_b": pa.array(np.concatenate(b_out), pa.int64()),
+            }
+        )
+
+    pairs = grouped_map(
+        li, "l_orderkey", pairs_part, per_group=False,
+        empty_schema=pa.table(
+            {
+                "l_orderkey": pa.array([], pa.int64()),
+                "l_partkey": pa.array([], pa.int64()),
+            }
+        ),
+    )
+    counts = grouped_agg(
+        pairs, ["part_a", "part_b"], [("n_orders", "part_a", "count")],
+        sum_as_float=False,
+    )
+    counts = counts.map_batches(
+        lambda b: b.set_column(
+            b.schema.get_field_index("n_orders"),
+            "n_orders", pc.cast(b.column("n_orders"), pa.int64()),
+        ),
+        batch_format="pyarrow",
+    )
+    return global_topk(
+        counts, ["n_orders", "part_a", "part_b"], 20,
+        descending=[True, False, False],
+    )
+
+
+def q_event_type_transitions(sf_dir: str):
+    """First-order Markov transition counts over each user's event stream
+    (src type → next type): consecutive pairs are read off inside the
+    per-user run (one keyed exchange, vectorized shift), then a tiny
+    (src, dst) count exchange — the sequence-mining building block."""
+    from ..stages.agg import _key_run_bounds, grouped_agg, grouped_map
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    empty = pa.table(
+        {"src_type": pa.array([], pa.string()), "dst_type": pa.array([], pa.string())}
+    )
+
+    def trans_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        t = t.sort_by(
+            [("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")]
+        )
+        bounds = _key_run_bounds(t, ["user_id"])
+        types = t.column("event_type").to_numpy(zero_copy_only=False)
+        keep = np.ones(t.num_rows, bool)
+        keep[bounds[:-1]] = False  # a run's first event has no predecessor
+        idx = np.flatnonzero(keep)
+        if len(idx) == 0:
+            return empty
+        return pa.table(
+            {
+                "src_type": pa.array(types[idx - 1], pa.string()),
+                "dst_type": pa.array(types[idx], pa.string()),
+            }
+        )
+
+    pairs = grouped_map(
+        ev, "user_id", trans_part, per_group=False,
+        empty_schema=pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "ts": pa.array([], pa.timestamp("us")),
+                "event_id": pa.array([], pa.int64()),
+                "event_type": pa.array([], pa.string()),
+            }
+        ),
+    )
+    counts = grouped_agg(
+        pairs, ["src_type", "dst_type"],
+        [("n_transitions", "src_type", "count")], sum_as_float=False,
+    )
+    return counts.map_batches(
+        lambda b: b.set_column(
+            b.schema.get_field_index("n_transitions"),
+            "n_transitions", pc.cast(b.column("n_transitions"), pa.int64()),
+        ),
+        batch_format="pyarrow",
+    )
+
+
+QUERIES.update(
+    {
+        "q_copurchase_part_pairs": q_copurchase_part_pairs,
+        "q_event_type_transitions": q_event_type_transitions,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "q_copurchase_part_pairs": """
+            WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            p AS (
+              SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+              FROM d a JOIN d b
+                ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            )
+            SELECT part_a, part_b, count(*) AS n_orders
+            FROM p GROUP BY 1, 2
+            ORDER BY n_orders DESC, part_a, part_b
+            LIMIT 20
+        """,
+        "q_event_type_transitions": """
+            WITH o AS (
+              SELECT user_id, event_type,
+                     lag(event_type) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id) AS prev
+              FROM events
+            )
+            SELECT prev AS src_type, event_type AS dst_type,
+                   count(*) AS n_transitions
+            FROM o WHERE prev IS NOT NULL GROUP BY 1, 2
+        """,
+    }
+)
