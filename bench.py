@@ -64,6 +64,11 @@ BENCH_QUERIES = [
     "q_doc_tfidf_top_terms",
     "q_user_event_sequence",
     "q_doc_merge_upsert",
+    "q_customer_name_edit1",
+    "q_near_dup_doc_groups",
+    "q_incremental_event_stats",
+    "q_copurchase_part_pairs",
+    "q_weekly_retention_cohorts",
 ]
 
 

@@ -4911,3 +4911,55 @@ ORACLE_SQL.update(
         """,
     }
 )
+
+
+def q_weekly_retention_cohorts(sf_dir: str):
+    """Retention cohort analysis: users grouped by first-activity week
+    (cohort), then distinct active users per (cohort week, week offset) —
+    the product-analytics staple.  First-activity is a keyed MIN aggregate;
+    the cohort map broadcasts back over the stream (users ≪ events); the
+    retention cells are one composite exact count-distinct."""
+    from ..stages.agg import grouped_count_distinct
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def week_of(b: pa.Table) -> pa.Table:
+        us = pc.cast(b.column("ts"), pa.int64())
+        week = pc.divide(us, pa.scalar(604_800_000_000, pa.int64()))
+        return pa.table({"user_id": b.column("user_id"), "week": week})
+
+    weeks = ev.map_batches(week_of, batch_format="pyarrow")
+    first = grouped_agg(weeks, ["user_id"], [("cohort_week", "week", "min")])
+    withc = broadcast_join(
+        weeks, first, left_key="user_id", right_key="user_id",
+        columns=["cohort_week"],
+    )
+
+    def offset(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cohort_week": b.column("cohort_week"),
+                "week_offset": pc.subtract(b.column("week"), b.column("cohort_week")),
+                "user_id": b.column("user_id"),
+            }
+        )
+
+    cells = withc.map_batches(offset, batch_format="pyarrow")
+    return grouped_count_distinct(
+        cells, ["cohort_week", "week_offset"], "user_id", out_name="n_users"
+    )
+
+
+QUERIES["q_weekly_retention_cohorts"] = q_weekly_retention_cohorts
+ORACLE_SQL["q_weekly_retention_cohorts"] = """
+    WITH w AS (
+      SELECT user_id,
+             CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS week
+      FROM events
+    ),
+    f AS (SELECT user_id, min(week) AS cohort_week FROM w GROUP BY user_id)
+    SELECT f.cohort_week, w.week - f.cohort_week AS week_offset,
+           count(DISTINCT w.user_id) AS n_users
+    FROM w JOIN f ON w.user_id = f.user_id
+    GROUP BY 1, 2
+"""
