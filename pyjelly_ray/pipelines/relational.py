@@ -4963,3 +4963,21 @@ ORACLE_SQL["q_weekly_retention_cohorts"] = """
     FROM w JOIN f ON w.user_id = f.user_id
     GROUP BY 1, 2
 """
+
+
+def q_image_features_real(sf_dir: str):
+    """REAL multimodal pipeline (no stubs): synth PPM images → actor-pool
+    decode (pure-numpy P6 parse) → nearest resize → per-image feature
+    vectors.  Rows-only check (no SQL can decode images); the kernel is
+    pinned exactly by `test_ppm_real_image_path`."""
+    import ray
+
+    from ..stages.multimodal import PPMImageStage, synth_ppm_table
+
+    media = ray.data.from_arrow(synth_ppm_table(96))
+    return media.map_batches(
+        PPMImageStage, concurrency=2, batch_size=16, batch_format="pyarrow"
+    )
+
+
+QUERIES["q_image_features_real"] = q_image_features_real

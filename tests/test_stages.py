@@ -2174,3 +2174,48 @@ def test_agg_state_incremental_roundtrip(ray_session, tmp_path):
     ).take_all()
     key = lambda r: r["k"]
     assert sorted(got, key=key) == sorted(want, key=key)
+
+
+def test_ppm_real_image_path(ray_session):
+    """REAL multimodal path (no stubs): PPM encode/decode round-trip is
+    bit-exact, nearest resize picks the right pixels, and the actor-pool
+    stage over Ray emits correct per-image features."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from pyjelly_ray.stages.multimodal import (
+        PPMImageStage,
+        decode_ppm,
+        encode_ppm,
+        image_features,
+        resize_nearest,
+        synth_ppm_table,
+    )
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, size=(17, 23, 3), dtype=np.uint8)
+    assert np.array_equal(decode_ppm(encode_ppm(img)), img)
+
+    tiny = np.arange(12, dtype=np.uint8).reshape(2, 2, 3)
+    up = resize_nearest(tiny, 4, 4)
+    assert up.shape == (4, 4, 3)
+    assert np.array_equal(up[0, 0], tiny[0, 0]) and np.array_equal(up[3, 3], tiny[1, 1])
+
+    # constant-color image → mean == color, std == 0
+    solid = np.full((8, 8, 3), 200, np.uint8)
+    f = image_features(solid)
+    assert np.allclose(f[:3], 200.0) and np.allclose(f[3:6], 0.0)
+
+    media = synth_ppm_table(24)
+    ds = ray.data.from_arrow(media).repartition(4)
+    out = ds.map_batches(
+        PPMImageStage, concurrency=2, batch_size=8, batch_format="pyarrow"
+    ).take_all()
+    assert len(out) == 24
+    by_id = {r["media_id"]: r for r in out}
+    # recompute one feature vector locally and compare exactly
+    payload = media.column("payload")[5].as_py()
+    expect = image_features(resize_nearest(decode_ppm(payload), 32, 32))
+    assert np.allclose(by_id[5]["features"], expect)
+    assert by_id[5]["height"] == 24 and by_id[5]["width"] == 32
