@@ -4981,3 +4981,37 @@ def q_image_features_real(sf_dir: str):
 
 
 QUERIES["q_image_features_real"] = q_image_features_real
+
+
+def q_audio_features_real(sf_dir: str):
+    """REAL audio pipeline: synth WAV clips → actor-pool PCM16 decode →
+    RMS/ZCR/centroid/band features.  Rows-only (no SQL audio decode);
+    kernel pinned by `test_wav_and_rawvideo_real_paths`."""
+    import ray
+
+    from ..stages.multimodal import WavAudioStage, synth_wav_table
+
+    return ray.data.from_arrow(synth_wav_table(64)).map_batches(
+        WavAudioStage, concurrency=2, batch_size=16, batch_format="pyarrow"
+    )
+
+
+def q_video_frame_features_real(sf_dir: str):
+    """REAL video pipeline: raw RGB clips → uniform frame sampling →
+    per-frame image features (1 clip explodes to n_frames rows).
+    Rows-only; kernel pinned by `test_wav_and_rawvideo_real_paths`."""
+    import ray
+
+    from ..stages.multimodal import RawVideoFrameStage, synth_rawvideo_table
+
+    return ray.data.from_arrow(synth_rawvideo_table(16)).map_batches(
+        RawVideoFrameStage, concurrency=2, batch_size=8, batch_format="pyarrow"
+    )
+
+
+QUERIES.update(
+    {
+        "q_audio_features_real": q_audio_features_real,
+        "q_video_frame_features_real": q_video_frame_features_real,
+    }
+)

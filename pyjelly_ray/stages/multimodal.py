@@ -241,3 +241,190 @@ def synth_ppm_table(n: int = 32, seed: int = 7, h: int = 24, w: int = 32) -> pa.
             }
         )
     return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# REAL audio path: WAV/PCM16 (pure numpy)
+# --------------------------------------------------------------------------
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """1-D int16 PCM → minimal RIFF/WAVE (PCM16 mono) bytes."""
+    import struct
+
+    if samples.dtype != np.int16 or samples.ndim != 1:
+        raise ValueError("encode_wav expects 1-D int16")
+    data = samples.tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE", b"fmt ", 16,
+        1, 1, sample_rate, sample_rate * 2, 2, 16, b"data", len(data),
+    )
+    return hdr + data
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM16 mono → (int16 samples, sample_rate).  Real decode:
+    chunk walk + one ``np.frombuffer`` (compressed codecs stay stubbed)."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    i, rate, bits, channels = 12, None, None, None
+    while i + 8 <= len(payload):
+        cid, size = payload[i : i + 4], struct.unpack("<I", payload[i + 4 : i + 8])[0]
+        if cid == b"fmt ":
+            fmt, channels, rate = struct.unpack("<HHI", payload[i + 8 : i + 16])
+            bits = struct.unpack("<H", payload[i + 22 : i + 24])[0]
+            if fmt != 1 or bits != 16 or channels != 1:
+                raise ValueError("only PCM16 mono supported")
+        elif cid == b"data":
+            if rate is None:
+                raise ValueError("data chunk before fmt")
+            return np.frombuffer(payload, np.int16, count=size // 2, offset=i + 8), rate
+        i += 8 + size + (size & 1)
+    raise ValueError("no data chunk")
+
+
+def audio_features(samples: np.ndarray, rate: int, n_bands: int = 8) -> np.ndarray:
+    """RMS, zero-crossing rate, spectral centroid + log-spaced FFT band
+    energies — the classic cheap audio embedding, all numpy."""
+    x = samples.astype(np.float32) / 32768.0
+    n = max(len(x), 1)
+    rms = float(np.sqrt((x * x).mean())) if len(x) else 0.0
+    zcr = float(np.mean(np.abs(np.diff(np.signbit(x))))) if len(x) > 1 else 0.0
+    spec = np.abs(np.fft.rfft(x)) if len(x) else np.zeros(1, np.float32)
+    freqs = np.fft.rfftfreq(n, d=1.0 / max(rate, 1))
+    total = spec.sum()
+    centroid = float((freqs * spec).sum() / total) if total > 0 else 0.0
+    edges = np.linspace(0, len(spec), n_bands + 1, dtype=np.int64)
+    bands = np.array(
+        [spec[edges[k]: edges[k + 1]].sum() for k in range(n_bands)], np.float32
+    )
+    bands = bands / total if total > 0 else bands
+    return np.concatenate([[rms, zcr, centroid], bands]).astype(np.float32)
+
+
+class WavAudioStage:
+    """REAL actor-pool audio stage: WAV decode → feature vector per clip."""
+
+    def __init__(self, n_bands: int = 8):
+        self.n_bands = n_bands
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats, rates, n_samples = [], [], []
+        for p in batch.column("payload").to_pylist():
+            samples, rate = decode_wav(p)
+            rates.append(rate)
+            n_samples.append(len(samples))
+            feats.append(audio_features(samples, rate, self.n_bands))
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "sample_rate": pa.array(rates, pa.int32()),
+                "n_samples": pa.array(n_samples, pa.int64()),
+                "features": pa.array(
+                    [f.tolist() for f in feats], pa.list_(pa.float32())
+                ),
+            }
+        )
+
+
+def synth_wav_table(n: int = 32, seed: int = 9, rate: int = 8000,
+                    dur_s: float = 0.25) -> pa.Table:
+    """Deterministic real WAV clips (per-clip tone + noise)."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(rate * dur_s)) / rate
+    rows = []
+    for i in range(n):
+        f0 = 200.0 + 40.0 * (i % 11)
+        x = 0.5 * np.sin(2 * np.pi * f0 * t) + 0.05 * rng.standard_normal(len(t))
+        samples = np.clip(x * 32767, -32768, 32767).astype(np.int16)
+        rows.append(
+            {
+                "media_id": i,
+                "media_type": "audio/wav",
+                "payload": encode_wav(samples, rate),
+                "width": 0,
+                "height": 0,
+            }
+        )
+    return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# REAL video path: raw RGB frame stacks (pure numpy)
+# --------------------------------------------------------------------------
+
+
+def encode_rawvideo(frames: np.ndarray) -> bytes:
+    """(T, H, W, 3) uint8 → header + raw bytes ('video/x-raw-rgb')."""
+    if frames.ndim != 4 or frames.shape[3] != 3 or frames.dtype != np.uint8:
+        raise ValueError("encode_rawvideo expects (T, H, W, 3) uint8")
+    t, h, w = frames.shape[:3]
+    return b"RAWV%d %d %d\n" % (t, h, w) + frames.tobytes()
+
+
+def decode_rawvideo(payload: bytes) -> np.ndarray:
+    if not payload.startswith(b"RAWV"):
+        raise ValueError("not a RAWV payload")
+    nl = payload.index(b"\n")
+    t, h, w = (int(x) for x in payload[4:nl].split())
+    return np.frombuffer(
+        payload, np.uint8, count=t * h * w * 3, offset=nl + 1
+    ).reshape(t, h, w, 3)
+
+
+class RawVideoFrameStage:
+    """REAL frame sampler: uniform-stride frames from a raw RGB stack, one
+    image-feature row per sampled frame (explodes 1 clip → n_frames rows)."""
+
+    def __init__(self, n_frames: int = 4, out_h: int = 16, out_w: int = 16):
+        self.n_frames, self.out_h, self.out_w = n_frames, out_h, out_w
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, frame_no, feats = [], [], []
+        for mid, p in zip(
+            batch.column("media_id").to_pylist(), batch.column("payload").to_pylist()
+        ):
+            frames = decode_rawvideo(p)
+            take = np.linspace(0, len(frames) - 1, self.n_frames).astype(np.int64)
+            for k, fi in enumerate(take):
+                ids.append(mid)
+                frame_no.append(k)
+                small = resize_nearest(frames[fi], self.out_h, self.out_w)
+                feats.append(image_features(small))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "frame_no": pa.array(frame_no, pa.int32()),
+                "features": pa.array(
+                    [f.tolist() for f in feats], pa.list_(pa.float32())
+                ),
+            }
+        )
+
+
+def synth_rawvideo_table(n: int = 8, seed: int = 13, t: int = 12,
+                         h: int = 12, w: int = 16) -> pa.Table:
+    """Deterministic raw clips (moving gradient per frame)."""
+    rows = []
+    for i in range(n):
+        base = np.linspace(0, 255, w, dtype=np.float32)
+        frames = np.empty((t, h, w, 3), np.uint8)
+        for fi in range(t):
+            shifted = np.roll(base, fi * (i + 1))
+            frames[fi] = np.clip(
+                shifted[None, :, None] + np.array([0.0, 10.0 * i, 20.0])[None, None, :],
+                0, 255,
+            ).astype(np.uint8)
+        rows.append(
+            {
+                "media_id": i,
+                "media_type": "video/x-raw-rgb",
+                "payload": encode_rawvideo(frames),
+                "width": w,
+                "height": h,
+            }
+        )
+    return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)

@@ -2219,3 +2219,45 @@ def test_ppm_real_image_path(ray_session):
     expect = image_features(resize_nearest(decode_ppm(payload), 32, 32))
     assert np.allclose(by_id[5]["features"], expect)
     assert by_id[5]["height"] == 24 and by_id[5]["width"] == 32
+
+
+def test_wav_and_rawvideo_real_paths(ray_session):
+    """REAL audio/video paths: WAV PCM16 round-trip bit-exact; pure-tone
+    clip's spectral centroid lands near its frequency; raw-video frame
+    sampler explodes clips into per-frame feature rows over Ray."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from pyjelly_ray.stages.multimodal import (
+        RawVideoFrameStage,
+        WavAudioStage,
+        audio_features,
+        decode_wav,
+        encode_wav,
+        synth_rawvideo_table,
+        synth_wav_table,
+    )
+
+    rate = 8000
+    t = np.arange(2000) / rate
+    tone = np.clip(0.6 * np.sin(2 * np.pi * 440.0 * t) * 32767, -32768, 32767).astype(
+        np.int16
+    )
+    dec, r = decode_wav(encode_wav(tone, rate))
+    assert np.array_equal(dec, tone) and r == rate
+    f = audio_features(tone, rate)
+    assert abs(f[2] - 440.0) < 40.0  # spectral centroid ≈ tone frequency
+
+    audio = ray.data.from_arrow(synth_wav_table(16)).repartition(3)
+    arows = audio.map_batches(
+        WavAudioStage, concurrency=2, batch_size=8, batch_format="pyarrow"
+    ).take_all()
+    assert len(arows) == 16 and all(r["sample_rate"] == 8000 for r in arows)
+
+    video = ray.data.from_arrow(synth_rawvideo_table(6)).repartition(2)
+    vrows = video.map_batches(
+        RawVideoFrameStage, concurrency=2, batch_size=4, batch_format="pyarrow"
+    ).take_all()
+    assert len(vrows) == 6 * 4  # n_frames rows per clip
+    assert {r["frame_no"] for r in vrows} == {0, 1, 2, 3}
