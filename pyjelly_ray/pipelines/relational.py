@@ -5015,3 +5015,28 @@ QUERIES.update(
         "q_video_frame_features_real": q_video_frame_features_real,
     }
 )
+
+
+def q_weighted_avg_discount(sf_dir: str):
+    """Quantity-weighted average discount per return flag: the ``wmean``
+    grouped_agg kind (col = (x, w) pair) — Σ(x·w)/Σw from the same
+    mergeable pair moments the corr family uses, one combiner exchange."""
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_discount", "l_quantity"])
+    return grouped_agg(
+        li, ["l_returnflag"],
+        [
+            ("w_avg_discount", ("l_discount", "l_quantity"), "wmean"),
+            ("plain_avg_discount", "l_discount", "mean"),
+        ],
+        round_to=6,
+    )
+
+
+QUERIES["q_weighted_avg_discount"] = q_weighted_avg_discount
+ORACLE_SQL["q_weighted_avg_discount"] = """
+    SELECT l_returnflag,
+           round(sum(l_discount * l_quantity) / sum(l_quantity), 6)
+               AS w_avg_discount,
+           round(avg(l_discount), 6) AS plain_avg_discount
+    FROM lineitem GROUP BY l_returnflag
+"""

@@ -139,7 +139,7 @@ def _partial_fn(keys: list[str], specs: list[Spec]):
     q4_cols: list[str] = []
     xy_cols: list[tuple[str, str]] = []
     for _, col, fn in specs:
-        if fn in ("corr", "covar", "slope", "intercept"):
+        if fn in ("corr", "covar", "slope", "intercept", "wmean"):
             # col is an (x, y) pair; moments Σx, Σy, Σx², Σy², Σxy
             x, y = col
             for c in (x, y):
@@ -224,7 +224,7 @@ def _merge_cols(specs: list[Spec]):
     """Partial-column names (as emitted by :func:`_partial_fn`) grouped by
     the merge operation that combines them across partials."""
     corr_pairs = [
-        col for _, col, fn in specs if fn in ("corr", "covar", "slope", "intercept")
+        col for _, col, fn in specs if fn in ("corr", "covar", "slope", "intercept", "wmean")
     ]
     sum_cols = sorted(
         {f"{col}_sum" for _, col, fn in specs if fn in ("sum", "mean", "var", "std")}
@@ -387,7 +387,7 @@ def _derived_columns(batch: pa.Table, specs: list[Spec], round_to: int | None,
                     ),
                 )
                 v = pc.if_else(ok, v, pa.scalar(None, pa.float64()))
-        elif fn in ("corr", "covar", "slope", "intercept"):
+        elif fn in ("corr", "covar", "slope", "intercept", "wmean"):
             # Pearson r / sample covariance / OLS regression from the SAME
             # mergeable moments:
             # corr = (nΣxy − ΣxΣy) / √((nΣx²−(Σx)²)(nΣy²−(Σy)²));
@@ -412,7 +412,14 @@ def _derived_columns(batch: pa.Table, specs: list[Spec], round_to: int | None,
                 pc.subtract(pc.multiply(n, syy), pc.multiply(sy, sy)),
                 pa.scalar(0.0, pa.float64()),
             )
-            if fn in ("slope", "intercept"):
+            if fn == "wmean":
+                # weighted mean with col = (x, w): Σ(x·w) / Σw, NULL when
+                # Σw = 0 (matches SQL sum(x*w)/sum(w) on non-null data;
+                # rows with a NULL x contribute to Σw only — same as SQL)
+                ok = pc.not_equal(sy, pa.scalar(0.0, pa.float64()))
+                v = pc.divide(sxy, pc.if_else(ok, sy, pa.scalar(1.0, pa.float64())))
+                v = pc.if_else(ok, v, pa.scalar(None, pa.float64()))
+            elif fn in ("slope", "intercept"):
                 ok = pc.and_(
                     pc.greater(cnt, pa.scalar(1, pa.int64())),
                     pc.greater(dx, pa.scalar(0.0, pa.float64())),
