@@ -5040,3 +5040,69 @@ ORACLE_SQL["q_weighted_avg_discount"] = """
            round(avg(l_discount), 6) AS plain_avg_discount
     FROM lineitem GROUP BY l_returnflag
 """
+
+
+def q_doc_keywords(sf_dir: str):
+    """Keyword extraction: top-3 TF-IDF terms PER DOCUMENT (tf/df join +
+    per-group top-k with deterministic tiebreak) — the feature-tagging
+    step of a corpus pipeline; the per-doc cut happens map-side so the
+    exchange carries ≤ 3·|docs| rows."""
+    import math
+
+    from ..stages.agg import grouped_topk, round_like_duckdb
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = docs.count()
+
+    def toks(b: pa.Table) -> pa.Table:
+        split = pc.split_pattern(b.column("text"), pattern=" ")
+        ids = pc.list_parent_indices(split)
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id").take(ids),
+                "token": pc.list_flatten(split),
+            }
+        )
+
+    exploded = docs.map_batches(toks, batch_format="pyarrow")
+    tf = grouped_agg(exploded, ["doc_id", "token"], [("tf", "token", "count")])
+    df = grouped_agg(tf, ["token"], [("df", "token", "count")])
+    joined = hash_join(tf, df, left_key="token", num_partitions=8)
+
+    def tfidf(b: pa.Table) -> pa.Table:
+        idf = pc.ln(
+            pc.divide(pa.scalar(float(n_docs)), pc.cast(b.column("df"), pa.float64()))
+        )
+        v = pc.multiply(pc.cast(b.column("tf"), pa.float64()), idf)
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "token": b.column("token"),
+                "tfidf": round_like_duckdb(v, 6),
+            }
+        )
+
+    scored = joined.map_batches(tfidf, batch_format="pyarrow")
+    return grouped_topk(scored, ["doc_id"], "tfidf", 3, tiebreak=["token"])
+
+
+QUERIES["q_doc_keywords"] = q_doc_keywords
+ORACLE_SQL["q_doc_keywords"] = """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS cnt FROM documents),
+    scored AS (
+        SELECT doc_id, token,
+               round(tf * ln((SELECT cnt FROM n) / CAST(df AS DOUBLE)), 6) AS tfidf
+        FROM tf JOIN df USING (token)
+    )
+    SELECT doc_id, token, tfidf FROM (
+        SELECT doc_id, token, tfidf,
+               row_number() OVER (
+                   PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rn
+        FROM scored)
+    WHERE rn <= 3
+"""
