@@ -5106,3 +5106,25 @@ ORACLE_SQL["q_doc_keywords"] = """
         FROM scored)
     WHERE rn <= 3
 """
+
+
+def q_order_global_rank(sf_dir: str):
+    """Distributed global ranking: every order's exact rank by total price
+    (range_sort — block order = global order — then per-block offset id
+    assignment; the driver only ever sees O(blocks) counts).  The
+    cluster-wide ``row_number() OVER (ORDER BY ...)`` primitive."""
+    from ..stages.sort import global_row_numbers, range_sort
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    srt = range_sort(
+        orders, "o_totalprice", descending=True, tiebreak=["o_orderkey"]
+    )
+    return global_row_numbers(srt)
+
+
+QUERIES["q_order_global_rank"] = q_order_global_rank
+ORACLE_SQL["q_order_global_rank"] = """
+    SELECT o_orderkey, o_totalprice,
+           row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn
+    FROM orders
+"""

@@ -142,3 +142,32 @@ def range_sort(ds, key: str, *, descending: bool = False,
         reduce_fn=reduce_part,
         reduce_empty=True,
     )
+
+
+def global_row_numbers(sorted_ds, *, out_name: str = "rn", start: int = 1):
+    """Assign a GLOBAL sequential row number to an already-range-sorted
+    Dataset (block order = global order, :func:`range_sort`'s contract)
+    without any further shuffle or driver-side data movement: one tiny
+    remote count per block, a cumsum of O(blocks) ints on the driver, then
+    per-block vectorized id columns — blocks never leave the object store.
+    The distributed ``row_number() OVER (ORDER BY ...)`` / stable global-id
+    assignment primitive."""
+    import ray
+
+    refs = sorted_ds.to_arrow_refs()
+
+    @ray.remote
+    def nrows(t: pa.Table) -> int:
+        return t.num_rows
+
+    counts = ray.get([nrows.remote(r) for r in refs])
+    offsets = np.concatenate([[0], np.cumsum(counts)])[:-1] + start
+
+    @ray.remote
+    def tag(t: pa.Table, off: int) -> pa.Table:
+        return t.append_column(
+            out_name, pa.array(np.arange(off, off + t.num_rows, dtype=np.int64))
+        )
+
+    tagged = [tag.remote(r, int(o)) for r, o in zip(refs, offsets)]
+    return ray.data.from_arrow_refs(tagged)
