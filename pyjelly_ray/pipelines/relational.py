@@ -5128,3 +5128,23 @@ ORACLE_SQL["q_order_global_rank"] = """
            row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn
     FROM orders
 """
+
+
+def q_embedding_pca(sf_dir: str):
+    """Dimensionality reduction for the embedding table: one-pass
+    distributed PCA fit (mergeable second-moment partials, driver does only
+    the p×p eigh) + broadcast projection to 8 dims.  Rows-only (no SQL
+    eigendecomposition); the math is pinned == numpy by
+    `test_pca_matches_numpy`."""
+    import ray
+
+    from ..stages.ann import pca_fit, pca_transform
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    model = pca_fit(emb, 8)
+    return pca_transform(emb, model)
+
+
+QUERIES["q_embedding_pca"] = q_embedding_pca

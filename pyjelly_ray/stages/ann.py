@@ -646,3 +646,76 @@ def kmeans_assign(ds, centroids, *, col: str = "embedding",
         return b.append_column(out, pa.array(d.argmin(axis=1).astype(np.int32)))
 
     return ds.map_batches(assign, batch_format="pyarrow", batch_size=None)
+
+
+def pca_fit(ds, k: int, *, col: str = "embedding"):
+    """Distributed PCA fit in ONE pass: per batch, the mergeable second-
+    moment partials (n, Σx ∈ ℝᵖ, ΣxxᵀΣ ∈ ℝᵖˣᵖ — one matmul per batch);
+    the driver folds ≤|blocks| compact partials (p² floats each, packed
+    binary) and runs the p×p eigendecomposition locally — data never
+    leaves the cluster, driver work is O(blocks·p² + p³), independent of
+    row count.  Returns ``{"mean", "components" (k×p, eigenvalue-desc,
+    sign-fixed), "explained_variance", "explained_ratio", "n"}``.
+    """
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = _stack(b, col).astype(np.float64)
+        c = x.T @ x
+        return pa.table(
+            {
+                "n": pa.array([x.shape[0]], pa.int64()),
+                "p": pa.array([x.shape[1]], pa.int64()),
+                "s": pa.array([x.sum(axis=0).tobytes()], pa.binary()),
+                "c": pa.array([c.tobytes()], pa.binary()),
+            }
+        )
+
+    rows = ds.map_batches(partial, batch_format="pyarrow", batch_size=None).take_all()
+    n = sum(r["n"] for r in rows)
+    p = rows[0]["p"]
+    s = np.zeros(p)
+    c = np.zeros((p, p))
+    for r in rows:
+        s += np.frombuffer(r["s"], np.float64)
+        c += np.frombuffer(r["c"], np.float64).reshape(p, p)
+    mean = s / n
+    cov = (c - n * np.outer(mean, mean)) / max(n - 1, 1)
+    evals, evecs = np.linalg.eigh(cov)          # ascending
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T                    # (k, p)
+    # deterministic sign: largest-|coef| element of each component positive
+    flips = np.sign(comps[np.arange(len(comps)), np.abs(comps).argmax(axis=1)])
+    flips[flips == 0] = 1.0
+    comps = comps * flips[:, None]
+    ev = evals[order]
+    return {
+        "mean": mean,
+        "components": comps,
+        "explained_variance": ev,
+        "explained_ratio": ev / evals.sum(),
+        "n": n,
+    }
+
+
+def pca_transform(ds, model: dict, *, col: str = "embedding",
+                  id_col: str = "vec_id", out_col: str = "pca"):
+    """Project embeddings onto fitted components: model broadcast ONCE via
+    ``ray.put``, one matmul per batch (same shape as every scorer here)."""
+    import ray
+
+    ref = ray.put((model["mean"], model["components"]))
+
+    def project(b: pa.Table) -> pa.Table:
+        mean, comps = ray.get(ref)
+        x = _stack(b, col).astype(np.float64)
+        z = (x - mean) @ comps.T
+        return pa.table(
+            {
+                id_col: b.column(id_col),
+                out_col: pa.array(
+                    z.astype(np.float32).tolist(), pa.list_(pa.float32())
+                ),
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow")

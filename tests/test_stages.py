@@ -2261,3 +2261,48 @@ def test_wav_and_rawvideo_real_paths(ray_session):
     ).take_all()
     assert len(vrows) == 6 * 4  # n_frames rows per clip
     assert {r["frame_no"] for r in vrows} == {0, 1, 2, 3}
+
+
+def test_pca_matches_numpy(ray_session):
+    """Distributed one-pass PCA == numpy eigendecomposition of the sample
+    covariance on the same data (components up to sign — pinned by the
+    deterministic sign fix — and projections elementwise)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from pyjelly_ray.stages.ann import pca_fit, pca_transform
+
+    rng = np.random.default_rng(3)
+    # 3 informative directions + noise, 8 dims
+    basis = rng.standard_normal((3, 8))
+    x = rng.standard_normal((3000, 3)) * np.array([5.0, 2.0, 0.7]) @ basis
+    x = (x + 0.01 * rng.standard_normal((3000, 8))).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(len(x)), pa.int64()),
+            "embedding": pa.array(x.tolist(), pa.list_(pa.float32())),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(7)
+    model = pca_fit(ds, 3)
+
+    xf = x.astype(np.float64)
+    mean = xf.mean(axis=0)
+    cov = (xf - mean).T @ (xf - mean) / (len(xf) - 1)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:3]
+    comps = evecs[:, order].T
+    flips = np.sign(comps[np.arange(3), np.abs(comps).argmax(axis=1)])
+    comps = comps * flips[:, None]
+
+    assert np.allclose(model["mean"], mean, atol=1e-6)
+    assert np.allclose(model["components"], comps, atol=1e-6)
+    assert np.allclose(model["explained_variance"], evals[order], rtol=1e-6)
+    assert model["explained_ratio"][0] > 0.5
+
+    out = pca_transform(ds, model).take_all()
+    by_id = {r["vec_id"]: np.array(r["pca"]) for r in out}
+    want = (xf - mean) @ comps.T
+    for i in (0, 17, 2999):
+        assert np.allclose(by_id[i], want[i], atol=1e-3)
