@@ -5148,3 +5148,86 @@ def q_embedding_pca(sf_dir: str):
 
 
 QUERIES["q_embedding_pca"] = q_embedding_pca
+
+
+def q_dau_mau_stickiness(sf_dir: str):
+    """DAU / trailing-28-day MAU / stickiness per day.  The trailing
+    DISTINCT is made tractable the hopping-window way: each distinct
+    (user, day) pair explodes map-side into the ≤28 window-end days it is
+    visible to (numpy repeat — never a range self-join), the window days
+    are semi-filtered to observed days (tiny broadcast), and one composite
+    exact count-distinct finishes MAU."""
+    from ..stages.agg import grouped_count_distinct
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def day_of(b: pa.Table) -> pa.Table:
+        us = pc.cast(b.column("ts"), pa.int64())
+        return pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "day": pc.divide(us, pa.scalar(86_400_000_000, pa.int64())),
+            }
+        )
+
+    pairs = grouped_agg(
+        ev.map_batches(day_of, batch_format="pyarrow"),
+        ["user_id", "day"], [("n", "day", "count")],
+    ).map_batches(lambda b: b.drop_columns(["n"]), batch_format="pyarrow")
+
+    dau = grouped_agg(pairs, ["day"], [("dau", "day", "count")], sum_as_float=False)
+    days = dau.map_batches(lambda b: b.select(["day"]), batch_format="pyarrow")
+
+    def explode_windows(b: pa.Table) -> pa.Table:
+        u = b.column("user_id").to_numpy(zero_copy_only=False)
+        d = b.column("day").to_numpy(zero_copy_only=False)
+        reps = np.full(len(d), 28, np.int64)
+        w = np.repeat(d, reps) + np.tile(np.arange(28, dtype=np.int64), len(d))
+        return pa.table(
+            {
+                "user_id": pa.array(np.repeat(u, reps)),
+                "wday": pa.array(w),
+            }
+        )
+
+    cells = pairs.map_batches(explode_windows, batch_format="pyarrow")
+    cells = broadcast_semi(cells, days, left_key="wday", right_key="day")
+    mau = grouped_count_distinct(cells, ["wday"], "user_id", out_name="mau")
+
+    joined = broadcast_join(dau, mau, left_key="day", right_key="wday", columns=["mau"])
+
+    def finalize(b: pa.Table) -> pa.Table:
+        from ..stages.agg import round_like_duckdb
+
+        dau_f = pc.cast(b.column("dau"), pa.float64())
+        mau_f = pc.cast(b.column("mau"), pa.float64())
+        return pa.table(
+            {
+                "day": b.column("day"),
+                "dau": pc.cast(b.column("dau"), pa.int64()),
+                "mau": pc.cast(b.column("mau"), pa.int64()),
+                "stickiness": round_like_duckdb(pc.divide(dau_f, mau_f), 6),
+            }
+        )
+
+    return joined.map_batches(finalize, batch_format="pyarrow")
+
+
+QUERIES["q_dau_mau_stickiness"] = q_dau_mau_stickiness
+ORACLE_SQL["q_dau_mau_stickiness"] = """
+    WITH pairs AS (
+      SELECT DISTINCT user_id,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+      FROM events
+    ),
+    dau AS (SELECT day, count(*) AS dau FROM pairs GROUP BY day),
+    mau AS (
+      SELECT d.day, count(DISTINCT p.user_id) AS mau
+      FROM (SELECT DISTINCT day FROM pairs) d
+      JOIN pairs p ON p.day BETWEEN d.day - 27 AND d.day
+      GROUP BY d.day
+    )
+    SELECT dau.day, dau.dau, mau.mau,
+           round(CAST(dau.dau AS DOUBLE) / mau.mau, 6) AS stickiness
+    FROM dau JOIN mau ON mau.day = dau.day
+"""
