@@ -63,6 +63,13 @@ def main(argv=None) -> int:
                     help="col=value/ directory per distinct combo (low-"
                          "cardinality keys) instead of hash partitions")
 
+    qa = sub.add_parser("quality", help="run data-quality expectation rules")
+    qa.add_argument("--sf-dir", required=True)
+    qa.add_argument("--table", required=True, help="parquet table name in --sf-dir")
+    qa.add_argument("--rules", required=True,
+                    help='JSON list of rules, e.g. \'[{"rule":"k_uniq",'
+                         '"column":"o_orderkey","kind":"unique"}]\'')
+
     pr = sub.add_parser("pagerank", help="PageRank over the KG dependency graph")
     pr.add_argument("--corpus", required=True)
     pr.add_argument("--out", default=None, help="parquet output dir (else print top)")
@@ -88,6 +95,24 @@ def main(argv=None) -> int:
         if own:
             ray.shutdown()
         return 0
+
+    if args.cmd == "quality":
+        import ray
+
+        own = not ray.is_initialized()
+        if own:
+            ray.init(address="local", include_dashboard=False)
+        from .stages.validate import validate_table
+
+        rules = json.loads(args.rules)
+        ds = ray.data.read_parquet(f"{args.sf_dir}/{args.table}.parquet")
+        rows = validate_table(ds, rules).take_all()
+        rows.sort(key=lambda r: r["rule"])
+        print(json.dumps({"table": args.table, "rules": rows,
+                          "all_passed": all(r["passed"] for r in rows)}))
+        if own:
+            ray.shutdown()
+        return 0 if all(r["passed"] for r in rows) else 2
 
     if args.cmd == "pagerank":
         import ray

@@ -83,3 +83,29 @@ def test_cli_pagerank(tmp_path, capsys, ray_session):
     assert len(out["top"]) == 5
     ranks = [r["rank"] for r in out["top"]]
     assert ranks == sorted(ranks, reverse=True) and ranks[0] > 0
+
+
+def test_cli_quality(ray_session):
+    """`quality` subcommand: JSON report, exit 0 on all-pass, 2 on fail."""
+    import json
+    import subprocess
+    import sys
+
+    def run(rules):
+        return subprocess.run(
+            [sys.executable, "-m", "pyjelly_ray.cli", "quality",
+             "--sf-dir", "/root/testdata/sf0.001", "--table", "orders",
+             "--rules", json.dumps(rules)],
+            capture_output=True, text=True, cwd="/root/repo",
+        )
+
+    ok = run([{"rule": "k", "column": "o_orderkey", "kind": "unique"}])
+    assert ok.returncode == 0
+    rep = json.loads(ok.stdout.strip().splitlines()[-1])
+    assert rep["all_passed"] and rep["rules"][0]["n_violations"] == 0
+
+    bad = run([{"rule": "r", "column": "o_totalprice", "kind": "in_range",
+                "lo": 0, "hi": 100}])
+    assert bad.returncode == 2
+    rep = json.loads(bad.stdout.strip().splitlines()[-1])
+    assert not rep["all_passed"] and rep["rules"][0]["n_violations"] > 0
