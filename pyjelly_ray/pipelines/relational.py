@@ -5231,3 +5231,130 @@ ORACLE_SQL["q_dau_mau_stickiness"] = """
            round(CAST(dau.dau AS DOUBLE) / mau.mau, 6) AS stickiness
     FROM dau JOIN mau ON mau.day = dau.day
 """
+
+
+def q_supplier_degree_distribution(sf_dir: str):
+    """Graph degree distribution: distinct parts per supplier (degree),
+    then supplier count per degree — the count-of-counts shape over the
+    bipartite supply graph (two mergeable aggregates, no join)."""
+    li = _read(sf_dir, "lineitem", ["l_suppkey", "l_partkey"])
+    edges = grouped_agg(
+        li, ["l_suppkey", "l_partkey"], [("n", "l_partkey", "count")]
+    )
+    degree = grouped_agg(
+        edges, ["l_suppkey"], [("degree", "l_suppkey", "count")], sum_as_float=False
+    )
+    dist = grouped_agg(
+        degree, ["degree"], [("n_suppliers", "degree", "count")], sum_as_float=False
+    )
+    return dist.map_batches(
+        lambda b: pa.table(
+            {
+                "degree": pc.cast(b.column("degree"), pa.int64()),
+                "n_suppliers": pc.cast(b.column("n_suppliers"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_user_click_purchase_overlap(sf_dir: str):
+    """Behavioral-overlap Jaccard per user: |click days ∩ purchase days| /
+    |click days ∪ purchase days| from ONE pass of conditional flags — the
+    set-similarity-between-two-behaviors shape without any set explode."""
+    from ..stages.agg import round_like_duckdb
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_in(b.column("event_type"), value_set=pa.array(["click", "purchase"])))
+        us = pc.cast(b.column("ts"), pa.int64())
+        day = pc.divide(us, pa.scalar(86_400_000_000, pa.int64()))
+        is_c = pc.cast(pc.equal(b.column("event_type"), "click"), pa.int64())
+        is_p = pc.cast(pc.equal(b.column("event_type"), "purchase"), pa.int64())
+        return pa.table(
+            {"user_id": b.column("user_id"), "day": day, "c": is_c, "p": is_p}
+        )
+
+    flags = ev.map_batches(prep, batch_format="pyarrow")
+    per_day = grouped_agg(
+        flags, ["user_id", "day"], [("has_c", "c", "max"), ("has_p", "p", "max")]
+    )
+
+    def both(b: pa.Table) -> pa.Table:
+        inter = pc.multiply(b.column("has_c"), b.column("has_p"))
+        return pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "c_day": b.column("has_c"),
+                "p_day": b.column("has_p"),
+                "both_day": inter,
+            }
+        )
+
+    days = per_day.map_batches(both, batch_format="pyarrow")
+    agg = grouped_agg(
+        days, ["user_id"],
+        [("n_click_days", "c_day", "sum"), ("n_purchase_days", "p_day", "sum"),
+         ("n_both_days", "both_day", "sum")],
+        sum_as_float=False,
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        nc = pc.cast(b.column("n_click_days"), pa.float64())
+        np_ = pc.cast(b.column("n_purchase_days"), pa.float64())
+        ni = pc.cast(b.column("n_both_days"), pa.float64())
+        union = pc.subtract(pc.add(nc, np_), ni)
+        ok = pc.greater(union, pa.scalar(0.0))
+        j = pc.divide(ni, pc.if_else(ok, union, pa.scalar(1.0)))
+        return pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "n_click_days": pc.cast(b.column("n_click_days"), pa.int64()),
+                "n_purchase_days": pc.cast(b.column("n_purchase_days"), pa.int64()),
+                "n_both_days": pc.cast(b.column("n_both_days"), pa.int64()),
+                "day_jaccard": round_like_duckdb(
+                    pc.if_else(ok, j, pa.scalar(None, pa.float64())), 6
+                ),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+QUERIES.update(
+    {
+        "q_supplier_degree_distribution": q_supplier_degree_distribution,
+        "q_user_click_purchase_overlap": q_user_click_purchase_overlap,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "q_supplier_degree_distribution": """
+            WITH deg AS (
+              SELECT l_suppkey, count(DISTINCT l_partkey) AS degree
+              FROM lineitem GROUP BY l_suppkey
+            )
+            SELECT degree, count(*) AS n_suppliers FROM deg GROUP BY degree
+        """,
+        "q_user_click_purchase_overlap": """
+            WITH d AS (
+              SELECT user_id,
+                     CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                     max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c,
+                     max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+              FROM events
+              WHERE event_type IN ('click', 'purchase')
+              GROUP BY 1, 2
+            )
+            SELECT user_id,
+                   sum(c) AS n_click_days,
+                   sum(p) AS n_purchase_days,
+                   sum(c * p) AS n_both_days,
+                   round(CAST(sum(c * p) AS DOUBLE)
+                         / (sum(c) + sum(p) - sum(c * p)), 6) AS day_jaccard
+            FROM d GROUP BY user_id
+        """,
+    }
+)
