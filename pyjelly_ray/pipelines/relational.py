@@ -5358,3 +5358,108 @@ ORACLE_SQL.update(
         """,
     }
 )
+
+
+def q_union_by_name_events(sf_dir: str):
+    """Schema-evolution union: two projections of events with different
+    column sets unioned BY NAME (missing columns → NULL) then aggregated —
+    the evolving-parquet ingest shape, zero shuffle for the align step."""
+    from ..stages.setops import union_by_name
+
+    old_shape = _read(sf_dir, "events", ["user_id", "value"])
+    new_shape = _read(sf_dir, "events", ["user_id", "event_type"])
+    u = union_by_name([old_shape, new_shape])
+
+    def flags(b: pa.Table) -> pa.Table:
+        # grouped_agg "count" is count(*); SQL count(col) needs validity flags
+        return pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "value": b.column("value"),
+                "has_value": pc.cast(pc.is_valid(b.column("value")), pa.int64()),
+                "has_type": pc.cast(pc.is_valid(b.column("event_type")), pa.int64()),
+            }
+        )
+
+    return grouped_agg(
+        u.map_batches(flags, batch_format="pyarrow"), ["user_id"],
+        [
+            ("n_rows", "user_id", "count"),
+            ("n_values", "has_value", "sum"),
+            ("n_types", "has_type", "sum"),
+            ("sum_value", "value", "sum"),
+        ],
+        round_to=2, sum_as_float=True,
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "n_rows": pc.cast(b.column("n_rows"), pa.int64()),
+                "n_values": pc.cast(b.column("n_values"), pa.int64()),
+                "n_types": pc.cast(b.column("n_types"), pa.int64()),
+                "sum_value": b.column("sum_value"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_hot_users_report(sf_dir: str):
+    """Skew diagnostics: the 10 hottest keys and their share of all rows —
+    what you run BEFORE choosing a partitioning key (exact count +
+    deterministic top-k; the streaming swap is `approx_heavy_hitters`)."""
+    from ..stages.agg import global_topk, round_like_duckdb
+
+    ev = _read(sf_dir, "events", ["user_id"])
+    total = ev.count()
+    counts = grouped_agg(
+        ev, ["user_id"], [("n_events", "user_id", "count")], sum_as_float=False
+    )
+    counts = counts.map_batches(
+        lambda b: pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "n_events": pc.cast(b.column("n_events"), pa.int64()),
+                "share": round_like_duckdb(
+                    pc.divide(
+                        pc.cast(b.column("n_events"), pa.float64()),
+                        pa.scalar(float(total)),
+                    ),
+                    6,
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return global_topk(counts, ["n_events", "user_id"], 10, descending=[True, False])
+
+
+QUERIES.update(
+    {
+        "q_union_by_name_events": q_union_by_name_events,
+        "q_hot_users_report": q_hot_users_report,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "q_union_by_name_events": """
+            WITH u AS (
+              SELECT user_id, value, NULL AS event_type FROM events
+              UNION ALL
+              SELECT user_id, NULL AS value, event_type FROM events
+            )
+            SELECT user_id, count(*) AS n_rows, count(value) AS n_values,
+                   count(event_type) AS n_types,
+                   round(sum(value), 2) AS sum_value
+            FROM u GROUP BY user_id
+        """,
+        "q_hot_users_report": """
+            SELECT user_id, count(*) AS n_events,
+                   round(count(*) / CAST((SELECT count(*) FROM events) AS DOUBLE),
+                         6) AS share
+            FROM events GROUP BY user_id
+            ORDER BY n_events DESC, user_id LIMIT 10
+        """,
+    }
+)

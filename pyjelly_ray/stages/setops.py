@@ -74,3 +74,52 @@ def set_op(left, right, op: str, *, columns: list[str] | None = None,
         reduce_fn=reduce_part,
         reduce_empty=True,
     )
+
+
+def union_by_name(datasets, *, strict_types: bool = True):
+    """UNION ALL BY NAME with schema evolution: columns are aligned by
+    name across all inputs; a column missing from an input comes back
+    NULL (typed from the first input that has it) — the lakehouse
+    ingest-evolving-parquet primitive (SQL ``UNION ALL BY NAME``).
+
+    Pure map-side: each input gets one ``map_batches`` that adds the
+    missing NULL columns and reorders; no shuffle, streaming preserved.
+    ``strict_types=False`` casts colliding column types to the first
+    occurrence's type instead of raising.
+    """
+    import ray
+
+    datasets = list(datasets)
+    if not datasets:
+        raise ValueError("union_by_name needs at least one dataset")
+    types: dict[str, pa.DataType] = {}
+    for ds in datasets:
+        schema = ds.schema()
+        schema = getattr(schema, "base_schema", schema)
+        for f in schema:
+            if f.name not in types:
+                types[f.name] = f.type
+            elif f.type != types[f.name]:
+                if strict_types:
+                    raise TypeError(
+                        f"column {f.name!r}: {f.type} vs {types[f.name]} "
+                        "(pass strict_types=False to cast)"
+                    )
+    names = list(types)
+
+    def align(b: pa.Table) -> pa.Table:
+        cols = []
+        for n in names:
+            if n in b.column_names:
+                col = b.column(n)
+                if col.type != types[n]:
+                    col = pc.cast(col, types[n])
+                cols.append(col)
+            else:
+                cols.append(pa.nulls(b.num_rows, types[n]))
+        return pa.table(dict(zip(names, cols)))
+
+    out = datasets[0].map_batches(align, batch_format="pyarrow")
+    for ds in datasets[1:]:
+        out = out.union(ds.map_batches(align, batch_format="pyarrow"))
+    return out

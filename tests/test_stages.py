@@ -2306,3 +2306,37 @@ def test_pca_matches_numpy(ray_session):
     want = (xf - mean) @ comps.T
     for i in (0, 17, 2999):
         assert np.allclose(by_id[i], want[i], atol=1e-3)
+
+
+def test_union_by_name_schema_evolution(ray_session):
+    """union_by_name: missing columns come back NULL, order-insensitive
+    column alignment, type collision raises unless strict_types=False."""
+    import pyarrow as pa
+    import pytest
+    import ray
+
+    from pyjelly_ray.stages.setops import union_by_name
+
+    old = ray.data.from_arrow(
+        pa.table({"id": pa.array([1, 2], pa.int64()), "a": pa.array(["x", "y"])})
+    )
+    new = ray.data.from_arrow(
+        pa.table(
+            {
+                "b": pa.array([9.5], pa.float64()),
+                "id": pa.array([3], pa.int64()),
+            }
+        )
+    )
+    rows = sorted(union_by_name([old, new]).take_all(), key=lambda r: r["id"])
+    assert rows == [
+        {"id": 1, "a": "x", "b": None},
+        {"id": 2, "a": "y", "b": None},
+        {"id": 3, "a": None, "b": 9.5},
+    ]
+
+    clash = ray.data.from_arrow(pa.table({"id": pa.array([4.0], pa.float64())}))
+    with pytest.raises(TypeError):
+        union_by_name([old, clash])
+    loose = union_by_name([old, clash], strict_types=False).take_all()
+    assert {r["id"] for r in loose} == {1, 2, 4}
