@@ -524,6 +524,14 @@ def _merge_partials(partial_ds, keys: list[str], specs: list[Spec],
 def grouped_agg(ds, keys: list[str] | str, specs: list[Spec], *,
                 round_to: int | None = None, num_partitions: int | None = None,
                 sum_as_float: bool = True):
+    """Partial-combine grouped aggregation (see module docstring).
+
+    Semantics note: the ``count`` kind is SQL ``COUNT(*)`` (rows per
+    group), NOT ``COUNT(col)`` — for non-null counts, sum an
+    ``is_valid`` int flag column (see ``q_union_by_name_events``).
+    ``sum``/``mean``/``min``/``max`` and the moment kinds ignore NULLs
+    like their SQL counterparts.
+    """
     keys = [keys] if isinstance(keys, str) else list(keys)
     num_partitions = num_partitions or default_partitions()
     partial = _partial_fn(keys, specs)
