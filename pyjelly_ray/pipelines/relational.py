@@ -5463,3 +5463,57 @@ ORACLE_SQL.update(
         """,
     }
 )
+
+
+def q_order_amount_reconciliation(sf_dir: str):
+    """Cross-table reconciliation audit: each order's header total vs the
+    sum of its line revenues — the 20 largest absolute discrepancies.
+    The per-order line sum is FINAL inside the lineitem⋈orders join reduce
+    (join key == group key → ``hash_join(post=)``), so the full join
+    output never re-exchanges; top-k cuts map-side."""
+    from ..stages.agg import global_topk, round_like_duckdb
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            b.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), b.column("l_discount")),
+        )
+        return pa.table({"l_orderkey": b.column("l_orderkey"), "rev": rev})
+
+    li = li.map_batches(prep, batch_format="pyarrow")
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def reconcile(t: pa.Table) -> pa.Table:
+        g = t.group_by(["l_orderkey", "o_totalprice"]).aggregate([("rev", "sum")])
+        line_total = round_like_duckdb(g.column("rev_sum"), 2)
+        delta = round_like_duckdb(
+            pc.abs(pc.subtract(g.column("o_totalprice"), g.column("rev_sum"))), 2
+        )
+        return pa.table(
+            {
+                "o_orderkey": g.column("l_orderkey"),
+                "o_totalprice": g.column("o_totalprice"),
+                "line_total": line_total,
+                "abs_delta": delta,
+            }
+        )
+
+    joined = hash_join(
+        li, orders, left_key="l_orderkey", right_key="o_orderkey", post=reconcile
+    )
+    return global_topk(joined, ["abs_delta", "o_orderkey"], 20, descending=[True, False])
+
+
+QUERIES["q_order_amount_reconciliation"] = q_order_amount_reconciliation
+ORACLE_SQL["q_order_amount_reconciliation"] = """
+    SELECT o_orderkey, o_totalprice,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS line_total,
+           round(abs(o_totalprice - sum(l_extendedprice * (1 - l_discount))), 2)
+               AS abs_delta
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    GROUP BY o_orderkey, o_totalprice
+    ORDER BY abs_delta DESC, o_orderkey
+    LIMIT 20
+"""
