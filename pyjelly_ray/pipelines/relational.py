@@ -5517,3 +5517,91 @@ ORACLE_SQL["q_order_amount_reconciliation"] = """
     ORDER BY abs_delta DESC, o_orderkey
     LIMIT 20
 """
+
+
+def q_split_contamination(sf_dir: str):
+    """Eval-hygiene check: duplicate TEXTS that straddle train/val/test
+    (splits hash doc_id, so byte-identical texts can cross the boundary —
+    exactly the leakage a benchmark must not have).  Texts are keyed by
+    sha256 map-side (long strings never enter the exchange); two keyed
+    aggregates + a co-partitioned join; the 3-number report folds from
+    per-block partials on the driver."""
+    import hashlib
+
+    from ..stages.agg import grouped_count_distinct
+    from ..stages.sample import deterministic_split
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    tagged = deterministic_split(docs, id_col="doc_id", splits=_SPLITS, seed="r1")
+
+    def key(b: pa.Table) -> pa.Table:
+        fps = [
+            hashlib.sha256((t or "").encode()).hexdigest()
+            for t in b.column("text").to_pylist()
+        ]
+        return pa.table({"fp": pa.array(fps, pa.string()), "split": b.column("split")})
+
+    keyed = tagged.map_batches(key, batch_format="pyarrow")
+    n_docs = grouped_agg(keyed, ["fp"], [("n_docs", "fp", "count")], sum_as_float=False)
+    n_splits = grouped_count_distinct(keyed, ["fp"], "split", out_name="n_splits")
+    per_text = hash_join(n_docs, n_splits, left_key="fp", right_key="fp")
+
+    def partial(b: pa.Table) -> pa.Table:
+        contaminated = pc.greater(b.column("n_splits"), pa.scalar(1, pa.int64()))
+        nd = pc.cast(b.column("n_docs"), pa.int64())
+        return pa.table(
+            {
+                "n_distinct_texts": pa.array([b.num_rows], pa.int64()),
+                "n_contaminated_texts": pa.array(
+                    [pc.sum(pc.cast(contaminated, pa.int64())).as_py() or 0], pa.int64()
+                ),
+                "n_docs_affected": pa.array(
+                    [
+                        pc.sum(
+                            pc.if_else(contaminated, nd, pa.scalar(0, pa.int64()))
+                        ).as_py()
+                        or 0
+                    ],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    rows = per_text.map_batches(partial, batch_format="pyarrow").take_all()
+    return pa.table(
+        {
+            "n_distinct_texts": pa.array(
+                [sum(r["n_distinct_texts"] for r in rows)], pa.int64()
+            ),
+            "n_contaminated_texts": pa.array(
+                [sum(r["n_contaminated_texts"] for r in rows)], pa.int64()
+            ),
+            "n_docs_affected": pa.array(
+                [sum(r["n_docs_affected"] for r in rows)], pa.int64()
+            ),
+        }
+    )
+
+
+QUERIES["q_split_contamination"] = q_split_contamination
+
+
+def _split_contamination_sql() -> str:
+    from ..stages.sample import sql_split_case
+
+    case = sql_split_case("doc_id", _SPLITS, seed="r1")
+    return f"""
+        WITH s AS (SELECT doc_id, text, {case} AS split FROM documents),
+        g AS (
+          SELECT text, count(DISTINCT split) AS n_splits, count(*) AS n_docs
+          FROM s GROUP BY text
+        )
+        SELECT count(*) AS n_distinct_texts,
+               count(*) FILTER (WHERE n_splits > 1) AS n_contaminated_texts,
+               coalesce(sum(n_docs) FILTER (WHERE n_splits > 1), 0)
+                   AS n_docs_affected
+        FROM g
+    """
+
+
+ORACLE_SQL["q_split_contamination"] = _split_contamination_sql()
