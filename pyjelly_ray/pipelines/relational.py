@@ -5605,3 +5605,54 @@ def _split_contamination_sql() -> str:
 
 
 ORACLE_SQL["q_split_contamination"] = _split_contamination_sql()
+
+
+def q_events_value_winsorized(sf_dir: str):
+    """Winsorized robust statistics per event type: clip values to the
+    exact [p05, p95] group band (quantiles broadcast back, vectorized
+    clamp), then re-aggregate — the outlier-robust preprocessing step
+    before any mean-based feature."""
+    from ..stages.agg import grouped_quantiles
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+    q = grouped_quantiles(
+        ev, "event_type", "value", [("p05", 0.05), ("p95", 0.95)], round_to=6
+    )
+    joined = broadcast_join(ev, q, left_key="event_type", columns=["p05", "p95"])
+
+    def clip(b: pa.Table) -> pa.Table:
+        w = pc.min_element_wise(
+            pc.max_element_wise(b.column("value"), b.column("p05")),
+            b.column("p95"),
+        )
+        return pa.table({"event_type": b.column("event_type"), "w": w})
+
+    clipped = joined.map_batches(clip, batch_format="pyarrow")
+    return grouped_agg(
+        clipped, ["event_type"],
+        [
+            ("n_events", "w", "count"),
+            ("w_mean", "w", "mean"),
+            ("w_std", "w", "std"),
+        ],
+        round_to=4,
+    )
+
+
+QUERIES["q_events_value_winsorized"] = q_events_value_winsorized
+ORACLE_SQL["q_events_value_winsorized"] = """
+    WITH q AS (
+      SELECT event_type,
+             round(quantile_cont(value, 0.05), 6) AS p05,
+             round(quantile_cont(value, 0.95), 6) AS p95
+      FROM events GROUP BY event_type
+    ),
+    c AS (
+      SELECT e.event_type, least(greatest(e.value, q.p05), q.p95) AS w
+      FROM events e JOIN q USING (event_type)
+    )
+    SELECT event_type, count(*) AS n_events,
+           round(avg(w), 4) AS w_mean,
+           round(stddev_samp(w), 4) AS w_std
+    FROM c GROUP BY event_type
+"""
