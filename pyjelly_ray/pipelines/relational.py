@@ -5656,3 +5656,77 @@ ORACLE_SQL["q_events_value_winsorized"] = """
            round(stddev_samp(w), 4) AS w_std
     FROM c GROUP BY event_type
 """
+
+
+def q_priority_share_within_status(sf_dir: str):
+    """Hierarchical share report (percent-of-parent): order counts per
+    (status, priority) AND per status from ONE grouping-sets pass over the
+    data, then each leaf cell's share of its parent subtotal via a
+    broadcast of the tiny parent level — the drill-down table every BI
+    rollup renders."""
+    from ..stages.agg import grouped_agg_sets, round_like_duckdb
+
+    orders = _read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority"])
+    sets = grouped_agg_sets(
+        orders, ["o_orderstatus", "o_orderpriority"],
+        [("n_orders", "o_orderstatus", "count")],
+        sets=[["o_orderstatus", "o_orderpriority"], ["o_orderstatus"]],
+        sum_as_float=False, grouping_id="gid",
+    )
+    leaves = sets.map_batches(
+        lambda b: b.filter(pc.equal(b.column("gid"), 0)).drop_columns(["gid"]),
+        batch_format="pyarrow",
+    )
+    parents = sets.map_batches(
+        lambda b: pa.table(
+            {
+                "o_orderstatus": b.filter(pc.equal(b.column("gid"), 1)).column(
+                    "o_orderstatus"
+                ),
+                "status_total": b.filter(pc.equal(b.column("gid"), 1)).column(
+                    "n_orders"
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = broadcast_join(
+        leaves, parents, left_key="o_orderstatus", right_key="o_orderstatus",
+        columns=["status_total"],
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        share = round_like_duckdb(
+            pc.divide(
+                pc.cast(b.column("n_orders"), pa.float64()),
+                pc.cast(b.column("status_total"), pa.float64()),
+            ),
+            6,
+        )
+        return pa.table(
+            {
+                "o_orderstatus": b.column("o_orderstatus"),
+                "o_orderpriority": b.column("o_orderpriority"),
+                "n_orders": pc.cast(b.column("n_orders"), pa.int64()),
+                "status_total": pc.cast(b.column("status_total"), pa.int64()),
+                "share_of_status": share,
+            }
+        )
+
+    return joined.map_batches(finalize, batch_format="pyarrow")
+
+
+QUERIES["q_priority_share_within_status"] = q_priority_share_within_status
+ORACLE_SQL["q_priority_share_within_status"] = """
+    WITH leaf AS (
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+      FROM orders GROUP BY 1, 2
+    ),
+    parent AS (
+      SELECT o_orderstatus, count(*) AS status_total FROM orders GROUP BY 1
+    )
+    SELECT l.o_orderstatus, l.o_orderpriority, l.n_orders, p.status_total,
+           round(CAST(l.n_orders AS DOUBLE) / p.status_total, 6)
+               AS share_of_status
+    FROM leaf l JOIN parent p USING (o_orderstatus)
+"""
