@@ -5730,3 +5730,74 @@ ORACLE_SQL["q_priority_share_within_status"] = """
                AS share_of_status
     FROM leaf l JOIN parent p USING (o_orderstatus)
 """
+
+
+def q_events_value_interp(sf_dir: str):
+    """Time-weighted linear interpolation of missing sensor values per
+    user (values on 'error' events treated as missing): gaps fill from the
+    bounding observations proportionally to the TIME distance; leading/
+    trailing gaps stay NULL (interpolation, not extrapolation) — the
+    imputation companion to LOCF, in the same one-exchange kernel."""
+    from ..stages.window import grouped_running
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type", "value"])
+
+    def mask(b: pa.Table) -> pa.Table:
+        v = pc.if_else(
+            pc.equal(b.column("event_type"), "error"),
+            pa.scalar(None, pa.float64()),
+            b.column("value"),
+        )
+        return pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "user_id": b.column("user_id"),
+                "ts": b.column("ts"),
+                "value": v,
+            }
+        )
+
+    masked = ev.map_batches(mask, batch_format="pyarrow")
+    out = grouped_running(
+        masked, key="user_id", order_col="ts", value_col="value",
+        kinds=[("value_interp", "linear_interp")], tiebreak="event_id",
+        round_to=6,
+    )
+    return out.map_batches(
+        lambda b: b.select(["event_id", "user_id", "value_interp"]),
+        batch_format="pyarrow",
+    )
+
+
+QUERIES["q_events_value_interp"] = q_events_value_interp
+ORACLE_SQL["q_events_value_interp"] = """
+    WITH m AS (
+      SELECT event_id, user_id, ts, epoch_us(ts) AS t,
+             CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+      FROM events
+    ),
+    w AS (
+      SELECT event_id, user_id, v, t,
+             last_value(v IGNORE NULLS) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pt,
+             first_value(v IGNORE NULLS) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nt
+      FROM m
+    )
+    SELECT event_id, user_id,
+           round(CASE
+             WHEN v IS NOT NULL THEN v
+             WHEN pv IS NULL OR nv IS NULL THEN NULL
+             WHEN nt <= pt THEN pv
+             ELSE pv + (nv - pv) * ((t - pt) / (nt - pt))
+           END, 6) AS value_interp
+    FROM w
+"""

@@ -225,6 +225,32 @@ def grouped_running(ds, *, key: str, order_col: str, value_col: str,
                 filled = np.where(pos >= 0, vals[np.maximum(pos, 0)], np.nan)
                 col = pa.array(filled, pa.float64())
                 col = pc.if_else(pc.is_nan(col), pa.scalar(None, pa.float64()), col)
+            elif kind == "linear_interp":
+                # linear interpolation of NULL gaps between the bounding
+                # observations ON THE ORDER AXIS (time-weighted, not
+                # row-weighted); pure interpolation — leading/trailing
+                # NULLs stay NULL (use locf for carry)
+                ocol = t.column(order_col).combine_chunks()
+                if pa.types.is_temporal(ocol.type):
+                    ocol = pc.cast(ocol, pa.int64())
+                tv = ocol.to_numpy(zero_copy_only=False).astype(np.float64)
+                valid = ~np.isnan(vals)
+                prev = np.where(valid, idx, -1)
+                nxt = np.where(valid, idx, len(vals))
+                for s, e in zip(bounds[:-1], bounds[1:]):
+                    np.maximum.accumulate(prev[s:e], out=prev[s:e])
+                    nxt[s:e] = np.minimum.accumulate(nxt[s:e][::-1])[::-1]
+                has_both = (prev >= 0) & (nxt < len(vals))
+                pi = np.maximum(prev, 0)
+                ni = np.minimum(nxt, len(vals) - 1)
+                pv, nv = vals[pi], vals[ni]
+                pt, nt = tv[pi], tv[ni]
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    frac = np.where(nt > pt, (tv - pt) / (nt - pt), 0.0)
+                    interp = pv + (nv - pv) * frac
+                filled = np.where(valid, vals, np.where(has_both, interp, np.nan))
+                col = pa.array(filled, pa.float64())
+                col = pc.if_else(pc.is_nan(col), pa.scalar(None, pa.float64()), col)
             elif isinstance(kind, tuple) and kind[0] == "nth_value":
                 # SQL default frame (up to current row): null until the
                 # frame holds n rows; requires a total order (tiebreak)
