@@ -5801,3 +5801,26 @@ ORACLE_SQL["q_events_value_interp"] = """
            END, 6) AS value_interp
     FROM w
 """
+
+
+def q_events_value_ewma(sf_dir: str):
+    """Exponentially weighted moving average of each user's value stream
+    (alpha = 0.3, pandas ewm(adjust=False) semantics) — the streaming
+    smoother; per-run closed form = two vectorized passes, overflow-safe
+    chunk folding for long series.  Rows-only (SQL has no EWMA); the
+    recurrence is pinned == pandas by `test_ewma_matches_pandas`."""
+    from ..stages.window import grouped_running
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    out = grouped_running(
+        ev, key="user_id", order_col="ts", value_col="value",
+        kinds=[("value_ewma", ("ewma", 0.3))], tiebreak="event_id",
+        round_to=6,
+    )
+    return out.map_batches(
+        lambda b: b.select(["event_id", "user_id", "value_ewma"]),
+        batch_format="pyarrow",
+    )
+
+
+QUERIES["q_events_value_ewma"] = q_events_value_ewma

@@ -193,6 +193,33 @@ def grouped_running(ds, *, key: str, order_col: str, value_col: str,
                         grp_size > 1, (rank_np - 1) / np.maximum(grp_size - 1, 1), 0.0
                     )
                 col = pa.array(pr, pa.float64())
+            elif isinstance(kind, tuple) and kind[0] == "ewma":
+                # exponentially weighted moving average per run (pandas
+                # ewm(alpha, adjust=False) recurrence: y_i = (1-a)·y_{i-1}
+                # + a·x_i).  Closed form via scaled cumsum so each run is
+                # two vectorized passes, no per-row Python: with
+                # w = (1-a)^{-i}, y_i = (1-a)^i · (x_0 + a·Σ_{1..i} x_j·w_j).
+                # (1-a)^{±i} overflows float64 past i ≈ 700/|ln(1-a)|, so
+                # long runs fold in bounded chunks carrying y across.
+                a = float(kind[1])
+                col_np = vals.copy()
+                chunk = max(int(64.0 / abs(np.log1p(-a))), 8) if a < 1.0 else 1 << 30
+                for s, e in zip(bounds[:-1], bounds[1:]):
+                    carry = None
+                    for cs in range(s, e, chunk):
+                        ce = min(cs + chunk, e)
+                        x = vals[cs:ce]
+                        i = np.arange(ce - cs, dtype=np.float64)
+                        decay = (1.0 - a) ** i
+                        head = x[0] if carry is None else (1.0 - a) * carry + a * x[0]
+                        scaled = np.empty(ce - cs)
+                        scaled[0] = head
+                        if ce - cs > 1:
+                            scaled[1:] = a * x[1:]
+                        y = decay * np.cumsum(scaled / decay)
+                        col_np[cs:ce] = y
+                        carry = y[-1]
+                col = pa.array(col_np, pa.float64())
             elif kind in ("cumsum", "cummax"):
                 # per-run accumulate in SQL's sequential order (a global
                 # cumsum minus a group base differs in final ulps from the

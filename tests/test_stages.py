@@ -2340,3 +2340,40 @@ def test_union_by_name_schema_evolution(ray_session):
         union_by_name([old, clash])
     loose = union_by_name([old, clash], strict_types=False).take_all()
     assert {r["id"] for r in loose} == {1, 2, 4}
+
+
+def test_ewma_matches_pandas(ray_session):
+    """EWMA window kind == pandas ewm(alpha, adjust=False) per key,
+    including the overflow-safe chunked path (long runs, small alpha)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from pyjelly_ray.stages.window import grouped_running
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for k in range(6):
+        for i in range(2000):  # long runs force several chunk folds
+            rows.append((k, i, float(rng.standard_normal())))
+    t = pa.table(
+        {
+            "k": pa.array([r[0] for r in rows], pa.int64()),
+            "i": pa.array([r[1] for r in rows], pa.int64()),
+            "v": pa.array([r[2] for r in rows], pa.float64()),
+        }
+    )
+    for alpha in (0.03, 0.3, 0.9):
+        out = grouped_running(
+            ray.data.from_arrow(t).repartition(5),
+            key="k", order_col="i", value_col="v",
+            kinds=[("ewma", ("ewma", alpha))],
+        ).take_all()
+        got = {(r["k"], r["i"]): r["ewma"] for r in out}
+        df = pd.DataFrame(rows, columns=["k", "i", "v"]).sort_values(["k", "i"])
+        want = df.groupby("k")["v"].transform(
+            lambda s: s.ewm(alpha=alpha, adjust=False).mean()
+        )
+        for (k, i, _), w in zip(df.itertuples(index=False), want):
+            assert abs(got[(k, i)] - w) < 1e-9, (alpha, k, i)
