@@ -5824,3 +5824,35 @@ def q_events_value_ewma(sf_dir: str):
 
 
 QUERIES["q_events_value_ewma"] = q_events_value_ewma
+
+
+def q_events_trailing_zscore(sf_dir: str):
+    """Windowed anomaly features: each event's value vs its own user's
+    trailing 3-day mean/stddev (RANGE frame; stddev NULL when the window
+    holds < 2 events) — the streaming z-score every monitoring pipeline
+    derives, from the same two-searchsorted band sums as the count/sum
+    path."""
+    from ..stages.window import grouped_trailing_agg
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    out = grouped_trailing_agg(
+        ev, key="user_id", ts_col="ts", value_col="value",
+        width_s=3 * 24 * 3600.0, out_sum=None,
+        out_mean="w_mean", out_std="w_std", round_to=6,
+    )
+    return out.map_batches(
+        lambda b: b.select(["event_id", "user_id", "w_count", "w_mean", "w_std"]),
+        batch_format="pyarrow",
+    )
+
+
+QUERIES["q_events_trailing_zscore"] = q_events_trailing_zscore
+ORACLE_SQL["q_events_trailing_zscore"] = """
+    SELECT event_id, user_id,
+           count(*) OVER w AS w_count,
+           round(avg(value) OVER w, 6) AS w_mean,
+           round(stddev_samp(value) OVER w, 6) AS w_std
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 3 DAY PRECEDING AND CURRENT ROW)
+"""

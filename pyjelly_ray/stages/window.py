@@ -378,6 +378,8 @@ def windowed_agg(ds, *, ts_col: str, width_s: float, hop_s: float | None = None,
 def grouped_trailing_agg(ds, *, key: str, ts_col: str, value_col: str,
                          width_s: float, out_count: str = "w_count",
                          out_sum: str | None = "w_sum",
+                         out_mean: str | None = None,
+                         out_std: str | None = None,
                          round_to: int = 2):
     """Per-ROW trailing time-window aggregates: SQL ``count(*)/sum(value)
     OVER (PARTITION BY key ORDER BY ts RANGE BETWEEN INTERVAL width
@@ -390,15 +392,22 @@ def grouped_trailing_agg(ds, *, key: str, ts_col: str, value_col: str,
     the right bound includes ties (RANGE-frame peer semantics), the sum is
     a cumsum difference (all-positive, no cancellation).  O(n log n) per
     partition, no per-row loop, window width never materialized.
+
+    ``out_mean``/``out_std`` add the trailing mean and SAMPLE stddev (the
+    windowed z-score ingredients) from the same band sums plus a Σx²
+    cumsum — stddev NULL when the window holds < 2 rows, matching SQL
+    ``stddev_samp OVER (RANGE ...)``.
     """
+    need_vals = bool(out_sum or out_mean or out_std)
 
     def part(t: pa.Table) -> pa.Table:
         from ..stages.agg import _key_run_bounds
 
         if t.num_rows == 0:
             out = t.append_column(out_count, pa.array([], pa.int64()))
-            if out_sum:
-                out = out.append_column(out_sum, pa.array([], pa.float64()))
+            for name in (out_sum, out_mean, out_std):
+                if name:
+                    out = out.append_column(name, pa.array([], pa.float64()))
             return out
         t = t.sort_by([(key, "ascending"), (ts_col, "ascending")])
         bounds = _key_run_bounds(t, [key])
@@ -408,24 +417,42 @@ def grouped_trailing_agg(ds, *, key: str, ts_col: str, value_col: str,
         width_us = int(width_s * 1_000_000)
         vals = (
             t.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
-            if out_sum
+            if need_vals
             else None
         )
         counts = np.empty(t.num_rows, np.int64)
-        sums = np.empty(t.num_rows, np.float64) if out_sum else None
+        sums = np.empty(t.num_rows, np.float64) if need_vals else None
+        sqs = np.empty(t.num_rows, np.float64) if out_std else None
         for s, e in zip(bounds[:-1], bounds[1:]):
             run = us[s:e]
             lo = np.searchsorted(run, run - width_us, side="left")
             hi = np.searchsorted(run, run, side="right")
             counts[s:e] = hi - lo
-            if out_sum:
+            if need_vals:
                 cs = np.concatenate(([0.0], np.cumsum(vals[s:e])))
                 sums[s:e] = cs[hi] - cs[lo]
+            if out_std:
+                c2 = np.concatenate(([0.0], np.cumsum(vals[s:e] ** 2)))
+                sqs[s:e] = c2[hi] - c2[lo]
         out = t.append_column(out_count, pa.array(counts, pa.int64()))
         if out_sum:
             out = out.append_column(
                 out_sum, round_like_duckdb(pa.array(sums, pa.float64()), round_to)
             )
+        if out_mean:
+            out = out.append_column(
+                out_mean,
+                round_like_duckdb(pa.array(sums / counts, pa.float64()), round_to),
+            )
+        if out_std:
+            n = counts.astype(np.float64)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                var = np.maximum(sqs - sums * sums / n, 0.0) / (n - 1.0)
+                std = np.sqrt(var)
+            std = np.where(counts > 1, std, np.nan)
+            col = pa.array(std, pa.float64())
+            col = pc.if_else(pc.is_nan(col), pa.scalar(None, pa.float64()), col)
+            out = out.append_column(out_std, round_like_duckdb(col, round_to))
         return out
 
     return grouped_map(ds, key, part, per_group=False)
