@@ -5856,3 +5856,118 @@ ORACLE_SQL["q_events_trailing_zscore"] = """
     WINDOW w AS (PARTITION BY user_id ORDER BY ts
                  RANGE BETWEEN INTERVAL 3 DAY PRECEDING AND CURRENT ROW)
 """
+
+
+def q_events_rolling_median(sf_dir: str):
+    """Exact trailing 7-row median of each user's value stream — the
+    order-statistic window (robust smoother; unlike the moving mean, a
+    single spike cannot drag it).  Full windows are one strided-view
+    np.median per key run; only the ≤6 ramp-up rows per run are scalar."""
+    from ..stages.window import grouped_running
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    out = grouped_running(
+        ev, key="user_id", order_col="ts", value_col="value",
+        kinds=[("value_med7", ("rolling_median", 7))], tiebreak="event_id",
+        round_to=6,
+    )
+    return out.map_batches(
+        lambda b: b.select(["event_id", "user_id", "value_med7"]),
+        batch_format="pyarrow",
+    )
+
+
+QUERIES["q_events_rolling_median"] = q_events_rolling_median
+ORACLE_SQL["q_events_rolling_median"] = """
+    SELECT event_id, user_id,
+           round(median(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS value_med7
+    FROM events
+"""
+
+
+def q_events_robust_outliers(sf_dir: str):
+    """Robust per-event-type outlier report: exact median + MAD and the
+    count of |x − med| > 3·1.4826·MAD points — the contamination-proof
+    alternative to mean/stddev cuts (a heavy tail cannot inflate its own
+    threshold).  One exchange; medians need the group co-located, exactly
+    like grouped_quantiles."""
+    from ..stages.agg import grouped_robust_outliers
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+    return grouped_robust_outliers(ev, "event_type", "value")
+
+
+QUERIES["q_events_robust_outliers"] = q_events_robust_outliers
+ORACLE_SQL["q_events_robust_outliers"] = """
+    WITH g AS (
+      SELECT event_type, median(value) AS med, mad(value) AS mad_v
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           count(*) AS n,
+           round(any_value(g.med), 6) AS med,
+           round(any_value(g.mad_v), 6) AS mad_v,
+           count(*) FILTER (WHERE abs(e.value - g.med) > 4.4478 * g.mad_v)
+               AS n_outliers
+    FROM events e JOIN g USING (event_type)
+    GROUP BY e.event_type
+"""
+
+
+def q_user_value_twap(sf_dir: str):
+    """Time-weighted average value per user (each event's value held until
+    the user's next event) — the step-series mean every pricing/telemetry
+    pipeline needs when sampling is irregular; plain AVG over-weights
+    bursts.  Pure reduction: one exchange, segmented reduceat kernel."""
+    from ..stages.window import time_weighted_avg
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    return time_weighted_avg(
+        ev, key="user_id", ts_col="ts", value_col="value",
+        out_name="twap", tiebreak="event_id", round_to=6,
+    )
+
+
+QUERIES["q_user_value_twap"] = q_user_value_twap
+ORACLE_SQL["q_user_value_twap"] = """
+    WITH w AS (
+      SELECT user_id, value,
+             CAST(date_diff('microsecond', ts,
+                  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                  AS DOUBLE) AS dur
+      FROM events
+    )
+    SELECT user_id, round(sum(value * dur) / sum(dur), 6) AS twap
+    FROM w
+    WHERE dur IS NOT NULL
+    GROUP BY user_id
+    HAVING sum(dur) > 0
+"""
+
+
+def q_label_centroids(sf_dir: str):
+    """Per-label element-wise embedding centroid (long form: label, dim,
+    centroid) — the class-prototype aggregate behind nearest-centroid
+    classification and cluster drift monitoring.  Map-side combiner
+    collapses each block to |labels|×64 partial sums; the exchange never
+    sees raw vectors."""
+    from ..stages.ann import group_vector_mean
+
+    emb = _read(sf_dir, "embeddings", ["label", "embedding"])
+    return group_vector_mean(emb, "label", col="embedding", round_to=6,
+                             out_name="centroid")
+
+
+QUERIES["q_label_centroids"] = q_label_centroids
+ORACLE_SQL["q_label_centroids"] = """
+    -- range(64) = the corpus's fixed embedding width (DuckDB's range()
+    -- only takes constants; the len() guard keeps it exact regardless)
+    SELECT label, CAST(gs.i AS BIGINT) AS dim,
+           round(avg(embedding[gs.i + 1]), 6) AS centroid
+    FROM embeddings
+    CROSS JOIN range(64) AS gs(i)
+    WHERE gs.i < len(embedding)
+    GROUP BY label, gs.i
+"""

@@ -1000,6 +1000,99 @@ def grouped_quantiles(ds, keys: list[str] | str, col: str,
     )
 
 
+def grouped_robust_outliers(ds, keys: list[str] | str, col: str, *,
+                            scale: float = 4.4478, round_to: int = 6):
+    """Per-group robust (median / MAD) outlier report.
+
+    For each group: ``n`` = COUNT(*), exact median ``med``, exact median
+    absolute deviation ``mad_v`` (DuckDB ``mad()``: the interpolated median
+    of |x − med|), and ``n_outliers`` = rows with ``|x − med| > scale ·
+    mad_v`` (default scale 4.4478 = 3 robust z-scores · the 1.4826 normal
+    consistency constant).  The robust alternative to mean/stddev outlier
+    cuts — a contaminated tail cannot drag its own threshold.
+
+    Same shape as :func:`grouped_quantiles` (exact order statistics need
+    each group's values co-located): project map-side, one hash exchange,
+    vectorized per-group fold.  NULL values are ignored for med/MAD/outlier
+    counting but still count in ``n``, matching SQL COUNT(*) vs aggregate
+    NULL semantics.
+    """
+    import numpy as np
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+
+    def quantile_cont(sorted_vals: "np.ndarray", q: float) -> float:
+        pos = q * (len(sorted_vals) - 1)
+        f = int(np.floor(pos))
+        c = int(np.ceil(pos))
+        if f == c:
+            return float(sorted_vals[f])
+        return float(sorted_vals[f] * (c - pos) + sorted_vals[c] * (pos - f))
+
+    def round_half_away(x: float, nd: int) -> float:
+        s = 10.0 ** nd
+        return float(np.copysign(np.floor(abs(x) * s + 0.5), x) / s)
+
+    num_partitions = default_partitions(small=True)
+
+    def project_with_bucket(b: pa.Table) -> pa.Table:
+        out = b.select(keys + [col])
+        return out.append_column(
+            "__bucket", pa.array(bucket_codes(out, keys, num_partitions))
+        )
+
+    def reduce_part(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        if "__bucket" in t.column_names:
+            t = t.drop_columns(["__bucket"])
+        if t.num_rows == 0:
+            return pa.table(
+                {**{k: pa.array([], t.schema.field(k).type) for k in keys},
+                 "n": pa.array([], pa.int64()),
+                 "med": pa.array([], pa.float64()),
+                 "mad_v": pa.array([], pa.float64()),
+                 "n_outliers": pa.array([], pa.int64())}
+            )
+        t = t.sort_by([(k, "ascending") for k in keys])
+        bounds = _key_run_bounds(t, keys)
+        rows: dict[str, list] = {k: [] for k in keys}
+        rows.update(n=[], med=[], mad_v=[], n_outliers=[])
+        full = t.column(col).combine_chunks()
+        for i in range(len(bounds) - 1):
+            g = t.slice(bounds[i], bounds[i + 1] - bounds[i])
+            arr = full.slice(bounds[i], bounds[i + 1] - bounds[i])
+            vals = arr.drop_null().to_numpy(zero_copy_only=False).astype(np.float64)
+            med = quantile_cont(np.sort(vals), 0.5)
+            dev = np.abs(vals - med)
+            mad = quantile_cont(np.sort(dev), 0.5)
+            for k in keys:
+                rows[k].append(g.column(k)[0].as_py())
+            rows["n"].append(g.num_rows)
+            rows["med"].append(round_half_away(med, round_to))
+            rows["mad_v"].append(round_half_away(mad, round_to))
+            rows["n_outliers"].append(int(np.count_nonzero(dev > scale * mad)))
+        return pa.table(
+            {**{k: pa.array(rows[k], t.schema.field(k).type) for k in keys},
+             "n": pa.array(rows["n"], pa.int64()),
+             "med": pa.array(rows["med"], pa.float64()),
+             "mad_v": pa.array(rows["mad_v"], pa.float64()),
+             "n_outliers": pa.array(rows["n_outliers"], pa.int64())}
+        )
+
+    from ..state.exchange import hash_exchange
+
+    projected = ds.map_batches(project_with_bucket, batch_format="pyarrow",
+                               batch_size=None)
+    return hash_exchange(
+        projected,
+        bucket_col="__bucket",
+        n_partitions=num_partitions,
+        reduce_fn=reduce_part,
+        reduce_empty=True,
+    )
+
+
 def grouped_topk(ds, keys: list[str] | str, order_col: str, k: int, *,
                  descending: bool = True, tiebreak: list[str] | None = None):
     """Top-k rows per group (SQL ``row_number() OVER (PARTITION BY keys

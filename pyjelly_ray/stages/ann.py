@@ -697,6 +697,61 @@ def pca_fit(ds, k: int, *, col: str = "embedding"):
     }
 
 
+def group_vector_mean(ds, key: str, *, col: str = "embedding",
+                      round_to: int = 6, out_name: str = "centroid"):
+    """Per-group element-wise mean of a ``list<float>`` column (class
+    centroids), long output ``(key, dim, centroid)``.
+
+    Map side collapses each block to |groups| × p partial rows (Σx per
+    dim via one segmented reduceat on the stacked matrix — the combiner),
+    then :func:`~pyjelly_ray.stages.agg.grouped_agg` merges the tiny
+    partials; exchange volume is groups × dims × blocks, independent of
+    row count.  The vector analogue of AVG — equals SQL
+    ``avg(unnest(embedding)) GROUP BY key, subscript``.
+    """
+    from .agg import grouped_agg, round_like_duckdb
+
+    def partial(b: pa.Table) -> pa.Table:
+        key_arr = b.column(key)
+        key_type = b.schema.field(key).type
+        x = _stack(b, col)
+        if x.shape[0] == 0:
+            return pa.table({key: pa.array([], key_type),
+                             "dim": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.float64()),
+                             "n": pa.array([], pa.int64())})
+        p = x.shape[1]
+        labels = key_arr.to_numpy(zero_copy_only=False)
+        order = np.argsort(labels, kind="stable")
+        uniq, starts, counts = np.unique(
+            labels[order], return_index=True, return_counts=True
+        )
+        sums = np.add.reduceat(x[order], starts, axis=0)  # (groups, p)
+        g = len(uniq)
+        return pa.table({
+            key: pa.array(np.repeat(uniq, p), key_type),
+            "dim": pa.array(np.tile(np.arange(p, dtype=np.int64), g)),
+            "s": pa.array(sums.ravel(), pa.float64()),
+            "n": pa.array(np.repeat(counts.astype(np.int64), p)),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    merged = grouped_agg(partials, [key, "dim"],
+                         [("s", "s", "sum"), ("n", "n", "sum")])
+
+    def finalize(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        centroid = pc.divide(b.column("s"), pc.cast(b.column("n"), pa.float64()))
+        return pa.table({
+            key: b.column(key),
+            "dim": b.column("dim"),
+            out_name: round_like_duckdb(centroid, round_to),
+        })
+
+    return merged.map_batches(finalize, batch_format="pyarrow")
+
+
 def pca_transform(ds, model: dict, *, col: str = "embedding",
                   id_col: str = "vec_id", out_col: str = "pca"):
     """Project embeddings onto fitted components: model broadcast ONCE via

@@ -220,6 +220,26 @@ def grouped_running(ds, *, key: str, order_col: str, value_col: str,
                         col_np[cs:ce] = y
                         carry = y[-1]
                 col = pa.array(col_np, pa.float64())
+            elif isinstance(kind, tuple) and kind[0] == "rolling_median":
+                # exact trailing ROWS-frame median (order-statistic window,
+                # = SQL median(v) OVER (... ROWS BETWEEN w-1 PRECEDING AND
+                # CURRENT ROW)).  Full windows: one strided view + ONE
+                # vectorized np.median call per run; only the ≤ w−1 ramp-up
+                # rows per run need per-row medians (bounded by the window
+                # width, never the run length).  np.median's even-count
+                # (a+b)/2 equals DuckDB's interpolated percentile bit-for-
+                # bit (halving by a power of two commutes with rounding).
+                w = int(kind[1])
+                col_np = np.empty(t.num_rows, np.float64)
+                for s, e in zip(bounds[:-1], bounds[1:]):
+                    x = vals[s:e]
+                    ramp = min(w - 1, e - s)
+                    for i in range(ramp):
+                        col_np[s + i] = np.median(x[: i + 1])
+                    if e - s >= w:
+                        sw = np.lib.stride_tricks.sliding_window_view(x, w)
+                        col_np[s + w - 1: e] = np.median(sw, axis=1)
+                col = pa.array(col_np, pa.float64())
             elif kind in ("cumsum", "cummax"):
                 # per-run accumulate in SQL's sequential order (a global
                 # cumsum minus a group base differs in final ulps from the
@@ -307,6 +327,59 @@ def grouped_running(ds, *, key: str, order_col: str, value_col: str,
                 col = round_like_duckdb(col, round_to)
             out = out.append_column(name, col)
         return out
+
+    return grouped_map(ds, key, part, per_group=False)
+
+
+def time_weighted_avg(ds, *, key: str, ts_col: str, value_col: str,
+                      out_name: str = "twap", tiebreak: str | None = None,
+                      round_to: int = 6):
+    """Time-weighted average (TWAP) of each key's step series.
+
+    Each observation holds its value until the key's next event, so the
+    weight of row *i* is ``ts[i+1] − ts[i]``; the last event has no
+    holding interval and contributes nothing — exactly SQL's
+    ``sum(v·dur)/sum(dur)`` over ``dur = lead(ts) OVER w − ts`` with the
+    NULL last row filtered.  Keys whose total duration is 0 (single event,
+    or all events at one timestamp) produce no output row, matching
+    ``HAVING sum(dur) > 0``.
+
+    One hash exchange; the partition kernel is one sort + segmented
+    ``np.add.reduceat`` — no per-key Python.  Input is the raw event
+    stream, output is |keys| rows, so this is a pure reduction (the 100 TB
+    shape: exchange volume can be cut further by pre-aggregating
+    ``(Σ v·dur, Σ dur)`` map-side per key; kept single-pass here because
+    the interval spans batch boundaries).
+    """
+
+    def part(t: pa.Table) -> pa.Table:
+        from .agg import _key_run_bounds
+
+        key_t = t.schema.field(key).type
+        if t.num_rows == 0:
+            return pa.table({key: pa.array([], key_t),
+                             out_name: pa.array([], pa.float64())})
+        sort_keys = [(key, "ascending"), (ts_col, "ascending")] + (
+            [(tiebreak, "ascending")] if tiebreak else []
+        )
+        t = t.sort_by(sort_keys)
+        bounds = _key_run_bounds(t, [key])
+        us = pc.cast(t.column(ts_col).combine_chunks(), pa.int64()).to_numpy(
+            zero_copy_only=False
+        ).astype(np.float64)
+        vals = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        dur = np.empty(t.num_rows, np.float64)
+        dur[:-1] = us[1:] - us[:-1]
+        dur[bounds[1:] - 1] = 0.0  # last event of every key holds nothing
+        num = np.add.reduceat(vals * dur, bounds[:-1])
+        den = np.add.reduceat(dur, bounds[:-1])
+        keep = den > 0
+        twap = num[keep] / den[keep]
+        out_keys = t.column(key).take(pa.array(bounds[:-1][keep], pa.int64()))
+        return pa.table({
+            key: out_keys,
+            out_name: round_like_duckdb(pa.array(twap, pa.float64()), round_to),
+        })
 
     return grouped_map(ds, key, part, per_group=False)
 

@@ -2377,3 +2377,159 @@ def test_ewma_matches_pandas(ray_session):
         )
         for (k, i, _), w in zip(df.itertuples(index=False), want):
             assert abs(got[(k, i)] - w) < 1e-9, (alpha, k, i)
+
+
+def test_rolling_median_matches_pandas(ray_session):
+    """rolling_median window kind == pandas rolling(w, min_periods=1).median
+    per key (exact doubles: both are the even-count midpoint average)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from pyjelly_ray.stages.window import grouped_running
+
+    rng = np.random.default_rng(11)
+    ks, iis, vs = [], [], []
+    for k in range(8):
+        n = int(rng.integers(1, 40))  # runs shorter and longer than w
+        ks += [k] * n
+        iis += list(range(n))
+        vs += list(rng.normal(10, 5, n))
+    t = pa.table({"k": pa.array(ks, pa.int64()),
+                  "i": pa.array(iis, pa.int64()),
+                  "v": pa.array(vs, pa.float64())})
+    for w in (1, 3, 7):
+        out = grouped_running(
+            ray.data.from_arrow(t).repartition(4),
+            key="k", order_col="i", value_col="v",
+            kinds=[("med", ("rolling_median", w))],
+        ).take_all()
+        got = {(r["k"], r["i"]): r["med"] for r in out}
+        df = pd.DataFrame({"k": ks, "i": iis, "v": vs}).sort_values(["k", "i"])
+        want = df.groupby("k")["v"].transform(
+            lambda s: s.rolling(w, min_periods=1).median()
+        )
+        for (k, i, exp) in zip(df["k"], df["i"], want):
+            assert got[(k, i)] == exp, (k, i, w)
+
+
+def test_time_weighted_avg_bruteforce(ray_session):
+    """TWAP == per-key Σv·Δt/ΣΔt with the last event weightless; keys with
+    zero total duration (single event / all-simultaneous) drop out."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from pyjelly_ray.stages.window import time_weighted_avg
+
+    rng = np.random.default_rng(7)
+    rows = []
+    base = 1_700_000_000_000_000
+    for k in range(12):
+        n = int(rng.integers(1, 30))
+        ts = base + np.sort(rng.integers(0, 10**9, n))
+        if k == 3:
+            ts[:] = base  # all simultaneous -> zero duration -> dropped
+        for j in range(n):
+            rows.append((k, int(ts[j]), j, float(rng.normal(50, 10))))
+    t = pa.table({
+        "k": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "eid": pa.array([r[2] for r in rows], pa.int64()),
+        "v": pa.array([r[3] for r in rows], pa.float64()),
+    })
+    out = time_weighted_avg(
+        ray.data.from_arrow(t).repartition(5),
+        key="k", ts_col="ts", value_col="v", out_name="twap",
+        tiebreak="eid", round_to=6,
+    ).take_all()
+    got = {r["k"]: r["twap"] for r in out}
+    import collections
+    by_k = collections.defaultdict(list)
+    for k, ts, eid, v in rows:
+        by_k[k].append((ts, eid, v))
+    for k, evs in by_k.items():
+        evs.sort()
+        num = den = 0.0
+        for (t0, _, v0), (t1, _, _) in zip(evs, evs[1:]):
+            num += v0 * float(t1 - t0)
+            den += float(t1 - t0)
+        if den == 0:
+            assert k not in got
+        else:
+            exp = num / den
+            assert abs(got[k] - exp) < 1e-6, (k, got[k], exp)
+    assert 3 not in got
+
+
+def test_grouped_robust_outliers_bruteforce(ray_session):
+    """grouped_robust_outliers == brute numpy median/MAD per group with the
+    DuckDB interpolated percentile; NULLs count in n but not in med/MAD."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from pyjelly_ray.stages.agg import grouped_robust_outliers
+
+    rng = np.random.default_rng(3)
+    ks, vs = [], []
+    for k in ("a", "b", "c", "d"):
+        n = int(rng.integers(5, 60))
+        x = rng.normal(100, 5, n)
+        x[: max(1, n // 10)] += 200  # plant outliers
+        for v in x:
+            ks.append(k)
+            vs.append(float(v))
+    ks += ["a", "b"]
+    vs += [None, None]  # NULLs: in n, not in stats
+    t = pa.table({"k": pa.array(ks), "v": pa.array(vs, pa.float64())})
+    out = grouped_robust_outliers(
+        ray.data.from_arrow(t).repartition(4), "k", "v"
+    ).take_all()
+    got = {r["k"]: r for r in out}
+
+    def qcont(s, q):
+        pos = q * (len(s) - 1)
+        f, c = int(np.floor(pos)), int(np.ceil(pos))
+        return float(s[f]) if f == c else float(s[f] * (c - pos) + s[c] * (pos - f))
+
+    for k in ("a", "b", "c", "d"):
+        vals = np.array([v for kk, v in zip(ks, vs) if kk == k and v is not None])
+        med = qcont(np.sort(vals), 0.5)
+        mad = qcont(np.sort(np.abs(vals - med)), 0.5)
+        n_all = sum(1 for kk in ks if kk == k)
+        n_out = int(np.count_nonzero(np.abs(vals - med) > 4.4478 * mad))
+        r = got[k]
+        assert r["n"] == n_all
+        assert abs(r["med"] - med) < 1e-6
+        assert abs(r["mad_v"] - mad) < 1e-6
+        assert r["n_outliers"] == n_out
+
+
+def test_group_vector_mean_bruteforce(ray_session):
+    """group_vector_mean == numpy per-label column mean across blocks."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from pyjelly_ray.stages.ann import group_vector_mean
+
+    rng = np.random.default_rng(9)
+    n, p = 300, 5
+    labels = rng.integers(0, 4, n).astype(np.int32)
+    x = rng.normal(0, 1, (n, p)).astype(np.float32)
+    t = pa.table({
+        "label": pa.array(labels, pa.int32()),
+        "embedding": pa.array(x.tolist(), pa.list_(pa.float32())),
+    })
+    out = group_vector_mean(
+        ray.data.from_arrow(t).repartition(6), "label", col="embedding",
+        round_to=6,
+    ).take_all()
+    got = {(r["label"], r["dim"]): r["centroid"] for r in out}
+    assert len(got) == 4 * p
+    for lab in range(4):
+        exp = x[labels == lab].astype(np.float64).mean(axis=0)
+        for d in range(p):
+            assert abs(got[(lab, d)] - exp[d]) < 1e-6, (lab, d)
