@@ -5971,3 +5971,63 @@ ORACLE_SQL["q_label_centroids"] = """
     WHERE gs.i < len(embedding)
     GROUP BY label, gs.i
 """
+
+
+def q_price_weighted_quantiles(sf_dir: str):
+    """Quantity-weighted price quantiles per return flag: the smallest
+    price at which half (p50) / 90% (p90) of the UNITS (not line rows)
+    have been covered — inventory/value-at-risk style weighted order
+    statistics.  Integer-valued double weights make the cumulative-weight
+    threshold bit-exact vs the SQL window formulation."""
+    from ..stages.agg import grouped_weighted_quantiles
+
+    li = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_extendedprice", "l_quantity"])
+    return grouped_weighted_quantiles(
+        li, "l_returnflag", "l_extendedprice", "l_quantity",
+        [("wq50", 0.5), ("wq90", 0.9)], round_to=2,
+    )
+
+
+QUERIES["q_price_weighted_quantiles"] = q_price_weighted_quantiles
+ORACLE_SQL["q_price_weighted_quantiles"] = """
+    WITH s AS (
+      SELECT l_returnflag, l_extendedprice AS x,
+             sum(l_quantity) OVER (PARTITION BY l_returnflag
+                 ORDER BY l_extendedprice
+                 ROWS UNBOUNDED PRECEDING) AS cw,
+             sum(l_quantity) OVER (PARTITION BY l_returnflag) AS tw
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           round(min(x) FILTER (WHERE cw >= 0.5 * tw), 2) AS wq50,
+           round(min(x) FILTER (WHERE cw >= 0.9 * tw), 2) AS wq90
+    FROM s
+    GROUP BY l_returnflag
+"""
+
+
+def q_lineitem_spearman(sf_dir: str):
+    """Spearman rank correlation between order quantity and line price —
+    the monotonic-association measure robust to outliers and nonlinearity.
+    Fully distributed: per-column fractional ranks (|distinct|-row
+    shuffles + O(blocks) driver offsets), two hash joins, one mergeable-
+    moment corr."""
+    from ..stages.agg import spearman_corr
+
+    li = _read(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"])
+    return spearman_corr(li, "l_quantity", "l_extendedprice",
+                         out_name="spearman", round_to=6)
+
+
+QUERIES["q_lineitem_spearman"] = q_lineitem_spearman
+ORACLE_SQL["q_lineitem_spearman"] = """
+    WITH r AS (
+      SELECT rank() OVER (ORDER BY l_quantity)
+                 + (count(*) OVER (PARTITION BY l_quantity) - 1) / 2.0 AS rx,
+             rank() OVER (ORDER BY l_extendedprice)
+                 + (count(*) OVER (PARTITION BY l_extendedprice) - 1) / 2.0 AS ry
+      FROM lineitem
+    )
+    SELECT round(corr(rx, ry), 6) AS spearman FROM r
+"""

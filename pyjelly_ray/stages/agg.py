@@ -1372,3 +1372,148 @@ def corr_matrix(ds, cols: list[str], *, round_to: int = 6,
         )
 
     return merged.map_batches(finalize, batch_format="pyarrow")
+
+
+def grouped_weighted_quantiles(ds, keys: list[str] | str, col: str,
+                               weight_col: str,
+                               quantiles: list[tuple[str, float]], *,
+                               round_to: int = 2):
+    """EXACT per-group weighted quantiles: the smallest value whose
+    cumulative weight share reaches q — i.e. ``min(x) FILTER (WHERE
+    cum_w >= q * total_w)`` over the value-ordered group, the SQL-window
+    formulation.  The lower weighted quantile (always an observed value);
+    weights must be non-negative.
+
+    Same co-location shape as :func:`grouped_quantiles` (exact order
+    statistics need the group's values together): project map-side, one
+    hash exchange, then per-group one sort + cumsum + searchsorted.  For
+    integer-valued double weights (counts, quantities) the cumulative sums
+    are exact, so the threshold comparison matches SQL bit-for-bit
+    regardless of tie order.
+    """
+    import numpy as np
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    num_partitions = default_partitions(small=True)
+
+    def project_with_bucket(b: pa.Table) -> pa.Table:
+        out = b.select(keys + [col, weight_col])
+        return out.append_column(
+            "__bucket", pa.array(bucket_codes(out, keys, num_partitions))
+        )
+
+    def round_half_away(x: float, nd: int) -> float:
+        s = 10.0 ** nd
+        return float(np.copysign(np.floor(abs(x) * s + 0.5), x) / s)
+
+    def reduce_part(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        if "__bucket" in t.column_names:
+            t = t.drop_columns(["__bucket"])
+        if t.num_rows == 0:
+            return pa.table(
+                {**{k: pa.array([], t.schema.field(k).type) for k in keys},
+                 **{name: pa.array([], pa.float64()) for name, _ in quantiles}}
+            )
+        t = t.sort_by([(k, "ascending") for k in keys] + [(col, "ascending")])
+        bounds = _key_run_bounds(t, keys)
+        vals = t.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        wts = t.column(weight_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        rows: dict[str, list] = {k: [] for k in keys}
+        rows.update({name: [] for name, _ in quantiles})
+        for i in range(len(bounds) - 1):
+            s, e = bounds[i], bounds[i + 1]
+            cw = np.cumsum(wts[s:e])
+            tw = cw[-1]
+            for name, q in quantiles:
+                idx = int(np.searchsorted(cw, q * tw, side="left"))
+                rows[name].append(
+                    round_half_away(float(vals[s + min(idx, e - s - 1)]), round_to)
+                )
+            for k in keys:
+                rows[k].append(t.column(k)[s].as_py())
+        return pa.table(
+            {**{k: pa.array(rows[k], t.schema.field(k).type) for k in keys},
+             **{name: pa.array(rows[name], pa.float64()) for name, _ in quantiles}}
+        )
+
+    from ..state.exchange import hash_exchange
+
+    projected = ds.map_batches(project_with_bucket, batch_format="pyarrow",
+                               batch_size=None)
+    return hash_exchange(
+        projected,
+        bucket_col="__bucket",
+        n_partitions=num_partitions,
+        reduce_fn=reduce_part,
+        reduce_empty=True,
+    )
+
+
+def _fractional_ranks(ds, col: str, out_name: str):
+    """(value → tie-averaged SQL rank) table for one column, distributed.
+
+    Fractional (average) rank of value v = |rows < v| + (|rows = v| + 1)/2,
+    the ``rank() + (peer_count − 1)/2`` identity.  Computed WITHOUT ranking
+    raw rows: one grouped count per distinct value, a range sort of the
+    |distinct| table, then :func:`~pyjelly_ray.stages.sort.global_prefix_sums`
+    (per-block cumsum + O(blocks) driver offsets) — the full table is never
+    globally sorted.
+    """
+    from .sort import global_prefix_sums, range_sort
+
+    cnts = grouped_agg(ds, [col], [("__cnt", col, "count")])
+    s = range_sort(cnts, col)
+    p = global_prefix_sums(s, "__cnt", out_name="__below", exclusive=True)
+
+    def fin(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        below = b.column("__below").to_numpy(zero_copy_only=False)
+        cnt = b.column("__cnt").to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            col: b.column(col),
+            out_name: pa.array(below + (cnt + 1.0) / 2.0, pa.float64()),
+        })
+
+    return p.map_batches(fin, batch_format="pyarrow")
+
+
+def spearman_corr(ds, x_col: str, y_col: str, *, out_name: str = "spearman",
+                  round_to: int = 6):
+    """Spearman rank correlation of two columns = Pearson correlation of
+    their tie-averaged ranks, distributed end-to-end:
+
+    1. fractional ranks per column (:func:`_fractional_ranks` — shuffles
+       only |distinct| rows per column);
+    2. two hash joins attach ranks back to the pair rows;
+    3. one mergeable-moment ``corr`` aggregate (same machinery as the
+       correlation matrix).
+
+    Rows with a NULL in either column are excluded (SQL ``corr``
+    semantics).  Returns a 1-row Dataset ``{out_name}``.
+    """
+    from .joins import hash_join
+
+    def project(b: pa.Table) -> pa.Table:
+        return b.select([x_col, y_col]).drop_null()
+
+    base = ds.map_batches(project, batch_format="pyarrow")
+    rx = _fractional_ranks(base, x_col, "__rx")
+    ry = _fractional_ranks(base, y_col, "__ry")
+    j1 = hash_join(base, rx, left_key=x_col, right_key=x_col, how="inner")
+    j2 = hash_join(j1, ry, left_key=y_col, right_key=y_col, how="inner")
+
+    def add_g(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        return b.append_column("__g", pa.array(np.zeros(b.num_rows, np.int8)))
+
+    out = grouped_agg(
+        j2.map_batches(add_g, batch_format="pyarrow"),
+        ["__g"], [(out_name, (  "__rx", "__ry"), "corr")], round_to=round_to,
+    )
+    return out.map_batches(
+        lambda b: b.drop_columns(["__g"]), batch_format="pyarrow"
+    )

@@ -171,3 +171,45 @@ def global_row_numbers(sorted_ds, *, out_name: str = "rn", start: int = 1):
 
     tagged = [tag.remote(r, int(o)) for r, o in zip(refs, offsets)]
     return ray.data.from_arrow_refs(tagged)
+
+
+def global_prefix_sums(sorted_ds, col: str, *, out_name: str = "prefix",
+                       exclusive: bool = True):
+    """Global running sum of ``col`` over an already-range-sorted Dataset
+    (block order = global order, :func:`range_sort`'s contract) — the
+    distributed ``sum(col) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)``
+    primitive, without any further shuffle: one tiny remote per-block
+    total, a cumsum of O(blocks) floats on the driver, then per-block
+    vectorized cumsums — blocks never leave the object store (same shape
+    as :func:`global_row_numbers`).
+
+    ``exclusive=True`` gives each row the sum of everything STRICTLY
+    before it (prefix); ``False`` includes the row itself (running total).
+    """
+    import ray
+
+    refs = sorted_ds.to_arrow_refs()
+
+    @ray.remote
+    def block_total(t: pa.Table) -> float:
+        if t.num_rows == 0 or col not in t.column_names:
+            return 0.0
+        return float(
+            np.sum(t.column(col).to_numpy(zero_copy_only=False).astype(np.float64))
+        )
+
+    totals = ray.get([block_total.remote(r) for r in refs])
+    offsets = np.concatenate([[0.0], np.cumsum(totals)])[:-1]
+
+    @ray.remote
+    def tag(t: pa.Table, off: float) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column(out_name, pa.array([], pa.float64()))
+        v = t.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        run = off + np.cumsum(v)
+        if exclusive:
+            run = run - v
+        return t.append_column(out_name, pa.array(run, pa.float64()))
+
+    tagged = [tag.remote(r, float(o)) for r, o in zip(refs, offsets)]
+    return ray.data.from_arrow_refs(tagged)

@@ -2533,3 +2533,84 @@ def test_group_vector_mean_bruteforce(ray_session):
         exp = x[labels == lab].astype(np.float64).mean(axis=0)
         for d in range(p):
             assert abs(got[(lab, d)] - exp[d]) < 1e-6, (lab, d)
+
+
+def test_grouped_weighted_quantiles_bruteforce(ray_session):
+    """Weighted quantiles == brute cumulative-weight threshold per group,
+    including heavy value ties and fractional weights."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from pyjelly_ray.stages.agg import grouped_weighted_quantiles
+
+    rng = np.random.default_rng(13)
+    ks, xs, ws = [], [], []
+    for k in ("a", "b", "c"):
+        n = int(rng.integers(10, 80))
+        ks += [k] * n
+        xs += list(rng.integers(1, 15, n).astype(float))  # many ties
+        ws += list(rng.uniform(0.1, 5.0, n))
+    t = pa.table({"k": pa.array(ks), "x": pa.array(xs, pa.float64()),
+                  "w": pa.array(ws, pa.float64())})
+    qs = [("q25", 0.25), ("q50", 0.5), ("q90", 0.9)]
+    out = grouped_weighted_quantiles(
+        ray.data.from_arrow(t).repartition(4), "k", "x", "w", qs, round_to=6
+    ).take_all()
+    got = {r["k"]: r for r in out}
+    for k in ("a", "b", "c"):
+        sel = [(x, w) for kk, x, w in zip(ks, xs, ws) if kk == k]
+        sel.sort()
+        cw = np.cumsum([w for _, w in sel])
+        tw = cw[-1]
+        for name, q in qs:
+            idx = int(np.searchsorted(cw, q * tw, side="left"))
+            exp = sel[min(idx, len(sel) - 1)][0]
+            assert abs(got[k][name] - exp) < 1e-9, (k, name)
+
+
+def test_global_prefix_sums_matches_cumsum(ray_session):
+    """global_prefix_sums over a range-sorted Dataset == one global numpy
+    cumsum, exclusive and inclusive."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from pyjelly_ray.stages.sort import global_prefix_sums, range_sort
+
+    rng = np.random.default_rng(2)
+    key = rng.permutation(500).astype(np.int64)
+    v = rng.uniform(0, 3, 500)
+    t = pa.table({"key": pa.array(key), "v": pa.array(v, pa.float64())})
+    s = range_sort(ray.data.from_arrow(t).repartition(7), "key")
+    for exclusive in (True, False):
+        rows = global_prefix_sums(s, "v", out_name="p",
+                                  exclusive=exclusive).take_all()
+        rows.sort(key=lambda r: r["key"])
+        vv = np.array([r["v"] for r in rows])
+        cs = np.cumsum(vv)
+        exp = cs - vv if exclusive else cs
+        np.testing.assert_allclose([r["p"] for r in rows], exp, rtol=1e-12)
+
+
+def test_spearman_matches_pandas(ray_session):
+    """spearman_corr == pandas corr(method='spearman'), tie-heavy data."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from pyjelly_ray.stages.agg import spearman_corr
+
+    rng = np.random.default_rng(21)
+    n = 800
+    x = rng.integers(1, 20, n).astype(float)          # heavy ties
+    y = 3 * x + rng.normal(0, 10, n)
+    y[::7] = rng.uniform(-100, 100, len(y[::7]))      # outliers
+    t = pa.table({"x": pa.array(x, pa.float64()), "y": pa.array(y, pa.float64())})
+    out = spearman_corr(
+        ray.data.from_arrow(t).repartition(5), "x", "y", round_to=6
+    ).take_all()
+    assert len(out) == 1
+    exp = pd.DataFrame({"x": x, "y": y}).corr(method="spearman").loc["x", "y"]
+    assert abs(out[0]["spearman"] - exp) < 1e-6
