@@ -6031,3 +6031,72 @@ ORACLE_SQL["q_lineitem_spearman"] = """
     )
     SELECT round(corr(rx, ry), 6) AS spearman FROM r
 """
+
+
+def q_benford_totalprice(sf_dir: str):
+    """Benford first-digit screen on order totals — the forensic
+    data-quality check for fabricated/truncated monetary columns.  Digit
+    extraction is pure integer arithmetic (cents → repeated //10), so the
+    bucketing is exact; ≤9 partial rows per block, one tiny merge."""
+    from ..stages.validate import benford_digit_report
+
+    orders = _read(sf_dir, "orders", ["o_totalprice"])
+    return benford_digit_report(orders, "o_totalprice", round_to=6)
+
+
+QUERIES["q_benford_totalprice"] = q_benford_totalprice
+ORACLE_SQL["q_benford_totalprice"] = """
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                 AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM orders
+      WHERE o_totalprice > 0
+    )
+    SELECT digit, count(*) AS n,
+           round(count(*) / sum(count(*)) OVER (), 6) AS share,
+           round(log10(1 + 1.0 / digit), 6) AS expected
+    FROM d GROUP BY digit
+"""
+
+
+def _ab_split_case() -> str:
+    from ..stages.sample import sql_split_case
+
+    return sql_split_case("user_id", [("A", 0.5), ("B", 0.5)], seed="ab1")
+
+
+def q_ab_value_ttest(sf_dir: str):
+    """A/B experiment readout: users deterministically hash-split 50/50,
+    then per event_type a Welch two-sample t on value (t statistic +
+    Welch–Satterthwaite df).  The raw stream is touched once; the test
+    statistics come from mergeable moments."""
+    from ..stages.agg import ab_welch_ttest
+    from ..stages.sample import deterministic_split
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+    sp = deterministic_split(
+        ev, id_col="user_id", splits=[("A", 0.5), ("B", 0.5)], seed="ab1",
+        out_col="variant",
+    )
+    return ab_welch_ttest(sp, "event_type", "variant", "value")
+
+
+QUERIES["q_ab_value_ttest"] = q_ab_value_ttest
+ORACLE_SQL["q_ab_value_ttest"] = f"""
+    WITH s AS (
+      SELECT event_type, {_ab_split_case()} AS variant, value FROM events
+    ), g AS (
+      SELECT event_type, variant, count(*) AS n, avg(value) AS m,
+             var_samp(value) AS v
+      FROM s GROUP BY event_type, variant
+    )
+    SELECT a.event_type,
+           a.n AS n_a, b.n AS n_b,
+           round(a.m, 6) AS mean_a, round(b.m, 6) AS mean_b,
+           round((a.m - b.m) / sqrt(a.v/a.n + b.v/b.n), 6) AS t_welch,
+           round(pow(a.v/a.n + b.v/b.n, 2) /
+                 (pow(a.v/a.n, 2)/(a.n-1) + pow(b.v/b.n, 2)/(b.n-1)), 6)
+               AS df_welch
+    FROM g a JOIN g b USING (event_type)
+    WHERE a.variant = 'A' AND b.variant = 'B'
+"""

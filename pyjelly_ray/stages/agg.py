@@ -1517,3 +1517,76 @@ def spearman_corr(ds, x_col: str, y_col: str, *, out_name: str = "spearman",
     return out.map_batches(
         lambda b: b.drop_columns(["__g"]), batch_format="pyarrow"
     )
+
+
+def ab_welch_ttest(ds, group_col: str, variant_col: str, value_col: str, *,
+                   variant_a: str = "A", variant_b: str = "B",
+                   round_to: int = 6):
+    """Per-group two-sample Welch t-test between two experiment variants.
+
+    One mergeable-moment ``grouped_agg`` by ``(group, variant)`` collapses
+    the raw stream to |groups|·2 rows (n, mean, sample variance — DuckDB
+    ``var_samp`` semantics), then a tiny per-group kernel computes the
+    Welch statistic ``(m_a − m_b)/√(v_a/n_a + v_b/n_b)`` and the
+    Welch–Satterthwaite degrees of freedom.  Groups missing either variant
+    are dropped (SQL inner-join semantics); t/df are NULL when either
+    variance is NULL (n ≤ 1).  The experiment-readout primitive: raw data
+    is touched exactly once regardless of group count.
+    """
+
+    g = grouped_agg(
+        ds, [group_col, variant_col],
+        [("n", value_col, "count"), ("m", value_col, "mean"),
+         ("v", value_col, "var")],
+    )
+
+    def kernel(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        cols: dict[str, list] = {group_col: [], "n_a": [], "n_b": [],
+                                 "mean_a": [], "mean_b": [],
+                                 "t_welch": [], "df_welch": []}
+        if t.num_rows:
+            t = t.sort_by([(group_col, "ascending"),
+                           (variant_col, "ascending")])
+            bounds = _key_run_bounds(t, [group_col])
+            for i in range(len(bounds) - 1):
+                grp = t.slice(bounds[i], bounds[i + 1] - bounds[i])
+                rows = {r[variant_col]: r for r in grp.to_pylist()}
+                if variant_a not in rows or variant_b not in rows:
+                    continue
+                a, b = rows[variant_a], rows[variant_b]
+                cols[group_col].append(a[group_col])
+                cols["n_a"].append(a["n"])
+                cols["n_b"].append(b["n"])
+                cols["mean_a"].append(a["m"])
+                cols["mean_b"].append(b["m"])
+                if a["v"] is None or b["v"] is None:
+                    cols["t_welch"].append(None)
+                    cols["df_welch"].append(None)
+                    continue
+                se_a, se_b = a["v"] / a["n"], b["v"] / b["n"]
+                se2 = se_a + se_b
+                cols["t_welch"].append((a["m"] - b["m"]) / np.sqrt(se2))
+                cols["df_welch"].append(
+                    se2 ** 2 / (se_a ** 2 / (a["n"] - 1)
+                                + se_b ** 2 / (b["n"] - 1))
+                )
+        key_type = t.schema.field(group_col).type
+        out = pa.table({
+            group_col: pa.array(cols[group_col], key_type),
+            "n_a": pa.array(cols["n_a"], pa.int64()),
+            "n_b": pa.array(cols["n_b"], pa.int64()),
+            "mean_a": pa.array(cols["mean_a"], pa.float64()),
+            "mean_b": pa.array(cols["mean_b"], pa.float64()),
+            "t_welch": pa.array(cols["t_welch"], pa.float64()),
+            "df_welch": pa.array(cols["df_welch"], pa.float64()),
+        })
+        if round_to is not None:
+            for name in ("mean_a", "mean_b", "t_welch", "df_welch"):
+                idx = out.column_names.index(name)
+                out = out.set_column(
+                    idx, name, round_like_duckdb(out.column(name), round_to))
+        return out
+
+    return grouped_map(g, group_col, kernel, per_group=False)

@@ -182,3 +182,76 @@ def validate_foreign_key(ds, *, rule: str, column: str, ref_ds, ref_column: str,
             }
         )
     )
+
+
+def benford_digit_report(ds, col: str, *, round_to: int = 6):
+    """First-significant-digit distribution vs Benford's law — the
+    classic forensic data-quality screen for fabricated or truncated
+    monetary columns.
+
+    The digit is extracted with pure integer arithmetic (value → cents →
+    repeated //10), no log10 on data values, so the bucketing is exact and
+    reproducible in SQL via integer-to-string truncation.  Map side emits
+    ≤9 partial count rows per block; one tiny merge; the share
+    normalization runs in a single-partition kernel over the 9-row table.
+    Output: ``digit, n, share, expected`` (expected = log10(1 + 1/d)).
+    """
+    import numpy as np
+
+    from .agg import grouped_agg, grouped_map, round_like_duckdb
+
+    def partial(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        x = b.column(col).drop_null().to_numpy(zero_copy_only=False)
+        x = x[np.isfinite(x) & (x > 0)]
+        cents = np.rint(x * 100.0).astype(np.int64)
+        cents = cents[cents > 0]
+        d = cents.copy()
+        while True:
+            m = d >= 10
+            if not m.any():
+                break
+            d[m] //= 10
+        counts = np.bincount(d, minlength=10)[1:10]
+        keep = counts > 0
+        return pa.table({
+            "digit": pa.array(np.arange(1, 10)[keep], pa.int64()),
+            "n": pa.array(counts[keep], pa.int64()),
+        })
+
+    merged = grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        ["digit"], [("n", "n", "sum")], sum_as_float=False,
+    )
+
+    def add_g(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        return b.append_column("__g", pa.array(np.zeros(b.num_rows, np.int8)))
+
+    def share_kernel(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        if t.num_rows == 0:
+            return pa.table({"digit": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "share": pa.array([], pa.float64()),
+                             "expected": pa.array([], pa.float64())})
+        t = t.sort_by([("digit", "ascending")])
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        dig = t.column("digit").to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "digit": t.column("digit"),
+            "n": t.column("n"),
+            "share": round_like_duckdb(pa.array(n / n.sum()), round_to),
+            "expected": round_like_duckdb(
+                pa.array(np.log10(1.0 + 1.0 / dig)), round_to),
+        })
+
+    tiny = merged.map_batches(add_g, batch_format="pyarrow")
+    out = grouped_map(tiny, "__g", share_kernel, per_group=False)
+    return out.map_batches(
+        lambda b: b.select(["digit", "n", "share", "expected"]),
+        batch_format="pyarrow",
+    )

@@ -2614,3 +2614,75 @@ def test_spearman_matches_pandas(ray_session):
     assert len(out) == 1
     exp = pd.DataFrame({"x": x, "y": y}).corr(method="spearman").loc["x", "y"]
     assert abs(out[0]["spearman"] - exp) < 1e-6
+
+
+def test_benford_digit_report_bruteforce(ray_session):
+    """Benford report == brute first-digit counts; exact integer bucketing
+    (values straddling powers of 10, sub-dollar values, nulls, zeros)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from pyjelly_ray.stages.validate import benford_digit_report
+
+    rng = np.random.default_rng(17)
+    vals = list(np.round(rng.lognormal(4, 2, 400), 2))
+    vals += [1.0, 9.99, 10.0, 100.0, 999.99, 1000.0, 0.01, 0.09, None, 0.0]
+    t = pa.table({"x": pa.array(vals, pa.float64())})
+    out = benford_digit_report(
+        ray.data.from_arrow(t).repartition(5), "x"
+    ).take_all()
+    got = {r["digit"]: r for r in out}
+    import collections
+    exp = collections.Counter()
+    for v in vals:
+        if v is None or v <= 0:
+            continue
+        c = int(np.rint(v * 100))
+        if c <= 0:
+            continue
+        while c >= 10:
+            c //= 10
+        exp[c] += 1
+    total = sum(exp.values())
+    assert set(got) == set(exp)
+    for d, n in exp.items():
+        assert got[d]["n"] == n
+        assert abs(got[d]["share"] - n / total) < 1e-6
+        assert abs(got[d]["expected"] - np.log10(1 + 1 / d)) < 1e-6
+
+
+def test_ab_welch_ttest_bruteforce(ray_session):
+    """Welch t/df == textbook formulas on per-variant numpy moments;
+    groups missing a variant drop; n==1 variance gives NULL t."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from pyjelly_ray.stages.agg import ab_welch_ttest
+
+    rng = np.random.default_rng(23)
+    gs, vr, xs = [], [], []
+    for g, (na, nb) in [("g1", (40, 50)), ("g2", (25, 30)), ("g3", (10, 0)),
+                        ("g4", (1, 12))]:
+        for _ in range(na):
+            gs.append(g); vr.append("A"); xs.append(float(rng.normal(10, 2)))
+        for _ in range(nb):
+            gs.append(g); vr.append("B"); xs.append(float(rng.normal(11, 3)))
+    t = pa.table({"g": pa.array(gs), "variant": pa.array(vr),
+                  "x": pa.array(xs, pa.float64())})
+    out = ab_welch_ttest(
+        ray.data.from_arrow(t).repartition(4), "g", "variant", "x"
+    ).take_all()
+    got = {r["g"]: r for r in out}
+    assert "g3" not in got                      # missing variant B
+    assert got["g4"]["t_welch"] is None         # n_a == 1 -> var NULL
+    for g in ("g1", "g2"):
+        a = np.array([x for gg, v, x in zip(gs, vr, xs) if gg == g and v == "A"])
+        b = np.array([x for gg, v, x in zip(gs, vr, xs) if gg == g and v == "B"])
+        sa, sb = a.var(ddof=1) / len(a), b.var(ddof=1) / len(b)
+        texp = (a.mean() - b.mean()) / np.sqrt(sa + sb)
+        dfexp = (sa + sb) ** 2 / (sa ** 2 / (len(a) - 1) + sb ** 2 / (len(b) - 1))
+        assert abs(got[g]["t_welch"] - texp) < 1e-6
+        assert abs(got[g]["df_welch"] - dfexp) < 1e-6
+        assert got[g]["n_a"] == len(a) and got[g]["n_b"] == len(b)
