@@ -6100,3 +6100,107 @@ ORACLE_SQL["q_ab_value_ttest"] = f"""
     FROM g a JOIN g b USING (event_type)
     WHERE a.variant = 'A' AND b.variant = 'B'
 """
+
+
+def q_concurrent_user_bursts(sf_dir: str):
+    """Co-activity detection: coalesce each (event_type, user)'s event
+    intervals into activity bursts, then an interval×interval OVERLAP
+    self-join per event_type — pairs of users active at the same time,
+    with total overlapped microseconds.  The inequality-join shape Ray
+    Data lacks, as one co-partitioned band probe (no quadratic blowup)."""
+    from ..stages.agg import grouped_agg
+    from ..stages.joins import interval_overlap_join
+    from ..stages.window import coalesce_intervals
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "ts", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        s = pc.cast(b.column("ts"), pa.int64())
+        dur = pc.cast(
+            pc.floor(pc.multiply(b.column("value"), pa.scalar(60_000_000.0))),
+            pa.int64(),
+        )
+        k = pc.binary_join_element_wise(
+            b.column("event_type"), pc.cast(b.column("user_id"), pa.string()),
+            "|",
+        )
+        return pa.table({"__k": k, "s": s, "e": pc.add(s, dur)})
+
+    iv = ev.map_batches(prep, batch_format="pyarrow")
+    spans = coalesce_intervals(iv, key="__k", start="s", end="e")
+
+    def _split(suffix: str):
+        def split(b: pa.Table) -> pa.Table:
+            parts = pc.split_pattern(b.column("__k"), "|")
+            return pa.table({
+                "event_type": pc.list_element(parts, 0),
+                f"user{suffix}": pc.cast(pc.list_element(parts, 1), pa.int64()),
+                f"s{suffix}": b.column("span_start"),
+                f"e{suffix}": b.column("span_end"),
+            })
+
+        return split
+
+    left = spans.map_batches(_split("_a"), batch_format="pyarrow")
+    right = spans.map_batches(_split("_b"), batch_format="pyarrow")
+    pairs = interval_overlap_join(
+        left, right, key="event_type",
+        left_start="s_a", left_end="e_a",
+        right_start="s_b", right_end="e_b",
+    )
+
+    def post(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.less(b.column("user_a"), b.column("user_b")))
+        ov = pc.subtract(
+            pc.min_element_wise(t.column("e_a"), t.column("e_b")),
+            pc.max_element_wise(t.column("s_a"), t.column("s_b")),
+        )
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "user_a": t.column("user_a"),
+            "user_b": t.column("user_b"),
+            "ov": ov,
+        })
+
+    return grouped_agg(
+        pairs.map_batches(post, batch_format="pyarrow"),
+        ["event_type", "user_a", "user_b"],
+        [("n_overlaps", "ov", "count"), ("overlap_us", "ov", "sum")],
+        sum_as_float=False,
+    )
+
+
+QUERIES["q_concurrent_user_bursts"] = q_concurrent_user_bursts
+ORACLE_SQL["q_concurrent_user_bursts"] = """
+    WITH iv AS (
+      SELECT event_type, user_id, epoch_us(ts) AS s,
+             epoch_us(ts) + CAST(floor(value * 60000000) AS BIGINT) AS e
+      FROM events
+    ),
+    flagged AS (
+      SELECT event_type, user_id, s, e,
+             CASE WHEN s > max(e) OVER (PARTITION BY event_type, user_id
+                  ORDER BY s, e
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS new
+      FROM iv
+    ),
+    isl AS (
+      SELECT event_type, user_id, s, e,
+             sum(new) OVER (PARTITION BY event_type, user_id ORDER BY s, e
+                            ROWS UNBOUNDED PRECEDING) AS grp
+      FROM flagged
+    ),
+    spans AS (
+      SELECT event_type, user_id, min(s) AS ss, max(e) AS se
+      FROM isl GROUP BY event_type, user_id, grp
+    )
+    SELECT a.event_type, a.user_id AS user_a, b.user_id AS user_b,
+           count(*) AS n_overlaps,
+           CAST(sum(least(a.se, b.se) - greatest(a.ss, b.ss)) AS BIGINT)
+               AS overlap_us
+    FROM spans a JOIN spans b
+      ON a.event_type = b.event_type AND a.user_id < b.user_id
+     AND a.ss < b.se AND b.ss < a.se
+    GROUP BY a.event_type, a.user_id, b.user_id
+"""

@@ -2686,3 +2686,41 @@ def test_ab_welch_ttest_bruteforce(ray_session):
         assert abs(got[g]["t_welch"] - texp) < 1e-6
         assert abs(got[g]["df_welch"] - dfexp) < 1e-6
         assert got[g]["n_a"] == len(a) and got[g]["n_b"] == len(b)
+
+
+def test_interval_overlap_join_bruteforce(ray_session):
+    """interval_overlap_join == brute O(n²) half-open overlap check per
+    key, including zero/negative-length intervals and keys on one side."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from pyjelly_ray.stages.joins import interval_overlap_join
+
+    rng = np.random.default_rng(31)
+
+    def mk(n, keys, id0):
+        ks = rng.choice(keys, n)
+        s = rng.integers(0, 1000, n)
+        ln = rng.integers(-5, 60, n)  # some zero/negative lengths
+        return [(str(k), int(i), int(a), int(a + b))
+                for i, (k, a, b) in enumerate(zip(ks, s, ln), id0)]
+
+    L = mk(120, ["k1", "k2", "k3", "only_left"], 0)
+    R = mk(150, ["k1", "k2", "k3", "only_right"], 1000)
+    lt = pa.table({"key": [r[0] for r in L], "lid": [r[1] for r in L],
+                   "ls": pa.array([r[2] for r in L], pa.int64()),
+                   "le": pa.array([r[3] for r in L], pa.int64())})
+    rt = pa.table({"key": [r[0] for r in R], "rid": [r[1] for r in R],
+                   "rs": pa.array([r[2] for r in R], pa.int64()),
+                   "re": pa.array([r[3] for r in R], pa.int64())})
+    out = interval_overlap_join(
+        ray.data.from_arrow(lt).repartition(4),
+        ray.data.from_arrow(rt).repartition(3),
+        key="key", left_start="ls", left_end="le",
+        right_start="rs", right_end="re",
+    ).take_all()
+    got = {(r["lid"], r["rid"]) for r in out}
+    exp = {(l[1], r[1]) for l in L for r in R
+           if l[0] == r[0] and l[2] < r[3] and r[2] < l[3]}
+    assert got == exp
