@@ -6204,3 +6204,104 @@ ORACLE_SQL["q_concurrent_user_bursts"] = """
      AND a.ss < b.se AND b.ss < a.se
     GROUP BY a.event_type, a.user_id, b.user_id
 """
+
+
+def q_events_value_drift(sf_dir: str):
+    """Feature-drift monitoring: PSI (population stability index) of the
+    value distribution, first half of January as the reference vs the rest
+    as current — reference-decile bins, per-bin shares and PSI terms.
+    The edges come from the exact quantile operator (t-digest swap
+    documented for 100 TB)."""
+    from ..stages.validate import drift_psi_report
+
+    ev = _read(sf_dir, "events", ["ts", "value"])
+
+    def side(b: pa.Table) -> pa.Table:
+        cut = pa.scalar(1705363200000000, pa.int64())  # 2024-01-16 UTC, us
+        s = pc.cast(
+            pc.greater_equal(pc.cast(b.column("ts"), pa.int64()), cut),
+            pa.int8(),
+        )
+        return pa.table({"value": b.column("value"), "side": s})
+
+    return drift_psi_report(
+        ev.map_batches(side, batch_format="pyarrow"), "value", "side",
+        n_bins=10, round_to=6,
+    )
+
+
+def _psi_sql() -> str:
+    cutoff = "TIMESTAMP '2024-01-16'"
+    qexprs = ", ".join(
+        f"round(quantile_cont(value, {i / 10}), 6) AS e{i}" for i in range(1, 10)
+    )
+    binexpr = " + ".join(
+        f"CASE WHEN value > e.e{i} THEN 1 ELSE 0 END" for i in range(1, 10)
+    )
+    return f"""
+    WITH e AS (SELECT {qexprs} FROM events WHERE ts < {cutoff}),
+    b AS (
+      SELECT CASE WHEN ts < {cutoff} THEN 0 ELSE 1 END AS side,
+             {binexpr} AS bin
+      FROM events, e
+    ),
+    g AS (SELECT side, bin, count(*) AS n FROM b GROUP BY side, bin),
+    p AS (
+      SELECT bin,
+             CAST(coalesce(sum(CASE WHEN side = 0 THEN n END), 0) AS BIGINT)
+                 AS n_ref,
+             CAST(coalesce(sum(CASE WHEN side = 1 THEN n END), 0) AS BIGINT)
+                 AS n_cur
+      FROM g GROUP BY bin
+    ),
+    t AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM p)
+    SELECT CAST(bin AS BIGINT) AS bin, n_ref, n_cur,
+           round(n_ref / t.tr, 6) AS p_ref,
+           round(n_cur / t.tc, 6) AS p_cur,
+           CASE WHEN n_ref > 0 AND n_cur > 0 THEN
+             round((n_cur / t.tc - n_ref / t.tr)
+                   * ln((n_cur / t.tc) / (n_ref / t.tr)), 6)
+           END AS psi_term
+    FROM p, t
+    """
+
+
+QUERIES["q_events_value_drift"] = q_events_value_drift
+ORACLE_SQL["q_events_value_drift"] = _psi_sql()
+
+
+def q_event_type_dow_mi(sf_dir: str):
+    """Exact mutual information (nats) between event type and ISO weekday
+    — the categorical-dependence screen (feature selection, leakage
+    detection).  One contingency grouped_agg; the tiny table finalizes in
+    a single-partition kernel."""
+    from ..stages.agg import mutual_information
+
+    ev = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        dow = pc.add(pc.day_of_week(b.column("ts")), pa.scalar(1, pa.int64()))
+        return pa.table({"event_type": b.column("event_type"),
+                         "dow": pc.cast(dow, pa.int64())})
+
+    return mutual_information(
+        ev.map_batches(prep, batch_format="pyarrow"), "event_type", "dow",
+        out_name="mi_nats", round_to=6,
+    )
+
+
+QUERIES["q_event_type_dow_mi"] = q_event_type_dow_mi
+ORACLE_SQL["q_event_type_dow_mi"] = """
+    WITH j AS (
+      SELECT event_type AS x, CAST(isodow(ts) AS BIGINT) AS y, count(*) AS n
+      FROM events GROUP BY x, y
+    ),
+    t AS (SELECT sum(n) AS total FROM j),
+    mx AS (SELECT x, sum(n) AS nx FROM j GROUP BY x),
+    my AS (SELECT y, sum(n) AS ny FROM j GROUP BY y)
+    SELECT round(sum((j.n / t.total)
+               * ln((j.n * t.total) / (mx.nx * my.ny))), 6) AS mi_nats
+    FROM j CROSS JOIN t
+    JOIN mx ON j.x = mx.x
+    JOIN my ON j.y = my.y
+"""

@@ -1590,3 +1590,47 @@ def ab_welch_ttest(ds, group_col: str, variant_col: str, value_col: str, *,
         return out
 
     return grouped_map(g, group_col, kernel, per_group=False)
+
+
+def mutual_information(ds, x_col: str, y_col: str, *,
+                       out_name: str = "mi_nats", round_to: int = 6):
+    """Exact mutual information (nats) between two categorical columns —
+    the dependence screen behind feature selection and leakage detection.
+
+    One COUNT grouped_agg by ``(x, y)`` collapses the stream to the
+    contingency table (|x|·|y| rows); marginals and
+    ``Σ p(x,y)·ln(p(x,y)/(p(x)p(y)))`` finalize in a single-partition
+    kernel over that tiny table.  Returns a 1-row Dataset.
+    """
+
+    g = grouped_agg(ds, [x_col, y_col], [("n", x_col, "count")])
+
+    def add_g(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        return b.append_column("__g", pa.array(np.zeros(b.num_rows, np.int8)))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        if t.num_rows == 0:
+            return pa.table({out_name: pa.array([], pa.float64())})
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        total = n.sum()
+        xe = t.column(x_col)
+        ye = t.column(y_col)
+        _, xi = np.unique(xe.to_numpy(zero_copy_only=False), return_inverse=True)
+        _, yi = np.unique(ye.to_numpy(zero_copy_only=False), return_inverse=True)
+        nx = np.zeros(xi.max() + 1)
+        ny = np.zeros(yi.max() + 1)
+        np.add.at(nx, xi, n)
+        np.add.at(ny, yi, n)
+        mi = float(np.sum((n / total) * np.log((n * total) / (nx[xi] * ny[yi]))))
+        s = 10.0 ** round_to
+        mi = float(np.copysign(np.floor(abs(mi) * s + 0.5), mi) / s)
+        return pa.table({out_name: pa.array([mi], pa.float64())})
+
+    out = grouped_map(g.map_batches(add_g, batch_format="pyarrow"),
+                      "__g", finalize, per_group=False)
+    return out.map_batches(lambda b: b.select([out_name]),
+                           batch_format="pyarrow")

@@ -2724,3 +2724,79 @@ def test_interval_overlap_join_bruteforce(ray_session):
     exp = {(l[1], r[1]) for l in L for r in R
            if l[0] == r[0] and l[2] < r[3] and r[2] < l[3]}
     assert got == exp
+
+
+def test_drift_psi_report_bruteforce(ray_session):
+    """PSI report == brute numpy deciles + share/term computation,
+    including a bin empty on one side (NULL term)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from pyjelly_ray.stages.validate import drift_psi_report
+
+    rng = np.random.default_rng(41)
+    ref = rng.normal(0, 1, 900)
+    cur = np.concatenate([rng.normal(0.8, 1.2, 700), [99.0] * 5])  # shifted + far tail
+    vals = np.concatenate([ref, cur])
+    sides = np.concatenate([np.zeros(len(ref), np.int8),
+                            np.ones(len(cur), np.int8)])
+    t = pa.table({"v": pa.array(vals, pa.float64()),
+                  "side": pa.array(sides, pa.int8())})
+    out = drift_psi_report(
+        ray.data.from_arrow(t).repartition(5), "v", "side", n_bins=10
+    ).take_all()
+    got = {r["bin"]: r for r in out}
+
+    def qcont(s, q):
+        pos = q * (len(s) - 1)
+        f, c = int(np.floor(pos)), int(np.ceil(pos))
+        return float(s[f]) if f == c else float(s[f] * (c - pos) + s[c] * (pos - f))
+
+    sref = np.sort(ref)
+    edges = np.array([round(qcont(sref, i / 10), 6) for i in range(1, 10)])
+    rbin = np.searchsorted(edges, ref, side="left")
+    cbin = np.searchsorted(edges, cur, side="left")
+    for b in np.unique(np.concatenate([rbin, cbin])):
+        nr = int((rbin == b).sum())
+        nc = int((cbin == b).sum())
+        assert got[b]["n_ref"] == nr and got[b]["n_cur"] == nc, b
+        if nr and nc:
+            p, q = nr / len(ref), nc / len(cur)
+            assert abs(got[b]["psi_term"] - (q - p) * np.log(q / p)) < 1e-6
+        else:
+            assert got[b]["psi_term"] is None
+
+
+def test_mutual_information_bruteforce(ray_session):
+    """MI == brute contingency formula; independent columns give ~0,
+    a deterministic copy gives the marginal entropy."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from pyjelly_ray.stages.agg import mutual_information
+
+    rng = np.random.default_rng(19)
+    n = 3000
+    x = rng.choice(["a", "b", "c"], n, p=[0.5, 0.3, 0.2])
+    y_dep = np.where(x == "a", "p", np.where(rng.random(n) < 0.7, "q", "p"))
+    t = pa.table({"x": pa.array(x), "y": pa.array(y_dep)})
+    out = mutual_information(
+        ray.data.from_arrow(t).repartition(4), "x", "y"
+    ).take_all()
+    # brute
+    import collections
+    jc = collections.Counter(zip(x, y_dep))
+    xc = collections.Counter(x)
+    yc = collections.Counter(y_dep)
+    mi = sum((c / n) * np.log(c * n / (xc[a] * yc[b]))
+             for (a, b), c in jc.items())
+    assert abs(out[0]["mi_nats"] - mi) < 1e-6
+    # x vs x: MI == entropy of x
+    t2 = pa.table({"x": pa.array(x), "y": pa.array(x)})
+    out2 = mutual_information(
+        ray.data.from_arrow(t2).repartition(4), "x", "y"
+    ).take_all()
+    h = -sum((c / n) * np.log(c / n) for c in xc.values())
+    assert abs(out2[0]["mi_nats"] - h) < 1e-6
