@@ -6305,3 +6305,76 @@ ORACLE_SQL["q_event_type_dow_mi"] = """
     JOIN mx ON j.x = mx.x
     JOIN my ON j.y = my.y
 """
+
+
+def q_events_value_cusum(sf_dir: str):
+    """CUSUM drift detector per user (one-sided, clamp at zero, drift 75):
+    the sequential change-point statistic as two vectorized accumulates —
+    the recurrence max(0, s+(x−d)) closed-forms to cumsum − running min,
+    which is also exactly two SQL window functions (bit-identical fp
+    order).  ``alarm`` flags rounded statistic > 300."""
+    from ..stages.window import grouped_running
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    out = grouped_running(
+        ev, key="user_id", order_col="ts", value_col="value",
+        kinds=[("cusum_stat", ("cusum", 75.0))], tiebreak="event_id",
+        round_to=6,
+    )
+
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": b.column("event_id"),
+            "user_id": b.column("user_id"),
+            "cusum_stat": b.column("cusum_stat"),
+            "alarm": pc.cast(
+                pc.greater(b.column("cusum_stat"), pa.scalar(300.0)),
+                pa.int64(),
+            ),
+        })
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+QUERIES["q_events_value_cusum"] = q_events_value_cusum
+ORACLE_SQL["q_events_value_cusum"] = """
+    WITH c AS (
+      SELECT event_id, user_id, ts,
+             sum(value - 75.0) OVER w AS c
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT event_id, user_id,
+           round(c - least(min(c) OVER w2, 0), 6) AS cusum_stat,
+           CAST(round(c - least(min(c) OVER w2, 0), 6) > 300.0 AS BIGINT)
+               AS alarm
+    FROM c
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING)
+"""
+
+
+def q_top_qty_lineitems_ties(sf_dir: str):
+    """Top-2 quantities per order WITH TIES (SQL rank() <= 2): every line
+    tying the 2nd-highest quantity survives — the FETCH FIRST ... WITH
+    TIES semantics; heavy integer-quantity ties make the tie set real."""
+    from ..stages.agg import grouped_topk
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_quantity"])
+    return grouped_topk(li, "l_orderkey", "l_quantity", 2, descending=True,
+                        with_ties=True)
+
+
+QUERIES["q_top_qty_lineitems_ties"] = q_top_qty_lineitems_ties
+ORACLE_SQL["q_top_qty_lineitems_ties"] = """
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM (
+      SELECT l_orderkey, l_linenumber, l_quantity,
+             rank() OVER (PARTITION BY l_orderkey
+                          ORDER BY l_quantity DESC) AS r
+      FROM lineitem
+    )
+    WHERE r <= 2
+"""

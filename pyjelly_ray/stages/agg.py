@@ -1094,7 +1094,8 @@ def grouped_robust_outliers(ds, keys: list[str] | str, col: str, *,
 
 
 def grouped_topk(ds, keys: list[str] | str, order_col: str, k: int, *,
-                 descending: bool = True, tiebreak: list[str] | None = None):
+                 descending: bool = True, tiebreak: list[str] | None = None,
+                 with_ties: bool = False):
     """Top-k rows per group (SQL ``row_number() OVER (PARTITION BY keys
     ORDER BY order_col [DESC], tiebreak) <= k``).
 
@@ -1104,6 +1105,12 @@ def grouped_topk(ds, keys: list[str] | str, order_col: str, k: int, *,
     partial-then-merge shape as :func:`grouped_agg`.  ``tiebreak`` columns
     (ascending) make the cut deterministic; pass enough columns to break
     all ties or results are only set-stable, not row-stable.
+
+    ``with_ties=True`` switches to SQL ``rank() <= k`` / ``FETCH FIRST k
+    WITH TIES`` semantics: every row tying the k-th order value survives
+    (don't combine with ``tiebreak``).  The map-side cut stays safe
+    because an in-batch rank > k already implies ≥ k strictly better rows
+    globally; the shuffle then carries k + ties rows per group.
     """
     import numpy as np
 
@@ -1125,7 +1132,16 @@ def grouped_topk(ds, keys: list[str] | str, order_col: str, k: int, *,
         starts = np.zeros(t.num_rows, bool)
         starts[bounds[:-1]] = True
         run_id = np.cumsum(starts) - 1
-        rank = np.arange(t.num_rows) - bounds[run_id]
+        if with_ties:
+            # min-rank of each row's peer run (rows equal on order_col)
+            ov = t.column(order_col).to_numpy(zero_copy_only=False)
+            peer_start = starts.copy()
+            peer_start[1:] |= ov[1:] != ov[:-1]
+            ps = np.flatnonzero(peer_start)
+            peer_lens = np.diff(np.append(ps, t.num_rows))
+            rank = np.repeat(ps, peer_lens) - bounds[run_id]
+        else:
+            rank = np.arange(t.num_rows) - bounds[run_id]
         return t.filter(pa.array(rank < k))
 
     from ..state.exchange import hash_exchange

@@ -220,6 +220,19 @@ def grouped_running(ds, *, key: str, order_col: str, value_col: str,
                         col_np[cs:ce] = y
                         carry = y[-1]
                 col = pa.array(col_np, pa.float64())
+            elif isinstance(kind, tuple) and kind[0] == "cusum":
+                # one-sided CUSUM drift statistic with clamp at zero:
+                # s_i = max(0, s_{i-1} + (x_i − drift)) has the closed form
+                # s_i = c_i − min(0, min_{j≤i} c_j) with c = cumsum(x −
+                # drift) — two vectorized accumulates per run, and the
+                # SAME two window functions in SQL (bit-identical: the fp
+                # op order matches the sequential recurrence exactly).
+                drift = float(kind[1])
+                col_np = np.empty(t.num_rows, np.float64)
+                for s, e in zip(bounds[:-1], bounds[1:]):
+                    c = np.cumsum(vals[s:e] - drift)
+                    col_np[s:e] = c - np.minimum(np.minimum.accumulate(c), 0.0)
+                col = pa.array(col_np, pa.float64())
             elif isinstance(kind, tuple) and kind[0] == "rolling_median":
                 # exact trailing ROWS-frame median (order-statistic window,
                 # = SQL median(v) OVER (... ROWS BETWEEN w-1 PRECEDING AND

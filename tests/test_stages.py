@@ -2800,3 +2800,83 @@ def test_mutual_information_bruteforce(ray_session):
     ).take_all()
     h = -sum((c / n) * np.log(c / n) for c in xc.values())
     assert abs(out2[0]["mi_nats"] - h) < 1e-6
+
+
+def test_cusum_matches_loop(ray_session):
+    """CUSUM closed form (cumsum − clamped running min) == the textbook
+    sequential recurrence max(0, s + (x − drift)), per key."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from pyjelly_ray.stages.window import grouped_running
+
+    rng = np.random.default_rng(29)
+    ks, iis, vs = [], [], []
+    for k in range(6):
+        n = int(rng.integers(5, 200))
+        ks += [k] * n
+        iis += list(range(n))
+        vs += list(rng.normal(10, 8, n))
+    t = pa.table({"k": pa.array(ks, pa.int64()),
+                  "i": pa.array(iis, pa.int64()),
+                  "v": pa.array(vs, pa.float64())})
+    drift = 12.0
+    out = grouped_running(
+        ray.data.from_arrow(t).repartition(4),
+        key="k", order_col="i", value_col="v",
+        kinds=[("s", ("cusum", drift))],
+    ).take_all()
+    got = {(r["k"], r["i"]): r["s"] for r in out}
+    import collections
+    series = collections.defaultdict(list)
+    for k, i, v in zip(ks, iis, vs):
+        series[k].append((i, v))
+    for k, rows in series.items():
+        s = 0.0
+        for i, v in sorted(rows):
+            s = max(0.0, s + (v - drift))
+            assert abs(got[(k, i)] - s) < 1e-9, (k, i)
+
+
+def test_grouped_topk_with_ties(ray_session):
+    """with_ties=True == SQL rank() <= k (every k-th-value tie survives),
+    across blocks; default stays row_number semantics."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from pyjelly_ray.stages.agg import grouped_topk
+
+    rng = np.random.default_rng(37)
+    ks = rng.integers(0, 20, 400)
+    v = rng.integers(1, 6, 400)          # heavy ties
+    rid = np.arange(400)
+    t = pa.table({"k": pa.array(ks, pa.int64()),
+                  "v": pa.array(v.astype(float), pa.float64()),
+                  "rid": pa.array(rid, pa.int64())})
+    out = grouped_topk(
+        ray.data.from_arrow(t).repartition(5), "k", "v", 2,
+        descending=True, with_ties=True,
+    ).take_all()
+    got = {(r["k"], r["rid"]) for r in out}
+    exp = set()
+    for k in np.unique(ks):
+        rows = sorted(
+            [(vv, rr) for kk, vv, rr in zip(ks, v, rid) if kk == k],
+            reverse=True,
+        )
+        vals = [vv for vv, _ in rows]
+        # rank of each row = 1 + count of strictly greater values
+        for vv, rr in rows:
+            if 1 + sum(1 for u in vals if u > vv) <= 2:
+                exp.add((int(k), int(rr)))
+    assert got == exp
+    # row_number semantics still cuts to exactly k rows per group
+    out2 = grouped_topk(
+        ray.data.from_arrow(t).repartition(5), "k", "v", 2,
+        descending=True, tiebreak=["rid"],
+    ).take_all()
+    import collections
+    cnt = collections.Counter(r["k"] for r in out2)
+    assert all(c == 2 for c in cnt.values())
