@@ -6378,3 +6378,87 @@ ORACLE_SQL["q_top_qty_lineitems_ties"] = """
     )
     WHERE r <= 2
 """
+
+
+def q_doc_lm_perplexity(sf_dir: str):
+    """Bigram-LM perplexity per document (add-0.1 smoothing, context =
+    full unigram count) — the CCNet-style fluency/quality filter for
+    pretraining corpora.  Train and score in one distributed plan: two
+    count aggregates, two hash joins, one per-doc mean."""
+    from ..stages.text import lm_perplexity
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return lm_perplexity(docs, col="text", id_col="doc_id", alpha=0.1,
+                         round_to=6)
+
+
+QUERIES["q_doc_lm_perplexity"] = q_doc_lm_perplexity
+ORACLE_SQL["q_doc_lm_perplexity"] = """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks)),
+                                   i -> toks[i] || ' ' || toks[i+1])) AS bigram
+      FROM t
+    ),
+    bc AS (SELECT bigram, count(*) AS cb FROM bg GROUP BY bigram),
+    uni AS (SELECT unnest(toks) AS tok FROM t),
+    uc AS (SELECT tok, count(*) AS cu FROM uni GROUP BY tok),
+    v AS (SELECT count(*) AS vs FROM uc)
+    SELECT bg.doc_id,
+           count(*) AS n_bigrams,
+           round(exp(-avg(ln((bc.cb + 0.1) / (uc.cu + 0.1 * v.vs)))), 6)
+               AS perplexity
+    FROM bg
+    JOIN bc USING (bigram)
+    JOIN uc ON split_part(bg.bigram, ' ', 1) = uc.tok
+    CROSS JOIN v
+    GROUP BY bg.doc_id
+"""
+
+
+def q_doc_decontamination(sf_dir: str):
+    """Benchmark decontamination: docs with doc_id % 37 = 0 act as the
+    held-out benchmark; every other doc is flagged when it shares ANY
+    word 3-gram with the benchmark (GPT-3/Llama-style n-gram overlap
+    check).  Benchmark grams broadcast once; training side never
+    shuffles."""
+    from ..stages.text import ngram_decontaminate
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def mod37_is(val: int):
+        # doc_id − (doc_id // 37)·37 (pyarrow has no modulo kernel)
+        def f(b: pa.Table) -> pa.Table:
+            did = b.column("doc_id")
+            rem = pc.subtract(
+                did, pc.multiply(pc.divide(did, pa.scalar(37)), pa.scalar(37))
+            )
+            op = pc.equal if val == 0 else pc.not_equal
+            return b.filter(op(rem, pa.scalar(0)))
+
+        return f
+
+    bench = docs.map_batches(mod37_is(0), batch_format="pyarrow")
+    train = docs.map_batches(mod37_is(1), batch_format="pyarrow")
+    return ngram_decontaminate(train, bench, n=3, col="text",
+                               id_col="doc_id")
+
+
+QUERIES["q_doc_decontamination"] = q_doc_decontamination
+ORACLE_SQL["q_doc_decontamination"] = """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    g AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks) - 1),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS ng
+      FROM t
+    ),
+    bench AS (SELECT DISTINCT ng FROM g WHERE doc_id % 37 = 0),
+    train AS (SELECT * FROM g WHERE doc_id % 37 <> 0)
+    SELECT tr.doc_id,
+           CAST(count(b.ng) AS BIGINT) AS n_hits,
+           CAST(count(b.ng) > 0 AS BIGINT) AS contaminated
+    FROM train tr LEFT JOIN bench b ON tr.ng = b.ng
+    GROUP BY tr.doc_id
+"""

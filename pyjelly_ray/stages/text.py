@@ -257,3 +257,175 @@ def bigrams(batch: pa.Table, col: str = "text",
     interior = interior[(interior > 0) & (interior < m)]
     valid[interior - 1] = False  # pair (end-1, end) spans two documents
     return pa.table({out: pairs.filter(pa.array(valid))})
+
+
+def doc_ngrams(batch: pa.Table, *, n: int = 2, col: str = "text",
+               id_col: str = "doc_id", out: str = "ngram") -> pa.Table:
+    """Explode each row into word n-grams KEEPING the row id, vectorized.
+
+    Same flattened-token-array trick as :func:`bigrams` generalized to n:
+    the j-th n-gram starts at flat position j and is valid iff all n
+    tokens fall in one document — checked with one offsets comparison, no
+    per-document Python.  Docs with < n tokens emit nothing.
+    """
+    import numpy as np
+
+    toks = pc.split_pattern(batch.column(col), " ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.flatten()
+    m = len(flat)
+    id_arr = batch.column(id_col)
+    id_type = batch.schema.field(id_col).type
+    if m < n:
+        return pa.table({id_col: pa.array([], id_type),
+                         out: pa.array([], pa.string())})
+    grams = flat.slice(0, m - n + 1)
+    for j in range(1, n):
+        grams = pc.binary_join_element_wise(
+            grams, flat.slice(j, m - n + 1), " "
+        )
+    offsets = np.asarray(toks.offsets)
+    offsets = offsets - offsets[0]
+    lens = np.diff(offsets)
+    # doc index of each flat position; an n-gram at j is valid iff
+    # position j and j+n-1 share a document
+    doc_of = np.repeat(np.arange(len(lens)), lens)
+    valid = doc_of[: m - n + 1] == doc_of[n - 1:]
+    ids_np = id_arr.to_numpy(zero_copy_only=False)
+    return pa.table({
+        id_col: pa.array(ids_np[doc_of[: m - n + 1][valid]], id_type),
+        out: grams.filter(pa.array(valid)),
+    })
+
+
+def lm_perplexity(ds, *, col: str = "text", id_col: str = "doc_id",
+                  alpha: float = 0.1, round_to: int = 6):
+    """Bigram language-model perplexity per document — the CCNet-style
+    quality filter: train add-α bigram probabilities on the corpus itself,
+    then score each doc with ``exp(−mean ln p(w₂|w₁))`` (low = fluent /
+    repetitive, high = noise).  The context count is the token's full
+    unigram count (documented convention, matched by the SQL oracle).
+
+    Fully distributed: two count grouped_aggs (bigram, unigram), vocab
+    size from the unigram table, two hash joins attaching counts to the
+    per-doc bigram stream, one mean grouped_agg per doc.  Raw text is
+    tokenized twice (train + score) — at 100 TB persist the exploded
+    stream once instead.
+    """
+    import numpy as np
+
+    from .agg import grouped_agg, round_like_duckdb
+    from .joins import hash_join
+
+    bg = ds.map_batches(
+        lambda b: doc_ngrams(b, n=2, col=col, id_col=id_col, out="bigram"),
+        batch_format="pyarrow",
+    )
+    bc = grouped_agg(bg, ["bigram"], [("cb", "bigram", "count")])
+    uni = ds.map_batches(
+        lambda b: doc_ngrams(b, n=1, col=col, id_col=id_col, out="tok"),
+        batch_format="pyarrow",
+    )
+    uc = grouped_agg(
+        uni.map_batches(lambda b: b.select(["tok"]), batch_format="pyarrow"),
+        ["tok"], [("cu", "tok", "count")],
+    ).materialize()  # used twice (vocab size + join); bounded by |vocab|
+    vocab = uc.count()
+
+    j1 = hash_join(bg, bc, left_key="bigram")
+
+    def add_ctx(b: pa.Table) -> pa.Table:
+        ctx = pc.list_element(pc.split_pattern(b.column("bigram"), " "), 0)
+        return b.append_column("ctx", ctx)
+
+    j2 = hash_join(j1.map_batches(add_ctx, batch_format="pyarrow"), uc,
+                   left_key="ctx", right_key="tok")
+
+    def lnp(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        cb = b.column("cb").to_numpy(zero_copy_only=False).astype(np.float64)
+        cu = b.column("cu").to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            id_col: b.column(id_col),
+            "lnp": pa.array(np.log((cb + alpha) / (cu + alpha * vocab)),
+                            pa.float64()),
+        })
+
+    per_doc = grouped_agg(
+        j2.map_batches(lnp, batch_format="pyarrow"), [id_col],
+        [("n_bigrams", "lnp", "count"), ("mean_lnp", "lnp", "mean")],
+    )
+
+    def fin(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        m = b.column("mean_lnp").to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: b.column(id_col),
+            "n_bigrams": b.column("n_bigrams"),
+            "perplexity": round_like_duckdb(
+                pa.array(np.exp(-m), pa.float64()), round_to),
+        })
+
+    return per_doc.map_batches(fin, batch_format="pyarrow")
+
+
+def ngram_decontaminate(train_ds, bench_ds, *, n: int = 3,
+                        col: str = "text", id_col: str = "doc_id"):
+    """Benchmark decontamination by n-gram overlap — the pretraining-
+    hygiene operator: a training doc is contaminated when it shares ANY
+    word n-gram with the benchmark set (the GPT-3/Llama-style check,
+    stricter than exact-text dedup).
+
+    The benchmark's DISTINCT n-grams are collected once and broadcast via
+    ``ray.put`` (small side by construction — eval sets are tiny next to
+    the corpus); each training block then runs one vectorized
+    ``pc.is_in`` membership probe, no shuffle of the training side.  For
+    a huge benchmark swap the broadcast set for ``build_bloom`` +
+    ``bloom_semi`` + exact residue (same shapes).  Output per training
+    doc that HAS at least n tokens: ``n_hits`` (occurrence count of
+    benchmark n-grams) and ``contaminated`` flag.
+    """
+    import numpy as np
+    import ray
+
+    from .agg import grouped_agg
+
+    bench_grams = grouped_agg(
+        bench_ds.map_batches(
+            lambda b: doc_ngrams(b, n=n, col=col, id_col=id_col).select(["ngram"]),
+            batch_format="pyarrow",
+        ),
+        ["ngram"], [("c", "ngram", "count")],
+    )
+    gram_tables = [t for t in ray.get(bench_grams.to_arrow_refs())
+                   if t.num_columns > 0 and t.num_rows > 0]
+    gram_arr = (pa.concat_tables(gram_tables).column("ngram").combine_chunks()
+                if gram_tables else pa.array([], pa.string()))
+    gram_ref = ray.put(gram_arr)
+
+    def probe(b: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        grams = doc_ngrams(b, n=n, col=col, id_col=id_col)
+        hit = pc.cast(
+            pc.is_in(grams.column("ngram"), value_set=_ray.get(gram_ref)),
+            pa.int64(),
+        )
+        return pa.table({id_col: grams.column(id_col), "hit": hit})
+
+    hits = train_ds.map_batches(probe, batch_format="pyarrow")
+    agg = grouped_agg(hits, [id_col],
+                      [("n_hits", "hit", "sum")], sum_as_float=False)
+
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: b.column(id_col),
+            "n_hits": b.column("n_hits"),
+            "contaminated": pc.cast(
+                pc.greater(b.column("n_hits"), pa.scalar(0)), pa.int64()),
+        })
+
+    return agg.map_batches(fin, batch_format="pyarrow")

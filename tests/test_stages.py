@@ -2880,3 +2880,99 @@ def test_grouped_topk_with_ties(ray_session):
     import collections
     cnt = collections.Counter(r["k"] for r in out2)
     assert all(c == 2 for c in cnt.values())
+
+
+def test_doc_ngrams_bruteforce(ray_session):
+    """doc_ngrams == per-doc sliding n-grams, boundary-safe (no gram may
+    span documents), n ∈ {1, 2, 3}, short docs emit nothing."""
+    import pyarrow as pa
+
+    from pyjelly_ray.stages.text import doc_ngrams
+
+    docs = [
+        (1, "a b c d"),
+        (2, "x"),           # too short for n>=2
+        (3, "p q"),
+        (4, ""),            # single empty token
+        (5, "m n o"),
+    ]
+    t = pa.table({"doc_id": pa.array([d for d, _ in docs], pa.int64()),
+                  "text": pa.array([s for _, s in docs])})
+    for n in (1, 2, 3):
+        out = doc_ngrams(t, n=n).to_pylist()
+        got = [(r["doc_id"], r["ngram"]) for r in out]
+        exp = []
+        for did, s in docs:
+            toks = s.split(" ")
+            for i in range(len(toks) - n + 1):
+                exp.append((did, " ".join(toks[i:i + n])))
+        assert got == exp, n
+
+
+def test_lm_perplexity_bruteforce(ray_session):
+    """lm_perplexity == brute add-α bigram LM scored in pure Python."""
+    import collections
+    import math
+
+    import pyarrow as pa
+    import ray
+
+    from pyjelly_ray.stages.text import lm_perplexity
+
+    docs = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat ate the fish"),
+        (3, "dogs chase the cat"),
+        (4, "solo"),
+        (5, "the the the the"),
+    ]
+    t = pa.table({"doc_id": pa.array([d for d, _ in docs], pa.int64()),
+                  "text": pa.array([s for _, s in docs])})
+    out = lm_perplexity(
+        ray.data.from_arrow(t).repartition(3), alpha=0.1
+    ).take_all()
+    got = {r["doc_id"]: r for r in out}
+    assert 4 not in got  # one token -> no bigrams -> absent
+    uni = collections.Counter()
+    bc = collections.Counter()
+    for _, s in docs:
+        toks = s.split(" ")
+        uni.update(toks)
+        bc.update(zip(toks, toks[1:]))
+    V = len(uni)
+    for did, s in docs:
+        toks = s.split(" ")
+        bgs = list(zip(toks, toks[1:]))
+        if not bgs:
+            continue
+        lnp = [math.log((bc[g] + 0.1) / (uni[g[0]] + 0.1 * V)) for g in bgs]
+        ppl = math.exp(-sum(lnp) / len(lnp))
+        assert got[did]["n_bigrams"] == len(bgs)
+        assert abs(got[did]["perplexity"] - ppl) < 1e-5, did
+
+
+def test_ngram_decontaminate_bruteforce(ray_session):
+    """ngram_decontaminate == brute 3-gram membership; clean docs report
+    zero hits, contaminated docs count occurrences."""
+    import pyarrow as pa
+    import ray
+
+    from pyjelly_ray.stages.text import ngram_decontaminate
+
+    bench_docs = [(100, "alpha beta gamma delta")]
+    train_docs = [
+        (1, "alpha beta gamma epsilon"),     # shares 'alpha beta gamma'
+        (2, "zeta eta theta iota"),          # clean
+        (3, "x alpha beta gamma delta y"),   # shares 2 grams
+        (4, "alpha beta"),                   # too short for 3-grams
+    ]
+    mk = lambda rows: ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([d for d, _ in rows], pa.int64()),
+        "text": pa.array([s for _, s in rows]),
+    })).repartition(2)
+    out = ngram_decontaminate(mk(train_docs), mk(bench_docs), n=3).take_all()
+    got = {r["doc_id"]: (r["n_hits"], r["contaminated"]) for r in out}
+    assert got[1] == (1, 1)
+    assert got[2] == (0, 0)
+    assert got[3] == (2, 1)
+    assert 4 not in got
