@@ -6462,3 +6462,94 @@ ORACLE_SQL["q_doc_decontamination"] = """
     FROM train tr LEFT JOIN bench b ON tr.ng = b.ng
     GROUP BY tr.doc_id
 """
+
+
+def q_purchase_value_auc(sf_dir: str):
+    """ROC-AUC of event value as a purchase classifier (Mann–Whitney with
+    tie correction) — the model-eval primitive, distributed via the same
+    fractional-rank machinery as Spearman: |distinct score| shuffle +
+    O(blocks) offsets, one join, one scalar aggregate."""
+    from ..stages.agg import roc_auc
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "value": b.column("value"),
+            "y": pc.cast(pc.equal(b.column("event_type"),
+                                  pa.scalar("purchase")), pa.int64()),
+        })
+
+    return roc_auc(ev.map_batches(prep, batch_format="pyarrow"),
+                   "value", "y", out_name="auc", round_to=6)
+
+
+QUERIES["q_purchase_value_auc"] = q_purchase_value_auc
+ORACLE_SQL["q_purchase_value_auc"] = """
+    WITH r AS (
+      SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+             rank() OVER (ORDER BY value)
+                 + (count(*) OVER (PARTITION BY value) - 1) / 2.0 AS fr
+      FROM events
+    )
+    SELECT round((sum(CASE WHEN y = 1 THEN fr END)
+                  - (sum(y) * (sum(y) + 1)) / 2.0)
+                 / (sum(y) * (count(*) - sum(y))), 6) AS auc
+    FROM r
+"""
+
+
+def q_embedding_self_nn(sf_dir: str):
+    """Exact nearest neighbor for EVERY vector (kNN self-join, k=1,
+    self excluded) — one data pass: the full id+matrix broadcast once,
+    one matmul per batch, per-query top-2 merge, self filtered, final
+    cut.  Round-then-cut keeps rounded ties deterministic (id asc),
+    matching the SQL window order."""
+    import numpy as np
+    import ray
+
+    from ..stages.agg import grouped_topk
+    from ..stages.ann import _stack, cosine_topk_multi
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    tabs = [t for t in ray.get(emb.to_arrow_refs()) if t.num_columns > 0]
+    full = pa.concat_tables(tabs)
+    ids = full.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    mat = _stack(full)
+
+    res = cosine_topk_multi(emb, mat, k=2, query_ids=ids, round_to=4)
+    noself = res.map_batches(
+        lambda b: b.filter(pc.not_equal(b.column("query_id"),
+                                        b.column("vec_id"))),
+        batch_format="pyarrow",
+    )
+    best = grouped_topk(noself, "query_id", "sim", 1, descending=True,
+                        tiebreak=["vec_id"])
+    return best.map_batches(
+        lambda b: pa.table({
+            "vec_id": b.column("query_id"),
+            "nn_id": b.column("vec_id"),
+            "cos": b.column("sim"),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+QUERIES["q_embedding_self_nn"] = q_embedding_self_nn
+ORACLE_SQL["q_embedding_self_nn"] = """
+    WITH p AS (
+      SELECT a.vec_id AS vec_id, b.vec_id AS nn_id,
+             round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])), 4)
+                 AS cos
+      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    )
+    SELECT vec_id, nn_id, cos
+    FROM (
+      SELECT vec_id, nn_id, cos,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cos DESC, nn_id) AS rn
+      FROM p
+    )
+    WHERE rn = 1
+"""

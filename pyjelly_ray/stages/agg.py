@@ -1650,3 +1650,60 @@ def mutual_information(ds, x_col: str, y_col: str, *,
                       "__g", finalize, per_group=False)
     return out.map_batches(lambda b: b.select([out_name]),
                            batch_format="pyarrow")
+
+
+def roc_auc(ds, score_col: str, label_col: str, *, out_name: str = "auc",
+            round_to: int = 6):
+    """Exact ROC-AUC of a score against a binary label (1 = positive) —
+    the Mann–Whitney U identity with tie correction:
+    ``AUC = (Σ_{y=1} frank(score) − n⁺(n⁺+1)/2) / (n⁺ · n⁻)`` where
+    ``frank`` is the tie-averaged rank.
+
+    Rides the same distributed fractional-rank machinery as
+    :func:`spearman_corr` (|distinct score| shuffle + O(blocks) driver
+    offsets), one hash join to attach ranks, one scalar aggregate.
+    Rows with NULL score or label are excluded.  Returns a 1-row Dataset.
+    """
+    from .joins import hash_join
+
+    def project(b: pa.Table) -> pa.Table:
+        return b.select([score_col, label_col]).drop_null()
+
+    base = ds.map_batches(project, batch_format="pyarrow")
+    fr = _fractional_ranks(base, score_col, "__fr")
+    j = hash_join(base, fr, left_key=score_col, right_key=score_col,
+                  how="inner")
+
+    def parts(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        y = b.column(label_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        f = b.column("__fr").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "__g": pa.array(np.zeros(b.num_rows, np.int8)),
+            "fr_pos": pa.array(f * y, pa.float64()),
+            "y": pa.array(y, pa.float64()),
+        })
+
+    g = grouped_agg(
+        j.map_batches(parts, batch_format="pyarrow"), ["__g"],
+        [("s_fr", "fr_pos", "sum"), ("n_pos", "y", "sum"),
+         ("n_all", "y", "count")],
+    )
+
+    def fin(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        if b.num_rows == 0:
+            return pa.table({out_name: pa.array([], pa.float64())})
+        s_fr = b.column("s_fr")[0].as_py()
+        n_pos = b.column("n_pos")[0].as_py()
+        n_neg = b.column("n_all")[0].as_py() - n_pos
+        if n_pos == 0 or n_neg == 0:
+            return pa.table({out_name: pa.array([None], pa.float64())})
+        auc = (s_fr - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg)
+        s = 10.0 ** round_to
+        auc = float(np.copysign(np.floor(abs(auc) * s + 0.5), auc) / s)
+        return pa.table({out_name: pa.array([auc], pa.float64())})
+
+    return g.map_batches(fin, batch_format="pyarrow")

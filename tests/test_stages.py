@@ -2976,3 +2976,31 @@ def test_ngram_decontaminate_bruteforce(ray_session):
     assert got[2] == (0, 0)
     assert got[3] == (2, 1)
     assert 4 not in got
+
+
+def test_roc_auc_bruteforce(ray_session):
+    """roc_auc == brute pairwise P(score⁺ > score⁻) + ½P(tie), tie-heavy."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from pyjelly_ray.stages.agg import roc_auc
+
+    rng = np.random.default_rng(43)
+    n = 600
+    y = (rng.random(n) < 0.3).astype(np.int64)
+    score = rng.integers(0, 25, n).astype(float) + y * rng.integers(0, 8, n)
+    t = pa.table({"s": pa.array(score, pa.float64()),
+                  "y": pa.array(y, pa.int64())})
+    out = roc_auc(
+        ray.data.from_arrow(t).repartition(5), "s", "y"
+    ).take_all()
+    pos, neg = score[y == 1], score[y == 0]
+    gt = (pos[:, None] > neg[None, :]).sum()
+    ties = (pos[:, None] == neg[None, :]).sum()
+    exp = (gt + 0.5 * ties) / (len(pos) * len(neg))
+    assert abs(out[0]["auc"] - exp) < 1e-6
+    # degenerate: single class -> NULL
+    t1 = pa.table({"s": pa.array([1.0, 2.0]), "y": pa.array([1, 1])})
+    out1 = roc_auc(ray.data.from_arrow(t1), "s", "y").take_all()
+    assert out1[0]["auc"] is None
