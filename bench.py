@@ -69,6 +69,13 @@ BENCH_QUERIES = [
     "q_incremental_event_stats",
     "q_copurchase_part_pairs",
     "q_weekly_retention_cohorts",
+    "q_price_weighted_quantiles",
+    "q_lineitem_spearman",
+    "q_events_value_cusum",
+    "q_concurrent_user_bursts",
+    "q_doc_lm_perplexity",
+    "q_embedding_self_nn",
+    "q_hybrid_search_rrf",
 ]
 
 

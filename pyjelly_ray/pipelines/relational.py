@@ -6553,3 +6553,117 @@ ORACLE_SQL["q_embedding_self_nn"] = """
     )
     WHERE rn = 1
 """
+
+
+def q_hybrid_search_rrf(sf_dir: str):
+    """Hybrid search with reciprocal-rank fusion: a keyword ranking
+    (occurrences of 'spark') and a vector ranking (cosine vs doc 0's
+    embedding) fused as Σ 1/(60+rank) — the standard BM25+ANN fusion.
+    Both rankings are distributed: range sort + O(blocks) global row
+    numbers (blocks never move), one hash join, global top-10."""
+    import numpy as np
+    import ray
+
+    from ..stages.agg import global_topk
+    from ..stages.ann import _normalize, _stack
+    from ..stages.joins import hash_join
+    from ..stages.sort import global_row_numbers, range_sort
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def kw(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "kw_score": pc.cast(
+                pc.count_substring(b.column("text"), "spark"), pa.int64()),
+        })
+
+    kr = global_row_numbers(
+        range_sort(docs.map_batches(kw, batch_format="pyarrow"),
+                   "kw_score", descending=True, tiebreak=["doc_id"]),
+        out_name="r_kw",
+    )
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q0 = [t for t in ray.get(
+        emb.map_batches(
+            lambda b: b.filter(pc.equal(b.column("vec_id"), pa.scalar(0))),
+            batch_format="pyarrow",
+        ).to_arrow_refs()) if t.num_rows > 0]
+    qv = _normalize(_stack(pa.concat_tables(q0)))[0]
+    qref = ray.put(qv)
+
+    def score(b: pa.Table) -> pa.Table:
+        import numpy as np
+        import ray as _ray
+
+        m = _normalize(_stack(b))
+        sims = np.round(m @ _ray.get(qref), 4)
+        return pa.table({
+            "vec_id": b.column("vec_id"),
+            "sim": pa.array(sims, pa.float64()),
+        })
+
+    vr = global_row_numbers(
+        range_sort(emb.map_batches(score, batch_format="pyarrow"),
+                   "sim", descending=True, tiebreak=["vec_id"]),
+        out_name="r_vec",
+    )
+
+    j = hash_join(
+        kr.map_batches(lambda b: b.select(["doc_id", "r_kw"]),
+                       batch_format="pyarrow"),
+        vr.map_batches(lambda b: b.select(["vec_id", "r_vec"]),
+                       batch_format="pyarrow"),
+        left_key="doc_id", right_key="vec_id",
+    )
+
+    def fuse(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        rk = b.column("r_kw").to_numpy(zero_copy_only=False).astype(np.float64)
+        rv = b.column("r_vec").to_numpy(zero_copy_only=False).astype(np.float64)
+        from ..stages.agg import round_like_duckdb
+
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "r_kw": b.column("r_kw"),
+            "r_vec": b.column("r_vec"),
+            "rrf_score": round_like_duckdb(
+                pa.array(1.0 / (60.0 + rk) + 1.0 / (60.0 + rv)), 6),
+        })
+
+    return global_topk(
+        j.map_batches(fuse, batch_format="pyarrow"),
+        ["rrf_score", "doc_id"], 10, descending=[True, False],
+    )
+
+
+QUERIES["q_hybrid_search_rrf"] = q_hybrid_search_rrf
+ORACLE_SQL["q_hybrid_search_rrf"] = """
+    WITH kw AS (
+      SELECT doc_id,
+             (length(text) - length(replace(text, 'spark', ''))) / 5
+                 AS kw_score
+      FROM documents
+    ),
+    kr AS (SELECT doc_id,
+                  row_number() OVER (ORDER BY kw_score DESC, doc_id) AS r_kw
+           FROM kw),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+          WHERE vec_id = 0),
+    vs AS (
+      SELECT vec_id,
+             round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.qv),
+                   4) AS sim
+      FROM embeddings, q
+    ),
+    vr AS (SELECT vec_id,
+                  row_number() OVER (ORDER BY sim DESC, vec_id) AS r_vec
+           FROM vs)
+    SELECT doc_id, r_kw, r_vec,
+           round(1.0 / (60 + r_kw) + 1.0 / (60 + r_vec), 6) AS rrf_score
+    FROM kr JOIN vr ON kr.doc_id = vr.vec_id
+    ORDER BY rrf_score DESC, doc_id
+    LIMIT 10
+"""
