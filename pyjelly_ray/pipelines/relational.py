@@ -6143,29 +6143,53 @@ def q_concurrent_user_bursts(sf_dir: str):
 
     left = spans.map_batches(_split("_a"), batch_format="pyarrow")
     right = spans.map_batches(_split("_b"), batch_format="pyarrow")
-    pairs = interval_overlap_join(
-        left, right, key="event_type",
-        left_start="s_a", left_end="e_a",
-        right_start="s_b", right_end="e_b",
-    )
 
     def post(b: pa.Table) -> pa.Table:
+        # fused key-local consumer: the raw pair stream never leaves the
+        # reduce — only per-(type, pair) partial aggregates do
         t = b.filter(pc.less(b.column("user_a"), b.column("user_b")))
+        if t.num_rows == 0:
+            return pa.table({
+                "event_type": pa.array([], pa.string()),
+                "user_a": pa.array([], pa.int64()),
+                "user_b": pa.array([], pa.int64()),
+                "np": pa.array([], pa.int64()),
+                "ovp": pa.array([], pa.int64()),
+            })
         ov = pc.subtract(
             pc.min_element_wise(t.column("e_a"), t.column("e_b")),
             pc.max_element_wise(t.column("s_a"), t.column("s_b")),
         )
-        return pa.table({
+        tt = pa.table({
             "event_type": t.column("event_type"),
             "user_a": t.column("user_a"),
             "user_b": t.column("user_b"),
             "ov": ov,
         })
+        g = tt.group_by(["event_type", "user_a", "user_b"]).aggregate(
+            [("ov", "count"), ("ov", "sum")]
+        )
+        return pa.table({
+            "event_type": g.column("event_type"),
+            "user_a": g.column("user_a"),
+            "user_b": g.column("user_b"),
+            "np": pc.cast(g.column("ov_count"), pa.int64()),
+            "ovp": pc.cast(g.column("ov_sum"), pa.int64()),
+        })
 
+    # day chunks: few join keys (5 event types) would otherwise serialize
+    # the reduce; chunking fans out to |types|·|days| partitions and
+    # bounds the candidate band by the chunk width, not the longest burst
+    pairs = interval_overlap_join(
+        left, right, key="event_type",
+        left_start="s_a", left_end="e_a",
+        right_start="s_b", right_end="e_b",
+        post=post, chunk=86_400_000_000,
+    )
     return grouped_agg(
-        pairs.map_batches(post, batch_format="pyarrow"),
+        pairs,
         ["event_type", "user_a", "user_b"],
-        [("n_overlaps", "ov", "count"), ("overlap_us", "ov", "sum")],
+        [("n_overlaps", "np", "sum"), ("overlap_us", "ovp", "sum")],
         sum_as_float=False,
     )
 
@@ -6666,4 +6690,76 @@ ORACLE_SQL["q_hybrid_search_rrf"] = """
     FROM kr JOIN vr ON kr.doc_id = vr.vec_id
     ORDER BY rrf_score DESC, doc_id
     LIMIT 10
+"""
+
+
+def q_events_rolling_extrema(sf_dir: str):
+    """Trailing 7-row min and max of each user's value stream (ROWS-frame
+    order-statistic windows; the band envelope for anomaly dashboards),
+    from the same strided-view machinery as the rolling median."""
+    from ..stages.window import grouped_running
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    out = grouped_running(
+        ev, key="user_id", order_col="ts", value_col="value",
+        kinds=[("v_min7", ("rolling_min", 7)), ("v_max7", ("rolling_max", 7))],
+        tiebreak="event_id", round_to=6,
+    )
+    return out.map_batches(
+        lambda b: b.select(["event_id", "user_id", "v_min7", "v_max7"]),
+        batch_format="pyarrow",
+    )
+
+
+QUERIES["q_events_rolling_extrema"] = q_events_rolling_extrema
+ORACLE_SQL["q_events_rolling_extrema"] = """
+    SELECT event_id, user_id,
+           round(min(value) OVER w, 6) AS v_min7,
+           round(max(value) OVER w, 6) AS v_max7
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_event_type_dow_chi2(sf_dir: str):
+    """Pearson chi-square independence test between event type and ISO
+    weekday (zero-observed cells contribute their expectation) — the
+    classical drift screen next to the MI query, same one-pass
+    contingency aggregate."""
+    from ..stages.agg import chi_square_independence
+
+    ev = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        dow = pc.add(pc.day_of_week(b.column("ts")), pa.scalar(1, pa.int64()))
+        return pa.table({"event_type": b.column("event_type"),
+                         "dow": pc.cast(dow, pa.int64())})
+
+    return chi_square_independence(
+        ev.map_batches(prep, batch_format="pyarrow"), "event_type", "dow",
+        round_to=6,
+    )
+
+
+QUERIES["q_event_type_dow_chi2"] = q_event_type_dow_chi2
+ORACLE_SQL["q_event_type_dow_chi2"] = """
+    WITH j AS (
+      SELECT event_type AS x, CAST(isodow(ts) AS BIGINT) AS y, count(*) AS n
+      FROM events GROUP BY x, y
+    ),
+    mx AS (SELECT x, sum(n) AS nx FROM j GROUP BY x),
+    my AS (SELECT y, sum(n) AS ny FROM j GROUP BY y),
+    t AS (SELECT sum(n) AS total FROM j),
+    cells AS (
+      SELECT mx.nx, my.ny, coalesce(j.n, 0) AS o
+      FROM mx CROSS JOIN my
+      LEFT JOIN j ON j.x = mx.x AND j.y = my.y
+    )
+    SELECT round(sum(pow(o - nx * ny / t.total, 2)
+                     / (nx * ny / t.total)), 6) AS chi2,
+           CAST((SELECT count(*) - 1 FROM mx)
+                * (SELECT count(*) - 1 FROM my) AS BIGINT) AS df
+    FROM cells CROSS JOIN t
+    GROUP BY ALL
 """

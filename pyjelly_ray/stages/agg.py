@@ -1707,3 +1707,53 @@ def roc_auc(ds, score_col: str, label_col: str, *, out_name: str = "auc",
         return pa.table({out_name: pa.array([auc], pa.float64())})
 
     return g.map_batches(fin, batch_format="pyarrow")
+
+
+def chi_square_independence(ds, x_col: str, y_col: str, *, round_to: int = 6):
+    """Pearson chi-square test of independence for two categoricals:
+    ``χ² = Σ (o − e)²/e`` with ``e = n_x·n_y/N``, plus the degrees of
+    freedom ``(|x|−1)(|y|−1)`` — the drift/dependence screen paired with
+    :func:`mutual_information`, from the same one-pass contingency
+    grouped_agg and tiny single-partition finalize.  Returns a 1-row
+    Dataset ``{chi2, df}``.
+    """
+
+    g = grouped_agg(ds, [x_col, y_col], [("n", x_col, "count")])
+
+    def add_g(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        return b.append_column("__g", pa.array(np.zeros(b.num_rows, np.int8)))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        if t.num_rows == 0:
+            return pa.table({"chi2": pa.array([], pa.float64()),
+                             "df": pa.array([], pa.int64())})
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        total = n.sum()
+        _, xi = np.unique(t.column(x_col).to_numpy(zero_copy_only=False),
+                          return_inverse=True)
+        _, yi = np.unique(t.column(y_col).to_numpy(zero_copy_only=False),
+                          return_inverse=True)
+        nx = np.zeros(xi.max() + 1)
+        ny = np.zeros(yi.max() + 1)
+        np.add.at(nx, xi, n)
+        np.add.at(ny, yi, n)
+        # full |x|×|y| grid (zero-observed cells contribute e), tiny by
+        # construction — the contingency table already fits one partition
+        o = np.zeros((len(nx), len(ny)))
+        o[xi, yi] = n
+        e = np.outer(nx, ny) / total
+        chi2 = float(np.sum((o - e) ** 2 / e))
+        s = 10.0 ** round_to
+        chi2 = float(np.copysign(np.floor(abs(chi2) * s + 0.5), chi2) / s)
+        df = int((len(nx) - 1) * (len(ny) - 1))
+        return pa.table({"chi2": pa.array([chi2], pa.float64()),
+                         "df": pa.array([df], pa.int64())})
+
+    out = grouped_map(g.map_batches(add_g, batch_format="pyarrow"),
+                      "__g", finalize, per_group=False)
+    return out.map_batches(lambda b: b.select(["chi2", "df"]),
+                           batch_format="pyarrow")

@@ -636,7 +636,8 @@ def table_diff(old, new, *, key: str, compare_cols: list[str],
 def interval_overlap_join(left, right, *, key: str,
                           left_start: str, left_end: str,
                           right_start: str, right_end: str,
-                          num_partitions: int | None = None):
+                          num_partitions: int | None = None,
+                          post=None, chunk: int | None = None):
     """Interval × interval OVERLAP join per key: emit one row for every
     (left, right) pair with the same key whose half-open spans intersect
     (``l_start < r_end AND r_start < l_end``) — outage × session overlap,
@@ -648,13 +649,27 @@ def interval_overlap_join(left, right, *, key: str,
     per-key vectorized band probe — rights sorted by start once, and for
     each left span two ``np.searchsorted`` calls bound the candidates to
     ``r_start ∈ [l_start − max_right_len, l_end)`` (anything outside
-    cannot overlap), followed by one exact vectorized end check.  No
-    quadratic blowup unless the data itself is (candidate width scales
-    with the key's LONGEST right interval — split pathological giants
-    upstream).  Output: all left columns + all right columns except the
-    right key (caller ensures unique names).  Keys iterate in a Python
-    loop but all per-key work is numpy — size partitions for moderate
-    key cardinality per reduce, or pre-bucket time for huge single keys.
+    cannot overlap), followed by one exact vectorized end check.  Output:
+    all left columns + all right columns except the right key (caller
+    ensures unique names).
+
+    ``post``: optional per-partition consumer applied to each joined
+    partition INSIDE the reduce (same contract as ``hash_join(post=)``) —
+    a key-local aggregate fused here never materializes the raw pair
+    stream.  With ``chunk`` the post output is a per-chunk PARTIAL (one
+    pair's spans can be attributed to different chunks across bursts);
+    merge downstream.
+
+    ``chunk`` (int, same units as the start/end columns, which must then
+    be integers): ALSO co-partition by time chunk.  Each interval is
+    replicated to every chunk it touches with CLIPPED coordinates; the
+    candidate band then uses clipped spans (width ≤ chunk, immune to one
+    giant interval), and each pair is counted exactly once — in the chunk
+    containing ``max(l_start, r_start)`` (the overlap's first instant).
+    This is the scale path when keys are few or spans are long: the
+    exchange fan-out becomes |keys|·|chunks| and reduce work is bounded
+    per chunk.  Replication factor = span/chunk + 1; pick ``chunk`` near
+    the typical span length.
     """
     import numpy as np
 
@@ -662,44 +677,91 @@ def interval_overlap_join(left, right, *, key: str,
     from .agg import bucket_codes
 
     num_partitions = num_partitions or default_partitions()
+    part_keys = [key] if chunk is None else [key, "__chunk"]
 
-    def _with_bucket(b: pa.Table) -> pa.Table:
-        return b.append_column(
-            "__bucket", pa.array(bucket_codes(b, [key], num_partitions))
-        )
+    def _explode(start_col: str, end_col: str):
+        def f(b: pa.Table) -> pa.Table:
+            if chunk is None:
+                return b.append_column(
+                    "__bucket",
+                    pa.array(bucket_codes(b, part_keys, num_partitions)),
+                )
+            s = b.column(start_col).to_numpy(zero_copy_only=False)
+            e = b.column(end_col).to_numpy(zero_copy_only=False)
+            c0 = s // chunk
+            c1 = np.maximum((np.maximum(e, s + 1) - 1) // chunk, c0)
+            reps = (c1 - c0 + 1).astype(np.int64)
+            idx = np.repeat(np.arange(b.num_rows), reps)
+            offs = np.cumsum(reps) - reps
+            ch = np.repeat(c0, reps) + (np.arange(int(reps.sum()))
+                                        - np.repeat(offs, reps))
+            out = b.take(pa.array(idx, pa.int64()))
+            out = out.append_column("__chunk", pa.array(ch, pa.int64()))
+            cs = np.maximum(s[idx], ch * chunk)
+            ce = np.minimum(e[idx], (ch + 1) * chunk)
+            out = out.append_column("__cs", pa.array(cs, pa.int64()))
+            out = out.append_column("__ce", pa.array(ce, pa.int64()))
+            return out.append_column(
+                "__bucket",
+                pa.array(bucket_codes(out, part_keys, num_partitions)),
+            )
 
-    lt = left.map_batches(_with_bucket, batch_format="pyarrow", batch_size=None)
-    rt = right.map_batches(_with_bucket, batch_format="pyarrow", batch_size=None)
+        return f
 
-    def _strip(t: pa.Table) -> pa.Table:
-        return t.drop_columns(["__bucket"]) if "__bucket" in t.column_names else t
+    lt = left.map_batches(_explode(left_start, left_end),
+                          batch_format="pyarrow", batch_size=None)
+    rt = right.map_batches(_explode(right_start, right_end),
+                           batch_format="pyarrow", batch_size=None)
+
+    helper_cols = ["__bucket"] + (["__chunk", "__cs", "__ce"]
+                                  if chunk is not None else [])
+
+    def _strip(t: pa.Table, cols) -> pa.Table:
+        drop = [c for c in cols if c in t.column_names]
+        return t.drop_columns(drop) if drop else t
 
     def _empty_out(lp: pa.Table, rp: pa.Table) -> pa.Table:
-        cols = {f.name: pa.array([], f.type) for f in lp.schema}
-        for f in rp.schema:
+        cols = {f.name: pa.array([], f.type)
+                for f in _strip(lp, helper_cols).schema}
+        for f in _strip(rp, helper_cols).schema:
             if f.name != key:
                 cols[f.name] = pa.array([], f.type)
-        return pa.table(cols)
+        out = pa.table(cols)
+        return post(out) if post is not None else out
 
     def reduce(lp: pa.Table, rp: pa.Table) -> pa.Table:
-        lp, rp = _strip(lp), _strip(rp)
+        lp, rp = _strip(lp, ["__bucket"]), _strip(rp, ["__bucket"])
         if lp.num_rows == 0 or rp.num_rows == 0:
             return _empty_out(lp, rp)
-        lp = lp.sort_by([(key, "ascending"), (left_start, "ascending")])
-        rp = rp.sort_by([(key, "ascending"), (right_start, "ascending")])
+        ls_col, le_col = (left_start, left_end) if chunk is None else ("__cs", "__ce")
+        rs_col, re_col = (right_start, right_end) if chunk is None else ("__cs", "__ce")
+        lp = lp.sort_by([(k, "ascending") for k in part_keys]
+                        + [(ls_col, "ascending")])
+        rp = rp.sort_by([(k, "ascending") for k in part_keys]
+                        + [(rs_col, "ascending")])
         from .agg import _key_run_bounds
 
-        lb = _key_run_bounds(lp, [key])
-        rb = _key_run_bounds(rp, [key])
-        rkeys = {rp.column(key)[int(s)].as_py(): (int(s), int(e))
+        lb = _key_run_bounds(lp, part_keys)
+        rb = _key_run_bounds(rp, part_keys)
+
+        def run_key(t: pa.Table, i: int):
+            return tuple(t.column(k)[i].as_py() for k in part_keys)
+
+        rkeys = {run_key(rp, int(s)): (int(s), int(e))
                  for s, e in zip(rb[:-1], rb[1:])}
-        ls = lp.column(left_start).to_numpy(zero_copy_only=False)
-        le = lp.column(left_end).to_numpy(zero_copy_only=False)
-        rs = rp.column(right_start).to_numpy(zero_copy_only=False)
-        re_ = rp.column(right_end).to_numpy(zero_copy_only=False)
+        ls = lp.column(ls_col).to_numpy(zero_copy_only=False)
+        le = lp.column(le_col).to_numpy(zero_copy_only=False)
+        rs = rp.column(rs_col).to_numpy(zero_copy_only=False)
+        re_ = rp.column(re_col).to_numpy(zero_copy_only=False)
+        if chunk is not None:
+            ols = lp.column(left_start).to_numpy(zero_copy_only=False)
+            ole = lp.column(left_end).to_numpy(zero_copy_only=False)
+            ors = rp.column(right_start).to_numpy(zero_copy_only=False)
+            ore = rp.column(right_end).to_numpy(zero_copy_only=False)
+            chs = lp.column("__chunk").to_numpy(zero_copy_only=False)
         li_all, ri_all = [], []
         for s, e in zip(lb[:-1], lb[1:]):
-            kv = lp.column(key)[int(s)].as_py()
+            kv = run_key(lp, int(s))
             if kv not in rkeys:
                 continue
             rs0, re0 = rkeys[kv]
@@ -715,18 +777,27 @@ def interval_overlap_join(left, right, *, key: str,
             li = np.repeat(np.arange(e - s), counts)
             offs = np.cumsum(counts) - counts
             ri = np.repeat(lo, counts) + (np.arange(total) - np.repeat(offs, counts))
-            keep = seg_re[ri] > seg_ls[li]
+            if chunk is None:
+                keep = seg_re[ri] > seg_ls[li]
+            else:
+                gl, gr = li + s, ri + rs0
+                t0 = np.maximum(ols[gl], ors[gr])
+                keep = (
+                    (ore[gr] > ols[gl]) & (ors[gr] < ole[gl])
+                    & (t0 >= chs[gl] * chunk)  # count the pair once
+                )
             li_all.append(li[keep] + s)
             ri_all.append(ri[keep] + rs0)
         if not li_all:
             return _empty_out(lp, rp)
         li = np.concatenate(li_all)
         ri = np.concatenate(ri_all)
-        out = lp.take(pa.array(li, pa.int64()))
-        rtk = rp.drop_columns([key]).take(pa.array(ri, pa.int64()))
+        out = _strip(lp, helper_cols).take(pa.array(li, pa.int64()))
+        rtk = _strip(rp, helper_cols).drop_columns([key]).take(
+            pa.array(ri, pa.int64()))
         for c in rtk.column_names:
             out = out.append_column(c, rtk.column(c))
-        return out
+        return post(out) if post is not None else out
 
     return hash_exchange_pair(
         lt, rt,

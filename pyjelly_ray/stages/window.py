@@ -233,6 +233,24 @@ def grouped_running(ds, *, key: str, order_col: str, value_col: str,
                     c = np.cumsum(vals[s:e] - drift)
                     col_np[s:e] = c - np.minimum(np.minimum.accumulate(c), 0.0)
                 col = pa.array(col_np, pa.float64())
+            elif isinstance(kind, tuple) and kind[0] in ("rolling_min",
+                                                         "rolling_max"):
+                # trailing ROWS-frame min/max: strided view + one reduce
+                # per run (same shape as rolling_median); ≤ w−1 ramp rows
+                w = int(kind[1])
+                fn = np.min if kind[0] == "rolling_min" else np.max
+                acc = (np.minimum.accumulate if kind[0] == "rolling_min"
+                       else np.maximum.accumulate)
+                col_np = np.empty(t.num_rows, np.float64)
+                for s, e in zip(bounds[:-1], bounds[1:]):
+                    x = vals[s:e]
+                    ramp = min(w - 1, e - s)
+                    if ramp:
+                        col_np[s:s + ramp] = acc(x[:ramp])
+                    if e - s >= w:
+                        sw = np.lib.stride_tricks.sliding_window_view(x, w)
+                        col_np[s + w - 1: e] = fn(sw, axis=1)
+                col = pa.array(col_np, pa.float64())
             elif isinstance(kind, tuple) and kind[0] == "rolling_median":
                 # exact trailing ROWS-frame median (order-statistic window,
                 # = SQL median(v) OVER (... ROWS BETWEEN w-1 PRECEDING AND

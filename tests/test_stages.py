@@ -3004,3 +3004,107 @@ def test_roc_auc_bruteforce(ray_session):
     t1 = pa.table({"s": pa.array([1.0, 2.0]), "y": pa.array([1, 1])})
     out1 = roc_auc(ray.data.from_arrow(t1), "s", "y").take_all()
     assert out1[0]["auc"] is None
+
+
+def test_rolling_extrema_match_pandas(ray_session):
+    """rolling_min/rolling_max kinds == pandas rolling(min_periods=1)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from pyjelly_ray.stages.window import grouped_running
+
+    rng = np.random.default_rng(47)
+    ks, iis, vs = [], [], []
+    for k in range(6):
+        n = int(rng.integers(1, 50))
+        ks += [k] * n
+        iis += list(range(n))
+        vs += list(rng.normal(0, 5, n))
+    t = pa.table({"k": pa.array(ks, pa.int64()),
+                  "i": pa.array(iis, pa.int64()),
+                  "v": pa.array(vs, pa.float64())})
+    out = grouped_running(
+        ray.data.from_arrow(t).repartition(4),
+        key="k", order_col="i", value_col="v",
+        kinds=[("mn", ("rolling_min", 5)), ("mx", ("rolling_max", 5))],
+    ).take_all()
+    got = {(r["k"], r["i"]): (r["mn"], r["mx"]) for r in out}
+    df = pd.DataFrame({"k": ks, "i": iis, "v": vs}).sort_values(["k", "i"])
+    wn = df.groupby("k")["v"].transform(lambda s: s.rolling(5, min_periods=1).min())
+    wx = df.groupby("k")["v"].transform(lambda s: s.rolling(5, min_periods=1).max())
+    for k, i, emn, emx in zip(df["k"], df["i"], wn, wx):
+        assert got[(k, i)] == (emn, emx), (k, i)
+
+
+def test_chi_square_bruteforce(ray_session):
+    """chi_square_independence == brute full-grid formula, including a
+    zero-observed cell; df = (|x|−1)(|y|−1)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from pyjelly_ray.stages.agg import chi_square_independence
+
+    rng = np.random.default_rng(53)
+    n = 2000
+    x = rng.choice(["a", "b", "c"], n, p=[0.5, 0.3, 0.2])
+    y = np.where(x == "a", rng.choice(["u", "v"], n),
+                 rng.choice(["v", "w"], n))  # cell (a,w) and others empty
+    t = pa.table({"x": pa.array(x), "y": pa.array(y)})
+    out = chi_square_independence(
+        ray.data.from_arrow(t).repartition(4), "x", "y"
+    ).take_all()
+    import collections
+    jc = collections.Counter(zip(x, y))
+    xs, ys = sorted(set(x)), sorted(set(y))
+    chi2 = 0.0
+    xc, yc = collections.Counter(x), collections.Counter(y)
+    for a in xs:
+        for b in ys:
+            e = xc[a] * yc[b] / n
+            chi2 += (jc.get((a, b), 0) - e) ** 2 / e
+    assert abs(out[0]["chi2"] - chi2) < 1e-5
+    assert out[0]["df"] == (len(xs) - 1) * (len(ys) - 1)
+
+
+def test_interval_overlap_join_chunked_equivalence(ray_session):
+    """chunk= mode == unchunked pairs exactly-once, including pairs whose
+    overlap spans several chunks and giant intervals covering many."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from pyjelly_ray.stages.joins import interval_overlap_join
+
+    rng = np.random.default_rng(59)
+
+    def mk(n, id0):
+        ks = rng.choice(["k1", "k2"], n)
+        s = rng.integers(0, 500, n)
+        ln = rng.integers(-5, 300, n)  # up to 3 chunks long at chunk=100
+        return [(str(k), int(i), int(a), int(a + b))
+                for i, (k, a, b) in enumerate(zip(ks, s, ln), id0)]
+
+    L, R = mk(100, 0), mk(120, 1000)
+    mk_tbl = lambda rows, p: pa.table({
+        "key": [r[0] for r in rows], p + "id": [r[1] for r in rows],
+        p + "s": pa.array([r[2] for r in rows], pa.int64()),
+        p + "e": pa.array([r[3] for r in rows], pa.int64())})
+    lt, rt = mk_tbl(L, "l"), mk_tbl(R, "r")
+    kwargs = dict(key="key", left_start="ls", left_end="le",
+                  right_start="rs", right_end="re")
+    plain = interval_overlap_join(
+        ray.data.from_arrow(lt).repartition(3),
+        ray.data.from_arrow(rt).repartition(4), **kwargs).take_all()
+    chunked = interval_overlap_join(
+        ray.data.from_arrow(lt).repartition(3),
+        ray.data.from_arrow(rt).repartition(4), chunk=100, **kwargs).take_all()
+    p1 = sorted((r["lid"], r["rid"]) for r in plain)
+    p2 = sorted((r["lid"], r["rid"]) for r in chunked)
+    assert p1 == p2
+    assert len(p2) == len(set(p2))  # exactly-once
+    exp = sorted((l[1], r[1]) for l in L for r in R
+                 if l[0] == r[0] and l[2] < r[3] and r[2] < l[3])
+    assert p2 == exp
