@@ -6763,3 +6763,66 @@ ORACLE_SQL["q_event_type_dow_chi2"] = """
     FROM cells CROSS JOIN t
     GROUP BY ALL
 """
+
+
+def q_global_price_quantiles_exact(sf_dir: str):
+    """EXACT global price quantiles by distributed SELECTION, not a sort:
+    sample pivot ladder → one broadcast count pass → collect only the
+    target intervals (expected n/(samples·blocks) rows) — the 100 TB
+    path for global order statistics; t-digest remains the one-pass
+    approximate swap."""
+    from ..stages.sort import global_exact_quantiles
+
+    li = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    vals = global_exact_quantiles(
+        li, "l_extendedprice", [("p50", 0.5), ("p95", 0.95)], round_to=2,
+    )
+    return pa.table({"p50": pa.array([vals["p50"]], pa.float64()),
+                     "p95": pa.array([vals["p95"]], pa.float64())})
+
+
+QUERIES["q_global_price_quantiles_exact"] = q_global_price_quantiles_exact
+ORACLE_SQL["q_global_price_quantiles_exact"] = """
+    SELECT round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+           round(quantile_cont(l_extendedprice, 0.95), 2) AS p95
+    FROM lineitem
+"""
+
+
+def q_purchase_auc_by_dow(sf_dir: str):
+    """Per-weekday ROC-AUC of value as a purchase classifier — the
+    sliced model-eval report (find the segment where the model breaks);
+    groups co-located once, tie-averaged ranks vectorized in-group."""
+    from ..stages.agg import grouped_roc_auc
+
+    ev = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        dow = pc.add(pc.day_of_week(b.column("ts")), pa.scalar(1, pa.int64()))
+        return pa.table({
+            "dow": pc.cast(dow, pa.int64()),
+            "value": b.column("value"),
+            "y": pc.cast(pc.equal(b.column("event_type"),
+                                  pa.scalar("purchase")), pa.int64()),
+        })
+
+    return grouped_roc_auc(ev.map_batches(prep, batch_format="pyarrow"),
+                           "dow", "value", "y")
+
+
+QUERIES["q_purchase_auc_by_dow"] = q_purchase_auc_by_dow
+ORACLE_SQL["q_purchase_auc_by_dow"] = """
+    WITH r AS (
+      SELECT CAST(isodow(ts) AS BIGINT) AS dow,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+             rank() OVER (PARTITION BY isodow(ts) ORDER BY value)
+                 + (count(*) OVER (PARTITION BY isodow(ts), value) - 1)
+                   / 2.0 AS fr
+      FROM events
+    )
+    SELECT dow,
+           round((sum(CASE WHEN y = 1 THEN fr END)
+                  - sum(y) * (sum(y) + 1) / 2.0)
+                 / (sum(y) * (count(*) - sum(y))), 6) AS auc
+    FROM r GROUP BY dow
+"""

@@ -1757,3 +1757,84 @@ def chi_square_independence(ds, x_col: str, y_col: str, *, round_to: int = 6):
                       "__g", finalize, per_group=False)
     return out.map_batches(lambda b: b.select(["chi2", "df"]),
                            batch_format="pyarrow")
+
+
+def grouped_roc_auc(ds, keys: list[str] | str, score_col: str,
+                    label_col: str, *, out_name: str = "auc",
+                    round_to: int = 6):
+    """Per-group ROC-AUC (tie-corrected Mann–Whitney), groups co-located
+    like :func:`grouped_quantiles`: one hash exchange, then a vectorized
+    in-group kernel — sort by score, peer-run average ranks, the rank-sum
+    identity.  Single-class groups report NULL.  For GLOBAL AUC over a
+    huge table use :func:`roc_auc` (fractional ranks without
+    co-locating raw rows).
+    """
+    import numpy as np
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    num_partitions = default_partitions(small=True)
+
+    def project_with_bucket(b: pa.Table) -> pa.Table:
+        out = b.select(keys + [score_col, label_col]).drop_null()
+        return out.append_column(
+            "__bucket", pa.array(bucket_codes(out, keys, num_partitions))
+        )
+
+    def round_half_away(x: float, nd: int) -> float:
+        s = 10.0 ** nd
+        return float(np.copysign(np.floor(abs(x) * s + 0.5), x) / s)
+
+    def reduce_part(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        if "__bucket" in t.column_names:
+            t = t.drop_columns(["__bucket"])
+        if t.num_rows == 0:
+            return pa.table(
+                {**{k: pa.array([], t.schema.field(k).type) for k in keys},
+                 out_name: pa.array([], pa.float64())}
+            )
+        t = t.sort_by([(k, "ascending") for k in keys]
+                      + [(score_col, "ascending")])
+        bounds = _key_run_bounds(t, keys)
+        s = t.column(score_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        y = t.column(label_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        out: dict[str, list] = {k: [] for k in keys}
+        out[out_name] = []
+        for i in range(len(bounds) - 1):
+            a, b = int(bounds[i]), int(bounds[i + 1])
+            sv, yv = s[a:b], y[a:b]
+            m = b - a
+            # peer runs on equal score → tie-averaged 1-based ranks
+            starts = np.ones(m, bool)
+            starts[1:] = sv[1:] != sv[:-1]
+            ps = np.flatnonzero(starts)
+            plen = np.diff(np.append(ps, m))
+            fr = np.repeat(ps + (plen - 1) / 2.0, plen) + 1.0
+            n_pos = yv.sum()
+            n_neg = m - n_pos
+            if n_pos == 0 or n_neg == 0:
+                auc = None
+            else:
+                auc = round_half_away(
+                    (float((fr * yv).sum()) - n_pos * (n_pos + 1) / 2.0)
+                    / (n_pos * n_neg), round_to)
+            for k in keys:
+                out[k].append(t.column(k)[a].as_py())
+            out[out_name].append(auc)
+        return pa.table(
+            {**{k: pa.array(out[k], t.schema.field(k).type) for k in keys},
+             out_name: pa.array(out[out_name], pa.float64())}
+        )
+
+    from ..state.exchange import hash_exchange
+
+    projected = ds.map_batches(project_with_bucket, batch_format="pyarrow",
+                               batch_size=None)
+    return hash_exchange(
+        projected,
+        bucket_col="__bucket",
+        n_partitions=num_partitions,
+        reduce_fn=reduce_part,
+        reduce_empty=True,
+    )

@@ -213,3 +213,128 @@ def global_prefix_sums(sorted_ds, col: str, *, out_name: str = "prefix",
 
     tagged = [tag.remote(r, float(o)) for r, o in zip(refs, offsets)]
     return ray.data.from_arrow_refs(tagged)
+
+
+def global_exact_quantiles(ds, col: str,
+                           quantiles: list[tuple[str, float]], *,
+                           round_to: int = 2,
+                           samples_per_block: int = 64,
+                           collect_cap: int = 5_000_000):
+    """EXACT global quantiles (SQL ``quantile_cont``) WITHOUT a global
+    sort — distributed selection in three bounded passes:
+
+    1. SAMPLE: each block contributes its ``samples_per_block`` local
+       quantile values (deterministic, blocks locally sorted) → a driver
+       pivot ladder of ~samples·blocks values;
+    2. COUNT: one pass of per-block vectorized ``searchsorted`` against
+       the broadcast ladder, summed on the driver → the global rank of
+       every pivot → the pivot interval containing each target order
+       statistic;
+    3. COLLECT: one filter pass pulls only the values inside the needed
+       intervals (expected n/(samples·blocks) rows each, plus exact
+       interval-boundary bookkeeping) and the driver finishes the k-th /
+       k+1-th selection + interpolation locally.
+
+    At 100 TB this moves samples + counts + a sliver of the data instead
+    of shuffling everything (``range_sort`` + take would).  NULLs are
+    ignored (SQL semantics).  Heavily duplicated values make intervals
+    collapse onto the duplicate, which short-circuits exactly; a
+    pathological interval wider than ``collect_cap`` raises rather than
+    OOMing the driver.  Returns ``{name: value}``.
+    """
+    import ray
+
+    refs = ds.to_arrow_refs()
+
+    @ray.remote
+    def sample_block(t: pa.Table):
+        if t.num_rows == 0 or col not in t.column_names:
+            return np.array([], np.float64), 0
+        arr = t.column(col)
+        if arr.null_count:
+            arr = arr.drop_null()
+        v = np.sort(arr.to_numpy(zero_copy_only=False).astype(np.float64))
+        if len(v) == 0:
+            return np.array([], np.float64), 0
+        idx = np.linspace(0, len(v) - 1, min(samples_per_block, len(v)))
+        return v[idx.astype(np.int64)], len(v)
+
+    sampled = ray.get([sample_block.remote(r) for r in refs])
+    pivots = np.unique(np.concatenate([s for s, _ in sampled])
+                       if sampled else np.array([], np.float64))
+    n = int(sum(c for _, c in sampled))
+    if n == 0:
+        return {name: None for name, _ in quantiles}
+    piv_ref = ray.put(pivots)
+
+    @ray.remote
+    def count_below(t: pa.Table):
+        # counts of values <= pivot_i, vectorized
+        if t.num_rows == 0 or col not in t.column_names:
+            return np.zeros(len(pivots), np.int64)
+        arr = t.column(col)
+        if arr.null_count:
+            arr = arr.drop_null()
+        v = np.sort(arr.to_numpy(zero_copy_only=False).astype(np.float64))
+        return np.searchsorted(v, ray.get(piv_ref), side="right").astype(np.int64)
+
+    cum = np.sum(ray.get([count_below.remote(r) for r in refs]), axis=0)
+
+    # ranks (0-based) of the order statistics every quantile needs
+    need_ranks: set = set()
+    for _, q in quantiles:
+        pos = q * (n - 1)
+        need_ranks.add(int(np.floor(pos)))
+        need_ranks.add(int(np.ceil(pos)))
+    # half-open value intervals (lo, hi] per needed rank, from the ladder
+    intervals = {}
+    for k in need_ranks:
+        j = int(np.searchsorted(cum, k + 1, side="left"))  # first cum >= k+1
+        hi = pivots[j] if j < len(pivots) else np.inf
+        lo = pivots[j - 1] if j > 0 else -np.inf
+        below = int(cum[j - 1]) if j > 0 else 0
+        intervals[k] = (lo, hi, below)
+
+    los = np.array([v[0] for v in intervals.values()])
+    his = np.array([v[1] for v in intervals.values()])
+    lo_ref, hi_ref = ray.put(los), ray.put(his)
+
+    @ray.remote
+    def collect(t: pa.Table):
+        if t.num_rows == 0 or col not in t.column_names:
+            return np.array([], np.float64)
+        arr = t.column(col)
+        if arr.null_count:
+            arr = arr.drop_null()
+        v = arr.to_numpy(zero_copy_only=False).astype(np.float64)
+        l, h = ray.get(lo_ref), ray.get(hi_ref)
+        m = ((v[:, None] > l[None, :]) & (v[:, None] <= h[None, :])).any(axis=1)
+        return v[m]
+
+    pulled = np.concatenate(ray.get([collect.remote(r) for r in refs]))
+    if len(pulled) > collect_cap:
+        raise ValueError(
+            f"selection interval holds {len(pulled)} rows (> cap"
+            f" {collect_cap}); raise samples_per_block")
+    pulled.sort()
+
+    def order_stat(k: int) -> float:
+        lo, hi, below = intervals[k]
+        seg = pulled[(pulled > lo) & (pulled <= hi)]
+        return float(seg[k - below])
+
+    def round_half_away(x: float, nd: int) -> float:
+        s = 10.0 ** nd
+        return float(np.copysign(np.floor(abs(x) * s + 0.5), x) / s)
+
+    out = {}
+    for name, q in quantiles:
+        pos = q * (n - 1)
+        f, c = int(np.floor(pos)), int(np.ceil(pos))
+        if f == c:
+            val = order_stat(f)
+        else:
+            vf, vc = order_stat(f), order_stat(c)
+            val = vf * (c - pos) + vc * (pos - f)
+        out[name] = round_half_away(val, round_to)
+    return out

@@ -3108,3 +3108,65 @@ def test_interval_overlap_join_chunked_equivalence(ray_session):
     exp = sorted((l[1], r[1]) for l in L for r in R
                  if l[0] == r[0] and l[2] < r[3] and r[2] < l[3])
     assert p2 == exp
+
+
+def test_global_exact_quantiles_vs_numpy(ray_session):
+    """Distributed selection == the DuckDB-form interpolation on the full
+    sorted array, including heavy duplicates and odd/even n."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from pyjelly_ray.stages.sort import global_exact_quantiles
+
+    rng = np.random.default_rng(61)
+    v = np.concatenate([rng.normal(100, 30, 5001),
+                        np.full(1200, 77.5),      # heavy duplicate run
+                        rng.uniform(-50, 400, 800)])
+    t = pa.table({"x": pa.array(v, pa.float64())})
+    got = global_exact_quantiles(
+        ray.data.from_arrow(t).repartition(9), "x",
+        [("q01", 0.01), ("q50", 0.5), ("q77", 0.77), ("q99", 0.99)],
+        round_to=6, samples_per_block=16,
+    )
+    s = np.sort(v)
+
+    def qcont(q):
+        pos = q * (len(s) - 1)
+        f, c = int(np.floor(pos)), int(np.ceil(pos))
+        return float(s[f]) if f == c else float(s[f] * (c - pos) + s[c] * (pos - f))
+
+    for name, q in [("q01", 0.01), ("q50", 0.5), ("q77", 0.77), ("q99", 0.99)]:
+        assert abs(got[name] - qcont(q)) < 1e-6, name
+
+
+def test_grouped_roc_auc_bruteforce(ray_session):
+    """grouped_roc_auc == brute per-group pairwise probability; single-
+    class group reports NULL."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from pyjelly_ray.stages.agg import grouped_roc_auc
+
+    rng = np.random.default_rng(67)
+    ks, ys, ss = [], [], []
+    for k in ("a", "b", "c"):
+        n = int(rng.integers(40, 120))
+        y = (rng.random(n) < 0.4).astype(np.int64)
+        s = rng.integers(0, 15, n).astype(float) + y * rng.integers(0, 6, n)
+        ks += [k] * n; ys += list(y); ss += list(s)
+    ks += ["onlypos"] * 3; ys += [1, 1, 1]; ss += [1.0, 2.0, 3.0]
+    t = pa.table({"k": pa.array(ks), "s": pa.array(ss, pa.float64()),
+                  "y": pa.array(ys, pa.int64())})
+    out = grouped_roc_auc(
+        ray.data.from_arrow(t).repartition(5), "k", "s", "y"
+    ).take_all()
+    got = {r["k"]: r["auc"] for r in out}
+    assert got["onlypos"] is None
+    for k in ("a", "b", "c"):
+        pos = np.array([s for kk, s, y in zip(ks, ss, ys) if kk == k and y == 1])
+        neg = np.array([s for kk, s, y in zip(ks, ss, ys) if kk == k and y == 0])
+        exp = ((pos[:, None] > neg[None, :]).sum()
+               + 0.5 * (pos[:, None] == neg[None, :]).sum()) / (len(pos) * len(neg))
+        assert abs(got[k] - exp) < 1e-6, k
