@@ -6826,3 +6826,19 @@ ORACLE_SQL["q_purchase_auc_by_dow"] = """
                  / (sum(y) * (count(*) - sum(y))), 6) AS auc
     FROM r GROUP BY dow
 """
+
+
+def q_doc_packing(sf_dir: str):
+    """Greedy sequence packing of documents into 4096-char training packs
+    (first-fit-decreasing per hash partition, globally unique pack ids) —
+    the assemble-LM-batches operator.  Rows-only: bin packing has no SQL
+    equivalent; invariants (capacity, exactly-once, determinism) are
+    pinned by `test_pack_sequences_invariants`."""
+    from ..stages.sample import pack_sequences
+
+    docs = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    return pack_sequences(docs, id_col="doc_id", len_col="n_chars",
+                          max_len=4096)
+
+
+QUERIES["q_doc_packing"] = q_doc_packing

@@ -174,3 +174,88 @@ def sql_weighted_sample_predicate(id_expr: str, weight_expr: str,
         f"printf('%08x', CAST(floor({weight_expr} / {max_weight!r} "
         f"* 4294967296.0) AS BIGINT)))"
     )
+
+
+def pack_sequences(ds, *, id_col: str, len_col: str, max_len: int,
+                   num_partitions: int | None = None,
+                   pack_col: str = "pack_id", pos_col: str = "pack_pos"):
+    """Greedy sequence packing: assign documents to fixed-capacity packs
+    (Σ len ≤ ``max_len``) — the assemble-training-batches operator that
+    turns ragged documents into dense LM training sequences.
+
+    Packing is PARTITION-LOCAL first-fit-decreasing: one hash exchange by
+    ``id_col`` (deterministic layout), per partition a (len desc, id)
+    sort and a vectorized-bookkeeping FFD fold; pack ids are globally
+    unique as ``partition · 2³² + local``.  FFD wastes ≤ ~22% vs optimal
+    in the worst case and far less in practice; cross-partition packing
+    would serialize the fold for marginal density.  Documents LONGER than
+    ``max_len`` get a singleton pack (the caller chunks upstream).
+    Output: ``id_col, len, pack_id, pack_pos`` (position within pack).
+    """
+    import numpy as np
+
+    from ..state.exchange import default_partitions, hash_exchange
+    from .agg import bucket_codes
+
+    num_partitions = num_partitions or default_partitions()
+
+    def project(b: pa.Table) -> pa.Table:
+        out = b.select([id_col, len_col])
+        return out.append_column(
+            "__bucket", pa.array(bucket_codes(out, [id_col], num_partitions))
+        )
+
+    def reduce_part(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        has_bucket = "__bucket" in t.column_names
+        part = int(t.column("__bucket")[0].as_py()) if (has_bucket and t.num_rows) else 0
+        if has_bucket:
+            t = t.drop_columns(["__bucket"])
+        if t.num_rows == 0:
+            return pa.table({
+                id_col: pa.array([], t.schema.field(id_col).type),
+                len_col: pa.array([], t.schema.field(len_col).type),
+                pack_col: pa.array([], pa.int64()),
+                pos_col: pa.array([], pa.int64()),
+            })
+        t = t.sort_by([(len_col, "descending"), (id_col, "ascending")])
+        lens = t.column(len_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(lens)
+        pack_of = np.empty(n, np.int64)
+        pos_of = np.empty(n, np.int64)
+        free: list[int] = []     # remaining capacity per open pack
+        counts: list[int] = []   # items per pack
+        for i in range(n):
+            ln = int(lens[i])
+            placed = -1
+            if ln <= max_len:
+                # first fit over open packs (bounded: packs ~ n·len/max_len)
+                for p, cap in enumerate(free):
+                    if cap >= ln:
+                        placed = p
+                        break
+            if placed < 0:
+                free.append(max_len)
+                counts.append(0)
+                placed = len(free) - 1
+            pack_of[i] = placed
+            pos_of[i] = counts[placed]
+            counts[placed] += 1
+            free[placed] -= ln
+        return pa.table({
+            id_col: t.column(id_col),
+            len_col: t.column(len_col),
+            pack_col: pa.array(part * (1 << 32) + pack_of, pa.int64()),
+            pos_col: pa.array(pos_of, pa.int64()),
+        })
+
+    projected = ds.map_batches(project, batch_format="pyarrow",
+                               batch_size=None)
+    return hash_exchange(
+        projected,
+        bucket_col="__bucket",
+        n_partitions=num_partitions,
+        reduce_fn=reduce_part,
+        reduce_empty=True,
+    )

@@ -3170,3 +3170,58 @@ def test_grouped_roc_auc_bruteforce(ray_session):
         exp = ((pos[:, None] > neg[None, :]).sum()
                + 0.5 * (pos[:, None] == neg[None, :]).sum()) / (len(pos) * len(neg))
         assert abs(got[k] - exp) < 1e-6, k
+
+
+def test_pack_sequences_invariants(ray_session):
+    """Packing invariants: every doc exactly once; per-pack capacity
+    respected (oversized docs isolated in singleton packs); positions
+    dense per pack; deterministic across runs."""
+    import collections
+
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from pyjelly_ray.stages.sample import pack_sequences
+
+    rng = np.random.default_rng(71)
+    n = 500
+    lens = rng.integers(10, 900, n)
+    lens[::97] = 5000  # oversized
+    t = pa.table({"doc_id": pa.array(np.arange(n), pa.int64()),
+                  "n": pa.array(lens, pa.int64())})
+    MAX = 1024
+    runs = []
+    for _ in range(2):
+        out = pack_sequences(
+            ray.data.from_arrow(t).repartition(6), id_col="doc_id",
+            len_col="n", max_len=MAX, num_partitions=4,
+        ).take_all()
+        runs.append(sorted((r["doc_id"], r["pack_id"], r["pack_pos"])
+                           for r in out))
+    assert runs[0] == runs[1]            # deterministic
+    out = runs[0]
+    assert len(out) == n
+    assert len({d for d, _, _ in out}) == n   # exactly once
+    by_pack = collections.defaultdict(list)
+    ln = {int(d): int(l) for d, l in zip(np.arange(n), lens)}
+    for d, p, pos in out:
+        by_pack[p].append((pos, d))
+    for p, rows in by_pack.items():
+        rows.sort()
+        assert [pos for pos, _ in rows] == list(range(len(rows)))  # dense
+        tot = sum(ln[d] for _, d in rows)
+        if len(rows) > 1:
+            assert tot <= MAX, p
+        else:
+            d = rows[0][1]
+            assert ln[d] <= MAX or len(rows) == 1  # oversized isolated
+    # oversized docs are alone in their packs
+    for d, p, _ in out:
+        if ln[d] > MAX:
+            assert len(by_pack[p]) == 1
+    # packing efficiency sanity: no more than 2x the lower bound of packs
+    normal_total = sum(l for l in lens if l <= MAX)
+    n_over = int((lens > MAX).sum())
+    lower = -(-normal_total // MAX) + n_over
+    assert len(by_pack) <= 2 * lower + 4
