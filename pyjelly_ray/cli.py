@@ -70,6 +70,21 @@ def main(argv=None) -> int:
                     help='JSON list of rules, e.g. \'[{"rule":"k_uniq",'
                          '"column":"o_orderkey","kind":"unique"}]\'')
 
+    mo = sub.add_parser("monitor",
+                        help="feature-drift (PSI) + CUSUM alarm report")
+    mo.add_argument("--sf-dir", required=True)
+    mo.add_argument("--table", default="events")
+    mo.add_argument("--value-col", default="value")
+    mo.add_argument("--ts-col", default="ts")
+    mo.add_argument("--key-col", default="user_id",
+                    help="CUSUM series key")
+    mo.add_argument("--cutoff", required=True,
+                    help="ISO timestamp splitting reference vs current")
+    mo.add_argument("--psi-threshold", type=float, default=0.2)
+    mo.add_argument("--cusum-drift", type=float, default=None,
+                    help="CUSUM drift (target+allowance); off when unset")
+    mo.add_argument("--cusum-h", type=float, default=300.0)
+
     pr = sub.add_parser("pagerank", help="PageRank over the KG dependency graph")
     pr.add_argument("--corpus", required=True)
     pr.add_argument("--out", default=None, help="parquet output dir (else print top)")
@@ -113,6 +128,72 @@ def main(argv=None) -> int:
         if own:
             ray.shutdown()
         return 0 if all(r["passed"] for r in rows) else 2
+
+    if args.cmd == "monitor":
+        import datetime as _dt
+
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
+        import ray
+
+        own = not ray.is_initialized()
+        if own:
+            ray.init(address="local", include_dashboard=False)
+        from .stages.validate import drift_psi_report
+
+        cutoff_dt = _dt.datetime.fromisoformat(args.cutoff)
+        if cutoff_dt.tzinfo is None:  # naive == corpus time == UTC
+            cutoff_dt = cutoff_dt.replace(tzinfo=_dt.timezone.utc)
+        cutoff_us = int(cutoff_dt.timestamp() * 1_000_000)
+        ds = ray.data.read_parquet(
+            f"{args.sf_dir}/{args.table}.parquet",
+            columns=[c for c in {args.value_col, args.ts_col, args.key_col}],
+        )
+        vcol, tcol = args.value_col, args.ts_col
+
+        def side(b: "_pa.Table") -> "_pa.Table":
+            s = _pc.cast(
+                _pc.greater_equal(
+                    _pc.cast(b.column(tcol), _pa.int64()),
+                    _pa.scalar(cutoff_us, _pa.int64()),
+                ),
+                _pa.int8(),
+            )
+            return _pa.table({vcol: b.column(vcol), "side": s})
+
+        bins = drift_psi_report(
+            ds.map_batches(side, batch_format="pyarrow"), vcol, "side"
+        ).take_all()
+        bins.sort(key=lambda r: r["bin"])
+        psi_total = sum(r["psi_term"] or 0.0 for r in bins)
+        report = {"table": args.table, "value_col": vcol,
+                  "cutoff": args.cutoff, "psi_total": round(psi_total, 6),
+                  "bins": bins}
+        breached = psi_total > args.psi_threshold
+        if args.cusum_drift is not None:
+            from .stages.window import grouped_running
+
+            ev = ray.data.read_parquet(
+                f"{args.sf_dir}/{args.table}.parquet",
+                columns=[args.key_col, tcol, vcol],
+            )
+            stat = grouped_running(
+                ev, key=args.key_col, order_col=tcol, value_col=vcol,
+                kinds=[("cusum", ("cusum", args.cusum_drift))], round_to=6,
+            )
+            alarms = stat.map_batches(
+                lambda b: b.filter(
+                    _pc.greater(b.column("cusum"),
+                                _pa.scalar(args.cusum_h))),
+                batch_format="pyarrow",
+            ).count()
+            report["cusum"] = {"drift": args.cusum_drift, "h": args.cusum_h,
+                               "n_alarms": int(alarms)}
+            breached = breached or alarms > 0
+        print(json.dumps(report))
+        if own:
+            ray.shutdown()
+        return 2 if breached else 0
 
     if args.cmd == "pagerank":
         import ray

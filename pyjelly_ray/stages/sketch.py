@@ -429,3 +429,99 @@ def bloom_semi(ds, bloom_ref, col: str):
             return b.filter(pa.array(self.bf.contains_hashes(_hash64(b.column(col)))))
 
     return ds.map_batches(_Member, batch_format="pyarrow", concurrency=(1, 8))
+
+
+def distinct_state(ds, keys: list[str] | str, col: str, *, p: int = 12):
+    """Persistable distinct-count state: one HLL register blob per key —
+    the sketch analogue of :func:`~pyjelly_ray.stages.agg.agg_state`.
+    Register-max is associative and commutative, so folding deltas into a
+    saved state is BIT-IDENTICAL to sketching the concatenated stream:
+    incremental COUNT(DISTINCT) maintenance without history rescans.
+    Persist with ``write_parquet`` (binary column); merge with
+    :func:`merge_distinct_state`; read counts with
+    :func:`finalize_distinct_state`.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {**{k: b.column(k) for k in keys},
+                 "_hll": pa.array([], pa.binary())}
+            )
+        h = _hash64(b.column(col))
+        out_keys, order, bounds = _group_partition(b, keys)
+        sketches = []
+        for gi in range(len(bounds) - 1):
+            hll = HyperLogLog(p)
+            hll.add_hashes(h[order[bounds[gi]:bounds[gi + 1]]])
+            sketches.append(hll.registers.tobytes())
+        out_keys["_hll"] = pa.array(sketches, pa.binary())
+        return pa.table(out_keys)
+
+    def fold(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table(
+                {**{k: pa.array([], group.schema.field(k).type) for k in keys},
+                 "_hll": pa.array([], pa.binary())}
+            )
+        regs = np.zeros(1 << p, np.uint8)
+        for s in group.column("_hll").to_pylist():
+            regs = np.maximum(regs, np.frombuffer(s, np.uint8))
+        out = {k: [group.column(k)[0].as_py()] for k in keys}
+        out["_hll"] = pa.array([regs.tobytes()], pa.binary())
+        return pa.table(out)
+
+    from .agg import grouped_map
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    return grouped_map(partials, keys, fold)
+
+
+def merge_distinct_state(states, keys: list[str] | str, *, p: int = 12):
+    """Fold several distinct states (saved + deltas) into one — register
+    max per key; new keys appear, existing keys union exactly."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    import ray
+
+    dss = []
+    for s in states:
+        dss.append(ray.data.from_arrow(s) if isinstance(s, pa.Table) else s)
+    ds = dss[0]
+    if len(dss) > 1:
+        ds = ds.union(*dss[1:])
+
+    def fold(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table(
+                {**{k: pa.array([], group.schema.field(k).type) for k in keys},
+                 "_hll": pa.array([], pa.binary())}
+            )
+        regs = np.zeros(1 << p, np.uint8)
+        for s in group.column("_hll").to_pylist():
+            regs = np.maximum(regs, np.frombuffer(s, np.uint8))
+        out = {k: [group.column(k)[0].as_py()] for k in keys}
+        out["_hll"] = pa.array([regs.tobytes()], pa.binary())
+        return pa.table(out)
+
+    from .agg import grouped_map
+
+    return grouped_map(ds, keys, fold)
+
+
+def finalize_distinct_state(state_ds, keys: list[str] | str, *, p: int = 12,
+                            out_name: str = "approx_distinct"):
+    """State → estimates (one row per key), no further shuffle."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+
+    def est(b: pa.Table) -> pa.Table:
+        vals = [
+            int(round(HyperLogLog(p, np.frombuffer(s, np.uint8)).estimate()))
+            for s in b.column("_hll").to_pylist()
+        ]
+        return pa.table(
+            {**{k: b.column(k) for k in keys},
+             out_name: pa.array(vals, pa.int64())}
+        )
+
+    return state_ds.map_batches(est, batch_format="pyarrow")

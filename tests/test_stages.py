@@ -3225,3 +3225,49 @@ def test_pack_sequences_invariants(ray_session):
     n_over = int((lens > MAX).sum())
     lower = -(-normal_total // MAX) + n_over
     assert len(by_pack) <= 2 * lower + 4
+
+
+def test_distinct_state_incremental_roundtrip(ray_session, tmp_path):
+    """HLL distinct state: fold(delta into saved state) is BIT-identical
+    to sketching the concatenated stream (register max associativity),
+    survives a parquet round-trip, and the estimate tracks exact."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from pyjelly_ray.stages.sketch import (
+        distinct_state, finalize_distinct_state, merge_distinct_state)
+
+    rng = np.random.default_rng(73)
+
+    def mk(n, lo, hi):
+        return pa.table({
+            "k": pa.array(rng.choice(["a", "b"], n)),
+            "v": pa.array(rng.integers(lo, hi, n).astype(np.int64)),
+        })
+
+    t1, t2 = mk(4000, 0, 2000), mk(3000, 1500, 4000)
+    s1 = distinct_state(ray.data.from_arrow(t1).repartition(4), "k", "v")
+    # persist + reload
+    path = str(tmp_path / "state.parquet")
+    pa_tabs = [t for t in ray.get(s1.to_arrow_refs()) if t.num_columns > 0]
+    pq.write_table(pa.concat_tables(pa_tabs), path)
+    s1_reloaded = ray.data.read_parquet(path)
+    s2 = distinct_state(ray.data.from_arrow(t2).repartition(3), "k", "v")
+    inc = merge_distinct_state([s1_reloaded, s2], "k")
+    both = distinct_state(
+        ray.data.from_arrow(pa.concat_tables([t1, t2])).repartition(5),
+        "k", "v")
+    inc_rows = {r["k"]: r["_hll"] for r in inc.take_all()}
+    both_rows = {r["k"]: r["_hll"] for r in both.take_all()}
+    assert inc_rows == both_rows  # bit-identical registers
+    est = {r["k"]: r["approx_distinct"]
+           for r in finalize_distinct_state(inc, "k").take_all()}
+    import collections
+    exact = collections.defaultdict(set)
+    for t in (t1, t2):
+        for k, v in zip(t.column("k").to_pylist(), t.column("v").to_pylist()):
+            exact[k].add(v)
+    for k in ("a", "b"):
+        assert abs(est[k] - len(exact[k])) / len(exact[k]) < 0.06, k
