@@ -6842,3 +6842,80 @@ def q_doc_packing(sf_dir: str):
 
 
 QUERIES["q_doc_packing"] = q_doc_packing
+
+
+def q_near_dup_split_leakage(sf_dir: str):
+    """Fuzzy train/test leakage: EXACT 3-gram-Jaccard ≥ 0.8 near-dup
+    pairs whose two docs landed in DIFFERENT splits — the stricter
+    cousin of exact-text split contamination (a paraphrased eval doc in
+    train evades the sha256 check but not this one).  The split is a
+    pure hash of doc_id, so both sides tag map-side with no extra join."""
+    from ..stages.agg import grouped_agg
+    from ..stages.sample import _hash_ints, split_thresholds
+    from ..stages.sim import ngram_jaccard_pairs
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(docs, threshold=0.8, n=3)
+
+    bounds = split_thresholds(_SPLITS)
+    names = [n for n, _ in bounds]
+    edges = [b for _, b in bounds[:-1]]
+
+    def tag(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        cols = {}
+        for side in ("doc_a", "doc_b"):
+            h = _hash_ints(b.column(side), "r1")
+            idx = np.searchsorted(np.array(edges, np.uint64), h, side="right")
+            cols["split_" + side[-1]] = pa.array(np.array(names)[idx])
+        t = pa.table({**cols, "doc_a": b.column("doc_a")})
+        return t.filter(pc.not_equal(t.column("split_a"),
+                                     t.column("split_b")))
+
+    tagged = pairs.map_batches(tag, batch_format="pyarrow")
+    return grouped_agg(tagged, ["split_a", "split_b"],
+                       [("n_pairs", "doc_a", "count")])
+
+
+QUERIES["q_near_dup_split_leakage"] = q_near_dup_split_leakage
+
+
+def _near_dup_leakage_sql() -> str:
+    from ..stages.sample import sql_split_case
+
+    case_a = sql_split_case("doc_a", _SPLITS, seed="r1")
+    case_b = sql_split_case("doc_b", _SPLITS, seed="r1")
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+        CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+             ELSE list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                 FOR i IN range(1, len(t)-1)])
+        END AS gs
+      FROM toks
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_intersect(a.gs, b.gs)) AS inter,
+             len(a.gs) AS sa, len(b.gs) AS sb
+      FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+    ),
+    jp AS (
+      SELECT doc_a, doc_b FROM pairs
+      WHERE CAST(inter AS DOUBLE) / (sa + sb - inter) >= 0.8
+    ),
+    tagged AS (
+      SELECT {case_a} AS split_a, {case_b} AS split_b FROM jp
+    )
+    SELECT split_a, split_b, count(*) AS n_pairs
+    FROM tagged
+    WHERE split_a <> split_b
+    GROUP BY split_a, split_b
+    """
+
+
+ORACLE_SQL["q_near_dup_split_leakage"] = _near_dup_leakage_sql()
