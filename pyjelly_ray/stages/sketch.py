@@ -525,3 +525,103 @@ def finalize_distinct_state(state_ds, keys: list[str] | str, *, p: int = 12,
         )
 
     return state_ds.map_batches(est, batch_format="pyarrow")
+
+
+def quantile_state(ds, keys: list[str] | str, col: str, *,
+                   compression: float = 200.0):
+    """Persistable quantile state: one t-digest blob per key — the
+    quantile analogue of :func:`distinct_state`.  Unlike HLL registers
+    the digest is approximate and merge-ORDER-dependent (the estimate is
+    stable within sketch error, not bit-identical), so tests pin the
+    estimates against exact quantiles, not bytes.  Persist with
+    ``write_parquet``; merge deltas with :func:`merge_quantile_state`;
+    read quantiles with :func:`finalize_quantile_state`."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {**{k: b.column(k) for k in keys},
+                 "_td": pa.array([], pa.binary())}
+            )
+        arr = b.column(col)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        vals = arr.to_numpy(zero_copy_only=False).astype(np.float64)
+        out_keys, order, bounds = _group_partition(b, keys)
+        sketches = [
+            TDigest.from_values(vals[order[bounds[i]:bounds[i + 1]]],
+                                compression).to_bytes()
+            for i in range(len(bounds) - 1)
+        ]
+        out_keys["_td"] = pa.array(sketches, pa.binary())
+        return pa.table(out_keys)
+
+    def fold(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table(
+                {**{k: pa.array([], group.schema.field(k).type) for k in keys},
+                 "_td": pa.array([], pa.binary())}
+            )
+        acc = TDigest(compression)
+        for s in group.column("_td").to_pylist():
+            acc = acc.merge(TDigest.from_bytes(s, compression))
+        out = {k: [group.column(k)[0].as_py()] for k in keys}
+        out["_td"] = pa.array([acc.to_bytes()], pa.binary())
+        return pa.table(out)
+
+    from .agg import grouped_map
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    return grouped_map(partials, keys, fold)
+
+
+def merge_quantile_state(states, keys: list[str] | str, *,
+                         compression: float = 200.0):
+    """Fold several quantile states (saved + deltas) into one per key."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    import ray
+
+    dss = [ray.data.from_arrow(s) if isinstance(s, pa.Table) else s
+           for s in states]
+    ds = dss[0]
+    if len(dss) > 1:
+        ds = ds.union(*dss[1:])
+
+    def fold(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table(
+                {**{k: pa.array([], group.schema.field(k).type) for k in keys},
+                 "_td": pa.array([], pa.binary())}
+            )
+        acc = TDigest(compression)
+        for s in group.column("_td").to_pylist():
+            acc = acc.merge(TDigest.from_bytes(s, compression))
+        out = {k: [group.column(k)[0].as_py()] for k in keys}
+        out["_td"] = pa.array([acc.to_bytes()], pa.binary())
+        return pa.table(out)
+
+    from .agg import grouped_map
+
+    return grouped_map(ds, keys, fold)
+
+
+def finalize_quantile_state(state_ds, keys: list[str] | str,
+                            quantiles: list[tuple[str, float]], *,
+                            compression: float = 200.0, round_to: int = 6):
+    """State → quantile estimates (one row per key), no further shuffle."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+
+    def est(b: pa.Table) -> pa.Table:
+        cols: dict[str, list] = {name: [] for name, _ in quantiles}
+        for s in b.column("_td").to_pylist():
+            d = TDigest.from_bytes(s, compression)
+            for name, q in quantiles:
+                cols[name].append(round(d.quantile(q), round_to))
+        return pa.table(
+            {**{k: b.column(k) for k in keys},
+             **{name: pa.array(cols[name], pa.float64())
+                for name, _ in quantiles}}
+        )
+
+    return state_ds.map_batches(est, batch_format="pyarrow")

@@ -3271,3 +3271,44 @@ def test_distinct_state_incremental_roundtrip(ray_session, tmp_path):
             exact[k].add(v)
     for k in ("a", "b"):
         assert abs(est[k] - len(exact[k])) / len(exact[k]) < 0.06, k
+
+
+def test_quantile_state_incremental_roundtrip(ray_session, tmp_path):
+    """t-digest quantile state: delta folds through a parquet round-trip
+    track exact quantiles within sketch error (order-dependent merges,
+    so the pin is accuracy, not bytes)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from pyjelly_ray.stages.sketch import (
+        finalize_quantile_state, merge_quantile_state, quantile_state)
+
+    rng = np.random.default_rng(79)
+
+    def mk(n, mu):
+        return pa.table({
+            "k": pa.array(rng.choice(["a", "b"], n)),
+            "v": pa.array(rng.normal(mu, 10, n), pa.float64()),
+        })
+
+    t1, t2 = mk(6000, 50), mk(5000, 70)
+    s1 = quantile_state(ray.data.from_arrow(t1).repartition(4), "k", "v")
+    path = str(tmp_path / "qstate.parquet")
+    tabs = [t for t in ray.get(s1.to_arrow_refs()) if t.num_columns > 0]
+    pq.write_table(pa.concat_tables(tabs), path)
+    s2 = quantile_state(ray.data.from_arrow(t2).repartition(3), "k", "v")
+    inc = merge_quantile_state([ray.data.read_parquet(path), s2], "k")
+    qs = [("p10", 0.1), ("p50", 0.5), ("p90", 0.9)]
+    got = {r["k"]: r for r in finalize_quantile_state(inc, "k", qs).take_all()}
+    allv = {"a": [], "b": []}
+    for t in (t1, t2):
+        for k, v in zip(t.column("k").to_pylist(), t.column("v").to_pylist()):
+            allv[k].append(v)
+    for k in ("a", "b"):
+        s = np.sort(allv[k])
+        spread = s[-1] - s[0]
+        for name, q in qs:
+            exact = np.quantile(s, q)
+            assert abs(got[k][name] - exact) / spread < 0.02, (k, name)
