@@ -6919,3 +6919,32 @@ def _near_dup_leakage_sql() -> str:
 
 
 ORACLE_SQL["q_near_dup_split_leakage"] = _near_dup_leakage_sql()
+
+
+def q_events_value_smooth(sf_dir: str):
+    """Centered ±3-row moving-average smoothing of each user's value
+    stream (symmetric FOLLOWING frame, no phase lag — the plotting/
+    denoising window, unlike the trailing mean): interior rows one
+    strided-view mean per key run."""
+    from ..stages.window import grouped_running
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    out = grouped_running(
+        ev, key="user_id", order_col="ts", value_col="value",
+        kinds=[("v_smooth", ("centered_mean", 3))], tiebreak="event_id",
+        round_to=6,
+    )
+    return out.map_batches(
+        lambda b: b.select(["event_id", "user_id", "v_smooth"]),
+        batch_format="pyarrow",
+    )
+
+
+QUERIES["q_events_value_smooth"] = q_events_value_smooth
+ORACLE_SQL["q_events_value_smooth"] = """
+    SELECT event_id, user_id,
+           round(avg(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING), 6) AS v_smooth
+    FROM events
+"""

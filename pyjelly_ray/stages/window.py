@@ -233,6 +233,25 @@ def grouped_running(ds, *, key: str, order_col: str, value_col: str,
                     c = np.cumsum(vals[s:e] - drift)
                     col_np[s:e] = c - np.minimum(np.minimum.accumulate(c), 0.0)
                 col = pa.array(col_np, pa.float64())
+            elif isinstance(kind, tuple) and kind[0] == "centered_mean":
+                # symmetric smoother: SQL AVG(v) OVER (... ROWS BETWEEN w
+                # PRECEDING AND w FOLLOWING); per-run direct window means
+                # (cumsum-difference would drift ulps from SQL's
+                # left-to-right adds at the rounding boundary)
+                w = int(kind[1])
+                full = 2 * w + 1
+                col_np = np.empty(t.num_rows, np.float64)
+                for s, e in zip(bounds[:-1], bounds[1:]):
+                    x = vals[s:e]
+                    L = e - s
+                    if L >= full:
+                        sw = np.lib.stride_tricks.sliding_window_view(x, full)
+                        col_np[s + w: s + L - w] = sw.mean(axis=1)
+                    for i in range(min(w, L)):       # leading edge
+                        col_np[s + i] = x[: min(L, i + w + 1)].mean()
+                    for i in range(max(L - w, w, 0), L):  # trailing edge
+                        col_np[s + i] = x[max(0, i - w):].mean()
+                col = pa.array(col_np, pa.float64())
             elif isinstance(kind, tuple) and kind[0] in ("rolling_min",
                                                          "rolling_max"):
                 # trailing ROWS-frame min/max: strided view + one reduce

@@ -3312,3 +3312,41 @@ def test_quantile_state_incremental_roundtrip(ray_session, tmp_path):
         for name, q in qs:
             exact = np.quantile(s, q)
             assert abs(got[k][name] - exact) / spread < 0.02, (k, name)
+
+
+def test_centered_mean_bruteforce(ray_session):
+    """centered_mean kind == brute symmetric window slice means across
+    run lengths shorter and longer than the full window."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from pyjelly_ray.stages.window import grouped_running
+
+    rng = np.random.default_rng(83)
+    ks, iis, vs = [], [], []
+    for k in range(7):
+        n = int(rng.integers(1, 25))
+        ks += [k] * n
+        iis += list(range(n))
+        vs += list(rng.normal(3, 2, n))
+    t = pa.table({"k": pa.array(ks, pa.int64()),
+                  "i": pa.array(iis, pa.int64()),
+                  "v": pa.array(vs, pa.float64())})
+    for w in (1, 2, 3):
+        out = grouped_running(
+            ray.data.from_arrow(t).repartition(3),
+            key="k", order_col="i", value_col="v",
+            kinds=[("m", ("centered_mean", w))],
+        ).take_all()
+        got = {(r["k"], r["i"]): r["m"] for r in out}
+        import collections
+        series = collections.defaultdict(list)
+        for k, i, v in zip(ks, iis, vs):
+            series[k].append((i, v))
+        for k, rows in series.items():
+            rows.sort()
+            x = np.array([v for _, v in rows])
+            for i in range(len(x)):
+                exp = x[max(0, i - w): i + w + 1].mean()
+                assert abs(got[(k, i)] - exp) < 1e-12, (k, i, w)
