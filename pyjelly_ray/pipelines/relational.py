@@ -6948,3 +6948,59 @@ ORACLE_SQL["q_events_value_smooth"] = """
                ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING), 6) AS v_smooth
     FROM events
 """
+
+
+def q_user_golden_record(sf_dir: str):
+    """Golden user profile by survivorship: per user, the latest non-null
+    value of each field across the event stream (latest purchase amount,
+    latest click amount, latest event type) — keep-latest would drop an
+    older purchase when the newest event is a click; survivorship keeps
+    both fields fresh."""
+    from ..stages.dedup import survivorship_merge
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts",
+                                  "event_type", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        v = b.column("value")
+        et = b.column("event_type")
+        null = pa.scalar(None, pa.float64())
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "ts": b.column("ts"),
+            "event_id": b.column("event_id"),
+            "last_purchase_value": pc.if_else(
+                pc.equal(et, pa.scalar("purchase")), v, null),
+            "last_click_value": pc.if_else(
+                pc.equal(et, pa.scalar("click")), v, null),
+            "last_event_type": et,
+        })
+
+    return survivorship_merge(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        group_col="user_id", order_col="ts", tiebreak="event_id",
+        cols=["last_purchase_value", "last_click_value", "last_event_type"],
+    )
+
+
+QUERIES["q_user_golden_record"] = q_user_golden_record
+ORACLE_SQL["q_user_golden_record"] = """
+    SELECT user_id, last_purchase_value, last_click_value, last_event_type,
+           n_merged
+    FROM (
+      SELECT user_id,
+             last_value(CASE WHEN event_type = 'purchase' THEN value END
+                        IGNORE NULLS) OVER w AS last_purchase_value,
+             last_value(CASE WHEN event_type = 'click' THEN value END
+                        IGNORE NULLS) OVER w AS last_click_value,
+             last_value(event_type IGNORE NULLS) OVER w AS last_event_type,
+             count(*) OVER (PARTITION BY user_id) AS n_merged,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND UNBOUNDED FOLLOWING)
+    )
+    WHERE rn = 1
+"""

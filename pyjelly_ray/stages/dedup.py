@@ -212,3 +212,59 @@ def merge_upsert(base, changes, *, key: str, op_col: str = "op",
 
     return grouped_map(tagged, key, part, per_group=False,
                        num_partitions=num_partitions)
+
+
+def survivorship_merge(ds, *, group_col: str, order_col: str,
+                       cols: list[str], tiebreak: str | None = None,
+                       n_name: str = "n_merged"):
+    """Golden-record survivorship: collapse each duplicate group to ONE
+    row where every field independently takes its LATEST NON-NULL value
+    (by ``order_col``) — the MDM merge rule that outlives keep-latest
+    (which drops older rows' still-valid fields).  NULL only when a field
+    was never observed.  Also emits ``n_merged`` (rows absorbed).
+
+    One keyed hash exchange; the partition kernel is one sort plus, per
+    column, a segmented ``maximum.accumulate`` over observed positions
+    (exactly the LOCF machinery) read off at each run's end — no
+    per-group Python.
+    """
+    def part(t: pa.Table) -> pa.Table:
+        import numpy as np
+        import pyarrow as pa
+
+        from ..stages.agg import _key_run_bounds
+
+        key_t = t.schema.field(group_col).type
+        if t.num_rows == 0:
+            return pa.table(
+                {group_col: pa.array([], key_t),
+                 **{c: pa.array([], t.schema.field(c).type) for c in cols},
+                 n_name: pa.array([], pa.int64())}
+            )
+        sort_keys = [(group_col, "ascending"), (order_col, "ascending")] + (
+            [(tiebreak, "ascending")] if tiebreak else []
+        )
+        t = t.sort_by(sort_keys)
+        bounds = _key_run_bounds(t, [group_col])
+        ends = bounds[1:] - 1
+        idx = np.arange(t.num_rows)
+        out = {group_col: t.column(group_col).take(pa.array(bounds[:-1], pa.int64()))}
+        for c in cols:
+            arr = t.column(c)
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            valid = ~np.asarray(arr.is_null())
+            pos = np.where(valid, idx, -1)
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                np.maximum.accumulate(pos[s:e], out=pos[s:e])
+            last = pos[ends]
+            take = pa.array(np.where(last >= 0, last, 0), pa.int64())
+            vals = arr.take(take)
+            mask = pa.array(last < 0)
+            out[c] = pa.compute.if_else(mask, pa.scalar(None, arr.type), vals)
+        out[n_name] = pa.array(np.diff(bounds), pa.int64())
+        return pa.table(out)
+
+    from .agg import grouped_map
+
+    return grouped_map(ds, group_col, part, per_group=False)

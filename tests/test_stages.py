@@ -3350,3 +3350,46 @@ def test_centered_mean_bruteforce(ray_session):
             for i in range(len(x)):
                 exp = x[max(0, i - w): i + w + 1].mean()
                 assert abs(got[(k, i)] - exp) < 1e-12, (k, i, w)
+
+
+def test_survivorship_merge_bruteforce(ray_session):
+    """survivorship_merge == per-group latest-non-null per column
+    (independent fields), never-observed fields stay NULL, n_merged
+    counts rows; string and float columns."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from pyjelly_ray.stages.dedup import survivorship_merge
+
+    rng = np.random.default_rng(89)
+    rows = []
+    for g in range(15):
+        n = int(rng.integers(1, 12))
+        for i in range(n):
+            a = float(rng.normal()) if rng.random() < 0.5 else None
+            b = str(rng.integers(0, 9)) if rng.random() < 0.4 else None
+            rows.append((g, i, a, b))
+    t = pa.table({
+        "g": pa.array([r[0] for r in rows], pa.int64()),
+        "o": pa.array([r[1] for r in rows], pa.int64()),
+        "a": pa.array([r[2] for r in rows], pa.float64()),
+        "b": pa.array([r[3] for r in rows], pa.string()),
+    })
+    out = survivorship_merge(
+        ray.data.from_arrow(t).repartition(4), group_col="g",
+        order_col="o", cols=["a", "b"],
+    ).take_all()
+    got = {r["g"]: r for r in out}
+    import collections
+    by_g = collections.defaultdict(list)
+    for g, o, a, b in rows:
+        by_g[g].append((o, a, b))
+    for g, rs in by_g.items():
+        rs.sort()
+        la = next((a for _, a, _ in reversed(rs) if a is not None), None)
+        lb = next((b for _, _, b in reversed(rs) if b is not None), None)
+        r = got[g]
+        assert r["n_merged"] == len(rs)
+        assert (r["a"] is None and la is None) or abs(r["a"] - la) < 1e-12
+        assert r["b"] == lb
