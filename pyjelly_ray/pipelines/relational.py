@@ -7004,3 +7004,32 @@ ORACLE_SQL["q_user_golden_record"] = """
     )
     WHERE rn = 1
 """
+
+
+def q_qty_price_spearman_by_flag(sf_dir: str):
+    """Per-return-flag Spearman between quantity and price — the sliced
+    monotonic-association report; per-group tie-averaged ranks + Pearson
+    on ranks inside one co-located kernel."""
+    from ..stages.agg import grouped_spearman
+
+    li = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_quantity", "l_extendedprice"])
+    return grouped_spearman(li, "l_returnflag", "l_quantity",
+                            "l_extendedprice")
+
+
+QUERIES["q_qty_price_spearman_by_flag"] = q_qty_price_spearman_by_flag
+ORACLE_SQL["q_qty_price_spearman_by_flag"] = """
+    WITH r AS (
+      SELECT l_returnflag,
+             rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+                 + (count(*) OVER (PARTITION BY l_returnflag, l_quantity)
+                    - 1) / 2.0 AS rx,
+             rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
+                 + (count(*) OVER (PARTITION BY l_returnflag,
+                                   l_extendedprice) - 1) / 2.0 AS ry
+      FROM lineitem
+    )
+    SELECT l_returnflag, round(corr(rx, ry), 6) AS spearman
+    FROM r GROUP BY l_returnflag
+"""

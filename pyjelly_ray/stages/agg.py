@@ -1838,3 +1838,90 @@ def grouped_roc_auc(ds, keys: list[str] | str, score_col: str,
         reduce_fn=reduce_part,
         reduce_empty=True,
     )
+
+
+def grouped_spearman(ds, keys: list[str] | str, x_col: str, y_col: str, *,
+                     out_name: str = "spearman", round_to: int = 6):
+    """Per-group Spearman rank correlation, groups co-located like
+    :func:`grouped_roc_auc`: one hash exchange, then per group two
+    tie-averaged rank vectors (peer runs over each column's sort order)
+    and a Pearson on the ranks.  Groups with < 2 rows or a constant
+    column report NULL (SQL ``corr`` semantics).  For GLOBAL Spearman
+    over a huge table use :func:`spearman_corr` (fractional ranks
+    without co-locating raw rows)."""
+    import numpy as np
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    num_partitions = default_partitions(small=True)
+
+    def project_with_bucket(b: pa.Table) -> pa.Table:
+        out = b.select(keys + [x_col, y_col]).drop_null()
+        return out.append_column(
+            "__bucket", pa.array(bucket_codes(out, keys, num_partitions))
+        )
+
+    def franks(v: "np.ndarray") -> "np.ndarray":
+        import numpy as np
+
+        order = np.argsort(v, kind="stable")
+        sv = v[order]
+        starts = np.ones(len(v), bool)
+        starts[1:] = sv[1:] != sv[:-1]
+        ps = np.flatnonzero(starts)
+        plen = np.diff(np.append(ps, len(v)))
+        fr_sorted = np.repeat(ps + (plen - 1) / 2.0, plen) + 1.0
+        fr = np.empty(len(v))
+        fr[order] = fr_sorted
+        return fr
+
+    def round_half_away(x: float, nd: int) -> float:
+        s = 10.0 ** nd
+        return float(np.copysign(np.floor(abs(x) * s + 0.5), x) / s)
+
+    def reduce_part(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        if "__bucket" in t.column_names:
+            t = t.drop_columns(["__bucket"])
+        if t.num_rows == 0:
+            return pa.table(
+                {**{k: pa.array([], t.schema.field(k).type) for k in keys},
+                 out_name: pa.array([], pa.float64())}
+            )
+        t = t.sort_by([(k, "ascending") for k in keys])
+        bounds = _key_run_bounds(t, keys)
+        xs = t.column(x_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        ys = t.column(y_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        out: dict[str, list] = {k: [] for k in keys}
+        out[out_name] = []
+        for i in range(len(bounds) - 1):
+            a, b = int(bounds[i]), int(bounds[i + 1])
+            rx, ry = franks(xs[a:b]), franks(ys[a:b])
+            n = b - a
+            sxy = float((rx * ry).sum())
+            sx, sy = rx.sum(), ry.sum()
+            sxx = float((rx * rx).sum())
+            syy = float((ry * ry).sum())
+            den = (n * sxx - sx * sx) * (n * syy - sy * sy)
+            val = (None if n < 2 or den <= 0
+                   else round_half_away((n * sxy - sx * sy) / np.sqrt(den),
+                                        round_to))
+            for k in keys:
+                out[k].append(t.column(k)[a].as_py())
+            out[out_name].append(val)
+        return pa.table(
+            {**{k: pa.array(out[k], t.schema.field(k).type) for k in keys},
+             out_name: pa.array(out[out_name], pa.float64())}
+        )
+
+    from ..state.exchange import hash_exchange
+
+    projected = ds.map_batches(project_with_bucket, batch_format="pyarrow",
+                               batch_size=None)
+    return hash_exchange(
+        projected,
+        bucket_col="__bucket",
+        n_partitions=num_partitions,
+        reduce_fn=reduce_part,
+        reduce_empty=True,
+    )

@@ -3393,3 +3393,36 @@ def test_survivorship_merge_bruteforce(ray_session):
         assert r["n_merged"] == len(rs)
         assert (r["a"] is None and la is None) or abs(r["a"] - la) < 1e-12
         assert r["b"] == lb
+
+
+def test_grouped_spearman_matches_pandas(ray_session):
+    """grouped_spearman == pandas per-group corr(method='spearman');
+    constant column and single-row groups report NULL."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from pyjelly_ray.stages.agg import grouped_spearman
+
+    rng = np.random.default_rng(97)
+    ks, xs, ys = [], [], []
+    for k in ("a", "b", "c"):
+        n = int(rng.integers(30, 90))
+        x = rng.integers(1, 12, n).astype(float)
+        y = 2 * x + rng.normal(0, 5, n)
+        ks += [k] * n; xs += list(x); ys += list(y)
+    ks += ["const"] * 5; xs += [1.0] * 5; ys += list(rng.normal(0, 1, 5))
+    ks += ["single"]; xs += [2.0]; ys += [3.0]
+    t = pa.table({"k": pa.array(ks), "x": pa.array(xs, pa.float64()),
+                  "y": pa.array(ys, pa.float64())})
+    out = grouped_spearman(
+        ray.data.from_arrow(t).repartition(5), "k", "x", "y"
+    ).take_all()
+    got = {r["k"]: r["spearman"] for r in out}
+    assert got["const"] is None and got["single"] is None
+    df = pd.DataFrame({"k": ks, "x": xs, "y": ys})
+    for k in ("a", "b", "c"):
+        sub = df[df["k"] == k]
+        exp = sub[["x", "y"]].corr(method="spearman").loc["x", "y"]
+        assert abs(got[k] - exp) < 1e-6, k
