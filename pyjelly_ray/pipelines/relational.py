@@ -7033,3 +7033,151 @@ ORACLE_SQL["q_qty_price_spearman_by_flag"] = """
     SELECT l_returnflag, round(corr(rx, ry), 6) AS spearman
     FROM r GROUP BY l_returnflag
 """
+
+
+def q_purchase_calibration(sf_dir: str):
+    """Calibration report for a probability score (value/500 as pseudo
+    P(purchase)): per predicted-probability bin, count, mean prediction,
+    observed purchase rate — the reliability-diagram table behind every
+    classifier dashboard.  Pure map + one combined aggregate."""
+    from ..stages.agg import grouped_agg
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        pred = np.minimum(v / 500.0, 0.999999)
+        return pa.table({
+            "bin": pa.array(np.floor(pred * 10.0).astype(np.int64)),
+            "pred": pa.array(pred, pa.float64()),
+            "y": pc.cast(pc.equal(b.column("event_type"),
+                                  pa.scalar("purchase")), pa.float64()),
+        })
+
+    g = grouped_agg(
+        ev.map_batches(prep, batch_format="pyarrow"), ["bin"],
+        [("n", "pred", "count"), ("mean_pred", "pred", "mean"),
+         ("obs_rate", "y", "mean")], round_to=6,
+    )
+    return g
+
+
+QUERIES["q_purchase_calibration"] = q_purchase_calibration
+ORACLE_SQL["q_purchase_calibration"] = """
+    WITH p AS (
+      SELECT CAST(floor(least(value / 500.0, 0.999999) * 10.0) AS BIGINT)
+                 AS bin,
+             least(value / 500.0, 0.999999) AS pred,
+             CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y
+      FROM events
+    )
+    SELECT bin, count(*) AS n,
+           round(avg(pred), 6) AS mean_pred,
+           round(avg(y), 6) AS obs_rate
+    FROM p GROUP BY bin
+"""
+
+
+def q_purchase_gains_by_decile(sf_dir: str):
+    """Gains/lift table: score deciles (global ntile over value DESC via
+    range sort + O(blocks) row numbers — no full-sort take), per decile
+    the purchase count, cumulative gain, and lift vs base rate — the
+    targeting-model report."""
+    import numpy as np
+
+    from ..stages.agg import grouped_agg, grouped_map
+    from ..stages.sort import global_row_numbers, range_sort
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": b.column("event_id"),
+            "value": b.column("value"),
+            "y": pc.cast(pc.equal(b.column("event_type"),
+                                  pa.scalar("purchase")), pa.int64()),
+        })
+
+    scored = ev.map_batches(prep, batch_format="pyarrow")
+    n_total = scored.count()
+    ranked = global_row_numbers(
+        range_sort(scored, "value", descending=True, tiebreak=["event_id"]),
+        out_name="rn",
+    )
+
+    def decile(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        rn = b.column("rn").to_numpy(zero_copy_only=False) - 1  # 0-based
+        k, n = 10, n_total
+        q, r = n // k, n % k
+        big = r * (q + 1)
+        tile = np.where(rn < big, rn // max(q + 1, 1),
+                        r + (rn - big) // max(q, 1)) + 1
+        return pa.table({"decile": pa.array(tile.astype(np.int64)),
+                         "y": b.column("y")})
+
+    g = grouped_agg(
+        ranked.map_batches(decile, batch_format="pyarrow"), ["decile"],
+        [("n", "y", "count"), ("n_pos", "y", "sum")], sum_as_float=False,
+    )
+
+    def add_g(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        return b.append_column("__g", pa.array(np.zeros(b.num_rows, np.int8)))
+
+    def fin(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        from ..stages.agg import round_like_duckdb
+
+        if t.num_rows == 0:
+            return pa.table({"decile": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "n_pos": pa.array([], pa.int64()),
+                             "cum_gain": pa.array([], pa.float64()),
+                             "lift": pa.array([], pa.float64())})
+        t = t.sort_by([("decile", "ascending")])
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        pos = t.column("n_pos").to_numpy(zero_copy_only=False).astype(np.float64)
+        total_pos, total_n = pos.sum(), n.sum()
+        return pa.table({
+            "decile": t.column("decile"),
+            "n": t.column("n"),
+            "n_pos": t.column("n_pos"),
+            "cum_gain": round_like_duckdb(
+                pa.array(np.cumsum(pos) / total_pos), 6),
+            "lift": round_like_duckdb(
+                pa.array((pos / n) / (total_pos / total_n)), 6),
+        })
+
+    out = grouped_map(g.map_batches(add_g, batch_format="pyarrow"),
+                      "__g", fin, per_group=False)
+    return out.map_batches(
+        lambda b: b.select(["decile", "n", "n_pos", "cum_gain", "lift"]),
+        batch_format="pyarrow",
+    )
+
+
+QUERIES["q_purchase_gains_by_decile"] = q_purchase_gains_by_decile
+ORACLE_SQL["q_purchase_gains_by_decile"] = """
+    WITH r AS (
+      SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+             ntile(10) OVER (ORDER BY value DESC, event_id) AS decile
+      FROM events
+    ),
+    g AS (
+      SELECT decile, count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos
+      FROM r GROUP BY decile
+    ),
+    t AS (SELECT CAST(sum(n_pos) AS DOUBLE) AS tp,
+                 CAST(sum(n) AS DOUBLE) AS tn FROM g)
+    SELECT CAST(decile AS BIGINT) AS decile, n, n_pos,
+           round(sum(n_pos) OVER (ORDER BY decile
+                 ROWS UNBOUNDED PRECEDING) / t.tp, 6) AS cum_gain,
+           round((n_pos / CAST(n AS DOUBLE)) / (t.tp / t.tn), 6) AS lift
+    FROM g CROSS JOIN t
+"""
