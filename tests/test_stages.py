@@ -3426,3 +3426,27 @@ def test_grouped_spearman_matches_pandas(ray_session):
         sub = df[df["k"] == k]
         exp = sub[["x", "y"]].corr(method="spearman").loc["x", "y"]
         assert abs(got[k] - exp) < 1e-6, k
+
+
+def test_csv_source_roundtrip(ray_session, tmp_path):
+    """CSV read (+ pruning) and csv→parquet ingest round-trip."""
+    import pyarrow as pa
+    import pyarrow.csv as pacsv
+    import pyarrow.parquet as pq
+
+    from pyjelly_ray.sources.csvsrc import csv_to_parquet, read_csv
+
+    t = pa.table({"a": pa.array([1, 2, 3], pa.int64()),
+                  "b": pa.array(["x", "y", "z"]),
+                  "c": pa.array([1.5, 2.5, None], pa.float64())})
+    src = str(tmp_path / "in.csv")
+    pacsv.write_csv(t, src)
+    ds = read_csv(src, columns=["a", "c"])
+    rows = sorted(ds.take_all(), key=lambda r: r["a"])
+    assert [set(r) for r in rows] == [{"a", "c"}] * 3
+    assert rows[2]["c"] is None
+    out = str(tmp_path / "pq")
+    n = csv_to_parquet(src, out)
+    assert n == 3
+    back = pq.read_table(out).sort_by([("a", "ascending")])
+    assert back.column("b").to_pylist() == ["x", "y", "z"]
