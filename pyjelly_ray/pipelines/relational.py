@@ -7181,3 +7181,20 @@ ORACLE_SQL["q_purchase_gains_by_decile"] = """
            round((n_pos / CAST(n AS DOUBLE)) / (t.tp / t.tn), 6) AS lift
     FROM g CROSS JOIN t
 """
+
+
+def q_doc_weighted_sample(sf_dir: str):
+    """Exact-k weighted sampling without replacement (Efraimidis–Spirakis
+    keys, deterministic seed): 50 documents drawn ∝ length — the
+    temperature/importance mixture draw with a FIXED sample size, which
+    probability-threshold sampling cannot give.  Rows-only (the key is a
+    hash-uniform transform; selection ∝ weight is pinned statistically by
+    `test_weighted_sample_k_es`)."""
+    from ..stages.sample import weighted_sample_k
+
+    docs = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    return weighted_sample_k(docs, id_col="doc_id", weight_col="n_chars",
+                             k=50, seed="ws1")
+
+
+QUERIES["q_doc_weighted_sample"] = q_doc_weighted_sample

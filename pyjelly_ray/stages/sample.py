@@ -259,3 +259,37 @@ def pack_sequences(ds, *, id_col: str, len_col: str, max_len: int,
         reduce_fn=reduce_part,
         reduce_empty=True,
     )
+
+
+def weighted_sample_k(ds, *, id_col: str, weight_col: str, k: int,
+                      seed: str = ""):
+    """EXACT-k weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    A-ES): each row gets the key ``u^(1/w)`` with ``u`` a deterministic
+    uniform from ``sha256(seed || id)``; the k LARGEST keys are precisely
+    a weighted sample without replacement.  Fully distributed and
+    shuffle-light — the key is computed map-side and the cut is
+    :func:`~pyjelly_ray.stages.agg.global_topk` (k rows per block to the
+    driver-side merge).  Deterministic for a fixed seed; rows with
+    non-positive or null weight are excluded.
+    """
+    import numpy as np
+
+    from .agg import global_topk
+
+    def key_fn(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        h = _hash_ints(b.column(id_col), seed).astype(np.float64)
+        u = (h + 0.5) / float(_SPACE)  # uniform in (0, 1)
+        w = b.column(weight_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            key = np.where(w > 0, u ** (1.0 / w), -1.0)
+        out = b.append_column("__es_key", pa.array(key, pa.float64()))
+        return out.filter(pa.array(key > 0))
+
+    keyed = ds.map_batches(key_fn, batch_format="pyarrow", batch_size=None)
+    top = global_topk(keyed, ["__es_key", id_col], k,
+                      descending=[True, False])
+    return top.map_batches(
+        lambda b: b.drop_columns(["__es_key"]), batch_format="pyarrow"
+    )

@@ -3450,3 +3450,56 @@ def test_csv_source_roundtrip(ray_session, tmp_path):
     assert n == 3
     back = pq.read_table(out).sort_by([("a", "ascending")])
     assert back.column("b").to_pylist() == ["x", "y", "z"]
+
+
+def test_weighted_sample_k_es(ray_session):
+    """weighted_sample_k: deterministic, equals the driver-side A-ES
+    formula, excludes non-positive weights, and (k=1, many seeds) selects
+    items proportionally to weight."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from pyjelly_ray.stages.sample import weighted_sample_k
+
+    ids = np.arange(40, dtype=np.int64)
+    w = np.linspace(0.5, 4.0, 40)
+    w[5] = 0.0
+    w[7] = -1.0
+    t = pa.table({"id": pa.array(ids), "w": pa.array(w, pa.float64())})
+
+    def driver_keys(seed):
+        u = np.array([
+            (int.from_bytes(hashlib.sha256(
+                (seed + str(i)).encode()).digest()[:4], "big") + 0.5) / 16**8
+            for i in ids
+        ])
+        with np.errstate(divide="ignore"):
+            return np.where(w > 0, u ** (1.0 / w), -1.0)
+
+    got1 = sorted(r["id"] for r in weighted_sample_k(
+        ray.data.from_arrow(t).repartition(4), id_col="id", weight_col="w",
+        k=8, seed="s1").take_all())
+    got2 = sorted(r["id"] for r in weighted_sample_k(
+        ray.data.from_arrow(t).repartition(7), id_col="id", weight_col="w",
+        k=8, seed="s1").take_all())
+    assert got1 == got2                       # partitioning-independent
+    keys = driver_keys("s1")
+    exp = sorted(ids[np.argsort(-keys)][:8].tolist())
+    assert got1 == exp                        # == A-ES formula
+    assert 5 not in got1 and 7 not in got1    # non-positive weights out
+    # k=1 inclusion probability ∝ weight (statistical, driver formula)
+    w4 = np.array([1.0, 2.0, 3.0, 4.0])
+    wins = np.zeros(4)
+    for s in range(4000):
+        u = np.array([
+            (int.from_bytes(hashlib.sha256(
+                (f"t{s}" + str(i)).encode()).digest()[:4], "big") + 0.5)
+            / 16**8 for i in range(4)
+        ])
+        wins[np.argmax(u ** (1.0 / w4))] += 1
+    p = wins / wins.sum()
+    expp = w4 / w4.sum()
+    assert np.all(np.abs(p - expp) < 0.03), p
