@@ -7198,3 +7198,30 @@ def q_doc_weighted_sample(sf_dir: str):
 
 
 QUERIES["q_doc_weighted_sample"] = q_doc_weighted_sample
+
+
+def q_part_price_size_skyline(sf_dir: str):
+    """Skyline (Pareto frontier) query: parts where no other part is both
+    cheaper-or-equal AND larger-or-equal (strictly better somewhere) —
+    multi-objective selection without collapsing to a single score.  Each
+    block prunes to its LOCAL skyline (lossless: in-block dominance implies
+    global dominance), so the one single-partition merge sees only the tiny
+    survivor union, never the raw table — no global sort, no quadratic pass
+    over the data."""
+    from ..stages.skyline import skyline
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_retailprice", "p_size"])
+    return skyline(part, [("p_retailprice", "min"), ("p_size", "max")])
+
+
+QUERIES["q_part_price_size_skyline"] = q_part_price_size_skyline
+ORACLE_SQL["q_part_price_size_skyline"] = """
+    SELECT p.p_partkey, p.p_retailprice, p.p_size
+    FROM part p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM part q
+        WHERE q.p_retailprice <= p.p_retailprice
+          AND q.p_size >= p.p_size
+          AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+    )
+"""

@@ -3503,3 +3503,46 @@ def test_weighted_sample_k_es(ray_session):
     p = wins / wins.sum()
     expp = w4 / w4.sum()
     assert np.all(np.abs(p - expp) < 0.03), p
+
+
+def test_skyline_bruteforce(ray_session):
+    """skyline() == O(n²) dominance scan, incl. duplicates, all-dim ties,
+    NULL rows, d=3, and a chunk smaller than the data (chunked path)."""
+    import ray
+
+    from pyjelly_ray.stages.skyline import skyline
+
+    rng = np.random.default_rng(7)
+    n = 400
+    a = rng.integers(0, 12, n).astype(np.float64)       # heavy ties
+    b = rng.normal(size=n)
+    c = rng.integers(0, 5, n).astype(np.float64)
+    a[50:60] = a[0]; b[50:60] = b[0]; c[50:60] = c[0]   # exact duplicates
+    ids = np.arange(n)
+    nulls = np.zeros(n, bool); nulls[::97] = True       # some NULL dims
+    t = pa.table({
+        "id": ids,
+        "a": pa.array(np.where(nulls, np.nan, a)).cast(pa.float64()),
+        "b": b, "c": c,
+    })
+    t = t.set_column(1, "a", pa.array(
+        [None if nulls[i] else float(a[i]) for i in range(n)], pa.float64()))
+
+    dims = [("a", "min"), ("b", "max"), ("c", "max")]
+    ds = ray.data.from_arrow(t).repartition(7)
+    got = skyline(ds, dims, chunk=37).to_pandas().sort_values("id")
+
+    # brute force on non-null rows: oriented larger-is-better matrix
+    X = np.column_stack([-a, b, c])[~nulls]
+    keep_ids = []
+    sub_ids = ids[~nulls]
+    for i in range(len(X)):
+        ge = (X >= X[i]).all(axis=1)
+        gt = (X > X[i]).any(axis=1)
+        if not (ge & gt).any():
+            keep_ids.append(sub_ids[i])
+    assert sorted(got["id"].tolist()) == sorted(keep_ids)
+    assert len(keep_ids) > 2  # non-trivial frontier
+    # duplicates of a frontier point must ALL survive
+    if ids[0] in keep_ids:
+        assert all(i in keep_ids for i in range(50, 60))
