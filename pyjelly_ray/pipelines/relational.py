@@ -7225,3 +7225,48 @@ ORACLE_SQL["q_part_price_size_skyline"] = """
           AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
     )
 """
+
+
+def q_event_value_autocorr(sf_dir: str):
+    """Per-type lag-1/2/3 autocorrelation of the event value series (the
+    ACF ingredients of seasonality/trend diagnostics): one keyed exchange
+    computes all three lag columns over the (ts, event_id)-ordered run,
+    then the lagged stream collapses through the mergeable-moment corr
+    aggregate — raw rows are touched once, the corr shuffle ships only
+    Σx/Σx²/Σxy partials per (type, lag)."""
+    from ..stages.window import grouped_running
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "event_type", "value"])
+    lagged = grouped_running(
+        ev, key="event_type", order_col="ts", value_col="value",
+        kinds=[("l1", ("lag", 1)), ("l2", ("lag", 2)), ("l3", ("lag", 3))],
+        tiebreak="event_id",
+    )
+    return grouped_agg(
+        lagged,
+        ["event_type"],
+        [
+            ("acf1", ("value", "l1"), "corr"),
+            ("acf2", ("value", "l2"), "corr"),
+            ("acf3", ("value", "l3"), "corr"),
+        ],
+        round_to=6,
+    )
+
+
+QUERIES["q_event_value_autocorr"] = q_event_value_autocorr
+ORACLE_SQL["q_event_value_autocorr"] = """
+    WITH o AS (
+      SELECT event_type, value,
+             lag(value, 1) OVER w AS l1,
+             lag(value, 2) OVER w AS l2,
+             lag(value, 3) OVER w AS l3
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    )
+    SELECT event_type,
+           round(corr(value, l1), 6) AS acf1,
+           round(corr(value, l2), 6) AS acf2,
+           round(corr(value, l3), 6) AS acf3
+    FROM o GROUP BY event_type
+"""

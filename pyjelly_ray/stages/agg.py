@@ -138,22 +138,31 @@ def _partial_fn(keys: list[str], specs: list[Spec]):
     cb_cols: list[str] = []
     q4_cols: list[str] = []
     xy_cols: list[tuple[str, str]] = []
+    pw_cols: list[tuple[str, str]] = []
     for _, col, fn in specs:
-        if fn in ("corr", "covar", "slope", "intercept", "wmean"):
-            # col is an (x, y) pair; moments Σx, Σy, Σx², Σy², Σxy
+        if fn == "wmean":
+            # col is (x, w): Σ(x·w) and Σw — rows with NULL x still count
+            # toward Σw, exactly like SQL sum(x*w)/sum(w)
             x, y = col
-            for c in (x, y):
-                if ("s", c) not in seen:
-                    aggs.append((c, "sum"))
-                    seen.add(("s", c))
-                if ("sq", c) not in seen:
-                    aggs.append((f"{c}__sq", "sum"))
-                    sq_cols.append(c)
-                    seen.add(("sq", c))
+            if ("s", y) not in seen:
+                aggs.append((y, "sum"))
+                seen.add(("s", y))
             if ("xy", x, y) not in seen:
                 aggs.append((f"{x}__xy__{y}", "sum"))
                 xy_cols.append((x, y))
                 seen.add(("xy", x, y))
+            continue
+        if fn in ("corr", "covar", "slope", "intercept"):
+            # col is an (x, y) pair; PAIRWISE-COMPLETE moments — SQL
+            # corr/covar_samp/regr_* drop a row when EITHER side is NULL,
+            # so each pair gets its own masked n, Σx, Σy, Σx², Σy², Σxy
+            # (the per-column sums other kinds share would over-count)
+            x, y = col
+            if ("pw", x, y) not in seen:
+                for m in ("n", "sx", "sy", "sxx", "syy", "sxy"):
+                    aggs.append((f"{x}__pw__{y}__{m}", "sum"))
+                pw_cols.append((x, y))
+                seen.add(("pw", x, y))
             continue
         if fn in ("sum", "mean", "var", "std"):
             if ("s", col) not in seen:
@@ -210,6 +219,18 @@ def _partial_fn(keys: list[str], specs: list[Spec]):
             xv = pc.cast(work.column(x), pa.float64())
             yv = pc.cast(work.column(y), pa.float64())
             work = work.append_column(f"{x}__xy__{y}", pc.multiply(xv, yv))
+        for x, y in pw_cols:
+            xv = pc.cast(work.column(x), pa.float64())
+            yv = pc.cast(work.column(y), pa.float64())
+            both = pc.and_(pc.is_valid(xv), pc.is_valid(yv))
+            xm = pc.if_else(both, xv, pa.scalar(None, pa.float64()))
+            ym = pc.if_else(both, yv, pa.scalar(None, pa.float64()))
+            work = work.append_column(f"{x}__pw__{y}__n", pc.cast(both, pa.int64()))
+            work = work.append_column(f"{x}__pw__{y}__sx", xm)
+            work = work.append_column(f"{x}__pw__{y}__sy", ym)
+            work = work.append_column(f"{x}__pw__{y}__sxx", pc.multiply(xm, xm))
+            work = work.append_column(f"{x}__pw__{y}__syy", pc.multiply(ym, ym))
+            work = work.append_column(f"{x}__pw__{y}__sxy", pc.multiply(xm, ym))
         plan = list(aggs) + [("__cnt", "sum")]
         # empty-safe: group_by on a 0-row table still yields the aggregated
         # schema, which the exchange and finalize rely on.
@@ -223,8 +244,9 @@ def _partial_fn(keys: list[str], specs: list[Spec]):
 def _merge_cols(specs: list[Spec]):
     """Partial-column names (as emitted by :func:`_partial_fn`) grouped by
     the merge operation that combines them across partials."""
-    corr_pairs = [
-        col for _, col, fn in specs if fn in ("corr", "covar", "slope", "intercept", "wmean")
+    wmean_pairs = [col for _, col, fn in specs if fn == "wmean"]
+    pw_pairs = [
+        col for _, col, fn in specs if fn in ("corr", "covar", "slope", "intercept")
     ]
     sum_cols = sorted(
         {f"{col}_sum" for _, col, fn in specs if fn in ("sum", "mean", "var", "std")}
@@ -233,9 +255,10 @@ def _merge_cols(specs: list[Spec]):
         | {f"{col}__sq_sum" for _, col, fn in specs if fn in ("skew", "kurt")}
         | {f"{col}__cb_sum" for _, col, fn in specs if fn in ("skew", "kurt")}
         | {f"{col}__q4_sum" for _, col, fn in specs if fn == "kurt"}
-        | {f"{c}_sum" for x, y in corr_pairs for c in (x, y)}
-        | {f"{c}__sq_sum" for x, y in corr_pairs for c in (x, y)}
-        | {f"{x}__xy__{y}_sum" for x, y in corr_pairs}
+        | {f"{y}_sum" for x, y in wmean_pairs}
+        | {f"{x}__xy__{y}_sum" for x, y in wmean_pairs}
+        | {f"{x}__pw__{y}__{m}_sum" for x, y in pw_pairs
+           for m in ("n", "sx", "sy", "sxx", "syy", "sxy")}
         | {"__cnt_sum"}
     )
     min_cols = sorted({f"{col}_min" for _, col, fn in specs if fn == "min"})
@@ -387,22 +410,35 @@ def _derived_columns(batch: pa.Table, specs: list[Spec], round_to: int | None,
                     ),
                 )
                 v = pc.if_else(ok, v, pa.scalar(None, pa.float64()))
-        elif fn in ("corr", "covar", "slope", "intercept", "wmean"):
-            # Pearson r / sample covariance / OLS regression from the SAME
-            # mergeable moments:
+        elif fn == "wmean":
+            # weighted mean with col = (x, w): Σ(x·w) / Σw, NULL when
+            # Σw = 0 (matches SQL sum(x*w)/sum(w): rows with a NULL x
+            # still contribute their weight to Σw — NOT pairwise-deleted)
+            x, y = col
+            sy = pc.cast(batch.column(f"{y}_sum"), pa.float64())
+            sxy = pc.cast(batch.column(f"{x}__xy__{y}_sum"), pa.float64())
+            ok = pc.not_equal(sy, pa.scalar(0.0, pa.float64()))
+            v = pc.divide(sxy, pc.if_else(ok, sy, pa.scalar(1.0, pa.float64())))
+            v = pc.if_else(ok, v, pa.scalar(None, pa.float64()))
+        elif fn in ("corr", "covar", "slope", "intercept"):
+            # Pearson r / sample covariance / OLS regression from
+            # PAIRWISE-COMPLETE mergeable moments (n counts only rows
+            # where BOTH sides are non-null — SQL corr/covar_samp/regr_*
+            # semantics):
             # corr = (nΣxy − ΣxΣy) / √((nΣx²−(Σx)²)(nΣy²−(Σy)²));
             # covar_samp = (Σxy − ΣxΣy/n) / (n−1);
             # slope = (nΣxy − ΣxΣy) / (nΣx²−(Σx)²)  [col = (x, y), y on x];
             # intercept = (Σy − slope·Σx) / n;
-            # NULL when n ≤ 1 or the relevant variance is 0 (= DuckDB
-            # corr / covar_samp / regr_slope / regr_intercept)
+            # NULL when n ≤ 1 or the relevant variance is 0 (= DuckDB)
             x, y = col
-            n = pc.cast(cnt, pa.float64())
-            sx = pc.cast(batch.column(f"{x}_sum"), pa.float64())
-            sy = pc.cast(batch.column(f"{y}_sum"), pa.float64())
-            sxx = pc.cast(batch.column(f"{x}__sq_sum"), pa.float64())
-            syy = pc.cast(batch.column(f"{y}__sq_sum"), pa.float64())
-            sxy = pc.cast(batch.column(f"{x}__xy__{y}_sum"), pa.float64())
+            base = f"{x}__pw__{y}"
+            npair = batch.column(f"{base}__n_sum")
+            n = pc.cast(npair, pa.float64())
+            sx = pc.cast(batch.column(f"{base}__sx_sum"), pa.float64())
+            sy = pc.cast(batch.column(f"{base}__sy_sum"), pa.float64())
+            sxx = pc.cast(batch.column(f"{base}__sxx_sum"), pa.float64())
+            syy = pc.cast(batch.column(f"{base}__syy_sum"), pa.float64())
+            sxy = pc.cast(batch.column(f"{base}__sxy_sum"), pa.float64())
             num = pc.subtract(pc.multiply(n, sxy), pc.multiply(sx, sy))
             dx = pc.max_element_wise(
                 pc.subtract(pc.multiply(n, sxx), pc.multiply(sx, sx)),
@@ -412,16 +448,9 @@ def _derived_columns(batch: pa.Table, specs: list[Spec], round_to: int | None,
                 pc.subtract(pc.multiply(n, syy), pc.multiply(sy, sy)),
                 pa.scalar(0.0, pa.float64()),
             )
-            if fn == "wmean":
-                # weighted mean with col = (x, w): Σ(x·w) / Σw, NULL when
-                # Σw = 0 (matches SQL sum(x*w)/sum(w) on non-null data;
-                # rows with a NULL x contribute to Σw only — same as SQL)
-                ok = pc.not_equal(sy, pa.scalar(0.0, pa.float64()))
-                v = pc.divide(sxy, pc.if_else(ok, sy, pa.scalar(1.0, pa.float64())))
-                v = pc.if_else(ok, v, pa.scalar(None, pa.float64()))
-            elif fn in ("slope", "intercept"):
+            if fn in ("slope", "intercept"):
                 ok = pc.and_(
-                    pc.greater(cnt, pa.scalar(1, pa.int64())),
+                    pc.greater(npair, pa.scalar(1, pa.int64())),
                     pc.greater(dx, pa.scalar(0.0, pa.float64())),
                 )
                 slope = pc.divide(
@@ -443,14 +472,14 @@ def _derived_columns(batch: pa.Table, specs: list[Spec], round_to: int | None,
                     pc.subtract(n, pa.scalar(1.0, pa.float64())),
                 )
                 v = pc.if_else(
-                    pc.greater(cnt, pa.scalar(1, pa.int64())),
+                    pc.greater(npair, pa.scalar(1, pa.int64())),
                     v,
                     pa.scalar(None, pa.float64()),
                 )
             else:
                 den = pc.sqrt(pc.multiply(dx, dy))
                 ok = pc.and_(
-                    pc.greater(cnt, pa.scalar(1, pa.int64())),
+                    pc.greater(npair, pa.scalar(1, pa.int64())),
                     pc.greater(den, pa.scalar(0.0, pa.float64())),
                 )
                 v = pc.if_else(

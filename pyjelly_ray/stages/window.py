@@ -116,7 +116,7 @@ def grouped_running(ds, *, key: str, order_col: str, value_col: str,
     ``kinds``: ``(out_name, kind)`` with kind ∈ {cumsum, cummax, lag,
     lead, first_value, locf, row_number, rank, dense_rank, percent_rank,
     cume_dist} or
-    ``("ntile", k)`` / ``("nth_value", n)`` — SQL ``SUM/MAX(value) OVER (PARTITION BY key ORDER
+    ``("ntile", k)`` / ``("nth_value", n)`` / ``("lag", k)`` — SQL ``SUM/MAX(value) OVER (PARTITION BY key ORDER
     BY order_col)``, ``lag/lead(value)``, ``first_value(value)`` (default
     frame: the partition's first value), ``row_number()``, ``rank()``,
     ``dense_rank()``, ``percent_rank()``, ``ntile(k)`` (earlier tiles get
@@ -302,6 +302,13 @@ def grouped_running(ds, *, key: str, order_col: str, value_col: str,
             elif kind == "lag":
                 lagged = np.roll(vals, 1)
                 col_np = np.where(idx == grp_start, np.nan, lagged)
+                col = pa.array(col_np, pa.float64())
+                col = pc.if_else(pc.is_nan(col), pa.scalar(None, pa.float64()), col)
+            elif isinstance(kind, tuple) and kind[0] == "lag":
+                # lag(value, k): first k rows of each key run are NULL
+                k = int(kind[1])
+                lagged = np.roll(vals, k)
+                col_np = np.where(idx - grp_start < k, np.nan, lagged)
                 col = pa.array(col_np, pa.float64())
                 col = pc.if_else(pc.is_nan(col), pa.scalar(None, pa.float64()), col)
             elif kind == "lead":

@@ -3546,3 +3546,67 @@ def test_skyline_bruteforce(ray_session):
     # duplicates of a frontier point must ALL survive
     if ids[0] in keep_ids:
         assert all(i in keep_ids for i in range(50, 60))
+
+
+def test_corr_family_pairwise_complete_nulls(ray_session):
+    """corr/covar/slope/intercept must drop rows where EITHER side is NULL
+    (SQL pairwise deletion) — regression for the shared-Σ/COUNT(*) partials
+    that over-counted when one column had NULLs (e.g. lagged series)."""
+    import duckdb
+    import pandas as pd
+    import ray
+
+    from pyjelly_ray.stages.agg import grouped_agg
+
+    rng = np.random.default_rng(11)
+    n = 500
+    df = pd.DataFrame({
+        "g": rng.integers(0, 3, n),
+        "x": rng.normal(size=n),
+        "y": rng.normal(size=n),
+    })
+    df.loc[rng.choice(n, 60, replace=False), "x"] = np.nan
+    df.loc[rng.choice(n, 60, replace=False), "y"] = np.nan
+    got = grouped_agg(
+        ray.data.from_pandas(df).repartition(5),
+        ["g"],
+        [
+            ("c", ("x", "y"), "corr"),
+            ("cv", ("x", "y"), "covar"),
+            ("sl", ("x", "y"), "slope"),
+            ("ic", ("x", "y"), "intercept"),
+        ],
+        round_to=9,
+    ).to_pandas().sort_values("g").reset_index(drop=True)
+    exp = duckdb.query("""
+        SELECT g, round(corr(x, y), 9) AS c,
+               round(covar_samp(x, y), 9) AS cv,
+               round(regr_slope(y, x), 9) AS sl,
+               round(regr_intercept(y, x), 9) AS ic
+        FROM df GROUP BY g ORDER BY g
+    """).fetchdf()
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_grouped_running_lag_k(ray_session):
+    """("lag", k) window kind == pandas groupby shift(k)."""
+    import pandas as pd
+    import ray
+
+    from pyjelly_ray.stages.window import grouped_running
+
+    rng = np.random.default_rng(5)
+    n = 300
+    df = pd.DataFrame({
+        "k": rng.integers(0, 4, n),
+        "o": rng.permutation(n),
+        "v": rng.normal(size=n),
+    })
+    out = grouped_running(
+        ray.data.from_pandas(df).repartition(4), key="k", order_col="o",
+        value_col="v", kinds=[("l2", ("lag", 2)), ("l5", ("lag", 5))],
+    ).to_pandas().sort_values(["k", "o"]).reset_index(drop=True)
+    sdf = df.sort_values(["k", "o"]).reset_index(drop=True)
+    for name, k in (("l2", 2), ("l5", 5)):
+        exp = sdf.groupby("k")["v"].shift(k)
+        assert np.allclose(out[name].fillna(-9e9), exp.fillna(-9e9))
