@@ -7270,3 +7270,77 @@ ORACLE_SQL["q_event_value_autocorr"] = """
            round(corr(value, l3), 6) AS acf3
     FROM o GROUP BY event_type
 """
+
+
+def q_customer_rfm_segments(sf_dir: str):
+    """RFM customer segmentation (the classic CRM cube): per customer
+    recency = last order day, frequency = order count, monetary = total
+    spend — one partial-combine aggregate over the fact stream — then
+    ntile(5) quintile scores per axis and per-segment rollup.  The facts
+    are touched once; the three quintile windows run over the per-CUSTOMER
+    table (|customers| ≪ |orders|, same small-side assumption as every
+    global ntile: one partition holds the dimension-sized aggregate)."""
+    from ..stages.window import grouped_running
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        us = pc.cast(b.column("o_orderdate"), pa.int64())
+        day = pc.divide(us, pa.scalar(86_400_000_000, pa.int64()))
+        return pa.table({
+            "o_custkey": b.column("o_custkey"),
+            "day": day,
+            "o_totalprice": b.column("o_totalprice"),
+        })
+
+    per_cust = grouped_agg(
+        orders.map_batches(prep, batch_format="pyarrow"),
+        ["o_custkey"],
+        [
+            ("last_day", "day", "max"),
+            ("n_orders", "day", "count"),
+            ("total_spent", "o_totalprice", "sum"),
+        ],
+        round_to=2,
+    )
+    keyed = per_cust.map_batches(
+        lambda b: b.append_column("g", pa.array(np.zeros(b.num_rows, np.int64))),
+        batch_format="pyarrow",
+    )
+    for score, metric in (("r_q", "last_day"), ("f_q", "n_orders"),
+                          ("m_q", "total_spent")):
+        keyed = grouped_running(
+            keyed, key="g", order_col=metric, value_col=metric,
+            kinds=[(score, ("ntile", 5))], tiebreak="o_custkey",
+        )
+    return grouped_agg(
+        keyed,
+        ["r_q", "f_q", "m_q"],
+        [
+            ("n_custs", "total_spent", "count"),
+            ("avg_spent", "total_spent", "mean"),
+        ],
+        round_to=2,
+    )
+
+
+QUERIES["q_customer_rfm_segments"] = q_customer_rfm_segments
+ORACLE_SQL["q_customer_rfm_segments"] = """
+    WITH c AS (
+      SELECT o_custkey,
+             max(CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT)) AS last_day,
+             count(*) AS n_orders,
+             round(sum(o_totalprice), 2) AS total_spent
+      FROM orders GROUP BY o_custkey
+    ),
+    s AS (
+      SELECT ntile(5) OVER (ORDER BY last_day, o_custkey) AS r_q,
+             ntile(5) OVER (ORDER BY n_orders, o_custkey) AS f_q,
+             ntile(5) OVER (ORDER BY total_spent, o_custkey) AS m_q,
+             total_spent
+      FROM c
+    )
+    SELECT r_q, f_q, m_q, count(*) AS n_custs,
+           round(avg(total_spent), 2) AS avg_spent
+    FROM s GROUP BY 1, 2, 3
+"""
