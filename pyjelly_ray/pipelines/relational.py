@@ -7344,3 +7344,54 @@ ORACLE_SQL["q_customer_rfm_segments"] = """
            round(avg(total_spent), 2) AS avg_spent
     FROM s GROUP BY 1, 2, 3
 """
+
+
+def q_supply_graph_bfs(sf_dir: str):
+    """BFS hop distances from supplier s1 over the undirected supplier–part
+    supply graph (distinct lineitem edges): distributed min-plus label
+    propagation, one keyed join + one pair exchange per round, convergence
+    read as a single scalar — the reachability/radius primitive of the KG
+    analytics layer.  Unreachable nodes (other components) drop, matching
+    the recursive-CTE oracle."""
+    from ..stages.graph import bfs_distances
+
+    li = _read(sf_dir, "lineitem", ["l_suppkey", "l_partkey"])
+
+    def to_edges(b: pa.Table) -> pa.Table:
+        s = pc.binary_join_element_wise(
+            pa.array(["s"] * b.num_rows), pc.cast(b.column("l_suppkey"), pa.string()), ""
+        )
+        d = pc.binary_join_element_wise(
+            pa.array(["p"] * b.num_rows), pc.cast(b.column("l_partkey"), pa.string()), ""
+        )
+        return pa.table({"src": s, "dst": d})
+
+    edges = li.map_batches(to_edges, batch_format="pyarrow")
+    distinct = grouped_agg(edges, ["src", "dst"], [("n", "src", "count")])
+    edges = distinct.map_batches(
+        lambda b: b.drop_columns(["n"]), batch_format="pyarrow"
+    )
+    out = bfs_distances(edges, ["s1"], directed=False, num_partitions=8)
+    return out.map_batches(
+        lambda b: b.filter(pc.is_valid(b.column("dist"))),
+        batch_format="pyarrow",
+    )
+
+
+QUERIES["q_supply_graph_bfs"] = q_supply_graph_bfs
+ORACLE_SQL["q_supply_graph_bfs"] = """
+    WITH RECURSIVE e AS (
+      SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                      'p' || CAST(l_partkey AS VARCHAR) AS dst
+      FROM lineitem
+    ),
+    sym AS (SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e),
+    bfs AS (
+      SELECT 's1' AS node, 0 AS dist
+      UNION
+      SELECT sym.dst AS node, bfs.dist + 1 AS dist
+      FROM bfs JOIN sym ON sym.src = bfs.node
+      WHERE bfs.dist < 12
+    )
+    SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM bfs GROUP BY node
+"""

@@ -410,3 +410,137 @@ def connected_components(edges, *, src: str = "src", dst: str = "dst",
         ),
         batch_format="pyarrow",
     )
+
+
+def bfs_distances(edges, sources, *, src: str = "src", dst: str = "dst",
+                  directed: bool = False, max_iters: int = 50,
+                  num_partitions: int | None = None):
+    """Single-source(-set) BFS hop distances by distributed min-plus
+    label propagation.
+
+    Every node starts at distance 0 (members of ``sources``) or NULL
+    (unreached); each round every edge offers ``dist(src) + 1`` to its
+    dst and nodes keep the element-wise MIN — exactly the relaxation a
+    recursive-CTE shortest-hop SQL performs, so the DuckDB oracle is
+    bit-comparable.  Per round: ONE keyed edge⋈labels join whose reduce
+    folds per-dst MIN candidate partials (``hash_join(post=)``) plus one
+    pair exchange that applies ``min(own, candidate)`` in place and counts
+    changes; convergence reads a single scalar per round.  Rounds =
+    eccentricity of the source set (plain BFS has no pointer-jumping
+    shortcut — distances aren't idempotent under relabeling), so this is
+    O(diameter) exchanges; node/edge tables never leave the cluster.
+
+    The node universe is the edge endpoints: a source absent from the
+    graph is dropped.  Returns ``(node, dist)`` with NULL dist for
+    unreachable nodes.
+    """
+    import ray
+
+    from ..state.exchange import default_partitions, hash_exchange_pair
+    from .agg import bucket_codes
+    from .joins import hash_join
+
+    num_partitions = num_partitions or default_partitions()
+    schema = edges.schema()
+    schema = getattr(schema, "base_schema", schema)
+    if schema is None or edges.count() == 0:
+        typ = pa.string() if schema is None else schema.field(src).type
+        return ray.data.from_arrow(
+            pa.table({"node": pa.array([], typ), "dist": pa.array([], pa.int64())})
+        )
+
+    graph = edges if directed else symmetrize(
+        edges, src, dst, num_partitions=num_partitions
+    )
+    graph = graph.materialize()
+    node_type = schema.field(src).type
+    source_set = pa.array(list(sources), node_type)
+
+    labels = distinct_nodes(edges, src, dst, "node",
+                            num_partitions=num_partitions)
+
+    def init_dist(b: pa.Table) -> pa.Table:
+        is_src = pc.is_in(b.column("node"), value_set=source_set)
+        d = pc.if_else(is_src, pa.scalar(0, pa.int64()),
+                       pa.scalar(None, pa.int64()))
+        return pa.table({"node": b.column("node"), "dist": d})
+
+    labels = labels.map_batches(init_dist, batch_format="pyarrow").materialize()
+
+    def post_min(t: pa.Table) -> pa.Table:
+        # edge⋈labels reduce: each edge offers dist(src)+1 to its dst;
+        # keep only the per-dst MIN as this partition's candidate partial
+        cand = pc.add(t.column("dist"), pa.scalar(1, pa.int64()))
+        part = pa.table({dst: t.column(dst), "cand": cand})
+        part = part.filter(pc.is_valid(part.column("cand")))
+        part = (
+            part.group_by(dst).aggregate([("cand", "min")])
+            .rename_columns([dst, "cand"])
+        )
+        return part.append_column(
+            "__bucket", pa.array(bucket_codes(part, [dst], num_partitions))
+        )
+
+    def reduce_update(cp: pa.Table, lp: pa.Table) -> pa.Table:
+        if "__bucket" in lp.column_names:
+            lp = lp.drop_columns(["__bucket"])
+        old = lp.column("dist")
+        node_col = lp.column("node")
+        new = old
+        if dst in cp.column_names and cp.num_rows:
+            if "__bucket" in cp.column_names:
+                cp = cp.drop_columns(["__bucket"])
+            cand = cp.group_by(dst).aggregate([("cand", "min")])
+            joined = lp.join(
+                cand, keys=["node"], right_keys=[dst], join_type="left outer"
+            )
+            # min_element_wise skips nulls: NULL old takes the candidate,
+            # NULL candidate keeps old, both NULL stays NULL
+            new = pc.min_element_wise(
+                joined.column("dist"), joined.column("cand_min")
+            )
+            node_col = joined.column("node")
+            old = joined.column("dist")
+        neg = pa.scalar(-1, pa.int64())  # dist ≥ 0 → safe NULL sentinel
+        changed = pc.cast(
+            pc.not_equal(pc.fill_null(new, neg), pc.fill_null(old, neg)),
+            pa.int64(),
+        )
+        return pa.table({"node": node_col, "dist": new, "__changed": changed})
+
+    def bucketed(ls):
+        return ls.map_batches(
+            lambda b: pa.table(
+                {"node": b.column("node"), "dist": b.column("dist")}
+            ).append_column(
+                "__bucket",
+                pa.array(bucket_codes(b, ["node"], num_partitions)),
+            ),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+
+    for _ in range(max_iters):
+        offered = hash_join(
+            graph, labels, left_key=src, right_key="node",
+            num_partitions=num_partitions, post=post_min,
+        )
+        updated = hash_exchange_pair(
+            offered,
+            bucketed(labels),
+            left_bucket_col="__bucket",
+            right_bucket_col="__bucket",
+            n_partitions=num_partitions,
+            reduce_fn=reduce_update,
+        ).materialize()
+        n_changed = updated.sum("__changed")
+        labels = updated.map_batches(
+            lambda b: pa.table(
+                {"node": b.column("node"), "dist": b.column("dist")}
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        if not n_changed:
+            break
+
+    return labels

@@ -3610,3 +3610,52 @@ def test_grouped_running_lag_k(ray_session):
     for name, k in (("l2", 2), ("l5", 5)):
         exp = sdf.groupby("k")["v"].shift(k)
         assert np.allclose(out[name].fillna(-9e9), exp.fillna(-9e9))
+
+
+def test_bfs_distances_bruteforce(ray_session):
+    """bfs_distances == driver-side BFS on a random graph with multiple
+    components, an isolated cycle, and a long path (directed + undirected)."""
+    from collections import deque
+
+    import pandas as pd
+    import ray
+
+    from pyjelly_ray.stages.graph import bfs_distances
+
+    rng = np.random.default_rng(3)
+    edges = set()
+    edges |= {(int(a), int(b)) for a, b in rng.integers(0, 40, (120, 2)) if a != b}
+    edges |= {(100 + i, 100 + (i + 1) % 5) for i in range(5)}      # far cycle
+    edges |= {(200 + i, 200 + i + 1) for i in range(12)}           # long path
+    et = pa.table({"src": pa.array([a for a, _ in edges], pa.int64()),
+                   "dst": pa.array([b for _, b in edges], pa.int64())})
+
+    for directed in (False, True):
+        got = bfs_distances(
+            ray.data.from_arrow(et).repartition(5), [0, 200],
+            directed=directed, num_partitions=4,
+        ).to_pandas()
+        adj: dict[int, list[int]] = {}
+        for a, b in edges:
+            adj.setdefault(a, []).append(b)
+            if not directed:
+                adj.setdefault(b, []).append(a)
+        nodes = {n for e in edges for n in e}
+        dist = {n: None for n in nodes}
+        dq = deque()
+        for s in (0, 200):
+            if s in nodes:
+                dist[s] = 0
+                dq.append(s)
+        while dq:
+            u = dq.popleft()
+            for v in adj.get(u, []):
+                if dist[v] is None:
+                    dist[v] = dist[u] + 1
+                    dq.append(v)
+        exp = {n: d for n, d in dist.items()}
+        gotmap = {
+            int(r.node): (None if pd.isna(r.dist) else int(r.dist))
+            for r in got.itertuples()
+        }
+        assert gotmap == exp, f"directed={directed}"
