@@ -4756,13 +4756,13 @@ ORACLE_SQL["q_incremental_event_stats"] = """
 """
 
 
-def q_copurchase_part_pairs(sf_dir: str):
-    """Market-basket co-occurrence (bipartite projection): part pairs that
-    ship in the same order, counted across orders, top-20.  Pairs are
-    generated inside the order's own co-partition run (≤ items² per order,
-    never a global self-join); the pair counts ride the standard combiner
-    exchange."""
-    from ..stages.agg import _key_run_bounds, global_topk, grouped_agg, grouped_map
+def _basket_pair_counts(sf_dir: str):
+    """Distinct same-order part pairs with co-occurrence counts — the
+    market-basket building block shared by the co-purchase top-k and the
+    item-item cosine queries.  Pairs are generated inside the order's own
+    co-partition run (≤ items² per order, never a global self-join); the
+    pair counts ride the standard combiner exchange."""
+    from ..stages.agg import _key_run_bounds, grouped_agg, grouped_map
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
     empty = pa.table(
@@ -4815,8 +4815,18 @@ def q_copurchase_part_pairs(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
+    return counts
+
+
+def q_copurchase_part_pairs(sf_dir: str):
+    """Market-basket co-occurrence (bipartite projection): part pairs that
+    ship in the same order, counted across orders, top-20 — the pair
+    stream from :func:`_basket_pair_counts` cut by local-top-k + one tiny
+    global merge."""
+    from ..stages.agg import global_topk
+
     return global_topk(
-        counts, ["n_orders", "part_a", "part_b"], 20,
+        _basket_pair_counts(sf_dir), ["n_orders", "part_a", "part_b"], 20,
         descending=[True, False, False],
     )
 
@@ -7394,4 +7404,73 @@ ORACLE_SQL["q_supply_graph_bfs"] = """
       WHERE bfs.dist < 12
     )
     SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM bfs GROUP BY node
+"""
+
+
+def q_item_item_cosine(sf_dir: str):
+    """Item-item collaborative-filtering similarity: cosine of the order
+    co-occurrence vectors, sim(a,b) = co(a,b)/√(n_a·n_b) — the classic
+    "customers also bought" normalization that discounts globally popular
+    items.  Pair counts come from the per-order co-partition kernel
+    (never a global self-join); per-part order counts are an exact
+    count-distinct broadcast onto the pair stream (parts ≪ pairs); top-20
+    by local-top-k + one tiny merge."""
+    from ..stages.agg import global_topk, grouped_count_distinct
+
+    counts = _basket_pair_counts(sf_dir)
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    nper = grouped_count_distinct(li, ["l_partkey"], "l_orderkey", out_name="n")
+    na = nper.map_batches(
+        lambda b: pa.table({"pa_key": b.column("l_partkey"), "n_a": b.column("n")}),
+        batch_format="pyarrow",
+    )
+    nb = nper.map_batches(
+        lambda b: pa.table({"pb_key": b.column("l_partkey"), "n_b": b.column("n")}),
+        batch_format="pyarrow",
+    )
+    j = broadcast_join(counts, na, left_key="part_a", right_key="pa_key",
+                       columns=["n_a"])
+    j = broadcast_join(j, nb, left_key="part_b", right_key="pb_key",
+                       columns=["n_b"])
+
+    def cosine(b: pa.Table) -> pa.Table:
+        from ..stages.agg import round_like_duckdb
+
+        co = pc.cast(b.column("n_orders"), pa.float64())
+        den = pc.sqrt(pc.multiply(
+            pc.cast(b.column("n_a"), pa.float64()),
+            pc.cast(b.column("n_b"), pa.float64()),
+        ))
+        return pa.table({
+            "part_a": b.column("part_a"),
+            "part_b": b.column("part_b"),
+            "co": b.column("n_orders"),
+            "cosine": round_like_duckdb(pc.divide(co, den), 6),
+        })
+
+    sims = j.map_batches(cosine, batch_format="pyarrow")
+    return global_topk(
+        sims, ["cosine", "part_a", "part_b"], 20,
+        descending=[True, False, False],
+    )
+
+
+QUERIES["q_item_item_cosine"] = q_item_item_cosine
+ORACLE_SQL["q_item_item_cosine"] = """
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT l_partkey, count(*) AS n FROM op GROUP BY l_partkey),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             count(*) AS co
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT part_a, part_b, co,
+           round(co / sqrt(na.n * nb.n), 6) AS cosine
+    FROM pairs
+    JOIN n na ON na.l_partkey = part_a
+    JOIN n nb ON nb.l_partkey = part_b
+    ORDER BY cosine DESC, part_a, part_b
+    LIMIT 20
 """
