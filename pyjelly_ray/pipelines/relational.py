@@ -7474,3 +7474,74 @@ ORACLE_SQL["q_item_item_cosine"] = """
     ORDER BY cosine DESC, part_a, part_b
     LIMIT 20
 """
+
+
+def q_doc_pii_redaction(sf_dir: str):
+    """PII scrubbing pass (the mandatory step before a corpus ships):
+    deterministic PII (email/phone/IP derived from doc_id — the test corpus
+    contains none) is planted into each document identically in Ray and in
+    the oracle SQL, then redacted rule-by-rule with Arrow's RE2 kernels —
+    the SAME regex engine DuckDB uses, so the redacted text compares
+    cell-by-cell.  Fully vectorized (one replace_substring_regex per rule,
+    no Python row loop); per-rule hit counts ride along for the audit."""
+    from ..stages.text import redact_pii
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def synth(b: pa.Table) -> pa.Table:
+        did = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        did_s = pa.array(did.astype(str))
+        ph = pa.array(np.char.zfill((did % 10000).astype(str), 4))
+        ip3 = pa.array((did % 256).astype(str))
+        ip4 = pa.array(((did * 7) % 256).astype(str))
+        text = pc.binary_join_element_wise(
+            b.column("text"), pa.scalar(" contact user"), did_s,
+            pa.scalar("@example.com or +1-202-555-"), ph,
+            pa.scalar(" from 192.168."), ip3, pa.scalar("."), ip4,
+            pa.scalar(""),
+        )
+        return pa.table({"doc_id": b.column("doc_id"), "text": text})
+
+    laced = docs.map_batches(synth, batch_format="pyarrow")
+    red = laced.map_batches(redact_pii, batch_format="pyarrow")
+    return red.map_batches(
+        lambda b: b.rename_columns(
+            ["doc_id", "clean_text", "n_email", "n_phone", "n_ipv4", "n_ssn"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+QUERIES["q_doc_pii_redaction"] = q_doc_pii_redaction
+ORACLE_SQL["q_doc_pii_redaction"] = r"""
+    WITH p AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or +1-202-555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  || ' from 192.168.' || CAST(doc_id % 256 AS VARCHAR)
+                  || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) AS text
+      FROM documents
+    ),
+    r1 AS (SELECT doc_id, text,
+                  regexp_replace(text,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                    '[EMAIL]', 'g') AS t1 FROM p),
+    r2 AS (SELECT *, regexp_replace(t1,
+                    '\+?\d{1,2}-\d{3}-\d{3}-\d{4}', '[PHONE]', 'g') AS t2
+           FROM r1),
+    r3 AS (SELECT *, regexp_replace(t2,
+                    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS t3
+           FROM r2)
+    SELECT doc_id,
+           regexp_replace(t3, '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g') AS clean_text,
+           CAST(len(regexp_extract_all(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(t1,
+                '\+?\d{1,2}-\d{3}-\d{3}-\d{4}')) AS BIGINT) AS n_phone,
+           CAST(len(regexp_extract_all(t2,
+                '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+           CAST(len(regexp_extract_all(t3,
+                '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ssn
+    FROM r3
+"""

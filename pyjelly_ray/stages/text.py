@@ -429,3 +429,46 @@ def ngram_decontaminate(train_ds, bench_ds, *, n: int = 3,
         })
 
     return agg.map_batches(fin, batch_format="pyarrow")
+
+
+# Default PII redaction rules.  Patterns are deliberately RE2-compatible
+# (no backreferences/lookaround) so the SAME regex runs in Arrow's
+# replace_substring_regex (RE2), DuckDB's regexp_replace (RE2), and
+# Python's re — the oracle compares redacted text cell-by-cell.
+PII_RULES: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("phone", r"\+?\d{1,2}-\d{3}-\d{3}-\d{4}", "[PHONE]"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),
+]
+
+
+def redact_pii(batch: pa.Table, col: str = "text",
+               rules: list[tuple[str, str, str]] | None = None,
+               out_col: str | None = None) -> pa.Table:
+    """Scrub PII from a text column — the mandatory pass before any corpus
+    leaves the pipeline.  Fully vectorized: one Arrow RE2
+    ``replace_substring_regex`` kernel per rule (no Python loop over rows),
+    plus a per-row ``count_substring_regex`` hit count per rule
+    (``n_<rule>`` columns) so the downstream audit aggregate is free.
+    Rules apply in order (e.g. emails are consumed before the looser
+    patterns can touch their digits/dots)."""
+    rules = PII_RULES if rules is None else rules
+    text = pc.cast(batch.column(col), pa.large_string())
+    counts = {}
+    for name, pattern, replacement in rules:
+        counts[f"n_{name}"] = pc.cast(
+            pc.count_substring_regex(text, pattern=pattern), pa.int64()
+        )
+        text = pc.replace_substring_regex(
+            text, pattern=pattern, replacement=replacement
+        )
+    if out_col is None:
+        out = batch.set_column(
+            batch.schema.get_field_index(col), col, pc.cast(text, pa.string())
+        )
+    else:
+        out = batch.append_column(out_col, pc.cast(text, pa.string()))
+    for k, v in counts.items():
+        out = out.append_column(k, v)
+    return out

@@ -3659,3 +3659,28 @@ def test_bfs_distances_bruteforce(ray_session):
             for r in got.itertuples()
         }
         assert gotmap == exp, f"directed={directed}"
+
+
+def test_redact_pii_rules():
+    """redact_pii: multiple hits per row, rule ordering (emails consumed
+    before the IP pattern can touch their dots), nulls and empties kept."""
+    from pyjelly_ray.stages.text import redact_pii
+
+    t = pa.table({
+        "text": pa.array([
+            "a@b.co and c.d@e.org wrote from 10.1.2.3",
+            "call +1-202-555-0199 or 1-303-555-0111, ssn 123-45-6789",
+            "",
+            None,
+            "no pii here",
+        ], pa.string()),
+    })
+    out = redact_pii(t)
+    got = out.column("text").to_pylist()
+    assert got[0] == "[EMAIL] and [EMAIL] wrote from [IP]"
+    assert got[1] == "call [PHONE] or [PHONE], ssn [SSN]"
+    assert got[2] == "" and got[3] is None and got[4] == "no pii here"
+    assert out.column("n_email").to_pylist() == [2, 0, 0, None, 0]
+    assert out.column("n_phone").to_pylist() == [0, 2, 0, None, 0]
+    assert out.column("n_ipv4").to_pylist() == [1, 0, 0, None, 0]
+    assert out.column("n_ssn").to_pylist() == [0, 1, 0, None, 0]
