@@ -7545,3 +7545,68 @@ ORACLE_SQL["q_doc_pii_redaction"] = r"""
                 '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ssn
     FROM r3
 """
+
+
+def q_event_user_skew_report(sf_dir: str):
+    """Hot-key skew diagnostic — the report you run BEFORE picking a
+    partition key: top-20 users by event count with share of total,
+    cumulative concentration (Lorenz/80-20 read), and ratio to the mean
+    key load.  Per-key counts are one partial-combine aggregate; the two
+    scalars (total rows, mean per key) are driver reads of that SMALL
+    keyed table, broadcast into the final 20-row kernel — the raw stream
+    is touched once."""
+    from ..stages.agg import global_topk, grouped_map
+
+    ev = _read(sf_dir, "events", ["user_id"])
+    counts = grouped_agg(ev, ["user_id"], [("n", "user_id", "count")],
+                         sum_as_float=False)
+    counts = counts.map_batches(
+        lambda b: b.set_column(b.schema.get_field_index("n"), "n",
+                               pc.cast(b.column("n"), pa.int64())),
+        batch_format="pyarrow",
+    ).materialize()
+    total = float(counts.sum("n"))
+    mean_n = total / counts.count()
+    top = global_topk(counts, ["n", "user_id"], 20, descending=[True, False])
+    keyed = top.map_batches(
+        lambda b: b.append_column("__g", pa.array(np.zeros(b.num_rows, np.int64))),
+        batch_format="pyarrow",
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        from ..stages.agg import round_like_duckdb
+
+        if "__g" in t.column_names:
+            t = t.drop_columns(["__g"])
+        t = t.sort_by([("n", "descending"), ("user_id", "ascending")])
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        if len(n) == 0:
+            return pa.table({
+                "user_id": t.column("user_id"), "n": t.column("n"),
+                "share": pa.array([], pa.float64()),
+                "cum_share": pa.array([], pa.float64()),
+                "skew_ratio": pa.array([], pa.float64()),
+            })
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "n": t.column("n"),
+            "share": round_like_duckdb(pa.array(n / total), 6),
+            "cum_share": round_like_duckdb(pa.array(np.cumsum(n) / total), 6),
+            "skew_ratio": round_like_duckdb(pa.array(n / mean_n), 6),
+        })
+
+    return grouped_map(keyed, "__g", fin, per_group=False, num_partitions=1)
+
+
+QUERIES["q_event_user_skew_report"] = q_event_user_skew_report
+ORACLE_SQL["q_event_user_skew_report"] = """
+    WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+    t AS (SELECT CAST(sum(n) AS DOUBLE) AS total,
+                 CAST(avg(n) AS DOUBLE) AS mean_n FROM c),
+    top AS (SELECT user_id, n FROM c ORDER BY n DESC, user_id LIMIT 20)
+    SELECT user_id, n, round(n / t.total, 6) AS share,
+           round(sum(n) OVER (ORDER BY n DESC, user_id
+                 ROWS UNBOUNDED PRECEDING) / t.total, 6) AS cum_share,
+           round(n / t.mean_n, 6) AS skew_ratio
+    FROM top CROSS JOIN t
+"""
