@@ -7610,3 +7610,76 @@ ORACLE_SQL["q_event_user_skew_report"] = """
            round(n / t.mean_n, 6) AS skew_ratio
     FROM top CROSS JOIN t
 """
+
+
+def q_purchase_last_touch_attribution(sf_dir: str):
+    """Marketing last-touch attribution: each purchase is credited to the
+    user's latest preceding non-purchase event (channel), then revenue
+    rolls up per channel.  Rides the documented as-of composition (one
+    keyed union shuffle + vectorized searchsorted merge); the channel
+    string travels as an ORDER-PRESERVING int code (sorted-distinct enum,
+    driver-read of a tiny aggregate) so the join's max-at-equal-ts
+    tie-break equals SQL's max(event_type); purchases with no prior touch
+    land in '(none)'."""
+    import ray
+
+    from ..stages.joins import asof_join_backward
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_type", "value"])
+    is_p = lambda b: pc.equal(b.column("event_type"), pa.scalar("purchase"))  # noqa: E731
+    purchases = ev.map_batches(
+        lambda b: b.filter(is_p(b)).select(["user_id", "ts", "value"]),
+        batch_format="pyarrow",
+    )
+    touches = ev.map_batches(
+        lambda b: b.filter(pc.invert(is_p(b))).select(["user_id", "ts", "event_type"]),
+        batch_format="pyarrow",
+    )
+    kinds = grouped_agg(touches, ["event_type"], [("n", "event_type", "count")])
+    ktabs = [t for t in ray.get(kinds.to_arrow_refs()) if t.num_columns > 0]
+    types = sorted(pa.concat_tables(ktabs).column("event_type").to_pylist())
+    type_arr = pa.array(types, pa.string())
+
+    def encode(b: pa.Table) -> pa.Table:
+        code = pc.cast(
+            pc.index_in(b.column("event_type"), value_set=type_arr), pa.int64()
+        )
+        return pa.table({"user_id": b.column("user_id"), "ts": b.column("ts"),
+                         "code": code})
+
+    coded = touches.map_batches(encode, batch_format="pyarrow")
+    joined = asof_join_backward(
+        purchases, coded,
+        left_key="user_id", right_key="user_id",
+        left_ts="ts", right_ts="ts", right_value="code",
+        left_cols={"user_id": pa.int64(), "ts": pa.timestamp("us"),
+                   "value": pa.float64()},
+    )
+
+    def to_channel(b: pa.Table) -> pa.Table:
+        codes = b.column("code").combine_chunks()
+        channel = pc.fill_null(type_arr.take(codes), pa.scalar("(none)"))
+        return pa.table({"channel": channel, "value": b.column("value")})
+
+    return grouped_agg(
+        joined.map_batches(to_channel, batch_format="pyarrow"),
+        ["channel"],
+        [("n_purchases", "value", "count"), ("total_value", "value", "sum")],
+        round_to=2,
+    )
+
+
+QUERIES["q_purchase_last_touch_attribution"] = q_purchase_last_touch_attribution
+ORACLE_SQL["q_purchase_last_touch_attribution"] = """
+    WITH p AS (SELECT user_id, ts, value FROM events
+               WHERE event_type = 'purchase'),
+    t AS (SELECT user_id, ts, max(event_type) AS channel
+          FROM events WHERE event_type <> 'purchase'
+          GROUP BY user_id, ts),
+    j AS (SELECT p.value, t.channel
+          FROM p ASOF LEFT JOIN t
+            ON p.user_id = t.user_id AND p.ts >= t.ts)
+    SELECT coalesce(channel, '(none)') AS channel,
+           count(*) AS n_purchases, round(sum(value), 2) AS total_value
+    FROM j GROUP BY 1
+"""
