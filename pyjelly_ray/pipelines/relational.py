@@ -7683,3 +7683,32 @@ ORACLE_SQL["q_purchase_last_touch_attribution"] = """
            count(*) AS n_purchases, round(sum(value), 2) AS total_value
     FROM j GROUP BY 1
 """
+
+
+def q_price_pythagorean_means(sf_dir: str):
+    """All three Pythagorean means of extended price per return flag —
+    arithmetic, geometric (rate-style averaging), harmonic (the right mean
+    for ratios/speeds) — in ONE partial-combine pass: Σx, Σln x, Σ1/x and
+    the non-null count are all mergeable, so the exchange still ships a
+    handful of doubles per group per block."""
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+    return grouped_agg(
+        li,
+        ["l_returnflag"],
+        [
+            ("amean", "l_extendedprice", "mean"),
+            ("gmean", "l_extendedprice", "geomean"),
+            ("hmean", "l_extendedprice", "harmmean"),
+        ],
+        round_to=2,
+    )
+
+
+QUERIES["q_price_pythagorean_means"] = q_price_pythagorean_means
+ORACLE_SQL["q_price_pythagorean_means"] = """
+    SELECT l_returnflag,
+           round(avg(l_extendedprice), 2) AS amean,
+           round(exp(avg(ln(l_extendedprice))), 2) AS gmean,
+           round(count(l_extendedprice) / sum(1 / l_extendedprice), 2) AS hmean
+    FROM lineitem GROUP BY l_returnflag
+"""

@@ -139,6 +139,9 @@ def _partial_fn(keys: list[str], specs: list[Spec]):
     q4_cols: list[str] = []
     xy_cols: list[tuple[str, str]] = []
     pw_cols: list[tuple[str, str]] = []
+    ln_cols: list[str] = []
+    inv_cols: list[str] = []
+    nv_cols: list[str] = []
     for _, col, fn in specs:
         if fn == "wmean":
             # col is (x, w): Σ(x·w) and Σw — rows with NULL x still count
@@ -191,6 +194,21 @@ def _partial_fn(keys: list[str], specs: list[Spec]):
                 aggs.append((f"{col}__q4", "sum"))
                 q4_cols.append(col)
                 seen.add(("q4", col))
+        if fn in ("geomean", "harmmean"):
+            # mergeable transforms: Σln(x) / Σ(1/x) plus the NON-NULL count
+            # (NULLs drop like SQL avg/sum — COUNT(*) would dilute)
+            if ("ln", col) not in seen and fn == "geomean":
+                aggs.append((f"{col}__ln", "sum"))
+                ln_cols.append(col)
+                seen.add(("ln", col))
+            if ("inv", col) not in seen and fn == "harmmean":
+                aggs.append((f"{col}__inv", "sum"))
+                inv_cols.append(col)
+                seen.add(("inv", col))
+            if ("nv", col) not in seen:
+                aggs.append((f"{col}__nv", "sum"))
+                nv_cols.append(col)
+                seen.add(("nv", col))
         if fn in ("count", "mean"):
             if ("c",) not in seen:
                 seen.add(("c",))
@@ -219,6 +237,18 @@ def _partial_fn(keys: list[str], specs: list[Spec]):
             xv = pc.cast(work.column(x), pa.float64())
             yv = pc.cast(work.column(y), pa.float64())
             work = work.append_column(f"{x}__xy__{y}", pc.multiply(xv, yv))
+        for col in ln_cols:
+            x = pc.cast(work.column(col), pa.float64())
+            work = work.append_column(f"{col}__ln", pc.ln(x))
+        for col in inv_cols:
+            x = pc.cast(work.column(col), pa.float64())
+            work = work.append_column(
+                f"{col}__inv", pc.divide(pa.scalar(1.0, pa.float64()), x)
+            )
+        for col in nv_cols:
+            work = work.append_column(
+                f"{col}__nv", pc.cast(pc.is_valid(work.column(col)), pa.int64())
+            )
         for x, y in pw_cols:
             xv = pc.cast(work.column(x), pa.float64())
             yv = pc.cast(work.column(y), pa.float64())
@@ -255,6 +285,10 @@ def _merge_cols(specs: list[Spec]):
         | {f"{col}__sq_sum" for _, col, fn in specs if fn in ("skew", "kurt")}
         | {f"{col}__cb_sum" for _, col, fn in specs if fn in ("skew", "kurt")}
         | {f"{col}__q4_sum" for _, col, fn in specs if fn == "kurt"}
+        | {f"{col}__ln_sum" for _, col, fn in specs if fn == "geomean"}
+        | {f"{col}__inv_sum" for _, col, fn in specs if fn == "harmmean"}
+        | {f"{col}__nv_sum" for _, col, fn in specs
+           if fn in ("geomean", "harmmean")}
         | {f"{y}_sum" for x, y in wmean_pairs}
         | {f"{x}__xy__{y}_sum" for x, y in wmean_pairs}
         | {f"{x}__pw__{y}__{m}_sum" for x, y in pw_pairs
@@ -410,6 +444,23 @@ def _derived_columns(batch: pa.Table, specs: list[Spec], round_to: int | None,
                     ),
                 )
                 v = pc.if_else(ok, v, pa.scalar(None, pa.float64()))
+        elif fn in ("geomean", "harmmean"):
+            # geometric mean = exp(Σln x / n), harmonic = n / Σ(1/x) — both
+            # from mergeable transform-sums; n = NON-NULL count; NULL when
+            # the group has no valid rows (= SQL exp(avg(ln x)) /
+            # count(x)/sum(1/x))
+            nv = batch.column(f"{col}__nv_sum")
+            n = pc.cast(nv, pa.float64())
+            ok = pc.greater(nv, pa.scalar(0, pa.int64()))
+            if fn == "geomean":
+                s = pc.cast(batch.column(f"{col}__ln_sum"), pa.float64())
+                v = pc.exp(
+                    pc.divide(s, pc.if_else(ok, n, pa.scalar(1.0, pa.float64())))
+                )
+            else:
+                s = pc.cast(batch.column(f"{col}__inv_sum"), pa.float64())
+                v = pc.divide(n, s)
+            v = pc.if_else(ok, v, pa.scalar(None, pa.float64()))
         elif fn == "wmean":
             # weighted mean with col = (x, w): Σ(x·w) / Σw, NULL when
             # Σw = 0 (matches SQL sum(x*w)/sum(w): rows with a NULL x

@@ -3684,3 +3684,34 @@ def test_redact_pii_rules():
     assert out.column("n_phone").to_pylist() == [0, 2, 0, None, 0]
     assert out.column("n_ipv4").to_pylist() == [1, 0, 0, None, 0]
     assert out.column("n_ssn").to_pylist() == [0, 1, 0, None, 0]
+
+
+def test_geomean_harmmean_vs_duckdb(ray_session):
+    """geomean/harmmean kinds == DuckDB exp(avg(ln x)) / n/sum(1/x),
+    with NULLs dropped and empty-valid groups NULL."""
+    import duckdb
+    import pandas as pd
+    import ray
+
+    from pyjelly_ray.stages.agg import grouped_agg
+
+    rng = np.random.default_rng(19)
+    n = 400
+    df = pd.DataFrame({
+        "g": rng.integers(0, 4, n),
+        "x": rng.uniform(0.1, 50.0, n),
+    })
+    df.loc[rng.choice(n, 50, replace=False), "x"] = np.nan
+    df.loc[df.g == 3, "x"] = np.nan  # a group with zero valid rows
+    got = grouped_agg(
+        ray.data.from_pandas(df).repartition(6),
+        ["g"],
+        [("gm", "x", "geomean"), ("hm", "x", "harmmean")],
+        round_to=9,
+    ).to_pandas().sort_values("g").reset_index(drop=True)
+    exp = duckdb.query("""
+        SELECT g, round(exp(avg(ln(x))), 9) AS gm,
+               round(count(x) / sum(1/x), 9) AS hm
+        FROM df GROUP BY g ORDER BY g
+    """).fetchdf()
+    pd.testing.assert_frame_equal(got, exp)
