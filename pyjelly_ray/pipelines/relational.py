@@ -7712,3 +7712,48 @@ ORACLE_SQL["q_price_pythagorean_means"] = """
            round(count(l_extendedprice) / sum(1 / l_extendedprice), 2) AS hmean
     FROM lineitem GROUP BY l_returnflag
 """
+
+
+def q_nation_spend_gini(sf_dir: str):
+    """Gini coefficient of customer lifetime spend within each nation —
+    the inequality/concentration diagnostic ("do a few whales carry this
+    market?").  Spend per customer is one partial-combine aggregate, the
+    nation label rides two broadcast dims, and the per-nation coefficient
+    is one co-locating exchange + a segmented rank-formula kernel
+    (tie-order-invariant, so it matches SQL row_number exactly)."""
+    from ..stages.agg import grouped_gini
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    spend = grouped_agg(orders, ["o_custkey"],
+                        [("spend", "o_totalprice", "sum")])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"])
+    cust = broadcast_join(cust, nation, left_key="c_nationkey",
+                          right_key="n_nationkey", columns=["n_name"])
+    spend = broadcast_join(spend, cust, left_key="o_custkey",
+                           right_key="c_custkey", columns=["n_name"])
+    return grouped_gini(spend, ["n_name"], "spend", round_to=6)
+
+
+QUERIES["q_nation_spend_gini"] = q_nation_spend_gini
+ORACLE_SQL["q_nation_spend_gini"] = """
+    WITH spend AS (
+        SELECT o_custkey, sum(o_totalprice) AS spend
+        FROM orders GROUP BY o_custkey
+    ), j AS (
+        SELECT n_name, spend
+        FROM spend
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation ON n_nationkey = c_nationkey
+    ), r AS (
+        SELECT n_name, spend,
+               row_number() OVER (PARTITION BY n_name ORDER BY spend) AS i,
+               count(*) OVER (PARTITION BY n_name) AS n,
+               sum(spend) OVER (PARTITION BY n_name) AS sx
+        FROM j
+    )
+    SELECT n_name,
+           round(2.0 * sum(i * spend) / (max(n) * max(sx))
+                 - (max(n) + 1.0) / max(n), 6) AS gini
+    FROM r GROUP BY n_name
+"""

@@ -2005,3 +2005,69 @@ def grouped_spearman(ds, keys: list[str] | str, x_col: str, y_col: str, *,
         reduce_fn=reduce_part,
         reduce_empty=True,
     )
+
+
+def grouped_gini(ds, keys: list[str] | str, value_col: str, *,
+                 out_name: str = "gini", round_to: int = 6):
+    """Per-group Gini coefficient (inequality/concentration of a value
+    within each group), groups co-located like :func:`grouped_roc_auc`:
+    one hash exchange, then ONE segmented numpy pass per partition —
+    sort by (keys, value), ``G = 2·Σ(i·x₍ᵢ₎)/(n·Σx) − (n+1)/n`` with
+    1-based in-group rank i over ascending value.  The rank formula is
+    invariant to tie order, so it matches any SQL ``row_number() OVER
+    (ORDER BY x)`` formulation exactly.  NULL values drop; groups whose
+    value sum is 0 report NULL (the coefficient is undefined there)."""
+    import numpy as np
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    num_partitions = default_partitions(small=True)
+
+    def project_with_bucket(b: pa.Table) -> pa.Table:
+        out = b.select(keys + [value_col]).drop_null()
+        return out.append_column(
+            "__bucket", pa.array(bucket_codes(out, keys, num_partitions))
+        )
+
+    def reduce_part(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        if "__bucket" in t.column_names:
+            t = t.drop_columns(["__bucket"])
+        if t.num_rows == 0:
+            return pa.table(
+                {**{k: pa.array([], t.schema.field(k).type) for k in keys},
+                 out_name: pa.array([], pa.float64())}
+            )
+        t = t.sort_by([(k, "ascending") for k in keys]
+                      + [(value_col, "ascending")])
+        bounds = _key_run_bounds(t, keys)
+        starts = bounds[:-1]
+        n = np.diff(bounds).astype(np.float64)
+        x = t.column(value_col).to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        # 1-based rank within each key run, fully segmented
+        i = (np.arange(len(x), dtype=np.float64)
+             - np.repeat(starts.astype(np.float64), np.diff(bounds)) + 1.0)
+        sx = np.add.reduceat(x, starts)
+        sixy = np.add.reduceat(i * x, starts)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            g = 2.0 * sixy / (n * sx) - (n + 1.0) / n
+        scale = 10.0 ** round_to
+        g = np.copysign(np.floor(np.abs(g) * scale + 0.5), g) / scale
+        vals = pa.array(np.where(sx == 0.0, np.nan, g), pa.float64())
+        vals = pc.if_else(pc.is_nan(vals), pa.scalar(None, pa.float64()),
+                          vals)
+        key_rows = t.select(keys).take(pa.array(starts))
+        return key_rows.append_column(out_name, vals)
+
+    from ..state.exchange import hash_exchange
+
+    projected = ds.map_batches(project_with_bucket, batch_format="pyarrow",
+                               batch_size=None)
+    return hash_exchange(
+        projected,
+        bucket_col="__bucket",
+        n_partitions=num_partitions,
+        reduce_fn=reduce_part,
+        reduce_empty=True,
+    )

@@ -3715,3 +3715,34 @@ def test_geomean_harmmean_vs_duckdb(ray_session):
         FROM df GROUP BY g ORDER BY g
     """).fetchdf()
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_grouped_gini_brute_force(ray_session):
+    """grouped_gini == the textbook rank formula computed per group in
+    numpy, incl. ties, NULL drops, and a zero-sum group reporting NULL."""
+    import pandas as pd
+    import ray
+
+    from pyjelly_ray.stages.agg import grouped_gini
+
+    rng = np.random.default_rng(23)
+    n = 600
+    df = pd.DataFrame({
+        "g": rng.integers(0, 5, n),
+        "x": np.round(rng.lognormal(3.0, 1.0, n), 1),  # rounding makes ties
+    })
+    df.loc[rng.choice(n, 40, replace=False), "x"] = np.nan
+    df.loc[df.g == 4, "x"] = 0.0  # Σx = 0 → NULL coefficient
+    got = (grouped_gini(ray.data.from_pandas(df).repartition(7), ["g"], "x",
+                        round_to=9)
+           .to_pandas().sort_values("g").reset_index(drop=True))
+    exp_rows = []
+    for g, sub in df.dropna().groupby("g"):
+        xs = np.sort(sub["x"].to_numpy())
+        m, sx = len(xs), xs.sum()
+        val = (None if sx == 0 else round(
+            2.0 * float((np.arange(1, m + 1) * xs).sum()) / (m * sx)
+            - (m + 1.0) / m, 9))
+        exp_rows.append({"g": g, "gini": val})
+    exp = pd.DataFrame(exp_rows)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
