@@ -7757,3 +7757,106 @@ ORACLE_SQL["q_nation_spend_gini"] = """
                  - (max(n) + 1.0) / max(n), 6) AS gini
     FROM r GROUP BY n_name
 """
+
+
+def q_basket_association_rules(sf_dir: str):
+    """Market-basket association rules A→B with support / confidence /
+    lift (the apriori-style readout): pair counts from the per-order
+    co-partition kernel (never a global self-join), min-support cut
+    co ≥ 2, both rule directions, per-part basket counts broadcast onto
+    the pair stream, top-20 by lift.  Lift is ranked UNROUNDED with a
+    deterministic key tiebreak — computed as (co·N)/(n_a·n_c) in the
+    exact same double ops as the SQL, so boundary rows agree bitwise."""
+    from ..stages.agg import global_topk, grouped_agg, grouped_count_distinct, round_like_duckdb
+
+    counts = _basket_pair_counts(sf_dir)
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    # total baskets: distinct orders, via the per-order combiner (tiny scalar)
+    n_baskets = float(
+        grouped_agg(li, ["l_orderkey"], [("c", "l_orderkey", "count")],
+                    sum_as_float=False).count()
+    )
+    nper = grouped_count_distinct(li, ["l_partkey"], "l_orderkey", out_name="n")
+    na = nper.map_batches(
+        lambda b: pa.table({"ante_key": b.column("l_partkey"),
+                            "n_a": b.column("n")}),
+        batch_format="pyarrow",
+    )
+    nc = nper.map_batches(
+        lambda b: pa.table({"cons_key": b.column("l_partkey"),
+                            "n_c": b.column("n")}),
+        batch_format="pyarrow",
+    )
+
+    def both_directions(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater_equal(b.column("n_orders"), pa.scalar(2)))
+        fwd = pa.table({"antecedent": b.column("part_a"),
+                        "consequent": b.column("part_b"),
+                        "co": b.column("n_orders")})
+        rev = pa.table({"antecedent": b.column("part_b"),
+                        "consequent": b.column("part_a"),
+                        "co": b.column("n_orders")})
+        return pa.concat_tables([fwd, rev])
+
+    dirs = counts.map_batches(both_directions, batch_format="pyarrow")
+    j = broadcast_join(dirs, na, left_key="antecedent", right_key="ante_key",
+                       columns=["n_a"])
+    j = broadcast_join(j, nc, left_key="consequent", right_key="cons_key",
+                       columns=["n_c"])
+
+    def metrics(b: pa.Table) -> pa.Table:
+        co = pc.cast(b.column("co"), pa.float64())
+        n_a = pc.cast(b.column("n_a"), pa.float64())
+        n_c = pc.cast(b.column("n_c"), pa.float64())
+        nn = pa.scalar(n_baskets, pa.float64())
+        return pa.table({
+            "antecedent": b.column("antecedent"),
+            "consequent": b.column("consequent"),
+            "co": b.column("co"),
+            "support": round_like_duckdb(pc.divide(co, nn), 6),
+            "confidence": round_like_duckdb(pc.divide(co, n_a), 6),
+            "__lift_raw": pc.divide(pc.multiply(co, nn),
+                                    pc.multiply(n_a, n_c)),
+        })
+
+    scored = j.map_batches(metrics, batch_format="pyarrow")
+    top = global_topk(scored, ["__lift_raw", "antecedent", "consequent"], 20,
+                      descending=[True, False, False])
+
+    def finalize(b: pa.Table) -> pa.Table:
+        from ..stages.agg import round_like_duckdb
+
+        lift = round_like_duckdb(b.column("__lift_raw"), 6)
+        return b.drop_columns(["__lift_raw"]).append_column("lift", lift)
+
+    return top.map_batches(finalize, batch_format="pyarrow")
+
+
+QUERIES["q_basket_association_rules"] = q_basket_association_rules
+ORACLE_SQL["q_basket_association_rules"] = """
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    nb AS (SELECT count(DISTINCT l_orderkey) * 1.0 AS nn FROM lineitem),
+    n AS (SELECT l_partkey, count(*) AS n FROM op GROUP BY 1),
+    p0 AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS co
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    dirs AS (
+      SELECT pa AS antecedent, pb AS consequent, co FROM p0
+      UNION ALL SELECT pb, pa, co FROM p0
+    ),
+    r AS (
+      SELECT antecedent, consequent, co,
+             round(co / (SELECT nn FROM nb), 6) AS support,
+             round(co / (na.n * 1.0), 6) AS confidence,
+             co * (SELECT nn FROM nb) / ((na.n * nc.n) * 1.0) AS lift_raw
+      FROM dirs
+      JOIN n na ON na.l_partkey = antecedent
+      JOIN n nc ON nc.l_partkey = consequent
+    )
+    SELECT antecedent, consequent, co, support, confidence,
+           round(lift_raw, 6) AS lift
+    FROM r ORDER BY lift_raw DESC, antecedent, consequent LIMIT 20
+"""
