@@ -7860,3 +7860,105 @@ ORACLE_SQL["q_basket_association_rules"] = """
            round(lift_raw, 6) AS lift
     FROM r ORDER BY lift_raw DESC, antecedent, consequent LIMIT 20
 """
+
+
+def q_doc_bigram_pmi(sf_dir: str):
+    """Collocation mining: pointwise mutual information of adjacent token
+    bigrams across the corpus, PMI = ln(p(xy)/(p(x)p(y))) with unigram
+    probabilities over total tokens W and bigram probability over total
+    bigrams B.  Bigrams form inside each document (vectorized
+    parent-index shift — no self-join); unigram counts broadcast onto the
+    bigram stream; min count n_xy ≥ 5; top-30 ranked by UNROUNDED pmi
+    computed in the SQL's exact double-op order so boundary rows agree."""
+    from ..stages.agg import global_topk, round_like_duckdb
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def toks(b: pa.Table) -> pa.Table:
+        split = pc.split_pattern(b.column("text"), pattern=" ")
+        return pa.table({"token": pc.list_flatten(split)})
+
+    def bigrams(b: pa.Table) -> pa.Table:
+        split = pc.split_pattern(b.column("text"), pattern=" ")
+        flat = pc.list_flatten(split).combine_chunks()
+        par = pc.list_parent_indices(split).to_numpy(zero_copy_only=False)
+        if len(par) < 2:
+            return pa.table({"x": pa.array([], pa.string()),
+                             "y": pa.array([], pa.string())})
+        idx = np.flatnonzero(par[1:] == par[:-1])
+        return pa.table({"x": flat.take(pa.array(idx)),
+                         "y": flat.take(pa.array(idx + 1))})
+
+    exploded = docs.map_batches(toks, batch_format="pyarrow")
+    bg = docs.map_batches(bigrams, batch_format="pyarrow")
+    w_total = float(exploded.count())
+    b_total = float(bg.count())
+    uni = grouped_agg(exploded, ["token"], [("n", "token", "count")],
+                      sum_as_float=False)
+    nxy = grouped_agg(bg, ["x", "y"], [("n_xy", "x", "count")],
+                      sum_as_float=False)
+    nx = uni.map_batches(
+        lambda b: pa.table({"x_key": b.column("token"), "n_x": b.column("n")}),
+        batch_format="pyarrow",
+    )
+    ny = uni.map_batches(
+        lambda b: pa.table({"y_key": b.column("token"), "n_y": b.column("n")}),
+        batch_format="pyarrow",
+    )
+    j = broadcast_join(nxy, nx, left_key="x", right_key="x_key",
+                       columns=["n_x"])
+    j = broadcast_join(j, ny, left_key="y", right_key="y_key",
+                       columns=["n_y"])
+
+    def score(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater_equal(pc.cast(b.column("n_xy"), pa.int64()),
+                                      pa.scalar(5, pa.int64())))
+        co = pc.cast(b.column("n_xy"), pa.float64())
+        n_x = pc.cast(b.column("n_x"), pa.float64())
+        n_y = pc.cast(b.column("n_y"), pa.float64())
+        # ((n_xy·W)·W) / (((B)·n_x)·n_y) — the SQL's left-to-right order
+        num = pc.multiply(pc.multiply(co, pa.scalar(w_total)),
+                          pa.scalar(w_total))
+        den = pc.multiply(pc.multiply(pa.scalar(b_total), n_x), n_y)
+        return pa.table({
+            "x": b.column("x"),
+            "y": b.column("y"),
+            "n_xy": pc.cast(b.column("n_xy"), pa.int64()),
+            "__pmi_raw": pc.ln(pc.divide(num, den)),
+        })
+
+    scored = j.map_batches(score, batch_format="pyarrow")
+    top = global_topk(scored, ["__pmi_raw", "x", "y"], 30,
+                      descending=[True, False, False])
+
+    def finalize(b: pa.Table) -> pa.Table:
+        pmi = round_like_duckdb(b.column("__pmi_raw"), 6)
+        return b.drop_columns(["__pmi_raw"]).append_column("pmi", pmi)
+
+    return top.map_batches(finalize, batch_format="pyarrow")
+
+
+QUERIES["q_doc_bigram_pmi"] = q_doc_bigram_pmi
+ORACLE_SQL["q_doc_bigram_pmi"] = """
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS ls FROM documents),
+    toks AS (SELECT unnest(ls) AS token FROM d),
+    bgs AS (
+        SELECT ls[i] AS x, ls[i + 1] AS y
+        FROM d, UNNEST(range(1, len(ls))) AS t(i)
+    ),
+    uni AS (SELECT token, count(*) AS n FROM toks GROUP BY 1),
+    w AS (SELECT count(*) * 1.0 AS w FROM toks),
+    bt AS (SELECT count(*) * 1.0 AS b FROM bgs),
+    nxy AS (SELECT x, y, count(*) AS n_xy FROM bgs GROUP BY 1, 2
+            HAVING count(*) >= 5),
+    r AS (
+        SELECT x, y, n_xy,
+               ln(n_xy * 1.0 * (SELECT w FROM w) * (SELECT w FROM w)
+                  / ((SELECT b FROM bt) * nx.n * ny.n)) AS pmi_raw
+        FROM nxy
+        JOIN uni nx ON nx.token = x
+        JOIN uni ny ON ny.token = y
+    )
+    SELECT x, y, n_xy, round(pmi_raw, 6) AS pmi
+    FROM r ORDER BY pmi_raw DESC, x, y LIMIT 30
+"""
