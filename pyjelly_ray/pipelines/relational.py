@@ -7962,3 +7962,42 @@ ORACLE_SQL["q_doc_bigram_pmi"] = """
     SELECT x, y, n_xy, round(pmi_raw, 6) AS pmi
     FROM r ORDER BY pmi_raw DESC, x, y LIMIT 30
 """
+
+
+def q_click_purchase_value_ks(sf_dir: str):
+    """Distribution-shift test: exact two-sample Kolmogorov–Smirnov
+    statistic between click and purchase event values — distinct-value
+    combiner → range sort → two global prefix sums → vectorized sup
+    |F₁−F₂| (never collects a sample; the drift-detection shape for
+    monitoring feature distributions at scale)."""
+    from ..stages.agg import ks_two_sample
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+    return ks_two_sample(ev, "value", "event_type", "click", "purchase")
+
+
+QUERIES["q_click_purchase_value_ks"] = q_click_purchase_value_ks
+ORACLE_SQL["q_click_purchase_value_ks"] = """
+    WITH s AS (
+        SELECT value,
+               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS i1,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS i2
+        FROM events
+        WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+    ),
+    g AS (SELECT value, sum(i1) AS c1, sum(i2) AS c2 FROM s GROUP BY 1),
+    t AS (SELECT sum(c1) * 1.0 AS n1, sum(c2) * 1.0 AS n2 FROM g),
+    c AS (
+        SELECT value,
+               sum(c1) OVER (ORDER BY value) AS f1,
+               sum(c2) OVER (ORDER BY value) AS f2
+        FROM g
+    )
+    SELECT value AS at_value,
+           round(abs(f1 / (SELECT n1 FROM t) - f2 / (SELECT n2 FROM t)), 6)
+               AS ks_d
+    FROM c
+    ORDER BY abs(f1 / (SELECT n1 FROM t) - f2 / (SELECT n2 FROM t)) DESC,
+             value
+    LIMIT 1
+"""

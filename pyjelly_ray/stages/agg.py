@@ -2071,3 +2071,73 @@ def grouped_gini(ds, keys: list[str] | str, value_col: str, *,
         reduce_fn=reduce_part,
         reduce_empty=True,
     )
+
+
+def ks_two_sample(ds, value_col: str, side_col: str, side_a, side_b, *,
+                  out_value: str = "at_value", out_name: str = "ks_d",
+                  round_to: int = 6):
+    """Exact two-sample Kolmogorov–Smirnov statistic D = sup|F_a − F_b|
+    between the ``value_col`` distributions of two ``side_col`` groups —
+    WITHOUT collecting either sample:
+
+    1. per-batch indicator projection + the distinct-value combiner
+       exchange (ships |distinct values| rows, not |rows|);
+    2. :func:`~pyjelly_ray.stages.sort.range_sort` by value (global block
+       order) + two :func:`global_prefix_sums` passes → both empirical
+       CDFs at every distinct value;
+    3. a vectorized |F_a − F_b| per block and a top-1 merge (deterministic
+       value tiebreak).
+
+    Returns a 1-row dataset ``(at_value, ks_d)`` — the supremum location
+    and the statistic.  The division order matches SQL ``f/n`` exactly,
+    so the argmax agrees bitwise with a window-function oracle."""
+    import numpy as np
+
+    from .sort import global_prefix_sums, range_sort
+
+    def project(b: pa.Table) -> pa.Table:
+        side = b.column(side_col)
+        keep = pc.and_(
+            pc.is_valid(b.column(value_col)),
+            pc.or_(pc.equal(side, pa.scalar(side_a)),
+                   pc.equal(side, pa.scalar(side_b))),
+        )
+        b = b.filter(keep)
+        side = b.column(side_col)
+        return pa.table({
+            "value": b.column(value_col),
+            "i1": pc.cast(pc.equal(side, pa.scalar(side_a)), pa.int64()),
+            "i2": pc.cast(pc.equal(side, pa.scalar(side_b)), pa.int64()),
+        })
+
+    proj = ds.map_batches(project, batch_format="pyarrow")
+    g = grouped_agg(proj, ["value"], [("c1", "i1", "sum"),
+                                      ("c2", "i2", "sum")])
+    totals = g.sum(["c1", "c2"])
+    n1, n2 = float(totals["sum(c1)"]), float(totals["sum(c2)"])
+    s = range_sort(g, "value")
+    s = global_prefix_sums(s, "c1", out_name="__f1", exclusive=False)
+    s = global_prefix_sums(s, "c2", out_name="__f2", exclusive=False)
+
+    def diff(b: pa.Table) -> pa.Table:
+        f1 = pc.divide(b.column("__f1"), pa.scalar(n1, pa.float64()))
+        f2 = pc.divide(b.column("__f2"), pa.scalar(n2, pa.float64()))
+        return pa.table({
+            "value": b.column("value"),
+            "__d_raw": pc.abs(pc.subtract(f1, f2)),
+        })
+
+    scored = s.map_batches(diff, batch_format="pyarrow")
+    top = global_topk(scored, ["__d_raw", "value"], 1,
+                      descending=[True, False])
+
+    def finalize(b: pa.Table) -> pa.Table:
+        scale = 10.0 ** round_to
+        d = b.column("__d_raw").to_numpy(zero_copy_only=False)
+        d = np.copysign(np.floor(np.abs(d) * scale + 0.5), d) / scale
+        return pa.table({
+            out_value: b.column("value"),
+            out_name: pa.array(d, pa.float64()),
+        })
+
+    return top.map_batches(finalize, batch_format="pyarrow")

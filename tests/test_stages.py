@@ -3746,3 +3746,32 @@ def test_grouped_gini_brute_force(ray_session):
         exp_rows.append({"g": g, "gini": val})
     exp = pd.DataFrame(exp_rows)
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_ks_two_sample_brute_force(ray_session):
+    """ks_two_sample == the textbook sup|F1−F2| computed densely in numpy,
+    incl. values shared across both sides and NULL drops."""
+    import pandas as pd
+    import ray
+
+    from pyjelly_ray.stages.agg import ks_two_sample
+
+    rng = np.random.default_rng(31)
+    n = 800
+    df = pd.DataFrame({
+        "side": rng.choice(["a", "b", "c"], n),
+        "x": np.round(rng.normal(0, 1, n) + (rng.random(n) < 0.3) * 0.7, 1),
+    })
+    df.loc[rng.choice(n, 60, replace=False), "x"] = np.nan
+    got = (ks_two_sample(ray.data.from_pandas(df).repartition(6), "x",
+                         "side", "a", "b", round_to=9)
+           .to_pandas())
+    va = np.sort(df.loc[(df.side == "a") & df.x.notna(), "x"].to_numpy())
+    vb = np.sort(df.loc[(df.side == "b") & df.x.notna(), "x"].to_numpy())
+    grid = np.unique(np.concatenate([va, vb]))
+    f1 = np.searchsorted(va, grid, side="right") / len(va)
+    f2 = np.searchsorted(vb, grid, side="right") / len(vb)
+    d = np.abs(f1 - f2)
+    k = int(np.argmax(d))  # first max = smallest value tiebreak
+    assert got.loc[0, "at_value"] == grid[k]
+    assert abs(got.loc[0, "ks_d"] - d[k]) < 1e-9
