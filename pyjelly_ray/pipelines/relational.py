@@ -8001,3 +8001,63 @@ ORACLE_SQL["q_click_purchase_value_ks"] = """
              value
     LIMIT 1
 """
+
+
+def q_nation_spend_hhi(sf_dir: str):
+    """Herfindahl-Hirschman concentration index of customer spend within
+    each nation — HHI = Σshare² = Σx²/(Σx)², so unlike the rank-based
+    Gini it needs NO in-group sort: per-customer spend is one
+    partial-combine pass, then Σx and Σx² are both mergeable sums and the
+    index plus its reciprocal (the "effective number of customers")
+    finalize per group after one tiny exchange."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    spend = grouped_agg(orders, ["o_custkey"],
+                        [("spend", "o_totalprice", "sum")])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"])
+    cust = broadcast_join(cust, nation, left_key="c_nationkey",
+                          right_key="n_nationkey", columns=["n_name"])
+    spend = broadcast_join(spend, cust, left_key="o_custkey",
+                           right_key="c_custkey", columns=["n_name"])
+
+    def square(b: pa.Table) -> pa.Table:
+        s = pc.cast(b.column("spend"), pa.float64())
+        return pa.table({"n_name": b.column("n_name"), "spend": s,
+                         "spend2": pc.multiply(s, s)})
+
+    sq = spend.map_batches(square, batch_format="pyarrow")
+    agg = grouped_agg(sq, ["n_name"], [("s", "spend", "sum"),
+                                       ("s2", "spend2", "sum")])
+
+    def finalize(b: pa.Table) -> pa.Table:
+        from ..stages.agg import round_like_duckdb
+
+        s = b.column("s")
+        hhi = pc.divide(b.column("s2"), pc.multiply(s, s))
+        return pa.table({
+            "n_name": b.column("n_name"),
+            "hhi": round_like_duckdb(hhi, 6),
+            "effective_n": round_like_duckdb(
+                pc.divide(pa.scalar(1.0, pa.float64()), hhi), 2),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+QUERIES["q_nation_spend_hhi"] = q_nation_spend_hhi
+ORACLE_SQL["q_nation_spend_hhi"] = """
+    WITH spend AS (
+        SELECT o_custkey, sum(o_totalprice) AS spend
+        FROM orders GROUP BY o_custkey
+    ), j AS (
+        SELECT n_name, spend
+        FROM spend
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation ON n_nationkey = c_nationkey
+    )
+    SELECT n_name,
+           round(sum(spend * spend) / (sum(spend) * sum(spend)), 6) AS hhi,
+           round(1.0 / (sum(spend * spend) / (sum(spend) * sum(spend))), 2)
+               AS effective_n
+    FROM j GROUP BY n_name
+"""
