@@ -8061,3 +8061,43 @@ ORACLE_SQL["q_nation_spend_hhi"] = """
                AS effective_n
     FROM j GROUP BY n_name
 """
+
+
+def q_customer_priority_scd2(sf_dir: str):
+    """SCD-type-2 dimension-history build: each customer's order-priority
+    regime as validity intervals — consecutive equal priorities collapse,
+    ``valid_to`` NULL + ``is_current`` on the open last regime.  One keyed
+    exchange + a single segmented change-detect/close kernel (the
+    warehouse history-table shape, vs the SQL lag-filter + lead-close
+    two-window build)."""
+    from ..stages.window import scd2_intervals
+
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderkey", "o_orderdate",
+                    "o_orderpriority"])
+    return scd2_intervals(orders, key="o_custkey", order_col="o_orderdate",
+                          tiebreak="o_orderkey", attr_col="o_orderpriority")
+
+
+QUERIES["q_customer_priority_scd2"] = q_customer_priority_scd2
+ORACLE_SQL["q_customer_priority_scd2"] = """
+    WITH s AS (
+        SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+               lag(o_orderpriority) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey) AS prev
+        FROM orders
+    ),
+    ch AS (
+        SELECT * FROM s WHERE prev IS NULL OR prev <> o_orderpriority
+    )
+    SELECT o_custkey, o_orderpriority,
+           o_orderdate AS valid_from,
+           lead(o_orderdate) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS valid_to,
+           lead(o_orderdate) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) IS NULL AS is_current
+    FROM ch
+"""

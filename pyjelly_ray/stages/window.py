@@ -781,3 +781,68 @@ def densify_days(ds, *, key: str, day: str, value: str,
             }
         ),
     )
+
+
+def scd2_intervals(ds, *, key: str, order_col: str, tiebreak: str,
+                   attr_col: str, valid_from: str = "valid_from",
+                   valid_to: str = "valid_to",
+                   current_flag: str = "is_current"):
+    """Build an SCD-type-2 history table from an event/fact stream:
+    consecutive equal ``attr_col`` runs per key collapse into validity
+    intervals ``[valid_from, valid_to)`` — ``valid_to`` NULL (and
+    ``current_flag`` true) on each key's open last regime.  Equivalent to
+    the SQL lag-change-filter + lead-close two-window build, but in ONE
+    keyed exchange with a single segmented kernel: sort by (key, order,
+    tiebreak), change rows = first-of-key ∪ attr≠prev, close each change
+    row with the next change's order value inside the same key.  A NULL
+    attr is treated as a distinct regime value (SQL's ``prev <>`` drops
+    NULL-attr rows instead — don't rely on parity for NULL attrs)."""
+    from .agg import _key_run_bounds
+
+    def part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                key: pa.array([], t.schema.field(key).type
+                              if key in t.column_names else pa.int64()),
+                attr_col: pa.array([], t.schema.field(attr_col).type
+                                   if attr_col in t.column_names
+                                   else pa.string()),
+                valid_from: pa.array([], t.schema.field(order_col).type
+                                     if order_col in t.column_names
+                                     else pa.timestamp("us")),
+                valid_to: pa.array([], t.schema.field(order_col).type
+                                   if order_col in t.column_names
+                                   else pa.timestamp("us")),
+                current_flag: pa.array([], pa.bool_()),
+            })
+        t = t.sort_by([(key, "ascending"), (order_col, "ascending"),
+                       (tiebreak, "ascending")])
+        bounds = _key_run_bounds(t, [key])
+        first_of_key = np.zeros(t.num_rows, bool)
+        first_of_key[bounds[:-1]] = True
+        codes = (t.column(attr_col).combine_chunks()
+                 .dictionary_encode().indices)
+        codes = pc.fill_null(codes, -1).to_numpy(zero_copy_only=False)
+        change = first_of_key.copy()
+        change[1:] |= codes[1:] != codes[:-1]
+        idx = np.flatnonzero(change)
+        # which key run each change row belongs to (for same-key closing)
+        run_id = np.searchsorted(bounds[:-1], idx, side="right") - 1
+        has_next = np.zeros(len(idx), bool)
+        has_next[:-1] = run_id[1:] == run_id[:-1]
+        next_idx = np.zeros(len(idx), np.int64)
+        next_idx[:-1] = idx[1:]
+        order_arr = t.column(order_col).combine_chunks()
+        vt = order_arr.take(pa.array(next_idx))
+        vt = pc.if_else(pa.array(has_next), vt,
+                        pa.scalar(None, order_arr.type))
+        rows = t.take(pa.array(idx))
+        return pa.table({
+            key: rows.column(key),
+            attr_col: rows.column(attr_col),
+            valid_from: rows.column(order_col),
+            valid_to: vt,
+            current_flag: pc.is_null(vt),
+        })
+
+    return grouped_map(ds, key, part, per_group=False)

@@ -3775,3 +3775,42 @@ def test_ks_two_sample_brute_force(ray_session):
     k = int(np.argmax(d))  # first max = smallest value tiebreak
     assert got.loc[0, "at_value"] == grid[k]
     assert abs(got.loc[0, "ks_d"] - d[k]) < 1e-9
+
+
+def test_scd2_intervals_brute_force(ray_session):
+    """scd2_intervals == per-key sequential change-collapse, incl. ties on
+    the order column (tiebreak total order), single-row keys, and a key
+    whose attr never changes."""
+    import pandas as pd
+    import ray
+
+    from pyjelly_ray.stages.window import scd2_intervals
+
+    rng = np.random.default_rng(41)
+    n = 500
+    df = pd.DataFrame({
+        "k": rng.integers(0, 8, n),
+        "o": rng.integers(0, 40, n),       # coarse → plenty of ties
+        "tb": np.arange(n),
+        "a": rng.choice(["x", "y", "z"], n),
+    })
+    got = (scd2_intervals(ray.data.from_pandas(df).repartition(6), key="k",
+                          order_col="o", tiebreak="tb", attr_col="a")
+           .to_pandas()
+           .sort_values(["k", "valid_from", "a"])  # valid_from ties can't
+           .reset_index(drop=True))                # collide within a key
+    rows = []
+    for k, sub in df.sort_values(["o", "tb"]).groupby("k"):
+        prev, pending = None, None
+        for _, r in sub.iterrows():
+            if prev is None or r["a"] != prev:
+                if pending is not None:
+                    pending["valid_to"] = r["o"]
+                    pending["is_current"] = False
+                pending = {"k": k, "a": r["a"], "valid_from": r["o"],
+                           "valid_to": None, "is_current": True}
+                rows.append(pending)
+            prev = r["a"]
+    exp = (pd.DataFrame(rows)
+           .sort_values(["k", "valid_from", "a"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
