@@ -8101,3 +8101,106 @@ ORACLE_SQL["q_customer_priority_scd2"] = """
                ORDER BY o_orderdate, o_orderkey) IS NULL AS is_current
     FROM ch
 """
+
+
+def q_doc_bm25(sf_dir: str):
+    """BM25 keyword ranking (k1=1.2, b=0.75) for a fixed 3-term query —
+    the full-text-search scoring shape: the token stream is pruned to the
+    query terms MAP-SIDE (only matching (doc, term) pairs ever reach an
+    exchange), document lengths ride a co-partitioned join, the 3-row
+    df/idf table broadcasts, and ranking uses the ROUNDED score with a
+    doc_id tiebreak so per-doc float summation order can't flip the
+    boundary.  Every arithmetic step mirrors the SQL's parse order
+    double-for-double."""
+    from ..stages.agg import round_like_duckdb
+
+    terms = ["join", "stream", "filter"]
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = float(docs.count())
+
+    def toks(b: pa.Table) -> pa.Table:
+        split = pc.split_pattern(b.column("text"), pattern=" ")
+        ids = pc.list_parent_indices(split)
+        return pa.table({"doc_id": b.column("doc_id").take(ids),
+                         "token": pc.list_flatten(split)})
+
+    exploded = docs.map_batches(toks, batch_format="pyarrow")
+    doclen = grouped_agg(exploded, ["doc_id"], [("len", "token", "count")],
+                         sum_as_float=False)
+    avglen = float(doclen.sum("len")) / n_docs
+
+    def only_terms(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b.column("token"),
+                                 value_set=pa.array(terms)))
+
+    qtf = grouped_agg(exploded.map_batches(only_terms, batch_format="pyarrow"),
+                      ["doc_id", "token"], [("tf", "token", "count")],
+                      sum_as_float=False)
+    df = grouped_agg(qtf, ["token"], [("df", "token", "count")],
+                     sum_as_float=False)
+    df = df.map_batches(
+        lambda b: pa.table({"t_key": b.column("token"),
+                            "df": pc.cast(b.column("df"), pa.int64())}),
+        batch_format="pyarrow",
+    )
+    j = broadcast_join(qtf, df, left_key="token", right_key="t_key",
+                       columns=["df"])
+    j = hash_join(j, doclen, left_key="doc_id", num_partitions=8)
+
+    def score(b: pa.Table) -> pa.Table:
+        tf = pc.cast(b.column("tf"), pa.float64())
+        dfv = pc.cast(b.column("df"), pa.float64())
+        ln_ = pc.cast(b.column("len"), pa.float64())
+        n = pa.scalar(n_docs, pa.float64())
+        half = pa.scalar(0.5, pa.float64())
+        idf = pc.ln(pc.add(
+            pa.scalar(1.0, pa.float64()),
+            pc.divide(pc.add(pc.subtract(n, dfv), half), pc.add(dfv, half)),
+        ))
+        # 0.25 + 0.75 * len / avglen  (SQL parse order)
+        norm = pc.add(
+            pa.scalar(0.25, pa.float64()),
+            pc.divide(pc.multiply(pa.scalar(0.75, pa.float64()), ln_),
+                      pa.scalar(avglen, pa.float64())),
+        )
+        den = pc.add(tf, pc.multiply(pa.scalar(1.2, pa.float64()), norm))
+        st = pc.divide(
+            pc.multiply(idf, pc.multiply(tf, pa.scalar(2.2, pa.float64()))),
+            den,
+        )
+        return pa.table({"doc_id": b.column("doc_id"), "st": st})
+
+    scored = j.map_batches(score, batch_format="pyarrow")
+    per_doc = grouped_agg(scored, ["doc_id"], [("bm25", "st", "sum")],
+                          round_to=6)
+    return global_topk(per_doc, ["bm25", "doc_id"], 10,
+                       descending=[True, False])
+
+
+QUERIES["q_doc_bm25"] = q_doc_bm25
+ORACLE_SQL["q_doc_bm25"] = """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY 1),
+    st AS (SELECT (SELECT count(*) FROM documents) * 1.0 AS n,
+                  (SELECT sum(len) FROM dl)
+                      / ((SELECT count(*) FROM documents) * 1.0) AS avglen),
+    qtf AS (
+        SELECT doc_id, token, count(*) AS tf FROM toks
+        WHERE token IN ('join', 'stream', 'filter') GROUP BY 1, 2
+    ),
+    df AS (SELECT token, count(*) AS df FROM qtf GROUP BY 1),
+    sc AS (
+        SELECT doc_id,
+               sum(ln(1 + ((SELECT n FROM st) - df + 0.5) / (df + 0.5))
+                   * (tf * 2.2)
+                   / (tf + 1.2 * (0.25 + 0.75 * len
+                                  / (SELECT avglen FROM st)))) AS score
+        FROM qtf JOIN df USING (token) JOIN dl USING (doc_id)
+        GROUP BY 1
+    )
+    SELECT doc_id, round(score, 6) AS bm25
+    FROM sc ORDER BY round(score, 6) DESC, doc_id LIMIT 10
+"""
