@@ -8204,3 +8204,27 @@ ORACLE_SQL["q_doc_bm25"] = """
     SELECT doc_id, round(score, 6) AS bm25
     FROM sc ORDER BY round(score, 6) DESC, doc_id LIMIT 10
 """
+
+
+# Upgrade q_events_value_ewma from rows-only to a full oracle: the
+# recurrence y_i = (1-a)·y_{i-1} + a·x_i IS SQL-expressible as a recursive
+# CTE stepping on per-user row_number (depth = the longest per-user series,
+# ≤ ~100 at these scales).  The engine's closed-form kernel differs from
+# the sequential op order only below the round-6 output precision (pinned
+# vs pandas by test_ewma_matches_pandas).
+ORACLE_SQL["q_events_value_ewma"] = """
+    WITH RECURSIVE s AS (
+        SELECT event_id, user_id, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    r AS (
+        SELECT event_id, user_id, rn, value * 1.0 AS y FROM s WHERE rn = 1
+        UNION ALL
+        SELECT s.event_id, s.user_id, s.rn,
+               (1 - 0.3) * r.y + 0.3 * s.value
+        FROM r JOIN s ON s.user_id = r.user_id AND s.rn = r.rn + 1
+    )
+    SELECT event_id, user_id, round(y, 6) AS value_ewma FROM r
+"""
