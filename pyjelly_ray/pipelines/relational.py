@@ -8280,3 +8280,19 @@ ORACLE_SQL["q_lineitem_corr_matrix"] = """
     UNION ALL SELECT 'l_discount', 'l_tax',
            round(corr(l_discount, l_tax), 6) FROM lineitem
 """
+
+
+def q_supply_kcore(sf_dir: str):
+    """3-core of the bipartite supplier-part supply graph: iteratively
+    peel suppliers/parts with fewer than 3 distinct counterparties until
+    the dense backbone remains (the denoising filter before clustering a
+    dedup/similarity graph).  Rows-only: fixpoint deletion has no
+    recursive-CTE formulation; the peel is pinned == a sequential
+    reference by `test_kcore_brute_force`."""
+    from ..stages.graph import kcore
+
+    li = _read(sf_dir, "lineitem", ["l_suppkey", "l_partkey"])
+    return kcore(li, src="l_suppkey", dst="l_partkey", k=3)
+
+
+QUERIES["q_supply_kcore"] = q_supply_kcore

@@ -544,3 +544,44 @@ def bfs_distances(edges, sources, *, src: str = "src", dst: str = "dst",
             break
 
     return labels
+
+
+def kcore(edges, *, src: str = "src", dst: str = "dst", k: int = 2,
+          max_rounds: int = 100):
+    """k-core decomposition of a BIPARTITE graph: iteratively peel nodes
+    of degree < k on either side until a fixpoint — the classic
+    density/denoising filter before community detection or dedup-graph
+    clustering.  Each round is two combiner-exchange degree counts + two
+    broadcast semi-filters over the (shrinking, materialized) edge set;
+    rounds are O(peel depth), convergence is one scalar ``count()`` read
+    per round (the same driver-loop discipline as :func:`pagerank`).
+    Returns the surviving edges.  Inputs are deduped first so degree =
+    distinct-neighbor count."""
+    from ..stages.agg import grouped_agg
+    from ..stages.joins import broadcast_semi
+
+    cur = grouped_agg(edges, [src, dst], [("__n", src, "count")]).map_batches(
+        lambda b: b.select([src, dst]), batch_format="pyarrow"
+    ).materialize()
+    n = cur.count()
+    for _ in range(max_rounds):
+        if n == 0:
+            break
+        def deg_ge_k(b: pa.Table) -> pa.Table:
+            return b.filter(pc.greater_equal(
+                pc.cast(b.column("d"), pa.int64()), pa.scalar(k, pa.int64())))
+
+        sdeg = grouped_agg(cur, [src], [("d", src, "count")],
+                           sum_as_float=False)
+        skeep = sdeg.map_batches(deg_ge_k, batch_format="pyarrow")
+        ddeg = grouped_agg(cur, [dst], [("d", dst, "count")],
+                           sum_as_float=False)
+        dkeep = ddeg.map_batches(deg_ge_k, batch_format="pyarrow")
+        nxt = broadcast_semi(cur, skeep, left_key=src, right_key=src)
+        nxt = broadcast_semi(nxt, dkeep, left_key=dst, right_key=dst)
+        nxt = nxt.materialize()
+        n2 = nxt.count()
+        if n2 == n:
+            return nxt
+        cur, n = nxt, n2
+    return cur

@@ -3814,3 +3814,35 @@ def test_scd2_intervals_brute_force(ray_session):
     exp = (pd.DataFrame(rows)
            .sort_values(["k", "valid_from", "a"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_kcore_brute_force(ray_session):
+    """kcore == sequential peel on a bipartite random graph, incl. a
+    dense core that must survive and pendant chains that must peel."""
+    import pandas as pd
+    import ray
+
+    from pyjelly_ray.stages.graph import kcore
+
+    rng = np.random.default_rng(47)
+    # dense core: 5 src × 5 dst complete bipartite; plus random sparse fringe
+    core = [(s, d) for s in range(5) for d in range(5)]
+    fringe = {(int(rng.integers(0, 30)), int(rng.integers(0, 30)))
+              for _ in range(120)}
+    edges = sorted(set(core) | fringe)
+    df = pd.DataFrame(edges, columns=["src", "dst"])
+    got = (kcore(ray.data.from_pandas(df).repartition(5), k=3)
+           .to_pandas().sort_values(["src", "dst"]).reset_index(drop=True))
+    # sequential peel
+    cur = set(map(tuple, edges))
+    while True:
+        from collections import Counter
+        sd, dd = Counter(e[0] for e in cur), Counter(e[1] for e in cur)
+        nxt = {e for e in cur if sd[e[0]] >= 3 and dd[e[1]] >= 3}
+        if nxt == cur:
+            break
+        cur = nxt
+    exp = (pd.DataFrame(sorted(cur), columns=["src", "dst"])
+           .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert len(cur) >= 25  # the complete core survives
