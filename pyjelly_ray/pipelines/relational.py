@@ -8296,3 +8296,43 @@ def q_supply_kcore(sf_dir: str):
 
 
 QUERIES["q_supply_kcore"] = q_supply_kcore
+
+
+def q_orders_profile(sf_dir: str):
+    """Dataset profiling report over five orders columns — row count, NULL
+    count, exact distinct count, numeric min/max per column in long
+    format.  Rows/NULLs/min/max fold in ONE partial pass; each exact
+    distinct count is a distinct-value combiner pipeline (the "profile the
+    table before building on it" shape)."""
+    from ..stages.validate import profile_table
+
+    cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus",
+            "o_orderpriority"]
+    orders = _read(sf_dir, "orders", cols)
+    return profile_table(orders, cols, round_to=2)
+
+
+QUERIES["q_orders_profile"] = q_orders_profile
+ORACLE_SQL["q_orders_profile"] = """
+    SELECT 'o_orderkey' AS column, count(*) AS n,
+           count(*) - count(o_orderkey) AS n_null,
+           count(DISTINCT o_orderkey) AS n_distinct,
+           round(min(o_orderkey) * 1.0, 2) AS min_num,
+           round(max(o_orderkey) * 1.0, 2) AS max_num FROM orders
+    UNION ALL
+    SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+           count(DISTINCT o_custkey),
+           round(min(o_custkey) * 1.0, 2), round(max(o_custkey) * 1.0, 2)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+           count(DISTINCT o_totalprice),
+           round(min(o_totalprice), 2), round(max(o_totalprice), 2)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+           count(DISTINCT o_orderstatus), NULL, NULL FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+           count(DISTINCT o_orderpriority), NULL, NULL FROM orders
+"""

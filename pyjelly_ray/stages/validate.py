@@ -353,3 +353,76 @@ def drift_psi_report(ds, col: str, side_col: str, *, n_bins: int = 10,
 
     return grouped_map(counts.map_batches(add_g, batch_format="pyarrow"),
                        "__g", finalize, per_group=False)
+
+
+def profile_table(ds, columns: list[str], *, round_to: int = 2):
+    """One-pass dataset profile — the "look at the data first" report every
+    pipeline starts with: per column, row count, NULL count, exact distinct
+    count, and numeric min/max (NULL for non-numeric columns).  Rows /
+    NULLs / min / max all fold in ONE map_batches partial pass (≤ |columns|
+    rows per block) merged by a tiny per-column exchange; each exact
+    distinct count is its own distinct-value combiner pipeline whose
+    1-scalar result lands driver-side (|columns| small by definition).
+    Returns long format ``(column, n, n_null, n_distinct, min_num,
+    max_num)``."""
+    import numpy as np
+
+    from .agg import grouped_agg, round_like_duckdb
+
+    def partial(b: pa.Table) -> pa.Table:
+        rows = {"column": [], "n": [], "n_null": [],
+                "min_num": [], "max_num": []}
+        for c in columns:
+            arr = b.column(c)
+            rows["column"].append(c)
+            rows["n"].append(b.num_rows)
+            rows["n_null"].append(arr.null_count)
+            if pa.types.is_integer(arr.type) or pa.types.is_floating(arr.type):
+                f = pc.cast(arr, pa.float64())
+                rows["min_num"].append(pc.min(f).as_py())
+                rows["max_num"].append(pc.max(f).as_py())
+            else:
+                rows["min_num"].append(None)
+                rows["max_num"].append(None)
+        return pa.table({
+            "column": pa.array(rows["column"], pa.string()),
+            "n": pa.array(rows["n"], pa.int64()),
+            "n_null": pa.array(rows["n_null"], pa.int64()),
+            "min_num": pa.array(rows["min_num"], pa.float64()),
+            "max_num": pa.array(rows["max_num"], pa.float64()),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    merged = grouped_agg(partials, ["column"], [
+        ("n", "n", "sum"),
+        ("n_null", "n_null", "sum"),
+        ("min_num", "min_num", "min"),
+        ("max_num", "max_num", "max"),
+    ], sum_as_float=False)
+
+    # exact distinct per column: the distinct-value combiner collapses each
+    # block to its distinct values, the exchange merges, count() is the
+    # 1-scalar read (NULL counts as a distinct value in SQL COUNT(DISTINCT)?
+    # no — SQL drops NULL; mirror that with drop_null map-side).
+    nd = {}
+    for c in columns:
+        def proj(b: pa.Table, c=c) -> pa.Table:
+            return pa.table({c: b.column(c).drop_null()})
+
+        dvals = grouped_agg(ds.map_batches(proj, batch_format="pyarrow"),
+                            [c], [("__c", c, "count")])
+        nd[c] = int(dvals.count())
+
+    def finalize(b: pa.Table) -> pa.Table:
+        ndist = pa.array([nd[c] for c in b.column("column").to_pylist()],
+                         pa.int64())
+        return pa.table({
+            "column": b.column("column"),
+            "n": pc.cast(b.column("n"), pa.int64()),
+            "n_null": pc.cast(b.column("n_null"), pa.int64()),
+            "n_distinct": ndist,
+            "min_num": round_like_duckdb(b.column("min_num"), round_to),
+            "max_num": round_like_duckdb(b.column("max_num"), round_to),
+        })
+
+    return merged.map_batches(finalize, batch_format="pyarrow")
