@@ -8336,3 +8336,80 @@ ORACLE_SQL["q_orders_profile"] = """
     SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
            count(DISTINCT o_orderpriority), NULL, NULL FROM orders
 """
+
+
+def q_part_abc_classes(sf_dir: str):
+    """ABC / Pareto inventory classification: parts ranked by revenue,
+    classified A (cumulative share ≤ 80%), B (≤ 95%), C (rest), then a
+    per-class rollup — range sort (global block order) + one global
+    prefix-sum pass instead of a single-node window, so the classification
+    scales with partitions.  Cumulative shares are computed in the SQL's
+    exact double order (same running-sum sequence), so class boundaries
+    agree row-for-row."""
+    from ..stages.agg import round_like_duckdb
+    from ..stages.sort import global_prefix_sums, range_sort
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice",
+                                    "l_discount"])
+
+    def rev(b: pa.Table) -> pa.Table:
+        r = pc.multiply(
+            b.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0, pa.float64()),
+                        b.column("l_discount")),
+        )
+        return pa.table({"l_partkey": b.column("l_partkey"), "r": r})
+
+    per_part = grouped_agg(li.map_batches(rev, batch_format="pyarrow"),
+                           ["l_partkey"], [("revenue", "r", "sum")])
+    total = float(per_part.sum("revenue"))
+    s = range_sort(per_part, "revenue", descending=True,
+                   tiebreak=["l_partkey"])
+    s = global_prefix_sums(s, "revenue", out_name="__cum", exclusive=False)
+
+    def classify(b: pa.Table) -> pa.Table:
+        share = pc.divide(b.column("__cum"),
+                          pa.scalar(total, pa.float64()))
+        cls = pc.if_else(
+            pc.less_equal(share, pa.scalar(0.8, pa.float64())),
+            pa.scalar("A"),
+            pc.if_else(pc.less_equal(share, pa.scalar(0.95, pa.float64())),
+                       pa.scalar("B"), pa.scalar("C")),
+        )
+        return pa.table({"abc": cls, "revenue": b.column("revenue")})
+
+    classed = s.map_batches(classify, batch_format="pyarrow")
+    out = grouped_agg(classed, ["abc"], [("n_parts", "revenue", "count"),
+                                         ("class_revenue", "revenue", "sum")],
+                      sum_as_float=False)
+    return out.map_batches(
+        lambda b: pa.table({
+            "abc": b.column("abc"),
+            "n_parts": pc.cast(b.column("n_parts"), pa.int64()),
+            "class_revenue": round_like_duckdb(
+                pc.cast(b.column("class_revenue"), pa.float64()), 2),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+QUERIES["q_part_abc_classes"] = q_part_abc_classes
+ORACLE_SQL["q_part_abc_classes"] = """
+    WITH pr AS (
+        SELECT l_partkey,
+               sum(l_extendedprice * (1.0 - l_discount)) AS revenue
+        FROM lineitem GROUP BY l_partkey
+    ),
+    t AS (SELECT sum(revenue) AS total FROM pr),
+    c AS (
+        SELECT revenue,
+               sum(revenue) OVER (ORDER BY revenue DESC, l_partkey)
+                   / (SELECT total FROM t) AS share
+        FROM pr
+    )
+    SELECT CASE WHEN share <= 0.8 THEN 'A'
+                WHEN share <= 0.95 THEN 'B' ELSE 'C' END AS abc,
+           count(*) AS n_parts,
+           round(sum(revenue), 2) AS class_revenue
+    FROM c GROUP BY 1
+"""
