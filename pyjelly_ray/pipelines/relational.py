@@ -170,23 +170,53 @@ def q_mktsegment_stats(sf_dir: str):
 
 
 def q_supplier_region_stats(sf_dir: str):
-    """Supplier balances per region: two chained broadcast dims + min/max agg."""
+    """Supplier balances per region: two chained broadcast dims + min/max
+    agg.  The mean is computed from an EXACT integer-cents sum (divided
+    once at the end): a float mean of 2-decimal money can land exactly on
+    a .xx5 rounding boundary (sf0.1 AMERICA does: 846035.10/180 =
+    4700.195), where summation order decides the last cent — integer
+    cents make it order-independent on both the Ray and SQL sides."""
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"])
     region = _read(sf_dir, "region", ["r_regionkey", "r_name"])
     supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey", "s_acctbal"])
     supp = broadcast_join(supp, nation, left_key="s_nationkey", right_key="n_nationkey", columns=["n_regionkey"])
     supp = broadcast_join(supp, region, left_key="n_regionkey", right_key="r_regionkey", columns=["r_name"])
-    return grouped_agg(
-        supp,
+
+    def cents(b: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(
+            b.column("s_acctbal"), pa.scalar(100.0, pa.float64()))),
+            pa.int64())
+        return b.append_column("__cents", c)
+
+    agg = grouped_agg(
+        supp.map_batches(cents, batch_format="pyarrow"),
         ["r_name"],
         [
             ("n_suppliers", "s_acctbal", "count"),
             ("min_acctbal", "s_acctbal", "min"),
             ("max_acctbal", "s_acctbal", "max"),
-            ("avg_acctbal", "s_acctbal", "mean"),
+            ("cents_sum", "__cents", "sum"),
         ],
         round_to=2,
+        sum_as_float=False,
     )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        from ..stages.agg import round_like_duckdb
+
+        n = pc.cast(b.column("n_suppliers"), pa.float64())
+        avg = pc.divide(
+            pc.divide(pc.cast(b.column("cents_sum"), pa.float64()),
+                      pa.scalar(100.0, pa.float64())), n)
+        return pa.table({
+            "r_name": b.column("r_name"),
+            "n_suppliers": pc.cast(b.column("n_suppliers"), pa.int64()),
+            "min_acctbal": b.column("min_acctbal"),
+            "max_acctbal": b.column("max_acctbal"),
+            "avg_acctbal": round_like_duckdb(avg, 2),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
 
 
 def q_high_value_orders(sf_dir: str):
@@ -1190,7 +1220,8 @@ ORACLE_SQL: dict[str, str] = {
         SELECT r_name, count(*) AS n_suppliers,
                round(min(s_acctbal), 2) AS min_acctbal,
                round(max(s_acctbal), 2) AS max_acctbal,
-               round(avg(s_acctbal), 2) AS avg_acctbal
+               round(sum(CAST(round(s_acctbal * 100.0) AS BIGINT))
+                     / 100.0 / count(*), 2) AS avg_acctbal
         FROM supplier
         JOIN nation ON n_nationkey = s_nationkey
         JOIN region ON r_regionkey = n_regionkey
@@ -8412,4 +8443,54 @@ ORACLE_SQL["q_part_abc_classes"] = """
            count(*) AS n_parts,
            round(sum(revenue), 2) AS class_revenue
     FROM c GROUP BY 1
+"""
+
+
+def q_purchase_calibration_curve(sf_dir: str):
+    """Model-calibration readout (reliability diagram): treating each
+    event's value as a pseudo-score for "is this a purchase", bucket
+    scores into 10 fixed-width bins and report mean score vs observed
+    positive rate per bin — binning, the indicator, and both means are all
+    map-side partials on ONE combiner exchange (the ML-eval companion to
+    the ROC-AUC queries)."""
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def project(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("value")))
+        v = b.column("value")
+        # fixed-width bins over [0, 100): floor(v/10) clamped to 9
+        bin_ = pc.cast(pc.floor(pc.divide(v, pa.scalar(10.0, pa.float64()))),
+                       pa.int64())
+        bin_ = pc.min_element_wise(pc.max_element_wise(
+            bin_, pa.scalar(0, pa.int64())), pa.scalar(9, pa.int64()))
+        y = pc.cast(pc.equal(b.column("event_type"), pa.scalar("purchase")),
+                    pa.int64())
+        return pa.table({"bin": bin_, "score": v, "y": y})
+
+    proj = ev.map_batches(project, batch_format="pyarrow")
+    agg = grouped_agg(proj, ["bin"], [
+        ("n", "score", "count"),
+        ("mean_score", "score", "mean"),
+        ("positive_rate", "y", "mean"),
+    ], round_to=6)
+    return agg.map_batches(
+        lambda b: b.set_column(b.schema.get_field_index("n"), "n",
+                               pc.cast(b.column("n"), pa.int64())),
+        batch_format="pyarrow",
+    )
+
+
+QUERIES["q_purchase_calibration_curve"] = q_purchase_calibration_curve
+ORACLE_SQL["q_purchase_calibration_curve"] = """
+    WITH s AS (
+        SELECT least(greatest(CAST(floor(value / 10.0) AS BIGINT), 0), 9)
+                   AS bin,
+               value AS score,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events WHERE value IS NOT NULL
+    )
+    SELECT bin, count(score) AS n,
+           round(avg(score), 6) AS mean_score,
+           round(avg(y * 1.0), 6) AS positive_rate
+    FROM s GROUP BY bin
 """
