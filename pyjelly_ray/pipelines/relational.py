@@ -8494,3 +8494,97 @@ ORACLE_SQL["q_purchase_calibration_curve"] = """
            round(avg(y * 1.0), 6) AS positive_rate
     FROM s GROUP BY bin
 """
+
+
+def q_weekly_trending_types(sf_dir: str):
+    """Trending report: weekly event-type ranks (by count, deterministic
+    name tiebreak) with each type's rank movement vs the PREVIOUS week —
+    the leaderboard-delta shape.  Counts are one combiner exchange; the
+    per-week ranking is a keyed running row_number over negated count;
+    last week's rank comes back via a broadcast self-join on (week−1,
+    type) — the small aggregate table moves, never the event stream."""
+    from ..stages.window import grouped_running
+
+    ev = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def week_of(b: pa.Table) -> pa.Table:
+        us = pc.cast(b.column("ts"), pa.int64())
+        week = pc.divide(us, pa.scalar(604_800_000_000, pa.int64()))
+        return pa.table({"week": week, "event_type": b.column("event_type")})
+
+    weeks = ev.map_batches(week_of, batch_format="pyarrow")
+    counts = grouped_agg(weeks, ["week", "event_type"],
+                         [("n", "event_type", "count")], sum_as_float=False)
+
+    def neg(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "__neg_n", pc.multiply(pc.cast(b.column("n"), pa.int64()),
+                                   pa.scalar(-1, pa.int64())))
+
+    ranked = grouped_running(
+        counts.map_batches(neg, batch_format="pyarrow"),
+        key="week", order_col="__neg_n", value_col="__neg_n",
+        kinds=[("rank", "row_number")], tiebreak="event_type",
+    )
+
+    def clean(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "week": b.column("week"),
+            "event_type": b.column("event_type"),
+            "n": pc.cast(b.column("n"), pa.int64()),
+            "rank": pc.cast(b.column("rank"), pa.int64()),
+        })
+
+    ranked = ranked.map_batches(clean, batch_format="pyarrow")
+
+    def with_key(week_col: str, shift: int):
+        def f(b: pa.Table) -> pa.Table:
+            wk = pc.add(b.column(week_col), pa.scalar(shift, pa.int64()))
+            k = pc.binary_join_element_wise(
+                pc.cast(wk, pa.string()), b.column("event_type"), "|")
+            return b.append_column("__k" if shift == 0 else "__pk",
+                                   k)
+        return f
+
+    keyed = ranked.map_batches(with_key("week", 0), batch_format="pyarrow")
+    prev = ranked.map_batches(with_key("week", 1), batch_format="pyarrow")
+    prev = prev.map_batches(
+        lambda b: pa.table({"__pk": b.column("__pk"),
+                            "prev_rank": b.column("rank")}),
+        batch_format="pyarrow",
+    )
+    j = broadcast_join(keyed, prev, left_key="__k", right_key="__pk",
+                       columns=["prev_rank"], how="left outer")
+
+    def delta(b: pa.Table) -> pa.Table:
+        d = pc.subtract(b.column("prev_rank"), b.column("rank"))
+        return pa.table({
+            "week": b.column("week"),
+            "event_type": b.column("event_type"),
+            "n": b.column("n"),
+            "rank": b.column("rank"),
+            "rank_delta": d,
+        })
+
+    return j.map_batches(delta, batch_format="pyarrow")
+
+
+QUERIES["q_weekly_trending_types"] = q_weekly_trending_types
+ORACLE_SQL["q_weekly_trending_types"] = """
+    WITH w AS (
+        SELECT CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS week,
+               event_type
+        FROM events
+    ),
+    c AS (SELECT week, event_type, count(*) AS n FROM w GROUP BY 1, 2),
+    r AS (
+        SELECT week, event_type, n,
+               row_number() OVER (PARTITION BY week
+                                  ORDER BY n DESC, event_type) AS rank
+        FROM c
+    )
+    SELECT r.week, r.event_type, r.n, r.rank,
+           p.rank - r.rank AS rank_delta
+    FROM r LEFT JOIN r p
+      ON p.week = r.week - 1 AND p.event_type = r.event_type
+"""
