@@ -8588,3 +8588,82 @@ ORACLE_SQL["q_weekly_trending_types"] = """
     FROM r LEFT JOIN r p
       ON p.week = r.week - 1 AND p.event_type = r.event_type
 """
+
+
+def q_cohort_ltv_curve(sf_dir: str):
+    """Cohort LTV curve: cumulative event value per cohort USER by week
+    offset — the "how much is a week-N user worth so far" readout.
+    First-activity week is a keyed MIN broadcast back over the stream
+    (users ≪ events); per-(cohort, offset) value sums are one combiner
+    exchange; the running accumulation is a keyed cumsum over the TINY
+    cell table; cohort sizes ride a second small broadcast."""
+    from ..stages.agg import grouped_count_distinct, round_like_duckdb
+    from ..stages.window import grouped_running
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def week_of(b: pa.Table) -> pa.Table:
+        us = pc.cast(b.column("ts"), pa.int64())
+        week = pc.divide(us, pa.scalar(604_800_000_000, pa.int64()))
+        return pa.table({"user_id": b.column("user_id"), "week": week,
+                         "value": b.column("value")})
+
+    weeks = ev.map_batches(week_of, batch_format="pyarrow")
+    first = grouped_agg(weeks, ["user_id"], [("cohort_week", "week", "min")])
+    withc = broadcast_join(weeks, first, left_key="user_id",
+                           right_key="user_id", columns=["cohort_week"])
+
+    def offset(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "cohort_week": b.column("cohort_week"),
+            "week_offset": pc.subtract(b.column("week"),
+                                       b.column("cohort_week")),
+            "value": b.column("value"),
+        })
+
+    cells = grouped_agg(
+        withc.map_batches(offset, batch_format="pyarrow"),
+        ["cohort_week", "week_offset"], [("v", "value", "sum")],
+    )
+    run = grouped_running(cells, key="cohort_week", order_col="week_offset",
+                          value_col="v", kinds=[("cum_v", "cumsum")])
+    sizes = grouped_count_distinct(first, ["cohort_week"], "user_id",
+                                   out_name="cohort_users")
+    j = broadcast_join(run, sizes, left_key="cohort_week",
+                       right_key="cohort_week", columns=["cohort_users"])
+
+    def finalize(b: pa.Table) -> pa.Table:
+        ltv = pc.divide(b.column("cum_v"),
+                        pc.cast(b.column("cohort_users"), pa.float64()))
+        return pa.table({
+            "cohort_week": b.column("cohort_week"),
+            "week_offset": b.column("week_offset"),
+            "cohort_users": pc.cast(b.column("cohort_users"), pa.int64()),
+            "ltv_per_user": round_like_duckdb(ltv, 6),
+        })
+
+    return j.map_batches(finalize, batch_format="pyarrow")
+
+
+QUERIES["q_cohort_ltv_curve"] = q_cohort_ltv_curve
+ORACLE_SQL["q_cohort_ltv_curve"] = """
+    WITH w AS (
+        SELECT user_id,
+               CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS week,
+               value
+        FROM events
+    ),
+    f AS (SELECT user_id, min(week) AS cohort_week FROM w GROUP BY user_id),
+    cells AS (
+        SELECT f.cohort_week, w.week - f.cohort_week AS week_offset,
+               sum(w.value) AS v
+        FROM w JOIN f ON w.user_id = f.user_id
+        GROUP BY 1, 2
+    ),
+    sz AS (SELECT cohort_week, count(*) AS cohort_users FROM f GROUP BY 1)
+    SELECT c.cohort_week, c.week_offset, sz.cohort_users,
+           round(sum(c.v) OVER (PARTITION BY c.cohort_week
+                                ORDER BY c.week_offset)
+                 / sz.cohort_users, 6) AS ltv_per_user
+    FROM cells c JOIN sz USING (cohort_week)
+"""
