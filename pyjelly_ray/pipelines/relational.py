@@ -8667,3 +8667,105 @@ ORACLE_SQL["q_cohort_ltv_curve"] = """
                  / sz.cohort_users, 6) AS ltv_per_user
     FROM cells c JOIN sz USING (cohort_week)
 """
+
+
+def q_user_lifetime_km(sf_dir: str):
+    """Kaplan-Meier survival curve over user lifetimes (days between first
+    and last activity; every user an observed event, no censoring in this
+    data): S(t) = Π_{tᵢ≤t} (1 − dᵢ/nᵢ) — the retention-survival staple.
+    Distributed exactly: per-user lifetime is one keyed aggregate, the
+    per-time death counts one combiner exchange, and BOTH running terms
+    (at-risk nᵢ via an exclusive prefix sum, Σln(1−d/n) via an inclusive
+    one) ride `range_sort` + `global_prefix_sums` — no single-node window.
+    The ln/exp/divide sequence matches the SQL's double ops, so the curve
+    is cell-exact."""
+    from ..stages.agg import round_like_duckdb
+    from ..stages.sort import global_prefix_sums, range_sort
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    life = grouped_agg(ev, ["user_id"], [("first_ts", "ts", "min"),
+                                         ("last_ts", "ts", "max")])
+
+    def days_of(b: pa.Table) -> pa.Table:
+        us0 = pc.cast(b.column("first_ts"), pa.int64())
+        us1 = pc.cast(b.column("last_ts"), pa.int64())
+        d = pc.divide(pc.subtract(us1, us0),
+                      pa.scalar(86_400_000_000, pa.int64()))
+        return pa.table({"days": d})
+
+    lifetimes = life.map_batches(days_of, batch_format="pyarrow")
+    total = float(lifetimes.count())
+    deaths = grouped_agg(lifetimes, ["days"], [("d_events", "days", "count")],
+                         sum_as_float=False)
+    s = range_sort(deaths, "days")
+    s = global_prefix_sums(s, "d_events", out_name="__before",
+                           exclusive=True)
+
+    def factor(b: pa.Table) -> pa.Table:
+        d = pc.cast(b.column("d_events"), pa.float64())
+        n = pc.subtract(pa.scalar(total, pa.float64()),
+                        b.column("__before"))
+        f = pc.subtract(pa.scalar(1.0, pa.float64()), pc.divide(d, n))
+        lnf = pc.if_else(pc.greater(f, pa.scalar(0.0, pa.float64())),
+                         pc.ln(pc.max_element_wise(
+                             f, pa.scalar(1e-300, pa.float64()))),
+                         pa.scalar(0.0, pa.float64()))
+        return pa.table({
+            "days": b.column("days"),
+            "n_at_risk": pc.cast(n, pa.int64()),
+            "d_events": pc.cast(b.column("d_events"), pa.int64()),
+            "__f": f,
+            "__lnf": lnf,
+        })
+
+    s2 = s.map_batches(factor, batch_format="pyarrow")
+    s2 = global_prefix_sums(s2, "__lnf", out_name="__lnsum",
+                            exclusive=False)
+
+    def finalize(b: pa.Table) -> pa.Table:
+        surv = pc.if_else(
+            pc.equal(b.column("__f"), pa.scalar(0.0, pa.float64())),
+            pa.scalar(0.0, pa.float64()),
+            pc.exp(b.column("__lnsum")),
+        )
+        return pa.table({
+            "days": b.column("days"),
+            "n_at_risk": b.column("n_at_risk"),
+            "d_events": b.column("d_events"),
+            "survival": round_like_duckdb(surv, 6),
+        })
+
+    return s2.map_batches(finalize, batch_format="pyarrow")
+
+
+QUERIES["q_user_lifetime_km"] = q_user_lifetime_km
+ORACLE_SQL["q_user_lifetime_km"] = """
+    WITH l AS (
+        SELECT user_id,
+               CAST((epoch_us(max(ts)) - epoch_us(min(ts)))
+                    // 86400000000 AS BIGINT) AS days
+        FROM events GROUP BY user_id
+    ),
+    t AS (SELECT count(*) * 1.0 AS total FROM l),
+    d AS (SELECT days, count(*) AS d_events FROM l GROUP BY days),
+    c AS (
+        SELECT days, d_events,
+               (SELECT total FROM t)
+                   - coalesce(sum(d_events) OVER (ORDER BY days
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS n
+        FROM d
+    ),
+    f AS (
+        SELECT days, d_events, n,
+               1.0 - d_events * 1.0 / n AS f
+        FROM c
+    )
+    SELECT days, CAST(n AS BIGINT) AS n_at_risk,
+           d_events,
+           CASE WHEN f = 0 THEN 0.0
+                ELSE round(exp(sum(CASE WHEN f > 0 THEN ln(f) ELSE 0 END)
+                               OVER (ORDER BY days)), 6)
+           END AS survival
+    FROM f
+"""
