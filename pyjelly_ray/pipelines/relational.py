@@ -8769,3 +8769,46 @@ ORACLE_SQL["q_user_lifetime_km"] = """
            END AS survival
     FROM f
 """
+
+
+def q_event_type_ucb(sf_dir: str):
+    """Multi-armed-bandit readout: per event-type ("arm") mean reward and
+    UCB1 upper confidence bound mean + √(2·ln N / n) — the
+    explore/exploit priority score, entirely from ONE mergeable combiner
+    pass (n, Σx per arm) plus the global-N scalar; the bound's double ops
+    mirror the SQL exactly."""
+    from ..stages.agg import round_like_duckdb
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+    n_total = float(ev.count())
+    agg = grouped_agg(ev, ["event_type"], [("n", "value", "count"),
+                                           ("mean_reward", "value", "mean")],
+                      round_to=None)
+
+    def finalize(b: pa.Table) -> pa.Table:
+        n = pc.cast(b.column("n"), pa.float64())
+        bonus = pc.sqrt(pc.divide(
+            pc.multiply(pa.scalar(2.0, pa.float64()),
+                        pa.scalar(np.log(n_total), pa.float64())),
+            n))
+        return pa.table({
+            "event_type": b.column("event_type"),
+            "n": pc.cast(b.column("n"), pa.int64()),
+            "mean_reward": round_like_duckdb(b.column("mean_reward"), 6),
+            "ucb1": round_like_duckdb(
+                pc.add(b.column("mean_reward"), bonus), 6),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+QUERIES["q_event_type_ucb"] = q_event_type_ucb
+ORACLE_SQL["q_event_type_ucb"] = """
+    WITH t AS (SELECT count(*) * 1.0 AS n_total FROM events)
+    SELECT event_type, count(*) AS n,
+           round(avg(value), 6) AS mean_reward,
+           round(avg(value)
+                 + sqrt(2.0 * ln((SELECT n_total FROM t)) / count(*)), 6)
+               AS ucb1
+    FROM events GROUP BY event_type
+"""
