@@ -8812,3 +8812,127 @@ ORACLE_SQL["q_event_type_ucb"] = """
                AS ucb1
     FROM events GROUP BY event_type
 """
+
+
+def q_purchase_position_attribution(sf_dir: str):
+    """Position-based (U-shaped) multi-touch attribution: every purchase's
+    revenue splits 40% to the first touch, 40% to the last, 20% spread
+    over the middles (k=1 → 100%, k=2 → 50/50) across the 7 days strictly
+    before the purchase.  The purchase×touch pairs come from the
+    co-partitioned interval join (searchsorted band per user — never a
+    global cross join); per-purchase weights are one segmented kernel;
+    channel credit is one combiner exchange.  Credit is rounded at 6dp —
+    exact-decimal credits (0.4/0.5/0.25·2dp money) sum to ≤5dp decimals,
+    which can sit exactly ON a 2dp rounding boundary but never on a 6dp
+    one, so the oracle compare is deterministic."""
+    from ..stages.agg import grouped_map, round_like_duckdb
+
+    ev = _read(sf_dir, "events",
+               ["event_id", "user_id", "ts", "event_type", "value"])
+    week_us = 7 * 86_400 * 1_000_000
+
+    def purchases(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b.column("event_type"), pa.scalar("purchase")))
+        pts = pc.cast(b.column("ts"), pa.int64())
+        return pa.table({
+            "pid": b.column("event_id"),
+            "user_id": b.column("user_id"),
+            "w_start": pc.subtract(pts, pa.scalar(week_us, pa.int64())),
+            "w_end": pts,
+            "value": b.column("value"),
+        })
+
+    def touches(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.not_equal(b.column("event_type"),
+                                  pa.scalar("purchase")))
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "tts": pc.cast(b.column("ts"), pa.int64()),
+            "tid": b.column("event_id"),
+            "channel": b.column("event_type"),
+        })
+
+    from ..stages.joins import interval_join
+
+    pairs = interval_join(
+        ev.map_batches(purchases, batch_format="pyarrow"),
+        ev.map_batches(touches, batch_format="pyarrow"),
+        left_key="user_id", right_key="user_id",
+        start_col="w_start", end_col="w_end", right_ts="tts",
+        right_cols={"tts": pa.int64(), "tid": pa.int64(),
+                    "channel": pa.string()},
+        left_cols={"pid": pa.int64(), "value": pa.float64()},
+    )
+
+    empty = pa.table({"channel": pa.array([], pa.string()),
+                      "credit": pa.array([], pa.float64())})
+
+    def weights_part(t: pa.Table) -> pa.Table:
+        from ..stages.agg import _key_run_bounds
+
+        if t.num_rows == 0:
+            return empty
+        t = t.sort_by([("pid", "ascending"), ("tts", "ascending"),
+                       ("tid", "ascending")])
+        bounds = _key_run_bounds(t, ["pid"])
+        sizes = np.diff(bounds)
+        k = np.repeat(sizes, sizes).astype(np.float64)
+        pos = (np.arange(t.num_rows)
+               - np.repeat(bounds[:-1], sizes) + 1).astype(np.float64)
+        w = np.where(
+            k == 1, 1.0,
+            np.where(k == 2, 0.5,
+                     np.where((pos == 1) | (pos == k), 0.4,
+                              0.2 / np.maximum(k - 2, 1.0))))
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        return pa.table({"channel": t.column("channel"),
+                         "credit": pa.array(v * w, pa.float64())})
+
+    credits = grouped_map(pairs, "pid", weights_part, per_group=False,
+                          empty_schema=pa.table({
+                              "pid": pa.array([], pa.int64()),
+                              "tts": pa.array([], pa.int64()),
+                              "tid": pa.array([], pa.int64()),
+                              "channel": pa.array([], pa.string()),
+                              "value": pa.array([], pa.float64()),
+                          }))
+    out = grouped_agg(credits, ["channel"],
+                      [("n_touches", "credit", "count"),
+                       ("credited_value", "credit", "sum")],
+                      round_to=6, sum_as_float=True)
+    return out.map_batches(
+        lambda b: pa.table({
+            "channel": b.column("channel"),
+            "n_touches": pc.cast(b.column("n_touches"), pa.int64()),
+            "credited_value": b.column("credited_value"),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+QUERIES["q_purchase_position_attribution"] = q_purchase_position_attribution
+ORACLE_SQL["q_purchase_position_attribution"] = """
+    WITH p AS (
+        SELECT event_id AS pid, user_id, ts AS pts, value
+        FROM events WHERE event_type = 'purchase'
+    ),
+    t AS (
+        SELECT event_id AS tid, user_id, ts AS tts, event_type AS channel
+        FROM events WHERE event_type <> 'purchase'
+    ),
+    m AS (
+        SELECT pid, value, channel,
+               row_number() OVER (PARTITION BY pid
+                                  ORDER BY tts, tid) AS rn,
+               count(*) OVER (PARTITION BY pid) AS k
+        FROM p JOIN t ON t.user_id = p.user_id
+          AND t.tts >= p.pts - INTERVAL 7 DAY AND t.tts < p.pts
+    )
+    SELECT channel, count(*) AS n_touches,
+           round(sum(value * (CASE WHEN k = 1 THEN 1.0
+                                   WHEN k = 2 THEN 0.5
+                                   WHEN rn = 1 OR rn = k THEN 0.4
+                                   ELSE 0.2 / (k - 2) END)), 6)
+               AS credited_value
+    FROM m GROUP BY channel
+"""
