@@ -76,6 +76,10 @@ BENCH_QUERIES = [
     "q_doc_lm_perplexity",
     "q_embedding_self_nn",
     "q_hybrid_search_rrf",
+    "q_click_purchase_value_ks",
+    "q_nation_spend_gini",
+    "q_customer_priority_scd2",
+    "q_doc_bm25",
 ]
 
 
