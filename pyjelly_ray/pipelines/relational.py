@@ -8936,3 +8936,127 @@ ORACLE_SQL["q_purchase_position_attribution"] = """
                AS credited_value
     FROM m GROUP BY channel
 """
+
+
+def q_purchase_time_decay_attribution(sf_dir: str):
+    """Time-decay multi-touch attribution: each purchase's revenue splits
+    over its 7-day touch path with exponential half-life weights
+    2^(−Δt/1day), normalized per purchase — recency-weighted credit, the
+    third attribution flavor next to last-touch and U-shaped.  Same
+    co-partitioned interval join; the per-purchase normalization is a
+    segmented two-pass (sum of weights, then divide) — and both engines
+    evaluate the identical power/divide double sequence."""
+    from ..stages.agg import grouped_map, round_like_duckdb
+
+    ev = _read(sf_dir, "events",
+               ["event_id", "user_id", "ts", "event_type", "value"])
+    week_us = 7 * 86_400 * 1_000_000
+    day_us = 86_400 * 1_000_000.0
+
+    def purchases(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b.column("event_type"), pa.scalar("purchase")))
+        pts = pc.cast(b.column("ts"), pa.int64())
+        return pa.table({
+            "pid": b.column("event_id"),
+            "user_id": b.column("user_id"),
+            "w_start": pc.subtract(pts, pa.scalar(week_us, pa.int64())),
+            "w_end": pts,
+            "value": b.column("value"),
+        })
+
+    def touches(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.not_equal(b.column("event_type"),
+                                  pa.scalar("purchase")))
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "tts": pc.cast(b.column("ts"), pa.int64()),
+            "tid": b.column("event_id"),
+            "channel": b.column("event_type"),
+        })
+
+    from ..stages.joins import interval_join
+
+    pairs = interval_join(
+        ev.map_batches(purchases, batch_format="pyarrow"),
+        ev.map_batches(touches, batch_format="pyarrow"),
+        left_key="user_id", right_key="user_id",
+        start_col="w_start", end_col="w_end", right_ts="tts",
+        right_cols={"tts": pa.int64(), "tid": pa.int64(),
+                    "channel": pa.string()},
+        left_cols={"pid": pa.int64(), "value": pa.float64(),
+                   "w_end": pa.int64()},
+    )
+
+    empty = pa.table({"channel": pa.array([], pa.string()),
+                      "credit": pa.array([], pa.float64())})
+
+    def weights_part(t: pa.Table) -> pa.Table:
+        from ..stages.agg import _key_run_bounds
+
+        if t.num_rows == 0:
+            return empty
+        t = t.sort_by([("pid", "ascending"), ("tts", "ascending"),
+                       ("tid", "ascending")])
+        bounds = _key_run_bounds(t, ["pid"])
+        sizes = np.diff(bounds)
+        pts = t.column("w_end").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        tts = t.column("tts").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        # 2^(−Δdays): identical to SQL power(2.0, −Δus/86400e6)
+        w = np.power(2.0, -((pts - tts) / day_us))
+        wsum = np.repeat(np.add.reduceat(w, bounds[:-1]), sizes)
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        return pa.table({"channel": t.column("channel"),
+                         "credit": pa.array(v * (w / wsum), pa.float64())})
+
+    credits = grouped_map(pairs, "pid", weights_part, per_group=False,
+                          empty_schema=pa.table({
+                              "pid": pa.array([], pa.int64()),
+                              "value": pa.array([], pa.float64()),
+                              "w_end": pa.array([], pa.int64()),
+                              "tts": pa.array([], pa.int64()),
+                              "tid": pa.array([], pa.int64()),
+                              "channel": pa.array([], pa.string()),
+                          }))
+    out = grouped_agg(credits, ["channel"],
+                      [("n_touches", "credit", "count"),
+                       ("credited_value", "credit", "sum")],
+                      round_to=6, sum_as_float=True)
+    return out.map_batches(
+        lambda b: pa.table({
+            "channel": b.column("channel"),
+            "n_touches": pc.cast(b.column("n_touches"), pa.int64()),
+            "credited_value": b.column("credited_value"),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+QUERIES["q_purchase_time_decay_attribution"] = (
+    q_purchase_time_decay_attribution)
+ORACLE_SQL["q_purchase_time_decay_attribution"] = """
+    WITH p AS (
+        SELECT event_id AS pid, user_id, ts AS pts, value
+        FROM events WHERE event_type = 'purchase'
+    ),
+    t AS (
+        SELECT event_id AS tid, user_id, ts AS tts, event_type AS channel
+        FROM events WHERE event_type <> 'purchase'
+    ),
+    m AS (
+        SELECT pid, value, channel,
+               power(2.0, -((epoch_us(pts) - epoch_us(tts))
+                            / 86400000000.0)) AS w
+        FROM p JOIN t ON t.user_id = p.user_id
+          AND t.tts >= p.pts - INTERVAL 7 DAY AND t.tts < p.pts
+    ),
+    n AS (
+        SELECT pid, value, channel, w,
+               sum(w) OVER (PARTITION BY pid) AS wsum
+        FROM m
+    )
+    SELECT channel, count(*) AS n_touches,
+           round(sum(value * (w / wsum)), 6) AS credited_value
+    FROM n GROUP BY channel
+"""
