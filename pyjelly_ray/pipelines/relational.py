@@ -9060,3 +9060,50 @@ ORACLE_SQL["q_purchase_time_decay_attribution"] = """
            round(sum(value * (w / wsum)), 6) AS credited_value
     FROM n GROUP BY channel
 """
+
+
+def q_supplier_degree_powerlaw(sf_dir: str):
+    """Power-law exponent of the supplier degree distribution (continuous
+    MLE, k_min = 1): α = 1 + n/Σln(kᵢ) — the scale-free-network
+    diagnostic over the bipartite supply graph.  Degrees are one exact
+    count-distinct exchange; the MLE folds map-side (Σln k and n are both
+    mergeable sums) into a single scalar row."""
+    from ..stages.agg import grouped_count_distinct, round_like_duckdb
+
+    li = _read(sf_dir, "lineitem", ["l_suppkey", "l_partkey"])
+    deg = grouped_count_distinct(li, ["l_suppkey"], "l_partkey",
+                                 out_name="k")
+
+    def lnk(b: pa.Table) -> pa.Table:
+        k = pc.cast(b.column("k"), pa.float64())
+        return pa.table({
+            "__g": pa.array(np.zeros(b.num_rows, np.int8)),
+            "lnk": pc.ln(k),
+        })
+
+    agg = grouped_agg(deg.map_batches(lnk, batch_format="pyarrow"),
+                      ["__g"], [("n", "lnk", "count"),
+                                ("s", "lnk", "sum")])
+
+    def finalize(b: pa.Table) -> pa.Table:
+        n = pc.cast(b.column("n"), pa.float64())
+        alpha = pc.add(pa.scalar(1.0, pa.float64()),
+                       pc.divide(n, b.column("s")))
+        return pa.table({
+            "n_suppliers": pc.cast(b.column("n"), pa.int64()),
+            "alpha": round_like_duckdb(alpha, 6),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+QUERIES["q_supplier_degree_powerlaw"] = q_supplier_degree_powerlaw
+ORACLE_SQL["q_supplier_degree_powerlaw"] = """
+    WITH d AS (
+        SELECT l_suppkey, count(DISTINCT l_partkey) AS k
+        FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT count(*) AS n_suppliers,
+           round(1.0 + count(*) / sum(ln(k * 1.0)), 6) AS alpha
+    FROM d
+"""
