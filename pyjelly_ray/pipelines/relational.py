@@ -9107,3 +9107,81 @@ ORACLE_SQL["q_supplier_degree_powerlaw"] = """
            round(1.0 + count(*) / sum(ln(k * 1.0)), 6) AS alpha
     FROM d
 """
+
+
+def q_click_to_purchase_latency(sf_dir: str):
+    """Conversion-latency profile: minutes from each purchase back to the
+    same user's latest preceding click (backward as-of join — no window
+    bound, matching DuckDB ASOF), exact p50/p90 per purchase hour-of-day —
+    the "how long does conversion take, and when" funnel readout.  One
+    as-of exchange + one per-hour quantile exchange (24 groups)."""
+    from ..stages.agg import grouped_quantiles
+    from ..stages.joins import asof_join_backward
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def purchases(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b.column("event_type"), pa.scalar("purchase")))
+        pts = pc.cast(b.column("ts"), pa.int64())
+        hour = pc.subtract(
+            pc.divide(pts, pa.scalar(3_600_000_000, pa.int64())),
+            pc.multiply(pc.divide(pts,
+                                  pa.scalar(86_400_000_000, pa.int64())),
+                        pa.scalar(24, pa.int64())),
+        )
+        return pa.table({"user_id": b.column("user_id"), "pts": pts,
+                         "hour": hour})
+
+    def clicks(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b.column("event_type"), pa.scalar("click")))
+        cts = pc.cast(b.column("ts"), pa.int64())
+        return pa.table({"user_id": b.column("user_id"), "cts": cts,
+                         "click_ts": cts})
+
+    j = asof_join_backward(
+        ev.map_batches(purchases, batch_format="pyarrow"),
+        ev.map_batches(clicks, batch_format="pyarrow"),
+        left_key="user_id", right_key="user_id",
+        left_ts="pts", right_ts="cts", right_value="click_ts",
+        left_cols={"user_id": pa.int64(), "pts": pa.int64(),
+                   "hour": pa.int64()},
+    )
+
+    def latency(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("click_ts")))
+        lat = pc.divide(
+            pc.cast(pc.subtract(b.column("pts"), b.column("click_ts")),
+                    pa.float64()),
+            pa.scalar(60_000_000.0, pa.float64()),
+        )
+        return pa.table({"hour": b.column("hour"), "latency_min": lat})
+
+    lats = j.map_batches(latency, batch_format="pyarrow")
+    return grouped_quantiles(lats, ["hour"], "latency_min",
+                             [("p50_min", 0.5), ("p90_min", 0.9)],
+                             round_to=2)
+
+
+QUERIES["q_click_to_purchase_latency"] = q_click_to_purchase_latency
+ORACLE_SQL["q_click_to_purchase_latency"] = """
+    WITH p AS (
+        SELECT user_id, ts AS pts,
+               CAST(epoch_us(ts) // 3600000000
+                    - (epoch_us(ts) // 86400000000) * 24 AS BIGINT) AS hour
+        FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+        SELECT user_id, ts AS cts FROM events WHERE event_type = 'click'
+    ),
+    m AS (
+        SELECT p.hour,
+               (epoch_us(p.pts) - epoch_us(c.cts)) / 60000000.0
+                   AS latency_min
+        FROM p ASOF JOIN c
+          ON p.user_id = c.user_id AND c.cts <= p.pts
+    )
+    SELECT hour,
+           round(quantile_cont(latency_min, 0.5), 2) AS p50_min,
+           round(quantile_cont(latency_min, 0.9), 2) AS p90_min
+    FROM m GROUP BY hour
+"""
