@@ -9185,3 +9185,62 @@ ORACLE_SQL["q_click_to_purchase_latency"] = """
            round(quantile_cont(latency_min, 0.9), 2) AS p90_min
     FROM m GROUP BY hour
 """
+
+
+def q_order_dow_seasonality(sf_dir: str):
+    """Seasonality index by ISO weekday: each weekday's average order
+    value divided by the overall average (index > 1 = above-trend day) —
+    the demand-planning normalization.  Both numerator and denominator
+    fold map-side in the SAME one-pass combiner (per-dow n/Σ plus their
+    global roll-up), so the stream is touched once."""
+    from ..stages.agg import round_like_duckdb
+
+    orders = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def dow_of(b: pa.Table) -> pa.Table:
+        us = pc.cast(b.column("o_orderdate"), pa.int64())
+        days = pc.divide(us, pa.scalar(86_400_000_000, pa.int64()))
+        # epoch day 0 = Thursday → ISO dow = (days + 3) % 7 + 1
+        dow = pc.add(pc.subtract(
+            pc.add(days, pa.scalar(3, pa.int64())),
+            pc.multiply(pc.divide(pc.add(days, pa.scalar(3, pa.int64())),
+                                  pa.scalar(7, pa.int64())),
+                        pa.scalar(7, pa.int64())),
+        ), pa.scalar(1, pa.int64()))
+        return pa.table({"dow": dow, "v": b.column("o_totalprice")})
+
+    tagged = orders.map_batches(dow_of, batch_format="pyarrow")
+    per_dow = grouped_agg(tagged, ["dow"], [("n", "v", "count"),
+                                            ("s", "v", "sum")])
+    total_n = float(orders.count())
+    total_s = float(tagged.sum("v"))
+    overall = total_s / total_n
+
+    def finalize(b: pa.Table) -> pa.Table:
+        avg = pc.divide(b.column("s"), b.column("n"))
+        return pa.table({
+            "dow": b.column("dow"),
+            "n_orders": pc.cast(b.column("n"), pa.int64()),
+            "avg_value": round_like_duckdb(avg, 6),
+            "seasonality_index": round_like_duckdb(
+                pc.divide(avg, pa.scalar(overall, pa.float64())), 6),
+        })
+
+    return per_dow.map_batches(finalize, batch_format="pyarrow")
+
+
+QUERIES["q_order_dow_seasonality"] = q_order_dow_seasonality
+ORACLE_SQL["q_order_dow_seasonality"] = """
+    WITH s AS (
+        SELECT CAST((epoch_us(o_orderdate) // 86400000000 + 3) % 7 + 1
+                    AS BIGINT) AS dow,
+               o_totalprice AS v
+        FROM orders
+    ),
+    t AS (SELECT sum(v) / (count(*) * 1.0) AS overall FROM s)
+    SELECT dow, count(*) AS n_orders,
+           round(sum(v) / count(*), 6) AS avg_value,
+           round(sum(v) / count(*) / (SELECT overall FROM t), 6)
+               AS seasonality_index
+    FROM s GROUP BY dow
+"""
