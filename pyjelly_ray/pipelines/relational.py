@@ -8259,60 +8259,6 @@ ORACLE_SQL["q_events_value_ewma"] = """
     )
     SELECT event_id, user_id, round(y, 6) AS value_ewma FROM r
 """
-
-
-def q_lineitem_corr_matrix(sf_dir: str):
-    """Feature correlation matrix — all 6 pairwise Pearson correlations
-    over 4 lineitem numeric columns in ONE partial-combine pass (the
-    pair-moment partials for every pair ride the same combiner exchange;
-    the raw table is touched once), unpivoted to long (x, y, corr)."""
-    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
-    li = _read(sf_dir, "lineitem", cols)
-
-    def tag(b: pa.Table) -> pa.Table:
-        return b.append_column("__g", pa.array(np.zeros(b.num_rows, np.int8)))
-
-    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
-    wide = grouped_agg(
-        li.map_batches(tag, batch_format="pyarrow"),
-        ["__g"],
-        [(f"c{i}", p, "corr") for i, p in enumerate(pairs)],
-        round_to=6,
-    )
-
-    def unpivot(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0:
-            return pa.table({"x": pa.array([], pa.string()),
-                             "y": pa.array([], pa.string()),
-                             "corr": pa.array([], pa.float64())})
-        return pa.table({
-            "x": pa.array([p[0] for p in pairs]),
-            "y": pa.array([p[1] for p in pairs]),
-            "corr": pa.array(
-                [b.column(f"c{i}")[0].as_py() for i in range(len(pairs))],
-                pa.float64()),
-        })
-
-    return wide.map_batches(unpivot, batch_format="pyarrow")
-
-
-QUERIES["q_lineitem_corr_matrix"] = q_lineitem_corr_matrix
-ORACLE_SQL["q_lineitem_corr_matrix"] = """
-    SELECT 'l_quantity' AS x, 'l_extendedprice' AS y,
-           round(corr(l_quantity, l_extendedprice), 6) AS corr FROM lineitem
-    UNION ALL SELECT 'l_quantity', 'l_discount',
-           round(corr(l_quantity, l_discount), 6) FROM lineitem
-    UNION ALL SELECT 'l_quantity', 'l_tax',
-           round(corr(l_quantity, l_tax), 6) FROM lineitem
-    UNION ALL SELECT 'l_extendedprice', 'l_discount',
-           round(corr(l_extendedprice, l_discount), 6) FROM lineitem
-    UNION ALL SELECT 'l_extendedprice', 'l_tax',
-           round(corr(l_extendedprice, l_tax), 6) FROM lineitem
-    UNION ALL SELECT 'l_discount', 'l_tax',
-           round(corr(l_discount, l_tax), 6) FROM lineitem
-"""
-
-
 def q_supply_kcore(sf_dir: str):
     """3-core of the bipartite supplier-part supply graph: iteratively
     peel suppliers/parts with fewer than 3 distinct counterparties until
