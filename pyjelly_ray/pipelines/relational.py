@@ -9190,3 +9190,58 @@ ORACLE_SQL["q_order_dow_seasonality"] = """
                AS seasonality_index
     FROM s GROUP BY dow
 """
+
+
+def q_weekly_value_growth(sf_dir: str):
+    """Week-over-week growth report: total event value per week, previous
+    week's total (lag), and percent change — the core business trend
+    metric.  Weekly totals are one combiner exchange; the lag and the
+    ratio run on the TINY weekly table via one keyed running pass
+    (constant key: weeks are few by construction)."""
+    from ..stages.agg import round_like_duckdb
+    from ..stages.window import grouped_running
+
+    ev = _read(sf_dir, "events", ["ts", "value"])
+
+    def week_of(b: pa.Table) -> pa.Table:
+        us = pc.cast(b.column("ts"), pa.int64())
+        week = pc.divide(us, pa.scalar(604_800_000_000, pa.int64()))
+        return pa.table({"week": week, "value": b.column("value"),
+                         "__g": pa.array(np.zeros(b.num_rows, np.int8))})
+
+    weeks = ev.map_batches(week_of, batch_format="pyarrow")
+    totals = grouped_agg(weeks, ["__g", "week"], [("total", "value", "sum")])
+    lagged = grouped_running(totals, key="__g", order_col="week",
+                             value_col="total",
+                             kinds=[("prev_total", "lag")])
+
+    def finalize(b: pa.Table) -> pa.Table:
+        cur = b.column("total")
+        prev = b.column("prev_total")
+        growth = pc.multiply(
+            pc.subtract(pc.divide(cur, prev), pa.scalar(1.0, pa.float64())),
+            pa.scalar(100.0, pa.float64()),
+        )
+        return pa.table({
+            "week": b.column("week"),
+            "total_value": round_like_duckdb(cur, 2),
+            "prev_value": round_like_duckdb(prev, 2),
+            "growth_pct": round_like_duckdb(growth, 6),
+        })
+
+    return lagged.map_batches(finalize, batch_format="pyarrow")
+
+
+QUERIES["q_weekly_value_growth"] = q_weekly_value_growth
+ORACLE_SQL["q_weekly_value_growth"] = """
+    WITH w AS (
+        SELECT CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS week,
+               sum(value) AS total
+        FROM events GROUP BY 1
+    )
+    SELECT week, round(total, 2) AS total_value,
+           round(lag(total) OVER (ORDER BY week), 2) AS prev_value,
+           round((total / lag(total) OVER (ORDER BY week) - 1.0) * 100.0, 6)
+               AS growth_pct
+    FROM w
+"""
