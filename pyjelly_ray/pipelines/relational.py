@@ -7723,26 +7723,70 @@ def q_price_pythagorean_means(sf_dir: str):
     the non-null count are all mergeable, so the exchange still ships a
     handful of doubles per group per block."""
     li = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
-    return grouped_agg(
-        li,
+
+    def cents(b: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(
+            b.column("l_extendedprice"), pa.scalar(100.0, pa.float64()))),
+            pa.int64())
+        return b.append_column("__cents", c)
+
+    agg = grouped_agg(
+        li.map_batches(cents, batch_format="pyarrow"),
         ["l_returnflag"],
         [
-            ("amean", "l_extendedprice", "mean"),
+            # arithmetic mean from the EXACT integer-cents sum (divided once
+            # at the end): a float mean of 2-decimal money can land exactly
+            # on a .xx5 boundary where summation order decides the last cent
+            ("cents_sum", "__cents", "sum"),
+            ("n", "l_extendedprice", "count"),
             ("gmean", "l_extendedprice", "geomean"),
             ("hmean", "l_extendedprice", "harmmean"),
         ],
         round_to=2,
+        sum_as_float=False,
     )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        from ..stages.agg import round_like_duckdb
+
+        n = pc.cast(b.column("n"), pa.float64())
+        amean = pc.divide(
+            pc.divide(pc.cast(b.column("cents_sum"), pa.float64()),
+                      pa.scalar(100.0, pa.float64())), n)
+        return pa.table({
+            "l_returnflag": b.column("l_returnflag"),
+            "amean": round_like_duckdb(amean, 2),
+            "gmean": b.column("gmean"),
+            "hmean": b.column("hmean"),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
 
 
 QUERIES["q_price_pythagorean_means"] = q_price_pythagorean_means
 ORACLE_SQL["q_price_pythagorean_means"] = """
     SELECT l_returnflag,
-           round(avg(l_extendedprice), 2) AS amean,
+           round(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT))
+                 / 100.0 / count(*), 2) AS amean,
            round(exp(avg(ln(l_extendedprice))), 2) AS gmean,
            round(count(l_extendedprice) / sum(1 / l_extendedprice), 2) AS hmean
     FROM lineitem GROUP BY l_returnflag
 """
+
+
+def _nation_customer_spend(sf_dir: str):
+    """Per-customer lifetime spend labeled with the customer's nation —
+    the shared preamble of the Gini and HHI concentration queries (one
+    partial-combine aggregate + two broadcast dims)."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    spend = grouped_agg(orders, ["o_custkey"],
+                        [("spend", "o_totalprice", "sum")])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"])
+    cust = broadcast_join(cust, nation, left_key="c_nationkey",
+                          right_key="n_nationkey", columns=["n_name"])
+    return broadcast_join(spend, cust, left_key="o_custkey",
+                          right_key="c_custkey", columns=["n_name"])
 
 
 def q_nation_spend_gini(sf_dir: str):
@@ -7754,15 +7798,7 @@ def q_nation_spend_gini(sf_dir: str):
     (tie-order-invariant, so it matches SQL row_number exactly)."""
     from ..stages.agg import grouped_gini
 
-    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-    spend = grouped_agg(orders, ["o_custkey"],
-                        [("spend", "o_totalprice", "sum")])
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
-    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"])
-    cust = broadcast_join(cust, nation, left_key="c_nationkey",
-                          right_key="n_nationkey", columns=["n_name"])
-    spend = broadcast_join(spend, cust, left_key="o_custkey",
-                           right_key="c_custkey", columns=["n_name"])
+    spend = _nation_customer_spend(sf_dir)
     return grouped_gini(spend, ["n_name"], "spend", round_to=6)
 
 
@@ -7922,12 +7958,14 @@ def q_doc_bigram_pmi(sf_dir: str):
 
     exploded = docs.map_batches(toks, batch_format="pyarrow")
     bg = docs.map_batches(bigrams, batch_format="pyarrow")
-    w_total = float(exploded.count())
-    b_total = float(bg.count())
     uni = grouped_agg(exploded, ["token"], [("n", "token", "count")],
-                      sum_as_float=False)
+                      sum_as_float=False).materialize()
     nxy = grouped_agg(bg, ["x", "y"], [("n_xy", "x", "count")],
-                      sum_as_float=False)
+                      sum_as_float=False).materialize()
+    # totals from the (materialized) aggregate tables — the corpus-wide
+    # string splits run exactly once, not once per downstream consumer
+    w_total = float(uni.sum("n"))
+    b_total = float(nxy.sum("n_xy"))
     nx = uni.map_batches(
         lambda b: pa.table({"x_key": b.column("token"), "n_x": b.column("n")}),
         batch_format="pyarrow",
@@ -8041,15 +8079,7 @@ def q_nation_spend_hhi(sf_dir: str):
     partial-combine pass, then Σx and Σx² are both mergeable sums and the
     index plus its reciprocal (the "effective number of customers")
     finalize per group after one tiny exchange."""
-    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-    spend = grouped_agg(orders, ["o_custkey"],
-                        [("spend", "o_totalprice", "sum")])
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
-    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"])
-    cust = broadcast_join(cust, nation, left_key="c_nationkey",
-                          right_key="n_nationkey", columns=["n_name"])
-    spend = broadcast_join(spend, cust, left_key="o_custkey",
-                           right_key="c_custkey", columns=["n_name"])
+    spend = _nation_customer_spend(sf_dir)
 
     def square(b: pa.Table) -> pa.Table:
         s = pc.cast(b.column("spend"), pa.float64())
@@ -8442,6 +8472,14 @@ ORACLE_SQL["q_purchase_calibration_curve"] = """
 """
 
 
+def _epoch_week(ts_col):
+    """Integer epoch week of a timestamp column (shared bucketing used by
+    the retention / trending / LTV / growth weekly queries; SQL mirror:
+    ``epoch_us(ts) // 604800000000``)."""
+    return pc.divide(pc.cast(ts_col, pa.int64()),
+                     pa.scalar(604_800_000_000, pa.int64()))
+
+
 def q_weekly_trending_types(sf_dir: str):
     """Trending report: weekly event-type ranks (by count, deterministic
     name tiebreak) with each type's rank movement vs the PREVIOUS week —
@@ -8454,9 +8492,8 @@ def q_weekly_trending_types(sf_dir: str):
     ev = _read(sf_dir, "events", ["event_type", "ts"])
 
     def week_of(b: pa.Table) -> pa.Table:
-        us = pc.cast(b.column("ts"), pa.int64())
-        week = pc.divide(us, pa.scalar(604_800_000_000, pa.int64()))
-        return pa.table({"week": week, "event_type": b.column("event_type")})
+        return pa.table({"week": _epoch_week(b.column("ts")),
+                         "event_type": b.column("event_type")})
 
     weeks = ev.map_batches(week_of, batch_format="pyarrow")
     counts = grouped_agg(weeks, ["week", "event_type"],
@@ -8549,13 +8586,13 @@ def q_cohort_ltv_curve(sf_dir: str):
     ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
 
     def week_of(b: pa.Table) -> pa.Table:
-        us = pc.cast(b.column("ts"), pa.int64())
-        week = pc.divide(us, pa.scalar(604_800_000_000, pa.int64()))
-        return pa.table({"user_id": b.column("user_id"), "week": week,
+        return pa.table({"user_id": b.column("user_id"),
+                         "week": _epoch_week(b.column("ts")),
                          "value": b.column("value")})
 
     weeks = ev.map_batches(week_of, batch_format="pyarrow")
-    first = grouped_agg(weeks, ["user_id"], [("cohort_week", "week", "min")])
+    first = grouped_agg(weeks, ["user_id"],
+                        [("cohort_week", "week", "min")]).materialize()
     withc = broadcast_join(weeks, first, left_key="user_id",
                            right_key="user_id", columns=["cohort_week"])
 
@@ -8726,6 +8763,10 @@ def q_event_type_ucb(sf_dir: str):
     from ..stages.agg import round_like_duckdb
 
     ev = _read(sf_dir, "events", ["event_type", "value"])
+    ev = ev.map_batches(
+        lambda b: b.filter(pc.is_valid(b.column("value"))),
+        batch_format="pyarrow",
+    )  # a "pull" is an event WITH a reward — keeps mean undiluted if NULLs appear
     n_total = float(ev.count())
     agg = grouped_agg(ev, ["event_type"], [("n", "value", "count"),
                                            ("mean_reward", "value", "mean")],
@@ -8750,28 +8791,24 @@ def q_event_type_ucb(sf_dir: str):
 
 QUERIES["q_event_type_ucb"] = q_event_type_ucb
 ORACLE_SQL["q_event_type_ucb"] = """
-    WITH t AS (SELECT count(*) * 1.0 AS n_total FROM events)
+    WITH e AS (SELECT event_type, value FROM events
+               WHERE value IS NOT NULL),
+    t AS (SELECT count(*) * 1.0 AS n_total FROM e)
     SELECT event_type, count(*) AS n,
            round(avg(value), 6) AS mean_reward,
            round(avg(value)
                  + sqrt(2.0 * ln((SELECT n_total FROM t)) / count(*)), 6)
                AS ucb1
-    FROM events GROUP BY event_type
+    FROM e GROUP BY event_type
 """
 
 
-def q_purchase_position_attribution(sf_dir: str):
-    """Position-based (U-shaped) multi-touch attribution: every purchase's
-    revenue splits 40% to the first touch, 40% to the last, 20% spread
-    over the middles (k=1 → 100%, k=2 → 50/50) across the 7 days strictly
-    before the purchase.  The purchase×touch pairs come from the
-    co-partitioned interval join (searchsorted band per user — never a
-    global cross join); per-purchase weights are one segmented kernel;
-    channel credit is one combiner exchange.  Credit is rounded at 6dp —
-    exact-decimal credits (0.4/0.5/0.25·2dp money) sum to ≤5dp decimals,
-    which can sit exactly ON a 2dp rounding boundary but never on a 6dp
-    one, so the oracle compare is deterministic."""
-    from ..stages.agg import grouped_map, round_like_duckdb
+def _purchase_touch_pairs(sf_dir: str, *, carry_purchase_ts: bool = False):
+    """(purchase × preceding-touch) pairs within 7 days, strictly before
+    the purchase — the shared interval-join preamble of the U-shaped and
+    time-decay attribution queries.  ``carry_purchase_ts`` also carries
+    the purchase timestamp (``w_end``) for recency weighting."""
+    from ..stages.joins import interval_join
 
     ev = _read(sf_dir, "events",
                ["event_id", "user_id", "ts", "event_type", "value"])
@@ -8798,17 +8835,34 @@ def q_purchase_position_attribution(sf_dir: str):
             "channel": b.column("event_type"),
         })
 
-    from ..stages.joins import interval_join
-
-    pairs = interval_join(
+    left_cols = {"pid": pa.int64(), "value": pa.float64()}
+    if carry_purchase_ts:
+        left_cols["w_end"] = pa.int64()
+    return interval_join(
         ev.map_batches(purchases, batch_format="pyarrow"),
         ev.map_batches(touches, batch_format="pyarrow"),
         left_key="user_id", right_key="user_id",
         start_col="w_start", end_col="w_end", right_ts="tts",
         right_cols={"tts": pa.int64(), "tid": pa.int64(),
                     "channel": pa.string()},
-        left_cols={"pid": pa.int64(), "value": pa.float64()},
+        left_cols=left_cols,
     )
+
+
+def q_purchase_position_attribution(sf_dir: str):
+    """Position-based (U-shaped) multi-touch attribution: every purchase's
+    revenue splits 40% to the first touch, 40% to the last, 20% spread
+    over the middles (k=1 → 100%, k=2 → 50/50) across the 7 days strictly
+    before the purchase.  The purchase×touch pairs come from the
+    co-partitioned interval join (searchsorted band per user — never a
+    global cross join); per-purchase weights are one segmented kernel;
+    channel credit is one combiner exchange.  Credit is rounded at 6dp —
+    exact-decimal credits (0.4/0.5/0.25·2dp money) sum to ≤5dp decimals,
+    which can sit exactly ON a 2dp rounding boundary but never on a 6dp
+    one, so the oracle compare is deterministic."""
+    from ..stages.agg import grouped_map, round_like_duckdb
+
+    pairs = _purchase_touch_pairs(sf_dir)
 
     empty = pa.table({"channel": pa.array([], pa.string()),
                       "credit": pa.array([], pa.float64())})
@@ -8894,44 +8948,8 @@ def q_purchase_time_decay_attribution(sf_dir: str):
     evaluate the identical power/divide double sequence."""
     from ..stages.agg import grouped_map, round_like_duckdb
 
-    ev = _read(sf_dir, "events",
-               ["event_id", "user_id", "ts", "event_type", "value"])
-    week_us = 7 * 86_400 * 1_000_000
     day_us = 86_400 * 1_000_000.0
-
-    def purchases(b: pa.Table) -> pa.Table:
-        b = b.filter(pc.equal(b.column("event_type"), pa.scalar("purchase")))
-        pts = pc.cast(b.column("ts"), pa.int64())
-        return pa.table({
-            "pid": b.column("event_id"),
-            "user_id": b.column("user_id"),
-            "w_start": pc.subtract(pts, pa.scalar(week_us, pa.int64())),
-            "w_end": pts,
-            "value": b.column("value"),
-        })
-
-    def touches(b: pa.Table) -> pa.Table:
-        b = b.filter(pc.not_equal(b.column("event_type"),
-                                  pa.scalar("purchase")))
-        return pa.table({
-            "user_id": b.column("user_id"),
-            "tts": pc.cast(b.column("ts"), pa.int64()),
-            "tid": b.column("event_id"),
-            "channel": b.column("event_type"),
-        })
-
-    from ..stages.joins import interval_join
-
-    pairs = interval_join(
-        ev.map_batches(purchases, batch_format="pyarrow"),
-        ev.map_batches(touches, batch_format="pyarrow"),
-        left_key="user_id", right_key="user_id",
-        start_col="w_start", end_col="w_end", right_ts="tts",
-        right_cols={"tts": pa.int64(), "tid": pa.int64(),
-                    "channel": pa.string()},
-        left_cols={"pid": pa.int64(), "value": pa.float64(),
-                   "w_end": pa.int64()},
-    )
+    pairs = _purchase_touch_pairs(sf_dir, carry_purchase_ts=True)
 
     empty = pa.table({"channel": pa.array([], pa.string()),
                       "credit": pa.array([], pa.float64())})
@@ -9204,9 +9222,8 @@ def q_weekly_value_growth(sf_dir: str):
     ev = _read(sf_dir, "events", ["ts", "value"])
 
     def week_of(b: pa.Table) -> pa.Table:
-        us = pc.cast(b.column("ts"), pa.int64())
-        week = pc.divide(us, pa.scalar(604_800_000_000, pa.int64()))
-        return pa.table({"week": week, "value": b.column("value"),
+        return pa.table({"week": _epoch_week(b.column("ts")),
+                         "value": b.column("value"),
                          "__g": pa.array(np.zeros(b.num_rows, np.int8))})
 
     weeks = ev.map_batches(week_of, batch_format="pyarrow")

@@ -196,7 +196,11 @@ def _partial_fn(keys: list[str], specs: list[Spec]):
                 seen.add(("q4", col))
         if fn in ("geomean", "harmmean"):
             # mergeable transforms: Σln(x) / Σ(1/x) plus the NON-NULL count
-            # (NULLs drop like SQL avg/sum — COUNT(*) would dilute)
+            # (NULLs drop like SQL avg/sum — COUNT(*) would dilute).
+            # PRECONDITION: values must be strictly positive for SQL parity —
+            # Arrow gives ln(0) = -inf and 1/0 = inf where DuckDB errors on
+            # ln(0) and NULLs 1/0, so zero/negative inputs silently diverge.
+            # Filter or clamp upstream when the column can contain them.
             if ("ln", col) not in seen and fn == "geomean":
                 aggs.append((f"{col}__ln", "sum"))
                 ln_cols.append(col)

@@ -3797,8 +3797,10 @@ def test_scd2_intervals_brute_force(ray_session):
     got = (scd2_intervals(ray.data.from_pandas(df).repartition(6), key="k",
                           order_col="o", tiebreak="tb", attr_col="a")
            .to_pandas()
-           .sort_values(["k", "valid_from", "a"])  # valid_from ties can't
-           .reset_index(drop=True))                # collide within a key
+           # valid_to completes the order: (k, valid_from, a) can repeat
+           # when the same attr re-enters at a tied order value
+           .sort_values(["k", "valid_from", "a", "valid_to"])
+           .reset_index(drop=True))
     rows = []
     for k, sub in df.sort_values(["o", "tb"]).groupby("k"):
         prev, pending = None, None
@@ -3812,7 +3814,8 @@ def test_scd2_intervals_brute_force(ray_session):
                 rows.append(pending)
             prev = r["a"]
     exp = (pd.DataFrame(rows)
-           .sort_values(["k", "valid_from", "a"]).reset_index(drop=True))
+           .sort_values(["k", "valid_from", "a", "valid_to"])
+           .reset_index(drop=True))
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
 
 
