@@ -9262,3 +9262,83 @@ ORACLE_SQL["q_weekly_value_growth"] = """
                AS growth_pct
     FROM w
 """
+
+
+def q_purchase_gains_chart(sf_dir: str):
+    """Cumulative gains / lift chart (the model-eval companion to AUC and
+    the calibration curve): events deciled by score (value, descending),
+    per-decile positives, cumulative share of all positives captured, and
+    exact lift (decile positive rate / base rate).  The decile assignment
+    is one keyed running pass; everything after runs on the 10-row table."""
+    from ..stages.agg import round_like_duckdb
+    from ..stages.window import grouped_running
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def project(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("value")))
+        return pa.table({
+            "event_id": b.column("event_id"),
+            "neg_score": pc.multiply(b.column("value"),
+                                     pa.scalar(-1.0, pa.float64())),
+            "y": pc.cast(pc.equal(b.column("event_type"),
+                                  pa.scalar("purchase")), pa.int64()),
+            "g": pa.array(np.zeros(b.num_rows, np.int64)),
+        })
+
+    proj = ev.map_batches(project, batch_format="pyarrow")
+    tiled = grouped_running(proj, key="g", order_col="neg_score",
+                            value_col="y", kinds=[("decile", ("ntile", 10))],
+                            tiebreak="event_id")
+    d = grouped_agg(tiled, ["decile"], [("n", "y", "count"),
+                                        ("pos", "y", "sum")],
+                    sum_as_float=False)
+    d = grouped_running(
+        d.map_batches(
+            lambda b: b.append_column(
+                "g", pa.array(np.zeros(b.num_rows, np.int64))),
+            batch_format="pyarrow"),
+        key="g", order_col="decile", value_col="pos",
+        kinds=[("cum_pos", "cumsum")],
+    )
+    totals = d.sum(["n", "pos"])
+    n_total, p_total = float(totals["sum(n)"]), float(totals["sum(pos)"])
+
+    def finalize(b: pa.Table) -> pa.Table:
+        n = pc.cast(b.column("n"), pa.float64())
+        pos = pc.cast(b.column("pos"), pa.float64())
+        base = pa.scalar(p_total / n_total, pa.float64())
+        return pa.table({
+            "decile": pc.cast(b.column("decile"), pa.int64()),
+            "n": pc.cast(b.column("n"), pa.int64()),
+            "pos": pc.cast(b.column("pos"), pa.int64()),
+            "cum_gain": round_like_duckdb(
+                pc.divide(b.column("cum_pos"),
+                          pa.scalar(p_total, pa.float64())), 6),
+            "lift": round_like_duckdb(
+                pc.divide(pc.divide(pos, n), base), 6),
+        })
+
+    return d.map_batches(finalize, batch_format="pyarrow")
+
+
+QUERIES["q_purchase_gains_chart"] = q_purchase_gains_chart
+ORACLE_SQL["q_purchase_gains_chart"] = """
+    WITH s AS (
+        SELECT event_id, value,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events WHERE value IS NOT NULL
+    ),
+    t AS (
+        SELECT y, ntile(10) OVER (ORDER BY value DESC, event_id) AS decile
+        FROM s
+    ),
+    d AS (SELECT decile, count(*) AS n, sum(y) AS pos FROM t GROUP BY 1),
+    tot AS (SELECT sum(n) * 1.0 AS nn, sum(pos) * 1.0 AS pp FROM d)
+    SELECT decile, n, pos,
+           round(sum(pos) OVER (ORDER BY decile) / (SELECT pp FROM tot), 6)
+               AS cum_gain,
+           round((pos * 1.0 / n)
+                 / ((SELECT pp FROM tot) / (SELECT nn FROM tot)), 6) AS lift
+    FROM d
+"""
