@@ -9342,3 +9342,72 @@ ORACLE_SQL["q_purchase_gains_chart"] = """
                  / ((SELECT pp FROM tot) / (SELECT nn FROM tot)), 6) AS lift
     FROM d
 """
+
+
+def q_session_bounce_rate(sf_dir: str):
+    """Bounce-rate report: share of 30-min-gap sessions containing exactly
+    one event, plus mean session depth — the engagement headline riding
+    the same one-exchange sessionizer as q_user_sessions (bounce flags and
+    both means fold map-side after it)."""
+    from ..stages.agg import round_like_duckdb
+    from ..stages.window import session_stats
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+    sess = session_stats(ev, gap_minutes=30.0)
+
+    def flags(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "__g": pa.array(np.zeros(b.num_rows, np.int8)),
+            "n_events": pc.cast(b.column("n_events"), pa.float64()),
+            "bounce": pc.cast(pc.equal(b.column("n_events"),
+                                       pa.scalar(1, pa.int64())), pa.int64()),
+        })
+
+    agg = grouped_agg(sess.map_batches(flags, batch_format="pyarrow"),
+                      ["__g"], [("n_sessions", "bounce", "count"),
+                                ("n_bounces", "bounce", "sum"),
+                                ("depth_sum", "n_events", "sum")],
+                      sum_as_float=False)
+
+    def finalize(b: pa.Table) -> pa.Table:
+        n = pc.cast(b.column("n_sessions"), pa.float64())
+        nb = pc.cast(b.column("n_bounces"), pa.float64())
+        return pa.table({
+            "n_sessions": pc.cast(b.column("n_sessions"), pa.int64()),
+            "n_bounces": pc.cast(b.column("n_bounces"), pa.int64()),
+            "bounce_rate": round_like_duckdb(pc.divide(nb, n), 6),
+            "avg_depth": round_like_duckdb(
+                pc.divide(pc.cast(b.column("depth_sum"), pa.float64()), n),
+                6),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+QUERIES["q_session_bounce_rate"] = q_session_bounce_rate
+ORACLE_SQL["q_session_bounce_rate"] = """
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)
+                         > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+    ), numbered AS (
+        SELECT user_id,
+               CAST(sum(new_s) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS session_id
+        FROM flagged
+    ), sess AS (
+        SELECT user_id, session_id, count(*) AS n_events
+        FROM numbered GROUP BY 1, 2
+    )
+    SELECT count(*) AS n_sessions,
+           sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS n_bounces,
+           round(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS bounce_rate,
+           round(sum(n_events) * 1.0 / count(*), 6) AS avg_depth
+    FROM sess
+"""
