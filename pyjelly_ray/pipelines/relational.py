@@ -9411,3 +9411,75 @@ ORACLE_SQL["q_session_bounce_rate"] = """
            round(sum(n_events) * 1.0 / count(*), 6) AS avg_depth
     FROM sess
 """
+
+
+def q_purchase_first_touch_attribution(sf_dir: str):
+    """First-touch attribution: each purchase's revenue credited wholly to
+    the EARLIEST touch in its 7-day window — the acquisition-biased
+    counterpart of last-touch, closing the attribution family
+    (first / last / U-shaped / time-decay).  Reuses the shared
+    purchase×touch interval join; the per-purchase argmin is one
+    segmented take."""
+    from ..stages.agg import grouped_map, round_like_duckdb
+
+    pairs = _purchase_touch_pairs(sf_dir)
+
+    empty = pa.table({"channel": pa.array([], pa.string()),
+                      "value": pa.array([], pa.float64())})
+
+    def first_part(t: pa.Table) -> pa.Table:
+        from ..stages.agg import _key_run_bounds
+
+        if t.num_rows == 0:
+            return empty
+        t = t.sort_by([("pid", "ascending"), ("tts", "ascending"),
+                       ("tid", "ascending")])
+        bounds = _key_run_bounds(t, ["pid"])
+        first = t.take(pa.array(bounds[:-1]))
+        return pa.table({"channel": first.column("channel"),
+                         "value": first.column("value")})
+
+    firsts = grouped_map(pairs, "pid", first_part, per_group=False,
+                         empty_schema=pa.table({
+                             "pid": pa.array([], pa.int64()),
+                             "value": pa.array([], pa.float64()),
+                             "tts": pa.array([], pa.int64()),
+                             "tid": pa.array([], pa.int64()),
+                             "channel": pa.array([], pa.string()),
+                         }))
+    out = grouped_agg(firsts, ["channel"],
+                      [("n_purchases", "value", "count"),
+                       ("credited_value", "value", "sum")],
+                      round_to=2, sum_as_float=True)
+    return out.map_batches(
+        lambda b: pa.table({
+            "channel": b.column("channel"),
+            "n_purchases": pc.cast(b.column("n_purchases"), pa.int64()),
+            "credited_value": b.column("credited_value"),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+QUERIES["q_purchase_first_touch_attribution"] = (
+    q_purchase_first_touch_attribution)
+ORACLE_SQL["q_purchase_first_touch_attribution"] = """
+    WITH p AS (
+        SELECT event_id AS pid, user_id, ts AS pts, value
+        FROM events WHERE event_type = 'purchase'
+    ),
+    t AS (
+        SELECT event_id AS tid, user_id, ts AS tts, event_type AS channel
+        FROM events WHERE event_type <> 'purchase'
+    ),
+    m AS (
+        SELECT pid, value, channel,
+               row_number() OVER (PARTITION BY pid
+                                  ORDER BY tts, tid) AS rn
+        FROM p JOIN t ON t.user_id = p.user_id
+          AND t.tts >= p.pts - INTERVAL 7 DAY AND t.tts < p.pts
+    )
+    SELECT channel, count(*) AS n_purchases,
+           round(sum(value), 2) AS credited_value
+    FROM m WHERE rn = 1 GROUP BY channel
+"""
