@@ -9483,3 +9483,104 @@ ORACLE_SQL["q_purchase_first_touch_attribution"] = """
            round(sum(value), 2) AS credited_value
     FROM m WHERE rn = 1 GROUP BY channel
 """
+
+
+def q_repeat_purchase_stats(sf_dir: str):
+    """Repeat-purchase report: share of buyers who purchase again, and the
+    exact p50/p90 days between consecutive purchases — the loyalty /
+    replenishment-cycle readout.  Per-user purchase gaps come from one
+    keyed running lag; buyer counts from one combiner pass; the gap
+    quantiles from the exact single-group quantile exchange."""
+    from ..stages.agg import grouped_quantiles, round_like_duckdb
+    from ..stages.window import grouped_running
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def purchases(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b.column("event_type"), pa.scalar("purchase")))
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "pts": pc.cast(b.column("ts"), pa.int64()),
+            "event_id": b.column("event_id"),
+        })
+
+    p = ev.map_batches(purchases, batch_format="pyarrow")
+    lagged = grouped_running(p, key="user_id", order_col="pts",
+                             value_col="pts", kinds=[("prev_pts", "lag")],
+                             tiebreak="event_id")
+
+    def gaps(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("prev_pts")))
+        g = pc.divide(
+            pc.subtract(pc.cast(b.column("pts"), pa.float64()),
+                        b.column("prev_pts")),
+            pa.scalar(86_400_000_000.0, pa.float64()),
+        )
+        return pa.table({"__g": pa.array(np.zeros(b.num_rows, np.int8)),
+                         "gap_days": g})
+
+    q = grouped_quantiles(lagged.map_batches(gaps, batch_format="pyarrow"),
+                          ["__g"], "gap_days",
+                          [("p50_gap_days", 0.5), ("p90_gap_days", 0.9)],
+                          round_to=4)
+    per_user = grouped_agg(p, ["user_id"], [("np", "pts", "count")],
+                           sum_as_float=False)
+
+    def buyer_flags(b: pa.Table) -> pa.Table:
+        np_ = pc.cast(b.column("np"), pa.int64())
+        return pa.table({
+            "__g": pa.array(np.zeros(b.num_rows, np.int8)),
+            "one": pc.cast(pc.greater_equal(np_, pa.scalar(1, pa.int64())),
+                           pa.int64()),
+            "rep": pc.cast(pc.greater_equal(np_, pa.scalar(2, pa.int64())),
+                           pa.int64()),
+        })
+
+    buyers = grouped_agg(
+        per_user.map_batches(buyer_flags, batch_format="pyarrow"),
+        ["__g"], [("n_buyers", "one", "sum"), ("n_repeat", "rep", "sum")],
+        sum_as_float=False)
+    # the quantile result is exactly one row — take it driver-side and
+    # embed the two scalars (small-result pattern, no join needed)
+    qrow = q.take(1)[0]
+    p50, p90 = float(qrow["p50_gap_days"]), float(qrow["p90_gap_days"])
+
+    def finalize(b: pa.Table) -> pa.Table:
+        nb = pc.cast(b.column("n_buyers"), pa.float64())
+        nr = pc.cast(b.column("n_repeat"), pa.float64())
+        n = b.num_rows
+        return pa.table({
+            "n_buyers": pc.cast(b.column("n_buyers"), pa.int64()),
+            "n_repeat_buyers": pc.cast(b.column("n_repeat"), pa.int64()),
+            "repeat_rate": round_like_duckdb(pc.divide(nr, nb), 6),
+            "p50_gap_days": pa.array([p50] * n, pa.float64()),
+            "p90_gap_days": pa.array([p90] * n, pa.float64()),
+        })
+
+    return buyers.map_batches(finalize, batch_format="pyarrow")
+
+
+QUERIES["q_repeat_purchase_stats"] = q_repeat_purchase_stats
+ORACLE_SQL["q_repeat_purchase_stats"] = """
+    WITH p AS (
+        SELECT user_id, ts, event_id FROM events
+        WHERE event_type = 'purchase'
+    ),
+    g AS (
+        SELECT (epoch_us(ts)
+                - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id)))
+               / 86400000000.0 AS gap_days
+        FROM p
+    ),
+    u AS (SELECT user_id, count(*) AS np FROM p GROUP BY 1)
+    SELECT count(*) AS n_buyers,
+           sum(CASE WHEN np >= 2 THEN 1 ELSE 0 END) AS n_repeat_buyers,
+           round(sum(CASE WHEN np >= 2 THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS repeat_rate,
+           (SELECT round(quantile_cont(gap_days, 0.5), 4) FROM g
+            WHERE gap_days IS NOT NULL) AS p50_gap_days,
+           (SELECT round(quantile_cont(gap_days, 0.9), 4) FROM g
+            WHERE gap_days IS NOT NULL) AS p90_gap_days
+    FROM u
+"""
