@@ -9584,3 +9584,92 @@ ORACLE_SQL["q_repeat_purchase_stats"] = """
             WHERE gap_days IS NOT NULL) AS p90_gap_days
     FROM u
 """
+
+
+def q_customer_segment_migration(sf_dir: str):
+    """Customer segment migration matrix: spend quintile before vs after a
+    1998-01-01 cutoff, counted per (from_q, to_q) cell — the
+    period-over-period loyalty movement readout.  Per-period spend is kept
+    in EXACT integer cents so equal-spend ties order identically in both
+    engines (the custkey tiebreak then makes quintile membership
+    deterministic); each period's quintile is one keyed running ntile over
+    the small per-customer table; the matrix is one combiner exchange over
+    the inner join of both periods."""
+    from ..stages.window import grouped_running
+
+    cutoff_us = 883_612_800_000_000  # 1998-01-01 epoch µs
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate",
+                                      "o_totalprice"])
+
+    def project(b: pa.Table) -> pa.Table:
+        us = pc.cast(b.column("o_orderdate"), pa.int64())
+        cents = pc.cast(pc.round(pc.multiply(
+            b.column("o_totalprice"), pa.scalar(100.0, pa.float64()))),
+            pa.int64())
+        return pa.table({
+            "o_custkey": b.column("o_custkey"),
+            "period": pc.cast(pc.greater_equal(
+                us, pa.scalar(cutoff_us, pa.int64())), pa.int64()),
+            "cents": cents,
+        })
+
+    proj = orders.map_batches(project, batch_format="pyarrow")
+    spend = grouped_agg(proj, ["period", "o_custkey"],
+                        [("s", "cents", "sum")], sum_as_float=False)
+    tiled = grouped_running(
+        spend.map_batches(
+            lambda b: b.set_column(
+                b.schema.get_field_index("s"), "s",
+                pc.cast(b.column("s"), pa.int64())),
+            batch_format="pyarrow"),
+        key="period", order_col="s", value_col="s",
+        kinds=[("quintile", ("ntile", 5))], tiebreak="o_custkey",
+    )
+    h1 = tiled.map_batches(
+        lambda b: pa.table({
+            "k1": b.column("o_custkey"), "from_q": b.column("quintile")}
+        ).filter(pc.equal(b.column("period"), pa.scalar(0, pa.int64()))),
+        batch_format="pyarrow",
+    )
+    h2 = tiled.map_batches(
+        lambda b: pa.table({
+            "k2": b.column("o_custkey"), "to_q": b.column("quintile")}
+        ).filter(pc.equal(b.column("period"), pa.scalar(1, pa.int64()))),
+        batch_format="pyarrow",
+    )
+    j = broadcast_join(h1, h2, left_key="k1", right_key="k2",
+                       columns=["to_q"])
+    out = grouped_agg(j, ["from_q", "to_q"],
+                      [("n_customers", "from_q", "count")],
+                      sum_as_float=False)
+    return out.map_batches(
+        lambda b: pa.table({
+            "from_q": pc.cast(b.column("from_q"), pa.int64()),
+            "to_q": pc.cast(b.column("to_q"), pa.int64()),
+            "n_customers": pc.cast(b.column("n_customers"), pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+QUERIES["q_customer_segment_migration"] = q_customer_segment_migration
+ORACLE_SQL["q_customer_segment_migration"] = """
+    WITH s AS (
+        SELECT o_custkey,
+               CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01'
+                    THEN 1 ELSE 0 END AS period,
+               sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS cents
+        FROM orders GROUP BY 1, 2
+    ),
+    t AS (
+        SELECT o_custkey, period,
+               ntile(5) OVER (PARTITION BY period
+                              ORDER BY cents, o_custkey) AS quintile
+        FROM s
+    )
+    SELECT a.quintile AS from_q, b.quintile AS to_q,
+           count(*) AS n_customers
+    FROM t a JOIN t b ON a.o_custkey = b.o_custkey
+    WHERE a.period = 0 AND b.period = 1
+    GROUP BY 1, 2
+"""
