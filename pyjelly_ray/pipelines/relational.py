@@ -9673,3 +9673,346 @@ ORACLE_SQL["q_customer_segment_migration"] = """
     WHERE a.period = 0 AND b.period = 1
     GROUP BY 1, 2
 """
+
+
+def q_ab_value_cuped(sf_dir: str):
+    """CUPED-adjusted A/B readout: the variance-reduction workhorse of
+    experimentation platforms.  Users are deterministically hash-split
+    50/50; each user's PRE-period spend (first half of the global time
+    range) is the covariate X, the POST-period spend the metric Y.
+    θ = cov(X,Y)/var(X) is computed POOLED (both arms — standard CUPED),
+    then each arm reports mean(Y) and the CUPED-adjusted
+    mean(Y) − θ·(mean(X) − mean(X)_all).  Plan shape: the raw stream is
+    touched once (map-side pre/post conditional cent sums → one per-user
+    combiner exchange); the per-user table is materialized ONCE and feeds
+    both the pooled-moment scalar pass and the per-arm aggregate — the
+    global θ and mean(X) are driver scalars broadcast into the finalize.
+    All per-user sums AND the pooled second moments are exact integer
+    cents / cents² (order-independent), so θ and the adjusted means are
+    bit-identical to the SQL regardless of summation order (the
+    .xx5-boundary hazard documented on q_supplier_region_stats)."""
+    from ..stages.agg import round_like_duckdb
+    from ..stages.sample import deterministic_split
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    ev = ev.map_batches(
+        lambda b: b.filter(pc.is_valid(b.column("value"))),
+        batch_format="pyarrow",
+    )
+    us = ev.map_batches(
+        lambda b: pa.table({"us": pc.cast(b.column("ts"), pa.int64())}),
+        batch_format="pyarrow",
+    )
+    lo, hi = int(us.min("us")), int(us.max("us"))
+    mid = (lo + hi) // 2
+
+    def prepost(b: pa.Table) -> pa.Table:
+        pre = pc.less(pc.cast(b.column("ts"), pa.int64()),
+                      pa.scalar(mid, pa.int64()))
+        cents = pc.cast(
+            pc.round(pc.multiply(b.column("value"),
+                                 pa.scalar(100.0, pa.float64()))),
+            pa.int64(),
+        )
+        zero = pa.scalar(0, pa.int64())
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "x_c": pc.if_else(pre, cents, zero),
+            "y_c": pc.if_else(pre, zero, cents),
+        })
+
+    per_user = grouped_agg(
+        ev.map_batches(prepost, batch_format="pyarrow"),
+        ["user_id"], [("x_c", "x_c", "sum"), ("y_c", "y_c", "sum")],
+        sum_as_float=False,
+    ).materialize()
+
+    tot = per_user.sum(["x_c", "y_c"])
+    n_u = float(per_user.count())
+    sx_c, sy_c = int(tot["sum(x_c)"]), int(tot["sum(y_c)"])
+    mom = grouped_agg(
+        per_user.map_batches(
+            lambda b: pa.table({
+                "g": pa.array(np.zeros(b.num_rows, np.int64)),
+                "xy": pc.multiply(b.column("x_c"), b.column("y_c")),
+                "xx": pc.multiply(b.column("x_c"), b.column("x_c")),
+            }),
+            batch_format="pyarrow"),
+        ["g"], [("sxy", "xy", "sum"), ("sxx", "xx", "sum")],
+        sum_as_float=False,
+    ).take_all()[0]
+    sx, sy = float(sx_c) / 100.0, float(sy_c) / 100.0
+    theta = ((float(mom["sxy"]) / 10000.0 - sx * sy / n_u)
+             / (float(mom["sxx"]) / 10000.0 - sx * sx / n_u))
+    mx_all = sx / n_u
+
+    sp = deterministic_split(per_user, id_col="user_id",
+                             splits=[("A", 0.5), ("B", 0.5)], seed="ab1",
+                             out_col="variant")
+    arm = grouped_agg(sp, ["variant"], [("n_users", "x_c", "count"),
+                                        ("sx_c", "x_c", "sum"),
+                                        ("sy_c", "y_c", "sum")],
+                      sum_as_float=False)
+
+    def finalize(b: pa.Table) -> pa.Table:
+        n = pc.cast(b.column("n_users"), pa.float64())
+        hundred = pa.scalar(100.0, pa.float64())
+        my = pc.divide(
+            pc.divide(pc.cast(b.column("sy_c"), pa.float64()), hundred), n)
+        mx = pc.divide(
+            pc.divide(pc.cast(b.column("sx_c"), pa.float64()), hundred), n)
+        adj = pc.subtract(
+            my,
+            pc.multiply(pa.scalar(theta, pa.float64()),
+                        pc.subtract(mx, pa.scalar(mx_all, pa.float64()))),
+        )
+        return pa.table({
+            "variant": b.column("variant"),
+            "n_users": pc.cast(b.column("n_users"), pa.int64()),
+            "mean_post": round_like_duckdb(my, 6),
+            "mean_post_cuped": round_like_duckdb(adj, 6),
+            "theta": round_like_duckdb(
+                pa.array(np.full(b.num_rows, theta, np.float64)), 6),
+        })
+
+    return arm.map_batches(finalize, batch_format="pyarrow")
+
+
+QUERIES["q_ab_value_cuped"] = q_ab_value_cuped
+ORACLE_SQL["q_ab_value_cuped"] = f"""
+    WITH e AS (
+        SELECT user_id, epoch_us(ts) AS us,
+               CAST(round(value * 100.0) AS BIGINT) AS c
+        FROM events WHERE value IS NOT NULL
+    ),
+    b AS (SELECT (min(us) + max(us)) // 2 AS mid FROM e),
+    u AS (
+        SELECT user_id,
+               sum(CASE WHEN us < (SELECT mid FROM b) THEN c ELSE 0 END)
+                   AS x_c,
+               sum(CASE WHEN us < (SELECT mid FROM b) THEN 0 ELSE c END)
+                   AS y_c
+        FROM e GROUP BY user_id
+    ),
+    g AS (
+        SELECT count(*) * 1.0 AS n,
+               CAST(sum(x_c) AS DOUBLE) / 100.0 AS sx,
+               CAST(sum(y_c) AS DOUBLE) / 100.0 AS sy,
+               CAST(sum(x_c * y_c) AS DOUBLE) / 10000.0 AS sxy,
+               CAST(sum(x_c * x_c) AS DOUBLE) / 10000.0 AS sxx
+        FROM u
+    ),
+    th AS (
+        SELECT (sxy - sx * sy / n) / (sxx - sx * sx / n) AS theta,
+               sx / n AS mx_all
+        FROM g
+    )
+    SELECT {_ab_split_case()} AS variant,
+           count(*) AS n_users,
+           round((CAST(sum(y_c) AS DOUBLE) / 100.0) / count(*), 6)
+               AS mean_post,
+           round((CAST(sum(y_c) AS DOUBLE) / 100.0) / count(*)
+                 - (SELECT theta FROM th)
+                   * ((CAST(sum(x_c) AS DOUBLE) / 100.0) / count(*)
+                      - (SELECT mx_all FROM th)), 6) AS mean_post_cuped,
+           round((SELECT theta FROM th), 6) AS theta
+    FROM u GROUP BY 1
+"""
+
+
+def q_user_lifetime_hazard(sf_dir: str):
+    """Nelson-Aalen cumulative hazard over user lifetimes — the
+    non-parametric companion to the Kaplan-Meier curve
+    (q_user_lifetime_km): H(t) = Σ_{tᵢ≤t} dᵢ/nᵢ, plus the per-time
+    hazard increment dᵢ/nᵢ.  Same fully distributed machinery: per-user
+    lifetime is one keyed aggregate, per-time death counts one combiner
+    exchange, and both running terms (at-risk nᵢ via an exclusive prefix
+    sum, Σd/n via an inclusive one) ride `range_sort` +
+    `global_prefix_sums` — no single-node window anywhere."""
+    from ..stages.agg import round_like_duckdb
+    from ..stages.sort import global_prefix_sums, range_sort
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    life = grouped_agg(ev, ["user_id"], [("first_ts", "ts", "min"),
+                                         ("last_ts", "ts", "max")])
+
+    def days_of(b: pa.Table) -> pa.Table:
+        us0 = pc.cast(b.column("first_ts"), pa.int64())
+        us1 = pc.cast(b.column("last_ts"), pa.int64())
+        d = pc.divide(pc.subtract(us1, us0),
+                      pa.scalar(86_400_000_000, pa.int64()))
+        return pa.table({"days": d})
+
+    lifetimes = life.map_batches(days_of, batch_format="pyarrow")
+    total = float(lifetimes.count())
+    deaths = grouped_agg(lifetimes, ["days"], [("d_events", "days", "count")],
+                         sum_as_float=False)
+    s = range_sort(deaths, "days")
+    s = global_prefix_sums(s, "d_events", out_name="__before",
+                           exclusive=True)
+
+    def hazard_of(b: pa.Table) -> pa.Table:
+        d = pc.cast(b.column("d_events"), pa.float64())
+        n = pc.subtract(pa.scalar(total, pa.float64()), b.column("__before"))
+        return pa.table({
+            "days": b.column("days"),
+            "n_at_risk": pc.cast(n, pa.int64()),
+            "d_events": pc.cast(b.column("d_events"), pa.int64()),
+            "__h": pc.divide(d, n),
+        })
+
+    s2 = s.map_batches(hazard_of, batch_format="pyarrow")
+    s2 = global_prefix_sums(s2, "__h", out_name="__H", exclusive=False)
+
+    def finalize(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "days": b.column("days"),
+            "n_at_risk": b.column("n_at_risk"),
+            "d_events": b.column("d_events"),
+            "hazard": round_like_duckdb(b.column("__h"), 6),
+            "cum_hazard": round_like_duckdb(b.column("__H"), 6),
+        })
+
+    return s2.map_batches(finalize, batch_format="pyarrow")
+
+
+QUERIES["q_user_lifetime_hazard"] = q_user_lifetime_hazard
+ORACLE_SQL["q_user_lifetime_hazard"] = """
+    WITH l AS (
+        SELECT user_id,
+               CAST((epoch_us(max(ts)) - epoch_us(min(ts)))
+                    // 86400000000 AS BIGINT) AS days
+        FROM events GROUP BY user_id
+    ),
+    t AS (SELECT count(*) * 1.0 AS total FROM l),
+    d AS (SELECT days, count(*) AS d_events FROM l GROUP BY days),
+    c AS (
+        SELECT days, d_events,
+               (SELECT total FROM t)
+                   - coalesce(sum(d_events) OVER (ORDER BY days
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS n
+        FROM d
+    )
+    SELECT days, CAST(n AS BIGINT) AS n_at_risk, d_events,
+           round(CAST(d_events AS DOUBLE) / n, 6) AS hazard,
+           round(sum(CAST(d_events AS DOUBLE) / n)
+                     OVER (ORDER BY days), 6) AS cum_hazard
+    FROM c
+"""
+
+
+def q_discount_slope_simpson(sf_dir: str):
+    """Simpson's-paradox screen: the OLS slope of discount on quantity
+    WITHIN each return-flag stratum vs the POOLED overall slope, with a sign-flip
+    flag — the aggregated-vs-disaggregated trend-reversal detector.  One
+    single pass over lineitem: `grouped_agg_sets` ROLLUP computes the
+    per-mode and the grand-total moment partials in the same combiner
+    exchange (the raw rows are never scanned twice); the tiny rollup
+    table is materialized once, the overall row read on the driver and
+    broadcast into the per-group finalize.  Signs are compared on the
+    round-4 values so the flag is identical to the SQL's."""
+    from ..stages.agg import grouped_agg_sets, round_like_duckdb
+
+    li = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_quantity", "l_discount"])
+    roll = grouped_agg_sets(
+        li, ["l_returnflag"],
+        [("slope", ("l_quantity", "l_discount"), "slope"),
+         ("n", "l_quantity", "count")],
+        round_to=None,
+    ).materialize()
+    overall_rows = [r for r in roll.take_all() if r["grouping_id"] == 1]
+    slope_all = round(float(overall_rows[0]["slope"]), 4)
+
+    empty = pa.table({
+        "l_returnflag": pa.array([], pa.string()),
+        "n": pa.array([], pa.int64()),
+        "slope_group": pa.array([], pa.float64()),
+        "slope_overall": pa.array([], pa.float64()),
+        "disagrees": pa.array([], pa.int64()),
+    })
+
+    def finalize(b: pa.Table) -> pa.Table:
+        if "grouping_id" not in b.column_names:  # schema-less empty block
+            return empty
+        b = b.filter(pc.equal(b.column("grouping_id"),
+                              pa.scalar(0, pa.int64())))
+        sg = round_like_duckdb(b.column("slope"), 4)
+        flip = pc.cast(
+            pc.less(pc.multiply(sg, pa.scalar(slope_all, pa.float64())),
+                    pa.scalar(0.0, pa.float64())),
+            pa.int64(),
+        )
+        return pa.table({
+            "l_returnflag": b.column("l_returnflag"),
+            "n": pc.cast(b.column("n"), pa.int64()),
+            "slope_group": sg,
+            "slope_overall": pa.array(
+                np.full(b.num_rows, slope_all, np.float64)),
+            "disagrees": flip,
+        })
+
+    return roll.map_batches(finalize, batch_format="pyarrow")
+
+
+QUERIES["q_discount_slope_simpson"] = q_discount_slope_simpson
+ORACLE_SQL["q_discount_slope_simpson"] = """
+    WITH g AS (
+        SELECT l_returnflag, count(*) AS n,
+               round(regr_slope(l_discount, l_quantity), 4) AS slope_group
+        FROM lineitem GROUP BY 1
+    ),
+    o AS (SELECT round(regr_slope(l_discount, l_quantity), 4)
+              AS slope_overall
+          FROM lineitem)
+    SELECT l_returnflag, n, slope_group,
+           (SELECT slope_overall FROM o) AS slope_overall,
+           CAST(CASE WHEN slope_group * (SELECT slope_overall FROM o) < 0
+                     THEN 1 ELSE 0 END AS BIGINT) AS disagrees
+    FROM g
+"""
+
+
+def q_brand_price_elasticity(sf_dir: str):
+    """Per-brand price elasticity of demand: the log-log OLS slope
+    regr_slope(ln qty, ln unit price) — the canonical pricing-analytics
+    estimate (elasticity ≈ %Δqty / %Δprice).  Unit price is derived
+    per row (extendedprice / qty), the part dimension broadcast-joined
+    for the brand, and the slope comes from the same mergeable moment
+    partials as corr/var — one combiner exchange, no row-level shuffle."""
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"])
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_quantity", "l_extendedprice"])
+    joined = broadcast_join(li, part, left_key="l_partkey",
+                            right_key="p_partkey", columns=["p_brand"])
+
+    def logs(b: pa.Table) -> pa.Table:
+        q = pc.cast(b.column("l_quantity"), pa.float64())
+        unit = pc.divide(b.column("l_extendedprice"), q)
+        return pa.table({
+            "p_brand": b.column("p_brand"),
+            "ln_p": pc.ln(unit),
+            "ln_q": pc.ln(q),
+        })
+
+    proj = joined.map_batches(logs, batch_format="pyarrow")
+    return grouped_agg(
+        proj, ["p_brand"],
+        [("elasticity", ("ln_p", "ln_q"), "slope"),
+         ("n", "ln_q", "count")],
+        round_to=4,
+    )
+
+
+QUERIES["q_brand_price_elasticity"] = q_brand_price_elasticity
+ORACLE_SQL["q_brand_price_elasticity"] = """
+    SELECT p_brand,
+           round(regr_slope(ln(CAST(l_quantity AS DOUBLE)),
+                            ln(l_extendedprice
+                               / CAST(l_quantity AS DOUBLE))), 4)
+               AS elasticity,
+           count(*) AS n
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY 1
+"""
