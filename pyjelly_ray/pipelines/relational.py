@@ -10016,3 +10016,261 @@ ORACLE_SQL["q_brand_price_elasticity"] = """
     FROM lineitem JOIN part ON l_partkey = p_partkey
     GROUP BY 1
 """
+
+
+def q_type_forecast_backtest(sf_dir: str):
+    """Seasonal-naive forecast backtest: per event type, the daily value
+    series is 'forecast' by its own value 7 observations earlier
+    (lag-7 ≈ same weekday last week), and the backtest reports MAE /
+    MAPE / sMAPE per type — the baseline every forecasting pipeline is
+    graded against.  Daily totals are exact integer cents (one combiner
+    exchange), the lag one keyed-run pass over the tiny per-day table,
+    and the error metrics one more combiner pass: MAE is finalized from
+    an exact integer cent sum; MAPE/sMAPE are scale-free ratios."""
+    from ..stages.agg import round_like_duckdb
+    from ..stages.window import grouped_running
+
+    ev = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def proj(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("value")))
+        day = pc.divide(pc.cast(b.column("ts"), pa.int64()),
+                        pa.scalar(86_400_000_000, pa.int64()))
+        cents = pc.cast(
+            pc.round(pc.multiply(b.column("value"),
+                                 pa.scalar(100.0, pa.float64()))),
+            pa.int64(),
+        )
+        return pa.table({"event_type": b.column("event_type"),
+                         "day": day, "c": cents})
+
+    daily = grouped_agg(ev.map_batches(proj, batch_format="pyarrow"),
+                        ["event_type", "day"], [("c", "c", "sum")],
+                        sum_as_float=False)
+    lagged = grouped_running(daily, key="event_type", order_col="day",
+                             value_col="c", kinds=[("f", ("lag", 7))])
+
+    def errs(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("f")))
+        a = pc.cast(b.column("c"), pa.float64())
+        f = pc.cast(b.column("f"), pa.float64())
+        ae_c = pc.abs(pc.subtract(b.column("c"), b.column("f")))
+        ae = pc.cast(ae_c, pa.float64())
+        return pa.table({
+            "event_type": b.column("event_type"),
+            "ae_c": ae_c,
+            "ape": pc.divide(ae, a),
+            "sape": pc.divide(
+                pc.multiply(pa.scalar(2.0, pa.float64()), ae),
+                pc.add(a, f)),
+        })
+
+    m = grouped_agg(lagged.map_batches(errs, batch_format="pyarrow"),
+                    ["event_type"],
+                    [("n_days", "ae_c", "count"), ("sae_c", "ae_c", "sum"),
+                     ("mape", "ape", "mean"), ("smape", "sape", "mean")],
+                    sum_as_float=False)
+
+    def finalize(b: pa.Table) -> pa.Table:
+        n = pc.cast(b.column("n_days"), pa.float64())
+        mae = pc.divide(
+            pc.divide(pc.cast(b.column("sae_c"), pa.float64()),
+                      pa.scalar(100.0, pa.float64())), n)
+        return pa.table({
+            "event_type": b.column("event_type"),
+            "n_days": pc.cast(b.column("n_days"), pa.int64()),
+            "mae": round_like_duckdb(mae, 6),
+            "mape": round_like_duckdb(b.column("mape"), 6),
+            "smape": round_like_duckdb(b.column("smape"), 6),
+        })
+
+    return m.map_batches(finalize, batch_format="pyarrow")
+
+
+QUERIES["q_type_forecast_backtest"] = q_type_forecast_backtest
+ORACLE_SQL["q_type_forecast_backtest"] = """
+    WITH d AS (
+        SELECT event_type,
+               CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+               sum(CAST(round(value * 100.0) AS BIGINT)) AS c
+        FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    l AS (
+        SELECT event_type, day, c,
+               lag(c, 7) OVER (PARTITION BY event_type ORDER BY day) AS f
+        FROM d
+    )
+    SELECT event_type, count(*) AS n_days,
+           round((CAST(sum(abs(c - f)) AS DOUBLE) / 100.0) / count(*), 6)
+               AS mae,
+           round(avg(CAST(abs(c - f) AS DOUBLE) / CAST(c AS DOUBLE)), 6)
+               AS mape,
+           round(avg(2.0 * CAST(abs(c - f) AS DOUBLE)
+                     / (CAST(c AS DOUBLE) + CAST(f AS DOUBLE))), 6)
+               AS smape
+    FROM l WHERE f IS NOT NULL GROUP BY 1
+"""
+
+
+def q_weekly_churn_rate(sf_dir: str):
+    """Weekly churn report: of the users active in week w, the share NOT
+    active in week w+1 — the inverse of next-week retention.  No week
+    self-join anywhere: distinct (user, week) pairs are one combiner
+    exchange, each user's sorted week run yields its consecutive-week
+    pairs via one keyed lag pass, and a single map emits both the
+    'active at w' and 'retained at prev' flag rows folded by one tiny
+    per-week aggregate."""
+    from ..stages.agg import round_like_duckdb
+    from ..stages.window import grouped_running
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def proj(b: pa.Table) -> pa.Table:
+        return pa.table({"user_id": b.column("user_id"),
+                         "week": _epoch_week(b.column("ts"))})
+
+    pairs = grouped_agg(ev.map_batches(proj, batch_format="pyarrow"),
+                        ["user_id", "week"], [("n", "week", "count")],
+                        sum_as_float=False)
+    lagged = grouped_running(pairs, key="user_id", order_col="week",
+                             value_col="week", kinds=[("prev", "lag")])
+
+    def flags(b: pa.Table) -> pa.Table:
+        act = pa.table({
+            "week": b.column("week"),
+            "active": pa.array(np.ones(b.num_rows, np.int64)),
+            "retained": pa.array(np.zeros(b.num_rows, np.int64)),
+        })
+        r = b.filter(pc.equal(pc.subtract(pc.cast(b.column("week"),
+                                                  pa.float64()),
+                                          b.column("prev")),
+                              pa.scalar(1.0, pa.float64())))
+        ret = pa.table({
+            "week": pc.cast(r.column("prev"), pa.int64()),
+            "active": pa.array(np.zeros(r.num_rows, np.int64)),
+            "retained": pa.array(np.ones(r.num_rows, np.int64)),
+        })
+        return pa.concat_tables([act, ret])
+
+    weekly = grouped_agg(lagged.map_batches(flags, batch_format="pyarrow"),
+                         ["week"], [("n_active", "active", "sum"),
+                                    ("n_retained", "retained", "sum")],
+                         sum_as_float=False)
+
+    def finalize(b: pa.Table) -> pa.Table:
+        churn = pc.subtract(
+            pa.scalar(1.0, pa.float64()),
+            pc.divide(
+                pc.multiply(pc.cast(b.column("n_retained"), pa.float64()),
+                            pa.scalar(1.0, pa.float64())),
+                pc.cast(b.column("n_active"), pa.float64())),
+        )
+        return pa.table({
+            "week": b.column("week"),
+            "n_active": pc.cast(b.column("n_active"), pa.int64()),
+            "n_retained": pc.cast(b.column("n_retained"), pa.int64()),
+            "churn_rate": round_like_duckdb(churn, 6),
+        })
+
+    return weekly.map_batches(finalize, batch_format="pyarrow")
+
+
+QUERIES["q_weekly_churn_rate"] = q_weekly_churn_rate
+ORACLE_SQL["q_weekly_churn_rate"] = """
+    WITH d AS (
+        SELECT DISTINCT user_id,
+               CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS week
+        FROM events
+    ),
+    l AS (
+        SELECT user_id, week,
+               lag(week) OVER (PARTITION BY user_id ORDER BY week) AS prev
+        FROM d
+    ),
+    a AS (SELECT week, count(*) AS n_active FROM d GROUP BY 1),
+    r AS (SELECT prev AS week, count(*) AS n_retained
+          FROM l WHERE week - prev = 1 GROUP BY 1)
+    SELECT a.week, a.n_active,
+           coalesce(r.n_retained, 0) AS n_retained,
+           round(1.0 - coalesce(r.n_retained, 0) * 1.0 / a.n_active, 6)
+               AS churn_rate
+    FROM a LEFT JOIN r USING (week)
+"""
+
+
+def q_user_journey_trigrams(sf_dir: str):
+    """Sequence mining: the 20 most common 3-step event-type journeys
+    (consecutive triples inside each user's time-ordered stream) — the
+    path-analysis staple behind 'how do users reach purchase'.  Triples
+    are read off inside the per-user run (one keyed exchange, vectorized
+    index shift — the trigram extension of the Markov-transition
+    kernel), counted by one tiny combiner exchange, and cut with
+    `global_topk` (deterministic n-desc/path-asc total order), never a
+    full sort."""
+    from ..stages.agg import _key_run_bounds, grouped_map
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    empty = pa.table({
+        "s1": pa.array([], pa.string()),
+        "s2": pa.array([], pa.string()),
+        "s3": pa.array([], pa.string()),
+    })
+
+    def tri_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        t = t.sort_by([("user_id", "ascending"), ("ts", "ascending"),
+                       ("event_id", "ascending")])
+        bounds = _key_run_bounds(t, ["user_id"])
+        types = t.column("event_type").to_numpy(zero_copy_only=False)
+        n = t.num_rows
+        keep = np.ones(n, bool)
+        starts = bounds[:-1]
+        keep[starts] = False  # no predecessor
+        second = starts + 1
+        keep[second[second < n]] = False  # run starts are already masked
+        idx = np.flatnonzero(keep)
+        if len(idx) == 0:
+            return empty
+        return pa.table({
+            "s1": pa.array(types[idx - 2], pa.string()),
+            "s2": pa.array(types[idx - 1], pa.string()),
+            "s3": pa.array(types[idx], pa.string()),
+        })
+
+    tris = grouped_map(
+        ev, "user_id", tri_part, per_group=False,
+        empty_schema=pa.table({
+            "user_id": pa.array([], pa.int64()),
+            "ts": pa.array([], pa.timestamp("us")),
+            "event_id": pa.array([], pa.int64()),
+            "event_type": pa.array([], pa.string()),
+        }),
+    )
+    counts = grouped_agg(tris, ["s1", "s2", "s3"],
+                         [("n_paths", "s1", "count")], sum_as_float=False)
+    counts = counts.map_batches(
+        lambda b: b.set_column(
+            b.schema.get_field_index("n_paths"), "n_paths",
+            pc.cast(b.column("n_paths"), pa.int64())),
+        batch_format="pyarrow",
+    )
+    return global_topk(counts, ["n_paths", "s1", "s2", "s3"], 20,
+                       descending=[True, False, False, False])
+
+
+QUERIES["q_user_journey_trigrams"] = q_user_journey_trigrams
+ORACLE_SQL["q_user_journey_trigrams"] = """
+    WITH o AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER w AS p1,
+               lag(event_type, 2) OVER w AS p2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT p2 AS s1, p1 AS s2, event_type AS s3, count(*) AS n_paths
+    FROM o WHERE p2 IS NOT NULL
+    GROUP BY 1, 2, 3
+    ORDER BY n_paths DESC, s1, s2, s3
+    LIMIT 20
+"""
