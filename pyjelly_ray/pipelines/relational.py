@@ -10274,3 +10274,288 @@ ORACLE_SQL["q_user_journey_trigrams"] = """
     ORDER BY n_paths DESC, s1, s2, s3
     LIMIT 20
 """
+
+
+def q_embedding_clustering_coeff(sf_dir: str):
+    """Local clustering coefficient per node of the embedding-similarity
+    graph (cosine ≥ 0.25): 2·T / (d·(d−1)) — how clique-like each
+    node's neighborhood is, the standard community-structure diagnostic
+    on a near-dup graph.  The exact pair kernel runs ONCE (materialized)
+    and feeds both the degree count (one combiner exchange over exploded
+    endpoints) and the compact-forward triangle enumeration
+    (wedge join + co-partitioned SEMI close, as q_embedding_triangles);
+    a co-partitioned LEFT OUTER join stitches them (nodes in no triangle
+    keep coefficient 0)."""
+    from ..stages.ann import embedding_dup_pairs_exact
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"], num_blocks=8)
+    pairs = embedding_dup_pairs_exact(emb, tau=0.25, round_to=4).materialize()
+
+    def ends(b: pa.Table) -> pa.Table:
+        node = pa.concat_arrays([
+            b.column("id_a").combine_chunks().cast(pa.int64()),
+            b.column("id_b").combine_chunks().cast(pa.int64()),
+        ])
+        return pa.table({"vec_id": node})
+
+    deg = grouped_agg(pairs.map_batches(ends, batch_format="pyarrow"),
+                      ["vec_id"], [("degree", "vec_id", "count")],
+                      sum_as_float=False)
+
+    e_uv = pairs.map_batches(
+        lambda b: pa.table({"u": b.column("id_a"), "v": b.column("id_b")}),
+        batch_format="pyarrow",
+    )
+    e_vw = pairs.map_batches(
+        lambda b: pa.table({"v": b.column("id_a"), "w": b.column("id_b")}),
+        batch_format="pyarrow",
+    )
+    e_uw = pairs.map_batches(
+        lambda b: pa.table({"u": b.column("id_a"), "w": b.column("id_b")}),
+        batch_format="pyarrow",
+    )
+    wedges = hash_join(e_uv, e_vw, left_key="v", right_key="v")
+    triangles = hash_join(
+        wedges, e_uw, left_key=["u", "w"], right_key=["u", "w"],
+        how="left semi",
+    )
+
+    def explode_nodes(b: pa.Table) -> pa.Table:
+        node = pa.concat_arrays([
+            b.column(c).combine_chunks().cast(pa.int64())
+            for c in ("u", "v", "w")
+        ])
+        return pa.table({"vec_id": node})
+
+    tri = grouped_agg(
+        triangles.map_batches(explode_nodes, batch_format="pyarrow"),
+        ["vec_id"], [("n_triangles", "vec_id", "count")],
+        sum_as_float=False,
+    )
+    j = hash_join(deg, tri, left_key="vec_id", how="left outer")
+
+    empty = pa.table({
+        "vec_id": pa.array([], pa.int64()),
+        "degree": pa.array([], pa.int64()),
+        "n_triangles": pa.array([], pa.int64()),
+        "clustering_coeff": pa.array([], pa.float64()),
+    })
+
+    def finalize(b: pa.Table) -> pa.Table:
+        if "degree" not in b.column_names:  # schema-less empty block
+            return empty
+        from ..stages.agg import round_like_duckdb
+
+        t = pc.cast(pc.coalesce(b.column("n_triangles"),
+                                pa.scalar(0, pa.int64())), pa.int64())
+        d = pc.cast(b.column("degree"), pa.float64())
+        coeff = pc.if_else(
+            pc.less(b.column("degree"), pa.scalar(2, pa.int64())),
+            pa.scalar(0.0, pa.float64()),
+            round_like_duckdb(
+                pc.divide(
+                    pc.multiply(pa.scalar(2.0, pa.float64()),
+                                pc.cast(t, pa.float64())),
+                    pc.multiply(d, pc.subtract(
+                        d, pa.scalar(1.0, pa.float64())))), 6),
+        )
+        return pa.table({
+            "vec_id": pc.cast(b.column("vec_id"), pa.int64()),
+            "degree": pc.cast(b.column("degree"), pa.int64()),
+            "n_triangles": t,
+            "clustering_coeff": coeff,
+        })
+
+    return j.map_batches(finalize, batch_format="pyarrow")
+
+
+QUERIES["q_embedding_clustering_coeff"] = q_embedding_clustering_coeff
+ORACLE_SQL["q_embedding_clustering_coeff"] = """
+    WITH e AS (
+        SELECT a.vec_id AS u, b.vec_id AS v
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[])), 4)
+              >= 0.25
+    ),
+    und AS (SELECT u AS vec_id FROM e UNION ALL SELECT v FROM e),
+    deg AS (SELECT vec_id, count(*) AS degree FROM und GROUP BY 1),
+    t AS (
+        SELECT e1.u, e1.v, e2.v AS w
+        FROM e e1
+        JOIN e e2 ON e1.v = e2.u
+        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    nodes AS (
+        SELECT u AS vec_id FROM t
+        UNION ALL SELECT v FROM t
+        UNION ALL SELECT w FROM t
+    ),
+    tri AS (SELECT vec_id, count(*) AS n_triangles FROM nodes GROUP BY 1)
+    SELECT d.vec_id, d.degree,
+           coalesce(tri.n_triangles, 0) AS n_triangles,
+           CASE WHEN d.degree < 2 THEN 0.0
+                ELSE round(2.0 * coalesce(tri.n_triangles, 0)
+                           / (d.degree * (d.degree - 1.0)), 6)
+           END AS clustering_coeff
+    FROM deg d LEFT JOIN tri USING (vec_id)
+"""
+
+
+def q_nation_spend_theil(sf_dir: str):
+    """Theil T inequality index of customer lifetime spend per nation —
+    the decomposable entropy-based companion to the rank-based Gini and
+    the moment-based HHI on the same shared preamble.  Unlike Gini it
+    needs NO sort: T = (Σ x·ln x)/(n·μ) − ln μ comes entirely from the
+    mergeable partials (n, Σx, Σ x·ln x) in one combiner exchange —
+    the fully streaming inequality measure for 100 TB."""
+    from ..stages.agg import round_like_duckdb
+
+    spend = _nation_customer_spend(sf_dir)
+
+    def proj(b: pa.Table) -> pa.Table:
+        x = b.column("spend")
+        return pa.table({
+            "n_name": b.column("n_name"),
+            "x": x,
+            "xlnx": pc.multiply(x, pc.ln(x)),
+        })
+
+    agg = grouped_agg(spend.map_batches(proj, batch_format="pyarrow"),
+                      ["n_name"],
+                      [("n_customers", "x", "count"), ("sx", "x", "sum"),
+                       ("sxlnx", "xlnx", "sum")])
+
+    def finalize(b: pa.Table) -> pa.Table:
+        n = pc.cast(b.column("n_customers"), pa.float64())
+        mu = pc.divide(b.column("sx"), n)
+        theil = pc.subtract(
+            pc.divide(b.column("sxlnx"), pc.multiply(n, mu)),
+            pc.ln(mu),
+        )
+        return pa.table({
+            "n_name": b.column("n_name"),
+            "n_customers": pc.cast(b.column("n_customers"), pa.int64()),
+            "mean_spend": round_like_duckdb(mu, 6),
+            "theil": round_like_duckdb(theil, 6),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+QUERIES["q_nation_spend_theil"] = q_nation_spend_theil
+ORACLE_SQL["q_nation_spend_theil"] = """
+    WITH spend AS (
+        SELECT o_custkey, sum(o_totalprice) AS spend
+        FROM orders GROUP BY o_custkey
+    ),
+    j AS (
+        SELECT n_name, spend
+        FROM spend
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+    )
+    SELECT n_name, count(*) AS n_customers,
+           round(sum(spend) / count(*), 6) AS mean_spend,
+           round(sum(spend * ln(spend))
+                     / (count(*) * (sum(spend) / count(*)))
+                 - ln(sum(spend) / count(*)), 6) AS theil
+    FROM j GROUP BY 1
+"""
+
+
+def q_burst_concurrency_curve(sf_dir: str):
+    """System-load concurrency curve: how many coalesced activity bursts
+    (per event-type × user, as q_concurrent_user_bursts) are open on each
+    day the count CHANGES — the classic +1/−1 interval-counting sweep,
+    fully distributed: burst coalescing is one keyed exchange, the delta
+    fold one combiner exchange over (day, ±1) rows, and the running
+    open-count a `range_sort` + `global_prefix_sums` pass — intervals are
+    never expanded into per-day rows and nothing self-joins."""
+    from ..stages.sort import global_prefix_sums, range_sort
+    from ..stages.window import coalesce_intervals
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "ts", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("value")))
+        s = pc.cast(b.column("ts"), pa.int64())
+        dur = pc.cast(
+            pc.floor(pc.multiply(b.column("value"),
+                                 pa.scalar(60_000_000.0))),
+            pa.int64(),
+        )
+        k = pc.binary_join_element_wise(
+            b.column("event_type"),
+            pc.cast(b.column("user_id"), pa.string()), "|",
+        )
+        return pa.table({"__k": k, "s": s, "e": pc.add(s, dur)})
+
+    iv = ev.map_batches(prep, batch_format="pyarrow")
+    spans = coalesce_intervals(iv, key="__k", start="s", end="e")
+    day_us = pa.scalar(86_400_000_000, pa.int64())
+
+    def deltas(b: pa.Table) -> pa.Table:
+        sd = pc.divide(b.column("span_start"), day_us)
+        ed = pc.add(pc.divide(b.column("span_end"), day_us),
+                    pa.scalar(1, pa.int64()))
+        n = b.num_rows
+        return pa.table({
+            "day": pa.concat_arrays([sd.combine_chunks().cast(pa.int64()),
+                                     ed.combine_chunks().cast(pa.int64())]),
+            "delta": pa.array(np.concatenate([np.ones(n, np.int64),
+                                              -np.ones(n, np.int64)])),
+        })
+
+    d = grouped_agg(spans.map_batches(deltas, batch_format="pyarrow"),
+                    ["day"], [("net_change", "delta", "sum")],
+                    sum_as_float=False)
+    s = range_sort(d, "day")
+    s = global_prefix_sums(s, "net_change", out_name="__open",
+                           exclusive=False)
+
+    def finalize(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "day": b.column("day"),
+            "net_change": pc.cast(b.column("net_change"), pa.int64()),
+            "n_open": pc.cast(b.column("__open"), pa.int64()),
+        })
+
+    return s.map_batches(finalize, batch_format="pyarrow")
+
+
+QUERIES["q_burst_concurrency_curve"] = q_burst_concurrency_curve
+ORACLE_SQL["q_burst_concurrency_curve"] = """
+    WITH iv AS (
+      SELECT event_type, user_id, epoch_us(ts) AS s,
+             epoch_us(ts) + CAST(floor(value * 60000000) AS BIGINT) AS e
+      FROM events WHERE value IS NOT NULL
+    ),
+    flagged AS (
+      SELECT event_type, user_id, s, e,
+             CASE WHEN s > max(e) OVER (PARTITION BY event_type, user_id
+                  ORDER BY s, e
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS new
+      FROM iv
+    ),
+    isl AS (
+      SELECT event_type, user_id, s, e,
+             sum(new) OVER (PARTITION BY event_type, user_id ORDER BY s, e
+                            ROWS UNBOUNDED PRECEDING) AS grp
+      FROM flagged
+    ),
+    spans AS (
+      SELECT event_type, user_id, min(s) AS ss, max(e) AS se
+      FROM isl GROUP BY event_type, user_id, grp
+    ),
+    deltas AS (
+      SELECT ss // 86400000000 AS day, 1 AS delta FROM spans
+      UNION ALL
+      SELECT se // 86400000000 + 1 AS day, -1 AS delta FROM spans
+    ),
+    g AS (SELECT day, sum(delta) AS net_change FROM deltas GROUP BY 1)
+    SELECT day, CAST(net_change AS BIGINT) AS net_change,
+           CAST(sum(net_change) OVER (ORDER BY day) AS BIGINT) AS n_open
+    FROM g
+"""
