@@ -3931,18 +3931,12 @@ def q_excess_suppliers(sf_dir: str):
     )
 
 
-def q_embedding_triangles(sf_dir: str):
-    """Triangle participation counts on the embedding-similarity graph
-    (cosine ≥ 0.25): the clustering-structure diagnostic for a near-dup
-    graph.  Edges come from the exact all-pairs kernel; triangles are
-    enumerated with the compact-forward ordering (u < v < w) — one keyed
-    exchange to build wedges (e1.v = e2.u), one co-partitioned SEMI join
-    to close them against the edge set — then a per-node count.  Both
-    exchanges are keyed hash exchanges; no driver-side graph."""
-    from ..stages.ann import embedding_dup_pairs_exact
-
-    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"], num_blocks=8)
-    pairs = embedding_dup_pairs_exact(emb, tau=0.25, round_to=4)
+def _embedding_triangle_counts(pairs):
+    """Shared triangle enumeration of the triangle-participation and
+    clustering-coefficient queries: compact-forward (u < v < w) wedge
+    join (one keyed exchange) + co-partitioned SEMI close against the
+    edge set, then per-node participation counts.  ``pairs`` should be
+    materialized by the caller (it feeds three projections)."""
     e_uv = pairs.map_batches(
         lambda b: pa.table({"u": b.column("id_a"), "v": b.column("id_b")}),
         batch_format="pyarrow",
@@ -3957,7 +3951,8 @@ def q_embedding_triangles(sf_dir: str):
     )
     wedges = hash_join(e_uv, e_vw, left_key="v", right_key="v")
     triangles = hash_join(
-        wedges, e_uw, left_key=["u", "w"], right_key=["u", "w"], how="left semi"
+        wedges, e_uw, left_key=["u", "w"], right_key=["u", "w"],
+        how="left semi",
     )
 
     def explode_nodes(b: pa.Table) -> pa.Table:
@@ -3971,6 +3966,21 @@ def q_embedding_triangles(sf_dir: str):
 
     nodes = triangles.map_batches(explode_nodes, batch_format="pyarrow")
     return grouped_agg(nodes, ["vec_id"], [("n_triangles", "vec_id", "count")])
+
+
+def q_embedding_triangles(sf_dir: str):
+    """Triangle participation counts on the embedding-similarity graph
+    (cosine ≥ 0.25): the clustering-structure diagnostic for a near-dup
+    graph.  Edges come from the exact all-pairs kernel; triangles are
+    enumerated with the compact-forward ordering (u < v < w) — one keyed
+    exchange to build wedges (e1.v = e2.u), one co-partitioned SEMI join
+    to close them against the edge set — then a per-node count.  Both
+    exchanges are keyed hash exchanges; no driver-side graph."""
+    from ..stages.ann import embedding_dup_pairs_exact
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"], num_blocks=8)
+    pairs = embedding_dup_pairs_exact(emb, tau=0.25, round_to=4).materialize()
+    return _embedding_triangle_counts(pairs)
 
 
 QUERIES.update(
@@ -8652,17 +8662,13 @@ ORACLE_SQL["q_cohort_ltv_curve"] = """
 """
 
 
-def q_user_lifetime_km(sf_dir: str):
-    """Kaplan-Meier survival curve over user lifetimes (days between first
-    and last activity; every user an observed event, no censoring in this
-    data): S(t) = Π_{tᵢ≤t} (1 − dᵢ/nᵢ) — the retention-survival staple.
-    Distributed exactly: per-user lifetime is one keyed aggregate, the
-    per-time death counts one combiner exchange, and BOTH running terms
-    (at-risk nᵢ via an exclusive prefix sum, Σln(1−d/n) via an inclusive
-    one) ride `range_sort` + `global_prefix_sums` — no single-node window.
-    The ln/exp/divide sequence matches the SQL's double ops, so the curve
-    is cell-exact."""
-    from ..stages.agg import round_like_duckdb
+def _user_lifetime_death_table(sf_dir: str):
+    """Shared preamble of the Kaplan-Meier survival and Nelson-Aalen
+    hazard queries: per-user lifetime days (one keyed aggregate,
+    materialized once so the total-count action does not re-run it),
+    per-day death counts (one combiner exchange), range-sorted with the
+    exclusive at-risk prefix sum in ``__before``.  Returns
+    ``(sorted_deaths_ds, total_users)``."""
     from ..stages.sort import global_prefix_sums, range_sort
 
     ev = _read(sf_dir, "events", ["user_id", "ts"])
@@ -8676,13 +8682,30 @@ def q_user_lifetime_km(sf_dir: str):
                       pa.scalar(86_400_000_000, pa.int64()))
         return pa.table({"days": d})
 
-    lifetimes = life.map_batches(days_of, batch_format="pyarrow")
+    lifetimes = life.map_batches(days_of, batch_format="pyarrow").materialize()
     total = float(lifetimes.count())
     deaths = grouped_agg(lifetimes, ["days"], [("d_events", "days", "count")],
                          sum_as_float=False)
     s = range_sort(deaths, "days")
     s = global_prefix_sums(s, "d_events", out_name="__before",
                            exclusive=True)
+    return s, total
+
+
+def q_user_lifetime_km(sf_dir: str):
+    """Kaplan-Meier survival curve over user lifetimes (days between first
+    and last activity; every user an observed event, no censoring in this
+    data): S(t) = Π_{tᵢ≤t} (1 − dᵢ/nᵢ) — the retention-survival staple.
+    Distributed exactly: per-user lifetime is one keyed aggregate, the
+    per-time death counts one combiner exchange, and BOTH running terms
+    (at-risk nᵢ via an exclusive prefix sum, Σln(1−d/n) via an inclusive
+    one) ride `range_sort` + `global_prefix_sums` — no single-node window.
+    The ln/exp/divide sequence matches the SQL's double ops, so the curve
+    is cell-exact."""
+    from ..stages.agg import round_like_duckdb
+    from ..stages.sort import global_prefix_sums
+
+    s, total = _user_lifetime_death_table(sf_dir)
 
     def factor(b: pa.Table) -> pa.Table:
         d = pc.cast(b.column("d_events"), pa.float64())
@@ -9682,9 +9705,12 @@ def q_ab_value_cuped(sf_dir: str):
     range) is the covariate X, the POST-period spend the metric Y.
     θ = cov(X,Y)/var(X) is computed POOLED (both arms — standard CUPED),
     then each arm reports mean(Y) and the CUPED-adjusted
-    mean(Y) − θ·(mean(X) − mean(X)_all).  Plan shape: the raw stream is
-    touched once (map-side pre/post conditional cent sums → one per-user
-    combiner exchange); the per-user table is materialized ONCE and feeds
+    mean(Y) − θ·(mean(X) − mean(X)_all).  Plan shape: the time bounds
+    come from ONE constant-key min/max pass, the per-user bucketing from
+    one more map-side pre/post conditional cent-sum pass + one per-user
+    combiner exchange (the split point must exist before bucketing can
+    start, so two scans is the floor); the per-user table is
+    materialized ONCE and feeds
     both the pooled-moment scalar pass and the per-arm aggregate — the
     global θ and mean(X) are driver scalars broadcast into the finalize.
     All per-user sums AND the pooled second moments are exact integer
@@ -9699,12 +9725,16 @@ def q_ab_value_cuped(sf_dir: str):
         lambda b: b.filter(pc.is_valid(b.column("value"))),
         batch_format="pyarrow",
     )
-    us = ev.map_batches(
-        lambda b: pa.table({"us": pc.cast(b.column("ts"), pa.int64())}),
-        batch_format="pyarrow",
-    )
-    lo, hi = int(us.min("us")), int(us.max("us"))
-    mid = (lo + hi) // 2
+    bounds = grouped_agg(
+        ev.map_batches(
+            lambda b: pa.table({
+                "g": pa.array(np.zeros(b.num_rows, np.int8)),
+                "us": pc.cast(b.column("ts"), pa.int64()),
+            }),
+            batch_format="pyarrow"),
+        ["g"], [("lo", "us", "min"), ("hi", "us", "max")],
+    ).take_all()[0]
+    mid = (int(bounds["lo"]) + int(bounds["hi"])) // 2
 
     def prepost(b: pa.Table) -> pa.Table:
         pre = pc.less(pc.cast(b.column("ts"), pa.int64()),
@@ -9830,26 +9860,9 @@ def q_user_lifetime_hazard(sf_dir: str):
     sum, Σd/n via an inclusive one) ride `range_sort` +
     `global_prefix_sums` — no single-node window anywhere."""
     from ..stages.agg import round_like_duckdb
-    from ..stages.sort import global_prefix_sums, range_sort
+    from ..stages.sort import global_prefix_sums
 
-    ev = _read(sf_dir, "events", ["user_id", "ts"])
-    life = grouped_agg(ev, ["user_id"], [("first_ts", "ts", "min"),
-                                         ("last_ts", "ts", "max")])
-
-    def days_of(b: pa.Table) -> pa.Table:
-        us0 = pc.cast(b.column("first_ts"), pa.int64())
-        us1 = pc.cast(b.column("last_ts"), pa.int64())
-        d = pc.divide(pc.subtract(us1, us0),
-                      pa.scalar(86_400_000_000, pa.int64()))
-        return pa.table({"days": d})
-
-    lifetimes = life.map_batches(days_of, batch_format="pyarrow")
-    total = float(lifetimes.count())
-    deaths = grouped_agg(lifetimes, ["days"], [("d_events", "days", "count")],
-                         sum_as_float=False)
-    s = range_sort(deaths, "days")
-    s = global_prefix_sums(s, "d_events", out_name="__before",
-                           exclusive=True)
+    s, total = _user_lifetime_death_table(sf_dir)
 
     def hazard_of(b: pa.Table) -> pa.Table:
         d = pc.cast(b.column("d_events"), pa.float64())
@@ -9922,8 +9935,10 @@ def q_discount_slope_simpson(sf_dir: str):
          ("n", "l_quantity", "count")],
         round_to=None,
     ).materialize()
+    from ..stages.agg import round_like_duckdb as _rld
     overall_rows = [r for r in roll.take_all() if r["grouping_id"] == 1]
-    slope_all = round(float(overall_rows[0]["slope"]), 4)
+    slope_all = float(_rld(pa.array([overall_rows[0]["slope"]],
+                                    pa.float64()), 4)[0].as_py())
 
     empty = pa.table({
         "l_returnflag": pa.array([], pa.string()),
@@ -9939,10 +9954,14 @@ def q_discount_slope_simpson(sf_dir: str):
         b = b.filter(pc.equal(b.column("grouping_id"),
                               pa.scalar(0, pa.int64())))
         sg = round_like_duckdb(b.column("slope"), 4)
-        flip = pc.cast(
-            pc.less(pc.multiply(sg, pa.scalar(slope_all, pa.float64())),
-                    pa.scalar(0.0, pa.float64())),
-            pa.int64(),
+        # SQL CASE yields 0 (not NULL) for a NULL stratum slope
+        flip = pc.coalesce(
+            pc.cast(
+                pc.less(pc.multiply(sg, pa.scalar(slope_all, pa.float64())),
+                        pa.scalar(0.0, pa.float64())),
+                pa.int64(),
+            ),
+            pa.scalar(0, pa.int64()),
         )
         return pa.table({
             "l_returnflag": b.column("l_returnflag"),
@@ -10249,12 +10268,21 @@ def q_user_journey_trigrams(sf_dir: str):
     )
     counts = grouped_agg(tris, ["s1", "s2", "s3"],
                          [("n_paths", "s1", "count")], sum_as_float=False)
-    counts = counts.map_batches(
-        lambda b: b.set_column(
+    counts_empty = pa.table({
+        "s1": pa.array([], pa.string()),
+        "s2": pa.array([], pa.string()),
+        "s3": pa.array([], pa.string()),
+        "n_paths": pa.array([], pa.int64()),
+    })
+
+    def cast_counts(b: pa.Table) -> pa.Table:
+        if "n_paths" not in b.column_names:  # schema-less empty block
+            return counts_empty
+        return b.set_column(
             b.schema.get_field_index("n_paths"), "n_paths",
-            pc.cast(b.column("n_paths"), pa.int64())),
-        batch_format="pyarrow",
-    )
+            pc.cast(b.column("n_paths"), pa.int64()))
+
+    counts = counts.map_batches(cast_counts, batch_format="pyarrow")
     return global_topk(counts, ["n_paths", "s1", "s2", "s3"], 20,
                        descending=[True, False, False, False])
 
@@ -10302,36 +10330,7 @@ def q_embedding_clustering_coeff(sf_dir: str):
                       ["vec_id"], [("degree", "vec_id", "count")],
                       sum_as_float=False)
 
-    e_uv = pairs.map_batches(
-        lambda b: pa.table({"u": b.column("id_a"), "v": b.column("id_b")}),
-        batch_format="pyarrow",
-    )
-    e_vw = pairs.map_batches(
-        lambda b: pa.table({"v": b.column("id_a"), "w": b.column("id_b")}),
-        batch_format="pyarrow",
-    )
-    e_uw = pairs.map_batches(
-        lambda b: pa.table({"u": b.column("id_a"), "w": b.column("id_b")}),
-        batch_format="pyarrow",
-    )
-    wedges = hash_join(e_uv, e_vw, left_key="v", right_key="v")
-    triangles = hash_join(
-        wedges, e_uw, left_key=["u", "w"], right_key=["u", "w"],
-        how="left semi",
-    )
-
-    def explode_nodes(b: pa.Table) -> pa.Table:
-        node = pa.concat_arrays([
-            b.column(c).combine_chunks().cast(pa.int64())
-            for c in ("u", "v", "w")
-        ])
-        return pa.table({"vec_id": node})
-
-    tri = grouped_agg(
-        triangles.map_batches(explode_nodes, batch_format="pyarrow"),
-        ["vec_id"], [("n_triangles", "vec_id", "count")],
-        sum_as_float=False,
-    )
+    tri = _embedding_triangle_counts(pairs)
     j = hash_join(deg, tri, left_key="vec_id", how="left outer")
 
     empty = pa.table({
