@@ -10558,3 +10558,266 @@ ORACLE_SQL["q_burst_concurrency_curve"] = """
            CAST(sum(net_change) OVER (ORDER BY day) AS BIGINT) AS n_open
     FROM g
 """
+
+
+def q_weekend_value_ttest(sf_dir: str):
+    """Weekend-effect readout: per event type, a Welch two-sample t-test
+    of value between weekend (ISO dow 6-7) and weekday events — the
+    temporal-split twin of the hash-split A/B test, reusing the same
+    mergeable-moment `ab_welch_ttest` primitive (raw stream touched
+    once; the variant label is a pure map-side derivation)."""
+    from ..stages.agg import ab_welch_ttest
+
+    ev = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def label(b: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(b.column("ts"), pa.int64()),
+                        pa.scalar(86_400_000_000, pa.int64()))
+        d3 = pc.add(day, pa.scalar(3, pa.int64()))
+        # pyarrow 16.1 has no modulo kernel: a - (a // 7) * 7
+        dow = pc.add(pc.subtract(
+            d3, pc.multiply(pc.divide(d3, pa.scalar(7, pa.int64())),
+                            pa.scalar(7, pa.int64()))),
+            pa.scalar(1, pa.int64()))
+        return pa.table({
+            "event_type": b.column("event_type"),
+            "variant": pc.if_else(
+                pc.greater_equal(dow, pa.scalar(6, pa.int64())),
+                pa.scalar("weekend"), pa.scalar("weekday")),
+            "value": b.column("value"),
+        })
+
+    return ab_welch_ttest(ev.map_batches(label, batch_format="pyarrow"),
+                          "event_type", "variant", "value",
+                          variant_a="weekday", variant_b="weekend")
+
+
+QUERIES["q_weekend_value_ttest"] = q_weekend_value_ttest
+ORACLE_SQL["q_weekend_value_ttest"] = """
+    WITH s AS (
+      SELECT event_type,
+             CASE WHEN (epoch_us(ts) // 86400000000 + 3) % 7 + 1 >= 6
+                  THEN 'weekend' ELSE 'weekday' END AS variant,
+             value
+      FROM events
+    ), g AS (
+      SELECT event_type, variant, count(*) AS n, avg(value) AS m,
+             var_samp(value) AS v
+      FROM s GROUP BY event_type, variant
+    )
+    SELECT a.event_type,
+           a.n AS n_a, b.n AS n_b,
+           round(a.m, 6) AS mean_a, round(b.m, 6) AS mean_b,
+           round((a.m - b.m) / sqrt(a.v/a.n + b.v/b.n), 6) AS t_welch,
+           round(pow(a.v/a.n + b.v/b.n, 2) /
+                 (pow(a.v/a.n, 2)/(a.n-1) + pow(b.v/b.n, 2)/(b.n-1)), 6)
+               AS df_welch
+    FROM g a JOIN g b USING (event_type)
+    WHERE a.variant = 'weekday' AND b.variant = 'weekend'
+"""
+
+
+def _session_entry_flags(sf_dir: str):
+    """Per-session (entry_type, has_click, has_purchase) flags over the
+    30-min-gap sessionizer — shared by the entry-conversion and
+    cart-abandonment queries.  Sessions are assigned and flattened to one
+    row inside the same per-user partition kernel (one keyed exchange;
+    a session can never straddle batches)."""
+    from ..stages.agg import _key_run_bounds, grouped_map
+    from ..stages.window import _session_ids_part
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    empty = pa.table({
+        "entry_type": pa.array([], pa.string()),
+        "has_click": pa.array([], pa.int64()),
+        "has_purchase": pa.array([], pa.int64()),
+    })
+
+    def part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        t = _session_ids_part(t, 30.0, "user_id")
+        bounds = _key_run_bounds(t, ["user_id", "session_id"])
+        types = t.column("event_type").to_numpy(zero_copy_only=False)
+        is_click = (types == "click").astype(np.int64)
+        is_purch = (types == "purchase").astype(np.int64)
+        starts = bounds[:-1]
+        return pa.table({
+            "entry_type": pa.array(types[starts], pa.string()),
+            "has_click": pa.array(
+                (np.add.reduceat(is_click, starts) > 0).astype(np.int64)),
+            "has_purchase": pa.array(
+                (np.add.reduceat(is_purch, starts) > 0).astype(np.int64)),
+        })
+
+    return grouped_map(
+        ev, "user_id", part, per_group=False,
+        empty_schema=pa.table({
+            "user_id": pa.array([], pa.int64()),
+            "ts": pa.array([], pa.timestamp("us")),
+            "event_id": pa.array([], pa.int64()),
+            "event_type": pa.array([], pa.string()),
+        }),
+    )
+
+
+_SESSION_CTES = """
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)
+                         > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+    ), numbered AS (
+        SELECT user_id, ts, event_id, event_type,
+               CAST(sum(new_s) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS session_id
+        FROM flagged
+    ), ranked AS (
+        SELECT user_id, session_id, event_type,
+               row_number() OVER (PARTITION BY user_id, session_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM numbered
+    ), sess AS (
+        SELECT user_id, session_id,
+               max(CASE WHEN rn = 1 THEN event_type END) AS entry_type,
+               max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                   AS has_click,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS has_purchase
+        FROM ranked GROUP BY 1, 2
+    )
+"""
+
+
+def q_session_entry_conversion(sf_dir: str):
+    """Conversion rate by session ENTRY type: what share of sessions that
+    START with a view / click / purchase contain a purchase at all — the
+    landing-experience report.  One keyed sessionizer exchange flattens
+    each session to (entry_type, converted) inside the partition kernel;
+    a tiny combiner pass folds the report."""
+    from ..stages.agg import round_like_duckdb
+
+    sess = _session_entry_flags(sf_dir)
+    agg = grouped_agg(sess, ["entry_type"],
+                      [("n_sessions", "has_purchase", "count"),
+                       ("n_converted", "has_purchase", "sum")],
+                      sum_as_float=False)
+
+    def finalize(b: pa.Table) -> pa.Table:
+        n = pc.cast(b.column("n_sessions"), pa.float64())
+        c = pc.cast(b.column("n_converted"), pa.float64())
+        return pa.table({
+            "entry_type": b.column("entry_type"),
+            "n_sessions": pc.cast(b.column("n_sessions"), pa.int64()),
+            "n_converted": pc.cast(b.column("n_converted"), pa.int64()),
+            "conversion_rate": round_like_duckdb(
+                pc.divide(pc.multiply(c, pa.scalar(1.0, pa.float64())), n),
+                6),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+QUERIES["q_session_entry_conversion"] = q_session_entry_conversion
+ORACLE_SQL["q_session_entry_conversion"] = _SESSION_CTES + """
+    SELECT entry_type, count(*) AS n_sessions,
+           sum(has_purchase) AS n_converted,
+           round(sum(has_purchase) * 1.0 / count(*), 6) AS conversion_rate
+    FROM sess GROUP BY 1
+"""
+
+
+def q_session_cart_abandonment(sf_dir: str):
+    """Cart-abandonment headline: of the sessions containing a click
+    (add-to-cart proxy), the share with NO purchase — one number every
+    commerce dashboard leads with.  Rides the same shared session-flag
+    kernel as the entry-conversion report (one keyed exchange, then a
+    single global combiner row)."""
+    from ..stages.agg import round_like_duckdb
+
+    sess = _session_entry_flags(sf_dir)
+
+    def proj(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b.column("has_click"),
+                              pa.scalar(1, pa.int64())))
+        aband = pc.cast(pc.equal(b.column("has_purchase"),
+                                 pa.scalar(0, pa.int64())), pa.int64())
+        return pa.table({
+            "__g": pa.array(np.zeros(b.num_rows, np.int8)),
+            "abandoned": aband,
+        })
+
+    agg = grouped_agg(sess.map_batches(proj, batch_format="pyarrow"),
+                      ["__g"], [("n_click_sessions", "abandoned", "count"),
+                                ("n_abandoned", "abandoned", "sum")],
+                      sum_as_float=False)
+
+    def finalize(b: pa.Table) -> pa.Table:
+        n = pc.cast(b.column("n_click_sessions"), pa.float64())
+        a = pc.cast(b.column("n_abandoned"), pa.float64())
+        return pa.table({
+            "n_click_sessions": pc.cast(b.column("n_click_sessions"),
+                                        pa.int64()),
+            "n_abandoned": pc.cast(b.column("n_abandoned"), pa.int64()),
+            "abandonment_rate": round_like_duckdb(
+                pc.divide(pc.multiply(a, pa.scalar(1.0, pa.float64())), n),
+                6),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+QUERIES["q_session_cart_abandonment"] = q_session_cart_abandonment
+ORACLE_SQL["q_session_cart_abandonment"] = _SESSION_CTES + """
+    SELECT count(*) AS n_click_sessions,
+           sum(CASE WHEN has_purchase = 0 THEN 1 ELSE 0 END) AS n_abandoned,
+           round(sum(CASE WHEN has_purchase = 0 THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS abandonment_rate
+    FROM sess WHERE has_click = 1
+"""
+
+
+def q_part_supplier_redundancy(sf_dir: str):
+    """Supply-chain redundancy histogram: distribution of distinct-supplier
+    counts per part observed in the order flow — the
+    single-point-of-failure screen (the n_suppliers=1 row is the at-risk
+    share).  Exact per-part COUNT(DISTINCT) via the pair-hash two-phase
+    exchange, then a tiny histogram fold with the share of all parts."""
+    from ..stages.agg import grouped_count_distinct, round_like_duckdb
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+    per_part = grouped_count_distinct(li, ["l_partkey"], "l_suppkey",
+                                      out_name="n_suppliers")
+    hist = grouped_agg(per_part, ["n_suppliers"],
+                       [("n_parts", "n_suppliers", "count")],
+                       sum_as_float=False).materialize()
+    total = float(hist.sum("n_parts"))
+
+    def finalize(b: pa.Table) -> pa.Table:
+        n = pc.cast(b.column("n_parts"), pa.float64())
+        return pa.table({
+            "n_suppliers": pc.cast(b.column("n_suppliers"), pa.int64()),
+            "n_parts": pc.cast(b.column("n_parts"), pa.int64()),
+            "share": round_like_duckdb(
+                pc.divide(n, pa.scalar(total, pa.float64())), 6),
+        })
+
+    return hist.map_batches(finalize, batch_format="pyarrow")
+
+
+QUERIES["q_part_supplier_redundancy"] = q_part_supplier_redundancy
+ORACLE_SQL["q_part_supplier_redundancy"] = """
+    WITH p AS (
+        SELECT l_partkey, count(DISTINCT l_suppkey) AS n_suppliers
+        FROM lineitem GROUP BY 1
+    ),
+    h AS (SELECT n_suppliers, count(*) AS n_parts FROM p GROUP BY 1),
+    t AS (SELECT sum(n_parts) * 1.0 AS total FROM h)
+    SELECT n_suppliers, n_parts,
+           round(n_parts / (SELECT total FROM t), 6) AS share
+    FROM h
+"""
