@@ -10821,3 +10821,170 @@ ORACLE_SQL["q_part_supplier_redundancy"] = """
            round(n_parts / (SELECT total FROM t), 6) AS share
     FROM h
 """
+
+
+def q_priority_fulfillment_latency(sf_dir: str):
+    """Fulfillment-latency SLA report: per order priority, days from
+    order date to the FIRST ship date — count, mean, exact p50/p90.
+    First-ship is one per-order combiner exchange, the order join one
+    co-partitioned hash join, and the (priority, days) projection is
+    materialized ONCE to feed both the moment aggregate and the exact
+    per-group quantile exchange (5 priority groups — small and bounded,
+    so the quantile co-location cannot skew; swap in t-digest partials
+    if the group count ever explodes)."""
+    from ..stages.agg import grouped_quantiles, round_like_duckdb
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    first = grouped_agg(li, ["l_orderkey"], [("ship", "l_shipdate", "min")])
+    j = hash_join(orders, first, left_key="o_orderkey",
+                  right_key="l_orderkey")
+
+    def days_of(b: pa.Table) -> pa.Table:
+        d = pc.divide(
+            pc.subtract(pc.cast(b.column("ship"), pa.int64()),
+                        pc.cast(b.column("o_orderdate"), pa.int64())),
+            pa.scalar(86_400_000_000, pa.int64()),
+        )
+        return pa.table({"o_orderpriority": b.column("o_orderpriority"),
+                         "days": d})
+
+    days = j.map_batches(days_of, batch_format="pyarrow").materialize()
+    stats = grouped_agg(days, ["o_orderpriority"],
+                        [("n_orders", "days", "count"),
+                         ("avg_days", "days", "mean")], round_to=6)
+    qs = grouped_quantiles(days, ["o_orderpriority"], "days",
+                           [("p50_days", 0.5), ("p90_days", 0.9)],
+                           round_to=6)
+    return broadcast_join(stats, qs, left_key="o_orderpriority",
+                          columns=["p50_days", "p90_days"])
+
+
+QUERIES["q_priority_fulfillment_latency"] = q_priority_fulfillment_latency
+ORACLE_SQL["q_priority_fulfillment_latency"] = """
+    WITH f AS (
+        SELECT l_orderkey, min(l_shipdate) AS ship
+        FROM lineitem GROUP BY 1
+    ),
+    d AS (
+        SELECT o_orderpriority,
+               CAST((epoch_us(f.ship) - epoch_us(o_orderdate))
+                    // 86400000000 AS BIGINT) AS days
+        FROM orders JOIN f ON o_orderkey = l_orderkey
+    )
+    SELECT o_orderpriority, count(*) AS n_orders,
+           round(avg(days * 1.0), 6) AS avg_days,
+           round(quantile_cont(days, 0.5), 6) AS p50_days,
+           round(quantile_cont(days, 0.9), 6) AS p90_days
+    FROM d GROUP BY 1
+"""
+
+
+def q_supply_graph_assortativity(sf_dir: str):
+    """Degree assortativity of the bipartite supply graph: the Pearson
+    correlation between supplier degree and part degree across distinct
+    (supplier, part) edges — do well-connected suppliers serve
+    well-connected parts?  Distinct edges are ONE combiner exchange
+    (materialized; both degree tables are cheap counts off it), the
+    degree labels ride two broadcast joins (dimension-scale tables —
+    swap to hash_join when they outgrow a worker), and the correlation
+    itself folds map-side from mergeable moments into a single row."""
+    from ..stages.agg import round_like_duckdb
+
+    li = _read(sf_dir, "lineitem", ["l_suppkey", "l_partkey"])
+    edges = grouped_agg(li, ["l_suppkey", "l_partkey"],
+                        [("n", "l_suppkey", "count")],
+                        sum_as_float=False).materialize()
+    sdeg = grouped_agg(edges, ["l_suppkey"], [("sdeg", "l_suppkey", "count")],
+                       sum_as_float=False)
+    pdeg = grouped_agg(edges, ["l_partkey"], [("pdeg", "l_partkey", "count")],
+                       sum_as_float=False)
+    lab = broadcast_join(edges, sdeg, left_key="l_suppkey",
+                         columns=["sdeg"])
+    lab = broadcast_join(lab, pdeg, left_key="l_partkey", columns=["pdeg"])
+
+    def proj(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "__g": pa.array(np.zeros(b.num_rows, np.int8)),
+            "sdeg": pc.cast(b.column("sdeg"), pa.float64()),
+            "pdeg": pc.cast(b.column("pdeg"), pa.float64()),
+        })
+
+    agg = grouped_agg(lab.map_batches(proj, batch_format="pyarrow"),
+                      ["__g"],
+                      [("n_edges", "sdeg", "count"),
+                       ("assortativity", ("sdeg", "pdeg"), "corr")])
+
+    def finalize(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_edges": pc.cast(b.column("n_edges"), pa.int64()),
+            "assortativity": round_like_duckdb(b.column("assortativity"), 6),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+QUERIES["q_supply_graph_assortativity"] = q_supply_graph_assortativity
+ORACLE_SQL["q_supply_graph_assortativity"] = """
+    WITH e AS (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem),
+    sd AS (SELECT l_suppkey, count(*) AS sdeg FROM e GROUP BY 1),
+    pd AS (SELECT l_partkey, count(*) AS pdeg FROM e GROUP BY 1)
+    SELECT count(*) AS n_edges,
+           round(corr(sdeg * 1.0, pdeg * 1.0), 6) AS assortativity
+    FROM e JOIN sd USING (l_suppkey) JOIN pd USING (l_partkey)
+"""
+
+
+def q_token_zipf_alpha(sf_dir: str):
+    """Zipf/power-law exponent of the corpus token-frequency distribution
+    (continuous MLE, k_min = 1): α = 1 + n/Σ ln k over per-token counts —
+    the vocabulary-health diagnostic (natural text ≈ 2, templated/spammy
+    corpora drift).  Tokens explode map-side (vectorized split), the
+    frequency table is one combiner exchange, and the MLE folds map-side
+    into a single scalar row — the same mergeable shape as the degree
+    power law, applied to text."""
+    from ..stages.agg import round_like_duckdb
+
+    docs = _read(sf_dir, "documents", ["text"])
+
+    def tokens(b: pa.Table) -> pa.Table:
+        split = pc.split_pattern(b.column("text"), pattern=" ")
+        return pa.table({"token": pc.list_flatten(split)})
+
+    freq = grouped_agg(docs.map_batches(tokens, batch_format="pyarrow"),
+                       ["token"], [("k", "token", "count")],
+                       sum_as_float=False)
+
+    def lnk(b: pa.Table) -> pa.Table:
+        k = pc.cast(b.column("k"), pa.float64())
+        return pa.table({
+            "__g": pa.array(np.zeros(b.num_rows, np.int8)),
+            "lnk": pc.ln(k),
+        })
+
+    agg = grouped_agg(freq.map_batches(lnk, batch_format="pyarrow"),
+                      ["__g"], [("n", "lnk", "count"), ("s", "lnk", "sum")])
+
+    def finalize(b: pa.Table) -> pa.Table:
+        n = pc.cast(b.column("n"), pa.float64())
+        return pa.table({
+            "n_distinct_tokens": pc.cast(b.column("n"), pa.int64()),
+            "alpha": round_like_duckdb(
+                pc.add(pa.scalar(1.0, pa.float64()),
+                       pc.divide(n, b.column("s"))), 6),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+QUERIES["q_token_zipf_alpha"] = q_token_zipf_alpha
+ORACLE_SQL["q_token_zipf_alpha"] = """
+    WITH t AS (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    f AS (SELECT token, count(*) AS k FROM t GROUP BY 1)
+    SELECT count(*) AS n_distinct_tokens,
+           round(1.0 + count(*) / sum(ln(k * 1.0)), 6) AS alpha
+    FROM f
+"""
