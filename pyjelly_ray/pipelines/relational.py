@@ -10988,3 +10988,286 @@ ORACLE_SQL["q_token_zipf_alpha"] = """
            round(1.0 + count(*) / sum(ln(k * 1.0)), 6) AS alpha
     FROM f
 """
+
+
+def q_doc_dup_rate_by_lang(sf_dir: str):
+    """Corpus duplication report per language: docs involved in an exact
+    text collision, removable copies, and the dup rate — the first
+    number any training-data curation pass reports.  One combiner
+    exchange keyed on (lang, text) (hash the text map-side at 100 TB —
+    the exchange then ships 16-byte digests, not documents), then a tiny
+    per-lang flag fold."""
+    from ..stages.agg import round_like_duckdb
+
+    docs = _read(sf_dir, "documents", ["lang", "text"])
+    g = grouped_agg(docs, ["lang", "text"], [("n", "text", "count")],
+                    sum_as_float=False)
+
+    def flags(b: pa.Table) -> pa.Table:
+        n = b.column("n")
+        dup = pc.greater(n, pa.scalar(1, pa.int64()))
+        zero = pa.scalar(0, pa.int64())
+        return pa.table({
+            "lang": b.column("lang"),
+            "n": n,
+            "dup_n": pc.if_else(dup, n, zero),
+            "removable": pc.if_else(
+                dup, pc.subtract(n, pa.scalar(1, pa.int64())), zero),
+        })
+
+    agg = grouped_agg(g.map_batches(flags, batch_format="pyarrow"),
+                      ["lang"], [("n_docs", "n", "sum"),
+                                 ("n_dup_docs", "dup_n", "sum"),
+                                 ("n_removable", "removable", "sum")],
+                      sum_as_float=False)
+
+    def finalize(b: pa.Table) -> pa.Table:
+        nd = pc.cast(b.column("n_dup_docs"), pa.float64())
+        n = pc.cast(b.column("n_docs"), pa.float64())
+        return pa.table({
+            "lang": b.column("lang"),
+            "n_docs": pc.cast(b.column("n_docs"), pa.int64()),
+            "n_dup_docs": pc.cast(b.column("n_dup_docs"), pa.int64()),
+            "n_removable": pc.cast(b.column("n_removable"), pa.int64()),
+            "dup_rate": round_like_duckdb(
+                pc.divide(pc.multiply(nd, pa.scalar(1.0, pa.float64())), n),
+                6),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+QUERIES["q_doc_dup_rate_by_lang"] = q_doc_dup_rate_by_lang
+ORACLE_SQL["q_doc_dup_rate_by_lang"] = """
+    WITH g AS (
+        SELECT lang, text, count(*) AS n FROM documents GROUP BY 1, 2
+    )
+    SELECT lang,
+           CAST(sum(n) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT)
+               AS n_dup_docs,
+           CAST(sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS BIGINT)
+               AS n_removable,
+           round(sum(CASE WHEN n > 1 THEN n ELSE 0 END) * 1.0 / sum(n), 6)
+               AS dup_rate
+    FROM g GROUP BY 1
+"""
+
+
+def q_weekly_type_composition_drift(sf_dir: str):
+    """Composition-drift monitor: per week, the L1 distance between that
+    week's event-type share mix and the overall mix — the categorical
+    companion to the PSI value-drift report (alerting when the traffic
+    composition shifts even if volumes look normal).  The (week, type)
+    cells are ONE combiner exchange (materialized); weekly totals ride a
+    broadcast join, the tiny per-type overall shares a second broadcast,
+    and the per-week fold is one more small exchange."""
+    from ..stages.agg import round_like_duckdb
+
+    ev = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def proj(b: pa.Table) -> pa.Table:
+        return pa.table({"week": _epoch_week(b.column("ts")),
+                         "event_type": b.column("event_type")})
+
+    cells = grouped_agg(ev.map_batches(proj, batch_format="pyarrow"),
+                        ["week", "event_type"],
+                        [("n", "week", "count")],
+                        sum_as_float=False).materialize()
+    wt = grouped_agg(cells, ["week"], [("wn", "n", "sum")],
+                     sum_as_float=False)
+    tt = grouped_agg(cells, ["event_type"], [("tn", "n", "sum")],
+                     sum_as_float=False)
+    total = float(cells.sum("n"))
+    lab = broadcast_join(cells, wt, left_key="week", columns=["wn"])
+    lab = broadcast_join(lab, tt, left_key="event_type", columns=["tn"])
+
+    def diff(b: pa.Table) -> pa.Table:
+        share_w = pc.divide(
+            pc.multiply(pc.cast(b.column("n"), pa.float64()),
+                        pa.scalar(1.0, pa.float64())),
+            pc.cast(b.column("wn"), pa.float64()))
+        share_all = pc.divide(pc.cast(b.column("tn"), pa.float64()),
+                              pa.scalar(total, pa.float64()))
+        return pa.table({
+            "week": b.column("week"),
+            "wn": b.column("wn"),
+            "d": pc.abs(pc.subtract(share_w, share_all)),
+        })
+
+    agg = grouped_agg(lab.map_batches(diff, batch_format="pyarrow"),
+                      ["week"], [("n_events", "wn", "max"),
+                                 ("l1", "d", "sum")])
+
+    def finalize(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "week": b.column("week"),
+            "n_events": pc.cast(b.column("n_events"), pa.int64()),
+            "l1_shift": round_like_duckdb(b.column("l1"), 6),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+QUERIES["q_weekly_type_composition_drift"] = q_weekly_type_composition_drift
+ORACLE_SQL["q_weekly_type_composition_drift"] = """
+    WITH c AS (
+        SELECT CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS week,
+               event_type, count(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    wt AS (SELECT week, sum(n) AS wn FROM c GROUP BY 1),
+    tt AS (SELECT event_type, sum(n) AS tn FROM c GROUP BY 1),
+    g AS (SELECT sum(n) * 1.0 AS total FROM c)
+    SELECT c.week, CAST(max(wt.wn) AS BIGINT) AS n_events,
+           round(sum(abs(c.n * 1.0 / wt.wn
+                         - tt.tn / (SELECT total FROM g))), 6) AS l1_shift
+    FROM c JOIN wt USING (week) JOIN tt USING (event_type)
+    GROUP BY 1
+"""
+
+
+def q_vocab_growth_curve(sf_dir: str):
+    """Vocabulary growth curve over ingest batches (doc_id // 100): new
+    tokens first seen per batch and the cumulative vocabulary — the
+    Heaps'-law saturation diagnostic telling a corpus builder when more
+    of the same source stops adding signal.  Tokens explode map-side
+    with their batch, first-seen is one min-combiner exchange over the
+    token key, per-batch news one more tiny fold, and the cumulative
+    curve a `range_sort` + `global_prefix_sums` pass."""
+    from ..stages.sort import global_prefix_sums, range_sort
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def tokens(b: pa.Table) -> pa.Table:
+        split = pc.split_pattern(b.column("text"), pattern=" ")
+        ids = pc.list_parent_indices(split)
+        batch = pc.divide(b.column("doc_id"), pa.scalar(100, pa.int64()))
+        return pa.table({"token": pc.list_flatten(split),
+                         "batch": batch.take(ids)})
+
+    first = grouped_agg(docs.map_batches(tokens, batch_format="pyarrow"),
+                        ["token"], [("batch", "batch", "min")],
+                        sum_as_float=False)
+    news = grouped_agg(first, ["batch"], [("new_tokens", "batch", "count")],
+                       sum_as_float=False)
+    s = range_sort(news, "batch")
+    s = global_prefix_sums(s, "new_tokens", out_name="__cum",
+                           exclusive=False)
+
+    def finalize(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "batch": b.column("batch"),
+            "new_tokens": pc.cast(b.column("new_tokens"), pa.int64()),
+            "cum_vocab": pc.cast(b.column("__cum"), pa.int64()),
+        })
+
+    return s.map_batches(finalize, batch_format="pyarrow")
+
+
+QUERIES["q_vocab_growth_curve"] = q_vocab_growth_curve
+ORACLE_SQL["q_vocab_growth_curve"] = """
+    WITH t AS (
+        SELECT doc_id // 100 AS batch,
+               unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ),
+    f AS (SELECT token, min(batch) AS batch FROM t GROUP BY 1),
+    n AS (SELECT batch, count(*) AS new_tokens FROM f GROUP BY 1)
+    SELECT batch, new_tokens,
+           CAST(sum(new_tokens) OVER (ORDER BY batch) AS BIGINT)
+               AS cum_vocab
+    FROM n
+"""
+
+
+def q_user_burstiness(sf_dir: str):
+    """Behavioral burstiness headline: Goh-Barabási B = (σ−μ)/(σ+μ) of
+    each user's inter-event gaps (B→−1 periodic, 0 Poisson, →1 bursty),
+    averaged over users with ≥5 gaps — the temporal-pattern diagnostic
+    behind bot/fraud screens.  Gaps are read off inside the per-user run
+    (one keyed exchange, vectorized diff); per-user σ/μ come from the
+    mergeable moment kinds; the final average is one scalar fold."""
+    from ..stages.agg import _key_run_bounds, grouped_map, round_like_duckdb
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+    empty = pa.table({"user_id": pa.array([], pa.int64()),
+                      "gap_s": pa.array([], pa.float64())})
+
+    def gaps_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        t = t.sort_by([("user_id", "ascending"), ("ts", "ascending"),
+                       ("event_id", "ascending")])
+        bounds = _key_run_bounds(t, ["user_id"])
+        us = pc.cast(t.column("ts").combine_chunks(), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        keep = np.ones(t.num_rows, bool)
+        keep[bounds[:-1]] = False
+        idx = np.flatnonzero(keep)
+        if len(idx) == 0:
+            return empty
+        return pa.table({
+            "user_id": pa.array(uid[idx], pa.int64()),
+            "gap_s": pa.array((us[idx] - us[idx - 1]) / 1_000_000.0,
+                              pa.float64()),
+        })
+
+    gaps = grouped_map(
+        ev, "user_id", gaps_part, per_group=False,
+        empty_schema=pa.table({
+            "user_id": pa.array([], pa.int64()),
+            "ts": pa.array([], pa.timestamp("us")),
+            "event_id": pa.array([], pa.int64()),
+        }),
+    )
+    per_user = grouped_agg(gaps, ["user_id"],
+                           [("n_gaps", "gap_s", "count"),
+                            ("m", "gap_s", "mean"),
+                            ("s", "gap_s", "std")])
+
+    def b_of(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater_equal(b.column("n_gaps"),
+                                      pa.scalar(5, pa.int64())))
+        num = pc.subtract(b.column("s"), b.column("m"))
+        den = pc.add(b.column("s"), b.column("m"))
+        b = b.filter(pc.greater(den, pa.scalar(0.0, pa.float64())))
+        num = pc.subtract(b.column("s"), b.column("m"))
+        den = pc.add(b.column("s"), b.column("m"))
+        return pa.table({
+            "__g": pa.array(np.zeros(b.num_rows, np.int8)),
+            "burst": pc.divide(num, den),
+        })
+
+    agg = grouped_agg(per_user.map_batches(b_of, batch_format="pyarrow"),
+                      ["__g"], [("n_users", "burst", "count"),
+                                ("avg_b", "burst", "mean")])
+
+    def finalize(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_users": pc.cast(b.column("n_users"), pa.int64()),
+            "avg_burstiness": round_like_duckdb(b.column("avg_b"), 6),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+QUERIES["q_user_burstiness"] = q_user_burstiness
+ORACLE_SQL["q_user_burstiness"] = """
+    WITH g AS (
+        SELECT user_id,
+               (epoch_us(ts) - epoch_us(lag(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id)))
+                   / 1000000.0 AS gap_s
+        FROM events
+    ),
+    u AS (
+        SELECT user_id, count(gap_s) AS n_gaps,
+               avg(gap_s) AS m, stddev_samp(gap_s) AS s
+        FROM g WHERE gap_s IS NOT NULL GROUP BY 1
+    )
+    SELECT count(*) AS n_users,
+           round(avg((s - m) / (s + m)), 6) AS avg_burstiness
+    FROM u WHERE n_gaps >= 5 AND s + m > 0
+"""
