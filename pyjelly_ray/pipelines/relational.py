@@ -11271,3 +11271,232 @@ ORACLE_SQL["q_user_burstiness"] = """
            round(avg((s - m) / (s + m)), 6) AS avg_burstiness
     FROM u WHERE n_gaps >= 5 AND s + m > 0
 """
+
+
+def q_embedding_1nn_label_accuracy(sf_dir: str):
+    """Leave-one-out 1-NN label accuracy per class — the standard
+    embedding-quality probe ("do nearest neighbors share a label?").
+    Rides the exact self-NN kernel (broadcast matrix, one matmul per
+    batch, round-then-cut deterministic ties), then the tiny label
+    dimension broadcast-joins onto both endpoints and a per-label
+    combiner folds the accuracy."""
+    import ray
+
+    from ..stages.agg import grouped_topk, round_like_duckdb
+    from ..stages.ann import _stack, cosine_topk_multi
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    tabs = [t for t in ray.get(emb.to_arrow_refs()) if t.num_columns > 0]
+    full = pa.concat_tables(tabs)
+    ids = full.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+
+    res = cosine_topk_multi(emb, _stack(full), k=2, query_ids=ids,
+                            round_to=4)
+    noself = res.map_batches(
+        lambda b: b.filter(pc.not_equal(b.column("query_id"),
+                                        b.column("vec_id"))),
+        batch_format="pyarrow",
+    )
+    best = grouped_topk(noself, "query_id", "sim", 1, descending=True,
+                        tiebreak=["vec_id"])
+    labels = emb.map_batches(
+        lambda b: b.select(["vec_id", "label"]), batch_format="pyarrow")
+    j = broadcast_join(best, labels, left_key="query_id",
+                       right_key="vec_id", columns=["label"])
+    nnlab = labels.map_batches(
+        lambda b: pa.table({"vec_id": b.column("vec_id"),
+                            "nn_label": b.column("label")}),
+        batch_format="pyarrow")
+    j = broadcast_join(j, nnlab, left_key="vec_id", columns=["nn_label"])
+
+    def flags(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "label": b.column("label"),
+            "correct": pc.cast(pc.equal(b.column("label"),
+                                        b.column("nn_label")), pa.int64()),
+        })
+
+    agg = grouped_agg(j.map_batches(flags, batch_format="pyarrow"),
+                      ["label"], [("n", "correct", "count"),
+                                  ("n_correct", "correct", "sum")],
+                      sum_as_float=False)
+
+    def finalize(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "label": b.column("label"),
+            "n": pc.cast(b.column("n"), pa.int64()),
+            "n_correct": pc.cast(b.column("n_correct"), pa.int64()),
+            "accuracy": round_like_duckdb(
+                pc.divide(
+                    pc.multiply(pc.cast(b.column("n_correct"), pa.float64()),
+                                pa.scalar(1.0, pa.float64())),
+                    pc.cast(b.column("n"), pa.float64())), 6),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+QUERIES["q_embedding_1nn_label_accuracy"] = q_embedding_1nn_label_accuracy
+ORACLE_SQL["q_embedding_1nn_label_accuracy"] = """
+    WITH p AS (
+      SELECT a.vec_id AS vec_id, a.label AS label, b.vec_id AS nn_id,
+             b.label AS nn_label,
+             round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])), 4)
+                 AS cos
+      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    ),
+    nn AS (
+      SELECT label, nn_label
+      FROM (
+        SELECT label, nn_label,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, nn_id) AS rn
+        FROM p
+      )
+      WHERE rn = 1
+    )
+    SELECT label, count(*) AS n,
+           sum(CASE WHEN label = nn_label THEN 1 ELSE 0 END) AS n_correct,
+           round(sum(CASE WHEN label = nn_label THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS accuracy
+    FROM nn GROUP BY 1
+"""
+
+
+def q_embedding_label_margin(sf_dir: str):
+    """Per-class embedding separability: mean intra-class cosine vs mean
+    inter-class cosine and their margin — the clustering-quality score a
+    retrieval corpus is graded on before training.  ONE matmul pass:
+    every block scores against the broadcast matrix with the u < v mask
+    (each unordered pair counted once), partials fold per LABEL PAIR
+    (n, Σcos — |labels|² rows total), and the per-label margins are
+    finalized on the driver from that tiny cell table."""
+    import ray
+
+    from ..stages.agg import round_like_duckdb
+    from ..stages.ann import _normalize, _stack
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    tabs = [t for t in ray.get(emb.to_arrow_refs()) if t.num_columns > 0]
+    full = pa.concat_tables(tabs)
+    ids = full.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    labs = full.column("label").to_numpy(zero_copy_only=False)
+    ref = ray.put((ids, labs, _normalize(_stack(full))))
+
+    def cells(b: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        a_ids, a_labs, a_mat = _ray.get(ref)
+        q_ids = b.column("vec_id").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        q_labs = b.column("label").to_numpy(zero_copy_only=False)
+        sims = np.round(_normalize(_stack(b)) @ a_mat.T, 4)
+        mask = q_ids[:, None] < a_ids[None, :]
+        qi, ai = np.nonzero(mask)
+        la = q_labs[qi]
+        lb = a_labs[ai]
+        cs = sims[qi, ai]
+        t = pa.table({"la": pa.array(la.astype(np.int64), pa.int64()),
+                      "lb": pa.array(lb.astype(np.int64), pa.int64()),
+                      "cos": pa.array(cs, pa.float64())})
+        g = t.group_by(["la", "lb"]).aggregate([("cos", "count"),
+                                                ("cos", "sum")])
+        return pa.table({
+            "la": g.column("la"), "lb": g.column("lb"),
+            "n": pc.cast(g.column("cos_count"), pa.int64()),
+            "s": g.column("cos_sum"),
+        })
+
+    cell = grouped_agg(emb.map_batches(cells, batch_format="pyarrow"),
+                       ["la", "lb"], [("n", "n", "sum"), ("s", "s", "sum")],
+                       sum_as_float=False)
+    rows = cell.take_all()
+    intra: dict = {}
+    inter: dict = {}
+    for r in rows:
+        la, lb, n, sv = r["la"], r["lb"], int(r["n"]), float(r["s"])
+        if la == lb:
+            c = intra.setdefault(la, [0, 0.0])
+            c[0] += n
+            c[1] += sv
+        else:
+            for lab in (la, lb):
+                c = inter.setdefault(lab, [0, 0.0])
+                c[0] += n
+                c[1] += sv
+    out = sorted(set(intra) | set(inter))
+    mi = [intra[x][1] / intra[x][0] for x in out]
+    me = [inter[x][1] / inter[x][0] for x in out]
+    return pa.table({
+        "label": pa.array(out, pa.int64()),
+        "n_intra": pa.array([intra[x][0] for x in out], pa.int64()),
+        "n_inter": pa.array([inter[x][0] for x in out], pa.int64()),
+        "mean_intra": round_like_duckdb(pa.array(mi, pa.float64()), 6),
+        "mean_inter": round_like_duckdb(pa.array(me, pa.float64()), 6),
+        "margin": round_like_duckdb(
+            pa.array([a - b for a, b in zip(mi, me)], pa.float64()), 6),
+    })
+
+
+QUERIES["q_embedding_label_margin"] = q_embedding_label_margin
+ORACLE_SQL["q_embedding_label_margin"] = """
+    WITH p AS (
+      SELECT a.label AS la, b.label AS lb,
+             round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])), 4)
+                 AS cos
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    ),
+    i AS (SELECT la AS label, count(*) AS n_intra, sum(cos) AS s_intra
+          FROM p WHERE la = lb GROUP BY 1),
+    e AS (SELECT label, count(*) AS n_inter, sum(cos) AS s_inter
+          FROM (SELECT la AS label, cos FROM p WHERE la <> lb
+                UNION ALL
+                SELECT lb AS label, cos FROM p WHERE la <> lb)
+          GROUP BY 1)
+    SELECT label, n_intra, n_inter,
+           round(s_intra / n_intra, 6) AS mean_intra,
+           round(s_inter / n_inter, 6) AS mean_inter,
+           round(s_intra / n_intra - s_inter / n_inter, 6) AS margin
+    FROM i JOIN e USING (label)
+"""
+
+
+def q_segment_priority_chi2(sf_dir: str):
+    """Chi-square independence between customer market segment and order
+    priority — "do segments order with different urgency?", the
+    cross-table twin of the type×weekday screen: one broadcast customer
+    dim join + the same one-pass contingency aggregate."""
+    from ..stages.agg import chi_square_independence
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    j = broadcast_join(orders, cust, left_key="o_custkey",
+                       right_key="c_custkey", columns=["c_mktsegment"])
+    return chi_square_independence(j, "c_mktsegment", "o_orderpriority",
+                                   round_to=6)
+
+
+QUERIES["q_segment_priority_chi2"] = q_segment_priority_chi2
+ORACLE_SQL["q_segment_priority_chi2"] = """
+    WITH j AS (
+      SELECT c_mktsegment AS x, o_orderpriority AS y, count(*) AS n
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY x, y
+    ),
+    mx AS (SELECT x, sum(n) AS nx FROM j GROUP BY x),
+    my AS (SELECT y, sum(n) AS ny FROM j GROUP BY y),
+    t AS (SELECT sum(n) AS total FROM j),
+    cells AS (
+      SELECT mx.nx, my.ny, coalesce(j.n, 0) AS o
+      FROM mx CROSS JOIN my
+      LEFT JOIN j ON j.x = mx.x AND j.y = my.y
+    )
+    SELECT round(sum(pow(o - nx * ny / t.total, 2)
+                     / (nx * ny / t.total)), 6) AS chi2,
+           CAST((SELECT count(*) - 1 FROM mx)
+                * (SELECT count(*) - 1 FROM my) AS BIGINT) AS df
+    FROM cells CROSS JOIN t
+    GROUP BY ALL
+"""
