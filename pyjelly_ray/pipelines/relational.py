@@ -11273,16 +11273,14 @@ ORACLE_SQL["q_user_burstiness"] = """
 """
 
 
-def q_embedding_1nn_label_accuracy(sf_dir: str):
-    """Leave-one-out 1-NN label accuracy per class — the standard
-    embedding-quality probe ("do nearest neighbors share a label?").
-    Rides the exact self-NN kernel (broadcast matrix, one matmul per
-    batch, round-then-cut deterministic ties), then the tiny label
-    dimension broadcast-joins onto both endpoints and a per-label
-    combiner folds the accuracy."""
+def _embedding_1nn_labeled(sf_dir: str):
+    """Shared preamble of the 1-NN accuracy and confusion queries: the
+    exact self-NN kernel (broadcast matrix, one matmul per batch,
+    round-then-cut deterministic ties) with BOTH endpoints' labels
+    broadcast-joined on."""
     import ray
 
-    from ..stages.agg import grouped_topk, round_like_duckdb
+    from ..stages.agg import grouped_topk
     from ..stages.ann import _stack, cosine_topk_multi
 
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
@@ -11307,7 +11305,17 @@ def q_embedding_1nn_label_accuracy(sf_dir: str):
         lambda b: pa.table({"vec_id": b.column("vec_id"),
                             "nn_label": b.column("label")}),
         batch_format="pyarrow")
-    j = broadcast_join(j, nnlab, left_key="vec_id", columns=["nn_label"])
+    return broadcast_join(j, nnlab, left_key="vec_id", columns=["nn_label"])
+
+
+def q_embedding_1nn_label_accuracy(sf_dir: str):
+    """Leave-one-out 1-NN label accuracy per class — the standard
+    embedding-quality probe ("do nearest neighbors share a label?").
+    Rides the shared labeled self-NN preamble; a per-label combiner
+    folds the accuracy."""
+    from ..stages.agg import round_like_duckdb
+
+    j = _embedding_1nn_labeled(sf_dir)
 
     def flags(b: pa.Table) -> pa.Table:
         return pa.table({
@@ -11499,4 +11507,266 @@ ORACLE_SQL["q_segment_priority_chi2"] = """
                 * (SELECT count(*) - 1 FROM my) AS BIGINT) AS df
     FROM cells CROSS JOIN t
     GROUP BY ALL
+"""
+
+
+def q_embedding_1nn_confusion(sf_dir: str):
+    """1-NN confusion matrix: counts and row shares of (true label →
+    nearest neighbor's label) — WHERE the embedding space confuses
+    classes, the companion detail to the accuracy headline.  Same shared
+    labeled self-NN preamble; one tiny pair combiner + a per-row-label
+    broadcast of totals."""
+    from ..stages.agg import round_like_duckdb
+
+    j = _embedding_1nn_labeled(sf_dir)
+    cm = grouped_agg(j, ["label", "nn_label"],
+                     [("n", "label", "count")],
+                     sum_as_float=False).materialize()
+    rows = grouped_agg(cm, ["label"], [("row_n", "n", "sum")],
+                       sum_as_float=False)
+    lab = broadcast_join(cm, rows, left_key="label", columns=["row_n"])
+
+    def finalize(b: pa.Table) -> pa.Table:
+        n = pc.cast(b.column("n"), pa.float64())
+        rn = pc.cast(b.column("row_n"), pa.float64())
+        return pa.table({
+            "label": pc.cast(b.column("label"), pa.int64()),
+            "nn_label": pc.cast(b.column("nn_label"), pa.int64()),
+            "n": pc.cast(b.column("n"), pa.int64()),
+            "row_share": round_like_duckdb(
+                pc.divide(pc.multiply(n, pa.scalar(1.0, pa.float64())), rn),
+                6),
+        })
+
+    return lab.map_batches(finalize, batch_format="pyarrow")
+
+
+QUERIES["q_embedding_1nn_confusion"] = q_embedding_1nn_confusion
+ORACLE_SQL["q_embedding_1nn_confusion"] = """
+    WITH p AS (
+      SELECT a.vec_id AS vec_id, a.label AS label, b.vec_id AS nn_id,
+             b.label AS nn_label,
+             round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])), 4)
+                 AS cos
+      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    ),
+    nn AS (
+      SELECT label, nn_label
+      FROM (
+        SELECT label, nn_label,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, nn_id) AS rn
+        FROM p
+      )
+      WHERE rn = 1
+    ),
+    cm AS (SELECT label, nn_label, count(*) AS n FROM nn GROUP BY 1, 2),
+    r AS (SELECT label, sum(n) AS row_n FROM cm GROUP BY 1)
+    SELECT CAST(cm.label AS BIGINT) AS label,
+           CAST(cm.nn_label AS BIGINT) AS nn_label, cm.n,
+           round(cm.n * 1.0 / r.row_n, 6) AS row_share
+    FROM cm JOIN r USING (label)
+"""
+
+
+def q_user_value_concentration(sf_dir: str):
+    """Whale-curve headline: the minimum number of users covering 80% of
+    total event value, and their share of the user base — the revenue
+    concentration answer every ops review asks for.  Per-user totals are
+    exact integer cents (one combiner exchange), the descending rank a
+    `range_sort`, the running total one exclusive `global_prefix_sums`
+    pass, and the 80% cut a map-side flag fold — no single-node window
+    at any step."""
+    from ..stages.agg import round_like_duckdb
+    from ..stages.sort import global_prefix_sums, range_sort
+
+    ev = _read(sf_dir, "events", ["user_id", "value"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("value")))
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "c": pc.cast(
+                pc.round(pc.multiply(b.column("value"),
+                                     pa.scalar(100.0, pa.float64()))),
+                pa.int64()),
+        })
+
+    per_user = grouped_agg(ev.map_batches(cents, batch_format="pyarrow"),
+                           ["user_id"], [("c", "c", "sum")],
+                           sum_as_float=False).materialize()
+    totals = per_user.sum("c")
+    n_users = per_user.count()
+    thresh = 0.8 * (float(totals) * 1.0)
+
+    s = range_sort(per_user, "c", descending=True, tiebreak=["user_id"])
+    s = global_prefix_sums(s, "c", out_name="__cum_ex", exclusive=True)
+
+    def flags(b: pa.Table) -> pa.Table:
+        inside = pc.cast(pc.less(b.column("__cum_ex"),
+                                 pa.scalar(thresh, pa.float64())),
+                         pa.int64())
+        return pa.table({
+            "__g": pa.array(np.zeros(b.num_rows, np.int8)),
+            "inside": inside,
+        })
+
+    agg = grouped_agg(s.map_batches(flags, batch_format="pyarrow"),
+                      ["__g"], [("n_users_80", "inside", "sum")],
+                      sum_as_float=False)
+
+    def finalize(b: pa.Table) -> pa.Table:
+        n80 = pc.cast(b.column("n_users_80"), pa.float64())
+        return pa.table({
+            "n_users": pa.array(np.full(b.num_rows, n_users, np.int64)),
+            "n_users_80": pc.cast(b.column("n_users_80"), pa.int64()),
+            "share_80": round_like_duckdb(
+                pc.divide(
+                    pc.multiply(n80, pa.scalar(1.0, pa.float64())),
+                    pa.scalar(float(n_users), pa.float64())), 6),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+QUERIES["q_user_value_concentration"] = q_user_value_concentration
+ORACLE_SQL["q_user_value_concentration"] = """
+    WITH u AS (
+        SELECT user_id, sum(CAST(round(value * 100.0) AS BIGINT)) AS c
+        FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    t AS (SELECT sum(c) * 1.0 AS total, count(*) AS n_users FROM u),
+    r AS (
+        SELECT c,
+               coalesce(sum(c) OVER (ORDER BY c DESC, user_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS cum_ex
+        FROM u
+    )
+    SELECT (SELECT n_users FROM t) AS n_users,
+           sum(CASE WHEN cum_ex < 0.8 * (SELECT total FROM t)
+                    THEN 1 ELSE 0 END) AS n_users_80,
+           round(sum(CASE WHEN cum_ex < 0.8 * (SELECT total FROM t)
+                          THEN 1 ELSE 0 END) * 1.0
+                 / (SELECT n_users FROM t), 6) AS share_80
+    FROM r
+"""
+
+
+def q_nation_trade_balance(sf_dir: str):
+    """Per-nation trade balance: customer order spend (demand side) vs
+    supplier line revenue (supply side) and the gap — the two-fact-table
+    reconciliation shape (each side is its own combiner exchange +
+    broadcast dims; one tiny nation-level join stitches them)."""
+    from ..stages.agg import round_like_duckdb
+
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"])
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    cust = broadcast_join(cust, nation, left_key="c_nationkey",
+                          right_key="n_nationkey", columns=["n_name"])
+    o = broadcast_join(orders, cust, left_key="o_custkey",
+                       right_key="c_custkey", columns=["n_name"])
+    cs = grouped_agg(o, ["n_name"], [("cust_spend", "o_totalprice", "sum")])
+
+    li = _read(sf_dir, "lineitem",
+               ["l_suppkey", "l_extendedprice", "l_discount"])
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    supp = broadcast_join(supp, nation, left_key="s_nationkey",
+                          right_key="n_nationkey", columns=["n_name"])
+
+    def rev(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_suppkey": b.column("l_suppkey"),
+            "r": pc.multiply(
+                b.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0, pa.float64()),
+                            b.column("l_discount"))),
+        })
+
+    lr = broadcast_join(li.map_batches(rev, batch_format="pyarrow"), supp,
+                        left_key="l_suppkey", right_key="s_suppkey",
+                        columns=["n_name"])
+    sr = grouped_agg(lr, ["n_name"], [("supp_revenue", "r", "sum")])
+    j = broadcast_join(cs, sr, left_key="n_name",
+                       columns=["supp_revenue"])
+
+    def finalize(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_name": b.column("n_name"),
+            "cust_spend": round_like_duckdb(b.column("cust_spend"), 2),
+            "supp_revenue": round_like_duckdb(b.column("supp_revenue"), 2),
+            "balance": round_like_duckdb(
+                pc.subtract(b.column("supp_revenue"),
+                            b.column("cust_spend")), 2),
+        })
+
+    return j.map_batches(finalize, batch_format="pyarrow")
+
+
+QUERIES["q_nation_trade_balance"] = q_nation_trade_balance
+ORACLE_SQL["q_nation_trade_balance"] = """
+    WITH cs AS (
+        SELECT n_name, sum(o_totalprice) AS cust_spend
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1
+    ),
+    sr AS (
+        SELECT n_name, sum(l_extendedprice * (1 - l_discount))
+            AS supp_revenue
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY 1
+    )
+    SELECT n_name, round(cust_spend, 2) AS cust_spend,
+           round(supp_revenue, 2) AS supp_revenue,
+           round(supp_revenue - cust_spend, 2) AS balance
+    FROM cs JOIN sr USING (n_name)
+"""
+
+
+def q_doc_source_lang_mix(sf_dir: str):
+    """Corpus composition audit: document counts and within-source shares
+    per (source, lang) cell — the what-is-this-corpus-made-of table a
+    curation run reports first.  One cell combiner exchange
+    (materialized) + a broadcast of the tiny per-source totals."""
+    from ..stages.agg import round_like_duckdb
+
+    docs = _read(sf_dir, "documents", ["source", "lang"])
+    cells = grouped_agg(docs, ["source", "lang"],
+                        [("n", "lang", "count")],
+                        sum_as_float=False).materialize()
+    st = grouped_agg(cells, ["source"], [("sn", "n", "sum")],
+                     sum_as_float=False)
+    lab = broadcast_join(cells, st, left_key="source", columns=["sn"])
+
+    def finalize(b: pa.Table) -> pa.Table:
+        n = pc.cast(b.column("n"), pa.float64())
+        sn = pc.cast(b.column("sn"), pa.float64())
+        return pa.table({
+            "source": b.column("source"),
+            "lang": b.column("lang"),
+            "n_docs": pc.cast(b.column("n"), pa.int64()),
+            "source_share": round_like_duckdb(
+                pc.divide(pc.multiply(n, pa.scalar(1.0, pa.float64())), sn),
+                6),
+        })
+
+    return lab.map_batches(finalize, batch_format="pyarrow")
+
+
+QUERIES["q_doc_source_lang_mix"] = q_doc_source_lang_mix
+ORACLE_SQL["q_doc_source_lang_mix"] = """
+    WITH c AS (
+        SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2
+    ),
+    s AS (SELECT source, sum(n) AS sn FROM c GROUP BY 1)
+    SELECT c.source, c.lang, c.n AS n_docs,
+           round(c.n * 1.0 / s.sn, 6) AS source_share
+    FROM c JOIN s USING (source)
 """
