@@ -11770,3 +11770,160 @@ ORACLE_SQL["q_doc_source_lang_mix"] = """
            round(c.n * 1.0 / s.sn, 6) AS source_share
     FROM c JOIN s USING (source)
 """
+
+
+def q_top_part_per_nation(sf_dir: str):
+    """Best-selling part per supplier nation (argmax-per-group): revenue
+    cells fold in one (nation, part) combiner exchange, then
+    `grouped_topk` takes each nation's top-1 with a deterministic
+    round-then-tiebreak order (= SQL row_number) — never a global
+    sort."""
+    from ..stages.agg import grouped_topk, round_like_duckdb
+
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"])
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    supp = broadcast_join(supp, nation, left_key="s_nationkey",
+                          right_key="n_nationkey", columns=["n_name"])
+    li = _read(sf_dir, "lineitem",
+               ["l_suppkey", "l_partkey", "l_extendedprice", "l_discount"])
+
+    def rev(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_suppkey": b.column("l_suppkey"),
+            "l_partkey": b.column("l_partkey"),
+            "r": pc.multiply(
+                b.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0, pa.float64()),
+                            b.column("l_discount"))),
+        })
+
+    lab = broadcast_join(li.map_batches(rev, batch_format="pyarrow"), supp,
+                         left_key="l_suppkey", right_key="s_suppkey",
+                         columns=["n_name"])
+    cells = grouped_agg(lab, ["n_name", "l_partkey"],
+                        [("revenue", "r", "sum")], round_to=2)
+    top = grouped_topk(cells, "n_name", "revenue", 1, descending=True,
+                       tiebreak=["l_partkey"])
+    return top.map_batches(
+        lambda b: pa.table({
+            "n_name": b.column("n_name"),
+            "l_partkey": pc.cast(b.column("l_partkey"), pa.int64()),
+            "revenue": round_like_duckdb(b.column("revenue"), 2),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+QUERIES["q_top_part_per_nation"] = q_top_part_per_nation
+ORACLE_SQL["q_top_part_per_nation"] = """
+    WITH c AS (
+        SELECT n_name, l_partkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY 1, 2
+    )
+    SELECT n_name, l_partkey, revenue
+    FROM (
+        SELECT n_name, l_partkey, revenue,
+               row_number() OVER (PARTITION BY n_name
+                                  ORDER BY revenue DESC, l_partkey) AS rn
+        FROM c
+    )
+    WHERE rn = 1
+"""
+
+
+def q_null_rate_trend(sf_dir: str):
+    """Data-quality trend: weekly NULL rate of the value field — the
+    pipeline-health monitor that catches an upstream schema break as a
+    step change.  Pure map-side flags into one weekly combiner
+    exchange."""
+    from ..stages.agg import round_like_duckdb
+
+    ev = _read(sf_dir, "events", ["ts", "value"])
+
+    def flags(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "week": _epoch_week(b.column("ts")),
+            "is_null": pc.cast(pc.is_null(b.column("value")), pa.int64()),
+        })
+
+    agg = grouped_agg(ev.map_batches(flags, batch_format="pyarrow"),
+                      ["week"], [("n_events", "is_null", "count"),
+                                 ("n_null", "is_null", "sum")],
+                      sum_as_float=False)
+
+    def finalize(b: pa.Table) -> pa.Table:
+        n = pc.cast(b.column("n_events"), pa.float64())
+        z = pc.cast(b.column("n_null"), pa.float64())
+        return pa.table({
+            "week": b.column("week"),
+            "n_events": pc.cast(b.column("n_events"), pa.int64()),
+            "n_null": pc.cast(b.column("n_null"), pa.int64()),
+            "null_rate": round_like_duckdb(
+                pc.divide(pc.multiply(z, pa.scalar(1.0, pa.float64())), n),
+                6),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+QUERIES["q_null_rate_trend"] = q_null_rate_trend
+ORACLE_SQL["q_null_rate_trend"] = """
+    SELECT CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS week,
+           count(*) AS n_events,
+           sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS n_null,
+           round(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS null_rate
+    FROM events GROUP BY 1
+"""
+
+
+def q_segment_spend_quantiles(sf_dir: str):
+    """Customer-value distribution per market segment: exact p50/p90 of
+    lifetime spend plus the segment headcount — the pricing-tier
+    calibration table.  Per-customer spend is one combiner exchange, the
+    segment label a broadcast dim, and the small labeled table is
+    materialized ONCE to feed both the count aggregate and the exact
+    per-segment quantile exchange (5 segments, bounded)."""
+    from ..stages.agg import grouped_quantiles
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    spend = grouped_agg(orders, ["o_custkey"],
+                        [("spend", "o_totalprice", "sum")])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    lab = broadcast_join(spend, cust, left_key="o_custkey",
+                         right_key="c_custkey",
+                         columns=["c_mktsegment"]).materialize()
+    n = grouped_agg(lab, ["c_mktsegment"],
+                    [("n_customers", "spend", "count")], sum_as_float=False)
+    qs = grouped_quantiles(lab, ["c_mktsegment"], "spend",
+                           [("p50_spend", 0.5), ("p90_spend", 0.9)],
+                           round_to=6)
+    out = broadcast_join(n, qs, left_key="c_mktsegment",
+                         columns=["p50_spend", "p90_spend"])
+    return out.map_batches(
+        lambda b: pa.table({
+            "c_mktsegment": b.column("c_mktsegment"),
+            "n_customers": pc.cast(b.column("n_customers"), pa.int64()),
+            "p50_spend": b.column("p50_spend"),
+            "p90_spend": b.column("p90_spend"),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+QUERIES["q_segment_spend_quantiles"] = q_segment_spend_quantiles
+ORACLE_SQL["q_segment_spend_quantiles"] = """
+    WITH s AS (
+        SELECT o_custkey, sum(o_totalprice) AS spend
+        FROM orders GROUP BY 1
+    )
+    SELECT c_mktsegment, count(*) AS n_customers,
+           round(quantile_cont(spend, 0.5), 6) AS p50_spend,
+           round(quantile_cont(spend, 0.9), 6) AS p90_spend
+    FROM s JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1
+"""
