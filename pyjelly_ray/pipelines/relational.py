@@ -10560,14 +10560,10 @@ ORACLE_SQL["q_burst_concurrency_curve"] = """
 """
 
 
-def q_weekend_value_ttest(sf_dir: str):
-    """Weekend-effect readout: per event type, a Welch two-sample t-test
-    of value between weekend (ISO dow 6-7) and weekday events — the
-    temporal-split twin of the hash-split A/B test, reusing the same
-    mergeable-moment `ab_welch_ttest` primitive (raw stream touched
-    once; the variant label is a pure map-side derivation)."""
-    from ..stages.agg import ab_welch_ttest
-
+def _weekend_labeled_events(sf_dir: str):
+    """events projected to (event_type, variant ∈ {weekday, weekend},
+    value) — the temporal-split preamble shared by the weekend t-test
+    and the weekend Mann-Whitney test (pure map-side derivation)."""
     ev = _read(sf_dir, "events", ["event_type", "ts", "value"])
 
     def label(b: pa.Table) -> pa.Table:
@@ -10587,7 +10583,18 @@ def q_weekend_value_ttest(sf_dir: str):
             "value": b.column("value"),
         })
 
-    return ab_welch_ttest(ev.map_batches(label, batch_format="pyarrow"),
+    return ev.map_batches(label, batch_format="pyarrow")
+
+
+def q_weekend_value_ttest(sf_dir: str):
+    """Weekend-effect readout: per event type, a Welch two-sample t-test
+    of value between weekend (ISO dow 6-7) and weekday events — the
+    temporal-split twin of the hash-split A/B test, reusing the same
+    mergeable-moment `ab_welch_ttest` primitive (raw stream touched
+    once; the variant label is a pure map-side derivation)."""
+    from ..stages.agg import ab_welch_ttest
+
+    return ab_welch_ttest(_weekend_labeled_events(sf_dir),
                           "event_type", "variant", "value",
                           variant_a="weekday", variant_b="weekend")
 
@@ -11926,4 +11933,200 @@ ORACLE_SQL["q_segment_spend_quantiles"] = """
            round(quantile_cont(spend, 0.9), 6) AS p90_spend
     FROM s JOIN customer ON o_custkey = c_custkey
     GROUP BY 1
+"""
+
+
+def q_event_type_anova(sf_dir: str):
+    """One-way ANOVA F-test of event value across event types — the
+    k-sample fixed-effects screen (does mean value differ by type at
+    all?) complementing the pairwise t-tests: one mergeable-moment
+    grouped_agg collapses the stream to k rows, a tiny finalize computes
+    F and the effect size η²."""
+    from ..stages.agg import oneway_anova
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+    return oneway_anova(ev, "event_type", "value")
+
+
+QUERIES["q_event_type_anova"] = q_event_type_anova
+ORACLE_SQL["q_event_type_anova"] = """
+    WITH g AS (
+      SELECT event_type, count(*) AS n, avg(value) AS m,
+             var_samp(value) AS v
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    tot AS (
+      SELECT count(*) AS k, sum(n) AS nt, sum(n * m) / sum(n) AS gm
+      FROM g
+    ),
+    ss AS (
+      SELECT (SELECT sum(n * ((m - gm) * (m - gm))) FROM g, tot) AS ssb,
+             (SELECT sum((n - 1.0) * v) FROM g WHERE n > 1) AS ssw
+    )
+    SELECT (SELECT k FROM tot) AS k_groups,
+           CAST((SELECT nt FROM tot) AS BIGINT) AS n_total,
+           round((ssb / ((SELECT k FROM tot) - 1.0))
+                 / (ssw / ((SELECT nt FROM tot) - (SELECT k FROM tot))), 6)
+               AS f_stat,
+           round(ssb / (ssb + ssw), 6) AS eta_sq
+    FROM ss
+"""
+
+
+def q_weekend_value_mannwhitney(sf_dir: str):
+    """Weekend-effect readout, non-parametric: per event type a
+    Mann-Whitney U (Wilcoxon rank-sum) test of value between weekend and
+    weekday events — tie-averaged ranks from the distinct-value combiner
+    (never ranks raw rows), tie-corrected normal z.  The rank-based twin
+    of q_weekend_value_ttest over the same shared temporal-split
+    preamble."""
+    from ..stages.agg import mann_whitney_u
+
+    return mann_whitney_u(_weekend_labeled_events(sf_dir),
+                          "event_type", "variant", "value",
+                          variant_a="weekday", variant_b="weekend")
+
+
+QUERIES["q_weekend_value_mannwhitney"] = q_weekend_value_mannwhitney
+ORACLE_SQL["q_weekend_value_mannwhitney"] = """
+    WITH s AS (
+      SELECT event_type,
+             CASE WHEN (epoch_us(ts) // 86400000000 + 3) % 7 + 1 >= 6
+                  THEN 'weekend' ELSE 'weekday' END AS variant,
+             value
+      FROM events WHERE value IS NOT NULL
+    ),
+    r AS (
+      SELECT event_type, variant,
+             rank() OVER (PARTITION BY event_type ORDER BY value)
+               + (count(*) OVER (PARTITION BY event_type, value) - 1) / 2.0
+               AS frank
+      FROM s
+    ),
+    g AS (
+      SELECT event_type,
+             sum(CASE WHEN variant = 'weekday' THEN frank END) AS r1,
+             CAST(sum(CASE WHEN variant = 'weekday' THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS n1,
+             CAST(sum(CASE WHEN variant = 'weekend' THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS n2
+      FROM r GROUP BY 1
+    ),
+    ties AS (
+      SELECT event_type, sum(CAST(t * t * t - t AS DOUBLE)) AS tie
+      FROM (SELECT event_type, value, count(*) AS t FROM s GROUP BY 1, 2)
+      GROUP BY 1
+    )
+    SELECT g.event_type,
+           CAST(n1 AS BIGINT) AS n_a, CAST(n2 AS BIGINT) AS n_b,
+           round(r1 - n1 * (n1 + 1.0) / 2.0, 6) AS u_stat,
+           CASE WHEN n1 * n2 / 12.0
+                     * (((n1 + n2) + 1.0)
+                        - tie / ((n1 + n2) * ((n1 + n2) - 1.0))) > 0
+                THEN round(((r1 - n1 * (n1 + 1.0) / 2.0) - n1 * n2 / 2.0)
+                           / sqrt(n1 * n2 / 12.0
+                                  * (((n1 + n2) + 1.0)
+                                     - tie / ((n1 + n2)
+                                              * ((n1 + n2) - 1.0)))), 6)
+           END AS z_stat
+    FROM g JOIN ties USING (event_type)
+    WHERE n1 > 0 AND n2 > 0
+"""
+
+
+def q_conversion_ztest(sf_dir: str):
+    """A/B conversion readout: users deterministically hash-split 50/50
+    (same split as q_ab_value_ttest), conversion = user ever fired a
+    purchase event; two-proportion pooled z-test between the arms.  Per-
+    user flags are one keyed MAX aggregate; the test statistic comes from
+    a 2-row table."""
+    from ..stages.agg import grouped_agg, grouped_map, round_like_duckdb
+    from ..stages.sample import deterministic_split
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def flag(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "is_purch": pc.cast(
+                pc.equal(b.column("event_type"), pa.scalar("purchase")),
+                pa.int64()),
+        })
+
+    per_user = grouped_agg(ev.map_batches(flag, batch_format="pyarrow"),
+                           ["user_id"], [("conv", "is_purch", "max")])
+    sp = deterministic_split(per_user, id_col="user_id",
+                             splits=[("A", 0.5), ("B", 0.5)], seed="ab1",
+                             out_col="variant")
+    g = grouped_agg(sp, ["variant"],
+                    [("n", "conv", "count"), ("c", "conv", "sum")])
+
+    def add_g(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "__g", pa.array(np.zeros(b.num_rows, np.int8)))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "n_a": pa.array([], pa.int64()),
+            "n_b": pa.array([], pa.int64()),
+            "conv_a": pa.array([], pa.int64()),
+            "conv_b": pa.array([], pa.int64()),
+            "rate_a": pa.array([], pa.float64()),
+            "rate_b": pa.array([], pa.float64()),
+            "z_prop": pa.array([], pa.float64()),
+        })
+        rows = {r["variant"]: r for r in t.to_pylist()}
+        if "A" not in rows or "B" not in rows:
+            return empty
+        a, b = rows["A"], rows["B"]
+        n1, n2 = float(a["n"]), float(b["n"])
+        c1, c2 = float(a["c"]), float(b["c"])
+        p1, p2 = c1 / n1, c2 / n2
+        pp = (c1 + c2) / (n1 + n2)
+        se2 = pp * (1.0 - pp) * (1.0 / n1 + 1.0 / n2)
+        z = (p1 - p2) / np.sqrt(se2) if se2 > 0.0 else None
+        out = pa.table({
+            "n_a": pa.array([int(n1)], pa.int64()),
+            "n_b": pa.array([int(n2)], pa.int64()),
+            "conv_a": pa.array([int(c1)], pa.int64()),
+            "conv_b": pa.array([int(c2)], pa.int64()),
+            "rate_a": pa.array([p1], pa.float64()),
+            "rate_b": pa.array([p2], pa.float64()),
+            "z_prop": pa.array([z], pa.float64()),
+        })
+        for name in ("rate_a", "rate_b", "z_prop"):
+            idx = out.column_names.index(name)
+            out = out.set_column(
+                idx, name, round_like_duckdb(out.column(name), 6))
+        return out
+
+    out = grouped_map(g.map_batches(add_g, batch_format="pyarrow"),
+                      "__g", finalize, per_group=False)
+    return out.map_batches(
+        lambda b: b.select(["n_a", "n_b", "conv_a", "conv_b",
+                            "rate_a", "rate_b", "z_prop"]),
+        batch_format="pyarrow")
+
+
+QUERIES["q_conversion_ztest"] = q_conversion_ztest
+ORACLE_SQL["q_conversion_ztest"] = f"""
+    WITH u AS (
+      SELECT user_id,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 AS conv
+      FROM events GROUP BY 1
+    ),
+    g AS (
+      SELECT {_ab_split_case()} AS variant, count(*) AS n, sum(conv) AS c
+      FROM u GROUP BY 1
+    )
+    SELECT a.n AS n_a, b.n AS n_b,
+           CAST(a.c AS BIGINT) AS conv_a, CAST(b.c AS BIGINT) AS conv_b,
+           round(a.c * 1.0 / a.n, 6) AS rate_a,
+           round(b.c * 1.0 / b.n, 6) AS rate_b,
+           round((a.c * 1.0 / a.n - b.c * 1.0 / b.n)
+                 / sqrt(((a.c + b.c) * 1.0 / (a.n + b.n))
+                        * (1.0 - (a.c + b.c) * 1.0 / (a.n + b.n))
+                        * (1.0 / a.n + 1.0 / b.n)), 6) AS z_prop
+    FROM g a, g b WHERE a.variant = 'A' AND b.variant = 'B'
 """

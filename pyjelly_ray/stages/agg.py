@@ -2145,3 +2145,171 @@ def ks_two_sample(ds, value_col: str, side_col: str, side_a, side_b, *,
         })
 
     return top.map_batches(finalize, batch_format="pyarrow")
+
+
+def oneway_anova(ds, group_col: str, value_col: str, *, round_to: int = 6):
+    """One-way ANOVA F-test of ``value_col`` across ``group_col`` levels —
+    the k-sample generalization of :func:`ab_welch_ttest` (reference
+    parity: the reference's stats module exposes the same fixed-effects
+    screen; here it is one mergeable-moment pass).
+
+    One grouped_agg by group collapses the raw stream to k rows
+    (n, mean, var_samp per level); a single-partition finalize computes
+    SS_between = Σ nᵢ(mᵢ − m̄)², SS_within = Σ (nᵢ−1)vᵢ and
+    F = (SSB/(k−1)) / (SSW/(N−k)), plus the effect size
+    η² = SSB/(SSB+SSW).  NULL values are excluded before grouping (SQL
+    ``avg``/``var_samp`` semantics).  Returns a 1-row Dataset
+    ``(k_groups, n_total, f_stat, eta_sq)``.
+    """
+
+    def project(b: pa.Table) -> pa.Table:
+        return b.select([group_col, value_col]).drop_null()
+
+    g = grouped_agg(
+        ds.map_batches(project, batch_format="pyarrow"),
+        [group_col],
+        [("n", value_col, "count"), ("m", value_col, "mean"),
+         ("v", value_col, "var")],
+    )
+
+    def add_g(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        return b.append_column("__g", pa.array(np.zeros(b.num_rows, np.int8)))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        empty = pa.table({
+            "k_groups": pa.array([], pa.int64()),
+            "n_total": pa.array([], pa.int64()),
+            "f_stat": pa.array([], pa.float64()),
+            "eta_sq": pa.array([], pa.float64()),
+        })
+        if t.num_rows == 0:
+            return empty
+        t = t.sort_by([(group_col, "ascending")])
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        m = t.column("m").to_numpy(zero_copy_only=False)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        k = len(n)
+        total = float(n.sum())
+        if k < 2 or total <= k:
+            return empty
+        gm = float((n * m).sum()) / total
+        ssb = float((n * (m - gm) ** 2).sum())
+        # var_samp is NULL for n=1 groups — they contribute 0 to SSW
+        ssw = float(np.nansum((n - 1.0) * np.where(np.isnan(v), 0.0, v)))
+        f = (ssb / (k - 1.0)) / (ssw / (total - k))
+        eta = ssb / (ssb + ssw)
+        s = 10.0 ** round_to
+        return pa.table({
+            "k_groups": pa.array([k], pa.int64()),
+            "n_total": pa.array([int(total)], pa.int64()),
+            "f_stat": pa.array(
+                [float(np.copysign(np.floor(abs(f) * s + 0.5), f) / s)],
+                pa.float64()),
+            "eta_sq": pa.array(
+                [float(np.copysign(np.floor(abs(eta) * s + 0.5), eta) / s)],
+                pa.float64()),
+        })
+
+    out = grouped_map(g.map_batches(add_g, batch_format="pyarrow"),
+                      "__g", finalize, per_group=False)
+    return out.map_batches(
+        lambda b: b.select(["k_groups", "n_total", "f_stat", "eta_sq"]),
+        batch_format="pyarrow")
+
+
+def mann_whitney_u(ds, group_col: str, variant_col: str, value_col: str, *,
+                   variant_a: str = "A", variant_b: str = "B",
+                   round_to: int = 6):
+    """Per-group Mann–Whitney U (Wilcoxon rank-sum) test between two
+    variants — the non-parametric companion to :func:`ab_welch_ttest`,
+    computed WITHOUT ranking raw rows:
+
+    1. a distinct-value combiner by ``(group, value)`` counts each
+       variant's occurrences (ships |distinct| rows, not |rows|);
+    2. one keyed exchange co-partitions by group; inside each group the
+       sorted distinct values give tie-averaged ranks by exclusive cumsum
+       (``below + (t+1)/2`` — exact half-integers, so the rank-sum is
+       order-independent in float64);
+    3. U₁ = R₁ − n₁(n₁+1)/2 and the tie-corrected normal approximation
+       z = (U₁ − n₁n₂/2) / σ with
+       σ² = n₁n₂/12 · ((n+1) − Σ(tᵢ³−tᵢ)/(n(n−1))).
+
+    NULL values and other variants are dropped; groups missing either
+    variant are omitted (SQL inner-join semantics); z is NULL when σ = 0
+    (all values tied).  Returns ``(group, n_a, n_b, u_stat, z_stat)``.
+    """
+
+    def project(b: pa.Table) -> pa.Table:
+        var = b.column(variant_col)
+        keep = pc.and_(
+            pc.is_valid(b.column(value_col)),
+            pc.or_(pc.equal(var, pa.scalar(variant_a)),
+                   pc.equal(var, pa.scalar(variant_b))),
+        )
+        b = b.filter(keep)
+        var = b.column(variant_col)
+        return pa.table({
+            group_col: b.column(group_col),
+            "value": b.column(value_col),
+            "i1": pc.cast(pc.equal(var, pa.scalar(variant_a)), pa.int64()),
+            "i2": pc.cast(pc.equal(var, pa.scalar(variant_b)), pa.int64()),
+        })
+
+    g = grouped_agg(
+        ds.map_batches(project, batch_format="pyarrow"),
+        [group_col, "value"],
+        [("c1", "i1", "sum"), ("c2", "i2", "sum")],
+    )
+
+    def kernel(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        key_type = t.schema.field(group_col).type
+        cols: dict[str, list] = {group_col: [], "n_a": [], "n_b": [],
+                                 "u_stat": [], "z_stat": []}
+        if t.num_rows:
+            t = t.sort_by([(group_col, "ascending"), ("value", "ascending")])
+            bounds = _key_run_bounds(t, [group_col])
+            gkeys = t.column(group_col).to_numpy(zero_copy_only=False)
+            c1 = t.column("c1").to_numpy(zero_copy_only=False).astype(np.float64)
+            c2 = t.column("c2").to_numpy(zero_copy_only=False).astype(np.float64)
+            for i in range(len(bounds) - 1):
+                lo, hi = bounds[i], bounds[i + 1]
+                a, b = c1[lo:hi], c2[lo:hi]
+                tt = a + b
+                n1, n2 = float(a.sum()), float(b.sum())
+                n = n1 + n2
+                if n1 == 0.0 or n2 == 0.0:
+                    continue
+                below = np.concatenate(([0.0], np.cumsum(tt)[:-1]))
+                avgrank = below + (tt + 1.0) / 2.0
+                r1 = float((a * avgrank).sum())
+                u1 = r1 - n1 * (n1 + 1.0) / 2.0
+                tie = float((tt ** 3 - tt).sum())
+                var_u = n1 * n2 / 12.0 * ((n + 1.0) - tie / (n * (n - 1.0)))
+                z = ((u1 - n1 * n2 / 2.0) / np.sqrt(var_u)
+                     if var_u > 0.0 else None)
+                cols[group_col].append(gkeys[lo])
+                cols["n_a"].append(int(n1))
+                cols["n_b"].append(int(n2))
+                cols["u_stat"].append(u1)
+                cols["z_stat"].append(z)
+        out = pa.table({
+            group_col: pa.array(cols[group_col], key_type),
+            "n_a": pa.array(cols["n_a"], pa.int64()),
+            "n_b": pa.array(cols["n_b"], pa.int64()),
+            "u_stat": pa.array(cols["u_stat"], pa.float64()),
+            "z_stat": pa.array(cols["z_stat"], pa.float64()),
+        })
+        if round_to is not None:
+            for name in ("u_stat", "z_stat"):
+                idx = out.column_names.index(name)
+                out = out.set_column(
+                    idx, name, round_like_duckdb(out.column(name), round_to))
+        return out
+
+    return grouped_map(g, group_col, kernel, per_group=False)

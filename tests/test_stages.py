@@ -3849,3 +3849,100 @@ def test_kcore_brute_force(ray_session):
            .reset_index(drop=True))
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
     assert len(cur) >= 25  # the complete core survives
+
+
+def test_oneway_anova_bruteforce(ray_session):
+    """oneway_anova F/η² == textbook SSB/SSW from dense numpy group
+    stats; NULL values dropped; n==1 groups contribute 0 to SSW."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from pyjelly_ray.stages.agg import oneway_anova
+
+    rng = np.random.default_rng(71)
+    gs, xs = [], []
+    for g, n, mu in [("a", 60, 10.0), ("b", 45, 11.5), ("c", 30, 9.0),
+                     ("d", 1, 42.0)]:
+        for _ in range(n):
+            gs.append(g)
+            xs.append(float(rng.normal(mu, 2.0)))
+    gs.append("a")
+    xs.append(None)                              # NULL drops
+    t = pa.table({"g": pa.array(gs), "x": pa.array(xs, pa.float64())})
+    out = oneway_anova(
+        ray.data.from_arrow(t).repartition(4), "g", "x"
+    ).take_all()
+    assert len(out) == 1
+    vals = np.array([x for x in xs if x is not None])
+    grp = np.array([g for g, x in zip(gs, xs) if x is not None])
+    keys = sorted(set(grp))
+    ns = np.array([np.sum(grp == k) for k in keys], float)
+    ms = np.array([vals[grp == k].mean() for k in keys])
+    vs = np.array([vals[grp == k].var(ddof=1) if (grp == k).sum() > 1
+                   else 0.0 for k in keys])
+    gm = (ns * ms).sum() / ns.sum()
+    ssb = (ns * (ms - gm) ** 2).sum()
+    ssw = ((ns - 1) * vs).sum()
+    k, n_tot = len(keys), int(ns.sum())
+    f = (ssb / (k - 1)) / (ssw / (n_tot - k))
+    assert out[0]["k_groups"] == k
+    assert out[0]["n_total"] == n_tot
+    assert abs(out[0]["f_stat"] - f) < 1e-4
+    assert abs(out[0]["eta_sq"] - ssb / (ssb + ssw)) < 1e-6
+
+
+def test_mann_whitney_u_bruteforce(ray_session):
+    """mann_whitney_u == scipy-textbook U and tie-corrected z computed
+    densely (rank via argsort with tie averaging); groups missing a
+    variant drop; ties across variants handled."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from pyjelly_ray.stages.agg import mann_whitney_u
+
+    rng = np.random.default_rng(73)
+    gs, vr, xs = [], [], []
+    for g, (na, nb) in [("g1", (50, 60)), ("g2", (35, 20)), ("g3", (15, 0))]:
+        # integer-ish values force heavy ties
+        for _ in range(na):
+            gs.append(g); vr.append("A")
+            xs.append(float(rng.integers(0, 12)))
+        for _ in range(nb):
+            gs.append(g); vr.append("B")
+            xs.append(float(rng.integers(0, 12)))
+    t = pa.table({"g": pa.array(gs), "variant": pa.array(vr),
+                  "x": pa.array(xs, pa.float64())})
+    out = mann_whitney_u(
+        ray.data.from_arrow(t).repartition(4), "g", "variant", "x"
+    ).take_all()
+    got = {r["g"]: r for r in out}
+    assert "g3" not in got
+    for g in ("g1", "g2"):
+        a = np.array([x for gg, v, x in zip(gs, vr, xs)
+                      if gg == g and v == "A"])
+        b = np.array([x for gg, v, x in zip(gs, vr, xs)
+                      if gg == g and v == "B"])
+        allv = np.concatenate([a, b])
+        order = np.argsort(allv, kind="stable")
+        ranks = np.empty(len(allv))
+        i = 0
+        sorted_v = allv[order]
+        while i < len(allv):
+            j = i
+            while j < len(allv) and sorted_v[j] == sorted_v[i]:
+                j += 1
+            ranks[order[i:j]] = (i + j + 1) / 2.0
+            i = j
+        n1, n2 = len(a), len(b)
+        n = n1 + n2
+        r1 = ranks[:n1].sum()
+        u1 = r1 - n1 * (n1 + 1) / 2.0
+        _, cnt = np.unique(allv, return_counts=True)
+        tie = float((cnt.astype(float) ** 3 - cnt).sum())
+        var_u = n1 * n2 / 12.0 * ((n + 1) - tie / (n * (n - 1.0)))
+        z = (u1 - n1 * n2 / 2.0) / np.sqrt(var_u)
+        assert got[g]["n_a"] == n1 and got[g]["n_b"] == n2
+        assert abs(got[g]["u_stat"] - u1) < 1e-9
+        assert abs(got[g]["z_stat"] - z) < 1e-6
