@@ -12130,3 +12130,305 @@ ORACLE_SQL["q_conversion_ztest"] = f"""
                         * (1.0 / a.n + 1.0 / b.n)), 6) AS z_prop
     FROM g a, g b WHERE a.variant = 'A' AND b.variant = 'B'
 """
+
+
+def q_daily_revenue_trend(sf_dir: str):
+    """Monotone-trend test on the daily revenue series: Mann-Kendall S
+    with tie-corrected normal z, plus the Theil-Sen (median-of-pairwise-
+    slopes) robust trend estimate.  The raw order stream collapses to one
+    exact-integer-cents row per day via the combiner exchange; the O(n²)
+    pairwise pass runs vectorized over that tiny series (n ≈ 2.4k days →
+    2.9M sign/slope pairs in one numpy shot — at larger n, roll up to
+    weeks first).  Sen slope interpolates like DuckDB ``quantile_cont``."""
+    from ..stages.agg import grouped_agg, grouped_map, round_like_duckdb
+
+    ords = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def day_cents(b: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(b.column("o_orderdate"), pa.int64()),
+                        pa.scalar(86_400_000_000, pa.int64()))
+        c = pc.cast(pc.round(pc.multiply(
+            b.column("o_totalprice"), pa.scalar(100.0, pa.float64()))),
+            pa.int64())
+        return pa.table({"day": day, "cents": c})
+
+    daily = grouped_agg(ords.map_batches(day_cents, batch_format="pyarrow"),
+                        ["day"], [("c", "cents", "sum")])
+
+    def add_g(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "__g", pa.array(np.zeros(b.num_rows, np.int8)))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "n_days": pa.array([], pa.int64()),
+            "s_stat": pa.array([], pa.int64()),
+            "z_mk": pa.array([], pa.float64()),
+            "sen_slope": pa.array([], pa.float64()),
+        })
+        if t.num_rows < 2:
+            return empty
+        t = t.sort_by([("day", "ascending")])
+        d = t.column("day").to_numpy(zero_copy_only=False)
+        c = t.column("c").to_numpy(zero_copy_only=False)
+        n = len(d)
+        iu, ju = np.triu_indices(n, 1)
+        dy = c[ju] - c[iu]
+        s = int(np.sign(dy).sum())
+        _, cnt = np.unique(c, return_counts=True)
+        cnt = cnt.astype(np.float64)
+        tt = float((cnt * (cnt - 1.0) * (2.0 * cnt + 5.0)).sum())
+        nf = float(n)
+        var_s = (nf * (nf - 1.0) * (2.0 * nf + 5.0) - tt) / 18.0
+        if s > 0:
+            z = (s - 1.0) / np.sqrt(var_s)
+        elif s < 0:
+            z = (s + 1.0) / np.sqrt(var_s)
+        else:
+            z = 0.0
+        slopes = np.sort((dy.astype(np.float64) / 100.0)
+                         / (d[ju] - d[iu]).astype(np.float64))
+        h = (len(slopes) - 1) * 0.5
+        lo = int(np.floor(h))
+        # DuckDB quantile_cont interpolation: x[lo] + (x[lo+1]-x[lo])*frac
+        sen = (slopes[lo] if h == lo
+               else slopes[lo] + (slopes[lo + 1] - slopes[lo]) * (h - lo))
+        out = pa.table({
+            "n_days": pa.array([n], pa.int64()),
+            "s_stat": pa.array([s], pa.int64()),
+            "z_mk": pa.array([float(z)], pa.float64()),
+            "sen_slope": pa.array([float(sen)], pa.float64()),
+        })
+        for name in ("z_mk", "sen_slope"):
+            idx = out.column_names.index(name)
+            out = out.set_column(
+                idx, name, round_like_duckdb(out.column(name), 6))
+        return out
+
+    out = grouped_map(daily.map_batches(add_g, batch_format="pyarrow"),
+                      "__g", finalize, per_group=False)
+    return out.map_batches(
+        lambda b: b.select(["n_days", "s_stat", "z_mk", "sen_slope"]),
+        batch_format="pyarrow")
+
+
+QUERIES["q_daily_revenue_trend"] = q_daily_revenue_trend
+ORACLE_SQL["q_daily_revenue_trend"] = """
+    WITH d AS (
+      SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day,
+             sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS c
+      FROM orders GROUP BY 1
+    ),
+    p AS (
+      SELECT (b.c - a.c) AS dy,
+             (CAST(b.c - a.c AS DOUBLE) / 100.0)
+               / CAST(b.day - a.day AS DOUBLE) AS slope
+      FROM d a JOIN d b ON b.day > a.day
+    ),
+    tie AS (
+      SELECT coalesce(sum(CAST(t AS DOUBLE) * (t - 1.0) * (2.0 * t + 5.0)),
+                      0.0) AS tt
+      FROM (SELECT c, count(*) AS t FROM d GROUP BY 1) WHERE t > 1
+    ),
+    st AS (
+      SELECT CAST(sum(CASE WHEN dy > 0 THEN 1 WHEN dy < 0 THEN -1
+                           ELSE 0 END) AS BIGINT) AS s,
+             quantile_cont(slope, 0.5) AS sen
+      FROM p
+    ),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS nf, count(*) AS n FROM d)
+    SELECT n AS n_days, s AS s_stat,
+           round(CASE
+             WHEN s > 0 THEN (s - 1.0)
+               / sqrt((nf * (nf - 1.0) * (2.0 * nf + 5.0) - tt) / 18.0)
+             WHEN s < 0 THEN (s + 1.0)
+               / sqrt((nf * (nf - 1.0) * (2.0 * nf + 5.0) - tt) / 18.0)
+             ELSE 0.0 END, 6) AS z_mk,
+           round(sen, 6) AS sen_slope
+    FROM st, nn, tie
+"""
+
+
+def q_monthly_price_index(sf_dir: str):
+    """Monthly Laspeyres / Paasche / Fisher price indices vs the first
+    shipping month (matched-sample basket): per-(month, part) unit prices
+    from one combiner exchange (qty sum + exact-cents revenue sum), the
+    base month's ≤|parts| basket broadcast onto every month's rows, and
+    the four Σp·q index sums folded in a second combiner pass — the raw
+    lineitem stream is touched once and nothing self-joins."""
+    from ..stages.agg import grouped_agg, round_like_duckdb
+
+    li = _read(sf_dir, "lineitem",
+               ["l_shipdate", "l_partkey", "l_quantity", "l_extendedprice"])
+
+    def proj(b: pa.Table) -> pa.Table:
+        month = pc.floor_temporal(b.column("l_shipdate"), unit="month")
+        e = pc.cast(pc.round(pc.multiply(
+            b.column("l_extendedprice"), pa.scalar(100.0, pa.float64()))),
+            pa.int64())
+        return pa.table({"month": month, "l_partkey": b.column("l_partkey"),
+                         "q": b.column("l_quantity"), "e": e})
+
+    pm = grouped_agg(li.map_batches(proj, batch_format="pyarrow"),
+                     ["month", "l_partkey"],
+                     [("q", "q", "sum"), ("e", "e", "sum")])
+
+    months = grouped_agg(pm, ["month"], [("__n", "month", "count")])
+    m0 = min(r["month"] for r in months.take_all())
+
+    def base_of(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b.column("month"), pa.scalar(m0)))
+        return pa.table({"l_partkey": b.column("l_partkey"),
+                         "q0": b.column("q"), "e0": b.column("e")})
+
+    base = pm.map_batches(base_of, batch_format="pyarrow")
+    j = broadcast_join(pm, base, left_key="l_partkey",
+                       right_key="l_partkey", columns=["q0", "e0"])
+
+    def products(b: pa.Table) -> pa.Table:
+        pt = pc.divide(pc.divide(pc.cast(b.column("e"), pa.float64()),
+                                 pa.scalar(100.0, pa.float64())),
+                       b.column("q"))
+        p0 = pc.divide(pc.divide(pc.cast(b.column("e0"), pa.float64()),
+                                 pa.scalar(100.0, pa.float64())),
+                       b.column("q0"))
+        return pa.table({
+            "month": b.column("month"),
+            "ptq0": pc.multiply(pt, b.column("q0")),
+            "p0q0": pc.multiply(p0, b.column("q0")),
+            "ptqt": pc.multiply(pt, b.column("q")),
+            "p0qt": pc.multiply(p0, b.column("q")),
+        })
+
+    g = grouped_agg(j.map_batches(products, batch_format="pyarrow"),
+                    ["month"],
+                    [("n_parts", "ptq0", "count"), ("ptq0", "ptq0", "sum"),
+                     ("p0q0", "p0q0", "sum"), ("ptqt", "ptqt", "sum"),
+                     ("p0qt", "p0qt", "sum")])
+
+    def finalize(b: pa.Table) -> pa.Table:
+        lasp = pc.divide(b.column("ptq0"), b.column("p0q0"))
+        paas = pc.divide(b.column("ptqt"), b.column("p0qt"))
+        fisher = pc.sqrt(pc.multiply(lasp, paas))
+        return pa.table({
+            "month": b.column("month"),
+            "n_parts": pc.cast(b.column("n_parts"), pa.int64()),
+            "laspeyres": round_like_duckdb(lasp, 6),
+            "paasche": round_like_duckdb(paas, 6),
+            "fisher": round_like_duckdb(fisher, 6),
+        })
+
+    return g.map_batches(finalize, batch_format="pyarrow")
+
+
+QUERIES["q_monthly_price_index"] = q_monthly_price_index
+ORACLE_SQL["q_monthly_price_index"] = """
+    WITH pm AS (
+      SELECT date_trunc('month', l_shipdate) AS month, l_partkey,
+             sum(l_quantity) AS q,
+             sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS e
+      FROM lineitem GROUP BY 1, 2
+    ),
+    b AS (SELECT min(month) AS m0 FROM pm),
+    base AS (
+      SELECT l_partkey, q AS q0, e AS e0 FROM pm, b WHERE month = m0
+    ),
+    j AS (
+      SELECT month, pm.l_partkey,
+             (CAST(pm.e AS DOUBLE) / 100.0) / pm.q AS pt,
+             (CAST(e0 AS DOUBLE) / 100.0) / q0 AS p0,
+             pm.q AS qt, q0
+      FROM pm JOIN base USING (l_partkey)
+    )
+    SELECT month, count(*) AS n_parts,
+           round(sum(pt * q0) / sum(p0 * q0), 6) AS laspeyres,
+           round(sum(pt * qt) / sum(p0 * qt), 6) AS paasche,
+           round(sqrt((sum(pt * q0) / sum(p0 * q0))
+                      * (sum(pt * qt) / sum(p0 * qt))), 6) AS fisher
+    FROM j GROUP BY 1
+"""
+
+
+def q_wau_jaccard_trend(sf_dir: str):
+    """Audience-overlap trend: Jaccard similarity of consecutive weeks'
+    active-user sets — |W_t ∩ W_{t+1}| via a per-user consecutive-week
+    kernel over the distinct (week, user) combiner output (the user sets
+    themselves are never shipped or self-joined), stitched onto the tiny
+    per-week count table by week-shifted hash joins."""
+    from ..stages.agg import grouped_agg, grouped_map, round_like_duckdb
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def week_of(b: pa.Table) -> pa.Table:
+        return pa.table({"week": _epoch_week(b.column("ts")),
+                         "user_id": b.column("user_id")})
+
+    wu = grouped_agg(ev.map_batches(week_of, batch_format="pyarrow"),
+                     ["week", "user_id"], [("__n", "week", "count")])
+    wu = wu.map_batches(lambda b: b.select(["week", "user_id"]),
+                        batch_format="pyarrow")
+
+    empty_pairs = pa.table({"week": pa.array([], pa.int64())})
+
+    def consec(t: pa.Table) -> pa.Table:
+        if t.num_rows < 2:
+            return empty_pairs
+        t = t.sort_by([("user_id", "ascending"), ("week", "ascending")])
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        w = t.column("week").to_numpy(zero_copy_only=False)
+        both = (uid[1:] == uid[:-1]) & (w[1:] == w[:-1] + 1)
+        return pa.table({"week": pa.array(w[:-1][both], pa.int64())})
+
+    pairs = grouped_map(wu, "user_id", consec, per_group=False,
+                        empty_schema=pa.table({
+                            "week": pa.array([], pa.int64()),
+                            "user_id": pa.array([], pa.int64())}))
+    inter = grouped_agg(pairs, ["week"], [("n_both", "week", "count")])
+    wc = grouped_agg(wu, ["week"], [("n_users", "user_id", "count")])
+
+    nxt = wc.map_batches(
+        lambda b: pa.table({
+            "week": pc.subtract(b.column("week"), pa.scalar(1, pa.int64())),
+            "n_users_next": b.column("n_users"),
+        }), batch_format="pyarrow")
+    j = hash_join(wc, nxt, left_key="week", right_key="week", how="inner")
+    j = hash_join(j, inter, left_key="week", right_key="week",
+                  how="left outer")
+
+    def finalize(b: pa.Table) -> pa.Table:
+        nb = pc.coalesce(b.column("n_both"), pa.scalar(0, pa.int64()))
+        n = pc.cast(b.column("n_users"), pa.float64())
+        nn = pc.cast(b.column("n_users_next"), pa.float64())
+        nbf = pc.cast(nb, pa.float64())
+        jac = pc.divide(nbf, pc.subtract(pc.add(n, nn), nbf))
+        return pa.table({
+            "week": b.column("week"),
+            "n_users": pc.cast(b.column("n_users"), pa.int64()),
+            "n_users_next": pc.cast(b.column("n_users_next"), pa.int64()),
+            "n_both": pc.cast(nb, pa.int64()),
+            "jaccard": round_like_duckdb(jac, 6),
+        })
+
+    return j.map_batches(finalize, batch_format="pyarrow")
+
+
+QUERIES["q_wau_jaccard_trend"] = q_wau_jaccard_trend
+ORACLE_SQL["q_wau_jaccard_trend"] = """
+    WITH wu AS (
+      SELECT DISTINCT epoch_us(ts) // 604800000000 AS week, user_id
+      FROM events
+    ),
+    wc AS (SELECT week, count(*) AS n FROM wu GROUP BY 1),
+    i AS (
+      SELECT a.week AS week, count(*) AS nb
+      FROM wu a JOIN wu b
+        ON a.user_id = b.user_id AND b.week = a.week + 1
+      GROUP BY 1
+    )
+    SELECT wc.week AS week, wc.n AS n_users, w2.n AS n_users_next,
+           coalesce(nb, 0) AS n_both,
+           round(coalesce(nb, 0) * 1.0
+                 / (wc.n + w2.n - coalesce(nb, 0)), 6) AS jaccard
+    FROM wc JOIN wc w2 ON w2.week = wc.week + 1
+    LEFT JOIN i ON i.week = wc.week
+"""
