@@ -12432,3 +12432,297 @@ ORACLE_SQL["q_wau_jaccard_trend"] = """
     FROM wc JOIN wc w2 ON w2.week = wc.week + 1
     LEFT JOIN i ON i.week = wc.week
 """
+
+
+def q_event_gap_report(sf_dir: str):
+    """Stream-continuity audit (outage detection): the 10 longest quiet
+    gaps between consecutive distinct event timestamps.  Fully
+    distributed ``lead()``: the distinct-timestamp combiner, a range sort,
+    global row numbers (O(blocks) driver cumsum, blocks never move), then
+    a co-partitioned self hash-join on rn = rn+1 pairs each timestamp
+    with its successor — no single-node window, no driver collect."""
+    from ..stages.agg import global_topk, grouped_agg
+    from ..stages.sort import global_row_numbers, range_sort
+
+    ev = _read(sf_dir, "events", ["ts"])
+
+    def us_of(b: pa.Table) -> pa.Table:
+        return pa.table({"us": pc.cast(b.column("ts"), pa.int64())})
+
+    ts = grouped_agg(ev.map_batches(us_of, batch_format="pyarrow"),
+                     ["us"], [("__n", "us", "count")])
+    ts = ts.map_batches(lambda b: b.select(["us"]), batch_format="pyarrow")
+    s = range_sort(ts, "us")
+    rn = global_row_numbers(s, out_name="rn")
+
+    nxt = rn.map_batches(
+        lambda b: pa.table({
+            "rn": pc.subtract(b.column("rn"), pa.scalar(1, pa.int64())),
+            "next_us": b.column("us"),
+        }), batch_format="pyarrow")
+    j = hash_join(rn, nxt, left_key="rn", right_key="rn", how="inner")
+
+    empty_gaps = pa.table({"gap_start_us": pa.array([], pa.int64()),
+                           "gap_end_us": pa.array([], pa.int64()),
+                           "gap_us": pa.array([], pa.int64())})
+
+    def gaps(b: pa.Table) -> pa.Table:
+        if "next_us" not in b.column_names:    # schema-less empty block
+            return empty_gaps
+        return pa.table({
+            "gap_start_us": b.column("us"),
+            "gap_end_us": b.column("next_us"),
+            "gap_us": pc.subtract(b.column("next_us"), b.column("us")),
+        })
+
+    g = j.map_batches(gaps, batch_format="pyarrow")
+    return global_topk(g, ["gap_us", "gap_start_us"], 10,
+                       descending=[True, False], empty_schema=empty_gaps)
+
+
+QUERIES["q_event_gap_report"] = q_event_gap_report
+ORACLE_SQL["q_event_gap_report"] = """
+    WITH s AS (SELECT DISTINCT epoch_us(ts) AS us FROM events),
+    l AS (SELECT us, lead(us) OVER (ORDER BY us) AS nus FROM s)
+    SELECT us AS gap_start_us, nus AS gap_end_us, nus - us AS gap_us
+    FROM l WHERE nus IS NOT NULL
+    ORDER BY gap_us DESC, gap_start_us LIMIT 10
+"""
+
+
+def q_duplicate_payment_screen(sf_dir: str):
+    """Duplicate-charge screen (fraud/data-quality): purchases by the
+    same user for the same whole-currency amount within 24 hours of the
+    previous one.  Integer dollars key the (user, amount) runs; each run
+    is time-sorted inside one co-partition kernel (consecutive-pair lag —
+    the purchase stream never self-joins).  Returns per-user flagged
+    counts and flagged exact-cents dollar totals, largest first
+    (top 20)."""
+    from ..stages.agg import global_topk, grouped_agg, grouped_map
+
+    ev = _read(sf_dir, "events",
+               ["user_id", "event_type", "value", "ts", "event_id"])
+
+    def purchases(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(
+            pc.equal(b.column("event_type"), pa.scalar("purchase")),
+            pc.is_valid(b.column("value"))))
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "dollars": pc.cast(pc.round(b.column("value")), pa.int64()),
+            "cents": pc.cast(pc.round(pc.multiply(
+                b.column("value"), pa.scalar(100.0, pa.float64()))),
+                pa.int64()),
+            "us": pc.cast(b.column("ts"), pa.int64()),
+            "event_id": b.column("event_id"),
+        })
+
+    p = ev.map_batches(purchases, batch_format="pyarrow")
+    empty_out = pa.table({"user_id": pa.array([], pa.int64()),
+                          "cents": pa.array([], pa.int64())})
+
+    def flag(t: pa.Table) -> pa.Table:
+        if t.num_rows < 2:
+            return empty_out
+        t = t.sort_by([("user_id", "ascending"), ("dollars", "ascending"),
+                       ("us", "ascending"), ("event_id", "ascending")])
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        d = t.column("dollars").to_numpy(zero_copy_only=False)
+        c = t.column("cents").to_numpy(zero_copy_only=False)
+        us = t.column("us").to_numpy(zero_copy_only=False)
+        dup = ((uid[1:] == uid[:-1]) & (d[1:] == d[:-1])
+               & (us[1:] - us[:-1] <= 86_400_000_000))
+        return pa.table({"user_id": pa.array(uid[1:][dup], pa.int64()),
+                         "cents": pa.array(c[1:][dup], pa.int64())})
+
+    flagged = grouped_map(
+        p, "user_id", flag, per_group=False,
+        empty_schema=pa.table({
+            "user_id": pa.array([], pa.int64()),
+            "dollars": pa.array([], pa.int64()),
+            "cents": pa.array([], pa.int64()),
+            "us": pa.array([], pa.int64()),
+            "event_id": pa.array([], pa.int64())}))
+    per_user = grouped_agg(flagged, ["user_id"],
+                           [("n_dupes", "user_id", "count"),
+                            ("dup_cents", "cents", "sum")])
+
+    def finish(b: pa.Table) -> pa.Table:
+        if "n_dupes" not in b.column_names:    # schema-less empty block
+            return pa.table({
+                "user_id": pa.array([], pa.int64()),
+                "n_dupes": pa.array([], pa.int64()),
+                "dup_value_total": pa.array([], pa.float64()),
+            })
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "n_dupes": pc.cast(b.column("n_dupes"), pa.int64()),
+            "dup_value_total": pc.divide(
+                pc.cast(b.column("dup_cents"), pa.float64()),
+                pa.scalar(100.0, pa.float64())),
+        })
+
+    return global_topk(
+        per_user.map_batches(finish, batch_format="pyarrow"),
+        ["n_dupes", "user_id"], 20, descending=[True, False],
+        empty_schema=pa.table({
+            "user_id": pa.array([], pa.int64()),
+            "n_dupes": pa.array([], pa.int64()),
+            "dup_value_total": pa.array([], pa.float64()),
+        }))
+
+
+QUERIES["q_duplicate_payment_screen"] = q_duplicate_payment_screen
+ORACLE_SQL["q_duplicate_payment_screen"] = """
+    WITH p AS (
+      SELECT user_id, CAST(round(value) AS BIGINT) AS dollars,
+             CAST(round(value * 100.0) AS BIGINT) AS cents,
+             epoch_us(ts) AS us, event_id
+      FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+    ),
+    l AS (
+      SELECT user_id, cents, us,
+             lag(us) OVER (PARTITION BY user_id, dollars
+                           ORDER BY us, event_id) AS prev_us
+      FROM p
+    ),
+    f AS (SELECT user_id, cents FROM l WHERE us - prev_us <= 86400000000)
+    SELECT user_id, count(*) AS n_dupes,
+           CAST(sum(cents) AS DOUBLE) / 100.0 AS dup_value_total
+    FROM f GROUP BY 1
+    ORDER BY n_dupes DESC, user_id LIMIT 20
+"""
+
+
+def q_dow_value_kruskal(sf_dir: str):
+    """Kruskal-Wallis H across the 7 days-of-week on event value — the
+    k-sample rank test (the non-parametric twin of q_event_type_anova).
+    Global tie-averaged ranks come from the distinct-value combiner +
+    range sort + prefix sums (raw rows never ranked); per-day rank sums
+    are exact half-integer folds; H and its tie-corrected variant
+    finalize from a 7-row table."""
+    from ..stages.agg import grouped_agg, grouped_map, round_like_duckdb
+    from ..stages.joins import hash_join
+    from ..stages.sort import global_prefix_sums, range_sort
+
+    ev = _read(sf_dir, "events", ["ts", "value"])
+
+    def proj(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("value")))
+        day = pc.divide(pc.cast(b.column("ts"), pa.int64()),
+                        pa.scalar(86_400_000_000, pa.int64()))
+        d3 = pc.add(day, pa.scalar(3, pa.int64()))
+        dow = pc.add(pc.subtract(
+            d3, pc.multiply(pc.divide(d3, pa.scalar(7, pa.int64())),
+                            pa.scalar(7, pa.int64()))),
+            pa.scalar(1, pa.int64()))
+        return pa.table({"dow": dow, "value": b.column("value")})
+
+    base = ev.map_batches(proj, batch_format="pyarrow")
+    g = grouped_agg(base, ["dow", "value"], [("n", "value", "count")])
+
+    # fractional ranks from the per-value totals (one range sort of
+    # |distinct| rows + an exclusive prefix sum)
+    v = grouped_agg(g, ["value"], [("t", "n", "sum")])
+    s = range_sort(v, "value")
+    s = global_prefix_sums(s, "t", out_name="__below", exclusive=True)
+
+    def frank_of(b: pa.Table) -> pa.Table:
+        below = b.column("__below").to_numpy(zero_copy_only=False)
+        t = b.column("t").to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "value": b.column("value"),
+            "frank": pa.array(below + (t + 1.0) / 2.0, pa.float64()),
+            "tie3": pa.array(t ** 3 - t, pa.float64()),
+        })
+
+    # |distinct values| rows; materialized once — read by both the tie
+    # total and the rank join (no lineage re-execution of the sort)
+    franks = s.map_batches(frank_of, batch_format="pyarrow").materialize()
+    j = hash_join(g, franks, left_key="value", right_key="value",
+                  how="inner")
+
+    def weighted(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "dow": b.column("dow"),
+            "nf": pc.multiply(pc.cast(b.column("n"), pa.float64()),
+                              b.column("frank")),
+            "n": b.column("n"),
+        })
+
+    per_dow = grouped_agg(j.map_batches(weighted, batch_format="pyarrow"),
+                          ["dow"], [("r", "nf", "sum"), ("n", "n", "sum")])
+    tie_tot = float(franks.sum("tie3"))
+
+    def add_g(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "__g", pa.array(np.zeros(b.num_rows, np.int8)))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "k_groups": pa.array([], pa.int64()),
+            "n_total": pa.array([], pa.int64()),
+            "h_stat": pa.array([], pa.float64()),
+            "h_tie_corrected": pa.array([], pa.float64()),
+        })
+        if t.num_rows < 2:
+            return empty
+        t = t.sort_by([("dow", "ascending")])
+        r = t.column("r").to_numpy(zero_copy_only=False)
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        nt = float(n.sum())
+        h = 12.0 / (nt * (nt + 1.0)) * float((r * r / n).sum()) \
+            - 3.0 * (nt + 1.0)
+        corr = 1.0 - tie_tot / (nt ** 3 - nt)
+        hc = h / corr if corr > 0.0 else None
+        out = pa.table({
+            "k_groups": pa.array([len(n)], pa.int64()),
+            "n_total": pa.array([int(nt)], pa.int64()),
+            "h_stat": pa.array([h], pa.float64()),
+            "h_tie_corrected": pa.array([hc], pa.float64()),
+        })
+        for name in ("h_stat", "h_tie_corrected"):
+            idx = out.column_names.index(name)
+            out = out.set_column(
+                idx, name, round_like_duckdb(out.column(name), 6))
+        return out
+
+    out = grouped_map(per_dow.map_batches(add_g, batch_format="pyarrow"),
+                      "__g", finalize, per_group=False)
+    return out.map_batches(
+        lambda b: b.select(["k_groups", "n_total", "h_stat",
+                            "h_tie_corrected"]),
+        batch_format="pyarrow")
+
+
+QUERIES["q_dow_value_kruskal"] = q_dow_value_kruskal
+ORACLE_SQL["q_dow_value_kruskal"] = """
+    WITH s AS (
+      SELECT (epoch_us(ts) // 86400000000 + 3) % 7 + 1 AS dow, value
+      FROM events WHERE value IS NOT NULL
+    ),
+    r AS (
+      SELECT dow,
+             rank() OVER (ORDER BY value)
+               + (count(*) OVER (PARTITION BY value) - 1) / 2.0 AS frank
+      FROM s
+    ),
+    g AS (SELECT dow, sum(frank) AS r, count(*) AS n FROM r GROUP BY 1),
+    tie AS (
+      SELECT coalesce(sum(CAST(t AS DOUBLE) * t * t - t), 0.0) AS tt
+      FROM (SELECT value, count(*) AS t FROM s GROUP BY 1)
+    ),
+    nn AS (SELECT CAST(sum(n) AS DOUBLE) AS nt, count(*) AS k FROM g),
+    h AS (
+      SELECT 12.0 / (nt * (nt + 1.0))
+               * (SELECT sum(r * r / n) FROM g, nn) - 3.0 * (nt + 1.0)
+             AS h_raw
+      FROM nn
+    )
+    SELECT k AS k_groups, CAST(nt AS BIGINT) AS n_total,
+           round(h_raw, 6) AS h_stat,
+           round(CASE WHEN 1.0 - tt / (nt * nt * nt - nt) > 0
+                 THEN h_raw / (1.0 - tt / (nt * nt * nt - nt)) END, 6)
+               AS h_tie_corrected
+    FROM h, nn, tie
+"""

@@ -809,7 +809,8 @@ def grouped_agg_sets(ds, keys: list[str] | str, specs: list[Spec], *,
     return aggregated.map_batches(finalize, batch_format="pyarrow", batch_size=None)
 
 
-def global_topk(ds, sort_cols: list[str], k: int, *, descending: list[bool]):
+def global_topk(ds, sort_cols: list[str], k: int, *, descending: list[bool],
+                empty_schema: pa.Table | None = None):
     """Global ORDER BY ... LIMIT k without a full distributed sort.
 
     Each block is cut to its local top-k (one Arrow sort), then a single
@@ -817,6 +818,10 @@ def global_topk(ds, sort_cols: list[str], k: int, *, descending: list[bool]):
     same partial/merge shape as :func:`grouped_agg`.  Ray's ``Dataset.sort``
     ran its sample+sort shuffle in ~1.4 s for 20k rows on this box; this is
     sub-100 ms.  At 100 TB the merge input stays k·|blocks| rows.
+
+    ``empty_schema``: 0-row table with the input schema, required when the
+    whole upstream CAN be empty (Ray Data then skips every upstream UDF and
+    the merge would otherwise see a schema-less 0-column block).
     """
     from ..state.exchange import hash_exchange
 
@@ -835,6 +840,8 @@ def global_topk(ds, sort_cols: list[str], k: int, *, descending: list[bool]):
     def merge(t: pa.Table) -> pa.Table:
         if "__bucket" in t.column_names:
             t = t.drop_columns(["__bucket"])
+        if t.num_columns == 0 and empty_schema is not None:
+            return empty_schema
         return t.sort_by(spec).slice(0, k)
 
     return hash_exchange(
@@ -843,6 +850,7 @@ def global_topk(ds, sort_cols: list[str], k: int, *, descending: list[bool]):
         n_partitions=1,
         reduce_fn=merge,
         reduce_empty=True,
+        empty_base=empty_schema,
     )
 
 
