@@ -12726,3 +12726,292 @@ ORACLE_SQL["q_dow_value_kruskal"] = """
                AS h_tie_corrected
     FROM h, nn, tie
 """
+
+
+def q_daily_qty_revenue_kendall(sf_dir: str):
+    """Kendall tau-b concordance between daily shipped quantity and daily
+    revenue — the rank-correlation companion to Spearman built on EXACT
+    integer pair counts (concordant/discordant/tie counts never touch a
+    float until the final ratio, so the statistic is bitwise
+    deterministic).  The lineitem stream collapses to one exact-integer
+    row per ship day via the combiner exchange; the O(n²) sign pass runs
+    vectorized over that tiny series (n ≈ 2.4k days → 2.9M pairs)."""
+    from ..stages.agg import grouped_agg, grouped_map, round_like_duckdb
+
+    li = _read(sf_dir, "lineitem",
+               ["l_shipdate", "l_quantity", "l_extendedprice"])
+
+    def day_xy(b: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(b.column("l_shipdate"), pa.int64()),
+                        pa.scalar(86_400_000_000, pa.int64()))
+        q = pc.cast(pc.round(b.column("l_quantity")), pa.int64())
+        c = pc.cast(pc.round(pc.multiply(
+            b.column("l_extendedprice"), pa.scalar(100.0, pa.float64()))),
+            pa.int64())
+        return pa.table({"day": day, "q": q, "c": c})
+
+    daily = grouped_agg(li.map_batches(day_xy, batch_format="pyarrow"),
+                        ["day"], [("x", "q", "sum"), ("y", "c", "sum")])
+
+    def add_g(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "__g", pa.array(np.zeros(b.num_rows, np.int8)))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "n_days": pa.array([], pa.int64()),
+            "n_concordant": pa.array([], pa.int64()),
+            "n_discordant": pa.array([], pa.int64()),
+            "tau_b": pa.array([], pa.float64()),
+        })
+        if t.num_rows < 2:
+            return empty
+        t = t.sort_by([("day", "ascending")])
+        x = t.column("x").to_numpy(zero_copy_only=False)
+        y = t.column("y").to_numpy(zero_copy_only=False)
+        n = len(x)
+        iu, ju = np.triu_indices(n, 1)
+        dx = np.sign(x[ju] - x[iu])
+        dy = np.sign(y[ju] - y[iu])
+        prod = dx * dy
+        conc = int((prod > 0).sum())
+        disc = int((prod < 0).sum())
+        n0 = n * (n - 1) // 2
+        _, cx = np.unique(x, return_counts=True)
+        _, cy = np.unique(y, return_counts=True)
+        n1 = int((cx * (cx - 1) // 2).sum())
+        n2 = int((cy * (cy - 1) // 2).sum())
+        denom = np.sqrt(float(n0 - n1) * float(n0 - n2))
+        tau = (conc - disc) / denom if denom > 0.0 else None
+        out = pa.table({
+            "n_days": pa.array([n], pa.int64()),
+            "n_concordant": pa.array([conc], pa.int64()),
+            "n_discordant": pa.array([disc], pa.int64()),
+            "tau_b": pa.array([tau], pa.float64()),
+        })
+        idx = out.column_names.index("tau_b")
+        return out.set_column(idx, "tau_b",
+                              round_like_duckdb(out.column("tau_b"), 6))
+
+    out = grouped_map(daily.map_batches(add_g, batch_format="pyarrow"),
+                      "__g", finalize, per_group=False)
+    return out.map_batches(
+        lambda b: b.select(["n_days", "n_concordant", "n_discordant",
+                            "tau_b"]),
+        batch_format="pyarrow")
+
+
+QUERIES["q_daily_qty_revenue_kendall"] = q_daily_qty_revenue_kendall
+ORACLE_SQL["q_daily_qty_revenue_kendall"] = """
+    WITH d AS (
+      SELECT CAST(epoch_us(l_shipdate) // 86400000000 AS BIGINT) AS day,
+             sum(CAST(round(l_quantity) AS BIGINT)) AS x,
+             sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS y
+      FROM lineitem GROUP BY 1
+    ),
+    p AS (
+      SELECT sum(CASE WHEN (b.x - a.x) * (b.y - a.y) > 0
+                      THEN 1 ELSE 0 END) AS conc,
+             sum(CASE WHEN (b.x - a.x) * (b.y - a.y) < 0
+                      THEN 1 ELSE 0 END) AS disc
+      FROM d a JOIN d b ON b.day > a.day
+    ),
+    nn AS (SELECT count(*) AS n FROM d),
+    tx AS (SELECT coalesce(sum(t * (t - 1) // 2), 0) AS n1
+           FROM (SELECT x, count(*) AS t FROM d GROUP BY 1) WHERE t > 1),
+    ty AS (SELECT coalesce(sum(t * (t - 1) // 2), 0) AS n2
+           FROM (SELECT y, count(*) AS t FROM d GROUP BY 1) WHERE t > 1)
+    SELECT n AS n_days,
+           CAST(conc AS BIGINT) AS n_concordant,
+           CAST(disc AS BIGINT) AS n_discordant,
+           round((conc - disc)
+                 / sqrt(CAST(n * (n - 1) // 2 - n1 AS DOUBLE)
+                        * CAST(n * (n - 1) // 2 - n2 AS DOUBLE)), 6)
+               AS tau_b
+    FROM p, nn, tx, ty
+"""
+
+
+def q_purchase_value_stump(sf_dir: str):
+    """Decision-stump induction: the single best value-threshold split
+    separating purchase events from the rest, by Gini impurity reduction
+    — the CART building block as a distributed threshold search.  The
+    distinct-value combiner ships |distinct| (n, positives) rows; a range
+    sort + two global prefix sums give every candidate split's left/right
+    class counts; the gain expression runs on EXACT integer counts with
+    an identical op tree on both sides, so the argmax is bitwise
+    deterministic (no tie ambiguity)."""
+    from ..stages.agg import global_topk, grouped_agg, round_like_duckdb
+    from ..stages.sort import global_prefix_sums, range_sort
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def proj(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("value")))
+        return pa.table({
+            "value": b.column("value"),
+            "lab": pc.cast(pc.equal(b.column("event_type"),
+                                    pa.scalar("purchase")), pa.int64()),
+        })
+
+    base = ev.map_batches(proj, batch_format="pyarrow")
+    g = grouped_agg(base, ["value"], [("n", "value", "count"),
+                                      ("p", "lab", "sum")])
+    totals = g.sum(["n", "p"])
+    nt, pt = float(totals["sum(n)"]), float(totals["sum(p)"])
+
+    s = range_sort(g, "value")
+    s = global_prefix_sums(s, "n", out_name="__nl", exclusive=False)
+    s = global_prefix_sums(s, "p", out_name="__pl", exclusive=False)
+
+    def score(b: pa.Table) -> pa.Table:
+        nl = b.column("__nl").to_numpy(zero_copy_only=False).astype(np.float64)
+        pl = b.column("__pl").to_numpy(zero_copy_only=False).astype(np.float64)
+        keep = nl < nt                       # right side must be non-empty
+        v = b.column("value").to_numpy(zero_copy_only=False)[keep]
+        nl, pl = nl[keep], pl[keep]
+        nr, pr = nt - nl, pt - pl
+        gp = 1.0 - (pt / nt) * (pt / nt) \
+            - ((nt - pt) / nt) * ((nt - pt) / nt)
+        gl = 1.0 - (pl / nl) * (pl / nl) \
+            - ((nl - pl) / nl) * ((nl - pl) / nl)
+        gr = 1.0 - (pr / nr) * (pr / nr) \
+            - ((nr - pr) / nr) * ((nr - pr) / nr)
+        gain = gp - ((nl / nt) * gl + (nr / nt) * gr)
+        return pa.table({
+            "split_value": pa.array(v, pa.float64()),
+            "n_left": pa.array(nl.astype(np.int64)),
+            "n_right": pa.array(nr.astype(np.int64)),
+            "__gain": pa.array(gain, pa.float64()),
+        })
+
+    scored = s.map_batches(score, batch_format="pyarrow")
+    top = global_topk(scored, ["__gain", "split_value"], 1,
+                      descending=[True, False])
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "split_value": b.column("split_value"),
+            "n_left": b.column("n_left"),
+            "n_right": b.column("n_right"),
+            "gini_gain": round_like_duckdb(b.column("__gain"), 6),
+        })
+
+    return top.map_batches(finish, batch_format="pyarrow")
+
+
+QUERIES["q_purchase_value_stump"] = q_purchase_value_stump
+ORACLE_SQL["q_purchase_value_stump"] = """
+    WITH s AS (
+      SELECT value,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS lab
+      FROM events WHERE value IS NOT NULL
+    ),
+    t AS (SELECT CAST(count(*) AS DOUBLE) AS nt,
+                 CAST(sum(lab) AS DOUBLE) AS pt FROM s),
+    g AS (SELECT value, count(*) AS n, sum(lab) AS p FROM s GROUP BY 1),
+    c AS (
+      SELECT value,
+             CAST(sum(n) OVER (ORDER BY value) AS DOUBLE) AS nl,
+             CAST(sum(p) OVER (ORDER BY value) AS DOUBLE) AS pl
+      FROM g
+    ),
+    e AS (
+      SELECT value, nl, pl, nt - nl AS nr, pt - pl AS pr, nt, pt
+      FROM c, t WHERE nl < nt
+    ),
+    sc AS (
+      SELECT value, nl, nr,
+             (1.0 - (pt / nt) * (pt / nt)
+                  - ((nt - pt) / nt) * ((nt - pt) / nt))
+             - ((nl / nt) * (1.0 - (pl / nl) * (pl / nl)
+                                 - ((nl - pl) / nl) * ((nl - pl) / nl))
+                + (nr / nt) * (1.0 - (pr / nr) * (pr / nr)
+                                   - ((nr - pr) / nr) * ((nr - pr) / nr)))
+                 AS gain
+      FROM e
+    )
+    SELECT value AS split_value, CAST(nl AS BIGINT) AS n_left,
+           CAST(nr AS BIGINT) AS n_right, round(gain, 6) AS gini_gain
+    FROM sc ORDER BY gain DESC, value LIMIT 1
+"""
+
+
+def q_weekly_new_vs_returning(sf_dir: str):
+    """Weekly revenue split into NEW users (first-ever value-bearing
+    event falls in this week) vs RETURNING users — the growth-accounting
+    staple.  Per-user first week is one keyed MIN aggregate joined back
+    onto the stream (co-partitioned hash join); weekly splits are
+    exact-integer-cents conditional sums, so every number is
+    deterministic."""
+    from ..stages.agg import grouped_agg, round_like_duckdb
+    from ..stages.joins import hash_join
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def proj(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("value")))
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "week": _epoch_week(b.column("ts")),
+            "c": pc.cast(pc.round(pc.multiply(
+                b.column("value"), pa.scalar(100.0, pa.float64()))),
+                pa.int64()),
+        })
+
+    w = ev.map_batches(proj, batch_format="pyarrow")
+    first = grouped_agg(w, ["user_id"], [("fw", "week", "min")])
+    j = hash_join(w, first, left_key="user_id", right_key="user_id",
+                  how="inner")
+
+    def split(b: pa.Table) -> pa.Table:
+        is_new = pc.equal(b.column("week"), b.column("fw"))
+        zero = pa.scalar(0, pa.int64())
+        return pa.table({
+            "week": b.column("week"),
+            "new_c": pc.if_else(is_new, b.column("c"), zero),
+            "ret_c": pc.if_else(is_new, zero, b.column("c")),
+            "c": b.column("c"),
+        })
+
+    g = grouped_agg(j.map_batches(split, batch_format="pyarrow"),
+                    ["week"],
+                    [("n_events", "c", "count"), ("new_c", "new_c", "sum"),
+                     ("ret_c", "ret_c", "sum"), ("tot_c", "c", "sum")])
+
+    def finish(b: pa.Table) -> pa.Table:
+        share = pc.divide(
+            pc.multiply(pc.cast(b.column("new_c"), pa.float64()),
+                        pa.scalar(1.0, pa.float64())),
+            pc.cast(b.column("tot_c"), pa.float64()))
+        return pa.table({
+            "week": b.column("week"),
+            "n_events": pc.cast(b.column("n_events"), pa.int64()),
+            "new_value": pc.divide(pc.cast(b.column("new_c"), pa.float64()),
+                                   pa.scalar(100.0, pa.float64())),
+            "returning_value": pc.divide(
+                pc.cast(b.column("ret_c"), pa.float64()),
+                pa.scalar(100.0, pa.float64())),
+            "new_share": round_like_duckdb(share, 6),
+        })
+
+    return g.map_batches(finish, batch_format="pyarrow")
+
+
+QUERIES["q_weekly_new_vs_returning"] = q_weekly_new_vs_returning
+ORACLE_SQL["q_weekly_new_vs_returning"] = """
+    WITH w AS (
+      SELECT user_id, epoch_us(ts) // 604800000000 AS week,
+             CAST(round(value * 100.0) AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL
+    ),
+    f AS (SELECT user_id, min(week) AS fw FROM w GROUP BY 1)
+    SELECT week, count(*) AS n_events,
+           CAST(sum(CASE WHEN week = fw THEN c ELSE 0 END) AS DOUBLE)
+             / 100.0 AS new_value,
+           CAST(sum(CASE WHEN week > fw THEN c ELSE 0 END) AS DOUBLE)
+             / 100.0 AS returning_value,
+           round(sum(CASE WHEN week = fw THEN c ELSE 0 END) * 1.0
+                 / sum(c), 6) AS new_share
+    FROM w JOIN f USING (user_id) GROUP BY 1
+"""
