@@ -12132,15 +12132,11 @@ ORACLE_SQL["q_conversion_ztest"] = f"""
 """
 
 
-def q_daily_revenue_trend(sf_dir: str):
-    """Monotone-trend test on the daily revenue series: Mann-Kendall S
-    with tie-corrected normal z, plus the Theil-Sen (median-of-pairwise-
-    slopes) robust trend estimate.  The raw order stream collapses to one
-    exact-integer-cents row per day via the combiner exchange; the O(n²)
-    pairwise pass runs vectorized over that tiny series (n ≈ 2.4k days →
-    2.9M sign/slope pairs in one numpy shot — at larger n, roll up to
-    weeks first).  Sen slope interpolates like DuckDB ``quantile_cont``."""
-    from ..stages.agg import grouped_agg, grouped_map, round_like_duckdb
+def _daily_order_revenue_cents(sf_dir: str):
+    """Exact-integer-cents daily order revenue (one combiner exchange) —
+    the tiny series shared by the Mann-Kendall/Theil-Sen trend test and
+    the Holt smoother.  Columns (day BIGINT, c BIGINT-cents)."""
+    from ..stages.agg import grouped_agg
 
     ords = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
 
@@ -12152,8 +12148,21 @@ def q_daily_revenue_trend(sf_dir: str):
             pa.int64())
         return pa.table({"day": day, "cents": c})
 
-    daily = grouped_agg(ords.map_batches(day_cents, batch_format="pyarrow"),
-                        ["day"], [("c", "cents", "sum")])
+    return grouped_agg(ords.map_batches(day_cents, batch_format="pyarrow"),
+                       ["day"], [("c", "cents", "sum")])
+
+
+def q_daily_revenue_trend(sf_dir: str):
+    """Monotone-trend test on the daily revenue series: Mann-Kendall S
+    with tie-corrected normal z, plus the Theil-Sen (median-of-pairwise-
+    slopes) robust trend estimate.  The raw order stream collapses to one
+    exact-integer-cents row per day via the combiner exchange; the O(n²)
+    pairwise pass runs vectorized over that tiny series (n ≈ 2.4k days →
+    2.9M sign/slope pairs in one numpy shot — at larger n, roll up to
+    weeks first).  Sen slope interpolates like DuckDB ``quantile_cont``."""
+    from ..stages.agg import grouped_agg, grouped_map, round_like_duckdb
+
+    daily = _daily_order_revenue_cents(sf_dir)
 
     def add_g(b: pa.Table) -> pa.Table:
         return b.append_column(
@@ -13014,4 +13023,182 @@ ORACLE_SQL["q_weekly_new_vs_returning"] = """
            round(sum(CASE WHEN week = fw THEN c ELSE 0 END) * 1.0
                  / sum(c), 6) AS new_share
     FROM w JOIN f USING (user_id) GROUP BY 1
+"""
+
+
+def q_daily_revenue_holt(sf_dir: str):
+    """Holt linear-trend exponential smoothing (α=0.3, β=0.1) over the
+    daily revenue series, with the one-step-ahead forecast — the
+    double-exponential upgrade of the EWMA query.  The raw order stream
+    collapses to the shared exact-cents daily table; the inherently
+    sequential recurrence then runs over that tiny series in one
+    partition, mirroring the oracle's recursive CTE op-for-op (both
+    sides evaluate the identical expression tree, so the smoothed path
+    is bitwise deterministic)."""
+    from ..stages.agg import grouped_map, round_like_duckdb
+
+    daily = _daily_order_revenue_cents(sf_dir)
+
+    def add_g(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "__g", pa.array(np.zeros(b.num_rows, np.int8)))
+
+    A = 0.3
+    B = 0.1
+
+    def finalize(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "day": pa.array([], pa.int64()),
+            "level": pa.array([], pa.float64()),
+            "trend": pa.array([], pa.float64()),
+            "forecast_next": pa.array([], pa.float64()),
+        })
+        if t.num_rows < 2:
+            return empty
+        t = t.sort_by([("day", "ascending")])
+        d = t.column("day").to_numpy(zero_copy_only=False)
+        y = t.column("c").to_numpy(zero_copy_only=False).astype(np.float64) \
+            / 100.0
+        n = len(y)
+        levels = np.empty(n)
+        trends = np.empty(n)
+        levels[0] = y[0]
+        trends[0] = y[1] - y[0]
+        for i in range(1, n):
+            # identical op tree to the recursive CTE: l' computed once,
+            # referenced twice
+            lnew = A * y[i] + (1 - A) * (levels[i - 1] + trends[i - 1])
+            levels[i] = lnew
+            trends[i] = B * (lnew - levels[i - 1]) + (1 - B) * trends[i - 1]
+        out = pa.table({
+            "day": pa.array(d, pa.int64()),
+            "level": pa.array(levels, pa.float64()),
+            "trend": pa.array(trends, pa.float64()),
+            "forecast_next": pa.array(levels + trends, pa.float64()),
+        })
+        for name in ("level", "trend", "forecast_next"):
+            idx = out.column_names.index(name)
+            out = out.set_column(
+                idx, name, round_like_duckdb(out.column(name), 6))
+        return out
+
+    out = grouped_map(daily.map_batches(add_g, batch_format="pyarrow"),
+                      "__g", finalize, per_group=False)
+    return out.map_batches(
+        lambda b: b.select(["day", "level", "trend", "forecast_next"]),
+        batch_format="pyarrow")
+
+
+QUERIES["q_daily_revenue_holt"] = q_daily_revenue_holt
+ORACLE_SQL["q_daily_revenue_holt"] = """
+    WITH RECURSIVE d AS (
+      SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day,
+             sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS c
+      FROM orders GROUP BY 1
+    ),
+    s AS (
+      SELECT day, CAST(c AS DOUBLE) / 100.0 AS y,
+             row_number() OVER (ORDER BY day) AS rn
+      FROM d
+    ),
+    r AS (
+      SELECT s1.day, s1.rn, s1.y AS l, s2.y - s1.y AS b
+      FROM s s1, s s2 WHERE s1.rn = 1 AND s2.rn = 2
+      UNION ALL
+      SELECT s.day, s.rn,
+             0.3 * s.y + (1 - 0.3) * (r.l + r.b),
+             0.1 * ((0.3 * s.y + (1 - 0.3) * (r.l + r.b)) - r.l)
+               + (1 - 0.1) * r.b
+      FROM r JOIN s ON s.rn = r.rn + 1
+    )
+    SELECT day, round(l, 6) AS level, round(b, 6) AS trend,
+           round(l + b, 6) AS forecast_next
+    FROM r
+"""
+
+
+def q_embedding_label_silhouette(sf_dir: str):
+    """Per-class silhouette score on rounded-4 cosine distance — the
+    clustering-quality grade (how tightly each labeled class sits apart
+    from its nearest other class).  ONE matmul pass per block against the
+    broadcast normalized matrix; each point's per-label distance sums
+    fold through a single B×L matmul (the pairwise matrix is never
+    materialized past the block); a(i)/b(i)/s(i) finalize vectorized and
+    a per-label mean combiner closes.  Singleton-class points drop
+    (silhouette undefined), matching the oracle's NULL filter."""
+    import ray
+
+    from ..stages.agg import grouped_agg
+    from ..stages.ann import _normalize, _stack
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    tabs = [t for t in ray.get(emb.to_arrow_refs()) if t.num_columns > 0]
+    full = pa.concat_tables(tabs)
+    labs = full.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+    ulabs, lab_idx = np.unique(labs, return_inverse=True)
+    onehot = np.zeros((len(labs), len(ulabs)))
+    onehot[np.arange(len(labs)), lab_idx] = 1.0
+    counts = onehot.sum(axis=0)
+    ref = ray.put((_normalize(_stack(full)), onehot, counts, ulabs))
+
+    def sil(b: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        a_mat, oh, cnts, ul = _ray.get(ref)
+        q_labs = b.column("label").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        own = np.searchsorted(ul, q_labs)
+        d = 1.0 - np.round(_normalize(_stack(b)) @ a_mat.T, 4)
+        sums = d @ oh                                   # B × L label sums
+        keep = cnts[own] > 1.0
+        if not keep.any():
+            return pa.table({"label": pa.array([], pa.int64()),
+                             "sil": pa.array([], pa.float64())})
+        own, sums, q_labs = own[keep], sums[keep], q_labs[keep]
+        rows = np.arange(len(own))
+        a = sums[rows, own] / (cnts[own] - 1.0)
+        means = sums / cnts[None, :]
+        means[rows, own] = np.inf
+        bm = means.min(axis=1)
+        s = np.where(bm > a, (bm - a) / bm,
+                     np.where(a > bm, (bm - a) / a, 0.0))
+        return pa.table({"label": pa.array(q_labs, pa.int64()),
+                         "sil": pa.array(s, pa.float64())})
+
+    scored = emb.map_batches(sil, batch_format="pyarrow")
+    return grouped_agg(scored, ["label"],
+                       [("n_points", "sil", "count"),
+                        ("mean_silhouette", "sil", "mean")],
+                       round_to=6)
+
+
+QUERIES["q_embedding_label_silhouette"] = q_embedding_label_silhouette
+ORACLE_SQL["q_embedding_label_silhouette"] = """
+    WITH p AS (
+      SELECT a.vec_id AS i, a.label AS li, b.label AS lj,
+             1.0 - round(list_cosine_similarity(
+                     CAST(a.embedding AS DOUBLE[]),
+                     CAST(b.embedding AS DOUBLE[])), 4) AS d
+      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    ),
+    m AS (
+      SELECT i, li, lj, sum(d) AS sd, count(*) AS nd
+      FROM p GROUP BY 1, 2, 3
+    ),
+    ab AS (
+      SELECT i, li,
+             max(CASE WHEN li = lj THEN sd / nd END) AS a,
+             min(CASE WHEN li <> lj THEN sd / nd END) AS b
+      FROM m GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT li AS label,
+             CASE WHEN b > a THEN (b - a) / b
+                  WHEN a > b THEN (b - a) / a
+                  ELSE 0.0 END AS sil
+      FROM ab WHERE a IS NOT NULL AND b IS NOT NULL
+    )
+    SELECT label, count(*) AS n_points,
+           round(avg(sil), 6) AS mean_silhouette
+    FROM s GROUP BY 1
 """
