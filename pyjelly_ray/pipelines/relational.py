@@ -13202,3 +13202,168 @@ ORACLE_SQL["q_embedding_label_silhouette"] = """
            round(avg(sil), 6) AS mean_silhouette
     FROM s GROUP BY 1
 """
+
+
+def q_user_lifetime_logrank(sf_dir: str):
+    """Log-rank test between the two hash-split arms' user-lifetime
+    distributions — the hypothesis-test companion to the Kaplan-Meier and
+    Nelson-Aalen queries (same split as q_ab_value_ttest, so the expected
+    answer is "no difference").  Per-user lifetimes are one keyed
+    aggregate, per-day per-arm death counts one combiner exchange; the
+    ≤|distinct days| table finalizes in one partition: at-risk counts via
+    exclusive cumsums, per-time hypergeometric expectation/variance, and
+    χ² = (O_A − E_A)²/V."""
+    from ..stages.agg import grouped_agg, grouped_map, round_like_duckdb
+    from ..stages.sample import deterministic_split
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    life = grouped_agg(ev, ["user_id"], [("first_ts", "ts", "min"),
+                                         ("last_ts", "ts", "max")])
+    sp = deterministic_split(life, id_col="user_id",
+                             splits=[("A", 0.5), ("B", 0.5)], seed="ab1",
+                             out_col="arm")
+
+    def days_arm(b: pa.Table) -> pa.Table:
+        us0 = pc.cast(b.column("first_ts"), pa.int64())
+        us1 = pc.cast(b.column("last_ts"), pa.int64())
+        days = pc.divide(pc.subtract(us1, us0),
+                         pa.scalar(86_400_000_000, pa.int64()))
+        ia = pc.cast(pc.equal(b.column("arm"), pa.scalar("A")), pa.int64())
+        return pa.table({"days": days, "ia": ia,
+                         "ib": pc.subtract(pa.scalar(1, pa.int64()), ia)})
+
+    d = grouped_agg(sp.map_batches(days_arm, batch_format="pyarrow"),
+                    ["days"], [("da", "ia", "sum"), ("db", "ib", "sum")])
+
+    def add_g(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "__g", pa.array(np.zeros(b.num_rows, np.int8)))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "n_a": pa.array([], pa.int64()),
+            "n_b": pa.array([], pa.int64()),
+            "observed_a": pa.array([], pa.int64()),
+            "expected_a": pa.array([], pa.float64()),
+            "chi2_logrank": pa.array([], pa.float64()),
+        })
+        if t.num_rows == 0:
+            return empty
+        t = t.sort_by([("days", "ascending")])
+        da = t.column("da").to_numpy(zero_copy_only=False).astype(np.float64)
+        db = t.column("db").to_numpy(zero_copy_only=False).astype(np.float64)
+        tna, tnb = float(da.sum()), float(db.sum())
+        if tna == 0.0 or tnb == 0.0:
+            return empty
+        na = tna - np.concatenate(([0.0], np.cumsum(da)[:-1]))
+        nb = tnb - np.concatenate(([0.0], np.cumsum(db)[:-1]))
+        dt = da + db
+        n = na + nb
+        ea = float((dt * (na / n)).sum())
+        mask = n > 1.0
+        v = float((dt[mask] * (na[mask] / n[mask]) * (nb[mask] / n[mask])
+                   * (n[mask] - dt[mask]) / (n[mask] - 1.0)).sum())
+        oa = float(da.sum())
+        chi2 = (oa - ea) * (oa - ea) / v if v > 0.0 else None
+        out = pa.table({
+            "n_a": pa.array([int(tna)], pa.int64()),
+            "n_b": pa.array([int(tnb)], pa.int64()),
+            "observed_a": pa.array([int(oa)], pa.int64()),
+            "expected_a": pa.array([ea], pa.float64()),
+            "chi2_logrank": pa.array([chi2], pa.float64()),
+        })
+        for name in ("expected_a", "chi2_logrank"):
+            idx = out.column_names.index(name)
+            out = out.set_column(
+                idx, name, round_like_duckdb(out.column(name), 6))
+        return out
+
+    out = grouped_map(d.map_batches(add_g, batch_format="pyarrow"),
+                      "__g", finalize, per_group=False)
+    return out.map_batches(
+        lambda b: b.select(["n_a", "n_b", "observed_a", "expected_a",
+                            "chi2_logrank"]),
+        batch_format="pyarrow")
+
+
+QUERIES["q_user_lifetime_logrank"] = q_user_lifetime_logrank
+ORACLE_SQL["q_user_lifetime_logrank"] = f"""
+    WITH u AS (
+      SELECT user_id,
+             (max(epoch_us(ts)) - min(epoch_us(ts))) // 86400000000 AS days
+      FROM events GROUP BY 1
+    ),
+    a AS (SELECT days, {_ab_split_case()} AS arm FROM u),
+    d AS (
+      SELECT days,
+             sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS da,
+             sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS db
+      FROM a GROUP BY 1
+    ),
+    tt AS (SELECT sum(da) AS tna, sum(db) AS tnb FROM d),
+    w AS (
+      SELECT days, da, db,
+             tna - (sum(da) OVER (ORDER BY days) - da) AS na,
+             tnb - (sum(db) OVER (ORDER BY days) - db) AS nb
+      FROM d, tt
+    ),
+    s AS (
+      SELECT sum(da) AS oa,
+             sum((da + db) * (na / (na + nb))) AS ea,
+             sum(CASE WHEN na + nb > 1 THEN
+                   (da + db) * (na / (na + nb)) * (nb / (na + nb))
+                     * ((na + nb) - (da + db)) / ((na + nb) - 1)
+                 ELSE 0 END) AS v
+      FROM w
+    )
+    SELECT CAST(tna AS BIGINT) AS n_a, CAST(tnb AS BIGINT) AS n_b,
+           CAST(oa AS BIGINT) AS observed_a,
+           round(ea, 6) AS expected_a,
+           round((oa - ea) * (oa - ea) / v, 6) AS chi2_logrank
+    FROM s, tt
+"""
+
+
+def q_doc_type_token_ratio(sf_dir: str):
+    """Lexical diversity per language: mean per-doc type-token ratio
+    (distinct tokens / tokens — the corpus-quality screen that catches
+    word-salad and boilerplate).  Fully vectorized per batch: one Arrow
+    split, a dictionary encode of the flattened tokens, and one lexsort
+    adjacent-diff pass counts distinct codes per doc (no per-doc Python
+    loop); per-doc ratios are exact integer quotients so only the final
+    per-lang mean is a float fold."""
+    from ..stages.agg import grouped_agg
+
+    docs = _read(sf_dir, "documents", ["text", "lang"])
+
+    def ttr(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b.column("text"), " ")
+        lens = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        codes = pc.list_flatten(toks).combine_chunks().dictionary_encode() \
+            .indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        doc_idx = np.repeat(np.arange(len(lens)), lens)
+        order = np.lexsort((codes, doc_idx))
+        di, cd = doc_idx[order], codes[order]
+        new = np.ones(len(di), bool)
+        new[1:] = (di[1:] != di[:-1]) | (cd[1:] != cd[:-1])
+        distinct = np.bincount(di[new], minlength=len(lens))
+        return pa.table({
+            "lang": b.column("lang"),
+            "ttr": pa.array(distinct / lens, pa.float64()),
+        })
+
+    scored = docs.map_batches(ttr, batch_format="pyarrow")
+    return grouped_agg(scored, ["lang"],
+                       [("n_docs", "ttr", "count"),
+                        ("avg_ttr", "ttr", "mean")],
+                       round_to=6)
+
+
+QUERIES["q_doc_type_token_ratio"] = q_doc_type_token_ratio
+ORACLE_SQL["q_doc_type_token_ratio"] = """
+    SELECT lang, count(*) AS n_docs,
+           round(avg(len(list_distinct(string_split(text, ' ')))
+                     * 1.0 / len(string_split(text, ' '))), 6) AS avg_ttr
+    FROM documents GROUP BY 1
+"""
