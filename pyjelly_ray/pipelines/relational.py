@@ -12278,9 +12278,11 @@ def q_monthly_price_index(sf_dir: str):
         return pa.table({"month": month, "l_partkey": b.column("l_partkey"),
                          "q": b.column("l_quantity"), "e": e})
 
+    # |months x parts| rows; materialized once — read by the base-month
+    # scan, the month list, and the join probe (no combiner re-execution)
     pm = grouped_agg(li.map_batches(proj, batch_format="pyarrow"),
                      ["month", "l_partkey"],
-                     [("q", "q", "sum"), ("e", "e", "sum")])
+                     [("q", "q", "sum"), ("e", "e", "sum")]).materialize()
 
     months = grouped_agg(pm, ["month"], [("__n", "month", "count")])
     m0 = min(r["month"] for r in months.take_all())
@@ -12374,8 +12376,10 @@ def q_wau_jaccard_trend(sf_dir: str):
 
     wu = grouped_agg(ev.map_batches(week_of, batch_format="pyarrow"),
                      ["week", "user_id"], [("__n", "week", "count")])
+    # |distinct (week,user)| rows; materialized once — read by both the
+    # consecutive-week kernel and the weekly counts
     wu = wu.map_batches(lambda b: b.select(["week", "user_id"]),
-                        batch_format="pyarrow")
+                        batch_format="pyarrow").materialize()
 
     empty_pairs = pa.table({"week": pa.array([], pa.int64())})
 
@@ -12628,7 +12632,10 @@ def q_dow_value_kruskal(sf_dir: str):
         return pa.table({"dow": dow, "value": b.column("value")})
 
     base = ev.map_batches(proj, batch_format="pyarrow")
-    g = grouped_agg(base, ["dow", "value"], [("n", "value", "count")])
+    # |dow x distinct values| rows; materialized once — read by both the
+    # per-value rollup and the rank join (no combiner re-execution)
+    g = grouped_agg(base, ["dow", "value"],
+                    [("n", "value", "count")]).materialize()
 
     # fractional ranks from the per-value totals (one range sort of
     # |distinct| rows + an exclusive prefix sum)
@@ -12864,8 +12871,10 @@ def q_purchase_value_stump(sf_dir: str):
         })
 
     base = ev.map_batches(proj, batch_format="pyarrow")
+    # |distinct values| rows; materialized once — read by both the totals
+    # action and the range sort (no combiner re-execution)
     g = grouped_agg(base, ["value"], [("n", "value", "count"),
-                                      ("p", "lab", "sum")])
+                                      ("p", "lab", "sum")]).materialize()
     totals = g.sum(["n", "p"])
     nt, pt = float(totals["sum(n)"]), float(totals["sum(p)"])
 
