@@ -13376,3 +13376,337 @@ ORACLE_SQL["q_doc_type_token_ratio"] = """
                      * 1.0 / len(string_split(text, ' '))), 6) AS avg_ttr
     FROM documents GROUP BY 1
 """
+
+
+def q_event_type_entropy_rate(sf_dir: str):
+    """Entropy rate (nats) of the first-order event-type Markov chain —
+    how predictable the next action is given the current one, the
+    sequence-complexity score of a behavioral corpus.  Reuses the
+    transition-count pipeline (per-user vectorized shift + tiny (src,dst)
+    combiner); H = −Σᵢⱼ (nᵢⱼ/N)·ln(nᵢⱼ/nᵢ·) finalizes over the ≤|types|²
+    cell table."""
+    from ..stages.agg import grouped_map, round_like_duckdb
+
+    counts = q_event_type_transitions(sf_dir)
+
+    def add_g(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "__g", pa.array(np.zeros(b.num_rows, np.int8)))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "n_transitions": pa.array([], pa.int64()),
+            "n_states": pa.array([], pa.int64()),
+            "entropy_rate_nats": pa.array([], pa.float64()),
+        })
+        if t.num_rows == 0:
+            return empty
+        src = t.column("src_type").to_numpy(zero_copy_only=False)
+        n = t.column("n_transitions").to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        nt = float(n.sum())
+        us, si = np.unique(src, return_inverse=True)
+        rowsum = np.zeros(len(us))
+        np.add.at(rowsum, si, n)
+        h = -float(((n / nt) * np.log(n / rowsum[si])).sum())
+        s = 10.0 ** 6
+        h = float(np.copysign(np.floor(abs(h) * s + 0.5), h) / s)
+        return pa.table({
+            "n_transitions": pa.array([int(nt)], pa.int64()),
+            "n_states": pa.array([len(us)], pa.int64()),
+            "entropy_rate_nats": pa.array([h], pa.float64()),
+        })
+
+    out = grouped_map(counts.map_batches(add_g, batch_format="pyarrow"),
+                      "__g", finalize, per_group=False)
+    return out.map_batches(
+        lambda b: b.select(["n_transitions", "n_states",
+                            "entropy_rate_nats"]),
+        batch_format="pyarrow")
+
+
+QUERIES["q_event_type_entropy_rate"] = q_event_type_entropy_rate
+ORACLE_SQL["q_event_type_entropy_rate"] = """
+    WITH p AS (
+      SELECT lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS src,
+             event_type AS dst
+      FROM events
+    ),
+    c AS (SELECT src, dst, count(*) AS n FROM p WHERE src IS NOT NULL
+          GROUP BY 1, 2),
+    r AS (SELECT src, sum(n) AS rn FROM c GROUP BY 1),
+    t AS (SELECT sum(n) AS nt FROM c)
+    SELECT CAST(nt AS BIGINT) AS n_transitions,
+           (SELECT count(*) FROM r) AS n_states,
+           round(-sum((n / nt) * ln(n / rn)), 6) AS entropy_rate_nats
+    FROM c JOIN r USING (src), t
+    GROUP BY nt
+"""
+
+
+def q_click_mcnemar(sf_dir: str):
+    """McNemar's paired test on click behavior between the first and
+    second half of the observation window (midpoint split, same time
+    bound as the CUPED query): did individual users' clicking switch
+    on/off asymmetrically?  Per-user before/after flags are one keyed
+    conditional-MAX aggregate; the 2×2 discordant cells finalize from a
+    4-row table; χ² = (b−c)²/(b+c) plus the continuity-corrected
+    variant."""
+    from ..stages.agg import grouped_agg, grouped_map, round_like_duckdb
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    bounds = grouped_agg(
+        ev.map_batches(
+            lambda b: pa.table({
+                "__g": pa.array(np.zeros(b.num_rows, np.int8)),
+                "us": pc.cast(b.column("ts"), pa.int64())}),
+            batch_format="pyarrow"),
+        ["__g"], [("mn", "us", "min"), ("mx", "us", "max")]).take_all()
+    mid = (bounds[0]["mn"] + bounds[0]["mx"]) // 2
+
+    def flags(b: pa.Table) -> pa.Table:
+        us = pc.cast(b.column("ts"), pa.int64())
+        is_click = pc.equal(b.column("event_type"), pa.scalar("click"))
+        early = pc.less(us, pa.scalar(mid, pa.int64()))
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "c1": pc.cast(pc.and_(is_click, early), pa.int64()),
+            "c2": pc.cast(pc.and_(is_click, pc.invert(early)), pa.int64()),
+        })
+
+    u = grouped_agg(ev.map_batches(flags, batch_format="pyarrow"),
+                    ["user_id"], [("f1", "c1", "max"), ("f2", "c2", "max")])
+
+    def cell(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "__g": pa.array(np.zeros(b.num_rows, np.int8)),
+            "both": pc.multiply(b.column("f1"), b.column("f2")),
+            "first_only": pc.multiply(
+                b.column("f1"),
+                pc.subtract(pa.scalar(1, pa.int64()), b.column("f2"))),
+            "second_only": pc.multiply(
+                pc.subtract(pa.scalar(1, pa.int64()), b.column("f1")),
+                b.column("f2")),
+        })
+
+    g = grouped_agg(u.map_batches(cell, batch_format="pyarrow"), ["__g"],
+                    [("n_users", "both", "count"), ("n_both", "both", "sum"),
+                     ("b", "first_only", "sum"), ("c", "second_only", "sum")])
+
+    def finalize(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "n_users": pa.array([], pa.int64()),
+            "n_both": pa.array([], pa.int64()),
+            "n_first_only": pa.array([], pa.int64()),
+            "n_second_only": pa.array([], pa.int64()),
+            "chi2_mcnemar": pa.array([], pa.float64()),
+            "chi2_corrected": pa.array([], pa.float64()),
+        })
+        if t.num_rows == 0:
+            return empty
+        r = t.to_pylist()[0]
+        b, c = float(r["b"]), float(r["c"])
+        chi2 = (b - c) * (b - c) / (b + c) if b + c > 0 else None
+        corr = ((abs(b - c) - 1.0) * (abs(b - c) - 1.0) / (b + c)
+                if b + c > 0 else None)
+        out = pa.table({
+            "n_users": pa.array([int(r["n_users"])], pa.int64()),
+            "n_both": pa.array([int(r["n_both"])], pa.int64()),
+            "n_first_only": pa.array([int(b)], pa.int64()),
+            "n_second_only": pa.array([int(c)], pa.int64()),
+            "chi2_mcnemar": pa.array([chi2], pa.float64()),
+            "chi2_corrected": pa.array([corr], pa.float64()),
+        })
+        for name in ("chi2_mcnemar", "chi2_corrected"):
+            idx = out.column_names.index(name)
+            out = out.set_column(
+                idx, name, round_like_duckdb(out.column(name), 6))
+        return out
+
+    # g already carries the constant __g key from the aggregate
+    out = grouped_map(g, "__g", finalize, per_group=False)
+    return out.map_batches(
+        lambda b: b.select(["n_users", "n_both", "n_first_only",
+                            "n_second_only", "chi2_mcnemar",
+                            "chi2_corrected"]),
+        batch_format="pyarrow")
+
+
+QUERIES["q_click_mcnemar"] = q_click_mcnemar
+ORACLE_SQL["q_click_mcnemar"] = """
+    WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
+    bnd AS (SELECT (min(us) + max(us)) // 2 AS mid FROM e),
+    u AS (
+      SELECT user_id,
+             max(CASE WHEN event_type = 'click'
+                       AND us < (SELECT mid FROM bnd)
+                      THEN 1 ELSE 0 END) AS f1,
+             max(CASE WHEN event_type = 'click'
+                       AND us >= (SELECT mid FROM bnd)
+                      THEN 1 ELSE 0 END) AS f2
+      FROM e GROUP BY 1
+    ),
+    g AS (
+      SELECT count(*) AS n_users,
+             sum(f1 * f2) AS n_both,
+             sum(f1 * (1 - f2)) AS b,
+             sum((1 - f1) * f2) AS c
+      FROM u
+    )
+    SELECT n_users, CAST(n_both AS BIGINT) AS n_both,
+           CAST(b AS BIGINT) AS n_first_only,
+           CAST(c AS BIGINT) AS n_second_only,
+           round((b - c) * (b - c) * 1.0 / (b + c), 6) AS chi2_mcnemar,
+           round((abs(b - c) - 1.0) * (abs(b - c) - 1.0) / (b + c), 6)
+               AS chi2_corrected
+    FROM g
+"""
+
+
+def q_qty_price_partial_corr(sf_dir: str):
+    """Partial correlation of quantity and extended price CONTROLLING for
+    discount — the confound-removal screen on top of the plain
+    correlation: r_xy·z = (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)).  All
+    three pairwise correlations come from ONE mergeable-moment pass over
+    the stream; both sides compute the formula from the round-6 r values,
+    so the composite is bitwise deterministic."""
+    from ..stages.agg import grouped_agg, round_like_duckdb
+
+    li = _read(sf_dir, "lineitem",
+               ["l_quantity", "l_extendedprice", "l_discount"])
+
+    def proj(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "__g": pa.array(np.zeros(b.num_rows, np.int8)),
+            "x": b.column("l_quantity"),
+            "y": b.column("l_extendedprice"),
+            "z": b.column("l_discount"),
+        })
+
+    g = grouped_agg(li.map_batches(proj, batch_format="pyarrow"), ["__g"],
+                    [("r_xy", ("x", "y"), "corr"),
+                     ("r_xz", ("x", "z"), "corr"),
+                     ("r_yz", ("y", "z"), "corr")], round_to=6)
+
+    def finalize(b: pa.Table) -> pa.Table:
+        rxy = b.column("r_xy").to_numpy(zero_copy_only=False)
+        rxz = b.column("r_xz").to_numpy(zero_copy_only=False)
+        ryz = b.column("r_yz").to_numpy(zero_copy_only=False)
+        part = (rxy - rxz * ryz) / np.sqrt(
+            (1.0 - rxz * rxz) * (1.0 - ryz * ryz))
+        return pa.table({
+            "r_xy": b.column("r_xy"),
+            "r_xz": b.column("r_xz"),
+            "r_yz": b.column("r_yz"),
+            "partial_r_xy_z": round_like_duckdb(
+                pa.array(part, pa.float64()), 6),
+        })
+
+    return g.map_batches(finalize, batch_format="pyarrow")
+
+
+QUERIES["q_qty_price_partial_corr"] = q_qty_price_partial_corr
+ORACLE_SQL["q_qty_price_partial_corr"] = """
+    WITH r AS (
+      SELECT round(corr(l_quantity, l_extendedprice), 6) AS rxy,
+             round(corr(l_quantity, l_discount), 6) AS rxz,
+             round(corr(l_extendedprice, l_discount), 6) AS ryz
+      FROM lineitem
+    )
+    SELECT rxy AS r_xy, rxz AS r_xz, ryz AS r_yz,
+           round((rxy - rxz * ryz)
+                 / sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)), 6)
+               AS partial_r_xy_z
+    FROM r
+"""
+
+
+def q_segment_priority_residuals(sf_dir: str):
+    """Adjusted standardized residuals of the segment×priority
+    contingency table — WHICH cells drive the chi-square (the insight
+    layer on top of q_segment_priority_chi2): rᵢⱼ = (o−e)/√(e(1−nᵢ/N)
+    (1−nⱼ/N)), top-5 observed cells by |r|.  One broadcast dim join +
+    one contingency combiner; the ≤|cells| table finalizes in one
+    partition on exact integer margins, so the ranking is bitwise
+    deterministic."""
+    from ..stages.agg import grouped_agg, grouped_map, round_like_duckdb
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    j = broadcast_join(orders, cust, left_key="o_custkey",
+                       right_key="c_custkey", columns=["c_mktsegment"])
+    c = grouped_agg(j, ["c_mktsegment", "o_orderpriority"],
+                    [("o", "o_custkey", "count")])
+
+    def add_g(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "__g", pa.array(np.zeros(b.num_rows, np.int8)))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "c_mktsegment": pa.array([], pa.string()),
+            "o_orderpriority": pa.array([], pa.string()),
+            "observed": pa.array([], pa.int64()),
+            "expected": pa.array([], pa.float64()),
+            "adj_residual": pa.array([], pa.float64()),
+        })
+        if t.num_rows == 0:
+            return empty
+        seg = t.column("c_mktsegment").to_numpy(zero_copy_only=False)
+        pri = t.column("o_orderpriority").to_numpy(zero_copy_only=False)
+        o = t.column("o").to_numpy(zero_copy_only=False).astype(np.int64)
+        us, si = np.unique(seg, return_inverse=True)
+        up, pi = np.unique(pri, return_inverse=True)
+        nr = np.zeros(len(us), np.int64)
+        nc = np.zeros(len(up), np.int64)
+        np.add.at(nr, si, o)
+        np.add.at(nc, pi, o)
+        nt = o.sum()
+        e = (nr[si] * nc[pi]) / nt
+        ar = (o - e) / np.sqrt(e * (1 - nr[si] / nt) * (1 - nc[pi] / nt))
+        order = np.lexsort((pri, seg, -np.abs(ar)))[:5]
+        out = pa.table({
+            "c_mktsegment": pa.array(seg[order], pa.string()),
+            "o_orderpriority": pa.array(pri[order], pa.string()),
+            "observed": pa.array(o[order], pa.int64()),
+            "expected": pa.array(e[order], pa.float64()),
+            "adj_residual": pa.array(ar[order], pa.float64()),
+        })
+        for name in ("expected", "adj_residual"):
+            idx = out.column_names.index(name)
+            out = out.set_column(
+                idx, name, round_like_duckdb(out.column(name), 6))
+        return out
+
+    out = grouped_map(c.map_batches(add_g, batch_format="pyarrow"),
+                      "__g", finalize, per_group=False)
+    return out.map_batches(
+        lambda b: b.select(["c_mktsegment", "o_orderpriority", "observed",
+                            "expected", "adj_residual"]),
+        batch_format="pyarrow")
+
+
+QUERIES["q_segment_priority_residuals"] = q_segment_priority_residuals
+ORACLE_SQL["q_segment_priority_residuals"] = """
+    WITH j AS (
+      SELECT c_mktsegment AS seg, o_orderpriority AS prio
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    c AS (SELECT seg, prio, count(*) AS o FROM j GROUP BY 1, 2),
+    r AS (SELECT seg, sum(o) AS nr FROM c GROUP BY 1),
+    k AS (SELECT prio, sum(o) AS nc FROM c GROUP BY 1),
+    t AS (SELECT sum(o) AS nt FROM c),
+    e AS (
+      SELECT seg, prio, o, (nr * nc) / nt AS exp_,
+             (o - (nr * nc) / nt)
+               / sqrt(((nr * nc) / nt) * (1 - nr / nt) * (1 - nc / nt))
+                 AS ar
+      FROM c JOIN r USING (seg) JOIN k USING (prio), t
+    )
+    SELECT seg AS c_mktsegment, prio AS o_orderpriority,
+           CAST(o AS BIGINT) AS observed, round(exp_, 6) AS expected,
+           round(ar, 6) AS adj_residual
+    FROM e ORDER BY abs(ar) DESC, seg, prio LIMIT 5
+"""
