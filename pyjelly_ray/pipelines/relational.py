@@ -13213,16 +13213,12 @@ ORACLE_SQL["q_embedding_label_silhouette"] = """
 """
 
 
-def q_user_lifetime_logrank(sf_dir: str):
-    """Log-rank test between the two hash-split arms' user-lifetime
-    distributions — the hypothesis-test companion to the Kaplan-Meier and
-    Nelson-Aalen queries (same split as q_ab_value_ttest, so the expected
-    answer is "no difference").  Per-user lifetimes are one keyed
-    aggregate, per-day per-arm death counts one combiner exchange; the
-    ≤|distinct days| table finalizes in one partition: at-risk counts via
-    exclusive cumsums, per-time hypergeometric expectation/variance, and
-    χ² = (O_A − E_A)²/V."""
-    from ..stages.agg import grouped_agg, grouped_map, round_like_duckdb
+def _arm_lifetime_death_table(sf_dir: str):
+    """Per-day per-arm user-lifetime death counts (days, da, db) — the
+    hash-split survival preamble shared by the log-rank test and the
+    per-arm Kaplan-Meier curves: one keyed lifetime aggregate, the split
+    column, and one combiner exchange."""
+    from ..stages.agg import grouped_agg
     from ..stages.sample import deterministic_split
 
     ev = _read(sf_dir, "events", ["user_id", "ts"])
@@ -13241,8 +13237,22 @@ def q_user_lifetime_logrank(sf_dir: str):
         return pa.table({"days": days, "ia": ia,
                          "ib": pc.subtract(pa.scalar(1, pa.int64()), ia)})
 
-    d = grouped_agg(sp.map_batches(days_arm, batch_format="pyarrow"),
-                    ["days"], [("da", "ia", "sum"), ("db", "ib", "sum")])
+    return grouped_agg(sp.map_batches(days_arm, batch_format="pyarrow"),
+                       ["days"], [("da", "ia", "sum"), ("db", "ib", "sum")])
+
+
+def q_user_lifetime_logrank(sf_dir: str):
+    """Log-rank test between the two hash-split arms' user-lifetime
+    distributions — the hypothesis-test companion to the Kaplan-Meier and
+    Nelson-Aalen queries (same split as q_ab_value_ttest, so the expected
+    answer is "no difference").  Per-user lifetimes are one keyed
+    aggregate, per-day per-arm death counts one combiner exchange; the
+    ≤|distinct days| table finalizes in one partition: at-risk counts via
+    exclusive cumsums, per-time hypergeometric expectation/variance, and
+    χ² = (O_A − E_A)²/V."""
+    from ..stages.agg import grouped_map, round_like_duckdb
+
+    d = _arm_lifetime_death_table(sf_dir)
 
     def add_g(b: pa.Table) -> pa.Table:
         return b.append_column(
@@ -13709,4 +13719,182 @@ ORACLE_SQL["q_segment_priority_residuals"] = """
            CAST(o AS BIGINT) AS observed, round(exp_, 6) AS expected,
            round(ar, 6) AS adj_residual
     FROM e ORDER BY abs(ar) DESC, seg, prio LIMIT 5
+"""
+
+
+def q_user_lifetime_km_arms(sf_dir: str):
+    """Per-arm Kaplan-Meier survival curves over the hash-split user
+    lifetimes — the visual companion to q_user_lifetime_logrank (same
+    shared per-day per-arm death table): S_arm(t) = Π(1 − d/n) per arm,
+    computed over the ≤|distinct days| table in one partition with the
+    exact ln/exp sequence of the global KM query (cell-exact)."""
+    from ..stages.agg import grouped_map, round_like_duckdb
+
+    d = _arm_lifetime_death_table(sf_dir)
+
+    def add_g(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "__g", pa.array(np.zeros(b.num_rows, np.int8)))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "days": pa.array([], pa.int64()),
+            "n_at_risk_a": pa.array([], pa.int64()),
+            "d_a": pa.array([], pa.int64()),
+            "survival_a": pa.array([], pa.float64()),
+            "n_at_risk_b": pa.array([], pa.int64()),
+            "d_b": pa.array([], pa.int64()),
+            "survival_b": pa.array([], pa.float64()),
+        })
+        if t.num_rows == 0:
+            return empty
+        t = t.sort_by([("days", "ascending")])
+        days = t.column("days").to_numpy(zero_copy_only=False)
+        da = t.column("da").to_numpy(zero_copy_only=False).astype(np.float64)
+        db = t.column("db").to_numpy(zero_copy_only=False).astype(np.float64)
+
+        def curve(d):
+            tn = float(d.sum())
+            n = tn - np.concatenate(([0.0], np.cumsum(d)[:-1]))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                f = np.where(n > 0.0, 1.0 - d * 1.0 / n, 1.0)
+            lnf = np.where(f > 0.0, np.log(np.maximum(f, 1e-300)), 0.0)
+            surv = np.where(f == 0.0, 0.0, np.exp(np.cumsum(lnf)))
+            return n, surv
+
+        na, sa = curve(da)
+        nb, sb = curve(db)
+        out = pa.table({
+            "days": pa.array(days, pa.int64()),
+            "n_at_risk_a": pa.array(na.astype(np.int64)),
+            "d_a": pa.array(da.astype(np.int64)),
+            "survival_a": pa.array(sa, pa.float64()),
+            "n_at_risk_b": pa.array(nb.astype(np.int64)),
+            "d_b": pa.array(db.astype(np.int64)),
+            "survival_b": pa.array(sb, pa.float64()),
+        })
+        for name in ("survival_a", "survival_b"):
+            idx = out.column_names.index(name)
+            out = out.set_column(
+                idx, name, round_like_duckdb(out.column(name), 6))
+        return out
+
+    out = grouped_map(d.map_batches(add_g, batch_format="pyarrow"),
+                      "__g", finalize, per_group=False)
+    return out.map_batches(
+        lambda b: b.select(["days", "n_at_risk_a", "d_a", "survival_a",
+                            "n_at_risk_b", "d_b", "survival_b"]),
+        batch_format="pyarrow")
+
+
+QUERIES["q_user_lifetime_km_arms"] = q_user_lifetime_km_arms
+ORACLE_SQL["q_user_lifetime_km_arms"] = f"""
+    WITH u AS (
+      SELECT user_id,
+             (max(epoch_us(ts)) - min(epoch_us(ts))) // 86400000000 AS days
+      FROM events GROUP BY 1
+    ),
+    a AS (SELECT days, {_ab_split_case()} AS arm FROM u),
+    d AS (
+      SELECT days,
+             sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS da,
+             sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS db
+      FROM a GROUP BY 1
+    ),
+    tt AS (SELECT sum(da) * 1.0 AS tna, sum(db) * 1.0 AS tnb FROM d),
+    c AS (
+      SELECT days, da, db,
+             tna - (sum(da) OVER (ORDER BY days) - da) AS na,
+             tnb - (sum(db) OVER (ORDER BY days) - db) AS nb
+      FROM d, tt
+    ),
+    f AS (
+      SELECT days, da, db, na, nb,
+             CASE WHEN na > 0 THEN 1.0 - da * 1.0 / na ELSE 1.0 END AS fa,
+             CASE WHEN nb > 0 THEN 1.0 - db * 1.0 / nb ELSE 1.0 END AS fb
+      FROM c
+    )
+    SELECT days,
+           CAST(na AS BIGINT) AS n_at_risk_a, CAST(da AS BIGINT) AS d_a,
+           CASE WHEN fa = 0 THEN 0.0
+                ELSE round(exp(sum(CASE WHEN fa > 0 THEN ln(fa) ELSE 0 END)
+                               OVER (ORDER BY days)), 6)
+           END AS survival_a,
+           CAST(nb AS BIGINT) AS n_at_risk_b, CAST(db AS BIGINT) AS d_b,
+           CASE WHEN fb = 0 THEN 0.0
+                ELSE round(exp(sum(CASE WHEN fb > 0 THEN ln(fb) ELSE 0 END)
+                               OVER (ORDER BY days)), 6)
+           END AS survival_b
+    FROM f
+"""
+
+
+def q_monthly_top10_part_share(sf_dir: str):
+    """Revenue-concentration trend: each month's share of revenue held by
+    its top-10 parts — the "is the catalog concentrating?" monitor.  One
+    (month, part) exact-cents combiner feeds BOTH the per-month top-10
+    (map-side-combined grouped_topk, ≤ k·|groups| rows shuffled) and the
+    month totals; the share is an exact integer ratio."""
+    from ..stages.agg import grouped_agg, grouped_topk, round_like_duckdb
+    from ..stages.joins import hash_join
+
+    li = _read(sf_dir, "lineitem", ["l_shipdate", "l_partkey",
+                                    "l_extendedprice"])
+
+    def proj(b: pa.Table) -> pa.Table:
+        month = pc.floor_temporal(b.column("l_shipdate"), unit="month")
+        c = pc.cast(pc.round(pc.multiply(
+            b.column("l_extendedprice"), pa.scalar(100.0, pa.float64()))),
+            pa.int64())
+        return pa.table({"month": month, "l_partkey": b.column("l_partkey"),
+                         "c": c})
+
+    # |months × parts| rows; materialized once — read by both the top-10
+    # cut and the month totals
+    pm = grouped_agg(li.map_batches(proj, batch_format="pyarrow"),
+                     ["month", "l_partkey"],
+                     [("c", "c", "sum")]).materialize()
+    top = grouped_topk(pm, "month", "c", 10, descending=True,
+                       tiebreak=["l_partkey"])
+    tops = grouped_agg(top, ["month"], [("topc", "c", "sum")])
+    tots = grouped_agg(pm, ["month"], [("tot", "c", "sum")])
+    j = hash_join(tops, tots, left_key="month", right_key="month",
+                  how="inner")
+
+    def finish(b: pa.Table) -> pa.Table:
+        share = pc.divide(
+            pc.multiply(pc.cast(b.column("topc"), pa.float64()),
+                        pa.scalar(1.0, pa.float64())),
+            pc.cast(b.column("tot"), pa.float64()))
+        return pa.table({
+            "month": b.column("month"),
+            "top10_value": pc.divide(pc.cast(b.column("topc"), pa.float64()),
+                                     pa.scalar(100.0, pa.float64())),
+            "total_value": pc.divide(pc.cast(b.column("tot"), pa.float64()),
+                                     pa.scalar(100.0, pa.float64())),
+            "top10_share": round_like_duckdb(share, 6),
+        })
+
+    return j.map_batches(finish, batch_format="pyarrow")
+
+
+QUERIES["q_monthly_top10_part_share"] = q_monthly_top10_part_share
+ORACLE_SQL["q_monthly_top10_part_share"] = """
+    WITH pm AS (
+      SELECT date_trunc('month', l_shipdate) AS month, l_partkey,
+             sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS c
+      FROM lineitem GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT month, c,
+             row_number() OVER (PARTITION BY month
+                                ORDER BY c DESC, l_partkey) AS rn
+      FROM pm
+    ),
+    t AS (SELECT month, sum(c) AS tot FROM pm GROUP BY 1),
+    s AS (SELECT month, sum(c) AS topc FROM r WHERE rn <= 10 GROUP BY 1)
+    SELECT month, CAST(topc AS DOUBLE) / 100.0 AS top10_value,
+           CAST(tot AS DOUBLE) / 100.0 AS total_value,
+           round(topc * 1.0 / tot, 6) AS top10_share
+    FROM s JOIN t USING (month)
 """
