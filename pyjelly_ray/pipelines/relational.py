@@ -13898,3 +13898,158 @@ ORACLE_SQL["q_monthly_top10_part_share"] = """
            round(topc * 1.0 / tot, 6) AS top10_share
     FROM s JOIN t USING (month)
 """
+
+
+def q_click_purchase_ccf(sf_dir: str):
+    """Lead-lag cross-correlation: corr(daily clicks_t, daily
+    purchases_{t+k}) for k ∈ [−7, 7] — does click volume lead purchase
+    volume?  One combiner exchange rolls the stream to exact integer
+    daily counts; the 15 lag alignments run vectorized over that tiny
+    series (day-VALUE joins via searchsorted, so date gaps pair exactly
+    like the SQL equi-join); every moment is an exact integer so the
+    correlations are deterministic at round-6."""
+    from ..stages.agg import grouped_agg, grouped_map, round_like_duckdb
+
+    ev = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def proj(b: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(b.column("ts"), pa.int64()),
+                        pa.scalar(86_400_000_000, pa.int64()))
+        et = b.column("event_type")
+        return pa.table({
+            "day": day,
+            "c": pc.cast(pc.equal(et, pa.scalar("click")), pa.int64()),
+            "p": pc.cast(pc.equal(et, pa.scalar("purchase")), pa.int64()),
+        })
+
+    d = grouped_agg(ev.map_batches(proj, batch_format="pyarrow"),
+                    ["day"], [("c", "c", "sum"), ("p", "p", "sum")])
+
+    def add_g(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "__g", pa.array(np.zeros(b.num_rows, np.int8)))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "lag": pa.array([], pa.int64()),
+            "n_pairs": pa.array([], pa.int64()),
+            "ccf": pa.array([], pa.float64()),
+        })
+        if t.num_rows == 0:
+            return empty
+        t = t.sort_by([("day", "ascending")])
+        days = t.column("day").to_numpy(zero_copy_only=False)
+        c = t.column("c").to_numpy(zero_copy_only=False).astype(np.float64)
+        p = t.column("p").to_numpy(zero_copy_only=False).astype(np.float64)
+        lags, npairs, ccfs = [], [], []
+        for k in range(-7, 8):
+            tgt = days + k
+            idx = np.searchsorted(days, tgt)
+            ok = (idx < len(days))
+            ok[ok] = days[idx[ok]] == tgt[ok]
+            x, y = c[ok], p[idx[ok]]
+            n = float(len(x))
+            lags.append(k)
+            npairs.append(int(n))
+            if n <= 1.0:
+                ccfs.append(None)
+                continue
+            sx, sy = x.sum(), y.sum()
+            num = n * (x * y).sum() - sx * sy
+            dx = max(n * (x * x).sum() - sx * sx, 0.0)
+            dy = max(n * (y * y).sum() - sy * sy, 0.0)
+            ccfs.append(num / np.sqrt(dx * dy)
+                        if dx > 0.0 and dy > 0.0 else None)
+        out = pa.table({
+            "lag": pa.array(lags, pa.int64()),
+            "n_pairs": pa.array(npairs, pa.int64()),
+            "ccf": pa.array(ccfs, pa.float64()),
+        })
+        idx2 = out.column_names.index("ccf")
+        return out.set_column(idx2, "ccf",
+                              round_like_duckdb(out.column("ccf"), 6))
+
+    out = grouped_map(d.map_batches(add_g, batch_format="pyarrow"),
+                      "__g", finalize, per_group=False)
+    return out.map_batches(
+        lambda b: b.select(["lag", "n_pairs", "ccf"]),
+        batch_format="pyarrow")
+
+
+QUERIES["q_click_purchase_ccf"] = q_click_purchase_ccf
+ORACLE_SQL["q_click_purchase_ccf"] = """
+    WITH d AS (
+      SELECT epoch_us(ts) // 86400000000 AS day,
+             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+      FROM events GROUP BY 1
+    ),
+    l AS (
+      SELECT k.k AS lag, a.c AS x, b.p AS y
+      FROM range(-7, 8) k(k)
+      JOIN d a ON true
+      JOIN d b ON b.day = a.day + k.k
+    )
+    SELECT lag, count(*) AS n_pairs, round(corr(x, y), 6) AS ccf
+    FROM l GROUP BY 1
+"""
+
+
+def q_event_type_brown_forsythe(sf_dir: str):
+    """Brown-Forsythe test: do event types differ in value DISPERSION
+    (not just mean)?  Levene's test with the median center — per-type
+    exact medians (grouped quantile machinery) broadcast back onto the
+    stream, then the same one-way ANOVA primitive runs on the absolute
+    deviations |x − med|.  Two composable primitives, zero new shuffle
+    shapes."""
+    from ..stages.agg import grouped_quantiles, oneway_anova
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+    ev = ev.map_batches(
+        lambda b: b.filter(pc.is_valid(b.column("value"))),
+        batch_format="pyarrow")
+    med = grouped_quantiles(ev, "event_type", "value", [("med", 0.5)],
+                            round_to=6)
+    j = broadcast_join(ev, med, left_key="event_type", columns=["med"])
+
+    def absdev(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": b.column("event_type"),
+            "z": pc.abs(pc.subtract(b.column("value"), b.column("med"))),
+        })
+
+    return oneway_anova(j.map_batches(absdev, batch_format="pyarrow"),
+                        "event_type", "z")
+
+
+QUERIES["q_event_type_brown_forsythe"] = q_event_type_brown_forsythe
+ORACLE_SQL["q_event_type_brown_forsythe"] = """
+    WITH m AS (
+      SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    z AS (
+      SELECT e.event_type, abs(e.value - m.med) AS z
+      FROM events e JOIN m USING (event_type)
+      WHERE e.value IS NOT NULL
+    ),
+    g AS (
+      SELECT event_type, count(*) AS n, avg(z) AS m, var_samp(z) AS v
+      FROM z GROUP BY 1
+    ),
+    tot AS (
+      SELECT count(*) AS k, sum(n) AS nt, sum(n * m) / sum(n) AS gm
+      FROM g
+    ),
+    ss AS (
+      SELECT (SELECT sum(n * ((m - gm) * (m - gm))) FROM g, tot) AS ssb,
+             (SELECT sum((n - 1.0) * v) FROM g WHERE n > 1) AS ssw
+    )
+    SELECT (SELECT k FROM tot) AS k_groups,
+           CAST((SELECT nt FROM tot) AS BIGINT) AS n_total,
+           round((ssb / ((SELECT k FROM tot) - 1.0))
+                 / (ssw / ((SELECT nt FROM tot) - (SELECT k FROM tot))), 6)
+               AS f_stat,
+           round(ssb / (ssb + ssw), 6) AS eta_sq
+    FROM ss
+"""
