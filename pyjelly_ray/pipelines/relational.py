@@ -14053,3 +14053,173 @@ ORACLE_SQL["q_event_type_brown_forsythe"] = """
            round(ssb / (ssb + ssw), 6) AS eta_sq
     FROM ss
 """
+
+
+def q_gap_exponential_gof(sf_dir: str):
+    """Chi-square goodness-of-fit of inter-event gaps to the exponential
+    law (memorylessness screen — the distributional companion to the
+    burstiness score): gaps read off inside each user's run (one keyed
+    exchange, vectorized diff, materialized once), λ̂ = 1/mean from exact
+    integer sums, then each gap lands in its theoretical decile via
+    F(x) = 1 − e^{−x/μ} and a 10-cell combiner folds observed counts;
+    expected is n/10 per cell."""
+    from ..stages.agg import _key_run_bounds, grouped_agg, grouped_map, \
+        round_like_duckdb
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+    empty = pa.table({"gap": pa.array([], pa.int64())})
+
+    def gaps_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        t = t.sort_by([("user_id", "ascending"), ("ts", "ascending"),
+                       ("event_id", "ascending")])
+        bounds = _key_run_bounds(t, ["user_id"])
+        us = pc.cast(t.column("ts").combine_chunks(), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        keep = np.ones(t.num_rows, bool)
+        keep[bounds[:-1]] = False
+        idx = np.flatnonzero(keep)
+        if len(idx) == 0:
+            return empty
+        return pa.table({"gap": pa.array(us[idx] - us[idx - 1], pa.int64())})
+
+    gaps = grouped_map(
+        ev, "user_id", gaps_part, per_group=False,
+        empty_schema=pa.table({
+            "user_id": pa.array([], pa.int64()),
+            "ts": pa.array([], pa.timestamp("us")),
+            "event_id": pa.array([], pa.int64())}),
+    ).materialize()
+    n = gaps.count()
+    if n == 0:
+        return pa.table({"bucket": pa.array([], pa.int64()),
+                         "observed": pa.array([], pa.int64()),
+                         "expected": pa.array([], pa.float64()),
+                         "chi2_term": pa.array([], pa.float64())})
+    mu = float(gaps.sum("gap")) / n
+
+    def bucket_of(b: pa.Table) -> pa.Table:
+        g = b.column("gap").to_numpy(zero_copy_only=False)
+        f = np.floor((1.0 - np.exp(-(g / mu))) * 10.0)
+        return pa.table({"bucket": pa.array(
+            np.minimum(f, 9.0).astype(np.int64))})
+
+    c = grouped_agg(gaps.map_batches(bucket_of, batch_format="pyarrow"),
+                    ["bucket"], [("o", "bucket", "count")])
+
+    def finish(b: pa.Table) -> pa.Table:
+        o = pc.cast(b.column("o"), pa.float64())
+        e = n / 10.0
+        term = pc.divide(pc.multiply(
+            pc.subtract(o, pa.scalar(e)), pc.subtract(o, pa.scalar(e))),
+            pa.scalar(e))
+        return pa.table({
+            "bucket": b.column("bucket"),
+            "observed": pc.cast(b.column("o"), pa.int64()),
+            "expected": round_like_duckdb(
+                pa.array(np.full(b.num_rows, e), pa.float64()), 6),
+            "chi2_term": round_like_duckdb(term, 6),
+        })
+
+    return c.map_batches(finish, batch_format="pyarrow")
+
+
+QUERIES["q_gap_exponential_gof"] = q_gap_exponential_gof
+ORACLE_SQL["q_gap_exponential_gof"] = """
+    WITH g AS (
+      SELECT epoch_us(ts) - lag(epoch_us(ts))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+      FROM events
+    ),
+    gg AS (SELECT gap FROM g WHERE gap IS NOT NULL),
+    m AS (SELECT CAST(sum(gap) AS DOUBLE) / count(*) AS mu,
+                 count(*) AS n FROM gg),
+    b AS (
+      SELECT least(CAST(floor((1 - exp(-(gap / mu))) * 10) AS BIGINT), 9)
+               AS bucket
+      FROM gg, m
+    )
+    SELECT bucket, count(*) AS observed,
+           round(n / 10.0, 6) AS expected,
+           round((count(*) - n / 10.0) * (count(*) - n / 10.0)
+                 / (n / 10.0), 6) AS chi2_term
+    FROM b, m GROUP BY bucket, n
+"""
+
+
+def q_daily_revenue_var_cvar(sf_dir: str):
+    """Value-at-Risk and conditional VaR (expected shortfall) of daily
+    revenue log-returns — the risk-tail summary of a business series.
+    The shared exact-cents daily table collapses the stream; log-returns,
+    the interpolated p05 (exact quantile_cont mirror) and the tail mean
+    finalize over the tiny series.  The tail is selected against the
+    ROUND-6 VaR on both sides, so membership is deterministic."""
+    from ..stages.agg import grouped_map, round_like_duckdb
+
+    daily = _daily_order_revenue_cents(sf_dir)
+
+    def add_g(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "__g", pa.array(np.zeros(b.num_rows, np.int8)))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "n_days": pa.array([], pa.int64()),
+            "n_tail": pa.array([], pa.int64()),
+            "var_05": pa.array([], pa.float64()),
+            "cvar_05": pa.array([], pa.float64()),
+        })
+        if t.num_rows < 2:
+            return empty
+        t = t.sort_by([("day", "ascending")])
+        c = t.column("c").to_numpy(zero_copy_only=False)
+        r = np.log(c[1:] / c[:-1])
+        rs = np.sort(r)
+        h = (len(rs) - 1) * 0.05
+        lo = int(np.floor(h))
+        var = (rs[lo] if h == lo
+               else rs[lo] + (rs[lo + 1] - rs[lo]) * (h - lo))
+        s = 10.0 ** 6
+        var6 = float(np.copysign(np.floor(abs(var) * s + 0.5), var) / s)
+        tail = r[r <= var6]
+        cvar = float(tail.sum()) / len(tail) if len(tail) else None
+        out = pa.table({
+            "n_days": pa.array([len(r)], pa.int64()),
+            "n_tail": pa.array([len(tail)], pa.int64()),
+            "var_05": pa.array([var6], pa.float64()),
+            "cvar_05": pa.array([cvar], pa.float64()),
+        })
+        idx = out.column_names.index("cvar_05")
+        return out.set_column(idx, "cvar_05",
+                              round_like_duckdb(out.column("cvar_05"), 6))
+
+    out = grouped_map(daily.map_batches(add_g, batch_format="pyarrow"),
+                      "__g", finalize, per_group=False)
+    return out.map_batches(
+        lambda b: b.select(["n_days", "n_tail", "var_05", "cvar_05"]),
+        batch_format="pyarrow")
+
+
+QUERIES["q_daily_revenue_var_cvar"] = q_daily_revenue_var_cvar
+ORACLE_SQL["q_daily_revenue_var_cvar"] = """
+    WITH d AS (
+      SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day,
+             sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS c
+      FROM orders GROUP BY 1
+    ),
+    r AS (
+      SELECT ln(c / lag(c) OVER (ORDER BY day)) AS ret
+      FROM d
+    ),
+    rr AS (SELECT ret FROM r WHERE ret IS NOT NULL),
+    v AS (SELECT round(quantile_cont(ret, 0.05), 6) AS var6,
+                 count(*) AS n FROM rr)
+    SELECT n AS n_days,
+           (SELECT count(*) FROM rr, v WHERE ret <= var6) AS n_tail,
+           var6 AS var_05,
+           round((SELECT sum(ret) FROM rr, v WHERE ret <= var6)
+                 / (SELECT count(*) FROM rr, v WHERE ret <= var6), 6)
+               AS cvar_05
+    FROM v
+"""
