@@ -14223,3 +14223,105 @@ ORACLE_SQL["q_daily_revenue_var_cvar"] = """
                AS cvar_05
     FROM v
 """
+
+
+def q_minhash_eval_pr(sf_dir: str):
+    """Approximation-quality report for the MinHash+LSH near-dup path:
+    precision / recall / F1 of its candidate pairs against the EXACT
+    prefix-filter 3-gram Jaccard ≥ 0.8 pairs on the same corpus — the
+    harness that justifies running the probabilistic path at 100 TB
+    (where the exact join is unaffordable).  Both pair sets are
+    distributed pipelines; only the tiny pair lists meet on the driver.
+    Rows-only (the LSH banding has no SQL equivalent); the exact side is
+    independently DuckDB-oracled as q_ngram_jaccard_pairs."""
+    import ray
+
+    from ..stages.sim import minhash_dup_pairs, ngram_jaccard_pairs
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def pair_set(ds):
+        tabs = [t for t in ray.get(ds.to_arrow_refs()) if t.num_columns > 0]
+        if not tabs:
+            return set()
+        t = pa.concat_tables(tabs)
+        a = t.column("doc_a").to_numpy(zero_copy_only=False)
+        b = t.column("doc_b").to_numpy(zero_copy_only=False)
+        return {(int(min(x, y)), int(max(x, y))) for x, y in zip(a, b)}
+
+    approx = pair_set(minhash_dup_pairs(docs, threshold=0.8))
+    exact = pair_set(ngram_jaccard_pairs(docs, threshold=0.8, n=3))
+    tp = len(approx & exact)
+    prec = tp / len(approx) if approx else None
+    rec = tp / len(exact) if exact else None
+    f1 = (2 * prec * rec / (prec + rec)
+          if prec is not None and rec is not None and (prec + rec) > 0
+          else None)
+    return pa.table({
+        "n_exact_pairs": pa.array([len(exact)], pa.int64()),
+        "n_minhash_pairs": pa.array([len(approx)], pa.int64()),
+        "n_true_positive": pa.array([tp], pa.int64()),
+        "precision": pa.array([prec], pa.float64()),
+        "recall": pa.array([rec], pa.float64()),
+        "f1": pa.array([f1], pa.float64()),
+    })
+
+
+QUERIES["q_minhash_eval_pr"] = q_minhash_eval_pr
+
+
+def q_ann_recall_at_k(sf_dir: str):
+    """Retrieval-quality report for the IVF ANN path: recall@10 per query
+    (50 held-out corpus vectors) against the exact brute-force top-10 —
+    the eval every ANN index needs before it replaces the exact path at
+    scale.  Both sides run in ONE data pass each (broadcast query matrix;
+    the IVF pass probes 4/16 buckets via the new multi-query prober);
+    only the tiny ranked lists meet on the driver.  Rows-only (centroid
+    assignment has no SQL equivalent); the single-query exact path is
+    independently DuckDB-oracled as q_embedding_topk."""
+    import ray
+
+    from ..stages.ann import (_stack, cosine_topk_multi, ivf_assign,
+                              ivf_centroids, ivf_topk_multi)
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"], num_blocks=8)
+    head = emb.map_batches(
+        lambda b: b.filter(pc.less(b.column("vec_id"),
+                                   pa.scalar(50, pa.int64()))),
+        batch_format="pyarrow")
+    qt = pa.concat_tables(
+        [t for t in ray.get(head.to_arrow_refs()) if t.num_columns > 0])
+    qt = qt.sort_by([("vec_id", "ascending")])
+    qids = qt.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    qm = _stack(qt)
+
+    truth = cosine_topk_multi(emb, qm, k=11, query_ids=qids, round_to=4)
+    cents = ivf_centroids(emb, 16)
+    assigned = ivf_assign(emb, cents)
+    approx = ivf_topk_multi(assigned, cents, qm, k=11, nprobe=4,
+                            query_ids=qids, round_to=4)
+
+    def ranked(ds):
+        tabs = [t for t in ray.get(ds.to_arrow_refs()) if t.num_columns > 0]
+        t = pa.concat_tables(tabs).sort_by(
+            [("query_id", "ascending"), ("sim", "descending"),
+             ("vec_id", "ascending")])
+        out: dict[int, list[int]] = {}
+        for qid, vid in zip(t.column("query_id").to_pylist(),
+                            t.column("vec_id").to_pylist()):
+            lst = out.setdefault(int(qid), [])
+            if vid != qid and len(lst) < 10:   # self excluded, top-10 kept
+                lst.append(int(vid))
+        return out
+
+    tr, ap = ranked(truth), ranked(approx)
+    rows = sorted(tr)
+    recalls = [len(set(tr[q]) & set(ap.get(q, []))) / len(tr[q])
+               if tr[q] else None for q in rows]
+    return pa.table({
+        "query_id": pa.array(rows, pa.int64()),
+        "recall_at_10": pa.array(recalls, pa.float64()),
+    })
+
+
+QUERIES["q_ann_recall_at_k"] = q_ann_recall_at_k

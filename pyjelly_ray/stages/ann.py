@@ -296,6 +296,70 @@ def ivf_topk(assigned_ds, centroids: np.ndarray, query, k: int = 10, nprobe: int
     return cosine_topk(filtered, query, k, id_col=id_col, round_to=round_to)
 
 
+def ivf_topk_multi(assigned_ds, centroids: np.ndarray, queries, k: int = 10,
+                   nprobe: int = 4, *, query_ids=None, id_col: str = "vec_id",
+                   round_to: int | None = None):
+    """Multi-query IVF probe in ONE data pass: each query's ``nprobe``
+    nearest buckets are resolved up front; batches keep only rows in the
+    UNION of probed buckets, do one matmul against the broadcast query
+    matrix, and mask out (row, query) cells whose bucket is outside that
+    query's probe set before the local per-query top-k cut — the
+    retrieval-eval shape (recall@k over many queries) without nq passes.
+    """
+    import ray
+
+    from .agg import grouped_topk
+
+    qm = np.asarray(queries, dtype=np.float64)
+    if qm.ndim == 1:
+        qm = qm.reshape(1, -1)
+    qids = (
+        np.arange(len(qm), dtype=np.int64)
+        if query_ids is None
+        else np.asarray(query_ids, dtype=np.int64)
+    )
+    qn = _normalize(qm)
+    order = np.argsort(-(qn @ centroids.T), axis=1)[:, :nprobe]  # (nq, np)
+    member = np.zeros((len(centroids), len(qm)), dtype=bool)
+    for qi in range(len(qm)):
+        member[order[qi], qi] = True
+    union = pa.array(sorted({int(b) for row in order for b in row}), pa.int32())
+    ref = ray.put((qids, qn, member))
+
+    def score(batch: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "query_id": pa.array([], pa.int64()),
+            id_col: pa.array([], pa.int64()),
+            "sim": pa.array([], pa.float64()),
+        })
+        batch = batch.filter(pc.is_in(batch.column("bucket"),
+                                      value_set=union))
+        if batch.num_rows == 0:
+            return empty
+        ids_, qn_, member_ = ray.get(ref)
+        m = _normalize(_stack(batch))
+        sims = m @ qn_.T                                  # (n, nq)
+        if round_to is not None:
+            sims = np.round(sims, round_to)
+        bk = batch.column("bucket").to_numpy(zero_copy_only=False)
+        sims = np.where(member_[bk, :], sims, -np.inf)
+        k_eff = min(k, sims.shape[0])
+        kth = -np.partition(-sims, k_eff - 1, axis=0)[k_eff - 1]
+        ri, qi = np.nonzero((sims >= kth[None, :]) & np.isfinite(sims))
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "query_id": pa.array(ids_[qi], pa.int64()),
+            id_col: pa.array(ids[ri], pa.int64()),
+            "sim": pa.array(sims[ri, qi], pa.float64()),
+        })
+
+    local = assigned_ds.map_batches(score, batch_format="pyarrow",
+                                    batch_size=None)
+    return grouped_topk(
+        local, "query_id", "sim", k, descending=True, tiebreak=[id_col]
+    )
+
+
 def ivf_save(index_dir: str, centroids: np.ndarray, assigned_ds) -> None:
     """Persist an IVF index: centroids.parquet + hive-partitioned rows.
 

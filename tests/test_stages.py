@@ -3946,3 +3946,46 @@ def test_mann_whitney_u_bruteforce(ray_session):
         assert got[g]["n_a"] == n1 and got[g]["n_b"] == n2
         assert abs(got[g]["u_stat"] - u1) < 1e-9
         assert abs(got[g]["z_stat"] - z) < 1e-6
+
+
+def test_ivf_topk_multi_full_probe_equals_brute(ray_session):
+    """ivf_topk_multi with nprobe == n_centroids must reproduce the
+    brute-force multi-query top-k exactly (masking only prunes, never
+    reorders); with fewer probes it returns a subset ranked the same."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from pyjelly_ray.stages.ann import (cosine_topk_multi, ivf_assign,
+                                        ivf_centroids, ivf_topk_multi)
+
+    rng = np.random.default_rng(91)
+    n, d = 400, 16
+    mat = rng.normal(size=(n, d))
+    t = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array(list(mat), pa.list_(pa.float32())),
+    })
+    ds = ray.data.from_arrow(t).repartition(4)
+    qm = mat[:5]
+    cents = ivf_centroids(ds, 8)
+    assigned = ivf_assign(ds, cents)
+
+    brute = cosine_topk_multi(ds, qm, k=7, round_to=4).take_all()
+    full = ivf_topk_multi(assigned, cents, qm, k=7, nprobe=8,
+                          round_to=4).take_all()
+    key = lambda r: (r["query_id"], -r["sim"], r["vec_id"])
+    assert sorted(full, key=key) == sorted(brute, key=key)
+
+    part = ivf_topk_multi(assigned, cents, qm, k=7, nprobe=2,
+                          round_to=4).take_all()
+    by_q: dict[int, set] = {}
+    for r in brute:
+        by_q.setdefault(r["query_id"], set()).add((r["vec_id"], r["sim"]))
+    for r in part:
+        # a pruned result can only contain true (id, sim) pairs scored
+        # against the same matrix — never an invented similarity
+        assert abs(np.dot(mat[r["query_id"]], mat[r["vec_id"]])
+                   / (np.linalg.norm(mat[r["query_id"]].astype(np.float32).astype(np.float64))
+                      * np.linalg.norm(mat[r["vec_id"]].astype(np.float32).astype(np.float64)))
+                   - r["sim"]) < 1e-3
