@@ -14325,3 +14325,128 @@ def q_ann_recall_at_k(sf_dir: str):
 
 
 QUERIES["q_ann_recall_at_k"] = q_ann_recall_at_k
+
+
+def q_purchase_shapley_attribution(sf_dir: str):
+    """Shapley-value channel attribution — the game-theoretic completion
+    of the attribution family (first-touch / last-touch / time-decay /
+    position-based): each non-purchase event type is a channel, v(S) is
+    the observed conversion rate of users whose touched-channel set is
+    exactly S (0 for unseen sets), and φ_channel is the exact Shapley sum
+    over all 2^|channels| coalitions.  Distributed part: one distinct
+    (user, type) combiner → per-user bitmask fold → |sets| combiner; the
+    2^c coalition sweep finalizes on exact integer counts, so every
+    value is deterministic."""
+    import math
+
+    from ..stages.agg import grouped_agg, grouped_map, round_like_duckdb
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    ut = grouped_agg(ev, ["user_id", "event_type"],
+                     [("__n", "user_id", "count")])
+
+    types = sorted({
+        r["event_type"]
+        for r in grouped_agg(ut, ["event_type"],
+                             [("__n", "event_type", "count")]).take_all()
+        if r["event_type"] != "purchase"})
+    bit_of = {t: i for i, t in enumerate(types)}
+    c = len(types)
+
+    def to_bits(b: pa.Table) -> pa.Table:
+        et = b.column("event_type").to_numpy(zero_copy_only=False)
+        bits = np.array([1 << bit_of[t] if t != "purchase" else 0
+                         for t in et], np.int64)
+        conv = (et == "purchase").astype(np.int64)
+        return pa.table({"user_id": b.column("user_id"),
+                         "bit": pa.array(bits), "conv": pa.array(conv)})
+
+    um = grouped_agg(ut.map_batches(to_bits, batch_format="pyarrow"),
+                     ["user_id"],
+                     [("mask", "bit", "sum"), ("conv", "conv", "max")])
+    sets = grouped_agg(um, ["mask"], [("nu", "mask", "count"),
+                                      ("nc", "conv", "sum")])
+
+    def add_g(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "__g", pa.array(np.zeros(b.num_rows, np.int8)))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        empty = pa.table({"channel": pa.array([], pa.string()),
+                          "shapley": pa.array([], pa.float64())})
+        if t.num_rows == 0 or c == 0:
+            return empty
+        v = np.zeros(1 << c)
+        masks = t.column("mask").to_numpy(zero_copy_only=False).astype(int)
+        nu = t.column("nu").to_numpy(zero_copy_only=False).astype(np.float64)
+        nc = t.column("nc").to_numpy(zero_copy_only=False).astype(np.float64)
+        v[masks] = nc * 1.0 / nu
+        f = math.factorial
+        vals = []
+        for i, ch in enumerate(types):
+            bit = 1 << i
+            phi = 0.0
+            for m in range(1 << c):
+                if m & bit:
+                    continue
+                s = bin(m).count("1")
+                w = f(s) * f(c - 1 - s) / f(c)
+                phi += w * (v[m | bit] - v[m])
+            vals.append(phi)
+        out = pa.table({"channel": pa.array(types, pa.string()),
+                        "shapley": pa.array(vals, pa.float64())})
+        idx = out.column_names.index("shapley")
+        return out.set_column(idx, "shapley",
+                              round_like_duckdb(out.column("shapley"), 6))
+
+    out = grouped_map(sets.map_batches(add_g, batch_format="pyarrow"),
+                      "__g", finalize, per_group=False)
+    return out.map_batches(
+        lambda b: b.select(["channel", "shapley"]), batch_format="pyarrow")
+
+
+QUERIES["q_purchase_shapley_attribution"] = q_purchase_shapley_attribution
+ORACLE_SQL["q_purchase_shapley_attribution"] = """
+    WITH chn AS (
+      SELECT ch, row_number() OVER (ORDER BY ch) - 1 AS bit
+      FROM (SELECT DISTINCT event_type AS ch FROM events
+            WHERE event_type <> 'purchase')
+    ),
+    nn AS (SELECT count(*) AS c FROM chn),
+    ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    um AS (
+      SELECT user_id,
+             sum(coalesce((SELECT 1 << bit FROM chn
+                           WHERE ch = event_type), 0)) AS mask,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 AS conv
+      FROM ut GROUP BY 1
+    ),
+    sets AS (SELECT mask, count(*) AS nu, sum(conv) AS nc
+             FROM um GROUP BY 1),
+    allm AS (
+      WITH RECURSIVE r(m) AS (
+        SELECT CAST(0 AS BIGINT)
+        UNION
+        SELECT m | (1 << bit) FROM r, chn
+      )
+      SELECT m FROM r
+    ),
+    v AS (
+      SELECT m, coalesce(nc * 1.0 / nu, 0.0) AS v
+      FROM allm LEFT JOIN sets ON sets.mask = allm.m
+    ),
+    terms AS (
+      SELECT chn.ch,
+             factorial(CAST(bit_count(v0.m) AS INTEGER))
+               * factorial(CAST((SELECT c FROM nn) - 1
+                                - bit_count(v0.m) AS INTEGER))
+               / factorial(CAST((SELECT c FROM nn) AS INTEGER))
+               * (v1.v - v0.v) AS term
+      FROM chn
+      JOIN v v0 ON (v0.m & (1 << chn.bit)) = 0
+      JOIN v v1 ON v1.m = (v0.m | (1 << chn.bit))
+    )
+    SELECT ch AS channel, round(sum(term), 6) AS shapley
+    FROM terms GROUP BY 1
+"""
