@@ -14450,3 +14450,236 @@ ORACLE_SQL["q_purchase_shapley_attribution"] = """
     SELECT ch AS channel, round(sum(term), 6) AS shapley
     FROM terms GROUP BY 1
 """
+
+
+def q_cumulative_users_curve(sf_dir: str):
+    """User-growth curve: new users per day (first-ever activity) and the
+    running cumulative total — the top-line growth chart.  Per-user first
+    day is one keyed MIN; daily new-user counts one combiner exchange;
+    the running total rides range_sort + global_prefix_sums (per-block
+    cumsum + O(blocks) driver offsets — no single-node window)."""
+    from ..stages.agg import grouped_agg
+    from ..stages.sort import global_prefix_sums, range_sort
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def day_of(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "day": pc.divide(pc.cast(b.column("ts"), pa.int64()),
+                             pa.scalar(86_400_000_000, pa.int64())),
+        })
+
+    first = grouped_agg(ev.map_batches(day_of, batch_format="pyarrow"),
+                        ["user_id"], [("fd", "day", "min")])
+    daily = grouped_agg(first, ["fd"], [("new_users", "fd", "count")],
+                        sum_as_float=False)
+    s = range_sort(daily, "fd")
+    s = global_prefix_sums(s, "new_users", out_name="__cum",
+                           exclusive=False)
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "day": b.column("fd"),
+            "new_users": pc.cast(b.column("new_users"), pa.int64()),
+            "cumulative_users": pc.cast(b.column("__cum"), pa.int64()),
+        })
+
+    return s.map_batches(finish, batch_format="pyarrow")
+
+
+QUERIES["q_cumulative_users_curve"] = q_cumulative_users_curve
+ORACLE_SQL["q_cumulative_users_curve"] = """
+    WITH f AS (
+      SELECT user_id, min(epoch_us(ts) // 86400000000) AS fd
+      FROM events GROUP BY 1
+    ),
+    d AS (SELECT fd AS day, count(*) AS new_users FROM f GROUP BY 1)
+    SELECT day, new_users,
+           CAST(sum(new_users) OVER (ORDER BY day) AS BIGINT)
+               AS cumulative_users
+    FROM d
+"""
+
+
+def q_dn_retention(sf_dir: str):
+    """Bounded-window retention (D1 / D7 / D30): share of users whose
+    SECOND distinct active day falls within k days of their first — the
+    onboarding-quality headline next to the weekly cohort triangle.
+    Distinct (user, day) is one combiner; first/second day read off each
+    user's sorted run in one co-partition kernel; the 1-row summary folds
+    exact integer flags."""
+    from ..stages.agg import _key_run_bounds, grouped_agg, grouped_map, \
+        round_like_duckdb
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def day_of(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "day": pc.divide(pc.cast(b.column("ts"), pa.int64()),
+                             pa.scalar(86_400_000_000, pa.int64())),
+        })
+
+    ud = grouped_agg(ev.map_batches(day_of, batch_format="pyarrow"),
+                     ["user_id", "day"], [("__n", "day", "count")])
+    empty = pa.table({"__g": pa.array([], pa.int8()),
+                      "r1": pa.array([], pa.int64()),
+                      "r7": pa.array([], pa.int64()),
+                      "r30": pa.array([], pa.int64()),
+                      "u": pa.array([], pa.int64())})
+
+    def flags(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        t = t.sort_by([("user_id", "ascending"), ("day", "ascending")])
+        bounds = _key_run_bounds(t, ["user_id"])
+        d = t.column("day").to_numpy(zero_copy_only=False)
+        starts = bounds[:-1]
+        sizes = np.diff(bounds)
+        fd = d[starts]
+        has2 = sizes >= 2
+        sd = np.where(has2, d[np.minimum(starts + 1, len(d) - 1)], np.int64(0))
+        gap = np.where(has2, sd - fd, np.int64(10 ** 9))
+        return pa.table({
+            "__g": pa.array(np.zeros(len(starts), np.int8)),
+            "r1": pa.array((gap <= 1).astype(np.int64)),
+            "r7": pa.array((gap <= 7).astype(np.int64)),
+            "r30": pa.array((gap <= 30).astype(np.int64)),
+            "u": pa.array(np.ones(len(starts), np.int64)),
+        })
+
+    per_user = grouped_map(
+        ud, "user_id", flags, per_group=False,
+        empty_schema=pa.table({
+            "user_id": pa.array([], pa.int64()),
+            "day": pa.array([], pa.int64()),
+            "__n": pa.array([], pa.int64())}))
+    g = grouped_agg(per_user, ["__g"],
+                    [("n_users", "u", "sum"), ("d1", "r1", "sum"),
+                     ("d7", "r7", "sum"), ("d30", "r30", "sum")])
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = pc.cast(b.column("n_users"), pa.float64())
+        out = {"n_users": pc.cast(b.column("n_users"), pa.int64())}
+        for k in ("d1", "d7", "d30"):
+            out[f"retained_{k}"] = pc.cast(b.column(k), pa.int64())
+            out[f"rate_{k}"] = round_like_duckdb(
+                pc.divide(pc.multiply(pc.cast(b.column(k), pa.float64()),
+                                      pa.scalar(1.0, pa.float64())), n), 6)
+        return pa.table(out)
+
+    g = g.map_batches(lambda b: b.drop_columns(["__g"]),
+                      batch_format="pyarrow")
+    return g.map_batches(finish, batch_format="pyarrow")
+
+
+QUERIES["q_dn_retention"] = q_dn_retention
+ORACLE_SQL["q_dn_retention"] = """
+    WITH ud AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+      FROM events
+    ),
+    f AS (SELECT user_id, min(day) AS fd FROM ud GROUP BY 1),
+    s AS (
+      SELECT ud.user_id, min(day) AS sd
+      FROM ud JOIN f USING (user_id) WHERE day > fd GROUP BY 1
+    ),
+    j AS (
+      SELECT f.user_id, fd, sd
+      FROM f LEFT JOIN s ON f.user_id = s.user_id
+    )
+    SELECT count(*) AS n_users,
+           sum(CASE WHEN sd - fd <= 1 THEN 1 ELSE 0 END) AS retained_d1,
+           round(sum(CASE WHEN sd - fd <= 1 THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS rate_d1,
+           sum(CASE WHEN sd - fd <= 7 THEN 1 ELSE 0 END) AS retained_d7,
+           round(sum(CASE WHEN sd - fd <= 7 THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS rate_d7,
+           sum(CASE WHEN sd - fd <= 30 THEN 1 ELSE 0 END) AS retained_d30,
+           round(sum(CASE WHEN sd - fd <= 30 THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS rate_d30
+    FROM j
+"""
+
+
+def q_customer_sorted_neighborhood(sf_dir: str):
+    """Sorted-neighborhood entity resolution (the OTHER classic blocking
+    strategy next to the SymSpell deletion join): sort names, compare
+    each row only to its 5 sorted-order successors, verify edit distance
+    ≤ 1 with the vectorized prefix/suffix kernel.  Range sort + global
+    row numbers + an overlapped-block co-partition (each row lands in its
+    home block and the next; a pair is emitted only where its LATER row
+    is home, so nothing duplicates) — candidate count is n·w, never n²."""
+    from ..stages.agg import _key_run_bounds, grouped_map
+    from ..stages.sim import _ed1_verify_mask
+    from ..stages.sort import global_row_numbers, range_sort
+
+    W = 5
+    cust = _read(sf_dir, "customer", ["c_name"])
+    s = range_sort(cust, "c_name")
+    rn = global_row_numbers(s, out_name="rn")
+
+    def explode(b: pa.Table) -> pa.Table:
+        r = b.column("rn").to_numpy(zero_copy_only=False)
+        names = b.column("c_name").to_numpy(zero_copy_only=False)
+        blk = r // W
+        return pa.table({
+            "block": pa.array(np.concatenate([blk, blk + 1]), pa.int64()),
+            "rn": pa.array(np.concatenate([r, r]), pa.int64()),
+            "c_name": pa.array(np.concatenate([names, names]), pa.string()),
+            "home": pa.array(np.concatenate([
+                np.ones(len(r), np.int8), np.zeros(len(r), np.int8)])),
+        })
+
+    exploded = rn.map_batches(explode, batch_format="pyarrow")
+    empty_pairs = pa.table({"name_a": pa.array([], pa.string()),
+                            "name_b": pa.array([], pa.string())})
+
+    def pairs_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty_pairs
+        t = t.sort_by([("block", "ascending"), ("rn", "ascending")])
+        bounds = _key_run_bounds(t, ["block"])
+        r = t.column("rn").to_numpy(zero_copy_only=False)
+        names = t.column("c_name").to_numpy(zero_copy_only=False)
+        home = t.column("home").to_numpy(zero_copy_only=False)
+        a_out, b_out = [], []
+        for bi in range(len(bounds) - 1):
+            lo, hi = bounds[bi], bounds[bi + 1]
+            rr, nn, hh = r[lo:hi], names[lo:hi], home[lo:hi]
+            for d in range(1, W + 1):
+                idx = np.searchsorted(rr, rr - d)
+                ok = (idx < len(rr))
+                ok[ok] = rr[idx[ok]] == rr[ok] - d
+                ok &= hh == 1          # later row must be home here
+                if ok.any():
+                    a_out.append(nn[idx[ok]])
+                    b_out.append(nn[ok])
+        if not a_out:
+            return empty_pairs
+        a = np.concatenate(a_out)
+        b = np.concatenate(b_out)
+        keep = _ed1_verify_mask(a, b)
+        return pa.table({"name_a": pa.array(a[keep], pa.string()),
+                         "name_b": pa.array(b[keep], pa.string())})
+
+    return grouped_map(
+        exploded, "block", pairs_part, per_group=False,
+        empty_schema=pa.table({
+            "block": pa.array([], pa.int64()),
+            "rn": pa.array([], pa.int64()),
+            "c_name": pa.array([], pa.string()),
+            "home": pa.array([], pa.int8())}))
+
+
+QUERIES["q_customer_sorted_neighborhood"] = q_customer_sorted_neighborhood
+ORACLE_SQL["q_customer_sorted_neighborhood"] = """
+    WITH s AS (
+      SELECT c_name, row_number() OVER (ORDER BY c_name) AS rn
+      FROM customer
+    )
+    SELECT a.c_name AS name_a, b.c_name AS name_b
+    FROM s a JOIN s b ON b.rn > a.rn AND b.rn <= a.rn + 5
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+"""
