@@ -14683,3 +14683,220 @@ ORACLE_SQL["q_customer_sorted_neighborhood"] = """
     FROM s a JOIN s b ON b.rn > a.rn AND b.rn <= a.rn + 5
     WHERE levenshtein(a.c_name, b.c_name) <= 1
 """
+
+
+def q_copurchase_part_triples(sf_dir: str):
+    """Market-basket 3-itemsets: part triples shipping in the same order,
+    counted across orders, top-20 — the next lattice level above the
+    pair kernel (apriori's candidate-of-size-3 stage).  Triples are
+    generated inside each order's co-partition run (baskets are ≤ a few
+    items, so ≤ C(items,3) per order — never a global self-join); counts
+    ride the standard combiner exchange."""
+    from ..stages.agg import _key_run_bounds, global_topk, grouped_agg, \
+        grouped_map
+    from itertools import combinations
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    empty = pa.table({"part_a": pa.array([], pa.int64()),
+                      "part_b": pa.array([], pa.int64()),
+                      "part_c": pa.array([], pa.int64())})
+
+    def triples_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        t = t.sort_by([("l_orderkey", "ascending"),
+                       ("l_partkey", "ascending")])
+        db = _key_run_bounds(t, ["l_orderkey", "l_partkey"])
+        mask = np.zeros(t.num_rows, bool)
+        mask[db[:-1]] = True
+        t = t.filter(pa.array(mask))  # distinct (order, part)
+        bounds = _key_run_bounds(t, ["l_orderkey"])
+        sizes = np.diff(bounds)
+        parts = t.column("l_partkey").to_numpy(zero_copy_only=False)
+        # vectorized across runs: precomputed index triples per basket size
+        combo_cache: dict[int, tuple] = {}
+        a_out, b_out, c_out = [], [], []
+        for ri in np.flatnonzero(sizes >= 3):
+            s, e = int(bounds[ri]), int(bounds[ri + 1])
+            m = e - s
+            if m not in combo_cache:
+                idx = np.array(list(combinations(range(m), 3)), np.int64)
+                combo_cache[m] = (idx[:, 0], idx[:, 1], idx[:, 2])
+            ii, jj, kk = combo_cache[m]
+            run = parts[s:e]
+            a_out.append(run[ii])
+            b_out.append(run[jj])
+            c_out.append(run[kk])
+        if not a_out:
+            return empty
+        return pa.table({
+            "part_a": pa.array(np.concatenate(a_out), pa.int64()),
+            "part_b": pa.array(np.concatenate(b_out), pa.int64()),
+            "part_c": pa.array(np.concatenate(c_out), pa.int64()),
+        })
+
+    triples = grouped_map(
+        li, "l_orderkey", triples_part, per_group=False,
+        empty_schema=pa.table({
+            "l_orderkey": pa.array([], pa.int64()),
+            "l_partkey": pa.array([], pa.int64())}))
+    counts = grouped_agg(triples, ["part_a", "part_b", "part_c"],
+                         [("n_orders", "part_a", "count")],
+                         sum_as_float=False)
+    counts = counts.map_batches(
+        lambda b: b.set_column(
+            b.schema.get_field_index("n_orders"), "n_orders",
+            pc.cast(b.column("n_orders"), pa.int64())),
+        batch_format="pyarrow")
+    return global_topk(counts,
+                       ["n_orders", "part_a", "part_b", "part_c"], 20,
+                       descending=[True, False, False, False])
+
+
+QUERIES["q_copurchase_part_triples"] = q_copurchase_part_triples
+ORACLE_SQL["q_copurchase_part_triples"] = """
+    WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           c.l_partkey AS part_c, count(*) AS n_orders
+    FROM d a
+    JOIN d b ON b.l_orderkey = a.l_orderkey AND b.l_partkey > a.l_partkey
+    JOIN d c ON c.l_orderkey = a.l_orderkey AND c.l_partkey > b.l_partkey
+    GROUP BY 1, 2, 3
+    ORDER BY n_orders DESC, part_a, part_b, part_c LIMIT 20
+"""
+
+
+def q_type_hour_entropy(sf_dir: str):
+    """Temporal-concentration score per event type: Shannon entropy of
+    the hour-of-day distribution (ln units) and its ratio to the uniform
+    maximum ln 24 — bots and batch jobs concentrate, organic traffic
+    spreads.  One ≤|types|·24 combiner exchange; the entropy fold runs
+    per type on exact integer counts."""
+    from ..stages.agg import grouped_agg, grouped_map, round_like_duckdb, \
+        _key_run_bounds
+
+    ev = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def proj(b: pa.Table) -> pa.Table:
+        us = pc.cast(b.column("ts"), pa.int64())
+        hour_of_day = pc.subtract(
+            pc.divide(us, pa.scalar(3_600_000_000, pa.int64())),
+            pc.multiply(pc.divide(us, pa.scalar(86_400_000_000, pa.int64())),
+                        pa.scalar(24, pa.int64())))
+        return pa.table({"event_type": b.column("event_type"),
+                         "hour": hour_of_day})
+
+    g = grouped_agg(ev.map_batches(proj, batch_format="pyarrow"),
+                    ["event_type", "hour"], [("n", "hour", "count")])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "event_type": pa.array([], pa.string()),
+            "n_events": pa.array([], pa.int64()),
+            "entropy_nats": pa.array([], pa.float64()),
+            "uniformity": pa.array([], pa.float64()),
+        })
+        if t.num_rows == 0:
+            return empty
+        t = t.sort_by([("event_type", "ascending"), ("hour", "ascending")])
+        bounds = _key_run_bounds(t, ["event_type"])
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        types, totals, ents = [], [], []
+        for i in range(len(bounds) - 1):
+            lo, hi = bounds[i], bounds[i + 1]
+            tot = float(n[lo:hi].sum())
+            p = n[lo:hi] / tot
+            h = -float((p * np.log(p)).sum())
+            types.append(et[lo])
+            totals.append(int(tot))
+            ents.append(h)
+        ents = np.array(ents)
+        out = pa.table({
+            "event_type": pa.array(types, pa.string()),
+            "n_events": pa.array(totals, pa.int64()),
+            "entropy_nats": pa.array(ents, pa.float64()),
+            "uniformity": pa.array(ents / np.log(24.0), pa.float64()),
+        })
+        for name in ("entropy_nats", "uniformity"):
+            idx = out.column_names.index(name)
+            out = out.set_column(
+                idx, name, round_like_duckdb(out.column(name), 6))
+        return out
+
+    return grouped_map(g, "event_type", kernel, per_group=False)
+
+
+QUERIES["q_type_hour_entropy"] = q_type_hour_entropy
+ORACLE_SQL["q_type_hour_entropy"] = """
+    WITH h AS (
+      SELECT event_type,
+             epoch_us(ts) // 3600000000
+               - (epoch_us(ts) // 86400000000) * 24 AS hour,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    t AS (SELECT event_type, sum(n) AS tot FROM h GROUP BY 1)
+    SELECT event_type, CAST(tot AS BIGINT) AS n_events,
+           round(-sum((n / tot) * ln(n / tot)), 6) AS entropy_nats,
+           round(-sum((n / tot) * ln(n / tot)) / ln(24.0), 6) AS uniformity
+    FROM h JOIN t USING (event_type)
+    GROUP BY event_type, tot
+"""
+
+
+def q_order_value_hill_tail(sf_dir: str):
+    """Hill tail-index estimate of the order-value distribution above its
+    p90 threshold: α̂ = n_tail / Σ ln(x/x_min) — the continuous-variable
+    companion to the degree power-law MLE (heavy-tail risk of the revenue
+    stream).  One exact global quantile (distinct-value combiner + prefix
+    sums), then the tail log-sum folds as a mergeable partial; the
+    threshold is the ROUND-6 p90 on both sides so membership is
+    deterministic."""
+    from ..stages.agg import grouped_agg, round_like_duckdb
+    from ..stages.sort import global_exact_quantiles
+
+    ords = _read(sf_dir, "orders", ["o_totalprice"])
+    thr = global_exact_quantiles(ords, "o_totalprice", [("p90", 0.9)],
+                                 round_to=6)["p90"]
+
+    def tail(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater(b.column("o_totalprice"),
+                                pa.scalar(thr, pa.float64())))
+        lnr = pc.ln(pc.divide(b.column("o_totalprice"),
+                              pa.scalar(thr, pa.float64())))
+        return pa.table({
+            "__g": pa.array(np.zeros(b.num_rows, np.int8)),
+            "lnr": lnr,
+        })
+
+    g = grouped_agg(ords.map_batches(tail, batch_format="pyarrow"),
+                    ["__g"], [("n_tail", "lnr", "count"),
+                              ("s", "lnr", "sum")])
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = pc.cast(b.column("n_tail"), pa.float64())
+        alpha = pc.divide(n, b.column("s"))
+        return pa.table({
+            "threshold_p90": pa.array(
+                np.full(b.num_rows, thr), pa.float64()),
+            "n_tail": pc.cast(b.column("n_tail"), pa.int64()),
+            "hill_alpha": round_like_duckdb(alpha, 6),
+        })
+
+    return g.map_batches(finish, batch_format="pyarrow")
+
+
+QUERIES["q_order_value_hill_tail"] = q_order_value_hill_tail
+ORACLE_SQL["q_order_value_hill_tail"] = """
+    WITH v AS (SELECT round(quantile_cont(o_totalprice, 0.9), 6) AS thr
+               FROM orders),
+    t AS (
+      SELECT ln(o_totalprice / thr) AS lnr
+      FROM orders, v WHERE o_totalprice > thr
+    )
+    SELECT (SELECT thr FROM v) AS threshold_p90,
+           count(*) AS n_tail,
+           round(count(*) / sum(lnr), 6) AS hill_alpha
+    FROM t
+"""
