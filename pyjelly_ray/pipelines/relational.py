@@ -14900,3 +14900,263 @@ ORACLE_SQL["q_order_value_hill_tail"] = """
            round(count(*) / sum(lnr), 6) AS hill_alpha
     FROM t
 """
+
+
+def q_supplier_jaccard_similarity(sf_dir: str):
+    """Link prediction / competitor detection on the bipartite supply
+    graph: top-20 supplier pairs by Jaccard similarity of their part
+    neighborhoods |N(a)∩N(b)| / |N(a)∪N(b)|.  Pairs are generated inside
+    each part's co-partition run (bounded by suppliers-per-part — never a
+    supplier×supplier join); intersections ride the combiner exchange and
+    degrees broadcast back; the ratio is exact integer math."""
+    from ..stages.agg import _key_run_bounds, global_topk, grouped_agg, \
+        grouped_map, round_like_duckdb
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+    # distinct (part, supplier) edges once
+    edges = grouped_agg(li, ["l_partkey", "l_suppkey"],
+                        [("__n", "l_partkey", "count")])
+    edges = edges.map_batches(
+        lambda b: b.select(["l_partkey", "l_suppkey"]),
+        batch_format="pyarrow").materialize()
+
+    deg = grouped_agg(edges, ["l_suppkey"], [("deg", "l_suppkey", "count")],
+                      sum_as_float=False)
+    deg_t = pa.concat_tables(
+        [t for t in __import__("ray").get(deg.to_arrow_refs())
+         if t.num_columns > 0])
+    deg_map = dict(zip(deg_t.column("l_suppkey").to_pylist(),
+                       deg_t.column("deg").to_pylist()))
+
+    empty = pa.table({"supp_a": pa.array([], pa.int64()),
+                      "supp_b": pa.array([], pa.int64())})
+
+    def pairs_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        t = t.sort_by([("l_partkey", "ascending"),
+                       ("l_suppkey", "ascending")])
+        bounds = _key_run_bounds(t, ["l_partkey"])
+        sizes = np.diff(bounds)
+        supps = t.column("l_suppkey").to_numpy(zero_copy_only=False)
+        a_out, b_out = [], []
+        for ri in np.flatnonzero(sizes >= 2):
+            s, e = int(bounds[ri]), int(bounds[ri + 1])
+            ii, jj = np.triu_indices(e - s, k=1)
+            a_out.append(supps[s:e][ii])
+            b_out.append(supps[s:e][jj])
+        if not a_out:
+            return empty
+        return pa.table({
+            "supp_a": pa.array(np.concatenate(a_out), pa.int64()),
+            "supp_b": pa.array(np.concatenate(b_out), pa.int64()),
+        })
+
+    pairs = grouped_map(
+        edges, "l_partkey", pairs_part, per_group=False,
+        empty_schema=pa.table({
+            "l_partkey": pa.array([], pa.int64()),
+            "l_suppkey": pa.array([], pa.int64())}))
+    inter = grouped_agg(pairs, ["supp_a", "supp_b"],
+                        [("n_shared", "supp_a", "count")],
+                        sum_as_float=False)
+
+    def score(b: pa.Table) -> pa.Table:
+        if "n_shared" not in b.column_names:
+            return pa.table({"supp_a": pa.array([], pa.int64()),
+                             "supp_b": pa.array([], pa.int64()),
+                             "n_shared": pa.array([], pa.int64()),
+                             "jaccard": pa.array([], pa.float64())})
+        a = b.column("supp_a").to_numpy(zero_copy_only=False)
+        bb = b.column("supp_b").to_numpy(zero_copy_only=False)
+        inter_n = b.column("n_shared").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        da = np.array([deg_map[x] for x in a], np.int64)
+        db = np.array([deg_map[x] for x in bb], np.int64)
+        jac = inter_n * 1.0 / (da + db - inter_n)
+        return pa.table({
+            "supp_a": pa.array(a, pa.int64()),
+            "supp_b": pa.array(bb, pa.int64()),
+            "n_shared": pa.array(inter_n, pa.int64()),
+            "jaccard": round_like_duckdb(
+                pa.array(jac, pa.float64()), 6),
+        })
+
+    scored = inter.map_batches(score, batch_format="pyarrow")
+    return global_topk(scored, ["jaccard", "supp_a", "supp_b"], 20,
+                       descending=[True, False, False])
+
+
+QUERIES["q_supplier_jaccard_similarity"] = q_supplier_jaccard_similarity
+ORACLE_SQL["q_supplier_jaccard_similarity"] = """
+    WITH e AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    d AS (SELECT l_suppkey, count(*) AS deg FROM e GROUP BY 1),
+    i AS (
+      SELECT a.l_suppkey AS supp_a, b.l_suppkey AS supp_b,
+             count(*) AS n_shared
+      FROM e a JOIN e b
+        ON a.l_partkey = b.l_partkey AND b.l_suppkey > a.l_suppkey
+      GROUP BY 1, 2
+    )
+    SELECT supp_a, supp_b, n_shared,
+           round(n_shared * 1.0 / (da.deg + db.deg - n_shared), 6)
+               AS jaccard
+    FROM i JOIN d da ON da.l_suppkey = supp_a
+           JOIN d db ON db.l_suppkey = supp_b
+    ORDER BY jaccard DESC, supp_a, supp_b LIMIT 20
+"""
+
+
+def q_user_rate_limit_screen(sf_dir: str):
+    """Anti-abuse rate screen: each user's PEAK sliding-1-hour event
+    count (window anchored at every event), top-20 burstiest users — the
+    rate-limiter's offline calibration query.  Inside each user's
+    time-sorted run one vectorized searchsorted gives every anchor's
+    window population; no self-join, no per-row loop."""
+    from ..stages.agg import _key_run_bounds, global_topk, grouped_map
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+    empty = pa.table({"user_id": pa.array([], pa.int64()),
+                      "peak_1h": pa.array([], pa.int64())})
+
+    def peak_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        t = t.sort_by([("user_id", "ascending"), ("ts", "ascending"),
+                       ("event_id", "ascending")])
+        bounds = _key_run_bounds(t, ["user_id"])
+        us = pc.cast(t.column("ts").combine_chunks(), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        out_u, out_p = [], []
+        for i in range(len(bounds) - 1):
+            lo, hi = int(bounds[i]), int(bounds[i + 1])
+            run = us[lo:hi]
+            cnt = np.searchsorted(run, run + 3_600_000_000,
+                                  side="right") - np.arange(hi - lo)
+            out_u.append(uid[lo])
+            out_p.append(int(cnt.max()))
+        return pa.table({"user_id": pa.array(out_u, pa.int64()),
+                         "peak_1h": pa.array(out_p, pa.int64())})
+
+    peaks = grouped_map(
+        ev, "user_id", peak_part, per_group=False,
+        empty_schema=pa.table({
+            "user_id": pa.array([], pa.int64()),
+            "ts": pa.array([], pa.timestamp("us")),
+            "event_id": pa.array([], pa.int64())}))
+    return global_topk(peaks, ["peak_1h", "user_id"], 20,
+                       descending=[True, False])
+
+
+QUERIES["q_user_rate_limit_screen"] = q_user_rate_limit_screen
+ORACLE_SQL["q_user_rate_limit_screen"] = """
+    WITH w AS (
+      SELECT user_id,
+             count(*) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN CURRENT ROW AND 3600000000 FOLLOWING
+             ) AS cnt
+      FROM events
+    )
+    SELECT user_id, max(cnt) AS peak_1h
+    FROM w GROUP BY 1
+    ORDER BY peak_1h DESC, user_id LIMIT 20
+"""
+
+
+def q_user_active_days_histogram(sf_dir: str):
+    """Engagement-depth histogram: how many users were active on exactly
+    k distinct days — the L28-style depth distribution behind DAU/MAU.
+    Two chained combiner exchanges (distinct (user, day) → per-user day
+    count → per-count user count); exact integers end to end."""
+    from ..stages.agg import grouped_agg
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def day_of(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "day": pc.divide(pc.cast(b.column("ts"), pa.int64()),
+                             pa.scalar(86_400_000_000, pa.int64())),
+        })
+
+    ud = grouped_agg(ev.map_batches(day_of, batch_format="pyarrow"),
+                     ["user_id", "day"], [("__n", "day", "count")])
+    per_user = grouped_agg(ud, ["user_id"],
+                           [("active_days", "day", "count")],
+                           sum_as_float=False)
+    hist = grouped_agg(per_user, ["active_days"],
+                       [("n_users", "active_days", "count")],
+                       sum_as_float=False)
+    return hist.map_batches(
+        lambda b: pa.table({
+            "active_days": pc.cast(b.column("active_days"), pa.int64()),
+            "n_users": pc.cast(b.column("n_users"), pa.int64()),
+        }), batch_format="pyarrow")
+
+
+QUERIES["q_user_active_days_histogram"] = q_user_active_days_histogram
+ORACLE_SQL["q_user_active_days_histogram"] = """
+    WITH ud AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+      FROM events
+    ),
+    u AS (SELECT user_id, count(*) AS active_days FROM ud GROUP BY 1)
+    SELECT active_days, count(*) AS n_users
+    FROM u GROUP BY 1
+"""
+
+
+def q_part_price_dispersion(sf_dir: str):
+    """Law-of-one-price screen: the 20 parts whose realized unit price
+    disperses most (coefficient of variation), among parts sold in ≥ 5
+    line items — pricing-anomaly detection.  Unit prices derive map-side;
+    per-part std/mean come from one mergeable moment exchange; the CV
+    ranking is deterministic (round-6 CV, partkey tiebreak)."""
+    from ..stages.agg import global_topk, grouped_agg, round_like_duckdb
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_extendedprice", "l_quantity"])
+
+    def unit(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_partkey": b.column("l_partkey"),
+            "up": pc.divide(b.column("l_extendedprice"),
+                            b.column("l_quantity")),
+        })
+
+    g = grouped_agg(li.map_batches(unit, batch_format="pyarrow"),
+                    ["l_partkey"],
+                    [("n_items", "up", "count"), ("m", "up", "mean"),
+                     ("sd", "up", "std")])
+
+    def score(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater_equal(b.column("n_items"),
+                                      pa.scalar(5, pa.int64())))
+        cv = pc.divide(b.column("sd"), b.column("m"))
+        return pa.table({
+            "l_partkey": b.column("l_partkey"),
+            "n_items": pc.cast(b.column("n_items"), pa.int64()),
+            "mean_unit_price": round_like_duckdb(b.column("m"), 6),
+            "cv_unit_price": round_like_duckdb(cv, 6),
+        })
+
+    scored = g.map_batches(score, batch_format="pyarrow")
+    return global_topk(scored, ["cv_unit_price", "l_partkey"], 20,
+                       descending=[True, False])
+
+
+QUERIES["q_part_price_dispersion"] = q_part_price_dispersion
+ORACLE_SQL["q_part_price_dispersion"] = """
+    WITH g AS (
+      SELECT l_partkey, count(*) AS n_items,
+             avg(l_extendedprice / l_quantity) AS m,
+             stddev_samp(l_extendedprice / l_quantity) AS sd
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l_partkey, n_items, round(m, 6) AS mean_unit_price,
+           round(sd / m, 6) AS cv_unit_price
+    FROM g WHERE n_items >= 5
+    ORDER BY round(sd / m, 6) DESC, l_partkey LIMIT 20
+"""
