@@ -15160,3 +15160,230 @@ ORACLE_SQL["q_part_price_dispersion"] = """
     FROM g WHERE n_items >= 5
     ORDER BY round(sd / m, 6) DESC, l_partkey LIMIT 20
 """
+
+
+def q_type_temporal_cosine(sf_dir: str):
+    """Temporal-fingerprint similarity: cosine between event types'
+    168-bin (dow × hour) activity profiles — do two event streams share
+    a schedule (bot pairs, pipeline stages) or live on different clocks?
+    One ≤|types|·168 combiner; the pairwise cosine folds over the tiny
+    profile table on exact integer counts."""
+    from ..stages.agg import grouped_agg, grouped_map, round_like_duckdb
+
+    ev = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def proj(b: pa.Table) -> pa.Table:
+        us = pc.cast(b.column("ts"), pa.int64())
+        day = pc.divide(us, pa.scalar(86_400_000_000, pa.int64()))
+        d3 = pc.add(day, pa.scalar(3, pa.int64()))
+        dow = pc.subtract(
+            d3, pc.multiply(pc.divide(d3, pa.scalar(7, pa.int64())),
+                            pa.scalar(7, pa.int64())))
+        hour = pc.subtract(
+            pc.divide(us, pa.scalar(3_600_000_000, pa.int64())),
+            pc.multiply(day, pa.scalar(24, pa.int64())))
+        cell = pc.add(pc.multiply(dow, pa.scalar(24, pa.int64())), hour)
+        return pa.table({"event_type": b.column("event_type"),
+                         "cell": cell})
+
+    g = grouped_agg(ev.map_batches(proj, batch_format="pyarrow"),
+                    ["event_type", "cell"], [("n", "cell", "count")])
+
+    def add_g(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "__g", pa.array(np.zeros(b.num_rows, np.int8)))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        empty = pa.table({"type_a": pa.array([], pa.string()),
+                          "type_b": pa.array([], pa.string()),
+                          "cosine": pa.array([], pa.float64())})
+        if t.num_rows == 0:
+            return empty
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        cell = t.column("cell").to_numpy(zero_copy_only=False)
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        types, ti = np.unique(et, return_inverse=True)
+        prof = np.zeros((len(types), 168))
+        prof[ti, cell] = n
+        a_out, b_out, c_out = [], [], []
+        for i in range(len(types)):
+            for j in range(i + 1, len(types)):
+                num = float((prof[i] * prof[j]).sum())
+                den = np.sqrt(float((prof[i] * prof[i]).sum())
+                              * float((prof[j] * prof[j]).sum()))
+                a_out.append(types[i])
+                b_out.append(types[j])
+                c_out.append(num / den if den > 0.0 else None)
+        out = pa.table({"type_a": pa.array(a_out, pa.string()),
+                        "type_b": pa.array(b_out, pa.string()),
+                        "cosine": pa.array(c_out, pa.float64())})
+        idx = out.column_names.index("cosine")
+        return out.set_column(idx, "cosine",
+                              round_like_duckdb(out.column("cosine"), 6))
+
+    out = grouped_map(g.map_batches(add_g, batch_format="pyarrow"),
+                      "__g", finalize, per_group=False)
+    return out.map_batches(
+        lambda b: b.select(["type_a", "type_b", "cosine"]),
+        batch_format="pyarrow")
+
+
+QUERIES["q_type_temporal_cosine"] = q_type_temporal_cosine
+ORACLE_SQL["q_type_temporal_cosine"] = """
+    WITH c AS (
+      SELECT event_type,
+             ((epoch_us(ts) // 86400000000 + 3) % 7) * 24
+               + (epoch_us(ts) // 3600000000
+                  - (epoch_us(ts) // 86400000000) * 24) AS cell,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             sum(CAST(a.n AS DOUBLE) * b.n) AS num
+      FROM c a JOIN c b
+        ON a.cell = b.cell AND b.event_type > a.event_type
+      GROUP BY 1, 2
+    ),
+    s AS (SELECT event_type, sum(CAST(n AS DOUBLE) * n) AS ss
+          FROM c GROUP BY 1)
+    SELECT type_a, type_b,
+           round(num / sqrt(sa.ss * sb.ss), 6) AS cosine
+    FROM p JOIN s sa ON sa.event_type = type_a
+           JOIN s sb ON sb.event_type = type_b
+"""
+
+
+def q_weekend_value_qq(sf_dir: str):
+    """QQ table weekday vs weekend event values: the nine deciles of each
+    side, side by side with their gap — the distribution-shift visual
+    behind the Mann-Whitney test (same shared temporal-split preamble).
+    Exact grouped quantiles (quantile_cont semantics) per side; the pivot
+    happens on an 18-row table."""
+    from ..stages.agg import grouped_map, grouped_quantiles, \
+        round_like_duckdb
+
+    labeled = _weekend_labeled_events(sf_dir)
+    qs = [(f"q{i}", i / 10.0) for i in range(1, 10)]
+    per_side = grouped_quantiles(labeled, "variant", "value", qs,
+                                 round_to=6)
+
+    def add_g(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "__g", pa.array(np.zeros(b.num_rows, np.int8)))
+
+    def pivot(t: pa.Table) -> pa.Table:
+        empty = pa.table({"decile": pa.array([], pa.int64()),
+                          "weekday_value": pa.array([], pa.float64()),
+                          "weekend_value": pa.array([], pa.float64()),
+                          "gap": pa.array([], pa.float64())})
+        rows = {r["variant"]: r for r in t.to_pylist()}
+        if "weekday" not in rows or "weekend" not in rows:
+            return empty
+        wd, we = rows["weekday"], rows["weekend"]
+        dec, wdv, wev, gap = [], [], [], []
+        for i in range(1, 10):
+            dec.append(i)
+            wdv.append(wd[f"q{i}"])
+            wev.append(we[f"q{i}"])
+            gap.append(we[f"q{i}"] - wd[f"q{i}"])
+        out = pa.table({"decile": pa.array(dec, pa.int64()),
+                        "weekday_value": pa.array(wdv, pa.float64()),
+                        "weekend_value": pa.array(wev, pa.float64()),
+                        "gap": pa.array(gap, pa.float64())})
+        idx = out.column_names.index("gap")
+        return out.set_column(idx, "gap",
+                              round_like_duckdb(out.column("gap"), 6))
+
+    out = grouped_map(per_side.map_batches(add_g, batch_format="pyarrow"),
+                      "__g", pivot, per_group=False)
+    return out.map_batches(
+        lambda b: b.select(["decile", "weekday_value", "weekend_value",
+                            "gap"]),
+        batch_format="pyarrow")
+
+
+QUERIES["q_weekend_value_qq"] = q_weekend_value_qq
+ORACLE_SQL["q_weekend_value_qq"] = """
+    WITH s AS (
+      SELECT CASE WHEN (epoch_us(ts) // 86400000000 + 3) % 7 + 1 >= 6
+                  THEN 'weekend' ELSE 'weekday' END AS variant,
+             value
+      FROM events
+    ),
+    q AS (
+      SELECT variant,
+             unnest(range(1, 10)) AS decile,
+             unnest([round(quantile_cont(value, 0.1), 6),
+                     round(quantile_cont(value, 0.2), 6),
+                     round(quantile_cont(value, 0.3), 6),
+                     round(quantile_cont(value, 0.4), 6),
+                     round(quantile_cont(value, 0.5), 6),
+                     round(quantile_cont(value, 0.6), 6),
+                     round(quantile_cont(value, 0.7), 6),
+                     round(quantile_cont(value, 0.8), 6),
+                     round(quantile_cont(value, 0.9), 6)]) AS v
+      FROM s GROUP BY variant
+    )
+    SELECT wd.decile AS decile, wd.v AS weekday_value,
+           we.v AS weekend_value, round(we.v - wd.v, 6) AS gap
+    FROM q wd JOIN q we USING (decile)
+    WHERE wd.variant = 'weekday' AND we.variant = 'weekend'
+"""
+
+
+def q_daily_revenue_dow_anova(sf_dir: str):
+    """Weekday-seasonality strength: one-way ANOVA of daily revenue
+    across day-of-week — η² is the share of daily-revenue variance the
+    weekly cycle explains (the STL-lite seasonality-strength score), F
+    its significance.  The shared exact-cents daily table + the
+    oneway_anova primitive; zero new shuffle shapes."""
+    from ..stages.agg import oneway_anova
+
+    daily = _daily_order_revenue_cents(sf_dir)
+
+    def label(b: pa.Table) -> pa.Table:
+        d3 = pc.add(b.column("day"), pa.scalar(3, pa.int64()))
+        dow = pc.add(pc.subtract(
+            d3, pc.multiply(pc.divide(d3, pa.scalar(7, pa.int64())),
+                            pa.scalar(7, pa.int64()))),
+            pa.scalar(1, pa.int64()))
+        return pa.table({
+            "dow": dow,
+            "rev": pc.divide(pc.cast(b.column("c"), pa.float64()),
+                             pa.scalar(100.0, pa.float64())),
+        })
+
+    return oneway_anova(daily.map_batches(label, batch_format="pyarrow"),
+                        "dow", "rev")
+
+
+QUERIES["q_daily_revenue_dow_anova"] = q_daily_revenue_dow_anova
+ORACLE_SQL["q_daily_revenue_dow_anova"] = """
+    WITH d AS (
+      SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+             CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT))
+                  AS DOUBLE) / 100.0 AS rev
+      FROM orders GROUP BY 1
+    ),
+    z AS (SELECT (day + 3) % 7 + 1 AS dow, rev FROM d),
+    g AS (
+      SELECT dow, count(*) AS n, avg(rev) AS m, var_samp(rev) AS v
+      FROM z GROUP BY 1
+    ),
+    tot AS (
+      SELECT count(*) AS k, sum(n) AS nt, sum(n * m) / sum(n) AS gm
+      FROM g
+    ),
+    ss AS (
+      SELECT (SELECT sum(n * ((m - gm) * (m - gm))) FROM g, tot) AS ssb,
+             (SELECT sum((n - 1.0) * v) FROM g WHERE n > 1) AS ssw
+    )
+    SELECT (SELECT k FROM tot) AS k_groups,
+           CAST((SELECT nt FROM tot) AS BIGINT) AS n_total,
+           round((ssb / ((SELECT k FROM tot) - 1.0))
+                 / (ssw / ((SELECT nt FROM tot) - (SELECT k FROM tot))), 6)
+               AS f_stat,
+           round(ssb / (ssb + ssw), 6) AS eta_sq
+    FROM ss
+"""
