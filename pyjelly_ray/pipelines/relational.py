@@ -13455,15 +13455,12 @@ ORACLE_SQL["q_event_type_entropy_rate"] = """
 """
 
 
-def q_click_mcnemar(sf_dir: str):
-    """McNemar's paired test on click behavior between the first and
-    second half of the observation window (midpoint split, same time
-    bound as the CUPED query): did individual users' clicking switch
-    on/off asymmetrically?  Per-user before/after flags are one keyed
-    conditional-MAX aggregate; the 2×2 discordant cells finalize from a
-    4-row table; χ² = (b−c)²/(b+c) plus the continuity-corrected
-    variant."""
-    from ..stages.agg import grouped_agg, grouped_map, round_like_duckdb
+def _click_period_flags(sf_dir: str):
+    """Per-user (clicked-in-first-half, clicked-in-second-half) flags —
+    the midpoint-split paired-binary preamble shared by the McNemar test
+    and the Cohen's-kappa agreement query (same time bound as CUPED).
+    One keyed conditional-MAX aggregate; returns (user_id, f1, f2)."""
+    from ..stages.agg import grouped_agg
 
     ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
 
@@ -13486,8 +13483,22 @@ def q_click_mcnemar(sf_dir: str):
             "c2": pc.cast(pc.and_(is_click, pc.invert(early)), pa.int64()),
         })
 
-    u = grouped_agg(ev.map_batches(flags, batch_format="pyarrow"),
-                    ["user_id"], [("f1", "c1", "max"), ("f2", "c2", "max")])
+    return grouped_agg(ev.map_batches(flags, batch_format="pyarrow"),
+                       ["user_id"],
+                       [("f1", "c1", "max"), ("f2", "c2", "max")])
+
+
+def q_click_mcnemar(sf_dir: str):
+    """McNemar's paired test on click behavior between the first and
+    second half of the observation window (midpoint split, same time
+    bound as the CUPED query): did individual users' clicking switch
+    on/off asymmetrically?  Per-user before/after flags are one keyed
+    conditional-MAX aggregate; the 2×2 discordant cells finalize from a
+    4-row table; χ² = (b−c)²/(b+c) plus the continuity-corrected
+    variant."""
+    from ..stages.agg import grouped_agg, grouped_map, round_like_duckdb
+
+    u = _click_period_flags(sf_dir)
 
     def cell(b: pa.Table) -> pa.Table:
         return pa.table({
@@ -15386,4 +15397,276 @@ ORACLE_SQL["q_daily_revenue_dow_anova"] = """
                AS f_stat,
            round(ssb / (ssb + ssw), 6) AS eta_sq
     FROM ss
+"""
+
+
+def q_click_period_kappa(sf_dir: str):
+    """Cohen's kappa between the two halves of the window on per-user
+    click behavior — chance-corrected agreement (the stability companion
+    to McNemar's asymmetry test, same shared paired-flag preamble):
+    κ = (p_o − p_e)/(1 − p_e) from the exact 2×2 integer cells."""
+    from ..stages.agg import grouped_agg, grouped_map, round_like_duckdb
+
+    u = _click_period_flags(sf_dir)
+
+    def cell(b: pa.Table) -> pa.Table:
+        one = pa.scalar(1, pa.int64())
+        return pa.table({
+            "__g": pa.array(np.zeros(b.num_rows, np.int8)),
+            "n11": pc.multiply(b.column("f1"), b.column("f2")),
+            "n10": pc.multiply(b.column("f1"),
+                               pc.subtract(one, b.column("f2"))),
+            "n01": pc.multiply(pc.subtract(one, b.column("f1")),
+                               b.column("f2")),
+        })
+
+    g = grouped_agg(u.map_batches(cell, batch_format="pyarrow"), ["__g"],
+                    [("n_users", "n11", "count"), ("n11", "n11", "sum"),
+                     ("n10", "n10", "sum"), ("n01", "n01", "sum")])
+
+    def finalize(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "n_users": pa.array([], pa.int64()),
+            "observed_agreement": pa.array([], pa.float64()),
+            "expected_agreement": pa.array([], pa.float64()),
+            "kappa": pa.array([], pa.float64()),
+        })
+        if t.num_rows == 0:
+            return empty
+        r = t.to_pylist()[0]
+        n = float(r["n_users"])
+        n11, n10, n01 = float(r["n11"]), float(r["n10"]), float(r["n01"])
+        n00 = n - n11 - n10 - n01
+        po = (n11 + n00) / n
+        p1a, p1b = (n11 + n10) / n, (n11 + n01) / n
+        pe = p1a * p1b + (1.0 - p1a) * (1.0 - p1b)
+        kappa = (po - pe) / (1.0 - pe) if pe < 1.0 else None
+        out = pa.table({
+            "n_users": pa.array([int(n)], pa.int64()),
+            "observed_agreement": pa.array([po], pa.float64()),
+            "expected_agreement": pa.array([pe], pa.float64()),
+            "kappa": pa.array([kappa], pa.float64()),
+        })
+        for name in ("observed_agreement", "expected_agreement", "kappa"):
+            idx = out.column_names.index(name)
+            out = out.set_column(
+                idx, name, round_like_duckdb(out.column(name), 6))
+        return out
+
+    out = grouped_map(g, "__g", finalize, per_group=False)
+    return out.map_batches(
+        lambda b: b.select(["n_users", "observed_agreement",
+                            "expected_agreement", "kappa"]),
+        batch_format="pyarrow")
+
+
+QUERIES["q_click_period_kappa"] = q_click_period_kappa
+ORACLE_SQL["q_click_period_kappa"] = """
+    WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
+    bnd AS (SELECT (min(us) + max(us)) // 2 AS mid FROM e),
+    u AS (
+      SELECT user_id,
+             max(CASE WHEN event_type = 'click'
+                       AND us < (SELECT mid FROM bnd)
+                      THEN 1 ELSE 0 END) AS f1,
+             max(CASE WHEN event_type = 'click'
+                       AND us >= (SELECT mid FROM bnd)
+                      THEN 1 ELSE 0 END) AS f2
+      FROM e GROUP BY 1
+    ),
+    g AS (
+      SELECT count(*) * 1.0 AS n,
+             sum(f1 * f2) * 1.0 AS n11,
+             sum(f1 * (1 - f2)) * 1.0 AS n10,
+             sum((1 - f1) * f2) * 1.0 AS n01
+      FROM u
+    ),
+    p AS (
+      SELECT n, (n11 + (n - n11 - n10 - n01)) / n AS po,
+             ((n11 + n10) / n) * ((n11 + n01) / n)
+               + (1.0 - (n11 + n10) / n) * (1.0 - (n11 + n01) / n) AS pe
+      FROM g
+    )
+    SELECT CAST(n AS BIGINT) AS n_users,
+           round(po, 6) AS observed_agreement,
+           round(pe, 6) AS expected_agreement,
+           round((po - pe) / (1.0 - pe), 6) AS kappa
+    FROM p
+"""
+
+
+def q_weekend_purchase_odds(sf_dir: str):
+    """Odds ratio of purchasing on a weekend vs weekday event (the 2×2
+    epidemiology read): OR = (a·d)/(b·c) with the Woolf log-OR 95 % CI
+    exp(ln OR ± 1.96·√(1/a+1/b+1/c+1/d)) — exact integer cells from one
+    map-side projection + a 4-cell combiner."""
+    from ..stages.agg import grouped_agg, grouped_map, round_like_duckdb
+
+    ev = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def proj(b: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(b.column("ts"), pa.int64()),
+                        pa.scalar(86_400_000_000, pa.int64()))
+        d3 = pc.add(day, pa.scalar(3, pa.int64()))
+        dow = pc.add(pc.subtract(
+            d3, pc.multiply(pc.divide(d3, pa.scalar(7, pa.int64())),
+                            pa.scalar(7, pa.int64()))),
+            pa.scalar(1, pa.int64()))
+        wkd = pc.greater_equal(dow, pa.scalar(6, pa.int64()))
+        pur = pc.equal(b.column("event_type"), pa.scalar("purchase"))
+        one = pa.scalar(1, pa.int64())
+        a = pc.cast(pc.and_(wkd, pur), pa.int64())
+        bb = pc.cast(pc.and_(wkd, pc.invert(pur)), pa.int64())
+        c = pc.cast(pc.and_(pc.invert(wkd), pur), pa.int64())
+        d = pc.cast(pc.and_(pc.invert(wkd), pc.invert(pur)), pa.int64())
+        return pa.table({
+            "__g": pa.array(np.zeros(b.num_rows, np.int8)),
+            "a": a, "b": bb, "c": c, "d": d})
+
+    g = grouped_agg(ev.map_batches(proj, batch_format="pyarrow"), ["__g"],
+                    [("a", "a", "sum"), ("b", "b", "sum"),
+                     ("c", "c", "sum"), ("d", "d", "sum")])
+
+    def finalize(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "n_weekend_purchase": pa.array([], pa.int64()),
+            "n_weekend_other": pa.array([], pa.int64()),
+            "n_weekday_purchase": pa.array([], pa.int64()),
+            "n_weekday_other": pa.array([], pa.int64()),
+            "odds_ratio": pa.array([], pa.float64()),
+            "ci_low": pa.array([], pa.float64()),
+            "ci_high": pa.array([], pa.float64()),
+        })
+        if t.num_rows == 0:
+            return empty
+        r = t.to_pylist()[0]
+        a, b, c, d = (float(r["a"]), float(r["b"]),
+                      float(r["c"]), float(r["d"]))
+        if min(a, b, c, d) <= 0.0:
+            orat = lo = hi = None
+        else:
+            orat = (a * d) / (b * c)
+            se = np.sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)
+            lo = float(np.exp(np.log(orat) - 1.96 * se))
+            hi = float(np.exp(np.log(orat) + 1.96 * se))
+        out = pa.table({
+            "n_weekend_purchase": pa.array([int(a)], pa.int64()),
+            "n_weekend_other": pa.array([int(b)], pa.int64()),
+            "n_weekday_purchase": pa.array([int(c)], pa.int64()),
+            "n_weekday_other": pa.array([int(d)], pa.int64()),
+            "odds_ratio": pa.array([orat], pa.float64()),
+            "ci_low": pa.array([lo], pa.float64()),
+            "ci_high": pa.array([hi], pa.float64()),
+        })
+        for name in ("odds_ratio", "ci_low", "ci_high"):
+            idx = out.column_names.index(name)
+            out = out.set_column(
+                idx, name, round_like_duckdb(out.column(name), 6))
+        return out
+
+    out = grouped_map(g, "__g", finalize, per_group=False)
+    return out.map_batches(
+        lambda b: b.select(["n_weekend_purchase", "n_weekend_other",
+                            "n_weekday_purchase", "n_weekday_other",
+                            "odds_ratio", "ci_low", "ci_high"]),
+        batch_format="pyarrow")
+
+
+QUERIES["q_weekend_purchase_odds"] = q_weekend_purchase_odds
+ORACLE_SQL["q_weekend_purchase_odds"] = """
+    WITH s AS (
+      SELECT CASE WHEN (epoch_us(ts) // 86400000000 + 3) % 7 + 1 >= 6
+                  THEN 1 ELSE 0 END AS wkd,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pur
+      FROM events
+    ),
+    g AS (
+      SELECT sum(wkd * pur) * 1.0 AS a,
+             sum(wkd * (1 - pur)) * 1.0 AS b,
+             sum((1 - wkd) * pur) * 1.0 AS c,
+             sum((1 - wkd) * (1 - pur)) * 1.0 AS d
+      FROM s
+    )
+    SELECT CAST(a AS BIGINT) AS n_weekend_purchase,
+           CAST(b AS BIGINT) AS n_weekend_other,
+           CAST(c AS BIGINT) AS n_weekday_purchase,
+           CAST(d AS BIGINT) AS n_weekday_other,
+           round((a * d) / (b * c), 6) AS odds_ratio,
+           round(exp(ln((a * d) / (b * c))
+                     - 1.96 * sqrt(1.0/a + 1.0/b + 1.0/c + 1.0/d)), 6)
+               AS ci_low,
+           round(exp(ln((a * d) / (b * c))
+                     + 1.96 * sqrt(1.0/a + 1.0/b + 1.0/c + 1.0/d)), 6)
+               AS ci_high
+    FROM g
+"""
+
+
+def q_user_count_overdispersion(sf_dir: str):
+    """Overdispersion check on per-user event counts: the index of
+    dispersion D = var/mean (Poisson ⇒ 1) and its chi-square form
+    (n−1)·D — the screen that says "user activity is NOT Poisson, use a
+    negative-binomial model".  Per-user counts are one combiner; the
+    moments one more; exact integer counts feed the ratio."""
+    from ..stages.agg import grouped_agg, grouped_map, round_like_duckdb
+
+    ev = _read(sf_dir, "events", ["user_id"])
+    counts = grouped_agg(ev, ["user_id"], [("n", "user_id", "count")])
+
+    def tag(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "__g": pa.array(np.zeros(b.num_rows, np.int8)),
+            "n": pc.cast(b.column("n"), pa.float64()),
+        })
+
+    g = grouped_agg(counts.map_batches(tag, batch_format="pyarrow"),
+                    ["__g"], [("k", "n", "count"), ("m", "n", "mean"),
+                              ("v", "n", "var")])
+
+    def finalize(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "n_users": pa.array([], pa.int64()),
+            "mean_events": pa.array([], pa.float64()),
+            "var_events": pa.array([], pa.float64()),
+            "dispersion_index": pa.array([], pa.float64()),
+            "chi2_dispersion": pa.array([], pa.float64()),
+        })
+        if t.num_rows == 0:
+            return empty
+        r = t.to_pylist()[0]
+        k, m, v = float(r["k"]), r["m"], r["v"]
+        if m is None or v is None or m == 0.0:
+            return empty
+        d = v / m
+        out = pa.table({
+            "n_users": pa.array([int(k)], pa.int64()),
+            "mean_events": pa.array([m], pa.float64()),
+            "var_events": pa.array([v], pa.float64()),
+            "dispersion_index": pa.array([d], pa.float64()),
+            "chi2_dispersion": pa.array([(k - 1.0) * d], pa.float64()),
+        })
+        for name in ("mean_events", "var_events", "dispersion_index",
+                     "chi2_dispersion"):
+            idx = out.column_names.index(name)
+            out = out.set_column(
+                idx, name, round_like_duckdb(out.column(name), 6))
+        return out
+
+    out = grouped_map(g, "__g", finalize, per_group=False)
+    return out.map_batches(
+        lambda b: b.select(["n_users", "mean_events", "var_events",
+                            "dispersion_index", "chi2_dispersion"]),
+        batch_format="pyarrow")
+
+
+QUERIES["q_user_count_overdispersion"] = q_user_count_overdispersion
+ORACLE_SQL["q_user_count_overdispersion"] = """
+    WITH u AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+    g AS (SELECT count(*) AS k, avg(n * 1.0) AS m, var_samp(n * 1.0) AS v
+          FROM u)
+    SELECT k AS n_users, round(m, 6) AS mean_events,
+           round(v, 6) AS var_events,
+           round(v / m, 6) AS dispersion_index,
+           round((k - 1.0) * (v / m), 6) AS chi2_dispersion
+    FROM g
 """
