@@ -15670,3 +15670,126 @@ ORACLE_SQL["q_user_count_overdispersion"] = """
            round((k - 1.0) * (v / m), 6) AS chi2_dispersion
     FROM g
 """
+
+
+def q_weekly_value_envelope(sf_dir: str):
+    """Monitoring envelope: weekly p10 / p50 / p90 of event value — the
+    control-band table dashboards draw around a metric.  Exact grouped
+    quantiles (quantile_cont semantics) keyed by epoch week; one keyed
+    exchange co-locates each week's values."""
+    from ..stages.agg import grouped_quantiles
+
+    ev = _read(sf_dir, "events", ["ts", "value"])
+
+    def proj(b: pa.Table) -> pa.Table:
+        return pa.table({"week": _epoch_week(b.column("ts")),
+                         "value": b.column("value")})
+
+    return grouped_quantiles(
+        ev.map_batches(proj, batch_format="pyarrow"), "week", "value",
+        [("p10", 0.1), ("p50", 0.5), ("p90", 0.9)], round_to=6)
+
+
+QUERIES["q_weekly_value_envelope"] = q_weekly_value_envelope
+ORACLE_SQL["q_weekly_value_envelope"] = """
+    SELECT epoch_us(ts) // 604800000000 AS week,
+           round(quantile_cont(value, 0.1), 6) AS p10,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.9), 6) AS p90
+    FROM events GROUP BY 1
+"""
+
+
+def q_daily_revenue_runs_test(sf_dir: str):
+    """Wald-Wolfowitz runs test for randomness of the daily revenue
+    series around its median: too FEW runs of above/below-median days
+    means streaky (trending/autocorrelated) revenue, too many means
+    oscillation.  The shared exact-cents daily table + one exact global
+    median; runs count and the normal approximation finalize over the
+    tiny series (median-equal days drop, per the classic test)."""
+    from ..stages.agg import grouped_map, round_like_duckdb
+
+    daily = _daily_order_revenue_cents(sf_dir)
+
+    def add_g(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "__g", pa.array(np.zeros(b.num_rows, np.int8)))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "n_above": pa.array([], pa.int64()),
+            "n_below": pa.array([], pa.int64()),
+            "n_runs": pa.array([], pa.int64()),
+            "z_runs": pa.array([], pa.float64()),
+        })
+        if t.num_rows < 2:
+            return empty
+        t = t.sort_by([("day", "ascending")])
+        c = t.column("c").to_numpy(zero_copy_only=False).astype(np.float64)
+        cs = np.sort(c)
+        h = (len(cs) - 1) * 0.5
+        lo = int(np.floor(h))
+        med = (cs[lo] if h == lo
+               else cs[lo] + (cs[lo + 1] - cs[lo]) * (h - lo))
+        sign = c[c != med] > med            # median-equal days drop
+        if len(sign) < 2:
+            return empty
+        n1 = float(sign.sum())
+        n2 = float(len(sign) - n1)
+        runs = int(1 + (sign[1:] != sign[:-1]).sum())
+        n = n1 + n2
+        if n1 == 0.0 or n2 == 0.0:
+            z = None
+        else:
+            mu = 2.0 * n1 * n2 / n + 1.0
+            var = (2.0 * n1 * n2 * (2.0 * n1 * n2 - n)
+                   / (n * n * (n - 1.0)))
+            z = (runs - mu) / np.sqrt(var) if var > 0.0 else None
+        out = pa.table({
+            "n_above": pa.array([int(n1)], pa.int64()),
+            "n_below": pa.array([int(n2)], pa.int64()),
+            "n_runs": pa.array([runs], pa.int64()),
+            "z_runs": pa.array([z], pa.float64()),
+        })
+        idx = out.column_names.index("z_runs")
+        return out.set_column(idx, "z_runs",
+                              round_like_duckdb(out.column("z_runs"), 6))
+
+    out = grouped_map(daily.map_batches(add_g, batch_format="pyarrow"),
+                      "__g", finalize, per_group=False)
+    return out.map_batches(
+        lambda b: b.select(["n_above", "n_below", "n_runs", "z_runs"]),
+        batch_format="pyarrow")
+
+
+QUERIES["q_daily_revenue_runs_test"] = q_daily_revenue_runs_test
+ORACLE_SQL["q_daily_revenue_runs_test"] = """
+    WITH d AS (
+      SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day,
+             CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT))
+                  AS DOUBLE) AS c
+      FROM orders GROUP BY 1
+    ),
+    m AS (SELECT quantile_cont(c, 0.5) AS med FROM d),
+    s AS (
+      SELECT day, CASE WHEN c > med THEN 1 ELSE 0 END AS sgn
+      FROM d, m WHERE c <> med
+    ),
+    r AS (
+      SELECT sgn, lag(sgn) OVER (ORDER BY day) AS prev FROM s
+    ),
+    g AS (
+      SELECT sum(CASE WHEN prev IS NULL OR sgn <> prev THEN 1 ELSE 0 END)
+               AS runs,
+             sum(sgn) * 1.0 AS n1,
+             sum(1 - sgn) * 1.0 AS n2
+      FROM r
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_above, CAST(n2 AS BIGINT) AS n_below,
+           CAST(runs AS BIGINT) AS n_runs,
+           round((runs - (2.0 * n1 * n2 / (n1 + n2) + 1.0))
+                 / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - (n1 + n2))
+                        / ((n1 + n2) * (n1 + n2) * ((n1 + n2) - 1.0))), 6)
+               AS z_runs
+    FROM g
+"""
