@@ -15793,3 +15793,187 @@ ORACLE_SQL["q_daily_revenue_runs_test"] = """
                AS z_runs
     FROM g
 """
+
+
+def q_vocab_heaps_exponent(sf_dir: str):
+    """Heaps'-law fit on the vocabulary growth curve: V = K·N^β via a
+    log-log regression of cumulative vocabulary on cumulative token
+    count per ingest batch — "how fast does more data stop adding new
+    vocabulary".  The flat (batch, token) stream is materialized once
+    and feeds BOTH the per-batch totals and the first-seen min-combiner;
+    the tiny curve finalizes with the same moment formula as
+    regr_slope."""
+    from ..stages.agg import grouped_agg, grouped_map, round_like_duckdb
+    from ..stages.joins import hash_join
+    from ..stages.sort import global_prefix_sums, range_sort
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def flat(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b.column("text"), " ")
+        lens = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        batch = (b.column("doc_id").to_numpy(zero_copy_only=False)
+                 // 100).astype(np.int64)
+        return pa.table({
+            "batch": pa.array(np.repeat(batch, lens), pa.int64()),
+            "token": pc.list_flatten(toks),
+        })
+
+    t = docs.map_batches(flat, batch_format="pyarrow").materialize()
+    tot = grouped_agg(t, ["batch"], [("toks", "batch", "count")],
+                      sum_as_float=False)
+    first = grouped_agg(t, ["token"], [("batch", "batch", "min")])
+    news = grouped_agg(first, ["batch"], [("new_tokens", "batch", "count")],
+                       sum_as_float=False)
+    j = hash_join(tot, news, left_key="batch", right_key="batch",
+                  how="left outer")
+
+    def clean(b: pa.Table) -> pa.Table:
+        if "toks" not in b.column_names:
+            return pa.table({"batch": pa.array([], pa.int64()),
+                             "toks": pa.array([], pa.int64()),
+                             "new_tokens": pa.array([], pa.int64())})
+        return pa.table({
+            "batch": b.column("batch"),
+            "toks": pc.cast(b.column("toks"), pa.int64()),
+            "new_tokens": pc.cast(pc.coalesce(
+                b.column("new_tokens"), pa.scalar(0, pa.int64())),
+                pa.int64()),
+        })
+
+    s = range_sort(j.map_batches(clean, batch_format="pyarrow"), "batch")
+    s = global_prefix_sums(s, "toks", out_name="__cn", exclusive=False)
+    s = global_prefix_sums(s, "new_tokens", out_name="__cv",
+                           exclusive=False)
+
+    def add_g(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "__g", pa.array(np.zeros(b.num_rows, np.int8)))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "n_points": pa.array([], pa.int64()),
+            "heaps_beta": pa.array([], pa.float64()),
+            "heaps_k": pa.array([], pa.float64()),
+        })
+        if t.num_rows < 2:
+            return empty
+        t = t.sort_by([("batch", "ascending")])
+        x = np.log(t.column("__cn").to_numpy(zero_copy_only=False) * 1.0)
+        y = np.log(t.column("__cv").to_numpy(zero_copy_only=False) * 1.0)
+        n = float(len(x))
+        sx, sy = x.sum(), y.sum()
+        sxx, sxy = (x * x).sum(), (x * y).sum()
+        dx = n * sxx - sx * sx
+        if dx <= 0.0:
+            return empty
+        slope = (n * sxy - sx * sy) / dx
+        intercept = (sy - slope * sx) / n
+        out = pa.table({
+            "n_points": pa.array([int(n)], pa.int64()),
+            "heaps_beta": pa.array([slope], pa.float64()),
+            "heaps_k": pa.array([float(np.exp(intercept))], pa.float64()),
+        })
+        for name in ("heaps_beta", "heaps_k"):
+            idx = out.column_names.index(name)
+            out = out.set_column(
+                idx, name, round_like_duckdb(out.column(name), 6))
+        return out
+
+    out = grouped_map(s.map_batches(add_g, batch_format="pyarrow"),
+                      "__g", finalize, per_group=False)
+    return out.map_batches(
+        lambda b: b.select(["n_points", "heaps_beta", "heaps_k"]),
+        batch_format="pyarrow")
+
+
+QUERIES["q_vocab_heaps_exponent"] = q_vocab_heaps_exponent
+ORACLE_SQL["q_vocab_heaps_exponent"] = """
+    WITH t AS (
+      SELECT doc_id // 100 AS batch,
+             unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    tot AS (SELECT batch, count(*) AS toks FROM t GROUP BY 1),
+    f AS (SELECT token, min(batch) AS batch FROM t GROUP BY 1),
+    n AS (SELECT batch, count(*) AS new_tokens FROM f GROUP BY 1),
+    c AS (
+      SELECT tot.batch,
+             sum(toks) OVER (ORDER BY tot.batch) AS cn,
+             sum(coalesce(new_tokens, 0)) OVER (ORDER BY tot.batch) AS cv
+      FROM tot LEFT JOIN n ON n.batch = tot.batch
+    )
+    SELECT count(*) AS n_points,
+           round(regr_slope(ln(cv * 1.0), ln(cn * 1.0)), 6) AS heaps_beta,
+           round(exp(regr_intercept(ln(cv * 1.0), ln(cn * 1.0))), 6)
+               AS heaps_k
+    FROM c
+"""
+
+
+def q_daily_revenue_arch(sf_dir: str):
+    """ARCH-effect screen (volatility clustering): Pearson correlation of
+    consecutive |log-return| magnitudes of daily revenue — do turbulent
+    days follow turbulent days?  The shared exact-cents daily table; the
+    lag-1 pairing and the moment correlation finalize over the tiny
+    series with the regr/corr op tree."""
+    from ..stages.agg import grouped_map, round_like_duckdb
+
+    daily = _daily_order_revenue_cents(sf_dir)
+
+    def add_g(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "__g", pa.array(np.zeros(b.num_rows, np.int8)))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "n_pairs": pa.array([], pa.int64()),
+            "arch_corr": pa.array([], pa.float64()),
+        })
+        if t.num_rows < 3:
+            return empty
+        t = t.sort_by([("day", "ascending")])
+        c = t.column("c").to_numpy(zero_copy_only=False)
+        a = np.abs(np.log(c[1:] / c[:-1]))
+        x, y = a[:-1], a[1:]
+        n = float(len(x))
+        sx, sy = x.sum(), y.sum()
+        num = n * (x * y).sum() - sx * sy
+        dx = n * (x * x).sum() - sx * sx
+        dy = n * (y * y).sum() - sy * sy
+        corr = num / np.sqrt(dx * dy) if dx > 0.0 and dy > 0.0 else None
+        out = pa.table({
+            "n_pairs": pa.array([int(n)], pa.int64()),
+            "arch_corr": pa.array([corr], pa.float64()),
+        })
+        idx = out.column_names.index("arch_corr")
+        return out.set_column(
+            idx, "arch_corr",
+            round_like_duckdb(out.column("arch_corr"), 6))
+
+    out = grouped_map(daily.map_batches(add_g, batch_format="pyarrow"),
+                      "__g", finalize, per_group=False)
+    return out.map_batches(
+        lambda b: b.select(["n_pairs", "arch_corr"]),
+        batch_format="pyarrow")
+
+
+QUERIES["q_daily_revenue_arch"] = q_daily_revenue_arch
+ORACLE_SQL["q_daily_revenue_arch"] = """
+    WITH d AS (
+      SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day,
+             sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS c
+      FROM orders GROUP BY 1
+    ),
+    r AS (
+      SELECT day, abs(ln(c / lag(c) OVER (ORDER BY day))) AS a
+      FROM d
+    ),
+    p AS (
+      SELECT a AS y, lag(a) OVER (ORDER BY day) AS x
+      FROM r WHERE a IS NOT NULL
+    )
+    SELECT count(*) AS n_pairs, round(corr(y, x), 6) AS arch_corr
+    FROM p WHERE x IS NOT NULL
+"""
