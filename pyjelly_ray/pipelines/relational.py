@@ -15977,3 +15977,175 @@ ORACLE_SQL["q_daily_revenue_arch"] = """
     SELECT count(*) AS n_pairs, round(corr(y, x), 6) AS arch_corr
     FROM p WHERE x IS NOT NULL
 """
+
+
+def q_doc_self_repetition(sf_dir: str):
+    """Boilerplate screen: per language, the average of each document's
+    MAX internal trigram repeat count and the share of docs that repeat
+    any trigram — templated/spun text repeats itself, organic text
+    doesn't.  Fully vectorized per batch: one flat split, dictionary
+    codes, a doc-boundary-masked triple shift, one lexsort run-length
+    pass for the per-doc max; per-lang means ride the combiner.  Docs
+    under 3 tokens drop (no trigram), matching the oracle."""
+    from ..stages.agg import grouped_agg, round_like_duckdb
+
+    docs = _read(sf_dir, "documents", ["text", "lang"])
+
+    def rep(b: pa.Table) -> pa.Table:
+        empty = pa.table({"lang": pa.array([], pa.string()),
+                          "mx": pa.array([], pa.int64())})
+        toks = pc.split_pattern(b.column("text"), " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = toks.flatten()
+        m = len(flat)
+        if m < 3:
+            return empty
+        codes = flat.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        doc_idx = np.repeat(np.arange(len(lens)), lens)
+        # trigram start positions: within-doc offset < len-2
+        offs = np.concatenate(([0], np.cumsum(lens)))[:-1]
+        pos_in_doc = np.arange(m) - offs[doc_idx]
+        start = pos_in_doc < lens[doc_idx] - 2
+        si = np.flatnonzero(start)
+        si = si[si + 2 < m]
+        d = doc_idx[si]
+        g1, g2, g3 = codes[si], codes[si + 1], codes[si + 2]
+        order = np.lexsort((g3, g2, g1, d))
+        dd, a1, a2, a3 = d[order], g1[order], g2[order], g3[order]
+        new = np.ones(len(dd), bool)
+        new[1:] = ((dd[1:] != dd[:-1]) | (a1[1:] != a1[:-1])
+                   | (a2[1:] != a2[:-1]) | (a3[1:] != a3[:-1]))
+        run_id = np.cumsum(new) - 1
+        run_len = np.bincount(run_id)
+        run_doc = dd[new]
+        mx = np.zeros(len(lens), np.int64)
+        np.maximum.at(mx, run_doc, run_len)
+        keep = lens >= 3
+        langs = b.column("lang").to_numpy(zero_copy_only=False)[keep]
+        return pa.table({"lang": pa.array(langs, pa.string()),
+                         "mx": pa.array(mx[keep], pa.int64())})
+
+    scored = docs.map_batches(rep, batch_format="pyarrow")
+
+    def flags(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "lang": b.column("lang"),
+            "mx": pc.cast(b.column("mx"), pa.float64()),
+            "rep": pc.cast(pc.greater_equal(b.column("mx"),
+                                            pa.scalar(2, pa.int64())),
+                           pa.int64()),
+        })
+
+    return grouped_agg(scored.map_batches(flags, batch_format="pyarrow"),
+                       ["lang"],
+                       [("n_docs", "mx", "count"),
+                        ("avg_max_repeat", "mx", "mean"),
+                        ("n_repetitive", "rep", "sum")],
+                       round_to=6)
+
+
+QUERIES["q_doc_self_repetition"] = q_doc_self_repetition
+ORACLE_SQL["q_doc_self_repetition"] = """
+    WITH t AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(range(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+               AS tri
+      FROM t
+    ),
+    c AS (SELECT doc_id, lang, tri, count(*) AS n FROM g GROUP BY 1, 2, 3),
+    m AS (SELECT doc_id, lang, max(n) AS mx FROM c GROUP BY 1, 2)
+    SELECT lang, count(*) AS n_docs,
+           round(avg(mx * 1.0), 6) AS avg_max_repeat,
+           CAST(sum(CASE WHEN mx >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_repetitive
+    FROM m GROUP BY 1
+"""
+
+
+def q_embedding_hard_negatives(sf_dir: str):
+    """Hard-negative mining for contrastive training: for each of the 50
+    held-out query vectors, the single most-similar corpus vector with a
+    DIFFERENT label — the negatives that actually teach a metric model.
+    One matmul pass per block against the broadcast query matrix with the
+    same-label columns masked out; per-query top-1 merges through
+    grouped_topk.  Round-4 sims + id tiebreak make the pick
+    deterministic."""
+    import ray
+
+    from ..stages.agg import grouped_topk
+    from ..stages.ann import _normalize, _stack
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    head = emb.map_batches(
+        lambda b: b.filter(pc.less(b.column("vec_id"),
+                                   pa.scalar(50, pa.int64()))),
+        batch_format="pyarrow")
+    qt = pa.concat_tables(
+        [t for t in ray.get(head.to_arrow_refs()) if t.num_columns > 0])
+    qt = qt.sort_by([("vec_id", "ascending")])
+    qids = qt.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    qlabs = qt.column("label").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    ref = ray.put((qids, qlabs, _normalize(_stack(qt))))
+
+    def score(b: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "query_id": pa.array([], pa.int64()),
+            "neg_id": pa.array([], pa.int64()),
+            "neg_label": pa.array([], pa.int64()),
+            "sim": pa.array([], pa.float64()),
+        })
+        if b.num_rows == 0:
+            return empty
+        ids_, labs_, qm = ray.get(ref)
+        sims = np.round(_normalize(_stack(b)) @ qm.T, 4)   # (n, nq)
+        rl = b.column("label").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        sims = np.where(rl[:, None] != labs_[None, :], sims, -np.inf)
+        best = sims.max(axis=0)                             # local top-1
+        ri, qi = np.nonzero((sims >= best[None, :]) & np.isfinite(sims))
+        rid = b.column("vec_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "query_id": pa.array(ids_[qi], pa.int64()),
+            "neg_id": pa.array(rid[ri], pa.int64()),
+            "neg_label": pa.array(rl[ri], pa.int64()),
+            "sim": pa.array(sims[ri, qi], pa.float64()),
+        })
+
+    local = emb.map_batches(score, batch_format="pyarrow",
+                            batch_size=None)
+    return grouped_topk(local, "query_id", "sim", 1, descending=True,
+                        tiebreak=["neg_id"])
+
+
+QUERIES["q_embedding_hard_negatives"] = q_embedding_hard_negatives
+ORACLE_SQL["q_embedding_hard_negatives"] = """
+    WITH q AS (
+      SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < 50
+    ),
+    s AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neg_id,
+             e.label AS neg_label,
+             round(list_cosine_similarity(
+                     CAST(q.embedding AS DOUBLE[]),
+                     CAST(e.embedding AS DOUBLE[])), 4) AS sim
+      FROM q JOIN embeddings e ON e.label <> q.label
+    ),
+    r AS (
+      SELECT query_id, neg_id, neg_label, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neg_id) AS rn
+      FROM s
+    )
+    SELECT query_id, neg_id, CAST(neg_label AS BIGINT) AS neg_label, sim
+    FROM r WHERE rn = 1
+"""
