@@ -16149,3 +16149,177 @@ ORACLE_SQL["q_embedding_hard_negatives"] = """
     SELECT query_id, neg_id, CAST(neg_label AS BIGINT) AS neg_label, sim
     FROM r WHERE rn = 1
 """
+
+
+def q_purchase_brier_ece(sf_dir: str):
+    """Headline calibration scalars for the value/500 pseudo-score (same
+    score convention as q_purchase_calibration): the Brier score
+    mean (pred − y)² and the 10-bin Expected Calibration Error
+    Σ (n_b/N)·|acc_b − conf_b| — the two numbers a model card quotes
+    above the reliability diagram.  One combiner pass carries both the
+    global moments and the per-bin cells."""
+    from ..stages.agg import grouped_agg, grouped_map, round_like_duckdb
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("value")))
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        pred = np.minimum(v / 500.0, 0.999999)
+        et = b.column("event_type").to_numpy(zero_copy_only=False)
+        y = (et == "purchase").astype(np.float64)
+        return pa.table({
+            "bin": pa.array(np.floor(pred * 10.0).astype(np.int64)),
+            "pred": pa.array(pred, pa.float64()),
+            "y": pa.array(y, pa.float64()),
+            "sq": pa.array((pred - y) * (pred - y), pa.float64()),
+        })
+
+    cells = grouped_agg(ev.map_batches(prep, batch_format="pyarrow"),
+                        ["bin"],
+                        [("n", "y", "count"), ("sy", "y", "sum"),
+                         ("sp", "pred", "sum"), ("ssq", "sq", "sum")])
+
+    def add_g(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "__g", pa.array(np.zeros(b.num_rows, np.int8)))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "n_events": pa.array([], pa.int64()),
+            "brier": pa.array([], pa.float64()),
+            "ece": pa.array([], pa.float64()),
+        })
+        if t.num_rows == 0:
+            return empty
+        t = t.sort_by([("bin", "ascending")])
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        sy = t.column("sy").to_numpy(zero_copy_only=False)
+        sp = t.column("sp").to_numpy(zero_copy_only=False)
+        ssq = t.column("ssq").to_numpy(zero_copy_only=False)
+        nt = float(n.sum())
+        brier = float(ssq.sum()) / nt
+        ece = float(((n / nt) * np.abs(sy / n - sp / n)).sum())
+        out = pa.table({
+            "n_events": pa.array([int(nt)], pa.int64()),
+            "brier": pa.array([brier], pa.float64()),
+            "ece": pa.array([ece], pa.float64()),
+        })
+        for name in ("brier", "ece"):
+            idx = out.column_names.index(name)
+            out = out.set_column(
+                idx, name, round_like_duckdb(out.column(name), 6))
+        return out
+
+    out = grouped_map(cells.map_batches(add_g, batch_format="pyarrow"),
+                      "__g", finalize, per_group=False)
+    return out.map_batches(
+        lambda b: b.select(["n_events", "brier", "ece"]),
+        batch_format="pyarrow")
+
+
+QUERIES["q_purchase_brier_ece"] = q_purchase_brier_ece
+ORACLE_SQL["q_purchase_brier_ece"] = """
+    WITH s AS (
+      SELECT least(value / 500.0, 0.999999) AS pred,
+             CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y
+      FROM events WHERE value IS NOT NULL
+    ),
+    b AS (
+      SELECT CAST(floor(pred * 10.0) AS BIGINT) AS bin,
+             count(*) AS n, sum(y) AS sy, sum(pred) AS sp,
+             sum((pred - y) * (pred - y)) AS ssq
+      FROM s GROUP BY 1
+    ),
+    t AS (SELECT sum(n) * 1.0 AS nt FROM b)
+    SELECT CAST(nt AS BIGINT) AS n_events,
+           round((SELECT sum(ssq) FROM b) / nt, 6) AS brier,
+           round((SELECT sum((n / nt) * abs(sy / n - sp / n))
+                  FROM b, t), 6) AS ece
+    FROM t
+"""
+
+
+def q_purchase_by_event_rank(sf_dir: str):
+    """Conversion-depth curve: at which event NUMBER (1st, 2nd, ...) does
+    a user first purchase, with the cumulative share of converting users
+    by that depth — "how much engagement does a purchase take".  The
+    first-purchase rank is read off each user's (ts, event_id)-ordered
+    run; the rank histogram is one combiner and the cumulative share a
+    prefix sum over the tiny rank table (ranks cap at 20)."""
+    from ..stages.agg import _key_run_bounds, grouped_agg, grouped_map, \
+        round_like_duckdb
+    from ..stages.sort import global_prefix_sums, range_sort
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id",
+                                  "event_type"])
+    empty = pa.table({"rank": pa.array([], pa.int64())})
+
+    def first_rank(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        t = t.sort_by([("user_id", "ascending"), ("ts", "ascending"),
+                       ("event_id", "ascending")])
+        bounds = _key_run_bounds(t, ["user_id"])
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        is_p = et == "purchase"
+        starts = bounds[:-1]
+        run_id = np.repeat(np.arange(len(starts)), np.diff(bounds))
+        pos = np.arange(t.num_rows) - starts[run_id] + 1
+        # first purchase position per run: min pos among purchases
+        big = np.full(len(starts), np.iinfo(np.int64).max)
+        np.minimum.at(big, run_id[is_p], pos[is_p])
+        got = big[big != np.iinfo(np.int64).max]
+        if len(got) == 0:
+            return empty
+        return pa.table({"rank": pa.array(
+            np.minimum(got, 20).astype(np.int64))})
+
+    ranks = grouped_map(
+        ev, "user_id", first_rank, per_group=False,
+        empty_schema=pa.table({
+            "user_id": pa.array([], pa.int64()),
+            "ts": pa.array([], pa.timestamp("us")),
+            "event_id": pa.array([], pa.int64()),
+            "event_type": pa.array([], pa.string())})).materialize()
+    # materialized once: feeds both the histogram and the total count
+    hist = grouped_agg(ranks, ["rank"], [("n_users", "rank", "count")],
+                       sum_as_float=False)
+    s = range_sort(hist, "rank")
+    s = global_prefix_sums(s, "n_users", out_name="__cum",
+                           exclusive=False)
+    total = float(ranks.count())
+
+    def finish(b: pa.Table) -> pa.Table:
+        share = pc.divide(
+            pc.multiply(pc.cast(b.column("__cum"), pa.float64()),
+                        pa.scalar(1.0, pa.float64())),
+            pa.scalar(total, pa.float64()))
+        return pa.table({
+            "rank": b.column("rank"),
+            "n_users": pc.cast(b.column("n_users"), pa.int64()),
+            "cum_share": round_like_duckdb(share, 6),
+        })
+
+    return s.map_batches(finish, batch_format="pyarrow")
+
+
+QUERIES["q_purchase_by_event_rank"] = q_purchase_by_event_rank
+ORACLE_SQL["q_purchase_by_event_rank"] = """
+    WITH r AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    f AS (
+      SELECT user_id, least(min(rn), 20) AS rank
+      FROM r WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    h AS (SELECT rank, count(*) AS n_users FROM f GROUP BY 1),
+    t AS (SELECT count(*) * 1.0 AS total FROM f)
+    SELECT rank, n_users,
+           round(sum(n_users) OVER (ORDER BY rank) * 1.0
+                 / (SELECT total FROM t), 6) AS cum_share
+    FROM h
+"""
