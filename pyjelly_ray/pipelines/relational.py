@@ -13265,6 +13265,7 @@ def q_user_lifetime_logrank(sf_dir: str):
             "observed_a": pa.array([], pa.int64()),
             "expected_a": pa.array([], pa.float64()),
             "chi2_logrank": pa.array([], pa.float64()),
+            "hazard_ratio": pa.array([], pa.float64()),
         })
         if t.num_rows == 0:
             return empty
@@ -13284,14 +13285,18 @@ def q_user_lifetime_logrank(sf_dir: str):
                    * (n[mask] - dt[mask]) / (n[mask] - 1.0)).sum())
         oa = float(da.sum())
         chi2 = (oa - ea) * (oa - ea) / v if v > 0.0 else None
+        dtot = tna + tnb
+        hr = ((oa / ea) / ((dtot - oa) / (dtot - ea))
+              if ea > 0.0 and dtot > oa and dtot > ea else None)
         out = pa.table({
             "n_a": pa.array([int(tna)], pa.int64()),
             "n_b": pa.array([int(tnb)], pa.int64()),
             "observed_a": pa.array([int(oa)], pa.int64()),
             "expected_a": pa.array([ea], pa.float64()),
             "chi2_logrank": pa.array([chi2], pa.float64()),
+            "hazard_ratio": pa.array([hr], pa.float64()),
         })
-        for name in ("expected_a", "chi2_logrank"):
+        for name in ("expected_a", "chi2_logrank", "hazard_ratio"):
             idx = out.column_names.index(name)
             out = out.set_column(
                 idx, name, round_like_duckdb(out.column(name), 6))
@@ -13301,7 +13306,7 @@ def q_user_lifetime_logrank(sf_dir: str):
                       "__g", finalize, per_group=False)
     return out.map_batches(
         lambda b: b.select(["n_a", "n_b", "observed_a", "expected_a",
-                            "chi2_logrank"]),
+                            "chi2_logrank", "hazard_ratio"]),
         batch_format="pyarrow")
 
 
@@ -13338,7 +13343,10 @@ ORACLE_SQL["q_user_lifetime_logrank"] = f"""
     SELECT CAST(tna AS BIGINT) AS n_a, CAST(tnb AS BIGINT) AS n_b,
            CAST(oa AS BIGINT) AS observed_a,
            round(ea, 6) AS expected_a,
-           round((oa - ea) * (oa - ea) / v, 6) AS chi2_logrank
+           round((oa - ea) * (oa - ea) / v, 6) AS chi2_logrank,
+           round((oa / ea)
+                 / (((tna + tnb) - oa) / ((tna + tnb) - ea)), 6)
+               AS hazard_ratio
     FROM s, tt
 """
 
@@ -16322,4 +16330,90 @@ ORACLE_SQL["q_purchase_by_event_rank"] = """
            round(sum(n_users) OVER (ORDER BY rank) * 1.0
                  / (SELECT total FROM t), 6) AS cum_share
     FROM h
+"""
+
+
+def q_embedding_half_drift(sf_dir: str):
+    """Embedding-drift monitor: per label, the cosine between the class
+    centroid computed on the even-id half of the corpus and the odd-id
+    half — a self-consistency check (≈1 when the embedding space is
+    stable; drops when a re-embedding run shifted a class).  Reuses the
+    group_vector_mean combiner on a composite (label, half) key; the
+    64-dim cosine folds from the ROUND-6 centroids on both sides."""
+    from ..stages.agg import grouped_map, round_like_duckdb
+    from ..stages.ann import group_vector_mean
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "label", "embedding"])
+
+    def keyed(b: pa.Table) -> pa.Table:
+        vid = b.column("vec_id")
+        half = pc.subtract(vid, pc.multiply(
+            pc.divide(vid, pa.scalar(2, pa.int64())),
+            pa.scalar(2, pa.int64())))
+        lh = pc.add(pc.multiply(pc.cast(b.column("label"), pa.int64()),
+                                pa.scalar(2, pa.int64())), half)
+        return pa.table({"lh": lh, "embedding": b.column("embedding")})
+
+    cents = group_vector_mean(emb.map_batches(keyed, batch_format="pyarrow"),
+                              "lh", col="embedding", round_to=6,
+                              out_name="v")
+
+    def add_g(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "__g", pa.array(np.zeros(b.num_rows, np.int8)))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "label": pa.array([], pa.int64()),
+            "centroid_cosine": pa.array([], pa.float64()),
+        })
+        if t.num_rows == 0:
+            return empty
+        t = t.sort_by([("lh", "ascending"), ("dim", "ascending")])
+        lh = t.column("lh").to_numpy(zero_copy_only=False)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        labels = np.unique(lh // 2)
+        out_l, out_c = [], []
+        for lab in labels:
+            a = v[lh == lab * 2]
+            b = v[lh == lab * 2 + 1]
+            if len(a) == 0 or len(b) == 0 or len(a) != len(b):
+                continue
+            den = np.sqrt((a * a).sum()) * np.sqrt((b * b).sum())
+            if den <= 0.0:
+                continue
+            out_l.append(int(lab))
+            out_c.append(float((a * b).sum()) / den)
+        out = pa.table({
+            "label": pa.array(out_l, pa.int64()),
+            "centroid_cosine": pa.array(out_c, pa.float64()),
+        })
+        idx = out.column_names.index("centroid_cosine")
+        return out.set_column(
+            idx, "centroid_cosine",
+            round_like_duckdb(out.column("centroid_cosine"), 6))
+
+    out = grouped_map(cents.map_batches(add_g, batch_format="pyarrow"),
+                      "__g", finalize, per_group=False)
+    return out.map_batches(
+        lambda b: b.select(["label", "centroid_cosine"]),
+        batch_format="pyarrow")
+
+
+QUERIES["q_embedding_half_drift"] = q_embedding_half_drift
+ORACLE_SQL["q_embedding_half_drift"] = """
+    WITH c AS (
+      SELECT label, vec_id % 2 AS half, CAST(gs.i AS BIGINT) AS dim,
+             round(avg(embedding[gs.i + 1]), 6) AS v
+      FROM embeddings CROSS JOIN range(64) AS gs(i)
+      WHERE gs.i < len(embedding)
+      GROUP BY 1, 2, 3
+    )
+    SELECT CAST(a.label AS BIGINT) AS label,
+           round(sum(a.v * b.v)
+                 / (sqrt(sum(a.v * a.v)) * sqrt(sum(b.v * b.v))), 6)
+               AS centroid_cosine
+    FROM c a JOIN c b ON a.label = b.label AND a.dim = b.dim
+    WHERE a.half = 0 AND b.half = 1
+    GROUP BY 1
 """
