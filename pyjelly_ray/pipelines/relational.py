@@ -16417,3 +16417,281 @@ ORACLE_SQL["q_embedding_half_drift"] = """
     WHERE a.half = 0 AND b.half = 1
     GROUP BY 1
 """
+
+
+def q_customer_state_snapshot(sf_dir: str):
+    """Temporal snapshot (the bitemporal "state as of T" read): each
+    customer's most recent order status/priority as of the dataset's
+    midpoint date — reconstructing a dimension's state at a past instant
+    from the fact stream.  One filtered map + a map-side-combined
+    grouped top-1 per customer (orderdate desc, orderkey desc tiebreak);
+    summarized per (status, priority) for a compact report."""
+    from ..stages.agg import grouped_agg, grouped_topk
+
+    ords = _read(sf_dir, "orders",
+                 ["o_custkey", "o_orderkey", "o_orderdate",
+                  "o_orderstatus", "o_orderpriority"])
+
+    bounds = grouped_agg(
+        ords.map_batches(
+            lambda b: pa.table({
+                "__g": pa.array(np.zeros(b.num_rows, np.int8)),
+                "us": pc.cast(b.column("o_orderdate"), pa.int64())}),
+            batch_format="pyarrow"),
+        ["__g"], [("mn", "us", "min"), ("mx", "us", "max")]).take_all()
+    mid = (bounds[0]["mn"] + bounds[0]["mx"]) // 2
+
+    def upto(b: pa.Table) -> pa.Table:
+        us = pc.cast(b.column("o_orderdate"), pa.int64())
+        b = b.filter(pc.less_equal(us, pa.scalar(mid, pa.int64())))
+        return pa.table({
+            "o_custkey": b.column("o_custkey"),
+            "neg_us": pc.multiply(pc.cast(b.column("o_orderdate"),
+                                          pa.int64()),
+                                  pa.scalar(-1, pa.int64())),
+            "neg_key": pc.multiply(b.column("o_orderkey"),
+                                   pa.scalar(-1, pa.int64())),
+            "o_orderstatus": b.column("o_orderstatus"),
+            "o_orderpriority": b.column("o_orderpriority"),
+        })
+
+    latest = grouped_topk(
+        ords.map_batches(upto, batch_format="pyarrow"),
+        "o_custkey", "neg_us", 1, descending=False,
+        tiebreak=["neg_key"])
+    return grouped_agg(latest, ["o_orderstatus", "o_orderpriority"],
+                       [("n_customers", "o_custkey", "count")],
+                       sum_as_float=False).map_batches(
+        lambda b: pa.table({
+            "o_orderstatus": b.column("o_orderstatus"),
+            "o_orderpriority": b.column("o_orderpriority"),
+            "n_customers": pc.cast(b.column("n_customers"), pa.int64()),
+        }), batch_format="pyarrow")
+
+
+QUERIES["q_customer_state_snapshot"] = q_customer_state_snapshot
+ORACLE_SQL["q_customer_state_snapshot"] = """
+    WITH b AS (
+      SELECT (min(epoch_us(o_orderdate)) + max(epoch_us(o_orderdate)))
+               // 2 AS mid
+      FROM orders
+    ),
+    r AS (
+      SELECT o_custkey, o_orderstatus, o_orderpriority,
+             row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders, b WHERE epoch_us(o_orderdate) <= mid
+    )
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n_customers
+    FROM r WHERE rn = 1 GROUP BY 1, 2
+"""
+
+
+def q_value_did(sf_dir: str):
+    """Difference-in-differences on event value: hash-split arms ×
+    midpoint periods (both established conventions) — DiD =
+    (Ā₂−Ā₁) − (B̄₂−B̄₁) with its large-sample SE √(Σ vᵢ/nᵢ) — the
+    textbook causal readout when one arm "gets treated" in period 2.
+    One mergeable-moment pass to 4 cells, tiny finalize."""
+    from ..stages.agg import grouped_agg, grouped_map, round_like_duckdb
+    from ..stages.sample import deterministic_split
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    bounds = grouped_agg(
+        ev.map_batches(
+            lambda b: pa.table({
+                "__g": pa.array(np.zeros(b.num_rows, np.int8)),
+                "us": pc.cast(b.column("ts"), pa.int64())}),
+            batch_format="pyarrow"),
+        ["__g"], [("mn", "us", "min"), ("mx", "us", "max")]).take_all()
+    mid = (bounds[0]["mn"] + bounds[0]["mx"]) // 2
+
+    sp = deterministic_split(ev, id_col="user_id",
+                             splits=[("A", 0.5), ("B", 0.5)], seed="ab1",
+                             out_col="arm")
+
+    def label(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("value")))
+        us = pc.cast(b.column("ts"), pa.int64())
+        return pa.table({
+            "arm": b.column("arm"),
+            "period": pc.cast(pc.greater_equal(
+                us, pa.scalar(mid, pa.int64())), pa.int64()),
+            "value": b.column("value"),
+        })
+
+    g = grouped_agg(sp.map_batches(label, batch_format="pyarrow"),
+                    ["arm", "period"],
+                    [("n", "value", "count"), ("m", "value", "mean"),
+                     ("v", "value", "var")])
+
+    def add_g(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "__g", pa.array(np.zeros(b.num_rows, np.int8)))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "did": pa.array([], pa.float64()),
+            "se_did": pa.array([], pa.float64()),
+            "z_did": pa.array([], pa.float64()),
+        })
+        rows = {(r["arm"], r["period"]): r for r in t.to_pylist()}
+        need = [("A", 0), ("A", 1), ("B", 0), ("B", 1)]
+        if any(k not in rows for k in need):
+            return empty
+        a1, a2 = rows[("A", 0)], rows[("A", 1)]
+        b1, b2 = rows[("B", 0)], rows[("B", 1)]
+        did = (a2["m"] - a1["m"]) - (b2["m"] - b1["m"])
+        if any(r["v"] is None for r in (a1, a2, b1, b2)):
+            se = z = None
+        else:
+            se = float(np.sqrt(a1["v"] / a1["n"] + a2["v"] / a2["n"]
+                               + b1["v"] / b1["n"] + b2["v"] / b2["n"]))
+            z = did / se if se > 0.0 else None
+        out = pa.table({
+            "did": pa.array([did], pa.float64()),
+            "se_did": pa.array([se], pa.float64()),
+            "z_did": pa.array([z], pa.float64()),
+        })
+        for name in ("did", "se_did", "z_did"):
+            idx = out.column_names.index(name)
+            out = out.set_column(
+                idx, name, round_like_duckdb(out.column(name), 6))
+        return out
+
+    out = grouped_map(g.map_batches(add_g, batch_format="pyarrow"),
+                      "__g", finalize, per_group=False)
+    return out.map_batches(
+        lambda b: b.select(["did", "se_did", "z_did"]),
+        batch_format="pyarrow")
+
+
+QUERIES["q_value_did"] = q_value_did
+ORACLE_SQL["q_value_did"] = f"""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS us, value
+      FROM events WHERE value IS NOT NULL
+    ),
+    bb AS (
+      SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid
+      FROM events
+    ),
+    s AS (
+      SELECT {_ab_split_case()} AS arm,
+             CASE WHEN us >= (SELECT mid FROM bb) THEN 1 ELSE 0 END
+               AS period,
+             value
+      FROM e
+    ),
+    g AS (
+      SELECT arm, period, count(*) AS n, avg(value) AS m,
+             var_samp(value) AS v
+      FROM s GROUP BY 1, 2
+    )
+    SELECT round((a2.m - a1.m) - (b2.m - b1.m), 6) AS did,
+           round(sqrt(a1.v/a1.n + a2.v/a2.n + b1.v/b1.n + b2.v/b2.n), 6)
+               AS se_did,
+           round(((a2.m - a1.m) - (b2.m - b1.m))
+                 / sqrt(a1.v/a1.n + a2.v/a2.n + b1.v/b1.n + b2.v/b2.n), 6)
+               AS z_did
+    FROM g a1, g a2, g b1, g b2
+    WHERE a1.arm = 'A' AND a1.period = 0 AND a2.arm = 'A' AND a2.period = 1
+      AND b1.arm = 'B' AND b1.period = 0 AND b2.arm = 'B' AND b2.period = 1
+"""
+
+
+def q_region_nation_share(sf_dir: str):
+    """Hierarchical contribution table: each nation's exact-cents revenue
+    with its share WITHIN its region and the region's share of the world
+    — the drill-down percent-of-parent readout.  One broadcast dim chain
+    + a nation-level cents combiner; both share levels are exact integer
+    ratios off the tiny nation table."""
+    from ..stages.agg import grouped_agg, grouped_map, round_like_duckdb
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name",
+                                      "n_regionkey"])
+    region = _read(sf_dir, "region", ["r_regionkey", "r_name"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    j = broadcast_join(orders, cust, left_key="o_custkey",
+                       right_key="c_custkey", columns=["c_nationkey"])
+    j = broadcast_join(j, nation, left_key="c_nationkey",
+                       right_key="n_nationkey",
+                       columns=["n_name", "n_regionkey"])
+    j = broadcast_join(j, region, left_key="n_regionkey",
+                       right_key="r_regionkey", columns=["r_name"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "r_name": b.column("r_name"),
+            "n_name": b.column("n_name"),
+            "c": pc.cast(pc.round(pc.multiply(
+                b.column("o_totalprice"),
+                pa.scalar(100.0, pa.float64()))), pa.int64()),
+        })
+
+    g = grouped_agg(j.map_batches(cents, batch_format="pyarrow"),
+                    ["r_name", "n_name"], [("c", "c", "sum")])
+
+    def add_g(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "__g", pa.array(np.zeros(b.num_rows, np.int8)))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "r_name": pa.array([], pa.string()),
+            "n_name": pa.array([], pa.string()),
+            "revenue": pa.array([], pa.float64()),
+            "share_in_region": pa.array([], pa.float64()),
+            "region_share_world": pa.array([], pa.float64()),
+        })
+        if t.num_rows == 0:
+            return empty
+        t = t.sort_by([("r_name", "ascending"), ("n_name", "ascending")])
+        r = t.column("r_name").to_numpy(zero_copy_only=False)
+        nn = t.column("n_name").to_numpy(zero_copy_only=False)
+        c = t.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+        ur, ri = np.unique(r, return_inverse=True)
+        rtot = np.zeros(len(ur), np.int64)
+        np.add.at(rtot, ri, c)
+        wtot = int(c.sum())
+        out = pa.table({
+            "r_name": pa.array(r, pa.string()),
+            "n_name": pa.array(nn, pa.string()),
+            "revenue": pa.array(c / 100.0, pa.float64()),
+            "share_in_region": round_like_duckdb(
+                pa.array(c * 1.0 / rtot[ri], pa.float64()), 6),
+            "region_share_world": round_like_duckdb(
+                pa.array(rtot[ri] * 1.0 / wtot, pa.float64()), 6),
+        })
+        return out
+
+    out = grouped_map(g.map_batches(add_g, batch_format="pyarrow"),
+                      "__g", finalize, per_group=False)
+    return out.map_batches(
+        lambda b: b.select(["r_name", "n_name", "revenue",
+                            "share_in_region", "region_share_world"]),
+        batch_format="pyarrow")
+
+
+QUERIES["q_region_nation_share"] = q_region_nation_share
+ORACLE_SQL["q_region_nation_share"] = """
+    WITH g AS (
+      SELECT r_name, n_name,
+             sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS c
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY 1, 2
+    ),
+    r AS (SELECT r_name, sum(c) AS rc FROM g GROUP BY 1),
+    w AS (SELECT sum(c) AS wc FROM g)
+    SELECT g.r_name, n_name, CAST(c AS DOUBLE) / 100.0 AS revenue,
+           round(c * 1.0 / rc, 6) AS share_in_region,
+           round(rc * 1.0 / wc, 6) AS region_share_world
+    FROM g JOIN r USING (r_name), w
+"""
