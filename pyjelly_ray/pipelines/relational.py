@@ -16695,3 +16695,181 @@ ORACLE_SQL["q_region_nation_share"] = """
            round(rc * 1.0 / wc, 6) AS region_share_world
     FROM g JOIN r USING (r_name), w
 """
+
+
+def q_event_next_type_accuracy(sf_dir: str):
+    """Baseline sequence-model score: accuracy of always predicting the
+    most likely next event type given the current one (the majority-vote
+    Markov baseline every fancier model must beat): Σ_src max_dst n / N.
+    Reuses the transition-count pipeline; the argmax fold runs over the
+    ≤|types|² cell table."""
+    from ..stages.agg import grouped_map, round_like_duckdb
+
+    counts = q_event_type_transitions(sf_dir)
+
+    def add_g(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "__g", pa.array(np.zeros(b.num_rows, np.int8)))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "n_transitions": pa.array([], pa.int64()),
+            "baseline_accuracy": pa.array([], pa.float64()),
+        })
+        if t.num_rows == 0:
+            return empty
+        src = t.column("src_type").to_numpy(zero_copy_only=False)
+        n = t.column("n_transitions").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        us, si = np.unique(src, return_inverse=True)
+        mx = np.zeros(len(us), np.int64)
+        np.maximum.at(mx, si, n)
+        nt = int(n.sum())
+        acc = float(mx.sum()) * 1.0 / nt
+        out = pa.table({
+            "n_transitions": pa.array([nt], pa.int64()),
+            "baseline_accuracy": pa.array([acc], pa.float64()),
+        })
+        idx = out.column_names.index("baseline_accuracy")
+        return out.set_column(
+            idx, "baseline_accuracy",
+            round_like_duckdb(out.column("baseline_accuracy"), 6))
+
+    out = grouped_map(counts.map_batches(add_g, batch_format="pyarrow"),
+                      "__g", finalize, per_group=False)
+    return out.map_batches(
+        lambda b: b.select(["n_transitions", "baseline_accuracy"]),
+        batch_format="pyarrow")
+
+
+QUERIES["q_event_next_type_accuracy"] = q_event_next_type_accuracy
+ORACLE_SQL["q_event_next_type_accuracy"] = """
+    WITH p AS (
+      SELECT lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS src,
+             event_type AS dst
+      FROM events
+    ),
+    c AS (SELECT src, dst, count(*) AS n FROM p WHERE src IS NOT NULL
+          GROUP BY 1, 2),
+    m AS (SELECT src, max(n) AS mx FROM c GROUP BY 1),
+    t AS (SELECT sum(n) AS nt FROM c)
+    SELECT CAST(nt AS BIGINT) AS n_transitions,
+           round((SELECT sum(mx) FROM m) * 1.0 / nt, 6)
+               AS baseline_accuracy
+    FROM t
+"""
+
+
+def q_user_churn_risk(sf_dir: str):
+    """Churn-risk screen: a user is AT RISK when their silence since
+    their last event exceeds their own p90 inter-event gap (personalized
+    inactivity threshold — the re-engagement trigger list).  Gaps, the
+    per-user p90 (exact interpolated quantile) and the recency check all
+    run inside one per-user co-partition kernel; only users with ≥ 5
+    gaps are scored.  Returns the one-row risk summary."""
+    from ..stages.agg import _key_run_bounds, grouped_agg, grouped_map, \
+        round_like_duckdb
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    bounds = grouped_agg(
+        ev.map_batches(
+            lambda b: pa.table({
+                "__g": pa.array(np.zeros(b.num_rows, np.int8)),
+                "us": pc.cast(b.column("ts"), pa.int64())}),
+            batch_format="pyarrow"),
+        ["__g"], [("mx", "us", "max")]).take_all()
+    horizon = bounds[0]["mx"]
+
+    empty = pa.table({"__g": pa.array([], pa.int8()),
+                      "scored": pa.array([], pa.int64()),
+                      "at_risk": pa.array([], pa.int64())})
+
+    def risk_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        t = t.sort_by([("user_id", "ascending"), ("ts", "ascending"),
+                       ("event_id", "ascending")])
+        b2 = _key_run_bounds(t, ["user_id"])
+        us = pc.cast(t.column("ts").combine_chunks(), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        scored, at_risk = [], []
+        for i in range(len(b2) - 1):
+            lo, hi = int(b2[i]), int(b2[i + 1])
+            if hi - lo < 6:            # needs >= 5 gaps
+                continue
+            gaps = np.sort((us[lo + 1:hi] - us[lo:hi - 1]).astype(
+                np.float64))
+            h = (len(gaps) - 1) * 0.9
+            g_lo = int(np.floor(h))
+            p90 = (gaps[g_lo] if h == g_lo
+                   else gaps[g_lo] + (gaps[g_lo + 1] - gaps[g_lo])
+                   * (h - g_lo))
+            silence = float(horizon - us[hi - 1])
+            scored.append(1)
+            at_risk.append(1 if silence > p90 else 0)
+        if not scored:
+            return empty
+        return pa.table({
+            "__g": pa.array(np.zeros(len(scored), np.int8)),
+            "scored": pa.array(scored, pa.int64()),
+            "at_risk": pa.array(at_risk, pa.int64()),
+        })
+
+    flags = grouped_map(
+        ev, "user_id", risk_part, per_group=False,
+        empty_schema=pa.table({
+            "user_id": pa.array([], pa.int64()),
+            "ts": pa.array([], pa.timestamp("us")),
+            "event_id": pa.array([], pa.int64())}))
+    g = grouped_agg(flags, ["__g"],
+                    [("n_scored", "scored", "sum"),
+                     ("n_at_risk", "at_risk", "sum")])
+
+    def finish(b: pa.Table) -> pa.Table:
+        if "n_scored" not in b.column_names:
+            return pa.table({
+                "n_scored": pa.array([], pa.int64()),
+                "n_at_risk": pa.array([], pa.int64()),
+                "at_risk_share": pa.array([], pa.float64()),
+            })
+        n = pc.cast(b.column("n_scored"), pa.float64())
+        share = pc.divide(pc.cast(b.column("n_at_risk"), pa.float64()), n)
+        return pa.table({
+            "n_scored": pc.cast(b.column("n_scored"), pa.int64()),
+            "n_at_risk": pc.cast(b.column("n_at_risk"), pa.int64()),
+            "at_risk_share": round_like_duckdb(share, 6),
+        })
+
+    g = g.map_batches(lambda b: b.drop_columns(["__g"])
+                      if "__g" in b.column_names else b,
+                      batch_format="pyarrow")
+    return g.map_batches(finish, batch_format="pyarrow")
+
+
+QUERIES["q_user_churn_risk"] = q_user_churn_risk
+ORACLE_SQL["q_user_churn_risk"] = """
+    WITH h AS (SELECT max(epoch_us(ts)) AS horizon FROM events),
+    g AS (
+      SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap,
+             epoch_us(ts) AS us
+      FROM events
+    ),
+    u AS (
+      SELECT user_id,
+             quantile_cont(gap * 1.0, 0.9) AS p90,
+             max(us) AS last_us,
+             count(gap) AS n_gaps
+      FROM g GROUP BY 1
+    )
+    SELECT count(*) AS n_scored,
+           sum(CASE WHEN (horizon - last_us) * 1.0 > p90
+                    THEN 1 ELSE 0 END) AS n_at_risk,
+           round(sum(CASE WHEN (horizon - last_us) * 1.0 > p90
+                          THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+               AS at_risk_share
+    FROM u, h WHERE n_gaps >= 5
+"""
