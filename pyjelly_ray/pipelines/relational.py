@@ -16873,3 +16873,102 @@ ORACLE_SQL["q_user_churn_risk"] = """
                AS at_risk_share
     FROM u, h WHERE n_gaps >= 5
 """
+
+
+def q_embedding_dim_variance(sf_dir: str):
+    """Embedding-space diagnostics: per-dimension mean and variance over
+    the corpus — dead dimensions (≈0 variance) and dominant ones show up
+    immediately (the PCA-lite screen before a whitening decision).
+    Map-side per-dim (n, Σx, Σx²) partials collapse each block to 64
+    rows; one tiny combiner + finalize."""
+    from ..stages.agg import grouped_agg, round_like_duckdb
+    from ..stages.ann import _stack
+
+    emb = _read(sf_dir, "embeddings", ["embedding"])
+
+    def partials(b: pa.Table) -> pa.Table:
+        m = _stack(b).astype(np.float64)
+        return pa.table({
+            "dim": pa.array(np.arange(m.shape[1], dtype=np.int64)),
+            "n": pa.array(np.full(m.shape[1], m.shape[0], np.int64)),
+            "s1": pa.array(m.sum(axis=0), pa.float64()),
+            "s2": pa.array((m * m).sum(axis=0), pa.float64()),
+        })
+
+    g = grouped_agg(emb.map_batches(partials, batch_format="pyarrow"),
+                    ["dim"], [("n", "n", "sum"), ("s1", "s1", "sum"),
+                              ("s2", "s2", "sum")])
+
+    def finalize(b: pa.Table) -> pa.Table:
+        n = pc.cast(b.column("n"), pa.float64())
+        mean = pc.divide(b.column("s1"), n)
+        var = pc.divide(
+            pc.subtract(b.column("s2"),
+                        pc.divide(pc.multiply(b.column("s1"),
+                                              b.column("s1")), n)),
+            pc.subtract(n, pa.scalar(1.0, pa.float64())))
+        return pa.table({
+            "dim": b.column("dim"),
+            "mean": round_like_duckdb(mean, 6),
+            "variance": round_like_duckdb(var, 6),
+        })
+
+    return g.map_batches(finalize, batch_format="pyarrow")
+
+
+QUERIES["q_embedding_dim_variance"] = q_embedding_dim_variance
+ORACLE_SQL["q_embedding_dim_variance"] = """
+    SELECT CAST(gs.i AS BIGINT) AS dim,
+           round(avg(CAST(embedding[gs.i + 1] AS DOUBLE)), 6) AS mean,
+           round((sum(CAST(embedding[gs.i + 1] AS DOUBLE)
+                      * embedding[gs.i + 1])
+                  - sum(CAST(embedding[gs.i + 1] AS DOUBLE))
+                    * sum(CAST(embedding[gs.i + 1] AS DOUBLE)) / count(*))
+                 / (count(*) - 1.0), 6) AS variance
+    FROM embeddings CROSS JOIN range(64) AS gs(i)
+    WHERE gs.i < len(embedding)
+    GROUP BY gs.i
+"""
+
+
+def q_customer_value_zscore(sf_dir: str):
+    """Feature standardization at scale (the ML-prep staple): z-score of
+    each customer's account balance against the global mean/std — the
+    two scalars come from ONE moment fold and broadcast into a pure map;
+    reported as the top-20 |z| outliers (deterministic round-6 ranking,
+    key tiebreak)."""
+    from ..stages.agg import global_topk, grouped_agg, round_like_duckdb
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+    g = grouped_agg(
+        cust.map_batches(
+            lambda b: pa.table({
+                "__g": pa.array(np.zeros(b.num_rows, np.int8)),
+                "v": b.column("c_acctbal")}),
+            batch_format="pyarrow"),
+        ["__g"], [("m", "v", "mean"), ("sd", "v", "std")]).take_all()
+    mu, sd = g[0]["m"], g[0]["sd"]
+
+    def score(b: pa.Table) -> pa.Table:
+        z = pc.divide(pc.subtract(b.column("c_acctbal"), pa.scalar(mu)),
+                      pa.scalar(sd))
+        return pa.table({
+            "c_custkey": b.column("c_custkey"),
+            "c_acctbal": b.column("c_acctbal"),
+            "abs_z": round_like_duckdb(pc.abs(z), 6),
+        })
+
+    return global_topk(cust.map_batches(score, batch_format="pyarrow"),
+                       ["abs_z", "c_custkey"], 20,
+                       descending=[True, False])
+
+
+QUERIES["q_customer_value_zscore"] = q_customer_value_zscore
+ORACLE_SQL["q_customer_value_zscore"] = """
+    WITH m AS (SELECT avg(c_acctbal) AS mu, stddev_samp(c_acctbal) AS sd
+               FROM customer)
+    SELECT c_custkey, c_acctbal,
+           round(abs((c_acctbal - mu) / sd), 6) AS abs_z
+    FROM customer, m
+    ORDER BY abs_z DESC, c_custkey LIMIT 20
+"""
