@@ -16972,3 +16972,238 @@ ORACLE_SQL["q_customer_value_zscore"] = """
     FROM customer, m
     ORDER BY abs_z DESC, c_custkey LIMIT 20
 """
+
+
+def q_revenue_cagr(sf_dir: str):
+    """Compound monthly growth rate of revenue: (last/first)^(1/(n−1))−1
+    over the monthly exact-cents series — the single growth headline.
+    One combiner to the monthly table; first/last/n read off it in a
+    tiny finalize with the identical pow tree."""
+    from ..stages.agg import grouped_agg, grouped_map, round_like_duckdb
+
+    ords = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def proj(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "month": pc.floor_temporal(b.column("o_orderdate"),
+                                       unit="month"),
+            "c": pc.cast(pc.round(pc.multiply(
+                b.column("o_totalprice"),
+                pa.scalar(100.0, pa.float64()))), pa.int64()),
+        })
+
+    monthly = grouped_agg(ords.map_batches(proj, batch_format="pyarrow"),
+                          ["month"], [("c", "c", "sum")])
+
+    def add_g(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "__g", pa.array(np.zeros(b.num_rows, np.int8)))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "n_months": pa.array([], pa.int64()),
+            "first_revenue": pa.array([], pa.float64()),
+            "last_revenue": pa.array([], pa.float64()),
+            "cmgr": pa.array([], pa.float64()),
+        })
+        if t.num_rows < 2:
+            return empty
+        t = t.sort_by([("month", "ascending")])
+        c = t.column("c").to_numpy(zero_copy_only=False)
+        n = len(c)
+        first, last = float(c[0]), float(c[-1])
+        cmgr = (last / first) ** (1.0 / (n - 1.0)) - 1.0
+        out = pa.table({
+            "n_months": pa.array([n], pa.int64()),
+            "first_revenue": pa.array([first / 100.0], pa.float64()),
+            "last_revenue": pa.array([last / 100.0], pa.float64()),
+            "cmgr": pa.array([cmgr], pa.float64()),
+        })
+        idx = out.column_names.index("cmgr")
+        return out.set_column(idx, "cmgr",
+                              round_like_duckdb(out.column("cmgr"), 6))
+
+    out = grouped_map(monthly.map_batches(add_g, batch_format="pyarrow"),
+                      "__g", finalize, per_group=False)
+    return out.map_batches(
+        lambda b: b.select(["n_months", "first_revenue", "last_revenue",
+                            "cmgr"]),
+        batch_format="pyarrow")
+
+
+QUERIES["q_revenue_cagr"] = q_revenue_cagr
+ORACLE_SQL["q_revenue_cagr"] = """
+    WITH m AS (
+      SELECT date_trunc('month', o_orderdate) AS month,
+             sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS c
+      FROM orders GROUP BY 1
+    ),
+    o AS (
+      SELECT c, row_number() OVER (ORDER BY month) AS rn,
+             count(*) OVER () AS n
+      FROM m
+    )
+    SELECT (SELECT CAST(n AS BIGINT) FROM o LIMIT 1) AS n_months,
+           (SELECT CAST(c AS DOUBLE) / 100.0 FROM o WHERE rn = 1)
+               AS first_revenue,
+           (SELECT CAST(c AS DOUBLE) / 100.0 FROM o WHERE rn = n)
+               AS last_revenue,
+           round(pow((SELECT CAST(c AS DOUBLE) FROM o WHERE rn = n)
+                     / (SELECT CAST(c AS DOUBLE) FROM o WHERE rn = 1),
+                     1.0 / ((SELECT n FROM o LIMIT 1) - 1.0)) - 1.0, 6)
+               AS cmgr
+"""
+
+
+def q_daily_revenue_dense(sf_dir: str):
+    """Calendar densification (the gap-filling ETL step): one row per
+    calendar day between the first and last order date, zero-filled
+    revenue on silent days plus a was-active flag — what every
+    time-series model consumes.  The combiner daily table merges with a
+    driver-generated day spine (tiny: one int per day) via a
+    co-partitioned left join; reported as the per-month count of silent
+    days to keep the verified surface compact."""
+    from ..stages.agg import grouped_agg
+    from ..stages.joins import hash_join
+    import ray
+
+    daily = _daily_order_revenue_cents(sf_dir).materialize()
+    bounds = grouped_agg(
+        daily.map_batches(
+            lambda b: b.append_column(
+                "__g", pa.array(np.zeros(b.num_rows, np.int8))),
+            batch_format="pyarrow"),
+        ["__g"], [("mn", "day", "min"), ("mx", "day", "max")]).take_all()
+    lo, hi = bounds[0]["mn"], bounds[0]["mx"]
+    spine = ray.data.from_arrow(pa.table({
+        "day": pa.array(np.arange(lo, hi + 1, dtype=np.int64))}))
+
+    j = hash_join(spine, daily, left_key="day", right_key="day",
+                  how="left outer")
+
+    def label(b: pa.Table) -> pa.Table:
+        silent = pc.cast(pc.is_null(b.column("c")), pa.int64())
+        month = pc.divide(b.column("day"), pa.scalar(30, pa.int64()))
+        return pa.table({"epoch_month30": month, "silent": silent,
+                         "day": b.column("day")})
+
+    g = grouped_agg(j.map_batches(label, batch_format="pyarrow"),
+                    ["epoch_month30"],
+                    [("n_days", "day", "count"),
+                     ("n_silent", "silent", "sum")])
+    return g.map_batches(
+        lambda b: pa.table({
+            "epoch_month30": b.column("epoch_month30"),
+            "n_days": pc.cast(b.column("n_days"), pa.int64()),
+            "n_silent": pc.cast(b.column("n_silent"), pa.int64()),
+        }), batch_format="pyarrow")
+
+
+QUERIES["q_daily_revenue_dense"] = q_daily_revenue_dense
+ORACLE_SQL["q_daily_revenue_dense"] = """
+    WITH d AS (
+      SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day
+      FROM orders GROUP BY 1
+    ),
+    b AS (SELECT min(day) AS lo, max(day) AS hi FROM d),
+    spine AS (
+      SELECT lo + CAST(k.range AS BIGINT) AS day
+      FROM b, range(0, 100000) k
+      WHERE lo + k.range <= hi
+    )
+    SELECT spine.day // 30 AS epoch_month30,
+           count(*) AS n_days,
+           sum(CASE WHEN d.day IS NULL THEN 1 ELSE 0 END) AS n_silent
+    FROM spine LEFT JOIN d ON d.day = spine.day
+    GROUP BY 1
+"""
+
+
+def q_revenue_bennet_decomposition(sf_dir: str):
+    """Bennet price/volume decomposition of month-over-month revenue
+    change: ΔRev ≡ Δq·(p̄) + Δp·(q̄) with midpoint weights — how much of
+    each month's growth came from selling MORE units vs selling at
+    HIGHER prices (an exact identity, so the two effects sum to the
+    delta).  One combiner to the monthly (units, cents) table; lag and
+    the decomposition finalize over the tiny series."""
+    from ..stages.agg import grouped_agg, grouped_map, round_like_duckdb
+
+    li = _read(sf_dir, "lineitem",
+               ["l_shipdate", "l_quantity", "l_extendedprice"])
+
+    def proj(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "month": pc.floor_temporal(b.column("l_shipdate"),
+                                       unit="month"),
+            "q": pc.cast(pc.round(b.column("l_quantity")), pa.int64()),
+            "c": pc.cast(pc.round(pc.multiply(
+                b.column("l_extendedprice"),
+                pa.scalar(100.0, pa.float64()))), pa.int64()),
+        })
+
+    monthly = grouped_agg(li.map_batches(proj, batch_format="pyarrow"),
+                          ["month"], [("q", "q", "sum"),
+                                      ("c", "c", "sum")])
+
+    def add_g(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "__g", pa.array(np.zeros(b.num_rows, np.int8)))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "month": pa.array([], pa.timestamp("us")),
+            "delta_revenue": pa.array([], pa.float64()),
+            "volume_effect": pa.array([], pa.float64()),
+            "price_effect": pa.array([], pa.float64()),
+        })
+        if t.num_rows < 2:
+            return empty
+        t = t.sort_by([("month", "ascending")])
+        q = t.column("q").to_numpy(zero_copy_only=False).astype(np.float64)
+        c = t.column("c").to_numpy(zero_copy_only=False).astype(np.float64) \
+            / 100.0
+        p = c / q
+        dq, dp = q[1:] - q[:-1], p[1:] - p[:-1]
+        pbar, qbar = (p[1:] + p[:-1]) / 2.0, (q[1:] + q[:-1]) / 2.0
+        out = pa.table({
+            "month": t.column("month").slice(1),
+            "delta_revenue": pa.array(c[1:] - c[:-1], pa.float64()),
+            "volume_effect": pa.array(dq * pbar, pa.float64()),
+            "price_effect": pa.array(dp * qbar, pa.float64()),
+        })
+        for name in ("delta_revenue", "volume_effect", "price_effect"):
+            idx = out.column_names.index(name)
+            out = out.set_column(
+                idx, name, round_like_duckdb(out.column(name), 6))
+        return out
+
+    out = grouped_map(monthly.map_batches(add_g, batch_format="pyarrow"),
+                      "__g", finalize, per_group=False)
+    return out.map_batches(
+        lambda b: b.select(["month", "delta_revenue", "volume_effect",
+                            "price_effect"]),
+        batch_format="pyarrow")
+
+
+QUERIES["q_revenue_bennet_decomposition"] = q_revenue_bennet_decomposition
+ORACLE_SQL["q_revenue_bennet_decomposition"] = """
+    WITH m AS (
+      SELECT date_trunc('month', l_shipdate) AS month,
+             CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE) AS q,
+             CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT))
+                  AS DOUBLE) / 100.0 AS c
+      FROM lineitem GROUP BY 1
+    ),
+    l AS (
+      SELECT month, q, c, c / q AS p,
+             lag(q) OVER (ORDER BY month) AS pq,
+             lag(c) OVER (ORDER BY month) AS pcr,
+             lag(c / q) OVER (ORDER BY month) AS pp
+      FROM m
+    )
+    SELECT month,
+           round(c - pcr, 6) AS delta_revenue,
+           round((q - pq) * ((p + pp) / 2.0), 6) AS volume_effect,
+           round((p - pp) * ((q + pq) / 2.0), 6) AS price_effect
+    FROM l WHERE pq IS NOT NULL
+"""
