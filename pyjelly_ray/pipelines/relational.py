@@ -17207,3 +17207,307 @@ ORACLE_SQL["q_revenue_bennet_decomposition"] = """
            round((p - pp) * ((q + pq) / 2.0), 6) AS price_effect
     FROM l WHERE pq IS NOT NULL
 """
+
+
+def q_nation_rank_consistency(sf_dir: str):
+    """Cross-metric rank consistency: Spearman correlation between each
+    nation's rank by order count and by exact-cents revenue — "do bigger
+    markets also spend proportionally?".  Two keyed aggregates roll the
+    stream to ≤|nations| rows; fractional ranks and the rank correlation
+    fold on that tiny table with exact half-integer arithmetic."""
+    from ..stages.agg import grouped_agg, grouped_map, round_like_duckdb
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    j = broadcast_join(orders, cust, left_key="o_custkey",
+                       right_key="c_custkey", columns=["c_nationkey"])
+    j = broadcast_join(j, nation, left_key="c_nationkey",
+                       right_key="n_nationkey", columns=["n_name"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_name": b.column("n_name"),
+            "c": pc.cast(pc.round(pc.multiply(
+                b.column("o_totalprice"),
+                pa.scalar(100.0, pa.float64()))), pa.int64()),
+        })
+
+    g = grouped_agg(j.map_batches(cents, batch_format="pyarrow"),
+                    ["n_name"], [("n_orders", "c", "count"),
+                                 ("c", "c", "sum")])
+
+    def add_g(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "__g", pa.array(np.zeros(b.num_rows, np.int8)))
+
+    def _franks(v: np.ndarray) -> np.ndarray:
+        order = np.argsort(v, kind="stable")
+        ranks = np.empty(len(v))
+        sv = v[order]
+        i = 0
+        while i < len(v):
+            jj = i
+            while jj < len(v) and sv[jj] == sv[i]:
+                jj += 1
+            ranks[order[i:jj]] = (i + jj + 1) / 2.0
+            i = jj
+        return ranks
+
+    def finalize(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "n_nations": pa.array([], pa.int64()),
+            "rank_spearman": pa.array([], pa.float64()),
+        })
+        if t.num_rows < 2:
+            return empty
+        t = t.sort_by([("n_name", "ascending")])
+        no = t.column("n_orders").to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        c = t.column("c").to_numpy(zero_copy_only=False).astype(np.float64)
+        rx, ry = _franks(no), _franks(c)
+        n = float(len(rx))
+        sx, sy = rx.sum(), ry.sum()
+        num = n * (rx * ry).sum() - sx * sy
+        dx = n * (rx * rx).sum() - sx * sx
+        dy = n * (ry * ry).sum() - sy * sy
+        rho = num / np.sqrt(dx * dy) if dx > 0.0 and dy > 0.0 else None
+        out = pa.table({
+            "n_nations": pa.array([int(n)], pa.int64()),
+            "rank_spearman": pa.array([rho], pa.float64()),
+        })
+        idx = out.column_names.index("rank_spearman")
+        return out.set_column(
+            idx, "rank_spearman",
+            round_like_duckdb(out.column("rank_spearman"), 6))
+
+    out = grouped_map(g.map_batches(add_g, batch_format="pyarrow"),
+                      "__g", finalize, per_group=False)
+    return out.map_batches(
+        lambda b: b.select(["n_nations", "rank_spearman"]),
+        batch_format="pyarrow")
+
+
+QUERIES["q_nation_rank_consistency"] = q_nation_rank_consistency
+ORACLE_SQL["q_nation_rank_consistency"] = """
+    WITH g AS (
+      SELECT n_name, count(*) AS n_orders,
+             sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS c
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1
+    ),
+    r AS (
+      SELECT rank() OVER (ORDER BY n_orders)
+               + (count(*) OVER (PARTITION BY n_orders) - 1) / 2.0 AS rx,
+             rank() OVER (ORDER BY c)
+               + (count(*) OVER (PARTITION BY c) - 1) / 2.0 AS ry
+      FROM g
+    )
+    SELECT count(*) AS n_nations,
+           round((count(*) * sum(rx * ry) - sum(rx) * sum(ry))
+                 / sqrt((count(*) * sum(rx * rx) - sum(rx) * sum(rx))
+                        * (count(*) * sum(ry * ry) - sum(ry) * sum(ry))),
+                 6) AS rank_spearman
+    FROM r
+"""
+
+
+def q_activation_time(sf_dir: str):
+    """Activation metric: days from a user's FIRST event to their FIRST
+    purchase, summarized per signup cohort week (median + p90 + share
+    who ever purchased) — the onboarding-speed headline.  Two keyed MIN
+    aggregates in ONE combiner pass (conditional min via a purchase-only
+    timestamp column), then a per-cohort exact quantile."""
+    from ..stages.agg import grouped_agg, grouped_map, \
+        round_like_duckdb, _key_run_bounds
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def proj(b: pa.Table) -> pa.Table:
+        us = pc.cast(b.column("ts"), pa.int64())
+        is_p = pc.equal(b.column("event_type"), pa.scalar("purchase"))
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "us": us,
+            "pus": pc.if_else(is_p, us, pa.scalar(None, pa.int64())),
+        })
+
+    u = grouped_agg(ev.map_batches(proj, batch_format="pyarrow"),
+                    ["user_id"], [("first_us", "us", "min"),
+                                  ("first_purchase_us", "pus", "min")])
+
+    def cohort(b: pa.Table) -> pa.Table:
+        fw = pc.divide(b.column("first_us"),
+                       pa.scalar(604_800_000_000, pa.int64()))
+        gap = pc.divide(pc.subtract(b.column("first_purchase_us"),
+                                    b.column("first_us")),
+                        pa.scalar(86_400_000_000, pa.int64()))
+        return pa.table({"cohort_week": fw,
+                         "gap_days": pc.cast(gap, pa.float64()),
+                         "converted": pc.cast(
+                             pc.is_valid(b.column("first_purchase_us")),
+                             pa.int64())})
+
+    c = u.map_batches(cohort, batch_format="pyarrow")
+    empty = pa.table({
+        "cohort_week": pa.array([], pa.int64()),
+        "n_users": pa.array([], pa.int64()),
+        "n_converted": pa.array([], pa.int64()),
+        "median_days": pa.array([], pa.float64()),
+        "p90_days": pa.array([], pa.float64()),
+    })
+
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        t = t.sort_by([("cohort_week", "ascending"),
+                       ("gap_days", "ascending")])
+        bounds = _key_run_bounds(t, ["cohort_week"])
+        cw = t.column("cohort_week").to_numpy(zero_copy_only=False)
+        gap = t.column("gap_days").to_numpy(zero_copy_only=False)
+        conv = t.column("converted").to_numpy(zero_copy_only=False)
+        rows = {"cohort_week": [], "n_users": [], "n_converted": [],
+                "median_days": [], "p90_days": []}
+
+        def quant(vals, q):
+            h = (len(vals) - 1) * q
+            lo = int(np.floor(h))
+            return (vals[lo] if h == lo
+                    else vals[lo] + (vals[lo + 1] - vals[lo]) * (h - lo))
+
+        for i in range(len(bounds) - 1):
+            lo, hi = int(bounds[i]), int(bounds[i + 1])
+            g = gap[lo:hi]
+            g = g[~np.isnan(g)]
+            rows["cohort_week"].append(int(cw[lo]))
+            rows["n_users"].append(hi - lo)
+            rows["n_converted"].append(int(conv[lo:hi].sum()))
+            rows["median_days"].append(
+                float(quant(g, 0.5)) if len(g) else None)
+            rows["p90_days"].append(
+                float(quant(g, 0.9)) if len(g) else None)
+        out = pa.table({
+            "cohort_week": pa.array(rows["cohort_week"], pa.int64()),
+            "n_users": pa.array(rows["n_users"], pa.int64()),
+            "n_converted": pa.array(rows["n_converted"], pa.int64()),
+            "median_days": pa.array(rows["median_days"], pa.float64()),
+            "p90_days": pa.array(rows["p90_days"], pa.float64()),
+        })
+        for name in ("median_days", "p90_days"):
+            idx = out.column_names.index(name)
+            out = out.set_column(
+                idx, name, round_like_duckdb(out.column(name), 6))
+        return out
+
+    return grouped_map(c, "cohort_week", kernel, per_group=False,
+                       empty_schema=pa.table({
+                           "cohort_week": pa.array([], pa.int64()),
+                           "gap_days": pa.array([], pa.float64()),
+                           "converted": pa.array([], pa.int64())}))
+
+
+QUERIES["q_activation_time"] = q_activation_time
+ORACLE_SQL["q_activation_time"] = """
+    WITH u AS (
+      SELECT user_id, min(epoch_us(ts)) AS first_us,
+             min(CASE WHEN event_type = 'purchase'
+                      THEN epoch_us(ts) END) AS fp
+      FROM events GROUP BY 1
+    ),
+    c AS (
+      SELECT first_us // 604800000000 AS cohort_week,
+             CAST((fp - first_us) // 86400000000 AS DOUBLE) AS gap_days,
+             CASE WHEN fp IS NOT NULL THEN 1 ELSE 0 END AS converted
+      FROM u
+    )
+    SELECT cohort_week, count(*) AS n_users,
+           CAST(sum(converted) AS BIGINT) AS n_converted,
+           round(quantile_cont(gap_days, 0.5), 6) AS median_days,
+           round(quantile_cont(gap_days, 0.9), 6) AS p90_days
+    FROM c GROUP BY 1
+"""
+
+
+def q_d7_retention_by_entry_type(sf_dir: str):
+    """Acquisition-quality split: D7 retention (second distinct active
+    day within 7 days of the first) broken down by the user's ENTRY
+    event type — which front door brings users who come back.  The
+    per-user kernel reads entry type, first and second day off one
+    time-sorted run; the per-type fold is exact integers."""
+    from ..stages.agg import _key_run_bounds, grouped_agg, grouped_map, \
+        round_like_duckdb
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id",
+                                  "event_type"])
+    empty = pa.table({"entry_type": pa.array([], pa.string()),
+                      "retained": pa.array([], pa.int64())})
+
+    def kern(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        t = t.sort_by([("user_id", "ascending"), ("ts", "ascending"),
+                       ("event_id", "ascending")])
+        bounds = _key_run_bounds(t, ["user_id"])
+        us = pc.cast(t.column("ts").combine_chunks(), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        day = us // 86_400_000_000
+        entry, ret = [], []
+        for i in range(len(bounds) - 1):
+            lo, hi = int(bounds[i]), int(bounds[i + 1])
+            d = day[lo:hi]
+            fd = d[0]
+            nxt = d[d > fd]
+            entry.append(et[lo])
+            ret.append(1 if len(nxt) and nxt.min() - fd <= 7 else 0)
+        return pa.table({"entry_type": pa.array(entry, pa.string()),
+                         "retained": pa.array(ret, pa.int64())})
+
+    flags = grouped_map(
+        ev, "user_id", kern, per_group=False,
+        empty_schema=pa.table({
+            "user_id": pa.array([], pa.int64()),
+            "ts": pa.array([], pa.timestamp("us")),
+            "event_id": pa.array([], pa.int64()),
+            "event_type": pa.array([], pa.string())}))
+    g = grouped_agg(flags, ["entry_type"],
+                    [("n_users", "retained", "count"),
+                     ("n_retained", "retained", "sum")])
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = pc.cast(b.column("n_users"), pa.float64())
+        rate = pc.divide(pc.cast(b.column("n_retained"), pa.float64()), n)
+        return pa.table({
+            "entry_type": b.column("entry_type"),
+            "n_users": pc.cast(b.column("n_users"), pa.int64()),
+            "n_retained": pc.cast(b.column("n_retained"), pa.int64()),
+            "d7_rate": round_like_duckdb(rate, 6),
+        })
+
+    return g.map_batches(finish, batch_format="pyarrow")
+
+
+QUERIES["q_d7_retention_by_entry_type"] = q_d7_retention_by_entry_type
+ORACLE_SQL["q_d7_retention_by_entry_type"] = """
+    WITH r AS (
+      SELECT user_id, event_type, epoch_us(ts) // 86400000000 AS day,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    f AS (SELECT user_id, event_type AS entry_type, day AS fd
+          FROM r WHERE rn = 1),
+    s AS (
+      SELECT r.user_id, min(r.day) AS sd
+      FROM r JOIN f USING (user_id)
+      WHERE r.day > fd GROUP BY 1
+    )
+    SELECT entry_type, count(*) AS n_users,
+           sum(CASE WHEN sd - fd <= 7 THEN 1 ELSE 0 END) AS n_retained,
+           round(sum(CASE WHEN sd - fd <= 7 THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS d7_rate
+    FROM f LEFT JOIN s USING (user_id)
+    GROUP BY 1
+"""
