@@ -34,6 +34,13 @@ def _read(sf_dir: str, table: str, columns=None, num_blocks: int | None = None):
     return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns, **kw)
 
 
+def _add_g(b: pa.Table) -> pa.Table:
+    """Append the constant ``__g`` key used to route a tiny table into a
+    single-partition finalize (``grouped_map(..., "__g", fn)``) — the
+    shared helper behind every scalar-statistic query."""
+    return b.append_column("__g", pa.array(np.zeros(b.num_rows, np.int8)))
+
+
 # --------------------------------------------------------------------------
 # TPC-H-flavoured relational pipelines
 # --------------------------------------------------------------------------
@@ -7175,11 +7182,6 @@ def q_purchase_gains_by_decile(sf_dir: str):
         [("n", "y", "count"), ("n_pos", "y", "sum")], sum_as_float=False,
     )
 
-    def add_g(b: pa.Table) -> pa.Table:
-        import numpy as np
-
-        return b.append_column("__g", pa.array(np.zeros(b.num_rows, np.int8)))
-
     def fin(t: pa.Table) -> pa.Table:
         import numpy as np
 
@@ -7205,7 +7207,7 @@ def q_purchase_gains_by_decile(sf_dir: str):
                 pa.array((pos / n) / (total_pos / total_n)), 6),
         })
 
-    out = grouped_map(g.map_batches(add_g, batch_format="pyarrow"),
+    out = grouped_map(g.map_batches(_add_g, batch_format="pyarrow"),
                       "__g", fin, per_group=False)
     return out.map_batches(
         lambda b: b.select(["decile", "n", "n_pos", "cum_gain", "lift"]),
@@ -11965,10 +11967,11 @@ ORACLE_SQL["q_event_type_anova"] = """
     )
     SELECT (SELECT k FROM tot) AS k_groups,
            CAST((SELECT nt FROM tot) AS BIGINT) AS n_total,
-           round((ssb / ((SELECT k FROM tot) - 1.0))
-                 / (ssw / ((SELECT nt FROM tot) - (SELECT k FROM tot))), 6)
-               AS f_stat,
-           round(ssb / (ssb + ssw), 6) AS eta_sq
+           round(CASE WHEN ssw > 0 THEN (ssb / ((SELECT k FROM tot) - 1.0))
+                 / (ssw / ((SELECT nt FROM tot) - (SELECT k FROM tot)))
+                 END, 6) AS f_stat,
+           round(CASE WHEN ssb + ssw > 0 THEN ssb / (ssb + ssw) END, 6)
+               AS eta_sq
     FROM ss
 """
 
@@ -12061,10 +12064,6 @@ def q_conversion_ztest(sf_dir: str):
     g = grouped_agg(sp, ["variant"],
                     [("n", "conv", "count"), ("c", "conv", "sum")])
 
-    def add_g(b: pa.Table) -> pa.Table:
-        return b.append_column(
-            "__g", pa.array(np.zeros(b.num_rows, np.int8)))
-
     def finalize(t: pa.Table) -> pa.Table:
         empty = pa.table({
             "n_a": pa.array([], pa.int64()),
@@ -12100,7 +12099,7 @@ def q_conversion_ztest(sf_dir: str):
                 idx, name, round_like_duckdb(out.column(name), 6))
         return out
 
-    out = grouped_map(g.map_batches(add_g, batch_format="pyarrow"),
+    out = grouped_map(g.map_batches(_add_g, batch_format="pyarrow"),
                       "__g", finalize, per_group=False)
     return out.map_batches(
         lambda b: b.select(["n_a", "n_b", "conv_a", "conv_b",
@@ -12164,10 +12163,6 @@ def q_daily_revenue_trend(sf_dir: str):
 
     daily = _daily_order_revenue_cents(sf_dir)
 
-    def add_g(b: pa.Table) -> pa.Table:
-        return b.append_column(
-            "__g", pa.array(np.zeros(b.num_rows, np.int8)))
-
     def finalize(t: pa.Table) -> pa.Table:
         empty = pa.table({
             "n_days": pa.array([], pa.int64()),
@@ -12214,7 +12209,7 @@ def q_daily_revenue_trend(sf_dir: str):
                 idx, name, round_like_duckdb(out.column(name), 6))
         return out
 
-    out = grouped_map(daily.map_batches(add_g, batch_format="pyarrow"),
+    out = grouped_map(daily.map_batches(_add_g, batch_format="pyarrow"),
                       "__g", finalize, per_group=False)
     return out.map_batches(
         lambda b: b.select(["n_days", "s_stat", "z_mk", "sen_slope"]),
@@ -12670,10 +12665,6 @@ def q_dow_value_kruskal(sf_dir: str):
                           ["dow"], [("r", "nf", "sum"), ("n", "n", "sum")])
     tie_tot = float(franks.sum("tie3"))
 
-    def add_g(b: pa.Table) -> pa.Table:
-        return b.append_column(
-            "__g", pa.array(np.zeros(b.num_rows, np.int8)))
-
     def finalize(t: pa.Table) -> pa.Table:
         empty = pa.table({
             "k_groups": pa.array([], pa.int64()),
@@ -12703,7 +12694,7 @@ def q_dow_value_kruskal(sf_dir: str):
                 idx, name, round_like_duckdb(out.column(name), 6))
         return out
 
-    out = grouped_map(per_dow.map_batches(add_g, batch_format="pyarrow"),
+    out = grouped_map(per_dow.map_batches(_add_g, batch_format="pyarrow"),
                       "__g", finalize, per_group=False)
     return out.map_batches(
         lambda b: b.select(["k_groups", "n_total", "h_stat",
@@ -12769,10 +12760,6 @@ def q_daily_qty_revenue_kendall(sf_dir: str):
     daily = grouped_agg(li.map_batches(day_xy, batch_format="pyarrow"),
                         ["day"], [("x", "q", "sum"), ("y", "c", "sum")])
 
-    def add_g(b: pa.Table) -> pa.Table:
-        return b.append_column(
-            "__g", pa.array(np.zeros(b.num_rows, np.int8)))
-
     def finalize(t: pa.Table) -> pa.Table:
         empty = pa.table({
             "n_days": pa.array([], pa.int64()),
@@ -12809,7 +12796,7 @@ def q_daily_qty_revenue_kendall(sf_dir: str):
         return out.set_column(idx, "tau_b",
                               round_like_duckdb(out.column("tau_b"), 6))
 
-    out = grouped_map(daily.map_batches(add_g, batch_format="pyarrow"),
+    out = grouped_map(daily.map_batches(_add_g, batch_format="pyarrow"),
                       "__g", finalize, per_group=False)
     return out.map_batches(
         lambda b: b.select(["n_days", "n_concordant", "n_discordant",
@@ -13048,10 +13035,6 @@ def q_daily_revenue_holt(sf_dir: str):
 
     daily = _daily_order_revenue_cents(sf_dir)
 
-    def add_g(b: pa.Table) -> pa.Table:
-        return b.append_column(
-            "__g", pa.array(np.zeros(b.num_rows, np.int8)))
-
     A = 0.3
     B = 0.1
 
@@ -13091,7 +13074,7 @@ def q_daily_revenue_holt(sf_dir: str):
                 idx, name, round_like_duckdb(out.column(name), 6))
         return out
 
-    out = grouped_map(daily.map_batches(add_g, batch_format="pyarrow"),
+    out = grouped_map(daily.map_batches(_add_g, batch_format="pyarrow"),
                       "__g", finalize, per_group=False)
     return out.map_batches(
         lambda b: b.select(["day", "level", "trend", "forecast_next"]),
@@ -13254,10 +13237,6 @@ def q_user_lifetime_logrank(sf_dir: str):
 
     d = _arm_lifetime_death_table(sf_dir)
 
-    def add_g(b: pa.Table) -> pa.Table:
-        return b.append_column(
-            "__g", pa.array(np.zeros(b.num_rows, np.int8)))
-
     def finalize(t: pa.Table) -> pa.Table:
         empty = pa.table({
             "n_a": pa.array([], pa.int64()),
@@ -13302,7 +13281,7 @@ def q_user_lifetime_logrank(sf_dir: str):
                 idx, name, round_like_duckdb(out.column(name), 6))
         return out
 
-    out = grouped_map(d.map_batches(add_g, batch_format="pyarrow"),
+    out = grouped_map(d.map_batches(_add_g, batch_format="pyarrow"),
                       "__g", finalize, per_group=False)
     return out.map_batches(
         lambda b: b.select(["n_a", "n_b", "observed_a", "expected_a",
@@ -13407,10 +13386,6 @@ def q_event_type_entropy_rate(sf_dir: str):
 
     counts = q_event_type_transitions(sf_dir)
 
-    def add_g(b: pa.Table) -> pa.Table:
-        return b.append_column(
-            "__g", pa.array(np.zeros(b.num_rows, np.int8)))
-
     def finalize(t: pa.Table) -> pa.Table:
         empty = pa.table({
             "n_transitions": pa.array([], pa.int64()),
@@ -13435,7 +13410,7 @@ def q_event_type_entropy_rate(sf_dir: str):
             "entropy_rate_nats": pa.array([h], pa.float64()),
         })
 
-    out = grouped_map(counts.map_batches(add_g, batch_format="pyarrow"),
+    out = grouped_map(counts.map_batches(_add_g, batch_format="pyarrow"),
                       "__g", finalize, per_group=False)
     return out.map_batches(
         lambda b: b.select(["n_transitions", "n_states",
@@ -13669,10 +13644,6 @@ def q_segment_priority_residuals(sf_dir: str):
     c = grouped_agg(j, ["c_mktsegment", "o_orderpriority"],
                     [("o", "o_custkey", "count")])
 
-    def add_g(b: pa.Table) -> pa.Table:
-        return b.append_column(
-            "__g", pa.array(np.zeros(b.num_rows, np.int8)))
-
     def finalize(t: pa.Table) -> pa.Table:
         empty = pa.table({
             "c_mktsegment": pa.array([], pa.string()),
@@ -13709,7 +13680,7 @@ def q_segment_priority_residuals(sf_dir: str):
                 idx, name, round_like_duckdb(out.column(name), 6))
         return out
 
-    out = grouped_map(c.map_batches(add_g, batch_format="pyarrow"),
+    out = grouped_map(c.map_batches(_add_g, batch_format="pyarrow"),
                       "__g", finalize, per_group=False)
     return out.map_batches(
         lambda b: b.select(["c_mktsegment", "o_orderpriority", "observed",
@@ -13750,10 +13721,6 @@ def q_user_lifetime_km_arms(sf_dir: str):
     from ..stages.agg import grouped_map, round_like_duckdb
 
     d = _arm_lifetime_death_table(sf_dir)
-
-    def add_g(b: pa.Table) -> pa.Table:
-        return b.append_column(
-            "__g", pa.array(np.zeros(b.num_rows, np.int8)))
 
     def finalize(t: pa.Table) -> pa.Table:
         empty = pa.table({
@@ -13798,7 +13765,7 @@ def q_user_lifetime_km_arms(sf_dir: str):
                 idx, name, round_like_duckdb(out.column(name), 6))
         return out
 
-    out = grouped_map(d.map_batches(add_g, batch_format="pyarrow"),
+    out = grouped_map(d.map_batches(_add_g, batch_format="pyarrow"),
                       "__g", finalize, per_group=False)
     return out.map_batches(
         lambda b: b.select(["days", "n_at_risk_a", "d_a", "survival_a",
@@ -13944,10 +13911,6 @@ def q_click_purchase_ccf(sf_dir: str):
     d = grouped_agg(ev.map_batches(proj, batch_format="pyarrow"),
                     ["day"], [("c", "c", "sum"), ("p", "p", "sum")])
 
-    def add_g(b: pa.Table) -> pa.Table:
-        return b.append_column(
-            "__g", pa.array(np.zeros(b.num_rows, np.int8)))
-
     def finalize(t: pa.Table) -> pa.Table:
         empty = pa.table({
             "lag": pa.array([], pa.int64()),
@@ -13988,7 +13951,7 @@ def q_click_purchase_ccf(sf_dir: str):
         return out.set_column(idx2, "ccf",
                               round_like_duckdb(out.column("ccf"), 6))
 
-    out = grouped_map(d.map_batches(add_g, batch_format="pyarrow"),
+    out = grouped_map(d.map_batches(_add_g, batch_format="pyarrow"),
                       "__g", finalize, per_group=False)
     return out.map_batches(
         lambda b: b.select(["lag", "n_pairs", "ccf"]),
@@ -14066,10 +14029,11 @@ ORACLE_SQL["q_event_type_brown_forsythe"] = """
     )
     SELECT (SELECT k FROM tot) AS k_groups,
            CAST((SELECT nt FROM tot) AS BIGINT) AS n_total,
-           round((ssb / ((SELECT k FROM tot) - 1.0))
-                 / (ssw / ((SELECT nt FROM tot) - (SELECT k FROM tot))), 6)
-               AS f_stat,
-           round(ssb / (ssb + ssw), 6) AS eta_sq
+           round(CASE WHEN ssw > 0 THEN (ssb / ((SELECT k FROM tot) - 1.0))
+                 / (ssw / ((SELECT nt FROM tot) - (SELECT k FROM tot)))
+                 END, 6) AS f_stat,
+           round(CASE WHEN ssb + ssw > 0 THEN ssb / (ssb + ssw) END, 6)
+               AS eta_sq
     FROM ss
 """
 
@@ -14178,10 +14142,6 @@ def q_daily_revenue_var_cvar(sf_dir: str):
 
     daily = _daily_order_revenue_cents(sf_dir)
 
-    def add_g(b: pa.Table) -> pa.Table:
-        return b.append_column(
-            "__g", pa.array(np.zeros(b.num_rows, np.int8)))
-
     def finalize(t: pa.Table) -> pa.Table:
         empty = pa.table({
             "n_days": pa.array([], pa.int64()),
@@ -14213,7 +14173,7 @@ def q_daily_revenue_var_cvar(sf_dir: str):
         return out.set_column(idx, "cvar_05",
                               round_like_duckdb(out.column("cvar_05"), 6))
 
-    out = grouped_map(daily.map_batches(add_g, batch_format="pyarrow"),
+    out = grouped_map(daily.map_batches(_add_g, batch_format="pyarrow"),
                       "__g", finalize, per_group=False)
     return out.map_batches(
         lambda b: b.select(["n_days", "n_tail", "var_05", "cvar_05"]),
@@ -14361,8 +14321,9 @@ def q_purchase_shapley_attribution(sf_dir: str):
     from ..stages.agg import grouped_agg, grouped_map, round_like_duckdb
 
     ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    # materialized once: feeds both the channel discovery and the bitmask
     ut = grouped_agg(ev, ["user_id", "event_type"],
-                     [("__n", "user_id", "count")])
+                     [("__n", "user_id", "count")]).materialize()
 
     types = sorted({
         r["event_type"]
@@ -14385,10 +14346,6 @@ def q_purchase_shapley_attribution(sf_dir: str):
                      [("mask", "bit", "sum"), ("conv", "conv", "max")])
     sets = grouped_agg(um, ["mask"], [("nu", "mask", "count"),
                                       ("nc", "conv", "sum")])
-
-    def add_g(b: pa.Table) -> pa.Table:
-        return b.append_column(
-            "__g", pa.array(np.zeros(b.num_rows, np.int8)))
 
     def finalize(t: pa.Table) -> pa.Table:
         empty = pa.table({"channel": pa.array([], pa.string()),
@@ -14418,7 +14375,7 @@ def q_purchase_shapley_attribution(sf_dir: str):
         return out.set_column(idx, "shapley",
                               round_like_duckdb(out.column("shapley"), 6))
 
-    out = grouped_map(sets.map_batches(add_g, batch_format="pyarrow"),
+    out = grouped_map(sets.map_batches(_add_g, batch_format="pyarrow"),
                       "__g", finalize, per_group=False)
     return out.map_batches(
         lambda b: b.select(["channel", "shapley"]), batch_format="pyarrow")
@@ -14941,11 +14898,14 @@ def q_supplier_jaccard_similarity(sf_dir: str):
 
     deg = grouped_agg(edges, ["l_suppkey"], [("deg", "l_suppkey", "count")],
                       sum_as_float=False)
-    deg_t = pa.concat_tables(
-        [t for t in __import__("ray").get(deg.to_arrow_refs())
-         if t.num_columns > 0])
-    deg_map = dict(zip(deg_t.column("l_suppkey").to_pylist(),
-                       deg_t.column("deg").to_pylist()))
+    deg_a = deg.map_batches(
+        lambda b: pa.table({"supp_a": b.column("l_suppkey"),
+                            "deg_a": pc.cast(b.column("deg"), pa.int64())}),
+        batch_format="pyarrow")
+    deg_b = deg.map_batches(
+        lambda b: pa.table({"supp_b": b.column("l_suppkey"),
+                            "deg_b": pc.cast(b.column("deg"), pa.int64())}),
+        batch_format="pyarrow")
 
     empty = pa.table({"supp_a": pa.array([], pa.int64()),
                       "supp_b": pa.array([], pa.int64())})
@@ -14979,6 +14939,12 @@ def q_supplier_jaccard_similarity(sf_dir: str):
     inter = grouped_agg(pairs, ["supp_a", "supp_b"],
                         [("n_shared", "supp_a", "count")],
                         sum_as_float=False)
+    # degrees ride in plasma via the standard broadcast join (vectorized,
+    # never a per-row Python dict probe)
+    j = broadcast_join(inter, deg_a, left_key="supp_a",
+                       right_key="supp_a", columns=["deg_a"])
+    j = broadcast_join(j, deg_b, left_key="supp_b",
+                       right_key="supp_b", columns=["deg_b"])
 
     def score(b: pa.Table) -> pa.Table:
         if "n_shared" not in b.column_names:
@@ -14986,22 +14952,20 @@ def q_supplier_jaccard_similarity(sf_dir: str):
                              "supp_b": pa.array([], pa.int64()),
                              "n_shared": pa.array([], pa.int64()),
                              "jaccard": pa.array([], pa.float64())})
-        a = b.column("supp_a").to_numpy(zero_copy_only=False)
-        bb = b.column("supp_b").to_numpy(zero_copy_only=False)
-        inter_n = b.column("n_shared").to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        da = np.array([deg_map[x] for x in a], np.int64)
-        db = np.array([deg_map[x] for x in bb], np.int64)
-        jac = inter_n * 1.0 / (da + db - inter_n)
+        inter_n = pc.cast(b.column("n_shared"), pa.int64())
+        union = pc.subtract(pc.add(b.column("deg_a"), b.column("deg_b")),
+                            inter_n)
+        jac = pc.divide(pc.multiply(pc.cast(inter_n, pa.float64()),
+                                    pa.scalar(1.0, pa.float64())),
+                        pc.cast(union, pa.float64()))
         return pa.table({
-            "supp_a": pa.array(a, pa.int64()),
-            "supp_b": pa.array(bb, pa.int64()),
-            "n_shared": pa.array(inter_n, pa.int64()),
-            "jaccard": round_like_duckdb(
-                pa.array(jac, pa.float64()), 6),
+            "supp_a": b.column("supp_a"),
+            "supp_b": b.column("supp_b"),
+            "n_shared": inter_n,
+            "jaccard": round_like_duckdb(jac, 6),
         })
 
-    scored = inter.map_batches(score, batch_format="pyarrow")
+    scored = j.map_batches(score, batch_format="pyarrow")
     return global_topk(scored, ["jaccard", "supp_a", "supp_b"], 20,
                        descending=[True, False, False])
 
@@ -15208,10 +15172,6 @@ def q_type_temporal_cosine(sf_dir: str):
     g = grouped_agg(ev.map_batches(proj, batch_format="pyarrow"),
                     ["event_type", "cell"], [("n", "cell", "count")])
 
-    def add_g(b: pa.Table) -> pa.Table:
-        return b.append_column(
-            "__g", pa.array(np.zeros(b.num_rows, np.int8)))
-
     def finalize(t: pa.Table) -> pa.Table:
         empty = pa.table({"type_a": pa.array([], pa.string()),
                           "type_b": pa.array([], pa.string()),
@@ -15240,7 +15200,7 @@ def q_type_temporal_cosine(sf_dir: str):
         return out.set_column(idx, "cosine",
                               round_like_duckdb(out.column("cosine"), 6))
 
-    out = grouped_map(g.map_batches(add_g, batch_format="pyarrow"),
+    out = grouped_map(g.map_batches(_add_g, batch_format="pyarrow"),
                       "__g", finalize, per_group=False)
     return out.map_batches(
         lambda b: b.select(["type_a", "type_b", "cosine"]),
@@ -15287,10 +15247,6 @@ def q_weekend_value_qq(sf_dir: str):
     per_side = grouped_quantiles(labeled, "variant", "value", qs,
                                  round_to=6)
 
-    def add_g(b: pa.Table) -> pa.Table:
-        return b.append_column(
-            "__g", pa.array(np.zeros(b.num_rows, np.int8)))
-
     def pivot(t: pa.Table) -> pa.Table:
         empty = pa.table({"decile": pa.array([], pa.int64()),
                           "weekday_value": pa.array([], pa.float64()),
@@ -15314,7 +15270,7 @@ def q_weekend_value_qq(sf_dir: str):
         return out.set_column(idx, "gap",
                               round_like_duckdb(out.column("gap"), 6))
 
-    out = grouped_map(per_side.map_batches(add_g, batch_format="pyarrow"),
+    out = grouped_map(per_side.map_batches(_add_g, batch_format="pyarrow"),
                       "__g", pivot, per_group=False)
     return out.map_batches(
         lambda b: b.select(["decile", "weekday_value", "weekend_value",
@@ -15400,10 +15356,11 @@ ORACLE_SQL["q_daily_revenue_dow_anova"] = """
     )
     SELECT (SELECT k FROM tot) AS k_groups,
            CAST((SELECT nt FROM tot) AS BIGINT) AS n_total,
-           round((ssb / ((SELECT k FROM tot) - 1.0))
-                 / (ssw / ((SELECT nt FROM tot) - (SELECT k FROM tot))), 6)
-               AS f_stat,
-           round(ssb / (ssb + ssw), 6) AS eta_sq
+           round(CASE WHEN ssw > 0 THEN (ssb / ((SELECT k FROM tot) - 1.0))
+                 / (ssw / ((SELECT nt FROM tot) - (SELECT k FROM tot)))
+                 END, 6) AS f_stat,
+           round(CASE WHEN ssb + ssw > 0 THEN ssb / (ssb + ssw) END, 6)
+               AS eta_sq
     FROM ss
 """
 
@@ -15719,10 +15676,6 @@ def q_daily_revenue_runs_test(sf_dir: str):
 
     daily = _daily_order_revenue_cents(sf_dir)
 
-    def add_g(b: pa.Table) -> pa.Table:
-        return b.append_column(
-            "__g", pa.array(np.zeros(b.num_rows, np.int8)))
-
     def finalize(t: pa.Table) -> pa.Table:
         empty = pa.table({
             "n_above": pa.array([], pa.int64()),
@@ -15763,7 +15716,7 @@ def q_daily_revenue_runs_test(sf_dir: str):
         return out.set_column(idx, "z_runs",
                               round_like_duckdb(out.column("z_runs"), 6))
 
-    out = grouped_map(daily.map_batches(add_g, batch_format="pyarrow"),
+    out = grouped_map(daily.map_batches(_add_g, batch_format="pyarrow"),
                       "__g", finalize, per_group=False)
     return out.map_batches(
         lambda b: b.select(["n_above", "n_below", "n_runs", "z_runs"]),
@@ -15855,10 +15808,6 @@ def q_vocab_heaps_exponent(sf_dir: str):
     s = global_prefix_sums(s, "new_tokens", out_name="__cv",
                            exclusive=False)
 
-    def add_g(b: pa.Table) -> pa.Table:
-        return b.append_column(
-            "__g", pa.array(np.zeros(b.num_rows, np.int8)))
-
     def finalize(t: pa.Table) -> pa.Table:
         empty = pa.table({
             "n_points": pa.array([], pa.int64()),
@@ -15889,7 +15838,7 @@ def q_vocab_heaps_exponent(sf_dir: str):
                 idx, name, round_like_duckdb(out.column(name), 6))
         return out
 
-    out = grouped_map(s.map_batches(add_g, batch_format="pyarrow"),
+    out = grouped_map(s.map_batches(_add_g, batch_format="pyarrow"),
                       "__g", finalize, per_group=False)
     return out.map_batches(
         lambda b: b.select(["n_points", "heaps_beta", "heaps_k"]),
@@ -15930,10 +15879,6 @@ def q_daily_revenue_arch(sf_dir: str):
 
     daily = _daily_order_revenue_cents(sf_dir)
 
-    def add_g(b: pa.Table) -> pa.Table:
-        return b.append_column(
-            "__g", pa.array(np.zeros(b.num_rows, np.int8)))
-
     def finalize(t: pa.Table) -> pa.Table:
         empty = pa.table({
             "n_pairs": pa.array([], pa.int64()),
@@ -15960,7 +15905,7 @@ def q_daily_revenue_arch(sf_dir: str):
             idx, "arch_corr",
             round_like_duckdb(out.column("arch_corr"), 6))
 
-    out = grouped_map(daily.map_batches(add_g, batch_format="pyarrow"),
+    out = grouped_map(daily.map_batches(_add_g, batch_format="pyarrow"),
                       "__g", finalize, per_group=False)
     return out.map_batches(
         lambda b: b.select(["n_pairs", "arch_corr"]),
@@ -16188,10 +16133,6 @@ def q_purchase_brier_ece(sf_dir: str):
                         [("n", "y", "count"), ("sy", "y", "sum"),
                          ("sp", "pred", "sum"), ("ssq", "sq", "sum")])
 
-    def add_g(b: pa.Table) -> pa.Table:
-        return b.append_column(
-            "__g", pa.array(np.zeros(b.num_rows, np.int8)))
-
     def finalize(t: pa.Table) -> pa.Table:
         empty = pa.table({
             "n_events": pa.array([], pa.int64()),
@@ -16219,7 +16160,7 @@ def q_purchase_brier_ece(sf_dir: str):
                 idx, name, round_like_duckdb(out.column(name), 6))
         return out
 
-    out = grouped_map(cells.map_batches(add_g, batch_format="pyarrow"),
+    out = grouped_map(cells.map_batches(_add_g, batch_format="pyarrow"),
                       "__g", finalize, per_group=False)
     return out.map_batches(
         lambda b: b.select(["n_events", "brier", "ece"]),
@@ -16358,10 +16299,6 @@ def q_embedding_half_drift(sf_dir: str):
                               "lh", col="embedding", round_to=6,
                               out_name="v")
 
-    def add_g(b: pa.Table) -> pa.Table:
-        return b.append_column(
-            "__g", pa.array(np.zeros(b.num_rows, np.int8)))
-
     def finalize(t: pa.Table) -> pa.Table:
         empty = pa.table({
             "label": pa.array([], pa.int64()),
@@ -16393,7 +16330,7 @@ def q_embedding_half_drift(sf_dir: str):
             idx, "centroid_cosine",
             round_like_duckdb(out.column("centroid_cosine"), 6))
 
-    out = grouped_map(cents.map_batches(add_g, batch_format="pyarrow"),
+    out = grouped_map(cents.map_batches(_add_g, batch_format="pyarrow"),
                       "__g", finalize, per_group=False)
     return out.map_batches(
         lambda b: b.select(["label", "centroid_cosine"]),
@@ -16527,10 +16464,6 @@ def q_value_did(sf_dir: str):
                     [("n", "value", "count"), ("m", "value", "mean"),
                      ("v", "value", "var")])
 
-    def add_g(b: pa.Table) -> pa.Table:
-        return b.append_column(
-            "__g", pa.array(np.zeros(b.num_rows, np.int8)))
-
     def finalize(t: pa.Table) -> pa.Table:
         empty = pa.table({
             "did": pa.array([], pa.float64()),
@@ -16561,7 +16494,7 @@ def q_value_did(sf_dir: str):
                 idx, name, round_like_duckdb(out.column(name), 6))
         return out
 
-    out = grouped_map(g.map_batches(add_g, batch_format="pyarrow"),
+    out = grouped_map(g.map_batches(_add_g, batch_format="pyarrow"),
                       "__g", finalize, per_group=False)
     return out.map_batches(
         lambda b: b.select(["did", "se_did", "z_did"]),
@@ -16636,10 +16569,6 @@ def q_region_nation_share(sf_dir: str):
     g = grouped_agg(j.map_batches(cents, batch_format="pyarrow"),
                     ["r_name", "n_name"], [("c", "c", "sum")])
 
-    def add_g(b: pa.Table) -> pa.Table:
-        return b.append_column(
-            "__g", pa.array(np.zeros(b.num_rows, np.int8)))
-
     def finalize(t: pa.Table) -> pa.Table:
         empty = pa.table({
             "r_name": pa.array([], pa.string()),
@@ -16669,7 +16598,7 @@ def q_region_nation_share(sf_dir: str):
         })
         return out
 
-    out = grouped_map(g.map_batches(add_g, batch_format="pyarrow"),
+    out = grouped_map(g.map_batches(_add_g, batch_format="pyarrow"),
                       "__g", finalize, per_group=False)
     return out.map_batches(
         lambda b: b.select(["r_name", "n_name", "revenue",
@@ -16707,10 +16636,6 @@ def q_event_next_type_accuracy(sf_dir: str):
 
     counts = q_event_type_transitions(sf_dir)
 
-    def add_g(b: pa.Table) -> pa.Table:
-        return b.append_column(
-            "__g", pa.array(np.zeros(b.num_rows, np.int8)))
-
     def finalize(t: pa.Table) -> pa.Table:
         empty = pa.table({
             "n_transitions": pa.array([], pa.int64()),
@@ -16735,7 +16660,7 @@ def q_event_next_type_accuracy(sf_dir: str):
             idx, "baseline_accuracy",
             round_like_duckdb(out.column("baseline_accuracy"), 6))
 
-    out = grouped_map(counts.map_batches(add_g, batch_format="pyarrow"),
+    out = grouped_map(counts.map_batches(_add_g, batch_format="pyarrow"),
                       "__g", finalize, per_group=False)
     return out.map_batches(
         lambda b: b.select(["n_transitions", "baseline_accuracy"]),
@@ -16995,10 +16920,6 @@ def q_revenue_cagr(sf_dir: str):
     monthly = grouped_agg(ords.map_batches(proj, batch_format="pyarrow"),
                           ["month"], [("c", "c", "sum")])
 
-    def add_g(b: pa.Table) -> pa.Table:
-        return b.append_column(
-            "__g", pa.array(np.zeros(b.num_rows, np.int8)))
-
     def finalize(t: pa.Table) -> pa.Table:
         empty = pa.table({
             "n_months": pa.array([], pa.int64()),
@@ -17012,7 +16933,8 @@ def q_revenue_cagr(sf_dir: str):
         c = t.column("c").to_numpy(zero_copy_only=False)
         n = len(c)
         first, last = float(c[0]), float(c[-1])
-        cmgr = (last / first) ** (1.0 / (n - 1.0)) - 1.0
+        cmgr = ((last / first) ** (1.0 / (n - 1.0)) - 1.0
+                if first > 0.0 else None)
         out = pa.table({
             "n_months": pa.array([n], pa.int64()),
             "first_revenue": pa.array([first / 100.0], pa.float64()),
@@ -17023,7 +16945,7 @@ def q_revenue_cagr(sf_dir: str):
         return out.set_column(idx, "cmgr",
                               round_like_duckdb(out.column("cmgr"), 6))
 
-    out = grouped_map(monthly.map_batches(add_g, batch_format="pyarrow"),
+    out = grouped_map(monthly.map_batches(_add_g, batch_format="pyarrow"),
                       "__g", finalize, per_group=False)
     return out.map_batches(
         lambda b: b.select(["n_months", "first_revenue", "last_revenue",
@@ -17048,10 +16970,11 @@ ORACLE_SQL["q_revenue_cagr"] = """
                AS first_revenue,
            (SELECT CAST(c AS DOUBLE) / 100.0 FROM o WHERE rn = n)
                AS last_revenue,
-           round(pow((SELECT CAST(c AS DOUBLE) FROM o WHERE rn = n)
-                     / (SELECT CAST(c AS DOUBLE) FROM o WHERE rn = 1),
-                     1.0 / ((SELECT n FROM o LIMIT 1) - 1.0)) - 1.0, 6)
-               AS cmgr
+           round(CASE WHEN (SELECT c FROM o WHERE rn = 1) > 0 THEN
+                     pow((SELECT CAST(c AS DOUBLE) FROM o WHERE rn = n)
+                         / (SELECT CAST(c AS DOUBLE) FROM o WHERE rn = 1),
+                         1.0 / ((SELECT n FROM o LIMIT 1) - 1.0)) - 1.0
+                 END, 6) AS cmgr
 """
 
 
@@ -17145,10 +17068,6 @@ def q_revenue_bennet_decomposition(sf_dir: str):
                           ["month"], [("q", "q", "sum"),
                                       ("c", "c", "sum")])
 
-    def add_g(b: pa.Table) -> pa.Table:
-        return b.append_column(
-            "__g", pa.array(np.zeros(b.num_rows, np.int8)))
-
     def finalize(t: pa.Table) -> pa.Table:
         empty = pa.table({
             "month": pa.array([], pa.timestamp("us")),
@@ -17177,7 +17096,7 @@ def q_revenue_bennet_decomposition(sf_dir: str):
                 idx, name, round_like_duckdb(out.column(name), 6))
         return out
 
-    out = grouped_map(monthly.map_batches(add_g, batch_format="pyarrow"),
+    out = grouped_map(monthly.map_batches(_add_g, batch_format="pyarrow"),
                       "__g", finalize, per_group=False)
     return out.map_batches(
         lambda b: b.select(["month", "delta_revenue", "volume_effect",
@@ -17237,10 +17156,6 @@ def q_nation_rank_consistency(sf_dir: str):
                     ["n_name"], [("n_orders", "c", "count"),
                                  ("c", "c", "sum")])
 
-    def add_g(b: pa.Table) -> pa.Table:
-        return b.append_column(
-            "__g", pa.array(np.zeros(b.num_rows, np.int8)))
-
     def _franks(v: np.ndarray) -> np.ndarray:
         order = np.argsort(v, kind="stable")
         ranks = np.empty(len(v))
@@ -17281,7 +17196,7 @@ def q_nation_rank_consistency(sf_dir: str):
             idx, "rank_spearman",
             round_like_duckdb(out.column("rank_spearman"), 6))
 
-    out = grouped_map(g.map_batches(add_g, batch_format="pyarrow"),
+    out = grouped_map(g.map_batches(_add_g, batch_format="pyarrow"),
                       "__g", finalize, per_group=False)
     return out.map_batches(
         lambda b: b.select(["n_nations", "rank_spearman"]),

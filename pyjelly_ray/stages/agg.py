@@ -2171,7 +2171,10 @@ def oneway_anova(ds, group_col: str, value_col: str, *, round_to: int = 6):
     """
 
     def project(b: pa.Table) -> pa.Table:
-        return b.select([group_col, value_col]).drop_null()
+        # drop NULL VALUES only — a NULL group key forms its own group,
+        # matching the SQL oracle's WHERE value IS NOT NULL + GROUP BY
+        return b.select([group_col, value_col]).filter(
+            pc.is_valid(b.column(value_col)))
 
     g = grouped_agg(
         ds.map_batches(project, batch_format="pyarrow"),
@@ -2208,18 +2211,23 @@ def oneway_anova(ds, group_col: str, value_col: str, *, round_to: int = 6):
         ssb = float((n * (m - gm) ** 2).sum())
         # var_samp is NULL for n=1 groups — they contribute 0 to SSW
         ssw = float(np.nansum((n - 1.0) * np.where(np.isnan(v), 0.0, v)))
-        f = (ssb / (k - 1.0)) / (ssw / (total - k))
-        eta = ssb / (ssb + ssw)
+        # degenerate dispersion (all groups internally constant) -> NULL
+        # statistics, matching the oracles' CASE guards
+        f = ((ssb / (k - 1.0)) / (ssw / (total - k))
+             if ssw > 0.0 else None)
+        eta = ssb / (ssb + ssw) if ssb + ssw > 0.0 else None
         s = 10.0 ** round_to
+
+        def _r6(x):
+            return (None if x is None
+                    else float(np.copysign(np.floor(abs(x) * s + 0.5), x)
+                               / s))
+
         return pa.table({
             "k_groups": pa.array([k], pa.int64()),
             "n_total": pa.array([int(total)], pa.int64()),
-            "f_stat": pa.array(
-                [float(np.copysign(np.floor(abs(f) * s + 0.5), f) / s)],
-                pa.float64()),
-            "eta_sq": pa.array(
-                [float(np.copysign(np.floor(abs(eta) * s + 0.5), eta) / s)],
-                pa.float64()),
+            "f_stat": pa.array([_r6(f)], pa.float64()),
+            "eta_sq": pa.array([_r6(eta)], pa.float64()),
         })
 
     out = grouped_map(g.map_batches(add_g, batch_format="pyarrow"),
