@@ -17426,3 +17426,208 @@ ORACLE_SQL["q_d7_retention_by_entry_type"] = """
     FROM f LEFT JOIN s USING (user_id)
     GROUP BY 1
 """
+
+
+def q_priority_size_gamma(sf_dir: str):
+    """Goodman-Kruskal gamma between two ORDINAL variables: order
+    priority level (1-URGENT … 5-LOW) and order-value quintile — do
+    urgent orders skew large?  The 5×5 contingency comes from one
+    combiner (quintile edges are exact global quantiles); concordant /
+    discordant pair counts fold over the 25 cells in exact integer math,
+    so γ = (C−D)/(C+D) is bitwise deterministic."""
+    from ..stages.agg import grouped_agg, grouped_map, round_like_duckdb
+    from ..stages.sort import global_exact_quantiles
+
+    ords = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+    qs = global_exact_quantiles(
+        ords, "o_totalprice",
+        [("q1", 0.2), ("q2", 0.4), ("q3", 0.6), ("q4", 0.8)], round_to=6)
+    edges = [qs["q1"], qs["q2"], qs["q3"], qs["q4"]]
+
+    def cells(b: pa.Table) -> pa.Table:
+        v = b.column("o_totalprice").to_numpy(zero_copy_only=False)
+        # side="left" == #{edges < v}: a value equal to an edge stays in
+        # the LOWER bucket, matching the oracle's strict v > edge CASEs
+        quint = np.searchsorted(np.array(edges), v, side="left")
+        pr = b.column("o_orderpriority").to_numpy(zero_copy_only=False)
+        lvl = np.array([int(p.split("-")[0]) for p in pr], np.int64)
+        return pa.table({"lvl": pa.array(lvl, pa.int64()),
+                         "quint": pa.array(quint.astype(np.int64))})
+
+    g = grouped_agg(ords.map_batches(cells, batch_format="pyarrow"),
+                    ["lvl", "quint"], [("n", "lvl", "count")])
+
+    def finalize(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "n_concordant": pa.array([], pa.int64()),
+            "n_discordant": pa.array([], pa.int64()),
+            "gamma": pa.array([], pa.float64()),
+        })
+        if t.num_rows == 0:
+            return empty
+        lvl = t.column("lvl").to_numpy(zero_copy_only=False)
+        qu = t.column("quint").to_numpy(zero_copy_only=False)
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        C = D = 0
+        for i in range(len(n)):
+            conc = (lvl > lvl[i]) & (qu > qu[i])
+            disc = (lvl > lvl[i]) & (qu < qu[i])
+            C += int(n[i]) * int(n[conc].sum())
+            D += int(n[i]) * int(n[disc].sum())
+        gamma = (C - D) * 1.0 / (C + D) if C + D > 0 else None
+        out = pa.table({
+            "n_concordant": pa.array([C], pa.int64()),
+            "n_discordant": pa.array([D], pa.int64()),
+            "gamma": pa.array([gamma], pa.float64()),
+        })
+        idx = out.column_names.index("gamma")
+        return out.set_column(idx, "gamma",
+                              round_like_duckdb(out.column("gamma"), 6))
+
+    out = grouped_map(g.map_batches(_add_g, batch_format="pyarrow"),
+                      "__g", finalize, per_group=False)
+    return out.map_batches(
+        lambda b: b.select(["n_concordant", "n_discordant", "gamma"]),
+        batch_format="pyarrow")
+
+
+QUERIES["q_priority_size_gamma"] = q_priority_size_gamma
+ORACLE_SQL["q_priority_size_gamma"] = """
+    WITH e AS (
+      SELECT round(quantile_cont(o_totalprice, 0.2), 6) AS q1,
+             round(quantile_cont(o_totalprice, 0.4), 6) AS q2,
+             round(quantile_cont(o_totalprice, 0.6), 6) AS q3,
+             round(quantile_cont(o_totalprice, 0.8), 6) AS q4
+      FROM orders
+    ),
+    s AS (
+      SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS lvl,
+             CASE WHEN o_totalprice > q4 THEN 4
+                  WHEN o_totalprice > q3 THEN 3
+                  WHEN o_totalprice > q2 THEN 2
+                  WHEN o_totalprice > q1 THEN 1
+                  ELSE 0 END AS quint
+      FROM orders, e
+    ),
+    c AS (SELECT lvl, quint, count(*) AS n FROM s GROUP BY 1, 2),
+    p AS (
+      SELECT sum(a.n * b.n) FILTER (WHERE b.lvl > a.lvl
+                                      AND b.quint > a.quint) AS conc,
+             sum(a.n * b.n) FILTER (WHERE b.lvl > a.lvl
+                                      AND b.quint < a.quint) AS disc
+      FROM c a, c b
+    )
+    SELECT CAST(conc AS BIGINT) AS n_concordant,
+           CAST(disc AS BIGINT) AS n_discordant,
+           round((conc - disc) * 1.0 / (conc + disc), 6) AS gamma
+    FROM p
+"""
+
+
+def q_weekend_value_hellinger(sf_dir: str):
+    """Hellinger distance between the weekday and weekend value
+    distributions over shared global deciles — the bounded [0,1]
+    distribution distance next to the KS statistic and PSI: H =
+    √(1 − Σ√(pᵢqᵢ)).  Decile edges are exact global quantiles (round-6,
+    shared by both sides); the 10×2 share table folds exactly."""
+    from ..stages.agg import grouped_agg, grouped_map, round_like_duckdb
+    from ..stages.sort import global_exact_quantiles
+
+    labeled = _weekend_labeled_events(sf_dir)
+    vals = labeled.map_batches(
+        lambda b: b.select(["value"]).filter(
+            pc.is_valid(b.column("value"))),
+        batch_format="pyarrow")
+    qs = global_exact_quantiles(
+        vals, "value",
+        [(f"q{i}", i / 10.0) for i in range(1, 10)], round_to=6)
+    edges = np.array([qs[f"q{i}"] for i in range(1, 10)])
+
+    def cells(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("value")))
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        # strict v > edge semantics (see q_priority_size_gamma)
+        dec = np.searchsorted(edges, v, side="left")
+        wkd = (b.column("variant").to_numpy(zero_copy_only=False)
+               == "weekend").astype(np.int64)
+        return pa.table({"decile": pa.array(dec.astype(np.int64)),
+                         "wk": pa.array(wkd),
+                         "wd": pa.array(1 - wkd)})
+
+    g = grouped_agg(labeled.map_batches(cells, batch_format="pyarrow"),
+                    ["decile"], [("nk", "wk", "sum"), ("nd", "wd", "sum")])
+
+    def finalize(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "bhattacharyya": pa.array([], pa.float64()),
+            "hellinger": pa.array([], pa.float64()),
+        })
+        if t.num_rows == 0:
+            return empty
+        t = t.sort_by([("decile", "ascending")])
+        nk = t.column("nk").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        nd = t.column("nd").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        tk, td = nk.sum(), nd.sum()
+        if tk == 0.0 or td == 0.0:
+            return empty
+        bc = float(np.sqrt((nk / tk) * (nd / td)).sum())
+        h = float(np.sqrt(max(1.0 - bc, 0.0)))
+        out = pa.table({
+            "bhattacharyya": pa.array([bc], pa.float64()),
+            "hellinger": pa.array([h], pa.float64()),
+        })
+        for name in ("bhattacharyya", "hellinger"):
+            idx = out.column_names.index(name)
+            out = out.set_column(
+                idx, name, round_like_duckdb(out.column(name), 6))
+        return out
+
+    out = grouped_map(g.map_batches(_add_g, batch_format="pyarrow"),
+                      "__g", finalize, per_group=False)
+    return out.map_batches(
+        lambda b: b.select(["bhattacharyya", "hellinger"]),
+        batch_format="pyarrow")
+
+
+QUERIES["q_weekend_value_hellinger"] = q_weekend_value_hellinger
+ORACLE_SQL["q_weekend_value_hellinger"] = """
+    WITH s AS (
+      SELECT CASE WHEN (epoch_us(ts) // 86400000000 + 3) % 7 + 1 >= 6
+                  THEN 1 ELSE 0 END AS wk,
+             value
+      FROM events WHERE value IS NOT NULL
+    ),
+    e AS (
+      SELECT round(quantile_cont(value, 0.1), 6) AS q1,
+             round(quantile_cont(value, 0.2), 6) AS q2,
+             round(quantile_cont(value, 0.3), 6) AS q3,
+             round(quantile_cont(value, 0.4), 6) AS q4,
+             round(quantile_cont(value, 0.5), 6) AS q5,
+             round(quantile_cont(value, 0.6), 6) AS q6,
+             round(quantile_cont(value, 0.7), 6) AS q7,
+             round(quantile_cont(value, 0.8), 6) AS q8,
+             round(quantile_cont(value, 0.9), 6) AS q9
+      FROM s
+    ),
+    d AS (
+      SELECT CASE WHEN value > q9 THEN 9 WHEN value > q8 THEN 8
+                  WHEN value > q7 THEN 7 WHEN value > q6 THEN 6
+                  WHEN value > q5 THEN 5 WHEN value > q4 THEN 4
+                  WHEN value > q3 THEN 3 WHEN value > q2 THEN 2
+                  WHEN value > q1 THEN 1 ELSE 0 END AS decile,
+             wk
+      FROM s, e
+    ),
+    c AS (
+      SELECT decile, sum(wk) * 1.0 AS nk, sum(1 - wk) * 1.0 AS nd
+      FROM d GROUP BY 1
+    ),
+    t AS (SELECT sum(nk) AS tk, sum(nd) AS td FROM c)
+    SELECT round(sum(sqrt((nk / tk) * (nd / td))), 6) AS bhattacharyya,
+           round(sqrt(greatest(
+               1.0 - sum(sqrt((nk / tk) * (nd / td))), 0.0)), 6)
+               AS hellinger
+    FROM c, t
+"""
