@@ -17631,3 +17631,327 @@ ORACLE_SQL["q_weekend_value_hellinger"] = """
                AS hellinger
     FROM c, t
 """
+
+
+def q_daily_revenue_jarque_bera(sf_dir: str):
+    """Jarque-Bera normality screen on daily revenue: sample skewness
+    g1 = m3/m2^1.5, excess kurtosis g2 = m4/m2² − 3 from the central
+    moments, and JB = n/6·(g1² + g2²/4) — the one-row gate a forecasting
+    pipeline runs before assuming Gaussian errors.  The order stream
+    collapses to one exact-integer-cents row per day via the combiner
+    exchange; moments finalize over the tiny series.  JB folds the
+    ROUNDED g1/g2 so the composite is deterministic on both sides."""
+    from ..stages.agg import grouped_map, round_like_duckdb
+
+    daily = _daily_order_revenue_cents(sf_dir)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "n_days": pa.array([], pa.int64()),
+            "skewness": pa.array([], pa.float64()),
+            "ex_kurtosis": pa.array([], pa.float64()),
+            "jb_stat": pa.array([], pa.float64()),
+        })
+        if t.num_rows < 3:
+            return empty
+        c = t.column("c").to_numpy(zero_copy_only=False).astype(np.float64)
+        n = float(len(c))
+        mu = c.sum() / n
+        e = c - mu
+        m2 = (e * e).sum() / n
+        if m2 <= 0.0:
+            return empty
+        g1 = ((e * e * e).sum() / n) / m2 ** 1.5
+        g2 = ((e * e * e * e).sum() / n) / (m2 * m2) - 3.0
+        g1r = float(np.round(g1, 6))
+        g2r = float(np.round(g2, 6))
+        jb = n / 6.0 * (g1r * g1r + g2r * g2r / 4.0)
+        out = pa.table({
+            "n_days": pa.array([int(n)], pa.int64()),
+            "skewness": pa.array([g1], pa.float64()),
+            "ex_kurtosis": pa.array([g2], pa.float64()),
+            "jb_stat": pa.array([jb], pa.float64()),
+        })
+        for name in ("skewness", "ex_kurtosis", "jb_stat"):
+            idx = out.column_names.index(name)
+            out = out.set_column(
+                idx, name, round_like_duckdb(out.column(name), 6))
+        return out
+
+    out = grouped_map(daily.map_batches(_add_g, batch_format="pyarrow"),
+                      "__g", finalize, per_group=False)
+    return out.map_batches(
+        lambda b: b.select(["n_days", "skewness", "ex_kurtosis",
+                            "jb_stat"]),
+        batch_format="pyarrow")
+
+
+QUERIES["q_daily_revenue_jarque_bera"] = q_daily_revenue_jarque_bera
+ORACLE_SQL["q_daily_revenue_jarque_bera"] = """
+    WITH d AS (
+      SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day,
+             sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS c
+      FROM orders GROUP BY 1
+    ),
+    m AS (SELECT sum(c) / count(*) AS mu, count(*) * 1.0 AS n FROM d),
+    e AS (SELECT c - mu AS e, n FROM d, m),
+    mm AS (
+      SELECT any_value(n) AS n,
+             sum(e * e) / any_value(n) AS m2,
+             sum(e * e * e) / any_value(n) AS m3,
+             sum(e * e * e * e) / any_value(n) AS m4
+      FROM e
+    ),
+    g AS (
+      SELECT n,
+             round(m3 / pow(m2, 1.5), 6) AS g1,
+             round(m4 / (m2 * m2) - 3.0, 6) AS g2
+      FROM mm
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           g1 AS skewness,
+           g2 AS ex_kurtosis,
+           round(n / 6.0 * (g1 * g1 + g2 * g2 / 4.0), 6) AS jb_stat
+    FROM g
+"""
+
+
+def q_daily_revenue_ljung_box(sf_dir: str):
+    """Ljung-Box portmanteau test on daily revenue, lags 1..7: per-lag
+    autocorrelation ρ_k of the mean-centered series (row-order lag over
+    the day-sorted table) and the cumulative Q(k) = n(n+2)·Σ_{j≤k}
+    ρ_j²/(n−j) — the residual-whiteness check behind every forecast
+    model.  One combiner exchange to the tiny daily table; Q folds the
+    ROUNDED ρ so the composite is deterministic on both sides."""
+    from ..stages.agg import grouped_map, round_like_duckdb
+
+    daily = _daily_order_revenue_cents(sf_dir)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "lag": pa.array([], pa.int64()),
+            "rho": pa.array([], pa.float64()),
+            "q_lb": pa.array([], pa.float64()),
+        })
+        if t.num_rows < 9:
+            return empty
+        t = t.sort_by([("day", "ascending")])
+        c = t.column("c").to_numpy(zero_copy_only=False).astype(np.float64)
+        n = float(len(c))
+        e = c - c.sum() / n
+        s0 = (e * e).sum()
+        if s0 <= 0.0:
+            return empty
+        lags, rhos, qs = [], [], []
+        acc = 0.0
+        for k in range(1, 8):
+            rho = float(np.round((e[k:] * e[:-k]).sum() / s0, 6))
+            acc += rho * rho / (n - k)
+            lags.append(k)
+            rhos.append(rho)
+            qs.append(float(np.round(n * (n + 2.0) * acc, 6)))
+        return pa.table({
+            "lag": pa.array(lags, pa.int64()),
+            "rho": pa.array(rhos, pa.float64()),
+            "q_lb": pa.array(qs, pa.float64()),
+        })
+
+    out = grouped_map(daily.map_batches(_add_g, batch_format="pyarrow"),
+                      "__g", finalize, per_group=False)
+    return out.map_batches(
+        lambda b: b.select(["lag", "rho", "q_lb"]),
+        batch_format="pyarrow")
+
+
+QUERIES["q_daily_revenue_ljung_box"] = q_daily_revenue_ljung_box
+ORACLE_SQL["q_daily_revenue_ljung_box"] = """
+    WITH d AS (
+      SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day,
+             sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS c
+      FROM orders GROUP BY 1
+    ),
+    m AS (SELECT sum(c) / count(*) AS mu, count(*) * 1.0 AS n FROM d),
+    o AS (
+      SELECT c - mu AS e, row_number() OVER (ORDER BY day) AS rn, n
+      FROM d, m
+    ),
+    den AS (SELECT sum(e * e) AS s0, any_value(n) AS n FROM o),
+    r AS (
+      SELECT k.k AS lag,
+             round(sum(a.e * b.e) / any_value(den.s0), 6) AS rho,
+             any_value(den.n) AS n
+      FROM generate_series(1, 7) k(k)
+      JOIN o a ON TRUE
+      JOIN o b ON b.rn = a.rn + k.k, den
+      GROUP BY 1
+    )
+    SELECT lag, rho,
+           round(n * (n + 2.0) * sum(rho * rho / (n - lag))
+                 OVER (ORDER BY lag), 6) AS q_lb
+    FROM r
+    ORDER BY lag
+"""
+
+
+def q_daily_revenue_dickey_fuller(sf_dir: str):
+    """Dickey-Fuller unit-root screen on daily revenue: OLS of Δy_t on
+    y_{t−1} with intercept over the day-sorted series; reports the mean-
+    reversion coefficient φ and its t-statistic (the DF test stat) — the
+    stationarity gate before differencing/detrending a series.  One
+    combiner exchange to the tiny daily table; the regression finalizes
+    with centered sums matching DuckDB's regr_* tree."""
+    from ..stages.agg import grouped_map, round_like_duckdb
+
+    daily = _daily_order_revenue_cents(sf_dir)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "n_obs": pa.array([], pa.int64()),
+            "phi": pa.array([], pa.float64()),
+            "t_stat": pa.array([], pa.float64()),
+        })
+        if t.num_rows < 4:
+            return empty
+        t = t.sort_by([("day", "ascending")])
+        c = t.column("c").to_numpy(zero_copy_only=False).astype(np.float64)
+        x = c[:-1]
+        y = c[1:] - c[:-1]
+        n = float(len(x))
+        ex = x - x.sum() / n
+        ey = y - y.sum() / n
+        sxx = (ex * ex).sum()
+        sxy = (ex * ey).sum()
+        syy = (ey * ey).sum()
+        if sxx <= 0.0 or n <= 2.0:
+            return empty
+        phi = sxy / sxx
+        sse = syy - sxy * sxy / sxx
+        se = np.sqrt((sse / (n - 2.0)) / sxx)
+        tstat = phi / se if se > 0.0 else None
+        out = pa.table({
+            "n_obs": pa.array([int(n)], pa.int64()),
+            "phi": pa.array([phi], pa.float64()),
+            "t_stat": pa.array([tstat], pa.float64()),
+        })
+        for name in ("phi", "t_stat"):
+            idx = out.column_names.index(name)
+            out = out.set_column(
+                idx, name, round_like_duckdb(out.column(name), 6))
+        return out
+
+    out = grouped_map(daily.map_batches(_add_g, batch_format="pyarrow"),
+                      "__g", finalize, per_group=False)
+    return out.map_batches(
+        lambda b: b.select(["n_obs", "phi", "t_stat"]),
+        batch_format="pyarrow")
+
+
+QUERIES["q_daily_revenue_dickey_fuller"] = q_daily_revenue_dickey_fuller
+ORACLE_SQL["q_daily_revenue_dickey_fuller"] = """
+    WITH d AS (
+      SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day,
+             sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS c
+      FROM orders GROUP BY 1
+    ),
+    p AS (
+      SELECT lag(c) OVER (ORDER BY day) AS x,
+             c - lag(c) OVER (ORDER BY day) AS y
+      FROM d
+    ),
+    q AS (SELECT x * 1.0 AS x, y * 1.0 AS y FROM p WHERE x IS NOT NULL),
+    s AS (
+      SELECT count(*) * 1.0 AS n,
+             regr_sxx(y, x) AS sxx,
+             regr_sxy(y, x) AS sxy,
+             regr_syy(y, x) AS syy
+      FROM q
+    )
+    SELECT CAST(n AS BIGINT) AS n_obs,
+           round(sxy / sxx, 6) AS phi,
+           round((sxy / sxx)
+                 / sqrt(((syy - sxy * sxy / sxx) / (n - 2.0)) / sxx), 6)
+               AS t_stat
+    FROM s
+"""
+
+
+def q_daily_revenue_perm_entropy(sf_dir: str):
+    """Permutation entropy (order 3) of daily revenue: each consecutive
+    triple maps to its ordinal pattern via the 3-bit comparison code
+    (x₁>x₀, x₂>x₀, x₂>x₁ — ties fall to 'not greater' identically on
+    both sides), and the Shannon entropy of the pattern distribution —
+    ≈ln 6 for white noise, lower for trending/periodic structure.  The
+    per-pattern counts are exact integers; entropy folds the exact
+    rationals n/total."""
+    from ..stages.agg import grouped_map, round_like_duckdb
+
+    daily = _daily_order_revenue_cents(sf_dir)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "n_triples": pa.array([], pa.int64()),
+            "perm_entropy": pa.array([], pa.float64()),
+            "perm_entropy_norm": pa.array([], pa.float64()),
+        })
+        if t.num_rows < 3:
+            return empty
+        t = t.sort_by([("day", "ascending")])
+        c = t.column("c").to_numpy(zero_copy_only=False)
+        x0, x1, x2 = c[:-2], c[1:-1], c[2:]
+        code = ((x1 > x0).astype(np.int64)
+                + 2 * (x2 > x0).astype(np.int64)
+                + 4 * (x2 > x1).astype(np.int64))
+        cnt = np.bincount(code, minlength=8).astype(np.float64)
+        total = cnt.sum()
+        p = cnt[cnt > 0.0] / total
+        h = float(-(p * np.log(p)).sum())
+        out = pa.table({
+            "n_triples": pa.array([int(total)], pa.int64()),
+            "perm_entropy": pa.array([h], pa.float64()),
+            "perm_entropy_norm": pa.array([h / np.log(6.0)], pa.float64()),
+        })
+        for name in ("perm_entropy", "perm_entropy_norm"):
+            idx = out.column_names.index(name)
+            out = out.set_column(
+                idx, name, round_like_duckdb(out.column(name), 6))
+        return out
+
+    out = grouped_map(daily.map_batches(_add_g, batch_format="pyarrow"),
+                      "__g", finalize, per_group=False)
+    return out.map_batches(
+        lambda b: b.select(["n_triples", "perm_entropy",
+                            "perm_entropy_norm"]),
+        batch_format="pyarrow")
+
+
+QUERIES["q_daily_revenue_perm_entropy"] = q_daily_revenue_perm_entropy
+ORACLE_SQL["q_daily_revenue_perm_entropy"] = """
+    WITH d AS (
+      SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day,
+             sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS c
+      FROM orders GROUP BY 1
+    ),
+    w AS (
+      SELECT c AS x0,
+             lead(c, 1) OVER (ORDER BY day) AS x1,
+             lead(c, 2) OVER (ORDER BY day) AS x2
+      FROM d
+    ),
+    t AS (
+      SELECT (CASE WHEN x1 > x0 THEN 1 ELSE 0 END
+              + 2 * CASE WHEN x2 > x0 THEN 1 ELSE 0 END
+              + 4 * CASE WHEN x2 > x1 THEN 1 ELSE 0 END) AS code
+      FROM w WHERE x2 IS NOT NULL
+    ),
+    c AS (SELECT code, count(*) AS n FROM t GROUP BY 1),
+    tot AS (SELECT sum(n) * 1.0 AS total FROM c),
+    h AS (
+      SELECT any_value(total) AS total,
+             -sum((n / total) * ln(n / total)) AS h
+      FROM c, tot
+    )
+    SELECT CAST(total AS BIGINT) AS n_triples,
+           round(h, 6) AS perm_entropy,
+           round(h / ln(6.0), 6) AS perm_entropy_norm
+    FROM h
+"""
