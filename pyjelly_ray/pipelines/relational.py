@@ -17955,3 +17955,336 @@ ORACLE_SQL["q_daily_revenue_perm_entropy"] = """
            round(h / ln(6.0), 6) AS perm_entropy_norm
     FROM h
 """
+
+
+def q_user_lifetime_rmst(sf_dir: str):
+    """Restricted mean survival time at 7/14/28-day horizons — the
+    scalar summary of the Kaplan-Meier curve (expected active days per
+    user within the horizon) that product teams track release-over-
+    release.  Uses the step-integral identity RMST(τ) = τ − Σ_{tᵢ≤τ}
+    (τ−tᵢ)·(S(tᵢ₋₁)−S(tᵢ)): the per-time survival DROP needs only the
+    inclusive and exclusive ln-survival prefix sums (same `range_sort` +
+    `global_prefix_sums` machinery as q_user_lifetime_km), and each
+    horizon is then ONE conditional scalar aggregate — no lead/lag,
+    no second pass."""
+    from ..stages.agg import grouped_agg, grouped_map, round_like_duckdb
+    from ..stages.sort import global_prefix_sums
+
+    s, total = _user_lifetime_death_table(sf_dir)
+    taus = (7, 14, 28)
+
+    def factor(b: pa.Table) -> pa.Table:
+        d = pc.cast(b.column("d_events"), pa.float64())
+        n = pc.subtract(pa.scalar(total, pa.float64()),
+                        b.column("__before"))
+        f = pc.subtract(pa.scalar(1.0, pa.float64()), pc.divide(d, n))
+        lnf = pc.if_else(pc.greater(f, pa.scalar(0.0, pa.float64())),
+                         pc.ln(pc.max_element_wise(
+                             f, pa.scalar(1e-300, pa.float64()))),
+                         pa.scalar(0.0, pa.float64()))
+        return pa.table({"days": b.column("days"), "__f": f,
+                         "__lnf": lnf})
+
+    s2 = s.map_batches(factor, batch_format="pyarrow")
+    s2 = global_prefix_sums(s2, "__lnf", out_name="__lnsum",
+                            exclusive=False)
+    s2 = global_prefix_sums(s2, "__lnf", out_name="__lnprev",
+                            exclusive=True)
+
+    def weights(b: pa.Table) -> pa.Table:
+        prev = pc.exp(b.column("__lnprev"))
+        cur = pc.if_else(
+            pc.equal(b.column("__f"), pa.scalar(0.0, pa.float64())),
+            pa.scalar(0.0, pa.float64()),
+            pc.exp(b.column("__lnsum")))
+        drop = pc.subtract(prev, cur)
+        days = pc.cast(b.column("days"), pa.float64())
+        cols = {}
+        for tau in taus:
+            ft = pa.scalar(float(tau), pa.float64())
+            cols[f"w{tau}"] = pc.if_else(
+                pc.less_equal(days, ft),
+                pc.multiply(pc.subtract(ft, days), drop),
+                pa.scalar(0.0, pa.float64()))
+        return _add_g(pa.table(cols))
+
+    g = grouped_agg(s2.map_batches(weights, batch_format="pyarrow"),
+                    ["__g"], [(f"s{tau}", f"w{tau}", "sum")
+                              for tau in taus])
+
+    def finalize(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "horizon_days": pa.array([], pa.int64()),
+            "rmst": pa.array([], pa.float64()),
+        })
+        if t.num_rows == 0:
+            return empty
+        r = t.to_pylist()[0]
+        out = pa.table({
+            "horizon_days": pa.array(list(taus), pa.int64()),
+            "rmst": pa.array([float(tau) - float(r[f"s{tau}"])
+                              for tau in taus], pa.float64()),
+        })
+        idx = out.column_names.index("rmst")
+        return out.set_column(idx, "rmst",
+                              round_like_duckdb(out.column("rmst"), 6))
+
+    out = grouped_map(g, "__g", finalize, per_group=False)
+    return out.map_batches(
+        lambda b: b.select(["horizon_days", "rmst"]),
+        batch_format="pyarrow")
+
+
+QUERIES["q_user_lifetime_rmst"] = q_user_lifetime_rmst
+ORACLE_SQL["q_user_lifetime_rmst"] = """
+    WITH l AS (
+        SELECT user_id,
+               CAST((epoch_us(max(ts)) - epoch_us(min(ts)))
+                    // 86400000000 AS BIGINT) AS days
+        FROM events GROUP BY user_id
+    ),
+    t AS (SELECT count(*) * 1.0 AS total FROM l),
+    d AS (SELECT days, count(*) AS d_events FROM l GROUP BY days),
+    c AS (
+        SELECT days, d_events,
+               (SELECT total FROM t)
+                   - coalesce(sum(d_events) OVER (ORDER BY days
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS n
+        FROM d
+    ),
+    f AS (
+        SELECT days, 1.0 - d_events * 1.0 / n AS f
+        FROM c
+    ),
+    s AS (
+        SELECT days,
+               coalesce(exp(sum(CASE WHEN f > 0 THEN ln(f) ELSE 0 END)
+                            OVER (ORDER BY days
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING)), 1.0) AS prev,
+               CASE WHEN f = 0 THEN 0.0
+                    ELSE exp(sum(CASE WHEN f > 0 THEN ln(f) ELSE 0 END)
+                             OVER (ORDER BY days))
+               END AS cur
+        FROM f
+    )
+    SELECT tau.tau AS horizon_days,
+           round(tau.tau - sum(CASE WHEN days <= tau.tau
+                                    THEN (tau.tau - days) * (prev - cur)
+                                    ELSE 0.0 END), 6) AS rmst
+    FROM (VALUES (7), (14), (28)) tau(tau) CROSS JOIN s
+    GROUP BY tau.tau
+    ORDER BY 1
+"""
+
+
+def q_purchase_avg_precision(sf_dir: str):
+    """Average precision (area under the precision-recall curve, step
+    interpolation) of event value as a purchase classifier — the
+    class-imbalance-robust companion to q_purchase_value_auc.  Ties are
+    handled by DISTINCT-score groups: after one per-value aggregate
+    (n, true positives), the score-descending cumulative counts ride
+    `range_sort` + `global_prefix_sums`, and AP = Σ tpᵥ·(cumTP/cumN) /
+    totalTP is one scalar fold — no per-row ranking."""
+    from ..stages.agg import grouped_agg, grouped_map, round_like_duckdb
+    from ..stages.sort import global_prefix_sums, range_sort
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("value")))
+        return pa.table({
+            "value": b.column("value"),
+            "y": pc.cast(pc.equal(b.column("event_type"),
+                                  pa.scalar("purchase")), pa.int64()),
+        })
+
+    g = grouped_agg(ev.map_batches(prep, batch_format="pyarrow"),
+                    ["value"], [("n", "y", "count"), ("tp", "y", "sum")])
+    s = range_sort(g, "value", descending=True)
+    s = global_prefix_sums(s, "n", out_name="__cn", exclusive=False)
+    s = global_prefix_sums(s, "tp", out_name="__ctp", exclusive=False)
+
+    def term(b: pa.Table) -> pa.Table:
+        tp = pc.cast(b.column("tp"), pa.float64())
+        prec = pc.divide(
+            pc.multiply(pc.cast(b.column("__ctp"), pa.float64()),
+                        pa.scalar(1.0, pa.float64())),
+            pc.cast(b.column("__cn"), pa.float64()))
+        return _add_g(pa.table({
+            "term": pc.multiply(tp, prec),
+            "tp": b.column("tp"),
+        }))
+
+    t = grouped_agg(s.map_batches(term, batch_format="pyarrow"), ["__g"],
+                    [("s_term", "term", "sum"), ("n_pos", "tp", "sum")])
+
+    def finalize(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "n_pos": pa.array([], pa.int64()),
+            "avg_precision": pa.array([], pa.float64()),
+        })
+        if t.num_rows == 0:
+            return empty
+        r = t.to_pylist()[0]
+        npos = int(r["n_pos"])
+        if npos == 0:
+            return empty
+        out = pa.table({
+            "n_pos": pa.array([npos], pa.int64()),
+            "avg_precision": pa.array([float(r["s_term"]) / npos],
+                                      pa.float64()),
+        })
+        idx = out.column_names.index("avg_precision")
+        return out.set_column(
+            idx, "avg_precision",
+            round_like_duckdb(out.column("avg_precision"), 6))
+
+    out = grouped_map(t, "__g", finalize, per_group=False)
+    return out.map_batches(
+        lambda b: b.select(["n_pos", "avg_precision"]),
+        batch_format="pyarrow")
+
+
+QUERIES["q_purchase_avg_precision"] = q_purchase_avg_precision
+ORACLE_SQL["q_purchase_avg_precision"] = """
+    WITH s AS (
+      SELECT value,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events WHERE value IS NOT NULL
+    ),
+    g AS (SELECT value, count(*) AS n, sum(y) AS tp FROM s GROUP BY value),
+    c AS (
+      SELECT tp, sum(n) OVER (ORDER BY value DESC) AS cn,
+             sum(tp) OVER (ORDER BY value DESC) AS ctp
+      FROM g
+    )
+    SELECT CAST(sum(tp) AS BIGINT) AS n_pos,
+           round(sum(tp * (ctp * 1.0 / cn)) / sum(tp), 6) AS avg_precision
+    FROM c
+"""
+
+
+def q_purchase_threshold_metrics(sf_dir: str):
+    """Classifier scorecard at one operating point: predicting
+    'purchase' when event value exceeds the global median yields a 2×2
+    confusion matrix and the derived precision / recall / F1 / accuracy /
+    balanced accuracy / Matthews correlation — the deploy-gate numbers
+    next to the threshold-free AUC/AP.  The threshold is one exact
+    global quantile; the confusion cells are ONE combiner fold of exact
+    integers, so every derived metric is bitwise deterministic."""
+    from ..stages.agg import grouped_agg, grouped_map, round_like_duckdb
+    from ..stages.sort import global_exact_quantiles
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+    vals = ev.map_batches(
+        lambda b: b.select(["value"]).filter(pc.is_valid(b.column("value"))),
+        batch_format="pyarrow")
+    thr = global_exact_quantiles(vals, "value", [("q", 0.5)],
+                                 round_to=6)["q"]
+
+    def cells(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("value")))
+        y = pc.cast(pc.equal(b.column("event_type"),
+                             pa.scalar("purchase")), pa.int64())
+        p = pc.cast(pc.greater(b.column("value"),
+                               pa.scalar(thr, pa.float64())), pa.int64())
+        one = pa.scalar(1, pa.int64())
+        return _add_g(pa.table({
+            "tp": pc.multiply(y, p),
+            "fp": pc.multiply(pc.subtract(one, y), p),
+            "fn": pc.multiply(y, pc.subtract(one, p)),
+            "tn": pc.multiply(pc.subtract(one, y), pc.subtract(one, p)),
+        }))
+
+    g = grouped_agg(ev.map_batches(cells, batch_format="pyarrow"), ["__g"],
+                    [("tp", "tp", "sum"), ("fp", "fp", "sum"),
+                     ("fn", "fn", "sum"), ("tn", "tn", "sum")])
+
+    def finalize(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "threshold": pa.array([], pa.float64()),
+            "tp": pa.array([], pa.int64()),
+            "fp": pa.array([], pa.int64()),
+            "fn": pa.array([], pa.int64()),
+            "tn": pa.array([], pa.int64()),
+            "precision": pa.array([], pa.float64()),
+            "recall": pa.array([], pa.float64()),
+            "f1": pa.array([], pa.float64()),
+            "accuracy": pa.array([], pa.float64()),
+            "balanced_accuracy": pa.array([], pa.float64()),
+            "mcc": pa.array([], pa.float64()),
+        })
+        if t.num_rows == 0:
+            return empty
+        r = t.to_pylist()[0]
+        tp, fp = int(r["tp"]), int(r["fp"])
+        fn, tn = int(r["fn"]), int(r["tn"])
+        prec = tp * 1.0 / (tp + fp) if tp + fp > 0 else None
+        rec = tp * 1.0 / (tp + fn) if tp + fn > 0 else None
+        f1 = 2.0 * tp / (2.0 * tp + fp + fn) if 2 * tp + fp + fn > 0 else None
+        acc = (tp + tn) * 1.0 / (tp + fp + fn + tn)
+        bal = (((tp * 1.0 / (tp + fn)) + (tn * 1.0 / (tn + fp))) / 2.0
+               if tp + fn > 0 and tn + fp > 0 else None)
+        den = (((tp + fp) * 1.0) * (tp + fn) * (tn + fp) * (tn + fn))
+        mcc = ((tp * tn - fp * fn) / np.sqrt(den)) if den > 0.0 else None
+        out = pa.table({
+            "threshold": pa.array([thr], pa.float64()),
+            "tp": pa.array([tp], pa.int64()),
+            "fp": pa.array([fp], pa.int64()),
+            "fn": pa.array([fn], pa.int64()),
+            "tn": pa.array([tn], pa.int64()),
+            "precision": pa.array([prec], pa.float64()),
+            "recall": pa.array([rec], pa.float64()),
+            "f1": pa.array([f1], pa.float64()),
+            "accuracy": pa.array([acc], pa.float64()),
+            "balanced_accuracy": pa.array([bal], pa.float64()),
+            "mcc": pa.array([mcc], pa.float64()),
+        })
+        for name in ("precision", "recall", "f1", "accuracy",
+                     "balanced_accuracy", "mcc"):
+            idx = out.column_names.index(name)
+            out = out.set_column(
+                idx, name, round_like_duckdb(out.column(name), 6))
+        return out
+
+    out = grouped_map(g, "__g", finalize, per_group=False)
+    return out.map_batches(
+        lambda b: b.select(["threshold", "tp", "fp", "fn", "tn",
+                            "precision", "recall", "f1", "accuracy",
+                            "balanced_accuracy", "mcc"]),
+        batch_format="pyarrow")
+
+
+QUERIES["q_purchase_threshold_metrics"] = q_purchase_threshold_metrics
+ORACLE_SQL["q_purchase_threshold_metrics"] = """
+    WITH thr AS (
+      SELECT round(quantile_cont(value, 0.5), 6) AS thr
+      FROM events WHERE value IS NOT NULL
+    ),
+    s AS (
+      SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+             CASE WHEN value > thr THEN 1 ELSE 0 END AS p
+      FROM events, thr WHERE value IS NOT NULL
+    ),
+    c AS (
+      SELECT any_value(thr.thr) AS threshold,
+             sum(y * p) AS tp, sum((1 - y) * p) AS fp,
+             sum(y * (1 - p)) AS fn, sum((1 - y) * (1 - p)) AS tn
+      FROM s, thr
+    )
+    SELECT threshold,
+           CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+           round(tp * 1.0 / (tp + fp), 6) AS precision,
+           round(tp * 1.0 / (tp + fn), 6) AS recall,
+           round(2.0 * tp / (2.0 * tp + fp + fn), 6) AS f1,
+           round((tp + tn) * 1.0 / (tp + fp + fn + tn), 6) AS accuracy,
+           round(((tp * 1.0 / (tp + fn)) + (tn * 1.0 / (tn + fp))) / 2.0,
+                 6) AS balanced_accuracy,
+           round((tp * tn - fp * fn)
+                 / sqrt(((tp + fp) * 1.0) * (tp + fn) * (tn + fp)
+                        * (tn + fn)), 6) AS mcc
+    FROM c
+"""
