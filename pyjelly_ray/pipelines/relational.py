@@ -18288,3 +18288,336 @@ ORACLE_SQL["q_purchase_threshold_metrics"] = """
                         * (tn + fn)), 6) AS mcc
     FROM c
 """
+
+
+def q_supplier_adamic_adar(sf_dir: str):
+    """Link-prediction scorecard on the bipartite supply graph, top-20
+    supplier pairs by Adamic-Adar: AA = Σ_{shared part p} 1/ln(deg(p))
+    (rare shared parts count more), alongside raw common-neighbor counts
+    and preferential attachment deg(a)·deg(b) — the three classic neighbor-
+    overlap scores next to q_supplier_jaccard_similarity.  Pairs emerge
+    inside each part's co-partition run (weight 1/ln(run size) known on
+    the spot — never a supplier×supplier join); AA folds on the combiner
+    exchange; degrees broadcast back."""
+    from ..stages.agg import _key_run_bounds, global_topk, grouped_agg, \
+        grouped_map, round_like_duckdb
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+    edges = grouped_agg(li, ["l_partkey", "l_suppkey"],
+                        [("__n", "l_partkey", "count")])
+    edges = edges.map_batches(
+        lambda b: b.select(["l_partkey", "l_suppkey"]),
+        batch_format="pyarrow").materialize()
+
+    deg = grouped_agg(edges, ["l_suppkey"], [("deg", "l_suppkey", "count")],
+                      sum_as_float=False)
+    deg_a = deg.map_batches(
+        lambda b: pa.table({"supp_a": b.column("l_suppkey"),
+                            "deg_a": pc.cast(b.column("deg"), pa.int64())}),
+        batch_format="pyarrow")
+    deg_b = deg.map_batches(
+        lambda b: pa.table({"supp_b": b.column("l_suppkey"),
+                            "deg_b": pc.cast(b.column("deg"), pa.int64())}),
+        batch_format="pyarrow")
+
+    empty = pa.table({"supp_a": pa.array([], pa.int64()),
+                      "supp_b": pa.array([], pa.int64()),
+                      "w": pa.array([], pa.float64())})
+
+    def pairs_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        t = t.sort_by([("l_partkey", "ascending"),
+                       ("l_suppkey", "ascending")])
+        bounds = _key_run_bounds(t, ["l_partkey"])
+        sizes = np.diff(bounds)
+        supps = t.column("l_suppkey").to_numpy(zero_copy_only=False)
+        a_out, b_out, w_out = [], [], []
+        for ri in np.flatnonzero(sizes >= 2):
+            s, e = int(bounds[ri]), int(bounds[ri + 1])
+            ii, jj = np.triu_indices(e - s, k=1)
+            a_out.append(supps[s:e][ii])
+            b_out.append(supps[s:e][jj])
+            w_out.append(np.full(len(ii), 1.0 / np.log(float(e - s))))
+        if not a_out:
+            return empty
+        return pa.table({
+            "supp_a": pa.array(np.concatenate(a_out), pa.int64()),
+            "supp_b": pa.array(np.concatenate(b_out), pa.int64()),
+            "w": pa.array(np.concatenate(w_out), pa.float64()),
+        })
+
+    pairs = grouped_map(
+        edges, "l_partkey", pairs_part, per_group=False,
+        empty_schema=pa.table({
+            "l_partkey": pa.array([], pa.int64()),
+            "l_suppkey": pa.array([], pa.int64())}))
+    agg = grouped_agg(pairs, ["supp_a", "supp_b"],
+                      [("n_common", "supp_a", "count"),
+                       ("aa", "w", "sum")])
+    j = broadcast_join(agg, deg_a, left_key="supp_a",
+                       right_key="supp_a", columns=["deg_a"])
+    j = broadcast_join(j, deg_b, left_key="supp_b",
+                       right_key="supp_b", columns=["deg_b"])
+
+    def score(b: pa.Table) -> pa.Table:
+        if "n_common" not in b.column_names:
+            return pa.table({"supp_a": pa.array([], pa.int64()),
+                             "supp_b": pa.array([], pa.int64()),
+                             "n_common": pa.array([], pa.int64()),
+                             "adamic_adar": pa.array([], pa.float64()),
+                             "pref_attach": pa.array([], pa.int64())})
+        return pa.table({
+            "supp_a": b.column("supp_a"),
+            "supp_b": b.column("supp_b"),
+            "n_common": pc.cast(b.column("n_common"), pa.int64()),
+            "adamic_adar": round_like_duckdb(b.column("aa"), 6),
+            "pref_attach": pc.multiply(b.column("deg_a"),
+                                       b.column("deg_b")),
+        })
+
+    scored = j.map_batches(score, batch_format="pyarrow")
+    return global_topk(scored, ["adamic_adar", "supp_a", "supp_b"], 20,
+                       descending=[True, False, False])
+
+
+QUERIES["q_supplier_adamic_adar"] = q_supplier_adamic_adar
+ORACLE_SQL["q_supplier_adamic_adar"] = """
+    WITH e AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    pd AS (SELECT l_partkey, count(*) AS pdeg FROM e GROUP BY 1),
+    d AS (SELECT l_suppkey, count(*) AS deg FROM e GROUP BY 1),
+    i AS (
+      SELECT a.l_suppkey AS supp_a, b.l_suppkey AS supp_b,
+             count(*) AS n_common,
+             sum(1.0 / ln(pd.pdeg)) AS aa
+      FROM e a
+      JOIN e b ON a.l_partkey = b.l_partkey
+              AND b.l_suppkey > a.l_suppkey
+      JOIN pd ON pd.l_partkey = a.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT supp_a, supp_b, n_common,
+           round(aa, 6) AS adamic_adar,
+           CAST(da.deg * db.deg AS BIGINT) AS pref_attach
+    FROM i JOIN d da ON da.l_suppkey = supp_a
+           JOIN d db ON db.l_suppkey = supp_b
+    ORDER BY adamic_adar DESC, supp_a, supp_b LIMIT 20
+"""
+
+
+def _embedding_label_moments(sf_dir: str):
+    """Shared preamble of the clustering-validity indices: the embedding
+    table exploded to (label, dim) cells with per-cell count, sum, and
+    sum-of-squares — |labels|×64 rows off one combiner exchange; the
+    exchange never sees raw vectors."""
+    from ..stages.agg import grouped_agg
+
+    emb = _read(sf_dir, "embeddings", ["label", "embedding"])
+
+    def explode(b: pa.Table) -> pa.Table:
+        vecs = b.column("embedding")
+        if isinstance(vecs, pa.ChunkedArray):
+            vecs = vecs.combine_chunks()
+        lens = pc.list_value_length(vecs).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.cast(vecs.flatten(), pa.float64()).to_numpy(
+            zero_copy_only=False)
+        labels = b.column("label").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        dims = (np.arange(int(lens.sum()), dtype=np.int64)
+                - np.repeat(np.concatenate(([0], np.cumsum(lens)))[:-1],
+                            lens))
+        return pa.table({
+            "label": pa.array(np.repeat(labels, lens), pa.int64()),
+            "dim": pa.array(dims, pa.int64()),
+            "v": pa.array(flat, pa.float64()),
+            "vv": pa.array(flat * flat, pa.float64()),
+        })
+
+    return grouped_agg(emb.map_batches(explode, batch_format="pyarrow"),
+                       ["label", "dim"],
+                       [("n", "v", "count"), ("s", "v", "sum"),
+                        ("ssq", "vv", "sum")])
+
+
+def q_embedding_calinski_harabasz(sf_dir: str):
+    """Calinski-Harabasz (variance-ratio) clustering validity of the
+    label partition over the embeddings: CH = (B/(k−1)) / (W/(n−k)) with
+    between-scatter B = Σ_j n_j‖c_j−c‖² and within-scatter W = Σ_j Σ_x
+    ‖x−c_j‖² — higher means tighter, better-separated classes.  Both
+    scatters come dim-wise off the shared (label, dim) moment cells; raw
+    vectors never shuffle."""
+    from ..stages.agg import grouped_map, round_like_duckdb
+
+    g = _embedding_label_moments(sf_dir)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "n_vectors": pa.array([], pa.int64()),
+            "n_labels": pa.array([], pa.int64()),
+            "between_ss": pa.array([], pa.float64()),
+            "within_ss": pa.array([], pa.float64()),
+            "calinski_harabasz": pa.array([], pa.float64()),
+        })
+        if t.num_rows == 0:
+            return empty
+        lab = t.column("label").to_numpy(zero_copy_only=False)
+        dim = t.column("dim").to_numpy(zero_copy_only=False)
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        s = t.column("s").to_numpy(zero_copy_only=False)
+        ssq = t.column("ssq").to_numpy(zero_copy_only=False)
+        labels = np.unique(lab)
+        k = len(labels)
+        nvec = int(n[dim == dim.min()].sum())
+        if k < 2 or nvec <= k:
+            return empty
+        w = float((ssq - s * s / n).sum())
+        # per-dim grand centroid over the same cells
+        b_tot = 0.0
+        for dd in np.unique(dim):
+            m = dim == dd
+            gc = s[m].sum() / n[m].sum()
+            cj = s[m] / n[m]
+            b_tot += float((n[m] * (cj - gc) * (cj - gc)).sum())
+        ch = (b_tot / (k - 1.0)) / (w / (nvec - float(k)))
+        out = pa.table({
+            "n_vectors": pa.array([nvec], pa.int64()),
+            "n_labels": pa.array([int(k)], pa.int64()),
+            "between_ss": pa.array([b_tot], pa.float64()),
+            "within_ss": pa.array([w], pa.float64()),
+            "calinski_harabasz": pa.array([ch], pa.float64()),
+        })
+        for name in ("between_ss", "within_ss", "calinski_harabasz"):
+            idx = out.column_names.index(name)
+            out = out.set_column(
+                idx, name, round_like_duckdb(out.column(name), 6))
+        return out
+
+    out = grouped_map(g.map_batches(_add_g, batch_format="pyarrow"),
+                      "__g", finalize, per_group=False)
+    return out.map_batches(
+        lambda b: b.select(["n_vectors", "n_labels", "between_ss",
+                            "within_ss", "calinski_harabasz"]),
+        batch_format="pyarrow")
+
+
+QUERIES["q_embedding_calinski_harabasz"] = q_embedding_calinski_harabasz
+ORACLE_SQL["q_embedding_calinski_harabasz"] = """
+    WITH x AS (
+      SELECT label, gs.i AS dim, CAST(embedding[gs.i + 1] AS DOUBLE) AS v
+      FROM embeddings CROSS JOIN range(64) AS gs(i)
+      WHERE gs.i < len(embedding)
+    ),
+    pl AS (
+      SELECT label, dim, count(*) AS n, sum(v) AS s, sum(v * v) AS ssq
+      FROM x GROUP BY 1, 2
+    ),
+    w AS (SELECT sum(ssq - s * s / n) AS w FROM pl),
+    gc AS (SELECT dim, sum(s) / sum(n) AS gc FROM pl GROUP BY 1),
+    b AS (
+      SELECT sum(pl.n * (pl.s / pl.n - gc.gc) * (pl.s / pl.n - gc.gc))
+          AS b
+      FROM pl JOIN gc ON gc.dim = pl.dim
+    ),
+    kk AS (
+      SELECT count(DISTINCT label) * 1.0 AS k,
+             count(*) * 1.0 AS nvec
+      FROM embeddings
+    )
+    SELECT CAST(nvec AS BIGINT) AS n_vectors,
+           CAST(k AS BIGINT) AS n_labels,
+           round(b, 6) AS between_ss,
+           round(w, 6) AS within_ss,
+           round((b / (k - 1.0)) / (w / (nvec - k)), 6)
+               AS calinski_harabasz
+    FROM w, b, kk
+"""
+
+
+def q_embedding_davies_bouldin(sf_dir: str):
+    """Davies-Bouldin clustering validity of the label partition:
+    per-cluster dispersion S_j = √(W_j/n_j), pairwise centroid
+    separation M_ij, and DB = mean_i max_{j≠i} (S_i+S_j)/M_ij — lower is
+    better; the standard k-selection companion to Calinski-Harabasz.
+    All inputs come off the shared (label, dim) moment cells (k×64
+    rows); the k×k pair fold is driver-trivial."""
+    from ..stages.agg import grouped_map, round_like_duckdb
+
+    g = _embedding_label_moments(sf_dir)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "n_labels": pa.array([], pa.int64()),
+            "davies_bouldin": pa.array([], pa.float64()),
+        })
+        if t.num_rows == 0:
+            return empty
+        t = t.sort_by([("label", "ascending"), ("dim", "ascending")])
+        lab = t.column("label").to_numpy(zero_copy_only=False)
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        s = t.column("s").to_numpy(zero_copy_only=False)
+        ssq = t.column("ssq").to_numpy(zero_copy_only=False)
+        labels = np.unique(lab)
+        k = len(labels)
+        if k < 2:
+            return empty
+        d = len(np.unique(t.column("dim").to_numpy(zero_copy_only=False)))
+        cent = (s / n).reshape(k, d)
+        wj = (ssq - s * s / n).reshape(k, d).sum(axis=1)
+        nj = n.reshape(k, d)[:, 0]
+        sj = np.sqrt(wj / nj)
+        diff = cent[:, None, :] - cent[None, :, :]
+        m = np.sqrt((diff * diff).sum(axis=2))
+        r = (sj[:, None] + sj[None, :]) / np.where(m > 0.0, m, np.inf)
+        np.fill_diagonal(r, -np.inf)
+        db = float(np.max(r, axis=1).sum() / k)
+        out = pa.table({
+            "n_labels": pa.array([int(k)], pa.int64()),
+            "davies_bouldin": pa.array([db], pa.float64()),
+        })
+        idx = out.column_names.index("davies_bouldin")
+        return out.set_column(
+            idx, "davies_bouldin",
+            round_like_duckdb(out.column("davies_bouldin"), 6))
+
+    out = grouped_map(g.map_batches(_add_g, batch_format="pyarrow"),
+                      "__g", finalize, per_group=False)
+    return out.map_batches(
+        lambda b: b.select(["n_labels", "davies_bouldin"]),
+        batch_format="pyarrow")
+
+
+QUERIES["q_embedding_davies_bouldin"] = q_embedding_davies_bouldin
+ORACLE_SQL["q_embedding_davies_bouldin"] = """
+    WITH x AS (
+      SELECT label, gs.i AS dim, CAST(embedding[gs.i + 1] AS DOUBLE) AS v
+      FROM embeddings CROSS JOIN range(64) AS gs(i)
+      WHERE gs.i < len(embedding)
+    ),
+    pl AS (
+      SELECT label, dim, count(*) AS n, sum(v) AS s, sum(v * v) AS ssq
+      FROM x GROUP BY 1, 2
+    ),
+    cents AS (SELECT label, dim, s / n AS c FROM pl),
+    sj AS (
+      SELECT label, sqrt(sum(ssq - s * s / n) / max(n)) AS sj
+      FROM pl GROUP BY label
+    ),
+    m AS (
+      SELECT a.label AS la, b.label AS lb,
+             sqrt(sum((a.c - b.c) * (a.c - b.c))) AS m
+      FROM cents a JOIN cents b
+        ON a.dim = b.dim AND a.label <> b.label
+      GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT la, max((sa.sj + sb.sj) / m.m) AS rmax
+      FROM m JOIN sj sa ON sa.label = la
+             JOIN sj sb ON sb.label = lb
+      WHERE m.m > 0
+      GROUP BY la
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_labels,
+           round(sum(rmax) / count(*), 6) AS davies_bouldin
+    FROM r
+"""
