@@ -18621,3 +18621,325 @@ ORACLE_SQL["q_embedding_davies_bouldin"] = """
            round(sum(rmax) / count(*), 6) AS davies_bouldin
     FROM r
 """
+
+
+def q_embedding_retrieval_metrics(sf_dir: str):
+    """Retrieval-eval scorecard over the embedding space, leave-one-out:
+    for every vector, rank its top-10 cosine neighbors and score the
+    ranking against 'same label' relevance — MRR@10 (reciprocal rank of
+    the first same-label hit, 0 if none) and binary NDCG@10 (DCG over
+    hits at 1/log₂(rank+1), ideal = the class-size-capped prefix).  One
+    data pass: the id+matrix broadcast once, one matmul per batch,
+    per-query top-11 merge (self dropped), ranks assigned inside each
+    query's co-partition run, labels broadcast back — no n×n shuffle."""
+    import ray
+
+    from ..stages.agg import _key_run_bounds, grouped_agg, grouped_map, \
+        grouped_topk, round_like_duckdb
+    from ..stages.ann import _stack, cosine_topk_multi
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    tabs = [t for t in ray.get(emb.to_arrow_refs()) if t.num_columns > 0]
+    full = pa.concat_tables(tabs)
+    ids = full.column("vec_id").to_numpy(zero_copy_only=False).astype(
+        np.int64)
+
+    res = cosine_topk_multi(emb, _stack(full), k=11, query_ids=ids,
+                            round_to=4)
+    noself = res.map_batches(
+        lambda b: b.filter(pc.not_equal(b.column("query_id"),
+                                        b.column("vec_id"))),
+        batch_format="pyarrow",
+    )
+
+    empty = pa.table({"query_id": pa.array([], pa.int64()),
+                      "vec_id": pa.array([], pa.int64()),
+                      "rnk": pa.array([], pa.int64())})
+
+    def rank_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        t = t.sort_by([("query_id", "ascending"), ("sim", "descending"),
+                       ("vec_id", "ascending")])
+        bounds = _key_run_bounds(t, ["query_id"])
+        sizes = np.diff(bounds)
+        rnk = (np.arange(t.num_rows, dtype=np.int64)
+               - np.repeat(bounds[:-1], sizes)) + 1
+        keep = rnk <= 10
+        return pa.table({
+            "query_id": t.column("query_id").filter(pa.array(keep)),
+            "vec_id": t.column("vec_id").filter(pa.array(keep)),
+            "rnk": pa.array(rnk[keep], pa.int64()),
+        })
+
+    ranked = grouped_map(noself, "query_id", rank_part, per_group=False,
+                         empty_schema=pa.table({
+                             "query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())}))
+
+    labels = emb.map_batches(
+        lambda b: b.select(["vec_id", "label"]), batch_format="pyarrow")
+    qlab = labels.map_batches(
+        lambda b: pa.table({"query_id": b.column("vec_id"),
+                            "q_label": b.column("label")}),
+        batch_format="pyarrow")
+    nlab = labels.map_batches(
+        lambda b: pa.table({"vec_id": b.column("vec_id"),
+                            "n_label": b.column("label")}),
+        batch_format="pyarrow")
+    j = broadcast_join(ranked, qlab, left_key="query_id",
+                       right_key="query_id", columns=["q_label"])
+    j = broadcast_join(j, nlab, left_key="vec_id", columns=["n_label"])
+
+    def scores(b: pa.Table) -> pa.Table:
+        match = pc.cast(pc.equal(b.column("q_label"), b.column("n_label")),
+                        pa.int64())
+        rnk = pc.cast(b.column("rnk"), pa.float64())
+        dcg = pc.if_else(
+            pc.equal(match, pa.scalar(1, pa.int64())),
+            pc.divide(pa.scalar(1.0, pa.float64()),
+                      pc.log2(pc.add(rnk, pa.scalar(1.0, pa.float64())))),
+            pa.scalar(0.0, pa.float64()))
+        fr = pc.if_else(pc.equal(match, pa.scalar(1, pa.int64())),
+                        b.column("rnk"),
+                        pa.scalar(10**9, pa.int64()))
+        return pa.table({
+            "query_id": b.column("query_id"),
+            "q_label": b.column("q_label"),
+            "dcg_t": dcg,
+            "fr": fr,
+        })
+
+    per_q = grouped_agg(j.map_batches(scores, batch_format="pyarrow"),
+                        ["query_id", "q_label"],
+                        [("dcg", "dcg_t", "sum"), ("fr", "fr", "min")])
+
+    # class sizes for the ideal DCG (tiny per-label table, broadcast)
+    cs = grouped_agg(labels, ["label"], [("m", "vec_id", "count")],
+                     sum_as_float=False)
+    cs = cs.map_batches(
+        lambda b: pa.table({"q_label": b.column("label"),
+                            "m": pc.cast(b.column("m"), pa.int64())}),
+        batch_format="pyarrow")
+    per_q = broadcast_join(per_q, cs, left_key="q_label",
+                           right_key="q_label", columns=["m"])
+
+    idcg_cum = np.cumsum(1.0 / np.log2(np.arange(2, 12, dtype=np.float64)))
+
+    def per_query(b: pa.Table) -> pa.Table:
+        fr = b.column("fr").to_numpy(zero_copy_only=False)
+        rr = np.where(fr <= 10, 1.0 / fr.astype(np.float64), 0.0)
+        m = b.column("m").to_numpy(zero_copy_only=False)
+        dcg = b.column("dcg").to_numpy(zero_copy_only=False)
+        kk = np.minimum(10, m - 1)
+        has = kk >= 1
+        ndcg = np.where(has, dcg / idcg_cum[np.clip(kk, 1, 10) - 1], 0.0)
+        return _add_g(pa.table({
+            "rr": pa.array(rr, pa.float64()),
+            "ndcg": pa.array(ndcg, pa.float64()),
+            "has": pa.array(has.astype(np.int64), pa.int64()),
+        }))
+
+    g = grouped_agg(per_q.map_batches(per_query, batch_format="pyarrow"),
+                    ["__g"], [("n_q", "rr", "count"), ("s_rr", "rr", "sum"),
+                              ("s_ndcg", "ndcg", "sum"),
+                              ("n_has", "has", "sum")])
+
+    def finalize(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "n_queries": pa.array([], pa.int64()),
+            "mrr": pa.array([], pa.float64()),
+            "ndcg_10": pa.array([], pa.float64()),
+        })
+        if t.num_rows == 0:
+            return empty
+        r = t.to_pylist()[0]
+        nq, nh = int(r["n_q"]), int(r["n_has"])
+        if nq == 0:
+            return empty
+        out = pa.table({
+            "n_queries": pa.array([nq], pa.int64()),
+            "mrr": pa.array([float(r["s_rr"]) / nq], pa.float64()),
+            "ndcg_10": pa.array(
+                [float(r["s_ndcg"]) / nh if nh > 0 else None],
+                pa.float64()),
+        })
+        for name in ("mrr", "ndcg_10"):
+            idx = out.column_names.index(name)
+            out = out.set_column(
+                idx, name, round_like_duckdb(out.column(name), 6))
+        return out
+
+    out = grouped_map(g, "__g", finalize, per_group=False)
+    return out.map_batches(
+        lambda b: b.select(["n_queries", "mrr", "ndcg_10"]),
+        batch_format="pyarrow")
+
+
+QUERIES["q_embedding_retrieval_metrics"] = q_embedding_retrieval_metrics
+ORACLE_SQL["q_embedding_retrieval_metrics"] = """
+    WITH p AS (
+      SELECT a.vec_id AS q, a.label AS ql, b.vec_id AS nid,
+             b.label AS nl,
+             round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])),
+                   4) AS cos
+      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    ),
+    r AS (
+      SELECT q, ql, nl, rn FROM (
+        SELECT q, ql, nl,
+               row_number() OVER (PARTITION BY q
+                                  ORDER BY cos DESC, nid) AS rn
+        FROM p
+      ) WHERE rn <= 10
+    ),
+    a AS (
+      SELECT q, any_value(ql) AS ql,
+             min(CASE WHEN nl = ql THEN rn END) AS fr,
+             sum(CASE WHEN nl = ql THEN 1.0 / log2(rn + 1.0)
+                      ELSE 0.0 END) AS dcg
+      FROM r GROUP BY q
+    ),
+    cs AS (SELECT label, count(*) AS m FROM embeddings GROUP BY label),
+    w AS (
+      SELECT gs.i + 1 AS rnk,
+             sum(1.0 / log2(gs.i + 2.0)) OVER (ORDER BY gs.i) AS idcg
+      FROM range(10) gs(i)
+    ),
+    j AS (
+      SELECT a.q,
+             CASE WHEN fr IS NOT NULL THEN 1.0 / fr ELSE 0.0 END AS rr,
+             CASE WHEN cs.m > 1 THEN dcg / w.idcg END AS ndcg
+      FROM a JOIN cs ON cs.label = a.ql
+             LEFT JOIN w ON w.rnk = least(10, cs.m - 1)
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           round(sum(rr) / count(*), 6) AS mrr,
+           round(sum(ndcg) / count(ndcg), 6) AS ndcg_10
+    FROM j
+"""
+
+
+def q_weekend_value_jsd(sf_dir: str):
+    """Jensen-Shannon divergence between the weekday and weekend value
+    distributions over shared global deciles — the symmetric, always-
+    finite KL relative (in nats, ≤ ln 2) completing the distribution-
+    distance family next to KS, PSI, and Hellinger.  Decile edges are
+    exact global quantiles shared by both sides; the 10×2 share table
+    folds exactly; 0·ln0 terms drop identically on both sides."""
+    from ..stages.agg import grouped_agg, grouped_map, round_like_duckdb
+    from ..stages.sort import global_exact_quantiles
+
+    labeled = _weekend_labeled_events(sf_dir)
+    vals = labeled.map_batches(
+        lambda b: b.select(["value"]).filter(
+            pc.is_valid(b.column("value"))),
+        batch_format="pyarrow")
+    qs = global_exact_quantiles(
+        vals, "value",
+        [(f"q{i}", i / 10.0) for i in range(1, 10)], round_to=6)
+    edges = np.array([qs[f"q{i}"] for i in range(1, 10)])
+
+    def cells(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("value")))
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        dec = np.searchsorted(edges, v, side="left")
+        wkd = (b.column("variant").to_numpy(zero_copy_only=False)
+               == "weekend").astype(np.int64)
+        return pa.table({"decile": pa.array(dec.astype(np.int64)),
+                         "wk": pa.array(wkd),
+                         "wd": pa.array(1 - wkd)})
+
+    g = grouped_agg(labeled.map_batches(cells, batch_format="pyarrow"),
+                    ["decile"], [("nk", "wk", "sum"), ("nd", "wd", "sum")])
+
+    def finalize(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "jsd": pa.array([], pa.float64()),
+            "jsd_normalized": pa.array([], pa.float64()),
+        })
+        if t.num_rows == 0:
+            return empty
+        t = t.sort_by([("decile", "ascending")])
+        nk = t.column("nk").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        nd = t.column("nd").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        tk, td = nk.sum(), nd.sum()
+        if tk == 0.0 or td == 0.0:
+            return empty
+        p = nk / tk
+        q = nd / td
+        m = (p + q) / 2.0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            kp = np.where(p > 0.0, p * np.log(p / m), 0.0)
+            kq = np.where(q > 0.0, q * np.log(q / m), 0.0)
+        jsd = float((kp.sum() + kq.sum()) / 2.0)
+        out = pa.table({
+            "jsd": pa.array([jsd], pa.float64()),
+            "jsd_normalized": pa.array([jsd / np.log(2.0)], pa.float64()),
+        })
+        for name in ("jsd", "jsd_normalized"):
+            idx = out.column_names.index(name)
+            out = out.set_column(
+                idx, name, round_like_duckdb(out.column(name), 6))
+        return out
+
+    out = grouped_map(g.map_batches(_add_g, batch_format="pyarrow"),
+                      "__g", finalize, per_group=False)
+    return out.map_batches(
+        lambda b: b.select(["jsd", "jsd_normalized"]),
+        batch_format="pyarrow")
+
+
+QUERIES["q_weekend_value_jsd"] = q_weekend_value_jsd
+ORACLE_SQL["q_weekend_value_jsd"] = """
+    WITH s AS (
+      SELECT CASE WHEN (epoch_us(ts) // 86400000000 + 3) % 7 + 1 >= 6
+                  THEN 1 ELSE 0 END AS wk,
+             value
+      FROM events WHERE value IS NOT NULL
+    ),
+    e AS (
+      SELECT round(quantile_cont(value, 0.1), 6) AS q1,
+             round(quantile_cont(value, 0.2), 6) AS q2,
+             round(quantile_cont(value, 0.3), 6) AS q3,
+             round(quantile_cont(value, 0.4), 6) AS q4,
+             round(quantile_cont(value, 0.5), 6) AS q5,
+             round(quantile_cont(value, 0.6), 6) AS q6,
+             round(quantile_cont(value, 0.7), 6) AS q7,
+             round(quantile_cont(value, 0.8), 6) AS q8,
+             round(quantile_cont(value, 0.9), 6) AS q9
+      FROM s
+    ),
+    d AS (
+      SELECT CASE WHEN value > q9 THEN 9 WHEN value > q8 THEN 8
+                  WHEN value > q7 THEN 7 WHEN value > q6 THEN 6
+                  WHEN value > q5 THEN 5 WHEN value > q4 THEN 4
+                  WHEN value > q3 THEN 3 WHEN value > q2 THEN 2
+                  WHEN value > q1 THEN 1 ELSE 0 END AS decile,
+             wk
+      FROM s, e
+    ),
+    c AS (
+      SELECT decile, sum(wk) * 1.0 AS nk, sum(1 - wk) * 1.0 AS nd
+      FROM d GROUP BY 1
+    ),
+    t AS (SELECT sum(nk) AS tk, sum(nd) AS td FROM c),
+    z AS (
+      SELECT nk / tk AS p, nd / td AS q,
+             (nk / tk + nd / td) / 2.0 AS m
+      FROM c, t
+    ),
+    h AS (
+      SELECT (sum(CASE WHEN p > 0 THEN p * ln(p / m) ELSE 0 END)
+              + sum(CASE WHEN q > 0 THEN q * ln(q / m) ELSE 0 END))
+                 / 2.0 AS jsd
+      FROM z
+    )
+    SELECT round(jsd, 6) AS jsd,
+           round(jsd / ln(2.0), 6) AS jsd_normalized
+    FROM h
+"""
