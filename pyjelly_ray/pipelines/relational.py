@@ -18943,3 +18943,363 @@ ORACLE_SQL["q_weekend_value_jsd"] = """
            round(jsd / ln(2.0), 6) AS jsd_normalized
     FROM h
 """
+
+
+def q_customer_spend_lorenz(sf_dir: str):
+    """Lorenz curve of customer lifetime spend: the cumulative spend
+    share held by the poorest 10%, 20%, …, 90% of customers — the curve
+    behind the Gini, read directly for "the bottom half of customers
+    carry X% of revenue" statements.  Per-customer spend folds to exact
+    integer cents; the curve rides `range_sort` (spend, custkey — a
+    deterministic total order) + O(blocks) global row numbers + an exact
+    integer prefix sum; only the 9 decile rows leave the pipeline."""
+    from ..stages.agg import grouped_agg, round_like_duckdb
+    from ..stages.sort import global_prefix_sums, global_row_numbers, \
+        range_sort
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": b.column("o_custkey"),
+            "c": pc.cast(pc.round(pc.multiply(
+                b.column("o_totalprice"),
+                pa.scalar(100.0, pa.float64()))), pa.int64()),
+        })
+
+    spend = grouped_agg(orders.map_batches(cents, batch_format="pyarrow"),
+                        ["o_custkey"], [("c", "c", "sum")],
+                        sum_as_float=False)
+    tot = _to_table(grouped_agg(
+        spend.map_batches(_add_g, batch_format="pyarrow"), ["__g"],
+        [("n", "c", "count"), ("tot", "c", "sum")]))
+    if tot.num_rows == 0:
+        import ray.data
+
+        return ray.data.from_arrow(pa.table({
+            "pct": pa.array([], pa.int64()),
+            "cum_share": pa.array([], pa.float64())}))
+    n = int(tot.column("n")[0].as_py())
+    total = int(tot.column("tot")[0].as_py())
+
+    s = range_sort(spend, "c", tiebreak=["o_custkey"])
+    s = global_row_numbers(s, out_name="rn")
+    s = global_prefix_sums(s, "c", out_name="cum", exclusive=False)
+    targets = pa.array([n * k // 10 for k in range(1, 10)], pa.int64())
+
+    def pick(b: pa.Table) -> pa.Table:
+        m = pc.is_in(b.column("rn"), value_set=targets)
+        b = b.filter(m)
+        rn = b.column("rn").to_numpy(zero_copy_only=False)
+        pct = np.searchsorted(targets.to_numpy(zero_copy_only=False),
+                              rn, side="left") + 1
+        share = pc.divide(
+            pc.multiply(pc.cast(b.column("cum"), pa.float64()),
+                        pa.scalar(1.0, pa.float64())),
+            pa.scalar(float(total), pa.float64()))
+        return pa.table({
+            "pct": pa.array(pct * 10, pa.int64()),
+            "cum_share": round_like_duckdb(share, 6),
+        })
+
+    return s.map_batches(pick, batch_format="pyarrow")
+
+
+QUERIES["q_customer_spend_lorenz"] = q_customer_spend_lorenz
+ORACLE_SQL["q_customer_spend_lorenz"] = """
+    WITH s AS (
+      SELECT o_custkey,
+             sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS c
+      FROM orders GROUP BY 1
+    ),
+    t AS (SELECT count(*) AS n, sum(c) AS tot FROM s),
+    r AS (
+      SELECT c, o_custkey,
+             row_number() OVER (ORDER BY c, o_custkey) AS rn,
+             sum(c) OVER (ORDER BY c, o_custkey) AS cum
+      FROM s
+    )
+    SELECT CAST(k.k * 10 AS BIGINT) AS pct,
+           round(cum * 1.0 / tot, 6) AS cum_share
+    FROM range(1, 10) k(k), t, r
+    WHERE r.rn = (t.n * k.k) // 10
+    ORDER BY pct
+"""
+
+
+def q_customer_spend_atkinson(sf_dir: str):
+    """Atkinson inequality index (ε = 0.5) of customer lifetime spend:
+    A = 1 − (mean√x)²/mean x — the welfare-weighted inequality measure
+    whose value reads as "the share of total spend society would give up
+    for perfect equality"; scale-invariant, so exact integer cents feed
+    it directly.  One combiner fold (n, Σx, Σ√x); the index is a fixed
+    three-term float tree."""
+    from ..stages.agg import grouped_agg, grouped_map, round_like_duckdb
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": b.column("o_custkey"),
+            "c": pc.cast(pc.round(pc.multiply(
+                b.column("o_totalprice"),
+                pa.scalar(100.0, pa.float64()))), pa.int64()),
+        })
+
+    spend = grouped_agg(orders.map_batches(cents, batch_format="pyarrow"),
+                        ["o_custkey"], [("c", "c", "sum")],
+                        sum_as_float=False)
+
+    def parts(b: pa.Table) -> pa.Table:
+        c = pc.cast(b.column("c"), pa.float64())
+        return _add_g(pa.table({"c": c, "sq": pc.sqrt(c)}))
+
+    g = grouped_agg(spend.map_batches(parts, batch_format="pyarrow"),
+                    ["__g"], [("n", "c", "count"), ("s", "c", "sum"),
+                              ("ssq", "sq", "sum")])
+
+    def finalize(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "n_customers": pa.array([], pa.int64()),
+            "atkinson_05": pa.array([], pa.float64()),
+        })
+        if t.num_rows == 0:
+            return empty
+        r = t.to_pylist()[0]
+        n = float(r["n"])
+        if n == 0.0 or float(r["s"]) <= 0.0:
+            return empty
+        ede = (float(r["ssq"]) / n) * (float(r["ssq"]) / n)
+        a = 1.0 - ede / (float(r["s"]) / n)
+        out = pa.table({
+            "n_customers": pa.array([int(n)], pa.int64()),
+            "atkinson_05": pa.array([a], pa.float64()),
+        })
+        idx = out.column_names.index("atkinson_05")
+        return out.set_column(
+            idx, "atkinson_05",
+            round_like_duckdb(out.column("atkinson_05"), 6))
+
+    out = grouped_map(g, "__g", finalize, per_group=False)
+    return out.map_batches(
+        lambda b: b.select(["n_customers", "atkinson_05"]),
+        batch_format="pyarrow")
+
+
+QUERIES["q_customer_spend_atkinson"] = q_customer_spend_atkinson
+ORACLE_SQL["q_customer_spend_atkinson"] = """
+    WITH s AS (
+      SELECT o_custkey,
+             sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS c
+      FROM orders GROUP BY 1
+    ),
+    g AS (
+      SELECT count(*) * 1.0 AS n, sum(c * 1.0) AS s,
+             sum(sqrt(c * 1.0)) AS ssq
+      FROM s
+    )
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           round(1.0 - ((ssq / n) * (ssq / n)) / (s / n), 6)
+               AS atkinson_05
+    FROM g
+"""
+
+
+def q_revenue_jackknife_ratio(sf_dir: str):
+    """Leave-one-nation-out jackknife for the average order value
+    (total revenue / total orders): point estimate, jackknife standard
+    error √((k−1)/k·Σ(θ₍ᵢ₎−θ̄)²), and the ±1.96·SE interval — the
+    grouped-resampling uncertainty estimate for a RATIO, where a naive
+    per-order variance is wrong.  Per-nation totals are one combiner
+    fold of exact cents; the k=|nations| leave-one-out sweep is
+    driver-trivial."""
+    from ..stages.agg import grouped_agg, grouped_map, round_like_duckdb
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": b.column("o_custkey"),
+            "c": pc.cast(pc.round(pc.multiply(
+                b.column("o_totalprice"),
+                pa.scalar(100.0, pa.float64()))), pa.int64()),
+        })
+
+    o = orders.map_batches(cents, batch_format="pyarrow")
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"])
+    cust = broadcast_join(cust, nation, left_key="c_nationkey",
+                          right_key="n_nationkey", columns=["n_name"])
+    j = broadcast_join(o, cust, left_key="o_custkey",
+                       right_key="c_custkey", columns=["n_name"])
+    g = grouped_agg(j, ["n_name"], [("t", "c", "sum"),
+                                    ("m", "c", "count")])
+
+    def finalize(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "n_groups": pa.array([], pa.int64()),
+            "avg_order_value": pa.array([], pa.float64()),
+            "jk_se": pa.array([], pa.float64()),
+            "ci_lo": pa.array([], pa.float64()),
+            "ci_hi": pa.array([], pa.float64()),
+        })
+        if t.num_rows < 2:
+            return empty
+        ti = t.column("t").to_numpy(zero_copy_only=False).astype(np.int64)
+        mi = t.column("m").to_numpy(zero_copy_only=False).astype(np.int64)
+        tot, n = int(ti.sum()), int(mi.sum())
+        k = float(len(ti))
+        theta = tot * 1.0 / n / 100.0
+        th_i = ((tot - ti) * 1.0 / (n - mi)) / 100.0
+        jbar = th_i.sum() / k
+        se = float(np.sqrt((k - 1.0) / k
+                           * ((th_i - jbar) * (th_i - jbar)).sum()))
+        out = pa.table({
+            "n_groups": pa.array([int(k)], pa.int64()),
+            "avg_order_value": pa.array([theta], pa.float64()),
+            "jk_se": pa.array([se], pa.float64()),
+            "ci_lo": pa.array([theta - 1.96 * se], pa.float64()),
+            "ci_hi": pa.array([theta + 1.96 * se], pa.float64()),
+        })
+        for name in ("avg_order_value", "jk_se", "ci_lo", "ci_hi"):
+            idx = out.column_names.index(name)
+            out = out.set_column(
+                idx, name, round_like_duckdb(out.column(name), 6))
+        return out
+
+    out = grouped_map(g.map_batches(_add_g, batch_format="pyarrow"),
+                      "__g", finalize, per_group=False)
+    return out.map_batches(
+        lambda b: b.select(["n_groups", "avg_order_value", "jk_se",
+                            "ci_lo", "ci_hi"]),
+        batch_format="pyarrow")
+
+
+QUERIES["q_revenue_jackknife_ratio"] = q_revenue_jackknife_ratio
+ORACLE_SQL["q_revenue_jackknife_ratio"] = """
+    WITH o AS (
+      SELECT o_custkey,
+             CAST(round(o_totalprice * 100.0) AS BIGINT) AS c
+      FROM orders
+    ),
+    j AS (
+      SELECT n_name, c
+      FROM o JOIN customer ON c_custkey = o_custkey
+             JOIN nation ON n_nationkey = c_nationkey
+    ),
+    g AS (SELECT n_name, sum(c) AS t, count(*) AS m FROM j GROUP BY 1),
+    tt AS (
+      SELECT sum(t) AS tot, sum(m) AS n, count(*) * 1.0 AS k FROM g
+    ),
+    th AS (
+      SELECT ((tot - t) * 1.0 / (n - m)) / 100.0 AS th_i,
+             tot, n, k
+      FROM g, tt
+    ),
+    s AS (
+      SELECT any_value(k) AS k, any_value(tot) AS tot,
+             any_value(n) AS n, sum(th_i) / any_value(k) AS jbar
+      FROM th
+    ),
+    v AS (
+      SELECT s.k AS k, s.tot AS tot, s.n AS n,
+             sqrt((s.k - 1.0) / s.k
+                  * sum((th.th_i - s.jbar) * (th.th_i - s.jbar))) AS se
+      FROM th, s
+      GROUP BY s.k, s.tot, s.n
+    )
+    SELECT CAST(k AS BIGINT) AS n_groups,
+           round(tot * 1.0 / n / 100.0, 6) AS avg_order_value,
+           round(se, 6) AS jk_se,
+           round(tot * 1.0 / n / 100.0 - 1.96 * se, 6) AS ci_lo,
+           round(tot * 1.0 / n / 100.0 + 1.96 * se, 6) AS ci_hi
+    FROM v
+"""
+
+
+def q_doc_word_length_profile(sf_dir: str):
+    """Word-length readability profile per language: average word
+    length, share of long words (>6 chars, the LIX-style difficulty
+    term), and share of short words (<4 chars) — the corpus-quality
+    dashboard's per-source complexity screen (this synthetic corpus has
+    no sentence punctuation, so the word-length terms are the
+    well-defined part of a readability index).  Per-doc counts are fully
+    vectorized (one split, one flat length pass, segmented bincounts);
+    per-language sums ride the combiner and every ratio folds from
+    exact integer totals."""
+    from ..stages.agg import grouped_agg, round_like_duckdb
+
+    docs = _read(sf_dir, "documents", ["lang", "text"])
+
+    def counts(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b.column("text"), " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        words = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = toks.flatten()
+        tlen = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(words)), words)
+        longw = np.bincount(doc_idx[tlen > 6], minlength=len(words))
+        shortw = np.bincount(doc_idx[tlen < 4], minlength=len(words))
+        chars = np.bincount(doc_idx, weights=tlen.astype(np.float64),
+                            minlength=len(words)).astype(np.int64)
+        return pa.table({
+            "lang": b.column("lang"),
+            "words": pa.array(words, pa.int64()),
+            "longw": pa.array(longw.astype(np.int64), pa.int64()),
+            "shortw": pa.array(shortw.astype(np.int64), pa.int64()),
+            "chars": pa.array(chars, pa.int64()),
+        })
+
+    g = grouped_agg(docs.map_batches(counts, batch_format="pyarrow"),
+                    ["lang"], [("n_docs", "words", "count"),
+                               ("w", "words", "sum"),
+                               ("lw", "longw", "sum"),
+                               ("sw", "shortw", "sum"),
+                               ("ch", "chars", "sum")])
+
+    def ratios(b: pa.Table) -> pa.Table:
+        w = pc.cast(b.column("w"), pa.float64())
+        lw = pc.cast(b.column("lw"), pa.float64())
+        sw = pc.cast(b.column("sw"), pa.float64())
+        ch = pc.cast(b.column("ch"), pa.float64())
+        one = pa.scalar(1.0, pa.float64())
+        hundred = pa.scalar(100.0, pa.float64())
+        return pa.table({
+            "lang": b.column("lang"),
+            "n_docs": pc.cast(b.column("n_docs"), pa.int64()),
+            "avg_word_len": round_like_duckdb(
+                pc.divide(pc.multiply(ch, one), w), 6),
+            "long_word_pct": round_like_duckdb(
+                pc.divide(pc.multiply(hundred, lw), w), 6),
+            "short_word_pct": round_like_duckdb(
+                pc.divide(pc.multiply(hundred, sw), w), 6),
+        })
+
+    return g.map_batches(ratios, batch_format="pyarrow")
+
+
+QUERIES["q_doc_word_length_profile"] = q_doc_word_length_profile
+ORACLE_SQL["q_doc_word_length_profile"] = """
+    WITH d AS (
+      SELECT lang,
+             len(string_split(text, ' ')) AS words,
+             len(list_filter(string_split(text, ' '),
+                             x -> len(x) > 6)) AS longw,
+             len(list_filter(string_split(text, ' '),
+                             x -> len(x) < 4)) AS shortw,
+             len(replace(text, ' ', '')) AS chars
+      FROM documents
+    ),
+    g AS (
+      SELECT lang, count(*) AS n_docs, sum(words) AS w,
+             sum(longw) AS lw, sum(shortw) AS sw, sum(chars) AS ch
+      FROM d GROUP BY 1
+    )
+    SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+           round(ch * 1.0 / w, 6) AS avg_word_len,
+           round(100.0 * lw / w, 6) AS long_word_pct,
+           round(100.0 * sw / w, 6) AS short_word_pct
+    FROM g
+"""
