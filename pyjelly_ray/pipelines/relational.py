@@ -19303,3 +19303,466 @@ ORACLE_SQL["q_doc_word_length_profile"] = """
            round(100.0 * sw / w, 6) AS short_word_pct
     FROM g
 """
+
+
+def q_click_purchase_wilcoxon(sf_dir: str):
+    """Wilcoxon signed-rank test on paired per-user means: does a user's
+    average purchase value exceed their average click value?  The
+    nonparametric paired-t companion to McNemar on the same user
+    pairing: per-user conditional means fold in one combiner, the
+    round-6 differences rank via the |distinct|-row fractional-rank
+    machinery (tie-averaged, zero-differences dropped), W⁺ sums exact
+    half-integer ranks, and z applies the tie-corrected normal
+    approximation."""
+    from ..stages.agg import _fractional_ranks, grouped_agg, grouped_map, \
+        round_like_duckdb
+    from ..stages.joins import hash_join
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("value")))
+        isc = pc.cast(pc.equal(b.column("event_type"),
+                               pa.scalar("click")), pa.int64())
+        isp = pc.cast(pc.equal(b.column("event_type"),
+                               pa.scalar("purchase")), pa.int64())
+        v = b.column("value")
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "cv": pc.multiply(v, pc.cast(isc, pa.float64())),
+            "isc": isc,
+            "pv": pc.multiply(v, pc.cast(isp, pa.float64())),
+            "isp": isp,
+        })
+
+    u = grouped_agg(ev.map_batches(prep, batch_format="pyarrow"),
+                    ["user_id"],
+                    [("sc", "cv", "sum"), ("nc", "isc", "sum"),
+                     ("sp", "pv", "sum"), ("np_", "isp", "sum")])
+
+    def diffs(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.greater(b.column("nc"), pa.scalar(0.0)),
+                       pc.greater(b.column("np_"), pa.scalar(0.0)))
+        b = b.filter(keep)
+        d = round_like_duckdb(
+            pc.subtract(pc.divide(b.column("sp"), b.column("np_")),
+                        pc.divide(b.column("sc"), b.column("nc"))), 6)
+        t = pa.table({"d": d, "ad": pc.abs(d)})
+        return t.filter(pc.not_equal(t.column("d"),
+                                     pa.scalar(0.0, pa.float64())))
+
+    dds = u.map_batches(diffs, batch_format="pyarrow").materialize()
+    ranks = _fractional_ranks(dds, "ad", "__r")
+    j = hash_join(dds, ranks, left_key="ad", right_key="ad", how="inner")
+
+    def fold(b: pa.Table) -> pa.Table:
+        pos = pc.cast(pc.greater(b.column("d"),
+                                 pa.scalar(0.0, pa.float64())),
+                      pa.float64())
+        return _add_g(pa.table({
+            "wterm": pc.multiply(pos, b.column("__r")),
+            "one": pc.cast(pc.greater(b.column("ad"),
+                                      pa.scalar(-1.0, pa.float64())),
+                           pa.int64()),
+        }))
+
+    w = grouped_agg(j.map_batches(fold, batch_format="pyarrow"), ["__g"],
+                    [("wplus", "wterm", "sum"), ("n", "one", "sum")])
+
+    tie_cells = grouped_agg(dds, ["ad"], [("c", "ad", "count")])
+
+    def tie_fold(b: pa.Table) -> pa.Table:
+        c = pc.cast(b.column("c"), pa.float64())
+        return _add_g(pa.table({
+            "t3": pc.subtract(pc.multiply(pc.multiply(c, c), c), c)}))
+
+    tie = _to_table(grouped_agg(
+        tie_cells.map_batches(tie_fold, batch_format="pyarrow"), ["__g"],
+        [("tc", "t3", "sum")]))
+    tc = float(tie.column("tc")[0].as_py()) if tie.num_rows else 0.0
+
+    def finalize(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "n_pairs": pa.array([], pa.int64()),
+            "w_plus": pa.array([], pa.float64()),
+            "z": pa.array([], pa.float64()),
+        })
+        if t.num_rows == 0:
+            return empty
+        r = t.to_pylist()[0]
+        n = float(r["n"])
+        if n < 1.0:
+            return empty
+        wplus = float(r["wplus"])
+        var = n * (n + 1.0) * (2.0 * n + 1.0) / 24.0 - tc / 48.0
+        z = ((wplus - n * (n + 1.0) / 4.0) / np.sqrt(var)
+             if var > 0.0 else None)
+        out = pa.table({
+            "n_pairs": pa.array([int(n)], pa.int64()),
+            "w_plus": pa.array([wplus], pa.float64()),
+            "z": pa.array([z], pa.float64()),
+        })
+        for name in ("w_plus", "z"):
+            idx = out.column_names.index(name)
+            out = out.set_column(
+                idx, name, round_like_duckdb(out.column(name), 6))
+        return out
+
+    out = grouped_map(w, "__g", finalize, per_group=False)
+    return out.map_batches(
+        lambda b: b.select(["n_pairs", "w_plus", "z"]),
+        batch_format="pyarrow")
+
+
+QUERIES["q_click_purchase_wilcoxon"] = q_click_purchase_wilcoxon
+ORACLE_SQL["q_click_purchase_wilcoxon"] = """
+    WITH e AS (
+      SELECT user_id, event_type, value
+      FROM events WHERE value IS NOT NULL
+    ),
+    u AS (
+      SELECT user_id,
+             sum(CASE WHEN event_type = 'click' THEN value
+                      ELSE 0 END) AS sc,
+             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS nc,
+             sum(CASE WHEN event_type = 'purchase' THEN value
+                      ELSE 0 END) AS sp,
+             sum(CASE WHEN event_type = 'purchase' THEN 1
+                      ELSE 0 END) AS np
+      FROM e GROUP BY 1
+    ),
+    d0 AS (
+      SELECT round(sp / np - sc / nc, 6) AS d
+      FROM u WHERE nc > 0 AND np > 0
+    ),
+    d2 AS (SELECT d, abs(d) AS ad FROM d0 WHERE d <> 0),
+    r AS (
+      SELECT d,
+             rank() OVER (ORDER BY ad)
+                 + (count(*) OVER (PARTITION BY ad) - 1) / 2.0 AS fr
+      FROM d2
+    ),
+    w AS (
+      SELECT count(*) * 1.0 AS n,
+             sum(CASE WHEN d > 0 THEN fr ELSE 0 END) AS wplus
+      FROM r
+    ),
+    tie AS (
+      SELECT coalesce(sum(c * c * c - c), 0) * 1.0 AS tc
+      FROM (SELECT count(*) AS c FROM d2 GROUP BY ad)
+    )
+    SELECT CAST(n AS BIGINT) AS n_pairs,
+           round(wplus, 6) AS w_plus,
+           round((wplus - n * (n + 1.0) / 4.0)
+                 / sqrt(n * (n + 1.0) * (2.0 * n + 1.0) / 24.0
+                        - tc / 48.0), 6) AS z
+    FROM w, tie
+"""
+
+
+def q_priority_size_somers_d(sf_dir: str):
+    """Somers' D between order priority level and order-value quintile —
+    the ASYMMETRIC ordinal association (gamma's directional sibling):
+    d_yx = (C−D)/(C+D+T_y) treats value quintile as the dependent,
+    d_xy the reverse.  Same 5×5 contingency as q_priority_size_gamma
+    (one combiner; exact-quantile edges); concordant/discordant/tie
+    pair counts fold in exact integer math, so both coefficients are
+    bitwise deterministic."""
+    from ..stages.agg import grouped_agg, grouped_map, round_like_duckdb
+    from ..stages.sort import global_exact_quantiles
+
+    ords = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+    qs = global_exact_quantiles(
+        ords, "o_totalprice",
+        [("q1", 0.2), ("q2", 0.4), ("q3", 0.6), ("q4", 0.8)], round_to=6)
+    edges = [qs["q1"], qs["q2"], qs["q3"], qs["q4"]]
+
+    def cells(b: pa.Table) -> pa.Table:
+        v = b.column("o_totalprice").to_numpy(zero_copy_only=False)
+        quint = np.searchsorted(np.array(edges), v, side="left")
+        pr = b.column("o_orderpriority").to_numpy(zero_copy_only=False)
+        lvl = np.array([int(p.split("-")[0]) for p in pr], np.int64)
+        return pa.table({"lvl": pa.array(lvl, pa.int64()),
+                         "quint": pa.array(quint.astype(np.int64))})
+
+    g = grouped_agg(ords.map_batches(cells, batch_format="pyarrow"),
+                    ["lvl", "quint"], [("n", "lvl", "count")])
+
+    def finalize(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "n_concordant": pa.array([], pa.int64()),
+            "n_discordant": pa.array([], pa.int64()),
+            "ties_x_only": pa.array([], pa.int64()),
+            "ties_y_only": pa.array([], pa.int64()),
+            "somers_d_yx": pa.array([], pa.float64()),
+            "somers_d_xy": pa.array([], pa.float64()),
+        })
+        if t.num_rows == 0:
+            return empty
+        lvl = t.column("lvl").to_numpy(zero_copy_only=False)
+        qu = t.column("quint").to_numpy(zero_copy_only=False)
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        C = D = TX = TY = 0
+        for i in range(len(n)):
+            conc = (lvl > lvl[i]) & (qu > qu[i])
+            disc = (lvl > lvl[i]) & (qu < qu[i])
+            tx = (lvl == lvl[i]) & (qu > qu[i])
+            ty = (qu == qu[i]) & (lvl > lvl[i])
+            C += int(n[i]) * int(n[conc].sum())
+            D += int(n[i]) * int(n[disc].sum())
+            TX += int(n[i]) * int(n[tx].sum())
+            TY += int(n[i]) * int(n[ty].sum())
+        dyx = (C - D) * 1.0 / (C + D + TY) if C + D + TY > 0 else None
+        dxy = (C - D) * 1.0 / (C + D + TX) if C + D + TX > 0 else None
+        out = pa.table({
+            "n_concordant": pa.array([C], pa.int64()),
+            "n_discordant": pa.array([D], pa.int64()),
+            "ties_x_only": pa.array([TX], pa.int64()),
+            "ties_y_only": pa.array([TY], pa.int64()),
+            "somers_d_yx": pa.array([dyx], pa.float64()),
+            "somers_d_xy": pa.array([dxy], pa.float64()),
+        })
+        for name in ("somers_d_yx", "somers_d_xy"):
+            idx = out.column_names.index(name)
+            out = out.set_column(
+                idx, name, round_like_duckdb(out.column(name), 6))
+        return out
+
+    out = grouped_map(g.map_batches(_add_g, batch_format="pyarrow"),
+                      "__g", finalize, per_group=False)
+    return out.map_batches(
+        lambda b: b.select(["n_concordant", "n_discordant", "ties_x_only",
+                            "ties_y_only", "somers_d_yx", "somers_d_xy"]),
+        batch_format="pyarrow")
+
+
+QUERIES["q_priority_size_somers_d"] = q_priority_size_somers_d
+ORACLE_SQL["q_priority_size_somers_d"] = """
+    WITH e AS (
+      SELECT round(quantile_cont(o_totalprice, 0.2), 6) AS q1,
+             round(quantile_cont(o_totalprice, 0.4), 6) AS q2,
+             round(quantile_cont(o_totalprice, 0.6), 6) AS q3,
+             round(quantile_cont(o_totalprice, 0.8), 6) AS q4
+      FROM orders
+    ),
+    s AS (
+      SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS lvl,
+             CASE WHEN o_totalprice > q4 THEN 4
+                  WHEN o_totalprice > q3 THEN 3
+                  WHEN o_totalprice > q2 THEN 2
+                  WHEN o_totalprice > q1 THEN 1
+                  ELSE 0 END AS quint
+      FROM orders, e
+    ),
+    c AS (SELECT lvl, quint, count(*) AS n FROM s GROUP BY 1, 2),
+    p AS (
+      SELECT sum(a.n * b.n) FILTER (WHERE b.lvl > a.lvl
+                                      AND b.quint > a.quint) AS conc,
+             sum(a.n * b.n) FILTER (WHERE b.lvl > a.lvl
+                                      AND b.quint < a.quint) AS disc,
+             sum(a.n * b.n) FILTER (WHERE b.lvl = a.lvl
+                                      AND b.quint > a.quint) AS tx,
+             sum(a.n * b.n) FILTER (WHERE b.quint = a.quint
+                                      AND b.lvl > a.lvl) AS ty
+      FROM c a, c b
+    )
+    SELECT CAST(conc AS BIGINT) AS n_concordant,
+           CAST(disc AS BIGINT) AS n_discordant,
+           CAST(tx AS BIGINT) AS ties_x_only,
+           CAST(ty AS BIGINT) AS ties_y_only,
+           round((conc - disc) * 1.0 / (conc + disc + ty), 6)
+               AS somers_d_yx,
+           round((conc - disc) * 1.0 / (conc + disc + tx), 6)
+               AS somers_d_xy
+    FROM p
+"""
+
+
+def q_segment_priority_cramers_v(sf_dir: str):
+    """Cramér's V for market segment × order priority — the [0,1]-bounded
+    effect size that makes the chi-square (q_segment_priority_chi2)
+    comparable across tables: V = √((χ²/n)/(min(r,c)−1)).  Same one-pass
+    contingency aggregate; the 25-cell fold is driver-trivial and the
+    expected-count tree matches the SQL exactly."""
+    from ..stages.agg import grouped_agg, grouped_map, round_like_duckdb
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    j = broadcast_join(orders, cust, left_key="o_custkey",
+                       right_key="c_custkey", columns=["c_mktsegment"])
+    g = grouped_agg(j, ["c_mktsegment", "o_orderpriority"],
+                    [("n", "o_custkey", "count")])
+
+    def finalize(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "n_rows": pa.array([], pa.int64()),
+            "chi2": pa.array([], pa.float64()),
+            "dof": pa.array([], pa.int64()),
+            "cramers_v": pa.array([], pa.float64()),
+        })
+        if t.num_rows == 0:
+            return empty
+        x = t.column("c_mktsegment").to_numpy(zero_copy_only=False)
+        y = t.column("o_orderpriority").to_numpy(zero_copy_only=False)
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        xs, xi = np.unique(x, return_inverse=True)
+        ys, yi = np.unique(y, return_inverse=True)
+        obs = np.zeros((len(xs), len(ys)))
+        obs[xi, yi] = n
+        total = n.sum()
+        nx = obs.sum(axis=1)
+        ny = obs.sum(axis=0)
+        exp = nx[:, None] * ny[None, :] / total
+        chi2 = float(((obs - exp) * (obs - exp) / exp).sum())
+        k = float(min(len(xs), len(ys)) - 1)
+        if k <= 0.0 or total <= 0.0:
+            return empty
+        v = float(np.sqrt((chi2 / total) / k))
+        out = pa.table({
+            "n_rows": pa.array([int(total)], pa.int64()),
+            "chi2": pa.array([chi2], pa.float64()),
+            "dof": pa.array([(len(xs) - 1) * (len(ys) - 1)], pa.int64()),
+            "cramers_v": pa.array([v], pa.float64()),
+        })
+        for name in ("chi2", "cramers_v"):
+            idx = out.column_names.index(name)
+            out = out.set_column(
+                idx, name, round_like_duckdb(out.column(name), 6))
+        return out
+
+    out = grouped_map(g.map_batches(_add_g, batch_format="pyarrow"),
+                      "__g", finalize, per_group=False)
+    return out.map_batches(
+        lambda b: b.select(["n_rows", "chi2", "dof", "cramers_v"]),
+        batch_format="pyarrow")
+
+
+QUERIES["q_segment_priority_cramers_v"] = q_segment_priority_cramers_v
+ORACLE_SQL["q_segment_priority_cramers_v"] = """
+    WITH j AS (
+      SELECT c_mktsegment AS x, o_orderpriority AS y, count(*) AS n
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY x, y
+    ),
+    mx AS (SELECT x, sum(n) AS nx FROM j GROUP BY x),
+    my AS (SELECT y, sum(n) AS ny FROM j GROUP BY y),
+    t AS (SELECT sum(n) AS total FROM j),
+    cells AS (
+      SELECT mx.nx, my.ny, coalesce(j.n, 0) AS o
+      FROM mx CROSS JOIN my
+      LEFT JOIN j ON j.x = mx.x AND j.y = my.y
+    ),
+    chi AS (
+      SELECT sum((o - nx * ny / t.total) * (o - nx * ny / t.total)
+                 / (nx * ny / t.total)) AS chi2,
+             any_value(t.total) * 1.0 AS total,
+             (SELECT count(*) FROM mx) AS r,
+             (SELECT count(*) FROM my) AS c
+      FROM cells CROSS JOIN t
+    )
+    SELECT CAST(total AS BIGINT) AS n_rows,
+           round(chi2, 6) AS chi2,
+           CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+           round(sqrt((chi2 / total) / (least(r, c) - 1.0)), 6)
+               AS cramers_v
+    FROM chi
+"""
+
+
+def q_nation_theil_decomposition(sf_dir: str):
+    """Theil T decomposition of customer-spend inequality into WITHIN-
+    nation and BETWEEN-nation components (T = Σwᵢ·Tᵢ + Σwᵢ·ln(μᵢ/μ),
+    spend-share weights wᵢ) — "is inequality driven by whales inside
+    markets or by rich-vs-poor markets?".  Everything folds from the
+    same mergeable per-nation partials (n, Σx, Σx·ln x) as
+    q_nation_spend_theil; the k=|nations| fold is driver-trivial."""
+    from ..stages.agg import grouped_agg, grouped_map, round_like_duckdb
+
+    spend = _nation_customer_spend(sf_dir)
+
+    def proj(b: pa.Table) -> pa.Table:
+        x = b.column("spend")
+        return pa.table({
+            "n_name": b.column("n_name"),
+            "x": x,
+            "xlnx": pc.multiply(x, pc.ln(x)),
+        })
+
+    agg = grouped_agg(spend.map_batches(proj, batch_format="pyarrow"),
+                      ["n_name"],
+                      [("n", "x", "count"), ("sx", "x", "sum"),
+                       ("sxlnx", "xlnx", "sum")])
+
+    def finalize(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "n_groups": pa.array([], pa.int64()),
+            "theil_total": pa.array([], pa.float64()),
+            "theil_within": pa.array([], pa.float64()),
+            "theil_between": pa.array([], pa.float64()),
+        })
+        if t.num_rows == 0:
+            return empty
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        sx = t.column("sx").to_numpy(zero_copy_only=False)
+        sl = t.column("sxlnx").to_numpy(zero_copy_only=False)
+        N, S, SL = n.sum(), sx.sum(), sl.sum()
+        if N <= 0.0 or S <= 0.0:
+            return empty
+        mu = S / N
+        t_total = SL / (N * mu) - np.log(mu)
+        mu_i = sx / n
+        t_i = sl / (n * mu_i) - np.log(mu_i)
+        w = sx / S
+        t_within = float((w * t_i).sum())
+        t_between = float((w * np.log(mu_i / mu)).sum())
+        out = pa.table({
+            "n_groups": pa.array([len(n)], pa.int64()),
+            "theil_total": pa.array([float(t_total)], pa.float64()),
+            "theil_within": pa.array([t_within], pa.float64()),
+            "theil_between": pa.array([t_between], pa.float64()),
+        })
+        for name in ("theil_total", "theil_within", "theil_between"):
+            idx = out.column_names.index(name)
+            out = out.set_column(
+                idx, name, round_like_duckdb(out.column(name), 6))
+        return out
+
+    out = grouped_map(agg.map_batches(_add_g, batch_format="pyarrow"),
+                      "__g", finalize, per_group=False)
+    return out.map_batches(
+        lambda b: b.select(["n_groups", "theil_total", "theil_within",
+                            "theil_between"]),
+        batch_format="pyarrow")
+
+
+QUERIES["q_nation_theil_decomposition"] = q_nation_theil_decomposition
+ORACLE_SQL["q_nation_theil_decomposition"] = """
+    WITH spend AS (
+        SELECT o_custkey, sum(o_totalprice) AS spend
+        FROM orders GROUP BY o_custkey
+    ),
+    j AS (
+        SELECT n_name, spend
+        FROM spend
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+    ),
+    g AS (
+        SELECT n_name, count(*) * 1.0 AS n, sum(spend) AS sx,
+               sum(spend * ln(spend)) AS sxlnx
+        FROM j GROUP BY 1
+    ),
+    tt AS (
+        SELECT sum(n) AS nn, sum(sx) AS s, sum(sxlnx) AS sl,
+               count(*) AS k
+        FROM g
+    )
+    SELECT CAST(k AS BIGINT) AS n_groups,
+           round(sl / (nn * (s / nn)) - ln(s / nn), 6) AS theil_total,
+           round(sum((sx / s) * (sxlnx / (n * (sx / n)) - ln(sx / n))),
+                 6) AS theil_within,
+           round(sum((sx / s) * ln((sx / n) / (s / nn))), 6)
+               AS theil_between
+    FROM g, tt
+    GROUP BY k, nn, s, sl
+"""
