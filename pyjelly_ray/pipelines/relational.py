@@ -19766,3 +19766,274 @@ ORACLE_SQL["q_nation_theil_decomposition"] = """
     FROM g, tt
     GROUP BY k, nn, s, sl
 """
+
+
+def q_event_type_friedman(sf_dir: str):
+    """Friedman test: do event types rank consistently by daily total
+    value, with days as repeated-measure blocks?  The nonparametric
+    repeated-measures ANOVA — the right test when per-day totals share a
+    day effect that one-way tests would smear.  Per-(day, type) totals
+    fold in one combiner (round-6, the shared rank basis); within-day
+    tie-averaged ranks are computed inside each day's co-partition run
+    (only complete blocks — days where every type appears — count);
+    χ²_F folds from the k per-type rank sums."""
+    from ..stages.agg import _key_run_bounds, grouped_agg, grouped_map, \
+        round_like_duckdb
+
+    ev = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("value")))
+        day = pc.divide(pc.cast(b.column("ts"), pa.int64()),
+                        pa.scalar(86_400_000_000, pa.int64()))
+        return pa.table({"day": day, "event_type": b.column("event_type"),
+                         "value": b.column("value")})
+
+    s = grouped_agg(ev.map_batches(prep, batch_format="pyarrow"),
+                    ["day", "event_type"], [("v", "value", "sum")])
+    s = s.map_batches(
+        lambda b: pa.table({"day": b.column("day"),
+                            "event_type": b.column("event_type"),
+                            "v": round_like_duckdb(b.column("v"), 6)}),
+        batch_format="pyarrow").materialize()
+
+    types = _to_table(grouped_agg(s, ["event_type"],
+                                  [("c", "v", "count")]))
+    k = types.num_rows
+    if k == 0:
+        import ray.data
+
+        return ray.data.from_arrow(pa.table({
+            "n_days": pa.array([], pa.int64()),
+            "n_types": pa.array([], pa.int64()),
+            "chi2_friedman": pa.array([], pa.float64())}))
+
+    empty = pa.table({"event_type": pa.array([], pa.string()),
+                      "fr": pa.array([], pa.float64())})
+
+    def rank_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        t = t.sort_by([("day", "ascending"), ("v", "ascending")])
+        bounds = _key_run_bounds(t, ["day"])
+        sizes = np.diff(bounds)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        pos = (np.arange(t.num_rows, dtype=np.int64)
+               - np.repeat(bounds[:-1], sizes))
+        # tie-averaged rank within each day run: rank() + (peers-1)/2
+        fr = np.empty(t.num_rows, np.float64)
+        for ri in range(len(sizes)):
+            s0, e0 = int(bounds[ri]), int(bounds[ri + 1])
+            vv = v[s0:e0]
+            lo = np.searchsorted(vv, vv, side="left")
+            hi = np.searchsorted(vv, vv, side="right")
+            fr[s0:e0] = lo + 1.0 + (hi - lo - 1.0) / 2.0
+        keep = np.repeat(sizes == k, sizes)
+        return pa.table({
+            "event_type": t.column("event_type").filter(pa.array(keep)),
+            "fr": pa.array(fr[keep], pa.float64()),
+        })
+
+    ranked = grouped_map(s, "day", rank_part, per_group=False,
+                         empty_schema=pa.table({
+                             "day": pa.array([], pa.int64()),
+                             "event_type": pa.array([], pa.string()),
+                             "v": pa.array([], pa.float64())}))
+    rj = grouped_agg(ranked, ["event_type"],
+                     [("rj", "fr", "sum"), ("nd", "fr", "count")])
+
+    def finalize(t: pa.Table) -> pa.Table:
+        empty_out = pa.table({
+            "n_days": pa.array([], pa.int64()),
+            "n_types": pa.array([], pa.int64()),
+            "chi2_friedman": pa.array([], pa.float64()),
+        })
+        if t.num_rows == 0:
+            return empty_out
+        rjs = t.column("rj").to_numpy(zero_copy_only=False)
+        n = float(t.column("nd").to_numpy(zero_copy_only=False).max())
+        kk = float(k)
+        if n == 0.0:
+            return empty_out
+        chi2 = (12.0 / (n * kk * (kk + 1.0)) * (rjs * rjs).sum()
+                - 3.0 * n * (kk + 1.0))
+        out = pa.table({
+            "n_days": pa.array([int(n)], pa.int64()),
+            "n_types": pa.array([k], pa.int64()),
+            "chi2_friedman": pa.array([float(chi2)], pa.float64()),
+        })
+        idx = out.column_names.index("chi2_friedman")
+        return out.set_column(
+            idx, "chi2_friedman",
+            round_like_duckdb(out.column("chi2_friedman"), 6))
+
+    out = grouped_map(rj.map_batches(_add_g, batch_format="pyarrow"),
+                      "__g", finalize, per_group=False)
+    return out.map_batches(
+        lambda b: b.select(["n_days", "n_types", "chi2_friedman"]),
+        batch_format="pyarrow")
+
+
+QUERIES["q_event_type_friedman"] = q_event_type_friedman
+ORACLE_SQL["q_event_type_friedman"] = """
+    WITH s AS (
+      SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+             event_type, round(sum(value), 6) AS v
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    k AS (SELECT count(DISTINCT event_type) AS k FROM s),
+    fd AS (
+      SELECT day FROM s GROUP BY day
+      HAVING count(*) = (SELECT k FROM k)
+    ),
+    r AS (
+      SELECT event_type,
+             rank() OVER (PARTITION BY day ORDER BY v)
+                 + (count(*) OVER (PARTITION BY day, v) - 1) / 2.0 AS fr
+      FROM s WHERE day IN (SELECT day FROM fd)
+    ),
+    rj AS (SELECT event_type, sum(fr) AS rj FROM r GROUP BY 1),
+    n AS (SELECT count(*) * 1.0 AS n FROM fd)
+    SELECT CAST(n AS BIGINT) AS n_days,
+           CAST(k.k AS BIGINT) AS n_types,
+           round(12.0 / (n * k.k * (k.k + 1.0)) * sum(rj * rj)
+                 - 3.0 * n * (k.k + 1.0), 6) AS chi2_friedman
+    FROM rj, n, k
+    GROUP BY n, k.k
+"""
+
+
+def q_daily_revenue_qty_dcor(sf_dir: str):
+    """Distance correlation between daily revenue (half-up-rounded $k,
+    an exact integer) and daily order count — the dependence measure
+    that is ZERO only under true independence, catching nonlinear and
+    non-monotone coupling that Pearson/Spearman miss.  The O(n²)
+    double-centering NEVER materializes centered matrices: the identity
+    ΣA·B = P − 2R/n + g·g′/n² reduces everything to exact integer sums
+    (pairwise products P, row-sum products R, grand totals g), so the
+    final three-term float tree is bitwise deterministic on both sides
+    (n ≈ 2.4k days → one vectorized int64 shot; at larger n roll up to
+    weeks first)."""
+    from ..stages.agg import grouped_agg, grouped_map, round_like_duckdb
+
+    ords = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def day_cents(b: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(b.column("o_orderdate"), pa.int64()),
+                        pa.scalar(86_400_000_000, pa.int64()))
+        c = pc.cast(pc.round(pc.multiply(
+            b.column("o_totalprice"), pa.scalar(100.0, pa.float64()))),
+            pa.int64())
+        return pa.table({"day": day, "cents": c})
+
+    daily = grouped_agg(ords.map_batches(day_cents, batch_format="pyarrow"),
+                        ["day"], [("c", "cents", "sum"),
+                                  ("m", "cents", "count")])
+
+    def finalize(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "n_days": pa.array([], pa.int64()),
+            "dcov2": pa.array([], pa.float64()),
+            "dcor": pa.array([], pa.float64()),
+        })
+        if t.num_rows < 2:
+            return empty
+        c = t.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+        m = t.column("m").to_numpy(zero_copy_only=False).astype(np.int64)
+        # exact half-up $k: floor((cents + 50000) / 100000)
+        x = (c + 50_000) // 100_000
+        n = float(len(x))
+        ax = np.abs(x[:, None] - x[None, :])
+        ay = np.abs(m[:, None] - m[None, :])
+        pxy = int((ax * ay).sum())
+        pxx = int((ax * ax).sum())
+        pyy = int((ay * ay).sum())
+        rx = ax.sum(axis=1)
+        ry = ay.sum(axis=1)
+        rxy = sum(int(a) * int(b) for a, b in zip(rx, ry))
+        rxx = sum(int(a) * int(a) for a in rx)
+        ryy = sum(int(a) * int(a) for a in ry)
+        gx, gy = int(rx.sum()), int(ry.sum())
+
+        def stat(p, r, g1, g2):
+            return (float(p) / (n * n) - 2.0 * float(r) / (n * n * n)
+                    + (float(g1) * float(g2)) / (n * n * n * n))
+
+        dcov2 = stat(pxy, rxy, gx, gy)
+        dvx = stat(pxx, rxx, gx, gx)
+        dvy = stat(pyy, ryy, gy, gy)
+        dcor = (float(np.sqrt(dcov2 / np.sqrt(dvx * dvy)))
+                if dvx > 0.0 and dvy > 0.0 and dcov2 > 0.0 else 0.0)
+        out = pa.table({
+            "n_days": pa.array([len(x)], pa.int64()),
+            "dcov2": pa.array([dcov2], pa.float64()),
+            "dcor": pa.array([dcor], pa.float64()),
+        })
+        for name in ("dcov2", "dcor"):
+            idx = out.column_names.index(name)
+            out = out.set_column(
+                idx, name, round_like_duckdb(out.column(name), 6))
+        return out
+
+    out = grouped_map(daily.map_batches(_add_g, batch_format="pyarrow"),
+                      "__g", finalize, per_group=False)
+    return out.map_batches(
+        lambda b: b.select(["n_days", "dcov2", "dcor"]),
+        batch_format="pyarrow")
+
+
+QUERIES["q_daily_revenue_qty_dcor"] = q_daily_revenue_qty_dcor
+ORACLE_SQL["q_daily_revenue_qty_dcor"] = """
+    WITH d AS (
+      SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day,
+             (sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) + 50000)
+                 // 100000 AS x,
+             count(*) AS m
+      FROM orders GROUP BY 1
+    ),
+    rs AS (
+      SELECT j.day,
+             sum(abs(j.x - q.x)) AS rx,
+             sum(abs(j.m - q.m)) AS ry,
+             sum(CAST(abs(j.x - q.x) AS HUGEINT)
+                 * abs(j.m - q.m)) AS pxy_j,
+             sum(CAST(abs(j.x - q.x) AS HUGEINT)
+                 * abs(j.x - q.x)) AS pxx_j,
+             sum(CAST(abs(j.m - q.m) AS HUGEINT)
+                 * abs(j.m - q.m)) AS pyy_j
+      FROM d j, d q
+      GROUP BY 1
+    ),
+    agg AS (
+      SELECT count(*) * 1.0 AS n,
+             sum(pxy_j) AS pxy, sum(pxx_j) AS pxx, sum(pyy_j) AS pyy,
+             sum(CAST(rx AS HUGEINT) * ry) AS rxy,
+             sum(CAST(rx AS HUGEINT) * rx) AS rxx,
+             sum(CAST(ry AS HUGEINT) * ry) AS ryy,
+             sum(rx) AS gx, sum(ry) AS gy
+      FROM rs
+    ),
+    st AS (
+      SELECT n,
+             CAST(pxy AS DOUBLE) / (n * n)
+               - 2.0 * CAST(rxy AS DOUBLE) / (n * n * n)
+               + (CAST(gx AS DOUBLE) * CAST(gy AS DOUBLE))
+                 / (n * n * n * n) AS dcov2,
+             CAST(pxx AS DOUBLE) / (n * n)
+               - 2.0 * CAST(rxx AS DOUBLE) / (n * n * n)
+               + (CAST(gx AS DOUBLE) * CAST(gx AS DOUBLE))
+                 / (n * n * n * n) AS dvx,
+             CAST(pyy AS DOUBLE) / (n * n)
+               - 2.0 * CAST(ryy AS DOUBLE) / (n * n * n)
+               + (CAST(gy AS DOUBLE) * CAST(gy AS DOUBLE))
+                 / (n * n * n * n) AS dvy
+      FROM agg
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           round(dcov2, 6) AS dcov2,
+           round(CASE WHEN dvx > 0 AND dvy > 0 AND dcov2 > 0
+                      THEN sqrt(dcov2 / sqrt(dvx * dvy))
+                      ELSE 0.0 END, 6) AS dcor
+    FROM st
+"""
