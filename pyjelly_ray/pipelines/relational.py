@@ -19305,18 +19305,12 @@ ORACLE_SQL["q_doc_word_length_profile"] = """
 """
 
 
-def q_click_purchase_wilcoxon(sf_dir: str):
-    """Wilcoxon signed-rank test on paired per-user means: does a user's
-    average purchase value exceed their average click value?  The
-    nonparametric paired-t companion to McNemar on the same user
-    pairing: per-user conditional means fold in one combiner, the
-    round-6 differences rank via the |distinct|-row fractional-rank
-    machinery (tie-averaged, zero-differences dropped), W⁺ sums exact
-    half-integer ranks, and z applies the tie-corrected normal
-    approximation."""
-    from ..stages.agg import _fractional_ranks, grouped_agg, grouped_map, \
-        round_like_duckdb
-    from ..stages.joins import hash_join
+def _paired_user_diffs(sf_dir: str):
+    """Shared preamble of the Wilcoxon signed-rank and sign tests:
+    per-user round-6 differences of mean purchase value minus mean click
+    value (users with both, zero differences dropped), materialized once
+    as (d, ad=|d|).  One combiner fold of conditional sums/counts."""
+    from ..stages.agg import grouped_agg, round_like_duckdb
 
     ev = _read(sf_dir, "events", ["user_id", "event_type", "value"])
 
@@ -19351,7 +19345,23 @@ def q_click_purchase_wilcoxon(sf_dir: str):
         return t.filter(pc.not_equal(t.column("d"),
                                      pa.scalar(0.0, pa.float64())))
 
-    dds = u.map_batches(diffs, batch_format="pyarrow").materialize()
+    return u.map_batches(diffs, batch_format="pyarrow").materialize()
+
+
+def q_click_purchase_wilcoxon(sf_dir: str):
+    """Wilcoxon signed-rank test on paired per-user means: does a user's
+    average purchase value exceed their average click value?  The
+    nonparametric paired-t companion to McNemar on the same user
+    pairing: per-user conditional means fold in one combiner, the
+    round-6 differences rank via the |distinct|-row fractional-rank
+    machinery (tie-averaged, zero-differences dropped), W⁺ sums exact
+    half-integer ranks, and z applies the tie-corrected normal
+    approximation."""
+    from ..stages.agg import _fractional_ranks, grouped_agg, grouped_map, \
+        round_like_duckdb
+    from ..stages.joins import hash_join
+
+    dds = _paired_user_diffs(sf_dir)
     ranks = _fractional_ranks(dds, "ad", "__r")
     j = hash_join(dds, ranks, left_key="ad", right_key="ad", how="inner")
 
@@ -20036,4 +20046,548 @@ ORACLE_SQL["q_daily_revenue_qty_dcor"] = """
                       THEN sqrt(dcov2 / sqrt(dvx * dvy))
                       ELSE 0.0 END, 6) AS dcor
     FROM st
+"""
+
+
+def q_click_purchase_sign_test(sf_dir: str):
+    """Paired sign test on the same per-user pairing as the Wilcoxon:
+    counts of users whose mean purchase value beats their mean click
+    value vs the reverse, and the continuity-corrected normal z =
+    (|n⁺−n⁻|−1)/√(n⁺+n⁻) — the assumption-free fallback when even the
+    signed-rank's symmetry premise is doubted.  Shares the materialized
+    round-6 paired-difference table; the fold is exact integers."""
+    from ..stages.agg import grouped_agg, grouped_map, round_like_duckdb
+
+    dds = _paired_user_diffs(sf_dir)
+
+    def flags(b: pa.Table) -> pa.Table:
+        zero = pa.scalar(0.0, pa.float64())
+        return _add_g(pa.table({
+            "pos": pc.cast(pc.greater(b.column("d"), zero), pa.int64()),
+            "neg": pc.cast(pc.less(b.column("d"), zero), pa.int64()),
+        }))
+
+    g = grouped_agg(dds.map_batches(flags, batch_format="pyarrow"),
+                    ["__g"], [("npos", "pos", "sum"),
+                              ("nneg", "neg", "sum")])
+
+    def finalize(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "n_pos": pa.array([], pa.int64()),
+            "n_neg": pa.array([], pa.int64()),
+            "z": pa.array([], pa.float64()),
+        })
+        if t.num_rows == 0:
+            return empty
+        r = t.to_pylist()[0]
+        npos, nneg = int(r["npos"]), int(r["nneg"])
+        tot = npos + nneg
+        z = ((abs(npos - nneg) - 1.0) / np.sqrt(float(tot))
+             if tot > 0 else None)
+        out = pa.table({
+            "n_pos": pa.array([npos], pa.int64()),
+            "n_neg": pa.array([nneg], pa.int64()),
+            "z": pa.array([z], pa.float64()),
+        })
+        idx = out.column_names.index("z")
+        return out.set_column(idx, "z",
+                              round_like_duckdb(out.column("z"), 6))
+
+    out = grouped_map(g, "__g", finalize, per_group=False)
+    return out.map_batches(
+        lambda b: b.select(["n_pos", "n_neg", "z"]),
+        batch_format="pyarrow")
+
+
+QUERIES["q_click_purchase_sign_test"] = q_click_purchase_sign_test
+ORACLE_SQL["q_click_purchase_sign_test"] = """
+    WITH e AS (
+      SELECT user_id, event_type, value
+      FROM events WHERE value IS NOT NULL
+    ),
+    u AS (
+      SELECT user_id,
+             sum(CASE WHEN event_type = 'click' THEN value
+                      ELSE 0 END) AS sc,
+             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS nc,
+             sum(CASE WHEN event_type = 'purchase' THEN value
+                      ELSE 0 END) AS sp,
+             sum(CASE WHEN event_type = 'purchase' THEN 1
+                      ELSE 0 END) AS np
+      FROM e GROUP BY 1
+    ),
+    d0 AS (
+      SELECT round(sp / np - sc / nc, 6) AS d
+      FROM u WHERE nc > 0 AND np > 0
+    ),
+    d2 AS (SELECT d FROM d0 WHERE d <> 0),
+    s AS (
+      SELECT sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS npos,
+             sum(CASE WHEN d < 0 THEN 1 ELSE 0 END) AS nneg
+      FROM d2
+    )
+    SELECT CAST(npos AS BIGINT) AS n_pos,
+           CAST(nneg AS BIGINT) AS n_neg,
+           round((abs(npos - nneg) - 1.0) * 1.0
+                 / sqrt((npos + nneg) * 1.0), 6) AS z
+    FROM s
+"""
+
+
+def q_weekend_purchase_irr(sf_dir: str):
+    """Incidence rate ratio of purchases per active DAY, weekend vs
+    weekday: IRR = (P_we/D_we)/(P_wd/D_wd) with the Poisson log-scale
+    95% CI exp(ln IRR ± 1.96·√(1/P_we + 1/P_wd)) — the rate-based
+    companion to the event-level odds ratio (which ignores exposure
+    time).  One per-day combiner fold (day → weekend flag + purchase
+    count); the 2×2 rate fold is exact integers."""
+    from ..stages.agg import grouped_agg, grouped_map, round_like_duckdb
+
+    ev = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(b.column("ts"), pa.int64()),
+                        pa.scalar(86_400_000_000, pa.int64()))
+        return pa.table({
+            "day": day,
+            "p": pc.cast(pc.equal(b.column("event_type"),
+                                  pa.scalar("purchase")), pa.int64()),
+        })
+
+    days = grouped_agg(ev.map_batches(prep, batch_format="pyarrow"),
+                       ["day"], [("np_", "p", "sum")])
+
+    def flags(b: pa.Table) -> pa.Table:
+        # pyarrow has no modulo kernel: a - (a // 7) * 7
+        a = pc.add(b.column("day"), pa.scalar(3, pa.int64()))
+        seven = pa.scalar(7, pa.int64())
+        dow = pc.add(pc.subtract(a, pc.multiply(
+            pc.divide(a, seven), seven)), pa.scalar(1, pa.int64()))
+        wk = pc.cast(pc.greater_equal(dow, pa.scalar(6, pa.int64())),
+                     pa.int64())
+        one = pa.scalar(1, pa.int64())
+        npd = pc.cast(b.column("np_"), pa.int64())
+        return _add_g(pa.table({
+            "p_we": pc.multiply(wk, npd),
+            "p_wd": pc.multiply(pc.subtract(one, wk), npd),
+            "d_we": wk,
+            "d_wd": pc.subtract(one, wk),
+        }))
+
+    g = grouped_agg(days.map_batches(flags, batch_format="pyarrow"),
+                    ["__g"], [("p_we", "p_we", "sum"),
+                              ("p_wd", "p_wd", "sum"),
+                              ("d_we", "d_we", "sum"),
+                              ("d_wd", "d_wd", "sum")])
+
+    def finalize(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "purchases_weekend": pa.array([], pa.int64()),
+            "purchases_weekday": pa.array([], pa.int64()),
+            "days_weekend": pa.array([], pa.int64()),
+            "days_weekday": pa.array([], pa.int64()),
+            "irr": pa.array([], pa.float64()),
+            "ci_lo": pa.array([], pa.float64()),
+            "ci_hi": pa.array([], pa.float64()),
+        })
+        if t.num_rows == 0:
+            return empty
+        r = t.to_pylist()[0]
+        pwe, pwd = int(r["p_we"]), int(r["p_wd"])
+        dwe, dwd = int(r["d_we"]), int(r["d_wd"])
+        if pwe == 0 or pwd == 0 or dwe == 0 or dwd == 0:
+            return empty
+        irr = (pwe * 1.0 / dwe) / (pwd * 1.0 / dwd)
+        half = 1.96 * np.sqrt(1.0 / pwe + 1.0 / pwd)
+        out = pa.table({
+            "purchases_weekend": pa.array([pwe], pa.int64()),
+            "purchases_weekday": pa.array([pwd], pa.int64()),
+            "days_weekend": pa.array([dwe], pa.int64()),
+            "days_weekday": pa.array([dwd], pa.int64()),
+            "irr": pa.array([irr], pa.float64()),
+            "ci_lo": pa.array([float(np.exp(np.log(irr) - half))],
+                              pa.float64()),
+            "ci_hi": pa.array([float(np.exp(np.log(irr) + half))],
+                              pa.float64()),
+        })
+        for name in ("irr", "ci_lo", "ci_hi"):
+            idx = out.column_names.index(name)
+            out = out.set_column(
+                idx, name, round_like_duckdb(out.column(name), 6))
+        return out
+
+    out = grouped_map(g, "__g", finalize, per_group=False)
+    return out.map_batches(
+        lambda b: b.select(["purchases_weekend", "purchases_weekday",
+                            "days_weekend", "days_weekday", "irr",
+                            "ci_lo", "ci_hi"]),
+        batch_format="pyarrow")
+
+
+QUERIES["q_weekend_purchase_irr"] = q_weekend_purchase_irr
+ORACLE_SQL["q_weekend_purchase_irr"] = """
+    WITH d AS (
+      SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+             sum(CASE WHEN event_type = 'purchase' THEN 1
+                      ELSE 0 END) AS np
+      FROM events GROUP BY 1
+    ),
+    f AS (
+      SELECT CASE WHEN (day + 3) % 7 + 1 >= 6 THEN 1 ELSE 0 END AS wk,
+             np
+      FROM d
+    ),
+    g AS (
+      SELECT sum(wk * np) AS pwe, sum((1 - wk) * np) AS pwd,
+             sum(wk) AS dwe, sum(1 - wk) AS dwd
+      FROM f
+    )
+    SELECT CAST(pwe AS BIGINT) AS purchases_weekend,
+           CAST(pwd AS BIGINT) AS purchases_weekday,
+           CAST(dwe AS BIGINT) AS days_weekend,
+           CAST(dwd AS BIGINT) AS days_weekday,
+           round((pwe * 1.0 / dwe) / (pwd * 1.0 / dwd), 6) AS irr,
+           round(exp(ln((pwe * 1.0 / dwe) / (pwd * 1.0 / dwd))
+                     - 1.96 * sqrt(1.0 / pwe + 1.0 / pwd)), 6) AS ci_lo,
+           round(exp(ln((pwe * 1.0 / dwe) / (pwd * 1.0 / dwd))
+                     + 1.96 * sqrt(1.0 / pwe + 1.0 / pwd)), 6) AS ci_hi
+    FROM g
+"""
+
+
+def q_daily_revenue_pacf(sf_dir: str):
+    """Partial autocorrelation of daily revenue at lags 1-3 via the
+    Durbin-Levinson recursion on the round-6 ACF — the AR-order
+    selection companion to the Ljung-Box screen (PACF cutting off at
+    lag p ⇒ fit AR(p)).  The recursion runs on ROUNDED ρ so both sides
+    evaluate an identical small rational tree; one combiner exchange to
+    the tiny daily table."""
+    from ..stages.agg import grouped_map, round_like_duckdb
+
+    daily = _daily_order_revenue_cents(sf_dir)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "n_days": pa.array([], pa.int64()),
+            "rho1": pa.array([], pa.float64()),
+            "rho2": pa.array([], pa.float64()),
+            "rho3": pa.array([], pa.float64()),
+            "pacf1": pa.array([], pa.float64()),
+            "pacf2": pa.array([], pa.float64()),
+            "pacf3": pa.array([], pa.float64()),
+        })
+        if t.num_rows < 5:
+            return empty
+        t = t.sort_by([("day", "ascending")])
+        c = t.column("c").to_numpy(zero_copy_only=False).astype(np.float64)
+        n = float(len(c))
+        e = c - c.sum() / n
+        s0 = (e * e).sum()
+        if s0 <= 0.0:
+            return empty
+        r1 = float(np.round((e[1:] * e[:-1]).sum() / s0, 6))
+        r2 = float(np.round((e[2:] * e[:-2]).sum() / s0, 6))
+        r3 = float(np.round((e[3:] * e[:-3]).sum() / s0, 6))
+        p11 = r1
+        p22 = (r2 - r1 * r1) / (1.0 - r1 * r1)
+        p21 = r1 - p22 * r1
+        p33 = ((r3 - p21 * r2 - p22 * r1)
+               / (1.0 - p21 * r1 - p22 * r2))
+        out = pa.table({
+            "n_days": pa.array([int(n)], pa.int64()),
+            "rho1": pa.array([r1], pa.float64()),
+            "rho2": pa.array([r2], pa.float64()),
+            "rho3": pa.array([r3], pa.float64()),
+            "pacf1": pa.array([p11], pa.float64()),
+            "pacf2": pa.array([p22], pa.float64()),
+            "pacf3": pa.array([p33], pa.float64()),
+        })
+        for name in ("pacf1", "pacf2", "pacf3"):
+            idx = out.column_names.index(name)
+            out = out.set_column(
+                idx, name, round_like_duckdb(out.column(name), 6))
+        return out
+
+    out = grouped_map(daily.map_batches(_add_g, batch_format="pyarrow"),
+                      "__g", finalize, per_group=False)
+    return out.map_batches(
+        lambda b: b.select(["n_days", "rho1", "rho2", "rho3",
+                            "pacf1", "pacf2", "pacf3"]),
+        batch_format="pyarrow")
+
+
+QUERIES["q_daily_revenue_pacf"] = q_daily_revenue_pacf
+ORACLE_SQL["q_daily_revenue_pacf"] = """
+    WITH d AS (
+      SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day,
+             sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS c
+      FROM orders GROUP BY 1
+    ),
+    m AS (SELECT sum(c) / count(*) AS mu, count(*) * 1.0 AS n FROM d),
+    o AS (
+      SELECT c - mu AS e, row_number() OVER (ORDER BY day) AS rn, n
+      FROM d, m
+    ),
+    den AS (SELECT sum(e * e) AS s0, any_value(n) AS n FROM o),
+    r AS (
+      SELECT k.k AS lag,
+             round(sum(a.e * b.e) / any_value(den.s0), 6) AS rho
+      FROM generate_series(1, 3) k(k)
+      JOIN o a ON TRUE
+      JOIN o b ON b.rn = a.rn + k.k, den
+      GROUP BY 1
+    ),
+    w AS (
+      SELECT max(CASE WHEN lag = 1 THEN rho END) AS r1,
+             max(CASE WHEN lag = 2 THEN rho END) AS r2,
+             max(CASE WHEN lag = 3 THEN rho END) AS r3
+      FROM r
+    ),
+    p2 AS (
+      SELECT r1, r2, r3,
+             (r2 - r1 * r1) / (1.0 - r1 * r1) AS p22
+      FROM w
+    ),
+    p3 AS (
+      SELECT r1, r2, r3, p22, r1 - p22 * r1 AS p21 FROM p2
+    )
+    SELECT (SELECT CAST(n AS BIGINT) FROM den) AS n_days,
+           r1 AS rho1, r2 AS rho2, r3 AS rho3,
+           round(r1, 6) AS pacf1,
+           round(p22, 6) AS pacf2,
+           round((r3 - p21 * r2 - p22 * r1)
+                 / (1.0 - p21 * r1 - p22 * r2), 6) AS pacf3
+    FROM p3
+"""
+
+
+def q_lineitem_price_regression2(sf_dir: str):
+    """Two-predictor OLS: line price (rounded to whole dollars, an exact
+    integer) on quantity AND discount percent, solved in closed form via
+    the 2×2 normal equations — the multivariable upgrade of
+    q_lineitem_price_regression that separates the quantity effect from
+    the discount effect.  ALL ten moment sums are exact int64 on the
+    combiner (HUGEINT in SQL), so the Cramer's-rule betas, intercept,
+    and R² are a bitwise-deterministic float tree."""
+    from ..stages.agg import grouped_agg, grouped_map, round_like_duckdb
+
+    li = _read(sf_dir, "lineitem",
+               ["l_quantity", "l_discount", "l_extendedprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        half = pa.scalar(0.5, pa.float64())
+        # half-up: floor(x + 0.5) — pc.round is half-to-even and would
+        # disagree with DuckDB on exact .50 dollar boundaries
+        x = pc.cast(pc.floor(pc.add(b.column("l_quantity"), half)),
+                    pa.int64())
+        z = pc.cast(pc.floor(pc.add(pc.multiply(
+            b.column("l_discount"), pa.scalar(100.0, pa.float64())),
+            half)), pa.int64())
+        y = pc.cast(pc.floor(pc.add(b.column("l_extendedprice"), half)),
+                    pa.int64())
+        return _add_g(pa.table({
+            "x": x, "z": z, "y": y,
+            "xx": pc.multiply(x, x), "zz": pc.multiply(z, z),
+            "yy": pc.multiply(y, y), "xz": pc.multiply(x, z),
+            "xy": pc.multiply(x, y), "zy": pc.multiply(z, y),
+        }))
+
+    g = grouped_agg(li.map_batches(prep, batch_format="pyarrow"), ["__g"],
+                    [("n", "x", "count"), ("sx", "x", "sum"),
+                     ("sz", "z", "sum"), ("sy", "y", "sum"),
+                     ("sxx", "xx", "sum"), ("szz", "zz", "sum"),
+                     ("syy", "yy", "sum"), ("sxz", "xz", "sum"),
+                     ("sxy", "xy", "sum"), ("szy", "zy", "sum")])
+
+    def finalize(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "n_rows": pa.array([], pa.int64()),
+            "b_qty": pa.array([], pa.float64()),
+            "b_disc": pa.array([], pa.float64()),
+            "intercept": pa.array([], pa.float64()),
+            "r2": pa.array([], pa.float64()),
+        })
+        if t.num_rows == 0:
+            return empty
+        r = t.to_pylist()[0]
+        n = float(r["n"])
+        if n < 3.0:
+            return empty
+        sx, sz, sy = float(r["sx"]), float(r["sz"]), float(r["sy"])
+        Sxx = float(r["sxx"]) - sx * sx / n
+        Szz = float(r["szz"]) - sz * sz / n
+        Syy = float(r["syy"]) - sy * sy / n
+        Sxz = float(r["sxz"]) - sx * sz / n
+        Sxy = float(r["sxy"]) - sx * sy / n
+        Szy = float(r["szy"]) - sz * sy / n
+        det = Sxx * Szz - Sxz * Sxz
+        if det == 0.0 or Syy <= 0.0:
+            return empty
+        b1 = (Szz * Sxy - Sxz * Szy) / det
+        b2 = (Sxx * Szy - Sxz * Sxy) / det
+        a = sy / n - b1 * (sx / n) - b2 * (sz / n)
+        r2 = (b1 * Sxy + b2 * Szy) / Syy
+        out = pa.table({
+            "n_rows": pa.array([int(n)], pa.int64()),
+            "b_qty": pa.array([b1], pa.float64()),
+            "b_disc": pa.array([b2], pa.float64()),
+            "intercept": pa.array([a], pa.float64()),
+            "r2": pa.array([r2], pa.float64()),
+        })
+        for name in ("b_qty", "b_disc", "intercept", "r2"):
+            idx = out.column_names.index(name)
+            out = out.set_column(
+                idx, name, round_like_duckdb(out.column(name), 6))
+        return out
+
+    out = grouped_map(g, "__g", finalize, per_group=False)
+    return out.map_batches(
+        lambda b: b.select(["n_rows", "b_qty", "b_disc", "intercept",
+                            "r2"]),
+        batch_format="pyarrow")
+
+
+QUERIES["q_lineitem_price_regression2"] = q_lineitem_price_regression2
+ORACLE_SQL["q_lineitem_price_regression2"] = """
+    WITH p AS (
+      SELECT CAST(floor(l_quantity + 0.5) AS BIGINT) AS x,
+             CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT) AS z,
+             CAST(floor(l_extendedprice + 0.5) AS BIGINT) AS y
+      FROM lineitem
+    ),
+    g AS (
+      SELECT count(*) * 1.0 AS n,
+             CAST(sum(x) AS DOUBLE) AS sx,
+             CAST(sum(z) AS DOUBLE) AS sz,
+             CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(x * x) AS DOUBLE) AS sxx,
+             CAST(sum(z * z) AS DOUBLE) AS szz,
+             CAST(sum(y * y) AS DOUBLE) AS syy,
+             CAST(sum(x * z) AS DOUBLE) AS sxz,
+             CAST(sum(x * y) AS DOUBLE) AS sxy,
+             CAST(sum(z * y) AS DOUBLE) AS szy
+      FROM p
+    ),
+    c AS (
+      SELECT n,
+             sxx - sx * sx / n AS cxx, szz - sz * sz / n AS czz,
+             syy - sy * sy / n AS cyy, sxz - sx * sz / n AS cxz,
+             sxy - sx * sy / n AS cxy, szy - sz * sy / n AS czy,
+             sx, sz, sy
+      FROM g
+    ),
+    b AS (
+      SELECT n, sx, sz, sy, cxy, czy, cyy,
+             (czz * cxy - cxz * czy) / (cxx * czz - cxz * cxz) AS b1,
+             (cxx * czy - cxz * cxy) / (cxx * czz - cxz * cxz) AS b2
+      FROM c
+    )
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           round(b1, 6) AS b_qty,
+           round(b2, 6) AS b_disc,
+           round(sy / n - b1 * (sx / n) - b2 * (sz / n), 6) AS intercept,
+           round((b1 * cxy + b2 * czy) / cyy, 6) AS r2
+    FROM b
+"""
+
+
+def q_order_price_grubbs(sf_dir: str):
+    """Grubbs' max-outlier statistic on order value (rounded to whole
+    dollars): G = max|x−μ|/s — the single-outlier screen whose critical
+    value gates automated anomaly tickets.  Two passes over the stream:
+    one combiner fold for the exact integer (n, Σx, Σx²) moments, then a
+    broadcast-μ max fold — both fully distributed and order-invariant."""
+    from ..stages.agg import grouped_agg, grouped_map, round_like_duckdb
+
+    ords = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def dollars(b: pa.Table) -> pa.Table:
+        x = pc.cast(pc.floor(pc.add(b.column("o_totalprice"),
+                                    pa.scalar(0.5, pa.float64()))),
+                    pa.int64())
+        return _add_g(pa.table({"x": x, "xx": pc.multiply(x, x)}))
+
+    d = ords.map_batches(dollars, batch_format="pyarrow").materialize()
+    # sum_as_float=False: Σx² exceeds 2^53 at sf≥0.1, so keep the exact
+    # int64 and convert via Python float() (round-half-even, matching
+    # DuckDB's HUGEINT→DOUBLE cast)
+    mom = _to_table(grouped_agg(d, ["__g"],
+                                [("n", "x", "count"), ("s", "x", "sum"),
+                                 ("ssq", "xx", "sum")],
+                                sum_as_float=False))
+    if mom.num_rows == 0 or int(mom.column("n")[0].as_py()) < 3:
+        import ray.data
+
+        return ray.data.from_arrow(pa.table({
+            "n_orders": pa.array([], pa.int64()),
+            "mean_price": pa.array([], pa.float64()),
+            "sd_price": pa.array([], pa.float64()),
+            "g_stat": pa.array([], pa.float64())}))
+    n = float(mom.column("n")[0].as_py())
+    s = float(mom.column("s")[0].as_py())
+    ssq = float(mom.column("ssq")[0].as_py())
+    mu = s / n
+    sd = float(np.sqrt((ssq - s * s / n) / (n - 1.0)))
+
+    def dev(b: pa.Table) -> pa.Table:
+        x = pc.cast(b.column("x"), pa.float64())
+        return pa.table({
+            "__g": b.column("__g"),
+            "ad": pc.abs(pc.subtract(x, pa.scalar(mu, pa.float64()))),
+        })
+
+    mx = grouped_agg(d.map_batches(dev, batch_format="pyarrow"), ["__g"],
+                     [("mad", "ad", "max")])
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                "n_orders": pa.array([], pa.int64()),
+                "mean_price": pa.array([], pa.float64()),
+                "sd_price": pa.array([], pa.float64()),
+                "g_stat": pa.array([], pa.float64()),
+            })
+        r = t.to_pylist()[0]
+        out = pa.table({
+            "n_orders": pa.array([int(n)], pa.int64()),
+            "mean_price": pa.array([mu], pa.float64()),
+            "sd_price": pa.array([sd], pa.float64()),
+            "g_stat": pa.array([float(r["mad"]) / sd if sd > 0.0
+                                else None], pa.float64()),
+        })
+        for name in ("mean_price", "sd_price", "g_stat"):
+            idx = out.column_names.index(name)
+            out = out.set_column(
+                idx, name, round_like_duckdb(out.column(name), 6))
+        return out
+
+    out = grouped_map(mx, "__g", finalize, per_group=False)
+    return out.map_batches(
+        lambda b: b.select(["n_orders", "mean_price", "sd_price",
+                            "g_stat"]),
+        batch_format="pyarrow")
+
+
+QUERIES["q_order_price_grubbs"] = q_order_price_grubbs
+ORACLE_SQL["q_order_price_grubbs"] = """
+    WITH p AS (
+      SELECT CAST(floor(o_totalprice + 0.5) AS BIGINT) AS x FROM orders
+    ),
+    m AS (
+      SELECT count(*) * 1.0 AS n,
+             CAST(sum(x) AS DOUBLE) AS s,
+             CAST(sum(x * x) AS DOUBLE) AS ssq
+      FROM p
+    ),
+    st AS (
+      SELECT n, s / n AS mu,
+             sqrt((ssq - s * s / n) / (n - 1.0)) AS sd
+      FROM m
+    )
+    SELECT CAST(n AS BIGINT) AS n_orders,
+           round(mu, 6) AS mean_price,
+           round(sd, 6) AS sd_price,
+           round(max(abs(x * 1.0 - mu)) / sd, 6) AS g_stat
+    FROM p, st
+    GROUP BY n, mu, sd
 """
