@@ -20591,3 +20591,426 @@ ORACLE_SQL["q_order_price_grubbs"] = """
     FROM p, st
     GROUP BY n, mu, sd
 """
+
+
+def q_event_type_cochran_q(sf_dir: str):
+    """Cochran's Q across three binary per-user "did it" treatments
+    (click / view / purchase): Q = (k−1)(kΣC_j² − (ΣC_j)²)/(kΣR_i −
+    ΣR_i²) — the k-treatment generalization of McNemar asking whether
+    the three actions have equal penetration across the SAME users.
+    Per-user flags are one keyed max-combiner; every term is an exact
+    integer fold, so Q is bitwise deterministic."""
+    from ..stages.agg import grouped_agg, grouped_map, round_like_duckdb
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    kinds = ("click", "view", "purchase")
+
+    def flags(b: pa.Table) -> pa.Table:
+        cols = {"user_id": b.column("user_id")}
+        for kk in kinds:
+            cols[f"f_{kk}"] = pc.cast(
+                pc.equal(b.column("event_type"), pa.scalar(kk)), pa.int64())
+        return pa.table(cols)
+
+    u = grouped_agg(ev.map_batches(flags, batch_format="pyarrow"),
+                    ["user_id"],
+                    [(f"f_{kk}", f"f_{kk}", "max") for kk in kinds])
+
+    def fold(b: pa.Table) -> pa.Table:
+        f1 = b.column("f_click")
+        f2 = b.column("f_view")
+        f3 = b.column("f_purchase")
+        r = pc.add(pc.add(f1, f2), f3)
+        return _add_g(pa.table({
+            "c1": f1, "c2": f2, "c3": f3,
+            "r": r, "rr": pc.multiply(r, r),
+        }))
+
+    g = grouped_agg(u.map_batches(fold, batch_format="pyarrow"), ["__g"],
+                    [("n_users", "r", "count"), ("c1", "c1", "sum"),
+                     ("c2", "c2", "sum"), ("c3", "c3", "sum"),
+                     ("sr", "r", "sum"), ("srr", "rr", "sum")])
+
+    def finalize(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "n_users": pa.array([], pa.int64()),
+            "n_click": pa.array([], pa.int64()),
+            "n_view": pa.array([], pa.int64()),
+            "n_purchase": pa.array([], pa.int64()),
+            "q_stat": pa.array([], pa.float64()),
+        })
+        if t.num_rows == 0:
+            return empty
+        r = t.to_pylist()[0]
+        k = 3
+        c = [int(r["c1"]), int(r["c2"]), int(r["c3"])]
+        sr, srr = int(r["sr"]), int(r["srr"])
+        den = k * sr - srr
+        q = ((k - 1.0) * (k * sum(x * x for x in c) - sum(c) ** 2) / den
+             if den > 0 else None)
+        out = pa.table({
+            "n_users": pa.array([int(r["n_users"])], pa.int64()),
+            "n_click": pa.array([c[0]], pa.int64()),
+            "n_view": pa.array([c[1]], pa.int64()),
+            "n_purchase": pa.array([c[2]], pa.int64()),
+            "q_stat": pa.array([q], pa.float64()),
+        })
+        idx = out.column_names.index("q_stat")
+        return out.set_column(idx, "q_stat",
+                              round_like_duckdb(out.column("q_stat"), 6))
+
+    out = grouped_map(g, "__g", finalize, per_group=False)
+    return out.map_batches(
+        lambda b: b.select(["n_users", "n_click", "n_view", "n_purchase",
+                            "q_stat"]),
+        batch_format="pyarrow")
+
+
+QUERIES["q_event_type_cochran_q"] = q_event_type_cochran_q
+ORACLE_SQL["q_event_type_cochran_q"] = """
+    WITH u AS (
+      SELECT user_id,
+             max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS f1,
+             max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS f2,
+             max(CASE WHEN event_type = 'purchase' THEN 1
+                      ELSE 0 END) AS f3
+      FROM events GROUP BY 1
+    ),
+    g AS (
+      SELECT count(*) AS n_users, sum(f1) AS c1, sum(f2) AS c2,
+             sum(f3) AS c3,
+             sum(f1 + f2 + f3) AS sr,
+             sum((f1 + f2 + f3) * (f1 + f2 + f3)) AS srr
+      FROM u
+    )
+    SELECT CAST(n_users AS BIGINT) AS n_users,
+           CAST(c1 AS BIGINT) AS n_click,
+           CAST(c2 AS BIGINT) AS n_view,
+           CAST(c3 AS BIGINT) AS n_purchase,
+           round(2.0 * (3 * (c1 * c1 + c2 * c2 + c3 * c3)
+                        - (c1 + c2 + c3) * (c1 + c2 + c3))
+                 / (3 * sr - srr), 6) AS q_stat
+    FROM g
+"""
+
+
+def q_weekend_value_levene(sf_dir: str):
+    """Levene's test (mean-centered) for equal value variance weekend vs
+    weekday: one-way ANOVA F on the absolute deviations Z = |x − x̄_g| —
+    the variance-equality gate before a pooled t-test, complementing the
+    median-centered Brown-Forsythe on the type split.  Two combiner
+    passes (group means, then Z moments); the F tree matches the SQL's
+    double ops."""
+    from ..stages.agg import grouped_agg, grouped_map, round_like_duckdb
+
+    labeled = _weekend_labeled_events(sf_dir)
+
+    vals = labeled.map_batches(
+        lambda b: b.filter(pc.is_valid(b.column("value"))),
+        batch_format="pyarrow").materialize()
+    means = _to_table(grouped_agg(
+        vals.map_batches(
+            lambda b: pa.table({"variant": b.column("variant"),
+                                "value": b.column("value")}),
+            batch_format="pyarrow"),
+        ["variant"], [("s", "value", "sum"), ("n", "value", "count")]))
+    mu = {r["variant"]: r["s"] / r["n"] for r in means.to_pylist()}
+    if len(mu) < 2:
+        import ray.data
+
+        return ray.data.from_arrow(pa.table({
+            "f_stat": pa.array([], pa.float64()),
+            "df1": pa.array([], pa.int64()),
+            "df2": pa.array([], pa.int64())}))
+
+    def zdev(b: pa.Table) -> pa.Table:
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        g = b.column("variant").to_numpy(zero_copy_only=False)
+        m = np.where(g == "weekend", mu.get("weekend", 0.0),
+                     mu.get("weekday", 0.0))
+        z = np.abs(v - m)
+        return pa.table({"variant": b.column("variant"),
+                         "z": pa.array(z, pa.float64()),
+                         "zz": pa.array(z * z, pa.float64())})
+
+    zg = grouped_agg(vals.map_batches(zdev, batch_format="pyarrow"),
+                     ["variant"], [("n", "z", "count"), ("sz", "z", "sum"),
+                                   ("szz", "zz", "sum")])
+
+    def finalize(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "f_stat": pa.array([], pa.float64()),
+            "df1": pa.array([], pa.int64()),
+            "df2": pa.array([], pa.int64()),
+        })
+        if t.num_rows < 2:
+            return empty
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        sz = t.column("sz").to_numpy(zero_copy_only=False)
+        szz = t.column("szz").to_numpy(zero_copy_only=False)
+        N = n.sum()
+        k = float(len(n))
+        zbar_g = sz / n
+        zbar = sz.sum() / N
+        ssb = float((n * (zbar_g - zbar) * (zbar_g - zbar)).sum())
+        ssw = float((szz - sz * sz / n).sum())
+        if ssw <= 0.0 or N <= k:
+            return empty
+        f = (ssb / (k - 1.0)) / (ssw / (N - k))
+        out = pa.table({
+            "f_stat": pa.array([f], pa.float64()),
+            "df1": pa.array([int(k - 1)], pa.int64()),
+            "df2": pa.array([int(N - k)], pa.int64()),
+        })
+        idx = out.column_names.index("f_stat")
+        return out.set_column(idx, "f_stat",
+                              round_like_duckdb(out.column("f_stat"), 6))
+
+    out = grouped_map(zg.map_batches(_add_g, batch_format="pyarrow"),
+                      "__g", finalize, per_group=False)
+    return out.map_batches(
+        lambda b: b.select(["f_stat", "df1", "df2"]),
+        batch_format="pyarrow")
+
+
+QUERIES["q_weekend_value_levene"] = q_weekend_value_levene
+ORACLE_SQL["q_weekend_value_levene"] = """
+    WITH s AS (
+      SELECT CASE WHEN (epoch_us(ts) // 86400000000 + 3) % 7 + 1 >= 6
+                  THEN 'weekend' ELSE 'weekday' END AS variant,
+             value
+      FROM events WHERE value IS NOT NULL
+    ),
+    m AS (SELECT variant, sum(value) / count(*) AS mu FROM s GROUP BY 1),
+    z AS (
+      SELECT s.variant, abs(value - mu) AS z
+      FROM s JOIN m ON m.variant = s.variant
+    ),
+    g AS (
+      SELECT variant, count(*) * 1.0 AS n, sum(z) AS sz,
+             sum(z * z) AS szz
+      FROM z GROUP BY 1
+    ),
+    tt AS (SELECT sum(n) AS nn, sum(sz) AS tsz, count(*) * 1.0 AS k
+           FROM g)
+    SELECT round((sum(n * (sz / n - tsz / nn) * (sz / n - tsz / nn))
+                  / (k - 1.0))
+                 / (sum(szz - sz * sz / n) / (nn - k)), 6) AS f_stat,
+           CAST(k - 1 AS BIGINT) AS df1,
+           CAST(nn - k AS BIGINT) AS df2
+    FROM g, tt
+    GROUP BY k, nn, tsz
+"""
+
+
+def q_weekend_value_ftest(sf_dir: str):
+    """Two-sample F test: ratio of weekend to weekday value variance
+    (sample variances, F = s²_we/s²_wd with (n_we−1, n_wd−1) df) — the
+    classical scale-shift screen read alongside Levene (which is robust
+    to non-normality where this is exact under it).  One combiner fold
+    of per-side moments."""
+    from ..stages.agg import grouped_agg, grouped_map, round_like_duckdb
+
+    labeled = _weekend_labeled_events(sf_dir)
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("value")))
+        wk = pc.cast(pc.equal(b.column("variant"), pa.scalar("weekend")),
+                     pa.float64())
+        v = b.column("value")
+        vv = pc.multiply(v, v)
+        one = pa.scalar(1.0, pa.float64())
+        wd = pc.subtract(one, wk)
+        return _add_g(pa.table({
+            "n_we": wk, "s_we": pc.multiply(wk, v),
+            "ss_we": pc.multiply(wk, vv),
+            "n_wd": wd, "s_wd": pc.multiply(wd, v),
+            "ss_wd": pc.multiply(wd, vv),
+        }))
+
+    g = grouped_agg(labeled.map_batches(prep, batch_format="pyarrow"),
+                    ["__g"],
+                    [("n_we", "n_we", "sum"), ("s_we", "s_we", "sum"),
+                     ("ss_we", "ss_we", "sum"), ("n_wd", "n_wd", "sum"),
+                     ("s_wd", "s_wd", "sum"), ("ss_wd", "ss_wd", "sum")])
+
+    def finalize(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "df_weekend": pa.array([], pa.int64()),
+            "df_weekday": pa.array([], pa.int64()),
+            "var_weekend": pa.array([], pa.float64()),
+            "var_weekday": pa.array([], pa.float64()),
+            "f_ratio": pa.array([], pa.float64()),
+        })
+        if t.num_rows == 0:
+            return empty
+        r = t.to_pylist()[0]
+        nwe, nwd = float(r["n_we"]), float(r["n_wd"])
+        if nwe < 2.0 or nwd < 2.0:
+            return empty
+        vwe = (float(r["ss_we"]) - float(r["s_we"]) * float(r["s_we"])
+               / nwe) / (nwe - 1.0)
+        vwd = (float(r["ss_wd"]) - float(r["s_wd"]) * float(r["s_wd"])
+               / nwd) / (nwd - 1.0)
+        if vwd <= 0.0:
+            return empty
+        out = pa.table({
+            "df_weekend": pa.array([int(nwe - 1)], pa.int64()),
+            "df_weekday": pa.array([int(nwd - 1)], pa.int64()),
+            "var_weekend": pa.array([vwe], pa.float64()),
+            "var_weekday": pa.array([vwd], pa.float64()),
+            "f_ratio": pa.array([vwe / vwd], pa.float64()),
+        })
+        for name in ("var_weekend", "var_weekday", "f_ratio"):
+            idx = out.column_names.index(name)
+            out = out.set_column(
+                idx, name, round_like_duckdb(out.column(name), 6))
+        return out
+
+    out = grouped_map(g, "__g", finalize, per_group=False)
+    return out.map_batches(
+        lambda b: b.select(["df_weekend", "df_weekday", "var_weekend",
+                            "var_weekday", "f_ratio"]),
+        batch_format="pyarrow")
+
+
+QUERIES["q_weekend_value_ftest"] = q_weekend_value_ftest
+ORACLE_SQL["q_weekend_value_ftest"] = """
+    WITH s AS (
+      SELECT CASE WHEN (epoch_us(ts) // 86400000000 + 3) % 7 + 1 >= 6
+                  THEN 1.0 ELSE 0.0 END AS wk,
+             value
+      FROM events WHERE value IS NOT NULL
+    ),
+    g AS (
+      SELECT sum(wk) AS nwe, sum(wk * value) AS swe,
+             sum(wk * value * value) AS sswe,
+             sum(1.0 - wk) AS nwd, sum((1.0 - wk) * value) AS swd,
+             sum((1.0 - wk) * value * value) AS sswd
+      FROM s
+    ),
+    v AS (
+      SELECT nwe, nwd,
+             (sswe - swe * swe / nwe) / (nwe - 1.0) AS vwe,
+             (sswd - swd * swd / nwd) / (nwd - 1.0) AS vwd
+      FROM g
+    )
+    SELECT CAST(nwe - 1 AS BIGINT) AS df_weekend,
+           CAST(nwd - 1 AS BIGINT) AS df_weekday,
+           round(vwe, 6) AS var_weekend,
+           round(vwd, 6) AS var_weekday,
+           round(vwe / vwd, 6) AS f_ratio
+    FROM v
+"""
+
+
+def q_daily_revenue_hurst(sf_dir: str):
+    """Hurst exponent of daily revenue via classical rescaled-range
+    analysis: for chunk sizes 16/32/64/128, each complete chunk's
+    R/S = (max−min of the cumulative mean-deviation)/population-σ is
+    averaged, and H is the OLS slope of log₂(mean R/S) on log₂(size) —
+    H≈0.5 random walk, >0.5 trending/persistent, <0.5 mean-reverting.
+    One combiner exchange to the tiny exact-cents daily table; the
+    chunked R/S passes run vectorized over it."""
+    from ..stages.agg import grouped_map, round_like_duckdb
+
+    daily = _daily_order_revenue_cents(sf_dir)
+    sizes = (16, 32, 64, 128)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "n_days": pa.array([], pa.int64()),
+            "hurst": pa.array([], pa.float64()),
+        })
+        if t.num_rows < 2 * sizes[-1]:
+            return empty
+        t = t.sort_by([("day", "ascending")])
+        c = t.column("c").to_numpy(zero_copy_only=False).astype(np.float64)
+        n = len(c)
+        pts = []
+        for s in sizes:
+            k = n // s
+            if k < 2:
+                continue
+            x = c[:k * s].reshape(k, s)
+            m = x.mean(axis=1)
+            dev = x - m[:, None]
+            cd = np.cumsum(dev, axis=1)
+            r = cd.max(axis=1) - cd.min(axis=1)
+            sd = np.sqrt((dev * dev).mean(axis=1))
+            ok = sd > 0.0
+            if not ok.any():
+                continue
+            rs = float((r[ok] / sd[ok]).sum() / ok.sum())
+            pts.append((np.log2(float(s)), np.log2(rs)))
+        if len(pts) < 2:
+            return empty
+        lx = np.array([p[0] for p in pts])
+        ly = np.array([p[1] for p in pts])
+        nn = float(len(pts))
+        ex = lx - lx.sum() / nn
+        ey = ly - ly.sum() / nn
+        h = float((ex * ey).sum() / (ex * ex).sum())
+        out = pa.table({
+            "n_days": pa.array([n], pa.int64()),
+            "hurst": pa.array([h], pa.float64()),
+        })
+        idx = out.column_names.index("hurst")
+        return out.set_column(idx, "hurst",
+                              round_like_duckdb(out.column("hurst"), 6))
+
+    out = grouped_map(daily.map_batches(_add_g, batch_format="pyarrow"),
+                      "__g", finalize, per_group=False)
+    return out.map_batches(
+        lambda b: b.select(["n_days", "hurst"]),
+        batch_format="pyarrow")
+
+
+QUERIES["q_daily_revenue_hurst"] = q_daily_revenue_hurst
+ORACLE_SQL["q_daily_revenue_hurst"] = """
+    WITH d AS (
+      SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day,
+             sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS c
+      FROM orders GROUP BY 1
+    ),
+    o AS (
+      SELECT c * 1.0 AS c,
+             row_number() OVER (ORDER BY day) - 1 AS i
+      FROM d
+    ),
+    nn AS (SELECT count(*) AS n FROM o),
+    sz AS (SELECT unnest([16, 32, 64, 128]) AS s),
+    m AS (
+      SELECT sz.s AS s, o.i // sz.s AS ch, avg(o.c) AS mu,
+             count(*) AS cnt
+      FROM o, sz GROUP BY 1, 2
+    ),
+    dv AS (
+      SELECT m.s, m.ch, o.i, o.c - m.mu AS dev
+      FROM o JOIN m ON m.ch = o.i // m.s
+      WHERE m.cnt = m.s
+    ),
+    cd AS (
+      SELECT s, ch, dev,
+             sum(dev) OVER (PARTITION BY s, ch ORDER BY i) AS cd
+      FROM dv
+    ),
+    rs AS (
+      SELECT s, ch,
+             (max(cd) - min(cd)) / sqrt(avg(dev * dev)) AS rs
+      FROM cd GROUP BY 1, 2
+      HAVING avg(dev * dev) > 0
+    ),
+    pt AS (
+      SELECT log2(s * 1.0) AS lx, log2(sum(rs) / count(*)) AS ly
+      FROM rs GROUP BY s
+    ),
+    reg AS (
+      SELECT count(*) * 1.0 AS k, sum(lx) AS sx, sum(ly) AS sy,
+             sum(lx * lx) AS sxx, sum(lx * ly) AS sxy
+      FROM pt
+    )
+    SELECT (SELECT CAST(n AS BIGINT) FROM nn) AS n_days,
+           round((sxy - sx * sy / k) / (sxx - sx * sx / k), 6) AS hurst
+    FROM reg
+"""
