@@ -21014,3 +21014,264 @@ ORACLE_SQL["q_daily_revenue_hurst"] = """
            round((sxy - sx * sy / k) / (sxx - sx * sx / k), 6) AS hurst
     FROM reg
 """
+
+
+def q_weekend_price_energy_distance(sf_dir: str):
+    """Energy distance between weekend and weekday order values:
+    E = 2·E|X−Y| − E|X−X′| − E|Y−Y′| and the normalized coefficient
+    E/(2·E|X−Y|) ∈ [0,1] — the metric two-sample test sensitive to ANY
+    distribution difference (location, scale, shape), zero iff the
+    distributions match.  NEVER forms pairs: one `range_sort` of exact
+    integer cents + four exclusive prefix sums turn every pair-sum into
+    a per-row x·cnt_before − sum_before fold (tie-order invariant), so
+    all three O(n²) expectations are exact int64 in one pass."""
+    from ..stages.agg import grouped_agg, grouped_map, round_like_duckdb
+    from ..stages.sort import global_prefix_sums, range_sort
+
+    ords = _read(sf_dir, "orders",
+                 ["o_orderkey", "o_orderdate", "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(b.column("o_orderdate"), pa.int64()),
+                        pa.scalar(86_400_000_000, pa.int64()))
+        a = pc.add(day, pa.scalar(3, pa.int64()))
+        seven = pa.scalar(7, pa.int64())
+        dow = pc.add(pc.subtract(a, pc.multiply(
+            pc.divide(a, seven), seven)), pa.scalar(1, pa.int64()))
+        wk = pc.cast(pc.greater_equal(dow, pa.scalar(6, pa.int64())),
+                     pa.int64())
+        x = pc.cast(pc.round(pc.multiply(
+            b.column("o_totalprice"), pa.scalar(100.0, pa.float64()))),
+            pa.int64())
+        one = pa.scalar(1, pa.int64())
+        return pa.table({
+            "o_orderkey": b.column("o_orderkey"),
+            "x": x,
+            "iwe": wk, "iwd": pc.subtract(one, wk),
+            "xwe": pc.multiply(x, wk),
+            "xwd": pc.multiply(x, pc.subtract(one, wk)),
+        })
+
+    s = range_sort(ords.map_batches(prep, batch_format="pyarrow"), "x",
+                   tiebreak=["o_orderkey"])
+    for col, out_name in (("iwe", "__cwe"), ("iwd", "__cwd"),
+                          ("xwe", "__swe"), ("xwd", "__swd")):
+        s = global_prefix_sums(s, col, out_name=out_name, exclusive=True)
+
+    def contrib(b: pa.Table) -> pa.Table:
+        x = b.column("x").to_numpy(zero_copy_only=False).astype(np.int64)
+        iwe = b.column("iwe").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        cwe = b.column("__cwe").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        cwd = b.column("__cwd").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        swe = b.column("__swe").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        swd = b.column("__swd").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        # opposite-group pairs close at the later element; same-group too
+        cross = np.where(iwe == 1, x * cwd - swd, x * cwe - swe)
+        within_we = np.where(iwe == 1, x * cwe - swe, 0)
+        within_wd = np.where(iwe == 0, x * cwd - swd, 0)
+        return _add_g(pa.table({
+            "cross": pa.array(cross, pa.int64()),
+            "wwe": pa.array(within_we, pa.int64()),
+            "wwd": pa.array(within_wd, pa.int64()),
+            "iwe": pa.array(iwe, pa.int64()),
+            "iwd": pa.array(1 - iwe, pa.int64()),
+        }))
+
+    g = grouped_agg(s.map_batches(contrib, batch_format="pyarrow"),
+                    ["__g"],
+                    [("cross", "cross", "sum"), ("wwe", "wwe", "sum"),
+                     ("wwd", "wwd", "sum"), ("nwe", "iwe", "sum"),
+                     ("nwd", "iwd", "sum")], sum_as_float=False)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "n_weekend": pa.array([], pa.int64()),
+            "n_weekday": pa.array([], pa.int64()),
+            "energy_distance": pa.array([], pa.float64()),
+            "e_coefficient": pa.array([], pa.float64()),
+        })
+        if t.num_rows == 0:
+            return empty
+        r = t.to_pylist()[0]
+        nwe, nwd = int(r["nwe"]), int(r["nwd"])
+        if nwe == 0 or nwd == 0:
+            return empty
+        a = float(r["cross"]) / (float(nwe) * float(nwd))
+        bb = 2.0 * float(r["wwe"]) / (float(nwe) * float(nwe))
+        cc = 2.0 * float(r["wwd"]) / (float(nwd) * float(nwd))
+        e = (2.0 * a - bb - cc) / 100.0
+        coef = (2.0 * a - bb - cc) / (2.0 * a) if a > 0.0 else None
+        out = pa.table({
+            "n_weekend": pa.array([nwe], pa.int64()),
+            "n_weekday": pa.array([nwd], pa.int64()),
+            "energy_distance": pa.array([e], pa.float64()),
+            "e_coefficient": pa.array([coef], pa.float64()),
+        })
+        for name in ("energy_distance", "e_coefficient"):
+            idx = out.column_names.index(name)
+            out = out.set_column(
+                idx, name, round_like_duckdb(out.column(name), 6))
+        return out
+
+    out = grouped_map(g, "__g", finalize, per_group=False)
+    return out.map_batches(
+        lambda b: b.select(["n_weekend", "n_weekday", "energy_distance",
+                            "e_coefficient"]),
+        batch_format="pyarrow")
+
+
+QUERIES["q_weekend_price_energy_distance"] = q_weekend_price_energy_distance
+ORACLE_SQL["q_weekend_price_energy_distance"] = """
+    WITH p AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100.0) AS BIGINT) AS x,
+             CASE WHEN (epoch_us(o_orderdate) // 86400000000 + 3) % 7
+                       + 1 >= 6
+                  THEN 1 ELSE 0 END AS iwe
+      FROM orders
+    ),
+    w AS (
+      SELECT x, iwe,
+             coalesce(sum(iwe) OVER pre, 0) AS cwe,
+             coalesce(sum(1 - iwe) OVER pre, 0) AS cwd,
+             coalesce(sum(x * iwe) OVER pre, 0) AS swe,
+             coalesce(sum(x * (1 - iwe)) OVER pre, 0) AS swd
+      FROM p
+      WINDOW pre AS (ORDER BY x, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    g AS (
+      SELECT sum(CASE WHEN iwe = 1 THEN x * cwd - swd
+                      ELSE x * cwe - swe END) AS cross_s,
+             sum(CASE WHEN iwe = 1 THEN x * cwe - swe ELSE 0 END) AS wwe,
+             sum(CASE WHEN iwe = 0 THEN x * cwd - swd ELSE 0 END) AS wwd,
+             sum(iwe) AS nwe, sum(1 - iwe) AS nwd
+      FROM w
+    ),
+    st AS (
+      SELECT nwe, nwd,
+             CAST(cross_s AS DOUBLE) / (nwe * 1.0 * nwd) AS a,
+             2.0 * CAST(wwe AS DOUBLE) / (nwe * 1.0 * nwe) AS b,
+             2.0 * CAST(wwd AS DOUBLE) / (nwd * 1.0 * nwd) AS c
+      FROM g
+    )
+    SELECT CAST(nwe AS BIGINT) AS n_weekend,
+           CAST(nwd AS BIGINT) AS n_weekday,
+           round((2.0 * a - b - c) / 100.0, 6) AS energy_distance,
+           round((2.0 * a - b - c) / (2.0 * a), 6) AS e_coefficient
+    FROM st
+"""
+
+
+def q_lang_unigram_jsd_matrix(sf_dir: str):
+    """Pairwise Jensen-Shannon divergence between the unigram (word)
+    distributions of every language pair — the corpus-mix monitor that
+    flags when one source's vocabulary drifts away from the others
+    (machine-translated or template spam shows up as a collapsing JSD).
+    Per-(lang, word) counts fold in one combiner; the |langs|²·|vocab|
+    pair fold is driver-trivial on this corpus and stays so whenever the
+    tracked vocabulary is bounded (hash to a fixed slot count first at
+    open-vocab scale)."""
+    from ..stages.agg import grouped_agg, grouped_map, round_like_duckdb
+
+    docs = _read(sf_dir, "documents", ["lang", "text"])
+
+    def words(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b.column("text"), pattern=" ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        langs = b.column("lang").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "lang": pa.array(np.repeat(langs, lens), pa.string()),
+            "word": pc.list_flatten(toks),
+        })
+
+    c = grouped_agg(docs.map_batches(words, batch_format="pyarrow"),
+                    ["lang", "word"], [("n", "word", "count")])
+
+    def finalize(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "lang_a": pa.array([], pa.string()),
+            "lang_b": pa.array([], pa.string()),
+            "jsd": pa.array([], pa.float64()),
+        })
+        if t.num_rows == 0:
+            return empty
+        lang = t.column("lang").to_numpy(zero_copy_only=False)
+        word = t.column("word").to_numpy(zero_copy_only=False)
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        langs = np.unique(lang)
+        vocab, widx = np.unique(word, return_inverse=True)
+        mat = np.zeros((len(langs), len(vocab)))
+        lidx = np.searchsorted(langs, lang)
+        mat[lidx, widx] = n
+        p = mat / mat.sum(axis=1, keepdims=True)
+        la_out, lb_out, jsd_out = [], [], []
+        for i in range(len(langs)):
+            for j in range(i + 1, len(langs)):
+                pi, pj = p[i], p[j]
+                m = (pi + pj) / 2.0
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    ka = np.where(pi > 0.0, pi * np.log(pi / m), 0.0)
+                    kb = np.where(pj > 0.0, pj * np.log(pj / m), 0.0)
+                la_out.append(str(langs[i]))
+                lb_out.append(str(langs[j]))
+                jsd_out.append(float((ka.sum() + kb.sum()) / 2.0))
+        out = pa.table({
+            "lang_a": pa.array(la_out, pa.string()),
+            "lang_b": pa.array(lb_out, pa.string()),
+            "jsd": pa.array(jsd_out, pa.float64()),
+        })
+        idx = out.column_names.index("jsd")
+        return out.set_column(idx, "jsd",
+                              round_like_duckdb(out.column("jsd"), 6))
+
+    out = grouped_map(c.map_batches(_add_g, batch_format="pyarrow"),
+                      "__g", finalize, per_group=False)
+    return out.map_batches(
+        lambda b: b.select(["lang_a", "lang_b", "jsd"]),
+        batch_format="pyarrow")
+
+
+QUERIES["q_lang_unigram_jsd_matrix"] = q_lang_unigram_jsd_matrix
+ORACLE_SQL["q_lang_unigram_jsd_matrix"] = """
+    WITH c AS (
+      SELECT lang, w AS word, count(*) AS n
+      FROM (SELECT lang, unnest(string_split(text, ' ')) AS w
+            FROM documents)
+      GROUP BY 1, 2
+    ),
+    t AS (SELECT lang, sum(n) AS tot FROM c GROUP BY 1),
+    p AS (
+      SELECT c.lang, word, n * 1.0 / tot AS p
+      FROM c JOIN t ON t.lang = c.lang
+    ),
+    pairs AS (
+      SELECT a.lang AS la, b.lang AS lb
+      FROM t a, t b WHERE a.lang < b.lang
+    ),
+    w AS (SELECT DISTINCT word FROM c),
+    grid AS (SELECT la, lb, word FROM pairs, w),
+    jj AS (
+      SELECT grid.la, grid.lb,
+             coalesce(pa.p, 0.0) AS p, coalesce(pb.p, 0.0) AS q
+      FROM grid
+      LEFT JOIN p pa ON pa.lang = grid.la AND pa.word = grid.word
+      LEFT JOIN p pb ON pb.lang = grid.lb AND pb.word = grid.word
+    )
+    SELECT la AS lang_a, lb AS lang_b,
+           round((sum(CASE WHEN p > 0
+                           THEN p * ln(p / ((p + q) / 2.0))
+                           ELSE 0.0 END)
+                  + sum(CASE WHEN q > 0
+                             THEN q * ln(q / ((p + q) / 2.0))
+                             ELSE 0.0 END)) / 2.0, 6) AS jsd
+    FROM jj
+    GROUP BY 1, 2
+"""
