@@ -21275,3 +21275,291 @@ ORACLE_SQL["q_lang_unigram_jsd_matrix"] = """
     FROM jj
     GROUP BY 1, 2
 """
+
+
+def q_daily_revenue_seasonal_decomposition(sf_dir: str):
+    """Classical additive seasonal decomposition of daily revenue:
+    trend = centered 7-day moving average, per-weekday seasonal index =
+    mean detrended value, and the residual variance share — the
+    decomposition behind "is the weekly cycle growing or is it noise?".
+    One combiner exchange to the tiny exact-cents daily table; the MA /
+    detrend / index passes run vectorized over it (at larger n the MA7
+    is the existing distributed windowed mean)."""
+    from ..stages.agg import grouped_map, round_like_duckdb
+
+    daily = _daily_order_revenue_cents(sf_dir)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "dow": pa.array([], pa.int64()),
+            "n_days": pa.array([], pa.int64()),
+            "seasonal_index": pa.array([], pa.float64()),
+            "residual_var_share": pa.array([], pa.float64()),
+        })
+        if t.num_rows < 15:
+            return empty
+        t = t.sort_by([("day", "ascending")])
+        day = t.column("day").to_numpy(zero_copy_only=False)
+        c = (t.column("c").to_numpy(zero_copy_only=False)
+             .astype(np.float64) / 100.0)
+        n = len(c)
+        # centered MA7 (full windows only), matching AVG OVER ROWS
+        # BETWEEN 3 PRECEDING AND 3 FOLLOWING with a count guard
+        k = np.convolve(c, np.ones(7), mode="valid") / 7.0
+        trend = np.full(n, np.nan)
+        trend[3:n - 3] = k
+        det = c - trend
+        dow = (day + 3) % 7 + 1
+        ok = ~np.isnan(det)
+        rows = []
+        for dd in range(1, 8):
+            m = ok & (dow == dd)
+            if not m.any():
+                continue
+            rows.append((dd, int(m.sum()),
+                         float(det[m].sum() / m.sum())))
+        # residual variance share: Var(det − seasonal) / Var(c) over
+        # the trend-covered span
+        smap = {d: s for d, _, s in rows}
+        res = det[ok] - np.array([smap[int(x)] for x in dow[ok]])
+        cc = c[ok]
+        def var(v):
+            # E[v²] − (E[v])², matching the SQL tree exactly
+            nn = float(len(v))
+            return (v * v).sum() / nn - (v.sum() / nn) * (v.sum() / nn)
+        share = float(var(res) / var(cc)) if var(cc) > 0.0 else None
+        out = pa.table({
+            "dow": pa.array([r[0] for r in rows], pa.int64()),
+            "n_days": pa.array([r[1] for r in rows], pa.int64()),
+            "seasonal_index": pa.array([r[2] for r in rows],
+                                       pa.float64()),
+            "residual_var_share": pa.array([share] * len(rows),
+                                           pa.float64()),
+        })
+        for name in ("seasonal_index", "residual_var_share"):
+            idx = out.column_names.index(name)
+            out = out.set_column(
+                idx, name, round_like_duckdb(out.column(name), 6))
+        return out
+
+    out = grouped_map(daily.map_batches(_add_g, batch_format="pyarrow"),
+                      "__g", finalize, per_group=False)
+    return out.map_batches(
+        lambda b: b.select(["dow", "n_days", "seasonal_index",
+                            "residual_var_share"]),
+        batch_format="pyarrow")
+
+
+QUERIES["q_daily_revenue_seasonal_decomposition"] = \
+    q_daily_revenue_seasonal_decomposition
+ORACLE_SQL["q_daily_revenue_seasonal_decomposition"] = """
+    WITH d AS (
+      SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day,
+             sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) / 100.0
+                 AS c
+      FROM orders GROUP BY 1
+    ),
+    w AS (
+      SELECT day, c, (day + 3) % 7 + 1 AS dow,
+             avg(c) OVER win AS tr,
+             count(*) OVER win AS cnt
+      FROM d
+      WINDOW win AS (ORDER BY day
+                     ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    det AS (
+      SELECT dow, c, c - tr AS det FROM w WHERE cnt = 7
+    ),
+    s AS (
+      SELECT dow, count(*) AS n_days,
+             sum(det) / count(*) AS seasonal_index
+      FROM det GROUP BY 1
+    ),
+    r AS (
+      SELECT det.c, det.det - s.seasonal_index AS res
+      FROM det JOIN s ON s.dow = det.dow
+    ),
+    v AS (
+      SELECT (sum(res * res) / count(*)
+              - (sum(res) / count(*)) * (sum(res) / count(*)))
+             / (sum(c * c) / count(*)
+                - (sum(c) / count(*)) * (sum(c) / count(*))) AS share
+      FROM r
+    )
+    SELECT CAST(dow AS BIGINT) AS dow,
+           CAST(n_days AS BIGINT) AS n_days,
+           round(seasonal_index, 6) AS seasonal_index,
+           round(share, 6) AS residual_var_share
+    FROM s, v
+    ORDER BY dow
+"""
+
+
+def q_lineitem_mahalanobis_outliers(sf_dir: str):
+    """Top-20 multivariate outliers by Mahalanobis distance over
+    (quantity, discount%, price$): d² = (v−μ)ᵀΣ⁻¹(v−μ) with the 3×3
+    population covariance inverted in closed form (adjugate/det) — the
+    joint-anomaly screen that catches "high quantity AND high discount
+    AND low price" rows each univariate z-score misses.  All nine moment
+    sums are exact int64 on the combiner (HUGEINT in SQL), the inverse
+    is a fixed float tree, and the per-row quadratic form is identical
+    on both sides, so the round-6 ranking is deterministic."""
+    from ..stages.agg import global_topk, grouped_agg, grouped_map, \
+        round_like_duckdb
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_quantity", "l_discount",
+                "l_extendedprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        half = pa.scalar(0.5, pa.float64())
+        x = pc.cast(pc.floor(pc.add(b.column("l_quantity"), half)),
+                    pa.int64())
+        z = pc.cast(pc.floor(pc.add(pc.multiply(
+            b.column("l_discount"), pa.scalar(100.0, pa.float64())),
+            half)), pa.int64())
+        y = pc.cast(pc.floor(pc.add(b.column("l_extendedprice"), half)),
+                    pa.int64())
+        return pa.table({
+            "l_orderkey": b.column("l_orderkey"),
+            "l_linenumber": b.column("l_linenumber"),
+            "x": x, "z": z, "y": y,
+        })
+
+    rows = li.map_batches(prep, batch_format="pyarrow").materialize()
+
+    def moments(b: pa.Table) -> pa.Table:
+        x, z, y = b.column("x"), b.column("z"), b.column("y")
+        return _add_g(pa.table({
+            "x": x, "z": z, "y": y,
+            "xx": pc.multiply(x, x), "zz": pc.multiply(z, z),
+            "yy": pc.multiply(y, y), "xz": pc.multiply(x, z),
+            "xy": pc.multiply(x, y), "zy": pc.multiply(z, y),
+        }))
+
+    mom = _to_table(grouped_agg(
+        rows.map_batches(moments, batch_format="pyarrow"), ["__g"],
+        [("n", "x", "count"), ("sx", "x", "sum"), ("sz", "z", "sum"),
+         ("sy", "y", "sum"), ("sxx", "xx", "sum"), ("szz", "zz", "sum"),
+         ("syy", "yy", "sum"), ("sxz", "xz", "sum"),
+         ("sxy", "xy", "sum"), ("szy", "zy", "sum")],
+        sum_as_float=False))
+    if mom.num_rows == 0 or int(mom.column("n")[0].as_py()) < 4:
+        import ray.data
+
+        return ray.data.from_arrow(pa.table({
+            "l_orderkey": pa.array([], pa.int64()),
+            "l_linenumber": pa.array([], pa.int64()),
+            "mahalanobis_d2": pa.array([], pa.float64())}))
+    r = mom.to_pylist()[0]
+    n = float(r["n"])
+    mx, mz, my = (float(r["sx"]) / n, float(r["sz"]) / n,
+                  float(r["sy"]) / n)
+    cxx = float(r["sxx"]) / n - mx * mx
+    czz = float(r["szz"]) / n - mz * mz
+    cyy = float(r["syy"]) / n - my * my
+    cxz = float(r["sxz"]) / n - mx * mz
+    cxy = float(r["sxy"]) / n - mx * my
+    czy = float(r["szy"]) / n - mz * my
+    det = (cxx * (czz * cyy - czy * czy)
+           - cxz * (cxz * cyy - czy * cxy)
+           + cxy * (cxz * czy - czz * cxy))
+    a11 = (czz * cyy - czy * czy) / det
+    a22 = (cxx * cyy - cxy * cxy) / det
+    a33 = (cxx * czz - cxz * cxz) / det
+    a12 = -(cxz * cyy - czy * cxy) / det
+    a13 = (cxz * czy - czz * cxy) / det
+    a23 = -(cxx * czy - cxz * cxy) / det
+
+    def score(b: pa.Table) -> pa.Table:
+        dx = pc.subtract(pc.cast(b.column("x"), pa.float64()),
+                         pa.scalar(mx, pa.float64()))
+        dz = pc.subtract(pc.cast(b.column("z"), pa.float64()),
+                         pa.scalar(mz, pa.float64()))
+        dy = pc.subtract(pc.cast(b.column("y"), pa.float64()),
+                         pa.scalar(my, pa.float64()))
+        two = pa.scalar(2.0, pa.float64())
+        d2 = pc.add(pc.add(pc.add(pc.add(pc.add(
+            pc.multiply(pa.scalar(a11, pa.float64()),
+                        pc.multiply(dx, dx)),
+            pc.multiply(pa.scalar(a22, pa.float64()),
+                        pc.multiply(dz, dz))),
+            pc.multiply(pa.scalar(a33, pa.float64()),
+                        pc.multiply(dy, dy))),
+            pc.multiply(pc.multiply(two, pa.scalar(a12, pa.float64())),
+                        pc.multiply(dx, dz))),
+            pc.multiply(pc.multiply(two, pa.scalar(a13, pa.float64())),
+                        pc.multiply(dx, dy))),
+            pc.multiply(pc.multiply(two, pa.scalar(a23, pa.float64())),
+                        pc.multiply(dz, dy)))
+        return pa.table({
+            "l_orderkey": b.column("l_orderkey"),
+            "l_linenumber": pc.cast(b.column("l_linenumber"), pa.int64()),
+            "mahalanobis_d2": round_like_duckdb(d2, 6),
+        })
+
+    scored = rows.map_batches(score, batch_format="pyarrow")
+    return global_topk(scored,
+                       ["mahalanobis_d2", "l_orderkey", "l_linenumber"],
+                       20, descending=[True, False, False])
+
+
+QUERIES["q_lineitem_mahalanobis_outliers"] = q_lineitem_mahalanobis_outliers
+ORACLE_SQL["q_lineitem_mahalanobis_outliers"] = """
+    WITH p AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(floor(l_quantity + 0.5) AS BIGINT) AS x,
+             CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT) AS z,
+             CAST(floor(l_extendedprice + 0.5) AS BIGINT) AS y
+      FROM lineitem
+    ),
+    g AS (
+      SELECT count(*) * 1.0 AS n,
+             CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(z) AS DOUBLE) AS sz,
+             CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(x * x) AS DOUBLE) AS sxx,
+             CAST(sum(z * z) AS DOUBLE) AS szz,
+             CAST(sum(y * y) AS DOUBLE) AS syy,
+             CAST(sum(x * z) AS DOUBLE) AS sxz,
+             CAST(sum(x * y) AS DOUBLE) AS sxy,
+             CAST(sum(z * y) AS DOUBLE) AS szy
+      FROM p
+    ),
+    c AS (
+      SELECT sx / n AS mx, sz / n AS mz, sy / n AS my,
+             sxx / n - (sx / n) * (sx / n) AS cxx,
+             szz / n - (sz / n) * (sz / n) AS czz,
+             syy / n - (sy / n) * (sy / n) AS cyy,
+             sxz / n - (sx / n) * (sz / n) AS cxz,
+             sxy / n - (sx / n) * (sy / n) AS cxy,
+             szy / n - (sz / n) * (sy / n) AS czy
+      FROM g
+    ),
+    iv AS (
+      SELECT mx, mz, my,
+             (czz * cyy - czy * czy) / det AS a11,
+             (cxx * cyy - cxy * cxy) / det AS a22,
+             (cxx * czz - cxz * cxz) / det AS a33,
+             -(cxz * cyy - czy * cxy) / det AS a12,
+             (cxz * czy - czz * cxy) / det AS a13,
+             -(cxx * czy - cxz * cxy) / det AS a23
+      FROM (
+        SELECT *,
+               cxx * (czz * cyy - czy * czy)
+               - cxz * (cxz * cyy - czy * cxy)
+               + cxy * (cxz * czy - czz * cxy) AS det
+        FROM c
+      )
+    )
+    SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+           round(a11 * ((x - mx) * (x - mx))
+                 + a22 * ((z - mz) * (z - mz))
+                 + a33 * ((y - my) * (y - my))
+                 + 2.0 * a12 * ((x - mx) * (z - mz))
+                 + 2.0 * a13 * ((x - mx) * (y - my))
+                 + 2.0 * a23 * ((z - mz) * (y - my)), 6)
+               AS mahalanobis_d2
+    FROM p, iv
+    ORDER BY mahalanobis_d2 DESC, l_orderkey, l_linenumber
+    LIMIT 20
+"""
