@@ -21563,3 +21563,280 @@ ORACLE_SQL["q_lineitem_mahalanobis_outliers"] = """
     ORDER BY mahalanobis_d2 DESC, l_orderkey, l_linenumber
     LIMIT 20
 """
+
+
+def q_customer_k_anonymity(sf_dir: str):
+    """k-anonymity audit of the customer table under the quasi-identifier
+    (nation, market segment, balance decile): the smallest equivalence
+    class, how many classes and customers fall below k=5, and the risky
+    share — the privacy gate run before releasing a "pseudonymized"
+    extract.  Decile edges are exact global quantiles; class sizes are
+    one combiner; the histogram fold is exact integers."""
+    from ..stages.agg import grouped_agg, grouped_map, round_like_duckdb
+    from ..stages.sort import global_exact_quantiles
+
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal"])
+    qs = global_exact_quantiles(
+        cust, "c_acctbal",
+        [(f"q{i}", i / 10.0) for i in range(1, 10)], round_to=6)
+    edges = np.array([qs[f"q{i}"] for i in range(1, 10)])
+
+    def cls(b: pa.Table) -> pa.Table:
+        bal = b.column("c_acctbal").to_numpy(zero_copy_only=False)
+        dec = np.searchsorted(edges, bal, side="left")
+        return pa.table({
+            "nat": b.column("c_nationkey"),
+            "seg": b.column("c_mktsegment"),
+            "dec": pa.array(dec.astype(np.int64)),
+        })
+
+    g = grouped_agg(cust.map_batches(cls, batch_format="pyarrow"),
+                    ["nat", "seg", "dec"], [("n", "nat", "count")],
+                    sum_as_float=False)
+
+    def fold(b: pa.Table) -> pa.Table:
+        n = pc.cast(b.column("n"), pa.int64())
+        lt5 = pc.cast(pc.less(n, pa.scalar(5, pa.int64())), pa.int64())
+        return _add_g(pa.table({
+            "n": n, "lt5": lt5,
+            "cust_lt5": pc.multiply(lt5, n),
+        }))
+
+    t = grouped_agg(g.map_batches(fold, batch_format="pyarrow"), ["__g"],
+                    [("n_classes", "n", "count"), ("min_n", "n", "min"),
+                     ("classes_lt5", "lt5", "sum"),
+                     ("cust_lt5", "cust_lt5", "sum"),
+                     ("total", "n", "sum")], sum_as_float=False)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "n_classes": pa.array([], pa.int64()),
+            "min_class_size": pa.array([], pa.int64()),
+            "classes_below_k5": pa.array([], pa.int64()),
+            "customers_below_k5": pa.array([], pa.int64()),
+            "risky_share": pa.array([], pa.float64()),
+        })
+        if t.num_rows == 0:
+            return empty
+        r = t.to_pylist()[0]
+        total = int(r["total"])
+        out = pa.table({
+            "n_classes": pa.array([int(r["n_classes"])], pa.int64()),
+            "min_class_size": pa.array([int(r["min_n"])], pa.int64()),
+            "classes_below_k5": pa.array([int(r["classes_lt5"])],
+                                         pa.int64()),
+            "customers_below_k5": pa.array([int(r["cust_lt5"])],
+                                           pa.int64()),
+            "risky_share": pa.array(
+                [int(r["cust_lt5"]) * 1.0 / total if total else None],
+                pa.float64()),
+        })
+        idx = out.column_names.index("risky_share")
+        return out.set_column(
+            idx, "risky_share",
+            round_like_duckdb(out.column("risky_share"), 6))
+
+    out = grouped_map(t, "__g", finalize, per_group=False)
+    return out.map_batches(
+        lambda b: b.select(["n_classes", "min_class_size",
+                            "classes_below_k5", "customers_below_k5",
+                            "risky_share"]),
+        batch_format="pyarrow")
+
+
+QUERIES["q_customer_k_anonymity"] = q_customer_k_anonymity
+ORACLE_SQL["q_customer_k_anonymity"] = """
+    WITH e AS (
+      SELECT round(quantile_cont(c_acctbal, 0.1), 6) AS q1,
+             round(quantile_cont(c_acctbal, 0.2), 6) AS q2,
+             round(quantile_cont(c_acctbal, 0.3), 6) AS q3,
+             round(quantile_cont(c_acctbal, 0.4), 6) AS q4,
+             round(quantile_cont(c_acctbal, 0.5), 6) AS q5,
+             round(quantile_cont(c_acctbal, 0.6), 6) AS q6,
+             round(quantile_cont(c_acctbal, 0.7), 6) AS q7,
+             round(quantile_cont(c_acctbal, 0.8), 6) AS q8,
+             round(quantile_cont(c_acctbal, 0.9), 6) AS q9
+      FROM customer
+    ),
+    s AS (
+      SELECT c_nationkey AS nat, c_mktsegment AS seg,
+             CASE WHEN c_acctbal > q9 THEN 9 WHEN c_acctbal > q8 THEN 8
+                  WHEN c_acctbal > q7 THEN 7 WHEN c_acctbal > q6 THEN 6
+                  WHEN c_acctbal > q5 THEN 5 WHEN c_acctbal > q4 THEN 4
+                  WHEN c_acctbal > q3 THEN 3 WHEN c_acctbal > q2 THEN 2
+                  WHEN c_acctbal > q1 THEN 1 ELSE 0 END AS dec
+      FROM customer, e
+    ),
+    c AS (SELECT nat, seg, dec, count(*) AS n FROM s GROUP BY 1, 2, 3)
+    SELECT CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(min(n) AS BIGINT) AS min_class_size,
+           CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS classes_below_k5,
+           CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+               AS customers_below_k5,
+           round(sum(CASE WHEN n < 5 THEN n ELSE 0 END) * 1.0 / sum(n),
+                 6) AS risky_share
+    FROM c
+"""
+
+
+def q_customer_l_diversity(sf_dir: str):
+    """l-diversity audit: within each (nation, segment) equivalence
+    class, how many DISTINCT order priorities do its customers exhibit —
+    min l, the count of l=1 classes (sensitive value fully determined by
+    the quasi-identifier), and the mean l.  Composable exact
+    count-distinct: one (class, priority) dedup combiner, one per-class
+    count, one integer fold."""
+    from ..stages.agg import grouped_agg, grouped_map, round_like_duckdb
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey", "c_mktsegment"])
+    j = broadcast_join(orders, cust, left_key="o_custkey",
+                       right_key="c_custkey",
+                       columns=["c_nationkey", "c_mktsegment"])
+    trip = grouped_agg(j, ["c_nationkey", "c_mktsegment",
+                           "o_orderpriority"],
+                       [("__n", "o_custkey", "count")])
+    l_per = grouped_agg(trip, ["c_nationkey", "c_mktsegment"],
+                        [("l", "o_orderpriority", "count")],
+                        sum_as_float=False)
+
+    def fold(b: pa.Table) -> pa.Table:
+        l = pc.cast(b.column("l"), pa.int64())
+        return _add_g(pa.table({
+            "l": l,
+            "l1": pc.cast(pc.equal(l, pa.scalar(1, pa.int64())),
+                          pa.int64()),
+        }))
+
+    t = grouped_agg(l_per.map_batches(fold, batch_format="pyarrow"),
+                    ["__g"], [("n_classes", "l", "count"),
+                              ("min_l", "l", "min"),
+                              ("classes_l1", "l1", "sum"),
+                              ("sum_l", "l", "sum")], sum_as_float=False)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "n_classes": pa.array([], pa.int64()),
+            "min_l": pa.array([], pa.int64()),
+            "classes_l1": pa.array([], pa.int64()),
+            "mean_l": pa.array([], pa.float64()),
+        })
+        if t.num_rows == 0:
+            return empty
+        r = t.to_pylist()[0]
+        nc = int(r["n_classes"])
+        out = pa.table({
+            "n_classes": pa.array([nc], pa.int64()),
+            "min_l": pa.array([int(r["min_l"])], pa.int64()),
+            "classes_l1": pa.array([int(r["classes_l1"])], pa.int64()),
+            "mean_l": pa.array([int(r["sum_l"]) * 1.0 / nc if nc
+                                else None], pa.float64()),
+        })
+        idx = out.column_names.index("mean_l")
+        return out.set_column(idx, "mean_l",
+                              round_like_duckdb(out.column("mean_l"), 6))
+
+    out = grouped_map(t, "__g", finalize, per_group=False)
+    return out.map_batches(
+        lambda b: b.select(["n_classes", "min_l", "classes_l1",
+                            "mean_l"]),
+        batch_format="pyarrow")
+
+
+QUERIES["q_customer_l_diversity"] = q_customer_l_diversity
+ORACLE_SQL["q_customer_l_diversity"] = """
+    WITH j AS (
+      SELECT c_nationkey AS nat, c_mktsegment AS seg, o_orderpriority
+      FROM orders JOIN customer ON c_custkey = o_custkey
+    ),
+    l AS (
+      SELECT nat, seg, count(DISTINCT o_orderpriority) AS l
+      FROM j GROUP BY 1, 2
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(min(l) AS BIGINT) AS min_l,
+           CAST(sum(CASE WHEN l = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS classes_l1,
+           round(sum(l) * 1.0 / count(*), 6) AS mean_l
+    FROM l
+"""
+
+
+def q_doc_simpson_vocab_diversity(sf_dir: str):
+    """Simpson's diversity index of the vocabulary per language:
+    D = 1 − Σ n_w(n_w−1)/(N(N−1)), the probability two random tokens
+    differ — the concentration-robust companion to type-token ratio
+    (TTR rewards rare-word padding; Simpson penalizes one word
+    dominating).  Per-(lang, word) counts fold in one combiner; D is an
+    exact-integer tree."""
+    from ..stages.agg import grouped_agg, round_like_duckdb
+
+    docs = _read(sf_dir, "documents", ["lang", "text"])
+
+    def words(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b.column("text"), pattern=" ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        langs = b.column("lang").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "lang": pa.array(np.repeat(langs, lens), pa.string()),
+            "word": pc.list_flatten(toks),
+        })
+
+    c = grouped_agg(docs.map_batches(words, batch_format="pyarrow"),
+                    ["lang", "word"], [("n", "word", "count")],
+                    sum_as_float=False)
+
+    def fold(b: pa.Table) -> pa.Table:
+        n = pc.cast(b.column("n"), pa.int64())
+        return pa.table({
+            "lang": b.column("lang"),
+            "n": n,
+            "nn1": pc.multiply(n, pc.subtract(n, pa.scalar(
+                1, pa.int64()))),
+        })
+
+    g = grouped_agg(c.map_batches(fold, batch_format="pyarrow"), ["lang"],
+                    [("vocab", "n", "count"), ("tok", "n", "sum"),
+                     ("s2", "nn1", "sum")], sum_as_float=False)
+
+    def finalize(b: pa.Table) -> pa.Table:
+        tok = pc.cast(b.column("tok"), pa.float64())
+        s2 = pc.cast(b.column("s2"), pa.float64())
+        d = pc.subtract(
+            pa.scalar(1.0, pa.float64()),
+            pc.divide(s2, pc.multiply(
+                tok, pc.subtract(tok, pa.scalar(1.0, pa.float64())))))
+        return pa.table({
+            "lang": b.column("lang"),
+            "n_tokens": pc.cast(b.column("tok"), pa.int64()),
+            "vocab_size": pc.cast(b.column("vocab"), pa.int64()),
+            "simpson_diversity": round_like_duckdb(d, 6),
+        })
+
+    return g.map_batches(finalize, batch_format="pyarrow")
+
+
+QUERIES["q_doc_simpson_vocab_diversity"] = q_doc_simpson_vocab_diversity
+ORACLE_SQL["q_doc_simpson_vocab_diversity"] = """
+    WITH c AS (
+      SELECT lang, w AS word, count(*) AS n
+      FROM (SELECT lang, unnest(string_split(text, ' ')) AS w
+            FROM documents)
+      GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT lang, count(*) AS vocab, sum(n) AS tok,
+             sum(n * (n - 1)) AS s2
+      FROM c GROUP BY 1
+    )
+    SELECT lang, CAST(tok AS BIGINT) AS n_tokens,
+           CAST(vocab AS BIGINT) AS vocab_size,
+           round(1.0 - s2 * 1.0 / (tok * 1.0 * (tok * 1.0 - 1.0)), 6)
+               AS simpson_diversity
+    FROM g
+"""
