@@ -21840,3 +21840,199 @@ ORACLE_SQL["q_doc_simpson_vocab_diversity"] = """
                AS simpson_diversity
     FROM g
 """
+
+
+def q_daily_revenue_changepoint(sf_dir: str):
+    """Single change-point locator on daily revenue: the day where the
+    CUSUM of mean-deviations peaks in absolute value, with the
+    standardized statistic max|S_t|/(σ√n) — the level-shift detector run
+    before trusting any trend estimate.  The cumulative deviation is one
+    sequential pass over the tiny exact-cents daily table, identical op
+    order on both sides, so the located day and statistic are
+    deterministic."""
+    from ..stages.agg import grouped_map, round_like_duckdb
+
+    daily = _daily_order_revenue_cents(sf_dir)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "change_day": pa.array([], pa.int64()),
+            "cusum_stat": pa.array([], pa.float64()),
+        })
+        if t.num_rows < 3:
+            return empty
+        t = t.sort_by([("day", "ascending")])
+        day = t.column("day").to_numpy(zero_copy_only=False)
+        c = t.column("c").to_numpy(zero_copy_only=False).astype(np.float64)
+        n = float(len(c))
+        mu = c.sum() / n
+        e = c - mu
+        s = np.cumsum(e)
+        a = np.abs(s)
+        var = (e * e).sum() / n
+        if var <= 0.0:
+            return empty
+        i = int(np.argmax(a))  # first max == smallest day on ties
+        stat = float(a[i] / (np.sqrt(var) * np.sqrt(n)))
+        out = pa.table({
+            "change_day": pa.array([int(day[i])], pa.int64()),
+            "cusum_stat": pa.array([stat], pa.float64()),
+        })
+        idx = out.column_names.index("cusum_stat")
+        return out.set_column(
+            idx, "cusum_stat",
+            round_like_duckdb(out.column("cusum_stat"), 6))
+
+    out = grouped_map(daily.map_batches(_add_g, batch_format="pyarrow"),
+                      "__g", finalize, per_group=False)
+    return out.map_batches(
+        lambda b: b.select(["change_day", "cusum_stat"]),
+        batch_format="pyarrow")
+
+
+QUERIES["q_daily_revenue_changepoint"] = q_daily_revenue_changepoint
+ORACLE_SQL["q_daily_revenue_changepoint"] = """
+    WITH d AS (
+      SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day,
+             sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS c
+      FROM orders GROUP BY 1
+    ),
+    m AS (
+      SELECT sum(c) / count(*) AS mu, count(*) * 1.0 AS n FROM d
+    ),
+    e AS (SELECT day, c - mu AS e, n FROM d, m),
+    v AS (SELECT sum(e * e) / any_value(n) AS var FROM e),
+    cd AS (
+      SELECT day, sum(e) OVER (ORDER BY day) AS s, n
+      FROM e
+    )
+    SELECT day AS change_day,
+           round(abs(s) / (sqrt(var) * sqrt(n)), 6) AS cusum_stat
+    FROM cd, v
+    ORDER BY abs(s) DESC, day
+    LIMIT 1
+"""
+
+
+def q_user_activity_gini(sf_dir: str):
+    """Gini coefficient of per-user event counts — "is engagement spread
+    or carried by a heavy-user elite?", the single-number companion to
+    the whale curve (q_user_value_concentration).  Per-user counts are
+    one keyed combiner; the coefficient rides the segmented rank-formula
+    Gini kernel (tie-order invariant)."""
+    from ..stages.agg import grouped_agg, grouped_gini
+
+    ev = _read(sf_dir, "events", ["user_id"])
+    counts = grouped_agg(ev, ["user_id"], [("n", "user_id", "count")],
+                         sum_as_float=False)
+    g = counts.map_batches(
+        lambda b: _add_g(pa.table({
+            "n": pc.cast(b.column("n"), pa.int64())})),
+        batch_format="pyarrow")
+    out = grouped_gini(g, ["__g"], "n", out_name="gini", round_to=6)
+    return out.map_batches(lambda b: b.select(["gini"]),
+                           batch_format="pyarrow")
+
+
+QUERIES["q_user_activity_gini"] = q_user_activity_gini
+ORACLE_SQL["q_user_activity_gini"] = """
+    WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+    r AS (
+      SELECT n * 1.0 AS x,
+             row_number() OVER (ORDER BY n) AS i,
+             count(*) OVER () AS cnt
+      FROM c
+    )
+    SELECT round(2.0 * sum(i * x) / (any_value(cnt) * sum(x))
+                 - (any_value(cnt) + 1.0) / any_value(cnt), 6) AS gini
+    FROM r
+"""
+
+
+def q_part_type_supplier_hhi(sf_dir: str):
+    """Supply-concentration HHI per part type: Σ (supplier revenue
+    share)² within each type, plus the effective number of suppliers
+    1/HHI — the sourcing-risk screen ("is this category single-source?")
+    on exact integer cents.  One (type, supplier) combiner, one
+    broadcast of type totals, one share fold."""
+    from ..stages.agg import grouped_agg, round_like_duckdb
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_suppkey", "l_extendedprice"])
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"])
+    j = broadcast_join(li, part, left_key="l_partkey",
+                       right_key="p_partkey", columns=["p_type"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "p_type": b.column("p_type"),
+            "l_suppkey": b.column("l_suppkey"),
+            "c": pc.cast(pc.round(pc.multiply(
+                b.column("l_extendedprice"),
+                pa.scalar(100.0, pa.float64()))), pa.int64()),
+        })
+
+    ts = grouped_agg(j.map_batches(cents, batch_format="pyarrow"),
+                     ["p_type", "l_suppkey"], [("c", "c", "sum")],
+                     sum_as_float=False).materialize()
+    tot = grouped_agg(ts, ["p_type"], [("tot", "c", "sum"),
+                                       ("n_supp", "c", "count")],
+                      sum_as_float=False)
+    jj = broadcast_join(ts, tot, left_key="p_type", right_key="p_type",
+                        columns=["tot"])
+
+    def share(b: pa.Table) -> pa.Table:
+        s = pc.divide(pc.cast(b.column("c"), pa.float64()),
+                      pc.cast(b.column("tot"), pa.float64()))
+        return pa.table({
+            "p_type": b.column("p_type"),
+            "s2": pc.multiply(s, s),
+        })
+
+    h = grouped_agg(jj.map_batches(share, batch_format="pyarrow"),
+                    ["p_type"], [("hhi", "s2", "sum")])
+    counts = tot.map_batches(
+        lambda b: pa.table({"p_type": b.column("p_type"),
+                            "n_suppliers": pc.cast(b.column("n_supp"),
+                                                   pa.int64())}),
+        batch_format="pyarrow")
+    out = broadcast_join(h, counts, left_key="p_type",
+                         right_key="p_type", columns=["n_suppliers"])
+
+    def finalize(b: pa.Table) -> pa.Table:
+        hhi = b.column("hhi")
+        return pa.table({
+            "p_type": b.column("p_type"),
+            "n_suppliers": b.column("n_suppliers"),
+            "hhi": round_like_duckdb(hhi, 6),
+            "effective_suppliers": round_like_duckdb(
+                pc.divide(pa.scalar(1.0, pa.float64()), hhi), 6),
+        })
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
+QUERIES["q_part_type_supplier_hhi"] = q_part_type_supplier_hhi
+ORACLE_SQL["q_part_type_supplier_hhi"] = """
+    WITH ts AS (
+      SELECT p_type, l_suppkey,
+             sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS c
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT p_type, sum(c) AS tot, count(*) AS n_supp
+      FROM ts GROUP BY 1
+    ),
+    h AS (
+      SELECT ts.p_type,
+             sum((ts.c * 1.0 / t.tot) * (ts.c * 1.0 / t.tot)) AS hhi,
+             any_value(t.n_supp) AS n_supp
+      FROM ts JOIN t ON t.p_type = ts.p_type
+      GROUP BY 1
+    )
+    SELECT p_type, CAST(n_supp AS BIGINT) AS n_suppliers,
+           round(hhi, 6) AS hhi,
+           round(1.0 / hhi, 6) AS effective_suppliers
+    FROM h
+"""
