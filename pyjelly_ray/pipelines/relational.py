@@ -22036,3 +22036,226 @@ ORACLE_SQL["q_part_type_supplier_hhi"] = """
            round(1.0 / hhi, 6) AS effective_suppliers
     FROM h
 """
+
+
+def q_weekly_dow_page_trend(sf_dir: str):
+    """Page's L trend test: does revenue rise monotonically across the
+    week (Mon→Sun), treating each complete week as a repeated-measures
+    block?  The ordered-alternative refinement of Friedman — L = Σ
+    dow·R_dow over within-week ranks, with Page's (1963) normal
+    approximation z = (L−n·k(k+1)²/4)/√(n·k²(k+1)²(k−1)/144).  One
+    combiner to the exact-cents daily table; ranks are assigned inside
+    each week's co-partition run (complete weeks only)."""
+    from ..stages.agg import _key_run_bounds, grouped_agg, grouped_map, \
+        round_like_duckdb
+
+    daily = _daily_order_revenue_cents(sf_dir)
+
+    def wk(b: pa.Table) -> pa.Table:
+        a = pc.add(b.column("day"), pa.scalar(3, pa.int64()))
+        seven = pa.scalar(7, pa.int64())
+        week = pc.divide(a, seven)
+        dow = pc.add(pc.subtract(a, pc.multiply(week, seven)),
+                     pa.scalar(1, pa.int64()))
+        return pa.table({"week": week, "dow": dow, "c": b.column("c")})
+
+    d = daily.map_batches(wk, batch_format="pyarrow")
+
+    empty = pa.table({"dow": pa.array([], pa.int64()),
+                      "fr": pa.array([], pa.float64())})
+
+    def rank_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        t = t.sort_by([("week", "ascending"), ("c", "ascending")])
+        bounds = _key_run_bounds(t, ["week"])
+        sizes = np.diff(bounds)
+        c = t.column("c").to_numpy(zero_copy_only=False)
+        fr = np.empty(t.num_rows, np.float64)
+        for ri in range(len(sizes)):
+            s0, e0 = int(bounds[ri]), int(bounds[ri + 1])
+            vv = c[s0:e0]
+            lo = np.searchsorted(vv, vv, side="left")
+            hi = np.searchsorted(vv, vv, side="right")
+            fr[s0:e0] = lo + 1.0 + (hi - lo - 1.0) / 2.0
+        keep = np.repeat(sizes == 7, sizes)
+        return pa.table({
+            "dow": t.column("dow").filter(pa.array(keep)),
+            "fr": pa.array(fr[keep], pa.float64()),
+        })
+
+    ranked = grouped_map(d, "week", rank_part, per_group=False,
+                         empty_schema=pa.table({
+                             "week": pa.array([], pa.int64()),
+                             "dow": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())}))
+    rj = grouped_agg(ranked, ["dow"], [("rj", "fr", "sum"),
+                                       ("nw", "fr", "count")])
+
+    def finalize(t: pa.Table) -> pa.Table:
+        empty_out = pa.table({
+            "n_weeks": pa.array([], pa.int64()),
+            "l_stat": pa.array([], pa.float64()),
+            "z": pa.array([], pa.float64()),
+        })
+        if t.num_columns == 0 or t.num_rows < 7:
+            return empty_out
+        dow = t.column("dow").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        rjs = t.column("rj").to_numpy(zero_copy_only=False)
+        n = float(t.column("nw").to_numpy(zero_copy_only=False).max())
+        k = 7.0
+        if n == 0.0:
+            return empty_out
+        L = float((dow * rjs).sum())
+        mu = n * k * (k + 1.0) * (k + 1.0) / 4.0
+        var = (n * k * k * (k + 1.0) * (k + 1.0) * (k - 1.0)) / 144.0
+        z = (L - mu) / np.sqrt(var)
+        out = pa.table({
+            "n_weeks": pa.array([int(n)], pa.int64()),
+            "l_stat": pa.array([L], pa.float64()),
+            "z": pa.array([float(z)], pa.float64()),
+        })
+        for name in ("l_stat", "z"):
+            idx = out.column_names.index(name)
+            out = out.set_column(
+                idx, name, round_like_duckdb(out.column(name), 6))
+        return out
+
+    # the 7-row aggregate folds driver-side and returns the Arrow table
+    # itself: an all-empty Ray dataset would drop the typed schema that
+    # the sf0.001 "no complete weeks" case still needs to present
+    return finalize(_to_table(rj))
+
+
+QUERIES["q_weekly_dow_page_trend"] = q_weekly_dow_page_trend
+ORACLE_SQL["q_weekly_dow_page_trend"] = """
+    WITH d AS (
+      SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day,
+             sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS c
+      FROM orders GROUP BY 1
+    ),
+    w AS (
+      SELECT (day + 3) // 7 AS week, (day + 3) % 7 + 1 AS dow, c
+      FROM d
+    ),
+    fw AS (SELECT week FROM w GROUP BY week HAVING count(*) = 7),
+    r AS (
+      SELECT dow,
+             rank() OVER (PARTITION BY week ORDER BY c)
+                 + (count(*) OVER (PARTITION BY week, c) - 1) / 2.0
+                 AS fr
+      FROM w WHERE week IN (SELECT week FROM fw)
+    ),
+    rj AS (SELECT dow, sum(fr) AS rj FROM r GROUP BY 1),
+    n AS (SELECT count(*) * 1.0 AS n FROM fw)
+    SELECT CAST(n AS BIGINT) AS n_weeks,
+           round(sum(dow * rj), 6) AS l_stat,
+           round((sum(dow * rj) - n * 7.0 * 64.0 / 4.0)
+                 / sqrt(n * 49.0 * 64.0 * 6.0 / 144.0), 6) AS z
+    FROM rj, n
+    GROUP BY n
+"""
+
+
+def q_user_lifetime_km_ci(sf_dir: str):
+    """Kaplan-Meier curve with Greenwood 95% confidence bands:
+    Var Ŝ(t) = Ŝ²·Σ_{tᵢ≤t} dᵢ/(nᵢ(nᵢ−dᵢ)) — the uncertainty the bare
+    curve (q_user_lifetime_km) hides, clipped to [0,1].  The Greenwood
+    sum is just ONE MORE inclusive prefix sum riding the same
+    `range_sort` machinery as the survival product."""
+    from ..stages.agg import round_like_duckdb
+    from ..stages.sort import global_prefix_sums
+
+    s, total = _user_lifetime_death_table(sf_dir)
+
+    def factor(b: pa.Table) -> pa.Table:
+        d = pc.cast(b.column("d_events"), pa.float64())
+        n = pc.subtract(pa.scalar(total, pa.float64()),
+                        b.column("__before"))
+        f = pc.subtract(pa.scalar(1.0, pa.float64()), pc.divide(d, n))
+        lnf = pc.if_else(pc.greater(f, pa.scalar(0.0, pa.float64())),
+                         pc.ln(pc.max_element_wise(
+                             f, pa.scalar(1e-300, pa.float64()))),
+                         pa.scalar(0.0, pa.float64()))
+        nd = pc.subtract(n, d)
+        gw = pc.if_else(pc.greater(nd, pa.scalar(0.0, pa.float64())),
+                        pc.divide(d, pc.multiply(n, nd)),
+                        pa.scalar(0.0, pa.float64()))
+        return pa.table({
+            "days": b.column("days"),
+            "__f": f, "__lnf": lnf, "__gw": gw,
+        })
+
+    s2 = s.map_batches(factor, batch_format="pyarrow")
+    s2 = global_prefix_sums(s2, "__lnf", out_name="__lnsum",
+                            exclusive=False)
+    s2 = global_prefix_sums(s2, "__gw", out_name="__gwsum",
+                            exclusive=False)
+
+    def finalize(b: pa.Table) -> pa.Table:
+        surv = pc.if_else(
+            pc.equal(b.column("__f"), pa.scalar(0.0, pa.float64())),
+            pa.scalar(0.0, pa.float64()),
+            pc.exp(b.column("__lnsum")))
+        se = pc.multiply(surv, pc.sqrt(b.column("__gwsum")))
+        margin = pc.multiply(pa.scalar(1.96, pa.float64()), se)
+        lo = pc.max_element_wise(pc.subtract(surv, margin),
+                                 pa.scalar(0.0, pa.float64()))
+        hi = pc.min_element_wise(pc.add(surv, margin),
+                                 pa.scalar(1.0, pa.float64()))
+        return pa.table({
+            "days": b.column("days"),
+            "survival": round_like_duckdb(surv, 6),
+            "se": round_like_duckdb(se, 6),
+            "ci_lo": round_like_duckdb(lo, 6),
+            "ci_hi": round_like_duckdb(hi, 6),
+        })
+
+    return s2.map_batches(finalize, batch_format="pyarrow")
+
+
+QUERIES["q_user_lifetime_km_ci"] = q_user_lifetime_km_ci
+ORACLE_SQL["q_user_lifetime_km_ci"] = """
+    WITH l AS (
+        SELECT user_id,
+               CAST((epoch_us(max(ts)) - epoch_us(min(ts)))
+                    // 86400000000 AS BIGINT) AS days
+        FROM events GROUP BY user_id
+    ),
+    t AS (SELECT count(*) * 1.0 AS total FROM l),
+    d AS (SELECT days, count(*) AS d_events FROM l GROUP BY days),
+    c AS (
+        SELECT days, d_events,
+               (SELECT total FROM t)
+                   - coalesce(sum(d_events) OVER (ORDER BY days
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS n
+        FROM d
+    ),
+    f AS (
+        SELECT days, d_events, n,
+               1.0 - d_events * 1.0 / n AS f,
+               CASE WHEN n - d_events > 0
+                    THEN d_events / (n * (n - d_events))
+                    ELSE 0.0 END AS gw
+        FROM c
+    ),
+    s AS (
+        SELECT days,
+               CASE WHEN f = 0 THEN 0.0
+                    ELSE exp(sum(CASE WHEN f > 0 THEN ln(f) ELSE 0 END)
+                             OVER (ORDER BY days))
+               END AS surv,
+               sum(gw) OVER (ORDER BY days) AS gwsum
+        FROM f
+    )
+    SELECT days,
+           round(surv, 6) AS survival,
+           round(surv * sqrt(gwsum), 6) AS se,
+           round(greatest(surv - 1.96 * (surv * sqrt(gwsum)), 0.0), 6)
+               AS ci_lo,
+           round(least(surv + 1.96 * (surv * sqrt(gwsum)), 1.0), 6)
+               AS ci_hi
+    FROM s
+"""
