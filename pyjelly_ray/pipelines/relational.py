@@ -22259,3 +22259,154 @@ ORACLE_SQL["q_user_lifetime_km_ci"] = """
                AS ci_hi
     FROM s
 """
+
+
+def q_priority_value_jonckheere(sf_dir: str):
+    """Jonckheere-Terpstra ordered-alternative test: do order values
+    trend monotonically with priority level (1-URGENT … 5-LOW)?  J sums
+    the between-group Mann-Whitney counts for every ordered pair g<h —
+    strictly more powerful than Kruskal-Wallis when the alternative is
+    ordered.  NEVER forms pairs: one per-distinct-value pivot (5 level
+    counts per value row), a `range_sort` + 5 exclusive prefix sums, and
+    2J folds per row as Σ_{g<h} 2·n_h·C_g + n_g·n_h (ties at the same
+    value count ½) — all exact int64.  z uses the standard no-tie normal
+    approximation (ties here are same-cent collisions only)."""
+    from ..stages.agg import grouped_agg, grouped_map, round_like_duckdb
+    from ..stages.sort import global_prefix_sums, range_sort
+
+    ords = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        v = pc.cast(pc.round(pc.multiply(
+            b.column("o_totalprice"), pa.scalar(100.0, pa.float64()))),
+            pa.int64())
+        pr = b.column("o_orderpriority").to_numpy(zero_copy_only=False)
+        lvl = np.array([int(p.split("-")[0]) for p in pr], np.int64)
+        cols = {"v": v}
+        for g in range(1, 6):
+            cols[f"i{g}"] = pa.array((lvl == g).astype(np.int64))
+        return pa.table(cols)
+
+    piv = grouped_agg(ords.map_batches(prep, batch_format="pyarrow"),
+                      ["v"], [(f"n{g}", f"i{g}", "sum")
+                              for g in range(1, 6)],
+                      sum_as_float=False)
+    s = range_sort(piv, "v")
+    for g in range(1, 6):
+        s = global_prefix_sums(s, f"n{g}", out_name=f"__c{g}",
+                               exclusive=True)
+
+    def contrib(b: pa.Table) -> pa.Table:
+        n = [b.column(f"n{g}").to_numpy(zero_copy_only=False).astype(
+            np.int64) for g in range(1, 6)]
+        c = [b.column(f"__c{g}").to_numpy(zero_copy_only=False).astype(
+            np.int64) for g in range(1, 6)]
+        two_j = np.zeros(b.num_rows, np.int64)
+        for g in range(5):
+            for h in range(g + 1, 5):
+                two_j += 2 * n[h] * c[g] + n[g] * n[h]
+        cols = {"two_j": pa.array(two_j, pa.int64())}
+        for g in range(1, 6):
+            cols[f"n{g}"] = b.column(f"n{g}")
+        return _add_g(pa.table(cols))
+
+    t = grouped_agg(s.map_batches(contrib, batch_format="pyarrow"),
+                    ["__g"],
+                    [("two_j", "two_j", "sum")]
+                    + [(f"n{g}", f"n{g}", "sum") for g in range(1, 6)],
+                    sum_as_float=False)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "n_orders": pa.array([], pa.int64()),
+            "j_stat": pa.array([], pa.float64()),
+            "z": pa.array([], pa.float64()),
+        })
+        if t.num_rows == 0 or t.num_columns == 0:
+            return empty
+        r = t.to_pylist()[0]
+        ng = [int(r[f"n{g}"]) for g in range(1, 6)]
+        n_tot = sum(ng)
+        if n_tot < 3:
+            return empty
+        j = float(r["two_j"]) / 2.0
+        mu = (n_tot * n_tot - sum(x * x for x in ng)) / 4.0
+        var = (n_tot * n_tot * (2.0 * n_tot + 3.0)
+               - sum(x * x * (2.0 * x + 3.0) for x in ng)) / 72.0
+        z = (j - mu) / np.sqrt(var) if var > 0.0 else None
+        out = pa.table({
+            "n_orders": pa.array([n_tot], pa.int64()),
+            "j_stat": pa.array([j], pa.float64()),
+            "z": pa.array([z], pa.float64()),
+        })
+        for name in ("j_stat", "z"):
+            idx = out.column_names.index(name)
+            out = out.set_column(
+                idx, name, round_like_duckdb(out.column(name), 6))
+        return out
+
+    return finalize(_to_table(t))
+
+
+QUERIES["q_priority_value_jonckheere"] = q_priority_value_jonckheere
+ORACLE_SQL["q_priority_value_jonckheere"] = """
+    WITH p AS (
+      SELECT CAST(round(o_totalprice * 100.0) AS BIGINT) AS v,
+             CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS lvl
+      FROM orders
+    ),
+    piv AS (
+      SELECT v,
+             sum(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS n1,
+             sum(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS n2,
+             sum(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS n3,
+             sum(CASE WHEN lvl = 4 THEN 1 ELSE 0 END) AS n4,
+             sum(CASE WHEN lvl = 5 THEN 1 ELSE 0 END) AS n5
+      FROM p GROUP BY v
+    ),
+    w AS (
+      SELECT n1, n2, n3, n4, n5,
+             coalesce(sum(n1) OVER pre, 0) AS c1,
+             coalesce(sum(n2) OVER pre, 0) AS c2,
+             coalesce(sum(n3) OVER pre, 0) AS c3,
+             coalesce(sum(n4) OVER pre, 0) AS c4,
+             coalesce(sum(n5) OVER pre, 0) AS c5
+      FROM piv
+      WINDOW pre AS (ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    g AS (
+      SELECT sum(2 * n2 * c1 + n1 * n2
+                 + 2 * n3 * c1 + n1 * n3
+                 + 2 * n4 * c1 + n1 * n4
+                 + 2 * n5 * c1 + n1 * n5
+                 + 2 * n3 * c2 + n2 * n3
+                 + 2 * n4 * c2 + n2 * n4
+                 + 2 * n5 * c2 + n2 * n5
+                 + 2 * n4 * c3 + n3 * n4
+                 + 2 * n5 * c3 + n3 * n5
+                 + 2 * n5 * c4 + n4 * n5) AS two_j,
+             sum(n1) AS n1, sum(n2) AS n2, sum(n3) AS n3,
+             sum(n4) AS n4, sum(n5) AS n5
+      FROM w
+    ),
+    st AS (
+      SELECT two_j / 2.0 AS j,
+             n1 + n2 + n3 + n4 + n5 AS nt,
+             n1, n2, n3, n4, n5
+      FROM g
+    )
+    SELECT CAST(nt AS BIGINT) AS n_orders,
+           round(j, 6) AS j_stat,
+           round((j - (nt * nt
+                       - (n1 * n1 + n2 * n2 + n3 * n3 + n4 * n4
+                          + n5 * n5)) / 4.0)
+                 / sqrt((nt * nt * (2.0 * nt + 3.0)
+                         - (n1 * n1 * (2.0 * n1 + 3.0)
+                            + n2 * n2 * (2.0 * n2 + 3.0)
+                            + n3 * n3 * (2.0 * n3 + 3.0)
+                            + n4 * n4 * (2.0 * n4 + 3.0)
+                            + n5 * n5 * (2.0 * n5 + 3.0))) / 72.0), 6)
+               AS z
+    FROM st
+"""
