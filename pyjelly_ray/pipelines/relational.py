@@ -22410,3 +22410,359 @@ ORACLE_SQL["q_priority_value_jonckheere"] = """
                AS z
     FROM st
 """
+
+
+def _weekend_value_edf_grid(sf_dir: str):
+    """Two-sample EDF grid over exact cent values: one row per distinct
+    event-value cent ``v`` with weekday/weekend counts (``n_wd`` /
+    ``n_we``), globally ``range_sort``-ordered, plus inclusive cumulative
+    counts (``c_wd`` / ``c_we``) — the shared spine of the EDF-distance
+    family (Wasserstein-1, Kolmogorov-Smirnov, Cramér-von Mises,
+    Anderson-Darling).  Raw rows collapse to the distinct-value pivot
+    map-side (one combiner exchange); the CDFs are O(blocks)-driver
+    prefix sums; raw events are touched exactly once.  Returns
+    ``(grid_ds, n_weekday, n_weekend)``."""
+    from ..stages.sort import global_prefix_sums, range_sort
+
+    ev = _read(sf_dir, "events", ["ts", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("value")))
+        day = pc.divide(pc.cast(b.column("ts"), pa.int64()),
+                        pa.scalar(86_400_000_000, pa.int64()))
+        d3 = pc.add(day, pa.scalar(3, pa.int64()))
+        dow = pc.add(pc.subtract(
+            d3, pc.multiply(pc.divide(d3, pa.scalar(7, pa.int64())),
+                            pa.scalar(7, pa.int64()))),
+            pa.scalar(1, pa.int64()))
+        we = pc.greater_equal(dow, pa.scalar(6, pa.int64()))
+        v = pc.cast(pc.round(pc.multiply(
+            b.column("value"), pa.scalar(100.0, pa.float64()))),
+            pa.int64())
+        one = pa.scalar(1, pa.int64())
+        zero = pa.scalar(0, pa.int64())
+        return pa.table({
+            "v": v,
+            "i_wd": pc.if_else(we, zero, one),
+            "i_we": pc.if_else(we, one, zero),
+        })
+
+    piv = grouped_agg(ev.map_batches(prep, batch_format="pyarrow"),
+                      ["v"], [("n_wd", "i_wd", "sum"),
+                              ("n_we", "i_we", "sum")],
+                      sum_as_float=False)
+    s = range_sort(piv, "v")
+    s = global_prefix_sums(s, "n_wd", out_name="c_wd", exclusive=False)
+    s = global_prefix_sums(s, "n_we", out_name="c_we", exclusive=False)
+    tot = _to_table(grouped_agg(
+        s.map_batches(_add_g, batch_format="pyarrow"), ["__g"],
+        [("n1", "n_wd", "sum"), ("n2", "n_we", "sum")],
+        sum_as_float=False))
+    n1 = int(tot.column("n1")[0].as_py()) if tot.num_rows else 0
+    n2 = int(tot.column("n2")[0].as_py()) if tot.num_rows else 0
+    return s, n1, n2
+
+
+# Shared SQL preamble of the EDF-distance family: the same distinct-cent
+# grid + running CDF counts the Ray side builds (c_wd/c_we inclusive).
+_EDF_GRID_SQL = """
+    WITH p AS (
+      SELECT CAST(round(value * 100.0) AS BIGINT) AS v,
+             CASE WHEN (epoch_us(ts) // 86400000000 + 3) % 7 + 1 >= 6
+                  THEN 1 ELSE 0 END AS we
+      FROM events WHERE value IS NOT NULL
+    ),
+    g AS (
+      SELECT v, sum(1 - we) AS n_wd, sum(we) AS n_we FROM p GROUP BY v
+    ),
+    c AS (
+      SELECT v, n_wd, n_we,
+             sum(n_wd) OVER w AS c_wd,
+             sum(n_we) OVER w AS c_we,
+             lead(v) OVER (ORDER BY v) AS v_next
+      FROM g WINDOW w AS (ORDER BY v)
+    ),
+    t AS (
+      SELECT sum(n_wd) * 1.0 AS n1, sum(n_we) * 1.0 AS n2 FROM g
+    )
+"""
+
+
+def q_weekend_value_wasserstein(sf_dir: str):
+    """Exact 1-Wasserstein (earth-mover) distance between the weekday
+    and weekend event-value distributions, in dollars: W₁ = ∫|F_wd −
+    F_we| dx evaluated exactly on the distinct-cent grid as
+    Σᵢ |F_wd(vᵢ) − F_we(vᵢ)|·(vᵢ₊₁ − vᵢ)/100.  Completes the
+    distribution-distance family (Hellinger/JSD bucket into deciles;
+    energy distance sees E|X−Y| moments) with the metric that reads in
+    value UNITS — "the weekend distribution sits $X of mass-transport
+    away".  The neighbor gap comes from the new cross-block
+    `global_shift` lead — no self-join, no window shuffle; CDFs are
+    O(blocks)-driver prefix sums on the shared EDF spine."""
+    from ..stages.agg import round_like_duckdb
+    from ..stages.sort import global_shift
+
+    s, n1, n2 = _weekend_value_edf_grid(sf_dir)
+    empty = pa.table({
+        "n_weekday": pa.array([], pa.int64()),
+        "n_weekend": pa.array([], pa.int64()),
+        "w1": pa.array([], pa.float64()),
+    })
+    if n1 == 0 or n2 == 0:
+        return empty
+    s = global_shift(s, "v", out_name="v_next", lead=True)
+
+    def contrib(b: pa.Table) -> pa.Table:
+        f1 = pc.divide(b.column("c_wd"), pa.scalar(float(n1), pa.float64()))
+        f2 = pc.divide(b.column("c_we"), pa.scalar(float(n2), pa.float64()))
+        d = pc.abs(pc.subtract(f1, f2))
+        gap = pc.cast(pc.subtract(
+            pc.coalesce(b.column("v_next"), b.column("v")),
+            b.column("v")), pa.float64())
+        w = pc.multiply(d, pc.divide(gap, pa.scalar(100.0, pa.float64())))
+        return _add_g(pa.table({"w1p": w}))
+
+    t = _to_table(grouped_agg(
+        s.map_batches(contrib, batch_format="pyarrow"), ["__g"],
+        [("w1", "w1p", "sum")]))
+    if t.num_rows == 0:
+        return empty
+    w1 = float(t.column("w1")[0].as_py())
+    out = pa.table({
+        "n_weekday": pa.array([n1], pa.int64()),
+        "n_weekend": pa.array([n2], pa.int64()),
+        "w1": pa.array([w1], pa.float64()),
+    })
+    return out.set_column(2, "w1", round_like_duckdb(out.column("w1"), 6))
+
+
+QUERIES["q_weekend_value_wasserstein"] = q_weekend_value_wasserstein
+ORACLE_SQL["q_weekend_value_wasserstein"] = _EDF_GRID_SQL + """
+    SELECT CAST((SELECT n1 FROM t) AS BIGINT) AS n_weekday,
+           CAST((SELECT n2 FROM t) AS BIGINT) AS n_weekend,
+           round(sum(abs(c_wd / (SELECT n1 FROM t)
+                         - c_we / (SELECT n2 FROM t))
+                     * (coalesce(v_next, v) - v) / 100.0), 6) AS w1
+    FROM c
+"""
+
+
+def q_weekend_value_ks(sf_dir: str):
+    """Two-sample Kolmogorov-Smirnov test weekday vs weekend event
+    value: D = max|F_wd − F_we| over the pooled support, the value
+    location where the maximum is first attained, and the scaled
+    statistic z = D·√(n₁n₂/(n₁+n₂)).  The deviation is kept as the EXACT
+    integer |c_wd·n₂ − c_we·n₁| (counts cross-multiplied, no float CDF
+    compare), so the max and its argmin-v are bit-exact; two tiny folds
+    over the shared EDF grid — raw events touched once."""
+    from ..stages.agg import round_like_duckdb
+
+    s, n1, n2 = _weekend_value_edf_grid(sf_dir)
+    empty = pa.table({
+        "n_weekday": pa.array([], pa.int64()),
+        "n_weekend": pa.array([], pa.int64()),
+        "ks_d": pa.array([], pa.float64()),
+        "v_at": pa.array([], pa.float64()),
+        "ks_z": pa.array([], pa.float64()),
+    })
+    if n1 == 0 or n2 == 0:
+        return empty
+
+    def dev(b: pa.Table) -> pa.Table:
+        c1 = pc.cast(b.column("c_wd"), pa.int64())
+        c2 = pc.cast(b.column("c_we"), pa.int64())
+        d = pc.abs(pc.subtract(
+            pc.multiply(c1, pa.scalar(n2, pa.int64())),
+            pc.multiply(c2, pa.scalar(n1, pa.int64()))))
+        return _add_g(pa.table({"v": b.column("v"), "d_num": d}))
+
+    grid2 = s.map_batches(dev, batch_format="pyarrow")
+    mx = _to_table(grouped_agg(grid2, ["__g"],
+                               [("max_dnum", "d_num", "max")],
+                               sum_as_float=False))
+    if mx.num_rows == 0:
+        return empty
+    md = int(mx.column("max_dnum")[0].as_py())
+
+    def at_max(b: pa.Table) -> pa.Table:
+        keep = b.filter(pc.equal(b.column("d_num"),
+                                 pa.scalar(md, pa.int64())))
+        return pa.table({"v": keep.column("v"),
+                         "__g": keep.column("__g")})
+
+    loc = _to_table(grouped_agg(
+        grid2.map_batches(at_max, batch_format="pyarrow"), ["__g"],
+        [("v_at", "v", "min")], sum_as_float=False))
+    v_at = float(loc.column("v_at")[0].as_py()) / 100.0
+    ks_d = md / (float(n1) * float(n2))
+    ks_z = ks_d * float(np.sqrt(float(n1) * float(n2) / (n1 + n2)))
+    out = pa.table({
+        "n_weekday": pa.array([n1], pa.int64()),
+        "n_weekend": pa.array([n2], pa.int64()),
+        "ks_d": pa.array([ks_d], pa.float64()),
+        "v_at": pa.array([v_at], pa.float64()),
+        "ks_z": pa.array([ks_z], pa.float64()),
+    })
+    for name in ("ks_d", "v_at", "ks_z"):
+        idx = out.column_names.index(name)
+        out = out.set_column(idx, name,
+                             round_like_duckdb(out.column(name), 6))
+    return out
+
+
+QUERIES["q_weekend_value_ks"] = q_weekend_value_ks
+ORACLE_SQL["q_weekend_value_ks"] = _EDF_GRID_SQL + """,
+    d AS (
+      SELECT v,
+             abs(c_wd * CAST((SELECT n2 FROM t) AS BIGINT)
+                 - c_we * CAST((SELECT n1 FROM t) AS BIGINT)) AS d_num
+      FROM c
+    ),
+    m AS (SELECT max(d_num) AS md FROM d)
+    SELECT CAST((SELECT n1 FROM t) AS BIGINT) AS n_weekday,
+           CAST((SELECT n2 FROM t) AS BIGINT) AS n_weekend,
+           round((SELECT md FROM m)
+                 / ((SELECT n1 FROM t) * (SELECT n2 FROM t)), 6) AS ks_d,
+           round(min(v) / 100.0, 6) AS v_at,
+           round((SELECT md FROM m)
+                 / ((SELECT n1 FROM t) * (SELECT n2 FROM t))
+                 * sqrt((SELECT n1 FROM t) * (SELECT n2 FROM t)
+                        / ((SELECT n1 FROM t) + (SELECT n2 FROM t))), 6)
+               AS ks_z
+    FROM d WHERE d_num = (SELECT md FROM m)
+"""
+
+
+def q_weekend_value_cvm(sf_dir: str):
+    """Two-sample Cramér-von Mises statistic weekday vs weekend event
+    value, tie-adjusted via the pooled EDF: T = (n₁n₂/N²)·Σᵢ cntᵢ·(F_wd(vᵢ)
+    − F_we(vᵢ))², i.e. (n₁n₂/N)·∫(F₁−F₂)² dH_N with H_N the pooled EDF —
+    the L²-norm companion to KS's L∞ (sensitive to distributed
+    differences, not just the single worst point).  One fold over the
+    shared EDF grid."""
+    from ..stages.agg import round_like_duckdb
+
+    s, n1, n2 = _weekend_value_edf_grid(sf_dir)
+    empty = pa.table({
+        "n_weekday": pa.array([], pa.int64()),
+        "n_weekend": pa.array([], pa.int64()),
+        "t_stat": pa.array([], pa.float64()),
+    })
+    if n1 == 0 or n2 == 0:
+        return empty
+    nn = float(n1 + n2)
+
+    def contrib(b: pa.Table) -> pa.Table:
+        f1 = pc.divide(b.column("c_wd"), pa.scalar(float(n1), pa.float64()))
+        f2 = pc.divide(b.column("c_we"), pa.scalar(float(n2), pa.float64()))
+        d = pc.subtract(f1, f2)
+        cnt = pc.cast(pc.add(b.column("n_wd"), b.column("n_we")),
+                      pa.float64())
+        w = pc.multiply(cnt, pc.multiply(d, d))
+        return _add_g(pa.table({"tp": w}))
+
+    t = _to_table(grouped_agg(
+        s.map_batches(contrib, batch_format="pyarrow"), ["__g"],
+        [("tsum", "tp", "sum")]))
+    if t.num_rows == 0:
+        return empty
+    tstat = float(n1) * float(n2) / (nn * nn) * float(
+        t.column("tsum")[0].as_py())
+    out = pa.table({
+        "n_weekday": pa.array([n1], pa.int64()),
+        "n_weekend": pa.array([n2], pa.int64()),
+        "t_stat": pa.array([tstat], pa.float64()),
+    })
+    return out.set_column(2, "t_stat",
+                          round_like_duckdb(out.column("t_stat"), 6))
+
+
+QUERIES["q_weekend_value_cvm"] = q_weekend_value_cvm
+ORACLE_SQL["q_weekend_value_cvm"] = _EDF_GRID_SQL + """
+    SELECT CAST((SELECT n1 FROM t) AS BIGINT) AS n_weekday,
+           CAST((SELECT n2 FROM t) AS BIGINT) AS n_weekend,
+           round((SELECT n1 FROM t) * (SELECT n2 FROM t)
+                 / pow((SELECT n1 FROM t) + (SELECT n2 FROM t), 2)
+                 * sum((n_wd + n_we)
+                       * pow(c_wd / (SELECT n1 FROM t)
+                             - c_we / (SELECT n2 FROM t), 2)), 6)
+               AS t_stat
+    FROM c
+"""
+
+
+def q_weekend_value_anderson_darling(sf_dir: str):
+    """Two-sample Anderson-Darling statistic weekday vs weekend event
+    value (Scholz-Stephens k-sample A²ₖₙ at k=2, tie form over distinct
+    values): A² = Σⱼ (1/nⱼ)·Σ_{i: Cᵢ<N} (cntᵢ/N)·(N·cⱼᵢ − nⱼ·Cᵢ)² /
+    (Cᵢ·(N−Cᵢ)) — the tail-weighted EDF distance (the 1/(C(N−C)) weight
+    blows up at the extremes, where KS and CvM are blind).  One fold
+    over the shared EDF grid; the Cᵢ=N last row drops out exactly as in
+    the textbook definition."""
+    from ..stages.agg import round_like_duckdb
+
+    s, n1, n2 = _weekend_value_edf_grid(sf_dir)
+    empty = pa.table({
+        "n_weekday": pa.array([], pa.int64()),
+        "n_weekend": pa.array([], pa.int64()),
+        "a2_stat": pa.array([], pa.float64()),
+    })
+    if n1 == 0 or n2 == 0:
+        return empty
+    nn = float(n1 + n2)
+
+    def contrib(b: pa.Table) -> pa.Table:
+        c1 = b.column("c_wd").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        c2 = b.column("c_we").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        cnt = (b.column("n_wd").to_numpy(zero_copy_only=False)
+               + b.column("n_we").to_numpy(zero_copy_only=False)).astype(
+            np.float64)
+        big = c1 + c2
+        denom = big * (nn - big)
+        ok = denom > 0.0
+        term = np.zeros(len(c1), np.float64)
+        for nj, cj in ((float(n1), c1), (float(n2), c2)):
+            num = (nn * cj - nj * big) ** 2
+            term[ok] += (cnt[ok] / nn) * num[ok] / denom[ok] / nj
+        return _add_g(pa.table({"ap": pa.array(term, pa.float64())}))
+
+    t = _to_table(grouped_agg(
+        s.map_batches(contrib, batch_format="pyarrow"), ["__g"],
+        [("a2", "ap", "sum")]))
+    if t.num_rows == 0:
+        return empty
+    out = pa.table({
+        "n_weekday": pa.array([n1], pa.int64()),
+        "n_weekend": pa.array([n2], pa.int64()),
+        "a2_stat": pa.array([float(t.column("a2")[0].as_py())],
+                            pa.float64()),
+    })
+    return out.set_column(2, "a2_stat",
+                          round_like_duckdb(out.column("a2_stat"), 6))
+
+
+QUERIES["q_weekend_value_anderson_darling"] = q_weekend_value_anderson_darling
+ORACLE_SQL["q_weekend_value_anderson_darling"] = _EDF_GRID_SQL + """
+    SELECT CAST((SELECT n1 FROM t) AS BIGINT) AS n_weekday,
+           CAST((SELECT n2 FROM t) AS BIGINT) AS n_weekend,
+           round(sum(CASE WHEN (c_wd + c_we)
+                              * ((SELECT n1 FROM t) + (SELECT n2 FROM t)
+                                 - c_wd - c_we) > 0
+                 THEN ((n_wd + n_we)
+                       / ((SELECT n1 FROM t) + (SELECT n2 FROM t)))
+                      * (pow(((SELECT n1 FROM t) + (SELECT n2 FROM t))
+                                 * c_wd
+                             - (SELECT n1 FROM t) * (c_wd + c_we), 2)
+                             / (SELECT n1 FROM t)
+                         + pow(((SELECT n1 FROM t) + (SELECT n2 FROM t))
+                                   * c_we
+                               - (SELECT n2 FROM t) * (c_wd + c_we), 2)
+                             / (SELECT n2 FROM t))
+                      / ((c_wd + c_we)
+                         * ((SELECT n1 FROM t) + (SELECT n2 FROM t)
+                            - c_wd - c_we))
+                 ELSE 0.0 END), 6) AS a2_stat
+    FROM c
+"""

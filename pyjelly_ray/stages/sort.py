@@ -215,6 +215,67 @@ def global_prefix_sums(sorted_ds, col: str, *, out_name: str = "prefix",
     return ray.data.from_arrow_refs(tagged)
 
 
+def global_shift(sorted_ds, col: str, *, out_name: str, lead: bool = True):
+    """Cross-block LEAD/LAG by one row over an already-range-sorted
+    Dataset (block order = global order, :func:`range_sort`'s contract)
+    — the distributed ``lead(col) OVER (ORDER BY …)`` /
+    ``lag(col) OVER (ORDER BY …)`` primitive, without any shuffle or
+    self-join: each block shifts its own column vectorized, and only the
+    boundary row takes the NEIGHBOR block's edge value, fetched as
+    O(blocks) scalars on the driver (same shape as
+    :func:`global_prefix_sums` — blocks never leave the object store).
+    The global first (lag) / last (lead) row gets NULL.  Type-generic:
+    the shifted column keeps ``col``'s Arrow type.  Empty blocks pass
+    through untouched when they carry no schema (Ray Data emits
+    schema-less 0-row blocks) and get an empty typed column otherwise."""
+    import ray
+
+    refs = sorted_ds.to_arrow_refs()
+
+    @ray.remote
+    def edges(t: pa.Table):
+        if col not in t.column_names or t.num_rows == 0:
+            return None, None, 0
+        c = t.column(col)
+        return c[0].as_py(), c[t.num_rows - 1].as_py(), t.num_rows
+
+    info = ray.get([edges.remote(r) for r in refs])
+    neighbor: list[object] = [None] * len(refs)
+    if lead:
+        nxt = None
+        for i in range(len(refs) - 1, -1, -1):
+            neighbor[i] = nxt
+            if info[i][2]:
+                nxt = info[i][0]  # this block's first value
+    else:
+        prev = None
+        for i in range(len(refs)):
+            neighbor[i] = prev
+            if info[i][2]:
+                prev = info[i][1]  # this block's last value
+
+    @ray.remote
+    def shift(t: pa.Table, edge):
+        if col not in t.column_names:
+            return t
+        typ = t.schema.field(col).type
+        if t.num_rows == 0:
+            return t.append_column(out_name, pa.array([], typ))
+        arr = t.column(col).combine_chunks()
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.chunk(0) if arr.num_chunks else pa.array([], typ)
+        edge_arr = pa.array([edge], typ)
+        if lead:
+            shifted = pa.concat_arrays([arr.slice(1), edge_arr])
+        else:
+            shifted = pa.concat_arrays([edge_arr, arr.slice(0, len(arr) - 1)])
+        return t.append_column(out_name, shifted)
+
+    return ray.data.from_arrow_refs(
+        [shift.remote(r, e) for r, e in zip(refs, neighbor)]
+    )
+
+
 def global_exact_quantiles(ds, col: str,
                            quantiles: list[tuple[str, float]], *,
                            round_to: int = 2,

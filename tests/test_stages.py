@@ -2593,6 +2593,31 @@ def test_global_prefix_sums_matches_cumsum(ray_session):
         np.testing.assert_allclose([r["p"] for r in rows], exp, rtol=1e-12)
 
 
+def test_global_shift_matches_numpy_roll(ray_session):
+    """global_shift (cross-block lead/lag by 1) == a driver-side shift of
+    the globally sorted column, NULL at the global edge, type preserved."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from pyjelly_ray.stages.sort import global_shift, range_sort
+
+    rng = np.random.default_rng(5)
+    key = rng.permutation(400).astype(np.int64)
+    t = pa.table({"key": pa.array(key),
+                  "v": pa.array((key * 3 + 1).astype(np.int64))})
+    s = range_sort(ray.data.from_arrow(t).repartition(9), "key")
+    for lead in (True, False):
+        out = global_shift(s, "v", out_name="sh", lead=lead)
+        rows = out.take_all()
+        rows.sort(key=lambda r: r["key"])
+        vv = [r["v"] for r in rows]
+        exp = vv[1:] + [None] if lead else [None] + vv[:-1]
+        got = [r["sh"] for r in rows]
+        assert got == exp
+        assert out.schema().base_schema.field("sh").type == pa.int64()
+
+
 def test_spearman_matches_pandas(ray_session):
     """spearman_corr == pandas corr(method='spearman'), tie-heavy data."""
     import numpy as np
