@@ -22766,3 +22766,344 @@ ORACLE_SQL["q_weekend_value_anderson_darling"] = _EDF_GRID_SQL + """
                  ELSE 0.0 END), 6) AS a2_stat
     FROM c
 """
+
+
+def q_daily_revenue_mann_kendall(sf_dir: str):
+    """Mann-Kendall trend test on daily revenue: S = Σ_{i<j}
+    sign(cⱼ − cᵢ) over the day-sorted exact-cent series, tie-corrected
+    variance Var = [n(n−1)(2n+5) − Σₜ t(t−1)(2t+5)]/18, the
+    continuity-corrected z, and Kendall's τ_b effect size — the
+    distribution-free monotone-trend screen (no linearity or normality
+    assumption, robust to outliers) complementing the parametric DF/OLS
+    trend tools on the same series.  One combiner exchange collapses
+    orders to the ≤calendar-length daily table; S and the tie spectrum
+    are exact integers from a vectorized pairwise sign count in the
+    single-group finalize."""
+    from ..stages.agg import grouped_map, round_like_duckdb
+
+    daily = _daily_order_revenue_cents(sf_dir)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "n_days": pa.array([], pa.int64()),
+            "s_stat": pa.array([], pa.int64()),
+            "tau_b": pa.array([], pa.float64()),
+            "z": pa.array([], pa.float64()),
+        })
+        if t.num_rows < 3:
+            return empty
+        t = t.sort_by([("day", "ascending")])
+        c = t.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(c)
+        diff = np.sign(c[None, :] - c[:, None])
+        s = int(np.triu(diff, 1).sum())
+        _, counts = np.unique(c, return_counts=True)
+        tie = counts[counts > 1].astype(np.float64)
+        var = (n * (n - 1.0) * (2.0 * n + 5.0)
+               - float((tie * (tie - 1.0) * (2.0 * tie + 5.0)).sum())) / 18.0
+        n0 = n * (n - 1.0) / 2.0
+        n1 = float((tie * (tie - 1.0) / 2.0).sum())
+        denom = np.sqrt(n0 * (n0 - n1))  # days are distinct: no x-ties
+        tau_b = s / denom if denom > 0.0 else None
+        if var > 0.0:
+            z = ((s - 1.0) / np.sqrt(var) if s > 0
+                 else (s + 1.0) / np.sqrt(var) if s < 0 else 0.0)
+        else:
+            z = None
+        out = pa.table({
+            "n_days": pa.array([n], pa.int64()),
+            "s_stat": pa.array([s], pa.int64()),
+            "tau_b": pa.array([tau_b], pa.float64()),
+            "z": pa.array([z], pa.float64()),
+        })
+        for name in ("tau_b", "z"):
+            idx = out.column_names.index(name)
+            out = out.set_column(
+                idx, name, round_like_duckdb(out.column(name), 6))
+        return out
+
+    out = grouped_map(daily.map_batches(_add_g, batch_format="pyarrow"),
+                      "__g", finalize, per_group=False)
+    return out.map_batches(
+        lambda b: b.select(["n_days", "s_stat", "tau_b", "z"]),
+        batch_format="pyarrow")
+
+
+QUERIES["q_daily_revenue_mann_kendall"] = q_daily_revenue_mann_kendall
+ORACLE_SQL["q_daily_revenue_mann_kendall"] = """
+    WITH d AS (
+      SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day,
+             sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS c
+      FROM orders GROUP BY 1
+    ),
+    s AS (
+      SELECT sum(CASE WHEN b.c > a.c THEN 1
+                      WHEN b.c < a.c THEN -1 ELSE 0 END) AS s_stat
+      FROM d a JOIN d b ON b.day > a.day
+    ),
+    nn AS (SELECT count(*) * 1.0 AS n FROM d),
+    ties AS (
+      SELECT coalesce(sum(t * (t - 1.0) * (2.0 * t + 5.0)), 0.0) AS tsum,
+             coalesce(sum(t * (t - 1.0) / 2.0), 0.0) AS n1
+      FROM (SELECT count(*) * 1.0 AS t FROM d GROUP BY c HAVING count(*) > 1)
+    ),
+    v AS (
+      SELECT (n * (n - 1.0) * (2.0 * n + 5.0) - tsum) / 18.0 AS var,
+             n * (n - 1.0) / 2.0 AS n0, n1, n
+      FROM nn, ties
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           CAST(s_stat AS BIGINT) AS s_stat,
+           round(s_stat / sqrt(n0 * (n0 - n1)), 6) AS tau_b,
+           round(CASE WHEN var <= 0 THEN NULL
+                      WHEN s_stat > 0 THEN (s_stat - 1.0) / sqrt(var)
+                      WHEN s_stat < 0 THEN (s_stat + 1.0) / sqrt(var)
+                      ELSE 0.0 END, 6) AS z
+    FROM s, v
+"""
+
+
+def q_daily_revenue_theil_sen(sf_dir: str):
+    """Theil-Sen robust trend line of daily revenue: slope = median of
+    all pairwise slopes (cⱼ−cᵢ)/(dayⱼ−dayᵢ) in dollars/day, intercept =
+    median(yᵢ − slope·dayᵢ) — the median-based regression that tolerates
+    up to ~29% outlier days where OLS is dragged arbitrarily far.  The
+    daily table is calendar-bounded, so the O(n²) pairwise slopes happen
+    once in the single-group finalize; raw orders are touched exactly
+    once by the combiner."""
+    from ..stages.agg import grouped_map, round_like_duckdb
+
+    daily = _daily_order_revenue_cents(sf_dir)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "n_days": pa.array([], pa.int64()),
+            "slope": pa.array([], pa.float64()),
+            "intercept": pa.array([], pa.float64()),
+        })
+        if t.num_rows < 2:
+            return empty
+        t = t.sort_by([("day", "ascending")])
+        day = t.column("day").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        y = t.column("c").to_numpy(zero_copy_only=False).astype(
+            np.float64) / 100.0
+        i, j = np.triu_indices(len(day), k=1)
+        slopes = (y[j] - y[i]) / (day[j] - day[i])
+        slope = float(np.median(slopes))
+        intercept = float(np.median(y - slope * day))
+        out = pa.table({
+            "n_days": pa.array([len(day)], pa.int64()),
+            "slope": pa.array([slope], pa.float64()),
+            "intercept": pa.array([intercept], pa.float64()),
+        })
+        for name in ("slope", "intercept"):
+            idx = out.column_names.index(name)
+            out = out.set_column(
+                idx, name, round_like_duckdb(out.column(name), 6))
+        return out
+
+    out = grouped_map(daily.map_batches(_add_g, batch_format="pyarrow"),
+                      "__g", finalize, per_group=False)
+    return out.map_batches(
+        lambda b: b.select(["n_days", "slope", "intercept"]),
+        batch_format="pyarrow")
+
+
+QUERIES["q_daily_revenue_theil_sen"] = q_daily_revenue_theil_sen
+ORACLE_SQL["q_daily_revenue_theil_sen"] = """
+    WITH d AS (
+      SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day,
+             sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) / 100.0 AS y
+      FROM orders GROUP BY 1
+    ),
+    sl AS (
+      SELECT quantile_cont((b.y - a.y) / (b.day - a.day), 0.5) AS slope
+      FROM d a JOIN d b ON b.day > a.day
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM d) AS n_days,
+           round(slope, 6) AS slope,
+           round((SELECT quantile_cont(y - sl.slope * day, 0.5) FROM d), 6)
+               AS intercept
+    FROM sl
+"""
+
+
+def q_daily_revenue_durbin_watson(sf_dir: str):
+    """Durbin-Watson residual-autocorrelation screen on the daily-revenue
+    trend fit: OLS of revenue on day index, then DW = Σ(eₜ−eₜ₋₁)²/Σeₜ²
+    over the day-ordered residuals — ≈2 when residuals are independent,
+    →0 under positive serial correlation (the classic "your trend-line
+    standard errors are lies" gate before trusting the OLS t-stats).
+    Companion to Ljung-Box (which tests the raw series): DW tests the
+    residuals of the fit."""
+    from ..stages.agg import grouped_map, round_like_duckdb
+
+    daily = _daily_order_revenue_cents(sf_dir)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "n_days": pa.array([], pa.int64()),
+            "dw_stat": pa.array([], pa.float64()),
+            "resid_rho1": pa.array([], pa.float64()),
+        })
+        if t.num_rows < 3:
+            return empty
+        t = t.sort_by([("day", "ascending")])
+        x = t.column("day").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        y = t.column("c").to_numpy(zero_copy_only=False).astype(
+            np.float64) / 100.0
+        n = float(len(x))
+        ex = x - x.sum() / n
+        ey = y - y.sum() / n
+        sxx = (ex * ex).sum()
+        if sxx <= 0.0:
+            return empty
+        slope = (ex * ey).sum() / sxx
+        e = ey - slope * ex
+        sse = (e * e).sum()
+        if sse <= 0.0:
+            return empty
+        dw = float(((e[1:] - e[:-1]) ** 2).sum() / sse)
+        rho1 = float((e[1:] * e[:-1]).sum() / sse)
+        out = pa.table({
+            "n_days": pa.array([int(n)], pa.int64()),
+            "dw_stat": pa.array([dw], pa.float64()),
+            "resid_rho1": pa.array([rho1], pa.float64()),
+        })
+        for name in ("dw_stat", "resid_rho1"):
+            idx = out.column_names.index(name)
+            out = out.set_column(
+                idx, name, round_like_duckdb(out.column(name), 6))
+        return out
+
+    out = grouped_map(daily.map_batches(_add_g, batch_format="pyarrow"),
+                      "__g", finalize, per_group=False)
+    return out.map_batches(
+        lambda b: b.select(["n_days", "dw_stat", "resid_rho1"]),
+        batch_format="pyarrow")
+
+
+QUERIES["q_daily_revenue_durbin_watson"] = q_daily_revenue_durbin_watson
+ORACLE_SQL["q_daily_revenue_durbin_watson"] = """
+    WITH d AS (
+      SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day,
+             sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) / 100.0 AS y
+      FROM orders GROUP BY 1
+    ),
+    f AS (
+      SELECT regr_slope(y, day) AS b1, avg(day) AS mx, avg(y) AS my,
+             count(*) AS n
+      FROM d
+    ),
+    e AS (
+      SELECT day, (y - my) - b1 * (day - mx) AS e
+      FROM d, f
+    ),
+    w AS (
+      SELECT e, e - lag(e) OVER (ORDER BY day) AS de
+      FROM e
+    ),
+    l AS (
+      SELECT e, e * lag(e) OVER (ORDER BY day) AS ee
+      FROM e
+    )
+    SELECT (SELECT CAST(n AS BIGINT) FROM f) AS n_days,
+           round((SELECT sum(de * de) FROM w) / sum(e * e), 6) AS dw_stat,
+           round((SELECT sum(ee) FROM l) / sum(e * e), 6) AS resid_rho1
+    FROM e
+"""
+
+
+def q_daily_revenue_chow(sf_dir: str):
+    """Chow structural-break test on the daily-revenue trend: split the
+    day-ordered series at its midpoint row, fit OLS (intercept + day)
+    full and per half, and F = ((SSR_full − SSR₁ − SSR₂)/2) /
+    ((SSR₁+SSR₂)/(n−4)) — "did the revenue trend CHANGE partway through
+    the window?", the regression-regime twin of the CUSUM locator.  All
+    three fits come from centered sums over the tiny calendar-bounded
+    daily table in the single-group finalize."""
+    from ..stages.agg import grouped_map, round_like_duckdb
+
+    daily = _daily_order_revenue_cents(sf_dir)
+
+    def _ssr(x: np.ndarray, y: np.ndarray) -> float:
+        n = float(len(x))
+        ex = x - x.sum() / n
+        ey = y - y.sum() / n
+        sxx = (ex * ex).sum()
+        if sxx <= 0.0:
+            return float((ey * ey).sum())
+        return float((ey * ey).sum() - ((ex * ey).sum()) ** 2 / sxx)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "n_days": pa.array([], pa.int64()),
+            "break_day": pa.array([], pa.int64()),
+            "f_stat": pa.array([], pa.float64()),
+        })
+        if t.num_rows < 8:
+            return empty
+        t = t.sort_by([("day", "ascending")])
+        x = t.column("day").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        y = t.column("c").to_numpy(zero_copy_only=False).astype(
+            np.float64) / 100.0
+        n = len(x)
+        h = n // 2
+        ssr_f = _ssr(x, y)
+        ssr_1 = _ssr(x[:h], y[:h])
+        ssr_2 = _ssr(x[h:], y[h:])
+        pooled = ssr_1 + ssr_2
+        f = (((ssr_f - pooled) / 2.0) / (pooled / (n - 4.0))
+             if pooled > 0.0 else None)
+        out = pa.table({
+            "n_days": pa.array([n], pa.int64()),
+            "break_day": pa.array([int(x[h])], pa.int64()),
+            "f_stat": pa.array([f], pa.float64()),
+        })
+        idx = out.column_names.index("f_stat")
+        return out.set_column(
+            idx, "f_stat", round_like_duckdb(out.column("f_stat"), 6))
+
+    out = grouped_map(daily.map_batches(_add_g, batch_format="pyarrow"),
+                      "__g", finalize, per_group=False)
+    return out.map_batches(
+        lambda b: b.select(["n_days", "break_day", "f_stat"]),
+        batch_format="pyarrow")
+
+
+QUERIES["q_daily_revenue_chow"] = q_daily_revenue_chow
+ORACLE_SQL["q_daily_revenue_chow"] = """
+    WITH d AS (
+      SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day,
+             sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) / 100.0 AS y,
+             row_number() OVER (ORDER BY
+                 CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT))
+                 AS rn
+      FROM orders GROUP BY o_orderdate
+    ),
+    nn AS (SELECT count(*) AS n, count(*) // 2 AS h FROM d),
+    seg AS (
+      SELECT CASE WHEN rn <= (SELECT h FROM nn) THEN 1 ELSE 2 END AS s,
+             day * 1.0 AS x, y
+      FROM d
+    ),
+    parts AS (
+      SELECT s, regr_syy(y, x) - pow(regr_sxy(y, x), 2) / regr_sxx(y, x)
+                 AS ssr
+      FROM seg GROUP BY s
+    ),
+    full_fit AS (
+      SELECT regr_syy(y, x) - pow(regr_sxy(y, x), 2) / regr_sxx(y, x)
+                 AS ssr_f
+      FROM (SELECT day * 1.0 AS x, y FROM d)
+    )
+    SELECT (SELECT CAST(n AS BIGINT) FROM nn) AS n_days,
+           (SELECT CAST(day AS BIGINT) FROM d
+            WHERE rn = (SELECT h FROM nn) + 1) AS break_day,
+           round(((SELECT ssr_f FROM full_fit) - sum(ssr)) / 2.0
+                 / (sum(ssr) / ((SELECT n FROM nn) - 4.0)), 6) AS f_stat
+    FROM parts
+"""
