@@ -23107,3 +23107,390 @@ ORACLE_SQL["q_daily_revenue_chow"] = """
                  / (sum(ssr) / ((SELECT n FROM nn) - 4.0)), 6) AS f_stat
     FROM parts
 """
+
+
+def q_priority_weekend_trend(sf_dir: str):
+    """Cochran-Armitage trend test: does the WEEKEND-placement share of
+    orders trend monotonically across the five ordered priority levels
+    (scores wᵢ = 1…5)?  The ordered-exposure × binary-outcome screen —
+    strictly more powerful than the omnibus chi-square when the
+    alternative is a dose-response trend.  z² = [Σwᵢ(rᵢ−nᵢp̄)]² /
+    [p̄(1−p̄)·(Σwᵢ²nᵢ − (Σwᵢnᵢ)²/N)] from one 5×2 contingency combiner
+    over orders — exact integer cells, single pass."""
+    from ..stages.agg import grouped_map, round_like_duckdb
+
+    ords = _read(sf_dir, "orders", ["o_orderpriority", "o_orderdate"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(b.column("o_orderdate"), pa.int64()),
+                        pa.scalar(86_400_000_000, pa.int64()))
+        d3 = pc.add(day, pa.scalar(3, pa.int64()))
+        dow = pc.add(pc.subtract(
+            d3, pc.multiply(pc.divide(d3, pa.scalar(7, pa.int64())),
+                            pa.scalar(7, pa.int64()))),
+            pa.scalar(1, pa.int64()))
+        we = pc.cast(pc.greater_equal(dow, pa.scalar(6, pa.int64())),
+                     pa.int64())
+        pr = b.column("o_orderpriority").to_numpy(zero_copy_only=False)
+        lvl = np.array([int(p.split("-")[0]) for p in pr], np.int64)
+        return pa.table({"lvl": pa.array(lvl), "we": we})
+
+    cells = grouped_agg(ords.map_batches(prep, batch_format="pyarrow"),
+                        ["lvl"], [("n_i", "lvl", "count"),
+                                  ("r_i", "we", "sum")],
+                        sum_as_float=False)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "n_orders": pa.array([], pa.int64()),
+            "weekend_share": pa.array([], pa.float64()),
+            "z": pa.array([], pa.float64()),
+        })
+        if t.num_rows < 2:
+            return empty
+        w = t.column("lvl").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        n_i = t.column("n_i").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        r_i = t.column("r_i").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        nt = n_i.sum()
+        pbar = r_i.sum() / nt
+        num = float((w * (r_i - n_i * pbar)).sum())
+        den = pbar * (1.0 - pbar) * (
+            float((w * w * n_i).sum()) - float((w * n_i).sum()) ** 2 / nt)
+        z = num / np.sqrt(den) if den > 0.0 else None
+        out = pa.table({
+            "n_orders": pa.array([int(nt)], pa.int64()),
+            "weekend_share": pa.array([pbar], pa.float64()),
+            "z": pa.array([z], pa.float64()),
+        })
+        for name in ("weekend_share", "z"):
+            idx = out.column_names.index(name)
+            out = out.set_column(
+                idx, name, round_like_duckdb(out.column(name), 6))
+        return out
+
+    out = grouped_map(cells.map_batches(_add_g, batch_format="pyarrow"),
+                      "__g", finalize, per_group=False)
+    return out.map_batches(
+        lambda b: b.select(["n_orders", "weekend_share", "z"]),
+        batch_format="pyarrow")
+
+
+QUERIES["q_priority_weekend_trend"] = q_priority_weekend_trend
+ORACLE_SQL["q_priority_weekend_trend"] = """
+    WITH p AS (
+      SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS lvl,
+             CASE WHEN (epoch_us(o_orderdate) // 86400000000 + 3) % 7 + 1
+                       >= 6 THEN 1 ELSE 0 END AS we
+      FROM orders
+    ),
+    g AS (
+      SELECT lvl * 1.0 AS w, count(*) * 1.0 AS n_i, sum(we) * 1.0 AS r_i
+      FROM p GROUP BY lvl
+    ),
+    t AS (
+      SELECT sum(n_i) AS nt, sum(r_i) / sum(n_i) AS pbar,
+             sum(w * n_i) AS swn, sum(w * w * n_i) AS swwn
+      FROM g
+    )
+    SELECT CAST(nt AS BIGINT) AS n_orders,
+           round(pbar, 6) AS weekend_share,
+           round((SELECT sum(w * (r_i - n_i * pbar)) FROM g, t)
+                 / sqrt(pbar * (1.0 - pbar) * (swwn - swn * swn / nt)), 6)
+               AS z
+    FROM t
+"""
+
+
+def q_segment_priority_gtest(sf_dir: str):
+    """G-test (likelihood-ratio chi-square) of independence for market
+    segment × order priority: G = 2·Σ O·ln(O/E) over the same
+    contingency cells as q_segment_priority_chi2 — the
+    information-theoretic twin (G = 2N·MI in nats), additive across
+    table partitions where Pearson's χ² is not.  Zero cells contribute
+    exactly 0.  One contingency combiner + a tiny cross-join finalize."""
+    from ..stages.agg import grouped_map, round_like_duckdb
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    j = broadcast_join(orders, cust, left_key="o_custkey",
+                       right_key="c_custkey", columns=["c_mktsegment"])
+    cells = grouped_agg(j, ["c_mktsegment", "o_orderpriority"],
+                        [("n", "o_orderpriority", "count")],
+                        sum_as_float=False)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "g_stat": pa.array([], pa.float64()),
+            "df": pa.array([], pa.int64()),
+        })
+        if t.num_rows == 0:
+            return empty
+        df = t.to_pandas()
+        piv = df.pivot_table(index="c_mktsegment",
+                             columns="o_orderpriority", values="n",
+                             aggfunc="sum", fill_value=0).to_numpy(
+            dtype=np.float64)
+        total = piv.sum()
+        e = piv.sum(axis=1, keepdims=True) * piv.sum(axis=0,
+                                                     keepdims=True) / total
+        mask = piv > 0
+        g = 2.0 * float((piv[mask] * np.log(piv[mask] / e[mask])).sum())
+        dof = (piv.shape[0] - 1) * (piv.shape[1] - 1)
+        out = pa.table({
+            "g_stat": pa.array([g], pa.float64()),
+            "df": pa.array([dof], pa.int64()),
+        })
+        return out.set_column(0, "g_stat",
+                              round_like_duckdb(out.column("g_stat"), 6))
+
+    out = grouped_map(cells.map_batches(_add_g, batch_format="pyarrow"),
+                      "__g", finalize, per_group=False)
+    return out.map_batches(lambda b: b.select(["g_stat", "df"]),
+                           batch_format="pyarrow")
+
+
+QUERIES["q_segment_priority_gtest"] = q_segment_priority_gtest
+ORACLE_SQL["q_segment_priority_gtest"] = """
+    WITH j AS (
+      SELECT c_mktsegment AS x, o_orderpriority AS y, count(*) AS n
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY x, y
+    ),
+    mx AS (SELECT x, sum(n) AS nx FROM j GROUP BY x),
+    my AS (SELECT y, sum(n) AS ny FROM j GROUP BY y),
+    t AS (SELECT sum(n) * 1.0 AS total FROM j),
+    cells AS (
+      SELECT mx.nx, my.ny, coalesce(j.n, 0) AS o
+      FROM mx CROSS JOIN my
+      LEFT JOIN j ON j.x = mx.x AND j.y = my.y
+    )
+    SELECT round(2.0 * sum(CASE WHEN o > 0
+                   THEN o * ln(o / (nx * ny / t.total)) ELSE 0 END), 6)
+               AS g_stat,
+           CAST((SELECT count(*) - 1 FROM mx)
+                * (SELECT count(*) - 1 FROM my) AS BIGINT) AS df
+    FROM cells CROSS JOIN t
+    GROUP BY ALL
+"""
+
+
+def q_region_balance_mantel_haenszel(sf_dir: str):
+    """Mantel-Haenszel stratified 2×2 analysis: association between a
+    positive account balance (exposure) and the BUILDING market segment
+    (outcome) across REGION strata — the common odds ratio OR_MH =
+    Σ(aᵢdᵢ/Nᵢ)/Σ(bᵢcᵢ/Nᵢ) and the CMH chi-square (Σaᵢ − ΣE[aᵢ])²/ΣV —
+    the confounder-adjusted 2×2 that a naive pooled table gets wrong
+    when strata differ (Simpson's paradox guard).  Two broadcast dim
+    joins + ONE region-keyed integer contingency combiner."""
+    from ..stages.agg import grouped_map, round_like_duckdb
+
+    cust = _read(sf_dir, "customer",
+                 ["c_nationkey", "c_acctbal", "c_mktsegment"])
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"])
+    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"])
+    j = broadcast_join(cust, nat, left_key="c_nationkey",
+                       right_key="n_nationkey", columns=["n_regionkey"])
+    j = broadcast_join(j, reg, left_key="n_regionkey",
+                       right_key="r_regionkey", columns=["r_name"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        one = pa.scalar(1, pa.int64())
+        e = pc.cast(pc.greater(b.column("c_acctbal"),
+                               pa.scalar(0.0, pa.float64())), pa.int64())
+        y = pc.cast(pc.equal(b.column("c_mktsegment"),
+                             pa.scalar("BUILDING")), pa.int64())
+        ne = pc.subtract(one, e)
+        ny = pc.subtract(one, y)
+        return pa.table({
+            "r_name": b.column("r_name"),
+            "a": pc.multiply(e, y),
+            "b": pc.multiply(e, ny),
+            "c": pc.multiply(ne, y),
+            "d": pc.multiply(ne, ny),
+        })
+
+    cells = grouped_agg(j.map_batches(prep, batch_format="pyarrow"),
+                        ["r_name"],
+                        [("a", "a", "sum"), ("b", "b", "sum"),
+                         ("c", "c", "sum"), ("d", "d", "sum")],
+                        sum_as_float=False)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "n_strata": pa.array([], pa.int64()),
+            "or_mh": pa.array([], pa.float64()),
+            "cmh_chi2": pa.array([], pa.float64()),
+        })
+        if t.num_rows == 0:
+            return empty
+        a = t.column("a").to_numpy(zero_copy_only=False).astype(np.float64)
+        b = t.column("b").to_numpy(zero_copy_only=False).astype(np.float64)
+        c = t.column("c").to_numpy(zero_copy_only=False).astype(np.float64)
+        d = t.column("d").to_numpy(zero_copy_only=False).astype(np.float64)
+        nt = a + b + c + d
+        num = float((a * d / nt).sum())
+        den = float((b * c / nt).sum())
+        or_mh = num / den if den > 0.0 else None
+        e_a = (a + b) * (a + c) / nt
+        v_a = ((a + b) * (c + d) * (a + c) * (b + d)
+               / (nt * nt * (nt - 1.0)))
+        vs = float(v_a.sum())
+        chi2 = ((float(a.sum()) - float(e_a.sum())) ** 2 / vs
+                if vs > 0.0 else None)
+        out = pa.table({
+            "n_strata": pa.array([t.num_rows], pa.int64()),
+            "or_mh": pa.array([or_mh], pa.float64()),
+            "cmh_chi2": pa.array([chi2], pa.float64()),
+        })
+        for name in ("or_mh", "cmh_chi2"):
+            idx = out.column_names.index(name)
+            out = out.set_column(
+                idx, name, round_like_duckdb(out.column(name), 6))
+        return out
+
+    out = grouped_map(cells.map_batches(_add_g, batch_format="pyarrow"),
+                      "__g", finalize, per_group=False)
+    return out.map_batches(
+        lambda b: b.select(["n_strata", "or_mh", "cmh_chi2"]),
+        batch_format="pyarrow")
+
+
+QUERIES["q_region_balance_mantel_haenszel"] = q_region_balance_mantel_haenszel
+ORACLE_SQL["q_region_balance_mantel_haenszel"] = """
+    WITH j AS (
+      SELECT r_name,
+             CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END AS e,
+             CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS y
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+    ),
+    g AS (
+      SELECT r_name,
+             sum(e * y) * 1.0 AS a, sum(e * (1 - y)) * 1.0 AS b,
+             sum((1 - e) * y) * 1.0 AS c,
+             sum((1 - e) * (1 - y)) * 1.0 AS d
+      FROM j GROUP BY r_name
+    ),
+    s AS (
+      SELECT count(*) AS k,
+             sum(a * d / (a + b + c + d)) AS num,
+             sum(b * c / (a + b + c + d)) AS den,
+             sum(a) AS sa,
+             sum((a + b) * (a + c) / (a + b + c + d)) AS se,
+             sum((a + b) * (c + d) * (a + c) * (b + d)
+                 / (pow(a + b + c + d, 2) * (a + b + c + d - 1.0))) AS sv
+      FROM g
+    )
+    SELECT CAST(k AS BIGINT) AS n_strata,
+           round(num / den, 6) AS or_mh,
+           round(pow(sa - se, 2) / sv, 6) AS cmh_chi2
+    FROM s
+"""
+
+
+def q_weekend_value_mood_median(sf_dir: str):
+    """Mood's median test weekday vs weekend event value: classify every
+    event as above/below the exact global median (quantile_cont), then a
+    2×2 chi-square with Yates continuity correction — the
+    median-equality screen that is robust where the t-test's
+    mean-equality is not; the coarse-but-assumption-free cousin of the
+    Mann-Whitney on the same temporal split.  One exact global quantile
+    + one integer-cell combiner pass."""
+    from ..stages.agg import grouped_map, round_like_duckdb
+    from ..stages.sort import global_exact_quantiles
+
+    ev = _read(sf_dir, "events", ["ts", "value"])
+    vals = ev.map_batches(
+        lambda b: b.select(["value"]).filter(pc.is_valid(b.column("value"))),
+        batch_format="pyarrow")
+    med = global_exact_quantiles(vals, "value", [("q", 0.5)],
+                                 round_to=6)["q"]
+
+    def cells(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("value")))
+        day = pc.divide(pc.cast(b.column("ts"), pa.int64()),
+                        pa.scalar(86_400_000_000, pa.int64()))
+        d3 = pc.add(day, pa.scalar(3, pa.int64()))
+        dow = pc.add(pc.subtract(
+            d3, pc.multiply(pc.divide(d3, pa.scalar(7, pa.int64())),
+                            pa.scalar(7, pa.int64()))),
+            pa.scalar(1, pa.int64()))
+        we = pc.cast(pc.greater_equal(dow, pa.scalar(6, pa.int64())),
+                     pa.int64())
+        hi = pc.cast(pc.greater(b.column("value"),
+                                pa.scalar(med, pa.float64())), pa.int64())
+        one = pa.scalar(1, pa.int64())
+        return _add_g(pa.table({
+            "a": pc.multiply(we, hi),
+            "b": pc.multiply(we, pc.subtract(one, hi)),
+            "c": pc.multiply(pc.subtract(one, we), hi),
+            "d": pc.multiply(pc.subtract(one, we),
+                             pc.subtract(one, hi)),
+        }))
+
+    t2 = grouped_agg(ev.map_batches(cells, batch_format="pyarrow"),
+                     ["__g"],
+                     [("a", "a", "sum"), ("b", "b", "sum"),
+                      ("c", "c", "sum"), ("d", "d", "sum")],
+                     sum_as_float=False)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "median_value": pa.array([], pa.float64()),
+            "weekend_above": pa.array([], pa.int64()),
+            "weekday_above": pa.array([], pa.int64()),
+            "chi2_yates": pa.array([], pa.float64()),
+        })
+        if t.num_rows == 0 or t.num_columns == 0:
+            return empty
+        r = t.to_pylist()[0]
+        a, b, c, d = (float(r[k]) for k in ("a", "b", "c", "d"))
+        nt = a + b + c + d
+        det = abs(a * d - b * c)
+        denom = (a + b) * (c + d) * (a + c) * (b + d)
+        chi2 = (nt * max(det - nt / 2.0, 0.0) ** 2 / denom
+                if denom > 0.0 else None)
+        out = pa.table({
+            "median_value": pa.array([float(med)], pa.float64()),
+            "weekend_above": pa.array([int(a)], pa.int64()),
+            "weekday_above": pa.array([int(c)], pa.int64()),
+            "chi2_yates": pa.array([chi2], pa.float64()),
+        })
+        return out.set_column(
+            3, "chi2_yates", round_like_duckdb(out.column("chi2_yates"), 6))
+
+    return finalize(_to_table(t2))
+
+
+QUERIES["q_weekend_value_mood_median"] = q_weekend_value_mood_median
+ORACLE_SQL["q_weekend_value_mood_median"] = """
+    WITH m AS (
+      SELECT round(quantile_cont(value, 0.5), 6) AS med FROM events
+      WHERE value IS NOT NULL
+    ),
+    p AS (
+      SELECT CASE WHEN (epoch_us(ts) // 86400000000 + 3) % 7 + 1 >= 6
+                  THEN 1 ELSE 0 END AS we,
+             CASE WHEN value > (SELECT med FROM m) THEN 1 ELSE 0 END AS hi
+      FROM events WHERE value IS NOT NULL
+    ),
+    g AS (
+      SELECT sum(we * hi) * 1.0 AS a, sum(we * (1 - hi)) * 1.0 AS b,
+             sum((1 - we) * hi) * 1.0 AS c,
+             sum((1 - we) * (1 - hi)) * 1.0 AS d
+      FROM p
+    )
+    SELECT (SELECT med FROM m) AS median_value,
+           CAST(a AS BIGINT) AS weekend_above,
+           CAST(c AS BIGINT) AS weekday_above,
+           round((a + b + c + d)
+                 * pow(greatest(abs(a * d - b * c)
+                                - (a + b + c + d) / 2.0, 0.0), 2)
+                 / ((a + b) * (c + d) * (a + c) * (b + d)), 6)
+               AS chi2_yates
+    FROM g
+"""
