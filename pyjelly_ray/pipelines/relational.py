@@ -23494,3 +23494,239 @@ ORACLE_SQL["q_weekend_value_mood_median"] = """
                AS chi2_yates
     FROM g
 """
+
+
+def _lang_word_counts(sf_dir: str):
+    """Per-(lang, word) token counts over whitespace tokenization — the
+    shared frequency-spectrum preamble of the vocabulary-richness
+    estimators (Chao1, Good-Turing, Hill numbers).  One flatten map +
+    one combiner exchange; raw documents are touched once per query."""
+    docs = _read(sf_dir, "documents", ["lang", "text"])
+
+    def words(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b.column("text"), pattern=" ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        langs = b.column("lang").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "lang": pa.array(np.repeat(langs, lens), pa.string()),
+            "word": pc.list_flatten(toks),
+        })
+
+    return grouped_agg(docs.map_batches(words, batch_format="pyarrow"),
+                       ["lang", "word"], [("n", "word", "count")],
+                       sum_as_float=False)
+
+
+def q_vocab_chao1(sf_dir: str):
+    """Chao1 richness estimator per language: how many word TYPES does
+    the corpus actually have, including the ones not yet seen?  Chao1 =
+    V + F₁(F₁−1)/(2(F₂+1)) (bias-corrected form, defined when no
+    doubletons exist) from the frequency spectrum's singleton/doubleton
+    counts — the data-collection stop rule ("is more crawling still
+    buying vocabulary?") next to the Heaps'-law fit.  Exact integer
+    spectrum from one word-count combiner + one per-language fold."""
+    from ..stages.agg import round_like_duckdb
+
+    c = _lang_word_counts(sf_dir)
+
+    def fold(b: pa.Table) -> pa.Table:
+        n = pc.cast(b.column("n"), pa.int64())
+        one = pa.scalar(1, pa.int64())
+        return pa.table({
+            "lang": b.column("lang"),
+            "n": n,
+            "f1": pc.cast(pc.equal(n, one), pa.int64()),
+            "f2": pc.cast(pc.equal(n, pa.scalar(2, pa.int64())),
+                          pa.int64()),
+        })
+
+    g = grouped_agg(c.map_batches(fold, batch_format="pyarrow"), ["lang"],
+                    [("vocab", "n", "count"), ("tok", "n", "sum"),
+                     ("f1", "f1", "sum"), ("f2", "f2", "sum")],
+                    sum_as_float=False)
+
+    def finalize(b: pa.Table) -> pa.Table:
+        v = pc.cast(b.column("vocab"), pa.float64())
+        f1 = pc.cast(b.column("f1"), pa.float64())
+        f2 = pc.cast(b.column("f2"), pa.float64())
+        chao = pc.add(v, pc.divide(
+            pc.multiply(f1, pc.subtract(f1, pa.scalar(1.0, pa.float64()))),
+            pc.multiply(pa.scalar(2.0, pa.float64()),
+                        pc.add(f2, pa.scalar(1.0, pa.float64())))))
+        return pa.table({
+            "lang": b.column("lang"),
+            "n_tokens": pc.cast(b.column("tok"), pa.int64()),
+            "vocab_size": pc.cast(b.column("vocab"), pa.int64()),
+            "f1_singletons": pc.cast(b.column("f1"), pa.int64()),
+            "f2_doubletons": pc.cast(b.column("f2"), pa.int64()),
+            "chao1": round_like_duckdb(chao, 6),
+        })
+
+    return g.map_batches(finalize, batch_format="pyarrow")
+
+
+QUERIES["q_vocab_chao1"] = q_vocab_chao1
+ORACLE_SQL["q_vocab_chao1"] = """
+    WITH c AS (
+      SELECT lang, w AS word, count(*) AS n
+      FROM (SELECT lang, unnest(string_split(text, ' ')) AS w
+            FROM documents)
+      GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT lang, count(*) AS vocab, sum(n) AS tok,
+             sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS f1,
+             sum(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS f2
+      FROM c GROUP BY 1
+    )
+    SELECT lang, CAST(tok AS BIGINT) AS n_tokens,
+           CAST(vocab AS BIGINT) AS vocab_size,
+           CAST(f1 AS BIGINT) AS f1_singletons,
+           CAST(f2 AS BIGINT) AS f2_doubletons,
+           round(vocab + f1 * 1.0 * (f1 - 1.0) / (2.0 * (f2 + 1.0)), 6)
+               AS chao1
+    FROM g
+"""
+
+
+def q_vocab_good_turing(sf_dir: str):
+    """Good-Turing frequency smoothing per language: the estimated
+    probability mass of UNSEEN words p₀ = F₁/N (Turing's estimator) and
+    the smoothed effective count r*(1) = 2·F₂/F₁ for singletons — what a
+    language model should charge for out-of-vocabulary tokens, read
+    straight off the frequency spectrum (the companion to the in-plan
+    bigram-LM perplexity scorer, which uses an additive fallback).
+    Exact integer spectrum; one combiner + one per-language fold."""
+    from ..stages.agg import round_like_duckdb
+
+    c = _lang_word_counts(sf_dir)
+
+    def fold(b: pa.Table) -> pa.Table:
+        n = pc.cast(b.column("n"), pa.int64())
+        return pa.table({
+            "lang": b.column("lang"),
+            "n": n,
+            "f1": pc.cast(pc.equal(n, pa.scalar(1, pa.int64())),
+                          pa.int64()),
+            "f2": pc.cast(pc.equal(n, pa.scalar(2, pa.int64())),
+                          pa.int64()),
+        })
+
+    g = grouped_agg(c.map_batches(fold, batch_format="pyarrow"), ["lang"],
+                    [("tok", "n", "sum"), ("f1", "f1", "sum"),
+                     ("f2", "f2", "sum")], sum_as_float=False)
+
+    def finalize(b: pa.Table) -> pa.Table:
+        tok = pc.cast(b.column("tok"), pa.float64())
+        f1 = pc.cast(b.column("f1"), pa.float64())
+        f2 = pc.cast(b.column("f2"), pa.float64())
+        p0 = pc.divide(f1, tok)
+        rstar = pc.if_else(
+            pc.greater(f1, pa.scalar(0.0, pa.float64())),
+            pc.divide(pc.multiply(pa.scalar(2.0, pa.float64()), f2), f1),
+            pa.scalar(None, pa.float64()))
+        return pa.table({
+            "lang": b.column("lang"),
+            "n_tokens": pc.cast(b.column("tok"), pa.int64()),
+            "f1_singletons": pc.cast(b.column("f1"), pa.int64()),
+            "f2_doubletons": pc.cast(b.column("f2"), pa.int64()),
+            "p0_unseen": round_like_duckdb(p0, 6),
+            "r_star_1": round_like_duckdb(rstar, 6),
+        })
+
+    return g.map_batches(finalize, batch_format="pyarrow")
+
+
+QUERIES["q_vocab_good_turing"] = q_vocab_good_turing
+ORACLE_SQL["q_vocab_good_turing"] = """
+    WITH c AS (
+      SELECT lang, w AS word, count(*) AS n
+      FROM (SELECT lang, unnest(string_split(text, ' ')) AS w
+            FROM documents)
+      GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT lang, sum(n) AS tok,
+             sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS f1,
+             sum(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS f2
+      FROM c GROUP BY 1
+    )
+    SELECT lang, CAST(tok AS BIGINT) AS n_tokens,
+           CAST(f1 AS BIGINT) AS f1_singletons,
+           CAST(f2 AS BIGINT) AS f2_doubletons,
+           round(f1 * 1.0 / tok, 6) AS p0_unseen,
+           round(CASE WHEN f1 > 0 THEN 2.0 * f2 / f1 END, 6) AS r_star_1
+    FROM g
+"""
+
+
+def q_lang_hill_numbers(sf_dir: str):
+    """Hill-number diversity profile of each language's vocabulary: the
+    effective word counts ⁰D = richness V, ¹D = exp(Shannon H), ²D =
+    inverse Simpson 1/Σpᵢ² — one axis (q = how much common words
+    dominate) unifying the richness/entropy/concentration views — plus
+    Pielou evenness J = H/ln V.  H folds as ln N − Σ n·ln n / N from the
+    same exact integer spectrum; one combiner + one per-language fold."""
+    from ..stages.agg import round_like_duckdb
+
+    c = _lang_word_counts(sf_dir)
+
+    def fold(b: pa.Table) -> pa.Table:
+        n = pc.cast(b.column("n"), pa.float64())
+        return pa.table({
+            "lang": b.column("lang"),
+            "n": pc.cast(b.column("n"), pa.int64()),
+            "nlogn": pc.multiply(n, pc.ln(n)),
+            "n2": pc.multiply(n, n),
+        })
+
+    g = grouped_agg(c.map_batches(fold, batch_format="pyarrow"), ["lang"],
+                    [("vocab", "n", "count"), ("tok", "n", "sum"),
+                     ("snl", "nlogn", "sum"), ("s2", "n2", "sum")],
+                    sum_as_float=False)
+
+    def finalize(b: pa.Table) -> pa.Table:
+        v = pc.cast(b.column("vocab"), pa.float64())
+        tok = pc.cast(b.column("tok"), pa.float64())
+        snl = pc.cast(b.column("snl"), pa.float64())
+        s2 = pc.cast(b.column("s2"), pa.float64())
+        h = pc.subtract(pc.ln(tok), pc.divide(snl, tok))
+        hill1 = pc.exp(h)
+        hill2 = pc.divide(pc.multiply(tok, tok), s2)
+        pielou = pc.if_else(
+            pc.greater(v, pa.scalar(1.0, pa.float64())),
+            pc.divide(h, pc.ln(v)), pa.scalar(None, pa.float64()))
+        return pa.table({
+            "lang": b.column("lang"),
+            "hill_q0": pc.cast(b.column("vocab"), pa.int64()),
+            "hill_q1": round_like_duckdb(hill1, 6),
+            "hill_q2": round_like_duckdb(hill2, 6),
+            "pielou_j": round_like_duckdb(pielou, 6),
+        })
+
+    return g.map_batches(finalize, batch_format="pyarrow")
+
+
+QUERIES["q_lang_hill_numbers"] = q_lang_hill_numbers
+ORACLE_SQL["q_lang_hill_numbers"] = """
+    WITH c AS (
+      SELECT lang, w AS word, count(*) AS n
+      FROM (SELECT lang, unnest(string_split(text, ' ')) AS w
+            FROM documents)
+      GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT lang, count(*) AS vocab, sum(n) * 1.0 AS tok,
+             sum(n * ln(n)) AS snl, sum(n * 1.0 * n) AS s2
+      FROM c GROUP BY 1
+    )
+    SELECT lang,
+           CAST(vocab AS BIGINT) AS hill_q0,
+           round(exp(ln(tok) - snl / tok), 6) AS hill_q1,
+           round(tok * tok / s2, 6) AS hill_q2,
+           round(CASE WHEN vocab > 1
+                 THEN (ln(tok) - snl / tok) / ln(vocab) END, 6) AS pielou_j
+    FROM g
+"""
