@@ -23730,3 +23730,180 @@ ORACLE_SQL["q_lang_hill_numbers"] = """
                  THEN (ln(tok) - snl / tok) / ln(vocab) END, 6) AS pielou_j
     FROM g
 """
+
+
+def _supply_edges(sf_dir: str):
+    """Distinct (part, supplier) edges of the bipartite supply graph
+    observed in lineitem — the shared preamble of the graph-analytics
+    queries (assortativity, HITS).  One combiner exchange dedups the
+    multi-edges; the edge list is materialized once per query."""
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+    edges = grouped_agg(li, ["l_partkey", "l_suppkey"],
+                        [("__n", "l_partkey", "count")])
+    return edges.map_batches(
+        lambda b: b.select(["l_partkey", "l_suppkey"]),
+        batch_format="pyarrow").materialize()
+
+
+def q_supply_assortativity(sf_dir: str):
+    """Degree assortativity of the bipartite supply graph: the Pearson
+    correlation between deg(part) and deg(supplier) across its distinct
+    edges — negative means high-degree parts attach to low-degree
+    suppliers (hub-and-spoke), positive means rich-club mixing; THE
+    one-number topology fingerprint next to the degree distribution.
+    Two tiny degree aggregates broadcast back onto the edge stream; the
+    correlation folds from one mergeable moment pass (exact integer
+    degrees)."""
+    from ..stages.agg import grouped_map, round_like_duckdb
+
+    edges = _supply_edges(sf_dir)
+    pdeg = grouped_agg(edges, ["l_partkey"],
+                       [("deg_p", "l_partkey", "count")],
+                       sum_as_float=False)
+    sdeg = grouped_agg(edges, ["l_suppkey"],
+                       [("deg_s", "l_suppkey", "count")],
+                       sum_as_float=False)
+    j = broadcast_join(edges, pdeg, left_key="l_partkey",
+                       columns=["deg_p"])
+    j = broadcast_join(j, sdeg, left_key="l_suppkey", columns=["deg_s"])
+
+    def moments(b: pa.Table) -> pa.Table:
+        x = pc.cast(b.column("deg_p"), pa.float64())
+        y = pc.cast(b.column("deg_s"), pa.float64())
+        return _add_g(pa.table({
+            "x": x, "y": y, "xx": pc.multiply(x, x),
+            "yy": pc.multiply(y, y), "xy": pc.multiply(x, y),
+        }))
+
+    m = grouped_agg(j.map_batches(moments, batch_format="pyarrow"),
+                    ["__g"],
+                    [("n", "x", "count"), ("sx", "x", "sum"),
+                     ("sy", "y", "sum"), ("sxx", "xx", "sum"),
+                     ("syy", "yy", "sum"), ("sxy", "xy", "sum")])
+
+    def finalize(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "n_edges": pa.array([], pa.int64()),
+            "assortativity": pa.array([], pa.float64()),
+        })
+        if t.num_rows == 0 or t.num_columns == 0:
+            return empty
+        r = t.to_pylist()[0]
+        n = float(r["n"])
+        cov = r["sxy"] - r["sx"] * r["sy"] / n
+        vx = r["sxx"] - r["sx"] * r["sx"] / n
+        vy = r["syy"] - r["sy"] * r["sy"] / n
+        rho = cov / np.sqrt(vx * vy) if vx > 0.0 and vy > 0.0 else None
+        out = pa.table({
+            "n_edges": pa.array([int(n)], pa.int64()),
+            "assortativity": pa.array([rho], pa.float64()),
+        })
+        return out.set_column(
+            1, "assortativity",
+            round_like_duckdb(out.column("assortativity"), 6))
+
+    return finalize(_to_table(m))
+
+
+QUERIES["q_supply_assortativity"] = q_supply_assortativity
+ORACLE_SQL["q_supply_assortativity"] = """
+    WITH e AS (
+      SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+    ),
+    pd AS (SELECT l_partkey, count(*) AS deg_p FROM e GROUP BY 1),
+    sd AS (SELECT l_suppkey, count(*) AS deg_s FROM e GROUP BY 1),
+    j AS (
+      SELECT deg_p * 1.0 AS x, deg_s * 1.0 AS y
+      FROM e JOIN pd USING (l_partkey) JOIN sd USING (l_suppkey)
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_edges,
+           round(corr(y, x), 6) AS assortativity
+    FROM j
+"""
+
+
+def q_supply_hits(sf_dir: str):
+    """HITS hubs-and-authorities on the bipartite supply graph, two
+    exact power iterations from h₀ ≡ 1: a₁(p) = deg(p), h₁(s) =
+    Σ_{p∈N(s)} a₁(p), a₂(p) = Σ_{s∈N(p)} h₁(s), h₂(s) = Σ a₂(p) — every
+    score an exact INTEGER (no normalization inside the iteration), so
+    the top-10 hub suppliers and their max-normalized scores are
+    bitwise deterministic.  Each iteration is one broadcast of the tiny
+    score table onto the edge stream + one keyed combiner — the edge
+    list never self-joins; the same shape scales to any iteration
+    count.  Reference iterative-centrality parity target:
+    graphframes-style HITS (unrolled, fixed k=2)."""
+    from ..stages.agg import global_topk, round_like_duckdb
+
+    edges = _supply_edges(sf_dir)
+    # a1(p) = deg(p)
+    a1 = grouped_agg(edges, ["l_partkey"],
+                     [("a1", "l_partkey", "count")], sum_as_float=False)
+    # h1(s) = sum over incident parts of a1(p)
+    e1 = broadcast_join(edges, a1, left_key="l_partkey", columns=["a1"])
+    h1 = grouped_agg(e1, ["l_suppkey"], [("h1", "a1", "sum")],
+                     sum_as_float=False)
+    # a2(p) = sum over incident suppliers of h1(s)
+    e2 = broadcast_join(edges, h1, left_key="l_suppkey", columns=["h1"])
+    a2 = grouped_agg(e2, ["l_partkey"], [("a2", "h1", "sum")],
+                     sum_as_float=False)
+    # h2(s) = sum over incident parts of a2(p)
+    e3 = broadcast_join(edges, a2, left_key="l_partkey", columns=["a2"])
+    h2 = grouped_agg(e3, ["l_suppkey"], [("h2", "a2", "sum")],
+                     sum_as_float=False)
+
+    h2 = h2.map_batches(
+        lambda b: pa.table({
+            "l_suppkey": b.column("l_suppkey"),
+            "h2": pc.cast(b.column("h2"), pa.int64()),
+        }), batch_format="pyarrow").materialize()
+    mx = _to_table(grouped_agg(
+        h2.map_batches(_add_g, batch_format="pyarrow"), ["__g"],
+        [("m", "h2", "max")], sum_as_float=False))
+    if mx.num_rows == 0:
+        return pa.table({
+            "l_suppkey": pa.array([], pa.int64()),
+            "hub_score": pa.array([], pa.int64()),
+            "hub_norm": pa.array([], pa.float64()),
+        })
+    m = float(mx.column("m")[0].as_py())
+    top = global_topk(h2, ["h2", "l_suppkey"], 10,
+                      descending=[True, False])
+
+    def finalize(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_suppkey": b.column("l_suppkey"),
+            "hub_score": b.column("h2"),
+            "hub_norm": round_like_duckdb(
+                pc.divide(pc.cast(b.column("h2"), pa.float64()),
+                          pa.scalar(m, pa.float64())), 6),
+        })
+
+    return top.map_batches(finalize, batch_format="pyarrow")
+
+
+QUERIES["q_supply_hits"] = q_supply_hits
+ORACLE_SQL["q_supply_hits"] = """
+    WITH e AS (
+      SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+    ),
+    a1 AS (SELECT l_partkey, count(*) AS a1 FROM e GROUP BY 1),
+    h1 AS (
+      SELECT l_suppkey, sum(a1) AS h1
+      FROM e JOIN a1 USING (l_partkey) GROUP BY 1
+    ),
+    a2 AS (
+      SELECT l_partkey, sum(h1) AS a2
+      FROM e JOIN h1 USING (l_suppkey) GROUP BY 1
+    ),
+    h2 AS (
+      SELECT l_suppkey, sum(a2) AS h2
+      FROM e JOIN a2 USING (l_partkey) GROUP BY 1
+    ),
+    m AS (SELECT max(h2) * 1.0 AS m FROM h2)
+    SELECT l_suppkey, CAST(h2 AS BIGINT) AS hub_score,
+           round(h2 / (SELECT m FROM m), 6) AS hub_norm
+    FROM h2
+    ORDER BY h2 DESC, l_suppkey
+    LIMIT 10
+"""
