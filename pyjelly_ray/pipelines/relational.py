@@ -23907,3 +23907,379 @@ ORACLE_SQL["q_supply_hits"] = """
     ORDER BY h2 DESC, l_suppkey
     LIMIT 10
 """
+
+
+def q_event_type_bartlett(sf_dir: str):
+    """Bartlett's test for equal variances of event value across event
+    types: T = [(N−k)·ln s²_p − Σ(nᵢ−1)·ln s²ᵢ] / C with the standard
+    correction C = 1 + (Σ1/(nᵢ−1) − 1/(N−k))/(3(k−1)) — the
+    high-power-under-normality homogeneity gate next to the robust
+    Levene on the same grouping (Bartlett catches smaller variance
+    differences; Levene survives heavy tails).  One mergeable-moment
+    combiner collapses the stream to k rows."""
+    from ..stages.agg import grouped_map, round_like_duckdb
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("value")))
+        v = b.column("value")
+        return pa.table({
+            "event_type": b.column("event_type"),
+            "v": v, "vv": pc.multiply(v, v),
+        })
+
+    g = grouped_agg(ev.map_batches(prep, batch_format="pyarrow"),
+                    ["event_type"],
+                    [("n", "v", "count"), ("s", "v", "sum"),
+                     ("ss", "vv", "sum")])
+
+    def finalize(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "k_groups": pa.array([], pa.int64()),
+            "n_total": pa.array([], pa.int64()),
+            "bartlett_t": pa.array([], pa.float64()),
+        })
+        if t.num_rows < 2:
+            return empty
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        s = t.column("s").to_numpy(zero_copy_only=False)
+        ss = t.column("ss").to_numpy(zero_copy_only=False)
+        if (n < 2).any():
+            return empty
+        var = (ss - s * s / n) / (n - 1.0)
+        if (var <= 0.0).any():
+            return empty
+        k = float(len(n))
+        nt = float(n.sum())
+        sp2 = float(((n - 1.0) * var).sum()) / (nt - k)
+        num = (nt - k) * np.log(sp2) - float(
+            ((n - 1.0) * np.log(var)).sum())
+        c = 1.0 + (float((1.0 / (n - 1.0)).sum()) - 1.0 / (nt - k)) \
+            / (3.0 * (k - 1.0))
+        stat = num / c
+        out = pa.table({
+            "k_groups": pa.array([int(k)], pa.int64()),
+            "n_total": pa.array([int(nt)], pa.int64()),
+            "bartlett_t": pa.array([stat], pa.float64()),
+        })
+        return out.set_column(
+            2, "bartlett_t", round_like_duckdb(out.column("bartlett_t"), 6))
+
+    out = grouped_map(g.map_batches(_add_g, batch_format="pyarrow"),
+                      "__g", finalize, per_group=False)
+    return out.map_batches(
+        lambda b: b.select(["k_groups", "n_total", "bartlett_t"]),
+        batch_format="pyarrow")
+
+
+QUERIES["q_event_type_bartlett"] = q_event_type_bartlett
+ORACLE_SQL["q_event_type_bartlett"] = """
+    WITH g AS (
+      SELECT event_type, count(*) * 1.0 AS n, var_samp(value) AS v
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    t AS (
+      SELECT count(*) * 1.0 AS k, sum(n) AS nt,
+             sum((n - 1.0) * v) / (sum(n) - count(*)) AS sp2,
+             sum((n - 1.0) * ln(v)) AS slnv,
+             sum(1.0 / (n - 1.0)) AS sinv
+      FROM g
+    )
+    SELECT CAST(k AS BIGINT) AS k_groups,
+           CAST(nt AS BIGINT) AS n_total,
+           round(((nt - k) * ln(sp2) - slnv)
+                 / (1.0 + (sinv - 1.0 / (nt - k)) / (3.0 * (k - 1.0))), 6)
+               AS bartlett_t
+    FROM t
+"""
+
+
+def q_event_type_tukey_hsd(sf_dir: str):
+    """Tukey-Kramer HSD post-hoc after the event-type ANOVA: for every
+    pair of event types, the mean difference and the studentized-range
+    q statistic (mᵢ−mⱼ)/√(MSW/2·(1/nᵢ+1/nⱼ)) against the pooled
+    within-group variance — WHICH types differ once q_event_type_anova
+    says "some do", with the familywise-honest scaling.  The stream
+    collapses to k moment rows in one combiner; the k(k−1)/2 pairs
+    materialize only in the tiny finalize."""
+    from ..stages.agg import grouped_map, round_like_duckdb
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("value")))
+        v = b.column("value")
+        return pa.table({
+            "event_type": b.column("event_type"),
+            "v": v, "vv": pc.multiply(v, v),
+        })
+
+    g = grouped_agg(ev.map_batches(prep, batch_format="pyarrow"),
+                    ["event_type"],
+                    [("n", "v", "count"), ("s", "v", "sum"),
+                     ("ss", "vv", "sum")])
+
+    def finalize(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "type_a": pa.array([], pa.string()),
+            "type_b": pa.array([], pa.string()),
+            "mean_diff": pa.array([], pa.float64()),
+            "q_stat": pa.array([], pa.float64()),
+        })
+        if t.num_rows < 2:
+            return empty
+        t = t.sort_by([("event_type", "ascending")])
+        names = t.column("event_type").to_pylist()
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        s = t.column("s").to_numpy(zero_copy_only=False)
+        ss = t.column("ss").to_numpy(zero_copy_only=False)
+        if (n < 2).any():
+            return empty
+        m = s / n
+        sse = float((ss - s * s / n).sum())
+        nt = float(n.sum())
+        k = float(len(n))
+        msw = sse / (nt - k)
+        if msw <= 0.0:
+            return empty
+        rows_a, rows_b, diffs, qs = [], [], [], []
+        for i in range(len(names)):
+            for j2 in range(i + 1, len(names)):
+                d = m[i] - m[j2]
+                se = np.sqrt(msw / 2.0 * (1.0 / n[i] + 1.0 / n[j2]))
+                rows_a.append(names[i])
+                rows_b.append(names[j2])
+                diffs.append(d)
+                qs.append(d / se if se > 0.0 else None)
+        out = pa.table({
+            "type_a": pa.array(rows_a, pa.string()),
+            "type_b": pa.array(rows_b, pa.string()),
+            "mean_diff": pa.array(diffs, pa.float64()),
+            "q_stat": pa.array(qs, pa.float64()),
+        })
+        for name in ("mean_diff", "q_stat"):
+            idx = out.column_names.index(name)
+            out = out.set_column(
+                idx, name, round_like_duckdb(out.column(name), 6))
+        return out
+
+    out = grouped_map(g.map_batches(_add_g, batch_format="pyarrow"),
+                      "__g", finalize, per_group=False)
+    return out.map_batches(
+        lambda b: b.select(["type_a", "type_b", "mean_diff", "q_stat"]),
+        batch_format="pyarrow")
+
+
+QUERIES["q_event_type_tukey_hsd"] = q_event_type_tukey_hsd
+ORACLE_SQL["q_event_type_tukey_hsd"] = """
+    WITH g AS (
+      SELECT event_type, count(*) * 1.0 AS n, avg(value) AS m,
+             var_samp(value) AS v
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    w AS (
+      SELECT sum((n - 1.0) * v) / (sum(n) - count(*)) AS msw FROM g
+    )
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           round(a.m - b.m, 6) AS mean_diff,
+           round((a.m - b.m)
+                 / sqrt((SELECT msw FROM w) / 2.0
+                        * (1.0 / a.n + 1.0 / b.n)), 6) AS q_stat
+    FROM g a JOIN g b ON a.event_type < b.event_type
+"""
+
+
+def q_dow_value_dunn(sf_dir: str):
+    """Dunn's post-hoc test after the day-of-week Kruskal-Wallis: for
+    every dow pair, z = (R̄ᵢ−R̄ⱼ)/√[(N(N+1)/12 − T/(12(N−1)))·(1/nᵢ+1/nⱼ)]
+    with the tie term T = Σ(t³−t) — WHICH days differ once
+    q_dow_value_kruskal says "some do".  Rides the identical
+    distinct-value rank machinery (combiner → range sort → prefix sums;
+    raw rows never ranked); the 21 pairs materialize only in the tiny
+    finalize."""
+    from ..stages.agg import grouped_map, round_like_duckdb
+    from ..stages.joins import hash_join
+    from ..stages.sort import global_prefix_sums, range_sort
+
+    ev = _read(sf_dir, "events", ["ts", "value"])
+
+    def proj(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("value")))
+        day = pc.divide(pc.cast(b.column("ts"), pa.int64()),
+                        pa.scalar(86_400_000_000, pa.int64()))
+        d3 = pc.add(day, pa.scalar(3, pa.int64()))
+        dow = pc.add(pc.subtract(
+            d3, pc.multiply(pc.divide(d3, pa.scalar(7, pa.int64())),
+                            pa.scalar(7, pa.int64()))),
+            pa.scalar(1, pa.int64()))
+        return pa.table({"dow": dow, "value": b.column("value")})
+
+    base = ev.map_batches(proj, batch_format="pyarrow")
+    g = grouped_agg(base, ["dow", "value"],
+                    [("n", "value", "count")]).materialize()
+    v = grouped_agg(g, ["value"], [("t", "n", "sum")])
+    s = range_sort(v, "value")
+    s = global_prefix_sums(s, "t", out_name="__below", exclusive=True)
+
+    def frank_of(b: pa.Table) -> pa.Table:
+        below = b.column("__below").to_numpy(zero_copy_only=False)
+        t = b.column("t").to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "value": b.column("value"),
+            "frank": pa.array(below + (t + 1.0) / 2.0, pa.float64()),
+            "tie3": pa.array(t ** 3 - t, pa.float64()),
+        })
+
+    franks = s.map_batches(frank_of, batch_format="pyarrow").materialize()
+    j = hash_join(g, franks, left_key="value", right_key="value",
+                  how="inner")
+
+    def weighted(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "dow": b.column("dow"),
+            "nf": pc.multiply(pc.cast(b.column("n"), pa.float64()),
+                              b.column("frank")),
+            "n": b.column("n"),
+        })
+
+    per_dow = grouped_agg(j.map_batches(weighted, batch_format="pyarrow"),
+                          ["dow"], [("r", "nf", "sum"), ("n", "n", "sum")])
+    tie_tot = float(franks.sum("tie3"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "dow_a": pa.array([], pa.int64()),
+            "dow_b": pa.array([], pa.int64()),
+            "mean_rank_diff": pa.array([], pa.float64()),
+            "z": pa.array([], pa.float64()),
+        })
+        if t.num_rows < 2:
+            return empty
+        t = t.sort_by([("dow", "ascending")])
+        dows = t.column("dow").to_pylist()
+        r = t.column("r").to_numpy(zero_copy_only=False)
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        nt = float(n.sum())
+        base_var = nt * (nt + 1.0) / 12.0 \
+            - tie_tot / (12.0 * (nt - 1.0))
+        mr = r / n
+        da, db, dd, zz = [], [], [], []
+        for i in range(len(dows)):
+            for j2 in range(i + 1, len(dows)):
+                d = mr[i] - mr[j2]
+                se = np.sqrt(base_var * (1.0 / n[i] + 1.0 / n[j2]))
+                da.append(int(dows[i]))
+                db.append(int(dows[j2]))
+                dd.append(d)
+                zz.append(d / se if se > 0.0 else None)
+        out = pa.table({
+            "dow_a": pa.array(da, pa.int64()),
+            "dow_b": pa.array(db, pa.int64()),
+            "mean_rank_diff": pa.array(dd, pa.float64()),
+            "z": pa.array(zz, pa.float64()),
+        })
+        for name in ("mean_rank_diff", "z"):
+            idx = out.column_names.index(name)
+            out = out.set_column(
+                idx, name, round_like_duckdb(out.column(name), 6))
+        return out
+
+    out = grouped_map(per_dow.map_batches(_add_g, batch_format="pyarrow"),
+                      "__g", finalize, per_group=False)
+    return out.map_batches(
+        lambda b: b.select(["dow_a", "dow_b", "mean_rank_diff", "z"]),
+        batch_format="pyarrow")
+
+
+QUERIES["q_dow_value_dunn"] = q_dow_value_dunn
+ORACLE_SQL["q_dow_value_dunn"] = """
+    WITH s AS (
+      SELECT (epoch_us(ts) // 86400000000 + 3) % 7 + 1 AS dow, value
+      FROM events WHERE value IS NOT NULL
+    ),
+    r AS (
+      SELECT dow,
+             rank() OVER (ORDER BY value)
+               + (count(*) OVER (PARTITION BY value) - 1) / 2.0 AS frank
+      FROM s
+    ),
+    g AS (
+      SELECT dow, sum(frank) / count(*) AS mr, count(*) * 1.0 AS n
+      FROM r GROUP BY 1
+    ),
+    tie AS (
+      SELECT coalesce(sum(CAST(t AS DOUBLE) * t * t - t), 0.0) AS tt
+      FROM (SELECT value, count(*) AS t FROM s GROUP BY 1)
+    ),
+    nn AS (SELECT sum(n) AS nt FROM g),
+    bv AS (
+      SELECT nt * (nt + 1.0) / 12.0 - tt / (12.0 * (nt - 1.0)) AS base_var
+      FROM nn, tie
+    )
+    SELECT CAST(a.dow AS BIGINT) AS dow_a, CAST(b.dow AS BIGINT) AS dow_b,
+           round(a.mr - b.mr, 6) AS mean_rank_diff,
+           round((a.mr - b.mr)
+                 / sqrt((SELECT base_var FROM bv)
+                        * (1.0 / a.n + 1.0 / b.n)), 6) AS z
+    FROM g a JOIN g b ON a.dow < b.dow
+"""
+
+
+def q_weekend_value_cliffs_delta(sf_dir: str):
+    """Cliff's delta effect size weekend vs weekday event value:
+    δ = (#{we>wd} − #{we<wd})/(n₁·n₂), the ordinal dominance probability
+    difference — the scale-free effect size that accompanies the
+    Mann-Whitney p-value (how OFTEN a weekend value beats a weekday one,
+    regardless of by how much).  Both pair counts are EXACT integers
+    read off the shared EDF grid (Σ n_we(v)·{counts strictly below/above
+    v}) — no pairs ever materialize."""
+    from ..stages.agg import round_like_duckdb
+
+    s, n1, n2 = _weekend_value_edf_grid(sf_dir)
+    empty = pa.table({
+        "n_weekday": pa.array([], pa.int64()),
+        "n_weekend": pa.array([], pa.int64()),
+        "cliffs_delta": pa.array([], pa.float64()),
+    })
+    if n1 == 0 or n2 == 0:
+        return empty
+
+    def contrib(b: pa.Table) -> pa.Table:
+        nwe = pc.cast(b.column("n_we"), pa.int64())
+        cwd = pc.cast(b.column("c_wd"), pa.int64())
+        nwd = pc.cast(b.column("n_wd"), pa.int64())
+        below = pc.subtract(cwd, nwd)  # weekday strictly below v
+        above = pc.subtract(pa.scalar(n1, pa.int64()), cwd)
+        return _add_g(pa.table({
+            "gt": pc.multiply(nwe, below),
+            "lt": pc.multiply(nwe, above),
+        }))
+
+    t = _to_table(grouped_agg(
+        s.map_batches(contrib, batch_format="pyarrow"), ["__g"],
+        [("gt", "gt", "sum"), ("lt", "lt", "sum")], sum_as_float=False))
+    if t.num_rows == 0:
+        return empty
+    gt = float(t.column("gt")[0].as_py())
+    lt = float(t.column("lt")[0].as_py())
+    delta = (gt - lt) / (float(n1) * float(n2))
+    out = pa.table({
+        "n_weekday": pa.array([n1], pa.int64()),
+        "n_weekend": pa.array([n2], pa.int64()),
+        "cliffs_delta": pa.array([delta], pa.float64()),
+    })
+    return out.set_column(
+        2, "cliffs_delta", round_like_duckdb(out.column("cliffs_delta"), 6))
+
+
+QUERIES["q_weekend_value_cliffs_delta"] = q_weekend_value_cliffs_delta
+ORACLE_SQL["q_weekend_value_cliffs_delta"] = _EDF_GRID_SQL + """
+    SELECT CAST((SELECT n1 FROM t) AS BIGINT) AS n_weekday,
+           CAST((SELECT n2 FROM t) AS BIGINT) AS n_weekend,
+           round((sum(n_we * (c_wd - n_wd))
+                  - sum(n_we * (CAST((SELECT n1 FROM t) AS BIGINT) - c_wd)))
+                 / ((SELECT n1 FROM t) * (SELECT n2 FROM t)), 6)
+               AS cliffs_delta
+    FROM c
+"""
