@@ -24283,3 +24283,306 @@ ORACLE_SQL["q_weekend_value_cliffs_delta"] = _EDF_GRID_SQL + """
                AS cliffs_delta
     FROM c
 """
+
+
+def q_daily_revenue_kpss(sf_dir: str):
+    """KPSS level-stationarity test on daily revenue: η = Σₜ Sₜ² /
+    (n²·σ̂²_l) with Sₜ the running sum of the demeaned day-ordered series
+    and σ̂²_l the Bartlett-kernel long-run variance at the standard lag
+    l = ⌊4(n/100)^¼⌋ — the null-reversed companion to Dickey-Fuller
+    (KPSS's null IS stationarity), so the pair classifies a series into
+    stationary / unit-root / inconclusive.  One combiner exchange to the
+    calendar-bounded daily table; the kernel sum is a vectorized
+    O(n·l) pass in the single-group finalize."""
+    from ..stages.agg import grouped_map, round_like_duckdb
+
+    daily = _daily_order_revenue_cents(sf_dir)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "n_days": pa.array([], pa.int64()),
+            "lag_l": pa.array([], pa.int64()),
+            "kpss_eta": pa.array([], pa.float64()),
+        })
+        if t.num_rows < 5:
+            return empty
+        t = t.sort_by([("day", "ascending")])
+        y = t.column("c").to_numpy(zero_copy_only=False).astype(
+            np.float64) / 100.0
+        n = len(y)
+        e = y - y.sum() / n
+        s_cum = np.cumsum(e)
+        lag = int(np.floor(4.0 * (n / 100.0) ** 0.25))
+        lrv = float((e * e).sum()) / n
+        for j in range(1, lag + 1):
+            w = 1.0 - j / (lag + 1.0)
+            lrv += 2.0 * w * float((e[j:] * e[:-j]).sum()) / n
+        if lrv <= 0.0:
+            return empty
+        eta = float((s_cum * s_cum).sum()) / (n * n * lrv)
+        out = pa.table({
+            "n_days": pa.array([n], pa.int64()),
+            "lag_l": pa.array([lag], pa.int64()),
+            "kpss_eta": pa.array([eta], pa.float64()),
+        })
+        return out.set_column(
+            2, "kpss_eta", round_like_duckdb(out.column("kpss_eta"), 6))
+
+    out = grouped_map(daily.map_batches(_add_g, batch_format="pyarrow"),
+                      "__g", finalize, per_group=False)
+    return out.map_batches(
+        lambda b: b.select(["n_days", "lag_l", "kpss_eta"]),
+        batch_format="pyarrow")
+
+
+QUERIES["q_daily_revenue_kpss"] = q_daily_revenue_kpss
+ORACLE_SQL["q_daily_revenue_kpss"] = """
+    WITH d AS (
+      SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day,
+             sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) / 100.0 AS y
+      FROM orders GROUP BY o_orderdate
+    ),
+    nn AS (
+      SELECT count(*) * 1.0 AS n,
+             CAST(floor(4.0 * pow(count(*) / 100.0, 0.25)) AS BIGINT) AS l
+      FROM d
+    ),
+    e AS (
+      SELECT row_number() OVER (ORDER BY day) AS rn,
+             y - (SELECT avg(y) FROM d) AS e
+      FROM d
+    ),
+    s AS (
+      SELECT sum(e) OVER (ORDER BY rn) AS s_cum FROM e
+    ),
+    g0 AS (SELECT sum(e * e) / (SELECT n FROM nn) AS g FROM e),
+    gj AS (
+      SELECT coalesce(sum(2.0 * (1.0 - (a.rn - b.rn) / ((SELECT l FROM nn)
+                                                        + 1.0))
+                          * a.e * b.e), 0.0) / (SELECT n FROM nn) AS g
+      FROM e a JOIN e b
+        ON a.rn - b.rn BETWEEN 1 AND (SELECT l FROM nn)
+    )
+    SELECT CAST(n AS BIGINT) AS n_days, l AS lag_l,
+           round((SELECT sum(s_cum * s_cum) FROM s)
+                 / (n * n * ((SELECT g FROM g0) + (SELECT g FROM gj))), 6)
+               AS kpss_eta
+    FROM nn
+"""
+
+
+def q_daily_revenue_variance_ratio(sf_dir: str):
+    """Lo-MacKinlay variance-ratio test (q = 5) on cumulative daily
+    revenue: VR(q) = σ̂²_q/σ̂²₁ where σ̂²₁ is the variance of 1-day
+    increments and σ̂²_q the overlap-estimated variance of q-day
+    increments scaled by q, with the unbiased m = q(n−q+1)(1−q/n)
+    normalizer — VR≈1 for a random walk, <1 mean-reverting, >1
+    trending; plus the homoskedastic z = (VR−1)/√(2(2q−1)(q−1)/(3qn)).
+    Increments use row-order day steps over the calendar-bounded daily
+    table (one combiner; vectorized finalize)."""
+    from ..stages.agg import grouped_map, round_like_duckdb
+
+    daily = _daily_order_revenue_cents(sf_dir)
+    q = 5
+
+    def finalize(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "n_steps": pa.array([], pa.int64()),
+            "vr_q": pa.array([], pa.float64()),
+            "z": pa.array([], pa.float64()),
+        })
+        if t.num_rows < q + 2:
+            return empty
+        t = t.sort_by([("day", "ascending")])
+        lvl = np.cumsum(
+            t.column("c").to_numpy(zero_copy_only=False).astype(
+                np.float64) / 100.0)
+        d = np.diff(lvl)
+        n = len(d)
+        mu = (lvl[-1] - lvl[0]) / n
+        s1 = float(((d - mu) ** 2).sum()) / (n - 1.0)
+        qsum = lvl[q:] - lvl[:-q]
+        m = q * (n - q + 1.0) * (1.0 - q / n)
+        sq = float(((qsum - q * mu) ** 2).sum()) / m
+        if s1 <= 0.0:
+            return empty
+        vr = sq / s1
+        se = np.sqrt(2.0 * (2.0 * q - 1.0) * (q - 1.0) / (3.0 * q * n))
+        z = (vr - 1.0) / se
+        out = pa.table({
+            "n_steps": pa.array([n], pa.int64()),
+            "vr_q": pa.array([vr], pa.float64()),
+            "z": pa.array([z], pa.float64()),
+        })
+        for name in ("vr_q", "z"):
+            idx = out.column_names.index(name)
+            out = out.set_column(
+                idx, name, round_like_duckdb(out.column(name), 6))
+        return out
+
+    out = grouped_map(daily.map_batches(_add_g, batch_format="pyarrow"),
+                      "__g", finalize, per_group=False)
+    return out.map_batches(
+        lambda b: b.select(["n_steps", "vr_q", "z"]),
+        batch_format="pyarrow")
+
+
+QUERIES["q_daily_revenue_variance_ratio"] = q_daily_revenue_variance_ratio
+ORACLE_SQL["q_daily_revenue_variance_ratio"] = """
+    WITH d AS (
+      SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day,
+             sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) / 100.0 AS y
+      FROM orders GROUP BY o_orderdate
+    ),
+    lv AS (
+      SELECT row_number() OVER (ORDER BY day) AS rn,
+             sum(y) OVER (ORDER BY day) AS lvl
+      FROM d
+    ),
+    nn AS (SELECT count(*) - 1.0 AS n FROM lv),
+    mu AS (
+      SELECT ((SELECT lvl FROM lv ORDER BY rn DESC LIMIT 1)
+              - (SELECT lvl FROM lv ORDER BY rn LIMIT 1))
+             / (SELECT n FROM nn) AS mu
+    ),
+    d1 AS (
+      SELECT lvl - lag(lvl) OVER (ORDER BY rn) AS d FROM lv
+    ),
+    s1 AS (
+      SELECT sum(pow(d - (SELECT mu FROM mu), 2))
+             / ((SELECT n FROM nn) - 1.0) AS s1
+      FROM d1 WHERE d IS NOT NULL
+    ),
+    dq AS (
+      SELECT lvl - lag(lvl, 5) OVER (ORDER BY rn) AS dq FROM lv
+    ),
+    sq AS (
+      SELECT sum(pow(dq - 5.0 * (SELECT mu FROM mu), 2))
+             / (5.0 * ((SELECT n FROM nn) - 5.0 + 1.0)
+                * (1.0 - 5.0 / (SELECT n FROM nn))) AS sq
+      FROM dq WHERE dq IS NOT NULL
+    )
+    SELECT CAST((SELECT n FROM nn) AS BIGINT) AS n_steps,
+           round(sq / s1, 6) AS vr_q,
+           round((sq / s1 - 1.0)
+                 / sqrt(2.0 * 9.0 * 4.0 / (15.0 * (SELECT n FROM nn))), 6)
+               AS z
+    FROM s1, sq
+"""
+
+
+def q_daily_granger_orders_revenue(sf_dir: str):
+    """Granger-causality screen: does yesterday's ORDER COUNT predict
+    today's revenue beyond yesterday's revenue itself?  Restricted model
+    yₜ ~ yₜ₋₁ vs unrestricted yₜ ~ yₜ₋₁ + xₜ₋₁ (closed-form 2×2 normal
+    equations, the same Cramer tree as the two-predictor OLS), F =
+    (RSS_r − RSS_u)/(RSS_u/(n−3)) — the lead-lag dependency test behind
+    "is volume a leading indicator".  Row-order day steps; one combiner
+    collapses orders to the daily (revenue, count) table."""
+    from ..stages.agg import grouped_map, round_like_duckdb
+
+    ords = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(b.column("o_orderdate"), pa.int64()),
+                        pa.scalar(86_400_000_000, pa.int64()))
+        cents = pc.cast(pc.round(pc.multiply(
+            b.column("o_totalprice"), pa.scalar(100.0, pa.float64()))),
+            pa.int64())
+        return pa.table({"day": day, "c": cents})
+
+    daily = grouped_agg(ords.map_batches(prep, batch_format="pyarrow"),
+                        ["day"], [("c", "c", "sum"),
+                                  ("cnt", "c", "count")],
+                        sum_as_float=False)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "n_obs": pa.array([], pa.int64()),
+            "f_stat": pa.array([], pa.float64()),
+            "b_lag_orders": pa.array([], pa.float64()),
+        })
+        if t.num_rows < 6:
+            return empty
+        t = t.sort_by([("day", "ascending")])
+        rev = t.column("c").to_numpy(zero_copy_only=False).astype(
+            np.float64) / 100.0
+        cnt = t.column("cnt").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        y = rev[1:]
+        x = rev[:-1]       # lagged revenue
+        z = cnt[:-1]       # lagged order count
+        n = float(len(y))
+        cxx = float((x * x).sum()) - x.sum() ** 2 / n
+        czz = float((z * z).sum()) - z.sum() ** 2 / n
+        cyy = float((y * y).sum()) - y.sum() ** 2 / n
+        cxz = float((x * z).sum()) - x.sum() * z.sum() / n
+        cxy = float((x * y).sum()) - x.sum() * y.sum() / n
+        czy = float((z * y).sum()) - z.sum() * y.sum() / n
+        det = cxx * czz - cxz * cxz
+        if det <= 0.0 or cxx <= 0.0:
+            return empty
+        b1 = (czz * cxy - cxz * czy) / det
+        b2 = (cxx * czy - cxz * cxy) / det
+        rss_u = cyy - b1 * cxy - b2 * czy
+        rss_r = cyy - cxy * cxy / cxx
+        f = ((rss_r - rss_u) / (rss_u / (n - 3.0))
+             if rss_u > 0.0 else None)
+        out = pa.table({
+            "n_obs": pa.array([int(n)], pa.int64()),
+            "f_stat": pa.array([f], pa.float64()),
+            "b_lag_orders": pa.array([b2], pa.float64()),
+        })
+        for name in ("f_stat", "b_lag_orders"):
+            idx = out.column_names.index(name)
+            out = out.set_column(
+                idx, name, round_like_duckdb(out.column(name), 6))
+        return out
+
+    out = grouped_map(daily.map_batches(_add_g, batch_format="pyarrow"),
+                      "__g", finalize, per_group=False)
+    return out.map_batches(
+        lambda b: b.select(["n_obs", "f_stat", "b_lag_orders"]),
+        batch_format="pyarrow")
+
+
+QUERIES["q_daily_granger_orders_revenue"] = q_daily_granger_orders_revenue
+ORACLE_SQL["q_daily_granger_orders_revenue"] = """
+    WITH d AS (
+      SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day,
+             sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) / 100.0 AS y,
+             count(*) * 1.0 AS cnt
+      FROM orders GROUP BY 1
+    ),
+    l AS (
+      SELECT y, lag(y) OVER (ORDER BY day) AS x,
+             lag(cnt) OVER (ORDER BY day) AS z
+      FROM d
+    ),
+    p AS (SELECT y, x, z FROM l WHERE x IS NOT NULL),
+    g AS (
+      SELECT count(*) * 1.0 AS n,
+             sum(x) AS sx, sum(z) AS sz, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(z * z) AS szz, sum(y * y) AS syy,
+             sum(x * z) AS sxz, sum(x * y) AS sxy, sum(z * y) AS szy
+      FROM p
+    ),
+    c AS (
+      SELECT n,
+             sxx - sx * sx / n AS cxx, szz - sz * sz / n AS czz,
+             syy - sy * sy / n AS cyy, sxz - sx * sz / n AS cxz,
+             sxy - sx * sy / n AS cxy, szy - sz * sy / n AS czy
+      FROM g
+    ),
+    b AS (
+      SELECT n, cyy, cxy, czy, cxx,
+             (czz * cxy - cxz * czy) / (cxx * czz - cxz * cxz) AS b1,
+             (cxx * czy - cxz * cxy) / (cxx * czz - cxz * cxz) AS b2
+      FROM c
+    )
+    SELECT CAST(n AS BIGINT) AS n_obs,
+           round(((cyy - cxy * cxy / cxx) - (cyy - b1 * cxy - b2 * czy))
+                 / ((cyy - b1 * cxy - b2 * czy) / (n - 3.0)), 6) AS f_stat,
+           round(b2, 6) AS b_lag_orders
+    FROM b
+"""
