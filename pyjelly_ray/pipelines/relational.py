@@ -24586,3 +24586,237 @@ ORACLE_SQL["q_daily_granger_orders_revenue"] = """
            round(b2, 6) AS b_lag_orders
     FROM b
 """
+
+
+def q_embedding_isotropy(sf_dir: str):
+    """Isotropy screen of the embedding space: the EXACT mean pairwise
+    cosine over all n(n−1) ordered pairs via the sum-vector identity
+    mean = (‖Σuᵢ‖² − n)/(n(n−1)) on the L2-normalized vectors — ≈0 for
+    an isotropic cloud, →1 when the space collapses into a narrow cone
+    (the classic anisotropy failure of contextual embeddings).  NO pairs
+    ever materialize: one map computes per-batch partial Σu per
+    dimension, one 64-row combiner merges them — O(n·d) total."""
+    from ..stages.agg import round_like_duckdb
+
+    emb = _read(sf_dir, "embeddings", ["embedding"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        arr = b.column("embedding")
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        m = np.asarray(arr.values.to_numpy(zero_copy_only=False),
+                       np.float64).reshape(len(arr), -1)
+        u = m / np.sqrt((m * m).sum(axis=1, keepdims=True))
+        s = u.sum(axis=0)
+        d = len(s)
+        return pa.table({
+            "dim": pa.array(np.arange(d, dtype=np.int64)),
+            "s": pa.array(s, pa.float64()),
+        })
+
+    g = _to_table(grouped_agg(
+        emb.map_batches(partial, batch_format="pyarrow"), ["dim"],
+        [("s", "s", "sum")]))
+    empty = pa.table({
+        "n_vectors": pa.array([], pa.int64()),
+        "mean_pairwise_cos": pa.array([], pa.float64()),
+    })
+    if g.num_rows == 0:
+        return empty
+    n = int(_to_table(grouped_agg(
+        emb.map_batches(
+            lambda b: _add_g(pa.table(
+                {"one": pa.array(np.ones(b.num_rows, np.int64))})),
+            batch_format="pyarrow"),
+        ["__g"], [("n", "one", "sum")],
+        sum_as_float=False)).column("n")[0].as_py())
+    if n < 2:
+        return empty
+    s = g.column("s").to_numpy(zero_copy_only=False)
+    mean_cos = (float((s * s).sum()) - n) / (n * (n - 1.0))
+    out = pa.table({
+        "n_vectors": pa.array([n], pa.int64()),
+        "mean_pairwise_cos": pa.array([mean_cos], pa.float64()),
+    })
+    return out.set_column(
+        1, "mean_pairwise_cos",
+        round_like_duckdb(out.column("mean_pairwise_cos"), 6))
+
+
+QUERIES["q_embedding_isotropy"] = q_embedding_isotropy
+ORACLE_SQL["q_embedding_isotropy"] = """
+    WITH u AS (
+      SELECT vec_id, gs.i AS dim,
+             CAST(embedding[gs.i + 1] AS DOUBLE)
+               / sqrt(list_sum(list_transform(
+                   embedding, x -> CAST(x AS DOUBLE) * x))) AS u
+      FROM embeddings CROSS JOIN range(64) AS gs(i)
+      WHERE gs.i < len(embedding)
+    ),
+    s AS (SELECT dim, sum(u) AS s FROM u GROUP BY dim),
+    nn AS (SELECT count(*) * 1.0 AS n FROM embeddings)
+    SELECT CAST(n AS BIGINT) AS n_vectors,
+           round((sum(s * s) - n) / (n * (n - 1.0)), 6)
+               AS mean_pairwise_cos
+    FROM s, nn
+    GROUP BY n
+"""
+
+
+def q_embedding_norm_profile(sf_dir: str):
+    """Per-label L2-norm profile of the embeddings: mean, sample std,
+    min and max vector norm per class — the norm-collapse /
+    norm-explosion QA check (a class whose norms crater is about to be
+    unretrievable under dot-product search even if directions are fine).
+    Pure map to the norm scalar + one mergeable-moment combiner."""
+    from ..stages.agg import round_like_duckdb
+
+    emb = _read(sf_dir, "embeddings", ["embedding", "label"])
+
+    def norms(b: pa.Table) -> pa.Table:
+        arr = b.column("embedding")
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        m = np.asarray(arr.values.to_numpy(zero_copy_only=False),
+                       np.float64).reshape(len(arr), -1)
+        nrm = np.sqrt((m * m).sum(axis=1))
+        return pa.table({
+            "label": pc.cast(b.column("label"), pa.int64()),
+            "nrm": pa.array(nrm, pa.float64()),
+            "nrm2": pa.array(nrm * nrm, pa.float64()),
+        })
+
+    g = grouped_agg(emb.map_batches(norms, batch_format="pyarrow"),
+                    ["label"],
+                    [("n", "nrm", "count"), ("s", "nrm", "sum"),
+                     ("ss", "nrm2", "sum"), ("mn", "nrm", "min"),
+                     ("mx", "nrm", "max")])
+
+    def finalize(b: pa.Table) -> pa.Table:
+        n = pc.cast(b.column("n"), pa.float64())
+        s = b.column("s")
+        ss = b.column("ss")
+        mean = pc.divide(s, n)
+        var = pc.divide(
+            pc.subtract(ss, pc.divide(pc.multiply(s, s), n)),
+            pc.subtract(n, pa.scalar(1.0, pa.float64())))
+        sd = pc.sqrt(pc.max_element_wise(
+            var, pa.scalar(0.0, pa.float64())))
+        return pa.table({
+            "label": b.column("label"),
+            "n_vectors": pc.cast(b.column("n"), pa.int64()),
+            "mean_norm": round_like_duckdb(mean, 6),
+            "std_norm": round_like_duckdb(sd, 6),
+            "min_norm": round_like_duckdb(b.column("mn"), 6),
+            "max_norm": round_like_duckdb(b.column("mx"), 6),
+        })
+
+    return g.map_batches(finalize, batch_format="pyarrow")
+
+
+QUERIES["q_embedding_norm_profile"] = q_embedding_norm_profile
+ORACLE_SQL["q_embedding_norm_profile"] = """
+    WITH n AS (
+      SELECT CAST(label AS BIGINT) AS label,
+             sqrt(list_sum(list_transform(
+                 embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm
+      FROM embeddings
+    )
+    SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
+           round(avg(nrm), 6) AS mean_norm,
+           round(sqrt(greatest(
+               (sum(nrm * nrm) - sum(nrm) * sum(nrm) / count(*))
+               / (count(*) - 1.0), 0.0)), 6) AS std_norm,
+           round(min(nrm), 6) AS min_norm,
+           round(max(nrm), 6) AS max_norm
+    FROM n GROUP BY label
+"""
+
+
+def q_embedding_centroid_cos(sf_dir: str):
+    """Label-centroid confusability map: cosine similarity between every
+    pair of class centroids — which classes the embedding space has
+    nearly merged (the geometry behind the 1-NN confusion counts).  One
+    per-(label, dim) combiner collapses the vectors to k·d centroid
+    sums; the k(k−1)/2 cosines materialize only in the tiny finalize."""
+    from ..stages.agg import grouped_map, round_like_duckdb
+
+    emb = _read(sf_dir, "embeddings", ["embedding", "label"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        arr = b.column("embedding")
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        m = np.asarray(arr.values.to_numpy(zero_copy_only=False),
+                       np.float64).reshape(len(arr), -1)
+        lab = b.column("label").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        d = m.shape[1]
+        return pa.table({
+            "label": pa.array(np.repeat(lab, d)),
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int64),
+                                    len(lab))),
+            "x": pa.array(m.ravel(), pa.float64()),
+        })
+
+    g = grouped_agg(emb.map_batches(partial, batch_format="pyarrow"),
+                    ["label", "dim"],
+                    [("s", "x", "sum"), ("n", "x", "count")])
+
+    def finalize(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "label_a": pa.array([], pa.int64()),
+            "label_b": pa.array([], pa.int64()),
+            "centroid_cos": pa.array([], pa.float64()),
+        })
+        if t.num_rows == 0:
+            return empty
+        df = t.to_pandas()
+        df["c"] = df["s"] / df["n"]
+        piv = df.pivot_table(index="label", columns="dim", values="c")
+        labs = [int(x) for x in piv.index]
+        m = piv.to_numpy(dtype=np.float64)
+        nrm = np.sqrt((m * m).sum(axis=1))
+        la, lb, cs = [], [], []
+        for i in range(len(labs)):
+            for j2 in range(i + 1, len(labs)):
+                la.append(labs[i])
+                lb.append(labs[j2])
+                cs.append(float((m[i] * m[j2]).sum())
+                          / (nrm[i] * nrm[j2]))
+        out = pa.table({
+            "label_a": pa.array(la, pa.int64()),
+            "label_b": pa.array(lb, pa.int64()),
+            "centroid_cos": pa.array(cs, pa.float64()),
+        })
+        return out.set_column(
+            2, "centroid_cos",
+            round_like_duckdb(out.column("centroid_cos"), 6))
+
+    out = grouped_map(g.map_batches(_add_g, batch_format="pyarrow"),
+                      "__g", finalize, per_group=False)
+    return out.map_batches(
+        lambda b: b.select(["label_a", "label_b", "centroid_cos"]),
+        batch_format="pyarrow")
+
+
+QUERIES["q_embedding_centroid_cos"] = q_embedding_centroid_cos
+ORACLE_SQL["q_embedding_centroid_cos"] = """
+    WITH c AS (
+      SELECT CAST(label AS BIGINT) AS label, gs.i AS dim,
+             avg(CAST(embedding[gs.i + 1] AS DOUBLE)) AS c
+      FROM embeddings CROSS JOIN range(64) AS gs(i)
+      WHERE gs.i < len(embedding)
+      GROUP BY label, gs.i
+    ),
+    nrm AS (
+      SELECT label, sqrt(sum(c * c)) AS nrm FROM c GROUP BY label
+    )
+    SELECT a.label AS label_a, b.label AS label_b,
+           round(sum(a.c * b.c)
+                 / ((SELECT nrm FROM nrm WHERE label = a.label)
+                    * (SELECT nrm FROM nrm WHERE label = b.label)), 6)
+               AS centroid_cos
+    FROM c a JOIN c b ON a.dim = b.dim AND a.label < b.label
+    GROUP BY a.label, b.label
+"""
