@@ -147,7 +147,10 @@ def grouped_running(ds, *, key: str, order_col: str, value_col: str,
                 is_int = kind in ("row_number", "rank", "dense_rank") or (
                     isinstance(kind, tuple) and kind[0] == "ntile"
                 )  # nth_value stays float64 (default branch)
-                typ = pa.int64() if is_int else pa.float64()
+                if kind in ("lag_any", "lead_any"):
+                    typ = t.schema.field(value_col).type
+                else:
+                    typ = pa.int64() if is_int else pa.float64()
                 out = out.append_column(name, pa.array([], typ))
             return out
         t = t.sort_by(sort_keys)
@@ -156,7 +159,13 @@ def grouped_running(ds, *, key: str, order_col: str, value_col: str,
         grp_start = np.repeat(bounds[:-1], np.diff(bounds))
         grp_size = np.repeat(np.diff(bounds), np.diff(bounds))
         idx = np.arange(t.num_rows)
-        vals = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        _no_float = {"row_number", "rank", "dense_rank", "percent_rank",
+                     "cume_dist", "lag_any", "lead_any"}
+        if all(kind in _no_float for _, kind in kinds):
+            vals = None  # type-generic kinds never touch the float view
+        else:
+            vals = t.column(value_col).to_numpy(
+                zero_copy_only=False).astype(np.float64)
         rank_kinds = {"rank", "dense_rank", "percent_rank", "cume_dist"}
         if any(kind in rank_kinds for _, kind in kinds):
             # peer groups: rows equal on (key, order_col) share a rank.
@@ -311,6 +320,21 @@ def grouped_running(ds, *, key: str, order_col: str, value_col: str,
                 col_np = np.where(idx - grp_start < k, np.nan, lagged)
                 col = pa.array(col_np, pa.float64())
                 col = pc.if_else(pc.is_nan(col), pa.scalar(None, pa.float64()), col)
+            elif kind in ("lag_any", "lead_any"):
+                # type-generic lag/lead: one Arrow take with null-masked
+                # shifted indices — strings/timestamps keep their type
+                # (the float kinds above predate this and stay float64
+                # for their existing callers)
+                arr = t.column(value_col).combine_chunks()
+                if kind == "lag_any":
+                    src = idx - 1
+                    bad = idx == grp_start
+                else:
+                    src = idx + 1
+                    bad = idx == grp_start + grp_size - 1
+                iarr = pa.array(np.where(bad, 0, src), pa.int64(),
+                                mask=bad)
+                col = arr.take(iarr)
             elif kind == "lead":
                 led = np.roll(vals, -1)
                 col_np = np.where(idx == grp_start + grp_size - 1, np.nan, led)
