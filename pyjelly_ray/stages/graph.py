@@ -585,3 +585,99 @@ def kcore(edges, *, src: str = "src", dst: str = "dst", k: int = 2,
             return nxt
         cur, n = nxt, n2
     return cur
+
+
+def eigencentrality(edges, *, src: str = "src", dst: str = "dst",
+                    iters: int = 5, num_partitions: int | None = None,
+                    round_to: int | None = 8):
+    """Eigenvector centrality by power iteration over a (pre-symmetrized
+    if undirected) edge Dataset: x ← A·x / ‖A·x‖₂, starting from the
+    all-ones vector over the nodes that appear in the edge list.
+
+    Per iteration: one ``hash_join(post=)`` on ``src`` whose reduce folds
+    per-``dst`` PARTIAL contribution sums (exchange output ≤ |dst ∩
+    partition| rows), one combiner merge, one scalar L2-norm fold (the
+    only driver value), one broadcast divide — O(|edges|/cluster), no
+    driver vectors, same scale shape as :func:`pagerank`.  Nodes whose
+    in-neighborhood sums to zero keep centrality 0 through the left
+    join with the node table.
+
+    Returns ``(node, centrality)`` rounded to ``round_to``.
+    """
+    import numpy as np
+    import ray
+
+    from ..state.exchange import default_partitions
+    from .agg import grouped_agg, round_like_duckdb
+    from .joins import hash_join
+
+    num_partitions = num_partitions or default_partitions()
+    schema = edges.schema()
+    schema = getattr(schema, "base_schema", schema)
+    if schema is None or edges.count() == 0:
+        typ = pa.string() if schema is None else schema.field(src).type
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array([], typ),
+            "centrality": pa.array([], pa.float64())}))
+    edges = edges.materialize()
+    nodes = distinct_nodes(edges, src, dst, "node",
+                           num_partitions=num_partitions).materialize()
+
+    x = nodes.map_batches(
+        lambda b: b.append_column(
+            "centrality", pa.array([1.0] * b.num_rows, pa.float64())),
+        batch_format="pyarrow").materialize()
+
+    def post_contrib(t: pa.Table) -> pa.Table:
+        part = (t.select([dst, "centrality"])
+                .group_by(dst).aggregate([("centrality", "sum")]))
+        return part.rename_columns([dst, "c"])
+
+    for _ in range(iters):
+        contrib = hash_join(edges, x, left_key=src, right_key="node",
+                            num_partitions=num_partitions,
+                            post=post_contrib)
+        summed = grouped_agg(contrib, [dst], [("c", "c", "sum")],
+                             num_partitions=num_partitions)
+        nrm_t = summed.map_batches(
+            lambda b: pa.table({"q": pa.array(
+                [pc.sum(pc.multiply(b.column("c"),
+                                    b.column("c"))).as_py() or 0.0],
+                pa.float64())}),
+            batch_format="pyarrow")
+        sq = 0.0
+        for blk in nrm_t.iter_batches(batch_format="pyarrow"):
+            if blk.num_columns and blk.num_rows:
+                v = pc.sum(blk.column("q")).as_py()
+                sq += v if v is not None else 0.0
+        nrm = float(np.sqrt(sq)) if sq > 0.0 else 1.0
+
+        def renorm(b: pa.Table, _n=nrm) -> pa.Table:
+            return pa.table({
+                "node": b.column(dst),
+                "centrality": pc.divide(b.column("c"),
+                                        pa.scalar(_n, pa.float64()))})
+
+        got = summed.map_batches(renorm, batch_format="pyarrow")
+        # keep zero-in-degree nodes in the vector (left join via union:
+        # nodes absent from `got` re-enter with centrality 0)
+        present = got.materialize()
+        absent = hash_join(nodes, present, left_key="node",
+                           right_key="node", how="left anti",
+                           num_partitions=num_partitions)
+        absent0 = absent.map_batches(
+            lambda b: pa.table({
+                "node": b.column("node"),
+                "centrality": pa.array([0.0] * b.num_rows,
+                                       pa.float64())}),
+            batch_format="pyarrow")
+        x = present.union(absent0).materialize()
+
+    if round_to is not None:
+        x = x.map_batches(
+            lambda b: pa.table({
+                "node": b.column("node"),
+                "centrality": round_like_duckdb(b.column("centrality"),
+                                                round_to)}),
+            batch_format="pyarrow")
+    return x
