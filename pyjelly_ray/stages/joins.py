@@ -515,6 +515,108 @@ def asof_join_forward(
     return grouped_map(unioned, "_key", merge)
 
 
+def asof_join_nearest(
+    left,
+    right,
+    *,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    right_value: str,
+    out_value: str | None = None,
+    left_cols: dict[str, "pa.DataType"] | None = None,
+):
+    """NEAREST as-of join: for each left row, the right row whose
+    ``right_ts`` is closest in absolute time within the same key
+    (left-join semantics; ties at equal distance break to the EARLIER
+    right row, matching the two-sided-ASOF SQL idiom).
+
+    Same shape as :func:`asof_join_forward` — one union, one keyed
+    shuffle, a vectorized two-sided searchsorted merge per key
+    partition; cost is one exchange regardless of how lopsided the
+    sides are.  Equal-timestamp right rows dedupe to the minimum
+    ``right_value`` (deterministic)."""
+    import numpy as np
+
+    out_value = out_value or right_value
+    left_cols = left_cols or {left_key: pa.int64(),
+                              left_ts: pa.timestamp("us")}
+
+    def tag_left(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        cols = {
+            "_key": b.column(left_key),
+            "_side": pa.array(np.zeros(n, np.int8)),
+            "_ts": b.column(left_ts),
+            "_rv": pa.nulls(n, pa.int64()),
+        }
+        for c in left_cols:
+            cols[c] = b.column(c)
+        return pa.table(cols)
+
+    def tag_right(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        cols = {
+            "_key": b.column(right_key),
+            "_side": pa.array(np.ones(n, np.int8)),
+            "_ts": pc.cast(b.column(right_ts),
+                           left_cols.get(left_ts, pa.timestamp("us"))),
+            "_rv": pc.cast(b.column(right_value), pa.int64()),
+        }
+        for c, typ in left_cols.items():
+            cols[c] = pa.nulls(n, typ)
+        return pa.table(cols)
+
+    lt = left.map_batches(tag_left, batch_format="pyarrow",
+                          batch_size=None)
+    rt = right.map_batches(tag_right, batch_format="pyarrow",
+                           batch_size=None)
+    unioned = lt.union(rt)
+
+    def merge(group: pa.Table) -> pa.Table:
+        mask = pc.equal(group.column("_side"), 0)
+        lpart = group.filter(mask)
+        rpart = group.filter(pc.invert(mask))
+        out = {c: lpart.column(c) for c in left_cols}
+        if lpart.num_rows == 0:
+            out[out_value] = pa.nulls(0, pa.int64())
+            return pa.table(out)
+        if rpart.num_rows == 0:
+            out[out_value] = pa.nulls(lpart.num_rows, pa.int64())
+            return pa.table(out)
+        rpart = rpart.sort_by([("_ts", "ascending"), ("_rv", "ascending")])
+        rts = pc.cast(rpart.column("_ts"), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        lts = pc.cast(lpart.column("_ts"), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        rv = rpart.column("_rv").to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(rts, lts, side="left")   # first rts >= lts
+        has_next = idx < len(rts)
+        has_prev = idx > 0
+        d_next = np.where(has_next,
+                          rts[np.minimum(idx, len(rts) - 1)] - lts,
+                          np.iinfo(np.int64).max)
+        # previous run: step to the FIRST index of its equal-ts run so
+        # the tie-break (min right_value at that ts) matches forward's
+        prev_i = np.maximum(idx - 1, 0)
+        prev_first = np.searchsorted(rts, rts[prev_i], side="left")
+        d_prev = np.where(has_prev, lts - rts[prev_i],
+                          np.iinfo(np.int64).max)
+        # ties at equal distance go to the EARLIER (previous) row
+        take_prev = (d_prev <= d_next) & has_prev
+        pick = np.where(take_prev, prev_first,
+                        np.minimum(idx, len(rts) - 1))
+        valid = has_prev | has_next
+        out[out_value] = pa.array(
+            np.where(valid, rv[pick], 0), pa.int64(), mask=~valid)
+        return pa.table(out)
+
+    from .agg import grouped_map
+
+    return grouped_map(unioned, "_key", merge)
+
+
 def hash_join_skew(left, right, *, left_key: str,
                    right_key: str | None = None, how: str = "inner",
                    hot_keys=None, detect_top: int = 16,
