@@ -415,7 +415,7 @@ def dedup_and_write_kg_shards(
     hop 1: per-bucket global dedup → assign (salted, dense) shard ids
     hop 2: per-shard sorted sequential Jelly encode + manifest/resume
     """
-    from ..stages.dedup import N_BUCKETS, add_tkey, dedup_block
+    from ..stages.dedup import add_tkey, auto_buckets, dedup_block
     from ..state.exchange import fused_two_hop_exchange
 
     total = sum(repo_counts.values()) if repo_counts else None
@@ -431,7 +431,9 @@ def dedup_and_write_kg_shards(
         # raise the cap or split the input (buckets are hash-disjoint, so
         # jobs over key ranges compose).
         n_buckets = (
-            min(1024, max(8, int(total // 200_000) + 1)) if total else N_BUCKETS
+            min(1024, max(8, int(total // 200_000) + 1))
+            if total
+            else auto_buckets(ds=ds)
         )
     if total:
         # size-aware fan-out: the per-shard encode is a sequential fold (format
@@ -469,7 +471,6 @@ def dedup_and_write_kg_shards(
 
 try:  # Datasink requires ray at import; keep module importable without it
     from ray.data import Datasink
-    from ray.data._internal.execution.interfaces import TaskContext
     from ray.data.block import Block, BlockAccessor
 
     class JellyDatasink(Datasink):
@@ -483,7 +484,10 @@ try:  # Datasink requires ray at import; keep module importable without it
         def on_write_start(self) -> None:
             os.makedirs(self.path, exist_ok=True)
 
-        def write(self, blocks, ctx: "TaskContext"):
+        def write(self, blocks, ctx):
+            # ctx is Ray's TaskContext (duck-typed here: only .task_idx is
+            # used, so no import from ray.data._internal — a private module
+            # whose path moves across Ray releases).
             idx = ctx.task_idx
             out = os.path.join(self.path, f"part-{idx:06d}.jelly")
             tables = [

@@ -32,8 +32,38 @@ STMT_COLS = ("s_kind", "s_value", "p_kind", "p_value", "o_kind", "o_value", "o_l
 _SEP = "\x1f"
 _NULL = "\x00"
 
-#: global dedup fan-out; at 100 TB raise to ~#cores in the cluster
-N_BUCKETS = 64
+#: target rows per dedup bucket — keeps a bucket's reduce working set
+#: roughly LLC-sized (measured in sinks/jelly_sink.py: capping fan-out made
+#: per-bucket rows grow with the corpus and the reduce superlinear).
+ROWS_PER_BUCKET = 200_000
+
+#: hard fan-out ceiling; 65k buckets × 200k rows ≈ 1.3e10 statements/job —
+#: beyond that split the input by key range (buckets are hash-disjoint).
+MAX_BUCKETS = 65_536
+
+
+def auto_buckets(est_rows: int | None = None, ds=None) -> int:
+    """Data-driven dedup fan-out: ~ROWS_PER_BUCKET rows per bucket.
+
+    ``est_rows`` is the caller's pre-dedup row estimate (exact when the
+    pipeline already counted, e.g. repo_counts in the KG sink).  Without
+    it we ask the Dataset for a metadata-backed count (cheap for parquet
+    reads; never forces execution — unknown ⇒ fall back to the exchange
+    default fan-out scaled 4×, which a 100-TB caller overrides via
+    GRAFT_NUM_PARTITIONS).
+    """
+    from ..state.exchange import default_partitions
+
+    if est_rows is None and ds is not None:
+        try:  # metadata-only; returns None rather than executing the plan
+            est_rows = ds._meta_count()
+        except Exception:
+            est_rows = None
+    base = default_partitions()
+    if not est_rows:
+        return base * 4
+    return min(MAX_BUCKETS, max(base, int(est_rows // ROWS_PER_BUCKET) + 1))
+
 
 def _joined_stmt(batch: pa.Table) -> pa.ChunkedArray:
     cols = []
@@ -46,7 +76,7 @@ def _joined_stmt(batch: pa.Table) -> pa.ChunkedArray:
     return pc.binary_join_element_wise(*cols, _SEP)
 
 
-def add_tkey(batch: pa.Table, n_buckets: int = N_BUCKETS) -> pa.Table:
+def add_tkey(batch: pa.Table, n_buckets: int) -> pa.Table:
     """Vectorized 128-bit statement key (h1, h2) + int shuffle bucket."""
     import polars as pl
 
@@ -110,16 +140,24 @@ def strip_key_columns(batch: pa.Table) -> pa.Table:
     return batch.drop_columns(drop) if drop else batch
 
 
-def dedup_exact(ds, n_buckets: int = N_BUCKETS, *, strategy: str = "sort"):
+def dedup_exact(ds, n_buckets: int | None = None, *, est_rows: int | None = None,
+                strategy: str = "sort"):
     """Dataset-level exact dedup; deterministic representative per key.
 
     add_tkey (map_batches) → local sort+mask combine → bucket exchange →
     per-bucket sort+mask → strip key columns.
 
+    ``n_buckets`` defaults to :func:`auto_buckets` — sized from
+    ``est_rows`` (or the Dataset's metadata count when available) at
+    ~ROWS_PER_BUCKET rows/bucket, so a 10× input gets ~10× buckets instead
+    of 10× rows per bucket.
+
     ``strategy``: "sort" (Ray's groupby sort shuffle; fastest measured
     here) or "exchange" (explicit raw-task hash exchange — more objects
     through plasma, kept for clusters where the sort path degrades).
     """
+    if n_buckets is None:
+        n_buckets = auto_buckets(est_rows, ds)
     keyed = ds.map_batches(lambda b: add_tkey(b, n_buckets), batch_format="pyarrow")
     combined = keyed.map_batches(dedup_block, batch_format="pyarrow")
     if strategy == "exchange":

@@ -65,6 +65,47 @@ def broadcast_join(ds, small, *, left_key: str, right_key: str | None = None,
     return ds.map_batches(join_batch, batch_format="pyarrow", batch_size=None)
 
 
+#: per-worker-process memo for broadcast_join_refs — the small side is
+#: concatenated once per process, not once per batch
+_BCAST_REF_CACHE: dict = {}
+
+
+def broadcast_join_refs(ds, small_ds, *, left_key: str,
+                        right_key: str | None = None, how: str = "inner"):
+    """:func:`broadcast_join` without the driver hop (VERDICT r1 #3).
+
+    The small side is executed to plasma blocks and each scan task concats
+    the block REFS locally (zero-copy after the first read per node) — the
+    driver never holds the table, so a hot candidate set cannot become a
+    driver-memory cliff.  Pass a MATERIALIZED Dataset so the count/refs
+    come from metadata; callers should early-out on an empty small side
+    (an all-empty small side degrades to a key-only join that drops the
+    small side's columns).
+    """
+    import ray
+
+    right_key = right_key or left_key
+    refs = tuple(small_ds.to_arrow_refs())
+    key = (refs[0].hex() if refs else "", len(refs))
+
+    def join_batch(batch: pa.Table) -> pa.Table:
+        got = _BCAST_REF_CACHE.get(key)
+        if got is None:
+            tables = [t for t in ray.get(list(refs)) if t.num_columns]
+            got = (
+                pa.concat_tables(tables, promote_options="default")
+                if tables
+                else pa.table({right_key: pa.array([], batch.column(left_key).type)})
+            )
+            _BCAST_REF_CACHE.clear()  # one live broadcast per worker
+            _BCAST_REF_CACHE[key] = got
+        return batch.join(
+            got, keys=[left_key], right_keys=[right_key], join_type=how
+        )
+
+    return ds.map_batches(join_batch, batch_format="pyarrow", batch_size=None)
+
+
 def broadcast_semi(ds, small, *, left_key: str, right_key: str | None = None,
                    anti: bool = False):
     """Semi/anti join: keep rows whose key is (not) in the small side."""
@@ -148,6 +189,54 @@ def hash_join(left, right, *, left_key: str | list[str],
     )
 
 
+def _cast_ts(col, typ):
+    """Cast a timestamp-ish column to the join's canonical ts type.
+
+    Both sides go through this (ADVICE r1: tag_left previously skipped the
+    cast, so a caller-supplied ``left_cols`` without the ts entry silently
+    compared mismatched units).  Sub-resolution truncation is allowed —
+    the canonical type IS the join's declared resolution.
+    """
+    if col.type == typ:
+        return col
+    try:
+        return pc.cast(col, typ)
+    except pa.ArrowInvalid:
+        return pc.cast(col, options=pc.CastOptions(typ, allow_time_truncation=True))
+
+
+def _asof_split_nulls(lpart: pa.Table, rpart: pa.Table):
+    """Null-timestamp hygiene before a searchsorted merge (ADVICE r1).
+
+    Right rows with a null ``_ts`` or ``_rv`` can never match (SQL
+    comparisons with NULL are false) and, left in place, surface from
+    ``to_numpy(zero_copy_only=False)`` as float NaN arrays that corrupt
+    the int64 distance math — drop them.  Left rows with a null ``_ts``
+    keep left-join semantics: split off here, re-emitted by
+    :func:`_asof_pad` with a null out value.
+    """
+    lnull_mask = pc.is_null(lpart.column("_ts"))
+    lnull = None
+    if pc.any(lnull_mask).as_py():
+        lnull = lpart.filter(lnull_mask)
+        lpart = lpart.filter(pc.invert(lnull_mask))
+    rvalid = pc.and_(
+        pc.is_valid(rpart.column("_ts")), pc.is_valid(rpart.column("_rv"))
+    )
+    if rpart.num_rows and not pc.all(rvalid).as_py():
+        rpart = rpart.filter(rvalid)
+    return lpart, rpart, lnull
+
+
+def _asof_pad(out_table: pa.Table, lnull, left_cols, out_value: str) -> pa.Table:
+    """Append the null-``_ts`` left rows with a null joined value."""
+    if lnull is None:
+        return out_table
+    pad = {c: lnull.column(c) for c in left_cols}
+    pad[out_value] = pa.nulls(lnull.num_rows, pa.int64())
+    return pa.concat_tables([out_table, pa.table(pad)])
+
+
 def asof_join_backward(
     left,
     right,
@@ -182,13 +271,16 @@ def asof_join_backward(
     #: left columns carried to the output, with their Arrow types (needed to
     #: null-pad the right side into the same union schema)
     left_cols = left_cols or {left_key: pa.int64(), left_ts: pa.timestamp("us")}
+    # canonical ts resolution for BOTH sides (decoupled from the output-
+    # column list: left_cols may legitimately omit the ts column)
+    ts_type = left_cols.get(left_ts, pa.timestamp("us"))
 
     def tag_left(b: pa.Table) -> pa.Table:
         n = b.num_rows
         cols = {
             "_key": b.column(left_key),
             "_side": pa.array(np.zeros(n, np.int8)),
-            "_ts": b.column(left_ts),
+            "_ts": _cast_ts(b.column(left_ts), ts_type),
             "_rv": pa.nulls(n, pa.int64()),
         }
         for c in left_cols:
@@ -200,7 +292,7 @@ def asof_join_backward(
         cols = {
             "_key": b.column(right_key),
             "_side": pa.array(np.ones(n, np.int8)),
-            "_ts": pc.cast(b.column(right_ts), left_cols.get(left_ts, pa.timestamp("us"))),
+            "_ts": _cast_ts(b.column(right_ts), ts_type),
             "_rv": pc.cast(b.column(right_value), pa.int64()),
         }
         for c, typ in left_cols.items():
@@ -215,10 +307,16 @@ def asof_join_backward(
         mask = pc.equal(group.column("_side"), 0)
         lpart = group.filter(mask)
         rpart = group.filter(pc.invert(mask))
+        lpart, rpart, lnull = _asof_split_nulls(lpart, rpart)
+        if rpart.num_rows == 0 and lnull is not None:
+            # no matchable right rows: every left row (incl. null-ts) is
+            # unmatched — fold the split-off rows back in
+            lpart = pa.concat_tables([lpart, lnull])
+            lnull = None
         out = {c: lpart.column(c) for c in left_cols}
         if lpart.num_rows == 0:
             out[out_value] = pa.nulls(0, pa.int64())
-            return pa.table(out)
+            return _asof_pad(pa.table(out), lnull, left_cols, out_value)
         if rpart.num_rows == 0:
             out[out_value] = pa.nulls(lpart.num_rows, pa.int64())
             return pa.table(out)
@@ -231,7 +329,7 @@ def asof_join_backward(
         out[out_value] = pa.array(
             np.where(idx >= 0, vals, 0), pa.int64(), mask=idx < 0
         )
-        return pa.table(out)
+        return _asof_pad(pa.table(out), lnull, left_cols, out_value)
 
     from .agg import grouped_map
 
@@ -458,13 +556,16 @@ def asof_join_forward(
 
     out_value = out_value or right_value
     left_cols = left_cols or {left_key: pa.int64(), left_ts: pa.timestamp("us")}
+    # canonical ts resolution for BOTH sides (decoupled from the output-
+    # column list: left_cols may legitimately omit the ts column)
+    ts_type = left_cols.get(left_ts, pa.timestamp("us"))
 
     def tag_left(b: pa.Table) -> pa.Table:
         n = b.num_rows
         cols = {
             "_key": b.column(left_key),
             "_side": pa.array(np.zeros(n, np.int8)),
-            "_ts": b.column(left_ts),
+            "_ts": _cast_ts(b.column(left_ts), ts_type),
             "_rv": pa.nulls(n, pa.int64()),
         }
         for c in left_cols:
@@ -476,7 +577,7 @@ def asof_join_forward(
         cols = {
             "_key": b.column(right_key),
             "_side": pa.array(np.ones(n, np.int8)),
-            "_ts": pc.cast(b.column(right_ts), left_cols.get(left_ts, pa.timestamp("us"))),
+            "_ts": _cast_ts(b.column(right_ts), ts_type),
             "_rv": pc.cast(b.column(right_value), pa.int64()),
         }
         for c, typ in left_cols.items():
@@ -491,10 +592,16 @@ def asof_join_forward(
         mask = pc.equal(group.column("_side"), 0)
         lpart = group.filter(mask)
         rpart = group.filter(pc.invert(mask))
+        lpart, rpart, lnull = _asof_split_nulls(lpart, rpart)
+        if rpart.num_rows == 0 and lnull is not None:
+            # no matchable right rows: every left row (incl. null-ts) is
+            # unmatched — fold the split-off rows back in
+            lpart = pa.concat_tables([lpart, lnull])
+            lnull = None
         out = {c: lpart.column(c) for c in left_cols}
         if lpart.num_rows == 0:
             out[out_value] = pa.nulls(0, pa.int64())
-            return pa.table(out)
+            return _asof_pad(pa.table(out), lnull, left_cols, out_value)
         if rpart.num_rows == 0:
             out[out_value] = pa.nulls(lpart.num_rows, pa.int64())
             return pa.table(out)
@@ -508,7 +615,7 @@ def asof_join_forward(
         out[out_value] = pa.array(
             np.where(valid, vals, 0), pa.int64(), mask=~valid
         )
-        return pa.table(out)
+        return _asof_pad(pa.table(out), lnull, left_cols, out_value)
 
     from .agg import grouped_map
 
@@ -542,13 +649,14 @@ def asof_join_nearest(
     out_value = out_value or right_value
     left_cols = left_cols or {left_key: pa.int64(),
                               left_ts: pa.timestamp("us")}
+    ts_type = left_cols.get(left_ts, pa.timestamp("us"))
 
     def tag_left(b: pa.Table) -> pa.Table:
         n = b.num_rows
         cols = {
             "_key": b.column(left_key),
             "_side": pa.array(np.zeros(n, np.int8)),
-            "_ts": b.column(left_ts),
+            "_ts": _cast_ts(b.column(left_ts), ts_type),
             "_rv": pa.nulls(n, pa.int64()),
         }
         for c in left_cols:
@@ -560,8 +668,7 @@ def asof_join_nearest(
         cols = {
             "_key": b.column(right_key),
             "_side": pa.array(np.ones(n, np.int8)),
-            "_ts": pc.cast(b.column(right_ts),
-                           left_cols.get(left_ts, pa.timestamp("us"))),
+            "_ts": _cast_ts(b.column(right_ts), ts_type),
             "_rv": pc.cast(b.column(right_value), pa.int64()),
         }
         for c, typ in left_cols.items():
@@ -578,10 +685,16 @@ def asof_join_nearest(
         mask = pc.equal(group.column("_side"), 0)
         lpart = group.filter(mask)
         rpart = group.filter(pc.invert(mask))
+        lpart, rpart, lnull = _asof_split_nulls(lpart, rpart)
+        if rpart.num_rows == 0 and lnull is not None:
+            # no matchable right rows: every left row (incl. null-ts) is
+            # unmatched — fold the split-off rows back in
+            lpart = pa.concat_tables([lpart, lnull])
+            lnull = None
         out = {c: lpart.column(c) for c in left_cols}
         if lpart.num_rows == 0:
             out[out_value] = pa.nulls(0, pa.int64())
-            return pa.table(out)
+            return _asof_pad(pa.table(out), lnull, left_cols, out_value)
         if rpart.num_rows == 0:
             out[out_value] = pa.nulls(lpart.num_rows, pa.int64())
             return pa.table(out)
@@ -610,7 +723,7 @@ def asof_join_nearest(
         valid = has_prev | has_next
         out[out_value] = pa.array(
             np.where(valid, rv[pick], 0), pa.int64(), mask=~valid)
-        return pa.table(out)
+        return _asof_pad(pa.table(out), lnull, left_cols, out_value)
 
     from .agg import grouped_map
 

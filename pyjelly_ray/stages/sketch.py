@@ -384,7 +384,8 @@ class BloomFilter:
 def build_bloom(ds, col: str, *, n_expected: int, fp_rate: float = 0.01) -> BloomFilter:
     """Build a Bloom filter of ``ds[col]`` (one pass, partial OR per block).
 
-    Partials are per-block bitmaps OR-merged on the driver — bitmap size is
+    Partials are per-block bitmaps OR-merged by an O(log blocks) tree of
+    Ray tasks (the driver receives exactly ONE bitmap) — bitmap size is
     fixed by (n_expected, fp_rate) regardless of row count, the same
     bounded-state shape as the other sketches.  Broadcast the result with
     ``ray.put`` into :func:`bloom_semi` to pre-filter a big table by a big
@@ -393,17 +394,46 @@ def build_bloom(ds, col: str, *, n_expected: int, fp_rate: float = 0.01) -> Bloo
     orders of magnitude smaller input).
     """
 
+    import ray
+
     def partial(b: pa.Table):
         bf = BloomFilter(n_expected, fp_rate)
         if b.num_rows:
             bf.add_hashes(_hash64(b.column(col)))
         return pa.table({"_bloom": pa.array([bf.bits.tobytes()], pa.binary())})
 
-    acc = BloomFilter(n_expected, fp_rate)
-    for row in ds.map_batches(
+    @ray.remote
+    def _or_tables(*tables: pa.Table) -> pa.Table:
+        acc = None
+        for t in tables:
+            if "_bloom" not in t.column_names:  # skipped-UDF empty block
+                continue
+            for v in t.column("_bloom").to_pylist():
+                a = np.frombuffer(v, np.uint64)
+                acc = a.copy() if acc is None else (acc | a)
+        if acc is None:
+            return pa.table({"_bloom": pa.array([], pa.binary())})
+        return pa.table({"_bloom": pa.array([acc.tobytes()], pa.binary())})
+
+    # tree-reduce the partials (VERDICT r1 #5): with n_expected=1e10 each
+    # bitmap is ~1.5 GB — an O(blocks) driver fold would stream every one
+    # through the driver; the O(log blocks) tree keeps peak driver traffic
+    # at ONE bitmap and parallelizes the ORs across the cluster
+    parts = ds.map_batches(
         partial, batch_format="pyarrow", batch_size=None
-    ).iter_rows():
-        acc.bits |= np.frombuffer(row["_bloom"], np.uint64)
+    ).materialize()
+    refs = list(parts.to_arrow_refs())
+    FANIN = 8
+    while len(refs) > 1:
+        refs = [
+            _or_tables.remote(*refs[i : i + FANIN])
+            for i in range(0, len(refs), FANIN)
+        ]
+    acc = BloomFilter(n_expected, fp_rate)
+    if refs:
+        t = ray.get(refs[0])
+        if t.num_rows and "_bloom" in t.column_names:
+            acc.bits |= np.frombuffer(t.column("_bloom")[0].as_py(), np.uint64)
     return acc
 
 

@@ -609,6 +609,68 @@ def test_asof_join_backward_nulls_and_ties(ray_session):
     }
 
 
+def test_asof_join_null_timestamps(ray_session):
+    """ADVICE r1: null right _ts/_rv rows must not corrupt the searchsorted
+    merge (they can never match); null left _ts keeps left-join semantics
+    (row emitted with a null value).  Covers backward, forward, nearest."""
+    import ray
+
+    from pyjelly_ray.stages.joins import (
+        asof_join_backward,
+        asof_join_forward,
+        asof_join_nearest,
+    )
+
+    ts = pa.timestamp("us")
+    left = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "user_id": pa.array([10, 10, 10], pa.int64()),
+            "ts": pa.array([150, None, 260], ts),
+        }
+    )
+    right = pa.table(
+        {
+            "o_custkey": pa.array([10, 10, 10, 10], pa.int64()),
+            "o_orderdate": pa.array([100, None, 250, 300], ts),
+            "o_orderkey": pa.array([7, 5, None, 9], pa.int64()),
+        }
+    )
+    kw = dict(
+        left_key="user_id", right_key="o_custkey", left_ts="ts",
+        right_ts="o_orderdate", right_value="o_orderkey", out_value="v",
+        left_cols={"event_id": pa.int64(), "user_id": pa.int64(), "ts": ts},
+    )
+    # matchable right rows after null hygiene: (100, 7) and (300, 9) —
+    # the null-date row and the null-orderkey row are unmatchable
+    for fn, expect in (
+        (asof_join_backward, {1: 7, 2: None, 3: 7}),
+        (asof_join_forward, {1: 9, 2: None, 3: 9}),
+        (asof_join_nearest, {1: 7, 2: None, 3: 9}),
+    ):
+        out = fn(
+            ray.data.from_arrow(left), ray.data.from_arrow(right), **kw
+        ).to_pandas()
+        got = {
+            int(r.event_id): (None if r.v != r.v else int(r.v))
+            for r in out.itertuples()
+        }
+        assert got == expect, fn.__name__
+
+
+def test_auto_buckets_scales_with_input():
+    """VERDICT r1 #2: dedup fan-out is data-driven — a 10x bigger input
+    gets ~10x the buckets (never a fixed module constant)."""
+    from pyjelly_ray.stages.dedup import ROWS_PER_BUCKET, auto_buckets
+
+    small = auto_buckets(est_rows=20 * ROWS_PER_BUCKET)
+    big = auto_buckets(est_rows=200 * ROWS_PER_BUCKET)
+    assert small == 21 and big == 201
+    assert big >= 9 * small
+    # unknown size falls back to the exchange default, scaled
+    assert auto_buckets() >= 16
+
+
 def test_rolling_mean_short_series_and_order(ray_session):
     """Windows shorter than `window` average what exists; order by day."""
     import ray
