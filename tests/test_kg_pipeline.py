@@ -259,3 +259,99 @@ def test_kg_symbol_pagerank_matches_numpy(ray_session, corpus_path):
     assert len(got) == N
     for v, i in idx.items():
         assert abs(got[v] - r[i]) < 1e-9, v
+
+
+# --------------------------------------------------------------------------
+# Chaos / crash-consistency (VERDICT r1 #7)
+# --------------------------------------------------------------------------
+
+
+def _shard_digests(out_dir: str) -> dict[str, str]:
+    return {
+        os.path.basename(f): hashlib.sha256(open(f, "rb").read()).hexdigest()
+        for f in glob.glob(os.path.join(out_dir, "part-*.jelly"))
+    }
+
+
+def test_chaos_damage_resume_byte_identical(ray_session, corpus_path, tmp_path):
+    """Every crash-interrupted on-disk state the tmp→fsync→rename protocol
+    can leave behind must resume to a byte-identical build:
+
+    - orphan ``part-*.jelly.tmp`` (killed mid-write, before rename)
+    - shard file present but manifest missing (killed between rename and
+      manifest write) → rewritten, bytes unchanged
+    - manifest present but shard file missing (operator deleted output)
+      → rewritten
+    - healthy shard → skipped, mtime untouched
+    """
+    clean = str(tmp_path / "clean")
+    build_kg(corpus_path, clean, n_shards=4).materialize()
+    want = _shard_digests(clean)
+    assert len(want) >= 4
+
+    out = str(tmp_path / "chaos")
+    build_kg(corpus_path, out, n_shards=4).materialize()
+    parts = sorted(glob.glob(os.path.join(out, "part-*.jelly")))
+
+    def mani(p: str) -> str:
+        stem = os.path.splitext(os.path.basename(p))[0]
+        return os.path.join(out, "manifests", stem + ".json")
+
+    # inject the three damage states + keep parts[3] healthy
+    with open(parts[0] + ".tmp", "wb") as f:
+        f.write(b"\x00partial garbage from a killed writer")
+    os.remove(mani(parts[1]))
+    os.remove(parts[2])
+    healthy_mtime = os.path.getmtime(parts[3])
+
+    res = build_kg(corpus_path, out, n_shards=4).materialize()
+    status = {
+        os.path.basename(r["path"]): r["status"] for r in res.take_all()
+    }
+    assert _shard_digests(out) == want  # byte-identical after resume
+    assert status[os.path.basename(parts[1])] == "written"  # manifest lost
+    assert status[os.path.basename(parts[2])] == "written"  # file lost
+    assert status[os.path.basename(parts[3])] == "skipped"  # untouched
+    assert os.path.getmtime(parts[3]) == healthy_mtime
+    # orphan tmp never became a visible shard
+    assert not any(p.endswith(".tmp") for p in _shard_digests(out))
+
+
+def test_chaos_sigkill_resume_byte_identical(corpus_path, tmp_path):
+    """SIGKILL a real build subprocess mid-flight, then resume in a fresh
+    process: the final shards must be byte-identical to a clean build,
+    whatever intermediate state the kill left behind."""
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    env = dict(os.environ, RAY_GRAFT_CPUS="4")
+    clean = str(tmp_path / "clean_kill")
+    subprocess.run(
+        [sys.executable, "-m", "pyjelly_ray.cli", "build-kg",
+         "--corpus", corpus_path, "--out", clean, "--shards", "4"],
+        check=True, env=env, capture_output=True, cwd="/root/repo",
+    )
+    want = _shard_digests(clean)
+
+    out = str(tmp_path / "killed")
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "pyjelly_ray.cli", "build-kg",
+         "--corpus", corpus_path, "--out", out, "--shards", "4"],
+        env=env, cwd="/root/repo", start_new_session=True,
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+    time.sleep(6.0)  # mid-flight for a ~10 s build; any state is fair game
+    try:
+        os.killpg(proc.pid, signal.SIGKILL)
+    except ProcessLookupError:
+        pass  # finished early — resume below must then skip everything
+    proc.wait()
+
+    subprocess.run(
+        [sys.executable, "-m", "pyjelly_ray.cli", "build-kg",
+         "--corpus", corpus_path, "--out", out, "--shards", "4"],
+        check=True, env=env, capture_output=True, cwd="/root/repo",
+    )
+    assert _shard_digests(out) == want
