@@ -253,21 +253,19 @@ def _encode_triples(
     else:
         o_keys_np = (og_np << 3) | o_kind_np
 
-    def _change_mask(keys: np.ndarray) -> list[bool]:
+    def _change_mask(keys: np.ndarray) -> np.ndarray:
         ch = np.empty(n, dtype=bool)
         if n:
             ch[0] = True
             np.not_equal(keys[1:], keys[:-1], out=ch[1:])
-        return ch.tolist()  # True/False singletons — no allocation
+        return ch
 
-    s_ch = _change_mask(s_keys_np)
-    p_ch = _change_mask(pg_np)
-    o_ch = _change_mask(o_keys_np)
+    s_ch_np = _change_mask(s_keys_np)
+    p_ch_np = _change_mask(pg_np)
+    o_ch_np = _change_mask(o_keys_np)
+    s_is_iri_np = s_kind == KIND_IRI
     if quads:
-        g_ch = _change_mask((gg_np << 3) | g_kind_np)
-        g_kind = g_kind_np.tolist()
-    s_is_iri = (s_kind == KIND_IRI).tolist()
-    o_kind = o_kind_np.tolist()  # small ints are interned — cheap list
+        g_ch_np = _change_mask((gg_np << 3) | g_kind_np)
 
     # per unique value: utf-8 bytes (bnode branch), split prefix/name ids +
     # their utf-8 bytes (IRI branch).  Prefix/name spaces are deduplicated
@@ -299,6 +297,65 @@ def _encode_triples(
     pref_bytes = [s.encode() for s in pref_strs]
     name_bytes = [s.encode() for s in name_strs]
     empty_pref_id = pref_ids.get("", -2)
+    lex_bytes = [v.encode() for v in lex_uniq] if has_lit else [b""]
+
+    # compiled fold (cfold.py): same inputs, same bytes, ~1 C loop instead
+    # of ~n Python rows.  Any unavailability/error falls through to the
+    # Python fold below (which raises proper conformance errors).
+    if metadata_fn is None:
+        from . import cfold
+
+        if cfold.LIB is not None:
+            out = cfold.encode_fold(
+                n=n,
+                quads=quads,
+                use_prefixes=use_prefixes,
+                s_ch=s_ch_np,
+                p_ch=p_ch_np,
+                o_ch=o_ch_np,
+                g_ch=g_ch_np if quads else np.zeros(n, bool),
+                s_is_iri=s_is_iri_np,
+                o_kind=o_kind_np,
+                g_kind=g_kind_np if quads else np.zeros(n, np.int64),
+                sg=sg_np,
+                pg=pg_np,
+                og=og_np,
+                gg=gg_np if quads else np.zeros(n, np.int64),
+                pref_of=np.array(pref_of, np.int64),
+                name_of=np.array(name_of, np.int64),
+                val_parts=val_bytes,
+                pref_parts=pref_bytes,
+                name_parts=name_bytes,
+                lex_idx=lex_idx_np if has_lit else np.zeros(n, np.int64),
+                lang_idx=lang_idx_np if has_lit else np.full(n, _MISSING, np.int64),
+                dt_idx=dt_idx_np if has_lit else np.full(n, _MISSING, np.int64),
+                lex_parts=lex_bytes,
+                lang_parts=(
+                    [v.encode() if v else b"" for v in lang_uniq] if has_lit else []
+                ),
+                dt_parts=dt_bytes if has_lit else [],
+                dt_skip=(
+                    np.array(dt_skip, np.uint8) if has_lit else np.zeros(0, np.uint8)
+                ),
+                max_prefixes=lp.max_prefixes,
+                max_names=lp.max_names,
+                max_datatypes=lp.max_datatypes,
+                empty_pref_id=empty_pref_id,
+                options_row=_encode_options_row(options),
+                frame_size=options.frame_size,
+            )
+            if out is not None:
+                yield out
+                return
+
+    s_ch = s_ch_np.tolist()
+    p_ch = p_ch_np.tolist()
+    o_ch = o_ch_np.tolist()
+    s_is_iri = s_is_iri_np.tolist()
+    o_kind = o_kind_np.tolist()  # small ints are interned — cheap list
+    if quads:
+        g_ch = g_ch_np.tolist()
+        g_kind = g_kind_np.tolist()
 
     prefixes = _IntLookup(lp.max_prefixes)
     name_lk = _IntLookup(lp.max_names)

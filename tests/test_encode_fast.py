@@ -219,3 +219,70 @@ def test_fast_quads_parse_by_reference(pyjelly_reference) -> None:
     data = fast_bytes(t, flat_quads_options())
     theirs = _pyjelly_parse(data)
     assert len(theirs) == t.num_rows
+
+
+def test_cfold_available_and_matches_python_fold() -> None:
+    """The compiled fold (jelly/cfold.py) must be active on this host and
+    byte-identical to the pure-Python fold on the adversarial grid.
+
+    The rest of this file pins fast-vs-general parity with whichever fold
+    is active; this test pins C-vs-Python explicitly so a cfold regression
+    can never hide behind the fallback."""
+    from pyjelly_ray.jelly import cfold
+
+    assert cfold.LIB is not None, "gcc present but compiled fold unavailable"
+    saved = cfold.LIB
+    try:
+        for seed in (1, 2, 3):
+            for opts in PRESETS:
+                t = make_table(random_rows(400, seed))
+                cfold.LIB = saved
+                out_c = fast_bytes(t, opts)
+                cfold.LIB = None  # force the Python fold
+                out_py = fast_bytes(t, opts)
+                assert out_c == out_py, (seed, opts)
+    finally:
+        cfold.LIB = saved
+
+
+def test_cfold_quads_match_python_fold() -> None:
+    from pyjelly_ray.jelly import cfold
+    from pyjelly_ray.jelly.options import (
+        LOGICAL_FLAT_QUADS,
+        PHYSICAL_QUADS,
+    )
+    from pyjelly_ray.terms import KIND_DEFAULT
+
+    assert cfold.LIB is not None
+    rng = random.Random(11)
+    rows = random_rows(400, 11)
+    graphs = ["https://g.ex/g1", "https://g.ex/g2", None, "bg"]
+    cols = {c: [] for c in TRIPLE_SCHEMA.names}
+    gk, gv = [], []
+    for r in rows:
+        for c, v in zip(TRIPLE_SCHEMA.names, (r[0], r[1], KIND_IRI, r[2], *r[3:])):
+            cols[c].append(v)
+        g = rng.choice(graphs)
+        if g is None:
+            gk.append(KIND_DEFAULT)
+            gv.append(None)
+        elif g == "bg":
+            gk.append(KIND_BNODE)
+            gv.append("bg0")
+        else:
+            gk.append(KIND_IRI)
+            gv.append(g)
+    t = pa.Table.from_pydict(cols, schema=TRIPLE_SCHEMA)
+    t = t.append_column("g_kind", pa.array(gk, pa.int64()))
+    t = t.append_column("g_value", pa.array(gv, pa.string()))
+    opts = StreamOptions(
+        physical_type=PHYSICAL_QUADS, logical_type=LOGICAL_FLAT_QUADS
+    )
+    saved = cfold.LIB
+    try:
+        out_c = b"".join(encode_table(t, opts))
+        cfold.LIB = None
+        out_py = b"".join(encode_table(t, opts))
+        assert out_c == out_py
+    finally:
+        cfold.LIB = saved
