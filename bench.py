@@ -224,6 +224,50 @@ def bench_once(num_cpus: int, *, kg_only: bool = False, n_files: int | None = No
         ray.shutdown()
 
 
+def _alu_task(_):
+    """In-L1 register workload: pure compute, no memory traffic beyond
+    ~64 KB.  Any sub-1.0 N→4N scaling measured on THIS is a property of
+    the host (vCPU oversubscription / hidden SMT), not of any pipeline."""
+    import numpy as np
+
+    a = np.arange(8192, dtype=np.float64)
+    for _ in range(40000):
+        a = a * 1.000001 + 0.5
+    return float(a[0])
+
+
+def hw_ceiling(lo: int, hi: int) -> dict:
+    """Measured hardware scaling ceiling for the (lo→hi)-worker pair via a
+    compute-bound control (multiprocessing, Ray-free on purpose).
+
+    On this sandbox the guest reports 32 independent cores but the host
+    does not deliver them: the ALU control itself scales at ~0.60 for
+    8→32 (per-task wall stretches ~1.9× from 4-way to 32-way with 0%
+    steal reported).  Pipeline efficiencies should therefore be read
+    against this ceiling — a real 4× node jump adds whole machines, not
+    oversubscribed vCPUs.
+    """
+    import multiprocessing as mp
+
+    def run(nworkers: int, ntasks: int) -> float:
+        with mp.Pool(nworkers) as p:
+            t0 = time.time()
+            p.map(_alu_task, range(ntasks), chunksize=1)
+            return time.time() - t0
+
+    ntasks = hi * 2
+    walls_lo, walls_hi = [], []
+    for _ in range(2):  # interleaved, same noise window
+        walls_lo.append(run(lo, ntasks))
+        walls_hi.append(run(hi, ntasks))
+    eff = (min(walls_lo) / min(walls_hi)) / (hi / lo)
+    return {
+        "alu_wall_lo": round(min(walls_lo), 2),
+        "alu_wall_hi": round(min(walls_hi), 2),
+        "alu_efficiency": round(eff, 3),
+    }
+
+
 def main() -> None:
     if "--scaling" in sys.argv:
         # fresh processes at different parallelism on the SAME input —
@@ -287,10 +331,19 @@ def main() -> None:
             med = window_effs[len(window_effs) // 2]
             if len(window_effs) % 2 == 0:
                 med = (med + window_effs[len(window_effs) // 2 - 1]) / 2
+            ceiling = hw_ceiling(lo, hi)
             payload["pairs"][f"{lo}->{hi}"] = {
                 "efficiency": round(eff, 3),
                 "efficiency_median_window": round(med, 3),
                 "efficiency_windows": [round(e, 3) for e in window_effs],
+                # compute-bound control ceiling for the same pair on this
+                # host + the pipeline's efficiency normalized to it (a
+                # value ≥ 1.0 means the pipeline scales as well as pure
+                # in-cache compute can on this box)
+                **ceiling,
+                "efficiency_vs_hw_ceiling": round(
+                    eff / ceiling["alu_efficiency"], 3
+                ),
                 f"throughput_{lo}cpu": t_lo,
                 f"throughput_{hi}cpu": t_hi,
                 f"wall_{lo}cpu": results[lo]["kg"]["wall_sec"],

@@ -21,7 +21,7 @@ if not ray.is_initialized():
     ray.init(address="local", num_cpus=8, include_dashboard=False)
 
 from pyjelly_ray.sinks.parquet_sink import write_hive_parquet
-from pyjelly_ray.stages.dedup import N_BUCKETS  # noqa: F401  (doc pointer)
+from pyjelly_ray.stages.dedup import auto_buckets  # noqa: F401  (doc pointer)
 from pyjelly_ray.stages.sample import deterministic_split, stratified_sample
 from pyjelly_ray.stages.sim import dup_clusters, minhash_dup_pairs
 from pyjelly_ray.stages.text import quality_scores, regex_token_counts

@@ -17,6 +17,15 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+def _rank_of_dict(d) -> pa.Array:
+    """Per-row int32 rank of a DictionaryArray's values (sort the small
+    dictionary once, take)."""
+    dict_order = pc.array_sort_indices(d.dictionary).to_numpy(zero_copy_only=False)
+    ranks = np.empty(len(dict_order), dtype=np.int32)
+    ranks[dict_order] = np.arange(len(dict_order), dtype=np.int32)
+    return pc.take(pa.array(ranks, pa.int32()), d.indices)
+
+
 def rank_key(table: pa.Table, columns: list[str]) -> pa.Array:
     """int32 per-row rank equal to lexicographic order of ``columns``."""
     if len(columns) == 1:
@@ -28,10 +37,27 @@ def rank_key(table: pa.Table, columns: list[str]) -> pa.Array:
     d = pc.dictionary_encode(combo)
     if isinstance(d, pa.ChunkedArray):
         d = d.combine_chunks()
-    dict_order = pc.array_sort_indices(d.dictionary).to_numpy(zero_copy_only=False)
-    ranks = np.empty(len(dict_order), dtype=np.int32)
-    ranks[dict_order] = np.arange(len(dict_order), dtype=np.int32)
-    return pc.take(pa.array(ranks, pa.int32()), d.indices)
+    return _rank_of_dict(d)
+
+
+def rank_keys(table: pa.Table, columns: list[str]) -> list[pa.Array]:
+    """One int32 rank column PER key column; sorting by them in order equals
+    the lexicographic tuple sort of the originals.
+
+    Used when key columns arrive dictionary-encoded from the exchange
+    (keep-dict mode): each column's (already small) dictionary is ranked
+    directly — no join, no re-encode, no string materialization.  For flat
+    string inputs :func:`rank_key`'s single joined rank is cheaper (one
+    sort column); the orders are identical (``\\x00``-joined comparison ≡
+    tuple comparison ≡ hierarchical rank comparison).
+    """
+    out = []
+    for c in columns:
+        col = table.column(c).combine_chunks()
+        if not pa.types.is_dictionary(col.type):
+            col = pc.dictionary_encode(col)
+        out.append(_rank_of_dict(col))
+    return out
 
 
 def sort_by_ranked(
@@ -39,15 +65,26 @@ def sort_by_ranked(
 ) -> pa.Table:
     """``table.sort_by(str_columns + int_columns)`` with int-only comparisons.
 
-    ``str_columns`` are collapsed into one rank column (most-significant);
-    ``int_columns`` follow in order.
+    ``str_columns`` are collapsed into rank columns (most-significant
+    first); ``int_columns`` follow in order.  Dictionary-encoded key
+    columns rank per column without re-encoding (:func:`rank_keys`).
     """
     sort_cols: list[tuple[str, str]] = []
     aux: list[str] = []
     if str_columns:
-        table = table.append_column("_rank", rank_key(table, str_columns))
-        sort_cols.append(("_rank", "ascending"))
-        aux.append("_rank")
+        any_dict = any(
+            pa.types.is_dictionary(table.schema.field(c).type) for c in str_columns
+        )
+        ranks = (
+            rank_keys(table, str_columns)
+            if any_dict
+            else [rank_key(table, str_columns)]
+        )
+        for i, r in enumerate(ranks):
+            name = f"_rank{i}"
+            table = table.append_column(name, r)
+            sort_cols.append((name, "ascending"))
+            aux.append(name)
     sort_cols.extend((c, "ascending") for c in int_columns)
     if sort_cols:
         table = table.sort_by(sort_cols)

@@ -63,6 +63,25 @@ def decode_table(data: bytes) -> pa.Table | None:
     emit_g = is_quads or is_graphs  # GRAPHS flattens to quads (decode_flat)
     cur_g: tuple[int, str | None] | None = None  # GRAPHS enclosing marker
 
+    lp0 = options.lookup_preset
+    # compiled fold (cfold_dec.py): same rows, same table; any error code
+    # or unsupported shape falls through to the Python fold below, which
+    # raises the proper conformance errors
+    from . import cfold_dec
+
+    if cfold_dec.LIB is not None:
+        out = cfold_dec.decode_fold(
+            data,
+            spans,
+            0 if not (is_quads or is_graphs) else (1 if is_quads else 2),
+            max_names=lp0.max_names,
+            max_prefixes=lp0.max_prefixes,
+            max_datatypes=lp0.max_datatypes,
+            emit_g=emit_g,
+        )
+        if out is not None:
+            return out
+
     lp = options.lookup_preset
     names = DecoderLookup(lp.max_names)
     prefixes = DecoderLookup(lp.max_prefixes)

@@ -335,6 +335,21 @@ def _mod(arr, n: int):
     return pc.subtract(i, pc.multiply(pc.divide(i, n), n))
 
 
+def _str_hash(col, seed: int):
+    """Per-row polars hash of a string column; dictionary-encoded input
+    hashes the (small) dictionary once and takes — value-identical to
+    hashing the flat strings (polars hashes categorical inputs by PHYSICAL
+    code, which would change with the dictionary layout, so it is never
+    fed dict input directly)."""
+    import polars as pl
+
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if pa.types.is_dictionary(col.type):
+        dh = pl.Series("d", col.dictionary).hash(seed=seed).to_arrow()
+        return pc.take(dh, col.indices)
+    return pl.Series("d", col).hash(seed=seed).to_arrow()
+
+
 def add_shard_column(n_shards: int, hot_plan: dict[str, tuple[int, int]] | None = None):
     """map_batches fn assigning ``shard = hash(repo) % n_shards``; hot repos
     are salted by path hash into their dense ``(start, splits)`` range from
@@ -345,14 +360,12 @@ def add_shard_column(n_shards: int, hot_plan: dict[str, tuple[int, int]] | None 
     hot_plan = dict(hot_plan or {})
 
     def _assign(batch: pa.Table) -> pa.Table:
-        import polars as pl
-
         repos = batch.column("repo").combine_chunks()
-        rhash = pl.Series("r", repos).hash(seed=7).to_arrow()
+        rhash = _str_hash(repos, 7)
         base = pc.cast(_mod(rhash, n_shards), pa.int32())
         if hot_plan:
             paths = batch.column("path").combine_chunks()
-            phash = pl.Series("p", paths).hash(seed=11).to_arrow()
+            phash = _str_hash(paths, 11)
             keys = sorted(hot_plan)
             hot_keys = pa.array(keys, pa.string())
             hot_starts = pa.array([hot_plan[k][0] for k in keys], pa.int64())
@@ -457,6 +470,17 @@ def dedup_and_write_kg_shards(
         drop = [c for c in ("h1", "h2", "bucket") if c in t.column_names]
         return t.drop_columns(drop) if drop else t
 
+    # keep-dict: strings cross both hops dictionary-encoded ONCE and are
+    # never re-materialized — every reduce kernel on this path tolerates
+    # dictionary columns (dedup_block int sorts, add_shard_column
+    # dictionary hashing, writer rank sort / fingerprint / dictionary-aware
+    # encoder).  Byte-identical either way (pinned by
+    # test_keep_dict_byte_identical).  Default OFF like the compress flag:
+    # on a single box the A/B measured ~3-6% wall cost and no efficiency
+    # gain (plasma is shared memory), while on a multi-node cluster the
+    # ~3x-fewer exchange bytes cross a NIC with NO reduce-side decode tax
+    # — flip GRAFT_KEEP_DICT=1 there and re-measure.
+    keep_dict = os.environ.get("GRAFT_KEEP_DICT", "0") == "1"
     return fused_two_hop_exchange(
         ds,
         key1_col="bucket",
@@ -466,6 +490,7 @@ def dedup_and_write_kg_shards(
         n2=n_total,
         reduce2=writer,
         map_fn=key_map,
+        keep_dict=keep_dict,
     )
 
 

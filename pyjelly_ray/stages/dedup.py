@@ -112,11 +112,21 @@ def dedup_block(batch: pa.Table) -> pa.Table:
     aux = []
     order = [(c, "ascending") for c in ("h1", "h2") if c in names]
     if str_keys:
-        from ..arrowutil import rank_key
+        from ..arrowutil import rank_key, rank_keys
 
-        batch = batch.append_column("_rank", rank_key(batch, str_keys))
-        order.append(("_rank", "ascending"))
-        aux.append("_rank")
+        if any(
+            pa.types.is_dictionary(batch.schema.field(c).type) for c in str_keys
+        ):
+            # keep-dict exchange mode: rank each small dictionary directly
+            for i, r in enumerate(rank_keys(batch, str_keys)):
+                name = f"_rank{i}"
+                batch = batch.append_column(name, r)
+                order.append((name, "ascending"))
+                aux.append(name)
+        else:
+            batch = batch.append_column("_rank", rank_key(batch, str_keys))
+            order.append(("_rank", "ascending"))
+            aux.append("_rank")
     if "seq" in names:
         order.append(("seq", "ascending"))
     t = batch.sort_by(order)

@@ -85,6 +85,42 @@ def _pack_dict(table: pa.Table) -> pa.Table:
     return pa.table(dict(zip(table.column_names, cols)))
 
 
+def _compact_dict_cols(table: pa.Table) -> pa.Table:
+    """Shrink each dictionary column's dictionary to its REFERENCED values.
+
+    ``take``/``slice`` on a DictionaryArray keeps the parent's FULL
+    dictionary, so a partition cut from a concatenated bucket would ship
+    the whole bucket's distinct values to every downstream task (measured:
+    65 GB spilled at 19.6M rows — the exact failure the split-side
+    ``_pack_dict``-after-take ordering avoids for flat input).  Compaction
+    is an int remap: unique referenced indices + one dictionary take — no
+    string hashing or materialization.
+    """
+    import numpy as np
+
+    cols = list(table.columns)
+    changed = False
+    for i, col in enumerate(cols):
+        if not pa.types.is_dictionary(col.type):
+            continue
+        a = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        idx = a.indices
+        np_idx = idx.fill_null(-1).to_numpy(zero_copy_only=False)
+        used = np.unique(np_idx)
+        used = used[used >= 0]
+        if len(used) == len(a.dictionary):
+            cols[i] = a
+            continue
+        remap = np.full(len(a.dictionary), -1, np.int32)
+        remap[used] = np.arange(len(used), dtype=np.int32)
+        new_idx = pa.array(remap[np_idx], pa.int32(), mask=np_idx < 0)
+        cols[i] = pa.DictionaryArray.from_arrays(new_idx, a.dictionary.take(used))
+        changed = True
+    if not changed:
+        return table
+    return pa.table(dict(zip(table.column_names, cols)))
+
+
 def _unpack_dict(table: pa.Table) -> pa.Table:
     """Reduce-side mirror of :func:`_pack_dict`: cast dictionary columns back
     to plain strings after the concat, so reduce kernels (and output blocks)
@@ -107,7 +143,8 @@ def _as_table(p):
 
 
 def _split_block(
-    table: pa.Table, n_partitions: int, bucket_col: str, compress: bool = False
+    table: pa.Table, n_partitions: int, bucket_col: str, compress: bool = False,
+    compact: bool = False,
 ) -> list[pa.Table]:
     """One stable argsort + boundary search → P *compact* gathered tables.
 
@@ -133,6 +170,10 @@ def _split_block(
     ]
     if compress:
         parts = [_pack_dict(p) for p in parts]
+    elif compact:
+        # keep-dict re-split: partitions inherit the parent's full
+        # dictionary from ``take`` — compact each to referenced values
+        parts = [_compact_dict_cols(p) for p in parts]
     return parts
 
 
@@ -147,6 +188,7 @@ def fused_two_hop_exchange(
     reduce2: Callable[[pa.Table], pa.Table],
     map_fn: Callable[[pa.Table], pa.Table] | None = None,
     compress: bool | None = None,
+    keep_dict: bool | None = None,
 ):
     """TWO all-to-alls fused into one raw-task DAG (dedup hop → writer hop).
 
@@ -186,11 +228,25 @@ def fused_two_hop_exchange(
     (33.5 s → 59.1 s warm, 32 cpus, 19.6M triples) with zero byte savings
     that matter.  On a multi-node cluster where the two hops cross the
     network at ~3× fewer bytes, flip it on per-deployment and re-measure.
+
+    ``keep_dict`` (env ``GRAFT_KEEP_DICT``, default per caller): like
+    ``compress`` but with NO reduce-side decode — string columns are
+    dictionary-encoded once on the map side and stay dictionary-encoded
+    through both hops into ``reduce1``/``reduce2``, which must therefore
+    be dict-tolerant (the KG dedup/writer kernels are: int-rank sorts,
+    take/filter, hash-of-dictionary, dictionary-aware encoder).  This is
+    the memory-bandwidth cut the compress A/B pointed at: compress bought
+    3× fewer exchange bytes but paid a full decode re-materialization per
+    reduce; keep-dict buys the same bytes WITHOUT the decode tax.
     """
     import ray
 
     if compress is None:
         compress = os.environ.get("GRAFT_EXCHANGE_COMPRESS", "0") == "1"
+    if keep_dict is None:
+        keep_dict = os.environ.get("GRAFT_KEEP_DICT", "0") == "1"
+    if keep_dict:
+        compress = True  # pack on the map side; reduces skip the unpack
 
     def _split1(table: pa.Table, n_: int, key: str):
         if map_fn is not None:
@@ -206,8 +262,11 @@ def fused_two_hop_exchange(
         parts = [_as_table(p) for p in parts]
         tables = [p for p in parts if p.num_rows]
         t = pa.concat_tables(tables, promote_options="default") if tables else parts[0]
-        t = _unpack_dict(t)
-        out = _split_block(reduce1(t), n2_, key2, compress)
+        if not keep_dict:
+            t = _unpack_dict(t)
+        out = _split_block(
+            reduce1(t), n2_, key2, compress and not keep_dict, compact=keep_dict
+        )
         _prof("mid", t0, t.num_rows)
         return out
 
@@ -216,7 +275,8 @@ def fused_two_hop_exchange(
         parts = [_as_table(p) for p in parts]
         tables = [p for p in parts if p.num_rows]
         t = pa.concat_tables(tables, promote_options="default") if tables else parts[0]
-        t = _unpack_dict(t)
+        if not keep_dict:
+            t = _unpack_dict(t)
         dump = os.environ.get("GRAFT_DUMP_FINAL")
         if dump:  # diagnostic: persist one real reduce2 input for offline profiling
             import pickle

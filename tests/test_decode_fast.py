@@ -205,3 +205,33 @@ def test_fast_decode_graphs_matches_general():
     assert "g_kind" in fast.column_names
     general = statements_to_table(decode_flat(data))
     assert fast.equals(general)
+
+
+def test_cfold_dec_available_and_matches_python_fold():
+    """The compiled decode fold must be active on this host and table-equal
+    to the pure-Python fold on the adversarial grid (the other tests pin
+    whichever fold is active against the GENERAL decoder; this one pins
+    C-vs-Python explicitly so a cfold_dec regression can't hide behind the
+    fallback)."""
+    from pyjelly_ray.jelly import cfold_dec
+    from pyjelly_ray.jelly.encode import encode_flat
+
+    assert cfold_dec.LIB is not None, "gcc present but compiled decode fold unavailable"
+    saved = cfold_dec.LIB
+    try:
+        for preset, frame_size in (
+            (LookupPreset(), 250),
+            (LookupPreset.small(), 1),
+            (LookupPreset.tiny(), 4),
+            (LookupPreset.no_prefixes(), 200),
+        ):
+            opts = StreamOptions(lookup_preset=preset, frame_size=frame_size)
+            data = b"".join(encode_flat(adversarial_triples(), opts))
+            cfold_dec.LIB = saved
+            out_c = decode_table(data)
+            cfold_dec.LIB = None
+            out_py = decode_table(data)
+            assert out_c is not None and out_py is not None
+            assert out_c.equals(out_py), (preset, frame_size)
+    finally:
+        cfold_dec.LIB = saved

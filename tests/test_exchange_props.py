@@ -231,3 +231,68 @@ def test_num_partitions_env_knob(ray_session, monkeypatch):
     ).materialize()
     assert out.num_blocks() == 3
     assert out.count() == 100
+
+
+def test_compact_dict_cols_shrinks_and_preserves():
+    """_compact_dict_cols: values identical, dictionary cut to referenced
+    entries (the 65-GB-spill guard for keep-dict re-splits)."""
+    import pyarrow as pa
+
+    from pyjelly_ray.state.exchange import _compact_dict_cols
+
+    big = pa.array([f"v{i}" for i in range(1000)]).dictionary_encode()
+    part = big.take(pa.array([5, 7, 5, None, 999]))  # inherits full dict
+    t = pa.table({"k": part, "n": [1, 2, 3, 4, 5]})
+    out = _compact_dict_cols(t)
+    col = out.column("k")
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    assert len(col.dictionary) == 3  # v5, v7, v999
+    assert col.to_pylist() == ["v5", "v7", "v5", None, "v999"]
+    assert out.column("n").to_pylist() == [1, 2, 3, 4, 5]
+
+
+def test_rank_keys_order_equals_rank_key():
+    """Hierarchical per-column ranks sort identically to the joined-string
+    rank (dict-encoded or flat)."""
+    import pyarrow as pa
+
+    from pyjelly_ray.arrowutil import rank_key, rank_keys
+
+    t = pa.table(
+        {
+            "a": ["r2", "r1", "r2", "r1", "r10"],
+            "b": ["x", "z", "a", "a", "b"],
+            "v": [1, 2, 3, 4, 5],
+        }
+    )
+    joint = t.append_column("_r", rank_key(t, ["a", "b"])).sort_by(
+        [("_r", "ascending")]
+    )
+    td = pa.table(
+        {
+            "a": t.column("a").combine_chunks().dictionary_encode(),
+            "b": t.column("b").combine_chunks().dictionary_encode(),
+            "v": t.column("v"),
+        }
+    )
+    r0, r1 = rank_keys(td, ["a", "b"])
+    hier = (
+        td.append_column("_r0", r0)
+        .append_column("_r1", r1)
+        .sort_by([("_r0", "ascending"), ("_r1", "ascending")])
+    )
+    assert joint.column("v").to_pylist() == hier.column("v").to_pylist()
+
+
+def test_str_hash_dict_equals_flat():
+    """_str_hash on a dictionary column == polars hash of the flat strings
+    (shard assignment must not change under keep-dict)."""
+    import pyarrow as pa
+
+    from pyjelly_ray.sinks.jelly_sink import _str_hash
+
+    vals = ["a", "b", "a", "c", "b"]
+    flat = pa.array(vals)
+    h_flat = _str_hash(flat, 7).to_pylist()
+    h_dict = _str_hash(flat.dictionary_encode(), 7).to_pylist()
+    assert h_flat == h_dict

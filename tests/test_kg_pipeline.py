@@ -355,3 +355,22 @@ def test_chaos_sigkill_resume_byte_identical(corpus_path, tmp_path):
         check=True, env=env, capture_output=True, cwd="/root/repo",
     )
     assert _shard_digests(out) == want
+
+
+def test_keep_dict_byte_identical(ray_session, corpus_path, tmp_path):
+    """GRAFT_KEEP_DICT=1 (strings stay dictionary-encoded through both
+    exchange hops into the writer) must produce byte-identical shards."""
+    flat = str(tmp_path / "flat")
+    kd = str(tmp_path / "kd")
+    old = os.environ.get("GRAFT_KEEP_DICT")
+    try:
+        os.environ["GRAFT_KEEP_DICT"] = "0"
+        build_kg(corpus_path, flat, n_shards=4).materialize()
+        os.environ["GRAFT_KEEP_DICT"] = "1"
+        build_kg(corpus_path, kd, n_shards=4).materialize()
+    finally:
+        if old is None:
+            os.environ.pop("GRAFT_KEEP_DICT", None)
+        else:
+            os.environ["GRAFT_KEEP_DICT"] = old
+    assert _shard_digests(flat) == _shard_digests(kd)
