@@ -235,3 +235,28 @@ def test_cfold_dec_available_and_matches_python_fold():
             assert out_c.equals(out_py), (preset, frame_size)
     finally:
         cfold_dec.LIB = saved
+
+
+def test_cfold_dec_long_payloads_and_errors():
+    """C decode edge cases: >16KB lexemes, long names, and the fallback on
+    truncated input (the Python fold must still raise)."""
+    from pyjelly_ray.jelly import cfold_dec
+    from pyjelly_ray.jelly.encode import encode_flat
+
+    assert cfold_dec.LIB is not None
+    long_iri = "https://ex.org/" + "y" * 400 + "#n"
+    stmts = [
+        (T.iri(long_iri), T.iri("tag:p"), T.literal("L" * 20_000)),
+        (T.iri(long_iri), T.iri("tag:p"), T.bnode("b" * 300)),
+    ] * 4
+    data = b"".join(encode_flat(stmts, StreamOptions()))
+    out = decode_table(data)
+    general = statements_to_table(decode_flat(data))
+    assert out.equals(general)
+    # invalid UTF-8 inside a lexeme: C path must reject at validation and
+    # defer to the Python fold (which raises UnicodeDecodeError)
+    bad = data.replace(b"L" * 16, b"\xff" * 16, 1)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        decode_table(bad)

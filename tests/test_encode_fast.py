@@ -286,3 +286,27 @@ def test_cfold_quads_match_python_fold() -> None:
         assert out_c == out_py
     finally:
         cfold.LIB = saved
+
+
+def test_cfold_long_payloads_and_empty() -> None:
+    """C fold edge cases: multi-byte varint lengths (>127-byte and >16KB
+    payloads), empty table, frame_size larger than the stream."""
+    from pyjelly_ray.jelly import cfold
+
+    assert cfold.LIB is not None
+    long_name = "https://ex.org/" + "x" * 300
+    huge_lex = "L" * 20_000
+    rows = [
+        (KIND_IRI, long_name + "#a", long_name + "#p", KIND_LITERAL, None,
+         huge_lex, None, None),
+        (KIND_IRI, long_name + "#a", long_name + "#p", KIND_IRI,
+         long_name + "#o", None, None, None),
+        (KIND_BNODE, "b" * 200, long_name + "#p", KIND_BNODE, "c" * 200,
+         None, None, None),
+    ] * 5
+    for opts in (StreamOptions(), StreamOptions(frame_size=100000),
+                 StreamOptions(frame_size=1)):
+        t = make_table(rows)
+        assert fast_bytes(t, opts) == slow_bytes(t, opts)
+        empty = make_table([])
+        assert fast_bytes(empty, opts) == slow_bytes(empty, opts)
