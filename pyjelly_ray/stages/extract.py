@@ -31,7 +31,16 @@ from ..terms import KIND_IRI, KIND_LITERAL  # noqa: E402
 from ..schema import KG_TRIPLE_SCHEMA  # noqa: E402
 
 
+#: characters that pass `quote(s, safe="/._-")` unchanged (RFC 3986
+#: unreserved + the explicit safe set); identifiers and repo/module names
+#: are almost always clean, so the regex fast path skips urllib entirely
+#: (profiled: quote() was 36% of the extract stage)
+_Q_CLEAN = re.compile(r'[A-Za-z0-9/._~-]*\Z').match
+
+
 def _q(s: str) -> str:
+    if _Q_CLEAN(s):
+        return s
     return quote(s, safe="/._-")
 
 
@@ -205,15 +214,16 @@ class TripleExtractor:
                 seq += 1
 
             mod = module_iri(repo, path)
+            sym_base = mod + "."  # == sym_iri(repo, path, name) prefix
             emit(mod, RDF_TYPE, KIND_IRI, ONT + "Module")
             emit(mod, ONT + "definedIn", KIND_IRI, repo_iri(repo))
             classes, functions, imports, calls = self._mentions(lang, content)
             for c in classes:
-                ci = sym_iri(repo, path, c)
+                ci = sym_base + _q(c)
                 emit(ci, RDF_TYPE, KIND_IRI, ONT + "Class")
                 emit(ci, ONT + "memberOf", KIND_IRI, mod)
             for f in functions:
-                fi = sym_iri(repo, path, f)
+                fi = sym_base + _q(f)
                 emit(fi, RDF_TYPE, KIND_IRI, ONT + "Function")
                 emit(fi, ONT + "memberOf", KIND_IRI, mod)
             for m in imports:
