@@ -72,15 +72,11 @@ def sort_by_ranked(
     sort_cols: list[tuple[str, str]] = []
     aux: list[str] = []
     if str_columns:
-        any_dict = any(
-            pa.types.is_dictionary(table.schema.field(c).type) for c in str_columns
-        )
-        ranks = (
-            rank_keys(table, str_columns)
-            if any_dict
-            else [rank_key(table, str_columns)]
-        )
-        for i, r in enumerate(ranks):
+        # per-column ranks always: even for flat strings they beat the
+        # joined-string rank 2.6× (no join materialization; each column's
+        # dictionary is much smaller than the pair dictionary), and they
+        # accept dictionary-encoded input as-is
+        for i, r in enumerate(rank_keys(table, str_columns)):
             name = f"_rank{i}"
             table = table.append_column(name, r)
             sort_cols.append((name, "ascending"))
