@@ -476,9 +476,9 @@ def _encode_triples(
                 row_count += 1
             datatype_id = datatypes.use(int(di))
         body = bytearray()
-        lex = lex_uniq[lex_idx_np[i]]
-        if lex:
-            _tag_len(body, 1, lex.encode())
+        lexb = lex_bytes[lex_idx_np[i]]  # pre-encoded once per unique
+        if lexb:
+            _tag_len(body, 1, lexb)
         li = lang_idx_np[i]
         if li != _MISSING and lang_bytes[li]:
             _tag_len(body, 2, lang_bytes[li])
