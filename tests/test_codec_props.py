@@ -81,3 +81,52 @@ def test_fast_encode_and_decode_agree_with_general(stmts, preset, frame_size):
     fast_decoded = decode_table(fast)
     assert fast_decoded is not None
     assert fast_decoded.equals(general)  # table parity of the columnar decoder
+
+
+_graph = st.one_of(
+    _iri, _bnode, st.just(T.DEFAULT_GRAPH)
+)
+_quad = st.tuples(_subject, _iri, _object, _graph)
+
+
+def _to_quad_table(stmts) -> pa.Table:
+    t = _to_table([(s, p, o) for s, p, o, _ in stmts])
+    gk, gv = [], []
+    for _, _, _, g in stmts:
+        gk.append(g[0])
+        gv.append(g[1])
+    t = t.append_column("g_kind", pa.array(gk, TRIPLE_SCHEMA.field("s_kind").type))
+    return t.append_column("g_value", pa.array(gv, pa.string()))
+
+
+@given(
+    st.lists(_quad, min_size=1, max_size=120),
+    _preset,
+    st.sampled_from([1, 3, 17, 250]),
+)
+@settings(max_examples=80, deadline=None)
+def test_fast_quads_encode_decode_agree_with_general(stmts, preset, frame_size):
+    """Same whole-codec property for physical QUADS (graph-slot repeats,
+    default-graph term, bnode graph names) — runs through the compiled
+    folds when available."""
+    from pyjelly_ray.jelly.options import LOGICAL_FLAT_QUADS, PHYSICAL_QUADS
+
+    stmts = stmts + stmts[: len(stmts) // 2]
+    opts = StreamOptions(
+        lookup_preset=preset,
+        frame_size=frame_size,
+        physical_type=PHYSICAL_QUADS,
+        logical_type=LOGICAL_FLAT_QUADS,
+    )
+    table = _to_quad_table(stmts)
+
+    slow = b"".join(encode_flat(rows_to_terms(table), opts))
+    fast_chunks = encode_table(table, opts)
+    assert fast_chunks is not None
+    fast = b"".join(fast_chunks)
+    assert fast == slow
+
+    general = statements_to_table(decode_flat(fast))
+    fast_decoded = decode_table(fast)
+    assert fast_decoded is not None
+    assert fast_decoded.equals(general)
