@@ -260,3 +260,70 @@ def test_cfold_dec_long_payloads_and_errors():
 
     with _pytest.raises(Exception):
         decode_table(bad)
+
+
+def test_cfold_dec_graphs_matches_python_and_general():
+    """GRAPHS physical through the C decode fold across presets/frames/
+    seeds: C == Python fold == general decoder (graph markers, default
+    graphs, bnode graph names, frame cuts splitting graphs)."""
+    import random
+
+    from pyjelly_ray.jelly import LOGICAL_DATASETS, PHYSICAL_GRAPHS
+    from pyjelly_ray.jelly import cfold_dec
+    from pyjelly_ray.jelly.encode import StreamEncoder
+
+    assert cfold_dec.LIB is not None
+    saved = cfold_dec.LIB
+    try:
+        for seed, preset, fs in (
+            (1, LookupPreset(), 250),
+            (2, LookupPreset.tiny(), 3),
+            (3, LookupPreset.small(), 1),
+            (4, LookupPreset.no_prefixes(), 7),
+        ):
+            rng = random.Random(seed)
+            opts = StreamOptions(
+                physical_type=PHYSICAL_GRAPHS,
+                logical_type=LOGICAL_DATASETS,
+                lookup_preset=preset,
+                frame_size=fs,
+            )
+            enc = StreamEncoder(opts)
+            chunks = []
+            triples = adversarial_triples(400)
+            i = 0
+            while i < len(triples):
+                r = rng.random()
+                if r < 0.4:
+                    g = T.iri(f"{EX}graph/{rng.randrange(7)}")
+                elif r < 0.6:
+                    g = T.bnode(f"gb{rng.randrange(3)}")
+                else:
+                    g = T.DEFAULT_GRAPH
+                out = enc.graph_start(g)
+                if out:
+                    chunks.append(out)
+                for _ in range(rng.randrange(1, 6)):
+                    if i >= len(triples):
+                        break
+                    s, p, o = triples[i]
+                    i += 1
+                    out = enc.triple(s, p, o)
+                    if out:
+                        chunks.append(out)
+                out = enc.graph_end()
+                if out:
+                    chunks.append(out)
+            tail = enc.flush()
+            if tail:
+                chunks.append(tail)
+            data = b"".join(chunks)
+            cfold_dec.LIB = saved
+            out_c = decode_table(data)
+            cfold_dec.LIB = None
+            out_py = decode_table(data)
+            general = statements_to_table(decode_flat(data))
+            assert out_c is not None and out_c.equals(out_py), (seed, fs)
+            assert out_c.equals(general), (seed, fs)
+    finally:
+        cfold_dec.LIB = saved
