@@ -327,3 +327,32 @@ def test_cfold_dec_graphs_matches_python_and_general():
             assert out_c.equals(general), (seed, fs)
     finally:
         cfold_dec.LIB = saved
+
+
+def test_cfold_dec_skips_frame_metadata():
+    """Frame-level metadata (field 15) must be skipped identically by the C
+    fold, the Python fold and the general decoder."""
+    from pyjelly_ray.jelly import cfold_dec
+    from pyjelly_ray.jelly.encode import StreamEncoder
+
+    opts = StreamOptions(frame_size=5)
+    enc = StreamEncoder(opts)
+    enc.metadata_fn = lambda i: {"idx": str(i).encode(), "k": b"\x01\x02"}
+    chunks = []
+    for s, p, o in adversarial_triples(100):
+        out = enc.triple(s, p, o)
+        if out:
+            chunks.append(out)
+    tail = enc.flush()
+    if tail:
+        chunks.append(tail)
+    data = b"".join(chunks)
+    general = statements_to_table(decode_flat(data))
+    saved = cfold_dec.LIB
+    try:
+        out_c = decode_table(data)
+        cfold_dec.LIB = None
+        out_py = decode_table(data)
+    finally:
+        cfold_dec.LIB = saved
+    assert out_c.equals(general) and out_py.equals(general)
