@@ -122,7 +122,12 @@ def decode_files_batch(batch: dict) -> pa.Table:
         t = decode_table(b)
         tables.append(t if t is not None else statements_to_table(decode_flat(b)))
     if not tables:
-        return statements_to_table(())
+        # typed empty (not schema-less): keeps every output block
+        # schema-compatible so downstream operators and Ray's executor
+        # never see a 0-column block
+        from ..schema import TRIPLE_SCHEMA
+
+        return TRIPLE_SCHEMA.empty_table()
     return pa.concat_tables(tables, promote_options="default")
 
 
