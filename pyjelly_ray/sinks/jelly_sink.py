@@ -451,10 +451,14 @@ def dedup_and_write_kg_shards(
     if total:
         # size-aware fan-out: the per-shard encode is a sequential fold (format
         # design), so the LARGEST shard bounds the write wall; target ~250k
-        # statements per shard (≈1.5 s encode uncontended) and let the caller's
-        # n_shards act as a minimum.  Also bounds per-task working sets, which
-        # is what saturates single-node memory bandwidth at high concurrency.
-        n_shards = max(n_shards, min(int(total // 250_000) + 1, 512))
+        # statements per shard (≈0.4 s compiled encode uncontended) and let the
+        # caller's n_shards act as a minimum.  Also bounds per-task working
+        # sets, which is what saturates single-node memory bandwidth at high
+        # concurrency.  GRAFT_SHARD_TARGET tunes statements/shard per
+        # deployment (more+smaller shards pack better at high parallelism,
+        # fewer+larger amortize per-file overhead).
+        target = int(os.environ.get("GRAFT_SHARD_TARGET", "250000"))
+        n_shards = max(n_shards, min(int(total // target) + 1, 2048))
     hot_plan = hot_repo_splits(repo_counts, n_shards) if repo_counts else None
     n_total = total_shard_count(n_shards, hot_plan)
     assign = add_shard_column(n_shards, hot_plan)
