@@ -266,6 +266,7 @@ static int parse_entry(const uint8_t *d, int64_t s, int64_t e, uint64_t *idx,
         } else if (wt == 2) {
             if (rd_varint(d, &pos, e, &v)) return ERR_CONF;
             if (field == 2) {
+                if (pos + (int64_t)v > e) return ERR_CONF;
                 *vp = d + pos;
                 *vl = (int32_t)v;
             }
@@ -346,6 +347,7 @@ int64_t jelly_decode_fold(const uint8_t *data, const int64_t *spans,
                 uint64_t v;
                 if (wt == 2) {
                     if (rd_varint(data, &pos, fe, &v)) { rc = ERR_CONF; break; }
+                    if (pos + (int64_t)v > fe) { rc = ERR_CONF; break; }
                     pos += (int64_t)v;
                 } else if (wt == 0) {
                     if (rd_varint(data, &pos, fe, &v)) { rc = ERR_CONF; break; }
@@ -358,6 +360,7 @@ int64_t jelly_decode_fold(const uint8_t *data, const int64_t *spans,
             uint64_t row_len;
             if (rd_varint(data, &pos, fe, &row_len)) { rc = ERR_CONF; break; }
             int64_t row_end = pos + (int64_t)row_len;
+            if (row_end > fe) { rc = ERR_CONF; break; } /* malformed: row overruns frame */
             if (row_len == 0) continue;
             uint64_t rkey;
             int64_t rpos = pos;
@@ -367,6 +370,7 @@ int64_t jelly_decode_fold(const uint8_t *data, const int64_t *spans,
             uint64_t body_len;
             if (rd_varint(data, &rpos, row_end, &body_len)) { rc = ERR_CONF; break; }
             int64_t s = rpos, e = rpos + (int64_t)body_len;
+            if (e > row_end) { rc = ERR_CONF; break; } /* malformed: body overruns row */
             pos = row_end;
 
             if (rfield == stmt_row) {
@@ -390,6 +394,7 @@ int64_t jelly_decode_fold(const uint8_t *data, const int64_t *spans,
                     if (rd_varint(data, &sp, e, &ln)) { rc = ERR_CONF; break; }
                     int field = (int)(fkey >> 3);
                     int64_t vs = sp, ve = sp + (int64_t)ln;
+                    if (ve > e) { rc = ERR_CONF; break; } /* malformed: field overruns body */
                     sp = ve;
                     switch (field) {
                     case 1:
@@ -428,10 +433,12 @@ int64_t jelly_decode_fold(const uint8_t *data, const int64_t *spans,
                             uint64_t v2;
                             if (k2 == 0x0A) {
                                 if (rd_varint(data, &lp2, ve, &v2)) { rc = ERR_CONF; break; }
+                                if (lp2 + (int64_t)v2 > ve) { rc = ERR_CONF; break; }
                                 lex_p = data + lp2; lex_l = (int32_t)v2;
                                 lp2 += (int64_t)v2;
                             } else if (k2 == 0x12) {
                                 if (rd_varint(data, &lp2, ve, &v2)) { rc = ERR_CONF; break; }
+                                if (lp2 + (int64_t)v2 > ve) { rc = ERR_CONF; break; }
                                 lang_p = data + lp2; lang_l = (int32_t)v2;
                                 lp2 += (int64_t)v2;
                                 lang_set = 1; dt_set = 0;
@@ -441,6 +448,7 @@ int64_t jelly_decode_fold(const uint8_t *data, const int64_t *spans,
                                 dt_set = 1; lang_set = 0;
                             } else if ((k2 & 7) == 2) {
                                 if (rd_varint(data, &lp2, ve, &v2)) { rc = ERR_CONF; break; }
+                                if (lp2 + (int64_t)v2 > ve) { rc = ERR_CONF; break; }
                                 lp2 += (int64_t)v2;
                             } else {
                                 if (rd_varint(data, &lp2, ve, &v2)) { rc = ERR_CONF; break; }
@@ -580,6 +588,7 @@ int64_t jelly_decode_fold(const uint8_t *data, const int64_t *spans,
                     else if (rd_varint(data, &sp, e, &fkey)) { rc = ERR_CONF; break; }
                     uint64_t ln;
                     if (rd_varint(data, &sp, e, &ln)) { rc = ERR_CONF; break; }
+                    if (sp + (int64_t)ln > e) { rc = ERR_CONF; break; }
                     int field = (int)(fkey >> 3);
                     if (field == 1) {
                         const uint8_t *p1, *p2;
@@ -624,6 +633,7 @@ int64_t jelly_decode_fold(const uint8_t *data, const int64_t *spans,
                     else if (rd_varint(data, &sp, e, &fkey)) { rc = ERR_CONF; break; }
                     uint64_t ln;
                     if (rd_varint(data, &sp, e, &ln)) { rc = ERR_CONF; break; }
+                    if (sp + (int64_t)ln > e) { rc = ERR_CONF; break; }
                     if ((int)(fkey >> 3) == 2) {
                         const uint8_t *p1, *p2;
                         int32_t l1, l2;

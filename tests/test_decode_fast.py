@@ -356,3 +356,28 @@ def test_cfold_dec_skips_frame_metadata():
     finally:
         cfold_dec.LIB = saved
     assert out_c.equals(general) and out_py.equals(general)
+
+
+def test_cfold_dec_corruption_fuzz_never_crashes():
+    """Seeded byte-corruption fuzz: malformed streams must either decode
+    (payload-only damage) or raise a Python exception via the fallback —
+    never segfault/overread (the C fold bounds-checks every span)."""
+    import random
+
+    from pyjelly_ray.jelly.encode import encode_flat
+
+    data = b"".join(
+        encode_flat(adversarial_triples(300), StreamOptions(frame_size=17))
+    )
+    rng = random.Random(7)
+    outcomes = {"ok": 0, "err": 0}
+    for _ in range(400):
+        b = bytearray(data)
+        for _ in range(rng.randrange(1, 8)):
+            b[rng.randrange(len(b))] = rng.randrange(256)
+        try:
+            decode_table(bytes(b))
+            outcomes["ok"] += 1
+        except Exception:
+            outcomes["err"] += 1
+    assert outcomes["ok"] + outcomes["err"] == 400
