@@ -6,7 +6,13 @@ Public surface:
 - decode: StreamDecoder, decode_flat, parse_options, delimited_hint
 """
 
-from .decode import StreamDecoder, decode_flat, delimited_hint, parse_options
+from .decode import (
+    StreamDecoder,
+    decode_flat,
+    delimited_hint,
+    parse_options,
+    split_delimited_frames,
+)
 from .encode import StreamEncoder, encode_flat, encode_grouped, split_iri
 from .options import (
     DEFAULT_FRAME_SIZE,
@@ -30,6 +36,7 @@ __all__ = [
     "encode_flat",
     "encode_grouped",
     "delimited_hint",
+    "split_delimited_frames",
     "parse_options",
     "split_iri",
     "StreamOptions",
