@@ -3,10 +3,10 @@
 Counterpart of :mod:`cfold` for the parse direction: the C side parses
 rows, runs the DecoderLookup delta rules and repeated-term suppression,
 and hands back Arrow-shaped (offsets, utf8 data, byte-mask) buffers per
-string column; here they are wrapped zero-copy via
-``pa.StringArray.from_buffers`` and re-validated (``validate(full=True)``
-checks UTF-8 and offsets, restoring the byte-level strictness the Python
-fold gets from ``bytes.decode``).  Any C error code or validation failure
+string column; here they are copied ONCE out of the C heap into Arrow
+buffers (``pa.StringArray.from_buffers``) and re-validated
+(``validate(full=True)`` checks UTF-8 and offsets, restoring the
+byte-level strictness the Python fold gets from ``bytes.decode``).  Any C error code or validation failure
 returns ``None`` and the caller re-runs the Python fold, which raises the
 proper conformance errors — the Python implementation stays the single
 source of semantics (pinned by tests/test_decode_fast.py).
