@@ -420,13 +420,29 @@ def encode_grouped(
     if options.flat:
         raise JellyConformanceError("encode_grouped requires a grouped logical type")
     enc = StreamEncoder(options)
-    quads = options.physical_type in (PHYSICAL_QUADS, PHYSICAL_GRAPHS)
+    quads = options.physical_type == PHYSICAL_QUADS
+    graphs = options.physical_type == PHYSICAL_GRAPHS
+    _unset = object()
     for gi, group in enumerate(groups):
+        cur_g: object = _unset
         for stmt in group:
-            if quads:
+            if graphs:
+                # GRAPHS physical: graph_start/triple…/graph_end marker rows
+                # (a quad row would be nonconformant in this physical type);
+                # 3-tuples land in the default graph
+                g = stmt[3] if len(stmt) == 4 else (KIND_DEFAULT, None, None, None)
+                if cur_g is _unset or g != cur_g:
+                    if cur_g is not _unset:
+                        enc.graph_end()
+                    enc.graph_start(g)
+                    cur_g = g
+                enc.triple(stmt[0], stmt[1], stmt[2])
+            elif quads:
                 enc.quad(stmt[0], stmt[1], stmt[2], stmt[3])
             else:
                 enc.triple(stmt[0], stmt[1], stmt[2])
+        if graphs and cur_g is not _unset:
+            enc.graph_end()
         frame = enc.cut_frame(metadata_fn(gi) if metadata_fn is not None else None)
         if frame:
             yield frame

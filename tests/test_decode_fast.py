@@ -381,3 +381,34 @@ def test_cfold_dec_corruption_fuzz_never_crashes():
         except Exception:
             outcomes["err"] += 1
     assert outcomes["ok"] + outcomes["err"] == 400
+
+
+def test_encode_grouped_graphs_emits_marker_rows():
+    """PHYSICAL_GRAPHS via encode_grouped must produce graph_start/triple/
+    graph_end marker rows (NOT quad rows — nonconformant in this physical
+    type); frames cut per group; 3-tuples land in the default graph."""
+    from pyjelly_ray.jelly import parse_options
+    from pyjelly_ray.jelly.encode import encode_grouped
+    from pyjelly_ray.jelly.options import (
+        LOGICAL_NAMED_GRAPHS,
+        PHYSICAL_GRAPHS,
+    )
+
+    g1, g2 = T.iri(f"{EX}g/1"), T.bnode("gb")
+    grp = [
+        [(T.iri(f"{EX}s"), T.iri(f"{EX}p"), T.iri(f"{EX}o"), g1),
+         (T.iri(f"{EX}s"), T.iri(f"{EX}p"), T.literal("x"), g1)],
+        [(T.iri(f"{EX}s2"), T.iri(f"{EX}p"), T.iri(f"{EX}o"), g2),
+         (T.iri(f"{EX}s2"), T.iri(f"{EX}p"), T.iri(f"{EX}o2"))],
+    ]
+    opts = StreamOptions(
+        physical_type=PHYSICAL_GRAPHS, logical_type=LOGICAL_NAMED_GRAPHS
+    )
+    data = b"".join(encode_grouped(grp, opts))
+    _, spans = parse_options(data)
+    assert len(spans) == 2  # one frame per group
+    got = list(decode_flat(data))
+    assert [q[3][0] for q in got] == [1, 1, 2, 4]  # iri, iri, bnode, DEFAULT
+    fast = decode_table(data)
+    general = statements_to_table(got)
+    assert fast is not None and fast.equals(general)
