@@ -28,6 +28,7 @@ import pyarrow.compute as pc
 from ..jelly.encode import StreamEncoder
 from ..jelly.options import (
     LOGICAL_FLAT_QUADS,
+    PHYSICAL_GRAPHS,
     PHYSICAL_QUADS,
     StreamOptions,
 )
@@ -137,20 +138,45 @@ def _write_stream_table(
 
 
 def _write_stream(path: str, statements, options: StreamOptions) -> tuple[int, int]:
-    """Encode statements into one delimited stream at ``path`` (tmp+rename)."""
+    """Encode statements into one delimited stream at ``path`` (tmp+rename).
+
+    PHYSICAL_GRAPHS emits graph_start/triple…/graph_end marker rows at
+    graph-term changes (a bare triple row outside graph bounds — or a quad
+    row — is nonconformant in that physical type; mirrors encode_grouped).
+    """
     tmp = path + ".tmp"
     n = 0
     total = 0
     enc = StreamEncoder(options)
     quads = options.physical_type in (PHYSICAL_QUADS,)
+    graphs = options.physical_type == PHYSICAL_GRAPHS
+    _unset = object()
+    cur_g: object = _unset
     with open(tmp, "wb") as f:
         for stmt in statements:
-            out = (
-                enc.quad(stmt[0], stmt[1], stmt[2], stmt[3])
-                if quads
-                else enc.triple(stmt[0], stmt[1], stmt[2])
-            )
+            if graphs:
+                g = (
+                    stmt[3]
+                    if len(stmt) == 4
+                    else (KIND_DEFAULT, None, None, None)
+                )
+                if cur_g is _unset or g != cur_g:
+                    if cur_g is not _unset:
+                        out = enc.graph_end()
+                        if out:
+                            total += f.write(out)
+                    enc.graph_start(g)
+                    cur_g = g
+                out = enc.triple(stmt[0], stmt[1], stmt[2])
+            elif quads:
+                out = enc.quad(stmt[0], stmt[1], stmt[2], stmt[3])
+            else:
+                out = enc.triple(stmt[0], stmt[1], stmt[2])
             n += 1
+            if out:
+                total += f.write(out)
+        if graphs and cur_g is not _unset:
+            out = enc.graph_end()
             if out:
                 total += f.write(out)
         tail = enc.flush()

@@ -310,3 +310,50 @@ def test_cfold_long_payloads_and_empty() -> None:
         assert fast_bytes(t, opts) == slow_bytes(t, opts)
         empty = make_table([])
         assert fast_bytes(empty, opts) == slow_bytes(empty, opts)
+
+
+def test_write_stream_graphs_physical_conformant(tmp_path) -> None:
+    """_write_stream with PHYSICAL_GRAPHS must emit marker rows (previously
+    it wrote bare triple rows that even our own decoder rejected) and the
+    reference parser must read the file."""
+    import io
+    import sys
+
+    import pyarrow as pa
+
+    from pyjelly_ray.jelly import decode_flat
+    from pyjelly_ray.jelly.decode_fast import decode_table
+    from pyjelly_ray.jelly.options import LOGICAL_DATASETS, PHYSICAL_GRAPHS
+    from pyjelly_ray.sinks.jelly_sink import _write_stream, rows_to_terms
+
+    t = pa.table(
+        {
+            "s_kind": pa.array([1, 1, 1], pa.uint8()),
+            "s_value": ["https://e/s", "https://e/s2", "https://e/s3"],
+            "p_kind": pa.array([1, 1, 1], pa.uint8()),
+            "p_value": ["https://e/p"] * 3,
+            "o_kind": pa.array([1, 1, 1], pa.uint8()),
+            "o_value": ["https://e/o"] * 3,
+            "o_lex": pa.array([None] * 3, pa.string()),
+            "o_lang": pa.array([None] * 3, pa.string()),
+            "o_dt": pa.array([None] * 3, pa.string()),
+            "g_kind": pa.array([1, 4, 1], pa.uint8()),
+            "g_value": ["https://g/1", None, "https://g/1"],
+        }
+    )
+    opts = StreamOptions(
+        physical_type=PHYSICAL_GRAPHS, logical_type=LOGICAL_DATASETS
+    )
+    path = str(tmp_path / "g.jelly")
+    n, _ = _write_stream(path, list(rows_to_terms(t)), opts)
+    assert n == 3
+    data = open(path, "rb").read()
+    got = list(decode_flat(data))
+    assert [q[3][0] for q in got] == [1, 4, 1]
+    assert decode_table(data).num_rows == 3
+    sys.path.insert(0, "/root/reference")
+    from pyjelly.integrations.generic.generic_sink import GenericStatementSink
+
+    sink = GenericStatementSink()
+    sink.parse(io.BytesIO(data))
+    assert len(sink) == 3
