@@ -387,12 +387,31 @@ def encode_flat(
     type is taken from ``options`` (default TRIPLES).
     """
     enc = StreamEncoder(options)
-    quads = enc.options.physical_type in (PHYSICAL_QUADS, PHYSICAL_GRAPHS)
+    quads = enc.options.physical_type == PHYSICAL_QUADS
+    graphs = enc.options.physical_type == PHYSICAL_GRAPHS
+    _unset = object()
+    cur_g: object = _unset
     for stmt in statements:
-        if quads:
+        if graphs:
+            # GRAPHS physical carries graph_start/triple…/graph_end marker
+            # rows (quad rows are nonconformant in this physical type)
+            g = stmt[3] if len(stmt) == 4 else (KIND_DEFAULT, None, None, None)
+            if cur_g is _unset or g != cur_g:
+                if cur_g is not _unset:
+                    out = enc.graph_end()
+                    if out:
+                        yield out
+                enc.graph_start(g)
+                cur_g = g
+            out = enc.triple(stmt[0], stmt[1], stmt[2])
+        elif quads:
             out = enc.quad(stmt[0], stmt[1], stmt[2], stmt[3])
         else:
             out = enc.triple(stmt[0], stmt[1], stmt[2])
+        if out:
+            yield out
+    if graphs and cur_g is not _unset:
+        out = enc.graph_end()
         if out:
             yield out
     tail = enc.flush()
