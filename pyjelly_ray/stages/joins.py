@@ -202,7 +202,7 @@ def _cast_ts(col, typ):
     try:
         return pc.cast(col, typ)
     except pa.ArrowInvalid:
-        return pc.cast(col, options=pc.CastOptions(typ, allow_time_truncation=True))
+        return pc.cast(col, options=pc.CastOptions(typ, allow_time_truncate=True))
 
 
 def _asof_split_nulls(lpart: pa.Table, rpart: pa.Table):

@@ -4076,3 +4076,14 @@ def test_ivf_topk_multi_full_probe_equals_brute(ray_session):
                    / (np.linalg.norm(mat[r["query_id"]].astype(np.float32).astype(np.float64))
                       * np.linalg.norm(mat[r["vec_id"]].astype(np.float32).astype(np.float64)))
                    - r["sim"]) < 1e-3
+
+
+def test_asof_cast_ts_truncates_finer_resolutions():
+    """_cast_ts: a finer-resolution timestamp column truncates to the
+    join's canonical resolution instead of raising (ADVICE r1 follow-up —
+    the kwarg is allow_time_truncate, caught wrong in review)."""
+    from pyjelly_ray.stages.joins import _cast_ts
+
+    out = _cast_ts(pa.array([1_000_000_001], pa.timestamp("ns")), pa.timestamp("us"))
+    assert out.type == pa.timestamp("us")
+    assert out.to_pylist()[0].microsecond == 0
