@@ -335,7 +335,7 @@ static void cut_frame(St *st) {
 /* ------------------------------- entry point ------------------------------ */
 
 int64_t jelly_encode_fold(
-    int64_t n, int quads, int use_prefixes,
+    int64_t n, int mode /*0=triples,1=quads,2=graphs*/, int use_prefixes,
     const uint8_t *s_ch, const uint8_t *p_ch, const uint8_t *o_ch,
     const uint8_t *g_ch, const uint8_t *s_is_iri, const int64_t *o_kind,
     const int64_t *g_kind, const int64_t *sg, const int64_t *pg,
@@ -395,7 +395,48 @@ int64_t jelly_encode_fold(
         goto done;
     }
 
+    int quads = mode == 1;
+    int graphs = mode == 2;
     for (int64_t i = 0; i < n && !st.err; i++) {
+        Buf *f0 = &st.frame;
+        if (graphs && g_ch[i]) {
+            if (i) { /* RdfGraphEnd row; MAY cut (general-encoder parity) */
+                if (buf_byte(f0, 0x0A) || buf_byte(f0, 2) ||
+                    buf_byte(f0, (5 << 3) | 2) || buf_byte(f0, 0)) {
+                    st.err = -1;
+                    break;
+                }
+                st.row_count++;
+                if (st.row_count >= st.frame_size) {
+                    cut_frame(&st);
+                    st.row_count = 0;
+                }
+            }
+            /* RdfGraphStart row: term in fields 1(iri)/2(bnode)/3(default);
+             * entry rows land in the frame first; NO cut check after */
+            st.lit.len = 0;
+            int64_t gk = g_kind[i];
+            if (gk == KIND_IRI) {
+                encode_iri(&st, &st.lit, 1, gg[i]);
+            } else if (gk == KIND_DEFAULT) {
+                if (buf_byte(&st.lit, 0x1A) || buf_byte(&st.lit, 0)) st.err = -1;
+            } else {
+                int64_t v = gg[i];
+                if (buf_tag_len(&st.lit, 2, val_buf + val_off[v],
+                                val_off[v + 1] - val_off[v]))
+                    st.err = -1;
+            }
+            if (st.err) break;
+            int64_t gb = st.lit.len;
+            if (buf_byte(f0, 0x0A) ||
+                buf_varint(f0, (uint64_t)(1 + vsize((uint64_t)gb) + gb)) ||
+                buf_byte(f0, (4 << 3) | 2) || buf_varint(f0, (uint64_t)gb) ||
+                buf_bytes(f0, st.lit.p, gb)) {
+                st.err = -1;
+                break;
+            }
+            st.row_count++;
+        }
         Buf *body = &st.body;
         body->len = 0;
         if (s_ch[i]) {
@@ -452,6 +493,19 @@ int64_t jelly_encode_fold(
         if (st.row_count >= st.frame_size) {
             cut_frame(&st);
             st.row_count = 0;
+        }
+    }
+    if (!st.err && graphs && n > 0) {
+        Buf *f0 = &st.frame; /* close the last graph; may cut (parity) */
+        if (buf_byte(f0, 0x0A) || buf_byte(f0, 2) ||
+            buf_byte(f0, (5 << 3) | 2) || buf_byte(f0, 0)) {
+            st.err = -1;
+        } else {
+            st.row_count++;
+            if (st.row_count >= st.frame_size) {
+                cut_frame(&st);
+                st.row_count = 0;
+            }
         }
     }
     if (!st.err && st.row_count) cut_frame(&st);

@@ -68,7 +68,7 @@ def _load():
         return None
     lib.jelly_encode_fold.restype = ctypes.c_int64
     lib.jelly_encode_fold.argtypes = [
-        ctypes.c_int64, ctypes.c_int, ctypes.c_int,  # n, quads, use_prefixes
+        ctypes.c_int64, ctypes.c_int, ctypes.c_int,  # n, mode, use_prefixes
         _U8, _U8, _U8, _U8, _U8,                     # s_ch p_ch o_ch g_ch s_is_iri
         _I64, _I64,                                  # o_kind g_kind
         _I64, _I64, _I64, _I64,                      # sg pg og gg
@@ -119,7 +119,7 @@ def concat_offsets(parts: list[bytes]) -> tuple[bytes, np.ndarray]:
     return b"".join(parts), off
 
 
-def encode_fold(*, n, quads, use_prefixes, s_ch, p_ch, o_ch, g_ch, s_is_iri,
+def encode_fold(*, n, mode, use_prefixes, s_ch, p_ch, o_ch, g_ch, s_is_iri,
                 o_kind, g_kind, sg, pg, og, gg, pref_of, name_of,
                 val_parts, pref_parts, name_parts, lex_idx, lang_idx, dt_idx,
                 lex_parts, lang_parts, dt_parts, dt_skip,
@@ -166,7 +166,7 @@ def encode_fold(*, n, quads, use_prefixes, s_ch, p_ch, o_ch, g_ch, s_is_iri,
     out_p = ctypes.POINTER(ctypes.c_uint8)()
     out_len = ctypes.c_int64()
     rc = LIB.jelly_encode_fold(
-        n, 1 if quads else 0, 1 if use_prefixes else 0,
+        n, mode, 1 if use_prefixes else 0,
         U(s_ch), U(p_ch), U(o_ch), U(g_ch), U(s_is_iri),
         I(o_kind), I(g_kind), I(sg), I(pg), I(og), I(gg),
         I(pref_of), I(name_of),

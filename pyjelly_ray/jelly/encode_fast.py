@@ -17,8 +17,11 @@ tests/test_encode_fast.py), but restructured for the shard-writer hot path
   per-row ``bytes`` objects, no row list), cut every ``frame_size`` rows.
 
 Falls back to ``None`` (caller uses the general path) for shapes the fast
-path does not cover: GRAPHS physical type, RDF-star / generalized kinds,
-non-delimited or grouped streams.  Flat TRIPLES and QUADS are covered.
+path does not cover: RDF-star / generalized kinds, non-delimited or
+grouped streams.  All three physical types are covered: flat TRIPLES,
+QUADS (graph slot in the statement row) and GRAPHS
+(graph_start/triple…/graph_end marker rows at graph changes, mirroring
+``encode_flat``'s marker emission and cut points).
 """
 
 from __future__ import annotations
@@ -32,6 +35,8 @@ import pyarrow.compute as pc
 from ..terms import KIND_BNODE, KIND_DEFAULT, KIND_IRI, KIND_LITERAL
 from .encode import (
     ROW_DATATYPE,
+    ROW_GRAPH_END,
+    ROW_GRAPH_START,
     ROW_NAME,
     ROW_PREFIX,
     ROW_QUAD,
@@ -145,17 +150,19 @@ def encode_table(
     iri/bnode/default for the graph slot — non-delimited or grouped
     options).
     """
-    from .options import PHYSICAL_QUADS, PHYSICAL_TRIPLES
+    from .options import PHYSICAL_GRAPHS, PHYSICAL_QUADS, PHYSICAL_TRIPLES
 
     options = options or StreamOptions()
     names = table.column_names
     has_g = "g_kind" in names
+    graphs = options.physical_type == PHYSICAL_GRAPHS
     if (
         not options.delimited
         or not options.flat
         or (options.physical_type == PHYSICAL_TRIPLES and has_g)
         or (options.physical_type == PHYSICAL_QUADS and not has_g)
-        or options.physical_type not in (PHYSICAL_TRIPLES, PHYSICAL_QUADS)
+        or options.physical_type
+        not in (PHYSICAL_TRIPLES, PHYSICAL_QUADS, PHYSICAL_GRAPHS)
     ):
         return None
     checks = [
@@ -172,7 +179,15 @@ def encode_table(
         kinds.discard(None)
         if not kinds <= allowed:
             return None
-    return _encode_triples(table, options, metadata_fn, quads=has_g)
+    # physical GRAPHS: graph marker rows at graph changes; a table without
+    # g columns is one default graph
+    return _encode_triples(
+        table,
+        options,
+        metadata_fn,
+        quads=has_g and not graphs,
+        graphs=graphs,
+    )
 
 
 def _append_frame_metadata(frame: bytearray, md: dict[str, bytes] | None) -> None:
@@ -187,7 +202,8 @@ def _append_frame_metadata(frame: bytearray, md: dict[str, bytes] | None) -> Non
 
 
 def _encode_triples(
-    table: pa.Table, options: StreamOptions, metadata_fn=None, quads: bool = False
+    table: pa.Table, options: StreamOptions, metadata_fn=None, quads: bool = False,
+    graphs: bool = False,
 ) -> Iterator[bytes]:
     n = table.num_rows
     lp = options.lookup_preset
@@ -225,15 +241,20 @@ def _encode_triples(
     sg_np = np.where(s_idx >= 0, s_idx, _MISSING)
     pg_np = np.where(p_idx >= 0, p_idx + offs_p, _MISSING)
     og_np = np.where(o_idx >= 0, o_idx + offs_o, _MISSING)
-    if quads:
-        g_kind_np = np.asarray(
-            table.column("g_kind").combine_chunks().to_numpy(zero_copy_only=False),
-            dtype=np.int64,
-        )
-        g_idx, g_uniq = _dict_indices(table.column("g_value"))
-        offs_g = len(all_vals)
-        all_vals = all_vals + g_uniq
-        gg_np = np.where(g_idx >= 0, g_idx + offs_g, _MISSING)
+    emit_g = quads or graphs
+    if emit_g:
+        if "g_kind" in table.column_names:
+            g_kind_np = np.asarray(
+                table.column("g_kind").combine_chunks().to_numpy(zero_copy_only=False),
+                dtype=np.int64,
+            )
+            g_idx, g_uniq = _dict_indices(table.column("g_value"))
+            offs_g = len(all_vals)
+            all_vals = all_vals + g_uniq
+            gg_np = np.where(g_idx >= 0, g_idx + offs_g, _MISSING)
+        else:  # GRAPHS physical without g columns: one default graph
+            g_kind_np = np.full(n, KIND_DEFAULT, np.int64)
+            gg_np = np.full(n, _MISSING, np.int64)
 
     # vectorized repeated-term suppression: one composite int64 key per slot,
     # change masks via shifted != (no per-row Python key objects).  (value
@@ -264,7 +285,7 @@ def _encode_triples(
     p_ch_np = _change_mask(pg_np)
     o_ch_np = _change_mask(o_keys_np)
     s_is_iri_np = s_kind == KIND_IRI
-    if quads:
+    if emit_g:
         g_ch_np = _change_mask((gg_np << 3) | g_kind_np)
 
     # per unique value: utf-8 bytes (bnode branch), split prefix/name ids +
@@ -308,19 +329,19 @@ def _encode_triples(
         if cfold.LIB is not None:
             out = cfold.encode_fold(
                 n=n,
-                quads=quads,
+                mode=2 if graphs else (1 if quads else 0),
                 use_prefixes=use_prefixes,
                 s_ch=s_ch_np,
                 p_ch=p_ch_np,
                 o_ch=o_ch_np,
-                g_ch=g_ch_np if quads else np.zeros(n, bool),
+                g_ch=g_ch_np if emit_g else np.zeros(n, bool),
                 s_is_iri=s_is_iri_np,
                 o_kind=o_kind_np,
-                g_kind=g_kind_np if quads else np.zeros(n, np.int64),
+                g_kind=g_kind_np if emit_g else np.zeros(n, np.int64),
                 sg=sg_np,
                 pg=pg_np,
                 og=og_np,
-                gg=gg_np if quads else np.zeros(n, np.int64),
+                gg=gg_np if emit_g else np.zeros(n, np.int64),
                 pref_of=np.array(pref_of, np.int64),
                 name_of=np.array(name_of, np.int64),
                 val_parts=val_bytes,
@@ -353,7 +374,7 @@ def _encode_triples(
     o_ch = o_ch_np.tolist()
     s_is_iri = s_is_iri_np.tolist()
     o_kind = o_kind_np.tolist()  # small ints are interned — cheap list
-    if quads:
+    if emit_g:
         g_ch = g_ch_np.tolist()
         g_kind = g_kind_np.tolist()
 
@@ -488,7 +509,51 @@ def _encode_triples(
 
     LIT = KIND_LITERAL
     IRI = KIND_IRI
+
+    def emit_graph_end() -> None:
+        """RdfGraphEnd row: empty message, row field 5."""
+        nonlocal frame, row_count
+        frame.append(0x0A)
+        frame.append(2)
+        frame.append((ROW_GRAPH_END << 3) | 2)
+        frame.append(0)
+        row_count += 1
+
+    def emit_graph_start(i: int) -> None:
+        """RdfGraphStart row: graph term in fields 1(iri)/2(bnode)/3(default);
+        entry rows from the IRI lookups land in the frame first (same as a
+        statement slot).  NO cut check after (general-encoder parity:
+        graph_start never cuts)."""
+        nonlocal frame, row_count
+        gbody = bytearray()
+        gk = g_kind[i]
+        if gk == IRI:
+            encode_iri_into(gbody, 1, gg_np[i])
+        elif gk == KIND_DEFAULT:
+            gbody.append(0x1A)  # field 3, empty message
+            gbody.append(0)
+        else:
+            _tag_len(gbody, 2, val_bytes[gg_np[i]])  # bnode graph name
+        nb = len(gbody)
+        frame.append(0x0A)
+        _append_varint(1 + _vsize(nb) + nb)
+        frame.append((ROW_GRAPH_START << 3) | 2)
+        _append_varint(nb)
+        frame += gbody
+        row_count += 1
+
     for i in range(n):
+        if graphs and g_ch[i]:
+            if i:  # close the previous graph; graph_end MAY cut (parity)
+                emit_graph_end()
+                if row_count >= frame_size:
+                    if metadata_fn is not None:
+                        _append_frame_metadata(frame, metadata_fn(frame_index))
+                        frame_index += 1
+                    yield encode_varint(len(frame)) + frame
+                    frame = bytearray()
+                    row_count = 0
+            emit_graph_start(i)
         body = bytearray()
         if s_ch[i]:
             if s_is_iri[i]:
@@ -522,6 +587,15 @@ def _encode_triples(
         _append_varint(nb)
         frame += body
         row_count += 1
+        if row_count >= frame_size:
+            if metadata_fn is not None:
+                _append_frame_metadata(frame, metadata_fn(frame_index))
+                frame_index += 1
+            yield encode_varint(len(frame)) + frame
+            frame = bytearray()
+            row_count = 0
+    if graphs and n:
+        emit_graph_end()  # close the last graph (may cut, parity)
         if row_count >= frame_size:
             if metadata_fn is not None:
                 _append_frame_metadata(frame, metadata_fn(frame_index))

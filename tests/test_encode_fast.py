@@ -357,3 +357,72 @@ def test_write_stream_graphs_physical_conformant(tmp_path) -> None:
     sink = GenericStatementSink()
     sink.parse(io.BytesIO(data))
     assert len(sink) == 3
+
+
+def _graphs_table(seed: int) -> pa.Table:
+    import random
+
+    rng = random.Random(seed)
+    rows = random_rows(400, seed)
+    cols = {c: [] for c in TRIPLE_SCHEMA.names}
+    gk, gv = [], []
+    graphs = ["https://g.ex/1", "https://g.ex/2", None, "bg"]
+    cur = rng.choice(graphs)
+    for r in rows:
+        for c, v in zip(TRIPLE_SCHEMA.names, (r[0], r[1], KIND_IRI, r[2], *r[3:])):
+            cols[c].append(v)
+        if rng.random() < 0.2:  # runs of constant graph with switches
+            cur = rng.choice(graphs)
+        if cur is None:
+            gk.append(4)
+            gv.append(None)
+        elif cur == "bg":
+            gk.append(KIND_BNODE)
+            gv.append("bg0")
+        else:
+            gk.append(KIND_IRI)
+            gv.append(cur)
+    t = pa.Table.from_pydict(cols, schema=TRIPLE_SCHEMA)
+    t = t.append_column("g_kind", pa.array(gk, pa.int64()))
+    return t.append_column("g_value", pa.array(gv, pa.string()))
+
+
+def test_fast_graphs_match_general_and_roundtrip() -> None:
+    """PHYSICAL_GRAPHS through encode_table (C and Python folds) must be
+    byte-identical to encode_flat's general marker emission — graph
+    start/end rows, entry rows from graph-IRI lookups, cut-after-end /
+    no-cut-after-start framing — and decode back equal."""
+    from pyjelly_ray.jelly import cfold, decode_flat
+    from pyjelly_ray.jelly.decode_fast import decode_table
+    from pyjelly_ray.jelly.encode import encode_flat
+    from pyjelly_ray.jelly.options import LOGICAL_FLAT_QUADS, PHYSICAL_GRAPHS
+    from pyjelly_ray.sinks.jelly_sink import rows_to_terms
+    from pyjelly_ray.sources.jelly_source import statements_to_table
+
+    assert cfold.LIB is not None
+    t = _graphs_table(5)
+    saved = cfold.LIB
+    try:
+        for preset, fs in (
+            (LookupPreset(), 250),
+            (LookupPreset.tiny(), 4),
+            (LookupPreset.small(), 1),
+            (LookupPreset.no_prefixes(), 7),
+        ):
+            opts = StreamOptions(
+                physical_type=PHYSICAL_GRAPHS,
+                logical_type=LOGICAL_FLAT_QUADS,
+                lookup_preset=preset,
+                frame_size=fs,
+            )
+            general = b"".join(encode_flat(rows_to_terms(t), opts))
+            cfold.LIB = saved
+            out_c = b"".join(encode_table(t, opts))
+            cfold.LIB = None
+            out_py = b"".join(encode_table(t, opts))
+            assert out_c == general and out_py == general, (preset, fs)
+            dec = decode_table(general)
+            assert dec is not None
+            assert dec.equals(statements_to_table(decode_flat(general)))
+    finally:
+        cfold.LIB = saved
