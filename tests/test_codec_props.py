@@ -130,3 +130,36 @@ def test_fast_quads_encode_decode_agree_with_general(stmts, preset, frame_size):
     fast_decoded = decode_table(fast)
     assert fast_decoded is not None
     assert fast_decoded.equals(general)
+
+
+@given(
+    st.lists(st.tuples(_subject, _iri, _object, _graph), min_size=1, max_size=100),
+    _preset,
+    st.sampled_from([1, 3, 17, 250]),
+)
+@settings(max_examples=60, deadline=None)
+def test_fast_graphs_encode_decode_agree_with_general(stmts, preset, frame_size):
+    """Whole-codec property for physical GRAPHS: marker emission (byte
+    parity vs the general encoder) and flattened decode parity — through
+    the compiled folds when available."""
+    from pyjelly_ray.jelly.options import LOGICAL_FLAT_QUADS, PHYSICAL_GRAPHS
+
+    stmts = stmts + stmts[: len(stmts) // 2]
+    opts = StreamOptions(
+        lookup_preset=preset,
+        frame_size=frame_size,
+        physical_type=PHYSICAL_GRAPHS,
+        logical_type=LOGICAL_FLAT_QUADS,
+    )
+    table = _to_quad_table(stmts)
+
+    slow = b"".join(encode_flat(rows_to_terms(table), opts))
+    fast_chunks = encode_table(table, opts)
+    assert fast_chunks is not None
+    fast = b"".join(fast_chunks)
+    assert fast == slow
+
+    general = statements_to_table(decode_flat(fast))
+    fast_decoded = decode_table(fast)
+    assert fast_decoded is not None
+    assert fast_decoded.equals(general)
