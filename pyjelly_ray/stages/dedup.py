@@ -65,78 +65,136 @@ def auto_buckets(est_rows: int | None = None, ds=None) -> int:
     return min(MAX_BUCKETS, max(base, int(est_rows // ROWS_PER_BUCKET) + 1))
 
 
-def _joined_stmt(batch: pa.Table) -> pa.ChunkedArray:
-    cols = []
-    for c in STMT_COLS:
-        if c in batch.column_names:
-            col = batch.column(c)
-            if not pa.types.is_string(col.type):
-                col = pc.cast(col, pa.string())
-            cols.append(pc.coalesce(col, pa.scalar(_NULL)))
-    return pc.binary_join_element_wise(*cols, _SEP)
+def _col_hash64(col, seed: int):
+    """Seeded 64-bit polars hash of one column → numpy uint64.
+
+    Dictionary input hashes the (small) dictionary once and takes —
+    value-identical to hashing the flat values (keep-dict mode relies on
+    this; null values get polars' own null hash either way)."""
+    import numpy as np
+    import polars as pl
+
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if pa.types.is_dictionary(col.type):
+        dh = pl.Series("d", col.dictionary).hash(seed=seed).to_arrow()
+        h = pc.take(dh, col.indices)
+        if h.null_count:
+            null_h = pl.Series("n", [None], dtype=pl.Utf8).hash(seed=seed)[0]
+            h = pc.fill_null(h, pa.scalar(null_h, pa.uint64()))
+        return h.to_numpy(zero_copy_only=False)
+    return pl.Series("d", col).hash(seed=seed).to_numpy()
 
 
 def add_tkey(batch: pa.Table, n_buckets: int) -> pa.Table:
-    """Vectorized 128-bit statement key (h1, h2) + int shuffle bucket."""
-    import polars as pl
+    """Vectorized 128-bit statement key (h1, h2) + int shuffle bucket.
 
-    joined = _joined_stmt(batch)
-    s = pl.Series("j", joined.combine_chunks())
-    h1 = s.hash(seed=1).to_arrow()
-    h2 = s.hash(seed=2).to_arrow()
-    b = pc.cast(pc.bit_wise_and(h1, pa.scalar(0x7FFFFFFF, pa.uint64())), pa.int64())
-    bucket = pc.cast(
-        pc.subtract(b, pc.multiply(pc.divide(b, n_buckets), n_buckets)), pa.int32()
+    Per-column seeded hashes combined with two independent polynomial
+    accumulators — no joined-string materialization (the old
+    ``binary_join_element_wise`` over 9 columns was ~60% of this stage's
+    wall, and string concatenation was also ambiguous if a value ever
+    contained the separator).  Key equality across batches is preserved:
+    the combine depends only on (column order, values), both
+    schema-stable."""
+    import numpy as np
+
+    n = batch.num_rows
+    a1 = np.zeros(n, np.uint64)
+    a2 = np.zeros(n, np.uint64)
+    P1 = np.uint64(0x100000001B3)
+    P2 = np.uint64(0x9E3779B97F4A7C15)
+    with np.errstate(over="ignore"):
+        for c in STMT_COLS:
+            if c not in batch.column_names:
+                continue
+            col = batch.column(c)
+            a1 = a1 * P1 + _col_hash64(col, 1)
+            a2 = a2 * P2 + _col_hash64(col, 2)
+    bucket = ((a1 & np.uint64(0x7FFFFFFF)).astype(np.int64) % n_buckets).astype(
+        np.int32
     )
     for c in ("h1", "h2", "bucket"):
         if c in batch.column_names:
             batch = batch.drop_columns([c])
-    batch = batch.append_column("h1", h1)
-    batch = batch.append_column("h2", h2)
-    return batch.append_column("bucket", bucket)
+    batch = batch.append_column("h1", pa.array(a1))
+    batch = batch.append_column("h2", pa.array(a2))
+    return batch.append_column("bucket", pa.array(bucket))
 
 
 def dedup_block(batch: pa.Table) -> pa.Table:
-    """Vectorized within-table dedup: sort by key+order, keep first per key.
+    """Vectorized within-table dedup keeping min-(repo, path, seq) per key.
 
-    Used both as the per-block combiner and as the per-bucket global kernel
-    (correct globally once rows of equal keys are co-located).  The (repo,
-    path) tie-break keys are collapsed to one int32 rank so the 5-key sort
-    compares only ints (arrowutil.rank_key — string comparators were the
-    memory traffic under 32-way concurrency).
+    The old kernel sorted the WHOLE table by the 5-key
+    (h1, h2, rank(repo), rank(path), seq) order; but only duplicate runs
+    ever need the tie-break, and most rows are unique.  New shape
+    (VERDICT r2 #2 "move the local dedup cost down"):
+
+    1. ``np.lexsort`` the two uint64 key columns only (no payload moves);
+    2. all-unique ⇒ return the batch UNMODIFIED (zero copies — the common
+       map-side case after the first local combine);
+    3. otherwise rank/tie-break ONLY the duplicate-run rows (dense ranks
+       are order-isomorphic per column, so the subset min equals the
+       batch-wide min) and filter the originals in place.
+
+    Row order: unique rows keep their input order (the old kernel returned
+    key-sorted order; no caller depends on it — the writer re-sorts by
+    (repo, path, seq) and Dataset block order is unordered anyway).
     """
     if batch.num_rows <= 1:
         return batch
+    import numpy as np
+
     names = batch.column_names
+    h1 = batch.column("h1").combine_chunks().to_numpy(zero_copy_only=False)
+    h2 = batch.column("h2").combine_chunks().to_numpy(zero_copy_only=False)
+    # phase 1: single-key argsort on h1 (≈10× cheaper than a 2-key
+    # lexsort); equal-h1 runs are the only possible (h1, h2) duplicates
+    si = np.argsort(h1)
+    h1s = h1[si]
+    starts = np.concatenate([[True], h1s[1:] != h1s[:-1]])
+    run_sizes = np.bincount(np.cumsum(starts) - 1)
+    if len(run_sizes) == batch.num_rows:
+        return batch  # all h1 unique ⇒ all keys unique — nothing to do
+    cand = si[np.repeat(run_sizes > 1, run_sizes)]  # candidate original rows
+    # phase 2: exact (h1, h2) grouping on the (small) candidate set
+    ch1, ch2 = h1[cand], h2[cand]
+    o = np.lexsort((ch2, ch1))
+    cand = cand[o]
+    c1, c2 = ch1[o], ch2[o]
+    starts2 = np.concatenate([[True], (c1[1:] != c1[:-1]) | (c2[1:] != c2[:-1])])
+    run_id2 = np.cumsum(starts2) - 1
+    run_sizes2 = np.bincount(run_id2)
+    if len(run_sizes2) == len(cand):
+        return batch  # h1 collisions only — no true duplicates
+    dup_sorted = np.repeat(run_sizes2 > 1, run_sizes2)
+    dup_rows = cand[dup_sorted]  # original indices, grouped by run
+    keep = np.ones(batch.num_rows, bool)
+    keep[dup_rows] = False
+    sub = batch.take(pa.array(dup_rows))
+    rid = run_id2[dup_sorted]
+    tie: list[np.ndarray] = []
     str_keys = [c for c in ("repo", "path") if c in names]
-    aux = []
-    order = [(c, "ascending") for c in ("h1", "h2") if c in names]
     if str_keys:
         from ..arrowutil import rank_keys
 
-        # per-column ranks: 2.6× cheaper than the joined-string rank (no
-        # join materialization) and dict-input-tolerant (keep-dict mode)
-        for i, r in enumerate(rank_keys(batch, str_keys)):
-            name = f"_rank{i}"
-            batch = batch.append_column(name, r)
-            order.append((name, "ascending"))
-            aux.append(name)
+        tie = [
+            r.to_numpy(zero_copy_only=False).astype(np.int64)
+            for r in rank_keys(sub, str_keys)
+        ]
     if "seq" in names:
-        order.append(("seq", "ascending"))
-    t = batch.sort_by(order)
-    if aux:
-        t = t.drop_columns(aux)
-    h1 = t.column("h1").combine_chunks()
-    h2 = t.column("h2").combine_chunks()
-    n = len(h1)
-    neq = pc.or_(
-        pc.not_equal(h1.slice(1), h1.slice(0, n - 1)),
-        pc.not_equal(h2.slice(1), h2.slice(0, n - 1)),
-    )
-    if isinstance(neq, pa.ChunkedArray):
-        neq = neq.combine_chunks()
-    mask = pa.concat_arrays([pa.array([True]), neq])
-    return t.filter(mask)
+        tie.append(sub.column("seq").combine_chunks().to_numpy(zero_copy_only=False))
+    if tie:
+        order = np.lexsort(tuple(reversed(tie)) + (rid,))
+        rid_o = rid[order]
+        first = np.concatenate([[True], rid_o[1:] != rid_o[:-1]])
+        winners = dup_rows[order[first]]
+    else:
+        # no tie-break columns: deterministic winner = smallest original
+        # row index per run (dup_rows is grouped by run, so a min-reduce
+        # at run starts suffices)
+        rstarts = np.concatenate([[True], rid[1:] != rid[:-1]])
+        winners = np.minimum.reduceat(dup_rows, np.flatnonzero(rstarts))
+    keep[winners] = True
+    return batch.filter(pa.array(keep))
 
 
 def strip_key_columns(batch: pa.Table) -> pa.Table:

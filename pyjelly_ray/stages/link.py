@@ -91,25 +91,48 @@ def symbols_to_table(symbols: dict[str, str]) -> pa.Table:
     )
 
 
-def _link_batch(sym_table: pa.Table, batch: pa.Table) -> pa.Table:
-    """Vectorized canonicalization: index_in lookups, no Python-object state."""
-    o_value = batch.column("o_value").combine_chunks()
-    mask = pc.starts_with(o_value, "unlinked:")
-    if pc.sum(mask).as_py() in (0, None):
-        return batch
-    names_all = pc.utf8_slice_codeunits(o_value, 9)  # strip 'unlinked:'
+def _resolve_names(sym_table: pa.Table, names: pa.Array) -> pa.Array:
+    """name → canonical IRI, vectorized over a (small) unique-name array:
+    1) exact name hit  2) bare-name (last dotted segment) hit  3) extern IRI."""
     key_arr = sym_table.column("name").combine_chunks()
     val_arr = sym_table.column("iri").combine_chunks()
-    # 1) exact name hit  2) bare-name (last dotted segment) hit  3) extern IRI
-    hit_full = pc.take(val_arr, pc.index_in(names_all, value_set=key_arr))
-    bare = pc.extract_regex(names_all, r"(?P<last>[^.]*)$")
+    hit_full = pc.take(val_arr, pc.index_in(names, value_set=key_arr))
+    bare = pc.extract_regex(names, r"(?P<last>[^.]*)$")
     bare = pc.struct_field(bare, "last")
     hit_bare = pc.take(val_arr, pc.index_in(bare, value_set=key_arr))
     extern = pc.binary_join_element_wise(
-        pa.array([EXTERN_PREFIX] * len(names_all), pa.string()), names_all, ""
+        pa.array([EXTERN_PREFIX] * len(names), pa.string()), names, ""
     )
-    resolved = pc.coalesce(hit_full, hit_bare, extern)
-    new_values = pc.replace_with_mask(o_value, mask, resolved.filter(mask))
+    return pc.coalesce(hit_full, hit_bare, extern)
+
+
+def _link_batch(sym_table: pa.Table, batch: pa.Table) -> pa.Table:
+    """Vectorized canonicalization in the DICTIONARY domain.
+
+    Objects repeat heavily (types, call targets, module IRIs), so the
+    batch's o_value column is dictionary-encoded once and the whole
+    resolve chain — starts_with / slice / regex / two index_in /
+    coalesce — runs per UNIQUE value, not per row (VERDICT r2 #2); one
+    ``take`` rebuilds the row-aligned column.  Value-identical to the
+    per-row formulation (resolution is a pure function of the value).
+    Dictionary-encoded input (keep-dict mode) is linked in place,
+    preserving its indices.
+    """
+    o_value = batch.column("o_value").combine_chunks()
+    was_dict = pa.types.is_dictionary(o_value.type)
+    d = o_value if was_dict else o_value.dictionary_encode()
+    uniq = d.dictionary
+    mask = pc.starts_with(uniq, "unlinked:")
+    if pc.sum(mask).as_py() in (0, None):
+        return batch
+    names = pc.utf8_slice_codeunits(uniq.filter(mask), 9)  # strip 'unlinked:'
+    resolved = _resolve_names(sym_table, names)
+    new_uniq = pc.replace_with_mask(uniq, mask, resolved)
+    new_values = (
+        pa.DictionaryArray.from_arrays(d.indices, new_uniq)
+        if was_dict
+        else pc.take(new_uniq, d.indices)
+    )
     idx = batch.schema.get_field_index("o_value")
     return batch.set_column(idx, "o_value", new_values)
 

@@ -521,6 +521,65 @@ def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
     return inter / (len(ga) + len(gb) - inter)
 
 
+def _np_ranges(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Flat index array = concat(arange(s, s+c) for s, c in zip(starts, counts)).
+
+    The standard repeat+arange trick: no Python loop over runs."""
+    total = int(counts.sum())
+    run_off = np.cumsum(counts) - counts
+    within = np.arange(total) - np.repeat(run_off, counts)
+    return np.repeat(starts, counts) + within
+
+
+def _distinct_gram_rows(batch: pa.Table, n: int) -> pa.Table:
+    """doc → DISTINCT word-n-gram rows (doc_id, gram), fully vectorized.
+
+    ``split_pattern`` + list-offset arithmetic builds every n-gram with
+    one ``take`` per gram position and one ``binary_join_element_wise``
+    — no Python loop over docs or tokens.  Matches
+    :func:`_word_ngrams`: docs with < n tokens contribute the whole
+    text as their single gram ('' for empty text).
+    """
+    import pyarrow.compute as pc
+
+    text = pc.fill_null(batch.column("text"), "")
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    toks = pc.split_pattern(text, " ")
+    offs = toks.offsets.to_numpy().astype(np.int64)
+    values = toks.values
+    start = offs[0]
+    if start:
+        offs = offs - start
+        values = values.slice(start)
+    lens = np.diff(offs)
+    gcounts = np.where(lens >= n, lens - n + 1, 0)
+    total = int(gcounts.sum())
+    base = _np_ranges(offs[:-1], gcounts)
+    parts = [values.take(pa.array(base + j)) for j in range(n)]
+    grams = (
+        pc.binary_join_element_wise(*parts, " ") if total else pa.array([], pa.string())
+    )
+    doc_ids = batch.column("doc_id")
+    if isinstance(doc_ids, pa.ChunkedArray):
+        doc_ids = doc_ids.combine_chunks()
+    ids_np = doc_ids.to_numpy(zero_copy_only=False)
+    long_ids = np.repeat(ids_np, gcounts)
+    short_mask = lens < n
+    out = pa.table(
+        {
+            "doc_id": pa.array(
+                np.concatenate([long_ids, ids_np[short_mask]]), pa.int64()
+            ),
+            "gram": pa.concat_arrays(
+                [grams, text.filter(pa.array(short_mask))]
+            ),
+        }
+    )
+    # distinct grams per doc (n-gram *sets*, not bags)
+    return out.group_by(["doc_id", "gram"]).aggregate([])
+
+
 def ngram_jaccard_pairs(docs_ds, *, threshold: float = 0.8, n: int = 3):
     """EXACT all-pairs word-n-gram Jaccard ≥ threshold, via prefix filtering.
 
@@ -569,52 +628,7 @@ def ngram_jaccard_pairs(docs_ds, *, threshold: float = 0.8, n: int = 3):
     from .joins import broadcast_join_refs
 
     def gram_rows(batch: pa.Table) -> pa.Table:
-        """doc → DISTINCT word-n-gram rows (doc_id, gram), fully vectorized.
-
-        ``split_pattern`` + list-offset arithmetic builds every n-gram with
-        one ``take`` per gram position and one ``binary_join_element_wise``
-        — no Python loop over docs or tokens.  Matches
-        :func:`_word_ngrams`: docs with < n tokens contribute the whole
-        text as their single gram ('' for empty text).
-        """
-        text = pc.fill_null(batch.column("text"), "")
-        if isinstance(text, pa.ChunkedArray):
-            text = text.combine_chunks()
-        toks = pc.split_pattern(text, " ")
-        offs = toks.offsets.to_numpy().astype(np.int64)
-        values = toks.values
-        start = offs[0]
-        if start:
-            offs = offs - start
-            values = values.slice(start)
-        lens = np.diff(offs)
-        gcounts = np.where(lens >= n, lens - n + 1, 0)
-        total = int(gcounts.sum())
-        run_off = np.cumsum(gcounts) - gcounts
-        within = np.arange(total) - np.repeat(run_off, gcounts)
-        base = np.repeat(offs[:-1], gcounts) + within
-        parts = [values.take(pa.array(base + j)) for j in range(n)]
-        grams = (
-            pc.binary_join_element_wise(*parts, " ") if total else pa.array([], pa.string())
-        )
-        doc_ids = batch.column("doc_id")
-        if isinstance(doc_ids, pa.ChunkedArray):
-            doc_ids = doc_ids.combine_chunks()
-        ids_np = doc_ids.to_numpy(zero_copy_only=False)
-        long_ids = np.repeat(ids_np, gcounts)
-        short_mask = lens < n
-        out = pa.table(
-            {
-                "doc_id": pa.array(
-                    np.concatenate([long_ids, ids_np[short_mask]]), pa.int64()
-                ),
-                "gram": pa.concat_arrays(
-                    [grams, text.filter(pa.array(short_mask))]
-                ),
-            }
-        )
-        # distinct grams per doc (n-gram *sets*, not bags)
-        return out.group_by(["doc_id", "gram"]).aggregate([])
+        return _distinct_gram_rows(batch, n)
 
     grams_ds = docs_ds.map_batches(
         gram_rows, batch_format="pyarrow", batch_size=None
@@ -790,25 +804,85 @@ def ngram_jaccard_pairs(docs_ds, *, threshold: float = 0.8, n: int = 3):
     # blocks stay in plasma; scan tasks read them zero-copy — no driver copy
     joined = broadcast_join_refs(docs_ds, long_mat, left_key="doc_id")
 
-    def verify(group: pa.Table) -> pa.Table:
-        rows = sorted(
-            zip(group.column("doc_id").to_pylist(), group.column("text").to_pylist())
-        )
-        if len(rows) != 2:  # defensive: a side missing from the corpus scan
+    def verify_part(t: pa.Table) -> pa.Table:
+        """Whole-partition exact-Jaccard verify, no per-pair Python.
+
+        Each unique doc's gram set is built ONCE (vectorized
+        :func:`_distinct_gram_rows`, grams dictionary-encoded to exact
+        int codes — collision-free, unlike hashing), then every pair's
+        intersection is counted in one lexsort + adjacent-duplicate
+        pass over (pair, code) rows.  Semantics identical to the old
+        per-pair :func:`ngram_jaccard` kernel (VERDICT r2 nit #1).
+        """
+        if t.num_rows == 0:
             return empty
-        (ida, ta), (idb, tb) = rows
-        j = ngram_jaccard(ta or "", tb or "", n)
-        if j < threshold:
+        t = t.sort_by([("pair", "ascending"), ("doc_id", "ascending")])
+        pb = _key_run_bounds(t, ["pair"])
+        rsz = np.diff(pb)
+        keep_runs = rsz == 2  # defensive: a side missing from the corpus scan
+        if not keep_runs.any():
+            return empty
+        a_rows = pb[:-1][keep_runs]
+        b_rows = a_rows + 1
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        # unique docs → gram sets computed once per doc, not once per pair
+        rows_used = np.concatenate([a_rows, b_rows])
+        uids, first_pos = np.unique(ids[rows_used], return_index=True)
+        doc_rows = rows_used[first_pos]
+        la = np.searchsorted(uids, ids[a_rows])
+        lb = np.searchsorted(uids, ids[b_rows])
+        m = len(uids)
+        docs_t = pa.table(
+            {
+                "doc_id": pa.array(np.arange(m, dtype=np.int64)),
+                "text": pc.take(
+                    pc.fill_null(t.column("text").combine_chunks(), ""),
+                    pa.array(doc_rows),
+                ),
+            }
+        )
+        g = _distinct_gram_rows(docs_t, n)
+        codes = (
+            g.column("gram")
+            .combine_chunks()
+            .dictionary_encode()
+            .indices.to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        gi = g.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.argsort(gi, kind="stable")
+        codes_s = codes[order]
+        s = np.bincount(gi[order], minlength=m)  # gram-set size per doc
+        doc_off = np.concatenate([[0], np.cumsum(s)])
+        npairs = len(a_rows)
+        pair_idx = np.arange(npairs)
+        ca, cb = s[la], s[lb]
+        all_pairs = np.concatenate(
+            [np.repeat(pair_idx, ca), np.repeat(pair_idx, cb)]
+        )
+        all_codes = np.concatenate(
+            [codes_s[_np_ranges(doc_off[la], ca)], codes_s[_np_ranges(doc_off[lb], cb)]]
+        )
+        o2 = np.lexsort((all_codes, all_pairs))
+        ap, ac = all_pairs[o2], all_codes[o2]
+        # within one doc codes are distinct, so an adjacent duplicate within
+        # a pair run means the gram is on BOTH sides — the intersection
+        dup = (ap[1:] == ap[:-1]) & (ac[1:] == ac[:-1])
+        inter = np.bincount(ap[1:][dup], minlength=npairs)
+        union = ca + cb - inter
+        j = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+        mask = j >= threshold
+        if not mask.any():
             return empty
         return pa.table(
             {
-                "doc_a": pa.array([ida], pa.int64()),
-                "doc_b": pa.array([idb], pa.int64()),
-                "jaccard": pa.array([round(j, 6)], pa.float64()),
+                "doc_a": pa.array(ids[a_rows][mask], pa.int64()),
+                "doc_b": pa.array(ids[b_rows][mask], pa.int64()),
+                "jaccard": pa.array(np.round(j[mask], 6), pa.float64()),
             }
         )
 
-    return grouped_map(joined, "pair", verify)
+    return grouped_map(joined, "pair", verify_part, per_group=False)
 
 
 # --------------------------------------------------------------------------
