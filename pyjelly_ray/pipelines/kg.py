@@ -18,7 +18,7 @@ from __future__ import annotations
 from ..jelly.options import StreamOptions
 from ..stages.dedup import dedup_exact
 from ..stages.extract import extract_batch, ingest_sha256
-from ..stages.link import SymbolLinker, collect_symbol_dict
+from ..stages.link import SymbolLinker, collect_symbol_dict, prepare_link_index
 
 
 def read_corpus(path, columns=None, override_num_blocks: int | None = None):
@@ -82,7 +82,9 @@ def link_triples(triples_ds, *, use_actors: bool = False, concurrency=(2, 8)):
     from ..stages.link import make_linker_task
 
     sym_table = collect_symbol_dict(triples_ds)  # Arrow (name, iri), sorted
-    sym_ref = ray.put(sym_table)
+    from ..stages.link import prepare_link_index
+
+    sym_ref = ray.put(prepare_link_index(sym_table))  # hash-sorted, built once
     if use_actors:
         return triples_ds.map_batches(
             SymbolLinker,
@@ -208,7 +210,7 @@ def build_kg(
     if materialize_triples:
         triples = triples.materialize()
     sym_table, repo_counts = collect_stats(triples)
-    sym_ref = ray.put(sym_table)
+    sym_ref = ray.put(prepare_link_index(sym_table))  # hash-sorted, built once
     if strategy == "fused" and dedup:
         # dedup + shard-write as one two-hop raw-task exchange (no Ray sort
         # shuffles; measured 2.8× faster and non-bimodal — ROADMAP #1).  The
@@ -257,7 +259,7 @@ def kg_symbol_pagerank(
     corpus = read_corpus(corpus_path)
     triples = extract_triples(corpus).materialize()
     sym_table, _ = collect_stats(triples)
-    sym_ref = ray.put(sym_table)
+    sym_ref = ray.put(prepare_link_index(sym_table))
     linked = triples.map_batches(make_linker_task(sym_ref), batch_format="pyarrow")
 
     wanted = pa.array([ONT + p for p in predicates])

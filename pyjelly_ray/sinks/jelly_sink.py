@@ -503,9 +503,29 @@ def dedup_and_write_kg_shards(
     writer = ShardJellyWriter(out_dir, options)
 
     def key_map(b: pa.Table) -> pa.Table:
+        import time as _time
+
+        from ..state.exchange import _prof
+
+        dump = os.environ.get("GRAFT_DUMP_MAPIN")
+        if dump:  # diagnostic: persist one real map input for offline profiling
+            import pickle
+
+            p = os.path.join(dump, f"mapin_{os.getpid()}.pkl")
+            if not os.path.exists(p):
+                with open(p, "wb") as f:
+                    pickle.dump(b, f)
+        t0, c0 = _time.time(), _time.process_time()
         if pre_map is not None:
             b = pre_map(b)
-        return dedup_block(add_tkey(b, n_buckets))
+        _prof("km_link", t0, b.num_rows, c0)
+        t0, c0 = _time.time(), _time.process_time()
+        b = add_tkey(b, n_buckets)
+        _prof("km_tkey", t0, b.num_rows, c0)
+        t0, c0 = _time.time(), _time.process_time()
+        b = dedup_block(b)
+        _prof("km_dedup", t0, b.num_rows, c0)
+        return b
 
     def dedup_assign(t: pa.Table) -> pa.Table:
         t = assign(dedup_block(t))

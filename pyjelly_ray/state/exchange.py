@@ -161,6 +161,12 @@ def _split_block(
         # may arrive without the bucket column (even schema-less) — fan it
         # out as-is; reducers ignore 0-row parts.
         return [table] * n_partitions
+    if table.column(0).num_chunks > 1:
+        # a reduce-side table arrives as ~P concatenated chunks; take() on a
+        # many-chunk table does a per-index chunk search (measured 10× the
+        # hop-1 reduce when a pass-through kernel stopped compacting) — one
+        # combine pass up front keeps every take O(rows)
+        table = table.combine_chunks()
     b = table.column(bucket_col).to_numpy(zero_copy_only=False)
     order = np.argsort(b, kind="stable")
     sorted_b = b[order]
@@ -250,9 +256,9 @@ def fused_two_hop_exchange(
 
     def _split1(table: pa.Table, n_: int, key: str):
         if map_fn is not None:
-            t0 = time.time()
+            t0, c0 = time.time(), time.process_time()
             table = map_fn(table)
-            _prof("map_fused", t0, table.num_rows)
+            _prof("map_fused", t0, table.num_rows, c0)
         return _split_block_timed(table, n_, key, compress)
 
     split1 = ray.remote(num_returns=n1)(_split1)
