@@ -37,10 +37,17 @@ def _prof(stage: str, t0: float, rows: int, cpu0: float | None = None) -> None:
     path = os.environ.get("GRAFT_TASKPROF")
     if not path:
         return
+    try:  # node identity (multi-node runs prove placement with this)
+        import ray
+
+        node = ray.get_runtime_context().get_node_id()[:12]
+    except Exception:
+        node = None
     line = json.dumps(
         {
             "stage": stage,
             "pid": os.getpid(),
+            "node": node,
             "start": t0,
             "dur": time.time() - t0,
             "cpu": (time.process_time() - cpu0) if cpu0 is not None else None,
