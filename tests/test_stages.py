@@ -4087,3 +4087,118 @@ def test_asof_cast_ts_truncates_finer_resolutions():
     out = _cast_ts(pa.array([1_000_000_001], pa.timestamp("ns")), pa.timestamp("us"))
     assert out.type == pa.timestamp("us")
     assert out.to_pylist()[0].microsecond == 0
+
+
+def test_png_codec_grid():
+    """PNG encode/decode (stdlib zlib + numpy) is bit-exact across every
+    filter type (0–4) × color layout (gray/GA/RGB/RGBA) × odd sizes, and
+    the decoder handles mixed-filter streams, palette PNGs (PLTE/tRNS)
+    and malformed input."""
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from pyjelly_ray.stages.multimodal import (
+        _png_chunk,
+        _PNG_SIG,
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(3)
+    for c in (1, 2, 3, 4):
+        for f in range(5):
+            for (h, w) in ((1, 1), (3, 5), (16, 16), (31, 7)):
+                img = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+                assert np.array_equal(decode_png(encode_png(img, f)), img)
+
+    # 2-D gray input normalizes to (H, W, 1)
+    g = rng.integers(0, 256, size=(6, 9), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(g, 2)), g[:, :, None])
+
+    # mixed per-row filters: splice rows from differently-filtered encodes
+    img = rng.integers(0, 256, size=(10, 8, 3), dtype=np.uint8)
+    import struct
+
+    raws = []
+    for f in range(5):
+        payload = encode_png(img, f)
+        # pull the filtered scanlines back out of the IDAT
+        i = len(_PNG_SIG)
+        idat = b""
+        while i + 8 <= len(payload):
+            (length,) = struct.unpack(">I", payload[i : i + 4])
+            tag = payload[i + 4 : i + 8]
+            if tag == b"IDAT":
+                idat += payload[i + 8 : i + 8 + length]
+            i += 12 + length
+        raws.append(np.frombuffer(zlib.decompress(idat), np.uint8).reshape(10, -1))
+    mixed = np.stack([raws[r % 5][r] for r in range(10)]).tobytes()
+    ihdr = struct.pack(">IIBBBBB", 8, 10, 8, 2, 0, 0, 0)
+    spliced = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(mixed))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(spliced), img)
+
+    # palette PNG built by hand (color type 3), with and without tRNS
+    plte = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255], [7, 8, 9]], np.uint8)
+    idx = rng.integers(0, 4, size=(5, 6), dtype=np.uint8)
+    scan = np.concatenate([np.zeros((5, 1), np.uint8), idx], axis=1).tobytes()
+    ihdr = struct.pack(">IIBBBBB", 6, 5, 8, 3, 0, 0, 0)
+    pal_png = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", plte.tobytes())
+        + _png_chunk(b"IDAT", zlib.compress(scan))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(pal_png), plte[idx])
+    trns = bytes([10, 20])
+    pal_a = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", plte.tobytes())
+        + _png_chunk(b"tRNS", trns)
+        + _png_chunk(b"IDAT", zlib.compress(scan))
+        + _png_chunk(b"IEND", b"")
+    )
+    out = decode_png(pal_a)
+    assert out.shape == (5, 6, 4)
+    assert np.array_equal(out[:, :, :3], plte[idx])
+    want_a = np.array([10, 20, 255, 255], np.uint8)[idx]
+    assert np.array_equal(out[:, :, 3], want_a)
+
+    no_idat = _PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IEND", b"")
+    for bad in (b"", b"\x89PNGnope", no_idat):
+        with pytest.raises(ValueError):
+            decode_png(bad)
+
+
+def test_png_actor_stage(ray_session):
+    """PNG actor-pool stage over Ray: deterministic synth table (all
+    filters × layouts) → per-image features; output matches a local
+    single-process application of the same kernel."""
+    import numpy as np
+    import ray
+
+    from pyjelly_ray.stages.multimodal import PNGImageStage, synth_png_table
+
+    media = synth_png_table(24)
+    got = (
+        ray.data.from_arrow(media)
+        .map_batches(PNGImageStage, concurrency=2, batch_size=8, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    want = PNGImageStage()(media).to_pandas().sort_values("media_id").reset_index(drop=True)
+    assert got["media_id"].tolist() == want["media_id"].tolist()
+    assert (got["height"] == 24).all() and (got["width"] == 32).all()
+    for a, b in zip(got["features"], want["features"]):
+        assert np.allclose(a, b)
+    # synth table is deterministic (byte-stable fixtures)
+    assert synth_png_table(24).equals(media)
