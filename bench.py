@@ -135,7 +135,13 @@ def run_kg(sf_dir: str, out_root: str = "/tmp/pyjelly_ray_bench_kg",
     out_dir = os.path.join(out_root, _sf_tag(sf_dir))
     shutil.rmtree(out_dir, ignore_errors=True)
     t0 = time.perf_counter()
-    manifests = build_kg(corpus, out_dir, n_shards=32)
+    # GRAFT_MATERIALIZE=0 → fully streaming plan (corpus scanned twice,
+    # triples never pinned) — the plasma-constrained posture, see
+    # build_kg's docstring and the --mem-pressure mode
+    manifests = build_kg(
+        corpus, out_dir, n_shards=32,
+        materialize_triples=os.environ.get("GRAFT_MATERIALIZE", "1") != "0",
+    )
     rows = manifests.take_all()
     wall = time.perf_counter() - t0
     n_stmts = sum(r["n_statements"] for r in rows)
@@ -356,6 +362,66 @@ def main() -> None:
         payload["value"] = first["efficiency"]
         payload["unit"] = f"efficiency(N={pairs[0][0]}->4N={pairs[0][1]})"
         print(json.dumps(payload))
+        return
+
+    if "--mem-pressure" in sys.argv:
+        # Memory-pressure posture (VERDICT r2 next-round #4): run the KG
+        # flagship with an object store sized ≪ the triple working set and
+        # prove streaming execution + plasma spill complete the job with
+        # correct output and bounded memory — the 100-TB claim's "data far
+        # exceeds aggregate plasma" leg.  Spill volume is read from the Ray
+        # session's object_spilling directory (public on-disk surface).
+        import glob as _glob
+
+        import ray
+
+        store = int(os.environ.get("GRAFT_STORE_BYTES", str(512 * 1024 * 1024)))
+        n = int(os.environ.get("GRAFT_KG_FILES", "1920000"))
+        _corpus_path(SF_DIR, n)  # ensure generated outside the timed window
+        ray.init(
+            address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+            object_store_memory=store,
+        )
+        session = ray._private.worker.global_worker.node.get_session_dir_path()
+        # spill files are deleted as objects are freed — sample the spill
+        # dir during the run to get cumulative volume + peak concurrency
+        import threading
+
+        seen: dict = {}
+        peak = [0]
+        stop = threading.Event()
+
+        def _sample():
+            pat = os.path.join(session, "**", "*spill*", "*")
+            while not stop.is_set():
+                cur = 0
+                for f in _glob.glob(pat, recursive=True):
+                    try:
+                        sz = os.path.getsize(f)
+                    except OSError:
+                        continue
+                    cur += sz
+                    seen[f] = max(seen.get(f, 0), sz)
+                peak[0] = max(peak[0], cur)
+                stop.wait(0.5)
+
+        th = threading.Thread(target=_sample, daemon=True)
+        th.start()
+        r = run_kg(SF_DIR, out_root="/tmp/pyjelly_ray_memp_kg", n_files=n)
+        stop.set()
+        th.join(timeout=5)
+        spilled = sum(seen.values())
+        ray.shutdown()
+        print(json.dumps({
+            "metric": "kg_mem_pressure",
+            "object_store_bytes": store,
+            "num_cpus": NUM_CPUS,
+            "kg": r,
+            "spilled_bytes_cumulative": spilled,
+            "spilled_bytes_peak_concurrent": peak[0],
+            "value": r["wall_sec"],
+            "unit": "sec",
+        }))
         return
 
     cpus = NUM_CPUS

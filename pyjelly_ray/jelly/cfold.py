@@ -34,7 +34,15 @@ def _build() -> str | None:
     except OSError:
         return None
     tag = hashlib.sha256(src).hexdigest()[:16]
-    cache_dir = os.path.join(
+    # build-once-ship-.so: a deployment can compile on ONE node and ship
+    # the content-addressed .so to gcc-less workers via GRAFT_CFOLD_SO_DIR
+    # (checked read-only, before any build attempt)
+    ship_dir = os.environ.get("GRAFT_CFOLD_SO_DIR")
+    if ship_dir:
+        shipped = os.path.join(ship_dir, f"cfold_{tag}.so")
+        if os.path.exists(shipped):
+            return shipped
+    cache_dir = os.environ.get("GRAFT_CFOLD_CACHE") or os.path.join(
         tempfile.gettempdir(), f"pyjelly_ray_cfold_{os.getuid()}"
     )
     so_path = os.path.join(cache_dir, f"cfold_{tag}.so")
@@ -45,7 +53,7 @@ def _build() -> str | None:
         fd, tmp = tempfile.mkstemp(suffix=".so", dir=cache_dir)
         os.close(fd)
         r = subprocess.run(
-            ["gcc", "-O2", "-fPIC", "-shared", "-o", tmp, _SRC],
+            [os.environ.get("GRAFT_CC", "gcc"), "-O2", "-fPIC", "-shared", "-o", tmp, _SRC],
             capture_output=True,
             timeout=120,
         )

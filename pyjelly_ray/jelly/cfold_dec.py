@@ -35,7 +35,12 @@ def _build() -> str | None:
     except OSError:
         return None
     tag = hashlib.sha256(src).hexdigest()[:16]
-    cache_dir = os.path.join(
+    ship_dir = os.environ.get("GRAFT_CFOLD_SO_DIR")  # see cfold.py
+    if ship_dir:
+        shipped = os.path.join(ship_dir, f"cfold_dec_{tag}.so")
+        if os.path.exists(shipped):
+            return shipped
+    cache_dir = os.environ.get("GRAFT_CFOLD_CACHE") or os.path.join(
         tempfile.gettempdir(), f"pyjelly_ray_cfold_{os.getuid()}"
     )
     so_path = os.path.join(cache_dir, f"cfold_dec_{tag}.so")
@@ -46,7 +51,7 @@ def _build() -> str | None:
         fd, tmp = tempfile.mkstemp(suffix=".so", dir=cache_dir)
         os.close(fd)
         r = subprocess.run(
-            ["gcc", "-O2", "-fPIC", "-shared", "-o", tmp, src_path],
+            [os.environ.get("GRAFT_CC", "gcc"), "-O2", "-fPIC", "-shared", "-o", tmp, src_path],
             capture_output=True,
             timeout=120,
         )

@@ -426,3 +426,74 @@ def test_fast_graphs_match_general_and_roundtrip() -> None:
             assert dec.equals(statements_to_table(decode_flat(general)))
     finally:
         cfold.LIB = saved
+
+
+def test_cfold_gccless_node_simulation(tmp_path) -> None:
+    """Cluster hardening (VERDICT r2 next-round #7): on a node WITHOUT a
+    compiler (simulated via GRAFT_CC=/nonexistent + a fresh build cache)
+    the loaders degrade to LIB=None and the codec still produces
+    byte-identical output; shipping the prebuilt content-addressed .so
+    via GRAFT_CFOLD_SO_DIR restores the compiled path with no compiler."""
+    import os
+    import shutil
+    import subprocess
+    import sys
+
+    script = r"""
+import json
+import pyarrow as pa
+from pyjelly_ray.jelly import cfold, cfold_dec
+from pyjelly_ray.jelly.encode_fast import encode_table
+from pyjelly_ray.jelly.decode_fast import decode_table
+from pyjelly_ray.jelly.options import StreamOptions
+from pyjelly_ray.schema import TRIPLE_SCHEMA
+from pyjelly_ray.terms import KIND_IRI, KIND_LITERAL
+cols = {n: [] for n in TRIPLE_SCHEMA.names}
+for i in range(500):
+    cols["s_kind"].append(KIND_IRI); cols["s_value"].append(f"https://x.dev/s{i%7}")
+    cols["p_kind"].append(KIND_IRI); cols["p_value"].append("https://x.dev/p")
+    cols["o_kind"].append(KIND_LITERAL); cols["o_value"].append(None)
+    cols["o_lex"].append(f"v{i}"); cols["o_lang"].append(None); cols["o_dt"].append(None)
+t = pa.Table.from_pydict(cols, schema=TRIPLE_SCHEMA)
+data = b"".join(encode_table(t, StreamOptions()))  # the cfold-accelerated path
+back = decode_table(data)                           # the cfold_dec-accelerated path
+print(json.dumps({"lib": cfold.LIB is not None, "dec": cfold_dec.LIB is not None,
+                  "n": back.num_rows, "sha": __import__("hashlib").sha256(data).hexdigest()}))
+"""
+
+    def run(env_extra):
+        env = dict(os.environ, **env_extra)
+        r = subprocess.run(
+            [sys.executable, "-c", script], capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))), env=env,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        import json
+
+        return json.loads(r.stdout.strip().splitlines()[-1])
+
+    # 1) compiled baseline into a fresh cache (also produces the .so to ship)
+    cache = str(tmp_path / "cache")
+    base = run({"GRAFT_CFOLD_CACHE": cache})
+    assert base["lib"] and base["dec"], "gcc present but build failed"
+
+    # 2) gcc-less node: broken compiler + empty cache → Python folds,
+    #    byte-identical output
+    nocc = run({"GRAFT_CC": "/nonexistent/cc", "GRAFT_CFOLD_CACHE": str(tmp_path / "empty")})
+    assert not nocc["lib"] and not nocc["dec"]
+    assert nocc["sha"] == base["sha"] and nocc["n"] == base["n"]
+
+    # 3) ship the prebuilt .so: broken compiler but GRAFT_CFOLD_SO_DIR
+    #    pointing at the node-1 artifacts → compiled path restored
+    ship = tmp_path / "ship"
+    ship.mkdir()
+    for f in os.listdir(cache):
+        if f.endswith(".so"):
+            shutil.copy(os.path.join(cache, f), ship / f)
+    shipped = run({
+        "GRAFT_CC": "/nonexistent/cc",
+        "GRAFT_CFOLD_CACHE": str(tmp_path / "empty2"),
+        "GRAFT_CFOLD_SO_DIR": str(ship),
+    })
+    assert shipped["lib"] and shipped["dec"]
+    assert shipped["sha"] == base["sha"]
