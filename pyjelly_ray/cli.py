@@ -1,7 +1,7 @@
 """CLI entry points (``ray job submit -- python -m pyjelly_ray.cli ...``).
 
 Commands:
-  build-kg   --corpus PATH --out DIR [--shards N] [--no-dedup]
+  build-kg   --corpus PATH --out DIR [--shards N] [--no-dedup] [--prune]
   validate   --out DIR [--decode]
   roundtrip  --jelly PATH            (decode + re-encode + compare count)
   gen-corpus --out PATH --files N [--seed S]
@@ -30,6 +30,8 @@ def main(argv=None) -> int:
     b.add_argument("--out", required=True)
     b.add_argument("--shards", type=int, default=16)
     b.add_argument("--no-dedup", action="store_true")
+    b.add_argument("--prune", action="store_true",
+                   help="after an incremental rebuild, delete shards the new corpus no longer populates")
 
     v = sub.add_parser("validate", help="validate output manifests")
     v.add_argument("--out", required=True)
@@ -105,8 +107,16 @@ def main(argv=None) -> int:
         manifests = build_kg(
             args.corpus, args.out, n_shards=args.shards, dedup=not args.no_dedup
         ).take_all()
-        print(json.dumps({"shards": len(manifests),
-                          "n_statements": sum(m["n_statements"] for m in manifests)}))
+        pruned = []
+        if args.prune:
+            from .state.manifest import prune_orphans
+
+            pruned = prune_orphans(args.out, {m["shard"] for m in manifests})
+        out = {"shards": len(manifests),
+               "n_statements": sum(m["n_statements"] for m in manifests)}
+        if args.prune:
+            out["pruned"] = pruned
+        print(json.dumps(out))
         if own:
             ray.shutdown()
         return 0

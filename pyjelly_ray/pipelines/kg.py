@@ -105,6 +105,16 @@ def _stats_batch(batch):
 
     from ..stages.link import _batch_min_by_name, build_symbol_dict_batch
 
+    if batch.num_rows == 0 or "p_value" not in batch.column_names:
+        # empty blocks skip upstream UDFs and can arrive schema-less
+        return pa.table(
+            {
+                "kind": pa.array([], pa.string()),
+                "name": pa.array([], pa.string()),
+                "iri": pa.array([], pa.string()),
+                "cnt": pa.array([], pa.int64()),
+            }
+        )
     # local combine BEFORE shipping to the driver: candidates shrink to
     # distinct-per-block (without this the driver folds the raw stream)
     sym = _batch_min_by_name(build_symbol_dict_batch(batch))

@@ -209,6 +209,30 @@ def _sha_xor(shas) -> str:
     return f"{acc:064x}"
 
 
+def _row_fingerprint(group: pa.Table) -> str:
+    """Order-insensitive fingerprint of the shard's EXACT deduped rows
+    (statement terms AND provenance sort keys), xor of combined per-column
+    hashes.  This is the incremental-rebuild skip key: the shard's bytes
+    are a pure function of its row multiset (the writer sorts by
+    (repo, path, seq), which the hash covers), so equal fingerprint +
+    row count ⇒ byte-identical output — even when a corpus delta changed
+    symbol resolution or dedup winners elsewhere.  The content-sha roll-up
+    (``sha256_xor``) can NOT serve here: a shard whose own files are
+    unchanged still changes bytes when a new file elsewhere wins a dedup
+    tie or adds a symbol that re-links this shard's objects."""
+    import numpy as np
+
+    from ..stages.dedup import STMT_COLS, _col_hash64
+
+    acc = np.zeros(group.num_rows, np.uint64)
+    with np.errstate(over="ignore"):
+        for c in (*STMT_COLS, "repo", "path", "seq"):
+            if c in group.column_names:
+                acc = acc * np.uint64(0x100000001B3) + _col_hash64(group.column(c), 5)
+    x = int(np.bitwise_xor.reduce(acc)) if len(acc) else 0
+    return f"{x:016x}-{group.num_rows}"
+
+
 def _sort_by_ranks(group: pa.Table, order: list[str]) -> pa.Table:
     """Deterministic multi-key sort via integer ranks (bandwidth-lean).
 
@@ -233,6 +257,7 @@ MANIFEST_SCHEMA = pa.schema(
         ("n_bytes", pa.int64()),
         ("n_files", pa.int64()),
         ("sha256_xor", pa.string()),
+        ("row_xor", pa.string()),
         ("status", pa.string()),
     ]
 )
@@ -271,15 +296,18 @@ class ShardJellyWriter:
             if "content_sha256" in group.column_names
             else []
         )
-        fingerprint = _sha_xor(shas)
+        fingerprint = _sha_xor(shas)  # lineage: which source files fed this shard
+        row_xor = _row_fingerprint(group)  # exact skip key (see docstring)
         _prof("w_fingerprint", t0, group.num_rows)
 
-        # resume: skip shards already written for identical input
+        # resume/incremental: skip shards whose exact row multiset is
+        # unchanged (⇒ byte-identical output) — crash resume AND
+        # appended-corpus incremental rebuilds both ride this check
         if os.path.exists(manifest_path):
             with open(manifest_path) as f:
                 prev = json.load(f)
             if (
-                prev.get("sha256_xor") == fingerprint
+                prev.get("row_xor") == row_xor
                 and prev.get("n_statements") == group.num_rows
                 and os.path.exists(out_path)
             ):
@@ -299,6 +327,7 @@ class ShardJellyWriter:
             if "repo" in group.column_names
             else 0,
             "sha256_xor": fingerprint,
+            "row_xor": row_xor,
             "status": "written",
         }
         _prof("w_manifest", t0, group.num_rows)
@@ -506,6 +535,9 @@ def dedup_and_write_kg_shards(
         import time as _time
 
         from ..state.exchange import _prof
+
+        if b.num_rows == 0:  # empty blocks can arrive schema-less
+            return b
 
         dump = os.environ.get("GRAFT_DUMP_MAPIN")
         if dump:  # diagnostic: persist one real map input for offline profiling

@@ -60,6 +60,29 @@ def pending_shards(out_dir: str, expected: dict[str, str]) -> list[str]:
     return sorted(todo)
 
 
+def prune_orphans(out_dir: str, live_shards: set[str]) -> list[str]:
+    """Delete shard files + manifests NOT in ``live_shards`` (shard id
+    strings as in the manifests, e.g. '00017').
+
+    Incremental rebuilds skip-or-rewrite every shard the NEW corpus
+    populates, but a shard whose repos all disappeared from the corpus
+    would linger with stale bytes; pruning against the run's manifest
+    Dataset restores full-rebuild equivalence.  Returns removed shard ids.
+    """
+    removed = []
+    for path in sorted(glob.glob(os.path.join(out_dir, "manifests", "*.json"))):
+        with open(path) as f:
+            m = json.load(f)
+        if m.get("shard") in live_shards:
+            continue
+        part = m.get("path", "")
+        if part and os.path.exists(part):
+            os.unlink(part)
+        os.unlink(path)
+        removed.append(m.get("shard"))
+    return removed
+
+
 def validate_invariants(out_dir: str, *, decode: bool = False) -> dict:
     """Check manifests against on-disk files; optionally decode-count."""
     manifests = load_manifests(out_dir)

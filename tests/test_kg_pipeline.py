@@ -374,3 +374,93 @@ def test_keep_dict_byte_identical(ray_session, corpus_path, tmp_path):
         else:
             os.environ["GRAFT_KEEP_DICT"] = old
     assert _shard_digests(flat) == _shard_digests(kd)
+
+
+def test_incremental_rebuild_appended_corpus(ray_session, tmp_path):
+    """Incremental KG rebuild (VERDICT r2 stretch #8): append files to the
+    corpus, rerun build_kg into the SAME out_dir — only shards whose exact
+    row multiset changed are re-encoded (row_xor skip key), untouched
+    shards keep their mtimes, and the result is byte-identical to a fresh
+    full rebuild of the appended corpus.  The row-level fingerprint is
+    what makes this sound: a delta can change dedup winners or symbol
+    resolution in shards whose OWN files never changed, and those shards
+    must (and do) re-encode."""
+    import pyarrow.parquet as pq
+
+    from pyjelly_ray.pipelines import corpus as corpus_mod
+
+    base_dir = tmp_path / "corpusA"
+    base_dir.mkdir()
+    corpus_mod.write_corpus_parquet(str(base_dir / "a.parquet"), seed=SEED, n_files=300)
+
+    out_inc = str(tmp_path / "kg_inc")
+    first = build_kg(str(base_dir), out_inc, n_shards=16).materialize()
+    assert all(r["status"] == "written" for r in first.take_all())
+    mtimes = {
+        os.path.basename(f): os.path.getmtime(f)
+        for f in glob.glob(os.path.join(out_inc, "part-*.jelly"))
+    }
+    xors1 = {r["shard"]: r["row_xor"] for r in first.take_all()}
+
+    # appended delta: the NEXT files of the same deterministic generator
+    # (rows are pure functions of (seed, i)) — a narrow, realistic append
+    delta = corpus_mod.corpus_slice_table(SEED, 300, 312)
+    pq.write_table(delta, str(base_dir / "b.parquet"), row_group_size=8192)
+
+    second = build_kg(str(base_dir), out_inc, n_shards=16).materialize()
+    rows2 = second.take_all()
+    by_status = {r["shard"]: r["status"] for r in rows2}
+    xors2 = {r["shard"]: r["row_xor"] for r in rows2}
+    changed = {s for s in xors2 if xors1.get(s) != xors2[s]}
+    written = {s for s, st in by_status.items() if st == "written"}
+    skipped = {s for s, st in by_status.items() if st == "skipped"}
+    # minimal touching: re-encoded exactly the changed-row shards
+    assert written == changed, (written, changed)
+    assert skipped, "append should leave some shards untouched"
+    for s in skipped:
+        f = os.path.join(out_inc, f"part-{s}.jelly")
+        assert os.path.getmtime(f) == mtimes[f"part-{s}.jelly"]
+
+    # byte identity vs a fresh full rebuild of the appended corpus
+    out_full = str(tmp_path / "kg_full")
+    build_kg(str(base_dir), out_full, n_shards=16).materialize().take_all()
+
+    def digests(d):
+        return {
+            os.path.basename(f): hashlib.sha256(open(f, "rb").read()).hexdigest()
+            for f in glob.glob(os.path.join(d, "part-*.jelly"))
+        }
+
+    assert digests(out_inc) == digests(out_full)
+
+
+def test_prune_orphans_on_shrunk_corpus(ray_session, tmp_path):
+    """A shard whose repos vanish from the corpus lingers with stale bytes;
+    prune_orphans against the new run's manifest set restores full-rebuild
+    equivalence (file set AND bytes)."""
+    from pyjelly_ray.pipelines import corpus as corpus_mod
+    from pyjelly_ray.state.manifest import load_manifests, prune_orphans
+
+    big = tmp_path / "corpus_big.parquet"
+    small = tmp_path / "corpus_small.parquet"
+    corpus_mod.write_corpus_parquet(str(big), seed=SEED, n_files=300)
+    corpus_mod.write_corpus_parquet(str(small), seed=SEED, n_files=8)
+
+    out = str(tmp_path / "kg_shrink")
+    build_kg(str(big), out, n_shards=16).materialize().take_all()
+    rows = build_kg(str(small), out, n_shards=16).materialize().take_all()
+    live = {r["shard"] for r in rows}
+    on_disk = {m["shard"] for m in load_manifests(out)}
+    assert on_disk - live, "shrink should orphan at least one shard"
+    removed = prune_orphans(out, live)
+    assert set(removed) == on_disk - live
+    out_full = str(tmp_path / "kg_small_full")
+    build_kg(str(small), out_full, n_shards=16).materialize().take_all()
+
+    def names_digests(d):
+        return {
+            os.path.basename(f): hashlib.sha256(open(f, "rb").read()).hexdigest()
+            for f in glob.glob(os.path.join(d, "part-*.jelly"))
+        }
+
+    assert names_digests(out) == names_digests(out_full)
