@@ -139,6 +139,22 @@ def _stats_batch(batch):
     )
 
 
+def _merge_stats(*tables):
+    """Combine union stats tables: min(iri) per symbol name, sum(cnt) per
+    repo — associative, so it serves as both the tree-merge kernel and the
+    final driver combine."""
+    import pyarrow as pa
+
+    live = [t for t in tables if t.num_rows]
+    if not live:
+        return tables[0]
+    t = pa.concat_tables(live, promote_options="default")
+    g = t.group_by(["kind", "name"]).aggregate([("iri", "min"), ("cnt", "sum")])
+    return g.select(["kind", "name", "iri_min", "cnt_sum"]).rename_columns(
+        ["kind", "name", "iri", "cnt"]
+    )
+
+
 def collect_stats(triples_ds, *, use_refs: bool | None = None):
     """Single scan → (symbol Arrow table sorted by name, repo_counts dict).
 
@@ -156,8 +172,16 @@ def collect_stats(triples_ds, *, use_refs: bool | None = None):
         import ray
 
         stat = ray.remote(_stats_batch)
-        refs = triples_ds.to_arrow_refs()
-        tables = [t for t in ray.get([stat.remote(r) for r in refs]) if t.num_rows]
+        refs = [stat.remote(r) for r in triples_ds.to_arrow_refs()]
+        # ONE parallel pre-merge level (8-way) to dedup cross-block
+        # candidate names, then a single multithreaded driver combine.
+        # A full O(log B) tree was measured SLOWER here: its last levels
+        # funnel the ~symbol-table-sized merges through single tasks,
+        # while the driver fold runs one group_by with all cores.
+        if len(refs) > 8:
+            merge = ray.remote(_merge_stats)
+            refs = [merge.remote(*refs[i : i + 8]) for i in range(0, len(refs), 8)]
+        tables = [t for t in ray.get(refs) if t.num_rows]
     else:
         tables = [
             b
@@ -169,19 +193,15 @@ def collect_stats(triples_ds, *, use_refs: bool | None = None):
     if not tables:
         empty = pa.table({"name": pa.array([], pa.string()), "iri": pa.array([], pa.string())})
         return empty, {}
-    merged = pa.concat_tables(tables, promote_options="default")
+    merged = _merge_stats(*tables)
     import pyarrow.compute as pc
 
     syms = merged.filter(pc.equal(merged.column("kind"), "s"))
     reps = merged.filter(pc.equal(merged.column("kind"), "r"))
-    g = syms.group_by(["name"]).aggregate([("iri", "min")])
-    sym_table = (
-        g.select(["name", "iri_min"]).rename_columns(["name", "iri"]).sort_by(
-            [("name", "ascending")]
-        )
+    sym_table = syms.select(["name", "iri"]).sort_by([("name", "ascending")])
+    repo_counts = dict(
+        zip(reps.column("name").to_pylist(), reps.column("cnt").to_pylist())
     )
-    rc = reps.group_by(["name"]).aggregate([("cnt", "sum")])
-    repo_counts = dict(zip(rc.column("name").to_pylist(), rc.column("cnt_sum").to_pylist()))
     return sym_table, repo_counts
 
 
