@@ -534,8 +534,10 @@ def decode_png(payload: bytes) -> np.ndarray:
         tag = payload[i + 4 : i + 8]
         body = payload[i + 8 : i + 8 + length]
         if tag == b"IHDR":
+            if len(body) < 13:
+                raise ValueError("truncated IHDR")
             w, h, depth, color_type, comp, filt, interlace = struct.unpack(
-                ">IIBBBBB", body
+                ">IIBBBBB", body[:13]
             )
             if depth != 8:
                 raise ValueError("only 8-bit PNG supported")
@@ -555,7 +557,11 @@ def decode_png(payload: bytes) -> np.ndarray:
     if w is None or not idat:
         raise ValueError("missing IHDR/IDAT")
     c = 1 if color_type == 3 else _PNG_CHANNELS[color_type]
-    raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+    try:
+        inflated = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt IDAT stream: {e}") from e
+    raw = np.frombuffer(inflated, np.uint8)
     stride = 1 + w * c
     if len(raw) != h * stride:
         raise ValueError("IDAT size mismatch")

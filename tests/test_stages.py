@@ -4202,3 +4202,28 @@ def test_png_actor_stage(ray_session):
         assert np.allclose(a, b)
     # synth table is deterministic (byte-stable fixtures)
     assert synth_png_table(24).equals(media)
+
+
+def test_png_corruption_fuzz():
+    """Seeded corruption fuzz: random byte flips in a valid PNG either
+    decode (corruption hit a non-load-bearing byte — CRCs are not
+    verified) or raise ValueError; never any other exception type."""
+    import random
+
+    import numpy as np
+    import pyarrow as pa  # noqa: F401
+
+    from pyjelly_ray.stages.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(5)
+    random.seed(5)
+    img = rng.integers(0, 256, size=(12, 9, 3), dtype=np.uint8)
+    base = bytearray(encode_png(img, 2))
+    for _ in range(400):
+        b = bytearray(base)
+        for _ in range(random.randint(1, 6)):
+            b[random.randrange(8, len(b))] = random.randrange(256)
+        try:
+            decode_png(bytes(b))
+        except ValueError:
+            pass
