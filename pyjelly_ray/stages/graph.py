@@ -77,11 +77,71 @@ def pagerank(edges, *, src: str = "src", dst: str = "dst",
     num_partitions = num_partitions or default_partitions()
     schema = edges.schema()
     schema = getattr(schema, "base_schema", schema)  # Ray wraps pyarrow.Schema
-    if schema is None or edges.count() == 0:  # no edges → no ranked nodes
+    n_edges = 0 if schema is None else edges.count()
+    if schema is None or n_edges == 0:  # no edges → no ranked nodes
         typ = pa.string() if schema is None else schema.field(src).type
         return ray.data.from_arrow(
             pa.table({"node": pa.array([], typ), "rank": pa.array([], pa.float64())})
         )
+
+    # size-based plan choice (same rationale as connected_components): the
+    # per-iteration exchanges are for edge lists too big for one machine;
+    # below the cutoff run the identical recurrence with numpy bincounts.
+    # GRAFT_PR_LOCAL_MAX=0 forces the distributed path.
+    import os as _os
+
+    local_max = int(_os.environ.get("GRAFT_PR_LOCAL_MAX", "1000000"))
+    if n_edges <= local_max:
+        import numpy as np
+
+        from .agg import round_like_duckdb as _round
+
+        t = pa.concat_tables(
+            list(edges.iter_batches(batch_format="pyarrow")),
+            promote_options="default",
+        )
+        s = t.column(src).combine_chunks()
+        d = t.column(dst).combine_chunks()
+        enc = pa.chunked_array([s, d]).combine_chunks().dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq = enc.dictionary
+        m = len(s)
+        si, di = codes[:m], codes[m:]
+        n = len(uniq)
+        wv = None
+        if weight is not None:
+            wv = (
+                pc.cast(t.column(weight), pa.float64())
+                .combine_chunks()
+                .to_numpy(zero_copy_only=False)
+            )
+            outdeg = np.bincount(si, weights=wv, minlength=n)
+        else:
+            outdeg = np.bincount(si, minlength=n).astype(np.float64)
+        outdeg[outdeg == 0] = 1.0  # dangling srcs never appear in si anyway
+        if personalization is None:
+            base_vec = np.full(n, (1.0 - damping) / n)
+            rank = np.full(n, 1.0 / n)
+        else:
+            seed_arr = pa.array(list(personalization))
+            is_seed = (
+                pc.is_in(uniq, value_set=seed_arr)
+                .to_numpy(zero_copy_only=False)
+                .astype(bool)
+            )
+            n_seeds_ = len(seed_arr)
+            base_vec = np.where(is_seed, (1.0 - damping) / n_seeds_, 0.0)
+            rank = np.where(is_seed, 1.0 / n_seeds_, 0.0)
+        for _ in range(iters):
+            c = rank[si] / outdeg[si]
+            if wv is not None:
+                c = c * wv
+            rank = base_vec + damping * np.bincount(di, weights=c, minlength=n)
+        out = pa.array(rank, pa.float64())
+        if round_to is not None:
+            out = _round(out, round_to)
+        return ray.data.from_arrow(pa.table({"node": uniq, "rank": out}))
+
     nodes = distinct_nodes(edges, src, dst, "node",
                            num_partitions=num_partitions)
     nodes = nodes.materialize()
@@ -287,10 +347,53 @@ def connected_components(edges, *, src: str = "src", dst: str = "dst",
     num_partitions = num_partitions or default_partitions()
     schema = edges.schema()
     schema = getattr(schema, "base_schema", schema)  # Ray wraps pyarrow.Schema
-    if schema is None or edges.count() == 0:  # no edges → no components
+    n_edges = 0 if schema is None else edges.count()
+    if schema is None or n_edges == 0:  # no edges → no components
         typ = pa.string() if schema is None else schema.field(src).type
         return ray.data.from_arrow(
             pa.table({"node": pa.array([], typ), "component": pa.array([], typ)})
+        )
+
+    # size-based plan choice: the propagation rounds exist for edge lists
+    # too big for one machine; a small list (near-dup pairs are usually a
+    # tiny fraction of the corpus) pays ~2 exchanges × O(log d) rounds of
+    # pure fixed cost.  Under the cutoff, collect the edges and run an
+    # exact union-find (union-by-min ⇒ root IS the component minimum —
+    # identical labels to the distributed path).  GRAFT_CC_LOCAL_MAX=0
+    # forces the distributed path.
+    import os as _os
+
+    local_max = int(_os.environ.get("GRAFT_CC_LOCAL_MAX", "1000000"))
+    if n_edges <= local_max:
+        typ = schema.field(src).type
+        t = pa.concat_tables(
+            list(edges.iter_batches(batch_format="pyarrow")),
+            promote_options="default",
+        )
+        parent: dict = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for x, y in zip(t.column(src).to_pylist(), t.column(dst).to_pylist()):
+            if x is None or y is None:
+                continue
+            parent.setdefault(x, x)
+            parent.setdefault(y, y)
+            rx, ry = find(x), find(y)
+            if rx != ry:
+                if ry < rx:
+                    rx, ry = ry, rx
+                parent[ry] = rx  # attach larger root under smaller
+        nodes = sorted(parent)
+        comp = [find(x) for x in nodes]
+        return ray.data.from_arrow(
+            pa.table(
+                {"node": pa.array(nodes, typ), "component": pa.array(comp, typ)}
+            )
         )
 
     sym = symmetrize(edges, src, dst, num_partitions=num_partitions)
