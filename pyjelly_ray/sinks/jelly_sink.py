@@ -525,7 +525,12 @@ def dedup_and_write_kg_shards(
         # deployment (more+smaller shards pack better at high parallelism,
         # fewer+larger amortize per-file overhead).
         target = int(os.environ.get("GRAFT_SHARD_TARGET", "250000"))
-        n_shards = max(n_shards, min(int(total // target) + 1, 2048))
+        # cap bounds exchange fan-out on one box; a 100-TB deployment wants
+        # ~|statements|/target shards (resume granularity + parallelism) —
+        # raise GRAFT_MAX_SHARDS there (shards are independent files, so
+        # the only cost is per-file overhead)
+        max_shards = int(os.environ.get("GRAFT_MAX_SHARDS", "2048"))
+        n_shards = max(n_shards, min(int(total // target) + 1, max_shards))
     hot_plan = hot_repo_splits(repo_counts, n_shards) if repo_counts else None
     n_total = total_shard_count(n_shards, hot_plan)
     assign = add_shard_column(n_shards, hot_plan)

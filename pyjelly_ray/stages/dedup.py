@@ -37,9 +37,10 @@ _NULL = "\x00"
 #: per-bucket rows grow with the corpus and the reduce superlinear).
 ROWS_PER_BUCKET = 200_000
 
-#: hard fan-out ceiling; 65k buckets × 200k rows ≈ 1.3e10 statements/job —
-#: beyond that split the input by key range (buckets are hash-disjoint).
-MAX_BUCKETS = 65_536
+#: fan-out ceiling; 65k buckets × 200k rows ≈ 1.3e10 statements/job —
+#: beyond that raise GRAFT_MAX_BUCKETS (buckets are hash-disjoint, so jobs
+#: over key ranges also compose).
+MAX_BUCKETS = int(__import__("os").environ.get("GRAFT_MAX_BUCKETS", "65536"))
 
 
 def auto_buckets(est_rows: int | None = None, ds=None) -> int:
