@@ -1608,6 +1608,60 @@ def spearman_corr(ds, x_col: str, y_col: str, *, out_name: str = "spearman",
         return b.select([x_col, y_col]).drop_null()
 
     base = ds.map_batches(project, batch_format="pyarrow")
+
+    # size-based plan choice (same pattern as the graph operators): the
+    # five fixed-cost exchanges below exist for pair tables too big for
+    # one machine; under the cutoff compute the identical ranks + raw-
+    # moment corr locally.  Ordering/ties are decided with Arrow compare
+    # on the ORIGINAL values (no float cast — decimal ties must match the
+    # distributed path).  GRAFT_CORR_LOCAL_MAX=0 forces distributed.
+    import os as _os
+
+    local_max = int(_os.environ.get("GRAFT_CORR_LOCAL_MAX", "2000000"))
+    n_rows = base.count()
+    if 0 < n_rows <= local_max:
+        import math
+
+        import numpy as np
+        import ray
+
+        t = pa.concat_tables(
+            list(base.iter_batches(batch_format="pyarrow")),
+            promote_options="default",
+        )
+
+        def franks(col) -> np.ndarray:
+            col = col.combine_chunks()
+            order = pc.sort_indices(col).to_numpy(zero_copy_only=False)
+            sv = col.take(pa.array(order))
+            neq = pc.not_equal(sv.slice(1), sv.slice(0, len(sv) - 1))
+            starts = np.concatenate(
+                [[True], neq.to_numpy(zero_copy_only=False).astype(bool)]
+            )
+            run_id = np.cumsum(starts) - 1
+            counts = np.bincount(run_id).astype(np.float64)
+            below = np.cumsum(counts) - counts
+            avg = below + (counts + 1.0) / 2.0  # == _fractional_ranks
+            r = np.empty(len(sv), np.float64)
+            r[order] = avg[run_id]
+            return r
+
+        rxv = franks(t.column(x_col))
+        ryv = franks(t.column(y_col))
+        n = float(n_rows)
+        sx, sy = rxv.sum(), ryv.sum()
+        sxx, syy, sxy = (rxv * rxv).sum(), (ryv * ryv).sum(), (rxv * ryv).sum()
+        dx = max(n * sxx - sx * sx, 0.0)
+        dy = max(n * syy - sy * sy, 0.0)
+        if n_rows <= 1 or dx == 0.0 or dy == 0.0:
+            val = None
+        else:
+            val = (n * sxy - sx * sy) / math.sqrt(dx * dy)
+        arr = pa.array([val], pa.float64())
+        if round_to is not None:
+            arr = round_like_duckdb(arr, round_to)
+        return ray.data.from_arrow(pa.table({out_name: arr}))
+
     rx = _fractional_ranks(base, x_col, "__rx")
     ry = _fractional_ranks(base, y_col, "__ry")
     j1 = hash_join(base, rx, left_key=x_col, right_key=x_col, how="inner")
