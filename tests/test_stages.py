@@ -4227,3 +4227,56 @@ def test_png_corruption_fuzz():
             decode_png(bytes(b))
         except ValueError:
             pass
+
+
+def test_graph_and_corr_local_paths_match_distributed(ray_session, monkeypatch):
+    """The size-based local fast paths (connected_components, pagerank,
+    spearman_corr) must produce EXACTLY the distributed kernels' output —
+    and this test keeps the distributed kernels exercised now that small
+    inputs default to the local branch."""
+    import random
+
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from pyjelly_ray.stages.agg import spearman_corr
+    from pyjelly_ray.stages.graph import connected_components, pagerank
+
+    random.seed(42)
+    n, m = 250, 600
+    t = pa.table(
+        {
+            "src": pa.array([f"n{random.randrange(n):04d}" for _ in range(m)]),
+            "dst": pa.array([f"n{random.randrange(n):04d}" for _ in range(m)]),
+            "w": pa.array([random.random() + 0.1 for _ in range(m)]),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+
+    def both(env, fn):
+        monkeypatch.setenv(env, "1000000")
+        loc = fn().to_pandas().sort_values(by=list(fn().to_pandas().columns)).reset_index(drop=True)
+        monkeypatch.setenv(env, "0")
+        dist = fn().to_pandas().sort_values(by=list(loc.columns)).reset_index(drop=True)
+        monkeypatch.delenv(env)
+        return loc, dist
+
+    loc, dist = both("GRAFT_CC_LOCAL_MAX", lambda: connected_components(ds, src="src", dst="dst"))
+    pd.testing.assert_frame_equal(loc, dist)
+
+    for kwargs in ({}, {"weight": "w"}, {"personalization": [f"n{i:04d}" for i in range(5)]}):
+        loc, dist = both(
+            "GRAFT_PR_LOCAL_MAX", lambda: pagerank(ds, iters=4, **kwargs)
+        )
+        pd.testing.assert_frame_equal(loc, dist)
+
+    pairs = pa.table(
+        {
+            "x": pa.array([random.choice([None, random.randint(0, 40)]) for _ in range(3000)], pa.int64()),
+            "y": pa.array([random.choice([None, round(random.random() * 9, 3)]) for _ in range(3000)], pa.float64()),
+        }
+    )
+    pds = ray.data.from_arrow(pairs)
+    loc, dist = both("GRAFT_CORR_LOCAL_MAX", lambda: spearman_corr(pds, "x", "y"))
+    pd.testing.assert_frame_equal(loc, dist)
