@@ -932,6 +932,34 @@ def grouped_map(ds, keys: list[str] | str, fn, *, num_partitions: int | None = N
             return fn(t.slice(0, 0))
         return pa.concat_tables(outs, promote_options="default")
 
+    # size-based plan choice: below the cutoff apply the SAME reduce
+    # kernel to the whole (collected) table instead of a P-way exchange —
+    # semantically the num_partitions=1 case, minus the fixed cost every
+    # small grouped operator was paying.  The cutoff must stay SMALL: the
+    # local kernel runs serially, so it only wins while kernel time is
+    # well under the exchange's ~0.5 s fixed cost (measured: 100k rows ok,
+    # 2M rows regressed pair-heavy queries 2-4x).  The tagged dataset is
+    # materialized first either way (hash_exchange does it internally),
+    # so the count is a metadata read and no extra copy is made.
+    # GRAFT_GROUPED_LOCAL_MAX=0 forces the exchange.
+    import os as _os
+
+    import ray
+
+    local_max = int(_os.environ.get("GRAFT_GROUPED_LOCAL_MAX", "20000"))
+    tagged = tagged.materialize()
+    if tagged.count() <= local_max:
+        tables = [t for t in ray.get(tagged.to_arrow_refs()) if t.num_rows]
+        if tables:
+            t = pa.concat_tables(tables, promote_options="default")
+            if t.column("__bucket").num_chunks > 1:
+                t = t.combine_chunks()
+        else:
+            t = empty_schema if empty_schema is not None else pa.table({})
+            if "__bucket" in t.column_names:
+                t = t.drop_columns(["__bucket"])
+        return ray.data.from_arrow(reduce_part(t))
+
     return hash_exchange(
         tagged,
         bucket_col="__bucket",
