@@ -76,13 +76,33 @@ def link_triples(triples_ds, *, use_actors: bool = False, concurrency=(2, 8)):
     ``ray.put`` dict from the object store (task path by default — zero
     warm-up; set ``use_actors=True`` for the actor-pool variant when the
     setup cost amortizes, e.g. a model-backed linker).
+
+    Broadcast overflow (symbol cardinality past GRAFT_LINK_BROADCAST_MAX —
+    hundreds of millions of names, where a per-node copy of the index no
+    longer fits): the dictionary stays a hash-partitioned Dataset and
+    linking runs through co-partitioned joins instead
+    (:func:`~pyjelly_ray.stages.link.link_triples_partitioned`).
     """
     import ray
 
-    from ..stages.link import make_linker_task
+    from ..stages.link import (
+        collect_symbol_dict_ds,
+        link_broadcast_max,
+        link_triples_partitioned,
+        make_linker_task,
+        prepare_link_index,
+    )
 
+    limit = link_broadcast_max()
+    if limit <= 0:  # forced partitioned path (tests / extreme deployments)
+        return link_triples_partitioned(
+            triples_ds, collect_symbol_dict_ds(triples_ds)
+        )
     sym_table = collect_symbol_dict(triples_ds)  # Arrow (name, iri), sorted
-    from ..stages.link import prepare_link_index
+    if sym_table.num_rows > limit:
+        return link_triples_partitioned(
+            triples_ds, ray.data.from_arrow(sym_table)
+        )
 
     sym_ref = ray.put(prepare_link_index(sym_table))  # hash-sorted, built once
     if use_actors:
@@ -239,7 +259,38 @@ def build_kg(
     triples = extract_triples(corpus)
     if materialize_triples:
         triples = triples.materialize()
-    sym_table, repo_counts = collect_stats(triples)
+    from ..stages.link import link_broadcast_max
+
+    limit = link_broadcast_max()
+    sym_table = repo_counts = None
+    if limit > 0:
+        sym_table, repo_counts = collect_stats(triples)
+    if limit <= 0 or sym_table.num_rows > limit:
+        # broadcast-overflow posture: symbol dictionary stays distributed,
+        # linking runs through co-partitioned joins; byte-identical shards
+        # (writer sort is deterministic) — pinned in tests
+        from ..sinks.jelly_sink import collect_repo_counts
+        from ..stages.link import collect_symbol_dict_ds, link_triples_partitioned
+
+        if repo_counts is None:
+            repo_counts = collect_repo_counts(triples)
+        sym_ds = (
+            ray.data.from_arrow(sym_table)
+            if sym_table is not None
+            else collect_symbol_dict_ds(triples)
+        )
+        linked = link_triples_partitioned(triples, sym_ds)
+        if dedup and strategy == "fused":
+            return dedup_and_write_kg_shards(
+                linked, out_dir, n_shards=n_shards, options=jelly_options,
+                repo_counts=repo_counts,
+            )
+        if dedup:
+            linked = dedup_exact(linked)
+        return write_kg_shards(
+            linked, out_dir, n_shards=n_shards, options=jelly_options,
+            repo_counts=repo_counts,
+        )
     sym_ref = ray.put(prepare_link_index(sym_table))  # hash-sorted, built once
     if strategy == "fused" and dedup:
         # dedup + shard-write as one two-hop raw-task exchange (no Ray sort

@@ -311,6 +311,18 @@ class ShardJellyWriter:
                 and prev.get("n_statements") == group.num_rows
                 and os.path.exists(out_path)
             ):
+                # refresh lineage on skip: equal row_xor guarantees identical
+                # BYTES, but the contributing source-file set (sha256_xor) can
+                # still differ (e.g. comment-only edits that extract to the
+                # same statements).  A stale sha256_xor would make
+                # pending_shards() report this shard pending forever.
+                if prev.get("sha256_xor") != fingerprint:
+                    disk = {**prev, "sha256_xor": fingerprint}
+                    tmp = manifest_path + ".tmp"
+                    with open(tmp, "w") as f:
+                        json.dump(disk, f)
+                    os.replace(tmp, manifest_path)
+                    prev = disk
                 prev["status"] = "skipped"
                 return pa.Table.from_pylist([prev], schema=MANIFEST_SCHEMA)
 
@@ -544,14 +556,6 @@ def dedup_and_write_kg_shards(
         if b.num_rows == 0:  # empty blocks can arrive schema-less
             return b
 
-        dump = os.environ.get("GRAFT_DUMP_MAPIN")
-        if dump:  # diagnostic: persist one real map input for offline profiling
-            import pickle
-
-            p = os.path.join(dump, f"mapin_{os.getpid()}.pkl")
-            if not os.path.exists(p):
-                with open(p, "wb") as f:
-                    pickle.dump(b, f)
         t0, c0 = _time.time(), _time.process_time()
         if pre_map is not None:
             b = pre_map(b)

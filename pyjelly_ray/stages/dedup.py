@@ -39,8 +39,15 @@ ROWS_PER_BUCKET = 200_000
 
 #: fan-out ceiling; 65k buckets × 200k rows ≈ 1.3e10 statements/job —
 #: beyond that raise GRAFT_MAX_BUCKETS (buckets are hash-disjoint, so jobs
-#: over key ranges also compose).
-MAX_BUCKETS = int(__import__("os").environ.get("GRAFT_MAX_BUCKETS", "65536"))
+#: over key ranges also compose).  Read at call time (not import time) so
+#: tests and deployments can retune without re-importing.
+DEFAULT_MAX_BUCKETS = 65536
+
+
+def _max_buckets() -> int:
+    import os
+
+    return int(os.environ.get("GRAFT_MAX_BUCKETS", str(DEFAULT_MAX_BUCKETS)))
 
 
 def auto_buckets(est_rows: int | None = None, ds=None) -> int:
@@ -63,7 +70,7 @@ def auto_buckets(est_rows: int | None = None, ds=None) -> int:
     base = default_partitions()
     if not est_rows:
         return base * 4
-    return min(MAX_BUCKETS, max(base, int(est_rows // ROWS_PER_BUCKET) + 1))
+    return min(_max_buckets(), max(base, int(est_rows // ROWS_PER_BUCKET) + 1))
 
 
 def _col_hash64(col, seed: int):

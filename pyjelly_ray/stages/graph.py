@@ -118,7 +118,11 @@ def pagerank(edges, *, src: str = "src", dst: str = "dst",
             outdeg = np.bincount(si, weights=wv, minlength=n)
         else:
             outdeg = np.bincount(si, minlength=n).astype(np.float64)
-        outdeg[outdeg == 0] = 1.0  # dangling srcs never appear in si anyway
+        # a src whose weight-sum is zero contributes 0 (defined semantics —
+        # matches the distributed plan's zero-outdeg guard); unweighted
+        # dangling srcs never appear in si, so the mask only bites weighted
+        zero_out = outdeg == 0
+        outdeg[zero_out] = 1.0
         if personalization is None:
             base_vec = np.full(n, (1.0 - damping) / n)
             rank = np.full(n, 1.0 / n)
@@ -132,10 +136,13 @@ def pagerank(edges, *, src: str = "src", dst: str = "dst",
             n_seeds_ = len(seed_arr)
             base_vec = np.where(is_seed, (1.0 - damping) / n_seeds_, 0.0)
             rank = np.where(is_seed, 1.0 / n_seeds_, 0.0)
+        src_zero = zero_out[si] if wv is not None else None
         for _ in range(iters):
             c = rank[si] / outdeg[si]
             if wv is not None:
                 c = c * wv
+                if src_zero.any():
+                    c = np.where(src_zero, 0.0, c)
             rank = base_vec + damping * np.bincount(di, weights=c, minlength=n)
         out = pa.array(rank, pa.float64())
         if round_to is not None:
@@ -196,9 +203,13 @@ def pagerank(edges, *, src: str = "src", dst: str = "dst",
 
     def post_contrib(t: pa.Table) -> pa.Table:
         # runs inside the src-keyed join reduce: partial per-dst sums
-        c = pc.divide(t.column("rank"), pc.cast(t.column("outdeg"), pa.float64()))
+        od = pc.cast(t.column("outdeg"), pa.float64())
+        c = pc.divide(t.column("rank"), od)
         if weight is not None:
             c = pc.multiply(c, pc.cast(t.column(weight), pa.float64()))
+            # zero weight-sum src ⇒ contribution 0 (not inf/NaN) — keeps the
+            # local and distributed plans identical on degenerate weights
+            c = pc.if_else(pc.equal(od, 0.0), pa.scalar(0.0, pa.float64()), c)
         part = (
             pa.table({dst: t.column(dst), "c": c})
             .group_by(dst)

@@ -91,6 +91,135 @@ def symbols_to_table(symbols: dict[str, str]) -> pa.Table:
     )
 
 
+#: broadcast ceiling (symbol-table rows).  Below it the hash-sorted index is
+#: ``ray.put`` once and read zero-copy by every task (the fast path); above
+#: it broadcast itself breaks (every worker would hold the full table), so
+#: linking falls back to co-partitioned joins.  Env-tunable:
+#: GRAFT_LINK_BROADCAST_MAX (=0 forces the partitioned path, for tests).
+DEFAULT_LINK_BROADCAST_MAX = 50_000_000
+
+
+def link_broadcast_max() -> int:
+    import os
+
+    return int(
+        os.environ.get("GRAFT_LINK_BROADCAST_MAX", str(DEFAULT_LINK_BROADCAST_MAX))
+    )
+
+
+def collect_symbol_dict_ds(triples_ds, *, num_partitions: int | None = None):
+    """Distributed variant of :func:`collect_symbol_dict`: the canonical
+    (name, iri) mapping as a hash-partitioned Dataset — nothing funnels
+    through the driver, so symbol cardinality is unbounded.  Used by the
+    broadcast-overflow linking fallback."""
+    from .agg import grouped_agg
+
+    cand = triples_ds.map_batches(
+        build_symbol_dict_batch, batch_format="pyarrow"
+    ).map_batches(_batch_min_by_name, batch_format="pyarrow")
+    return grouped_agg(
+        cand, ["name"], [("iri", "iri", "min")], num_partitions=num_partitions
+    )
+
+
+def link_triples_partitioned(triples_ds, sym_ds, *, num_partitions: int | None = None):
+    """Broadcast-overflow linking (SURVEY §2.3 at extreme symbol cardinality).
+
+    Same resolution function as the broadcast path (exact name hit, else
+    bare last-dotted-segment hit, else extern IRI) computed with
+    co-partitioned hash joins instead of a per-task broadcast index:
+
+      1. distinct ``unlinked:`` names (hash-partitioned distinct — the name
+         set is never collected anywhere)
+      2. name → iri: two left joins against ``sym_ds`` (exact, then bare),
+         finished per partition with the extern coalesce
+      3. triples left-join that ≤|names| resolution table on the stripped
+         name; ``o_value`` is replaced inside the join reduce (``post=``),
+         so the joined rows never re-exchange
+
+    Output is multiset-identical to the broadcast path; row ORDER differs
+    (join partitioning), which the KG writer's deterministic per-shard sort
+    erases — end-to-end shard bytes are identical (pinned in tests).
+    """
+    from ..state.exchange import default_partitions
+    from .agg import grouped_agg
+    from .joins import hash_join
+
+    num_partitions = num_partitions or default_partitions()
+
+    def names_batch(b: pa.Table) -> pa.Table:
+        o = _one_chunk(b.column("o_value"))
+        if pa.types.is_dictionary(o.type):
+            u = o.dictionary
+            u = u.filter(pc.starts_with(u, "unlinked:"))
+        else:
+            u = pc.unique(o.filter(pc.starts_with(o, "unlinked:")))
+        return pa.table({"name": pc.utf8_slice_codeunits(u, 9)})
+
+    names = grouped_agg(
+        triples_ds.map_batches(names_batch, batch_format="pyarrow"),
+        ["name"],
+        [],
+        num_partitions=num_partitions,
+    )
+
+    def add_bare(b: pa.Table) -> pa.Table:
+        bare = pc.struct_field(
+            pc.extract_regex(b.column("name"), r"(?P<last>[^.]*)$"), "last"
+        )
+        return b.append_column("__bare", bare)
+
+    names = names.map_batches(add_bare, batch_format="pyarrow")
+    r1 = hash_join(
+        names, sym_ds, left_key="name", how="left outer",
+        num_partitions=num_partitions,
+    )
+
+    def rename_sym(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["__bname", "__biri"])
+
+    sym2 = sym_ds.map_batches(rename_sym, batch_format="pyarrow")
+
+    def finish_resolution(b: pa.Table) -> pa.Table:
+        extern = pc.binary_join_element_wise(
+            pa.array([EXTERN_PREFIX] * b.num_rows, pa.string()),
+            b.column("name"),
+            "",
+        )
+        iri = pc.coalesce(b.column("iri"), b.column("__biri"), extern)
+        return pa.table({"name": b.column("name"), "__res_iri": iri})
+
+    resolution = hash_join(
+        r1, sym2, left_key="__bare", right_key="__bname", how="left outer",
+        num_partitions=num_partitions, post=finish_resolution,
+    )
+
+    def add_key(b: pa.Table) -> pa.Table:
+        o = b.column("o_value")
+        if isinstance(o, pa.ChunkedArray):
+            o = o.combine_chunks()
+        if pa.types.is_dictionary(o.type):
+            o = o.cast(pa.string())
+        mask = pc.starts_with(o, "unlinked:")
+        key = pc.if_else(
+            mask, pc.utf8_slice_codeunits(o, 9), pa.scalar(None, pa.string())
+        )
+        return b.append_column("__link_name", key)
+
+    tk = triples_ds.map_batches(add_key, batch_format="pyarrow")
+
+    def fix(b: pa.Table) -> pa.Table:
+        o = pc.coalesce(b.column("__res_iri"), pc.cast(b.column("o_value"), pa.string()))
+        idx = b.schema.get_field_index("o_value")
+        b = b.set_column(idx, "o_value", o)
+        return b.drop_columns(["__link_name", "__res_iri"])
+
+    return hash_join(
+        tk, resolution, left_key="__link_name", right_key="name",
+        how="left outer", num_partitions=num_partitions, post=fix,
+    )
+
+
 _LINK_SEED = 17
 
 

@@ -75,8 +75,13 @@ def prune_orphans(out_dir: str, live_shards: set[str]) -> list[str]:
             m = json.load(f)
         if m.get("shard") in live_shards:
             continue
-        part = m.get("path", "")
-        if part and os.path.exists(part):
+        # derive the part path from out_dir + shard id rather than trusting
+        # the absolute path recorded at write time: if the output directory
+        # was moved/copied, the recorded path may point elsewhere (or at
+        # nothing), leaving a stale part-*.jelly behind in out_dir that
+        # readers would still glob.
+        part = os.path.join(out_dir, f"part-{m.get('shard')}.jelly")
+        if os.path.exists(part):
             os.unlink(part)
         os.unlink(path)
         removed.append(m.get("shard"))

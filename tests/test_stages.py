@@ -4280,3 +4280,97 @@ def test_graph_and_corr_local_paths_match_distributed(ray_session, monkeypatch):
     pds = ray.data.from_arrow(pairs)
     loc, dist = both("GRAFT_CORR_LOCAL_MAX", lambda: spearman_corr(pds, "x", "y"))
     pd.testing.assert_frame_equal(loc, dist)
+
+
+def test_grouped_map_local_path_matches_exchange(ray_session, monkeypatch):
+    """grouped_map's tiny-input local plan (default cutoff 20k rows) must be
+    byte-equal to the hash-exchange plan, for both per_group modes — and
+    forcing GRAFT_GROUPED_LOCAL_MAX=0 keeps the exchange branch exercised
+    at test scale."""
+    import random
+
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from pyjelly_ray.stages.agg import grouped_map
+
+    random.seed(7)
+    n = 5000
+    t = pa.table(
+        {
+            "k": pa.array([f"g{random.randrange(40):02d}" for _ in range(n)]),
+            "v": pa.array([random.randint(-50, 50) for _ in range(n)], pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+
+    def per_group_fn(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {"k": pa.array([], pa.string()),
+                 "n": pa.array([], pa.int64()),
+                 "vmax": pa.array([], pa.int64())}
+            )
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "k": g.column("k").slice(0, 1),
+                "n": pa.array([g.num_rows], pa.int64()),
+                "vmax": pa.array([pc.max(g.column("v")).as_py()], pa.int64()),
+            }
+        )
+
+    def partition_fn(t_: pa.Table) -> pa.Table:
+        # per_group=False: whole key-sorted partition — vectorized group_by
+        if t_.num_rows == 0:
+            return pa.table(
+                {"k": pa.array([], pa.string()), "vsum": pa.array([], pa.int64())}
+            )
+        g = t_.group_by("k").aggregate([("v", "sum")])
+        return g.rename_columns(["k", "vsum"])
+
+    def run(fn, per_group):
+        out = grouped_map(ds, "k", fn, per_group=per_group).to_pandas()
+        return out.sort_values(by=list(out.columns)).reset_index(drop=True)
+
+    for fn, per_group in ((per_group_fn, True), (partition_fn, False)):
+        monkeypatch.setenv("GRAFT_GROUPED_LOCAL_MAX", "1000000")
+        loc = run(fn, per_group)
+        monkeypatch.setenv("GRAFT_GROUPED_LOCAL_MAX", "0")
+        dist = run(fn, per_group)
+        monkeypatch.delenv("GRAFT_GROUPED_LOCAL_MAX")
+        pd.testing.assert_frame_equal(loc, dist)
+
+
+def test_weighted_pagerank_zero_weight_sum_parity(ray_session, monkeypatch):
+    """A src whose edge weights sum to zero contributes 0 — not inf/NaN —
+    and both plans agree (the divergence flagged in round-3 ADVICE)."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from pyjelly_ray.stages.graph import pagerank
+
+    t = pa.table(
+        {
+            "src": pa.array(["a", "a", "b", "c", "z", "z"]),
+            "dst": pa.array(["b", "c", "c", "a", "a", "b"]),
+            # src 'z' has all-zero weights: its weight-sum is 0
+            "w": pa.array([1.0, 2.0, 1.5, 1.0, 0.0, 0.0], pa.float64()),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+
+    def run():
+        out = pagerank(ds, iters=4, weight="w").to_pandas()
+        return out.sort_values(by=["node"]).reset_index(drop=True)
+
+    monkeypatch.setenv("GRAFT_PR_LOCAL_MAX", "1000000")
+    loc = run()
+    monkeypatch.setenv("GRAFT_PR_LOCAL_MAX", "0")
+    dist = run()
+    monkeypatch.delenv("GRAFT_PR_LOCAL_MAX")
+    assert loc["rank"].notna().all() and (abs(loc["rank"]) < 1e6).all()
+    pd.testing.assert_frame_equal(loc, dist)
