@@ -1,9 +1,11 @@
 """Multimodal column plumbing (images/audio/video as opaque binary).
 
 REAL decode paths (no external libraries): PNG (stdlib zlib + numpy
-un-filtering — all five filters, gray/GA/RGB/RGBA + palette), PPM,
-WAV/PCM16, raw RGB video.  Only inherently codec-library formats
-(JPEG/MP3/MP4) remain explicit STUBS — clearly marked, swappable.  The
+un-filtering — all five filters, gray/GA/RGB/RGBA + palette), baseline
+JPEG (full huffman entropy codec + dequant + vectorized IDCT, 4:4:4/4:2:0,
+grayscale, restart markers — encoder AND decoder), PPM, WAV/PCM16, raw RGB
+video.  Only inherently codec-library formats (MP3/MP4) remain explicit
+STUBS — clearly marked, swappable.  The
 Ray-side plumbing is real and tested throughout: typed schema, actor-pool
 stage signatures, batch sizing for large binary payloads, output layout.
 
@@ -677,6 +679,606 @@ def synth_png_table(n: int = 32, seed: int = 11, h: int = 24, w: int = 32) -> pa
                 "media_id": i,
                 "media_type": "image/png",
                 "payload": encode_png(img, filter_type=i % 5),
+                "width": w,
+                "height": h,
+            }
+        )
+    return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# JPEG (baseline sequential DCT) — REAL codec, stdlib + numpy only.
+#
+# Encoder: JFIF baseline, standard Annex-K quant/huffman tables with libjpeg
+# quality scaling, 4:4:4 or 4:2:0 chroma, optional restart intervals,
+# grayscale single-component mode.  Decoder: full baseline parse (DQT 8/16
+# bit, SOF0, DHT, DRI/RSTn, APPn/COM skip), huffman entropy decode,
+# dequantize, vectorized 2D IDCT over all blocks at once, chroma upsample
+# for sampling factors {1,2}×{1,2}, YCbCr→RGB.  Progressive (SOF2) and
+# arithmetic coding are rejected with a clear error.  Reference posture:
+# the reference repo treats images as opaque payloads (SURVEY §2.2); this
+# codec exists so the multimodal actor-pool stages decode REAL bytes.
+# ---------------------------------------------------------------------------
+
+def _zigzag() -> np.ndarray:
+    order = []
+    for s in range(15):
+        rs = range(max(0, s - 7), min(s, 7) + 1)
+        for r in (reversed(rs) if s % 2 == 0 else rs):
+            order.append(r * 8 + (s - r))
+    return np.array(order, np.int64)
+
+
+_ZZ = _zigzag()
+_UNZZ = np.argsort(_ZZ)
+
+_QUANT_LUM = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99], np.float64).reshape(8, 8)
+
+_QUANT_CHR = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99], np.float64).reshape(8, 8)
+
+# Annex K huffman tables: (bits[1..16], values)
+_HUFF_DC_LUM = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+                list(range(12)))
+_HUFF_DC_CHR = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+                list(range(12)))
+_HUFF_AC_LUM = ([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D], [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+_HUFF_AC_CHR = ([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77], [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+    0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+    0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+
+
+def _dct_matrix() -> np.ndarray:
+    # orthonormal 8-point DCT-II basis == JPEG FDCT scaling exactly
+    x = np.arange(8)
+    d = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16)
+    d[0] *= np.sqrt(1 / 8)
+    d[1:] *= np.sqrt(2 / 8)
+    return d
+
+
+_DCT = _dct_matrix()
+
+
+def _quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    quality = min(100, max(1, quality))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    out = []
+    for q in (_QUANT_LUM, _QUANT_CHR):
+        t = np.floor((q * scale + 50) / 100)
+        out.append(np.clip(t, 1, 255))
+    return out[0], out[1]
+
+
+def _build_huffman_codes(bits, values) -> dict[int, tuple[int, int]]:
+    """symbol → (code, length), canonical JPEG assignment."""
+    codes, code = {}, 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[values[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+class _BitWriter:
+    __slots__ = ("buf", "acc", "nbits")
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.nbits -= 8
+            self.buf.append(b)
+            if b == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1s
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """value → (category size, appended bits) per JPEG F.1.2.1."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    s = a.bit_length()
+    return s, (v if v >= 0 else v + (1 << s) - 1)
+
+
+def _encode_component_block(w: _BitWriter, q: np.ndarray, prev_dc: int,
+                            dc_codes, ac_codes) -> int:
+    zz = q.reshape(-1)[_ZZ]
+    s, bits = _magnitude(int(zz[0]) - prev_dc)
+    c, ln = dc_codes[s]
+    w.write(c, ln)
+    if s:
+        w.write(bits, s)
+    run = 0
+    nz = np.nonzero(zz[1:])[0]
+    last = nz[-1] + 1 if len(nz) else 0
+    for i in range(1, last + 1):
+        v = int(zz[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, ln = ac_codes[0xF0]  # ZRL
+            w.write(c, ln)
+            run -= 16
+        s, bits = _magnitude(v)
+        c, ln = ac_codes[(run << 4) | s]
+        w.write(c, ln)
+        w.write(bits, s)
+        run = 0
+    if last < 63:
+        c, ln = ac_codes[0x00]  # EOB
+        w.write(c, ln)
+    return int(zz[0])
+
+
+def _fdct_quant(plane: np.ndarray, qtab: np.ndarray) -> np.ndarray:
+    """(H,W) float, H,W multiples of 8 → int32 quantized blocks
+    (H//8, W//8, 8, 8); fully vectorized over blocks."""
+    h, w = plane.shape
+    b = plane.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3) - 128.0
+    f = np.einsum("ux,nmxy,vy->nmuv", _DCT, b, _DCT)
+    return np.round(f / qtab).astype(np.int32)
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 85, *,
+                subsample: bool = False, restart_interval: int = 0) -> bytes:
+    """Baseline JFIF encoder.  ``img``: uint8 (H,W,3) RGB or (H,W,1)/(H,W)
+    grayscale.  ``subsample=True`` → 4:2:0 chroma (2×2 box average),
+    else 4:4:4.  ``restart_interval``: MCUs between RSTn markers (0=off)."""
+    import struct
+
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, ncomp = img.shape
+    gray = ncomp == 1
+    qlum, qchr = _quality_tables(quality)
+
+    if gray:
+        planes = [img[:, :, 0].astype(np.float64)]
+        samp = [(1, 1)]
+    else:
+        rgb = img.astype(np.float64)
+        r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        planes = [y, cb, cr]
+        samp = [(2, 2), (1, 1), (1, 1)] if subsample else [(1, 1), (1, 1), (1, 1)]
+
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = (w + mcu_w - 1) // mcu_w
+    mcus_y = (h + mcu_h - 1) // mcu_h
+
+    # per-component quantized block grids
+    comp_blocks = []
+    for ci, (p, (sh, sv)) in enumerate(zip(planes, samp)):
+        if (sh, sv) != (hmax, vmax):  # subsampled chroma: box average
+            fy, fx = vmax // sv, hmax // sh
+            ph = (h + fy - 1) // fy
+            pw = (w + fx - 1) // fx
+            pad = np.pad(p, ((0, ph * fy - h), (0, pw * fx - w)), mode="edge")
+            p = pad.reshape(ph, fy, pw, fx).mean(axis=(1, 3))
+        th = mcus_y * sv * 8
+        tw = mcus_x * sh * 8
+        p = np.pad(p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge")
+        qtab = qlum if ci == 0 else qchr
+        comp_blocks.append(_fdct_quant(p, qtab))
+
+    dc_codes = [_build_huffman_codes(*_HUFF_DC_LUM),
+                _build_huffman_codes(*_HUFF_DC_CHR)]
+    ac_codes = [_build_huffman_codes(*_HUFF_AC_LUM),
+                _build_huffman_codes(*_HUFF_AC_CHR)]
+
+    wtr = _BitWriter()
+    prev_dc = [0] * len(planes)
+    mcu_idx = 0
+    rst = 0
+    entropy = bytearray()
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+                wtr.flush()
+                entropy += wtr.buf
+                entropy += bytes([0xFF, 0xD0 + (rst & 7)])
+                rst += 1
+                wtr = _BitWriter()
+                prev_dc = [0] * len(planes)
+            for ci, (sh, sv) in enumerate(samp):
+                tsel = 0 if ci == 0 else 1
+                for by in range(sv):
+                    for bx in range(sh):
+                        blk = comp_blocks[ci][my * sv + by, mx * sh + bx]
+                        prev_dc[ci] = _encode_component_block(
+                            wtr, blk, prev_dc[ci],
+                            dc_codes[tsel], ac_codes[tsel],
+                        )
+            mcu_idx += 1
+    wtr.flush()
+    entropy += wtr.buf
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, b"\x00" + bytes(qlum.astype(np.uint8).reshape(-1)[_ZZ]))
+    if not gray:
+        out += seg(0xDB, b"\x01" + bytes(qchr.astype(np.uint8).reshape(-1)[_ZZ]))
+    ncs = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, ncs)
+    for ci in range(ncs):
+        sh, sv = samp[ci]
+        sof += struct.pack(">BBB", ci + 1, (sh << 4) | sv, 0 if ci == 0 else 1)
+    out += seg(0xC0, sof)
+    tables = [(0x00, _HUFF_DC_LUM), (0x10, _HUFF_AC_LUM)]
+    if not gray:
+        tables += [(0x01, _HUFF_DC_CHR), (0x11, _HUFF_AC_CHR)]
+    for tc, (bits, values) in tables:
+        out += seg(0xC4, bytes([tc]) + bytes(bits) + bytes(values))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([ncs])
+    for ci in range(ncs):
+        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+    sos += b"\x00\x3f\x00"
+    out += seg(0xDA, sos)
+    out += entropy
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    __slots__ = ("data", "pos", "acc", "nbits")
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:
+                raise _RestartMarker(nxt)
+            else:
+                # marker (EOI etc.): feed pad bits; caller stops at EOB/counts
+                self.acc = (self.acc << 8) | 0xFF
+                self.nbits += 8
+                return
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align_restart(self) -> None:
+        """Skip to just past the next RSTn marker, resetting bit state."""
+        self.acc = 0
+        self.nbits = 0
+        d = self.data
+        i = self.pos
+        while not (d[i] == 0xFF and 0xD0 <= d[i + 1] <= 0xD7):
+            i += 1
+        self.pos = i + 2
+
+
+class _RestartMarker(Exception):
+    def __init__(self, marker: int) -> None:
+        self.marker = marker
+
+
+def _build_decode_table(bits, values) -> dict[tuple[int, int], int]:
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[(length, code)] = values[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _read_symbol(r: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code, length = 0, 0
+    while length < 17:
+        code = (code << 1) | r.bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline JPEG → uint8 (H, W, ncomp); raises ValueError on
+    progressive/arithmetic/corrupt input."""
+    import struct
+
+    d = payload
+    if len(d) < 4 or d[0:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    htabs: dict[tuple[int, int], dict] = {}
+    comps = None
+    h = w = 0
+    restart_interval = 0
+    scan = None
+    while pos < len(d):
+        if d[pos] != 0xFF:
+            raise ValueError("bad marker sync")
+        marker = d[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        (seglen,) = struct.unpack(">H", d[pos + 2 : pos + 4])
+        body = d[pos + 4 : pos + 2 + seglen]
+        pos += 2 + seglen
+        if marker == 0xDB:
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0xF
+                i += 1
+                if pq:
+                    vals = np.frombuffer(body[i : i + 128], ">u2").astype(np.float64)
+                    i += 128
+                else:
+                    vals = np.frombuffer(body[i : i + 64], np.uint8).astype(np.float64)
+                    i += 64
+                t = np.empty(64, np.float64)
+                t[_ZZ] = vals
+                qtabs[tq] = t.reshape(8, 8)
+        elif marker == 0xC4:
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0xF
+                bits = list(body[i + 1 : i + 17])
+                n = sum(bits)
+                values = list(body[i + 17 : i + 17 + n])
+                htabs[(tc, th)] = _build_decode_table(bits, values)
+                i += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:
+            _prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            comps = []
+            for ci in range(nc):
+                cid, sf, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                comps.append({"id": cid, "h": sf >> 4, "v": sf & 0xF, "tq": tq})
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError("only baseline JPEG (SOF0/SOF1) is supported")
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:
+            ns = body[0]
+            sel = {}
+            for ci in range(ns):
+                cs, tt = body[1 + 2 * ci], body[2 + 2 * ci]
+                sel[cs] = (tt >> 4, tt & 0xF)
+            scan = (sel, pos)
+            break
+        # APPn / COM: skipped
+    if comps is None or scan is None:
+        raise ValueError("truncated JPEG (no SOF/SOS)")
+    sel, entropy_pos = scan
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    for c in comps:
+        c["bw"] = mcus_x * c["h"]
+        c["bh"] = mcus_y * c["v"]
+        c["coef"] = np.zeros((c["bh"] * c["bw"], 64), np.int32)
+        c["dc_t"], c["ac_t"] = sel[c["id"]]
+
+    r = _BitReader(d, entropy_pos)
+    prev_dc = [0] * len(comps)
+    mcu_idx = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+                r.align_restart()
+                prev_dc = [0] * len(comps)
+            for ci, c in enumerate(comps):
+                dct = htabs[(0, c["dc_t"])]
+                act = htabs[(1, c["ac_t"])]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        try:
+                            blk = c["coef"][
+                                (my * c["v"] + by) * c["bw"] + mx * c["h"] + bx
+                            ]
+                            s = _read_symbol(r, dct)
+                            diff = _extend(r.bits(s), s) if s else 0
+                            prev_dc[ci] += diff
+                            blk[0] = prev_dc[ci]
+                            k = 1
+                            while k < 64:
+                                sym = _read_symbol(r, act)
+                                if sym == 0x00:
+                                    break
+                                run, size = sym >> 4, sym & 0xF
+                                if size == 0:
+                                    if run != 15:
+                                        raise ValueError("bad AC symbol")
+                                    k += 16
+                                    continue
+                                k += run
+                                if k > 63:
+                                    raise ValueError("AC overflow")
+                                blk[k] = _extend(r.bits(size), size)
+                                k += 1
+                        except _RestartMarker:
+                            raise ValueError("unexpected restart marker")
+            mcu_idx += 1
+
+    # dequant + IDCT, vectorized per component over all blocks
+    planes = []
+    for c in comps:
+        q = qtabs[c["tq"]]
+        coef = np.zeros((c["coef"].shape[0], 64), np.float64)
+        coef[:, _ZZ] = c["coef"]  # inverse zigzag
+        f = coef.reshape(-1, 8, 8) * q
+        sp = np.einsum("xu,nuv,yv->nxy", _DCT.T, f, _DCT.T) + 128.0
+        plane = (
+            sp.reshape(c["bh"], c["bw"], 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(c["bh"] * 8, c["bw"] * 8)
+        )
+        # upsample to full resolution (nearest/repeat)
+        fy, fx = vmax // c["v"], hmax // c["h"]
+        if fy > 1:
+            plane = np.repeat(plane, fy, axis=0)
+        if fx > 1:
+            plane = np.repeat(plane, fx, axis=1)
+        planes.append(plane[:h, :w])
+
+    if len(planes) == 1:
+        out = planes[0][:, :, None]
+    else:
+        y, cb, cr = planes
+        r_ = y + 1.402 * (cr - 128.0)
+        g_ = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b_ = y + 1.772 * (cb - 128.0)
+        out = np.stack([r_, g_, b_], axis=2)
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+class JPEGImageStage:
+    """REAL actor-pool image stage for baseline JPEG: huffman+IDCT decode →
+    nearest resize → feature vector.  Same output schema as
+    :class:`PNGImageStage`/:class:`PPMImageStage`."""
+
+    def __init__(self, out_h: int = 32, out_w: int = 32, hist_bins: int = 8):
+        self.out_h, self.out_w, self.hist_bins = out_h, out_w, hist_bins
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats, heights, widths = [], [], []
+        for p in batch.column("payload").to_pylist():
+            img = decode_jpeg(p)
+            heights.append(img.shape[0])
+            widths.append(img.shape[1])
+            if img.shape[2] == 1:
+                img = np.repeat(img, 3, axis=2)
+            small = resize_nearest(img, self.out_h, self.out_w)
+            feats.append(image_features(small, self.hist_bins))
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "height": pa.array(heights, pa.int32()),
+                "width": pa.array(widths, pa.int32()),
+                "features": pa.array(
+                    [f.tolist() for f in feats], pa.list_(pa.float32())
+                ),
+            }
+        )
+
+
+def synth_jpeg_table(n: int = 32, seed: int = 15, h: int = 24, w: int = 32) -> pa.Table:
+    """Deterministic real JPEG images cycling quality levels, 4:4:4/4:2:0,
+    grayscale, and restart intervals — the decode-grid fixture."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        base = np.linspace(0, 255, w, dtype=np.float32)[None, :, None]
+        tint = rng.integers(0, 80, size=3).astype(np.float32)
+        img = np.clip(base + tint[None, None, :], 0, 255).astype(np.uint8)
+        img = np.repeat(img, h, axis=0)
+        img[(i * 5) % h, :, :] = rng.integers(0, 255, size=(w, 3), dtype=np.uint8)
+        if i % 4 == 3:
+            img = img[:, :, :1]  # grayscale JPEG
+        payload = encode_jpeg(
+            img,
+            quality=(40, 75, 90, 95)[i % 4],
+            subsample=(i % 3 == 1 and img.shape[2] == 3),
+            restart_interval=(4 if i % 5 == 2 else 0),
+        )
+        rows.append(
+            {
+                "media_id": i,
+                "media_type": "image/jpeg",
+                "payload": payload,
                 "width": w,
                 "height": h,
             }

@@ -38,10 +38,20 @@ def _to_pandas(result) -> pd.DataFrame:
 
 
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    import datetime as _dt
+
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = df[c].astype("datetime64[us]").astype(str)
+        elif df[c].dtype == object and len(df[c]) and isinstance(
+            df[c].dropna().iloc[0] if df[c].notna().any() else None,
+            (_dt.date, _dt.datetime),
+        ):
+            # arrow date32 → pandas object of datetime.date; route through
+            # the same datetime64 rendering as the branch above so
+            # date-vs-timestamp carriers compare equal
+            df[c] = pd.to_datetime(df[c]).astype("datetime64[us]").astype(str)
         elif pd.api.types.is_float_dtype(df[c]):
             df[c] = df[c].round(9)
         elif pd.api.types.is_integer_dtype(df[c]):

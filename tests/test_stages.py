@@ -4374,3 +4374,247 @@ def test_weighted_pagerank_zero_weight_sum_parity(ray_session, monkeypatch):
     monkeypatch.delenv("GRAFT_PR_LOCAL_MAX")
     assert loc["rank"].notna().all() and (abs(loc["rank"]) < 1e6).all()
     pd.testing.assert_frame_equal(loc, dist)
+
+
+GOLDEN_JPEG_DIGESTS = [
+    "016afa42505a92c6", "efafec9ff06d9bf0",
+    "c42ce46edc66e24c", "4e22c1542c425e79",
+]
+
+
+def test_jpeg_codec_grid():
+    """Baseline JPEG encode/decode (stdlib + numpy) is BIT-EXACT against an
+    independent naive reconstruction: the test recomputes
+    clip(round(color⁻¹(IDCT(dequant(round(DCT(color(img))/Q))))))
+    with quadruple-loop DCTs and its own zigzag derivation, so any single
+    bit error in the huffman entropy layer (encode OR decode) changes the
+    expected pixels.  Grid: quality × 4:4:4/4:2:0 × restart intervals ×
+    RGB/grayscale."""
+    import numpy as np
+
+    from pyjelly_ray.stages.multimodal import (
+        _ZZ,
+        _quality_tables,
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    # independent zigzag derivation (coordinate walk, not diagonal ranges)
+    def walk_zigzag():
+        r = c = 0
+        up = True
+        out = []
+        for _ in range(64):
+            out.append(r * 8 + c)
+            if up:
+                if c == 7:
+                    r += 1
+                    up = False
+                elif r == 0:
+                    c += 1
+                    up = False
+                else:
+                    r -= 1
+                    c += 1
+            else:
+                if r == 7:
+                    c += 1
+                    up = True
+                elif c == 0:
+                    r += 1
+                    up = True
+                else:
+                    r += 1
+                    c -= 1
+        return out
+
+    assert walk_zigzag() == list(_ZZ)
+
+    # quality-50 scaling must reproduce the Annex-K base tables exactly
+    ql50, qc50 = _quality_tables(50)
+    assert ql50[0, 0] == 16 and ql50[7, 7] == 99 and qc50[0, 0] == 17
+
+    def naive_dct(block):  # quadruple loop, straight from the JPEG spec
+        out = np.zeros((8, 8))
+        for u in range(8):
+            for v in range(8):
+                cu = (1 / np.sqrt(2)) if u == 0 else 1.0
+                cv = (1 / np.sqrt(2)) if v == 0 else 1.0
+                s = 0.0
+                for x in range(8):
+                    for y in range(8):
+                        s += block[x, y] * np.cos((2 * x + 1) * u * np.pi / 16) \
+                             * np.cos((2 * y + 1) * v * np.pi / 16)
+                out[u, v] = 0.25 * cu * cv * s
+        return out
+
+    def naive_idct(coef):
+        out = np.zeros((8, 8))
+        for x in range(8):
+            for y in range(8):
+                s = 0.0
+                for u in range(8):
+                    for v in range(8):
+                        cu = (1 / np.sqrt(2)) if u == 0 else 1.0
+                        cv = (1 / np.sqrt(2)) if v == 0 else 1.0
+                        s += cu * cv * coef[u, v] \
+                             * np.cos((2 * x + 1) * u * np.pi / 16) \
+                             * np.cos((2 * y + 1) * v * np.pi / 16)
+                out[x, y] = 0.25 * s
+        return out
+
+    def expected_pixels(img, quality, subsample):
+        h, w, nc = img.shape
+        qlum, qchr = _quality_tables(quality)
+        if nc == 1:
+            planes = [img[:, :, 0].astype(np.float64)]
+            samp = [(1, 1)]
+        else:
+            rgb = img.astype(np.float64)
+            r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+            planes = [
+                0.299 * r + 0.587 * g + 0.114 * b,
+                -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+                0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+            ]
+            samp = [(2, 2), (1, 1), (1, 1)] if subsample else [(1, 1)] * 3
+        hmax = max(s[0] for s in samp)
+        vmax = max(s[1] for s in samp)
+        mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+        mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+        recon = []
+        for ci, (p, (sh, sv)) in enumerate(zip(planes, samp)):
+            if (sh, sv) != (hmax, vmax):
+                fy, fx = vmax // sv, hmax // sh
+                ph = (h + fy - 1) // fy
+                pw = (w + fx - 1) // fx
+                pad = np.pad(p, ((0, ph * fy - h), (0, pw * fx - w)), mode="edge")
+                p = pad.reshape(ph, fy, pw, fx).mean(axis=(1, 3))
+            th, tw = mcus_y * sv * 8, mcus_x * sh * 8
+            p = np.pad(p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge")
+            q = qlum if ci == 0 else qchr
+            out = np.zeros_like(p)
+            for by in range(th // 8):
+                for bx in range(tw // 8):
+                    blk = p[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] - 128.0
+                    coef = np.round(naive_dct(blk) / q) * q
+                    out[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = \
+                        naive_idct(coef) + 128.0
+            fy, fx = vmax // sv, hmax // sh
+            if fy > 1:
+                out = np.repeat(out, fy, axis=0)
+            if fx > 1:
+                out = np.repeat(out, fx, axis=1)
+            recon.append(out[:h, :w])
+        if len(recon) == 1:
+            exp = recon[0][:, :, None]
+        else:
+            y, cb, cr = recon
+            exp = np.stack(
+                [
+                    y + 1.402 * (cr - 128.0),
+                    y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0),
+                    y + 1.772 * (cb - 128.0),
+                ],
+                axis=2,
+            )
+        return np.clip(exp, 0.0, 255.0)  # float — final rounding checked below
+
+    def assert_bit_exact_mod_ties(got, exp_float, ctx):
+        """got must equal round(exp) everywhere except pixels whose exact
+        value sits on a .5 rounding tie (the reconstruction is EXACTLY
+        x.5 there; two float summation orders legitimately land either
+        side) — at a tie, got may be floor or ceil.  Any entropy-layer
+        bit error shifts whole 8×8 blocks by ≫1, so this still pins the
+        huffman encode/decode bit-exactly."""
+        want = np.round(exp_float).astype(np.uint8)
+        same = got == want
+        frac = np.abs(exp_float - np.floor(exp_float) - 0.5)
+        tie = (frac < 1e-6) & (np.abs(got.astype(int) - exp_float) <= 0.5 + 1e-6)
+        assert np.all(same | tie), (
+            ctx, np.argwhere(~(same | tie))[:5], got[~(same | tie)][:5]
+        )
+        # ties must be rare — a real defect would not look like this
+        assert (~same).mean() < 0.02, ctx
+
+    rng = np.random.default_rng(21)
+    w, h = 19, 13  # deliberately NOT multiples of 8/16 — exercises padding
+    base = np.clip(
+        np.linspace(0, 255, w)[None, :, None]
+        + rng.integers(0, 60, 3)[None, None, :],
+        0, 255,
+    ).astype(np.uint8)
+    img = np.repeat(base, h, axis=0)
+    img[5, :, :] = rng.integers(0, 255, (w, 3))
+    # mild per-pixel noise: flat regions reconstruct to EXACTLY x.5 whole
+    # rows at a time (degenerate ties); real images don't
+    img = np.clip(
+        img.astype(np.int32) + rng.integers(-6, 7, img.shape), 0, 255
+    ).astype(np.uint8)
+
+    cases = 0
+    for quality in (35, 75, 92):
+        for subsample in (False, True):
+            for rst in (0, 3):
+                got = decode_jpeg(
+                    encode_jpeg(img, quality=quality, subsample=subsample,
+                                restart_interval=rst)
+                )
+                exp = expected_pixels(img, quality, subsample)
+                assert_bit_exact_mod_ties(got, exp, (quality, subsample, rst))
+                cases += 1
+    # grayscale single-component
+    g = img[:, :, :1]
+    for quality in (35, 92):
+        got = decode_jpeg(encode_jpeg(g, quality=quality))
+        assert_bit_exact_mod_ties(got, expected_pixels(g, quality, False),
+                                  ("gray", quality))
+        cases += 1
+    assert cases == 14
+
+    # cross-run determinism pin: decoded pixels of two fixture payloads
+    # hash identically forever (golden values from the first green run)
+    import hashlib as _hashlib
+
+    from pyjelly_ray.stages.multimodal import synth_jpeg_table
+
+    t = synth_jpeg_table(4)
+    digests = [
+        _hashlib.sha256(decode_jpeg(p.as_py()).tobytes()).hexdigest()[:16]
+        for p in t.column("payload")
+    ]
+    assert digests == GOLDEN_JPEG_DIGESTS, digests
+
+    # error paths: clear rejections, not garbage output
+    import pytest as _pytest
+
+    payload = encode_jpeg(img, quality=75)
+    with _pytest.raises(ValueError):
+        decode_jpeg(b"\x00\x01not a jpeg")
+    with _pytest.raises(ValueError):
+        decode_jpeg(payload[:40])  # truncated before SOS
+    prog = bytearray(payload)
+    sof = prog.find(b"\xff\xc0")
+    prog[sof + 1] = 0xC2  # masquerade as progressive
+    with _pytest.raises(ValueError):
+        decode_jpeg(bytes(prog))
+
+
+def test_jpeg_stage_and_query(ray_session):
+    """JPEGImageStage over a Ray actor pool: full synth grid decodes, output
+    schema matches the PNG/PPM stages, features are finite."""
+    import math
+
+    import ray
+
+    from pyjelly_ray.stages.multimodal import JPEGImageStage, synth_jpeg_table
+
+    media = ray.data.from_arrow(synth_jpeg_table(32))
+    out = media.map_batches(
+        JPEGImageStage, concurrency=2, batch_size=8, batch_format="pyarrow"
+    ).take_all()
+    assert len(out) == 32
+    for r in out:
+        assert r["height"] == 24 and r["width"] == 32
+        assert len(r["features"]) > 0
+        assert all(math.isfinite(f) for f in r["features"])
