@@ -46,6 +46,12 @@ import glob, hashlib, json, os, sys, time
 sys.path.insert(0, {repo!r})
 import ray
 ray.init(address="127.0.0.1:6379", ignore_reinit_error=True)
+# report which raylet the driver attached to: with two same-IP raylets on
+# one box the GCS pick is ambiguous, so the harness kills the OTHER node
+# (the semantics under test are REMOTE-node loss, whichever raylet that is)
+sock = ray._private.worker.global_worker.node.raylet_socket_name
+with open({status!r}, "w") as f:
+    json.dump({{"driver_raylet": sock}}, f)
 from pyjelly_ray.pipelines.kg import build_kg
 t0 = time.perf_counter()
 rows = build_kg({corpus!r}, {out!r}, n_shards=32).take_all()
@@ -66,7 +72,7 @@ def digests(out_dir: str) -> dict[str, str]:
     }
 
 
-def start_cluster():
+def start_cluster(head_only: bool = False):
     sh("ray stop --force")
     time.sleep(2)
     env = dict(os.environ)
@@ -77,6 +83,8 @@ def start_cluster():
         env=env,
     )
     assert r.returncode == 0, r.stderr[-2000:]
+    if head_only:
+        return None
     worker = subprocess.Popen(
         ["ray", "start", "--address=127.0.0.1:6379",
          f"--num-cpus={WORKER_CPUS}", "--block"],
@@ -97,14 +105,55 @@ def start_cluster():
     raise RuntimeError("worker never joined")
 
 
+STATUS = "/tmp/kg_chaos_driver_status.json"
+
+
 def run_build(out: str, timeout: int = 900) -> subprocess.Popen:
     env = dict(os.environ)
     env.pop("RAY_ADDRESS", None)
+    if os.path.exists(STATUS):
+        os.unlink(STATUS)
     return subprocess.Popen(
-        [sys.executable, "-c", BUILD_SNIPPET.format(repo=REPO, corpus=CORPUS, out=out)],
+        [sys.executable, "-c",
+         BUILD_SNIPPET.format(repo=REPO, corpus=CORPUS, out=out, status=STATUS)],
         env=env, cwd=REPO, text=True,
         stdout=subprocess.PIPE, stderr=subprocess.PIPE,
     )
+
+
+def raylet_pids() -> dict[str, int]:
+    """{raylet_socket_name: pid} for every live raylet process."""
+    import re
+
+    r = sh("pgrep -af raylet")
+    out = {}
+    for line in r.stdout.splitlines():
+        m = re.search(r"--raylet_socket_name=(\S+)", line)
+        if m and "/raylet/raylet" in line.split()[1]:
+            out[m.group(1)] = int(line.split()[0])
+    return out
+
+
+def kill_other_node(worker: subprocess.Popen) -> str:
+    """SIGKILL the raylet the driver is NOT attached to; returns which
+    ('worker_raylet' if it was the second node, else 'head_raylet')."""
+    deadline = time.time() + 30
+    while not os.path.exists(STATUS) and time.time() < deadline:
+        time.sleep(0.2)
+    with open(STATUS) as f:
+        driver_sock = json.load(f)["driver_raylet"]
+    victims = {s: pid for s, pid in raylet_pids().items() if s != driver_sock}
+    assert victims, "no other raylet to kill"
+    sock, pid = sorted(victims.items())[0]
+    if sock.endswith(".1"):  # the worker node: kill its whole process group
+        try:
+            os.killpg(worker.pid, signal.SIGKILL)
+        except ProcessLookupError:
+            os.kill(pid, signal.SIGKILL)
+        worker.wait()
+        return "worker_raylet"
+    os.kill(pid, signal.SIGKILL)  # head raylet (GCS survives separately)
+    return "head_raylet"
 
 
 def main() -> None:
@@ -130,21 +179,15 @@ def main() -> None:
               flush=True)
 
         for frac in fracs:
-            # fresh worker for each round (the previous one is dead)
-            if worker.poll() is not None:
-                worker = start_cluster()
+            # fresh 2-node cluster for each round (a node died last round)
+            worker = start_cluster()
             out = f"/tmp/kg_chaos_kill_{int(frac * 100)}"
             shutil.rmtree(out, ignore_errors=True)
             t_kill = clean_wall * frac
             p = run_build(out)
             time.sleep(t_kill)
-            kill_t = time.time()
-            try:
-                os.killpg(worker.pid, signal.SIGKILL)
-            except ProcessLookupError:
-                pass
-            worker.wait()
-            print(f"[frac={frac}] killed worker node at t={t_kill:.1f}s",
+            victim = kill_other_node(worker)
+            print(f"[frac={frac}] killed {victim} at t={t_kill:.1f}s",
                   flush=True)
             try:
                 out_line, err = p.communicate(timeout=900)
@@ -154,7 +197,7 @@ def main() -> None:
                 out_line, err = p.communicate()
                 rc = -9
             run = {"kill_frac": frac, "kill_after_sec": round(t_kill, 2),
-                   "first_run_rc": rc}
+                   "victim": victim, "first_run_rc": rc}
             if rc == 0:
                 run["path"] = "lineage"
                 run["recovery_wall_sec"] = round(
@@ -163,7 +206,11 @@ def main() -> None:
             else:
                 run["path"] = "resume"
                 run["first_run_tail"] = err[-800:]
-                # resume on whatever cluster remains (head only)
+                # resume on a FRESH head-only cluster (the operational
+                # scenario: job died with a node, cluster rescheduled) —
+                # also sidesteps the dead-raylet GCS entry lingering in
+                # the old control plane
+                start_cluster(head_only=True)
                 t0 = time.time()
                 p2 = run_build(out)
                 out2, err2 = p2.communicate(timeout=900)
