@@ -4618,3 +4618,61 @@ def test_jpeg_stage_and_query(ray_session):
         assert r["height"] == 24 and r["width"] == 32
         assert len(r["features"]) > 0
         assert all(math.isfinite(f) for f in r["features"])
+
+
+def test_read_buffer_pool(ray_session, tmp_path, monkeypatch):
+    """The size-gated read pool returns the same rows/columns as a direct
+    read, widens to the union of column sets, preserves the caller's
+    column order, and stays OFF above the row gate / when disabled."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import pyjelly_ray.pipelines.relational as R
+
+    t = pa.table(
+        {
+            "a": pa.array(range(100), pa.int64()),
+            "b": pa.array([f"s{i}" for i in range(100)]),
+            "c": pa.array([i * 0.5 for i in range(100)], pa.float64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "tbl.parquet"))
+    sf = str(tmp_path)
+    R._READ_CACHE.clear()
+
+    d1 = R._read(sf, "tbl", ["b", "a"])
+    got = d1.to_pandas()
+    assert list(got.columns) == ["b", "a"] and len(got) == 100
+    assert len(R._READ_CACHE) == 1
+    (cols, _ds) = next(iter(R._READ_CACHE.values()))
+    assert cols == {"a", "b"}
+
+    # superset widening: new column set re-reads the union once
+    d2 = R._read(sf, "tbl", ["c", "a"])
+    assert list(d2.to_pandas().columns) == ["c", "a"]
+    (cols, _ds) = next(iter(R._READ_CACHE.values()))
+    assert cols == {"a", "b", "c"}
+
+    # subsequent subset requests hit the widened entry (cache size stays 1)
+    d3 = R._read(sf, "tbl", ["b"])
+    assert list(d3.to_pandas().columns) == ["b"]
+    assert len(R._READ_CACHE) == 1
+
+    # full-table request upgrades the entry to all columns
+    d4 = R._read(sf, "tbl")
+    assert set(d4.to_pandas().columns) == {"a", "b", "c"}
+    (cols, _ds) = next(iter(R._READ_CACHE.values()))
+    assert cols is None
+
+    # row gate: above GRAFT_READ_CACHE_MAX_ROWS nothing is cached
+    R._READ_CACHE.clear()
+    monkeypatch.setenv("GRAFT_READ_CACHE_MAX_ROWS", "10")
+    d5 = R._read(sf, "tbl", ["a"])
+    assert len(d5.to_pandas()) == 100 and not R._READ_CACHE
+    monkeypatch.delenv("GRAFT_READ_CACHE_MAX_ROWS")
+
+    # kill switch
+    monkeypatch.setenv("GRAFT_READ_CACHE", "0")
+    d6 = R._read(sf, "tbl", ["a"])
+    assert len(d6.to_pandas()) == 100 and not R._READ_CACHE
+    monkeypatch.delenv("GRAFT_READ_CACHE")
