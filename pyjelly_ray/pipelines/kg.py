@@ -36,7 +36,9 @@ def read_corpus(path, columns=None, override_num_blocks: int | None = None):
         import pyarrow.parquet as pq
 
         # row count from parquet FOOTERS (no data read) — disk bytes
-        # under-estimate working sets by the compression ratio
+        # under-estimate working sets by the compression ratio.  Footers
+        # are read in a thread pool: serially this was ~1.3 s of driver
+        # wall for a 64-file corpus (~8% of the whole build).
         nrows = 0
         try:
             files = (
@@ -48,8 +50,12 @@ def read_corpus(path, columns=None, override_num_blocks: int | None = None):
                 if os.path.isdir(path)
                 else [path]
             )
-            for f in files:
-                nrows += pq.read_metadata(f).num_rows
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(16, max(1, len(files)))) as ex:
+                nrows = sum(
+                    m.num_rows for m in ex.map(pq.read_metadata, files)
+                )
         except OSError:
             pass
         by_rows = nrows // 30_000 + 1  # ~30k source files per block
@@ -176,13 +182,21 @@ def _merge_stats(*tables):
 
 
 def collect_stats(triples_ds, *, use_refs: bool | None = None):
-    """Single scan → (symbol Arrow table sorted by name, repo_counts dict).
+    """Single scan → (symbol Arrow table, repo_counts dict).
 
     On a MATERIALIZED dataset the scan runs as one raw task per block over
     ``to_arrow_refs()`` (zero-copy plasma reads, no second streaming-executor
     pass — saves ~2 s of fixed per-run cost that would otherwise dilute
     scaling efficiency).  Falls back to a ``map_batches`` pass for lazy
     datasets.
+
+    The symbol table is NOT name-sorted: resolution is a pure per-name
+    function (names are unique after the min-merge), so downstream link
+    output is byte-identical regardless of table order, and the sort was
+    ~0.6 s of serial driver wall (r4 profile).  A pre-merge task level was
+    likewise re-measured SLOWER than one flat multithreaded driver
+    group_by over the per-block combined tables (2.7 s → 1.9 s end-to-end
+    stats at sf0.1) — per-block combine already shrinks the stream.
     """
     import pyarrow as pa
 
@@ -193,14 +207,6 @@ def collect_stats(triples_ds, *, use_refs: bool | None = None):
 
         stat = ray.remote(_stats_batch)
         refs = [stat.remote(r) for r in triples_ds.to_arrow_refs()]
-        # ONE parallel pre-merge level (8-way) to dedup cross-block
-        # candidate names, then a single multithreaded driver combine.
-        # A full O(log B) tree was measured SLOWER here: its last levels
-        # funnel the ~symbol-table-sized merges through single tasks,
-        # while the driver fold runs one group_by with all cores.
-        if len(refs) > 8:
-            merge = ray.remote(_merge_stats)
-            refs = [merge.remote(*refs[i : i + 8]) for i in range(0, len(refs), 8)]
         tables = [t for t in ray.get(refs) if t.num_rows]
     else:
         tables = [
@@ -218,7 +224,7 @@ def collect_stats(triples_ds, *, use_refs: bool | None = None):
 
     syms = merged.filter(pc.equal(merged.column("kind"), "s"))
     reps = merged.filter(pc.equal(merged.column("kind"), "r"))
-    sym_table = syms.select(["name", "iri"]).sort_by([("name", "ascending")])
+    sym_table = syms.select(["name", "iri"])
     repo_counts = dict(
         zip(reps.column("name").to_pylist(), reps.column("cnt").to_pylist())
     )
