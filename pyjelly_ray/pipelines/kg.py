@@ -168,17 +168,33 @@ def _stats_batch(batch):
 def _merge_stats(*tables):
     """Combine union stats tables: min(iri) per symbol name, sum(cnt) per
     repo — associative, so it serves as both the tree-merge kernel and the
-    final driver combine."""
+    final driver combine.  Polars does the group_by when available (4×
+    faster than Arrow's on the 2.6M-row string-keyed driver merge — 1.45 s
+    → 0.35 s at sf0.1, r4 profile); output schema is pinned back to the
+    Arrow input schema so both paths are interchangeable (values agree:
+    lexicographic string min, int sum over the non-null kind)."""
     import pyarrow as pa
 
     live = [t for t in tables if t.num_rows]
     if not live:
         return tables[0]
     t = pa.concat_tables(live, promote_options="default")
-    g = t.group_by(["kind", "name"]).aggregate([("iri", "min"), ("cnt", "sum")])
-    return g.select(["kind", "name", "iri_min", "cnt_sum"]).rename_columns(
-        ["kind", "name", "iri", "cnt"]
-    )
+    try:
+        import polars as pl
+
+        g = (
+            pl.from_arrow(t)
+            .group_by(["kind", "name"])
+            .agg(pl.col("iri").min(), pl.col("cnt").sum())
+            .to_arrow()
+            .select(["kind", "name", "iri", "cnt"])
+        )
+        return g.cast(t.schema)
+    except ImportError:
+        g = t.group_by(["kind", "name"]).aggregate([("iri", "min"), ("cnt", "sum")])
+        return g.select(["kind", "name", "iri_min", "cnt_sum"]).rename_columns(
+            ["kind", "name", "iri", "cnt"]
+        )
 
 
 def collect_stats(triples_ds, *, use_refs: bool | None = None):
