@@ -542,3 +542,54 @@ def test_prune_orphans_on_shrunk_corpus(ray_session, tmp_path):
         }
 
     assert names_digests(out) == names_digests(out_full)
+
+
+def test_skip_refreshes_sha_lineage(ray_session, tmp_path):
+    """Round-3 ADVICE: a content-only delta that extracts to the SAME
+    statements (e.g. a trailing comment) must still SKIP the shard
+    (row_xor equal ⇒ bytes identical) while REFRESHING the manifest's
+    sha256_xor lineage — otherwise pending_shards() keyed on the new
+    corpus fingerprints would report the shard pending forever."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyjelly_ray.pipelines.corpus import corpus_table
+    from pyjelly_ray.state.manifest import load_manifests
+
+    t = corpus_table(seed=11, n_files=120)
+    p1 = str(tmp_path / "c1.parquet")
+    pq.write_table(t, p1)
+    out = str(tmp_path / "kg")
+    build_kg(p1, out, n_shards=4).materialize()
+    before = {m["shard"]: m for m in load_manifests(out)}
+    mtimes = {f: os.path.getmtime(f) for f in glob.glob(os.path.join(out, "part-*.jelly"))}
+
+    # comment-only edit to one file: content sha changes, statements don't
+    contents = t.column("content").to_pylist()
+    contents[0] = contents[0] + "\n# trailing comment, no code\n"
+    t2 = t.set_column(
+        t.schema.get_field_index("content"), "content",
+        pa.array(contents, pa.string()),
+    )
+    p2 = str(tmp_path / "c2.parquet")
+    pq.write_table(t2, p2)
+
+    res = build_kg(p2, out, n_shards=4).materialize()
+    assert all(r["status"] == "skipped" for r in res.take_all())
+    for f, m in mtimes.items():
+        assert os.path.getmtime(f) == m  # bytes genuinely untouched
+
+    after = {m["shard"]: m for m in load_manifests(out)}
+    changed = [s for s in after if after[s]["sha256_xor"] != before[s]["sha256_xor"]]
+    # exactly the edited file's shard refreshed its lineage...
+    assert len(changed) == 1
+    s = changed[0]
+    # ...with rows/bytes provably unchanged
+    assert after[s]["row_xor"] == before[s]["row_xor"]
+    assert after[s]["n_bytes"] == before[s]["n_bytes"]
+    # and a THIRD run over the same corpus now skips with stable lineage
+    res3 = build_kg(p2, out, n_shards=4).materialize()
+    assert all(r["status"] == "skipped" for r in res3.take_all())
+    assert {m["shard"]: m["sha256_xor"] for m in load_manifests(out)} == {
+        s_: m["sha256_xor"] for s_, m in after.items()
+    }
