@@ -1070,7 +1070,18 @@ def _extend(v: int, s: int) -> int:
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Baseline JPEG → uint8 (H, W, ncomp); raises ValueError on
-    progressive/arithmetic/corrupt input."""
+    progressive/arithmetic/corrupt input (corruption can surface as
+    index/struct/key errors anywhere in the bit stream — normalized to
+    ValueError so callers have ONE failure type; fuzz-tested)."""
+    import struct
+
+    try:
+        return _decode_jpeg_inner(payload)
+    except (IndexError, KeyError, OverflowError, struct.error) as e:
+        raise ValueError(f"corrupt JPEG: {type(e).__name__}: {e}") from e
+
+
+def _decode_jpeg_inner(payload: bytes) -> np.ndarray:
     import struct
 
     d = payload

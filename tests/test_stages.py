@@ -4676,3 +4676,35 @@ def test_read_buffer_pool(ray_session, tmp_path, monkeypatch):
     d6 = R._read(sf, "tbl", ["a"])
     assert len(d6.to_pandas()) == 100 and not R._READ_CACHE
     monkeypatch.delenv("GRAFT_READ_CACHE")
+
+
+def test_jpeg_corruption_fuzz():
+    """Seeded fuzz: random byte flips / truncations of valid baseline
+    JPEGs must either decode (flip landed in a don't-care spot) or raise
+    ValueError — never hang or escape with IndexError/KeyError/etc."""
+    import numpy as np
+
+    from pyjelly_ray.stages.multimodal import decode_jpeg, synth_jpeg_table
+
+    rng = np.random.default_rng(33)
+    payloads = [p.as_py() for p in synth_jpeg_table(6).column("payload")]
+    n_ok = n_err = 0
+    for p in payloads:
+        for _ in range(25):
+            b = bytearray(p)
+            kind = rng.integers(0, 3)
+            if kind == 0:  # flip a byte
+                b[rng.integers(2, len(b))] = rng.integers(0, 256)
+            elif kind == 1:  # truncate
+                b = b[: rng.integers(4, len(b))]
+            else:  # flip several bytes in the entropy tail
+                for _ in range(4):
+                    b[rng.integers(len(b) // 2, len(b))] = rng.integers(0, 256)
+            try:
+                img = decode_jpeg(bytes(b))
+                assert img.dtype == np.uint8 and img.ndim == 3
+                n_ok += 1
+            except ValueError:
+                n_err += 1
+    assert n_ok + n_err == 6 * 25
+    assert n_err > 0  # the fuzz genuinely broke some inputs
