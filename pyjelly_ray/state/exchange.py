@@ -290,14 +290,6 @@ def fused_two_hop_exchange(
         t = pa.concat_tables(tables, promote_options="default") if tables else parts[0]
         if not keep_dict:
             t = _unpack_dict(t)
-        dump = os.environ.get("GRAFT_DUMP_FINAL")
-        if dump:  # diagnostic: persist one real reduce2 input for offline profiling
-            import pickle
-
-            path = os.path.join(dump, f"final_{os.getpid()}.pkl")
-            if not os.path.exists(path):
-                with open(path, "wb") as f:
-                    pickle.dump(t, f)
         out = reduce2(t)
         _prof("final", t0, t.num_rows, c0)
         return out
