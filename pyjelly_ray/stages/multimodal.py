@@ -37,26 +37,51 @@ MEDIA_SCHEMA = pa.schema(
 RECOMMENDED_BATCH_SIZE = 32
 
 
+def sniff_decode_image(payload: bytes) -> np.ndarray:
+    """Magic-byte dispatch to the REAL pure-numpy decoders (PNG, baseline
+    JPEG, PPM) → uint8 (H, W, C).  Formats needing an external codec
+    library raise ``NotImplementedError`` (the honest stub boundary)."""
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        return decode_jpeg(payload)
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
+    raise NotImplementedError(
+        "unknown image codec (PNG/baseline-JPEG/PPM decode natively; other "
+        "formats need an image library plugged in here)"
+    )
+
+
 class ImageDecodeStub:
     """Decode image payload → fixed-size feature vector.
 
-    Real implementation would use PIL/torchvision loaded once per actor in
-    ``__init__``.  Here: ``fake=True`` produces a deterministic hash-derived
-    feature vector (stable across runs/workers); ``fake=False`` raises
-    ``NotImplementedError`` to make the stub boundary explicit.
+    ``fake=True`` (default) produces a deterministic hash-derived feature
+    vector (stable across runs/workers) — the zero-dependency plumbing
+    mode.  ``fake=False`` decodes FOR REAL via :func:`sniff_decode_image`
+    (PNG / baseline JPEG / PPM, pure numpy) and returns
+    mean/std + grayscale-histogram features of length ``n_features``;
+    formats needing a codec library still raise ``NotImplementedError``.
     """
 
     def __init__(self, n_features: int = 64, fake: bool = True) -> None:
+        if not fake and n_features < 7:
+            raise ValueError("real features need n_features >= 7 (6 moments + bins)")
         self.n_features = n_features
         self.fake = fake
         # per-actor setup goes here (model/codec load) — once, not per batch
 
     def _decode_one(self, payload: bytes) -> np.ndarray:
         if not self.fake:
-            raise NotImplementedError(
-                "image decoding requires PIL/torchvision (not in this env); "
-                "run with fake=True or plug a real decoder here"
-            )
+            img = sniff_decode_image(payload or b"")
+            if img.shape[2] == 1:
+                img = np.repeat(img, 3, axis=2)
+            elif img.shape[2] == 2:  # gray+alpha
+                img = np.repeat(img[:, :, :1], 3, axis=2)
+            elif img.shape[2] == 4:
+                img = img[:, :, :3]
+            small = resize_nearest(img, 32, 32)
+            return image_features(small, self.n_features - 6)
         h = hashlib.blake2b(payload or b"", digest_size=self.n_features).digest()
         return np.frombuffer(h, dtype=np.uint8).astype(np.float32) / 255.0
 
