@@ -96,37 +96,80 @@ class ImageDecodeStub:
 
 
 class ResizeStub:
-    """'Resize' images: real plumbing, fake kernel (truncate payload)."""
+    """'Resize' images to fit a byte budget.
+
+    ``fake=True``: truncate payload (plumbing-only mode).  ``fake=False``:
+    REAL — sniff-decode (PNG/baseline JPEG/PPM, pure numpy), halve the
+    resolution until the re-encoded PNG fits ``max_bytes`` (bounded: stops
+    at 8×8 and returns the smallest attempt even if still over budget,
+    rather than looping or failing); formats needing a codec library raise
+    ``NotImplementedError``."""
 
     def __init__(self, max_bytes: int = 1024, fake: bool = True) -> None:
         self.max_bytes = max_bytes
         self.fake = fake
 
+    def _resize_one(self, payload: bytes) -> bytes:
+        img = sniff_decode_image(payload or b"")
+        if img.shape[2] == 2:
+            img = np.repeat(img[:, :, :1], 3, axis=2)
+        elif img.shape[2] == 4:
+            img = img[:, :, :3]
+        elif img.shape[2] == 1:
+            img = np.repeat(img, 3, axis=2)
+        h, w = img.shape[:2]
+        best = encode_png(img)
+        while len(best) > self.max_bytes and min(h, w) > 8:
+            h, w = max(8, h // 2), max(8, w // 2)
+            best = encode_png(resize_nearest(img, h, w))
+        return best
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         if not self.fake:
-            raise NotImplementedError("real resize needs an image library")
-        payloads = [
-            (p or b"")[: self.max_bytes] for p in batch.column("payload").to_pylist()
-        ]
+            payloads = [
+                self._resize_one(p) for p in batch.column("payload").to_pylist()
+            ]
+        else:
+            payloads = [
+                (p or b"")[: self.max_bytes]
+                for p in batch.column("payload").to_pylist()
+            ]
         out = batch.drop_columns(["payload"])
         return out.append_column("payload", pa.array(payloads, pa.binary()))
 
 
 class FrameSampleStub:
-    """Sample N 'frames' from a video payload (fake: fixed-stride slices)."""
+    """Sample N frames from a video payload.
+
+    ``fake=True``: fixed-stride byte slices (plumbing-only).
+    ``fake=False``: REAL for ``RAWV`` raw-RGB payloads — uniform-stride
+    frame sampling via :func:`decode_rawvideo`, each sampled frame
+    re-emitted as a PNG; containerized codecs (MP4 etc.) raise
+    ``NotImplementedError`` (the honest stub boundary)."""
 
     def __init__(self, n_frames: int = 4, fake: bool = True) -> None:
         self.n_frames = n_frames
         self.fake = fake
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if not self.fake:
-            raise NotImplementedError("real frame sampling needs a video library")
         ids, frame_no, frames = [], [], []
         for mid, p in zip(
             batch.column("media_id").to_pylist(), batch.column("payload").to_pylist()
         ):
             p = p or b""
+            if not self.fake:
+                if not p.startswith(b"RAWV"):
+                    raise NotImplementedError(
+                        "containerized video (MP4/...) needs a codec library; "
+                        "RAWV raw-RGB payloads sample natively"
+                    )
+                clip = decode_rawvideo(p)
+                idx = np.linspace(0, clip.shape[0] - 1, self.n_frames).astype(int)
+                for i, fi in enumerate(idx):
+                    ids.append(mid)
+                    frame_no.append(i)
+                    frames.append(encode_png(clip[fi]))
+                continue
             stride = max(len(p) // self.n_frames, 1)
             for i in range(self.n_frames):
                 ids.append(mid)

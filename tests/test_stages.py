@@ -4741,3 +4741,48 @@ def test_image_decode_real_path(ray_session):
             len(r["features"]) == 64 and all(math.isfinite(f) for f in r["features"])
             for r in out
         )
+
+
+def test_resize_and_framesample_real_paths():
+    """ResizeStub/FrameSampleStub fake=False now run REAL kernels on the
+    natively-decodable formats; codec-library formats keep the explicit
+    NotImplementedError boundary."""
+    import numpy as np
+    import pytest as _pytest
+
+    from pyjelly_ray.stages.multimodal import (
+        FrameSampleStub,
+        ResizeStub,
+        decode_png,
+        encode_rawvideo,
+        synth_jpeg_table,
+        synth_rawvideo_table,
+    )
+
+    # real resize: output is a decodable PNG within (or at the floor of)
+    # the byte budget, smaller than the original decode
+    t = synth_jpeg_table(6)
+    out = ResizeStub(max_bytes=400, fake=False)(t)
+    for p in out.column("payload").to_pylist():
+        img = decode_png(p)  # round-trips through our own codec
+        assert img.shape[2] == 3
+        assert img.shape[0] <= 24 and img.shape[1] <= 32
+    # unknown codec refuses
+    import pyarrow as pa
+
+    junk = pa.table({"media_id": pa.array([0]), "payload": pa.array([b"mp4box"], pa.binary())})
+    with _pytest.raises(NotImplementedError):
+        ResizeStub(fake=False)(junk)
+
+    # real frame sampling over RAWV clips: n_frames PNGs per clip, first
+    # sampled frame equals frame 0 of the clip exactly
+    clip = np.arange(5 * 6 * 4 * 3, dtype=np.uint8).reshape(5, 6, 4, 3)
+    vt = pa.table(
+        {"media_id": pa.array([7]), "payload": pa.array([encode_rawvideo(clip)], pa.binary())}
+    )
+    frames = FrameSampleStub(n_frames=3, fake=False)(vt)
+    assert frames.num_rows == 3
+    f0 = decode_png(frames.column("frame")[0].as_py())
+    assert np.array_equal(f0, clip[0])
+    with _pytest.raises(NotImplementedError):
+        FrameSampleStub(fake=False)(junk)
