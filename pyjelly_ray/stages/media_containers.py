@@ -1,0 +1,939 @@
+"""Real container/codec paths for the remaining media formats (no external
+libraries): GIF (full LZW codec, interlace, transparency, palette), BMP
+(24-bit + 8-bit-palette), MP4/ISO-BMFF (generic box parser, full sample-table
+demux — stts/stsc/stsz/stco/co64 — and REAL frame decode for uncompressed
+``raw `` video tracks), and MP3 (ID3v2 skip, frame-header walk, Xing/Info
+VBR detection → duration/bitrate metadata).
+
+This narrows the honest stub boundary of ``stages/multimodal.py`` to exactly
+the compressed A/V *bitstreams* (H.264/HEVC inside MP4, MPEG Layer III
+audio frames) — everything container- or palette-level is decoded for real
+here and round-trip tested.  The reference (pyjelly) has no multimodal
+support at all; these are engine extensions for training-data pipelines.
+
+Scale posture: all of these run per-payload inside actor-pool
+``map_batches`` stages (see ``multimodal.RECOMMENDED_BATCH_SIZE``); the
+per-pixel Python loops live only inside the entropy codecs (LZW), exactly
+like the JPEG huffman codec — bounded by payload size, never by corpus size.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from dataclasses import dataclass, field
+
+import numpy as np
+
+# ==========================================================================
+# GIF — full LZW encoder/decoder (GIF87a/89a, interlace, transparency)
+# ==========================================================================
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _deinterlace_rows(h: int) -> np.ndarray:
+    """Row order in which an interlaced GIF stores image rows."""
+    order = []
+    for start, step in _GIF_INTERLACE_PASSES:
+        order.extend(range(start, h, step))
+    return np.asarray(order, dtype=np.int64)
+
+
+def _lzw_decode(data: bytes, min_code_size: int, expect: int) -> np.ndarray:
+    """GIF-variant LZW → uint8 index stream of length ``expect``."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = np.empty(expect, dtype=np.uint8)
+    n_out = 0
+
+    # dictionary as parent-pointer table: prefix[code], suffix[code]
+    max_codes = 4096
+    prefix = np.full(max_codes, -1, dtype=np.int32)
+    suffix = np.zeros(max_codes, dtype=np.uint8)
+    for i in range(clear):
+        suffix[i] = i
+    next_code = end + 1
+    code_size = min_code_size + 1
+
+    buf = 0
+    nbits = 0
+    pos = 0
+    prev = -1
+    stack = bytearray()
+    data_len = len(data)
+    while n_out < expect:
+        while nbits < code_size:
+            if pos >= data_len:
+                raise ValueError("GIF: LZW stream truncated")
+            buf |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = buf & ((1 << code_size) - 1)
+        buf >>= code_size
+        nbits -= code_size
+
+        if code == clear:
+            next_code = end + 1
+            code_size = min_code_size + 1
+            prev = -1
+            continue
+        if code == end:
+            break
+        if code >= next_code + 1 or (code == next_code and prev < 0):
+            raise ValueError("GIF: LZW code out of range")
+
+        # expand code (KwKwK case: code == next_code)
+        stack.clear()
+        c = code
+        if code == next_code:
+            # first char of prev string repeated
+            c = prev
+            stack.append(0)  # placeholder, fixed below
+        while c >= clear:
+            stack.append(suffix[c])
+            c = prefix[c]
+        first = c  # root symbol
+        stack.append(first)
+        if code == next_code:
+            stack[0] = first
+        # emit reversed
+        ln = len(stack)
+        if n_out + ln > expect:
+            ln = expect - n_out
+        for i in range(ln):
+            out[n_out + i] = stack[len(stack) - 1 - i]
+        n_out += ln
+
+        if prev >= 0 and next_code < max_codes:
+            prefix[next_code] = prev
+            suffix[next_code] = first
+            next_code += 1
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = code
+    if n_out != expect:
+        raise ValueError("GIF: LZW stream ended early")
+    return out
+
+
+def _lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:
+    """uint8 index stream → GIF-variant LZW bytes (with clear/end codes)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    table: dict[tuple[int, int], int] = {}
+    next_code = end + 1
+    code_size = min_code_size + 1
+
+    out = bytearray()
+    buf = 0
+    nbits = 0
+
+    def emit(code: int) -> None:
+        nonlocal buf, nbits
+        buf |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            out.append(buf & 0xFF)
+            buf >>= 8
+            nbits -= 8
+
+    emit(clear)
+    it = iter(indices.tolist())
+    try:
+        prev = next(it)
+    except StopIteration:
+        emit(end)
+        if nbits:
+            out.append(buf & 0xFF)
+        return bytes(out)
+    cur = prev  # current dictionary code (roots are their own codes)
+    for sym in it:
+        key = (cur, sym)
+        hit = table.get(key)
+        if hit is not None:
+            cur = hit
+            continue
+        emit(cur)
+        if next_code < 4096:
+            table[key] = next_code
+            next_code += 1
+            if next_code == (1 << code_size) + 1 and code_size < 12:
+                code_size += 1
+        else:
+            emit(clear)
+            table.clear()
+            next_code = end + 1
+            code_size = min_code_size + 1
+        cur = sym
+    emit(cur)
+    emit(end)
+    if nbits:
+        out.append(buf & 0xFF)
+    return bytes(out)
+
+
+def _sub_blocks(data: bytes) -> bytes:
+    """Wrap bytes into GIF 255-byte sub-blocks + terminator."""
+    out = bytearray()
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)
+    return bytes(out)
+
+
+def encode_gif(
+    img: np.ndarray,
+    *,
+    interlace: bool = False,
+    transparent_color: tuple[int, int, int] | None = None,
+) -> bytes:
+    """(H, W, 3) uint8 → single-frame GIF89a.  The image must use ≤256
+    distinct colors (GIF is palette-indexed; no quantizer here — synth/test
+    images and re-encoded palette sources satisfy this by construction)."""
+    if img.ndim != 3 or img.shape[2] != 3 or img.dtype != np.uint8:
+        raise ValueError("encode_gif expects (H, W, 3) uint8")
+    h, w = img.shape[:2]
+    flat = img.reshape(-1, 3)
+    palette, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if transparent_color is not None:
+        tc = np.asarray(transparent_color, dtype=np.uint8)
+        if not (palette == tc).all(axis=1).any():
+            palette = np.vstack([palette, tc])
+    if len(palette) > 256:
+        raise ValueError(f"encode_gif: {len(palette)} colors > 256 (needs quantization)")
+    bits = max(int(np.ceil(np.log2(max(len(palette), 2)))), 1)
+    table_size = 1 << bits
+    pal_full = np.zeros((table_size, 3), dtype=np.uint8)
+    pal_full[: len(palette)] = palette
+
+    indices = inverse.astype(np.uint8).reshape(h, w)
+    if interlace:
+        indices = indices[_deinterlace_rows(h)]
+
+    out = bytearray(b"GIF89a")
+    # logical screen descriptor: global color table, color resolution, size
+    flags = 0x80 | ((bits - 1) << 4) | (bits - 1)
+    out += struct.pack("<HHBBB", w, h, flags, 0, 0)
+    out += pal_full.tobytes()
+    if transparent_color is not None:
+        tidx = int(np.nonzero((palette == np.asarray(transparent_color, np.uint8)).all(axis=1))[0][0])
+        out += bytes([0x21, 0xF9, 4, 0x01, 0, 0, tidx, 0])  # GCE: transparency on
+    # image descriptor (no local color table)
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0x40 if interlace else 0)
+    min_code = max(bits, 2)
+    out.append(min_code)
+    out += _sub_blocks(_lzw_encode(indices.ravel(), min_code))
+    out.append(0x3B)  # trailer
+    return bytes(out)
+
+
+@dataclass
+class GifFrame:
+    """One decoded GIF frame: RGB(A) pixels + timing."""
+
+    pixels: np.ndarray  # (H, W, 3) or (H, W, 4) uint8
+    delay_cs: int = 0  # centiseconds
+
+
+def decode_gif(payload: bytes, *, all_frames: bool = False):
+    """GIF87a/89a → uint8 array (first frame) or list[GifFrame].
+
+    Handles global/local color tables, interlacing, transparency (returns
+    RGBA when the frame declares a transparent index) and multi-frame
+    animations.  Malformed inputs raise ``ValueError``."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF (bad signature)")
+    if len(payload) < 13:
+        raise ValueError("GIF: truncated header")
+    sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    global_pal = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        if pos + 3 * n > len(payload):
+            raise ValueError("GIF: truncated global color table")
+        global_pal = np.frombuffer(payload, np.uint8, 3 * n, pos).reshape(n, 3)
+        pos += 3 * n
+
+    frames: list[GifFrame] = []
+    transparent: int | None = None
+    delay_cs = 0
+    while True:
+        if pos >= len(payload):
+            raise ValueError("GIF: missing trailer")
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension
+            if pos >= len(payload):
+                raise ValueError("GIF: truncated extension")
+            label = payload[pos]
+            pos += 1
+            if label == 0xF9:  # graphic control
+                if pos + 6 > len(payload) or payload[pos] != 4:
+                    raise ValueError("GIF: bad graphic control extension")
+                gflags, delay_cs, tidx = struct.unpack_from("<xBHB", payload, pos)
+                transparent = tidx if (gflags & 0x01) else None
+                pos += 6  # size byte + 4 body + terminator
+                if payload[pos - 1] != 0:
+                    raise ValueError("GIF: unterminated graphic control extension")
+            else:  # skip sub-blocks of any other extension
+                while True:
+                    if pos >= len(payload):
+                        raise ValueError("GIF: truncated extension blocks")
+                    n = payload[pos]
+                    pos += 1
+                    if n == 0:
+                        break
+                    pos += n
+            continue
+        if block != 0x2C:
+            raise ValueError(f"GIF: unknown block 0x{block:02x}")
+        if pos + 9 > len(payload):
+            raise ValueError("GIF: truncated image descriptor")
+        left, top, iw, ih, iflags = struct.unpack_from("<HHHHB", payload, pos)
+        pos += 9
+        pal = global_pal
+        if iflags & 0x80:
+            n = 2 << (iflags & 0x07)
+            if pos + 3 * n > len(payload):
+                raise ValueError("GIF: truncated local color table")
+            pal = np.frombuffer(payload, np.uint8, 3 * n, pos).reshape(n, 3)
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("GIF: no color table for image")
+        if pos >= len(payload):
+            raise ValueError("GIF: truncated image data")
+        min_code = payload[pos]
+        pos += 1
+        if not (2 <= min_code <= 11):
+            raise ValueError("GIF: bad LZW minimum code size")
+        lzw = bytearray()
+        while True:
+            if pos >= len(payload):
+                raise ValueError("GIF: truncated image sub-blocks")
+            n = payload[pos]
+            pos += 1
+            if n == 0:
+                break
+            lzw += payload[pos : pos + n]
+            pos += n
+        idx = _lzw_decode(bytes(lzw), min_code, iw * ih).reshape(ih, iw)
+        if iflags & 0x40:  # interlaced: rows were stored in pass order
+            rows = _deinterlace_rows(ih)
+            out_idx = np.empty_like(idx)
+            out_idx[rows] = idx
+            idx = out_idx
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError("GIF: pixel index outside color table")
+        rgb = pal[idx]
+        if transparent is not None:
+            alpha = np.where(idx == transparent, 0, 255).astype(np.uint8)
+            rgb = np.dstack([rgb, alpha])
+        # place into logical screen if offset/size differ (common: full frame)
+        if (left, top, iw, ih) != (0, 0, sw, sh):
+            ch = rgb.shape[2]
+            canvas = np.zeros((sh, sw, ch), dtype=np.uint8)
+            canvas[top : top + ih, left : left + iw] = rgb
+            rgb = canvas
+        frames.append(GifFrame(rgb, delay_cs))
+        transparent = None
+        if not all_frames:
+            break
+    if not frames:
+        raise ValueError("GIF: no image data")
+    return frames if all_frames else frames[0].pixels
+
+
+# ==========================================================================
+# BMP — 24-bit BI_RGB and 8-bit palette, bottom-up and top-down
+# ==========================================================================
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 → 24-bit uncompressed BMP (bottom-up, BGR)."""
+    if img.ndim != 3 or img.shape[2] != 3 or img.dtype != np.uint8:
+        raise ValueError("encode_bmp expects (H, W, 3) uint8")
+    h, w = img.shape[:2]
+    row_bytes = (w * 3 + 3) & ~3
+    padded = np.zeros((h, row_bytes), dtype=np.uint8)
+    padded[:, : w * 3] = img[::-1, :, ::-1].reshape(h, -1)  # bottom-up, BGR
+    pixel_data = padded.tobytes()
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + len(pixel_data), 0, 0, 14 + 40
+    ) + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixel_data), 2835, 2835, 0, 0)
+    return header + pixel_data
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """BMP → (H, W, 3) uint8.  Supports 24-bit BI_RGB and 8-bit palette,
+    bottom-up (positive height) and top-down (negative height)."""
+    if payload[:2] != b"BM" or len(payload) < 54:
+        raise ValueError("not a BMP")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size, w, h_signed = struct.unpack_from("<Iii", payload, 14)
+    if hdr_size < 40:
+        raise ValueError("BMP: unsupported header version")
+    planes, bpp, compression = struct.unpack_from("<HHI", payload, 26)
+    if planes != 1 or compression != 0:
+        raise ValueError("BMP: only uncompressed BI_RGB supported")
+    top_down = h_signed < 0
+    h = abs(h_signed)
+    if w <= 0 or h <= 0 or w > 1 << 20 or h > 1 << 20:
+        raise ValueError("BMP: bad dimensions")
+    if bpp == 24:
+        row_bytes = (w * 3 + 3) & ~3
+        need = data_off + row_bytes * h
+        if len(payload) < need:
+            raise ValueError("BMP: truncated pixel data")
+        rows = np.frombuffer(payload, np.uint8, row_bytes * h, data_off)
+        img = rows.reshape(h, row_bytes)[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]
+    elif bpp == 8:
+        n_colors = struct.unpack_from("<I", payload, 46)[0] or 256
+        pal_off = 14 + hdr_size
+        if len(payload) < pal_off + 4 * n_colors:
+            raise ValueError("BMP: truncated palette")
+        pal = np.frombuffer(payload, np.uint8, 4 * n_colors, pal_off).reshape(-1, 4)[:, 2::-1]
+        row_bytes = (w + 3) & ~3
+        if len(payload) < data_off + row_bytes * h:
+            raise ValueError("BMP: truncated pixel data")
+        idx = np.frombuffer(payload, np.uint8, row_bytes * h, data_off)
+        idx = idx.reshape(h, row_bytes)[:, :w]
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError("BMP: palette index out of range")
+        img = pal[idx]
+    else:
+        raise ValueError(f"BMP: {bpp}-bit not supported (24/8 only)")
+    return np.ascontiguousarray(img if top_down else img[::-1])
+
+
+# ==========================================================================
+# MP4 / ISO-BMFF — generic box parser + full sample-table demux
+# ==========================================================================
+
+_MP4_CONTAINERS = {
+    b"moov", b"trak", b"mdia", b"minf", b"stbl", b"dinf", b"edts", b"udta",
+    b"mvex", b"moof", b"traf",
+}
+
+
+@dataclass
+class Mp4Box:
+    """One parsed ISO-BMFF box: type, absolute payload span, children."""
+
+    type: bytes
+    start: int  # absolute offset of payload
+    size: int  # payload size
+    children: list["Mp4Box"] = field(default_factory=list)
+
+    def find(self, *path: bytes) -> "Mp4Box | None":
+        node = self
+        for t in path:
+            node = next((c for c in node.children if c.type == t), None)
+            if node is None:
+                return None
+        return node
+
+    def find_all(self, t: bytes) -> list["Mp4Box"]:
+        return [c for c in self.children if c.type == t]
+
+
+def parse_mp4_boxes(payload: bytes, start: int = 0, end: int | None = None) -> list[Mp4Box]:
+    """Parse the box tree of an ISO-BMFF file (handles 64-bit largesize and
+    size-0 = to-end-of-file boxes).  Malformed sizes raise ``ValueError``."""
+    if end is None:
+        end = len(payload)
+    boxes = []
+    pos = start
+    while pos < end:
+        if pos + 8 > end:
+            raise ValueError("MP4: truncated box header")
+        size, btype = struct.unpack_from(">I4s", payload, pos)
+        hdr = 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("MP4: truncated largesize")
+            size = struct.unpack_from(">Q", payload, pos + 8)[0]
+            hdr = 16
+        elif size == 0:
+            size = end - pos
+        if size < hdr or pos + size > end:
+            raise ValueError(f"MP4: bad box size for {btype!r}")
+        box = Mp4Box(btype, pos + hdr, size - hdr)
+        if btype in _MP4_CONTAINERS:
+            box.children = parse_mp4_boxes(payload, box.start, box.start + box.size)
+        boxes.append(box)
+        pos += size
+    return boxes
+
+
+@dataclass
+class Mp4Track:
+    """Demuxed track: codec identity + resolved per-sample byte ranges."""
+
+    track_id: int
+    handler: str  # "vide" / "soun" / ...
+    codec: str  # stsd entry fourcc, e.g. "raw ", "avc1", "mp4a"
+    timescale: int
+    duration: int
+    width: int = 0
+    height: int = 0
+    sample_offsets: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int64))
+    sample_sizes: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int64))
+    sample_times: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int64))
+
+    @property
+    def n_samples(self) -> int:
+        return len(self.sample_sizes)
+
+    def sample(self, payload: bytes, i: int) -> bytes:
+        o, s = int(self.sample_offsets[i]), int(self.sample_sizes[i])
+        return payload[o : o + s]
+
+
+def _full_box(payload: bytes, box: Mp4Box) -> int:
+    """Return payload offset past the version/flags word of a full box."""
+    if box.size < 4:
+        raise ValueError(f"MP4: truncated full box {box.type!r}")
+    return box.start + 4
+
+
+def demux_mp4(payload: bytes) -> list[Mp4Track]:
+    """ISO-BMFF → tracks with fully resolved sample tables.
+
+    Resolves stts (decode times), stsz/stz2 (sizes), stsc×stco/co64
+    (chunk → absolute offsets) exactly as §8.5–8.7 of ISO 14496-12
+    specifies.  Returns every track; the caller dispatches on ``codec``
+    (compressed bitstreams are the stub boundary, the demux is real)."""
+    root = Mp4Box(b"", 0, len(payload), parse_mp4_boxes(payload))
+    moov = root.find(b"moov")
+    if moov is None:
+        raise ValueError("MP4: no moov box")
+    tracks = []
+    for trak in moov.find_all(b"trak"):
+        tkhd = trak.find(b"tkhd")
+        mdia = trak.find(b"mdia")
+        if tkhd is None or mdia is None:
+            raise ValueError("MP4: trak missing tkhd/mdia")
+        ver = payload[tkhd.start]
+        # tkhd: track_id after creation/modification times (ver-dependent)
+        tid_off = tkhd.start + 4 + (16 if ver == 1 else 8)
+        track_id = struct.unpack_from(">I", payload, tid_off)[0]
+        # width/height: last 8 bytes, 16.16 fixed
+        wh_off = tkhd.start + tkhd.size - 8
+        w16, h16 = struct.unpack_from(">II", payload, wh_off)
+        mdhd = mdia.find(b"mdhd")
+        hdlr = mdia.find(b"hdlr")
+        stbl = mdia.find(b"minf", b"stbl")
+        if mdhd is None or hdlr is None or stbl is None:
+            raise ValueError("MP4: mdia missing mdhd/hdlr/stbl")
+        mver = payload[mdhd.start]
+        if mver == 1:
+            timescale, duration = struct.unpack_from(">IQ", payload, mdhd.start + 4 + 16)
+        else:
+            timescale, duration = struct.unpack_from(">II", payload, mdhd.start + 4 + 8)
+        handler = payload[hdlr.start + 8 : hdlr.start + 12].decode("latin1")
+
+        stsd = stbl.find(b"stsd")
+        if stsd is None or stsd.size < 16:
+            raise ValueError("MP4: missing stsd")
+        # first sample entry: size(4) fourcc(4) at stsd.start+8
+        codec = payload[stsd.start + 12 : stsd.start + 16].decode("latin1")
+
+        def _counts(box_name: bytes, entry_bytes: int) -> tuple[int, int]:
+            box = stbl.find(box_name)
+            if box is None:
+                raise ValueError(f"MP4: missing {box_name!r}")
+            off = _full_box(payload, box)
+            n = struct.unpack_from(">I", payload, off)[0]
+            if box.size < 8 + n * entry_bytes:
+                raise ValueError(f"MP4: truncated {box_name!r}")
+            return off + 4, n
+
+        # stts → per-sample decode times
+        off, n = _counts(b"stts", 8)
+        stts = np.frombuffer(payload, ">u4", n * 2, off).reshape(-1, 2).astype(np.int64)
+        counts, deltas = stts[:, 0], stts[:, 1]
+        n_samples_t = int(counts.sum())
+        per_sample_delta = np.repeat(deltas, counts)
+        sample_times = np.concatenate([[0], np.cumsum(per_sample_delta)[:-1]])
+
+        # stsz → sizes
+        stsz = stbl.find(b"stsz")
+        if stsz is None:
+            raise ValueError("MP4: missing stsz")
+        soff = _full_box(payload, stsz)
+        uniform, cnt = struct.unpack_from(">II", payload, soff)
+        if uniform:
+            sizes = np.full(cnt, uniform, dtype=np.int64)
+        else:
+            if stsz.size < 12 + cnt * 4:
+                raise ValueError("MP4: truncated stsz")
+            sizes = np.frombuffer(payload, ">u4", cnt, soff + 8).astype(np.int64)
+        if cnt != n_samples_t:
+            raise ValueError("MP4: stsz/stts sample count mismatch")
+
+        # stco / co64 → chunk offsets
+        co = stbl.find(b"stco")
+        if co is not None:
+            off, n = _counts(b"stco", 4)
+            chunk_offsets = np.frombuffer(payload, ">u4", n, off).astype(np.int64)
+        else:
+            off, n = _counts(b"co64", 8)
+            chunk_offsets = np.frombuffer(payload, ">u8", n, off).astype(np.int64)
+
+        # stsc → samples per chunk runs
+        off, n = _counts(b"stsc", 12)
+        stsc = np.frombuffer(payload, ">u4", n * 3, off).reshape(-1, 3).astype(np.int64)
+        # expand runs over the real chunk list
+        n_chunks = len(chunk_offsets)
+        samples_per_chunk = np.zeros(n_chunks, dtype=np.int64)
+        for i in range(len(stsc)):
+            first = stsc[i, 0] - 1
+            last = stsc[i + 1, 0] - 1 if i + 1 < len(stsc) else n_chunks
+            if first < 0 or first > n_chunks:
+                raise ValueError("MP4: bad stsc first_chunk")
+            samples_per_chunk[first:last] = stsc[i, 1]
+        if int(samples_per_chunk.sum()) != cnt:
+            raise ValueError("MP4: stsc does not cover all samples")
+
+        # absolute per-sample offsets: chunk base + cumulative sizes in chunk
+        if cnt == 0:
+            offsets = np.zeros(0, dtype=np.int64)
+        else:
+            chunk_id = np.repeat(np.arange(n_chunks), samples_per_chunk)
+            base = chunk_offsets[chunk_id]
+            within = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+            chunk_start_cum = np.concatenate([[0], np.cumsum(samples_per_chunk)[:-1]])
+            # empty trailing chunks never appear in chunk_id; clip their index
+            chunk_start_cum = np.minimum(chunk_start_cum, cnt - 1)
+            within = within - within[chunk_start_cum][chunk_id]
+            offsets = base + within
+        if len(offsets) and int((offsets + sizes).max()) > len(payload):
+            raise ValueError("MP4: sample extends past end of file")
+
+        tracks.append(
+            Mp4Track(
+                track_id=track_id,
+                handler=handler,
+                codec=codec,
+                timescale=timescale,
+                duration=duration,
+                width=w16 >> 16,
+                height=h16 >> 16,
+                sample_offsets=offsets,
+                sample_sizes=sizes,
+                sample_times=sample_times,
+            )
+        )
+    if not tracks:
+        raise ValueError("MP4: no tracks")
+    return tracks
+
+
+def _box(btype: bytes, body: bytes) -> bytes:
+    return struct.pack(">I4s", 8 + len(body), btype) + body
+
+
+def encode_mp4_rawvideo(frames: np.ndarray, fps: int = 10) -> bytes:
+    """(T, H, W, 3) uint8 → minimal ISO-BMFF MP4 with one uncompressed
+    ``raw `` RGB24 video track (QuickTime uncompressed fourcc).  One sample
+    per frame, one chunk for all samples."""
+    if frames.ndim != 4 or frames.shape[3] != 3 or frames.dtype != np.uint8:
+        raise ValueError("encode_mp4_rawvideo expects (T, H, W, 3) uint8")
+    t, h, w = frames.shape[:3]
+    frame_bytes = h * w * 3
+    timescale = fps
+    duration = t
+
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isommp41")
+    mdat_payload = frames.tobytes()
+    # mdat starts right after ftyp; sample data begins at mdat payload
+    mdat_data_off = len(ftyp) + 8
+
+    mvhd = _box(
+        b"mvhd",
+        struct.pack(">I", 0)  # version/flags
+        + struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">IH", 0x00010000, 0x0100)
+        + b"\x00" * 10
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24
+        + struct.pack(">I", 2),  # next track id
+    )
+    tkhd = _box(
+        b"tkhd",
+        struct.pack(">I", 7)  # version 0, flags: enabled|in-movie|in-preview
+        + struct.pack(">IIIII", 0, 0, 1, 0, duration)
+        + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, 0, 0)
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", w << 16, h << 16),
+    )
+    mdhd = _box(
+        b"mdhd",
+        struct.pack(">I", 0) + struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">HH", 0x55C4, 0),  # language "und"
+    )
+    hdlr = _box(b"hdlr", struct.pack(">I", 0) + b"\x00" * 4 + b"vide" + b"\x00" * 12 + b"raw video\x00")
+    vmhd = _box(b"vmhd", struct.pack(">I", 1) + b"\x00" * 8)
+    dref = _box(b"dref", struct.pack(">II", 0, 1) + _box(b"url ", struct.pack(">I", 1)))
+    dinf = _box(b"dinf", dref)
+    # visual sample entry, fourcc "raw " depth 24
+    sample_entry = (
+        struct.pack(">I4s", 86, b"raw ")
+        + b"\x00" * 6
+        + struct.pack(">H", 1)  # data_reference_index
+        + b"\x00" * 16
+        + struct.pack(">HH", w, h)
+        + struct.pack(">II", 0x00480000, 0x00480000)
+        + struct.pack(">I", 0)
+        + struct.pack(">H", 1)  # frame count
+        + b"\x00" * 32  # compressor name
+        + struct.pack(">Hh", 24, -1)  # depth, color table id
+    )
+    stsd = _box(b"stsd", struct.pack(">II", 0, 1) + sample_entry)
+    stts = _box(b"stts", struct.pack(">II", 0, 1) + struct.pack(">II", t, 1))
+    stsc = _box(b"stsc", struct.pack(">II", 0, 1) + struct.pack(">III", 1, t, 1))
+    stsz = _box(b"stsz", struct.pack(">III", 0, frame_bytes, t))
+    stco = _box(b"stco", struct.pack(">II", 0, 1) + struct.pack(">I", mdat_data_off))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = _box(b"minf", vmhd + dinf + stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    trak = _box(b"trak", tkhd + mdia)
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + _box(b"mdat", mdat_payload) + moov
+
+
+def decode_mp4_video(payload: bytes) -> np.ndarray:
+    """MP4 → (T, H, W, 3) uint8 for uncompressed ``raw `` RGB24 tracks.
+
+    The demux (box tree + sample tables) is fully real for ANY MP4;
+    compressed video bitstreams (avc1/hev1/vp09...) raise
+    ``NotImplementedError`` at the codec step — the honest stub boundary."""
+    tracks = demux_mp4(payload)
+    video = [tr for tr in tracks if tr.handler == "vide"]
+    if not video:
+        raise ValueError("MP4: no video track")
+    tr = video[0]
+    if tr.codec != "raw ":
+        raise NotImplementedError(
+            f"MP4 video codec {tr.codec!r} needs a codec library; the "
+            "container demux is real — 'raw ' RGB24 tracks decode natively"
+        )
+    h, w = tr.height, tr.width
+    if h <= 0 or w <= 0:
+        raise ValueError("MP4: raw track without dimensions")
+    if not (tr.sample_sizes == h * w * 3).all():
+        raise ValueError("MP4: raw sample size != W*H*3")
+    frames = np.empty((tr.n_samples, h, w, 3), dtype=np.uint8)
+    for i in range(tr.n_samples):
+        frames[i] = np.frombuffer(tr.sample(payload, i), np.uint8).reshape(h, w, 3)
+    return frames
+
+
+# ==========================================================================
+# MP3 — frame-header walk + ID3v2 + Xing/Info (metadata REAL, audio stub)
+# ==========================================================================
+
+_MP3_BITRATES = {
+    # (version_group, layer) -> kbps table indexed by bitrate_index (1..14)
+    (1, 1): (32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+    (1, 2): (32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+    (1, 3): (32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+    (2, 1): (32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+    (2, 2): (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    (2, 3): (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+_MP3_RATES = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000), 0: (11025, 12000, 8000)}
+
+
+@dataclass
+class Mp3Frame:
+    """One parsed MPEG audio frame header."""
+
+    offset: int
+    version: str  # "1", "2", "2.5"
+    layer: int  # 1..3
+    bitrate_kbps: int
+    sample_rate: int
+    channels: int
+    frame_bytes: int
+    samples: int
+
+
+def _parse_mp3_header(b: bytes, off: int) -> Mp3Frame | None:
+    if off + 4 > len(b) or b[off] != 0xFF or (b[off + 1] & 0xE0) != 0xE0:
+        return None
+    ver_bits = (b[off + 1] >> 3) & 0x03
+    layer_bits = (b[off + 1] >> 1) & 0x03
+    if ver_bits == 1 or layer_bits == 0:
+        return None
+    version = {0: "2.5", 2: "2", 3: "1"}[ver_bits]
+    layer = 4 - layer_bits
+    br_idx = (b[off + 2] >> 4) & 0x0F
+    sr_idx = (b[off + 2] >> 2) & 0x03
+    if br_idx in (0, 15) or sr_idx == 3:
+        return None
+    vgroup = 1 if version == "1" else 2
+    bitrate = _MP3_BITRATES[(vgroup, layer)][br_idx - 1] * 1000
+    rate = _MP3_RATES[ver_bits][sr_idx]
+    padding = (b[off + 2] >> 1) & 0x01
+    mode = (b[off + 3] >> 6) & 0x03
+    channels = 1 if mode == 3 else 2
+    if layer == 1:
+        frame_bytes = (12 * bitrate // rate + padding) * 4
+        samples = 384
+    elif layer == 2 or vgroup == 1:  # Layer II (all versions) / Layer III MPEG-1
+        frame_bytes = 144 * bitrate // rate + padding
+        samples = 1152
+    else:  # Layer III MPEG-2/2.5
+        frame_bytes = 72 * bitrate // rate + padding
+        samples = 576
+    return Mp3Frame(off, version, layer, bitrate // 1000, rate, channels, frame_bytes, samples)
+
+
+def _id3v2_size(b: bytes) -> int:
+    """Bytes to skip for a leading ID3v2 tag (0 if none)."""
+    if b[:3] != b"ID3" or len(b) < 10:
+        return 0
+    if b[3] == 0xFF or b[4] == 0xFF:
+        raise ValueError("MP3: bad ID3v2 version")
+    size = (b[6] << 21) | (b[7] << 14) | (b[8] << 7) | b[9]
+    if any(x & 0x80 for x in b[6:10]):
+        raise ValueError("MP3: ID3v2 size not syncsafe")
+    total = 10 + size + (10 if b[5] & 0x10 else 0)  # footer flag
+    if total > len(b):
+        raise ValueError("MP3: ID3v2 tag extends past file")
+    return total
+
+
+@dataclass
+class Mp3Info:
+    """Stream-level metadata from a real frame walk (no audio decode)."""
+
+    version: str
+    layer: int
+    sample_rate: int
+    channels: int
+    n_frames: int
+    duration_s: float
+    bitrate_kbps: float  # mean over frames (CBR: the nominal rate)
+    vbr: bool
+    xing_frames: int | None = None
+
+
+def mp3_info(payload: bytes, *, max_frames: int | None = None) -> Mp3Info:
+    """Parse an MPEG audio stream's metadata FOR REAL: skip ID3v2, sync to
+    the first valid frame header, then walk frame-to-frame by computed
+    frame lengths (not blind resync), honoring a Xing/Info VBR header if
+    present.  Audio sample decode (the Layer III bitstream) remains the
+    honest stub — see :func:`decode_mp3`."""
+    start = _id3v2_size(payload)
+    # sync scan: a valid header whose computed next frame is also valid
+    first = None
+    for off in range(start, min(len(payload), start + 64 * 1024)):
+        f = _parse_mp3_header(payload, off)
+        if f is None or f.frame_bytes <= 4:
+            continue
+        nxt = off + f.frame_bytes
+        if nxt >= len(payload) or _parse_mp3_header(payload, nxt) is not None:
+            first = f
+            break
+    if first is None:
+        raise ValueError("MP3: no valid frame sync found")
+
+    # Xing/Info header inside the first frame (offset depends on version/mode)
+    side_info = (
+        (17 if first.channels == 1 else 32)
+        if first.version == "1"
+        else (9 if first.channels == 1 else 17)
+    )
+    xing_off = first.offset + 4 + side_info
+    xing_frames = None
+    if payload[xing_off : xing_off + 4] in (b"Xing", b"Info"):
+        flags = struct.unpack_from(">I", payload, xing_off + 4)[0]
+        if flags & 0x1:
+            xing_frames = struct.unpack_from(">I", payload, xing_off + 8)[0]
+
+    frames = []
+    off = first.offset
+    bitrates = set()
+    while off + 4 <= len(payload):
+        f = _parse_mp3_header(payload, off)
+        if f is None:
+            break  # trailing garbage / ID3v1 tag
+        if f.frame_bytes <= 4 or off + f.frame_bytes > len(payload):
+            break
+        frames.append(f)
+        bitrates.add(f.bitrate_kbps)
+        off += f.frame_bytes
+        if max_frames is not None and len(frames) >= max_frames:
+            break
+    if not frames:
+        raise ValueError("MP3: no complete frames")
+    n = xing_frames if xing_frames is not None else len(frames)
+    duration = n * frames[0].samples / frames[0].sample_rate
+    mean_kbps = float(np.mean([f.bitrate_kbps for f in frames]))
+    return Mp3Info(
+        version=first.version,
+        layer=first.layer,
+        sample_rate=first.sample_rate,
+        channels=first.channels,
+        n_frames=n,
+        duration_s=duration,
+        bitrate_kbps=mean_kbps,
+        vbr=len(bitrates) > 1 or xing_frames is not None,
+        xing_frames=xing_frames,
+    )
+
+
+def decode_mp3(payload: bytes) -> np.ndarray:
+    """STUB: MPEG Layer III audio decode needs a codec library (hybrid
+    filterbank + huffman bitstream).  The container/metadata layer IS real —
+    :func:`mp3_info` walks frames exactly.  Swap a real decoder in here."""
+    mp3_info(payload)  # validates the stream for real before refusing
+    raise NotImplementedError(
+        "MPEG Layer III audio decode needs a codec library; frame metadata "
+        "parses natively via mp3_info()"
+    )
+
+
+def synth_mp3_stream(
+    n_frames: int = 8,
+    *,
+    bitrate_kbps: int = 128,
+    sample_rate: int = 44100,
+    id3: bool = False,
+    xing: bool = False,
+    seed: int = 21,
+) -> bytes:
+    """Deterministic, spec-valid MPEG-1 Layer III CBR frame stream (header
+    bytes real, audio payload pseudorandom) for metadata-parser tests."""
+    br_idx = _MP3_BITRATES[(1, 3)].index(bitrate_kbps) + 1
+    sr_idx = _MP3_RATES[3].index(sample_rate)
+    rng = np.random.default_rng(seed)
+    out = bytearray()
+    if id3:
+        body = b"TXXX synthetic tag body"
+        out += b"ID3\x04\x00\x00" + bytes(
+            [(len(body) >> 21) & 0x7F, (len(body) >> 14) & 0x7F, (len(body) >> 7) & 0x7F, len(body) & 0x7F]
+        ) + body
+    frame_len = 144 * bitrate_kbps * 1000 // sample_rate  # no padding
+    for i in range(n_frames):
+        hdr = bytes([0xFF, 0xFB, (br_idx << 4) | (sr_idx << 2), 0x00])  # stereo
+        body = rng.integers(0, 256, frame_len - 4, dtype=np.uint8)
+        # keep body from faking a sync word at frame starts we control
+        body[body == 0xFF] = 0xFE
+        frame = bytearray(hdr + body.tobytes())
+        if i == 0 and xing:
+            xoff = 4 + 32  # MPEG-1 stereo side info
+            frame[xoff : xoff + 4] = b"Xing"
+            frame[xoff + 4 : xoff + 8] = struct.pack(">I", 0x1)
+            frame[xoff + 8 : xoff + 12] = struct.pack(">I", n_frames)
+        out += frame
+    return bytes(out)

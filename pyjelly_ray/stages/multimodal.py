@@ -3,9 +3,12 @@
 REAL decode paths (no external libraries): PNG (stdlib zlib + numpy
 un-filtering — all five filters, gray/GA/RGB/RGBA + palette), baseline
 JPEG (full huffman entropy codec + dequant + vectorized IDCT, 4:4:4/4:2:0,
-grayscale, restart markers — encoder AND decoder), PPM, WAV/PCM16, raw RGB
-video.  Only inherently codec-library formats (MP3/MP4) remain explicit
-STUBS — clearly marked, swappable.  The
+grayscale, restart markers — encoder AND decoder), GIF (full LZW codec,
+interlace, transparency), BMP, PPM, WAV/PCM16, raw RGB video, MP4/ISO-BMFF
+container demux (full sample tables; ``raw `` RGB24 tracks decode fully)
+and MP3 frame-level metadata (``media_containers.py``).  Only the
+compressed A/V *bitstreams* (H.264/HEVC inside MP4, MPEG Layer III audio)
+remain explicit STUBS — clearly marked, swappable.  The
 Ray-side plumbing is real and tested throughout: typed schema, actor-pool
 stage signatures, batch sizing for large binary payloads, output layout.
 
@@ -39,17 +42,25 @@ RECOMMENDED_BATCH_SIZE = 32
 
 def sniff_decode_image(payload: bytes) -> np.ndarray:
     """Magic-byte dispatch to the REAL pure-numpy decoders (PNG, baseline
-    JPEG, PPM) → uint8 (H, W, C).  Formats needing an external codec
-    library raise ``NotImplementedError`` (the honest stub boundary)."""
+    JPEG, PPM, GIF, BMP) → uint8 (H, W, C).  Formats needing an external
+    codec library raise ``NotImplementedError`` (the honest stub boundary)."""
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)
     if payload[:2] == b"\xff\xd8":
         return decode_jpeg(payload)
     if payload[:2] == b"P6":
         return decode_ppm(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from pyjelly_ray.stages.media_containers import decode_gif
+
+        return decode_gif(payload)
+    if payload[:2] == b"BM":
+        from pyjelly_ray.stages.media_containers import decode_bmp
+
+        return decode_bmp(payload)
     raise NotImplementedError(
-        "unknown image codec (PNG/baseline-JPEG/PPM decode natively; other "
-        "formats need an image library plugged in here)"
+        "unknown image codec (PNG/baseline-JPEG/PPM/GIF/BMP decode natively; "
+        "other formats need an image library plugged in here)"
     )
 
 
@@ -142,10 +153,12 @@ class FrameSampleStub:
     """Sample N frames from a video payload.
 
     ``fake=True``: fixed-stride byte slices (plumbing-only).
-    ``fake=False``: REAL for ``RAWV`` raw-RGB payloads — uniform-stride
-    frame sampling via :func:`decode_rawvideo`, each sampled frame
-    re-emitted as a PNG; containerized codecs (MP4 etc.) raise
-    ``NotImplementedError`` (the honest stub boundary)."""
+    ``fake=False``: REAL for ``RAWV`` raw-RGB payloads and for MP4 files
+    carrying uncompressed ``raw `` RGB24 tracks (full ISO-BMFF demux via
+    ``media_containers.decode_mp4_video``) — uniform-stride frame
+    sampling, each sampled frame re-emitted as a PNG; compressed video
+    bitstreams (H.264/HEVC...) raise ``NotImplementedError`` at the codec
+    step (the honest stub boundary)."""
 
     def __init__(self, n_frames: int = 4, fake: bool = True) -> None:
         self.n_frames = n_frames
@@ -158,12 +171,20 @@ class FrameSampleStub:
         ):
             p = p or b""
             if not self.fake:
-                if not p.startswith(b"RAWV"):
+                if len(p) >= 8 and p[4:8] == b"ftyp":
+                    # ISO-BMFF: demux is real; 'raw ' RGB24 tracks decode
+                    # natively, compressed codecs raise NotImplementedError
+                    from pyjelly_ray.stages.media_containers import decode_mp4_video
+
+                    clip = decode_mp4_video(p)
+                elif p.startswith(b"RAWV"):
+                    clip = decode_rawvideo(p)
+                else:
                     raise NotImplementedError(
-                        "containerized video (MP4/...) needs a codec library; "
-                        "RAWV raw-RGB payloads sample natively"
+                        "unknown video container; MP4 ('raw ' tracks) and RAWV "
+                        "raw-RGB payloads sample natively — compressed "
+                        "bitstreams need a codec library"
                     )
-                clip = decode_rawvideo(p)
                 idx = np.linspace(0, clip.shape[0] - 1, self.n_frames).astype(int)
                 for i, fi in enumerate(idx):
                     ids.append(mid)
