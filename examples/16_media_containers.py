@@ -2,8 +2,9 @@
 GIF (full LZW) and BMP images decode for real through the generic
 ``ImageDecodeStub(fake=False)`` sniffing stage; MP4/ISO-BMFF files are
 demuxed with full sample tables (``raw `` RGB24 tracks decode to frames,
-compressed codecs stop at the honest stub boundary); MP3 streams yield real
-frame-walk metadata (duration/bitrate/Xing) via a vectorizable batch stage.
+compressed codecs stop at the honest stub boundary); FLAC clips decode
+losslessly (full RFC 9639 codec) into audio features; MP3 streams yield
+real frame-walk metadata (duration/bitrate/Xing) via a batch stage.
 
 Run: python examples/16_media_containers.py
 """
@@ -77,7 +78,16 @@ frames = ray.data.from_arrow(clips).map_batches(
 print(f"sampled {frames.count()} PNG frames from 2 MP4 clips (ISO-BMFF demux)")
 
 
-# 3. MP3 metadata extraction as a batch stage (frame walk is real; audio
+# 3. FLAC: real lossless decode (compressed audio) through an actor stage
+from pyjelly_ray.stages.flac import FlacAudioStage, synth_flac_table
+
+flac_feats = ray.data.from_arrow(synth_flac_table(12)).map_batches(
+    FlacAudioStage, concurrency=2, batch_size=4, batch_format="pyarrow"
+)
+rows = flac_feats.take_all()
+print(f"decoded {len(rows)} FLAC clips (mid-side stereo) into audio features")
+
+# 4. MP3 metadata extraction as a batch stage (frame walk is real; audio
 #    sample decode is the stub boundary)
 def mp3_meta(batch: pa.Table) -> pa.Table:
     infos = [mp3_info(p) for p in batch.column("payload").to_pylist()]
