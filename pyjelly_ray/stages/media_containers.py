@@ -1,9 +1,11 @@
 """Real container/codec paths for the remaining media formats (no external
 libraries): GIF (full LZW codec, interlace, transparency, palette), BMP
-(24-bit + 8-bit-palette), MP4/ISO-BMFF (generic box parser, full sample-table
-demux — stts/stsc/stsz/stco/co64 — and REAL frame decode for uncompressed
-``raw `` video tracks), and MP3 (ID3v2 skip, frame-header walk, Xing/Info
-VBR detection → duration/bitrate metadata).
+(24-bit + 8-bit-palette), TIFF 6.0 (none/PackBits/LZW with the spec's
+early-change rule, horizontal-differencing predictor, strips, both byte
+orders, gray/WhiteIsZero/RGB(A)/palette), MP4/ISO-BMFF (generic box parser,
+full sample-table demux — stts/stsc/stsz/stco/co64 — and REAL frame decode
+for uncompressed ``raw `` video tracks), and MP3 (ID3v2 skip, frame-header
+walk, Xing/Info VBR detection → duration/bitrate metadata).
 
 This narrows the honest stub boundary of ``stages/multimodal.py`` to exactly
 the compressed A/V *bitstreams* (H.264/HEVC inside MP4, MPEG Layer III
@@ -936,4 +938,376 @@ def synth_mp3_stream(
             frame[xoff + 4 : xoff + 8] = struct.pack(">I", 0x1)
             frame[xoff + 8 : xoff + 12] = struct.pack(">I", n_frames)
         out += frame
+    return bytes(out)
+
+
+# ==========================================================================
+# TIFF — baseline 8-bit gray/RGB/palette; none/PackBits/LZW compression,
+# horizontal-differencing predictor, strips, both byte orders (TIFF 6.0)
+# ==========================================================================
+
+_TIFF_TAGS = {
+    256: "width", 257: "height", 258: "bits", 259: "compression",
+    262: "photometric", 273: "strip_offsets", 277: "spp",
+    278: "rows_per_strip", 279: "strip_counts", 284: "planar",
+    317: "predictor", 320: "colormap",
+}
+_TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8}
+
+
+def _tiff_lzw_decode(data: bytes, expect: int) -> bytes:
+    """TIFF-variant LZW (MSB-first, 9→12-bit codes, the spec's early-change
+    rule: the decoder widens at table sizes 510/1022/2046)."""
+    CLEAR, EOI = 256, 257
+    prefix = np.full(4096, -1, dtype=np.int32)
+    suffix = np.zeros(4096, dtype=np.uint8)
+    for i in range(256):
+        suffix[i] = i
+    next_code, bits = 258, 9
+    out = bytearray()
+    buf = nbits = pos = 0
+    prev = -1
+    stack = bytearray()
+    while len(out) < expect:
+        while nbits < bits:
+            if pos >= len(data):
+                raise ValueError("TIFF: LZW stream truncated")
+            buf = (buf << 8) | data[pos]
+            nbits += 8
+            pos += 1
+        code = (buf >> (nbits - bits)) & ((1 << bits) - 1)
+        nbits -= bits
+        buf &= (1 << nbits) - 1  # keep the bit buffer bounded
+        if code == EOI:
+            break
+        if code == CLEAR:
+            next_code, bits, prev = 258, 9, -1
+            continue
+        if code > next_code or (code == next_code and prev < 0):
+            raise ValueError("TIFF: LZW code out of range")
+        stack.clear()
+        c = code
+        if code == next_code:
+            c = prev
+            stack.append(0)  # placeholder for KwKwK first char
+        while c >= 258:
+            stack.append(suffix[c])
+            c = prefix[c]
+        first = c if c < 256 else 0
+        if c >= 256:
+            raise ValueError("TIFF: LZW chain corrupt")
+        stack.append(first)
+        if code == next_code:
+            stack[0] = first
+        out += stack[::-1]
+        if prev >= 0 and next_code < 4096:
+            prefix[next_code] = prev
+            suffix[next_code] = first
+            next_code += 1
+            if next_code in (510, 1022, 2046):
+                bits += 1
+        prev = code
+    if len(out) < expect:
+        raise ValueError("TIFF: LZW output short")
+    return bytes(out[:expect])
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """TIFF-variant LZW writer (early change at 511/1023/2047, clear at
+    4094 per the TIFF 6.0 spec)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    buf = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal buf, nbits
+        buf = (buf << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((buf >> nbits) & 0xFF)
+        buf &= (1 << nbits) - 1  # keep the bit buffer bounded
+
+    table: dict[tuple[int, int], int] = {}
+    next_code, bits = 258, 9
+    emit(CLEAR, bits)
+    prev = -1
+    for byte in data:
+        if prev < 0:
+            prev = byte
+            continue
+        hit = table.get((prev, byte))
+        if hit is not None:
+            prev = hit
+            continue
+        emit(prev, bits)
+        table[(prev, byte)] = next_code
+        next_code += 1
+        if next_code in (511, 1023, 2047):
+            bits += 1
+        elif next_code == 4094:  # spec: clear at 4094 to leave room for EOI
+            emit(CLEAR, bits)
+            table.clear()
+            next_code, bits = 258, 9
+        prev = byte
+    if prev >= 0:
+        emit(prev, bits)
+    emit(EOI, bits)
+    if nbits:
+        out.append((buf << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes, expect: int) -> bytes:
+    out = bytearray()
+    i = 0
+    while len(out) < expect:
+        if i >= len(data):
+            raise ValueError("TIFF: PackBits stream truncated")
+        n = data[i]
+        i += 1
+        if n < 128:  # literal run of n+1
+            if i + n + 1 > len(data):
+                raise ValueError("TIFF: PackBits literal truncated")
+            out += data[i : i + n + 1]
+            i += n + 1
+        elif n > 128:  # repeat next byte 257-n times
+            if i >= len(data):
+                raise ValueError("TIFF: PackBits repeat truncated")
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+        # n == 128: no-op
+    return bytes(out[:expect])
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        # find run length at i
+        j = i + 1
+        while j < n and j - i < 128 and data[j] == data[i]:
+            j += 1
+        if j - i >= 2:  # repeat run
+            out.append(257 - (j - i))
+            out.append(data[i])
+            i = j
+        else:  # literal run until next 3-byte repeat
+            j = i + 1
+            while j < n and j - i < 128:
+                if j + 2 < n and data[j] == data[j + 1] == data[j + 2]:
+                    break
+                j += 1
+            out.append(j - i - 1)
+            out += data[i:j]
+            i = j
+    return bytes(out)
+
+
+def decode_tiff(payload: bytes) -> np.ndarray:
+    """TIFF 6.0 baseline → uint8 (H, W, C).  Real decode: both byte orders,
+    strip assembly, compression 1 (none) / 5 (LZW, early-change) / 32773
+    (PackBits), horizontal-differencing predictor, photometric gray
+    (incl. WhiteIsZero inversion), RGB(A) and palette (ColorMap)."""
+    if payload[:4] == b"II*\x00":
+        bo = "<"
+    elif payload[:4] == b"MM\x00*":
+        bo = ">"
+    else:
+        raise ValueError("not a TIFF (bad byte-order mark)")
+    if len(payload) < 8:
+        raise ValueError("TIFF: truncated header")
+    ifd_off = struct.unpack_from(bo + "I", payload, 4)[0]
+    if ifd_off + 2 > len(payload):
+        raise ValueError("TIFF: IFD offset out of range")
+    n_entries = struct.unpack_from(bo + "H", payload, ifd_off)[0]
+    if ifd_off + 2 + 12 * n_entries > len(payload):
+        raise ValueError("TIFF: truncated IFD")
+
+    tags: dict[str, list[int]] = {}
+    for e in range(n_entries):
+        off = ifd_off + 2 + 12 * e
+        tag, typ, count = struct.unpack_from(bo + "HHI", payload, off)
+        name = _TIFF_TAGS.get(tag)
+        if name is None:
+            continue
+        size = _TIFF_TYPE_SIZE.get(typ)
+        if size is None:
+            raise ValueError(f"TIFF: bad field type {typ}")
+        total = size * count
+        voff = off + 8 if total <= 4 else struct.unpack_from(bo + "I", payload, off + 8)[0]
+        if voff + total > len(payload):
+            raise ValueError("TIFF: tag value out of range")
+        fmt = {1: "B", 3: "H", 4: "I"}.get(typ)
+        if fmt is None:
+            raise ValueError(f"TIFF: unsupported field type {typ} for tag {tag}")
+        tags[name] = list(struct.unpack_from(bo + fmt * count, payload, voff))
+
+    def one(name: str, default: int | None = None) -> int:
+        if name in tags:
+            return tags[name][0]
+        if default is None:
+            raise ValueError(f"TIFF: missing required tag {name}")
+        return default
+
+    w, h = one("width"), one("height")
+    if w <= 0 or h <= 0 or w > 1 << 20 or h > 1 << 20:
+        raise ValueError("TIFF: bad dimensions")
+    spp = one("spp", 1)
+    bits = tags.get("bits", [8] * spp)
+    if any(b != 8 for b in bits):
+        raise ValueError("TIFF: only 8 bits per sample supported")
+    if one("planar", 1) != 1:
+        raise ValueError("TIFF: only chunky planar configuration supported")
+    comp = one("compression", 1)
+    photometric = one("photometric", 1)
+    predictor = one("predictor", 1)
+    rps = one("rows_per_strip", h)
+    offsets = tags.get("strip_offsets")
+    counts = tags.get("strip_counts")
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError("TIFF: bad strip tables")
+
+    row_bytes = w * spp
+    raw = bytearray()
+    for si, (o, c) in enumerate(zip(offsets, counts)):
+        if o + c > len(payload):
+            raise ValueError("TIFF: strip out of range")
+        nrows = min(rps, h - si * rps)
+        if nrows <= 0:
+            raise ValueError("TIFF: too many strips")
+        expect = nrows * row_bytes
+        strip = payload[o : o + c]
+        if comp == 1:
+            if len(strip) < expect:
+                raise ValueError("TIFF: uncompressed strip short")
+            data = strip[:expect]
+        elif comp == 5:
+            data = _tiff_lzw_decode(strip, expect)
+        elif comp == 32773:
+            data = _packbits_decode(strip, expect)
+        else:
+            raise ValueError(f"TIFF: unsupported compression {comp}")
+        raw += data
+    img = np.frombuffer(bytes(raw), np.uint8).reshape(h, w, spp)
+    if predictor == 2:
+        img = np.cumsum(img.astype(np.int64), axis=1).astype(np.uint8)
+    elif predictor != 1:
+        raise ValueError(f"TIFF: unsupported predictor {predictor}")
+
+    if photometric == 3:  # palette
+        cmap = tags.get("colormap")
+        if spp != 1 or not cmap or len(cmap) != 3 * 256:
+            raise ValueError("TIFF: bad palette image")
+        lut = (np.asarray(cmap, np.uint16).reshape(3, 256).T >> 8).astype(np.uint8)
+        return lut[img[:, :, 0]]
+    if photometric == 0:  # WhiteIsZero
+        if spp != 1:
+            raise ValueError("TIFF: WhiteIsZero needs 1 sample/pixel")
+        return (255 - img).astype(np.uint8)
+    if photometric == 1:
+        return np.ascontiguousarray(img)
+    if photometric == 2:
+        if spp < 3:
+            raise ValueError("TIFF: RGB needs >=3 samples/pixel")
+        return np.ascontiguousarray(img)
+    raise ValueError(f"TIFF: unsupported photometric {photometric}")
+
+
+def encode_tiff(
+    img: np.ndarray,
+    *,
+    compression: str = "none",  # none | packbits | lzw
+    predictor: bool = False,
+    rows_per_strip: int | None = None,
+    big_endian: bool = False,
+) -> bytes:
+    """uint8 (H, W) gray or (H, W, 3|4) → TIFF 6.0 bytes."""
+    if img.dtype != np.uint8:
+        raise ValueError("encode_tiff expects uint8")
+    if img.ndim == 2:
+        img = img[:, :, None]
+    if img.ndim != 3 or img.shape[2] not in (1, 3, 4):
+        raise ValueError("encode_tiff expects (H,W), (H,W,3) or (H,W,4)")
+    h, w, spp = img.shape
+    bo = ">" if big_endian else "<"
+    comp_code = {"none": 1, "packbits": 32773, "lzw": 5}[compression]
+    rps = rows_per_strip or h
+    if predictor and compression == "none":
+        raise ValueError("predictor only applies to compressed data")
+
+    data = img
+    if predictor:
+        d = data.astype(np.int16)
+        d[:, 1:] = d[:, 1:] - d[:, :-1]
+        data = (d & 0xFF).astype(np.uint8)
+
+    strips = []
+    for r0 in range(0, h, rps):
+        chunk = data[r0 : r0 + rps].tobytes()
+        if comp_code == 1:
+            strips.append(chunk)
+        elif comp_code == 5:
+            strips.append(_tiff_lzw_encode(chunk))
+        else:
+            strips.append(_packbits_encode(chunk))
+
+    entries: list[tuple[int, int, int, bytes]] = []  # tag, type, count, packed
+
+    def entry(tag: int, typ: int, values: list[int]) -> None:
+        fmt = {3: "H", 4: "I"}[typ]
+        entries.append((tag, typ, len(values), struct.pack(bo + fmt * len(values), *values)))
+
+    # layout: header(8) | strips | bits array | strip tables | IFD
+    pos = 8
+    strip_offsets = []
+    for s in strips:
+        strip_offsets.append(pos)
+        pos += len(s)
+    extra = bytearray()
+
+    def extra_block(packed: bytes) -> int:
+        nonlocal pos
+        off = pos
+        extra.extend(packed)
+        pos += len(packed)
+        return off
+
+    entry(256, 4, [w])
+    entry(257, 4, [h])
+    bits_packed = struct.pack(bo + "H" * spp, *([8] * spp))
+    if spp * 2 <= 4:
+        entries.append((258, 3, spp, bits_packed))
+    else:
+        entries.append((258, 3, spp, struct.pack(bo + "I", extra_block(bits_packed))))
+    entry(259, 3, [comp_code])
+    entry(262, 3, [1 if spp == 1 else 2])
+    so_packed = struct.pack(bo + "I" * len(strips), *strip_offsets)
+    if len(strips) == 1:
+        entries.append((273, 4, 1, so_packed))
+    else:
+        entries.append((273, 4, len(strips), struct.pack(bo + "I", extra_block(so_packed))))
+    entry(277, 3, [spp])
+    entry(278, 4, [rps])
+    sc_packed = struct.pack(bo + "I" * len(strips), *(len(s) for s in strips))
+    if len(strips) == 1:
+        entries.append((279, 4, 1, sc_packed))
+    else:
+        entries.append((279, 4, len(strips), struct.pack(bo + "I", extra_block(sc_packed))))
+    entry(284, 3, [1])
+    if predictor:
+        entry(317, 3, [2])
+
+    entries.sort(key=lambda e: e[0])
+    ifd_off = pos
+    out = bytearray()
+    out += struct.pack(bo + "2sHI", b"II" if bo == "<" else b"MM", 42, ifd_off)
+    for s in strips:
+        out += s
+    out += extra
+    out += struct.pack(bo + "H", len(entries))
+    for tag, typ, count, packed in entries:
+        out += struct.pack(bo + "HHI", tag, typ, count)
+        out += packed.ljust(4, b"\x00")[:4] if len(packed) <= 4 else packed[:4]
+    out += struct.pack(bo + "I", 0)  # next IFD
     return bytes(out)

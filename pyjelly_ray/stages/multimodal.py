@@ -58,9 +58,13 @@ def sniff_decode_image(payload: bytes) -> np.ndarray:
         from pyjelly_ray.stages.media_containers import decode_bmp
 
         return decode_bmp(payload)
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        from pyjelly_ray.stages.media_containers import decode_tiff
+
+        return decode_tiff(payload)
     raise NotImplementedError(
-        "unknown image codec (PNG/baseline-JPEG/PPM/GIF/BMP decode natively; "
-        "other formats need an image library plugged in here)"
+        "unknown image codec (PNG/baseline-JPEG/PPM/GIF/BMP/TIFF decode "
+        "natively; other formats need an image library plugged in here)"
     )
 
 

@@ -7,6 +7,8 @@ audio) stay honest NotImplementedError stubs at exactly the codec step.
 
 from __future__ import annotations
 
+import struct
+
 import numpy as np
 import pyarrow as pa
 import pytest
@@ -320,3 +322,79 @@ def test_image_decode_stage_gif_real(ray_session):
     )
     rows = ds.take_all()
     assert len(rows) == 2 and all(len(r["features"]) == 16 for r in rows)
+
+
+# ----------------------------------------------------------------- TIFF ---
+
+from pyjelly_ray.stages.media_containers import decode_tiff, encode_tiff  # noqa: E402
+
+
+@pytest.mark.parametrize("comp", ["none", "packbits", "lzw"])
+@pytest.mark.parametrize("big_endian", [False, True])
+def test_tiff_roundtrip_grid(comp, big_endian):
+    rng = np.random.default_rng(7 if big_endian else 8)
+    for shape in [(13, 17), (13, 17, 3), (9, 11, 4), (1, 1)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        exp = img[:, :, None] if img.ndim == 2 else img
+        out = decode_tiff(encode_tiff(img, compression=comp, big_endian=big_endian))
+        assert (out == exp).all(), shape
+        out = decode_tiff(
+            encode_tiff(img, compression=comp, big_endian=big_endian, rows_per_strip=5)
+        )
+        assert (out == exp).all(), (shape, "strips")
+
+
+@pytest.mark.parametrize("comp", ["packbits", "lzw"])
+def test_tiff_predictor(comp):
+    # smooth data: horizontal differencing must shrink LZW dramatically
+    grad = np.tile(np.arange(600, dtype=np.uint8), (40, 1))
+    enc_plain = encode_tiff(grad, compression=comp)
+    enc_pred = encode_tiff(grad, compression=comp, predictor=True, rows_per_strip=16)
+    assert (decode_tiff(enc_pred)[:, :, 0] == grad).all()
+    if comp == "lzw":
+        assert len(enc_pred) < len(enc_plain) / 4
+
+
+def test_tiff_lzw_12bit_growth_and_clear():
+    rng = np.random.default_rng(3)
+    noise = rng.integers(0, 256, (80, 700), dtype=np.uint8)  # >4094 table entries
+    assert (decode_tiff(encode_tiff(noise, compression="lzw"))[:, :, 0] == noise).all()
+
+
+def test_tiff_whiteiszero_and_palette():
+    # hand-build photometric=0 (WhiteIsZero) and palette images
+    gray = np.arange(0, 250, 10, dtype=np.uint8).reshape(5, 5)
+    enc = bytearray(encode_tiff(gray, compression="none"))
+    # flip photometric tag (262) value from 1 to 0 in the IFD
+    idx = enc.find(struct.pack("<HHI", 262, 3, 1))
+    assert idx > 0
+    enc[idx + 8] = 0
+    out = decode_tiff(bytes(enc))
+    assert (out[:, :, 0] == 255 - gray).all()
+
+
+def test_tiff_corruption_fuzz():
+    rng = np.random.default_rng(55)
+    img = rng.integers(0, 256, (12, 12, 3), dtype=np.uint8)
+    for comp in ("none", "packbits", "lzw"):
+        good = encode_tiff(img, compression=comp)
+        for trial in range(60):
+            bad = bytearray(good)
+            if trial % 2 == 0:
+                bad = bad[: rng.integers(4, len(bad))]
+            else:
+                bad[rng.integers(0, len(bad))] ^= 1 << rng.integers(0, 8)
+            try:
+                decode_tiff(bytes(bad))
+            except ValueError:
+                pass
+            except Exception as exc:  # pragma: no cover
+                raise AssertionError(f"non-ValueError: {type(exc).__name__}: {exc}")
+
+
+def test_sniff_decodes_tiff():
+    rng = np.random.default_rng(70)
+    img = rng.integers(0, 256, (8, 9, 3), dtype=np.uint8)
+    for be in (False, True):
+        got = sniff_decode_image(encode_tiff(img, compression="lzw", big_endian=be))
+        assert (got == img).all()
