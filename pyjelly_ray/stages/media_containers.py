@@ -921,7 +921,15 @@ def synth_mp3_stream(
     rng = np.random.default_rng(seed)
     out = bytearray()
     if id3:
-        body = b"TXXX synthetic tag body"
+        # real ID3v2.4 frames (syncsafe sizes, utf-8 text) + padding
+        def frame(fid: bytes, text: str) -> bytes:
+            data = b"\x03" + text.encode("utf-8")
+            sz = len(data)
+            return fid + bytes(
+                [(sz >> 21) & 0x7F, (sz >> 14) & 0x7F, (sz >> 7) & 0x7F, sz & 0x7F]
+            ) + b"\x00\x00" + data
+
+        body = frame(b"TIT2", "synthetic clip") + frame(b"TPE1", "pyjelly_ray") + b"\x00" * 16
         out += b"ID3\x04\x00\x00" + bytes(
             [(len(body) >> 21) & 0x7F, (len(body) >> 14) & 0x7F, (len(body) >> 7) & 0x7F, len(body) & 0x7F]
         ) + body
@@ -1311,3 +1319,64 @@ def encode_tiff(
         out += packed.ljust(4, b"\x00")[:4] if len(packed) <= 4 else packed[:4]
     out += struct.pack(bo + "I", 0)  # next IFD
     return bytes(out)
+
+
+def id3v2_tags(payload: bytes) -> dict[str, str]:
+    """Parse ID3v2.2/2.3/2.4 text frames (TIT2 title, TPE1 artist, TALB
+    album, ...) → {frame_id: text}.  Real metadata extraction: handles
+    syncsafe v2.4 frame sizes, the extended header, latin-1/UTF-16(+BOM)/
+    UTF-16BE/UTF-8 text encodings.  Returns {} when no ID3v2 tag leads the
+    payload; malformed tags raise ``ValueError``."""
+    if payload[:3] != b"ID3":
+        return {}
+    total = _id3v2_size(payload)  # validates version bytes + syncsafe size
+    ver = payload[3]
+    pos, end = 10, total - (10 if payload[5] & 0x10 else 0)
+    if payload[5] & 0x40:  # extended header
+        if pos + 4 > end:
+            raise ValueError("MP3: truncated ID3v2 extended header")
+        if ver >= 4:
+            ext = (
+                (payload[pos] << 21) | (payload[pos + 1] << 14)
+                | (payload[pos + 2] << 7) | payload[pos + 3]
+            )
+        else:
+            ext = struct.unpack_from(">I", payload, pos)[0] + 4
+        pos += ext
+    out: dict[str, str] = {}
+    id_len, hdr_len = (3, 6) if ver == 2 else (4, 10)
+    while pos + hdr_len <= end:
+        fid = payload[pos : pos + id_len]
+        if fid == b"\x00" * id_len:
+            break  # padding
+        if ver == 2:
+            fsize = int.from_bytes(payload[pos + 3 : pos + 6], "big")
+        elif ver >= 4:
+            raw = payload[pos + 4 : pos + 8]
+            if any(b & 0x80 for b in raw):
+                raise ValueError("MP3: ID3v2.4 frame size not syncsafe")
+            fsize = (raw[0] << 21) | (raw[1] << 14) | (raw[2] << 7) | raw[3]
+        else:
+            fsize = struct.unpack_from(">I", payload, pos + 4)[0]
+        pos += hdr_len
+        if pos + fsize > end:
+            raise ValueError("MP3: ID3v2 frame extends past tag")
+        data = payload[pos : pos + fsize]
+        pos += fsize
+        if fid[:1] == b"T" and data:
+            enc, text = data[0], data[1:]
+            try:
+                if enc == 0:
+                    s = text.decode("latin1")
+                elif enc == 1:
+                    s = text.decode("utf-16")
+                elif enc == 2:
+                    s = text.decode("utf-16-be")
+                elif enc == 3:
+                    s = text.decode("utf-8")
+                else:
+                    raise ValueError(f"MP3: bad ID3v2 text encoding {enc}")
+            except UnicodeDecodeError as exc:
+                raise ValueError(f"MP3: undecodable ID3v2 text frame: {exc}")
+            out[fid.decode("latin1")] = s.rstrip("\x00")
+    return out

@@ -360,27 +360,85 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
     return hdr + data
 
 
-def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
-    """RIFF/WAVE PCM16 mono → (int16 samples, sample_rate).  Real decode:
-    chunk walk + one ``np.frombuffer`` (compressed codecs stay stubbed)."""
+def decode_wav_ex(payload: bytes) -> tuple[np.ndarray, int, int]:
+    """RIFF/WAVE → ((n, channels) samples, sample_rate, bits).
+
+    Real decode of the full uncompressed family: PCM 8 (unsigned→signed) /
+    16 / 24 / 32-bit and IEEE float32/float64 (format 3), any channel
+    count, WAVE_FORMAT_EXTENSIBLE (0xFFFE) resolved via the SubFormat
+    GUID.  Integer output is int32 (at native scale); float output is
+    float32/float64.  Compressed codecs raise ``ValueError``."""
     import struct
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
-    i, rate, bits, channels = 12, None, None, None
+    i, rate, bits, channels, fmt = 12, None, None, None, None
     while i + 8 <= len(payload):
         cid, size = payload[i : i + 4], struct.unpack("<I", payload[i + 4 : i + 8])[0]
         if cid == b"fmt ":
+            if i + 24 > len(payload):
+                raise ValueError("WAV: truncated fmt chunk")
             fmt, channels, rate = struct.unpack("<HHI", payload[i + 8 : i + 16])
             bits = struct.unpack("<H", payload[i + 22 : i + 24])[0]
-            if fmt != 1 or bits != 16 or channels != 1:
-                raise ValueError("only PCM16 mono supported")
+            if fmt == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE: first GUID bytes
+                if size < 40:
+                    raise ValueError("WAV: truncated extensible fmt")
+                fmt = struct.unpack("<H", payload[i + 32 : i + 34])[0]
+            if fmt not in (1, 3):
+                raise ValueError(f"WAV: compressed format {fmt} not supported")
+            if channels < 1 or rate < 1:
+                raise ValueError("WAV: bad fmt fields")
         elif cid == b"data":
             if rate is None:
                 raise ValueError("data chunk before fmt")
-            return np.frombuffer(payload, np.int16, count=size // 2, offset=i + 8), rate
+            if fmt == 3:
+                if bits == 32:
+                    dt, width = np.dtype("<f4"), 4
+                elif bits == 64:
+                    dt, width = np.dtype("<f8"), 8
+                else:
+                    raise ValueError("WAV: float must be 32- or 64-bit")
+            elif bits == 8:
+                dt, width = np.dtype("u1"), 1
+            elif bits == 16:
+                dt, width = np.dtype("<i2"), 2
+            elif bits == 24:
+                dt, width = None, 3
+            elif bits == 32:
+                dt, width = np.dtype("<i4"), 4
+            else:
+                raise ValueError(f"WAV: {bits}-bit PCM not supported")
+            size = min(size, len(payload) - i - 8)
+            n = size // (width * channels)
+            if bits == 24 and fmt == 1:
+                raw = np.frombuffer(payload, np.uint8, n * channels * 3, i + 8)
+                b4 = np.zeros((n * channels, 4), np.uint8)
+                b4[:, 1:] = raw.reshape(-1, 3)
+                x = (b4.view("<i4").reshape(-1) >> 8).astype(np.int32)
+            else:
+                x = np.frombuffer(payload, dt, n * channels, i + 8)
+                if bits == 8 and fmt == 1:
+                    x = x.astype(np.int32) - 128  # unsigned → signed
+                elif fmt == 1:
+                    x = x.astype(np.int32)
+            return x.reshape(n, channels), rate, bits
         i += 8 + size + (size & 1)
     raise ValueError("no data chunk")
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE → (int16 mono samples, sample_rate) — channel 0, rescaled
+    to 16-bit.  Kept for the feature stages; :func:`decode_wav_ex` returns
+    full fidelity (all channels, native depth, float formats)."""
+    x, rate, bits = decode_wav_ex(payload)
+    ch0 = x[:, 0]
+    if np.issubdtype(ch0.dtype, np.floating):
+        return np.clip(ch0 * 32768.0, -32768, 32767).astype(np.int16), rate
+    if bits == 8:
+        return (ch0.astype(np.int32) << 8).astype(np.int16), rate
+    if bits == 16:
+        return ch0.astype(np.int16), rate
+    return (ch0 >> (bits - 16)).astype(np.int16), rate
 
 
 def audio_features(samples: np.ndarray, rate: int, n_bands: int = 8) -> np.ndarray:

@@ -398,3 +398,150 @@ def test_sniff_decodes_tiff():
     for be in (False, True):
         got = sniff_decode_image(encode_tiff(img, compression="lzw", big_endian=be))
         assert (got == img).all()
+
+
+# ------------------------------------------------- ID3v2 + widened WAV ---
+
+from pyjelly_ray.stages.media_containers import id3v2_tags  # noqa: E402
+from pyjelly_ray.stages.multimodal import decode_wav, decode_wav_ex, encode_wav  # noqa: E402
+
+
+def test_id3v2_text_frames():
+    payload = synth_mp3_stream(5, id3=True)
+    assert id3v2_tags(payload) == {"TIT2": "synthetic clip", "TPE1": "pyjelly_ray"}
+    assert id3v2_tags(synth_mp3_stream(3)) == {}
+    # the tag does not perturb the frame walk
+    assert mp3_info(payload).n_frames == 5
+
+
+def test_id3v2_v23_utf16():
+    text = "tïtle — ünïcode"
+    enc = text.encode("utf-16")
+    frame = b"TIT2" + struct.pack(">I", 1 + len(enc)) + b"\x00\x00\x01" + enc
+    sz = len(frame)
+    tag = b"ID3\x03\x00\x00" + bytes(
+        [(sz >> 21) & 0x7F, (sz >> 14) & 0x7F, (sz >> 7) & 0x7F, sz & 0x7F]
+    ) + frame
+    assert id3v2_tags(tag) == {"TIT2": text}
+
+
+def test_id3v2_malformed():
+    with pytest.raises(ValueError):
+        id3v2_tags(b"ID3\x04\x00\x00\x7f\x7f\x7f\x7f")  # size past EOF
+    # frame overrunning the tag
+    frame = b"TIT2" + bytes([0, 0, 0, 60]) + b"\x00\x00\x03abc"
+    sz = len(frame)
+    tag = b"ID3\x04\x00\x00" + bytes([0, 0, (sz >> 7) & 0x7F, sz & 0x7F]) + frame
+    with pytest.raises(ValueError):
+        id3v2_tags(tag)
+
+
+def _wav_raw(fmt, channels, rate, bits, data):
+    return struct.pack(
+        "<4sI4s4sIHHIIHH4sI", b"RIFF", 36 + len(data), b"WAVE", b"fmt ", 16,
+        fmt, channels, rate, rate * channels * bits // 8, channels * bits // 8,
+        bits, b"data", len(data),
+    ) + data
+
+
+def test_wav_ex_stereo_and_depths():
+    rng = np.random.default_rng(31)
+    mono = (rng.normal(0, 8000, 300)).astype(np.int16)
+    st = np.stack([mono, -mono], axis=1)
+    x, r, b = decode_wav_ex(_wav_raw(1, 2, 8000, 16, st.astype("<i2").tobytes()))
+    assert x.shape == (300, 2) and (x == st).all() and (r, b) == (8000, 16)
+
+    u8 = ((mono // 256) + 128).astype(np.uint8)
+    x, _, b = decode_wav_ex(_wav_raw(1, 1, 8000, 8, u8.tobytes()))
+    assert b == 8 and (x[:, 0] == u8.astype(np.int32) - 128).all()
+
+    v24 = mono.astype(np.int32) * 127
+    b3 = v24.astype("<i4").view(np.uint8).reshape(-1, 4)[:, :3].tobytes()
+    x, _, b = decode_wav_ex(_wav_raw(1, 1, 8000, 24, b3))
+    assert b == 24 and (x[:, 0] == v24).all()
+
+    f32 = (mono / 32768.0).astype(np.float32)
+    x, _, b = decode_wav_ex(_wav_raw(3, 1, 8000, 32, f32.tobytes()))
+    assert x.dtype == np.float32 and np.allclose(x[:, 0], f32)
+    # 16-bit wrapper view stays within 1 LSB of the original
+    s, _ = decode_wav(_wav_raw(3, 1, 8000, 32, f32.tobytes()))
+    assert np.abs(s.astype(int) - mono).max() <= 1
+
+
+def test_wav_ex_extensible_and_compressed():
+    rng = np.random.default_rng(32)
+    v24 = rng.integers(-(1 << 23), 1 << 23, 64)
+    b3 = v24.astype("<i4").view(np.uint8).reshape(-1, 4)[:, :3].tobytes()
+    ext = (
+        struct.pack(
+            "<4sI4s4sIHHIIHH", b"RIFF", 60 + len(b3), b"WAVE", b"fmt ", 40,
+            0xFFFE, 1, 8000, 8000 * 3, 3, 24,
+        )
+        + struct.pack("<HHI", 22, 24, 0)
+        + struct.pack("<H", 1)  # PCM subformat
+        + b"\x00" * 14
+        + struct.pack("<4sI", b"data", len(b3))
+        + b3
+    )
+    x, r, b = decode_wav_ex(ext)
+    assert b == 24 and (x[:, 0] == v24).all()
+    with pytest.raises(ValueError, match="compressed"):
+        decode_wav_ex(_wav_raw(85, 1, 8000, 16, b"\x00" * 64))  # MP3-in-WAV
+
+
+def test_wav_pcm16_mono_unchanged():
+    mono = (np.sin(np.arange(500) / 9) * 15000).astype(np.int16)
+    s, r = decode_wav(encode_wav(mono, 16000))
+    assert r == 16000 and (s == mono).all()
+
+
+# ----------------------------------------------- property-based checks ---
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as hs  # noqa: E402
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    h=hs.integers(1, 24), w=hs.integers(1, 24), colors=hs.integers(1, 32),
+    interlace=hs.booleans(), seed=hs.integers(0, 2**31),
+)
+def test_gif_roundtrip_property(h, w, colors, interlace, seed):
+    rng = np.random.default_rng(seed)
+    pal = np.unique(rng.integers(0, 256, (colors, 3), dtype=np.uint8), axis=0)
+    img = pal[rng.integers(0, len(pal), (h, w))]
+    assert (decode_gif(encode_gif(img, interlace=interlace)) == img).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    n=hs.integers(0, 700), seed=hs.integers(0, 2**31),
+    mode=hs.sampled_from(["fixed", "verbatim", "lpc"]),
+    stereo=hs.sampled_from(["independent", "left_side", "side_right", "mid_side"]),
+    po=hs.integers(0, 3), block=hs.sampled_from([64, 192, 256]),
+)
+def test_flac_roundtrip_property(n, seed, mode, stereo, po, block):
+    from pyjelly_ray.stages.flac import decode_flac, encode_flac
+
+    rng = np.random.default_rng(seed)
+    x = rng.integers(-32768, 32768, (n, 2)).astype(np.int16)
+    enc = encode_flac(
+        x, 8000, mode=mode, stereo_mode=stereo, partition_order=po, block_size=block
+    )
+    dec, _, _ = decode_flac(enc)
+    assert (dec == x).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    h=hs.integers(1, 20), w=hs.integers(1, 20), spp=hs.sampled_from([1, 3, 4]),
+    comp=hs.sampled_from(["none", "packbits", "lzw"]),
+    rps=hs.integers(1, 8), seed=hs.integers(0, 2**31),
+)
+def test_tiff_roundtrip_property(h, w, spp, comp, rps, seed):
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if spp == 1 else (h, w, spp)
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    exp = img[:, :, None] if img.ndim == 2 else img
+    out = decode_tiff(encode_tiff(img, compression=comp, rows_per_strip=rps))
+    assert (out == exp).all()
