@@ -545,3 +545,129 @@ def test_tiff_roundtrip_property(h, w, spp, comp, rps, seed):
     exp = img[:, :, None] if img.ndim == 2 else img
     out = decode_tiff(encode_tiff(img, compression=comp, rows_per_strip=rps))
     assert (out == exp).all()
+
+
+# ------------------------------------------- G.711 + AIFF + AU formats ---
+
+from pyjelly_ray.stages.media_containers import (  # noqa: E402
+    alaw_decode,
+    alaw_encode,
+    decode_aiff,
+    decode_au,
+    encode_aiff,
+    encode_au,
+    mulaw_decode,
+    mulaw_encode,
+)
+
+
+def _tone(n=2000, seed=0):
+    rng = np.random.default_rng(seed)
+    return (np.sin(np.arange(n) / 7) * 20000 + rng.normal(0, 300, n)).astype(np.int16)
+
+
+@pytest.mark.parametrize("enc,dec", [(mulaw_encode, mulaw_decode), (alaw_encode, alaw_decode)])
+def test_g711_canonical_roundtrip(enc, dec):
+    # decode of all 256 codes must re-encode to the same codes
+    codes = np.arange(256, dtype=np.uint8)
+    lin = dec(codes)
+    assert (dec(enc(lin)) == lin).all()
+    # companding error bounded by the top-segment step size
+    x = _tone()
+    assert np.abs(dec(enc(x)).astype(int) - x).max() <= 512
+
+
+def test_g711_spot_values():
+    # published reference points: silence maps to 0xFF (mu) / 0xD5 (A)
+    assert mulaw_encode(np.array([0], np.int16))[0] == 0xFF
+    assert mulaw_decode(np.array([0xFF], np.uint8))[0] == 0
+    assert alaw_encode(np.array([0], np.int16))[0] == 0xD5
+    assert alaw_decode(np.array([0xD5], np.uint8))[0] == 8
+
+
+@pytest.mark.parametrize("bits", [8, 16, 24, 32])
+def test_aiff_roundtrip(bits):
+    x = _tone(800)
+    scale = {8: x >> 8, 16: x, 24: x.astype(np.int32) * 100, 32: x.astype(np.int32) * 30000}[bits]
+    src = np.stack([scale, -scale], axis=1)
+    out, r, b = decode_aiff(encode_aiff(src, 44100, bits=bits))
+    assert r == 44100 and b == bits and (out == src).all()
+
+
+def test_aiff_rejects_compressed_and_garbage():
+    x = np.zeros((10, 1), np.int16)
+    good = bytearray(encode_aiff(x, 8000))
+    good[8:12] = b"AIFC"
+    with pytest.raises(ValueError, match="AIFC"):
+        decode_aiff(bytes(good))
+    with pytest.raises(ValueError):
+        decode_aiff(b"RIFF" + bytes(20))
+
+
+@pytest.mark.parametrize("encoding", ["pcm16", "mulaw", "alaw"])
+def test_au_roundtrip(encoding):
+    st = np.stack([_tone(500), -_tone(500)], axis=1)
+    out, r, name = decode_au(encode_au(st, 8000, encoding=encoding))
+    assert r == 8000 and name == encoding and out.shape == st.shape
+    if encoding == "pcm16":
+        assert (out == st).all()
+    else:
+        assert np.abs(out.astype(int) - st).max() <= 512
+
+
+def test_au_bad_header():
+    with pytest.raises(ValueError):
+        decode_au(b"FORM" + bytes(30))
+    with pytest.raises(ValueError, match="encoding"):
+        decode_au(struct.pack(">4sIIIII", b".snd", 24, 4, 99, 8000, 1) + bytes(4))
+
+
+def test_sniff_decode_audio_dispatch():
+    from pyjelly_ray.stages.flac import encode_flac
+    from pyjelly_ray.stages.media_containers import sniff_decode_audio
+
+    x = _tone(600)
+    for payload in (
+        encode_wav(x, 8000),
+        encode_flac(x, 8000),
+        encode_aiff(x, 8000),
+        encode_au(x, 8000, encoding="pcm16"),
+    ):
+        mono, rate = sniff_decode_audio(payload)
+        assert rate == 8000 and (mono == x).all()
+    mono, rate = sniff_decode_audio(encode_au(x, 8000, encoding="mulaw"))
+    assert np.abs(mono.astype(int) - x).max() <= 512
+    with pytest.raises(NotImplementedError):
+        sniff_decode_audio(synth_mp3_stream(3))
+    with pytest.raises(NotImplementedError):
+        sniff_decode_audio(b"\x00unknown")
+
+
+def test_audio_decode_stage_multiformat(ray_session):
+    import ray
+
+    from pyjelly_ray.stages.flac import encode_flac
+    from pyjelly_ray.stages.media_containers import AudioDecodeStage
+
+    x = _tone(700)
+    payloads = [
+        encode_wav(x, 8000),
+        encode_flac(x, 8000),
+        encode_aiff(x, 8000),
+        encode_au(x, 8000, encoding="alaw"),
+    ]
+    tbl = pa.table(
+        {
+            "media_id": pa.array(range(4), pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).map_batches(
+        AudioDecodeStage, concurrency=1, batch_size=2, batch_format="pyarrow"
+    )
+    rows = sorted(ds.take_all(), key=lambda r: r["media_id"])
+    assert len(rows) == 4 and all(r["n_samples"] == 700 for r in rows)
+    # lossless formats produce IDENTICAL features; companded is close
+    f = [np.array(r["features"]) for r in rows]
+    assert np.array_equal(f[0], f[1]) and np.array_equal(f[0], f[2])
+    assert np.allclose(f[0], f[3], rtol=0.1, atol=0.05)
