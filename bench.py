@@ -203,6 +203,49 @@ def run_codec_micro(n: int = 200_000) -> dict:
     }
 
 
+def run_media_micro() -> dict:
+    """Single-core REAL-media decode throughput (informational): the
+    pure-numpy JPEG/PNG/GIF/TIFF-LZW image codecs and the FLAC audio codec
+    over deterministic synth payloads (decode only, payloads pre-built)."""
+    import numpy as np
+
+    from pyjelly_ray.stages.flac import decode_flac, encode_flac
+    from pyjelly_ray.stages.media_containers import (
+        decode_gif, decode_tiff, encode_gif, encode_tiff,
+    )
+    from pyjelly_ray.stages.multimodal import (
+        decode_jpeg, decode_png, synth_jpeg_table, synth_png_table,
+    )
+
+    rng = np.random.default_rng(0)
+    pal = np.unique(rng.integers(0, 256, (64, 3), dtype=np.uint8), axis=0)
+    gifs = [encode_gif(pal[rng.integers(0, len(pal), (48, 64))]) for _ in range(32)]
+    tiffs = [
+        encode_tiff(rng.integers(0, 256, (48, 64, 3), dtype=np.uint8), compression="lzw")
+        for _ in range(32)
+    ]
+    sig = (np.sin(np.arange(16000) / 9) * 18000).astype(np.int16)
+    flacs = [encode_flac(np.roll(sig, 37 * i), 8000) for i in range(8)]
+    jpegs = synth_jpeg_table(64).column("payload").to_pylist()
+    pngs = synth_png_table(64).column("payload").to_pylist()
+
+    out = {}
+    for name, payloads, dec in (
+        ("jpeg", jpegs, decode_jpeg),
+        ("png", pngs, decode_png),
+        ("gif", gifs, decode_gif),
+        ("tiff_lzw", tiffs, decode_tiff),
+        ("flac", flacs, lambda p: decode_flac(p)[0]),
+    ):
+        t0 = time.perf_counter()
+        for p in payloads:
+            dec(p)
+        dt = time.perf_counter() - t0
+        out[f"{name}_decodes_per_sec"] = round(len(payloads) / dt, 1)
+        out[f"{name}_mb_per_sec"] = round(sum(len(p) for p in payloads) / dt / 1e6, 2)
+    return out
+
+
 def run_queries(sf_dir: str) -> dict:
     from pyjelly_ray.pipelines.relational import QUERIES
 
@@ -225,6 +268,7 @@ def bench_once(num_cpus: int, *, kg_only: bool = False, n_files: int | None = No
         if not kg_only:
             result["queries"] = run_queries(SF_DIR)
             result["codec"] = run_codec_micro()
+            result["media"] = run_media_micro()
         return result
     finally:
         ray.shutdown()
@@ -446,6 +490,8 @@ def main() -> None:
     }
     if "codec" in r:
         payload["codec"] = r["codec"]
+    if "media" in r:
+        payload["media"] = r["media"]
     print(json.dumps(payload))
 
 
