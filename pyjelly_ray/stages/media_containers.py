@@ -1652,3 +1652,113 @@ class AudioDecodeStage:
                 ),
             }
         )
+
+
+# ==========================================================================
+# QOI — the "Quite OK Image" format (complete spec: all 6 op codes)
+# ==========================================================================
+
+
+def encode_qoi(img: np.ndarray) -> bytes:
+    """(H, W, 3|4) uint8 → QOI bytes (spec-complete encoder: RUN, INDEX,
+    DIFF, LUMA, RGB, RGBA ops + the 64-slot hash index)."""
+    if img.ndim != 3 or img.shape[2] not in (3, 4) or img.dtype != np.uint8:
+        raise ValueError("encode_qoi expects (H, W, 3|4) uint8")
+    h, w, ch = img.shape
+    out = bytearray(struct.pack(">4sIIBB", b"qoif", w, h, ch, 0))
+    index = [(0, 0, 0, 0)] * 64
+    pr, pg, pb, pa = 0, 0, 0, 255
+    run = 0
+    flat = img.reshape(-1, ch)
+    if ch == 3:
+        flat = np.column_stack([flat, np.full(len(flat), 255, np.uint8)])
+    for r, g, b, a in flat.tolist():
+        if (r, g, b, a) == (pr, pg, pb, pa):
+            run += 1
+            if run == 62:
+                out.append(0xC0 | (run - 1))
+                run = 0
+            continue
+        if run:
+            out.append(0xC0 | (run - 1))
+            run = 0
+        slot = (r * 3 + g * 5 + b * 7 + a * 11) % 64
+        if index[slot] == (r, g, b, a):
+            out.append(slot)
+        elif a == pa:
+            dr, dg, db = r - pr, g - pg, b - pb
+            dr, dg, db = ((dr + 128) & 0xFF) - 128, ((dg + 128) & 0xFF) - 128, ((db + 128) & 0xFF) - 128
+            if -2 <= dr <= 1 and -2 <= dg <= 1 and -2 <= db <= 1:
+                out.append(0x40 | ((dr + 2) << 4) | ((dg + 2) << 2) | (db + 2))
+            else:
+                dr_dg, db_dg = dr - dg, db - dg
+                dr_dg, db_dg = ((dr_dg + 128) & 0xFF) - 128, ((db_dg + 128) & 0xFF) - 128
+                if -32 <= dg <= 31 and -8 <= dr_dg <= 7 and -8 <= db_dg <= 7:
+                    out.append(0x80 | (dg + 32))
+                    out.append(((dr_dg + 8) << 4) | (db_dg + 8))
+                else:
+                    out += bytes([0xFE, r, g, b])
+        else:
+            out += bytes([0xFF, r, g, b, a])
+        index[slot] = (r, g, b, a)
+        pr, pg, pb, pa = r, g, b, a
+    if run:
+        out.append(0xC0 | (run - 1))
+    out += b"\x00" * 7 + b"\x01"
+    return bytes(out)
+
+
+def decode_qoi(payload: bytes) -> np.ndarray:
+    """QOI → (H, W, 3|4) uint8 (spec-complete decoder)."""
+    if payload[:4] != b"qoif" or len(payload) < 22:
+        raise ValueError("not a QOI payload")
+    w, h, ch, cs = struct.unpack_from(">IIBB", payload, 4)
+    if ch not in (3, 4) or cs > 1 or w == 0 or h == 0 or w * h > 1 << 26:
+        raise ValueError("QOI: bad header")
+    n = w * h
+    out = np.empty((n, 4), np.uint8)
+    index = np.zeros((64, 4), np.uint8)
+    px = np.array([0, 0, 0, 255], np.uint8)
+    pos, i = 14, 0
+    end = len(payload) - 8
+    while i < n:
+        if pos >= end:
+            raise ValueError("QOI: stream truncated")
+        b0 = payload[pos]
+        pos += 1
+        if b0 == 0xFE:  # RGB
+            px = px.copy()
+            px[:3] = memoryview(payload)[pos : pos + 3]
+            pos += 3
+        elif b0 == 0xFF:  # RGBA
+            px = np.frombuffer(payload, np.uint8, 4, pos).copy()
+            pos += 4
+        elif b0 >> 6 == 0:  # INDEX
+            px = index[b0].copy()
+        elif b0 >> 6 == 1:  # DIFF (mod-256 wraparound per spec)
+            d = np.array(
+                [((b0 >> 4) & 3) - 2, ((b0 >> 2) & 3) - 2, (b0 & 3) - 2, 0], np.int16
+            ).astype(np.uint8)
+            px = px + d
+        elif b0 >> 6 == 2:  # LUMA
+            dg = (b0 & 0x3F) - 32
+            b1 = payload[pos]
+            pos += 1
+            d = np.array(
+                [dg + ((b1 >> 4) & 0xF) - 8, dg, dg + (b1 & 0xF) - 8, 0], np.int16
+            ).astype(np.uint8)
+            px = px + d
+        else:  # RUN
+            run = (b0 & 0x3F) + 1
+            if i + run > n:
+                raise ValueError("QOI: run past end")
+            out[i : i + run] = px
+            i += run
+            continue
+        out[i] = px
+        i += 1
+        index[(int(px[0]) * 3 + int(px[1]) * 5 + int(px[2]) * 7 + int(px[3]) * 11) % 64] = px
+    if payload[end : end + 8] != b"\x00" * 7 + b"\x01":
+        raise ValueError("QOI: bad end marker")
+    img = out.reshape(h, w, 4)
+    return np.ascontiguousarray(img[:, :, :ch])

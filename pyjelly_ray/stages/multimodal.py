@@ -62,8 +62,12 @@ def sniff_decode_image(payload: bytes) -> np.ndarray:
         from pyjelly_ray.stages.media_containers import decode_tiff
 
         return decode_tiff(payload)
+    if payload[:4] == b"qoif":
+        from pyjelly_ray.stages.media_containers import decode_qoi
+
+        return decode_qoi(payload)
     raise NotImplementedError(
-        "unknown image codec (PNG/baseline-JPEG/PPM/GIF/BMP/TIFF decode "
+        "unknown image codec (PNG/baseline-JPEG/PPM/GIF/BMP/TIFF/QOI decode "
         "natively; other formats need an image library plugged in here)"
     )
 

@@ -671,3 +671,52 @@ def test_audio_decode_stage_multiformat(ray_session):
     f = [np.array(r["features"]) for r in rows]
     assert np.array_equal(f[0], f[1]) and np.array_equal(f[0], f[2])
     assert np.allclose(f[0], f[3], rtol=0.1, atol=0.05)
+
+
+# ------------------------------------------------------------------ QOI ---
+
+from pyjelly_ray.stages.media_containers import decode_qoi, encode_qoi  # noqa: E402
+
+
+@pytest.mark.parametrize("ch", [3, 4])
+def test_qoi_roundtrip_all_ops(ch):
+    rng = np.random.default_rng(ch)
+    # random (RGB/RGBA ops), gradient (DIFF/LUMA), runs (RUN), palette (INDEX)
+    for img in (
+        rng.integers(0, 256, (31, 43, ch), dtype=np.uint8),
+        np.cumsum(rng.integers(-2, 2, (31, 43, ch)), axis=1).astype(np.uint8),
+        np.repeat(rng.integers(0, 256, (31, 2, ch), dtype=np.uint8), [20, 23], axis=1),
+        np.unique(rng.integers(0, 256, (8, ch), dtype=np.uint8), axis=0)[
+            rng.integers(0, 8, (40, 50))
+        ],
+    ):
+        out = decode_qoi(encode_qoi(img))
+        assert out.shape == img.shape and (out == img).all()
+
+
+def test_qoi_long_run_split():
+    img = np.full((10, 100, 3), 7, np.uint8)  # runs > 62 must split
+    assert (decode_qoi(encode_qoi(img)) == img).all()
+
+
+def test_qoi_corruption():
+    rng = np.random.default_rng(66)
+    good = encode_qoi(rng.integers(0, 256, (16, 16, 4), dtype=np.uint8))
+    for trial in range(80):
+        bad = bytearray(good)
+        if trial % 2 == 0:
+            bad = bad[: rng.integers(4, len(bad))]
+        else:
+            bad[rng.integers(0, len(bad))] ^= 1 << rng.integers(0, 8)
+        try:
+            decode_qoi(bytes(bad))
+        except ValueError:
+            pass
+        except Exception as exc:  # pragma: no cover
+            raise AssertionError(f"non-ValueError: {type(exc).__name__}: {exc}")
+
+
+def test_sniff_decodes_qoi():
+    rng = np.random.default_rng(67)
+    img = rng.integers(0, 256, (9, 9, 3), dtype=np.uint8)
+    assert (sniff_decode_image(encode_qoi(img)) == img).all()
