@@ -610,13 +610,73 @@ def _png_chunk(tag: bytes, body: bytes) -> bytes:
     )
 
 
-def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
+#: Adam7 pass parameters: (x_start, y_start, x_step, y_step)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_filter_lines(byte_rows: np.ndarray, fdist: int, filter_type: int) -> bytes:
+    """Apply one PNG filter to every scanline of a (rows, nbytes) byte
+    image; ``fdist`` is the filter's left-neighbour distance in bytes."""
+    n, nbytes = byte_rows.shape
+    prev = np.zeros(nbytes, np.uint8)
+    lines = []
+    for r in range(n):
+        row = byte_rows[r]
+        left = np.concatenate([np.zeros(fdist, np.uint8), row[:-fdist]]) if nbytes > fdist else np.zeros(nbytes, np.uint8)
+        if filter_type == 0:
+            out = row
+        elif filter_type == 1:
+            out = row - left
+        elif filter_type == 2:
+            out = row - prev
+        elif filter_type == 3:
+            out = row - ((left.astype(np.uint16) + prev.astype(np.uint16)) // 2).astype(np.uint8)
+        elif filter_type == 4:
+            upleft = np.concatenate([np.zeros(fdist, np.uint8), prev[:-fdist]]) if nbytes > fdist else np.zeros(nbytes, np.uint8)
+            out = row - _paeth_predictor(left, prev, upleft)
+        else:
+            raise ValueError("filter_type must be 0..4")
+        lines.append(bytes([filter_type]) + out.tobytes())
+        prev = row
+    return b"".join(lines)
+
+
+def _png_pack_rows(samples: np.ndarray, depth: int) -> np.ndarray:
+    """(ph, pw, ch) samples → (ph, nbytes) packed scanline bytes."""
+    ph, pw, ch = samples.shape
+    if depth == 8:
+        return samples.reshape(ph, pw * ch)
+    # sub-8-bit: single channel, MSB-first bit packing with row padding
+    bits = np.unpackbits(samples[:, :, 0][:, :, None], axis=2, count=8)[:, :, 8 - depth :]
+    flat = bits.reshape(ph, pw * depth)
+    pad = (-flat.shape[1]) % 8
+    if pad:
+        flat = np.concatenate([flat, np.zeros((ph, pad), np.uint8)], axis=1)
+    return np.packbits(flat, axis=1)
+
+
+def _png_pass_dims(w: int, h: int, interlace: bool):
+    if not interlace:
+        return [(0, 0, 1, 1, w, h)]
+    out = []
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        out.append((x0, y0, dx, dy, pw, ph))
+    return out
+
+
+def encode_png(img: np.ndarray, filter_type: int = 0, *, interlace: bool = False) -> bytes:
     """(H, W) or (H, W, C∈{1,2,3,4}) uint8 → PNG bytes (8-bit, zlib).
 
     Pure stdlib+numpy (VERDICT r2 next-round #3).  ``filter_type`` 0–4
     applies that PNG filter to EVERY scanline (filtering on encode uses
     the original bytes, so all five vectorize); decode reconstructs any
     mix of per-row filters, so round-trip tests cover the whole grid.
+    ``interlace=True`` writes Adam7 (each pass filtered independently).
     """
     import struct
     import zlib
@@ -629,34 +689,59 @@ def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
         raise ValueError("encode_png expects (H, W[, C<=4]) uint8")
     h, w, c = img.shape
     color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
-    flat = img.reshape(h, w * c)
-    prev = np.zeros(w * c, np.uint8)
-    lines = []
-    for r in range(h):
-        row = flat[r]
-        left = np.concatenate([np.zeros(c, np.uint8), row[:-c]])
-        if filter_type == 0:
-            out = row
-        elif filter_type == 1:
-            out = row - left
-        elif filter_type == 2:
-            out = row - prev
-        elif filter_type == 3:
-            out = row - ((left.astype(np.uint16) + prev.astype(np.uint16)) // 2).astype(np.uint8)
-        elif filter_type == 4:
-            upleft = np.concatenate([np.zeros(c, np.uint8), prev[:-c]])
-            out = row - _paeth_predictor(left, prev, upleft)
-        else:
-            raise ValueError("filter_type must be 0..4")
-        lines.append(bytes([filter_type]) + out.tobytes())
-        prev = row
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    body = bytearray()
+    for x0, y0, dx, dy, pw, ph in _png_pass_dims(w, h, interlace):
+        if pw == 0 or ph == 0:
+            continue
+        body += _png_filter_lines(
+            img[y0::dy, x0::dx].reshape(ph, pw * c), c, filter_type
+        )
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, int(interlace))
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(b"".join(lines), 6))
+        + _png_chunk(b"IDAT", zlib.compress(bytes(body), 6))
         + _png_chunk(b"IEND", b"")
     )
+
+
+def encode_png_lowdepth(
+    values: np.ndarray,
+    depth: int,
+    *,
+    palette: np.ndarray | None = None,
+    filter_type: int = 0,
+    interlace: bool = False,
+    trns: bytes | None = None,
+) -> bytes:
+    """(H, W) sample image at bit depth 1/2/4/8 → PNG.  With ``palette``
+    ((n, 3) uint8) writes color type 3 (values are palette indices, tRNS
+    optional); without, color type 0 grayscale (values in [0, 2^depth))."""
+    import struct
+    import zlib
+
+    if depth not in (1, 2, 4, 8):
+        raise ValueError("depth must be 1/2/4/8")
+    if values.ndim != 2 or values.dtype != np.uint8:
+        raise ValueError("encode_png_lowdepth expects (H, W) uint8")
+    if int(values.max(initial=0)) >= 1 << depth:
+        raise ValueError("sample exceeds bit depth")
+    h, w = values.shape
+    color_type = 3 if palette is not None else 0
+    body = bytearray()
+    for x0, y0, dx, dy, pw, ph in _png_pass_dims(w, h, interlace):
+        if pw == 0 or ph == 0:
+            continue
+        rows = _png_pack_rows(values[y0::dy, x0::dx][:, :, None], depth)
+        body += _png_filter_lines(rows, 1, filter_type)
+    out = _PNG_SIG + _png_chunk(
+        b"IHDR", struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, int(interlace))
+    )
+    if palette is not None:
+        out += _png_chunk(b"PLTE", np.asarray(palette, np.uint8).tobytes())
+        if trns is not None:
+            out += _png_chunk(b"tRNS", trns)
+    return out + _png_chunk(b"IDAT", zlib.compress(bytes(body), 6)) + _png_chunk(b"IEND", b"")
 
 
 def _paeth_predictor(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
@@ -669,16 +754,63 @@ def _paeth_predictor(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
     ).astype(np.uint8)
 
 
+def _png_unfilter(rows: np.ndarray, nbytes: int, fdist: int) -> np.ndarray:
+    """(n, 1+nbytes) raw scanlines → (n, nbytes) reconstructed bytes.
+    Un-filtering: None/Up fully vectorized; Sub via per-byte-lane
+    cumulative sums (mod-256); Average/Paeth loop scanline positions with
+    vectorized byte lanes (their spec recurrence is inherently sequential
+    in the reconstructed left neighbour)."""
+    n = rows.shape[0]
+    lanes = nbytes // fdist
+    filters = rows[:, 0]
+    data = rows[:, 1:]
+    out = np.empty((n, nbytes), np.uint8)
+    prev = np.zeros(nbytes, np.uint8)
+    for r in range(n):
+        f, row = int(filters[r]), data[r]
+        if f == 0:
+            rec = row.copy()
+        elif f == 1:  # Sub: per-lane cumsum mod 256
+            rec = (
+                np.cumsum(row.reshape(lanes, fdist).astype(np.uint64), axis=0) & 0xFF
+            ).astype(np.uint8).reshape(nbytes)
+        elif f == 2:  # Up
+            rec = row + prev
+        elif f == 3:  # Average: sequential in reconstructed left
+            rec = np.empty(nbytes, np.uint8)
+            px = row.reshape(lanes, fdist)
+            pv = prev.reshape(lanes, fdist)
+            left = np.zeros(fdist, np.uint16)
+            rp = rec.reshape(lanes, fdist)
+            for x in range(lanes):
+                left = px[x] + ((left + pv[x]) // 2).astype(np.uint8)
+                rp[x] = left
+                left = left.astype(np.uint16)
+        elif f == 4:  # Paeth
+            rec = np.empty(nbytes, np.uint8)
+            px = row.reshape(lanes, fdist)
+            pv = prev.reshape(lanes, fdist)
+            rp = rec.reshape(lanes, fdist)
+            left = np.zeros(fdist, np.uint8)
+            upleft = np.zeros(fdist, np.uint8)
+            for x in range(lanes):
+                left = px[x] + _paeth_predictor(left, pv[x], upleft)
+                rp[x] = left
+                upleft = pv[x]
+            rec = rp.reshape(nbytes)
+        else:
+            raise ValueError(f"bad filter byte {f}")
+        out[r] = rec
+        prev = rec
+    return out
+
+
 def decode_png(payload: bytes) -> np.ndarray:
     """PNG → (H, W, C) uint8.  Real decode, stdlib ``zlib`` + numpy only.
 
-    Supports 8-bit depth, color types 0/2/4/6 (gray, RGB, gray+alpha,
-    RGBA) and 3 (palette via PLTE/tRNS), no interlace — the overwhelming
-    majority of real-world PNGs.  Un-filtering: None/Up fully vectorized;
-    Sub via per-byte-lane cumulative sums (mod-256); Average/Paeth loop
-    scanline pixels with vectorized channel lanes (their spec recurrence
-    is inherently sequential in the reconstructed left neighbour).
-    """
+    Supports bit depths 8 (all color types 0/2/3/4/6) and 1/2/4 (gray +
+    palette), Adam7 interlacing, PLTE/tRNS palettes — everything a
+    real-world 8-bit-or-less PNG can be.  16-bit stays rejected."""
     import struct
     import zlib
 
@@ -696,13 +828,17 @@ def decode_png(payload: bytes) -> np.ndarray:
             w, h, depth, color_type, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", body[:13]
             )
-            if depth != 8:
-                raise ValueError("only 8-bit PNG supported")
-            if interlace:
-                raise ValueError("interlaced PNG not supported")
             if color_type not in (0, 2, 3, 4, 6):
                 raise ValueError(f"unsupported color type {color_type}")
+            if depth == 16:
+                raise ValueError("16-bit PNG not supported")
+            if depth not in (1, 2, 4, 8) or (depth != 8 and color_type not in (0, 3)):
+                raise ValueError(f"bad depth {depth} for color type {color_type}")
+            if interlace not in (0, 1):
+                raise ValueError("bad interlace method")
         elif tag == b"PLTE":
+            if len(body) % 3:
+                raise ValueError("bad PLTE length")
             plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
         elif tag == b"tRNS":
             trns = np.frombuffer(body, np.uint8)
@@ -714,66 +850,49 @@ def decode_png(payload: bytes) -> np.ndarray:
     if w is None or not idat:
         raise ValueError("missing IHDR/IDAT")
     c = 1 if color_type == 3 else _PNG_CHANNELS[color_type]
+    fdist = max(1, depth * c // 8)
     try:
         inflated = zlib.decompress(b"".join(idat))
     except zlib.error as e:
         raise ValueError(f"corrupt IDAT stream: {e}") from e
     raw = np.frombuffer(inflated, np.uint8)
-    stride = 1 + w * c
-    if len(raw) != h * stride:
-        raise ValueError("IDAT size mismatch")
-    raw = raw.reshape(h, stride)
-    filters = raw[:, 0]
-    data = raw[:, 1:]
-    out = np.empty((h, w * c), np.uint8)
-    prev = np.zeros(w * c, np.uint8)
-    for r in range(h):
-        f, row = int(filters[r]), data[r]
-        if f == 0:
-            rec = row.copy()
-        elif f == 1:  # Sub: per-lane cumsum mod 256
-            rec = (
-                np.cumsum(row.reshape(w, c).astype(np.uint64), axis=0) & 0xFF
-            ).astype(np.uint8).reshape(w * c)
-        elif f == 2:  # Up
-            rec = row + prev
-        elif f == 3:  # Average: sequential in reconstructed left
-            rec = np.empty(w * c, np.uint8)
-            px = row.reshape(w, c)
-            pv = prev.reshape(w, c)
-            left = np.zeros(c, np.uint16)
-            rp = rec.reshape(w, c)
-            for x in range(w):
-                left = px[x] + ((left + pv[x]) // 2).astype(np.uint8)
-                rp[x] = left
-                left = left.astype(np.uint16)
-        elif f == 4:  # Paeth
-            rec = np.empty(w * c, np.uint8)
-            px = row.reshape(w, c)
-            pv = prev.reshape(w, c)
-            rp = rec.reshape(w, c)
-            left = np.zeros(c, np.uint8)
-            upleft = np.zeros(c, np.uint8)
-            for x in range(w):
-                left = px[x] + _paeth_predictor(left, pv[x], upleft)
-                rp[x] = left
-                upleft = pv[x]
-            rec = rp.reshape(w * c)
+
+    samples = np.zeros((h, w, c), np.uint8)
+    pos = 0
+    for x0, y0, dx, dy, pw, ph in _png_pass_dims(w, h, bool(interlace)):
+        if pw == 0 or ph == 0:
+            continue
+        nbytes = (pw * c * depth + 7) // 8
+        need = ph * (1 + nbytes)
+        if pos + need > len(raw):
+            raise ValueError("IDAT size mismatch")
+        rec = _png_unfilter(raw[pos : pos + need].reshape(ph, 1 + nbytes), nbytes, fdist)
+        pos += need
+        if depth == 8:
+            samples[y0::dy, x0::dx] = rec.reshape(ph, pw, c)
         else:
-            raise ValueError(f"bad filter byte {f}")
-        out[r] = rec
-        prev = rec
+            bits = np.unpackbits(rec, axis=1)[:, : pw * depth]
+            weights = 1 << np.arange(depth - 1, -1, -1)
+            vals = (bits.reshape(ph, pw, depth) * weights).sum(axis=2).astype(np.uint8)
+            samples[y0::dy, x0::dx, 0] = vals
+    if pos != len(raw):
+        raise ValueError("IDAT size mismatch")
+
     if color_type == 3:
         if plte is None:
             raise ValueError("palette PNG without PLTE")
-        idx = out.reshape(h, w)
+        idx = samples[:, :, 0]
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ValueError("palette index out of range")
         rgb = plte[idx]
         if trns is not None:
             alpha = np.full(len(plte), 255, np.uint8)
             alpha[: len(trns)] = trns
             return np.concatenate([rgb, alpha[idx][:, :, None]], axis=2)
         return rgb
-    return out.reshape(h, w, c)
+    if color_type == 0 and depth < 8:
+        samples = samples * np.uint8(255 // ((1 << depth) - 1))
+    return samples
 
 
 class PNGImageStage:

@@ -720,3 +720,61 @@ def test_sniff_decodes_qoi():
     rng = np.random.default_rng(67)
     img = rng.integers(0, 256, (9, 9, 3), dtype=np.uint8)
     assert (sniff_decode_image(encode_qoi(img)) == img).all()
+
+
+# -------------------------------------- PNG Adam7 + low-depth hardening ---
+
+from pyjelly_ray.stages.multimodal import encode_png, encode_png_lowdepth  # noqa: E402
+
+
+@pytest.mark.parametrize("channels", [1, 2, 3, 4])
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+def test_png_adam7_roundtrip(channels, filter_type):
+    rng = np.random.default_rng(channels * 5 + filter_type)
+    for shape in ((13, 17), (1, 1), (8, 8), (9, 1), (1, 9), (7, 33)):
+        img = rng.integers(0, 256, (*shape, channels), dtype=np.uint8)
+        out = decode_png(encode_png(img, filter_type, interlace=True))
+        assert (out == img).all(), shape
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+@pytest.mark.parametrize("interlace", [False, True])
+def test_png_lowdepth_gray(depth, interlace):
+    rng = np.random.default_rng(depth)
+    v = rng.integers(0, 1 << depth, (11, 23), dtype=np.uint8)
+    for ft in range(5):
+        out = decode_png(
+            encode_png_lowdepth(v, depth, filter_type=ft, interlace=interlace)
+        )
+        assert (out[:, :, 0] == v * (255 // ((1 << depth) - 1))).all()
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4, 8])
+def test_png_lowdepth_palette(depth):
+    rng = np.random.default_rng(depth + 40)
+    n = 1 << min(depth, 4)
+    pal = rng.integers(0, 256, (n, 3), dtype=np.uint8)
+    idx = rng.integers(0, n, (14, 19), dtype=np.uint8)
+    for interlace in (False, True):
+        out = decode_png(encode_png_lowdepth(idx, depth, palette=pal, interlace=interlace))
+        assert (out == pal[idx]).all()
+    # tRNS makes index 0 transparent
+    outa = decode_png(encode_png_lowdepth(idx, depth, palette=pal, trns=bytes([0])))
+    assert outa.shape[2] == 4 and ((outa[:, :, 3] == 0) == (idx == 0)).all()
+
+
+def test_png_16bit_still_rejected():
+    import struct as _s
+    import zlib as _z
+
+    from pyjelly_ray.stages.multimodal import _png_chunk
+
+    ihdr = _s.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _z.compress(bytes(2 * (1 + 4))))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="16-bit"):
+        decode_png(payload)
