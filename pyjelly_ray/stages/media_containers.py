@@ -394,6 +394,12 @@ def decode_bmp(payload: bytes) -> np.ndarray:
             raise ValueError("BMP: truncated pixel data")
         rows = np.frombuffer(payload, np.uint8, row_bytes * h, data_off)
         img = rows.reshape(h, row_bytes)[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]
+    elif bpp == 32:  # BI_RGB 32-bit: BGRx, 4th byte is padding by convention
+        need = data_off + 4 * w * h
+        if len(payload) < need:
+            raise ValueError("BMP: truncated pixel data")
+        rows = np.frombuffer(payload, np.uint8, 4 * w * h, data_off)
+        img = rows.reshape(h, w, 4)[:, :, 2::-1]
     elif bpp == 8:
         n_colors = struct.unpack_from("<I", payload, 46)[0] or 256
         pal_off = 14 + hdr_size
@@ -409,7 +415,7 @@ def decode_bmp(payload: bytes) -> np.ndarray:
             raise ValueError("BMP: palette index out of range")
         img = pal[idx]
     else:
-        raise ValueError(f"BMP: {bpp}-bit not supported (24/8 only)")
+        raise ValueError(f"BMP: {bpp}-bit not supported (32/24/8 only)")
     return np.ascontiguousarray(img if top_down else img[::-1])
 
 

@@ -1152,10 +1152,11 @@ def _fdct_quant(plane: np.ndarray, qtab: np.ndarray) -> np.ndarray:
 
 
 def encode_jpeg(img: np.ndarray, quality: int = 85, *,
-                subsample: bool = False, restart_interval: int = 0) -> bytes:
+                subsample: bool | str = False, restart_interval: int = 0) -> bytes:
     """Baseline JFIF encoder.  ``img``: uint8 (H,W,3) RGB or (H,W,1)/(H,W)
-    grayscale.  ``subsample=True`` → 4:2:0 chroma (2×2 box average),
-    else 4:4:4.  ``restart_interval``: MCUs between RSTn markers (0=off)."""
+    grayscale.  ``subsample``: False/"444" → 4:4:4; True/"420" → 4:2:0
+    (2×2 box average); "422" → 4:2:2 (horizontal); "440" → 4:4:0
+    (vertical).  ``restart_interval``: MCUs between RSTn markers (0=off)."""
     import struct
 
     if img.ndim == 2:
@@ -1174,7 +1175,13 @@ def encode_jpeg(img: np.ndarray, quality: int = 85, *,
         cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
         cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
         planes = [y, cb, cr]
-        samp = [(2, 2), (1, 1), (1, 1)] if subsample else [(1, 1), (1, 1), (1, 1)]
+        y_samp = {
+            False: (1, 1), "444": (1, 1), True: (2, 2), "420": (2, 2),
+            "422": (2, 1), "440": (1, 2),
+        }.get(subsample)
+        if y_samp is None:
+            raise ValueError("subsample must be False/True/'444'/'420'/'422'/'440'")
+        samp = [y_samp, (1, 1), (1, 1)]
 
     hmax = max(s[0] for s in samp)
     vmax = max(s[1] for s in samp)

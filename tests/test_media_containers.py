@@ -778,3 +778,48 @@ def test_png_16bit_still_rejected():
     )
     with pytest.raises(ValueError, match="16-bit"):
         decode_png(payload)
+
+
+# ----------------------------------------- JPEG 4:2:2 / 4:4:0 hardening ---
+
+from pyjelly_ray.stages.multimodal import decode_jpeg, encode_jpeg  # noqa: E402
+
+
+@pytest.mark.parametrize("mode", ["444", "420", "422", "440"])
+def test_jpeg_chroma_modes(mode):
+    rng = np.random.default_rng(3)
+    base = np.linspace(0, 255, 37)[None, :, None] + np.linspace(0, 40, 29)[:, None, None]
+    img = np.clip(base + rng.integers(0, 30, (29, 37, 3)), 0, 255).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=95, subsample=mode))
+    assert out.shape == img.shape
+    assert np.abs(out.astype(int) - img).mean() < 12
+
+
+@pytest.mark.parametrize("mode", ["422", "440"])
+@pytest.mark.parametrize("shape", [(15, 17), (16, 15), (8, 9), (9, 8), (1, 1), (7, 23)])
+def test_jpeg_422_440_odd_sizes_with_restarts(mode, shape):
+    img = np.clip(
+        np.linspace(0, 255, shape[1])[None, :, None] + np.zeros((*shape, 3)), 0, 255
+    ).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=95, subsample=mode, restart_interval=2))
+    assert out.shape == img.shape
+    assert np.abs(out.astype(int) - img).mean() < 12
+
+
+def test_jpeg_bad_subsample_rejected():
+    img = np.zeros((8, 8, 3), np.uint8)
+    with pytest.raises(ValueError, match="subsample"):
+        encode_jpeg(img, subsample="411")
+
+
+def test_bmp_32bit():
+    rng = np.random.default_rng(90)
+    img = rng.integers(0, 256, (7, 9, 3), dtype=np.uint8)
+    bgrx = np.zeros((7, 9, 4), np.uint8)
+    bgrx[:, :, :3] = img[::-1, :, ::-1]  # bottom-up BGR + pad byte
+    payload = (
+        struct.pack("<2sIHHI", b"BM", 54 + bgrx.size, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 9, 7, 1, 32, 0, bgrx.size, 0, 0, 0, 0)
+        + bgrx.tobytes()
+    )
+    assert (decode_bmp(payload) == img).all()
