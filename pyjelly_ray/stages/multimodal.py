@@ -185,13 +185,19 @@ class FrameSampleStub:
                     from pyjelly_ray.stages.media_containers import decode_mp4_video
 
                     clip = decode_mp4_video(p)
+                elif p[:4] == b"\x1a\x45\xdf\xa3":
+                    # Matroska/WebM: EBML demux real; V_UNCOMPRESSED decodes
+                    from pyjelly_ray.stages.media_containers import decode_mkv_video
+
+                    clip = decode_mkv_video(p)
                 elif p.startswith(b"RAWV"):
                     clip = decode_rawvideo(p)
                 else:
                     raise NotImplementedError(
-                        "unknown video container; MP4 ('raw ' tracks) and RAWV "
-                        "raw-RGB payloads sample natively — compressed "
-                        "bitstreams need a codec library"
+                        "unknown video container; MP4 ('raw ' tracks), "
+                        "Matroska (V_UNCOMPRESSED) and RAWV raw-RGB payloads "
+                        "sample natively — compressed bitstreams need a codec "
+                        "library"
                     )
                 idx = np.linspace(0, clip.shape[0] - 1, self.n_frames).astype(int)
                 for i, fi in enumerate(idx):
@@ -744,6 +750,38 @@ def encode_png_lowdepth(
     return out + _png_chunk(b"IDAT", zlib.compress(bytes(body), 6)) + _png_chunk(b"IEND", b"")
 
 
+def encode_png16(
+    img: np.ndarray, filter_type: int = 0, *, interlace: bool = False
+) -> bytes:
+    """(H, W[, C∈{1,2,3,4}]) uint16 → 16-bit PNG (big-endian samples)."""
+    import struct
+    import zlib
+
+    if img.dtype != np.uint16:
+        raise ValueError("encode_png16 expects uint16")
+    if img.ndim == 2:
+        img = img[:, :, None]
+    if img.ndim != 3 or img.shape[2] not in (1, 2, 3, 4):
+        raise ValueError("encode_png16 expects (H, W[, C<=4]) uint16")
+    h, w, c = img.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    body = bytearray()
+    for x0, y0, dx, dy, pw, ph in _png_pass_dims(w, h, interlace):
+        if pw == 0 or ph == 0:
+            continue
+        rows = (
+            img[y0::dy, x0::dx].astype(">u2").view(np.uint8).reshape(ph, pw * c * 2)
+        )
+        body += _png_filter_lines(rows, 2 * c, filter_type)
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, color_type, 0, 0, int(interlace))
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(body), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def _paeth_predictor(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
     """Vectorized Paeth predictor over uint8 arrays (spec arithmetic in int16)."""
     a16, b16, c16 = (x.astype(np.int16) for x in (a, b, c))
@@ -808,9 +846,26 @@ def _png_unfilter(rows: np.ndarray, nbytes: int, fdist: int) -> np.ndarray:
 def decode_png(payload: bytes) -> np.ndarray:
     """PNG → (H, W, C) uint8.  Real decode, stdlib ``zlib`` + numpy only.
 
-    Supports bit depths 8 (all color types 0/2/3/4/6) and 1/2/4 (gray +
-    palette), Adam7 interlacing, PLTE/tRNS palettes — everything a
-    real-world 8-bit-or-less PNG can be.  16-bit stays rejected."""
+    Supports bit depths 8 (all color types 0/2/3/4/6), 1/2/4 (gray +
+    palette) and 16 (rendered via the standard high-byte convention —
+    use :func:`decode_png16` for full 16-bit fidelity), Adam7 interlacing,
+    PLTE/tRNS palettes — everything a real-world PNG can be."""
+    out = _decode_png_impl(payload)
+    if out.dtype == np.uint16:
+        return (out >> 8).astype(np.uint8)
+    return out
+
+
+def decode_png16(payload: bytes) -> np.ndarray:
+    """PNG → (H, W, C) uint16 at full fidelity (8-bit-or-less inputs are
+    scaled by 257 / bit-replication to the 16-bit domain per the spec)."""
+    out = _decode_png_impl(payload)
+    if out.dtype == np.uint16:
+        return out
+    return out.astype(np.uint16) * 257
+
+
+def _decode_png_impl(payload: bytes) -> np.ndarray:
     import struct
     import zlib
 
@@ -830,9 +885,11 @@ def decode_png(payload: bytes) -> np.ndarray:
             )
             if color_type not in (0, 2, 3, 4, 6):
                 raise ValueError(f"unsupported color type {color_type}")
-            if depth == 16:
-                raise ValueError("16-bit PNG not supported")
-            if depth not in (1, 2, 4, 8) or (depth != 8 and color_type not in (0, 3)):
+            if depth == 16 and color_type == 3:
+                raise ValueError("16-bit palette PNG is invalid")
+            if depth not in (1, 2, 4, 8, 16) or (
+                depth in (1, 2, 4) and color_type not in (0, 3)
+            ):
                 raise ValueError(f"bad depth {depth} for color type {color_type}")
             if interlace not in (0, 1):
                 raise ValueError("bad interlace method")
@@ -857,7 +914,7 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise ValueError(f"corrupt IDAT stream: {e}") from e
     raw = np.frombuffer(inflated, np.uint8)
 
-    samples = np.zeros((h, w, c), np.uint8)
+    samples = np.zeros((h, w, c), np.uint16 if depth == 16 else np.uint8)
     pos = 0
     for x0, y0, dx, dy, pw, ph in _png_pass_dims(w, h, bool(interlace)):
         if pw == 0 or ph == 0:
@@ -868,7 +925,10 @@ def decode_png(payload: bytes) -> np.ndarray:
             raise ValueError("IDAT size mismatch")
         rec = _png_unfilter(raw[pos : pos + need].reshape(ph, 1 + nbytes), nbytes, fdist)
         pos += need
-        if depth == 8:
+        if depth == 16:
+            pairs = rec.reshape(ph, pw, c, 2).astype(np.uint16)
+            samples[y0::dy, x0::dx] = (pairs[..., 0] << 8) | pairs[..., 1]
+        elif depth == 8:
             samples[y0::dy, x0::dx] = rec.reshape(ph, pw, c)
         else:
             bits = np.unpackbits(rec, axis=1)[:, : pw * depth]
@@ -964,12 +1024,17 @@ def synth_png_table(n: int = 32, seed: int = 11, h: int = 24, w: int = 32) -> pa
 # JPEG (baseline sequential DCT) — REAL codec, stdlib + numpy only.
 #
 # Encoder: JFIF baseline, standard Annex-K quant/huffman tables with libjpeg
-# quality scaling, 4:4:4 or 4:2:0 chroma, optional restart intervals,
-# grayscale single-component mode.  Decoder: full baseline parse (DQT 8/16
-# bit, SOF0, DHT, DRI/RSTn, APPn/COM skip), huffman entropy decode,
-# dequantize, vectorized 2D IDCT over all blocks at once, chroma upsample
-# for sampling factors {1,2}×{1,2}, YCbCr→RGB.  Progressive (SOF2) and
-# arithmetic coding are rejected with a clear error.  Reference posture:
+# quality scaling, 4:4:4/4:2:0/4:2:2/4:4:0 chroma, optional restart
+# intervals, grayscale single-component mode, AND a progressive (SOF2)
+# mode emitting a DC-first → AC-first → DC-refine → AC-refine scan script.
+# Decoder: full baseline parse (DQT 8/16 bit, SOF0, DHT, DRI/RSTn,
+# APPn/COM skip), huffman entropy decode, dequantize, vectorized 2D IDCT
+# over all blocks at once, chroma upsample for sampling factors
+# {1,2}×{1,2}, YCbCr→RGB — plus full progressive (SOF2) scan decode:
+# spectral selection, successive approximation (DC/AC first + refinement),
+# EOB runs, non-interleaved component grids, restarts inside scans.
+# Arithmetic coding and hierarchical modes are rejected with a clear
+# error.  Reference posture:
 # the reference repo treats images as opaque payloads (SURVEY §2.2); this
 # codec exists so the multimodal actor-pool stages decode REAL bytes.
 # ---------------------------------------------------------------------------
@@ -1095,6 +1160,7 @@ class _BitWriter:
             self.buf.append(b)
             if b == 0xFF:
                 self.buf.append(0x00)  # byte stuffing
+        self.acc &= (1 << self.nbits) - 1  # keep the accumulator bounded
 
     def flush(self) -> None:
         if self.nbits:
@@ -1152,11 +1218,16 @@ def _fdct_quant(plane: np.ndarray, qtab: np.ndarray) -> np.ndarray:
 
 
 def encode_jpeg(img: np.ndarray, quality: int = 85, *,
-                subsample: bool | str = False, restart_interval: int = 0) -> bytes:
-    """Baseline JFIF encoder.  ``img``: uint8 (H,W,3) RGB or (H,W,1)/(H,W)
-    grayscale.  ``subsample``: False/"444" → 4:4:4; True/"420" → 4:2:0
-    (2×2 box average); "422" → 4:2:2 (horizontal); "440" → 4:4:0
-    (vertical).  ``restart_interval``: MCUs between RSTn markers (0=off)."""
+                subsample: bool | str = False, restart_interval: int = 0,
+                progressive: bool = False) -> bytes:
+    """Baseline or progressive JFIF encoder.  ``img``: uint8 (H,W,3) RGB or
+    (H,W,1)/(H,W) grayscale.  ``subsample``: False/"444" → 4:4:4;
+    True/"420" → 4:2:0 (2×2 box average); "422" → 4:2:2 (horizontal);
+    "440" → 4:4:0 (vertical).  ``restart_interval``: scan units between
+    RSTn markers (0=off).  ``progressive=True`` emits SOF2 with a
+    DC-first(Al=1) → AC-first-per-component(Al=1) → DC-refine →
+    AC-refine-per-component scan script; the quantized coefficients are
+    identical to the baseline encoding, so both decode bit-identically."""
     import struct
 
     if img.ndim == 2:
@@ -1208,6 +1279,12 @@ def encode_jpeg(img: np.ndarray, quality: int = 85, *,
                 _build_huffman_codes(*_HUFF_DC_CHR)]
     ac_codes = [_build_huffman_codes(*_HUFF_AC_LUM),
                 _build_huffman_codes(*_HUFF_AC_CHR)]
+
+    if progressive:
+        return _encode_jpeg_progressive(
+            h, w, gray, samp, comp_blocks, qlum, qchr,
+            mcus_x, mcus_y, restart_interval, dc_codes,
+        )
 
     wtr = _BitWriter()
     prev_dc = [0] * len(planes)
@@ -1264,6 +1341,255 @@ def encode_jpeg(img: np.ndarray, quality: int = 85, *,
     out += seg(0xDA, sos)
     out += entropy
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+#: full-coverage AC table for progressive scans: every (run, size≤10)
+#: symbol — including the EOBn codes (r<<4)|0 absent from the Annex-K
+#: baseline tables — as an incomplete-but-valid all-8-bit canonical code.
+_PROG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0]
+_PROG_AC_VALS = [(rr << 4) | s for rr in range(16) for s in range(11)]
+
+
+def _encode_jpeg_progressive(h, w, gray, samp, comp_blocks, qlum, qchr,
+                             mcus_x, mcus_y, restart_interval, dc_codes) -> bytes:
+    import struct
+
+    ncs = 1 if gray else 3
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    pac = _build_huffman_codes(_PROG_AC_BITS, _PROG_AC_VALS)
+
+    # zigzag-order coefficient grids + non-interleaved dims per component
+    zz, ni = [], []
+    for ci in range(ncs):
+        g = comp_blocks[ci]
+        bh, bw = g.shape[0], g.shape[1]
+        zz.append(g.reshape(bh, bw, 64)[:, :, _ZZ].astype(np.int64))
+        sh, sv = samp[ci]
+        ni.append((((w * sh + hmax - 1) // hmax + 7) // 8,
+                   ((h * sv + vmax - 1) // vmax + 7) // 8))
+
+    def run_scan(units, unit_fn, reset_fn, flush_fn):
+        wtr = _BitWriter()
+        entropy = bytearray()
+        rst = 0
+        for u in range(units):
+            if restart_interval and u and u % restart_interval == 0:
+                flush_fn(wtr)
+                wtr.flush()
+                entropy += wtr.buf
+                entropy += bytes([0xFF, 0xD0 + (rst & 7)])
+                rst += 1
+                wtr = _BitWriter()
+                reset_fn()
+            unit_fn(wtr, u)
+        flush_fn(wtr)
+        wtr.flush()
+        entropy += wtr.buf
+        return bytes(entropy)
+
+    def sos(comp_ids_tabs, ss, se, ah, al) -> bytes:
+        body = bytes([len(comp_ids_tabs)])
+        for cid, tabs in comp_ids_tabs:
+            body += bytes([cid, tabs])
+        body += bytes([ss, se, (ah << 4) | al])
+        return struct.pack(">BBH", 0xFF, 0xDA, len(body) + 2) + body
+
+    scans = bytearray()
+
+    # ---- scan 1: DC first, Al=1 (interleaved for color, single for gray)
+    prev = [0] * ncs
+
+    def dc_reset():
+        prev[:] = [0] * ncs
+
+    if ncs > 1:
+        def dc_first_unit(wtr, u):
+            mx, my = u % mcus_x, u // mcus_x
+            for ci in range(ncs):
+                sh, sv = samp[ci]
+                tsel = 0 if ci == 0 else 1
+                for by in range(sv):
+                    for bx in range(sh):
+                        dc = int(zz[ci][my * sv + by, mx * sh + bx, 0]) >> 1
+                        s_, bits_ = _magnitude(dc - prev[ci])
+                        prev[ci] = dc
+                        code, ln = dc_codes[tsel][s_]
+                        wtr.write(code, ln)
+                        if s_:
+                            wtr.write(bits_, s_)
+        dc_units = mcus_x * mcus_y
+    else:
+        bwni, bhni = ni[0]
+
+        def dc_first_unit(wtr, u):
+            dc = int(zz[0][u // bwni, u % bwni, 0]) >> 1
+            s_, bits_ = _magnitude(dc - prev[0])
+            prev[0] = dc
+            code, ln = dc_codes[0][s_]
+            wtr.write(code, ln)
+            if s_:
+                wtr.write(bits_, s_)
+        dc_units = ni[0][0] * ni[0][1]
+
+    scans += sos([(ci + 1, (0 if ci == 0 else 1) << 4) for ci in range(ncs)], 0, 0, 0, 1)
+    scans += run_scan(dc_units, dc_first_unit, dc_reset, lambda wtr: None)
+
+    # ---- AC first scans, Al=1, one per component
+    for ci in range(ncs):
+        bwni, bhni = ni[ci]
+        state = {"eobrun": 0}
+
+        def ac_flush(wtr, state=state):
+            if state["eobrun"]:
+                eb = state["eobrun"]
+                nb = eb.bit_length() - 1
+                code, ln = pac[nb << 4]
+                wtr.write(code, ln)
+                if nb:
+                    wtr.write(eb - (1 << nb), nb)
+                state["eobrun"] = 0
+
+        def ac_first_unit(wtr, u, ci=ci, bwni=bwni, state=state, ac_flush=ac_flush):
+            blk = zz[ci][u // bwni, u % bwni]
+            run = 0
+            for k in range(1, 64):
+                v = int(blk[k])
+                t = abs(v) >> 1
+                if v < 0:
+                    t = -t
+                if t == 0:
+                    run += 1
+                    continue
+                ac_flush(wtr)
+                while run > 15:
+                    code, ln = pac[0xF0]
+                    wtr.write(code, ln)
+                    run -= 16
+                s_, bits_ = _magnitude(t)
+                code, ln = pac[(run << 4) | s_]
+                wtr.write(code, ln)
+                wtr.write(bits_, s_)
+                run = 0
+            if run:
+                state["eobrun"] += 1
+                if state["eobrun"] == 0x7FFF:
+                    ac_flush(wtr)
+
+        def ac_reset(state=state):
+            state["eobrun"] = 0
+
+        scans += sos([(ci + 1, 0)], 1, 63, 0, 1)
+        scans += run_scan(bwni * bhni, ac_first_unit, ac_reset, ac_flush)
+
+    # ---- DC refinement scan (Ah=1, Al=0): one raw bit per block
+    if ncs > 1:
+        def dc_ref_unit(wtr, u):
+            mx, my = u % mcus_x, u // mcus_x
+            for ci in range(ncs):
+                sh, sv = samp[ci]
+                for by in range(sv):
+                    for bx in range(sh):
+                        wtr.write(int(zz[ci][my * sv + by, mx * sh + bx, 0]) & 1, 1)
+    else:
+        bwni = ni[0][0]
+
+        def dc_ref_unit(wtr, u):
+            wtr.write(int(zz[0][u // bwni, u % bwni, 0]) & 1, 1)
+
+    scans += sos([(ci + 1, 0) for ci in range(ncs)], 0, 0, 1, 0)
+    scans += run_scan(dc_units, dc_ref_unit, lambda: None, lambda wtr: None)
+
+    # ---- AC refinement scans (Ah=1, Al=0), one per component
+    for ci in range(ncs):
+        bwni, bhni = ni[ci]
+        state = {"eobrun": 0, "pending": []}
+
+        def ref_flush(wtr, state=state):
+            if state["eobrun"]:
+                eb = state["eobrun"]
+                nb = eb.bit_length() - 1
+                code, ln = pac[nb << 4]
+                wtr.write(code, ln)
+                if nb:
+                    wtr.write(eb - (1 << nb), nb)
+                for b in state["pending"]:
+                    wtr.write(b, 1)
+                state["eobrun"] = 0
+                state["pending"] = []
+
+        def ac_ref_unit(wtr, u, ci=ci, bwni=bwni, state=state, ref_flush=ref_flush):
+            blk = zz[ci][u // bwni, u % bwni]
+            absv = [0] * 64
+            eob = 0
+            for k in range(1, 64):
+                a = abs(int(blk[k]))
+                absv[k] = a
+                if a == 1:
+                    eob = k
+            run = 0
+            br: list[int] = []
+            for k in range(1, 64):
+                t = absv[k]
+                if t == 0:
+                    run += 1
+                    continue
+                while run > 15 and k <= eob:
+                    ref_flush(wtr)
+                    code, ln = pac[0xF0]
+                    wtr.write(code, ln)
+                    run -= 16
+                    for b in br:
+                        wtr.write(b, 1)
+                    br = []
+                if t > 1:
+                    br.append(t & 1)
+                    continue
+                ref_flush(wtr)
+                code, ln = pac[(run << 4) | 1]
+                wtr.write(code, ln)
+                wtr.write(1 if int(blk[k]) >= 0 else 0, 1)
+                for b in br:
+                    wtr.write(b, 1)
+                br = []
+                run = 0
+            if run > 0 or br:
+                state["eobrun"] += 1
+                state["pending"].extend(br)
+                if state["eobrun"] == 0x7FFF:
+                    ref_flush(wtr)
+
+        def ref_reset(state=state):
+            state["eobrun"] = 0
+            state["pending"] = []
+
+        scans += sos([(ci + 1, 0)], 1, 63, 1, 0)
+        scans += run_scan(bwni * bhni, ac_ref_unit, ref_reset, ref_flush)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, b"\x00" + bytes(qlum.astype(np.uint8).reshape(-1)[_ZZ]))
+    if not gray:
+        out += seg(0xDB, b"\x01" + bytes(qchr.astype(np.uint8).reshape(-1)[_ZZ]))
+    sof = struct.pack(">BHHB", 8, h, w, ncs)
+    for ci in range(ncs):
+        sh, sv = samp[ci]
+        sof += struct.pack(">BBB", ci + 1, (sh << 4) | sv, 0 if ci == 0 else 1)
+    out += seg(0xC2, sof)  # SOF2: progressive
+    tables = [(0x00, _HUFF_DC_LUM)]
+    if not gray:
+        tables.append((0x01, _HUFF_DC_CHR))
+    tables.append((0x10, (_PROG_AC_BITS, _PROG_AC_VALS)))
+    for tc, (bits, values) in tables:
+        out += seg(0xC4, bytes([tc]) + bytes(bits) + bytes(values))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    out += scans
+    out += b"\xff\xd9"
     return bytes(out)
 
 
@@ -1358,7 +1684,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
 
     try:
         return _decode_jpeg_inner(payload)
-    except (IndexError, KeyError, OverflowError, struct.error) as e:
+    except (IndexError, KeyError, OverflowError, ZeroDivisionError, struct.error) as e:
         raise ValueError(f"corrupt JPEG: {type(e).__name__}: {e}") from e
 
 
@@ -1373,6 +1699,8 @@ def _decode_jpeg_inner(payload: bytes) -> np.ndarray:
     htabs: dict[tuple[int, int], dict] = {}
     comps = None
     h = w = 0
+    hmax = vmax = mcus_x = mcus_y = 0
+    progressive = False
     restart_interval = 0
     scan = None
     while pos < len(d):
@@ -1410,19 +1738,50 @@ def _decode_jpeg_inner(payload: bytes) -> np.ndarray:
                 values = list(body[i + 17 : i + 17 + n])
                 htabs[(tc, th)] = _build_decode_table(bits, values)
                 i += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:
+        elif marker in (0xC0, 0xC1, 0xC2):
+            progressive = marker == 0xC2
             _prec, h, w, nc = struct.unpack(">BHHB", body[:6])
             comps = []
             for ci in range(nc):
                 cid, sf, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                if not (1 <= sf >> 4 <= 4 and 1 <= sf & 0xF <= 4):
+                    raise ValueError("bad JPEG sampling factors")
                 comps.append({"id": cid, "h": sf >> 4, "v": sf & 0xF, "tq": tq})
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+            mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+            for c in comps:
+                c["bw"] = mcus_x * c["h"]
+                c["bh"] = mcus_y * c["v"]
+                # non-interleaved (single-component) scan block dims
+                c["bw_ni"] = ((w * c["h"] + hmax - 1) // hmax + 7) // 8
+                c["bh_ni"] = ((h * c["v"] + vmax - 1) // vmax + 7) // 8
+                c["coef"] = np.zeros((c["bh"] * c["bw"], 64), np.int32)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
-            raise ValueError("only baseline JPEG (SOF0/SOF1) is supported")
+            raise ValueError("only baseline (SOF0/1) and progressive (SOF2) supported")
         elif marker == 0xDD:
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:
+            if comps is None:
+                raise ValueError("SOS before SOF")
             ns = body[0]
+            if progressive:
+                order = []
+                for ci in range(ns):
+                    cs, tt = body[1 + 2 * ci], body[2 + 2 * ci]
+                    cmp = next((c for c in comps if c["id"] == cs), None)
+                    if cmp is None:
+                        raise ValueError("SOS names unknown component")
+                    order.append((cmp, tt >> 4, tt & 0xF))
+                ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+                ahal = body[3 + 2 * ns]
+                pos = _decode_prog_scan(
+                    d, pos, comps, order, ss, se, ahal >> 4, ahal & 0xF,
+                    htabs, restart_interval, mcus_x, mcus_y,
+                )
+                continue
             sel = {}
             for ci in range(ns):
                 cs, tt = body[1 + 2 * ci], body[2 + 2 * ci]
@@ -1430,18 +1789,17 @@ def _decode_jpeg_inner(payload: bytes) -> np.ndarray:
             scan = (sel, pos)
             break
         # APPn / COM: skipped
-    if comps is None or scan is None:
+    if comps is None:
+        raise ValueError("truncated JPEG (no SOF/SOS)")
+    if progressive:
+        if not comps[0].get("saw_scan"):
+            raise ValueError("progressive JPEG with no scans")
+        return _jpeg_finish(comps, qtabs, h, w, hmax, vmax)
+    if scan is None:
         raise ValueError("truncated JPEG (no SOF/SOS)")
     sel, entropy_pos = scan
 
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
-    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
     for c in comps:
-        c["bw"] = mcus_x * c["h"]
-        c["bh"] = mcus_y * c["v"]
-        c["coef"] = np.zeros((c["bh"] * c["bw"], 64), np.int32)
         c["dc_t"], c["ac_t"] = sel[c["id"]]
 
     r = _BitReader(d, entropy_pos)
@@ -1485,7 +1843,11 @@ def _decode_jpeg_inner(payload: bytes) -> np.ndarray:
                             raise ValueError("unexpected restart marker")
             mcu_idx += 1
 
-    # dequant + IDCT, vectorized per component over all blocks
+    return _jpeg_finish(comps, qtabs, h, w, hmax, vmax)
+
+
+def _jpeg_finish(comps, qtabs, h, w, hmax, vmax) -> np.ndarray:
+    """Dequant + vectorized IDCT + chroma upsample + color convert."""
     planes = []
     for c in comps:
         q = qtabs[c["tq"]]
@@ -1515,6 +1877,172 @@ def _decode_jpeg_inner(payload: bytes) -> np.ndarray:
         b_ = y + 1.772 * (cb - 128.0)
         out = np.stack([r_, g_, b_], axis=2)
     return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+def _next_marker(d: bytes, pos: int) -> int:
+    """Advance past entropy-coded data to the next real marker (skips
+    byte-stuffed 0xFF00 and RSTn)."""
+    i = pos
+    n = len(d)
+    while i + 1 < n:
+        if d[i] == 0xFF:
+            nxt = d[i + 1]
+            if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                i += 2
+                continue
+            if nxt == 0xFF:  # fill byte
+                i += 1
+                continue
+            return i
+        i += 1
+    raise ValueError("truncated JPEG (no marker after scan)")
+
+
+def _decode_prog_scan(d, pos, comps, order, ss, se, ah, al,
+                      htabs, restart_interval, mcus_x, mcus_y) -> int:
+    """Decode one progressive (SOF2) scan; returns the stream position of
+    the next marker.  Implements spectral selection + successive
+    approximation: DC first/refine (interleaved or single-component), AC
+    first/refine with EOB runs (single-component only, per spec)."""
+    for c, dc_t, ac_t in order:
+        c["saw_scan"] = True
+    r = _BitReader(d, pos)
+    p1 = 1 << al
+
+    if ss == 0:
+        if se != 0:
+            raise ValueError("progressive DC scan with Se != 0")
+        prev_dc = [0] * len(order)
+        if len(order) > 1:  # interleaved over MCU grid
+            units = mcus_x * mcus_y
+            def dc_unit(u):
+                mx, my = u % mcus_x, u // mcus_x
+                for oi, (c, dc_t, _ac) in enumerate(order):
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            blk = c["coef"][
+                                (my * c["v"] + by) * c["bw"] + mx * c["h"] + bx
+                            ]
+                            _dc_one(r, blk, htabs, dc_t, ah, al, prev_dc, oi)
+            unit = dc_unit
+        else:
+            c, dc_t, _ac = order[0]
+            bw, units = c["bw_ni"], c["bw_ni"] * c["bh_ni"]
+            def dc_unit(u):
+                blk = c["coef"][(u // bw) * c["bw"] + (u % bw)]
+                _dc_one(r, blk, htabs, dc_t, ah, al, prev_dc, 0)
+            unit = dc_unit
+        state = {"eobrun": 0}
+    else:
+        if len(order) != 1:
+            raise ValueError("progressive AC scan must be single-component")
+        c, _dc, ac_t = order[0]
+        act = htabs.get((1, ac_t))
+        if act is None:
+            raise ValueError("missing AC huffman table")
+        bw, units = c["bw_ni"], c["bw_ni"] * c["bh_ni"]
+        state = {"eobrun": 0}
+        prev_dc = [0]
+        if ah == 0:
+            def ac_unit(u):
+                blk = c["coef"][(u // bw) * c["bw"] + (u % bw)]
+                _ac_first(r, blk, act, ss, se, al, state)
+        else:
+            def ac_unit(u):
+                blk = c["coef"][(u // bw) * c["bw"] + (u % bw)]
+                _ac_refine(r, blk, act, ss, se, p1, state)
+        unit = ac_unit
+
+    try:
+        for u in range(units):
+            if restart_interval and u and u % restart_interval == 0:
+                r.align_restart()
+                prev_dc[:] = [0] * len(prev_dc)
+                state["eobrun"] = 0
+            unit(u)
+    except _RestartMarker:
+        raise ValueError("unexpected restart marker in progressive scan")
+    return _next_marker(d, r.pos)
+
+
+def _dc_one(r, blk, htabs, dc_t, ah, al, prev_dc, oi):
+    if ah == 0:
+        dct = htabs.get((0, dc_t))
+        if dct is None:
+            raise ValueError("missing DC huffman table")
+        s = _read_symbol(r, dct)
+        diff = _extend(r.bits(s), s) if s else 0
+        prev_dc[oi] += diff
+        blk[0] = prev_dc[oi] << al
+    else:
+        if r.bit():
+            blk[0] |= 1 << al
+
+
+def _ac_first(r, blk, act, ss, se, al, state):
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        sym = _read_symbol(r, act)
+        run, size = sym >> 4, sym & 0xF
+        if size == 0:
+            if run == 15:  # ZRL
+                k += 16
+                continue
+            state["eobrun"] = (1 << run) - 1
+            if run:
+                state["eobrun"] += r.bits(run)
+            break
+        k += run
+        if k > se:
+            raise ValueError("AC overflow in progressive scan")
+        blk[k] = _extend(r.bits(size), size) << al
+        k += 1
+
+
+def _ac_refine(r, blk, act, ss, se, p1, state):
+    m1 = -p1
+    k = ss
+    if state["eobrun"] == 0:
+        while k <= se:
+            sym = _read_symbol(r, act)
+            run, size = sym >> 4, sym & 0xF
+            newval = 0
+            if size == 0:
+                if run < 15:
+                    state["eobrun"] = 1 << run
+                    if run:
+                        state["eobrun"] += r.bits(run)
+                    break
+                # run == 15: ZRL — skip 16 zero-history coefficients
+            else:
+                if size != 1:
+                    raise ValueError("bad refinement size")
+                newval = p1 if r.bit() else m1
+            # advance over `run` zero-history coeffs, correcting nonzeros
+            while k <= se:
+                v = blk[k]
+                if v != 0:
+                    if r.bit() and (v & p1) == 0:
+                        blk[k] = v + (p1 if v >= 0 else m1)
+                else:
+                    if run == 0:
+                        break
+                    run -= 1
+                k += 1
+            if newval and k <= se:
+                blk[k] = newval
+            k += 1
+    if state["eobrun"] > 0:
+        while k <= se:
+            v = blk[k]
+            if v != 0:
+                if r.bit() and (v & p1) == 0:
+                    blk[k] = v + (p1 if v >= 0 else m1)
+            k += 1
+        state["eobrun"] -= 1
 
 
 class JPEGImageStage:

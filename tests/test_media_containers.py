@@ -763,21 +763,44 @@ def test_png_lowdepth_palette(depth):
     assert outa.shape[2] == 4 and ((outa[:, :, 3] == 0) == (idx == 0)).all()
 
 
-def test_png_16bit_still_rejected():
+@pytest.mark.parametrize("channels", [1, 2, 3, 4])
+def test_png_16bit_roundtrip(channels):
+    from pyjelly_ray.stages.multimodal import decode_png16, encode_png16
+
+    rng = np.random.default_rng(channels)
+    img = rng.integers(0, 65536, (13, 17, channels), dtype=np.uint16)
+    for ft in range(5):
+        for interlace in (False, True):
+            enc = encode_png16(img, ft, interlace=interlace)
+            out16 = decode_png16(enc)
+            assert out16.dtype == np.uint16 and (out16 == img).all()
+            # 8-bit view uses the standard high-byte rendering
+            out8 = decode_png(enc)
+            assert out8.dtype == np.uint8
+            assert (out8 == (img >> 8).astype(np.uint8)).all()
+
+
+def test_png16_upscales_low_depth_inputs():
+    from pyjelly_ray.stages.multimodal import decode_png16, encode_png
+
+    rng = np.random.default_rng(5)
+    img8 = rng.integers(0, 256, (9, 9, 3), dtype=np.uint8)
+    assert (decode_png16(encode_png(img8)) == img8.astype(np.uint16) * 257).all()
+    # 16-bit palette is invalid per spec
     import struct as _s
     import zlib as _z
 
     from pyjelly_ray.stages.multimodal import _png_chunk
 
-    ihdr = _s.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
-    payload = (
+    ihdr = _s.pack(">IIBBBBB", 2, 2, 16, 3, 0, 0, 0)
+    bad = (
         b"\x89PNG\r\n\x1a\n"
         + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", _z.compress(bytes(2 * (1 + 4))))
+        + _png_chunk(b"IDAT", _z.compress(bytes(10)))
         + _png_chunk(b"IEND", b"")
     )
-    with pytest.raises(ValueError, match="16-bit"):
-        decode_png(payload)
+    with pytest.raises(ValueError, match="palette"):
+        decode_png(bad)
 
 
 # ----------------------------------------- JPEG 4:2:2 / 4:4:0 hardening ---
@@ -823,3 +846,213 @@ def test_bmp_32bit():
         + bgrx.tobytes()
     )
     assert (decode_bmp(payload) == img).all()
+
+
+def test_tiff_multipage():
+    from pyjelly_ray.stages.media_containers import (
+        decode_tiff_multipage,
+        encode_tiff_multipage,
+        tiff_pages,
+    )
+
+    rng = np.random.default_rng(91)
+    imgs = [rng.integers(0, 256, (11 + i, 13, 3), dtype=np.uint8) for i in range(4)]
+    for comp in ("none", "packbits", "lzw"):
+        mp = encode_tiff_multipage(imgs, compression=comp)
+        assert tiff_pages(mp) == 4
+        for got, want in zip(decode_tiff_multipage(mp), imgs):
+            assert (got == want).all()
+        assert (decode_tiff(mp) == imgs[0]).all()  # page 0 default
+        assert (decode_tiff(mp, page=3) == imgs[3]).all()
+        with pytest.raises(ValueError, match="page"):
+            decode_tiff(mp, page=4)
+
+
+# ------------------------------------------------------ progressive JPEG ---
+
+
+def _smooth_img(shape, seed=0):
+    rng = np.random.default_rng(seed)
+    base = (
+        np.linspace(0, 255, shape[1])[None, :, None]
+        + np.linspace(0, 40, shape[0])[:, None, None]
+    )
+    return np.clip(base + rng.integers(0, 30, (*shape, 3)), 0, 255).astype(np.uint8)
+
+
+@pytest.mark.parametrize("mode", [False, "420", "422", "440"])
+@pytest.mark.parametrize("quality", [40, 85, 95])
+def test_jpeg_progressive_bitexact_vs_baseline(mode, quality):
+    # identical quantized coefficients => the two decodes must be EQUAL
+    img = _smooth_img((29, 37))
+    b = decode_jpeg(encode_jpeg(img, quality=quality, subsample=mode))
+    p = decode_jpeg(encode_jpeg(img, quality=quality, subsample=mode, progressive=True))
+    assert (b == p).all()
+
+
+def test_jpeg_progressive_grayscale_and_odd_sizes():
+    img = _smooth_img((29, 37))
+    gray = img[:, :, :1]
+    assert (
+        decode_jpeg(encode_jpeg(gray, quality=90, progressive=True))
+        == decode_jpeg(encode_jpeg(gray, quality=90))
+    ).all()
+    for shape in ((17, 17), (15, 9), (8, 8), (1, 1), (33, 7), (9, 33)):
+        im2 = _smooth_img(shape, seed=shape[0])
+        for mode in (False, "420"):
+            b = decode_jpeg(encode_jpeg(im2, quality=92, subsample=mode))
+            p = decode_jpeg(encode_jpeg(im2, quality=92, subsample=mode, progressive=True))
+            assert (b == p).all(), (shape, mode)
+
+
+def test_jpeg_progressive_eobrun_and_dense_paths():
+    # flat image: multi-block EOB runs; noisy: ZRL + refinement corrections
+    flat = np.full((64, 64, 3), 130, np.uint8)
+    assert (
+        decode_jpeg(encode_jpeg(flat, quality=85, progressive=True))
+        == decode_jpeg(encode_jpeg(flat, quality=85))
+    ).all()
+    rng = np.random.default_rng(1)
+    for seed in range(6):
+        noisy = np.random.default_rng(seed).integers(0, 256, (40, 56, 3), dtype=np.uint8)
+        for q in (60, 95):
+            b = decode_jpeg(encode_jpeg(noisy, quality=q))
+            p = decode_jpeg(encode_jpeg(noisy, quality=q, progressive=True))
+            assert (b == p).all(), (seed, q)
+
+
+@pytest.mark.parametrize("ri", [1, 2, 5])
+def test_jpeg_progressive_restart_intervals(ri):
+    img = _smooth_img((29, 37))
+    p = decode_jpeg(encode_jpeg(img, quality=90, progressive=True, restart_interval=ri))
+    assert (p == decode_jpeg(encode_jpeg(img, quality=90))).all()
+
+
+def test_jpeg_progressive_corruption_fuzz():
+    rng = np.random.default_rng(7)
+    good = encode_jpeg(_smooth_img((24, 24)), quality=80, progressive=True)
+    for trial in range(120):
+        bad = bytearray(good)
+        if trial % 2 == 0:
+            bad = bad[: rng.integers(4, len(bad))]
+        else:
+            bad[rng.integers(2, len(bad))] ^= 1 << rng.integers(0, 8)
+        try:
+            decode_jpeg(bytes(bad))
+        except ValueError:
+            pass
+        except Exception as exc:  # pragma: no cover
+            raise AssertionError(f"non-ValueError: {type(exc).__name__}: {exc}")
+
+
+# --------------------------------------------------- Ogg + Matroska demux ---
+
+from pyjelly_ray.stages.media_containers import (  # noqa: E402
+    decode_mkv_video,
+    decode_ogg_audio,
+    encode_mkv_rawvideo,
+    encode_ogg,
+    mkv_blocks,
+    mkv_info,
+    ogg_info,
+    ogg_packets,
+    parse_ogg_pages,
+)
+
+
+def _vorbis_id(channels=2, rate=44100):
+    return b"\x01vorbis" + struct.pack("<IBIiii", 0, channels, rate, -1, 128000, -1) + b"\x00\x01"
+
+
+def test_ogg_page_packet_roundtrip():
+    rng = np.random.default_rng(50)
+    big = bytes(rng.integers(0, 256, 700, dtype=np.uint8))  # multi-segment lacing
+    exact = bytes(rng.integers(0, 256, 510, dtype=np.uint8))  # 255*2: 0-terminator lacing
+    ogg = encode_ogg({7: [_vorbis_id(), big, exact, b"tail"]})
+    pages = parse_ogg_pages(ogg)
+    assert pages[0].header_type & 2 and pages[-1].header_type & 4
+    assert ogg_packets(pages, 7) == [_vorbis_id(), big, exact, b"tail"]
+
+
+def test_ogg_info_vorbis_and_opus():
+    opus = b"OpusHead" + bytes([1, 2]) + struct.pack("<HIhB", 312, 48000, 0, 0)
+    ogg = encode_ogg({3: [opus, b"d"], 9: [_vorbis_id(6, 96000), b"x"]})
+    infos = ogg_info(ogg)
+    assert [(i.codec, i.channels, i.sample_rate) for i in infos] == [
+        ("opus", 2, 48000), ("vorbis", 6, 96000),
+    ]
+    with pytest.raises(NotImplementedError, match="codec"):
+        decode_ogg_audio(ogg)
+
+
+def test_ogg_crc_rejects_corruption():
+    ogg = encode_ogg({1: [_vorbis_id(), b"payload"]})
+    bad = bytearray(ogg)
+    bad[40] ^= 1
+    with pytest.raises(ValueError, match="CRC|sync|truncated"):
+        parse_ogg_pages(bytes(bad))
+
+
+def test_mkv_rawvideo_roundtrip():
+    rng = np.random.default_rng(51)
+    for shape in ((7, 12, 16), (1, 8, 8), (3, 300, 260)):
+        frames = rng.integers(0, 256, (*shape, 3), dtype=np.uint8)
+        mkv = encode_mkv_rawvideo(frames, fps=6)
+        tracks, dur = mkv_info(mkv)
+        assert tracks[0].codec_id == "V_UNCOMPRESSED"
+        assert (tracks[0].width, tracks[0].height) == (shape[2], shape[1])
+        assert dur == pytest.approx(shape[0] / 6, abs=0.01)
+        assert (decode_mkv_video(mkv) == frames).all()
+        assert len(mkv_blocks(mkv, 1)) == shape[0]
+
+
+def test_mkv_compressed_codec_is_honest_stub():
+    rng = np.random.default_rng(52)
+    mkv = bytearray(encode_mkv_rawvideo(rng.integers(0, 256, (2, 4, 4, 3), dtype=np.uint8)))
+    idx = bytes(mkv).find(b"V_UNCOMPRESSED")
+    mkv[idx : idx + 14] = b"V_VP9" + b"\x00" * 9
+    with pytest.raises(NotImplementedError, match="V_VP9"):
+        decode_mkv_video(bytes(mkv))
+    tracks, _ = mkv_info(bytes(mkv))  # demux still real
+    assert tracks[0].codec_id.startswith("V_VP9")
+
+
+def test_mkv_corruption_fuzz():
+    rng = np.random.default_rng(53)
+    good = encode_mkv_rawvideo(rng.integers(0, 256, (2, 6, 6, 3), dtype=np.uint8))
+    for trial in range(80):
+        bad = bytearray(good)
+        if trial % 2 == 0:
+            bad = bad[: rng.integers(4, len(bad))]
+        else:
+            bad[rng.integers(0, len(bad))] ^= 1 << rng.integers(0, 8)
+        try:
+            decode_mkv_video(bytes(bad))
+        except (ValueError, NotImplementedError):
+            pass
+        except Exception as exc:  # pragma: no cover
+            raise AssertionError(f"non-ValueError: {type(exc).__name__}: {exc}")
+
+
+def test_frame_sample_stage_mkv_real(ray_session):
+    import ray
+
+    rng = np.random.default_rng(54)
+    frames = rng.integers(0, 256, (6, 8, 8, 3), dtype=np.uint8)
+    tbl = pa.table(
+        {
+            "media_id": pa.array([1], pa.int64()),
+            "payload": pa.array([encode_mkv_rawvideo(frames)], pa.binary()),
+        }
+    )
+    rows = sorted(
+        ray.data.from_arrow(tbl)
+        .map_batches(
+            FrameSampleStub, fn_constructor_kwargs={"n_frames": 3, "fake": False},
+            concurrency=1, batch_size=2, batch_format="pyarrow",
+        )
+        .take_all(),
+        key=lambda r: r["frame_no"],
+    )
+    assert (decode_png(rows[0]["frame"]) == frames[0]).all()
+    assert (decode_png(rows[2]["frame"]) == frames[5]).all()
