@@ -2278,3 +2278,379 @@ def decode_mkv_video(payload: bytes) -> np.ndarray:
             raise ValueError("Matroska: raw frame size mismatch")
         frames[i] = np.frombuffer(data, np.uint8).reshape(tr.height, tr.width, 3)
     return frames
+
+
+# ==========================================================================
+# TGA — Truevision TARGA (types 2/3/10/11: raw + RLE, color/gray)
+# ==========================================================================
+
+
+def encode_tga(img: np.ndarray, *, rle: bool = False) -> bytes:
+    """(H, W, 3|4) uint8 → TGA (type 2 raw or 10 RLE, top-left origin)."""
+    if img.ndim != 3 or img.shape[2] not in (3, 4) or img.dtype != np.uint8:
+        raise ValueError("encode_tga expects (H, W, 3|4) uint8")
+    h, w, ch = img.shape
+    bgr = img[:, :, [2, 1, 0] + ([3] if ch == 4 else [])]
+    hdr = struct.pack(
+        "<BBBHHBHHHHBB", 0, 0, 10 if rle else 2, 0, 0, 0, 0, 0, w, h,
+        ch * 8, 0x20 | (0x08 if ch == 4 else 0),  # top-left origin
+    )
+    if not rle:
+        return hdr + bgr.tobytes()
+    out = bytearray(hdr)
+    px = bgr.reshape(h, w, ch)
+    for row in px:
+        i = 0
+        while i < w:
+            j = i + 1
+            while j < w and j - i < 128 and (row[j] == row[i]).all():
+                j += 1
+            if j - i >= 2:  # RLE packet
+                out.append(0x80 | (j - i - 1))
+                out += row[i].tobytes()
+                i = j
+            else:  # raw packet: until next 2-run
+                j = i + 1
+                while j < w and j - i < 128:
+                    if j + 1 < w and (row[j] == row[j + 1]).all():
+                        break
+                    j += 1
+                out.append(j - i - 1)
+                out += row[i:j].tobytes()
+                i = j
+    return bytes(out)
+
+
+def decode_tga(payload: bytes) -> np.ndarray:
+    """TGA → (H, W, C) uint8.  Types 2 (raw BGR), 3 (raw gray), 10 (RLE
+    BGR), 11 (RLE gray); 24/32-bit color, both vertical origins."""
+    if len(payload) < 18:
+        raise ValueError("TGA: truncated header")
+    (id_len, cmap_type, itype, _cfirst, _clen, _csize, _x0, _y0, w, h,
+     bpp, desc) = struct.unpack_from("<BBBHHBHHHHBB", payload, 0)
+    if cmap_type != 0 or itype not in (2, 3, 10, 11):
+        raise ValueError(f"TGA: unsupported image type {itype}/{cmap_type}")
+    if itype in (2, 10):
+        if bpp not in (24, 32):
+            raise ValueError("TGA: color must be 24/32-bit")
+        ch = bpp // 8
+    else:
+        if bpp != 8:
+            raise ValueError("TGA: gray must be 8-bit")
+        ch = 1
+    if w <= 0 or h <= 0 or w > 1 << 16 or h > 1 << 16:
+        raise ValueError("TGA: bad dimensions")
+    pos = 18 + id_len
+    n = w * h
+    if itype in (2, 3):  # raw
+        need = n * ch
+        if pos + need > len(payload):
+            raise ValueError("TGA: truncated pixel data")
+        px = np.frombuffer(payload, np.uint8, need, pos).reshape(h, w, ch)
+    else:  # RLE
+        out = np.empty((n, ch), np.uint8)
+        got = 0
+        while got < n:
+            if pos >= len(payload):
+                raise ValueError("TGA: truncated RLE stream")
+            pkt = payload[pos]
+            pos += 1
+            count = (pkt & 0x7F) + 1
+            if got + count > n:
+                raise ValueError("TGA: RLE overrun")
+            if pkt & 0x80:  # run
+                if pos + ch > len(payload):
+                    raise ValueError("TGA: truncated RLE run")
+                out[got : got + count] = np.frombuffer(payload, np.uint8, ch, pos)
+                pos += ch
+            else:  # literal
+                need = count * ch
+                if pos + need > len(payload):
+                    raise ValueError("TGA: truncated RLE literal")
+                out[got : got + count] = np.frombuffer(
+                    payload, np.uint8, need, pos
+                ).reshape(count, ch)
+                pos += need
+            got += count
+        px = out.reshape(h, w, ch)
+    if ch >= 3:
+        px = px[:, :, [2, 1, 0] + ([3] if ch == 4 else [])]  # BGR(A) → RGB(A)
+    if not desc & 0x20:  # bottom-up origin
+        px = px[::-1]
+    return np.ascontiguousarray(px)
+
+
+# ==========================================================================
+# ICO — Windows icon container (PNG or DIB/BMP entries)
+# ==========================================================================
+
+
+def encode_ico(images: list[np.ndarray]) -> bytes:
+    """List of (H≤256, W≤256, 3|4) uint8 → ICO with PNG-compressed entries."""
+    if not images:
+        raise ValueError("encode_ico needs at least one image")
+    from pyjelly_ray.stages.multimodal import encode_png
+
+    entries, blobs = bytearray(), []
+    offset = 6 + 16 * len(images)
+    for img in images:
+        h, w = img.shape[:2]
+        if h > 256 or w > 256:
+            raise ValueError("ICO entries are at most 256x256")
+        png = encode_png(img)
+        entries += struct.pack(
+            "<BBBBHHII", w % 256, h % 256, 0, 0, 1, 32, len(png), offset
+        )
+        blobs.append(png)
+        offset += len(png)
+    return struct.pack("<HHH", 0, 1, len(images)) + entries + b"".join(blobs)
+
+
+def decode_ico(payload: bytes, *, best: bool = True):
+    """ICO → decoded image(s).  PNG entries decode via the real PNG codec;
+    classic DIB entries via the BMP decoder (with the AND-mask height/2
+    convention).  ``best=True`` → largest entry only, else all."""
+    if len(payload) < 6 or payload[:4] != b"\x00\x00\x01\x00":
+        raise ValueError("not an ICO payload")
+    n = struct.unpack_from("<H", payload, 4)[0]
+    if n == 0 or 6 + 16 * n > len(payload):
+        raise ValueError("ICO: bad directory")
+    out = []
+    for i in range(n):
+        w8, h8, _pal, _res, _planes, _bpp, size, off = struct.unpack_from(
+            "<BBBBHHII", payload, 6 + 16 * i
+        )
+        if off + size > len(payload):
+            raise ValueError("ICO: entry out of range")
+        blob = payload[off : off + size]
+        if blob[:8] == _PNG_MAGIC:
+            img = _ico_decode_png(blob)
+        else:  # DIB: BITMAPINFOHEADER with doubled height (XOR + AND masks)
+            if len(blob) < 40:
+                raise ValueError("ICO: truncated DIB entry")
+            hdr = bytearray(blob[:40])
+            real_h = struct.unpack_from("<i", blob, 8)[0] // 2
+            hdr[8:12] = struct.pack("<i", real_h)
+            bmp = (
+                struct.pack("<2sIHHI", b"BM", 14 + len(blob), 0, 0, 14 + 40)
+                + bytes(hdr)
+                + blob[40:]
+            )
+            img = decode_bmp(bmp)
+        out.append(img)
+    if not best:
+        return out
+    return max(out, key=lambda a: a.shape[0] * a.shape[1])
+
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _ico_decode_png(blob: bytes):
+    from pyjelly_ray.stages.multimodal import decode_png
+
+    return decode_png(blob)
+
+
+# ==========================================================================
+# WebP — RIFF container + VP8/VP8L header metadata (REAL); pixel decode
+# is the honest stub (VP8 arithmetic coding / VP8L huffman need a codec).
+# ==========================================================================
+
+
+@dataclass
+class WebpInfo:
+    """WebP container metadata from a real header parse."""
+
+    format: str  # "lossy" (VP8), "lossless" (VP8L), "extended" (VP8X)
+    width: int
+    height: int
+    has_alpha: bool = False
+    has_animation: bool = False
+
+
+def webp_info(payload: bytes) -> WebpInfo:
+    """Real WebP metadata: RIFF walk + VP8 keyframe header (start code +
+    14-bit dims) or VP8L header (signature + 14-bit fields) or VP8X
+    canvas fields.  Pixel decode needs a codec library — ``decode_webp``
+    refuses honestly after this validation."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise ValueError("not a WebP payload")
+    pos = 12
+    n = len(payload)
+    info = None
+    has_alpha = has_anim = False
+    while pos + 8 <= n:
+        tag = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) != size:
+            raise ValueError("WebP: truncated chunk")
+        if tag == b"VP8 " and info is None:
+            if len(body) < 10:
+                raise ValueError("WebP: truncated VP8 frame header")
+            if body[3:6] != b"\x9d\x01\x2a":
+                raise ValueError("WebP: bad VP8 start code")
+            w = struct.unpack_from("<H", body, 6)[0] & 0x3FFF
+            h = struct.unpack_from("<H", body, 8)[0] & 0x3FFF
+            info = WebpInfo("lossy", w, h)
+        elif tag == b"VP8L" and info is None:
+            if len(body) < 5 or body[0] != 0x2F:
+                raise ValueError("WebP: bad VP8L signature")
+            bits = struct.unpack_from("<I", body, 1)[0]
+            w = (bits & 0x3FFF) + 1
+            h = ((bits >> 14) & 0x3FFF) + 1
+            info = WebpInfo("lossless", w, h, has_alpha=bool((bits >> 28) & 1))
+        elif tag == b"VP8X":
+            if len(body) < 10:
+                raise ValueError("WebP: truncated VP8X")
+            flags = body[0]
+            has_alpha = bool(flags & 0x10)
+            has_anim = bool(flags & 0x02)
+            w = int.from_bytes(body[4:7], "little") + 1
+            h = int.from_bytes(body[7:10], "little") + 1
+            info = WebpInfo("extended", w, h)
+        pos += 8 + size + (size & 1)
+    if info is None:
+        raise ValueError("WebP: no image chunk")
+    info.has_alpha = info.has_alpha or has_alpha
+    info.has_animation = has_anim
+    return info
+
+
+def decode_webp(payload: bytes) -> np.ndarray:
+    """STUB: VP8 (boolean arithmetic coding) / VP8L (huffman + transforms)
+    pixel decode needs a codec library.  The container/header layer IS
+    real — :func:`webp_info` parses RIFF chunks and frame headers exactly."""
+    info = webp_info(payload)  # validates for real before refusing
+    raise NotImplementedError(
+        f"WebP {info.format} pixel decode needs a codec library; the "
+        "RIFF/VP8/VP8L header layer parses natively"
+    )
+
+
+# ==========================================================================
+# AVI — RIFF container demux (real); uncompressed DIB (BI_RGB 24-bit)
+# frames decode fully, compressed fourccs refuse at the codec step.
+# ==========================================================================
+
+
+def _riff_chunks(payload: bytes, start: int, end: int):
+    """Yield (fourcc, list_type_or_None, body_start, body_size)."""
+    pos = start
+    while pos + 8 <= end:
+        tag = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        if pos + 8 + size > end:
+            raise ValueError("AVI: chunk extends past parent")
+        if tag in (b"RIFF", b"LIST"):
+            yield tag, payload[pos + 8 : pos + 12], pos + 12, size - 4
+        else:
+            yield tag, None, pos + 8, size
+        pos += 8 + size + (size & 1)
+
+
+def encode_avi_rawvideo(frames: np.ndarray, fps: int = 10) -> bytes:
+    """(T, H, W, 3) uint8 → minimal AVI with one uncompressed BI_RGB
+    24-bit video stream ('00db' DIB frames, bottom-up BGR, padded rows)."""
+    if frames.ndim != 4 or frames.shape[3] != 3 or frames.dtype != np.uint8:
+        raise ValueError("encode_avi_rawvideo expects (T, H, W, 3) uint8")
+    t, h, w = frames.shape[:3]
+    row_bytes = (w * 3 + 3) & ~3
+    frame_size = row_bytes * h
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return tag + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    def list_chunk(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII", 1_000_000 // fps, frame_size * fps, 0, 0x10,
+        t, 0, 1, frame_size, w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh", b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0, t,
+        frame_size, 0xFFFFFFFF, 0, 0, 0, int(w), int(h),
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size, 0, 0, 0, 0)
+    hdrl = list_chunk(
+        b"hdrl",
+        chunk(b"avih", avih) + list_chunk(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi_body = bytearray()
+    for i in range(t):
+        padded = np.zeros((h, row_bytes), np.uint8)
+        padded[:, : w * 3] = frames[i][::-1, :, ::-1].reshape(h, -1)  # bottom-up BGR
+        movi_body += chunk(b"00db", padded.tobytes())
+    movi = list_chunk(b"movi", bytes(movi_body))
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+@dataclass
+class AviInfo:
+    """AVI stream metadata from a real RIFF/hdrl parse."""
+
+    width: int
+    height: int
+    fps: float
+    n_frames: int
+    fourcc: str
+    bpp: int
+    compression: int
+
+
+def avi_info(payload: bytes) -> AviInfo:
+    """Real AVI demux: RIFF walk → strh/strf of the first video stream."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    total = struct.unpack_from("<I", payload, 4)[0]
+    end = min(8 + total, len(payload))
+    strh = strf = None
+    for tag, ltype, s, sz in _riff_chunks(payload, 12, end):
+        if tag == b"LIST" and ltype == b"hdrl":
+            for t2, l2, s2, sz2 in _riff_chunks(payload, s, s + sz):
+                if t2 == b"LIST" and l2 == b"strl":
+                    for t3, _l3, s3, sz3 in _riff_chunks(payload, s2, s2 + sz2):
+                        if t3 == b"strh" and payload[s3 : s3 + 4] == b"vids":
+                            strh = payload[s3 : s3 + sz3]
+                        elif t3 == b"strf" and strh is not None and strf is None:
+                            strf = payload[s3 : s3 + sz3]
+    if strh is None or strf is None or len(strf) < 40:
+        raise ValueError("AVI: no video stream headers")
+    fourcc = strh[4:8].decode("latin1")
+    scale, rate = struct.unpack_from("<II", strh, 20)
+    n_frames = struct.unpack_from("<I", strh, 32)[0]
+    _sz, w, h, _planes, bpp, compression = struct.unpack_from("<IiiHHI", strf, 0)
+    fps = rate / scale if scale else float(rate)
+    return AviInfo(w, abs(h), fps, n_frames, fourcc, bpp, compression)
+
+
+def decode_avi_video(payload: bytes) -> np.ndarray:
+    """AVI → (T, H, W, 3) uint8 for uncompressed BI_RGB 24-bit streams.
+    The RIFF demux is real for ANY codec; compressed streams raise
+    ``NotImplementedError`` at the codec step (the honest stub boundary)."""
+    info = avi_info(payload)
+    if info.compression != 0 or info.bpp != 24:
+        raise NotImplementedError(
+            f"AVI codec {info.fourcc!r}/compression={info.compression} needs "
+            "a codec library; uncompressed BI_RGB 24-bit decodes natively"
+        )
+    w, h = info.width, info.height
+    row_bytes = (w * 3 + 3) & ~3
+    total = struct.unpack_from("<I", payload, 4)[0]
+    end = min(8 + total, len(payload))
+    frames = []
+    for tag, ltype, s, sz in _riff_chunks(payload, 12, end):
+        if tag == b"LIST" and ltype == b"movi":
+            for t2, _l2, s2, sz2 in _riff_chunks(payload, s, s + sz):
+                if t2[2:4] in (b"db", b"dc"):
+                    if sz2 < row_bytes * h:
+                        raise ValueError("AVI: short DIB frame")
+                    rows = np.frombuffer(payload, np.uint8, row_bytes * h, s2)
+                    img = rows.reshape(h, row_bytes)[:, : w * 3].reshape(h, w, 3)
+                    frames.append(img[::-1, :, ::-1])  # bottom-up BGR → RGB
+    if not frames:
+        raise ValueError("AVI: no video frames in movi list")
+    return np.ascontiguousarray(np.stack(frames))

@@ -66,8 +66,18 @@ def sniff_decode_image(payload: bytes) -> np.ndarray:
         from pyjelly_ray.stages.media_containers import decode_qoi
 
         return decode_qoi(payload)
+    if payload[:4] == b"\x00\x00\x01\x00":
+        from pyjelly_ray.stages.media_containers import decode_ico
+
+        return decode_ico(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        # container/header layer is real; pixel decode is the stub —
+        # decode_webp validates then raises NotImplementedError
+        from pyjelly_ray.stages.media_containers import decode_webp
+
+        return decode_webp(payload)
     raise NotImplementedError(
-        "unknown image codec (PNG/baseline-JPEG/PPM/GIF/BMP/TIFF/QOI decode "
+        "unknown image codec (PNG/JPEG/PPM/GIF/BMP/TIFF/QOI/ICO decode "
         "natively; other formats need an image library plugged in here)"
     )
 
@@ -190,6 +200,10 @@ class FrameSampleStub:
                     from pyjelly_ray.stages.media_containers import decode_mkv_video
 
                     clip = decode_mkv_video(p)
+                elif p[:4] == b"RIFF" and p[8:12] == b"AVI ":
+                    from pyjelly_ray.stages.media_containers import decode_avi_video
+
+                    clip = decode_avi_video(p)
                 elif p.startswith(b"RAWV"):
                     clip = decode_rawvideo(p)
                 else:

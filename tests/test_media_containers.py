@@ -1056,3 +1056,133 @@ def test_frame_sample_stage_mkv_real(ray_session):
     )
     assert (decode_png(rows[0]["frame"]) == frames[0]).all()
     assert (decode_png(rows[2]["frame"]) == frames[5]).all()
+
+
+# ------------------------------------------- TGA / ICO / WebP / AVI ------
+
+from pyjelly_ray.stages.media_containers import (  # noqa: E402
+    avi_info,
+    decode_avi_video,
+    decode_ico,
+    decode_tga,
+    decode_webp,
+    encode_avi_rawvideo,
+    encode_ico,
+    encode_tga,
+    webp_info,
+)
+
+
+@pytest.mark.parametrize("channels", [3, 4])
+@pytest.mark.parametrize("rle", [False, True])
+def test_tga_roundtrip(channels, rle):
+    rng = np.random.default_rng(channels + rle)
+    img = rng.integers(0, 256, (13, 17, channels), dtype=np.uint8)
+    assert (decode_tga(encode_tga(img, rle=rle)) == img).all()
+    runs = np.repeat(rng.integers(0, 256, (9, 3, channels), dtype=np.uint8), [50, 60, 40], axis=1)
+    assert (decode_tga(encode_tga(runs, rle=True)) == runs).all()
+    if rle:
+        assert len(encode_tga(runs, rle=True)) < len(encode_tga(runs)) / 3
+
+
+def test_tga_bottom_up_and_gray():
+    # hand-build a bottom-up type-3 grayscale TGA
+    g = np.arange(20, dtype=np.uint8).reshape(4, 5)
+    hdr = struct.pack("<BBBHHBHHHHBB", 0, 0, 3, 0, 0, 0, 0, 0, 5, 4, 8, 0)
+    out = decode_tga(hdr + g[::-1].tobytes())
+    assert (out[:, :, 0] == g).all()
+
+
+def test_tga_corruption():
+    img = np.zeros((4, 4, 3), np.uint8)
+    good = encode_tga(img, rle=True)
+    with pytest.raises(ValueError):
+        decode_tga(good[:10])
+    with pytest.raises(ValueError):
+        decode_tga(good[:-8])  # truncated RLE stream
+
+
+def test_ico_roundtrip_and_best():
+    rng = np.random.default_rng(60)
+    imgs = [rng.integers(0, 256, (s, s, 4), dtype=np.uint8) for s in (16, 32, 8)]
+    ico = encode_ico(imgs)
+    assert (decode_ico(ico) == imgs[1]).all()  # largest
+    got = decode_ico(ico, best=False)
+    assert len(got) == 3 and all((a == b).all() for a, b in zip(got, imgs))
+    assert (sniff_decode_image(ico) == imgs[1]).all()
+    with pytest.raises(ValueError):
+        decode_ico(b"\x00\x00\x02\x00" + ico[4:])  # cursor, not icon
+
+
+def test_webp_info_and_honest_stub():
+    w, h = 320, 214
+    bits = (w - 1) | ((h - 1) << 14) | (1 << 28)
+    vp8l = b"\x2f" + struct.pack("<I", bits) + b"\x00" * 10
+    payload = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(vp8l)) + b"WEBP"
+        + b"VP8L" + struct.pack("<I", len(vp8l)) + vp8l
+    )
+    info = webp_info(payload)
+    assert (info.format, info.width, info.height, info.has_alpha) == (
+        "lossless", 320, 214, True,
+    )
+    vp8 = bytes(3) + b"\x9d\x01\x2a" + struct.pack("<HH", 640, 480) + b"\x00" * 4
+    lossy = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(vp8)) + b"WEBP"
+        + b"VP8 " + struct.pack("<I", len(vp8)) + vp8
+    )
+    assert (webp_info(lossy).format, webp_info(lossy).width) == ("lossy", 640)
+    for p in (payload, lossy):
+        with pytest.raises(NotImplementedError, match="WebP"):
+            decode_webp(p)
+        with pytest.raises(NotImplementedError):
+            sniff_decode_image(p)
+    with pytest.raises(ValueError):
+        webp_info(b"RIFF\x04\x00\x00\x00WAVE")
+
+
+def test_avi_rawvideo_roundtrip():
+    rng = np.random.default_rng(61)
+    for shape in ((6, 12, 17), (1, 5, 3)):
+        frames = rng.integers(0, 256, (*shape, 3), dtype=np.uint8)
+        avi = encode_avi_rawvideo(frames, fps=12)
+        info = avi_info(avi)
+        assert (info.width, info.height, info.n_frames) == (shape[2], shape[1], shape[0])
+        assert info.fps == 12.0
+        assert (decode_avi_video(avi) == frames).all()
+
+
+def test_avi_compressed_is_honest_stub():
+    rng = np.random.default_rng(62)
+    avi = bytearray(encode_avi_rawvideo(rng.integers(0, 256, (2, 4, 4, 3), dtype=np.uint8)))
+    i = bytes(avi).find(b"vids") + 4
+    avi[i : i + 4] = b"H264"
+    j = bytes(avi).find(b"strf") + 8
+    avi[j + 16 : j + 20] = struct.pack("<I", 0x34363248)
+    with pytest.raises(NotImplementedError, match="H264"):
+        decode_avi_video(bytes(avi))
+    assert avi_info(bytes(avi)).fourcc == "H264"  # demux still real
+
+
+def test_frame_sample_stage_avi_real(ray_session):
+    import ray
+
+    rng = np.random.default_rng(63)
+    frames = rng.integers(0, 256, (5, 8, 8, 3), dtype=np.uint8)
+    tbl = pa.table(
+        {
+            "media_id": pa.array([1], pa.int64()),
+            "payload": pa.array([encode_avi_rawvideo(frames)], pa.binary()),
+        }
+    )
+    rows = sorted(
+        ray.data.from_arrow(tbl)
+        .map_batches(
+            FrameSampleStub, fn_constructor_kwargs={"n_frames": 2, "fake": False},
+            concurrency=1, batch_size=2, batch_format="pyarrow",
+        )
+        .take_all(),
+        key=lambda r: r["frame_no"],
+    )
+    assert (decode_png(rows[0]["frame"]) == frames[0]).all()
+    assert (decode_png(rows[1]["frame"]) == frames[4]).all()
