@@ -2654,3 +2654,110 @@ def decode_avi_video(payload: bytes) -> np.ndarray:
     if not frames:
         raise ValueError("AVI: no video frames in movi list")
     return np.ascontiguousarray(np.stack(frames))
+
+
+# ==========================================================================
+# netpbm family — P1..P6 (ASCII + binary bitmap/gray/color); PPM P6 also
+# lives in multimodal.decode_ppm (kept for compatibility)
+# ==========================================================================
+
+
+def _pnm_tokens(payload: bytes, pos: int, count: int) -> tuple[list[int], int]:
+    """Read `count` whitespace-separated ASCII integers (with # comments)."""
+    out = []
+    n = len(payload)
+    while len(out) < count:
+        while pos < n and payload[pos] in b" \t\r\n":
+            pos += 1
+        if pos < n and payload[pos] == ord("#"):
+            while pos < n and payload[pos] != ord("\n"):
+                pos += 1
+            continue
+        start = pos
+        while pos < n and payload[pos] not in b" \t\r\n#":
+            pos += 1
+        if start == pos:
+            raise ValueError("PNM: truncated header")
+        try:
+            out.append(int(payload[start:pos]))
+        except ValueError:
+            raise ValueError("PNM: non-numeric header token")
+    return out, pos
+
+
+def decode_pnm(payload: bytes) -> np.ndarray:
+    """netpbm → uint8 (H, W, C).  Real decode of the whole family:
+    P1/P4 bitmap (1=black per spec), P2/P5 graymap, P3/P6 pixmap, ASCII
+    and binary, maxval scaling (maxval ≤ 255 scaled to 8-bit exactly;
+    16-bit maxvals reduced via the high byte)."""
+    if len(payload) < 2 or payload[0] != ord("P") or payload[1] not in b"123456":
+        raise ValueError("not a netpbm payload")
+    kind = payload[1] - ord("0")
+    channels = 3 if kind in (3, 6) else 1
+    nhdr = 2 if kind in (1, 4) else 3  # bitmaps have no maxval
+    hdr, pos = _pnm_tokens(payload, 2, nhdr)
+    w, h = hdr[0], hdr[1]
+    maxval = hdr[2] if nhdr == 3 else 1
+    if w <= 0 or h <= 0 or w > 1 << 20 or h > 1 << 20 or maxval <= 0 or maxval > 65535:
+        raise ValueError("PNM: bad dimensions/maxval")
+    if kind <= 3:  # ASCII sample data
+        vals, _ = _pnm_tokens(payload, pos, w * h * channels)
+        arr = np.asarray(vals, np.int64)
+        if kind == 1:
+            arr = 1 - arr  # 1 = black
+            maxval = 1
+    else:  # binary: exactly one whitespace byte after the header
+        pos += 1
+        if kind == 4:
+            row_bytes = (w + 7) // 8
+            need = row_bytes * h
+            if pos + need > len(payload):
+                raise ValueError("PNM: truncated P4 data")
+            bits = np.unpackbits(
+                np.frombuffer(payload, np.uint8, need, pos).reshape(h, row_bytes),
+                axis=1,
+            )[:, :w]
+            arr = (1 - bits).astype(np.int64).reshape(-1)
+            maxval = 1
+        else:
+            width = 2 if maxval > 255 else 1
+            need = w * h * channels * width
+            if pos + need > len(payload):
+                raise ValueError("PNM: truncated binary data")
+            if width == 1:
+                arr = np.frombuffer(payload, np.uint8, need, pos).astype(np.int64)
+            else:
+                arr = np.frombuffer(payload, ">u2", need // 2, pos).astype(np.int64)
+    if arr.size != w * h * channels:
+        raise ValueError("PNM: sample count mismatch")
+    if int(arr.max(initial=0)) > maxval:
+        raise ValueError("PNM: sample exceeds maxval")
+    if maxval == 255:
+        out = arr.astype(np.uint8)
+    elif maxval > 255:
+        out = (arr >> 8).astype(np.uint8)  # high-byte rendering
+    else:
+        out = (arr * 255 // maxval).astype(np.uint8)
+    return out.reshape(h, w, channels)
+
+
+def encode_pnm(img: np.ndarray, kind: int) -> bytes:
+    """uint8 (H, W[, C]) → netpbm P1..P6 fixture bytes."""
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    if kind in (3, 6) and c != 3:
+        raise ValueError("P3/P6 need 3 channels")
+    if kind not in (3, 6) and c != 1:
+        raise ValueError("P1/P2/P4/P5 need 1 channel")
+    if kind in (1, 4):
+        bits = (img[:, :, 0] == 0).astype(np.uint8)  # 1 = black
+        if kind == 1:
+            body = b"\n".join(b" ".join(b"%d" % v for v in row) for row in bits) + b"\n"
+            return b"P1\n%d %d\n" % (w, h) + body
+        return b"P4\n%d %d\n" % (w, h) + np.packbits(bits, axis=1).tobytes()
+    flat = img.reshape(h, -1)
+    if kind in (2, 3):
+        body = b"\n".join(b" ".join(b"%d" % v for v in row) for row in flat) + b"\n"
+        return b"P%d\n%d %d\n255\n" % (kind, w, h) + body
+    return b"P%d\n%d %d\n255\n" % (kind, w, h) + img.tobytes()

@@ -41,15 +41,22 @@ RECOMMENDED_BATCH_SIZE = 32
 
 
 def sniff_decode_image(payload: bytes) -> np.ndarray:
-    """Magic-byte dispatch to the REAL pure-numpy decoders (PNG, baseline
-    JPEG, PPM, GIF, BMP) → uint8 (H, W, C).  Formats needing an external
-    codec library raise ``NotImplementedError`` (the honest stub boundary)."""
+    """Magic-byte dispatch to the REAL pure-numpy decoders → uint8
+    (H, W, C): PNG (incl. 16-bit/Adam7/low-depth), JPEG (baseline +
+    progressive), netpbm P1–P6, GIF, BMP, TIFF, QOI, ICO.  Formats whose
+    pixel data needs an external codec library (WebP VP8/VP8L) raise
+    ``NotImplementedError`` AFTER a real container validation (the honest
+    stub boundary)."""
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)
     if payload[:2] == b"\xff\xd8":
         return decode_jpeg(payload)
     if payload[:2] == b"P6":
         return decode_ppm(payload)
+    if len(payload) >= 2 and payload[0] == 0x50 and payload[1] in b"12345":
+        from pyjelly_ray.stages.media_containers import decode_pnm
+
+        return decode_pnm(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         from pyjelly_ray.stages.media_containers import decode_gif
 

@@ -1186,3 +1186,35 @@ def test_frame_sample_stage_avi_real(ray_session):
     )
     assert (decode_png(rows[0]["frame"]) == frames[0]).all()
     assert (decode_png(rows[1]["frame"]) == frames[4]).all()
+
+
+# --------------------------------------------------------- netpbm family ---
+
+from pyjelly_ray.stages.media_containers import decode_pnm, encode_pnm  # noqa: E402
+
+
+@pytest.mark.parametrize("kind", [1, 2, 3, 4, 5, 6])
+def test_pnm_roundtrip(kind):
+    rng = np.random.default_rng(kind)
+    if kind in (1, 4):
+        img = (rng.integers(0, 2, (9, 13, 1)) * 255).astype(np.uint8)
+    elif kind in (2, 5):
+        img = rng.integers(0, 256, (9, 13, 1), dtype=np.uint8)
+    else:
+        img = rng.integers(0, 256, (9, 13, 3), dtype=np.uint8)
+    assert (decode_pnm(encode_pnm(img, kind)) == img).all()
+
+
+def test_pnm_comments_maxval_and_16bit():
+    out = decode_pnm(b"P2 # c\n4 2 # d\n7\n0 1 2 3\n4 5 6 7\n")
+    assert (out.reshape(-1) == np.arange(8) * 255 // 7).all()
+    p5 = b"P5\n2 1\n65535\n" + np.array([65535, 256], ">u2").tobytes()
+    assert list(decode_pnm(p5).reshape(-1)) == [255, 1]
+    with pytest.raises(ValueError):
+        decode_pnm(b"P5\n2 1\n255\n\x00")  # truncated
+    with pytest.raises(ValueError):
+        decode_pnm(b"P7\nX")
+    # sniff routes P1-P5 through decode_pnm
+    rng = np.random.default_rng(3)
+    g = rng.integers(0, 256, (6, 7, 1), dtype=np.uint8)
+    assert (sniff_decode_image(encode_pnm(g, 5)) == g).all()
