@@ -2761,3 +2761,194 @@ def encode_pnm(img: np.ndarray, kind: int) -> bytes:
         body = b"\n".join(b" ".join(b"%d" % v for v in row) for row in flat) + b"\n"
         return b"P%d\n%d %d\n255\n" % (kind, w, h) + body
     return b"P%d\n%d %d\n255\n" % (kind, w, h) + img.tobytes()
+
+
+# ==========================================================================
+# DDS — DirectDraw Surface with REAL S3TC block decompression (BC1/DXT1,
+# BC2/DXT3, BC3/DXT5) + uncompressed RGBA8888, fully numpy-vectorized.
+# ==========================================================================
+
+
+def _rgb565_to_888(c: np.ndarray) -> np.ndarray:
+    """(n,) uint16 RGB565 → (n, 3) uint8 via standard bit replication."""
+    r5 = (c >> 11) & 0x1F
+    g6 = (c >> 5) & 0x3F
+    b5 = c & 0x1F
+    return np.stack(
+        [(r5 << 3) | (r5 >> 2), (g6 << 2) | (g6 >> 4), (b5 << 3) | (b5 >> 2)],
+        axis=1,
+    ).astype(np.uint8)
+
+
+def _bc1_colors(c0: np.ndarray, c1: np.ndarray, force_opaque: bool) -> np.ndarray:
+    """Per-block 4-entry RGBA palettes from the two RGB565 endpoints."""
+    n = len(c0)
+    p0 = _rgb565_to_888(c0).astype(np.int32)
+    p1 = _rgb565_to_888(c1).astype(np.int32)
+    pal = np.zeros((n, 4, 4), np.uint8)
+    pal[:, 0, :3] = p0
+    pal[:, 1, :3] = p1
+    pal[:, :, 3] = 255
+    four = (c0 > c1) | force_opaque
+    # 4-color mode: 2/3 and 1/3 interpolants
+    pal[four, 2, :3] = ((2 * p0[four] + p1[four]) // 3).astype(np.uint8)
+    pal[four, 3, :3] = ((p0[four] + 2 * p1[four]) // 3).astype(np.uint8)
+    three = ~four
+    pal[three, 2, :3] = ((p0[three] + p1[three]) // 2).astype(np.uint8)
+    pal[three, 3] = 0  # transparent black
+    return pal
+
+
+def _bc_color_block(data: np.ndarray, force_opaque: bool) -> np.ndarray:
+    """(n, 8) color-block bytes → (n, 16, 4) RGBA texels."""
+    c0 = data[:, 0].astype(np.uint16) | (data[:, 1].astype(np.uint16) << 8)
+    c1 = data[:, 2].astype(np.uint16) | (data[:, 3].astype(np.uint16) << 8)
+    pal = _bc1_colors(c0, c1, force_opaque)
+    idx_word = (
+        data[:, 4].astype(np.uint32)
+        | (data[:, 5].astype(np.uint32) << 8)
+        | (data[:, 6].astype(np.uint32) << 16)
+        | (data[:, 7].astype(np.uint32) << 24)
+    )
+    sel = (idx_word[:, None] >> (2 * np.arange(16)[None, :])) & 0x3  # LSB-first
+    return pal[np.arange(len(pal))[:, None], sel]
+
+
+def _bc3_alpha_block(data: np.ndarray) -> np.ndarray:
+    """(n, 8) interpolated-alpha bytes → (n, 16) uint8 alphas."""
+    a0 = data[:, 0].astype(np.int32)
+    a1 = data[:, 1].astype(np.int32)
+    n = len(data)
+    ramp = np.zeros((n, 8), np.int32)
+    ramp[:, 0] = a0
+    ramp[:, 1] = a1
+    eight = a0 > a1
+    for i in range(1, 7):
+        ramp[eight, i + 1] = ((7 - i) * a0[eight] + i * a1[eight]) // 7
+    six = ~eight
+    for i in range(1, 5):
+        ramp[six, i + 1] = ((5 - i) * a0[six] + i * a1[six]) // 5
+    ramp[six, 6] = 0
+    ramp[six, 7] = 255
+    bits = np.zeros(n, np.uint64)
+    for i in range(6):
+        bits |= data[:, 2 + i].astype(np.uint64) << np.uint64(8 * i)
+    sel = (bits[:, None] >> (3 * np.arange(16, dtype=np.uint64)[None, :])) & np.uint64(0x7)
+    return ramp[np.arange(n)[:, None], sel.astype(np.int64)].astype(np.uint8)
+
+
+def decode_dds(payload: bytes) -> np.ndarray:
+    """DDS → (H, W, 4) uint8.  REAL S3TC decompression: BC1/DXT1 (incl.
+    1-bit-alpha 3-color mode), BC2/DXT3 (explicit 4-bit alpha), BC3/DXT5
+    (interpolated alpha ramp) — all vectorized over blocks — plus
+    uncompressed 32-bit RGBA.  DX10 and exotic formats raise."""
+    if payload[:4] != b"DDS " or len(payload) < 128:
+        raise ValueError("not a DDS payload")
+    hdr_size, _flags, h, w = struct.unpack_from("<IIII", payload, 4)
+    if hdr_size != 124:
+        raise ValueError("DDS: bad header size")
+    if not (0 < w <= 1 << 16 and 0 < h <= 1 << 16):
+        raise ValueError("DDS: bad dimensions")
+    pf_flags, fourcc = struct.unpack_from("<I4s", payload, 80)
+    data_off = 128
+    if fourcc == b"DX10":
+        raise ValueError("DDS: DX10 extended formats not supported")
+    if pf_flags & 0x4:  # FOURCC
+        bw, bh = (w + 3) // 4, (h + 3) // 4
+        nblocks = bw * bh
+        if fourcc == b"DXT1":
+            block_bytes = 8
+        elif fourcc in (b"DXT3", b"DXT5"):
+            block_bytes = 16
+        else:
+            raise ValueError(f"DDS: unsupported fourCC {fourcc!r}")
+        need = nblocks * block_bytes
+        if data_off + need > len(payload):
+            raise ValueError("DDS: truncated block data")
+        raw = np.frombuffer(payload, np.uint8, need, data_off).reshape(nblocks, block_bytes)
+        if fourcc == b"DXT1":
+            texels = _bc_color_block(raw, force_opaque=False)
+        elif fourcc == b"DXT3":
+            texels = _bc_color_block(raw[:, 8:], force_opaque=True)
+            nib = raw[:, :8]
+            words = np.zeros(nblocks, np.uint64)
+            for i in range(8):
+                words |= nib[:, i].astype(np.uint64) << np.uint64(8 * i)
+            a4 = (words[:, None] >> (4 * np.arange(16, dtype=np.uint64)[None, :])) & np.uint64(0xF)
+            texels[:, :, 3] = ((a4 << np.uint64(4)) | a4).astype(np.uint8)
+        else:  # DXT5
+            texels = _bc_color_block(raw[:, 8:], force_opaque=True)
+            texels[:, :, 3] = _bc3_alpha_block(raw[:, :8])
+        # assemble 4x4 blocks (row-major blocks, row-major texels)
+        img = (
+            texels.reshape(bh, bw, 4, 4, 4)
+            .transpose(0, 2, 1, 3, 4)
+            .reshape(bh * 4, bw * 4, 4)
+        )
+        return np.ascontiguousarray(img[:h, :w])
+    # uncompressed path: require straightforward 32-bit RGBA masks
+    if not pf_flags & 0x40:
+        raise ValueError("DDS: unsupported pixel format")
+    bitcount, rmask, gmask, bmask, amask = struct.unpack_from("<IIIII", payload, 88)
+    if bitcount != 32:
+        raise ValueError("DDS: only 32-bit uncompressed supported")
+    need = w * h * 4
+    if data_off + need > len(payload):
+        raise ValueError("DDS: truncated pixel data")
+    raw = np.frombuffer(payload, "<u4", w * h, data_off)
+    out = np.zeros((h * w, 4), np.uint8)
+    for ch, mask in enumerate((rmask, gmask, bmask, amask)):
+        if mask == 0:
+            out[:, ch] = 255 if ch == 3 else 0
+            continue
+        shift = (mask & -mask).bit_length() - 1
+        width = int(mask >> shift).bit_length()
+        vals = (raw >> shift) & ((1 << width) - 1)
+        out[:, ch] = (vals * 255 // ((1 << width) - 1)).astype(np.uint8)
+    return out.reshape(h, w, 4)
+
+
+def encode_dds_bc1(img: np.ndarray) -> bytes:
+    """(H, W, 3|4) uint8 → DDS/DXT1.  Exact-fidelity fixture encoder: each
+    4×4 block may contain at most two distinct RGB565-representable colors
+    (endpoints = those colors, indices 0/1) — round-trips bit-exactly."""
+    if img.ndim != 3 or img.dtype != np.uint8:
+        raise ValueError("encode_dds_bc1 expects (H, W, 3|4) uint8")
+    h, w = img.shape[:2]
+    rgb = img[:, :, :3]
+    bw, bh = (w + 3) // 4, (h + 3) // 4
+    pad = np.zeros((bh * 4, bw * 4, 3), np.uint8)
+    pad[:h, :w] = rgb
+    pad[h:] = pad[h - 1 : h] if h < bh * 4 else pad[h:]
+    pad[:, w:] = pad[:, w - 1 : w] if w < bw * 4 else pad[:, w:]
+    blocks = pad.reshape(bh, 4, bw, 4, 3).transpose(0, 2, 1, 3, 4).reshape(-1, 16, 3)
+    out = bytearray()
+    for blk in blocks:
+        colors = np.unique(blk.reshape(-1, 3), axis=0)
+        if len(colors) > 2:
+            raise ValueError("encode_dds_bc1 fixture blocks need <=2 colors")
+        c = []
+        for col in colors:
+            v565 = ((col[0] >> 3) << 11) | ((col[1] >> 2) << 5) | (col[2] >> 3)
+            back = _rgb565_to_888(np.array([v565], np.uint16))[0]
+            if not (back == col).all():
+                raise ValueError("encode_dds_bc1 fixture colors must be 565-exact")
+            c.append(int(v565))
+        if len(c) == 1:
+            c.append(c[0])
+        c0, c1 = (max(c), min(c))  # c0 > c1 → 4-color mode (or equal)
+        if c0 == c1:
+            idx = 0
+        else:
+            want0 = _rgb565_to_888(np.array([c0], np.uint16))[0]
+            sel = (~(blk == want0).all(axis=1)).astype(np.uint32)  # 0 or 1
+            idx = 0
+            for i in range(16):
+                idx |= int(sel[i]) << (2 * i)
+        out += struct.pack("<HHI", c0, c1, idx)
+    hdr = struct.pack(
+        "<4sIIIIIII", b"DDS ", 124, 0x1007 | 0x80000, h, w, len(out), 0, 0
+    ) + b"\x00" * 44 + struct.pack("<II4sIIIII", 32, 0x4, b"DXT1", 0, 0, 0, 0, 0) + struct.pack(
+        "<IIIII", 0x1000, 0, 0, 0, 0
+    )
+    return hdr + bytes(out)

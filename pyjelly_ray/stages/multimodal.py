@@ -77,6 +77,10 @@ def sniff_decode_image(payload: bytes) -> np.ndarray:
         from pyjelly_ray.stages.media_containers import decode_ico
 
         return decode_ico(payload)
+    if payload[:4] == b"DDS ":
+        from pyjelly_ray.stages.media_containers import decode_dds
+
+        return decode_dds(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
         # container/header layer is real; pixel decode is the stub —
         # decode_webp validates then raises NotImplementedError

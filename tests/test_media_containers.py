@@ -1218,3 +1218,116 @@ def test_pnm_comments_maxval_and_16bit():
     rng = np.random.default_rng(3)
     g = rng.integers(0, 256, (6, 7, 1), dtype=np.uint8)
     assert (sniff_decode_image(encode_pnm(g, 5)) == g).all()
+
+
+# ---------------------------------------------------- DDS / S3TC (BC1-3) ---
+
+from pyjelly_ray.stages.media_containers import (  # noqa: E402
+    _rgb565_to_888,
+    decode_dds,
+    encode_dds_bc1,
+)
+
+
+def _dds_hdr(h, w, fourcc, data_len):
+    return (
+        struct.pack("<4sIIIIIII", b"DDS ", 124, 0x1007 | 0x80000, h, w, data_len, 0, 0)
+        + b"\x00" * 44
+        + struct.pack("<II4sIIIII", 32, 0x4, fourcc, 0, 0, 0, 0, 0)
+        + struct.pack("<IIIII", 0x1000, 0, 0, 0, 0)
+    )
+
+
+def test_dds_bc1_exact_roundtrip():
+    rng = np.random.default_rng(70)
+    for shape in ((8, 8), (12, 16), (5, 7), (4, 4)):
+        bh, bw = (shape[0] + 3) // 4, (shape[1] + 3) // 4
+        img = np.zeros((bh * 4, bw * 4, 3), np.uint8)
+        for by in range(bh):
+            for bx in range(bw):
+                cols = _rgb565_to_888(rng.integers(0, 65536, 2, dtype=np.uint16))
+                img[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] = cols[
+                    rng.integers(0, 2, (4, 4))
+                ]
+        img = img[: shape[0], : shape[1]]
+        out = decode_dds(encode_dds_bc1(img))
+        assert out.shape == (*shape, 4)
+        assert (out[:, :, :3] == img).all() and (out[:, :, 3] == 255).all()
+        assert (sniff_decode_image(encode_dds_bc1(img))[:, :, :3] == img).all()
+
+
+def test_dds_bc1_interpolants_and_transparency():
+    c0 = 31 << 11  # pure red in 565
+    idx = 0
+    for i in range(16):
+        idx |= (i % 4) << (2 * i)
+    out = decode_dds(_dds_hdr(4, 4, b"DXT1", 8) + struct.pack("<HHI", c0, 0, idx))
+    row = out[0]
+    assert list(row[0][:3]) == [255, 0, 0] and list(row[1][:3]) == [0, 0, 0]
+    assert list(row[2][:3]) == [2 * 255 // 3, 0, 0]
+    assert list(row[3][:3]) == [255 // 3, 0, 0]
+    # c0 <= c1: 3-color mode, index 3 = transparent black
+    out3 = decode_dds(_dds_hdr(4, 4, b"DXT1", 8) + struct.pack("<HHI", 0, c0, 0xFFFFFFFF))
+    assert (out3[:, :, 3] == 0).all()
+
+
+def test_dds_bc3_alpha_ramps():
+    cblock = struct.pack("<HHI", 31 << 11, 0, 0)
+    for a0, a1 in ((200, 40), (40, 200)):  # 8-value and 6-value modes
+        abits = 0
+        for i in range(16):
+            abits |= (i % 8) << (3 * i)
+        payload = _dds_hdr(4, 4, b"DXT5", 16) + bytes([a0, a1]) + abits.to_bytes(6, "little") + cblock
+        alphas = list(decode_dds(payload).reshape(16, 4)[:, 3][:8])
+        if a0 > a1:
+            expect = [a0, a1] + [((7 - i) * a0 + i * a1) // 7 for i in range(1, 7)]
+        else:
+            expect = [a0, a1] + [((5 - i) * a0 + i * a1) // 5 for i in range(1, 5)] + [0, 255]
+        assert alphas == expect, (a0, a1, alphas, expect)
+
+
+def test_dds_bc2_explicit_alpha_and_uncompressed():
+    nib = 0
+    for i in range(16):
+        nib |= (i % 16) << (4 * i)
+    payload = _dds_hdr(4, 4, b"DXT3", 16) + nib.to_bytes(8, "little") + struct.pack("<HHI", 0, 0, 0)
+    a = list(decode_dds(payload).reshape(16, 4)[:, 3])
+    assert a == [(v << 4) | v for v in range(16)]
+
+    rng = np.random.default_rng(71)
+    img = rng.integers(0, 256, (6, 5, 4), dtype=np.uint8)
+    pix = (
+        img[:, :, 0].astype(np.uint32) | (img[:, :, 1].astype(np.uint32) << 8)
+        | (img[:, :, 2].astype(np.uint32) << 16) | (img[:, :, 3].astype(np.uint32) << 24)
+    )
+    hdr = (
+        struct.pack("<4sIIIIIII", b"DDS ", 124, 0x100F, 6, 5, 20, 0, 0)
+        + b"\x00" * 44
+        + struct.pack("<II4sIIIII", 32, 0x41, bytes(4), 32, 0xFF, 0xFF00, 0xFF0000, 0xFF000000)
+        + struct.pack("<IIIII", 0x1000, 0, 0, 0, 0)
+    )
+    assert (decode_dds(hdr + pix.astype("<u4").tobytes()) == img).all()
+
+
+def test_dds_corruption_and_dx10():
+    rng = np.random.default_rng(72)
+    img = _rgb565_to_888(rng.integers(0, 65536, 2, dtype=np.uint16))[
+        rng.integers(0, 2, (8, 8))
+    ]
+    good = encode_dds_bc1(img)
+    with pytest.raises(ValueError):
+        decode_dds(good[:100])
+    with pytest.raises(ValueError, match="DX10"):
+        decode_dds(good[:84] + b"DX10" + good[88:])
+    for trial in range(60):
+        bad = bytearray(good)
+        if trial % 2 == 0:
+            bad = bad[: rng.integers(4, len(bad))]
+        else:
+            bad[rng.integers(0, len(bad))] ^= 1 << rng.integers(0, 8)
+        try:
+            decode_dds(bytes(bad))
+        except ValueError:
+            pass
+        except Exception as exc:  # pragma: no cover
+            raise AssertionError(f"non-ValueError: {type(exc).__name__}: {exc}")
