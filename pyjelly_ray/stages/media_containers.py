@@ -1,17 +1,26 @@
-"""Real container/codec paths for the remaining media formats (no external
-libraries): GIF (full LZW codec, interlace, transparency, palette), BMP
-(24-bit + 8-bit-palette), TIFF 6.0 (none/PackBits/LZW with the spec's
+"""Real container/codec paths for the media formats (no external
+libraries).  Images: GIF (full LZW codec, interlace, transparency,
+palette), BMP (8/24/32-bit), TIFF 6.0 (none/PackBits/LZW with the spec's
 early-change rule, horizontal-differencing predictor, strips, both byte
-orders, gray/WhiteIsZero/RGB(A)/palette), MP4/ISO-BMFF (generic box parser,
-full sample-table demux — stts/stsc/stsz/stco/co64 — and REAL frame decode
-for uncompressed ``raw `` video tracks), and MP3 (ID3v2 skip, frame-header
-walk, Xing/Info VBR detection → duration/bitrate metadata).
+orders, gray/WhiteIsZero/RGB(A)/palette, multi-page IFD chains), QOI
+(spec-complete), TGA (raw + RLE), ICO (PNG + classic DIB entries), DDS
+with REAL S3TC block decompression (BC1/BC2/BC3), netpbm P1–P6.  Audio:
+G.711 μ-law/A-law companded codecs, AIFF, Sun AU, MP3 metadata (ID3v2
+tags + frame-header walk, Xing/Info VBR → duration/bitrate) and a
+sniffing ``AudioDecodeStage`` spanning WAV/FLAC/AIFF/AU.  Containers:
+MP4/ISO-BMFF (generic box parser, full sample-table demux —
+stts/stsc/stsz/stco/co64 — REAL frame decode for uncompressed ``raw ``
+tracks), Matroska/WebM (EBML element tree, track metadata, SimpleBlock
+extraction; V_UNCOMPRESSED decodes), Ogg (CRC32 pages, lacing/packet
+reassembly, Vorbis/Opus id headers), AVI (RIFF demux; BI_RGB streams
+decode), WebP (RIFF + VP8/VP8L/VP8X header metadata).
 
-This narrows the honest stub boundary of ``stages/multimodal.py`` to exactly
-the compressed A/V *bitstreams* (H.264/HEVC inside MP4, MPEG Layer III
-audio frames) — everything container- or palette-level is decoded for real
-here and round-trip tested.  The reference (pyjelly) has no multimodal
-support at all; these are engine extensions for training-data pipelines.
+This narrows the honest stub boundary of ``stages/multimodal.py`` to
+exactly the perceptual A/V *bitstreams* (H.264/HEVC/VP8/VP9/AV1 video,
+MPEG Layer III / Vorbis / Opus audio, WebP pixel data) — every stub
+validates its container for real before refusing.  The reference
+(pyjelly) has no multimodal support at all; these are engine extensions
+for training-data pipelines.
 
 Scale posture: all of these run per-payload inside actor-pool
 ``map_batches`` stages (see ``multimodal.RECOMMENDED_BATCH_SIZE``); the
