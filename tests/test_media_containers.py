@@ -1331,3 +1331,62 @@ def test_dds_corruption_and_dx10():
             pass
         except Exception as exc:  # pragma: no cover
             raise AssertionError(f"non-ValueError: {type(exc).__name__}: {exc}")
+
+
+# ------------------------------------------- cross-format consistency ---
+
+
+def test_lossless_image_formats_agree():
+    """One source image through every lossless image codec → identical
+    pixels back.  A whole-layer integration invariant."""
+    from pyjelly_ray.stages.media_containers import encode_qoi, encode_tga
+    from pyjelly_ray.stages.multimodal import encode_png, encode_ppm
+
+    rng = np.random.default_rng(80)
+    pal = np.unique(rng.integers(0, 256, (40, 3), dtype=np.uint8), axis=0)
+    img = pal[rng.integers(0, len(pal), (24, 32))]  # ≤256 colors: GIF-safe
+    payloads = [
+        encode_png(img, 3),
+        encode_png(img, 4, interlace=True),
+        encode_bmp(img),
+        encode_qoi(img),
+        encode_tiff(img, compression="lzw", predictor=True),
+        encode_ppm(img),
+        encode_gif(img, interlace=True),
+        encode_ico([img]),
+    ]
+    for p in payloads:
+        out = sniff_decode_image(p)
+        assert (out[:, :, :3] == img).all(), p[:8]
+    # TGA carries no magic bytes (not sniffable by design) — direct decode
+    assert (decode_tga(encode_tga(img, rle=True)) == img).all()
+
+
+def test_lossless_audio_formats_agree():
+    """One source signal through every lossless audio path → identical
+    int16 samples back via the sniffing decoder."""
+    from pyjelly_ray.stages.flac import encode_flac
+    from pyjelly_ray.stages.media_containers import sniff_decode_audio
+
+    x = _tone(3000, seed=81)
+    for payload in (
+        encode_wav(x, 8000),
+        encode_flac(x, 8000, mode="fixed"),
+        encode_flac(x, 8000, mode="lpc", partition_order=2),
+        encode_aiff(x, 8000),
+        encode_au(x, 8000, encoding="pcm16"),
+    ):
+        mono, rate = sniff_decode_audio(payload)
+        assert rate == 8000 and (mono == x).all()
+
+
+def test_video_containers_agree():
+    """The same clip through MP4, Matroska and AVI decodes identically."""
+    from pyjelly_ray.stages.media_containers import decode_avi_video
+
+    rng = np.random.default_rng(82)
+    clip = rng.integers(0, 256, (5, 10, 14, 3), dtype=np.uint8)
+    a = decode_mp4_video(encode_mp4_rawvideo(clip))
+    b = decode_mkv_video(encode_mkv_rawvideo(clip))
+    c = decode_avi_video(encode_avi_rawvideo(clip))
+    assert (a == clip).all() and (b == clip).all() and (c == clip).all()
