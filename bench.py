@@ -229,6 +229,19 @@ def run_media_micro() -> dict:
     jpegs = synth_jpeg_table(64).column("payload").to_pylist()
     pngs = synth_png_table(64).column("payload").to_pylist()
 
+    # realistic-size payloads: the 48x64/24x32 grids above measure mostly
+    # per-image fixed overhead; these measure sustained entropy-decode
+    # throughput (the r5 compiled folds' target)
+    from pyjelly_ray.stages.multimodal import encode_jpeg
+
+    big = (
+        rng.integers(0, 256, (512, 768, 3)).astype(np.float32) * 0.3
+        + np.linspace(0, 180, 768)[None, :, None]
+    ).astype(np.uint8)
+    jpeg_big = [encode_jpeg(big, quality=85), encode_jpeg(big, quality=85, progressive=True)]
+    sig_big = (np.sin(np.arange(240000) / 9) * 18000).astype(np.int16)
+    flac_big = [encode_flac(sig_big, 8000)]
+
     out = {}
     for name, payloads, dec in (
         ("jpeg", jpegs, decode_jpeg),
@@ -236,6 +249,8 @@ def run_media_micro() -> dict:
         ("gif", gifs, decode_gif),
         ("tiff_lzw", tiffs, decode_tiff),
         ("flac", flacs, lambda p: decode_flac(p)[0]),
+        ("jpeg_large", jpeg_big, decode_jpeg),
+        ("flac_large", flac_big, lambda p: decode_flac(p)[0]),
     ):
         t0 = time.perf_counter()
         for p in payloads:

@@ -27,6 +27,8 @@ from dataclasses import dataclass
 
 import numpy as np
 
+from pyjelly_ray.stages import cmedia
+
 _FIXED_COEFS = {
     0: (),
     1: (1,),
@@ -37,6 +39,9 @@ _FIXED_COEFS = {
 
 
 def _crc8(data: bytes) -> int:
+    fast = cmedia.crc8(data)
+    if fast is not None:
+        return fast
     crc = 0
     for b in data:
         crc ^= b
@@ -46,6 +51,9 @@ def _crc8(data: bytes) -> int:
 
 
 def _crc16(data: bytes) -> int:
+    fast = cmedia.crc16(data)
+    if fast is not None:
+        return fast
     crc = 0
     for b in data:
         crc ^= b << 8
@@ -266,6 +274,14 @@ def _decode_residual(r: _BitReader, block_size: int, order: int) -> np.ndarray:
 
 
 def _decode_subframe(r: _BitReader, block_size: int, bps: int) -> np.ndarray:
+    # compiled fast path (stages/_cmedia.c): stateless per subframe, so a
+    # C-side error just re-runs this Python body from the same bit position
+    # for the exact pure-path exception.
+    fast = cmedia.flac_subframe(r.data, r.pos * 8 + r.bit, block_size, bps)
+    if fast is not None:
+        out, bitpos = fast
+        r.pos, r.bit = bitpos >> 3, bitpos & 7
+        return out
     if r.read(1):
         raise ValueError("FLAC: subframe padding bit set")
     stype = r.read(6)

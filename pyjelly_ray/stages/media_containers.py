@@ -36,6 +36,8 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
+from pyjelly_ray.stages import cmedia
+
 # ==========================================================================
 # GIF — full LZW encoder/decoder (GIF87a/89a, interlace, transparency)
 # ==========================================================================
@@ -53,6 +55,9 @@ def _deinterlace_rows(h: int) -> np.ndarray:
 
 def _lzw_decode(data: bytes, min_code_size: int, expect: int) -> np.ndarray:
     """GIF-variant LZW → uint8 index stream of length ``expect``."""
+    fast = cmedia.lzw_decode_gif(data, min_code_size, expect)
+    if fast is not None:
+        return fast
     clear = 1 << min_code_size
     end = clear + 1
     out = np.empty(expect, dtype=np.uint8)
@@ -981,6 +986,9 @@ _TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8}
 def _tiff_lzw_decode(data: bytes, expect: int) -> bytes:
     """TIFF-variant LZW (MSB-first, 9→12-bit codes, the spec's early-change
     rule: the decoder widens at table sizes 510/1022/2046)."""
+    fast = cmedia.lzw_decode_tiff(data, expect)
+    if fast is not None:
+        return fast
     CLEAR, EOI = 256, 257
     prefix = np.full(4096, -1, dtype=np.int32)
     suffix = np.zeros(4096, dtype=np.uint8)

@@ -25,6 +25,14 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
+from pyjelly_ray.stages import cmedia
+
+
+class _FastBail(Exception):
+    """Compiled media fold hit a condition where the pure path raises (or
+    an unsupported shape): re-run the pure-Python decode from scratch so
+    the caller sees the exact pure-path behavior."""
+
 MEDIA_SCHEMA = pa.schema(
     [
         ("media_id", pa.int64()),
@@ -824,6 +832,10 @@ def _png_unfilter(rows: np.ndarray, nbytes: int, fdist: int) -> np.ndarray:
     vectorized byte lanes (their spec recurrence is inherently sequential
     in the reconstructed left neighbour)."""
     n = rows.shape[0]
+    if rows.shape[1] == 1 + nbytes:
+        fast = cmedia.png_unfilter(rows, nbytes, fdist)
+        if fast is not None:
+            return fast
     lanes = nbytes // fdist
     filters = rows[:, 0]
     data = rows[:, 1:]
@@ -1074,6 +1086,7 @@ def _zigzag() -> np.ndarray:
 
 
 _ZZ = _zigzag()
+_ZZ_INV = np.argsort(_ZZ)  # out[:, j] == in[:, _ZZ_INV[j]] ⇔ out[:, _ZZ] = in
 _UNZZ = np.argsort(_ZZ)
 
 _QUANT_LUM = np.array([
@@ -1685,6 +1698,40 @@ def _build_decode_table(bits, values) -> dict[tuple[int, int], int]:
     return out
 
 
+class _RawHuffDict(dict):
+    """(tc, th) → (bits, values) with a slot for the cached C-side table
+    pack (see cmedia.jpeg_scan)."""
+
+    __slots__ = ("pack",)
+
+    def __init__(self) -> None:
+        super().__init__()
+        self.pack = None
+
+
+class _LazyHuffTables(dict):
+    """(tc, th) → decode dict, built lazily from the raw (bits, values) so
+    the compiled-scan path never pays for the Python dict construction."""
+
+    def __init__(self, raw: dict) -> None:
+        super().__init__()
+        self.raw = raw
+
+    def get(self, key, default=None):
+        try:
+            return self[key]
+        except KeyError:
+            return default
+
+    def __missing__(self, key):
+        rv = self.raw.get(key)
+        if rv is None:
+            raise KeyError(key)
+        t = _build_decode_table(*rv)
+        self[key] = t
+        return t
+
+
 def _read_symbol(r: _BitReader, table: dict[tuple[int, int], int]) -> int:
     code, length = 0, 0
     while length < 17:
@@ -1708,12 +1755,18 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     import struct
 
     try:
-        return _decode_jpeg_inner(payload)
+        try:
+            return _decode_jpeg_inner(payload, use_c=cmedia.LIB is not None)
+        except _FastBail:
+            # compiled scan bailed (unsupported shape or a condition where
+            # the pure path raises): re-decode from scratch, pure Python,
+            # for the exact pure-path result/exception
+            return _decode_jpeg_inner(payload, use_c=False)
     except (IndexError, KeyError, OverflowError, ZeroDivisionError, struct.error) as e:
         raise ValueError(f"corrupt JPEG: {type(e).__name__}: {e}") from e
 
 
-def _decode_jpeg_inner(payload: bytes) -> np.ndarray:
+def _decode_jpeg_inner(payload: bytes, use_c: bool = False) -> np.ndarray:
     import struct
 
     d = payload
@@ -1721,7 +1774,8 @@ def _decode_jpeg_inner(payload: bytes) -> np.ndarray:
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
     qtabs: dict[int, np.ndarray] = {}
-    htabs: dict[tuple[int, int], dict] = {}
+    htabs_raw: dict = _RawHuffDict()
+    htabs: dict[tuple[int, int], dict] = _LazyHuffTables(htabs_raw)
     comps = None
     h = w = 0
     hmax = vmax = mcus_x = mcus_y = 0
@@ -1761,7 +1815,9 @@ def _decode_jpeg_inner(payload: bytes) -> np.ndarray:
                 bits = list(body[i + 1 : i + 17])
                 n = sum(bits)
                 values = list(body[i + 17 : i + 17 + n])
-                htabs[(tc, th)] = _build_decode_table(bits, values)
+                htabs_raw[(tc, th)] = (bits, values)
+                htabs_raw.pack = None  # invalidate cached C-side table pack
+                htabs.pop((tc, th), None)  # drop stale built table (DHT redefine)
                 i += 17 + n
         elif marker in (0xC0, 0xC1, 0xC2):
             progressive = marker == 0xC2
@@ -1805,6 +1861,7 @@ def _decode_jpeg_inner(payload: bytes) -> np.ndarray:
                 pos = _decode_prog_scan(
                     d, pos, comps, order, ss, se, ahal >> 4, ahal & 0xF,
                     htabs, restart_interval, mcus_x, mcus_y,
+                    htabs_raw=htabs_raw if use_c else None,
                 )
                 continue
             sel = {}
@@ -1826,6 +1883,17 @@ def _decode_jpeg_inner(payload: bytes) -> np.ndarray:
 
     for c in comps:
         c["dc_t"], c["ac_t"] = sel[c["id"]]
+
+    if use_c:
+        # compiled baseline scan (stages/_cmedia.c): fills every comp's
+        # coef array in place; None ⇒ pure re-run raises the exact error
+        newpos = cmedia.jpeg_scan(
+            d, entropy_pos, htabs_raw, 0, comps,
+            mcus_x, mcus_y, restart_interval, 0, 63, 0, 0,
+        )
+        if newpos is None:
+            raise _FastBail
+        return _jpeg_finish(comps, qtabs, h, w, hmax, vmax)
 
     r = _BitReader(d, entropy_pos)
     prev_dc = [0] * len(comps)
@@ -1876,10 +1944,11 @@ def _jpeg_finish(comps, qtabs, h, w, hmax, vmax) -> np.ndarray:
     planes = []
     for c in comps:
         q = qtabs[c["tq"]]
-        coef = np.zeros((c["coef"].shape[0], 64), np.float64)
-        coef[:, _ZZ] = c["coef"]  # inverse zigzag
-        f = coef.reshape(-1, 8, 8) * q
-        sp = np.einsum("xu,nuv,yv->nxy", _DCT.T, f, _DCT.T) + 128.0
+        # inverse zigzag as one gather (same values as scatter via _ZZ)
+        f = c["coef"][:, _ZZ_INV].reshape(-1, 8, 8) * q
+        # D^T f D per block — BLAS matmul (same float64 math as the old
+        # einsum spelling, ~10x faster on big images)
+        sp = (_DCT.T @ f) @ _DCT + 128.0
         plane = (
             sp.reshape(c["bh"], c["bw"], 8, 8)
             .transpose(0, 2, 1, 3)
@@ -1924,13 +1993,44 @@ def _next_marker(d: bytes, pos: int) -> int:
 
 
 def _decode_prog_scan(d, pos, comps, order, ss, se, ah, al,
-                      htabs, restart_interval, mcus_x, mcus_y) -> int:
+                      htabs, restart_interval, mcus_x, mcus_y,
+                      htabs_raw=None) -> int:
     """Decode one progressive (SOF2) scan; returns the stream position of
     the next marker.  Implements spectral selection + successive
     approximation: DC first/refine (interleaved or single-component), AC
     first/refine with EOB runs (single-component only, per spec)."""
     for c, dc_t, ac_t in order:
         c["saw_scan"] = True
+
+    if htabs_raw is not None:
+        # compiled progressive scan: refine scans mutate coef in place, so
+        # any C-side bail aborts the whole decode (_FastBail) and the
+        # caller re-decodes pure from scratch — never a mid-scan mix.
+        if ss == 0:
+            if se != 0:
+                raise ValueError("progressive DC scan with Se != 0")
+            mode = 1 if len(order) > 1 else 2
+        else:
+            if len(order) != 1:
+                raise ValueError("progressive AC scan must be single-component")
+            mode = 3 if ah == 0 else 4
+        sc = [
+            {
+                "bw": c["bw"], "v": c["v"], "h": c["h"],
+                "bw_ni": c["bw_ni"], "bh_ni": c["bh_ni"], "coef": c["coef"],
+                "dc_t": dc_t if ss == 0 and ah == 0 else None,
+                "ac_t": ac_t if ss != 0 else None,
+            }
+            for c, dc_t, ac_t in order
+        ]
+        newpos = cmedia.jpeg_scan(
+            d, pos, htabs_raw, mode, sc,
+            mcus_x, mcus_y, restart_interval, ss, se, ah, al,
+        )
+        if newpos is None:
+            raise _FastBail
+        return _next_marker(d, newpos)
+
     r = _BitReader(d, pos)
     p1 = 1 << al
 
