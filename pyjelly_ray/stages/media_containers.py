@@ -13,11 +13,12 @@ stts/stsc/stsz/stco/co64 — REAL frame decode for uncompressed ``raw ``
 tracks), Matroska/WebM (EBML element tree, track metadata, SimpleBlock
 extraction; V_UNCOMPRESSED decodes), Ogg (CRC32 pages, lacing/packet
 reassembly, Vorbis/Opus id headers), AVI (RIFF demux; BI_RGB streams
-decode), WebP (RIFF + VP8/VP8L/VP8X header metadata).
+decode), WebP (RIFF + VP8/VP8L/VP8X header metadata; **lossless VP8L
+pixel data decodes for real** — full spec in ``stages/vp8l.py``).
 
 This narrows the honest stub boundary of ``stages/multimodal.py`` to
 exactly the perceptual A/V *bitstreams* (H.264/HEVC/VP8/VP9/AV1 video,
-MPEG Layer III / Vorbis / Opus audio, WebP pixel data) — every stub
+MPEG Layer III / Vorbis / Opus audio, lossy-WebP pixels) — every stub
 validates its container for real before refusing.  The reference
 (pyjelly) has no multimodal support at all; these are engine extensions
 for training-data pipelines.
@@ -2536,14 +2537,20 @@ def webp_info(payload: bytes) -> WebpInfo:
 
 
 def decode_webp(payload: bytes) -> np.ndarray:
-    """STUB: VP8 (boolean arithmetic coding) / VP8L (huffman + transforms)
-    pixel decode needs a codec library.  The container/header layer IS
-    real — :func:`webp_info` parses RIFF chunks and frame headers exactly."""
+    """WebP pixel decode: lossless (VP8L) is REAL (stages/vp8l.py, full
+    spec: transforms, meta-huffman, color cache, LZ77); lossy (VP8) is the
+    honest stub — boolean arithmetic coding + loop filter DSP needs a
+    codec library.  Extended (VP8X) files decode when they carry a VP8L
+    stream."""
     info = webp_info(payload)  # validates for real before refusing
-    raise NotImplementedError(
-        f"WebP {info.format} pixel decode needs a codec library; the "
-        "RIFF/VP8/VP8L header layer parses natively"
-    )
+    if info.format == "lossy":
+        raise NotImplementedError(
+            "WebP lossy (VP8) pixel decode needs a DSP codec library; the "
+            "RIFF/VP8 header layer parses natively"
+        )
+    from pyjelly_ray.stages.vp8l import decode_webp_lossless
+
+    return decode_webp_lossless(payload)
 
 
 # ==========================================================================

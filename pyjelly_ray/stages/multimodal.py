@@ -51,10 +51,10 @@ RECOMMENDED_BATCH_SIZE = 32
 def sniff_decode_image(payload: bytes) -> np.ndarray:
     """Magic-byte dispatch to the REAL pure-numpy decoders → uint8
     (H, W, C): PNG (incl. 16-bit/Adam7/low-depth), JPEG (baseline +
-    progressive), netpbm P1–P6, GIF, BMP, TIFF, QOI, ICO.  Formats whose
-    pixel data needs an external codec library (WebP VP8/VP8L) raise
-    ``NotImplementedError`` AFTER a real container validation (the honest
-    stub boundary)."""
+    progressive), netpbm P1–P6, GIF, BMP, TIFF, QOI, ICO, WebP-lossless
+    (VP8L, stages/vp8l.py).  Formats whose pixel data needs an external
+    codec library (WebP lossy VP8) raise ``NotImplementedError`` AFTER a
+    real container validation (the honest stub boundary)."""
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)
     if payload[:2] == b"\xff\xd8":
@@ -90,8 +90,8 @@ def sniff_decode_image(payload: bytes) -> np.ndarray:
 
         return decode_dds(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
-        # container/header layer is real; pixel decode is the stub —
-        # decode_webp validates then raises NotImplementedError
+        # lossless (VP8L) decodes for real (stages/vp8l.py); lossy VP8
+        # validates its container then raises NotImplementedError
         from pyjelly_ray.stages.media_containers import decode_webp
 
         return decode_webp(payload)

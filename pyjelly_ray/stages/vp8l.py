@@ -1,0 +1,1070 @@
+"""REAL WebP-lossless (VP8L) codec — stdlib + numpy only, written against
+the public WebP lossless bitstream spec (RFC 9649).
+
+VP8L is a pure entropy format (canonical huffman + LZ77 + optional spatial
+transforms) — no perceptual DSP — so it is fully implementable the way the
+GIF/FLAC codecs were.  This module provides:
+
+Decoder (``decode_vp8l`` / ``decode_webp_lossless``): the complete format —
+  * all four transforms (predictor with all 14 modes, cross-color,
+    subtract-green, color-indexing incl. sub-8-bit pixel bundling),
+  * meta-huffman (multiple entropy groups via the entropy image),
+  * color cache, LZ77 with the 120-entry distance-plane mapping,
+  * simple (1/2-symbol) and normal huffman codes, code-length codes with
+    repeat ops (16/17/18) and the max_symbol early stop.
+
+Encoder (``encode_vp8l``): fixture-grade but real — literal + LZ77
+  (distance-1 runs and distance-width vertical matches, exercising both
+  plane-table branches), optional subtract-green / single-mode predictor /
+  palette (with bundling), optional color cache, simple and normal codes
+  with package-merge length-limited huffman.  Every decoder path has an
+  encoder switch so round-trip grids pin the full format bit-exactly.
+
+The reference (pyjelly) has no image support; engine extension for
+training-data pipelines (WebP is ubiquitous in scraped web corpora).
+
+Distance-plane table: generated from the spec's rule — the 120 closest
+causal offsets (x in 1..8 for y=0; x in -8..7 for y in 1..7), ordered by
+ascending x²+y², ties by larger y first, then positive x before negative —
+which reproduces the table listed in RFC 9649 §4.2.2.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+MAX_ALLOWED_CODE_LENGTH = 15
+_CODE_LENGTH_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+_NUM_LENGTH_CODES = 24
+_NUM_DISTANCE_CODES = 40
+_HASH_MUL = 0x1E35A7BD
+
+
+def _make_distance_table() -> list[tuple[int, int]]:
+    offs = [(x, 0) for x in range(1, 9)]
+    offs += [(x, y) for y in range(1, 8) for x in range(-8, 8)]
+    offs.sort(key=lambda p: (p[0] * p[0] + p[1] * p[1], -p[1], 0 if p[0] >= 0 else 1))
+    assert len(offs) == 120
+    return offs
+
+
+_DIST_TABLE = _make_distance_table()
+_DIST_CODE = {xy: i + 1 for i, xy in enumerate(_DIST_TABLE)}
+
+
+# ------------------------------------------------------------------ bits
+
+
+class _Reader:
+    """LSB-first bit reader (VP8L convention)."""
+
+    __slots__ = ("d", "pos", "bit")
+
+    def __init__(self, d: bytes, pos: int = 0) -> None:
+        self.d = d
+        self.pos = pos
+        self.bit = 0
+
+    def read(self, n: int) -> int:
+        out = 0
+        got = 0
+        while got < n:
+            if self.pos >= len(self.d):
+                raise ValueError("VP8L: bitstream truncated")
+            avail = 8 - self.bit
+            take = min(n - got, avail)
+            out |= ((self.d[self.pos] >> self.bit) & ((1 << take) - 1)) << got
+            got += take
+            self.bit += take
+            if self.bit == 8:
+                self.bit = 0
+                self.pos += 1
+        return out
+
+    def read_bit(self) -> int:
+        return self.read(1)
+
+
+class _Writer:
+    """LSB-first bit writer."""
+
+    __slots__ = ("buf", "acc", "nbits")
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, n: int) -> None:
+        self.acc |= (value & ((1 << n) - 1)) << self.nbits
+        self.nbits += n
+        while self.nbits >= 8:
+            self.buf.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def write_code(self, code: int, length: int) -> None:
+        """Huffman code bits are transmitted MSB-of-code first."""
+        for i in range(length - 1, -1, -1):
+            self.write((code >> i) & 1, 1)
+
+    def getvalue(self) -> bytes:
+        out = bytearray(self.buf)
+        if self.nbits:
+            out.append(self.acc & 0xFF)
+        return bytes(out)
+
+
+# ------------------------------------------------------------------ huffman
+
+
+class _Huff:
+    """Canonical huffman decode table (bit-by-bit MSB-first code walk over
+    the LSB-first stream — the DEFLATE/VP8L convention).  ``single`` holds
+    the symbol of a zero-bit (one-symbol) code."""
+
+    __slots__ = ("mincode", "count", "valptr", "vals", "single")
+
+    def __init__(self, lengths) -> None:
+        self.single = None
+        nz = [(ln, sym) for sym, ln in enumerate(lengths) if ln > 0]
+        if not nz:
+            raise ValueError("VP8L: empty huffman code")
+        if len(nz) == 1:
+            self.single = nz[0][1]
+            return
+        nz.sort()
+        if nz[-1][0] > MAX_ALLOWED_CODE_LENGTH:
+            raise ValueError("VP8L: code length overflow")
+        self.count = [0] * (MAX_ALLOWED_CODE_LENGTH + 1)
+        for ln, _ in nz:
+            self.count[ln] += 1
+        self.mincode = [0] * (MAX_ALLOWED_CODE_LENGTH + 1)
+        self.valptr = [0] * (MAX_ALLOWED_CODE_LENGTH + 1)
+        self.vals = [sym for _, sym in nz]
+        code = 0
+        k = 0
+        total = 0
+        for ln in range(1, MAX_ALLOWED_CODE_LENGTH + 1):
+            self.mincode[ln] = code
+            self.valptr[ln] = k
+            code += self.count[ln]
+            k += self.count[ln]
+            total += self.count[ln] << (MAX_ALLOWED_CODE_LENGTH - ln)
+            code <<= 1
+        if total != 1 << MAX_ALLOWED_CODE_LENGTH:
+            raise ValueError("VP8L: huffman code not complete")
+
+    def read(self, r: _Reader) -> int:
+        if self.single is not None:
+            return self.single
+        code = 0
+        for ln in range(1, MAX_ALLOWED_CODE_LENGTH + 1):
+            code = (code << 1) | r.read_bit()
+            c = self.count[ln]
+            if c and self.mincode[ln] <= code < self.mincode[ln] + c:
+                return self.vals[self.valptr[ln] + code - self.mincode[ln]]
+        raise ValueError("VP8L: invalid huffman code")
+
+
+def _canonical_codes(lengths) -> dict[int, tuple[int, int]]:
+    """symbol → (code, length) under canonical assignment."""
+    nz = sorted((ln, sym) for sym, ln in enumerate(lengths) if ln > 0)
+    out = {}
+    code = 0
+    prev_len = 0
+    for ln, sym in nz:
+        code <<= ln - prev_len
+        out[sym] = (code, ln)
+        code += 1
+        prev_len = ln
+    return out
+
+
+def _package_merge(freqs, max_len: int = MAX_ALLOWED_CODE_LENGTH) -> list[int]:
+    """Length-limited huffman code lengths (package-merge)."""
+    syms = [i for i, f in enumerate(freqs) if f > 0]
+    n = len(syms)
+    lengths = [0] * len(freqs)
+    if n == 0:
+        return lengths
+    if n == 1:
+        lengths[syms[0]] = 1
+        return lengths
+    items = sorted((freqs[s], s) for s in syms)
+    leaves = [(f, (s,)) for f, s in items]
+    merged: list[tuple[int, tuple[int, ...]]] = []
+    # max_len-1 packaging rounds; final list = leaves ∪ last packages
+    for _ in range(max_len - 1):
+        level = sorted(leaves + merged, key=lambda t: t[0])
+        merged = [
+            (level[i][0] + level[i + 1][0], level[i][1] + level[i + 1][1])
+            for i in range(0, len(level) - 1, 2)
+        ]
+    pool = sorted(leaves + merged, key=lambda t: t[0])
+    counts = {s: 0 for s in syms}
+    # the 2n-2 cheapest items; each leaf occurrence adds one bit of length
+    for _f, members in pool[: 2 * n - 2]:
+        for s in members:
+            counts[s] += 1
+    for s, c in counts.items():
+        lengths[s] = c
+    return lengths
+
+
+def _write_huffman_code(w: _Writer, lengths) -> dict[int, tuple[int, int]]:
+    """Emit one huffman code (simple or normal form); return the symbol →
+    (code, length) map for payload emission."""
+    nz = [(sym, ln) for sym, ln in enumerate(lengths) if ln > 0]
+    if 1 <= len(nz) <= 2 and all(sym < 256 for sym, _ in nz):
+        w.write(1, 1)  # simple code
+        w.write(len(nz) - 1, 1)
+        first = nz[0][0]
+        if first <= 1:
+            w.write(0, 1)  # 1-bit first symbol
+            w.write(first, 1)
+        else:
+            w.write(1, 1)
+            w.write(first, 8)
+        if len(nz) == 2:
+            w.write(nz[1][0], 8)
+        if len(nz) == 1:
+            return {nz[0][0]: (0, 0)}
+        return {nz[0][0]: (0, 1), nz[1][0]: (1, 1)}
+
+    w.write(0, 1)  # normal code
+    last = max(sym for sym, _ in nz)
+    n_tokens = last + 1  # literal tokens only, up to the last nonzero
+    single_normal = len(nz) == 1  # zero-bit payload reads (libwebp rule)
+    # code-length code: freq over the token lengths actually used
+    cl_freq = [0] * 19
+    for sym in range(n_tokens):
+        cl_freq[lengths[sym]] += 1
+    cl_lengths = _package_merge(cl_freq, 7)
+    # num_code_lengths: enough _CODE_LENGTH_ORDER slots to cover every
+    # nonzero code-length-code entry
+    need = 0
+    for i, cl in enumerate(_CODE_LENGTH_ORDER):
+        if cl_lengths[cl] > 0:
+            need = i + 1
+    num_cl = max(4, need)
+    w.write(num_cl - 4, 4)
+    for i in range(num_cl):
+        w.write(cl_lengths[_CODE_LENGTH_ORDER[i]], 3)
+    cl_codes = _canonical_codes(cl_lengths)
+
+    if n_tokens < len(lengths):
+        # max_symbol early stop: bit, then 3-bit nbits selector + value
+        w.write(1, 1)
+        k = 0
+        while n_tokens - 2 >= (1 << (2 + 2 * k)):
+            k += 1
+        w.write(k, 3)
+        w.write(n_tokens - 2, 2 + 2 * k)
+    else:
+        w.write(0, 1)
+    single_cl = len(cl_codes) == 1
+    for sym in range(n_tokens):
+        code, ln = cl_codes[lengths[sym]]
+        if not single_cl:
+            w.write_code(code, ln)
+    if single_normal:
+        return {nz[0][0]: (0, 0)}
+    return _canonical_codes(lengths)
+
+
+def _read_huffman_code(r: _Reader, alphabet_size: int) -> _Huff:
+    if r.read_bit():  # simple
+        num_symbols = r.read(1) + 1
+        if r.read_bit():
+            sym0 = r.read(8)
+        else:
+            sym0 = r.read(1)
+        lengths = [0] * alphabet_size
+        if sym0 >= alphabet_size:
+            raise ValueError("VP8L: simple-code symbol out of range")
+        if num_symbols == 2:
+            sym1 = r.read(8)
+            if sym1 >= alphabet_size:
+                raise ValueError("VP8L: simple-code symbol out of range")
+            lengths[sym0] = 1
+            lengths[sym1] = 1
+        else:
+            lengths[sym0] = 1  # single-symbol ⇒ _Huff zero-bit reads
+        return _Huff(lengths)
+
+    num_cl = 4 + r.read(4)
+    cl_lengths = [0] * 19
+    for i in range(num_cl):
+        cl_lengths[_CODE_LENGTH_ORDER[i]] = r.read(3)
+    cl_huff = _Huff(cl_lengths)  # single-symbol codes read zero bits
+
+    if r.read_bit():
+        length_nbits = 2 + 2 * r.read(3)
+        max_symbol = 2 + r.read(length_nbits)
+    else:
+        max_symbol = alphabet_size
+
+    lengths = [0] * alphabet_size
+    symbol = 0
+    prev_len = 8
+    while symbol < alphabet_size:
+        if max_symbol == 0:
+            break
+        max_symbol -= 1
+        cl = cl_huff.read(r)
+        if cl < 16:
+            lengths[symbol] = cl
+            symbol += 1
+            if cl != 0:
+                prev_len = cl
+        elif cl == 16:
+            rep = 3 + r.read(2)
+            if symbol + rep > alphabet_size:
+                raise ValueError("VP8L: code-length repeat overflow")
+            for _ in range(rep):
+                lengths[symbol] = prev_len
+                symbol += 1
+        elif cl == 17:
+            symbol += 3 + r.read(3)
+        else:  # 18
+            symbol += 11 + r.read(7)
+        if symbol > alphabet_size:
+            raise ValueError("VP8L: code-length repeat overflow")
+    return _Huff(lengths)
+
+
+# ------------------------------------------------------------------ prefix
+
+
+def _prefix_decode(code: int, r: _Reader) -> int:
+    if code < 4:
+        return code + 1
+    extra = (code - 2) >> 1
+    offset = (2 + (code & 1)) << extra
+    return offset + r.read(extra) + 1
+
+
+def _prefix_encode(value: int) -> tuple[int, int, int]:
+    """value → (code, extra_value, extra_bits)."""
+    x = value - 1
+    if x < 4:
+        return x, 0, 0
+    eb = x.bit_length() - 2
+    top2 = x >> eb
+    return 2 * eb + top2, x - (top2 << eb), eb
+
+
+def _cache_index(argb: int, bits: int) -> int:
+    return ((_HASH_MUL * argb) & 0xFFFFFFFF) >> (32 - bits)
+
+
+# ------------------------------------------------------------------ decoder
+
+
+def _sub_size(size: int, bits: int) -> int:
+    return (size + (1 << bits) - 1) >> bits
+
+
+def _decode_entropy_image(r: _Reader, w: int, h: int, *, level0: bool,
+                          transforms=None, max_transforms: int = 4):
+    """DecodeImageStream per spec: optional transforms (level0 only), color
+    cache, meta-huffman (level0 only), then the LZ77+huffman pixel data.
+    Returns uint32 ARGB array of w*h (row-major), plus the possibly
+    transform-reduced width actually decoded."""
+    xsize = w
+    if level0:
+        seen = set()
+        while r.read_bit():
+            ttype = r.read(2)
+            if ttype in seen:
+                raise ValueError("VP8L: duplicate transform")
+            seen.add(ttype)
+            if ttype == 2:  # subtract green
+                transforms.append((2, None, xsize))
+            elif ttype == 0 or ttype == 1:  # predictor / color
+                size_bits = r.read(3) + 2
+                tw, th = _sub_size(xsize, size_bits), _sub_size(h, size_bits)
+                data = _decode_entropy_image(r, tw, th, level0=False)
+                transforms.append((ttype, (size_bits, data), xsize))
+            elif ttype == 3:  # color indexing
+                n_colors = r.read(8) + 1
+                pal = _decode_entropy_image(r, n_colors, 1, level0=False)
+                # palette entries are delta-coded per channel
+                p = np.zeros(n_colors, np.uint32)
+                prev = 0
+                for i in range(n_colors):
+                    d = int(pal[i])
+                    cur = 0
+                    for sh in (24, 16, 8, 0):  # per-channel mod-256 add
+                        cur |= ((((d >> sh) & 0xFF) + ((prev >> sh) & 0xFF)) & 0xFF) << sh
+                    p[i] = cur
+                    prev = cur
+                if n_colors <= 2:
+                    width_bits = 3
+                elif n_colors <= 4:
+                    width_bits = 2
+                elif n_colors <= 16:
+                    width_bits = 1
+                else:
+                    width_bits = 0
+                transforms.append((3, (width_bits, p), xsize))
+                xsize = _sub_size(xsize, width_bits)
+            else:
+                raise ValueError("VP8L: bad transform type")
+            if len(seen) > max_transforms:
+                raise ValueError("VP8L: too many transforms")
+
+    cache_bits = 0
+    if r.read_bit():
+        cache_bits = r.read(4)
+        if not (1 <= cache_bits <= 11):
+            raise ValueError("VP8L: bad color-cache size")
+    cache_size = (1 << cache_bits) if cache_bits else 0
+
+    meta = None
+    meta_bits = 0
+    n_groups = 1
+    if level0 and r.read_bit():
+        meta_bits = r.read(3) + 2
+        mw, mh = _sub_size(xsize, meta_bits), _sub_size(h, meta_bits)
+        meta_img = _decode_entropy_image(r, mw, mh, level0=False)
+        meta = (((meta_img >> 8) & 0xFFFF)).astype(np.int64)
+        n_groups = int(meta.max()) + 1 if meta.size else 1
+
+    green_alpha = 256 + _NUM_LENGTH_CODES + cache_size
+    groups = []
+    for _ in range(n_groups):
+        g = _read_huffman_code(r, green_alpha)
+        rr_ = _read_huffman_code(r, 256)
+        b = _read_huffman_code(r, 256)
+        a = _read_huffman_code(r, 256)
+        d = _read_huffman_code(r, _NUM_DISTANCE_CODES)
+        groups.append((g, rr_, b, a, d))
+
+    n_px = xsize * h
+    out = np.zeros(n_px, np.uint32)
+    cache = [0] * cache_size
+    pos = 0
+    mw = _sub_size(xsize, meta_bits) if meta is not None else 0
+    gcur = groups[0]
+    last_meta_block = -1
+    while pos < n_px:
+        if meta is not None:
+            x, y = pos % xsize, pos // xsize
+            blk = (y >> meta_bits) * mw + (x >> meta_bits)
+            if blk != last_meta_block:
+                gcur = groups[meta[blk]]
+                last_meta_block = blk
+        hg, hr, hb, ha, hd = gcur
+        sym = hg.read(r)
+        if sym < 256:
+            g = sym
+            red = hr.read(r)
+            b = hb.read(r)
+            a = ha.read(r)
+            px = (a << 24) | (red << 16) | (g << 8) | b
+            out[pos] = px
+            if cache_size:
+                cache[_cache_index(px, cache_bits)] = px
+            pos += 1
+        elif sym < 256 + _NUM_LENGTH_CODES:
+            length = _prefix_decode(sym - 256, r)
+            dist_code = _prefix_decode(hd.read(r), r)
+            if dist_code > 120:
+                dist = dist_code - 120
+            else:
+                dx, dy = _DIST_TABLE[dist_code - 1]
+                dist = dx + dy * xsize
+                if dist < 1:
+                    dist = 1
+            if dist > pos or pos + length > n_px:
+                raise ValueError("VP8L: backward reference out of range")
+            for i in range(length):
+                px = int(out[pos - dist + i])
+                out[pos + i] = px
+                if cache_size:
+                    cache[_cache_index(px, cache_bits)] = px
+            pos += length
+        else:
+            idx = sym - 256 - _NUM_LENGTH_CODES
+            out[pos] = cache[idx]
+            pos += 1
+
+    return out
+
+
+def _apply_inverse_transforms(pixels: np.ndarray, transforms, w: int, h: int) -> np.ndarray:
+    """Apply inverse transforms in reverse order of appearance.  Each entry
+    is (type, data, xsize-at-read-time)."""
+    for ttype, data, xsize in reversed(transforms):
+        if ttype == 3:  # color indexing
+            width_bits, pal = data
+            if width_bits:
+                packed_w = _sub_size(xsize, width_bits)
+                px = pixels.reshape(h, packed_w)
+                bits_pp = 8 >> width_bits
+                ppb = 1 << width_bits
+                mask = (1 << bits_pp) - 1
+                green = ((px >> 8) & 0xFF).astype(np.uint32)
+                xs = np.arange(xsize)
+                src = green[:, xs >> width_bits]
+                shift = (xs % ppb) * bits_pp
+                idx = (src >> shift[None, :]) & mask
+            else:
+                idx = ((pixels >> 8) & 0xFF).reshape(h, xsize)
+            safe = np.where(idx < len(pal), idx, 0)
+            vals = pal[safe]
+            vals[idx >= len(pal)] = 0
+            pixels = vals.reshape(-1).astype(np.uint32)
+        elif ttype == 2:  # subtract green → add green back
+            g = (pixels >> 8) & 0xFF
+            r = (((pixels >> 16) & 0xFF) + g) & 0xFF
+            b = ((pixels & 0xFF) + g) & 0xFF
+            pixels = (pixels & 0xFF00FF00) | (r << 16) | b
+        elif ttype == 1:  # cross-color
+            size_bits, timg = data
+            tw = _sub_size(xsize, size_bits)
+            px = pixels.reshape(h, xsize)
+            a = (px >> 24) & 0xFF
+            red = ((px >> 16) & 0xFF).astype(np.int64)
+            g = ((px >> 8) & 0xFF).astype(np.int64)
+            b = (px & 0xFF).astype(np.int64)
+            t = timg.reshape(_sub_size(h, size_bits), tw)
+            ty = np.arange(h) >> size_bits
+            tx = np.arange(xsize) >> size_bits
+            cte = t[ty][:, tx]
+            # ColorTransformElement packing: green_to_red in blue channel,
+            # green_to_blue in green channel, red_to_blue in red channel
+            g2r = ((cte & 0xFF).astype(np.int64) ^ 0x80) - 0x80
+            g2b = (((cte >> 8) & 0xFF).astype(np.int64) ^ 0x80) - 0x80
+            r2b = (((cte >> 16) & 0xFF).astype(np.int64) ^ 0x80) - 0x80
+            gs = (g ^ 0x80) - 0x80  # int8 view of the green byte
+            red = (red + ((g2r * gs) >> 5)) & 0xFF
+            rs = (red ^ 0x80) - 0x80
+            b = (b + ((g2b * gs) >> 5)) & 0xFF
+            b = (b + ((r2b * rs) >> 5)) & 0xFF
+            pixels = ((a << 24) | (red << 16) | (g << 8) | b).astype(np.uint32).reshape(-1)
+        elif ttype == 0:  # predictor
+            size_bits, timg = data
+            pixels = _inverse_predictor(pixels, timg, xsize, h, size_bits)
+    return pixels
+
+
+def _avg2(a, b):
+    return ((int(a >> 24) + int(b >> 24)) >> 1 << 24 |
+            (((int(a) >> 16 & 0xFF) + (int(b) >> 16 & 0xFF)) >> 1) << 16 |
+            (((int(a) >> 8 & 0xFF) + (int(b) >> 8 & 0xFF)) >> 1) << 8 |
+            ((int(a) & 0xFF) + (int(b) & 0xFF)) >> 1)
+
+
+def _clamp_add_sub_full(a, b, c):
+    out = 0
+    for sh in (24, 16, 8, 0):
+        v = ((a >> sh) & 0xFF) + ((b >> sh) & 0xFF) - ((c >> sh) & 0xFF)
+        v = 0 if v < 0 else (255 if v > 255 else v)
+        out |= v << sh
+    return out
+
+
+def _clamp_add_sub_half(ave, c):
+    out = 0
+    for sh in (24, 16, 8, 0):
+        av = (ave >> sh) & 0xFF
+        cv = (c >> sh) & 0xFF
+        d = av - cv
+        v = av + (d // 2 if d >= 0 else -((-d) // 2))  # trunc toward zero
+        v = 0 if v < 0 else (255 if v > 255 else v)
+        out |= v << sh
+    return out
+
+
+def _select(t, l, tl):
+    s = 0
+    for sh in (24, 16, 8, 0):
+        lv = (l >> sh) & 0xFF
+        tv = (t >> sh) & 0xFF
+        cv = (tl >> sh) & 0xFF
+        s += abs(lv - cv) - abs(tv - cv)
+    return t if s <= 0 else l
+
+
+def _inverse_predictor(pixels: np.ndarray, timg: np.ndarray, w: int, h: int,
+                       size_bits: int) -> np.ndarray:
+    tw = _sub_size(w, size_bits)
+    modes = ((timg.reshape(-1, tw) >> 8) & 0xFF).astype(np.int64)
+    px = pixels.reshape(h, w).astype(np.uint32).copy()
+
+    def addpix(a, b):  # per-channel mod-256 add
+        out = 0
+        for sh in (24, 16, 8, 0):
+            out |= ((((a >> sh) & 0xFF) + ((b >> sh) & 0xFF)) & 0xFF) << sh
+        return out
+
+    for y in range(h):
+        for x in range(w):
+            if x == 0 and y == 0:
+                pred = 0xFF000000
+            elif y == 0:
+                pred = int(px[0, x - 1])  # forced L on the top row
+            elif x == 0:
+                pred = int(px[y - 1, 0])  # forced T on the left column
+            else:
+                mode = int(modes[y >> size_bits, x >> size_bits])
+                L = int(px[y, x - 1])
+                T = int(px[y - 1, x])
+                TL = int(px[y - 1, x - 1])
+                TR = int(px[y - 1, x + 1]) if x + 1 < w else int(px[y, 0])
+                if mode == 0:
+                    pred = 0xFF000000
+                elif mode == 1:
+                    pred = L
+                elif mode == 2:
+                    pred = T
+                elif mode == 3:
+                    pred = TR
+                elif mode == 4:
+                    pred = TL
+                elif mode == 5:
+                    pred = _avg2(_avg2(L, TR), T)
+                elif mode == 6:
+                    pred = _avg2(L, TL)
+                elif mode == 7:
+                    pred = _avg2(L, T)
+                elif mode == 8:
+                    pred = _avg2(TL, T)
+                elif mode == 9:
+                    pred = _avg2(T, TR)
+                elif mode == 10:
+                    pred = _avg2(_avg2(L, TL), _avg2(T, TR))
+                elif mode == 11:
+                    pred = _select(T, L, TL)
+                elif mode == 12:
+                    pred = _clamp_add_sub_full(L, T, TL)
+                elif mode == 13:
+                    pred = _clamp_add_sub_half(_avg2(L, T), TL)
+                else:
+                    raise ValueError(f"VP8L: bad predictor mode {mode}")
+            px[y, x] = addpix(int(px[y, x]), pred)
+    return px.reshape(-1)
+
+
+def decode_vp8l(data: bytes) -> np.ndarray:
+    """VP8L chunk payload → (H, W, 4) uint8 RGBA."""
+    if not data or data[0] != 0x2F:
+        raise ValueError("VP8L: bad signature byte")
+    r = _Reader(data, 1)
+    w = r.read(14) + 1
+    h = r.read(14) + 1
+    r.read(1)  # alpha hint
+    if r.read(3) != 0:
+        raise ValueError("VP8L: unsupported version")
+    transforms: list = []
+    pixels = _decode_entropy_image(r, w, h, level0=True, transforms=transforms)
+    pixels = _apply_inverse_transforms(pixels, transforms, w, h)
+    if len(pixels) != w * h:
+        raise ValueError("VP8L: pixel count mismatch after transforms")
+    px = pixels.reshape(h, w)
+    out = np.empty((h, w, 4), np.uint8)
+    out[:, :, 0] = (px >> 16) & 0xFF
+    out[:, :, 1] = (px >> 8) & 0xFF
+    out[:, :, 2] = px & 0xFF
+    out[:, :, 3] = (px >> 24) & 0xFF
+    return out
+
+
+def decode_webp_lossless(payload: bytes) -> np.ndarray:
+    """RIFF WebP container → (H, W, 4) uint8 RGBA (VP8L streams only;
+    lossy VP8 raises — see media_containers.WebpPixelDecodeStub)."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise ValueError("not a WebP (bad RIFF header)")
+    pos = 12
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + size]
+        if tag == b"VP8L":
+            return decode_vp8l(body)
+        pos += 8 + size + (size & 1)
+    raise ValueError("WebP: no VP8L chunk (lossy VP8 needs a DSP codec)")
+
+
+# ------------------------------------------------------------------ encoder
+
+
+def _forward_predictor(img: np.ndarray, mode: int, size_bits: int,
+                       w: int, h: int) -> tuple[np.ndarray, np.ndarray]:
+    """Residual image + transform image for a single predictor mode."""
+    px = img.copy()
+    res = img.copy()
+
+    def subpix(a, b):
+        out = 0
+        for sh in (24, 16, 8, 0):
+            out |= ((((a >> sh) & 0xFF) - ((b >> sh) & 0xFF)) & 0xFF) << sh
+        return out
+
+    pxm = px.reshape(h, w)
+    rm = res.reshape(h, w)
+    for y in range(h):
+        for x in range(w):
+            if x == 0 and y == 0:
+                pred = 0xFF000000
+            elif y == 0:
+                pred = int(pxm[0, x - 1])
+            elif x == 0:
+                pred = int(pxm[y - 1, 0])
+            else:
+                L = int(pxm[y, x - 1])
+                T = int(pxm[y - 1, x])
+                TL = int(pxm[y - 1, x - 1])
+                TR = int(pxm[y - 1, x + 1]) if x + 1 < w else int(pxm[y, 0])
+                if mode == 0:
+                    pred = 0xFF000000
+                elif mode == 1:
+                    pred = L
+                elif mode == 2:
+                    pred = T
+                elif mode == 3:
+                    pred = TR
+                elif mode == 4:
+                    pred = TL
+                elif mode == 5:
+                    pred = _avg2(_avg2(L, TR), T)
+                elif mode == 6:
+                    pred = _avg2(L, TL)
+                elif mode == 7:
+                    pred = _avg2(L, T)
+                elif mode == 8:
+                    pred = _avg2(TL, T)
+                elif mode == 9:
+                    pred = _avg2(T, TR)
+                elif mode == 10:
+                    pred = _avg2(_avg2(L, TL), _avg2(T, TR))
+                elif mode == 11:
+                    pred = _select(T, L, TL)
+                elif mode == 12:
+                    pred = _clamp_add_sub_full(L, T, TL)
+                elif mode == 13:
+                    pred = _clamp_add_sub_half(_avg2(L, T), TL)
+                else:
+                    raise ValueError("bad predictor mode")
+            rm[y, x] = subpix(int(pxm[y, x]), pred)
+    tw, th = _sub_size(w, size_bits), _sub_size(h, size_bits)
+    timg = np.full(tw * th, 0xFF000000 | (mode << 8), np.uint32)
+    return res, timg
+
+
+def _tokenize(pixels: np.ndarray, xsize: int, *, use_lz77: bool,
+              cache_bits: int):
+    """Pixel stream → [(start_pos, token)].  Tokens: ('lit', argb),
+    ('cache', idx), ('copy', length, dist)."""
+    n = len(pixels)
+    toks = []
+    cache = [None] * (1 << cache_bits) if cache_bits else None
+    pos = 0
+    arr = pixels
+    while pos < n:
+        px = int(arr[pos])
+        if use_lz77 and pos > 0:
+            # distance-1 runs
+            run = 0
+            while pos + run < n and int(arr[pos + run]) == int(arr[pos + run - 1]) and run < 4096:
+                run += 1
+            # vertical (distance == xsize) matches
+            vrun = 0
+            if pos >= xsize:
+                while (pos + vrun < n and vrun < 4096
+                       and int(arr[pos + vrun]) == int(arr[pos + vrun - xsize])):
+                    vrun += 1
+            if run >= 3 or vrun >= 3:
+                if vrun > run:
+                    length, dist = vrun, xsize
+                else:
+                    length, dist = run, 1
+                for i in range(length):
+                    v = int(arr[pos + i])
+                    if cache is not None:
+                        cache[_cache_index(v, cache_bits)] = v
+                toks.append((pos, ("copy", length, dist)))
+                pos += length
+                continue
+        if cache is not None:
+            idx = _cache_index(px, cache_bits)
+            if cache[idx] == px:
+                toks.append((pos, ("cache", idx)))
+                pos += 1
+                continue
+            cache[idx] = px
+        toks.append((pos, ("lit", px)))
+        pos += 1
+    return toks
+
+
+def _dist_to_code(dist: int, xsize: int) -> int:
+    """Inverse plane mapping: prefer the short (plane) code when the
+    distance corresponds to a near offset."""
+    # dist = dx + dy*xsize with dy in 0..7, dx in -8..8
+    for (dx, dy), code in ((xy, i + 1) for i, xy in enumerate(_DIST_TABLE)):
+        if dx + dy * xsize == dist and max(dx + dy * xsize, 1) == dist:
+            return code
+    return dist + 120
+
+
+def _emit_image(w: _Writer, pixels: np.ndarray, xsize: int, *,
+                use_lz77: bool, cache_bits: int, force_normal: bool = False,
+                group_fn=None, n_groups: int = 1):
+    """Emit one entropy-coded image's huffman codes + data (caller writes
+    the color-cache field and meta-huffman header).  ``group_fn(pos)``
+    assigns each token (by its start pixel) to a huffman group."""
+    toks = _tokenize(pixels, xsize, use_lz77=use_lz77, cache_bits=cache_bits)
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    if group_fn is None:
+        group_fn = lambda pos: 0  # noqa: E731
+
+    freqs = [
+        {
+            "g": [0] * (256 + _NUM_LENGTH_CODES + cache_size),
+            "r": [0] * 256, "b": [0] * 256, "a": [0] * 256,
+            "d": [0] * _NUM_DISTANCE_CODES,
+        }
+        for _ in range(n_groups)
+    ]
+    for pos, t in toks:
+        f = freqs[group_fn(pos)]
+        if t[0] == "lit":
+            px = t[1]
+            f["g"][(px >> 8) & 0xFF] += 1
+            f["r"][(px >> 16) & 0xFF] += 1
+            f["b"][px & 0xFF] += 1
+            f["a"][(px >> 24) & 0xFF] += 1
+        elif t[0] == "cache":
+            f["g"][256 + _NUM_LENGTH_CODES + t[1]] += 1
+        else:
+            _, length, dist = t
+            lc, _, _ = _prefix_encode(length)
+            f["g"][256 + lc] += 1
+            pc, _, _ = _prefix_encode(_dist_to_code(dist, xsize))
+            f["d"][pc] += 1
+
+    def lengths_of(freq):
+        if not any(freq):
+            freq = list(freq)
+            freq[0] = 1  # codes must be non-empty even if unused
+        ln = _package_merge(freq)
+        if force_normal and sum(1 for x in ln if x) <= 2:
+            # pad with a rare dummy symbol so the normal-code path is used
+            for s in range(len(freq)):
+                if ln[s] == 0:
+                    freq2 = list(freq)
+                    freq2[s] = 1
+                    return _package_merge(freq2)
+        return ln
+
+    codes = []
+    for f in freqs:
+        gmap = {}
+        for ch in ("g", "r", "b", "a", "d"):
+            gmap[ch] = _write_huffman_code(w, lengths_of(f[ch]))
+        codes.append(gmap)
+
+    def emit(cmap, sym):
+        code, ln = cmap[sym]
+        if ln:
+            w.write_code(code, ln)
+
+    for pos, t in toks:
+        c = codes[group_fn(pos)]
+        if t[0] == "lit":
+            px = t[1]
+            emit(c["g"], (px >> 8) & 0xFF)
+            emit(c["r"], (px >> 16) & 0xFF)
+            emit(c["b"], px & 0xFF)
+            emit(c["a"], (px >> 24) & 0xFF)
+        elif t[0] == "cache":
+            emit(c["g"], 256 + _NUM_LENGTH_CODES + t[1])
+        else:
+            _, length, dist = t
+            lc, lex, leb = _prefix_encode(length)
+            emit(c["g"], 256 + lc)
+            if leb:
+                w.write(lex, leb)
+            pc, dex, deb = _prefix_encode(_dist_to_code(dist, xsize))
+            emit(c["d"], pc)
+            if deb:
+                w.write(dex, deb)
+
+
+def _emit_subimage(w: _Writer, pixels: np.ndarray, xsize: int):
+    """Sub-image (transform data / palette): color-cache bit 0, then codes."""
+    w.write(0, 1)  # no color cache
+    _emit_image(w, pixels, xsize, use_lz77=False, cache_bits=0)
+
+
+def _forward_cross_color(pixels: np.ndarray, size_bits: int, w: int, h: int,
+                         g2r: int, g2b: int, r2b: int):
+    """Forward cross-color with one (g2r, g2b, r2b) triple for all blocks;
+    returns (residual pixels, transform image)."""
+    px = pixels.reshape(h, w)
+    a = (px >> 24) & 0xFF
+    red = ((px >> 16) & 0xFF).astype(np.int64)
+    g = ((px >> 8) & 0xFF).astype(np.int64)
+    b = (px & 0xFF).astype(np.int64)
+    gs = (g ^ 0x80) - 0x80
+    rs = (red ^ 0x80) - 0x80  # decoder reconstructs red before the r2b step
+    red_e = (red - ((g2r * gs) >> 5)) & 0xFF
+    b_e = (b - ((g2b * gs) >> 5) - ((r2b * rs) >> 5)) & 0xFF
+    out = ((a << 24) | (red_e << 16) | (g << 8) | b_e).astype(np.uint32).reshape(-1)
+    tw, th = _sub_size(w, size_bits), _sub_size(h, size_bits)
+    cte = 0xFF000000 | ((r2b & 0xFF) << 16) | ((g2b & 0xFF) << 8) | (g2r & 0xFF)
+    return out, np.full(tw * th, cte, np.uint32)
+
+
+def encode_vp8l(
+    img: np.ndarray,
+    *,
+    use_lz77: bool = True,
+    cache_bits: int = 0,
+    subtract_green: bool = False,
+    predictor_mode: int | None = None,
+    predictor_size_bits: int = 4,
+    cross_color: tuple[int, int, int] | None = None,
+    cross_color_size_bits: int = 3,
+    palette: bool = False,
+    meta_bits: int | None = None,
+    force_normal: bool = False,
+) -> bytes:
+    """(H, W, 3|4) uint8 → VP8L chunk payload (lossless).
+
+    Fixture-grade but real: every decoder path has a switch here
+    (transform set, color cache, simple vs normal codes, LZ77 on/off,
+    palette bundling) so round-trip grids pin the full format."""
+    if img.ndim != 3 or img.shape[2] not in (3, 4) or img.dtype != np.uint8:
+        raise ValueError("encode_vp8l expects (H, W, 3|4) uint8")
+    h, wd = img.shape[:2]
+    if not (1 <= wd <= 16384 and 1 <= h <= 16384):
+        raise ValueError("VP8L: dimensions out of range")
+    a = img[:, :, 3].astype(np.uint32) if img.shape[2] == 4 else np.full((h, wd), 255, np.uint32)
+    pixels = (
+        (a << 24)
+        | (img[:, :, 0].astype(np.uint32) << 16)
+        | (img[:, :, 1].astype(np.uint32) << 8)
+        | img[:, :, 2].astype(np.uint32)
+    ).reshape(-1)
+
+    w = _Writer()
+    w.write(0x2F, 8)
+    w.write(wd - 1, 14)
+    w.write(h - 1, 14)
+    w.write(1 if img.shape[2] == 4 else 0, 1)
+    w.write(0, 3)  # version
+
+    xsize = wd
+    if palette:
+        colors, inverse = np.unique(pixels, return_inverse=True)
+        if len(colors) > 256:
+            raise ValueError("VP8L palette: more than 256 colors")
+        n_colors = len(colors)
+        w.write(1, 1)
+        w.write(3, 2)  # color indexing
+        w.write(n_colors - 1, 8)
+        # delta-code the palette per channel
+        deltas = np.zeros(n_colors, np.uint32)
+        prev = 0
+        for i, cur in enumerate(int(c) for c in colors):
+            d = 0
+            for sh in (24, 16, 8, 0):
+                d |= ((((cur >> sh) & 0xFF) - ((prev >> sh) & 0xFF)) & 0xFF) << sh
+            deltas[i] = d
+            prev = cur
+        _emit_subimage(w, deltas, n_colors)
+        if n_colors <= 2:
+            width_bits = 3
+        elif n_colors <= 4:
+            width_bits = 2
+        elif n_colors <= 16:
+            width_bits = 1
+        else:
+            width_bits = 0
+        idx = inverse.reshape(h, wd).astype(np.uint32)
+        if width_bits:
+            ppb = 1 << width_bits
+            bits_pp = 8 >> width_bits
+            packed_w = _sub_size(wd, width_bits)
+            packed = np.zeros((h, packed_w), np.uint32)
+            for x in range(wd):
+                packed[:, x >> width_bits] |= idx[:, x] << ((x % ppb) * bits_pp)
+            green = packed
+            xsize = packed_w
+        else:
+            green = idx
+        pixels = (np.uint32(0xFF000000) | (green << 8)).reshape(-1)
+    else:
+        if subtract_green:
+            w.write(1, 1)
+            w.write(2, 2)
+            g = (pixels >> 8) & 0xFF
+            r_ = (((pixels >> 16) & 0xFF) - g) & 0xFF
+            b = ((pixels & 0xFF) - g) & 0xFF
+            pixels = (pixels & 0xFF00FF00) | (r_ << 16) | b
+        if predictor_mode is not None:
+            w.write(1, 1)
+            w.write(0, 2)
+            w.write(predictor_size_bits - 2, 3)
+            pixels, timg = _forward_predictor(
+                pixels, predictor_mode, predictor_size_bits, xsize, h
+            )
+            _emit_subimage(w, timg, _sub_size(xsize, predictor_size_bits))
+        if cross_color is not None:
+            w.write(1, 1)
+            w.write(1, 2)
+            w.write(cross_color_size_bits - 2, 3)
+            pixels, timg = _forward_cross_color(
+                pixels, cross_color_size_bits, xsize, h, *cross_color
+            )
+            _emit_subimage(w, timg, _sub_size(xsize, cross_color_size_bits))
+
+    w.write(0, 1)  # no more transforms
+
+    if cache_bits:
+        w.write(1, 1)
+        w.write(cache_bits, 4)
+    else:
+        w.write(0, 1)
+
+    group_fn = None
+    n_groups = 1
+    if meta_bits is not None:
+        w.write(1, 1)
+        w.write(meta_bits - 2, 3)
+        mw, mh = _sub_size(xsize, meta_bits), _sub_size(h, meta_bits)
+        # two groups: left/right block halves (top/bottom when one column)
+        blocks = np.zeros((mh, mw), np.int64)
+        if mw > 1:
+            blocks[:, mw // 2 :] = 1
+        elif mh > 1:
+            blocks[mh // 2 :, :] = 1
+        n_groups = int(blocks.max()) + 1
+        meta_px = (0xFF000000 | (blocks.astype(np.uint32) << 8)).reshape(-1)
+        _emit_subimage(w, meta_px, mw)
+        bl = blocks
+
+        def group_fn(pos, _xs=xsize, _mb=meta_bits, _bl=bl, _mw=mw):
+            x, y = pos % _xs, pos // _xs
+            return int(_bl[y >> _mb, x >> _mb])
+    else:
+        w.write(0, 1)  # no meta-huffman
+    _emit_image(w, pixels, xsize, use_lz77=use_lz77, cache_bits=cache_bits,
+                force_normal=force_normal, group_fn=group_fn, n_groups=n_groups)
+    return w.getvalue()
+
+
+def encode_webp_lossless(img: np.ndarray, **kw) -> bytes:
+    """(H, W, 3|4) uint8 → full RIFF WebP file with a VP8L chunk."""
+    chunk = encode_vp8l(img, **kw)
+    body = b"VP8L" + struct.pack("<I", len(chunk)) + chunk
+    if len(chunk) & 1:
+        body += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WEBP" + body

@@ -1132,11 +1132,14 @@ def test_webp_info_and_honest_stub():
         + b"VP8 " + struct.pack("<I", len(vp8)) + vp8
     )
     assert (webp_info(lossy).format, webp_info(lossy).width) == ("lossy", 640)
-    for p in (payload, lossy):
-        with pytest.raises(NotImplementedError, match="WebP"):
-            decode_webp(p)
-        with pytest.raises(NotImplementedError):
-            sniff_decode_image(p)
+    # lossy VP8 stays the honest stub; lossless now decodes for real
+    # (the truncated header-only VP8L above fails as corrupt, not as a stub)
+    with pytest.raises(NotImplementedError, match="WebP"):
+        decode_webp(lossy)
+    with pytest.raises(NotImplementedError):
+        sniff_decode_image(lossy)
+    with pytest.raises(ValueError):
+        decode_webp(payload)  # truncated VP8L bitstream
     with pytest.raises(ValueError):
         webp_info(b"RIFF\x04\x00\x00\x00WAVE")
 
