@@ -32,6 +32,10 @@ def main(argv=None) -> int:
     b.add_argument("--no-dedup", action="store_true")
     b.add_argument("--prune", action="store_true",
                    help="after an incremental rebuild, delete shards the new corpus no longer populates")
+    b.add_argument("--incremental", action="store_true",
+                   help="symbol-delta narrowed rebuild: skip shards an "
+                        "add-only corpus delta provably cannot touch "
+                        "(falls back to a full build otherwise)")
 
     v = sub.add_parser("validate", help="validate output manifests")
     v.add_argument("--out", required=True)
@@ -102,6 +106,14 @@ def main(argv=None) -> int:
         own = not ray.is_initialized()
         if own:
             ray.init(address="local", include_dashboard=False)
+        if args.incremental:
+            from .pipelines.kg import incremental_build_kg
+
+            res = incremental_build_kg(args.corpus, args.out, n_shards=args.shards)
+            print(json.dumps(res))
+            if own:
+                ray.shutdown()
+            return 0
         from .pipelines.kg import build_kg
 
         manifests = build_kg(

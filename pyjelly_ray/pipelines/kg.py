@@ -331,6 +331,121 @@ def build_kg(
     )
 
 
+def incremental_build_kg(
+    corpus_path,
+    out_dir: str,
+    *,
+    n_shards: int = 16,
+    jelly_options: StreamOptions | None = None,
+):
+    """Symbol-delta narrowed rebuild (state/incremental.py).
+
+    For an ADD-ONLY corpus delta with an unchanged shard plan, proves
+    which shards cannot have changed (no new-file rows, no re-linked
+    names, no statement-key collisions with changed rows) and runs the
+    fused exchange with those shards filtered out after global dedup —
+    they never cross the second hop, never sort, never re-encode, and
+    their files/manifests are left untouched on disk.  Anything the
+    proof can't cover (first build, modified/removed files, plan or
+    options drift) falls back to a full build (where the per-shard
+    row_xor skip still applies).
+
+    CONSUMES the pipeline (unlike :func:`build_kg`, which returns lazily)
+    and persists the new state; returns a summary dict.
+    """
+    import ray
+
+    from ..sinks.jelly_sink import compute_shard_plan, dedup_and_write_kg_shards
+    from ..stages.link import link_broadcast_max, make_linker_task
+    from ..state import incremental as inc
+
+    options = jelly_options or StreamOptions()
+    state = inc.load_state(out_dir)
+
+    corpus = read_corpus(corpus_path)
+    triples = extract_triples(corpus).materialize()
+    new_registry = inc.corpus_registry(triples)
+    limit = link_broadcast_max()
+    sym_table = repo_counts = None
+    if limit > 0:
+        sym_table, repo_counts = collect_stats(triples)
+    nb = ns = hp = n_total = None
+    if sym_table is not None and sym_table.num_rows <= limit:
+        nb, ns, hp, n_total = compute_shard_plan(repo_counts, n_shards)
+    plan_dict = (
+        {
+            "n_shards_arg": n_shards, "n_shards": ns, "n_buckets": nb,
+            "hot_plan": {k: list(v) for k, v in (hp or {}).items()},
+            "n_total": n_total, "options": repr(options),
+        }
+        if n_total is not None
+        else None
+    )
+
+    def full(reason: str) -> dict:
+        new_sym_ref = None
+        if n_total is not None:
+            new_sym_ref = ray.put(prepare_link_index(sym_table))
+            manifests = dedup_and_write_kg_shards(
+                triples, out_dir, n_shards=n_shards, options=jelly_options,
+                repo_counts=repo_counts, pre_map=make_linker_task(new_sym_ref),
+            )
+        else:  # non-broadcast posture: delegate to build_kg's fallback paths
+            manifests = build_kg(
+                corpus_path, out_dir, n_shards=n_shards, jelly_options=jelly_options
+            )
+        n = sum(b.num_rows for b in manifests.iter_batches(batch_format="pyarrow"))
+        if plan_dict is not None:  # state only valid for the broadcast path
+            inc.persist_state(out_dir, sym_table, new_registry, plan_dict)
+        return {"mode": "full", "reason": reason, "shards_written": n,
+                "n_total": n_total if n_total is not None else n}
+
+    if n_total is None:
+        return full("non-broadcast posture (no narrowing)")
+    if state is None:
+        return full("no previous state")
+    old_sym, old_registry, old_plan = state
+    if old_plan.get("options") != repr(options) or old_plan.get("n_shards_arg") != n_shards:
+        return full("options or shard argument changed")
+    added_shas, add_only = inc.registry_delta(old_registry, new_registry)
+    if not add_only:
+        return full("modified or removed files (delta not add-only)")
+    if plan_dict != old_plan:
+        return full("shard plan changed")
+
+    changed_names = inc.symbol_delta(old_sym, sym_table)
+    new_sym_ref = ray.put(prepare_link_index(sym_table))
+    old_sym_ref = ray.put(prepare_link_index(old_sym))
+    delta_keys = inc.collect_delta_keys(
+        triples, added_shas, changed_names, new_sym_ref, old_sym_ref, nb
+    )
+    affected = inc.affected_shards(triples, delta_keys, new_sym_ref, nb, ns, hp)
+    affected |= inc.shards_missing_on_disk(out_dir, n_total)
+    skipped = n_total - len(affected)
+
+    if affected:
+        manifests = dedup_and_write_kg_shards(
+            triples, out_dir, n_shards=n_shards, options=jelly_options,
+            repo_counts=repo_counts, pre_map=make_linker_task(new_sym_ref),
+            only_shards=affected,
+        )
+        written = sum(
+            b.num_rows for b in manifests.iter_batches(batch_format="pyarrow")
+        )
+    else:
+        written = 0
+    inc.persist_state(out_dir, sym_table, new_registry, plan_dict)
+    return {
+        "mode": "incremental",
+        "n_total": n_total,
+        "affected": len(affected),
+        "skipped": skipped,
+        "changed_names": len(changed_names),
+        "delta_keys": int(len(delta_keys)),
+        "shards_written": written,
+    }
+
+
 def kg_symbol_pagerank(
     corpus_path,
     *,

@@ -487,28 +487,12 @@ def write_kg_shards(ds, out_dir: str, n_shards: int = 16,
     return ds.groupby("shard").map_groups(write_shard, batch_format="pyarrow")
 
 
-def dedup_and_write_kg_shards(
-    ds,
-    out_dir: str,
-    n_shards: int = 16,
-    options: StreamOptions | None = None,
-    repo_counts: dict[str, int] | None = None,
-    n_buckets: int | None = None,
-    pre_map=None,
-):
-    """Fused sink: exact dedup + repo-sharded Jelly write as ONE two-hop
-    raw-task exchange (state/exchange.py) instead of two chained Ray sort
-    shuffles (measured 2.8× faster and non-bimodal — ROADMAP #1).
-
-    map:   [pre_map (e.g. the linker) →] add 128-bit statement key + int
-           bucket, local pre-dedup combine — all fused into the exchange's
-           map-side tasks so the keyed stream is never materialized as a
-           second full dataset copy in the object store
-    hop 1: per-bucket global dedup → assign (salted, dense) shard ids
-    hop 2: per-shard sorted sequential Jelly encode + manifest/resume
+def compute_shard_plan(repo_counts, n_shards: int, *, n_buckets=None, ds=None):
+    """The fused sink's sizing decisions, extracted so the incremental
+    narrowing (state/incremental.py) can compute and compare plans without
+    running the exchange.  Returns (n_buckets, n_shards, hot_plan, n_total).
     """
-    from ..stages.dedup import add_tkey, auto_buckets, dedup_block
-    from ..state.exchange import fused_two_hop_exchange
+    from ..stages.dedup import auto_buckets
 
     total = sum(repo_counts.values()) if repo_counts else None
     if n_buckets is None:
@@ -544,7 +528,36 @@ def dedup_and_write_kg_shards(
         max_shards = int(os.environ.get("GRAFT_MAX_SHARDS", "2048"))
         n_shards = max(n_shards, min(int(total // target) + 1, max_shards))
     hot_plan = hot_repo_splits(repo_counts, n_shards) if repo_counts else None
-    n_total = total_shard_count(n_shards, hot_plan)
+    return n_buckets, n_shards, hot_plan, total_shard_count(n_shards, hot_plan)
+
+
+def dedup_and_write_kg_shards(
+    ds,
+    out_dir: str,
+    n_shards: int = 16,
+    options: StreamOptions | None = None,
+    repo_counts: dict[str, int] | None = None,
+    n_buckets: int | None = None,
+    pre_map=None,
+    only_shards: set[int] | None = None,
+):
+    """Fused sink: exact dedup + repo-sharded Jelly write as ONE two-hop
+    raw-task exchange (state/exchange.py) instead of two chained Ray sort
+    shuffles (measured 2.8× faster and non-bimodal — ROADMAP #1).
+
+    map:   [pre_map (e.g. the linker) →] add 128-bit statement key + int
+           bucket, local pre-dedup combine — all fused into the exchange's
+           map-side tasks so the keyed stream is never materialized as a
+           second full dataset copy in the object store
+    hop 1: per-bucket global dedup → assign (salted, dense) shard ids
+    hop 2: per-shard sorted sequential Jelly encode + manifest/resume
+    """
+    from ..stages.dedup import add_tkey, dedup_block
+    from ..state.exchange import fused_two_hop_exchange
+
+    n_buckets, n_shards, hot_plan, n_total = compute_shard_plan(
+        repo_counts, n_shards, n_buckets=n_buckets, ds=ds
+    )
     assign = add_shard_column(n_shards, hot_plan)
     writer = ShardJellyWriter(out_dir, options)
 
@@ -568,8 +581,17 @@ def dedup_and_write_kg_shards(
         _prof("km_dedup", t0, b.num_rows, c0)
         return b
 
+    keep_arr = (
+        pa.array(sorted(only_shards), pa.int32()) if only_shards is not None else None
+    )
+
     def dedup_assign(t: pa.Table) -> pa.Table:
         t = assign(dedup_block(t))
+        if keep_arr is not None:
+            # incremental narrowing (state/incremental.py): rows of shards
+            # proven byte-identical are dropped AFTER global dedup (winner
+            # selection saw every row) and never cross the second hop
+            t = t.filter(pc.is_valid(pc.index_in(t.column("shard"), value_set=keep_arr)))
         drop = [c for c in ("h1", "h2", "bucket") if c in t.column_names]
         return t.drop_columns(drop) if drop else t
 
