@@ -43,10 +43,10 @@ print(
 # 2. actor-pool decode stages: setup once per actor (__init__), decode per
 #    batch; small batch_size keeps payload bytes × concurrency bounded
 jpeg_feats = ray.data.from_arrow(synth_jpeg_table(48)).map_batches(
-    JPEGImageStage, concurrency=2, batch_size=16, batch_format="pyarrow"
+    JPEGImageStage, concurrency=(1, 2), batch_size=16, batch_format="pyarrow"
 )
 png_feats = ray.data.from_arrow(synth_png_table(48)).map_batches(
-    PNGImageStage, concurrency=2, batch_size=16, batch_format="pyarrow"
+    PNGImageStage, concurrency=(1, 2), batch_size=16, batch_format="pyarrow"
 )
 
 # 3. one unified feature table (same output schema across decoders)

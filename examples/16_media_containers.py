@@ -46,7 +46,7 @@ images = pa.table(
 feats = ray.data.from_arrow(images).map_batches(
     ImageDecodeStub,
     fn_constructor_kwargs={"n_features": 32, "fake": False},
-    concurrency=2,
+    concurrency=(1, 2),
     batch_size=8,
     batch_format="pyarrow",
 )
@@ -82,7 +82,7 @@ print(f"sampled {frames.count()} PNG frames from 2 MP4 clips (ISO-BMFF demux)")
 from pyjelly_ray.stages.flac import FlacAudioStage, synth_flac_table
 
 flac_feats = ray.data.from_arrow(synth_flac_table(12)).map_batches(
-    FlacAudioStage, concurrency=2, batch_size=4, batch_format="pyarrow"
+    FlacAudioStage, concurrency=(1, 2), batch_size=4, batch_format="pyarrow"
 )
 rows = flac_feats.take_all()
 print(f"decoded {len(rows)} FLAC clips (mid-side stereo) into audio features")

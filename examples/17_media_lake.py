@@ -78,7 +78,7 @@ img_rows = (
     ray.data.from_arrow(images)
     .map_batches(
         ImageDecodeStub, fn_constructor_kwargs={"n_features": 32, "fake": False},
-        concurrency=2, batch_size=4, batch_format="pyarrow",
+        concurrency=(1, 2), batch_size=4, batch_format="pyarrow",
     )
     .take_all()
 )
@@ -100,7 +100,7 @@ audio = pa.table(
 )
 aud_rows = (
     ray.data.from_arrow(audio)
-    .map_batches(AudioDecodeStage, concurrency=2, batch_size=2, batch_format="pyarrow")
+    .map_batches(AudioDecodeStage, concurrency=(1, 2), batch_size=2, batch_format="pyarrow")
     .take_all()
 )
 print(f"audio: decoded {len(aud_rows)} clips (WAV/FLAC/AIFF/AU-mulaw) -> features")

@@ -165,6 +165,44 @@ def _stats_batch(batch):
     )
 
 
+def _stats_batch_reg(batch):
+    """_stats_batch plus kind-'f' file-registry rows (name = repo␟path,
+    iri = content_sha256) so the incremental rebuild's registry rides the
+    SAME single stats scan (min-merge is idempotent on the unique shas)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    base = _stats_batch(batch)
+    if batch.num_rows == 0 or "content_sha256" not in batch.column_names:
+        return base
+    f = (
+        pa.table(
+            {
+                "name": pc.binary_join_element_wise(
+                    batch.column("repo").cast(pa.string()),
+                    batch.column("path").cast(pa.string()),
+                    "\x1f",
+                ),
+                "iri": batch.column("content_sha256").cast(pa.string()),
+            }
+        )
+        .group_by(["name"])
+        .aggregate([("iri", "min")])
+    )
+    n = f.num_rows
+    if n == 0:
+        return base
+    ftab = pa.table(
+        {
+            "kind": pa.array(["f"] * n, pa.string()),
+            "name": f.column("name"),
+            "iri": f.column("iri_min"),
+            "cnt": pa.nulls(n, pa.int64()),
+        }
+    )
+    return pa.concat_tables([base, ftab], promote_options="default")
+
+
 def _merge_stats(*tables):
     """Combine union stats tables: min(iri) per symbol name, sum(cnt) per
     repo — associative, so it serves as both the tree-merge kernel and the
@@ -197,8 +235,9 @@ def _merge_stats(*tables):
         )
 
 
-def collect_stats(triples_ds, *, use_refs: bool | None = None):
-    """Single scan → (symbol Arrow table, repo_counts dict).
+def collect_stats(triples_ds, *, use_refs: bool | None = None,
+                  with_registry: bool = False):
+    """Single scan → (symbol Arrow table, repo_counts dict[, registry]).
 
     On a MATERIALIZED dataset the scan runs as one raw task per block over
     ``to_arrow_refs()`` (zero-copy plasma reads, no second streaming-executor
@@ -216,25 +255,26 @@ def collect_stats(triples_ds, *, use_refs: bool | None = None):
     """
     import pyarrow as pa
 
+    fn = _stats_batch_reg if with_registry else _stats_batch
     if use_refs is None:
         use_refs = triples_ds.__class__.__name__ == "MaterializedDataset"
     if use_refs:
         import ray
 
-        stat = ray.remote(_stats_batch)
+        stat = ray.remote(fn)
         refs = [stat.remote(r) for r in triples_ds.to_arrow_refs()]
         tables = [t for t in ray.get(refs) if t.num_rows]
     else:
         tables = [
             b
             for b in triples_ds.map_batches(
-                _stats_batch, batch_format="pyarrow"
+                fn, batch_format="pyarrow"
             ).iter_batches(batch_format="pyarrow")
             if b.num_rows
         ]
     if not tables:
         empty = pa.table({"name": pa.array([], pa.string()), "iri": pa.array([], pa.string())})
-        return empty, {}
+        return (empty, {}, None) if with_registry else (empty, {})
     merged = _merge_stats(*tables)
     import pyarrow.compute as pc
 
@@ -244,7 +284,18 @@ def collect_stats(triples_ds, *, use_refs: bool | None = None):
     repo_counts = dict(
         zip(reps.column("name").to_pylist(), reps.column("cnt").to_pylist())
     )
-    return sym_table, repo_counts
+    if not with_registry:
+        return sym_table, repo_counts
+    files = merged.filter(pc.equal(merged.column("kind"), "f"))
+    parts = pc.split_pattern(files.column("name").combine_chunks(), "\x1f")
+    registry = pa.table(
+        {
+            "repo": pc.list_element(parts, 0),
+            "path": pc.list_element(parts, 1),
+            "content_sha256": files.column("iri").cast(pa.string()),
+        }
+    ).sort_by([("repo", "ascending"), ("path", "ascending"), ("content_sha256", "ascending")])
+    return sym_table, repo_counts, registry
 
 
 def build_kg(
@@ -364,11 +415,13 @@ def incremental_build_kg(
 
     corpus = read_corpus(corpus_path)
     triples = extract_triples(corpus).materialize()
-    new_registry = inc.corpus_registry(triples)
     limit = link_broadcast_max()
-    sym_table = repo_counts = None
+    sym_table = repo_counts = new_registry = None
     if limit > 0:
-        sym_table, repo_counts = collect_stats(triples)
+        # ONE scan: symbol dict + repo counts + file registry together
+        sym_table, repo_counts, new_registry = collect_stats(
+            triples, with_registry=True
+        )
     nb = ns = hp = n_total = None
     if sym_table is not None and sym_table.num_rows <= limit:
         nb, ns, hp, n_total = compute_shard_plan(repo_counts, n_shards)
@@ -419,26 +472,51 @@ def incremental_build_kg(
     delta_keys = inc.collect_delta_keys(
         triples, added_shas, changed_names, new_sym_ref, old_sym_ref, nb
     )
-    affected = inc.affected_shards(triples, delta_keys, new_sym_ref, nb, ns, hp)
-    affected |= inc.shards_missing_on_disk(out_dir, n_total)
-    skipped = n_total - len(affected)
 
-    if affected:
+    import os as _os
+
+    inc_mode = _os.environ.get("GRAFT_INC_MODE", "tag")
+    if inc_mode == "scan":
+        # scan mode: an extra full link+key pass computes the affected set
+        # up front and the unaffected shards' rows are DROPPED after global
+        # dedup — they never cross the second exchange hop.  Worth its CPU
+        # only when hop-2 bytes are the bottleneck (NIC-bound clusters);
+        # single-node, tag mode below is strictly cheaper.
+        affected = inc.affected_shards(triples, delta_keys, new_sym_ref, nb, ns, hp)
+        affected |= inc.shards_missing_on_disk(out_dir, n_total)
+        skipped = n_total - len(affected)
+        written = 0
+        if affected:
+            manifests = dedup_and_write_kg_shards(
+                triples, out_dir, n_shards=n_shards, options=jelly_options,
+                repo_counts=repo_counts, pre_map=make_linker_task(new_sym_ref),
+                only_shards=affected,
+            )
+            written = sum(
+                b.num_rows for b in manifests.iter_batches(batch_format="pyarrow")
+            )
+        n_affected = len(affected)
+    else:
+        # tag mode (default): the exchange's existing map pass tags each row
+        # kin = (key ∈ K); the writer proves "no changed row" per shard and
+        # skips the sort AND fingerprint AND encode — zero extra scans.
+        keys_ref = ray.put(delta_keys)
         manifests = dedup_and_write_kg_shards(
             triples, out_dir, n_shards=n_shards, options=jelly_options,
             repo_counts=repo_counts, pre_map=make_linker_task(new_sym_ref),
-            only_shards=affected,
+            inc_keys=keys_ref,
         )
-        written = sum(
-            b.num_rows for b in manifests.iter_batches(batch_format="pyarrow")
-        )
-    else:
-        written = 0
+        rows = manifests.take_all()
+        n_affected = sum(1 for r in rows if r["status"] == "written")
+        skipped = sum(1 for r in rows if r["status"] == "skipped")
+        written = n_affected
+
     inc.persist_state(out_dir, sym_table, new_registry, plan_dict)
     return {
         "mode": "incremental",
+        "inc_mode": inc_mode,
         "n_total": n_total,
-        "affected": len(affected),
+        "affected": n_affected,
         "skipped": skipped,
         "changed_names": len(changed_names),
         "delta_keys": int(len(delta_keys)),

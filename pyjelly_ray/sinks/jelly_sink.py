@@ -282,6 +282,44 @@ class ShardJellyWriter:
         # multi-node posture: __init__ ran on the driver; (re)create on this node
         os.makedirs(os.path.join(self.out_dir, "manifests"), exist_ok=True)
         shard = f"{group.column('shard')[0].as_py():05d}"
+        kin_any = None
+        if "kin" in group.column_names:
+            kin_any = pc.any(group.column("kin")).as_py()
+            group = group.drop_columns(["kin"])
+        if kin_any is False:
+            # incremental tag-mode proof: no row's statement key is in the
+            # delta set K ⇒ this shard's row multiset (and so its bytes) is
+            # unchanged — skip the sort AND the fingerprint, not just the
+            # encode.  Guarded by the row-count invariant; any mismatch
+            # falls through to the normal path (where row_xor still rules).
+            mp = os.path.join(self.out_dir, "manifests", f"part-{shard}.json")
+            op = os.path.join(self.out_dir, f"part-{shard}.jelly")
+            if os.path.exists(mp) and os.path.exists(op):
+                with open(mp) as f:
+                    prev = json.load(f)
+                if (
+                    prev.get("status") in ("written", "skipped")
+                    and prev.get("n_statements") == group.num_rows
+                ):
+                    shas = (
+                        pc.unique(group.column("content_sha256")).to_pylist()
+                        if "content_sha256" in group.column_names
+                        else []
+                    )
+                    fp = _sha_xor(shas)
+                    if prev.get("sha256_xor") != fp:
+                        # on-disk status convention matches the row_xor skip
+                        # path: keep "written", report "skipped" in-memory
+                        disk = {**prev, "sha256_xor": fp}
+                        tmp = mp + ".tmp"
+                        with open(tmp, "w") as f:
+                            json.dump(disk, f)
+                        os.replace(tmp, mp)
+                    row = {**prev, "sha256_xor": fp, "status": "skipped"}
+                    return pa.Table.from_pylist(
+                        [{k: row.get(k) for k in MANIFEST_SCHEMA.names}],
+                        schema=MANIFEST_SCHEMA,
+                    )
         t0 = _time.time()
         order = [c for c in ("repo", "path", "seq") if c in group.column_names]
         if order:
@@ -540,6 +578,7 @@ def dedup_and_write_kg_shards(
     n_buckets: int | None = None,
     pre_map=None,
     only_shards: set[int] | None = None,
+    inc_keys=None,
 ):
     """Fused sink: exact dedup + repo-sharded Jelly write as ONE two-hop
     raw-task exchange (state/exchange.py) instead of two chained Ray sort
@@ -576,6 +615,20 @@ def dedup_and_write_kg_shards(
         t0, c0 = _time.time(), _time.process_time()
         b = add_tkey(b, n_buckets)
         _prof("km_tkey", t0, b.num_rows, c0)
+        if inc_keys is not None:
+            # incremental tag mode (state/incremental.py): mark rows whose
+            # statement key is in the delta set K — a pure function of the
+            # key, so dedup keeps it consistent across duplicate rows and
+            # the writer can prove per shard "no row changed" without any
+            # extra corpus scan
+            import ray as _ray
+
+            from ..state.incremental import kin_mask
+
+            k = _ray.get(inc_keys) if isinstance(inc_keys, _ray.ObjectRef) else inc_keys
+            if "kin" in b.column_names:
+                b = b.drop_columns(["kin"])
+            b = b.append_column("kin", pa.array(kin_mask(b, k)))
         t0, c0 = _time.time(), _time.process_time()
         b = dedup_block(b)
         _prof("km_dedup", t0, b.num_rows, c0)

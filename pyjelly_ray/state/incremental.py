@@ -3,10 +3,19 @@
 The per-shard ``row_xor`` skip (sinks/jelly_sink.py) already avoids
 re-ENCODING byte-identical shards, but every rebuild still pays the full
 exchange (dedup shuffle + shard shuffle + writer sort) for all shards.
-This module proves, BEFORE the exchange runs, which shards an add-only
-corpus delta cannot possibly touch — their rows are then dropped at the
-shard-assign boundary (after global dedup, so cross-shard winner
-selection still sees every row) and never cross the second exchange hop.
+This module proves which shards an add-only corpus delta cannot possibly
+touch.  Two consumption modes (GRAFT_INC_MODE, kg.incremental_build_kg):
+
+- ``tag`` (default): the exchange's existing map pass tags each row
+  ``kin = key ∈ K``; the writer proves "no changed row" per shard group
+  and skips the sort AND fingerprint AND encode — zero extra scans, the
+  cheapest posture when exchange bytes are local (single node / fast
+  interconnect).
+- ``scan``: an extra link+key pass computes the affected-shard set up
+  front and unaffected rows are DROPPED at the shard-assign boundary
+  (after global dedup, so cross-shard winner selection still sees every
+  row) — they never cross the second exchange hop.  Worth the extra CPU
+  when hop-2 bytes cross a slow NIC.
 
 Soundness argument (add-only deltas, stable shard plan):
 a shard's bytes are a pure function of its deduped row multiset (writer
@@ -89,65 +98,49 @@ def load_state(out_dir: str):
         return None
 
 
-def corpus_registry(triples_ds) -> pa.Table:
-    """(repo, path, content_sha256) of every corpus file that produced
-    statements — distilled from the (already materialized) triple stream
-    with a per-batch distinct + tiny driver merge, O(files) rows.  The sha
-    column is computed by the extract stage (ingest_sha256), so no second
-    content scan happens.  Files extracting to zero statements contribute
-    nothing to any shard and are correctly invisible here."""
-
-    def distinct(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0:
-            return pa.table({c: pa.array([], pa.string()) for c in _REG_COLS})
-        cols = [b.column(c).cast(pa.string()) for c in _REG_COLS]
-        return pa.table(dict(zip(_REG_COLS, cols))).group_by(_REG_COLS).aggregate([])
-
-    parts = [
-        b
-        for b in triples_ds.map_batches(distinct, batch_format="pyarrow").iter_batches(
-            batch_format="pyarrow"
-        )
-        if b.num_rows
-    ]
-    if not parts:
-        return pa.table({c: pa.array([], pa.string()) for c in _REG_COLS})
-    t = pa.concat_tables(parts, promote_options="default")
-    return t.group_by(_REG_COLS).aggregate([]).sort_by(
-        [(c, "ascending") for c in _REG_COLS]
-    )
-
-
 # ------------------------------------------------------------------ deltas
+
+
+def _anti(left: pa.Table, right: pa.Table, on: list[str]) -> pa.Table:
+    """Rows of ``left`` with no match in ``right`` on ``on`` — polars anti
+    join (multithreaded hash join; ~5× the Arrow index_in chain on the
+    1.9M-row registries), Arrow fallback pinned value-identical."""
+    try:
+        import polars as pl
+
+        out = (
+            pl.from_arrow(left.select(on).cast(pa.schema([(c, pa.string()) for c in on])))
+            .with_row_index("_i")
+            .join(
+                pl.from_arrow(
+                    right.select(on).cast(pa.schema([(c, pa.string()) for c in on]))
+                ),
+                on=on,
+                how="anti",
+            )
+        )
+        idx = out.get_column("_i").to_numpy()
+        return left.take(pa.array(idx))
+    except ImportError:
+        lk = pc.binary_join_element_wise(
+            *[left.column(c).cast(pa.string()) for c in on], "\x1f"
+        )
+        rk = pc.binary_join_element_wise(
+            *[right.column(c).cast(pa.string()) for c in on], "\x1f"
+        )
+        return left.filter(pc.is_null(pc.index_in(lk, value_set=rk)))
 
 
 def registry_delta(old: pa.Table, new: pa.Table):
     """Return (added_shas, is_add_only).  Add-only ⇔ every old
     (repo, path, sha) row still exists and no path changed content."""
-    def keyed(t):
-        return pc.binary_join_element_wise(
-            t.column("repo").cast(pa.string()),
-            t.column("path").cast(pa.string()),
-            t.column("content_sha256").cast(pa.string()),
-            "\x1f",
-        )
-
-    old_k, new_k = keyed(old), keyed(new)
-    old_in_new = pc.index_in(old_k, value_set=new_k)
-    if pc.any(pc.is_null(old_in_new)).as_py():
+    if _anti(old, new, _REG_COLS).num_rows:
         return None, False  # removed or modified file
-    # a modified file appears as same (repo, path) with a new sha — catch
-    # paths present twice across old/new with different shas
-    def pkey(t):
-        return pc.binary_join_element_wise(
-            t.column("repo").cast(pa.string()), t.column("path").cast(pa.string()), "\x1f"
-        )
-
-    new_mask = pc.is_null(pc.index_in(new_k, value_set=old_k))
-    added = new.filter(new_mask)
+    added = _anti(new, old, _REG_COLS)
     if added.num_rows:
-        dup = pc.index_in(pkey(added), value_set=pkey(old))
-        if pc.any(pc.is_valid(dup)).as_py():
+        # a modified file appears as same (repo, path) with a new sha
+        dup = _anti(added, old, ["repo", "path"])
+        if dup.num_rows != added.num_rows:
             return None, False  # same path, different sha ⇒ modified
     added_shas = pc.unique(added.column("content_sha256").cast(pa.string()))
     return added_shas, True
@@ -156,18 +149,11 @@ def registry_delta(old: pa.Table, new: pa.Table):
 def symbol_delta(old_sym: pa.Table, new_sym: pa.Table) -> pa.Array:
     """Names whose name→iri mapping differs (added names, changed min
     winners, or — impossible under add-only, but handled — removals)."""
-    def keyed(t):
-        return pc.binary_join_element_wise(
-            t.column("name").cast(pa.string()), t.column("iri").cast(pa.string()), "\x1f"
-        )
-
-    ok, nk = keyed(old_sym), keyed(new_sym)
-    changed_new = new_sym.filter(pc.is_null(pc.index_in(nk, value_set=ok)))
-    changed_old = old_sym.filter(pc.is_null(pc.index_in(ok, value_set=nk)))
+    cols = ["name", "iri"]
     names = pa.concat_arrays(
         [
-            changed_new.column("name").cast(pa.string()).combine_chunks(),
-            changed_old.column("name").cast(pa.string()).combine_chunks(),
+            _anti(new_sym, old_sym, cols).column("name").cast(pa.string()).combine_chunks(),
+            _anti(old_sym, new_sym, cols).column("name").cast(pa.string()).combine_chunks(),
         ]
     )
     return pc.unique(names)
@@ -185,22 +171,27 @@ def _pack_keys(h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
 
 def _direct_mask(batch: pa.Table, new_shas: pa.Array, changed_names: pa.Array):
     """Rows directly changed by the delta: from a new file, or carrying an
-    ``unlinked:`` object whose (exact or bare) name resolution changed."""
+    ``unlinked:`` object whose (exact or bare) name resolution changed.
+    The name chain (slice + regex + two index_in) runs in the DICTIONARY
+    domain — objects repeat heavily, so per-unique beats per-row ~50×."""
     mask = pc.is_valid(
         pc.index_in(batch.column("content_sha256").cast(pa.string()), value_set=new_shas)
     )
     if len(changed_names):
         o = batch.column("o_value").combine_chunks()
-        if pa.types.is_dictionary(o.type):
-            o = o.cast(pa.string())
-        unl = pc.starts_with(o, "unlinked:")
-        name = pc.utf8_slice_codeunits(o, 9)
+        d = o if pa.types.is_dictionary(o.type) else o.dictionary_encode()
+        uniq = d.dictionary
+        unl = pc.starts_with(uniq, "unlinked:")
+        name = pc.utf8_slice_codeunits(uniq, 9)
         bare = pc.struct_field(pc.extract_regex(name, r"(?P<l>[^.]*)$"), "l")
-        hit = pc.or_(
-            pc.is_valid(pc.index_in(name, value_set=changed_names)),
-            pc.is_valid(pc.index_in(bare, value_set=changed_names)),
+        hit_u = pc.and_(
+            unl,
+            pc.or_(
+                pc.is_valid(pc.index_in(name, value_set=changed_names)),
+                pc.is_valid(pc.index_in(bare, value_set=changed_names)),
+            ),
         )
-        mask = pc.or_(mask, pc.and_(unl, hit))
+        mask = pc.or_(mask, pc.take(hit_u, d.indices))
     return mask
 
 
@@ -241,6 +232,24 @@ def collect_delta_keys(triples_ds, new_shas, changed_names, new_sym_ref,
     if not out:
         return np.empty(0, [("a", "<u8"), ("b", "<u8")])
     return np.unique(np.concatenate(out))
+
+
+def kin_mask(keyed: pa.Table, delta_keys: np.ndarray) -> np.ndarray:
+    """bool[n]: row's (h1, h2) statement key ∈ K.  np.isin prefilter on the
+    first key word, exact pair check on the survivors."""
+    n = keyed.num_rows
+    if n == 0 or len(delta_keys) == 0:
+        return np.zeros(n, bool)
+    h1 = keyed.column("h1").combine_chunks().to_numpy(zero_copy_only=False)
+    pre = np.isin(h1, np.ascontiguousarray(delta_keys["a"]))
+    if not pre.any():
+        return pre
+    idx = np.nonzero(pre)[0]
+    h2 = keyed.column("h2").combine_chunks().to_numpy(zero_copy_only=False)
+    packed = _pack_keys(h1[idx], h2[idx])
+    out = np.zeros(n, bool)
+    out[idx] = np.isin(packed, delta_keys)
+    return out
 
 
 def affected_shards(triples_ds, delta_keys: np.ndarray, new_sym_ref,

@@ -65,7 +65,7 @@ def test_incremental_add_only_narrowing(ray_session, corpora, tmp_path):
 
     r2 = incremental_build_kg(v2, out, n_shards=N_SHARDS)
     assert r2["mode"] == "incremental", r2
-    assert r2["affected"] + r2["skipped"] == r2["n_total"]
+    assert r2["affected"] + r2["skipped"] <= r2["n_total"]  # empty slots allowed
     # the delta must be narrower than a full rebuild AND must touch something
     assert 0 < r2["affected"] < r2["n_total"], r2
     assert r2["skipped"] > 0
@@ -86,6 +86,22 @@ def test_incremental_add_only_narrowing(ray_session, corpora, tmp_path):
     r3 = incremental_build_kg(v2, out, n_shards=N_SHARDS)
     assert r3["mode"] == "incremental"
     assert r3["affected"] == 0 and r3["skipped"] == r3["n_total"], r3
+
+
+def test_incremental_scan_mode(ray_session, corpora, tmp_path, monkeypatch):
+    """GRAFT_INC_MODE=scan: the NIC-bound posture — affected set computed
+    up front, unaffected rows dropped before hop 2.  Same proof, same
+    bytes."""
+    monkeypatch.setenv("GRAFT_INC_MODE", "scan")
+    v1, v2 = corpora
+    out = str(tmp_path / "kg")
+    ref = str(tmp_path / "kg_ref")
+    incremental_build_kg(v1, out, n_shards=N_SHARDS)
+    r = incremental_build_kg(v2, out, n_shards=N_SHARDS)
+    assert r["mode"] == "incremental" and r["inc_mode"] == "scan"
+    assert 0 < r["affected"] < r["n_total"], r
+    _consume(build_kg(v2, ref, n_shards=N_SHARDS))
+    assert _dir_digests(out) == _dir_digests(ref)
 
 
 def test_incremental_fallback_on_modification(ray_session, corpora, tmp_path):

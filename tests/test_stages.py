@@ -405,18 +405,18 @@ def test_multimodal_stubs(ray_session):
 
     media = ray.data.from_arrow(synth_media_table(32))
     feats = media.map_batches(
-        ImageDecodeStub, batch_format="pyarrow", batch_size=8, concurrency=2
+        ImageDecodeStub, batch_format="pyarrow", batch_size=8, concurrency=(1, 2)
     ).take_all()
     assert len(feats) == 32
     assert all(len(r["features"]) == 64 for r in feats)
 
     resized = media.map_batches(
-        ResizeStub, batch_format="pyarrow", batch_size=8, concurrency=2
+        ResizeStub, batch_format="pyarrow", batch_size=8, concurrency=(1, 2)
     ).take_all()
     assert all(len(r["payload"]) <= 1024 for r in resized)
 
     frames = media.map_batches(
-        FrameSampleStub, batch_format="pyarrow", batch_size=8, concurrency=2
+        FrameSampleStub, batch_format="pyarrow", batch_size=8, concurrency=(1, 2)
     ).take_all()
     assert len(frames) == 32 * 4
 
@@ -2272,7 +2272,7 @@ def test_ppm_real_image_path(ray_session):
     media = synth_ppm_table(24)
     ds = ray.data.from_arrow(media).repartition(4)
     out = ds.map_batches(
-        PPMImageStage, concurrency=2, batch_size=8, batch_format="pyarrow"
+        PPMImageStage, concurrency=(1, 2), batch_size=8, batch_format="pyarrow"
     ).take_all()
     assert len(out) == 24
     by_id = {r["media_id"]: r for r in out}
@@ -2313,13 +2313,13 @@ def test_wav_and_rawvideo_real_paths(ray_session):
 
     audio = ray.data.from_arrow(synth_wav_table(16)).repartition(3)
     arows = audio.map_batches(
-        WavAudioStage, concurrency=2, batch_size=8, batch_format="pyarrow"
+        WavAudioStage, concurrency=(1, 2), batch_size=8, batch_format="pyarrow"
     ).take_all()
     assert len(arows) == 16 and all(r["sample_rate"] == 8000 for r in arows)
 
     video = ray.data.from_arrow(synth_rawvideo_table(6)).repartition(2)
     vrows = video.map_batches(
-        RawVideoFrameStage, concurrency=2, batch_size=4, batch_format="pyarrow"
+        RawVideoFrameStage, concurrency=(1, 2), batch_size=4, batch_format="pyarrow"
     ).take_all()
     assert len(vrows) == 6 * 4  # n_frames rows per clip
     assert {r["frame_no"] for r in vrows} == {0, 1, 2, 3}
@@ -4190,7 +4190,7 @@ def test_png_actor_stage(ray_session):
     media = synth_png_table(24)
     got = (
         ray.data.from_arrow(media)
-        .map_batches(PNGImageStage, concurrency=2, batch_size=8, batch_format="pyarrow")
+        .map_batches(PNGImageStage, concurrency=(1, 2), batch_size=8, batch_format="pyarrow")
         .to_pandas()
         .sort_values("media_id")
         .reset_index(drop=True)
@@ -4611,7 +4611,7 @@ def test_jpeg_stage_and_query(ray_session):
 
     media = ray.data.from_arrow(synth_jpeg_table(32))
     out = media.map_batches(
-        JPEGImageStage, concurrency=2, batch_size=8, batch_format="pyarrow"
+        JPEGImageStage, concurrency=(1, 2), batch_size=8, batch_format="pyarrow"
     ).take_all()
     assert len(out) == 32
     for r in out:
@@ -4732,7 +4732,7 @@ def test_image_decode_real_path(ray_session):
                 fn_constructor_kwargs={"fake": False},
                 batch_format="pyarrow",
                 batch_size=8,
-                concurrency=2,
+                concurrency=(1, 2),
             )
             .take_all()
         )
