@@ -40,13 +40,14 @@ def read_corpus(path, columns=None, override_num_blocks: int | None = None):
         # are read in a thread pool: serially this was ~1.3 s of driver
         # wall for a 64-file corpus (~8% of the whole build).
         nrows = 0
+        files = None
         try:
             files = (
-                [
+                sorted(
                     os.path.join(path, f)
                     for f in os.listdir(path)
                     if f.endswith(".parquet")
-                ]
+                )
                 if os.path.isdir(path)
                 else [path]
             )
@@ -57,11 +58,18 @@ def read_corpus(path, columns=None, override_num_blocks: int | None = None):
                     m.num_rows for m in ex.map(pq.read_metadata, files)
                 )
         except OSError:
-            pass
+            files = None
         by_rows = nrows // 30_000 + 1  # ~30k source files per block
         override_num_blocks = max(
             int(ray.cluster_resources().get("CPU", 8)) * 2, 16, int(by_rows)
         )
+        # pass the EXPLICIT file list: a directory path makes the
+        # read_parquet constructor walk/expand it serially (~1.1 s of
+        # driver wall on a 64-file corpus, measured r5); the sorted
+        # listing we already made for the footer scan skips that entirely
+        # (0.06 s) and keeps fragment order deterministic
+        if files:
+            path = files
     return ray.data.read_parquet(
         path,
         columns=columns or ["repo", "path", "commit", "lang", "content"],
@@ -364,7 +372,11 @@ def build_kg(
             linked, out_dir, n_shards=n_shards, options=jelly_options,
             repo_counts=repo_counts,
         )
-    sym_ref = ray.put(prepare_link_index(sym_table))  # hash-sorted, built once
+    # hash-sorted index built ONCE — as a Ray task, so the ~0.6 s build
+    # overlaps the exchange launch instead of blocking the driver (the
+    # linker tasks ray.get the ref either way; task-output refs and
+    # ray.put refs read identically from plasma)
+    sym_ref = ray.remote(prepare_link_index).remote(sym_table)
     if strategy == "fused" and dedup:
         # dedup + shard-write as one two-hop raw-task exchange (no Ray sort
         # shuffles; measured 2.8× faster and non-bimodal — ROADMAP #1).  The
