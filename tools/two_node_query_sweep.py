@@ -54,7 +54,8 @@ def run(mode: str) -> dict:
     if mode == "cluster":
         ray.init(address="127.0.0.1:6379")
         alive = [n for n in ray.nodes() if n["Alive"]]
-        assert len(alive) == 2, f"expected 2 nodes, got {len(alive)}"
+        expected = int(os.environ.get("EXPECT_NODES", "2"))
+        assert len(alive) == expected, f"expected {expected} nodes, got {len(alive)}"
     else:
         ray.init(address="local", num_cpus=8, include_dashboard=False)
     import __ray_entry__ as E
