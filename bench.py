@@ -239,6 +239,12 @@ def run_media_micro() -> dict:
         + np.linspace(0, 180, 768)[None, :, None]
     ).astype(np.uint8)
     jpeg_big = [encode_jpeg(big, quality=85), encode_jpeg(big, quality=85, progressive=True)]
+    from pyjelly_ray.stages.vp8l import decode_webp_lossless, encode_webp_lossless
+
+    webps = [
+        encode_webp_lossless(big[:256], subtract_green=True),
+        encode_webp_lossless(big[:256], predictor_mode=7, cache_bits=6),
+    ]
     sig_big = (np.sin(np.arange(240000) / 9) * 18000).astype(np.int16)
     flac_big = [encode_flac(sig_big, 8000)]
 
@@ -251,6 +257,7 @@ def run_media_micro() -> dict:
         ("flac", flacs, lambda p: decode_flac(p)[0]),
         ("jpeg_large", jpeg_big, decode_jpeg),
         ("flac_large", flac_big, lambda p: decode_flac(p)[0]),
+        ("webp_lossless", webps, decode_webp_lossless),
     ):
         t0 = time.perf_counter()
         for p in payloads:

@@ -801,3 +801,306 @@ int64_t media_jpeg_scan(const uint8_t *d, int64_t dlen, int64_t pos,
     }
     return r->pos;
 }
+
+/* ===================== WebP-lossless (VP8L) folds ===================== */
+/* Mirrors stages/vp8l.py byte-for-byte: LSB-first bit reader, canonical
+ * huffman walked MSB-of-code-first, LZ77 + color cache + meta groups for
+ * the pixel loop, and the 14-mode inverse predictor.  Any error returns
+ * negative and the caller re-runs the pure-Python path. */
+
+#include <stdlib.h>
+
+typedef struct {
+    const uint8_t *d;
+    int64_t len, pos;
+    int bit;
+    int err;
+} vbits;
+
+static int vbit(vbits *r) {
+    if (r->pos >= r->len) { r->err = 1; return 0; }
+    int b = (r->d[r->pos] >> r->bit) & 1;
+    if (++r->bit == 8) { r->bit = 0; r->pos++; }
+    return b;
+}
+
+static uint32_t vbitsn(vbits *r, int n) {
+    uint32_t v = 0;
+    for (int i = 0; i < n; i++) {
+        v |= (uint32_t)vbit(r) << i;
+        if (r->err) return 0;
+    }
+    return v;
+}
+
+typedef struct {
+    int32_t mincode[16];
+    int32_t count[16];
+    int32_t valptr[16];
+    const int32_t *vals; /* into a shared pool */
+    int32_t single;      /* >=0: zero-bit code */
+} vhuff;
+
+/* Build one canonical table from per-symbol lengths (max 15), writing the
+ * sorted-symbol pool into vals_out; returns n_vals or negative. */
+static int64_t vhuff_build(vhuff *t, const int16_t *lengths, int64_t alphabet,
+                           int32_t *vals_out) {
+    int64_t n_nz = 0;
+    int64_t last_sym = -1;
+    for (int64_t s = 0; s < alphabet; s++) {
+        int16_t ln = lengths[s];
+        if (ln < 0 || ln > 15) return -1;
+        if (ln > 0) { n_nz++; last_sym = s; }
+    }
+    if (n_nz == 0) return -1;
+    t->single = -1;
+    if (n_nz == 1) {
+        t->single = (int32_t)last_sym;
+        return 0;
+    }
+    for (int l = 0; l <= 15; l++) t->count[l] = 0;
+    for (int64_t s = 0; s < alphabet; s++)
+        if (lengths[s]) t->count[lengths[s]]++;
+    int code = 0, k = 0;
+    int64_t total = 0;
+    for (int l = 1; l <= 15; l++) {
+        t->mincode[l] = code;
+        t->valptr[l] = k;
+        code += t->count[l];
+        k += t->count[l];
+        total += (int64_t)t->count[l] << (15 - l);
+        code <<= 1;
+    }
+    if (total != (1ll << 15)) return -2; /* incomplete/oversubscribed */
+    /* canonical symbol order: ascending symbol within each length */
+    int32_t fill[16];
+    for (int l = 1; l <= 15; l++) fill[l] = t->valptr[l];
+    for (int64_t s = 0; s < alphabet; s++) {
+        int16_t ln = lengths[s];
+        if (ln) vals_out[fill[ln]++] = (int32_t)s;
+    }
+    t->vals = vals_out;
+    return k;
+}
+
+static int vsym(vbits *r, const vhuff *t) {
+    if (t->single >= 0) return t->single;
+    int code = 0;
+    for (int l = 1; l <= 15; l++) {
+        code = (code << 1) | vbit(r);
+        if (r->err) return 0;
+        int c = t->count[l];
+        if (c && code >= t->mincode[l] && code < t->mincode[l] + c)
+            return t->vals[t->valptr[l] + code - t->mincode[l]];
+    }
+    r->err = 1;
+    return 0;
+}
+
+static int64_t vprefix(vbits *r, int code) {
+    if (code < 4) return code + 1;
+    int eb = (code - 2) >> 1;
+    int64_t off = (int64_t)(2 + (code & 1)) << eb;
+    int64_t extra = (int64_t)vbitsn(r, eb);
+    if (r->err) return 0;
+    return off + extra + 1;
+}
+
+/* Decode one entropy-coded VP8L image's pixel stream (huffman codes for
+ * every group already parsed by Python; this starts at the first pixel
+ * symbol).  lengths: concatenated int16 code lengths for n_groups*5
+ * codes; code_off[i] offsets into it; alpha[i] alphabet sizes.
+ * meta: per-block group ids (mw columns) or NULL.  dist_map: the 120
+ * plane distances precomputed for this xsize.  Returns the new absolute
+ * bit position, or negative on any condition where Python raises. */
+int64_t media_vp8l_image(const uint8_t *d, int64_t dlen, int64_t bitpos,
+                         int64_t xsize, int64_t n_px, int64_t n_groups,
+                         const int16_t *lengths, const int64_t *code_off,
+                         const int64_t *alpha, const int32_t *meta,
+                         int64_t meta_bits, int64_t mw, int64_t cache_bits,
+                         const int32_t *dist_map, uint32_t *out) {
+    if (n_groups < 1 || n_groups > (1 << 20)) return -100;
+    int64_t n_codes = n_groups * 5;
+    vhuff *tabs = (vhuff *)malloc(sizeof(vhuff) * n_codes);
+    int64_t pool_sz = 0;
+    for (int64_t i = 0; i < n_codes; i++) pool_sz += alpha[i];
+    int32_t *pool = (int32_t *)malloc(sizeof(int32_t) * (pool_sz ? pool_sz : 1));
+    uint32_t *cache = NULL;
+    int64_t cache_size = cache_bits ? (1ll << cache_bits) : 0;
+    if (cache_size) cache = (uint32_t *)calloc(cache_size, sizeof(uint32_t));
+    if (!tabs || !pool || (cache_size && !cache)) {
+        free(tabs); free(pool); free(cache);
+        return -101;
+    }
+    int64_t pk = 0;
+    for (int64_t i = 0; i < n_codes; i++) {
+        int64_t rc = vhuff_build(&tabs[i], lengths + code_off[i], alpha[i],
+                                 pool + pk);
+        if (rc < 0) { free(tabs); free(pool); free(cache); return -102; }
+        pk += rc;
+    }
+    vbits rr = {d, dlen, bitpos >> 3, (int)(bitpos & 7), 0};
+    vbits *r = &rr;
+    int64_t pos = 0;
+    int64_t last_blk = -1;
+    const vhuff *g = &tabs[0], *cr = &tabs[1], *cb = &tabs[2], *ca = &tabs[3],
+                *cd = &tabs[4];
+    int rc_out = 0;
+    while (pos < n_px) {
+        if (meta) {
+            int64_t x = pos % xsize, y = pos / xsize;
+            int64_t blk = (y >> meta_bits) * mw + (x >> meta_bits);
+            if (blk != last_blk) {
+                int64_t gi = meta[blk];
+                if (gi < 0 || gi >= n_groups) { rc_out = -103; break; }
+                g = &tabs[gi * 5 + 0];
+                cr = &tabs[gi * 5 + 1];
+                cb = &tabs[gi * 5 + 2];
+                ca = &tabs[gi * 5 + 3];
+                cd = &tabs[gi * 5 + 4];
+                last_blk = blk;
+            }
+        }
+        int sym = vsym(r, g);
+        if (r->err) { rc_out = -104; break; }
+        if (sym < 256) {
+            int rv = vsym(r, cr);
+            int bv = vsym(r, cb);
+            int av = vsym(r, ca);
+            if (r->err) { rc_out = -104; break; }
+            uint32_t px = ((uint32_t)av << 24) | ((uint32_t)rv << 16) |
+                          ((uint32_t)sym << 8) | (uint32_t)bv;
+            out[pos] = px;
+            if (cache_size)
+                cache[(uint32_t)(0x1E35A7BDu * px) >> (32 - cache_bits)] = px;
+            pos++;
+        } else if (sym < 256 + 24) {
+            int64_t length = vprefix(r, sym - 256);
+            if (r->err) { rc_out = -104; break; }
+            int dsym = vsym(r, cd);
+            if (r->err) { rc_out = -104; break; }
+            int64_t dist_code = vprefix(r, dsym);
+            if (r->err) { rc_out = -104; break; }
+            int64_t dist;
+            if (dist_code > 120) dist = dist_code - 120;
+            else dist = dist_map[dist_code - 1];
+            if (dist > pos || pos + length > n_px) { rc_out = -105; break; }
+            for (int64_t i = 0; i < length; i++) {
+                uint32_t px = out[pos - dist + i];
+                out[pos + i] = px;
+                if (cache_size)
+                    cache[(uint32_t)(0x1E35A7BDu * px) >> (32 - cache_bits)] = px;
+            }
+            pos += length;
+        } else {
+            int64_t idx = sym - 256 - 24;
+            if (idx >= cache_size) { rc_out = -106; break; }
+            out[pos] = cache[idx];
+            pos++;
+        }
+    }
+    free(tabs);
+    free(pool);
+    free(cache);
+    if (rc_out) return rc_out;
+    return rr.pos * 8 + rr.bit;
+}
+
+/* -------------------- inverse predictor transform -------------------- */
+
+static uint32_t vavg2(uint32_t a, uint32_t b) {
+    return ((((a >> 24) + (b >> 24)) >> 1) << 24) |
+           (((((a >> 16) & 0xFF) + ((b >> 16) & 0xFF)) >> 1) << 16) |
+           (((((a >> 8) & 0xFF) + ((b >> 8) & 0xFF)) >> 1) << 8) |
+           (((a & 0xFF) + (b & 0xFF)) >> 1);
+}
+
+static uint32_t vclamp_full(uint32_t a, uint32_t b, uint32_t c) {
+    uint32_t o = 0;
+    for (int sh = 0; sh <= 24; sh += 8) {
+        int v = (int)((a >> sh) & 0xFF) + (int)((b >> sh) & 0xFF) -
+                (int)((c >> sh) & 0xFF);
+        if (v < 0) v = 0;
+        if (v > 255) v = 255;
+        o |= (uint32_t)v << sh;
+    }
+    return o;
+}
+
+static uint32_t vclamp_half(uint32_t ave, uint32_t c) {
+    uint32_t o = 0;
+    for (int sh = 0; sh <= 24; sh += 8) {
+        int av = (ave >> sh) & 0xFF;
+        int cv = (c >> sh) & 0xFF;
+        int dv = av - cv;
+        int v = av + dv / 2; /* C division truncates toward zero */
+        if (v < 0) v = 0;
+        if (v > 255) v = 255;
+        o |= (uint32_t)v << sh;
+    }
+    return o;
+}
+
+static uint32_t vselect(uint32_t t, uint32_t l, uint32_t tl) {
+    int s = 0;
+    for (int sh = 0; sh <= 24; sh += 8) {
+        int lv = (l >> sh) & 0xFF;
+        int tv = (t >> sh) & 0xFF;
+        int cv = (tl >> sh) & 0xFF;
+        int pl = lv - cv, pt = tv - cv;
+        s += (pl < 0 ? -pl : pl) - (pt < 0 ? -pt : pt);
+    }
+    return s <= 0 ? t : l;
+}
+
+static uint32_t vaddpix(uint32_t a, uint32_t b) {
+    return ((((a >> 24) + (b >> 24)) & 0xFF) << 24) |
+           (((((a >> 16) & 0xFF) + ((b >> 16) & 0xFF)) & 0xFF) << 16) |
+           (((((a >> 8) & 0xFF) + ((b >> 8) & 0xFF)) & 0xFF) << 8) |
+           (((a & 0xFF) + (b & 0xFF)) & 0xFF);
+}
+
+/* In-place inverse predictor over uint32 ARGB pixels; modes: per-block
+ * uint8 predictor ids, tw columns.  Returns 0 or negative. */
+int64_t media_vp8l_predict(uint32_t *px, int64_t w, int64_t h,
+                           const uint8_t *modes, int64_t tw,
+                           int64_t size_bits) {
+    for (int64_t y = 0; y < h; y++) {
+        for (int64_t x = 0; x < w; x++) {
+            uint32_t pred;
+            if (x == 0 && y == 0) {
+                pred = 0xFF000000u;
+            } else if (y == 0) {
+                pred = px[x - 1];
+            } else if (x == 0) {
+                pred = px[(y - 1) * w];
+            } else {
+                int mode = modes[(y >> size_bits) * tw + (x >> size_bits)];
+                uint32_t L = px[y * w + x - 1];
+                uint32_t T = px[(y - 1) * w + x];
+                uint32_t TL = px[(y - 1) * w + x - 1];
+                uint32_t TR = (x + 1 < w) ? px[(y - 1) * w + x + 1]
+                                          : px[y * w];
+                switch (mode) {
+                case 0: pred = 0xFF000000u; break;
+                case 1: pred = L; break;
+                case 2: pred = T; break;
+                case 3: pred = TR; break;
+                case 4: pred = TL; break;
+                case 5: pred = vavg2(vavg2(L, TR), T); break;
+                case 6: pred = vavg2(L, TL); break;
+                case 7: pred = vavg2(L, T); break;
+                case 8: pred = vavg2(TL, T); break;
+                case 9: pred = vavg2(T, TR); break;
+                case 10: pred = vavg2(vavg2(L, TL), vavg2(T, TR)); break;
+                case 11: pred = vselect(T, L, TL); break;
+                case 12: pred = vclamp_full(L, T, TL); break;
+                case 13: pred = vclamp_half(vavg2(L, T), TL); break;
+                default: return -1;
+                }
+            }
+            px[y * w + x] = vaddpix(px[y * w + x], pred);
+        }
+    }
+    return 0;
+}

@@ -26,8 +26,10 @@ import numpy as np
 _SRC = os.path.join(os.path.dirname(__file__), "_cmedia.c")
 
 _U8 = ctypes.POINTER(ctypes.c_uint8)
+_I16 = ctypes.POINTER(ctypes.c_int16)
 _I32 = ctypes.POINTER(ctypes.c_int32)
 _I64 = ctypes.POINTER(ctypes.c_int64)
+_U32 = ctypes.POINTER(ctypes.c_uint32)
 
 
 def _build() -> str | None:
@@ -82,6 +84,13 @@ def _load():
         ("media_png_unfilter", [_U8, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, _U8]),
         ("media_flac_subframe", [_U8, ctypes.c_int64, ctypes.c_int64,
                                  ctypes.c_int64, ctypes.c_int64, _I64]),
+        ("media_vp8l_image", [_U8, ctypes.c_int64, ctypes.c_int64,
+                              ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                              _I16, _I64, _I64, _I32,
+                              ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                              _I32, _U32]),
+        ("media_vp8l_predict", [_U32, ctypes.c_int64, ctypes.c_int64,
+                                _U8, ctypes.c_int64, ctypes.c_int64]),
         ("media_jpeg_scan", [_U8, ctypes.c_int64, ctypes.c_int64,
                              _U8, _U8, _U8,
                              ctypes.c_int64, ctypes.c_int64,
@@ -233,3 +242,57 @@ def jpeg_scan(d: bytes, pos: int, htabs_raw: dict, mode: int, comps: list,
         mcus_x, mcus_y, restart_interval, ss, se, ah, al,
     )
     return int(rc) if rc >= 0 else None
+
+
+_NULL_I32_ARR = ctypes.cast(None, _I32)
+
+
+def vp8l_image(d: bytes, bitpos: int, xsize: int, n_px: int,
+               group_lengths: list, meta, meta_bits: int, mw: int,
+               cache_bits: int, dist_map: np.ndarray):
+    """Decode one VP8L entropy-coded image's pixel stream in C.
+
+    ``group_lengths``: n_groups*5 per-symbol code-length arrays (the
+    huffman headers are parsed by Python; this runs from the first pixel
+    symbol).  Returns (uint32 pixels, new_bitpos) or None ⇒ pure path.
+    """
+    if LIB is None:
+        return None
+    n_codes = len(group_lengths)
+    lens = [np.ascontiguousarray(x, np.int16) for x in group_lengths]
+    off = np.zeros(n_codes + 1, np.int64)
+    np.cumsum([len(x) for x in lens], out=off[1:])
+    flat = np.concatenate(lens) if lens else np.zeros(1, np.int16)
+    alpha = np.array([len(x) for x in lens], np.int64)
+    out = np.zeros(n_px, np.uint32)
+    keep, p = _u8view(d)
+    if meta is not None:
+        meta32 = np.ascontiguousarray(meta, np.int32)
+        meta_ptr = meta32.ctypes.data_as(_I32)
+    else:
+        meta32 = None
+        meta_ptr = _NULL_I32_ARR
+    dist_map = np.ascontiguousarray(dist_map, np.int32)
+    rc = LIB.media_vp8l_image(
+        p, len(d), bitpos, xsize, n_px, n_codes // 5,
+        flat.ctypes.data_as(_I16), off.ctypes.data_as(_I64),
+        alpha.ctypes.data_as(_I64), meta_ptr,
+        meta_bits, mw, cache_bits,
+        dist_map.ctypes.data_as(_I32), out.ctypes.data_as(_U32),
+    )
+    if rc < 0:
+        return None
+    return out, int(rc)
+
+
+def vp8l_predict(pixels: np.ndarray, w: int, h: int, modes: np.ndarray,
+                 tw: int, size_bits: int):
+    """In-place-on-a-copy inverse predictor; None ⇒ pure path."""
+    if LIB is None:
+        return None
+    px = np.ascontiguousarray(pixels, np.uint32).copy()
+    modes = np.ascontiguousarray(modes, np.uint8)
+    rc = LIB.media_vp8l_predict(
+        px.ctypes.data_as(_U32), w, h, modes.ctypes.data_as(_U8), tw, size_bits
+    )
+    return px if rc == 0 else None

@@ -123,12 +123,14 @@ class _Writer:
 class _Huff:
     """Canonical huffman decode table (bit-by-bit MSB-first code walk over
     the LSB-first stream — the DEFLATE/VP8L convention).  ``single`` holds
-    the symbol of a zero-bit (one-symbol) code."""
+    the symbol of a zero-bit (one-symbol) code.  ``lengths`` is retained
+    for the compiled pixel-loop fold (cmedia.vp8l_image)."""
 
-    __slots__ = ("mincode", "count", "valptr", "vals", "single")
+    __slots__ = ("mincode", "count", "valptr", "vals", "single", "lengths")
 
     def __init__(self, lengths) -> None:
         self.single = None
+        self.lengths = lengths
         nz = [(ln, sym) for sym, ln in enumerate(lengths) if ln > 0]
         if not nz:
             raise ValueError("VP8L: empty huffman code")
@@ -445,6 +447,23 @@ def _decode_entropy_image(r: _Reader, w: int, h: int, *, level0: bool,
         groups.append((g, rr_, b, a, d))
 
     n_px = xsize * h
+    mw_c = _sub_size(xsize, meta_bits) if meta is not None else 0
+    if n_px:
+        # compiled pixel loop (stages/_cmedia.c): stateless fork — the
+        # reader is untouched on a C-side bail, so the pure loop below
+        # re-runs from the same bit position for the exact pure behavior
+        from pyjelly_ray.stages import cmedia
+
+        fast = cmedia.vp8l_image(
+            r.d, r.pos * 8 + r.bit, xsize, n_px,
+            [h_.lengths for grp in groups for h_ in grp],
+            meta, meta_bits, mw_c, cache_bits,
+            np.array([max(dx + dy * xsize, 1) for dx, dy in _DIST_TABLE], np.int32),
+        )
+        if fast is not None:
+            pixels, bitpos = fast
+            r.pos, r.bit = bitpos >> 3, bitpos & 7
+            return pixels
     out = np.zeros(n_px, np.uint32)
     cache = [0] * cache_size
     pos = 0
@@ -594,6 +613,13 @@ def _select(t, l, tl):
 def _inverse_predictor(pixels: np.ndarray, timg: np.ndarray, w: int, h: int,
                        size_bits: int) -> np.ndarray:
     tw = _sub_size(w, size_bits)
+    from pyjelly_ray.stages import cmedia
+
+    fast = cmedia.vp8l_predict(
+        pixels, w, h, ((timg >> 8) & 0xFF).astype(np.uint8), tw, size_bits
+    )
+    if fast is not None:
+        return fast
     modes = ((timg.reshape(-1, tw) >> 8) & 0xFF).astype(np.int64)
     px = pixels.reshape(h, w).astype(np.uint32).copy()
 

@@ -261,3 +261,52 @@ def test_cmedia_ship_dir_pattern(tmp_path, monkeypatch):
     shutil.copy(built, tmp_path / f"cmedia_{tag}.so")
     monkeypatch.setenv("GRAFT_CMEDIA_SO_DIR", str(tmp_path))
     assert cmedia._build() == str(tmp_path / f"cmedia_{tag}.so")
+
+
+# ------------------------------------------------------------------ VP8L
+
+
+def test_vp8l_grid_identical():
+    from pyjelly_ray.stages.vp8l import decode_webp_lossless, encode_webp_lossless
+
+    rng = np.random.default_rng(12)
+    img = rng.integers(0, 256, (33, 47, 3), dtype=np.uint8)
+    imga = rng.integers(0, 256, (21, 14, 4), dtype=np.uint8)
+    pal = rng.integers(0, 256, (11, 3), dtype=np.uint8)
+    pimg = pal[rng.integers(0, 11, (19, 25))]
+    cases = [
+        encode_webp_lossless(img),
+        encode_webp_lossless(img, use_lz77=False),
+        encode_webp_lossless(img, cache_bits=5),
+        encode_webp_lossless(img, subtract_green=True),
+        encode_webp_lossless(img, predictor_mode=11),
+        encode_webp_lossless(img, cross_color=(9, -5, 3)),
+        encode_webp_lossless(img, meta_bits=2, cache_bits=3),
+        encode_webp_lossless(imga),
+        encode_webp_lossless(pimg, palette=True),
+        encode_webp_lossless(np.full((7, 9, 3), 44, np.uint8)),
+    ]
+    for p in cases:
+        fast, pure = both_paths(lambda: decode_webp_lossless(p))
+        assert (fast == pure).all()
+
+
+def test_vp8l_corruption_same_failure_both_paths():
+    from pyjelly_ray.stages.vp8l import decode_webp_lossless, encode_webp_lossless
+
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    good = encode_webp_lossless(img, predictor_mode=4)
+    for k in range(24, len(good), 13):
+        bad = good[:k] + bytes([good[k] ^ 0x2D]) + good[k + 1 :]
+
+        def dec():
+            try:
+                return ("ok", decode_webp_lossless(bad))
+            except ValueError:
+                return ("err", None)
+
+        (fs, fv), (ps, pv) = both_paths(dec)
+        assert fs == ps
+        if fs == "ok":
+            assert (fv == pv).all()
