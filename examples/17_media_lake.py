@@ -1,7 +1,8 @@
 """The media lake: ONE Ray pipeline over a mixed-format corpus.
 
 A real training-data lake is never one format.  This example builds a
-corpus mixing eight image formats (PNG incl. interlaced + palette, JPEG
+corpus mixing nine image formats (PNG incl. interlaced + palette, WebP
+lossless incl. palette, JPEG
 baseline AND progressive, GIF, BMP, TIFF-LZW, QOI, TGA-in-ICO, DDS/BC1),
 four audio formats (WAV, FLAC, AIFF, AU/μ-law) and three video containers
 (MP4, Matroska, AVI — uncompressed tracks), then runs THREE actor-pool
@@ -68,6 +69,10 @@ image_payloads = [
     encode_ico([np.dstack([rand_img(16, 16)] * 1)]),
     encode_dds_bc1(bc1_cols[rng.integers(0, 2, (16, 16))]),
 ]
+from pyjelly_ray.stages.vp8l import encode_webp_lossless
+
+image_payloads.append(encode_webp_lossless(rand_img(), predictor_mode=7))
+image_payloads.append(encode_webp_lossless(rand_img(), palette=True))
 images = pa.table(
     {
         "media_id": pa.array(range(len(image_payloads)), pa.int64()),
@@ -82,7 +87,7 @@ img_rows = (
     )
     .take_all()
 )
-print(f"images: decoded {len(img_rows)} payloads across 8 formats -> 32-dim features")
+print(f"images: decoded {len(img_rows)} payloads across 9 formats -> 32-dim features")
 
 # ---- 2. audio: four formats, one decode stage ---------------------------
 tone = (np.sin(np.arange(4000) / 9) * 18000).astype(np.int16)
