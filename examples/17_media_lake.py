@@ -132,6 +132,6 @@ frames = (
     .take_all()
 )
 print(f"video: sampled {len(frames)} PNG frames from MP4 + Matroska + AVI containers")
-assert len(img_rows) == 9 and len(aud_rows) == 4 and len(frames) == 9
+assert len(img_rows) == 11 and len(aud_rows) == 4 and len(frames) == 9
 
 ray.shutdown()
