@@ -179,6 +179,8 @@ def flac_subframe(data: bytes, bitpos: int, block_size: int, bps: int):
 
 
 _NULL_I32 = ctypes.cast(None, _I32)
+#: ctypes array types are expensive to create per call — cache per comp count
+_CMETA_T = {n: ctypes.c_int64 * n for n in (7, 14, 21, 28)}
 
 
 def jpeg_scan(d: bytes, pos: int, htabs_raw: dict, mode: int, comps: list,
@@ -226,11 +228,11 @@ def jpeg_scan(d: bytes, pos: int, htabs_raw: dict, mode: int, comps: list,
                  4 + ac_t if ac_t is not None else -1,
                  c.get("bw_ni", 0), c.get("bh_ni", 0)]
         coef = c["coef"]
-        if coef.dtype != np.int32 or not coef.flags["C_CONTIGUOUS"]:
+        if coef.dtype != np.int32 or not coef.flags.c_contiguous:
             return None
         keep.append(coef)
         coef_ptrs[i] = coef.ctypes.data_as(_I32)
-    cmeta = (ctypes.c_int64 * len(meta))(*meta)
+    cmeta = _CMETA_T[len(meta)](*meta)
 
     keep_d, d_ptr = _u8view(d)
     rc = LIB.media_jpeg_scan(

@@ -1087,6 +1087,10 @@ def _zigzag() -> np.ndarray:
 
 _ZZ = _zigzag()
 _ZZ_INV = np.argsort(_ZZ)  # out[:, j] == in[:, _ZZ_INV[j]] ⇔ out[:, _ZZ] = in
+_IDCT_OP_CACHE: dict = {}  # quant-table bytes → fused 64×64 dequant+IDCT op
+_YCC_TO_RGB = np.array(
+    [[1.0, 0.0, 1.402], [1.0, -0.344136, -0.714136], [1.0, 1.772, 0.0]]
+)
 _UNZZ = np.argsort(_ZZ)
 
 _QUANT_LUM = np.array([
@@ -1944,11 +1948,20 @@ def _jpeg_finish(comps, qtabs, h, w, hmax, vmax) -> np.ndarray:
     planes = []
     for c in comps:
         q = qtabs[c["tq"]]
-        # inverse zigzag as one gather (same values as scatter via _ZZ)
-        f = c["coef"][:, _ZZ_INV].reshape(-1, 8, 8) * q
-        # D^T f D per block — BLAS matmul (same float64 math as the old
-        # einsum spelling, ~10x faster on big images)
-        sp = (_DCT.T @ f) @ _DCT + 128.0
+        # dequant + inverse-zigzag + 2-D IDCT fused into ONE 64x64 linear
+        # operator per quant table (the whole chain is linear in the
+        # zigzag coefficients): plane = coef_zz @ A.T.  One BLAS call per
+        # component instead of gather + dequant + two matmuls; pinned
+        # against the quadruple-loop spec IDCT by test_jpeg_codec_grid.
+        key = q.tobytes()
+        A = _IDCT_OP_CACHE.get(key)
+        if A is None:
+            B = np.einsum("xu,uv,vy->xyuv", _DCT.T, q, _DCT).reshape(64, 64)
+            A = np.ascontiguousarray(B[:, _ZZ])
+            if len(_IDCT_OP_CACHE) > 64:
+                _IDCT_OP_CACHE.clear()
+            _IDCT_OP_CACHE[key] = A
+        sp = (c["coef"] @ A.T).reshape(-1, 8, 8) + 128.0
         plane = (
             sp.reshape(c["bh"], c["bw"], 8, 8)
             .transpose(0, 2, 1, 3)
@@ -1965,11 +1978,17 @@ def _jpeg_finish(comps, qtabs, h, w, hmax, vmax) -> np.ndarray:
     if len(planes) == 1:
         out = planes[0][:, :, None]
     else:
-        y, cb, cr = planes
-        r_ = y + 1.402 * (cr - 128.0)
-        g_ = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-        b_ = y + 1.772 * (cb - 128.0)
-        out = np.stack([r_, g_, b_], axis=2)
+        # YCbCr → RGB as one 3×3 matmul over stacked planes (same
+        # coefficients as the per-channel spelling; the quadruple-loop
+        # reconstruction in test_jpeg_codec_grid pins the rounded pixels)
+        hh, ww = planes[0].shape
+        P = np.empty((3, hh * ww))
+        P[0] = planes[0].ravel()
+        P[1] = planes[1].ravel()
+        P[1] -= 128.0
+        P[2] = planes[2].ravel()
+        P[2] -= 128.0
+        out = (_YCC_TO_RGB @ P).T.reshape(hh, ww, 3)
     return np.clip(np.round(out), 0, 255).astype(np.uint8)
 
 
